@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The flagship workload mirrors the reference's criterion bench — a full
+scan evaluating ST_Intersects(geom, literal point) over the large table
+(/root/reference/benches/geo_lib.rs:22, 3M rows in-memory there;
+~600k lineitem-derived points at sf0.1 here, BASELINE.md).
+
+Each query is forced to full evaluation with a JVM-side hash-sum over all
+output columns (prevents column-pruning from skipping Python UDFs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("datafusion-geo-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def force(df) -> int:
+    """Fully evaluate df JVM-side; returns row count."""
+    import pyspark.sql.functions as F
+    row = df.select(F.xxhash64(*df.columns).cast("double").alias("h")).agg(
+        F.count("h").alias("n"), F.sum("h").alias("s")).collect()[0]
+    return row["n"]
+
+
+def bench_queries(spark):
+    """name -> zero-arg callable returning a DataFrame."""
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.functions import (box2d, st_extent_agg,
+                                                st_intersects)
+    from datafusion_geo_spark.sources.fixtures import (boxes_nation,
+                                                       lines_orders,
+                                                       points_customer,
+                                                       points_lineitem)
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+
+    def flagship():
+        # reference bench shape: predicate full-scan over the big table
+        df = points_lineitem(spark, SF_DIR, with_nulls=False)
+        return df.select(
+            "l_orderkey",
+            st_intersects(F.col("geom"), "POINT(10 11)").alias("hit"))
+
+    return {
+        "intersects_scan": flagship,
+        "intersects_lines": lambda: qmap["intersects_lines"](spark, SF_DIR),
+        "wkt_roundtrip_points": lambda: qmap["wkt_roundtrip_points"](spark, SF_DIR),
+        "extent_by_mktsegment": lambda: qmap["extent_by_mktsegment"](spark, SF_DIR),
+        "spatial_join": lambda: qmap["spatial_join"](spark, SF_DIR),
+    }
+
+
+def main() -> None:
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    queries = bench_queries(spark)
+
+    timings = {}
+    for name, make in queries.items():
+        force(make())  # warmup: JVM/Python-worker spin-up, parquet footer cache
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            force(make())
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "spatial_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(CPUS),
+        "runs": RUNS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

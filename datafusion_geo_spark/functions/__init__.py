@@ -1,0 +1,343 @@
+"""Public function surface: DataFrame Column functions + SQL registration.
+
+Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
+UDAF). Each operator exists both as a Python Column function
+(``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
+the reference's exact names (`register_all(spark)`) — Spark SQL function
+lookup is case-insensitive, which subsumes the reference's lowercase
+aliases (/root/reference/src/function/geom_from_text.rs:28).
+
+``st_extent`` is NOT a Python UDAF: per SURVEY.md §2.1 #19 it lowers to
+built-in min/max over a Box2D struct, so Catalyst runs its own two-phase
+(partial/final) hash aggregate — the Spark-native equivalent of the
+reference's Accumulator lifecycle (/root/reference/src/function/extent.rs:75-128).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
+                               IntegerType, StringType, StructField, StructType)
+
+from ..geo.geom import Geometry
+from ..geo.wkb import to_wkb
+from ..geo.wkt import from_wkt
+from . import kernels
+
+GeomLike = Union[Column, Geometry, bytes, str]
+
+BOX2D_TYPE = StructType([
+    StructField("xmin", DoubleType(), True),
+    StructField("ymin", DoubleType(), True),
+    StructField("xmax", DoubleType(), True),
+    StructField("ymax", DoubleType(), True),
+])
+
+
+def geom_lit(g: Union[Geometry, bytes, str]) -> Column:
+    """Literal geometry column from Geometry / WKB bytes / WKT text —
+    the Spark analogue of the reference's scalar-argument broadcast
+    (/root/reference/src/function/intersects.rs:49-60)."""
+    if isinstance(g, str):
+        g = from_wkt(g)
+    if isinstance(g, Geometry):
+        g = to_wkb(g)
+    return F.lit(g)
+
+
+def _geom(c: GeomLike) -> Column:
+    if isinstance(c, Column):
+        return c
+    if isinstance(c, (Geometry, bytes, str)):
+        return geom_lit(c)
+    raise TypeError(f"expected Column/Geometry/bytes/WKT str, got {type(c)}")
+
+
+def _num(c, cast: str) -> Column:
+    """Numeric argument: Column passes through, str is a column NAME,
+    python numbers become literals. (For geometry args a str is WKT —
+    see ``_geom``.)"""
+    if isinstance(c, Column):
+        return c.cast(cast)
+    if isinstance(c, str):
+        return F.col(c).cast(cast)
+    return F.lit(c).cast(cast)
+
+
+# -- pandas UDF objects (vectorized, Arrow-batched) ---------------------
+# pandas_udf infers the eval type from type hints, so each kernel gets a
+# plainly-hinted wrapper (Optional[...] defaults are not supported).
+
+import pandas as pd  # noqa: E402
+
+
+def _u1(kernel, rtype):
+    def f(a: pd.Series) -> pd.Series:
+        return kernel(a)
+    f.__name__ = getattr(kernel, "__name__", "kernel")
+    return pandas_udf(f, rtype)
+
+
+def _u2(kernel, rtype):
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        return kernel(a, b)
+    f.__name__ = getattr(kernel, "__name__", "kernel")
+    return pandas_udf(f, rtype)
+
+
+def _u3(kernel, rtype):
+    def f(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+        return kernel(a, b, c)
+    return pandas_udf(f, rtype)
+
+
+def _u4(kernel, rtype):
+    def f(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        return kernel(a, b, c, d)
+    return pandas_udf(f, rtype)
+
+
+def _u5(kernel, rtype):
+    def f(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series,
+          e: pd.Series) -> pd.Series:
+        return kernel(a, b, c, d, e)
+    return pandas_udf(f, rtype)
+
+
+def _u1_df(kernel, rtype):
+    def f(a: pd.Series) -> pd.DataFrame:
+        return kernel(a)
+    return pandas_udf(f, rtype)
+
+
+_geom_from_text1 = _u1(kernels.geom_from_text, BinaryType())
+_geom_from_text2 = _u2(kernels.geom_from_text, BinaryType())
+_geom_from_wkb1 = _u1(kernels.geom_from_wkb, BinaryType())
+_geom_from_wkb2 = _u2(kernels.geom_from_wkb, BinaryType())
+_make_envelope4 = _u4(kernels.make_envelope, BinaryType())
+_make_envelope5 = _u5(kernels.make_envelope, BinaryType())
+_point = _u2(kernels.st_point, BinaryType())
+_as_text = _u1(kernels.as_text, StringType())
+_as_ewkt = _u1(kernels.as_ewkt, StringType())
+_as_geojson = _u1(kernels.as_geojson, StringType())
+_geometry_type = _u1(kernels.geometry_type, StringType())
+_srid = _u1(kernels.srid, IntegerType())
+_npoints = _u1(kernels.npoints, IntegerType())
+_box2d = _u1_df(kernels.box2d_rows, BOX2D_TYPE)
+_intersects = _u2(kernels.intersects, BooleanType())
+_covers = _u2(kernels.covers, BooleanType())
+_covered_by = _u2(kernels.covered_by, BooleanType())
+_equals = _u2(kernels.equals, BooleanType())
+_translate = _u3(kernels.translate, BinaryType())
+_buffer = _u3(kernels.buffer, BinaryType())
+_split = _u2(kernels.split, BinaryType())
+_as_mvt_geom = _u5(kernels.as_mvt_geom, BinaryType())
+
+
+# -- Column API ---------------------------------------------------------
+
+def st_geomfromtext(wkt: Union[Column, str], srid: Optional[Union[Column, int]] = None) -> Column:
+    """#1 ST_GeomFromText (/root/reference/src/function/geom_from_text.rs:13-81)."""
+    c = wkt if isinstance(wkt, Column) else F.lit(wkt)
+    if srid is None:
+        return _geom_from_text1(c)
+    return _geom_from_text2(c, _num(srid, "int"))
+
+
+def st_geomfromwkb(wkb: Column, srid: Optional[Union[Column, int]] = None) -> Column:
+    """#2 ST_GeomFromWKB (/root/reference/src/function/geom_from_wkb.rs:13-81)."""
+    if srid is None:
+        return _geom_from_wkb1(wkb)
+    return _geom_from_wkb2(wkb, _num(srid, "int"))
+
+
+def st_astext(g: GeomLike) -> Column:
+    """#3 ST_AsText (/root/reference/src/function/as_text.rs:13-110)."""
+    return _as_text(_geom(g))
+
+
+def st_asewkt(g: GeomLike) -> Column:
+    """#4 ST_AsEWKT (/root/reference/src/function/as_ewkt.rs:13-101)."""
+    return _as_ewkt(_geom(g))
+
+
+def st_asgeojson(g: GeomLike) -> Column:
+    """#5 ST_AsGeoJSON (/root/reference/src/function/as_geojson.rs:13-110)."""
+    return _as_geojson(_geom(g))
+
+
+def st_geometrytype(g: GeomLike) -> Column:
+    """#6 ST_GeometryType (/root/reference/src/function/geometry_type.rs:10-92)."""
+    return _geometry_type(_geom(g))
+
+
+def box2d(g: GeomLike) -> Column:
+    """#7 Box2D → struct{xmin,ymin,xmax,ymax}
+    (/root/reference/src/function/box2d.rs:11-82)."""
+    return _box2d(_geom(g))
+
+
+def st_makeenvelope(xmin, ymin, xmax, ymax, srid=None) -> Column:
+    """#8 ST_MakeEnvelope (/root/reference/src/function/make_envelope.rs:11-110)."""
+    args = [_num(v, "double") for v in (xmin, ymin, xmax, ymax)]
+    if srid is None:
+        return _make_envelope4(*args)
+    return _make_envelope5(*args, _num(srid, "int"))
+
+
+def st_intersects(a: GeomLike, b: GeomLike) -> Column:
+    """#9 ST_Intersects (/root/reference/src/function/intersects.rs:13-132)."""
+    return _intersects(_geom(a), _geom(b))
+
+
+def st_covers(a: GeomLike, b: GeomLike) -> Column:
+    """#10 ST_Covers (/root/reference/src/function/covers.rs:15-122)."""
+    return _covers(_geom(a), _geom(b))
+
+
+def st_coveredby(a: GeomLike, b: GeomLike) -> Column:
+    """#11 ST_CoveredBy (/root/reference/src/function/covered_by.rs:14-121)."""
+    return _covered_by(_geom(a), _geom(b))
+
+
+def st_equals(a: GeomLike, b: GeomLike) -> Column:
+    """#12 ST_Equals — topological (/root/reference/src/function/equals.rs:15-122)."""
+    return _equals(_geom(a), _geom(b))
+
+
+def st_translate(g: GeomLike, dx, dy) -> Column:
+    """#13 ST_Translate (/root/reference/src/function/translate.rs:11-103)."""
+    return _translate(_geom(g), _num(dx, "double"), _num(dy, "double"))
+
+
+def st_buffer(g: GeomLike, width, quadsegs=8) -> Column:
+    """#14 ST_Buffer (/root/reference/src/function/buffer.rs:14-104)."""
+    return _buffer(_geom(g), _num(width, "double"), _num(quadsegs, "int"))
+
+
+_boundary_udf = _u1(kernels.boundary, BinaryType())
+
+
+def st_boundary(g: GeomLike) -> Column:
+    """#15 ST_Boundary (/root/reference/src/function/boundary.rs:14-87)."""
+    return _boundary_udf(_geom(g))
+
+
+def st_split(g: GeomLike, blade: GeomLike) -> Column:
+    """#16 ST_Split — PostGIS semantics, not the reference's broken kernel
+    (/root/reference/src/function/split.rs:148)."""
+    return _split(_geom(g), _geom(blade))
+
+
+def st_srid(g: GeomLike) -> Column:
+    """#17 ST_SRID (/root/reference/src/function/srid.rs:11-72)."""
+    return _srid(_geom(g))
+
+
+def st_asmvtgeom(g: GeomLike, xmin, ymin, xmax, ymax) -> Column:
+    """#18 ST_AsMVTGeom (/root/reference/src/function/as_mvt_geom.rs:13-102).
+    The reference signature takes (geom, Box2d); pass the box as four
+    doubles or a Box2D struct column via ``st_asmvtgeom_box``."""
+    return _as_mvt_geom(_geom(g), _num(xmin, "double"), _num(ymin, "double"),
+                        _num(xmax, "double"), _num(ymax, "double"))
+
+
+def st_asmvtgeom_box(g: GeomLike, box: Column) -> Column:
+    """#18 variant taking a Box2D struct column (matches the reference's
+    (geom, Box2d) signature exactly)."""
+    return _as_mvt_geom(_geom(g), box["xmin"], box["ymin"], box["xmax"], box["ymax"])
+
+
+def st_npoints(g: GeomLike) -> Column:
+    """Vertex count (PostGIS ST_NPoints; beyond-reference utility)."""
+    return _npoints(_geom(g))
+
+
+def st_point(x, y) -> Column:
+    """Fast point constructor (PostGIS ST_Point; no direct reference
+    analogue — used to derive fixture geometry, FIXTURES.md §2)."""
+    return _point(_num(x, "double"), _num(y, "double"))
+
+
+# -- extent aggregate ---------------------------------------------------
+
+def st_extent_agg(bbox: Column) -> Column:
+    """#19 st_extent over a precomputed Box2D struct column: aggregate
+    union of bounding boxes per group (/root/reference/src/function/extent.rs:13-155).
+    Lowered to built-in min/min/max/max so Catalyst plans a native
+    partial+final HashAggregate (no Python in the agg path; skips nulls
+    exactly like the reference, extent.rs:131-141)."""
+    return F.struct(
+        F.min(bbox["xmin"]).alias("xmin"),
+        F.min(bbox["ymin"]).alias("ymin"),
+        F.max(bbox["xmax"]).alias("xmax"),
+        F.max(bbox["ymax"]).alias("ymax"),
+    )
+
+
+def st_extent(g: GeomLike) -> Column:
+    """#19 st_extent directly over a geometry column. Prefer materializing
+    ``box2d(geom)`` once (``df.withColumn("bbox", box2d(g))``) then
+    ``st_extent_agg(col("bbox"))`` — one Python eval instead of four."""
+    return st_extent_agg(box2d(g))
+
+
+# -- SQL registration ---------------------------------------------------
+
+_SQL_UDFS = {
+    # name -> (udf object, arity note)
+    "ST_GeomFromText": _geom_from_text1,
+    "ST_GeomFromTextSRID": _geom_from_text2,
+    "ST_GeomFromWKB": _geom_from_wkb1,
+    "ST_GeomFromWKBSRID": _geom_from_wkb2,
+    "ST_AsText": _as_text,
+    "ST_AsEWKT": _as_ewkt,
+    "ST_AsGeoJSON": _as_geojson,
+    "ST_GeometryType": _geometry_type,
+    "Box2D": _box2d,
+    "ST_MakeEnvelope": _make_envelope4,
+    "ST_MakeEnvelopeSRID": _make_envelope5,
+    "ST_Intersects": _intersects,
+    "ST_Covers": _covers,
+    "ST_CoveredBy": _covered_by,
+    "ST_Equals": _equals,
+    "ST_Translate": _translate,
+    "ST_Buffer": _buffer,
+    "ST_Boundary": _boundary_udf,
+    "ST_Split": _split,
+    "ST_SRID": _srid,
+    "ST_AsMVTGeom": _as_mvt_geom,
+    "ST_Point": _point,
+    "ST_NPoints": _npoints,
+}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every operator for SQL use — the Spark analogue of the
+    reference's ``ctx.register_udf(...)`` glue
+    (/root/reference/src/function/geom_from_text.rs:98-100). Lookup is
+    case-insensitive, covering the reference's lowercase aliases.
+
+    Spark SQL UDFs are fixed-arity, so optional-SRID overloads
+    (reference ``one_of`` signatures, geom_from_text.rs:21-27) register
+    under ``<name>SRID``. ``st_extent`` has no SQL UDAF — use the
+    DataFrame helper ``st_extent_agg`` or plain
+    ``min(bbox.xmin)/…/max(bbox.ymax)`` in SQL (SURVEY.md §2.1 #19).
+    """
+    for name, udf_obj in _SQL_UDFS.items():
+        spark.udf.register(name, udf_obj)
+
+
+__all__ = [
+    "geom_lit", "register_all", "BOX2D_TYPE",
+    "st_geomfromtext", "st_geomfromwkb", "st_astext", "st_asewkt",
+    "st_asgeojson", "st_geometrytype", "box2d", "st_makeenvelope",
+    "st_intersects", "st_covers", "st_coveredby", "st_equals",
+    "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",
+    "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints",
+    "st_extent", "st_extent_agg",
+]

@@ -1,0 +1,545 @@
+"""2-D spatial algorithms (pure Python, dependency-free).
+
+Implements the geometric semantics behind the reference's predicate and
+transform UDFs (SURVEY.md §2.1 #9-16,18). The reference delegates the
+actual math to the Rust ``geo``/``geos`` crates; since neither shapely nor
+libgeos is available in this environment, the kernels live here.
+
+Semantics follow PostGIS/GEOS (DE-9IM-style "share any point" intersects,
+boundary-inclusive covers, topological equals) for simple, valid
+geometries. Robustness model: exact arithmetic is NOT used; collinearity
+and on-boundary tests use a small epsilon. This matches the engine's use
+case — fixtures use integer-grid coordinates (FIXTURES.md §2) where float
+arithmetic is exact.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+from .geom import Coord, Geometry, dist, ring_area2
+
+EPS = 1e-12
+
+
+# ---------------------------------------------------------------- primitives
+
+def _orient(a: Coord, b: Coord, c: Coord) -> float:
+    """Cross product (b-a) x (c-a): >0 left turn, <0 right, 0 collinear."""
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _on_segment(p: Coord, a: Coord, b: Coord) -> bool:
+    """Point p lies on closed segment ab."""
+    if abs(_orient(a, b, p)) > EPS * (1.0 + abs(p[0]) + abs(p[1])):
+        return False
+    return (min(a[0], b[0]) - EPS <= p[0] <= max(a[0], b[0]) + EPS
+            and min(a[1], b[1]) - EPS <= p[1] <= max(a[1], b[1]) + EPS)
+
+
+def segments_intersect(a: Coord, b: Coord, c: Coord, d: Coord) -> bool:
+    """Closed segments ab and cd share at least one point."""
+    o1, o2 = _orient(a, b, c), _orient(a, b, d)
+    o3, o4 = _orient(c, d, a), _orient(c, d, b)
+    if ((o1 > 0) != (o2 > 0)) and ((o3 > 0) != (o4 > 0)) and \
+            abs(o1) > EPS and abs(o2) > EPS and abs(o3) > EPS and abs(o4) > EPS:
+        return True
+    return (_on_segment(c, a, b) or _on_segment(d, a, b)
+            or _on_segment(a, c, d) or _on_segment(b, c, d))
+
+
+def segment_crossing(a: Coord, b: Coord, c: Coord, d: Coord) -> Optional[Coord]:
+    """Intersection point of lines ab and cd if the closed segments truly
+    cross at a single point; None for parallel/disjoint (overlap → None)."""
+    d1 = (b[0] - a[0], b[1] - a[1])
+    d2 = (d[0] - c[0], d[1] - c[1])
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(denom) < EPS:
+        return None
+    t = ((c[0] - a[0]) * d2[1] - (c[1] - a[1]) * d2[0]) / denom
+    u = ((c[0] - a[0]) * d1[1] - (c[1] - a[1]) * d1[0]) / denom
+    if -EPS <= t <= 1 + EPS and -EPS <= u <= 1 + EPS:
+        return (a[0] + t * d1[0], a[1] + t * d1[1])
+    return None
+
+
+def point_in_ring(p: Coord, ring: Sequence[Coord]) -> int:
+    """1 = strictly inside, 0 = on boundary, -1 = outside. Ray casting."""
+    x, y = p
+    inside = False
+    n = len(ring)
+    for i in range(n - 1):
+        a, b = ring[i], ring[i + 1]
+        if _on_segment(p, a, b):
+            return 0
+        ay, by = a[1], b[1]
+        if (ay > y) != (by > y):
+            xint = a[0] + (y - ay) * (b[0] - a[0]) / (by - ay)
+            if x < xint:
+                inside = not inside
+    return 1 if inside else -1
+
+
+def point_in_polygon(p: Coord, rings: Sequence[Sequence[Coord]]) -> int:
+    """1 inside, 0 on boundary, -1 outside; rings[0] shell, rest holes."""
+    if not rings:
+        return -1
+    r = point_in_ring(p, rings[0])
+    if r <= 0:
+        return r
+    for hole in rings[1:]:
+        h = point_in_ring(p, hole)
+        if h == 0:
+            return 0
+        if h == 1:
+            return -1
+    return 1
+
+
+# ---------------------------------------------------------------- intersects
+
+def _bbox_disjoint(a: Geometry, b: Geometry) -> bool:
+    ba, bb = a.bounds(), b.bounds()
+    if ba is None or bb is None:
+        return True
+    return (ba[2] < bb[0] - EPS or bb[2] < ba[0] - EPS
+            or ba[3] < bb[1] - EPS or bb[3] < ba[1] - EPS)
+
+
+def _segments(g: Geometry) -> List[Tuple[Coord, Coord]]:
+    segs = []
+    if g.typ == "LineString":
+        cs = g.parts
+        segs.extend((cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+    elif g.typ == "Polygon":
+        for ring in g.parts:
+            segs.extend((ring[i], ring[i + 1]) for i in range(len(ring) - 1))
+    return segs
+
+
+def _simple_intersects(a: Geometry, b: Geometry) -> bool:
+    ta, tb = a.typ, b.typ
+    order = {"Point": 0, "LineString": 1, "Polygon": 2}
+    if order[ta] > order[tb]:
+        a, b, ta, tb = b, a, tb, ta
+    if ta == "Point":
+        p = a.parts
+        if p is None:
+            return False
+        if tb == "Point":
+            return b.parts is not None and dist(p, b.parts) <= EPS
+        if tb == "LineString":
+            return any(_on_segment(p, s[0], s[1]) for s in _segments(b))
+        return point_in_polygon(p, b.parts) >= 0
+    if ta == "LineString":
+        if tb == "LineString":
+            return any(segments_intersect(s1[0], s1[1], s2[0], s2[1])
+                       for s1 in _segments(a) for s2 in _segments(b))
+        # LineString x Polygon: a vertex inside, or edge crossing
+        if any(point_in_polygon(v, b.parts) >= 0 for v in a.parts):
+            return True
+        return any(segments_intersect(s1[0], s1[1], s2[0], s2[1])
+                   for s1 in _segments(a) for s2 in _segments(b))
+    # Polygon x Polygon
+    if any(point_in_polygon(v, b.parts) >= 0 for v in a.parts[0]):
+        return True
+    if any(point_in_polygon(v, a.parts) >= 0 for v in b.parts[0]):
+        return True
+    return any(segments_intersect(s1[0], s1[1], s2[0], s2[1])
+               for s1 in _segments(a) for s2 in _segments(b))
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    """True if the geometries share at least one point — semantics of
+    ST_Intersects (/root/reference/src/function/intersects.rs:100-132)."""
+    if _bbox_disjoint(a, b):
+        return False
+    return any(_simple_intersects(ga, gb)
+               for ga in a.geometries() for gb in b.geometries())
+
+
+# ---------------------------------------------------------------- covers
+
+def _seg_sample_points(a: Coord, b: Coord) -> List[Coord]:
+    """Endpoints + midpoint of a segment (midpoint catches the
+    convex-exit case for boundary-riding segments)."""
+    return [a, b, ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)]
+
+
+def _covered_by_polygon(g: Geometry, poly: Geometry) -> bool:
+    """Every point of g inside-or-on-boundary of polygon poly."""
+    rings = poly.parts
+    if g.typ == "Point":
+        return g.parts is not None and point_in_polygon(g.parts, rings) >= 0
+    segs = _segments(g)
+    for s in segs:
+        for p in _seg_sample_points(*s):
+            if point_in_polygon(p, rings) < 0:
+                return False
+    # a segment that dips outside between sampled points must properly
+    # cross a ring edge: detect via true crossings whose crossing point
+    # is not a shared endpoint-on-boundary
+    for s in segs:
+        for ring in rings:
+            for i in range(len(ring) - 1):
+                x = segment_crossing(s[0], s[1], ring[i], ring[i + 1])
+                if x is None:
+                    continue
+                # crossing at a point interior to the g-segment AND not a
+                # mere touch: check points slightly before/after
+                dx, dy = s[1][0] - s[0][0], s[1][1] - s[0][1]
+                ln = math.hypot(dx, dy)
+                if ln < EPS:
+                    continue
+                for sgn in (-1.0, 1.0):
+                    q = (x[0] + sgn * dx / ln * 1e-9, x[1] + sgn * dy / ln * 1e-9)
+                    if _point_on_open_part(q, s) and point_in_polygon(q, rings) < 0:
+                        return False
+    return True
+
+
+def _point_on_open_part(p: Coord, seg: Tuple[Coord, Coord]) -> bool:
+    a, b = seg
+    return (min(a[0], b[0]) - EPS <= p[0] <= max(a[0], b[0]) + EPS
+            and min(a[1], b[1]) - EPS <= p[1] <= max(a[1], b[1]) + EPS)
+
+
+def _point_on_line(p: Coord, line: Geometry) -> bool:
+    return any(_on_segment(p, s[0], s[1]) for s in _segments(line))
+
+
+def _covered_by_line(g: Geometry, line: Geometry) -> bool:
+    if g.typ == "Point":
+        return g.parts is not None and _point_on_line(g.parts, line)
+    if g.typ == "LineString":
+        for s in _segments(g):
+            for p in _seg_sample_points(*s):
+                if not _point_on_line(p, line):
+                    return False
+        return True
+    return False  # a 1-D line cannot cover a 2-D polygon
+
+
+def covers(a: Geometry, b: Geometry) -> bool:
+    """No point of b lies outside a — ST_Covers semantics
+    (/root/reference/src/function/covers.rs:103-122). Boundary counts as
+    covered (unlike ST_Contains)."""
+    if a.is_empty() or b.is_empty():
+        return False
+    # every simple part of b must be covered by the union of a's parts;
+    # for disjoint unions we approximate: some single part of a covers it
+    # (sufficient for simple/valid fixture geometries).
+    for gb in b.geometries():
+        ok = False
+        for ga in a.geometries():
+            if ga.typ == "Polygon":
+                if _covered_by_polygon(gb, ga):
+                    ok = True
+                    break
+            elif ga.typ == "LineString":
+                if _covered_by_line(gb, ga):
+                    ok = True
+                    break
+            else:  # Point covers only an equal point
+                if (gb.typ == "Point" and gb.parts is not None
+                        and ga.parts is not None and dist(ga.parts, gb.parts) <= EPS):
+                    ok = True
+                    break
+        if not ok:
+            return False
+    return True
+
+
+def covered_by(a: Geometry, b: Geometry) -> bool:
+    """Converse of covers (/root/reference/src/function/covered_by.rs:102-121)."""
+    return covers(b, a)
+
+
+# ---------------------------------------------------------------- equals
+
+def _dedupe_collinear(cs: List[Coord]) -> List[Coord]:
+    """Drop repeated and interior collinear vertices."""
+    if len(cs) <= 2:
+        return list(cs)
+    out = [cs[0]]
+    for c in cs[1:]:
+        if dist(c, out[-1]) > EPS:
+            out.append(c)
+    i = 1
+    while i < len(out) - 1:
+        if abs(_orient(out[i - 1], out[i], out[i + 1])) <= EPS and \
+                _on_segment(out[i], out[i - 1], out[i + 1]):
+            out.pop(i)
+        else:
+            i += 1
+    return out
+
+
+def _canon_ring(ring: List[Coord]) -> Tuple:
+    cs = _dedupe_collinear(list(ring))
+    if len(cs) > 1 and dist(cs[0], cs[-1]) <= EPS:
+        cs = cs[:-1]
+    # also drop collinearity across the closing corner
+    changed = True
+    while changed and len(cs) > 3:
+        changed = False
+        for j in (0, len(cs) - 1):
+            prev, nxt = cs[j - 1], cs[(j + 1) % len(cs)]
+            if abs(_orient(prev, cs[j], nxt)) <= EPS and _on_segment(cs[j], prev, nxt):
+                cs.pop(j)
+                changed = True
+                break
+    if not cs:
+        return ()
+    closed = cs + [cs[0]]
+    if ring_area2(closed) < 0:
+        cs = [cs[0]] + cs[1:][::-1]
+    k = min(range(len(cs)), key=lambda i: cs[i])
+    cs = cs[k:] + cs[:k]
+    return tuple(cs)
+
+
+def _canon(g: Geometry):
+    t = g.typ
+    if t == "Point":
+        return ("P", g.parts)
+    if t == "MultiPoint":
+        return ("MP", tuple(sorted(set(g.parts))))
+    if t == "LineString":
+        cs = _dedupe_collinear(g.parts)
+        rev = cs[::-1]
+        return ("L", min(tuple(cs), tuple(rev)))
+    if t == "MultiLineString":
+        return ("ML", tuple(sorted(_canon(Geometry("LineString", l))[1]
+                                   for l in g.parts)))
+    if t == "Polygon":
+        return ("PG", tuple(sorted(_canon_ring(r) for r in g.parts)))
+    if t == "MultiPolygon":
+        return ("MPG", tuple(sorted(_canon(Geometry("Polygon", p))[1]
+                                    for p in g.parts)))
+    if t == "GeometryCollection":
+        return ("GC", tuple(sorted(map(repr, (_canon(s) for s in g.parts)))))
+    raise ValueError(t)
+
+
+def equals(a: Geometry, b: Geometry) -> bool:
+    """Topological equality — ``LINESTRING(0 0,10 10)`` equals
+    ``LINESTRING(0 0,5 5,10 10)`` (reference test
+    /root/reference/src/function/equals.rs:137-148). Implemented by
+    canonicalization (collinear-vertex removal, ring orientation/rotation
+    normalization) rather than byte equality."""
+    if a.is_empty() and b.is_empty():
+        return True
+    if a.is_empty() != b.is_empty():
+        return False
+    ca, cb = _canon(a), _canon(b)
+    # Multi-geometries with one part equal their simple counterpart
+    def unwrap(c):
+        if c[0] in ("MP", "ML", "MPG") and len(c[1]) == 1:
+            return ({"MP": "P", "ML": "L", "MPG": "PG"}[c[0]], c[1][0])
+        return c
+    return unwrap(ca) == unwrap(cb)
+
+
+# ---------------------------------------------------------------- boundary
+
+def boundary(g: Geometry) -> Geometry:
+    """Topological boundary — ST_Boundary
+    (/root/reference/src/function/boundary.rs:71-87):
+    Point/MultiPoint → empty GEOMETRYCOLLECTION; LineString → MULTIPOINT of
+    endpoints (empty if closed); Polygon → its ring(s) as
+    LINESTRING/MULTILINESTRING."""
+    t, p = g.typ, g.parts
+    if t in ("Point", "MultiPoint"):
+        return Geometry("GeometryCollection", [])
+    if t == "LineString":
+        if not p or dist(p[0], p[-1]) <= EPS:
+            return Geometry("MultiPoint", [])
+        return Geometry("MultiPoint", [p[0], p[-1]])
+    if t == "MultiLineString":
+        # mod-2 rule: points appearing an odd number of times
+        from collections import Counter
+        cnt = Counter()
+        for line in p:
+            if line and dist(line[0], line[-1]) > EPS:
+                cnt[line[0]] += 1
+                cnt[line[-1]] += 1
+        pts = [c for c, n in cnt.items() if n % 2 == 1]
+        return Geometry("MultiPoint", pts)
+    if t == "Polygon":
+        if len(p) == 1:
+            return Geometry("LineString", list(p[0]))
+        return Geometry("MultiLineString", [list(r) for r in p])
+    if t == "MultiPolygon":
+        rings = [list(r) for poly in p for r in poly]
+        if len(rings) == 1:
+            return Geometry("LineString", rings[0])
+        return Geometry("MultiLineString", rings)
+    if t == "GeometryCollection":
+        return Geometry("GeometryCollection", [boundary(sub) for sub in p])
+    raise ValueError(t)
+
+
+# ---------------------------------------------------------------- buffer
+
+def buffer(g: Geometry, width: float, quadsegs: int = 8) -> Geometry:
+    """Buffer polygon — ST_Buffer
+    (/root/reference/src/function/buffer.rs:86-104). ``quadsegs`` segments
+    per quarter circle (GEOS convention).
+
+    Supported inputs: Point and MultiPoint (circle approximations).
+    Vertices are placed counter-clockwise starting at angle 0, i.e.
+    (x+w, y), at angles k*(pi/2)/quadsegs — a deterministic layout the
+    DuckDB oracle reproduces with plain trig SQL. Line/polygon buffering
+    (offset curves) is not implemented in round 1.
+    """
+    if width <= 0:
+        raise ValueError("ST_Buffer: width must be > 0")
+    n = max(1, int(quadsegs)) * 4
+
+    def circle(c: Coord) -> List[Coord]:
+        x, y = c
+        ring = [(x + width * math.cos(2.0 * math.pi * k / n),
+                 y + width * math.sin(2.0 * math.pi * k / n)) for k in range(n)]
+        ring.append(ring[0])
+        return ring
+
+    if g.typ == "Point":
+        if g.parts is None:
+            return Geometry("Polygon", [], g.srid)
+        return Geometry("Polygon", [circle(g.parts)], g.srid)
+    if g.typ == "MultiPoint":
+        return Geometry("MultiPolygon", [[circle(c)] for c in g.parts], g.srid)
+    raise NotImplementedError(
+        f"ST_Buffer over {g.typ} requires offset-curve construction; "
+        "round-1 scope is Point/MultiPoint (see docstring)")
+
+
+# ---------------------------------------------------------------- split
+
+def split(g: Geometry, blade: Geometry) -> Geometry:
+    """Split g by blade → GEOMETRYCOLLECTION of pieces. Follows
+    PostGIS/shapely ST_Split semantics, NOT the reference's implementation,
+    which its author flagged broken
+    (/root/reference/src/function/split.rs:148 "FIXME fix split
+    implementation"; SURVEY.md §7.3 Hard#4).
+
+    Supported: LineString split by Point / MultiPoint / LineString;
+    (convex) Polygon split by a straight 2-point LineString.
+    """
+    if g.typ == "LineString":
+        cuts: List[Coord] = []
+        if blade.typ == "Point":
+            if blade.parts is not None:
+                cuts = [blade.parts]
+        elif blade.typ == "MultiPoint":
+            cuts = list(blade.parts)
+        elif blade.typ in ("LineString", "MultiLineString"):
+            for s1 in _segments(g):
+                for gb in blade.geometries():
+                    for s2 in _segments(gb):
+                        x = segment_crossing(s1[0], s1[1], s2[0], s2[1])
+                        if x is not None:
+                            cuts.append(x)
+        else:
+            raise NotImplementedError(f"split LineString by {blade.typ}")
+        pieces = _split_line(g.parts, cuts)
+        return Geometry("GeometryCollection",
+                        [Geometry("LineString", piece) for piece in pieces], g.srid)
+    if g.typ == "Polygon" and blade.typ == "LineString" and len(blade.parts) >= 2:
+        return _split_convex_polygon(g, blade)
+    raise NotImplementedError(f"split {g.typ} by {blade.typ}")
+
+
+def _split_line(coords: List[Coord], cuts: List[Coord]) -> List[List[Coord]]:
+    """Cut a linestring at every cut point that lies on it."""
+    # order cut points by arc position
+    marks = []  # (segment index, t along segment, point)
+    acc = 0
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        ln = dist(a, b)
+        for c in cuts:
+            if _on_segment(c, a, b):
+                t = dist(a, c) / ln if ln > EPS else 0.0
+                marks.append((i, t, c))
+    marks.sort(key=lambda m: (m[0], m[1]))
+    pieces: List[List[Coord]] = []
+    cur: List[Coord] = [coords[0]]
+    mi = 0
+    for i in range(len(coords) - 1):
+        b = coords[i + 1]
+        while mi < len(marks) and marks[mi][0] == i:
+            _, t, c = marks[mi]
+            mi += 1
+            if dist(c, cur[-1]) <= EPS:
+                continue  # cut at current start — no empty piece
+            cur.append(c)
+            pieces.append(cur)
+            cur = [c]
+        if dist(b, cur[-1]) > EPS:
+            cur.append(b)
+    if len(cur) >= 2:
+        pieces.append(cur)
+    # drop endpoint-only cuts producing the whole line twice
+    return [p for p in pieces if len(p) >= 2]
+
+
+def _split_convex_polygon(g: Geometry, blade: Geometry) -> Geometry:
+    """Split a convex polygon (no holes) by the infinite line through the
+    blade's first/last points, keeping both halves (Sutherland–Hodgman
+    against each half-plane). Raises for polygons with holes."""
+    if len(g.parts) != 1:
+        raise NotImplementedError("split of polygon with holes")
+    a, b = blade.parts[0], blade.parts[-1]
+
+    def clip(ring: List[Coord], sign: float) -> List[Coord]:
+        out: List[Coord] = []
+        n = len(ring) - 1
+        for i in range(n):
+            p, q = ring[i], ring[i + 1]
+            sp = sign * _orient(a, b, p)
+            sq = sign * _orient(a, b, q)
+            if sp >= -EPS:
+                out.append(p)
+            if (sp > EPS and sq < -EPS) or (sp < -EPS and sq > EPS):
+                x = segment_crossing(p, q, a, b)
+                if x is None:  # crossing with infinite line
+                    denom = (b[0] - a[0]) * (q[1] - p[1]) - (b[1] - a[1]) * (q[0] - p[0])
+                    t = ((b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])) / denom
+                    x = (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+                out.append(x)
+        if len(out) < 3:
+            return []
+        out.append(out[0])
+        return out
+
+    halves = []
+    for sign in (1.0, -1.0):
+        ring = clip(list(g.parts[0]), sign)
+        if ring:
+            halves.append(Geometry("Polygon", [ring], g.srid))
+    if len(halves) < 2:  # blade missed: result is the input, collected
+        return Geometry("GeometryCollection", [g], g.srid)
+    return Geometry("GeometryCollection", halves, g.srid)
+
+
+# ---------------------------------------------------------------- MVT
+
+MVT_EXTENT = 4096.0
+
+
+def as_mvt_geom(g: Geometry, xmin: float, ymin: float,
+                xmax: float, ymax: float) -> Geometry:
+    """Affine-map geometry into a 4096x4096 Mapbox-vector-tile grid with a
+    flipped Y axis — exact transform of the reference
+    (/root/reference/src/function/as_mvt_geom.rs:86-95):
+    fx = 4096/w, fy = -4096/h, translate (-xmin*fx, -ymax*fy)."""
+    w = xmax - xmin
+    h = ymax - ymin
+    if w <= 0 or h <= 0:
+        raise ValueError("ST_AsMVTGeom: degenerate tile box")
+    fx = MVT_EXTENT / w
+    fy = -MVT_EXTENT / h
+    return g.affine(fx, 0.0, 0.0, fy, -xmin * fx, -ymax * fy)

@@ -1,0 +1,136 @@
+"""Deterministic geometry fixtures derived from the driver's tables.
+
+Each derivation is pure column arithmetic, so a DuckDB oracle can compute
+the same geometry analytically (FIXTURES.md §2). The linestring generator
+is the reference's own: (k,k+1) → (k+2,k+3) → (k+4,k+5)
+(/root/reference/src/function/intersects.rs:181-189,
+/root/reference/benches/util.rs:27-36).
+
+Null convention (FIXTURES.md §2): ``geom`` is NULL when the primary key is
+divisible by 7 — exercises null-in → null-out end to end (SURVEY.md §1.2).
+
+Scale notes: the geometry column is constructed JVM-side as a WKT string
+(native concat — pushdown-friendly) and crosses into Python exactly once
+per query via ``ST_GeomFromText``/``ST_Point``. Numeric x/y columns stay on
+the DataFrame so bbox prefilters can run natively without decoding WKB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import box2d, st_geomfromtext, st_point
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def _null_unless(cond_keep, col):
+    return F.when(cond_keep, col)  # otherwise NULL
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a narrow projection to default
+    parallelism. The driver's test parquet ships ONE row group per file,
+    so the scan cannot split — without this every pandas-UDF kernel would
+    run in a single task. At production scale (many files / row groups)
+    the scan parallelizes natively and this becomes a no-op-sized shuffle
+    of a few numeric columns, placed BEFORE geometry construction so the
+    expensive Python work is always spread across all cores."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def points_lineitem(spark: SparkSession, sf_dir: str,
+                    with_nulls: bool = True) -> DataFrame:
+    """Integer-grid points from lineitem: x = l_orderkey%1000,
+    y = l_partkey%1000 (~600k rows at sf0.1 — the bench table,
+    BASELINE.md). Columns: l_orderkey, l_linenumber, x, y, geom."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_orderkey") % 1000).cast("double").alias("x"),
+        (F.col("l_partkey") % 1000).cast("double").alias("y"),
+    )
+    df = _spread(df)
+    geom = st_point(F.col("x"), F.col("y"))
+    if with_nulls:
+        geom = _null_unless(F.col("l_orderkey") % 7 != 0, geom)
+    return df.withColumn("geom", geom)
+
+
+def points_customer(spark: SparkSession, sf_dir: str,
+                    with_nulls: bool = True) -> DataFrame:
+    """Points (c_custkey%360-180, c_nationkey*3-37.5) with group key
+    c_mktsegment — the grouped-extent fixture mirroring the reference's
+    aggregate test groups (/root/reference/src/function/extent.rs:172-205)."""
+    c = load_table(spark, sf_dir, "customer")
+    df = c.select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_custkey") % 360 - 180).cast("double").alias("x"),
+        (F.col("c_nationkey") * 3 - 37.5).cast("double").alias("y"),
+    )
+    df = _spread(df)
+    geom = st_point(F.col("x"), F.col("y"))
+    if with_nulls:
+        geom = _null_unless(F.col("c_custkey") % 7 != 0, geom)
+    return df.withColumn("geom", geom)
+
+
+def lines_orders(spark: SparkSession, sf_dir: str,
+                 with_nulls: bool = True) -> DataFrame:
+    """3-point linestrings along y=x+1 from k = o_orderkey%1000 — the
+    reference's generator (/root/reference/benches/util.rs:27-36).
+    Columns: o_orderkey, k, wkt, geom."""
+    o = load_table(spark, sf_dir, "orders")
+    df = o.select("o_orderkey", (F.col("o_orderkey") % 1000).alias("k"))
+    k = F.col("k")
+    wkt = F.concat(
+        F.lit("LINESTRING("),
+        k.cast("string"), F.lit(" "), (k + 1).cast("string"), F.lit(","),
+        (k + 2).cast("string"), F.lit(" "), (k + 3).cast("string"), F.lit(","),
+        (k + 4).cast("string"), F.lit(" "), (k + 5).cast("string"), F.lit(")"),
+    )
+    df = _spread(df.withColumn("wkt", wkt))
+    geom = st_geomfromtext(F.col("wkt"))
+    if with_nulls:
+        geom = _null_unless(F.col("o_orderkey") % 7 != 0, geom)
+    return df.withColumn("geom", geom)
+
+
+# DuckDB-side expression for the same linestring WKT (oracle building block)
+LINES_ORDERS_WKT_SQL = (
+    "'LINESTRING(' || CAST(k AS VARCHAR) || ' ' || CAST(k+1 AS VARCHAR) || ',' "
+    "|| CAST(k+2 AS VARCHAR) || ' ' || CAST(k+3 AS VARCHAR) || ',' "
+    "|| CAST(k+4 AS VARCHAR) || ' ' || CAST(k+5 AS VARCHAR) || ')'"
+)
+
+
+def boxes_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelopes (n_nationkey, n_regionkey) .. (+5, +5) over the 25-row
+    nation table — the broadcastable probe side for spatial joins
+    (FIXTURES.md §2). Columns: n_nationkey, n_regionkey, xmin..ymax, geom."""
+    from ..functions import st_makeenvelope
+    n = load_table(spark, sf_dir, "nation")
+    df = n.select(
+        "n_nationkey", "n_regionkey",
+        F.col("n_nationkey").cast("double").alias("xmin"),
+        F.col("n_regionkey").cast("double").alias("ymin"),
+        (F.col("n_nationkey") + 5).cast("double").alias("xmax"),
+        (F.col("n_regionkey") + 5).cast("double").alias("ymax"),
+    )
+    return df.withColumn(
+        "geom", st_makeenvelope(F.col("xmin"), F.col("ymin"),
+                                F.col("xmax"), F.col("ymax")))

@@ -1,0 +1,68 @@
+"""Local replica of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry at sf0.001 and compare against its
+``oracle_sql()`` twin in DuckDB — row count, schema shape, and exact
+values after order-insensitive alignment (SURVEY.md §5 strategy)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        vals = []
+        for v in s.tolist():
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            elif isinstance(v, float):
+                vals.append(round(v, 9))
+            elif hasattr(v, "item"):  # numpy scalar
+                item = v.item()
+                vals.append(round(item, 9) if isinstance(item, float) else item)
+            else:
+                vals.append(v)
+        out[c] = vals
+    norm = pd.DataFrame(out)
+    return norm.sort_values(by=list(norm.columns), key=lambda s: s.map(repr)) \
+               .reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) >= 1
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    assert name in ORACLES, f"query {name} missing an oracle"
+    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    want = _normalize(_duck(ORACLES[name]))
+    assert list(got.columns) == list(want.columns), \
+        f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

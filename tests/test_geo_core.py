@@ -1,0 +1,214 @@
+"""Unit tests for the geometry core (no Spark). Mirrors the reference's
+array-layer tests: WKB round-trips for all 7 geometry kinds
+(/root/reference/src/geo/array.rs:52-270), plus WKT and algorithm checks
+keyed to the reference's golden test inputs (FIXTURES.md §1)."""
+
+import math
+
+import pytest
+
+from datafusion_geo_spark.geo import (
+    Geometry, from_wkt, to_wkt, to_ewkt, from_wkb, to_wkb, wkb_srid, point_wkb,
+    algos,
+)
+
+
+WKT_CORPUS = [
+    "POINT(-71.064544 42.28787)",
+    "POINT(1 2)",
+    "LINESTRING(0 0,5 5,10 10)",
+    "LINESTRING(0 0,10 10)",
+    "POLYGON((1 1,0 0,-1 1,1 1))",
+    "POLYGON((0 0,10 0,10 5,0 -5,0 0))",
+    "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))",
+    "MULTIPOINT(0 0,1 2)",
+    "MULTILINESTRING((0 0,1 1),(2 2,3 3))",
+    "MULTIPOLYGON(((0 0,1 0,1 1,0 0)),((5 5,6 5,6 6,5 5)))",
+    "GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1))",
+]
+
+
+@pytest.mark.parametrize("wkt", WKT_CORPUS)
+def test_wkt_roundtrip(wkt):
+    assert to_wkt(from_wkt(wkt)) == wkt
+
+
+@pytest.mark.parametrize("wkt", WKT_CORPUS)
+def test_wkb_roundtrip(wkt):
+    g = from_wkt(wkt)
+    assert to_wkt(from_wkb(to_wkb(g))) == wkt
+
+
+def test_wkt_tolerant_forms():
+    assert to_wkt(from_wkt("POINT (1 2)")) == "POINT(1 2)"
+    assert to_wkt(from_wkt("MULTIPOINT((0 0),(1 2))")) == "MULTIPOINT(0 0,1 2)"
+    assert to_wkt(from_wkt("LINESTRING( 0  0 , 1  1 )")) == "LINESTRING(0 0,1 1)"
+    assert to_wkt(from_wkt("POINT EMPTY")) == "POINT EMPTY"
+    assert to_wkt(from_wkt("GEOMETRYCOLLECTION EMPTY")) == "GEOMETRYCOLLECTION EMPTY"
+
+
+def test_ewkt_srid():
+    g = from_wkt("SRID=4269;POINT(-71.064544 42.28787)")
+    assert g.srid == 4269
+    assert to_ewkt(g) == "SRID=4269;POINT(-71.064544 42.28787)"
+    buf = to_wkb(g)
+    assert wkb_srid(buf) == 4269
+    g2 = from_wkb(buf)
+    assert g2.srid == 4269 and g2.parts == g.parts
+    # no srid -> plain WKB, srid None
+    assert wkb_srid(to_wkb(from_wkt("POINT(1 2)"))) is None
+
+
+def test_point_wkb_fastpath():
+    assert point_wkb(3.5, -4.25) == to_wkb(Geometry.point(3.5, -4.25))
+    assert point_wkb(1, 2, srid=4326) == to_wkb(Geometry.point(1, 2, srid=4326))
+
+
+def test_big_endian_read():
+    import struct
+    buf = struct.pack(">BIdd", 0, 1, 7.0, 8.0)
+    assert from_wkb(buf).parts == (7.0, 8.0)
+
+
+def test_bounds_and_translate():
+    g = from_wkt("LINESTRING(0 0,5 5,10 10)")
+    assert g.bounds() == (0, 0, 10, 10)
+    assert to_wkt(g.translate(1, 2)) == "LINESTRING(1 2,6 7,11 12)"
+
+
+# ---- algorithms, keyed to reference test cases ------------------------
+
+def test_intersects_reference_case():
+    # reference: 3 linestrings (i,i+1)->(i+2,i+3)->(i+4,i+5), point (10,11)
+    # (/root/reference/src/function/intersects.rs:181-199) -> hits i>=6? the
+    # linestring from i covers points (i,i+1)..(i+4,i+5) along y=x+1.
+    pt = Geometry.point(10, 11)
+    for i in range(0, 3):
+        line = Geometry.linestring([(i, i + 1), (i + 2, i + 3), (i + 4, i + 5)])
+        assert algos.intersects(line, pt) == (i <= 10 <= i + 4)
+
+
+def test_intersects_line_line():
+    a = from_wkt("LINESTRING(0 0,10 10)")
+    b = from_wkt("LINESTRING(0 10,10 0)")
+    c = from_wkt("LINESTRING(20 20,30 30)")
+    assert algos.intersects(a, b)
+    assert not algos.intersects(a, c)
+
+
+def test_intersects_polygon():
+    poly = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    assert algos.intersects(poly, from_wkt("POINT(5 5)"))
+    assert algos.intersects(poly, from_wkt("POINT(0 0)"))  # boundary
+    assert not algos.intersects(poly, from_wkt("POINT(11 11)"))
+    assert algos.intersects(poly, from_wkt("LINESTRING(-5 5,15 5)"))  # crosses
+    assert algos.intersects(poly, from_wkt("POLYGON((5 5,15 5,15 15,5 15,5 5))"))
+    assert not algos.intersects(poly, from_wkt("POLYGON((20 20,30 20,30 30,20 20))"))
+    # hole: point inside the hole is NOT in the polygon
+    holed = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))")
+    assert not algos.intersects(holed, from_wkt("POINT(3 3)"))
+    assert algos.intersects(holed, from_wkt("POINT(2 3)"))  # on hole boundary
+
+
+def test_covers():
+    poly = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    assert algos.covers(poly, from_wkt("POINT(5 5)"))
+    assert algos.covers(poly, from_wkt("POINT(0 0)"))  # boundary covered
+    assert not algos.covers(poly, from_wkt("POINT(11 5)"))
+    assert algos.covers(poly, from_wkt("LINESTRING(1 1,9 9)"))
+    assert not algos.covers(poly, from_wkt("LINESTRING(5 5,15 5)"))
+    assert algos.covers(poly, from_wkt("POLYGON((1 1,9 1,9 9,1 9,1 1))"))
+    assert not algos.covers(poly, from_wkt("POLYGON((5 5,15 5,15 15,5 15,5 5))"))
+    assert algos.covers(poly, poly)  # covers itself
+    assert algos.covered_by(from_wkt("POINT(5 5)"), poly)
+    line = from_wkt("LINESTRING(0 0,10 10)")
+    assert algos.covers(line, from_wkt("POINT(5 5)"))
+    assert algos.covers(line, from_wkt("LINESTRING(2 2,6 6)"))
+    assert not algos.covers(line, from_wkt("LINESTRING(0 0,1 2)"))
+
+
+def test_equals_topological():
+    # the reference's own case (/root/reference/src/function/equals.rs:137-148)
+    a = from_wkt("LINESTRING(0 0,10 10)")
+    b = from_wkt("LINESTRING(0 0,5 5,10 10)")
+    assert algos.equals(a, b)
+    assert algos.equals(b, a)
+    assert algos.equals(a, from_wkt("LINESTRING(10 10,0 0)"))  # reversed
+    assert not algos.equals(a, from_wkt("LINESTRING(0 0,5 6,10 10)"))
+    # polygons: rotated start vertex + reversed winding are equal
+    p1 = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    p2 = from_wkt("POLYGON((10 10,0 10,0 0,10 0,10 10))")
+    p3 = from_wkt("POLYGON((0 0,0 10,10 10,10 0,0 0))")
+    assert algos.equals(p1, p2)
+    assert algos.equals(p1, p3)
+    assert algos.equals(from_wkt("POINT(1 2)"), from_wkt("POINT(1 2)"))
+    assert not algos.equals(from_wkt("POINT(1 2)"), from_wkt("POINT(1 3)"))
+
+
+def test_boundary():
+    # reference test: POLYGON((1 1,0 0,-1 1,1 1)) -> LINESTRING(1 1,0 0,-1 1,1 1)
+    # (/root/reference/src/function/boundary.rs:102-122)
+    assert to_wkt(algos.boundary(from_wkt("POLYGON((1 1,0 0,-1 1,1 1))"))) == \
+        "LINESTRING(1 1,0 0,-1 1,1 1)"
+    assert to_wkt(algos.boundary(from_wkt("LINESTRING(0 0,5 5)"))) == \
+        "MULTIPOINT(0 0,5 5)"
+    closed = from_wkt("LINESTRING(0 0,1 0,1 1,0 0)")
+    assert algos.boundary(closed).is_empty()
+    assert algos.boundary(from_wkt("POINT(1 1)")).is_empty()
+
+
+def test_buffer_point():
+    # reference test input: POINT(100 90), width 50, quadsegs 2
+    # (/root/reference/src/function/buffer.rs:119-139) -> 8-gon
+    g = algos.buffer(from_wkt("POINT(100 90)"), 50.0, 2)
+    assert g.typ == "Polygon"
+    ring = g.parts[0]
+    assert len(ring) == 9  # 8 vertices + closing
+    for x, y in ring:
+        assert math.isclose(math.hypot(x - 100, y - 90), 50.0, rel_tol=1e-12)
+    assert ring[0] == (150.0, 90.0)  # starts at angle 0
+    with pytest.raises(NotImplementedError):
+        algos.buffer(from_wkt("LINESTRING(0 0,1 1)"), 1.0, 8)
+
+
+def test_split_line_by_point():
+    g = from_wkt("LINESTRING(0 0,10 10)")
+    out = algos.split(g, from_wkt("POINT(5 5)"))
+    assert to_wkt(out) == \
+        "GEOMETRYCOLLECTION(LINESTRING(0 0,5 5),LINESTRING(5 5,10 10))"
+    # cut point off the line -> single piece
+    out2 = algos.split(g, from_wkt("POINT(5 6)"))
+    assert to_wkt(out2) == "GEOMETRYCOLLECTION(LINESTRING(0 0,10 10))"
+
+
+def test_split_line_by_line():
+    g = from_wkt("LINESTRING(0 5,10 5)")
+    blade = from_wkt("LINESTRING(5 0,5 10)")
+    assert to_wkt(algos.split(g, blade)) == \
+        "GEOMETRYCOLLECTION(LINESTRING(0 5,5 5),LINESTRING(5 5,10 5))"
+
+
+def test_split_polygon_by_line():
+    g = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    blade = from_wkt("LINESTRING(5 -1,5 11)")
+    out = algos.split(g, blade)
+    assert out.typ == "GeometryCollection" and len(out.parts) == 2
+    areas = sorted(abs(__import__(
+        "datafusion_geo_spark.geo.geom", fromlist=["ring_area2"]
+    ).ring_area2(h.parts[0])) / 2 for h in out.parts)
+    assert areas == [50.0, 50.0]
+
+
+def test_as_mvt_geom():
+    # reference test: POLYGON((0 0,10 0,10 5,0 -5,0 0)), box (0,0,4096,4096)
+    # (/root/reference/src/function/as_mvt_geom.rs:119-140)
+    g = from_wkt("POLYGON((0 0,10 0,10 5,0 -5,0 0))")
+    out = algos.as_mvt_geom(g, 0, 0, 4096, 4096)
+    assert to_wkt(out) == "POLYGON((0 4096,10 4096,10 4091,0 4101,0 4096))"
+
+
+def test_mixed_multi_intersects():
+    mp = from_wkt("MULTIPOINT(0 0,20 20)")
+    poly = from_wkt("POLYGON((15 15,25 15,25 25,15 25,15 15))")
+    assert algos.intersects(mp, poly)
+    assert algos.intersects(poly, mp)
