@@ -252,6 +252,132 @@ def _q_split_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
                            st_geomfromtext(F.col("blade")))).alias("split_wkt"))
 
 
+# ----------------------------------------------------- beyond-reference ops
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_geo_spark.sources.fixtures import load_table
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_geo_spark.sources.fixtures import load_table
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (operators.text.text_stats)."""
+    from datafusion_geo_spark.operators.text import text_stats
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (operators.text.lang_id)."""
+    from datafusion_geo_spark.operators.text import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash / md5 / min-word-hash fingerprints (operators.text)."""
+    from datafusion_geo_spark.operators.text import fingerprint
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with injected exact
+    copies (id+1000000) — every group must report n_copies=2."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.dedup import exact_dedup
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.unionAll(d.select((FF.col("doc_id") + 1000000).alias("doc_id"),
+                                 "text"))
+    return exact_dedup(corpus)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over a corpus with perturbed copies
+    (first word dropped) — operators.dedup.{minhash_signature,lsh_pairs}."""
+    from datafusion_geo_spark.operators.dedup import (lsh_pairs,
+                                                      minhash_signature,
+                                                      with_perturbed_copies)
+    corpus = with_perturbed_copies(_docs(spark, sf_dir))
+    return lsh_pairs(minhash_signature(corpus))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded Hamming join) over the perturbed
+    corpus — operators.dedup.{simhash,simhash_near_pairs}."""
+    from datafusion_geo_spark.operators.dedup import (simhash,
+                                                      simhash_near_pairs,
+                                                      with_perturbed_copies)
+    corpus = with_perturbed_copies(_docs(spark, sf_dir))
+    return simhash_near_pairs(simhash(corpus))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs (shingle equi-join, no cross product)
+    over perturbed copies of the first 100 docs."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.dedup import (ngram_jaccard_pairs,
+                                                      with_perturbed_copies)
+    base = _docs(spark, sf_dir).where(FF.col("doc_id") < 100)
+    return ngram_jaccard_pairs(with_perturbed_copies(base))
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (probes = ids < 50,
+    corpus augmented with exact copies)."""
+    from datafusion_geo_spark.operators.similarity import embedding_near_dup
+    return embedding_near_dup(_embs(spark, sf_dir), probe_max_id=50)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 8 —
+    JVM-side dot products, broadcast query set."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.similarity import cosine_topk
+    emb = _embs(spark, sf_dir)
+    return cosine_topk(emb, emb.where(FF.col("vec_id") < 8), k=10)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-10 (scale path; deterministic
+    data-derived planes so the oracle reproduces it exactly)."""
+    from datafusion_geo_spark.operators.similarity import ann_bucketed_topk
+    return ann_bucketed_topk(_embs(spark, sf_dir))
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + mapInPandas batch
+    feature extraction (deterministic stub decode)."""
+    from datafusion_geo_spark.operators.multimodal import (decode_features,
+                                                           to_media)
+    return decode_features(to_media(_docs(spark, sf_dir)))
+
+
+def _q_streaming_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed incremental extent over the events stream (Structured
+    Streaming, availableNow trigger; ≡ batch SQL on bounded input)."""
+    from datafusion_geo_spark.streaming import streaming_extent
+    return streaming_extent(spark, sf_dir)
+
+
+def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big spatial join partitioned by grid cells (no broadcast, no
+    cross product): slope +1 order-lines × slope −1 part-lines; pairs
+    aggregate by intercept offset m−k ∈ {−1,0,1,2}."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.spatial_join import grid_join
+    from datafusion_geo_spark.sources.fixtures import lines_orders, lines_part
+    a = lines_orders(spark, sf_dir, with_nulls=False).select("o_orderkey", "k", "geom")
+    b = lines_part(spark, sf_dir).select("p_partkey", "m", "geom")
+    pairs = grid_join(a, b, cell=8.0)
+    return (pairs.groupBy((FF.col("rb.m") - FF.col("la.k")).alias("m_minus_k"))
+            .agg(FF.count("*").alias("n_pairs"),
+                 FF.countDistinct("la.o_orderkey").alias("n_orders"),
+                 FF.countDistinct("rb.p_partkey").alias("n_parts"))
+            .orderBy("m_minus_k"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wkt_roundtrip_points": _q_wkt_roundtrip_points,
@@ -269,6 +395,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_literals": _q_boundary_literals,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "cosine_topk": _q_cosine_topk,
+        "ann_topk": _q_ann_topk,
+        "multimodal_decode": _q_multimodal_decode,
+        "streaming_extent": _q_streaming_extent,
+        "grid_spatial_join": _q_grid_spatial_join,
     }
 
 
@@ -276,6 +415,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _POINT_WKT = ("'POINT(' || CAST(l_orderkey % 1000 AS VARCHAR) || ' ' || "
               "CAST(l_partkey % 1000 AS VARCHAR) || ')'")
+
+# perturbed-copy corpus shared by the dedup oracles (mirrors
+# datafusion_geo_spark.operators.dedup.with_perturbed_copies)
+_CORPUS = """
+          SELECT doc_id, text FROM documents {where}
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+                 substr(text, instr(text, ' ') + 1) AS text
+          FROM documents {where}
+"""
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+_H64 = "('0x' || substr(md5({arg}), 1, 8))::BIGINT"
+
+
+def _minhash_oracle() -> str:
+    from datafusion_geo_spark.operators.dedup import (LSH_BANDS, LSH_ROWS,
+                                                      MINHASH_P, NUM_HASHES,
+                                                      hash_params)
+    mins = ", ".join(
+        f"min(({hash_params(i)[0]} * hh + {hash_params(i)[1]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(NUM_HASHES))
+    bands = " OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{b * LSH_ROWS + r} = b.mh{b * LSH_ROWS + r}"
+            for r in range(LSH_ROWS)) + ")"
+        for b in range(LSH_BANDS))
+    eq = " + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+                    for i in range(NUM_HASHES))
+    corpus = _CORPUS.format(where="")
+    h64 = _H64.format(arg="s")
+    return f"""
+        WITH corpus AS ({corpus}),
+        words AS (SELECT doc_id, {_WORDS} AS w FROM corpus),
+        sh AS (SELECT doc_id,
+                      unnest(list_transform(range(len(w) - 2),
+                             i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS s
+               FROM words),
+        h AS (SELECT doc_id, {h64} AS hh FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+        cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        ROUND(({eq})::DOUBLE / {NUM_HASHES}, 6) AS est_sim
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands}))
+        SELECT id_a, id_b, est_sim FROM cand WHERE est_sim >= 0.5
+    """
+
+
+def _simhash_oracle() -> str:
+    from datafusion_geo_spark.operators.dedup import SIMHASH_BITS
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS))
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS))
+    corpus = _CORPUS.format(where="")
+    h64 = _H64.format(arg="w")
+    return f"""
+        WITH corpus AS ({corpus}),
+        wrd AS (SELECT doc_id, unnest({_WORDS}) AS w FROM corpus),
+        h AS (SELECT doc_id, {h64} AS hh FROM wrd),
+        sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _stop_list() -> str:
+    from datafusion_geo_spark.operators.text import STOPWORDS
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _lang_oracle() -> str:
+    from datafusion_geo_spark.operators.text import LANG_MARKERS
+    score_defs = ", ".join(
+        "len(list_filter(w, x -> x IN ({})))::INT AS score_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang)
+        for lang, markers in LANG_MARKERS)
+    mx = "GREATEST({})".format(", ".join(f"score_{l}" for l, _ in LANG_MARKERS))
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {mx} THEN '{lang}'"
+        for lang, _ in LANG_MARKERS) + " END"
+    return f"""
+        SELECT doc_id, {", ".join(f"score_{l}" for l, _ in LANG_MARKERS)},
+               {pred} AS lang_pred
+        FROM (SELECT doc_id, {score_defs}
+              FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -410,5 +640,137 @@ def oracle_sql() -> dict[str, str]:
               (2, 'GEOMETRYCOLLECTION(LINESTRING(0 5,5 5),LINESTRING(5 5,10 5))'),
               (3, 'GEOMETRYCOLLECTION(POLYGON((0 0,5 0,5 10,0 10,0 0)),POLYGON((5 0,10 0,10 10,5 10,5 0)))')
             ) AS t(id, split_wkt)
+        """,
+        "text_stats": f"""
+            SELECT doc_id, n_tokens, avg_token_len, stop_ratio, distinct_ratio,
+                   ROUND(0.4 * LEAST(1.0, n_tokens / 100.0)
+                         + 0.3 * (1.0 - stop_ratio)
+                         + 0.3 * distinct_ratio, 6) AS quality_score
+            FROM (
+              SELECT doc_id,
+                     len(w)::INT AS n_tokens,
+                     ROUND(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                           / len(w), 6) AS avg_token_len,
+                     ROUND(len(list_filter(w, x -> x IN ({_stop_list()})))::DOUBLE
+                           / len(w), 6) AS stop_ratio,
+                     ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio
+              FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents))
+        """,
+        "lang_id": _lang_oracle(),
+        "fingerprint": f"""
+            SELECT doc_id,
+                   list_reduce(list_transform(string_split(text, ''),
+                               c -> ascii(c)::BIGINT),
+                               (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll,
+                   {_H64.format(arg="text")} AS fp_md5,
+                   list_aggregate(list_transform({_WORDS},
+                                  x -> {_H64.format(arg="x")}), 'min') AS fp_minword
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_copies
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, text FROM documents)
+            GROUP BY md5(text)
+        """,
+        "minhash_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
+        "ngram_jaccard": f"""
+            WITH corpus AS ({_CORPUS.format(where="WHERE doc_id < 100")}),
+            words AS (SELECT doc_id, {_WORDS} AS w FROM corpus),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(len(w) - 2),
+                                   i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS s
+                     FROM words)),
+            sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(ninter::DOUBLE / (sa.nsh + sb.nsh - ninter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(ninter::DOUBLE / (sa.nsh + sb.nsh - ninter), 6) >= 0.4
+        """,
+        "embedding_neardup": """
+            WITH corpus AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE)
+              FROM embeddings),
+            probes AS (SELECT vec_id AS id_a, v AS va FROM corpus
+                       WHERE vec_id % 1000000 < 50)
+            SELECT id_a, id_b, sim FROM (
+              SELECT p.id_a, c.vec_id AS id_b,
+                     ROUND(list_cosine_similarity(p.va, c.v), 6) AS sim
+              FROM probes p, corpus c WHERE p.id_a < c.vec_id)
+            WHERE sim >= 0.99
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id AS neighbor_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS cv
+                  FROM embeddings)
+            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     ROUND(list_cosine_similarity(qv, cv), 6) AS sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                                 neighbor_id) AS rank
+              FROM q, c WHERE neighbor_id != query_id)
+            WHERE rank <= 10
+        """,
+        "ann_topk": """
+            WITH vecs AS (SELECT vec_id,
+                                 list_transform(embedding, x -> x::DOUBLE) AS v
+                          FROM embeddings),
+            planes AS (SELECT vec_id::INT AS pid, v AS pv FROM vecs WHERE vec_id < 6),
+            buck AS (SELECT vec_id,
+                            SUM(CASE WHEN list_dot_product(v, pv) > 0
+                                     THEN (1 << pid) ELSE 0 END)::INT AS bucket
+                     FROM vecs, planes GROUP BY vec_id),
+            vb AS (SELECT vecs.vec_id, v, bucket
+                   FROM vecs JOIN buck ON vecs.vec_id = buck.vec_id),
+            scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                              ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                       FROM vb q JOIN vb c ON q.bucket = c.bucket
+                       WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)
+            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+              SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 10
+        """,
+        "multimodal_decode": """
+            SELECT doc_id, length(text)::INT AS n_bytes,
+                   (list_reduce(list_transform(string_split(text, ''),
+                                c -> ascii(c)::BIGINT), (a, b) -> a + b)) % 997
+                     AS checksum,
+                   ascii(substr(text, 1, 1))::INT AS head_byte
+            FROM documents
+        """,
+        "streaming_extent": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   MIN(value) AS xmin, MIN((user_id % 100)::DOUBLE) AS ymin,
+                   MAX(value) AS xmax, MAX((user_id % 100)::DOUBLE) AS ymax,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "grid_spatial_join": """
+            SELECT m - k AS m_minus_k, COUNT(*) AS n_pairs,
+                   COUNT(DISTINCT o_orderkey) AS n_orders,
+                   COUNT(DISTINCT p_partkey) AS n_parts
+            FROM (SELECT o_orderkey, o_orderkey % 1000 AS k FROM orders),
+                 (SELECT p_partkey, p_partkey % 1000 AS m FROM part)
+            WHERE m - k BETWEEN -1 AND 2
+            GROUP BY m - k ORDER BY m_minus_k
         """,
     }

@@ -1,0 +1,7 @@
+"""Operators beyond the reference's ST_* surface: spatial join
+strategies, plus the LLM training-data pipeline set (dedup, similarity
+search, text analysis, multimodal columns) — BASELINE.json north star."""
+
+from . import dedup, multimodal, similarity, spatial_join, text
+
+__all__ = ["dedup", "multimodal", "similarity", "spatial_join", "text"]

@@ -1,0 +1,209 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Exact (hash group-by), MinHash+LSH, SimHash, and n-gram Jaccard — all
+pure Spark built-ins (no Python UDFs): shingling via higher-order array
+functions, signatures via hash-min aggregation, candidate generation via
+band-key equi-joins. At 100 TB each stage is a shuffle on a well-chosen
+key (band key / hash prefix), never an all-pairs product.
+
+The shared word-hash is ``bigint(md5(s)[0:8])`` so the DuckDB oracle can
+reproduce every signature bit-for-bit (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import words_col
+
+MINHASH_P = 1_000_000_007
+NUM_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # NUM_HASHES = LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 16
+SIMHASH_CHUNKS = 4
+
+
+def hash_params(i: int) -> Tuple[int, int]:
+    """Deterministic affine minhash params h_i(x) = (a_i*x + b_i) mod P."""
+    return 2 * i + 1, 7 * i + 3
+
+
+def h64(c: Column) -> Column:
+    """Shared 32-bit-range hash: first 8 hex chars of md5 as bigint —
+    identical to DuckDB's ('0x' || substr(md5(s),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; empty array when the
+    document has fewer than n words."""
+    w = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(w) - F.lit(n))
+    return F.when(
+        F.size(w) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct text
+    with the canonical (min) id and the copy count."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_hashes: int = NUM_HASHES,
+                      shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures: explode shingles → shared hash → per-doc min
+    under ``num_hashes`` affine permutations. Map-side partial min makes
+    the shuffle carry only (doc_id, num_hashes longs)."""
+    sh = df.select(F.col(id_col),
+                   F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
+    h = sh.select(id_col, h64(F.col("s")).alias("h"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = hash_params(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P)
+                    .alias(f"mh{i}"))
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_pairs(sig: DataFrame, id_col: str = "doc_id",
+              bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+              min_sim: float = 0.5,
+              num_hashes: int = NUM_HASHES) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard.
+
+    Candidates = pairs agreeing on at least one band (equi-join per band on
+    the band key, unioned, distinct — each band join is a plain shuffle
+    join on a compact key; no cross product anywhere). est_sim = fraction
+    of equal signature components; filtered at ``min_sim``."""
+    band_frames = []
+    for b in range(bands):
+        key = F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        band_frames.append(sig.select(F.col(id_col), key.alias("bkey"))
+                           .withColumn("band", F.lit(b)))
+    banded = band_frames[0]
+    for fr in band_frames[1:]:
+        banded = banded.unionAll(fr)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (left.join(right, ["band", "bkey"])
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+    la = sig.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
+    lb = sig.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
+    est = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    out = (cand.join(la, "id_a").join(lb, "id_b")
+           .select("id_a", "id_b",
+                   F.round(est.cast("double") / num_hashes, 6).alias("est_sim"))
+           .where(F.col("est_sim") >= min_sim))
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over word hashes: bit j of the signature is the sign of
+    Σ_words (±1 depending on bit j of hash(word)). One explode + one
+    grouped aggregation with ``bits`` conditional sums — map-side combine
+    keeps the shuffle at (doc_id, bits ints)."""
+    wdf = df.select(F.col(id_col),
+                    F.explode(words_col(F.col(text_col))).alias("w"))
+    h = wdf.select(id_col, h64(F.col("w")).alias("h"))
+    sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS,
+                       chunks: int = SIMHASH_CHUNKS) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Scale path: band the signature into ``chunks`` bit-chunks; by
+    pigeonhole any pair within distance < chunks shares ≥1 chunk, so an
+    equi-join per chunk finds all such pairs without a cross product.
+    Requires max_hamming < chunks for completeness."""
+    assert max_hamming < chunks, "pigeonhole completeness needs hamming < chunks"
+    cbits = bits // chunks
+    mask = (1 << cbits) - 1
+    frames = []
+    for c in range(chunks):
+        ck = F.shiftright(F.col("simhash"), c * cbits).bitwiseAND(F.lit(mask))
+        frames.append(sig.select(F.col(id_col), F.col("simhash"),
+                                 ck.alias("ckey")).withColumn("chunk", F.lit(c)))
+    banded = frames[0]
+    for fr in frames[1:]:
+        banded = banded.unionAll(fr)
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (l.join(r, ["chunk", "ckey"])
+             .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.bit_count(F.col("l.simhash").bitwiseXOR(
+                         F.col("r.simhash"))).cast("int").alias("hamming"))
+             .where(F.col("hamming") <= max_hamming)
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        min_jaccard: float = 0.4) -> DataFrame:
+    """Exact n-gram Jaccard similarity via distinct-shingle equi-join:
+    |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|. Shuffles on
+    the shingle hash — no cross product; candidate pairs are only those
+    sharing ≥1 shingle."""
+    sh = df.select(F.col(id_col),
+                   F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")) \
+           .distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    l = sh.select(F.col(id_col).alias("id_a"), "s")
+    r = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (l.join(r, "s").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("ninter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("ninter").cast("double") /
+                            (F.col("na") + F.col("nb") - F.col("ninter")), 6)
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= min_jaccard))
+
+
+def with_perturbed_copies(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          offset: int = 1_000_000) -> DataFrame:
+    """Deterministic near-duplicate corpus builder: each document gets a
+    copy (id + offset) with its first word dropped — used by the
+    correctness queries so dedup operators have true near-dups to find."""
+    copy = df.select(
+        (F.col(id_col) + offset).alias(id_col),
+        F.expr(f"substring({text_col}, instr({text_col}, ' ') + 1)").alias(text_col))
+    return df.select(id_col, text_col).unionAll(copy)

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, and a hyperplane-LSH
+bucketed variant as the scale path. Dot products run JVM-side via
+``zip_with`` + ``aggregate`` higher-order functions in double precision —
+no Python UDFs — so the same arithmetic is reproducible in the DuckDB
+oracle (list_cosine_similarity over DOUBLE[]).
+
+Scale notes (100 TB): the brute-force path broadcasts the (small) query
+set and streams the corpus — one scan, no shuffle. The LSH path buckets
+both sides on a compact int key, turning top-k into a shuffle join on
+bucket + per-bucket top-k; recall is traded for the usual LSH guarantees.
+An IVF variant would follow the same plan shape with learned centroids.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, evaluate cosine
+    JVM-side, rank with a window partitioned by query id (ties broken by
+    neighbor id). Self-matches excluded."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                   as_double(F.col(vec_col)).alias("qv")))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   as_double(F.col(vec_col)).alias("cv"))
+    scored = (c.crossJoin(q)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def hyperplane_bucket(vec: Column, planes: list) -> Column:
+    """LSH bucket id: bit j = (dot(v, plane_j) > 0). ``planes`` is a list
+    of python float-lists (broadcast as array literals)."""
+    b = None
+    for j, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, lit) > 0, F.lit(1 << j)).otherwise(0)
+        b = bit if b is None else b + bit
+    return b.cast("int")
+
+
+def bucket_via_planes(vectors: DataFrame, planes: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "v",
+                      plane_id: str = "pid",
+                      plane_vec: str = "pv") -> DataFrame:
+    """Relational hyperplane bucketing: cross-join with the (broadcast)
+    plane set, one grouped sum of sign-bits — fully JVM-side and
+    shuffle-light (planes are tiny). Returns (id_col, bucket int)."""
+    p = F.broadcast(planes)
+    scored = vectors.crossJoin(p).select(
+        F.col(id_col),
+        F.when(dot(F.col(vec_col), F.col(plane_vec)) > 0,
+               F.expr(f"shiftleft(1, {plane_id})")).otherwise(0).alias("bit"))
+    return scored.groupBy(id_col).agg(
+        F.sum("bit").cast("int").alias("bucket"))
+
+
+def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
+                      k: int = 10, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k with data-derived hyperplanes: the first
+    ``n_planes`` vectors (by id) act as hyperplanes; candidates must share
+    the query's bucket (equi-join on a compact int key); exact cosine +
+    window rank within the bucket. The oracle reproduces the identical
+    algorithm, so results match exactly even though recall < 1 vs
+    brute force."""
+    planes = F.broadcast(
+        emb.where(F.col(id_col) < n_planes)
+        .select(F.col(id_col).cast("int").alias("pid"),
+                as_double(F.col(vec_col)).alias("pv")))
+    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    buckets = bucket_via_planes(vecs, planes, id_col=id_col)
+    vb = vecs.join(buckets, id_col)
+    c = vb.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                  "bucket")
+    q = F.broadcast(vb.where(F.col(id_col) < max_query_id)
+                    .select(F.col(id_col).alias("query_id"),
+                            F.col("v").alias("qv"), "bucket"))
+    scored = (c.join(q, "bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def ann_hyperplane_topk(emb: DataFrame, queries: DataFrame, planes: list,
+                        k: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket (equi-join on the bucket int — a plain shuffle join), then
+    exact cosine rank within bucket."""
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   as_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("bucket", hyperplane_bucket(F.col("cv"), planes))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    q = F.broadcast(q.withColumn("bucket", hyperplane_bucket(F.col("qv"), planes)))
+    scored = (c.join(q, "bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def embedding_near_dup(emb: DataFrame, probe_max_id: int,
+                       min_cosine: float = 0.99,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       offset: int = 1_000_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: the corpus is augmented with
+    exact copies (id + offset) so true near-dups exist deterministically;
+    probes are ids < probe_max_id (plus their copies); matches are pairs
+    with cosine ≥ min_cosine."""
+    base = emb.select(id_col, vec_col)
+    copies = base.select((F.col(id_col) + offset).alias(id_col), F.col(vec_col))
+    corpus = base.unionAll(copies)
+    probes = F.broadcast(
+        corpus.where((F.col(id_col) % offset) < probe_max_id)
+        .select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")))
+    cands = corpus.select(F.col(id_col).alias("id_b"),
+                          as_double(F.col(vec_col)).alias("vb"))
+    return (cands.crossJoin(probes)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+            .where(F.col("sim") >= min_cosine))

@@ -1,0 +1,110 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+Design: every operator is pure Spark SQL built-ins (split/filter/
+aggregate higher-order functions) — no Python UDFs, so the whole pipeline
+stays inside WholeStageCodegen and scales linearly with executors. Each
+formula is deliberately expressible in ANSI SQL so the DuckDB oracle
+reproduces it exactly (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Shared constants (mirrored into oracle SQL) ---------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# marker words per language for the n-gram/stopword language-ID heuristic;
+# tie-break = first max in this declared order
+LANG_MARKERS = (
+    ("en", ("the", "and", "of", "is", "a")),
+    ("es", ("el", "la", "los", "de", "que")),
+    ("de", ("der", "die", "und", "das", "ein")),
+    ("fr", ("le", "les", "et", "une", "est")),
+    ("zh", ("shi", "de", "le", "bu", "wo")),
+)
+
+ROLL_B = 31
+ROLL_P = 1_000_000_007
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Token count + quality features + composite quality score."""
+    w = words_col(F.col(text_col))
+    n_tokens = F.size(w)
+    n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    stops = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    distinct_tokens = F.size(F.array_distinct(w))
+    stop_ratio = F.round(stops.cast("double") / n_tokens, 6)
+    distinct_ratio = F.round(distinct_tokens.cast("double") / n_tokens, 6)
+    avg_token_len = F.round(n_chars_nospace.cast("double") / n_tokens, 6)
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + 0.3 * (1.0 - stop_ratio) + 0.3 * distinct_ratio, 6)
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language-ID heuristic: score per language = count of
+    marker-word occurrences; prediction = first language (declared order)
+    reaching the max score."""
+    w = words_col(F.col(text_col))
+
+    def marker_score(markers):
+        # factory so the HOF lambda has exactly one parameter (Spark
+        # introspects the signature) and binds ``markers`` per call
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_score(markers) for lang, markers in LANG_MARKERS}
+    mx = F.greatest(*scores.values())
+    pred = F.when(scores[LANG_MARKERS[0][0]] == mx, LANG_MARKERS[0][0])
+    for lang, _ in LANG_MARKERS[1:]:
+        pred = pred.when(scores[lang] == mx, lang)
+    return df.select(
+        id_col,
+        *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints:
+    * fp_roll  — polynomial rolling hash over characters
+                 (acc*31 + ascii) mod 1e9+7, computed with the
+                 ``aggregate`` higher-order function (JVM-side),
+    * fp_md5   — first 8 hex chars of md5 as bigint,
+    * fp_minword — min word-hash (1-shingle minhash component).
+    """
+    chars = F.split(F.col(text_col), "")
+    roll = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_B + F.ascii(c)) % ROLL_P)
+    md5_64 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+    w = words_col(F.col(text_col))
+    minword = F.array_min(F.transform(
+        w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")))
+    return df.select(
+        id_col,
+        roll.alias("fp_roll"),
+        md5_64.alias("fp_md5"),
+        minword.alias("fp_minword"),
+    )

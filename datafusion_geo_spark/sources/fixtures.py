@@ -118,6 +118,25 @@ LINES_ORDERS_WKT_SQL = (
 )
 
 
+def lines_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slope −1 linestrings from part: m = p_partkey % 1000, points
+    (m, m+4) → (m+2, m+2) → (m+4, m), i.e. y = 2m+4−x on x∈[m, m+4].
+    Crosses the slope +1 ``lines_orders`` family iff m−k ∈ {−1,0,1,2}
+    (intersection x0 = m+1.5 must fall in [k, k+4]) — analytically
+    checkable by the oracle. Columns: p_partkey, m, geom."""
+    p = load_table(spark, sf_dir, "part")
+    df = p.select("p_partkey", (F.col("p_partkey") % 1000).alias("m"))
+    m = F.col("m")
+    wkt = F.concat(
+        F.lit("LINESTRING("),
+        m.cast("string"), F.lit(" "), (m + 4).cast("string"), F.lit(","),
+        (m + 2).cast("string"), F.lit(" "), (m + 2).cast("string"), F.lit(","),
+        (m + 4).cast("string"), F.lit(" "), m.cast("string"), F.lit(")"),
+    )
+    df = _spread(df.withColumn("wkt", wkt))
+    return df.withColumn("geom", st_geomfromtext(F.col("wkt"))).drop("wkt")
+
+
 def boxes_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelopes (n_nationkey, n_regionkey) .. (+5, +5) over the 25-row
     nation table — the broadcastable probe side for spatial joins
