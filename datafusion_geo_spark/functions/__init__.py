@@ -114,6 +114,17 @@ def _u1_df(kernel, rtype):
     return pandas_udf(f, rtype)
 
 
+def _u_variadic(kernel, rtype, name):
+    """Variadic pandas UDF: Spark resolves SQL calls of ANY arity against
+    a ``*cols`` signature, which is how one SQL name serves the
+    reference's optional-SRID overloads (``one_of`` signatures,
+    /root/reference/src/function/geom_from_text.rs:21-27)."""
+    def f(*cols: pd.Series) -> pd.Series:
+        return kernel(*cols)
+    f.__name__ = name
+    return pandas_udf(f, rtype)
+
+
 _geom_from_text1 = _u1(kernels.geom_from_text, BinaryType())
 _geom_from_text2 = _u2(kernels.geom_from_text, BinaryType())
 _geom_from_wkb1 = _u1(kernels.geom_from_wkb, BinaryType())
@@ -289,17 +300,22 @@ def st_extent(g: GeomLike) -> Column:
 # -- SQL registration ---------------------------------------------------
 
 _SQL_UDFS = {
-    # name -> (udf object, arity note)
-    "ST_GeomFromText": _geom_from_text1,
+    # Optional-SRID names register variadic so ST_GeomFromText('…') and
+    # ST_GeomFromText('…', 4326) both resolve — true overload parity with
+    # the reference's one_of signatures. <name>SRID kept as aliases.
+    "ST_GeomFromText": _u_variadic(kernels.geom_from_text, BinaryType(),
+                                   "geom_from_text"),
     "ST_GeomFromTextSRID": _geom_from_text2,
-    "ST_GeomFromWKB": _geom_from_wkb1,
+    "ST_GeomFromWKB": _u_variadic(kernels.geom_from_wkb, BinaryType(),
+                                  "geom_from_wkb"),
     "ST_GeomFromWKBSRID": _geom_from_wkb2,
     "ST_AsText": _as_text,
     "ST_AsEWKT": _as_ewkt,
     "ST_AsGeoJSON": _as_geojson,
     "ST_GeometryType": _geometry_type,
     "Box2D": _box2d,
-    "ST_MakeEnvelope": _make_envelope4,
+    "ST_MakeEnvelope": _u_variadic(kernels.make_envelope, BinaryType(),
+                                   "make_envelope"),
     "ST_MakeEnvelopeSRID": _make_envelope5,
     "ST_Intersects": _intersects,
     "ST_Covers": _covers,
@@ -322,9 +338,9 @@ def register_all(spark: SparkSession) -> None:
     (/root/reference/src/function/geom_from_text.rs:98-100). Lookup is
     case-insensitive, covering the reference's lowercase aliases.
 
-    Spark SQL UDFs are fixed-arity, so optional-SRID overloads
-    (reference ``one_of`` signatures, geom_from_text.rs:21-27) register
-    under ``<name>SRID``. ``st_extent`` has no SQL UDAF — use the
+    Optional-SRID overloads (reference ``one_of`` signatures,
+    geom_from_text.rs:21-27) resolve under the primary name via variadic
+    UDFs; ``<name>SRID`` aliases remain. ``st_extent`` has no SQL UDAF — use the
     DataFrame helper ``st_extent_agg`` or plain
     ``min(bbox.xmin)/…/max(bbox.ymax)`` in SQL (SURVEY.md §2.1 #19).
     """

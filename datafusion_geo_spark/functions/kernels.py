@@ -16,12 +16,13 @@ by value (``_DecodeCache``) so a scalar side is decoded once per batch.
 
 from __future__ import annotations
 
-import json
+import re
 from typing import Callable, Optional
 
+import numpy as np
 import pandas as pd
 
-from ..geo import algos
+from ..geo import algos, vector
 from ..geo.geom import Geometry
 from ..geo.wkb import from_wkb, to_wkb, wkb_srid, point_wkb
 from ..geo.wkt import fmt_num, from_wkt, to_ewkt, to_wkt
@@ -42,11 +43,58 @@ def _obj_series(values) -> pd.Series:
     return pd.Series(values, dtype=object)
 
 
+def _const_geom(vals: list) -> Optional[Geometry]:
+    """If every non-null WKB in the batch is the same value (a broadcast
+    literal — the reference's scalar-argument case, intersects.rs:49-60),
+    decode it once."""
+    first = None
+    for v in vals:
+        if v is None:
+            continue
+        if first is None:
+            first = v
+        elif v != first:
+            return None
+    return None if first is None else from_wkb(bytes(first))
+
+
+def _fmt(v: float) -> str:
+    return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+
+
+_POINT_RE = re.compile(r"^POINT\s*\(\s*(\S+)\s+(\S+)\s*\)\s*$")
+
+
+def _nullable(arr: np.ndarray, valid: np.ndarray):
+    """Float array → pandas-ready values with real None (NOT NaN — NaN
+    survives Arrow as a non-null double) where invalid."""
+    if valid.all():
+        return arr
+    out = arr.astype(object)
+    out[~valid] = None
+    return out
+
+
+def _bool_nullable(arr: np.ndarray, valid: np.ndarray) -> pd.Series:
+    out = arr.astype(object)
+    out[~valid] = None
+    return pd.Series(out, dtype=object)
+
+
 # ------------------------------------------------------------ constructors
 
 def geom_from_text(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
     """WKT -> (E)WKB. Mirrors ST_GeomFromText
-    (/root/reference/src/function/geom_from_text.rs:50-76)."""
+    (/root/reference/src/function/geom_from_text.rs:50-76).
+
+    Fast path: an all-POINT batch parses via one vectorized regex extract
+    and encodes with the numpy point codec (no SRID only)."""
+    if srid is None:
+        fast = _fast_points_from_text(s)
+        if fast is None:
+            fast = _fast_lines_from_text(s)
+        if fast is not None:
+            return fast
     srids = None if srid is None else srid.tolist()
     out = []
     cache: dict = {}
@@ -65,6 +113,53 @@ def geom_from_text(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
             cache[key] = b
         out.append(b)
     return _obj_series(out)
+
+
+def _fast_points_from_text(s: pd.Series) -> Optional[pd.Series]:
+    """All-'POINT(x y)' batches parse at C speed: strip the keyword with
+    vectorized str ops, join the batch into one buffer, float-parse with
+    numpy. Anything fancier (SRID, EMPTY, extra spaces) → full parser."""
+    isnull = s.isna().to_numpy()
+    body = s.dropna()
+    if len(body) == 0:
+        return _obj_series([None] * len(s))
+    ok = (body.str.startswith("POINT(") & body.str.endswith(")")).all()
+    if not ok:
+        return None
+    inner = body.str.slice(6, -1)
+    joined = " ".join(inner.tolist())
+    vals = np.fromstring(joined, dtype=float, sep=" ")
+    if len(vals) != 2 * len(body):  # multi-space / malformed → full parser
+        return None
+    xs = np.empty(len(s)); ys = np.empty(len(s))
+    xs[~isnull] = vals[0::2]
+    ys[~isnull] = vals[1::2]
+    if np.isnan(vals).any():
+        return None
+    return _obj_series(vector.encode_points(xs, ys, valid=~isnull))
+
+
+def _fast_lines_from_text(s: pd.Series) -> Optional[pd.Series]:
+    """All-'LINESTRING(x y,...)' batches with one shared vertex count."""
+    isnull = s.isna().to_numpy()
+    body = s.dropna()
+    if len(body) == 0:
+        return None
+    ok = (body.str.startswith("LINESTRING(") & body.str.endswith(")")).all()
+    if not ok:
+        return None
+    ncommas = body.str.count(",")
+    k = int(ncommas.iloc[0]) + 1
+    if k < 2 or not (ncommas == k - 1).all():
+        return None
+    inner = body.str.slice(11, -1).str.replace(",", " ", regex=False)
+    joined = " ".join(inner.tolist())
+    vals = np.fromstring(joined, dtype=float, sep=" ")
+    if len(vals) != 2 * k * len(body) or np.isnan(vals).any():
+        return None
+    coords = np.empty((len(s), k, 2))
+    coords[~isnull] = vals.reshape(len(body), k, 2)
+    return _obj_series(vector.encode_uniform_lines(coords, valid=~isnull))
 
 
 def geom_from_wkb(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
@@ -106,26 +201,31 @@ def make_envelope(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
 
 
 def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
-    """Fast 2-D point constructor (PostGIS ST_Point / ST_MakePoint)."""
-    out = []
-    xl, yl = x.tolist(), y.tolist()
-    for i in range(len(xl)):
-        a, b = xl[i], yl[i]
-        if a is None or b is None or a != a or b != b:
-            out.append(None)
-        else:
-            out.append(point_wkb(float(a), float(b)))
-    return _obj_series(out)
+    """Fast 2-D point constructor (PostGIS ST_Point / ST_MakePoint) —
+    fully vectorized numpy encode."""
+    xs = pd.to_numeric(x, errors="coerce").to_numpy(float)
+    ys = pd.to_numeric(y, errors="coerce").to_numpy(float)
+    valid = ~(np.isnan(xs) | np.isnan(ys))
+    return _obj_series(vector.encode_points(xs, ys, valid=valid))
 
 
 # ------------------------------------------------------------ serializers
 
-def _unary_to_str(fn: Callable[[Geometry], str]):
+def _unary_to_str(fn: Callable[[Geometry], str], point_fast=None, line_fast=None):
     def k(s: pd.Series) -> pd.Series:
+        vals = s.tolist()
+        if point_fast is not None:
+            pb = vector.decode_points(vals)
+            if pb is not None:
+                return _obj_series(point_fast(pb))
+        if line_fast is not None:
+            lb = vector.decode_uniform_lines(vals)
+            if lb is not None:
+                return _obj_series(line_fast(lb))
         cache = _DecodeCache()
         out = []
         memo: dict = {}
-        for v in s.tolist():
+        for v in vals:
             if v is None:
                 out.append(None)
                 continue
@@ -139,8 +239,29 @@ def _unary_to_str(fn: Callable[[Geometry], str]):
     return k
 
 
-as_text = _unary_to_str(to_wkt)          # ST_AsText  (as_text.rs:88-110)
-as_ewkt = _unary_to_str(to_ewkt)         # ST_AsEWKT  (as_ewkt.rs:88-101)
+def _points_to_wkt(pb: vector.PointBatch) -> list:
+    v = pb.valid
+    return [f"POINT({_fmt(pb.x[i])} {_fmt(pb.y[i])})" if v[i] else None
+            for i in range(pb.n)]
+
+
+def _lines_to_wkt(lb: vector.LineBatch) -> list:
+    v = lb.valid
+    c = lb.coords
+    return ["LINESTRING(" + ",".join(
+        f"{_fmt(c[i, j, 0])} {_fmt(c[i, j, 1])}" for j in range(lb.k)) + ")"
+        if v[i] else None for i in range(lb.n)]
+
+
+def _points_to_geojson(pb: vector.PointBatch) -> list:
+    v = pb.valid
+    return ['{"type":"Point","coordinates":[%s,%s]}' % (_fmt(pb.x[i]), _fmt(pb.y[i]))
+            if v[i] else None for i in range(pb.n)]
+
+
+# plain-WKB fast batches carry no SRID, so WKT == EWKT on them
+as_text = _unary_to_str(to_wkt, _points_to_wkt, _lines_to_wkt)   # as_text.rs:88-110
+as_ewkt = _unary_to_str(to_ewkt, _points_to_wkt, _lines_to_wkt)  # as_ewkt.rs:88-101
 
 
 def _geojson(g: Geometry) -> str:
@@ -170,7 +291,7 @@ def _geojson(g: Geometry) -> str:
     return '{"type":"' + t + '","coordinates":' + body + "}"
 
 
-as_geojson = _unary_to_str(_geojson)
+as_geojson = _unary_to_str(_geojson, _points_to_geojson)
 
 
 def geometry_type_name(g: Geometry) -> str:
@@ -203,6 +324,19 @@ def box2d_rows(s: pd.Series) -> pd.DataFrame:
     """Per-row bounding box -> DataFrame(xmin,ymin,xmax,ymax) backing the
     Box2D struct UDF (/root/reference/src/function/box2d.rs:46-77;
     struct layout /root/reference/src/geo/box.rs:11-16)."""
+    vals = s.tolist()
+    pb = vector.decode_points(vals)
+    if pb is not None:
+        x = _nullable(pb.x, pb.valid)
+        y = _nullable(pb.y, pb.valid)
+        return pd.DataFrame({"xmin": x, "ymin": y, "xmax": x, "ymax": y})
+    lb = vector.decode_uniform_lines(vals)
+    if lb is not None:
+        xmin, ymin, xmax, ymax = vector.lines_bbox(lb)
+        return pd.DataFrame({"xmin": _nullable(xmin, lb.valid),
+                             "ymin": _nullable(ymin, lb.valid),
+                             "xmax": _nullable(xmax, lb.valid),
+                             "ymax": _nullable(ymax, lb.valid)})
     cache = _DecodeCache()
     xmin, ymin, xmax, ymax = [], [], [], []
     for v in s.tolist():
@@ -222,11 +356,83 @@ def box2d_rows(s: pd.Series) -> pd.DataFrame:
 
 # ------------------------------------------------------------ predicates
 
-def _binary_pred(fn: Callable[[Geometry, Geometry], bool]):
+def _pred_const_vs_points(fn_name: str, g: Geometry,
+                          pb: "vector.PointBatch", g_is_left: bool):
+    """Vectorized predicate between a constant geometry and a point
+    batch. Returns a bool ndarray or None when unsupported.
+
+    For point arguments every supported predicate reduces to membership:
+    intersects(pt, G) == covers(G, pt) == covered_by(pt, G) ==
+    "pt is on/in G" (boundary inclusive); equals needs G to be a point."""
+    if g.typ == "Point":
+        if g.parts is None:
+            return None
+        px, py = g.parts
+        return vector.points_equal_xy(pb, px, py)
+    membership_ok = (
+        (fn_name == "intersects")
+        or (fn_name == "covers" and g_is_left)       # G covers pt
+        or (fn_name == "covered_by" and not g_is_left))  # pt covered_by G
+    if not membership_ok:
+        return None
+    if g.typ == "Polygon" and len(g.parts) == 1:
+        return vector.points_in_ring(pb, g.parts[0])
+    if g.typ == "LineString":
+        # membership of many points on one small line: few segments
+        out = None
+        import numpy as _np
+        for i in range(len(g.parts) - 1):
+            (ax, ay), (bx, by) = g.parts[i], g.parts[i + 1]
+            scale = 1.0 + _np.abs(pb.x) + _np.abs(pb.y)
+            cross = (bx - ax) * (pb.y - ay) - (by - ay) * (pb.x - ax)
+            on = ((_np.abs(cross) <= vector.EPS * scale)
+                  & (pb.x >= min(ax, bx) - vector.EPS)
+                  & (pb.x <= max(ax, bx) + vector.EPS)
+                  & (pb.y >= min(ay, by) - vector.EPS)
+                  & (pb.y <= max(ay, by) + vector.EPS))
+            out = on if out is None else (out | on)
+        return out
+    return None
+
+
+def _binary_pred(fn: Callable[[Geometry, Geometry], bool], fn_name: str):
     def k(a: pd.Series, b: pd.Series) -> pd.Series:
+        al, bl = a.tolist(), b.tolist()
+
+        # ---- vectorized fast paths --------------------------------
+        ga = _const_geom(al) if len(al) else None
+        gb = _const_geom(bl) if len(bl) else None
+        pa = vector.decode_points(al) if ga is None else None
+        pbb = vector.decode_points(bl) if gb is None else None
+
+        fastres = None
+        valid = None
+        if gb is not None and pa is not None:
+            fastres = _pred_const_vs_points(fn_name, gb, pa, g_is_left=False)
+            valid = pa.valid & np.array([v is not None for v in bl])
+        elif ga is not None and pbb is not None:
+            fastres = _pred_const_vs_points(fn_name, ga, pbb, g_is_left=True)
+            valid = pbb.valid & np.array([v is not None for v in al])
+        elif pa is not None and pbb is not None and fn_name in ("intersects", "equals"):
+            fastres = ((np.abs(pa.x - pbb.x) <= vector.EPS)
+                       & (np.abs(pa.y - pbb.y) <= vector.EPS))
+            valid = pa.valid & pbb.valid
+        elif gb is not None and gb.typ == "Point" and fn_name == "intersects":
+            la = vector.decode_uniform_lines(al)
+            if la is not None and gb.parts is not None:
+                fastres = vector.point_on_uniform_lines(la, *gb.parts)
+                valid = la.valid & np.array([v is not None for v in bl])
+        elif ga is not None and ga.typ == "Point" and fn_name == "intersects":
+            lb_ = vector.decode_uniform_lines(bl)
+            if lb_ is not None and ga.parts is not None:
+                fastres = vector.point_on_uniform_lines(lb_, *ga.parts)
+                valid = lb_.valid & np.array([v is not None for v in al])
+        if fastres is not None:
+            return _bool_nullable(fastres, valid)
+
+        # ---- object fallback --------------------------------------
         cache = _DecodeCache()
         out = []
-        al, bl = a.tolist(), b.tolist()
         memo: dict = {}
         for i in range(len(al)):
             va, vb = al[i], bl[i]
@@ -244,10 +450,10 @@ def _binary_pred(fn: Callable[[Geometry, Geometry], bool]):
     return k
 
 
-intersects = _binary_pred(algos.intersects)    # intersects.rs:100-132
-covers = _binary_pred(algos.covers)            # covers.rs:103-122
-covered_by = _binary_pred(algos.covered_by)    # covered_by.rs:102-121
-equals = _binary_pred(algos.equals)            # equals.rs:103-122
+intersects = _binary_pred(algos.intersects, "intersects")    # intersects.rs:100-132
+covers = _binary_pred(algos.covers, "covers")                # covers.rs:103-122
+covered_by = _binary_pred(algos.covered_by, "covered_by")    # covered_by.rs:102-121
+equals = _binary_pred(algos.equals, "equals")                # equals.rs:103-122
 
 
 # ------------------------------------------------------------ transforms
@@ -278,6 +484,20 @@ def translate(s: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     """ST_Translate (/root/reference/src/function/translate.rs:56-98).
     Unlike the reference, offsets may be per-row columns, not only literal
     scalars (translate.rs:57-62 restricts to scalars)."""
+    vals = s.tolist()
+    dxa = pd.to_numeric(dx, errors="coerce").to_numpy(float)
+    dya = pd.to_numeric(dy, errors="coerce").to_numpy(float)
+    off_ok = ~(np.isnan(dxa) | np.isnan(dya))
+    pb = vector.decode_points(vals)
+    if pb is not None:
+        valid = pb.valid & off_ok
+        return _obj_series(vector.encode_points(pb.x + dxa, pb.y + dya,
+                                                valid=valid))
+    lb = vector.decode_uniform_lines(vals)
+    if lb is not None:
+        valid = lb.valid & off_ok
+        c = lb.coords + np.stack([dxa, dya], axis=1)[:, None, :]
+        return _obj_series(vector.encode_uniform_lines(c, valid=valid))
     cache = _DecodeCache()
     out = []
     sl, dxl, dyl = s.tolist(), dx.tolist(), dy.tolist()

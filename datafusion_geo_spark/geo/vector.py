@@ -1,0 +1,214 @@
+"""numpy-vectorized WKB batch codecs and kernels.
+
+The reference gets columnar speed from rayon-parallel Rust loops over
+Arrow arrays (/root/reference/src/function/intersects.rs:104-130). The
+Spark engine's equivalent lever inside each Python worker is numpy over
+the whole Arrow batch: when a geometry column is *uniform* (all plain
+little-endian WKB points, or linestrings with one vertex count), the
+batch decodes into flat float64 arrays with two frombuffer calls, and
+predicates/transforms run as numpy expressions — 10-50× over per-row
+object decoding. Mixed/EWKB batches fall back to the object path.
+
+Uniformity is the common case by construction: geometry columns written
+by one pipeline stage share a type and layout.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_POINT_LEN = 21  # 1 byte order + 4 type + 2*8 coords
+
+_POINT_DTYPE = np.dtype({
+    "names": ["bo", "typ", "x", "y"],
+    "formats": ["u1", "<u4", "<f8", "<f8"],
+    "offsets": [0, 1, 5, 13],
+    "itemsize": _POINT_LEN,
+})
+
+
+class PointBatch:
+    """Decoded uniform point batch: x/y float64 arrays + validity mask
+    (True where the input value was non-null)."""
+
+    __slots__ = ("x", "y", "valid", "n")
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, valid: np.ndarray):
+        self.x, self.y, self.valid = x, y, valid
+        self.n = len(valid)
+
+
+class LineBatch:
+    """Decoded uniform linestring batch: coords (n, k, 2) + validity."""
+
+    __slots__ = ("coords", "valid", "n", "k")
+
+    def __init__(self, coords: np.ndarray, valid: np.ndarray):
+        self.coords, self.valid = coords, valid
+        self.n = len(valid)
+        self.k = coords.shape[1] if coords.size else 0
+
+
+def _gather(values: Sequence) -> Tuple[list, np.ndarray]:
+    """Non-null values + validity mask."""
+    valid = np.fromiter((v is not None for v in values), dtype=bool,
+                        count=len(values))
+    if valid.all():
+        return list(values), valid
+    return [v for v in values if v is not None], valid
+
+
+def decode_points(values: Sequence) -> Optional[PointBatch]:
+    """Try to decode a batch as uniform plain-WKB points; None on mixed
+    content (caller falls back to the object path)."""
+    vs, valid = _gather(values)
+    n = len(valid)
+    if not vs:
+        # all-null batch: coordinate arrays must still be n-length so
+        # downstream masks line up (valid is all False anyway)
+        return PointBatch(np.full(n, np.nan), np.full(n, np.nan), valid)
+    if len(vs[0]) != _POINT_LEN:
+        return None
+    try:
+        joined = b"".join(vs)
+    except TypeError:
+        joined = b"".join(bytes(v) for v in vs)
+    if len(joined) != _POINT_LEN * len(vs):
+        return None
+    arr = np.frombuffer(joined, dtype=_POINT_DTYPE)
+    if not ((arr["bo"] == 1).all() and (arr["typ"] == 1).all()):
+        return None
+    x = np.full(n, np.nan)
+    y = np.full(n, np.nan)
+    x[valid] = arr["x"]
+    y[valid] = arr["y"]
+    return PointBatch(x, y, valid)
+
+
+def decode_uniform_lines(values: Sequence) -> Optional[LineBatch]:
+    """Try to decode as uniform plain-WKB linestrings (same vertex count
+    per row); None on mixed content."""
+    vs, valid = _gather(values)
+    if not vs:
+        # all-null batch: no vertex count to decode — object fallback
+        # handles it trivially (every row -> None)
+        return None
+    L = len(vs[0])
+    if L < 9 or (L - 9) % 16 != 0:
+        return None
+    k = (L - 9) // 16
+    try:
+        joined = b"".join(vs)
+    except TypeError:
+        joined = b"".join(bytes(v) for v in vs)
+    if len(joined) != L * len(vs):
+        return None
+    raw = np.frombuffer(joined, dtype=np.uint8).reshape(len(vs), L)
+    if not (raw[:, 0] == 1).all():
+        return None
+    hdr = raw[:, 1:9].copy().view("<u4").reshape(len(vs), 2)
+    if not ((hdr[:, 0] == 2).all() and (hdr[:, 1] == k).all()):
+        return None
+    coords = raw[:, 9:].copy().view("<f8").reshape(len(vs), k, 2)
+    m = np.empty((len(valid), k, 2))
+    m.fill(np.nan)
+    m[valid] = coords
+    return LineBatch(m, valid)
+
+
+def encode_points(x: np.ndarray, y: np.ndarray,
+                  valid: Optional[np.ndarray] = None) -> List[Optional[bytes]]:
+    """Vectorized plain-WKB point encoder → list of 21-byte objects."""
+    n = len(x)
+    arr = np.empty(n, dtype=_POINT_DTYPE)
+    arr["bo"] = 1
+    arr["typ"] = 1
+    arr["x"] = x
+    arr["y"] = y
+    buf = arr.tobytes()
+    mv = memoryview(buf)
+    if valid is None:
+        return [bytes(mv[i * _POINT_LEN:(i + 1) * _POINT_LEN]) for i in range(n)]
+    return [bytes(mv[i * _POINT_LEN:(i + 1) * _POINT_LEN]) if valid[i] else None
+            for i in range(n)]
+
+
+def encode_uniform_lines(coords: np.ndarray,
+                         valid: Optional[np.ndarray] = None) -> List[Optional[bytes]]:
+    """Vectorized plain-WKB linestring encoder for (n, k, 2) coords."""
+    n, k = coords.shape[0], coords.shape[1]
+    L = 9 + 16 * k
+    raw = np.empty((n, L), dtype=np.uint8)
+    raw[:, 0] = 1
+    hdr = np.empty((n, 2), dtype="<u4")
+    hdr[:, 0] = 2
+    hdr[:, 1] = k
+    raw[:, 1:9] = hdr.view(np.uint8).reshape(n, 8)
+    raw[:, 9:] = coords.astype("<f8").reshape(n, k * 2).view(np.uint8)
+    buf = raw.tobytes()
+    mv = memoryview(buf)
+    if valid is None:
+        return [bytes(mv[i * L:(i + 1) * L]) for i in range(n)]
+    return [bytes(mv[i * L:(i + 1) * L]) if valid[i] else None
+            for i in range(n)]
+
+
+# ------------------------------------------------------------ predicates
+
+EPS = 1e-12
+
+
+def points_equal_xy(b: PointBatch, px: float, py: float) -> np.ndarray:
+    return (np.abs(b.x - px) <= EPS) & (np.abs(b.y - py) <= EPS)
+
+
+def points_in_bbox(b: PointBatch, xmin: float, ymin: float,
+                   xmax: float, ymax: float) -> np.ndarray:
+    return ((b.x >= xmin - EPS) & (b.x <= xmax + EPS)
+            & (b.y >= ymin - EPS) & (b.y <= ymax + EPS))
+
+
+def points_in_ring(b: PointBatch, ring: Sequence[Tuple[float, float]]) -> np.ndarray:
+    """Vectorized point-in-polygon (single ring, boundary-inclusive):
+    ray cast + on-edge check, looping over edges (few) not points (many)."""
+    x, y = b.x, b.y
+    inside = np.zeros(len(x), dtype=bool)
+    on_edge = np.zeros(len(x), dtype=bool)
+    for i in range(len(ring) - 1):
+        (ax, ay), (bx, by) = ring[i], ring[i + 1]
+        scale = 1.0 + np.abs(x) + np.abs(y)
+        cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        on = ((np.abs(cross) <= EPS * scale)
+              & (x >= min(ax, bx) - EPS) & (x <= max(ax, bx) + EPS)
+              & (y >= min(ay, by) - EPS) & (y <= max(ay, by) + EPS))
+        on_edge |= on
+        crosses = (ay > y) != (by > y)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xint = ax + (y - ay) * (bx - ax) / (by - ay)
+        inside ^= crosses & (x < xint)
+    return inside | on_edge
+
+
+def point_on_uniform_lines(lb: LineBatch, px: float, py: float) -> np.ndarray:
+    """Vectorized: does the literal point lie on each linestring? Loops
+    over the (few) segments, vectorized over rows."""
+    c = lb.coords
+    out = np.zeros(lb.n, dtype=bool)
+    for s in range(lb.k - 1):
+        ax, ay = c[:, s, 0], c[:, s, 1]
+        bx, by = c[:, s + 1, 0], c[:, s + 1, 1]
+        scale = 1.0 + abs(px) + abs(py)
+        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        on = ((np.abs(cross) <= EPS * scale)
+              & (px >= np.minimum(ax, bx) - EPS) & (px <= np.maximum(ax, bx) + EPS)
+              & (py >= np.minimum(ay, by) - EPS) & (py <= np.maximum(ay, by) + EPS))
+        out |= on
+    return out
+
+
+def lines_bbox(lb: LineBatch) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    c = lb.coords
+    return (c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
+            c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1))
