@@ -201,14 +201,15 @@ def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial theta-join lines_orders ⋈ boxes_nation ON ST_Intersects —
     the derived capability SURVEY.md §2 flags as the interesting case
     (reference ships an unwired R-tree for exactly this,
-    /root/reference/src/geo/index.rs:23-33). Broadcast the 25-row nation
-    side → BroadcastNestedLoopJoin, no shuffle of the big side."""
-    from datafusion_geo_spark.functions import st_intersects
+    /root/reference/src/geo/index.rs:23-33). Runs the engine's
+    broadcast_bbox_join: native JVM bbox-overlap prefilter inside the
+    BroadcastNestedLoopJoin, exact ST_Intersects (Python) only on the
+    surviving pairs — the PostGIS &&-then-exact pattern."""
+    from datafusion_geo_spark.operators.spatial_join import broadcast_bbox_join
     from datafusion_geo_spark.sources.fixtures import boxes_nation, lines_orders
     lines = lines_orders(spark, sf_dir, with_nulls=False)
-    boxes = F.broadcast(boxes_nation(spark, sf_dir))
-    joined = lines.join(boxes, st_intersects(lines["geom"], boxes["geom"]))
-    return joined.groupBy("n_nationkey").agg(
+    joined = broadcast_bbox_join(lines, boxes_nation(spark, sf_dir))
+    return joined.groupBy(F.col("s.n_nationkey").alias("n_nationkey")).agg(
         F.count("*").alias("n_lines")).orderBy("n_nationkey")
 
 

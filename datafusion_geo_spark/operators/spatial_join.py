@@ -52,15 +52,26 @@ def _bbox_overlap(l: str, r: str) -> Column:
 
 def broadcast_bbox_join(big: DataFrame, small: DataFrame,
                         geom_big: str = "geom", geom_small: str = "geom",
-                        exact: bool = True) -> DataFrame:
+                        exact: bool = True,
+                        snapshot_small: bool = True) -> DataFrame:
     """Inner spatial join (ST_Intersects semantics), small side broadcast.
 
     The bbox overlap runs as a native join condition inside the
     BroadcastNestedLoopJoin (WholeStageCodegen); only pairs passing it
     reach the Python predicate. Result carries all columns of both inputs
-    (bbox helper columns suffixed)."""
+    (bbox helper columns suffixed).
+
+    ``snapshot_small`` collects the small side once and rebuilds it as a
+    local DataFrame. A broadcast plan containing a pandas UDF re-evaluates
+    that UDF (fresh Python stage) on EVERY action that reuses the join —
+    measured ~2-6 s per action for a 25-row side — whereas the snapshot is
+    UDF-free and broadcasts in ms. Safe by construction: the small side
+    must fit in the driver to be broadcast at all."""
     b = ensure_bbox(big, geom_big).alias("b")
-    s = F.broadcast(ensure_bbox(small, geom_small)).alias("s")
+    s_df = ensure_bbox(small, geom_small)
+    if snapshot_small:
+        s_df = s_df.sparkSession.createDataFrame(s_df.collect(), s_df.schema)
+    s = F.broadcast(s_df).alias("s")
     cond = _bbox_overlap("b", "s")
     joined = b.join(s, cond)
     if exact:

@@ -25,6 +25,39 @@ from ..functions import box2d, st_geomfromtext, st_point
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
+# ---- opt-in fixture cache (bench only) --------------------------------
+# The reference's criterion bench pre-builds its geometry MemTable outside
+# the timed loop (/root/reference/benches/util.rs:45-62) and times only
+# the query. enable_cache() gives the Spark bench the same shape: derived
+# fixture DataFrames are persisted in memory so repeated bench iterations
+# measure operator work, not fixture re-construction. Off by default —
+# production pipelines stream their inputs.
+_CACHE_ENABLED = False
+_CACHE: dict = {}
+
+
+def enable_cache() -> None:
+    global _CACHE_ENABLED
+    _CACHE_ENABLED = True
+
+
+def clear_cache() -> None:
+    global _CACHE_ENABLED
+    for df in _CACHE.values():
+        df.unpersist()
+    _CACHE.clear()
+    _CACHE_ENABLED = False
+
+
+def _memo(key, build):
+    if not _CACHE_ENABLED:
+        return build()
+    df = _CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _CACHE[key] = df
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -58,6 +91,11 @@ def points_lineitem(spark: SparkSession, sf_dir: str,
     """Integer-grid points from lineitem: x = l_orderkey%1000,
     y = l_partkey%1000 (~600k rows at sf0.1 — the bench table,
     BASELINE.md). Columns: l_orderkey, l_linenumber, x, y, geom."""
+    return _memo(("points_lineitem", sf_dir, with_nulls),
+                 lambda: _points_lineitem(spark, sf_dir, with_nulls))
+
+
+def _points_lineitem(spark, sf_dir, with_nulls):
     li = load_table(spark, sf_dir, "lineitem")
     df = li.select(
         "l_orderkey", "l_linenumber",
@@ -76,6 +114,11 @@ def points_customer(spark: SparkSession, sf_dir: str,
     """Points (c_custkey%360-180, c_nationkey*3-37.5) with group key
     c_mktsegment — the grouped-extent fixture mirroring the reference's
     aggregate test groups (/root/reference/src/function/extent.rs:172-205)."""
+    return _memo(("points_customer", sf_dir, with_nulls),
+                 lambda: _points_customer(spark, sf_dir, with_nulls))
+
+
+def _points_customer(spark, sf_dir, with_nulls):
     c = load_table(spark, sf_dir, "customer")
     df = c.select(
         "c_custkey", "c_mktsegment",
@@ -94,6 +137,11 @@ def lines_orders(spark: SparkSession, sf_dir: str,
     """3-point linestrings along y=x+1 from k = o_orderkey%1000 — the
     reference's generator (/root/reference/benches/util.rs:27-36).
     Columns: o_orderkey, k, wkt, geom."""
+    return _memo(("lines_orders", sf_dir, with_nulls),
+                 lambda: _lines_orders(spark, sf_dir, with_nulls))
+
+
+def _lines_orders(spark, sf_dir, with_nulls):
     o = load_table(spark, sf_dir, "orders")
     df = o.select("o_orderkey", (F.col("o_orderkey") % 1000).alias("k"))
     k = F.col("k")
@@ -124,6 +172,11 @@ def lines_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     Crosses the slope +1 ``lines_orders`` family iff m−k ∈ {−1,0,1,2}
     (intersection x0 = m+1.5 must fall in [k, k+4]) — analytically
     checkable by the oracle. Columns: p_partkey, m, geom."""
+    return _memo(("lines_part", sf_dir),
+                 lambda: _lines_part(spark, sf_dir))
+
+
+def _lines_part(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
     df = p.select("p_partkey", (F.col("p_partkey") % 1000).alias("m"))
     m = F.col("m")
@@ -141,6 +194,11 @@ def boxes_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelopes (n_nationkey, n_regionkey) .. (+5, +5) over the 25-row
     nation table — the broadcastable probe side for spatial joins
     (FIXTURES.md §2). Columns: n_nationkey, n_regionkey, xmin..ymax, geom."""
+    return _memo(("boxes_nation", sf_dir),
+                 lambda: _boxes_nation(spark, sf_dir))
+
+
+def _boxes_nation(spark, sf_dir):
     from ..functions import st_makeenvelope
     n = load_table(spark, sf_dir, "nation")
     df = n.select(
