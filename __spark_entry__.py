@@ -362,6 +362,15 @@ def _q_streaming_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_extent(spark, sf_dir)
 
 
+def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    applyInPandasWithState (30-min inactivity gap). Bounded input +
+    availableNow ⇒ equals batch sessionization, which the oracle computes
+    with lag()/sum() window functions."""
+    from datafusion_geo_spark.streaming.sessionize import streaming_sessions
+    return streaming_sessions(spark, sf_dir)
+
+
 def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big spatial join partitioned by grid cells (no broadcast, no
     cross product): slope +1 order-lines × slope −1 part-lines; pairs
@@ -408,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "multimodal_decode": _q_multimodal_decode,
         "streaming_extent": _q_streaming_extent,
+        "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
     }
 
@@ -764,6 +774,24 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) AS xmax, MAX((user_id % 100)::DOUBLE) AS ymax,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_sessions": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts, cents,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events, SUM(cents) AS total_cents
+            FROM s GROUP BY user_id, sid
         """,
         "grid_spatial_join": """
             SELECT m - k AS m_minus_k, COUNT(*) AS n_pairs,
