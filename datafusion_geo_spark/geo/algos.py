@@ -227,6 +227,12 @@ def covers(a: Geometry, b: Geometry) -> bool:
     covered (unlike ST_Contains)."""
     if a.is_empty() or b.is_empty():
         return False
+    # reflexivity: any geometry covers itself (and its topological
+    # equals). The sampled-midpoint collinearity check below is float-
+    # fragile on steep segments — hypothesis found covers(g, g) == False
+    # for LINESTRING(0 0.333…, 338291 4097) without this shortcut.
+    if equals(a, b):
+        return True
     # every simple part of b must be covered by the union of a's parts;
     # for disjoint unions we approximate: some single part of a covers it
     # (sufficient for simple/valid fixture geometries).

@@ -170,7 +170,8 @@ class Geometry:
         ST_Equals is topological (/root/reference/src/function/equals.rs:137-148).
         """
         return (isinstance(other, Geometry) and self.typ == other.typ
-                and self.parts == other.parts and self.srid == other.srid)
+                and self.srid == other.srid
+                and _freeze(self.parts) == _freeze(other.parts))
 
     def __hash__(self):
         return hash((self.typ, _freeze(self.parts), self.srid))

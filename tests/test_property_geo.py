@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the geometry core and the
+vectorized batch codecs — goes beyond the reference's test strategy,
+which has no randomized testing (SURVEY.md §5.6).
+
+Invariants checked:
+  * WKT → Geometry → WKB → Geometry → WKT is a fixed point
+  * vectorized point/line batch codecs agree with the scalar codec
+  * vectorized predicates agree with the object-path algorithms
+  * predicate axioms: symmetry of intersects/equals, covers ⊃ implies
+    intersects, covered_by is the converse of covers
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datafusion_geo_spark.geo import algos, vector
+from datafusion_geo_spark.geo.geom import Geometry
+from datafusion_geo_spark.geo.wkb import from_wkb, point_wkb, to_wkb
+from datafusion_geo_spark.geo.wkt import from_wkt, to_wkt
+
+# finite doubles that survive repr round-trip exactly
+coord = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  allow_infinity=False)
+
+
+@st.composite
+def points(draw):
+    return Geometry("Point", (draw(coord), draw(coord)))
+
+
+@st.composite
+def linestrings(draw, min_pts=2, max_pts=6):
+    n = draw(st.integers(min_pts, max_pts))
+    cs = tuple((draw(coord), draw(coord)) for _ in range(n))
+    return Geometry("LineString", cs)
+
+
+@st.composite
+def boxes(draw):
+    x1, x2 = sorted((draw(coord), draw(coord)))
+    y1, y2 = sorted((draw(coord), draw(coord)))
+    if x1 == x2 or y1 == y2:  # degenerate -> nudge
+        x2, y2 = x1 + 1.0, y1 + 1.0
+    ring = ((x1, y1), (x1, y2), (x2, y2), (x2, y1), (x1, y1))
+    return Geometry("Polygon", (ring,))
+
+
+any_geom = st.one_of(points(), linestrings(), boxes())
+
+
+@given(any_geom)
+@settings(max_examples=200, deadline=None)
+def test_wkb_roundtrip(g):
+    assert from_wkb(to_wkb(g)) == g
+
+
+@given(any_geom)
+@settings(max_examples=200, deadline=None)
+def test_wkt_roundtrip(g):
+    w = to_wkt(g)
+    assert to_wkt(from_wkt(w)) == w
+
+
+@given(st.lists(st.one_of(st.none(), points()), min_size=0, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_vector_point_codec_matches_scalar(gs):
+    wkbs = [None if g is None else to_wkb(g) for g in gs]
+    pb = vector.decode_points(wkbs)
+    assert pb is not None
+    for i, g in enumerate(gs):
+        if g is None:
+            assert not pb.valid[i]
+        else:
+            assert pb.valid[i]
+            assert (pb.x[i], pb.y[i]) == g.parts
+
+
+@given(st.lists(points(), min_size=1, max_size=20), boxes())
+@settings(max_examples=100, deadline=None)
+def test_vector_points_in_ring_matches_algos(pts, poly):
+    wkbs = [to_wkb(p) for p in pts]
+    pb = vector.decode_points(wkbs)
+    got = vector.points_in_ring(pb, poly.parts[0])
+    for i, p in enumerate(pts):
+        exp = algos.intersects(p, poly)
+        assert bool(got[i]) == exp, (to_wkt(p), to_wkt(poly))
+
+
+@given(any_geom, any_geom)
+@settings(max_examples=150, deadline=None)
+def test_predicate_axioms(a, b):
+    assert algos.intersects(a, b) == algos.intersects(b, a)
+    assert algos.equals(a, b) == algos.equals(b, a)
+    assert algos.covered_by(a, b) == algos.covers(b, a)
+    if algos.covers(a, b):
+        assert algos.intersects(a, b)
+
+
+@given(any_geom)
+@settings(max_examples=100, deadline=None)
+def test_self_axioms(g):
+    assert algos.intersects(g, g)
+    assert algos.equals(g, g)
+    assert algos.covers(g, g)
+
+
+@given(st.lists(linestrings(min_pts=3, max_pts=3), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_vector_line_codec_roundtrip(lines):
+    wkbs = [to_wkb(g) for g in lines]
+    lb = vector.decode_uniform_lines(wkbs)
+    assert lb is not None and lb.k == 3
+    enc = vector.encode_uniform_lines(lb.coords, valid=lb.valid)
+    assert enc == wkbs
+    xmin, ymin, xmax, ymax = vector.lines_bbox(lb)
+    for i, g in enumerate(lines):
+        xs = [c[0] for c in g.parts]
+        ys = [c[1] for c in g.parts]
+        assert (xmin[i], ymin[i], xmax[i], ymax[i]) == (
+            min(xs), min(ys), max(xs), max(ys))
