@@ -71,12 +71,21 @@ def bench_queries(spark):
             "l_orderkey",
             st_intersects(F.col("geom"), "POINT(10 11)").alias("hit"))
 
+    def q(name):
+        return lambda: qmap[name](spark, SF_DIR)
+
     return {
         "intersects_scan": flagship,
-        "intersects_lines": lambda: qmap["intersects_lines"](spark, SF_DIR),
-        "wkt_roundtrip_points": lambda: qmap["wkt_roundtrip_points"](spark, SF_DIR),
-        "extent_by_mktsegment": lambda: qmap["extent_by_mktsegment"](spark, SF_DIR),
-        "spatial_join": lambda: qmap["spatial_join"](spark, SF_DIR),
+        "intersects_lines": q("intersects_lines"),
+        "wkt_roundtrip_points": q("wkt_roundtrip_points"),
+        "extent_by_mktsegment": q("extent_by_mktsegment"),
+        "spatial_join": q("spatial_join"),
+        # breadth: big×big grid-partitioned spatial join, MinHash-LSH
+        # dedup, brute-force cosine top-k (the scale-critical
+        # beyond-reference operators)
+        "grid_spatial_join": q("grid_spatial_join"),
+        "minhash_pairs": q("minhash_pairs"),
+        "cosine_topk": q("cosine_topk"),
     }
 
 

@@ -427,6 +427,13 @@ def _binary_pred(fn: Callable[[Geometry, Geometry], bool], fn_name: str):
             if lb_ is not None and ga.parts is not None:
                 fastres = vector.point_on_uniform_lines(lb_, *ga.parts)
                 valid = lb_.valid & np.array([v is not None for v in al])
+        elif ga is None and gb is None and fn_name == "intersects":
+            # line×line pairs (the big×big spatial-join hot path)
+            la_ = vector.decode_uniform_lines(al)
+            lb2 = vector.decode_uniform_lines(bl) if la_ is not None else None
+            if la_ is not None and lb2 is not None:
+                fastres = vector.lines_intersect_lines(la_, lb2)
+                valid = la_.valid & lb2.valid
         if fastres is not None:
             return _bool_nullable(fastres, valid)
 

@@ -212,3 +212,50 @@ def lines_bbox(lb: LineBatch) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.nd
     c = lb.coords
     return (c[:, :, 0].min(axis=1), c[:, :, 1].min(axis=1),
             c[:, :, 0].max(axis=1), c[:, :, 1].max(axis=1))
+
+
+def _on_segment_arr(px, py, ax, ay, bx, by) -> np.ndarray:
+    """Vectorized algos._on_segment: p on closed segment ab."""
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    scale = 1.0 + np.abs(px) + np.abs(py)
+    return ((np.abs(cross) <= EPS * scale)
+            & (px >= np.minimum(ax, bx) - EPS) & (px <= np.maximum(ax, bx) + EPS)
+            & (py >= np.minimum(ay, by) - EPS) & (py <= np.maximum(ay, by) + EPS))
+
+
+def _segments_intersect_arr(ax, ay, bx, by, cx, cy, dx, dy) -> np.ndarray:
+    """Vectorized algos.segments_intersect over row-aligned segment
+    arrays: closed segments ab and cd share at least one point."""
+    o1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    o2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+    o3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+    o4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+    proper = (((o1 > 0) != (o2 > 0)) & ((o3 > 0) != (o4 > 0))
+              & (np.abs(o1) > EPS) & (np.abs(o2) > EPS)
+              & (np.abs(o3) > EPS) & (np.abs(o4) > EPS))
+    touch = (_on_segment_arr(cx, cy, ax, ay, bx, by)
+             | _on_segment_arr(dx, dy, ax, ay, bx, by)
+             | _on_segment_arr(ax, ay, cx, cy, dx, dy)
+             | _on_segment_arr(bx, by, cx, cy, dx, dy))
+    return proper | touch
+
+
+def lines_intersect_lines(la: LineBatch, lb: LineBatch) -> np.ndarray:
+    """Vectorized row-wise ST_Intersects between two uniform linestring
+    batches — replicates algos.intersects for the LineString×LineString
+    case (bbox reject, then any segment pair intersects). Loops over the
+    (few) segment-index pairs, vectorized over the (many) rows."""
+    axmin, aymin, axmax, aymax = lines_bbox(la)
+    bxmin, bymin, bxmax, bymax = lines_bbox(lb)
+    disjoint = ((axmax < bxmin - EPS) | (bxmax < axmin - EPS)
+                | (aymax < bymin - EPS) | (bymax < aymin - EPS))
+    out = np.zeros(la.n, dtype=bool)
+    ca, cb = la.coords, lb.coords
+    live = ~disjoint
+    for i in range(la.k - 1):
+        for j in range(lb.k - 1):
+            hit = _segments_intersect_arr(
+                ca[:, i, 0], ca[:, i, 1], ca[:, i + 1, 0], ca[:, i + 1, 1],
+                cb[:, j, 0], cb[:, j, 1], cb[:, j + 1, 0], cb[:, j + 1, 1])
+            out |= hit
+    return out & live

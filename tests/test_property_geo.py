@@ -107,6 +107,20 @@ def test_self_axioms(g):
     assert algos.covers(g, g)
 
 
+@given(st.lists(linestrings(min_pts=3, max_pts=3), min_size=1, max_size=15),
+       st.lists(linestrings(min_pts=3, max_pts=3), min_size=1, max_size=15))
+@settings(max_examples=100, deadline=None)
+def test_vector_lines_intersect_matches_algos(xs, ys):
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    la = vector.decode_uniform_lines([to_wkb(g) for g in xs])
+    lb = vector.decode_uniform_lines([to_wkb(g) for g in ys])
+    got = vector.lines_intersect_lines(la, lb)
+    for i in range(n):
+        assert bool(got[i]) == algos.intersects(xs[i], ys[i]), (
+            to_wkt(xs[i]), to_wkt(ys[i]))
+
+
 @given(st.lists(linestrings(min_pts=3, max_pts=3), min_size=1, max_size=20))
 @settings(max_examples=100, deadline=None)
 def test_vector_line_codec_roundtrip(lines):

@@ -1,0 +1,99 @@
+"""Plan-shape regression tests — the 100 TB design invariants.
+
+Correctness tests prove the operators compute the right answer at small
+scale; these prove the PLANS are the ones that survive a 1000-executor
+cluster: filters reach the parquet scan, small sides broadcast, exact
+geometry predicates never run on a cross product, aggregations are
+partial+final, and column pruning holds (SURVEY.md §4.2, §7.3).
+"""
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .where(F.col("l_orderkey") > 100).select("l_orderkey", "l_partkey"))
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]" in plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"))
+    plan = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in plan
+
+
+def test_spatial_join_broadcasts_and_prefilters(spark):
+    """The exact Python predicate must sit ABOVE a native-condition
+    broadcast join — never BE the join condition (which would evaluate
+    Python on the full cross product)."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["spatial_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    bnlj = plan[plan.index("BroadcastNestedLoopJoin"):]
+    head = bnlj.split("\n")[0]
+    assert "pythonUDF" not in head, "exact predicate leaked into join condition"
+    assert "xmin" in head and "ymax" in head, "native bbox prefilter missing"
+
+
+def test_grid_join_is_equi_join_no_cross_product(spark):
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["grid_spatial_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_extent_agg_is_partial_final(spark):
+    """st_extent collapses into Catalyst's two-phase hash aggregate
+    (partial min/max before the exchange — the reference's
+    update_batch/merge_batch lifecycle, extent.rs:76-128, for free)."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["extent_by_mktsegment"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_exact_dedup_partial_agg(spark):
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["exact_dedup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2, "map-side combine missing"
+
+
+def test_minhash_no_cross_product(spark):
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["minhash_pairs"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_stays_jvm_side(spark):
+    """Brute-force cosine top-k must be pure built-ins (F.aggregate /
+    zip_with) — no Python eval node in the plan."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["cosine_topk"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
