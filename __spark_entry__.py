@@ -653,13 +653,16 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(id, split_wkt)
         """,
         "text_stats": f"""
-            SELECT doc_id, n_tokens, avg_token_len, stop_ratio, distinct_ratio,
+            SELECT doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, distinct_ratio,
                    ROUND(0.4 * LEAST(1.0, n_tokens / 100.0)
                          + 0.3 * (1.0 - stop_ratio)
                          + 0.3 * distinct_ratio, 6) AS quality_score
             FROM (
               SELECT doc_id,
                      len(w)::INT AS n_tokens,
+                     len(regexp_extract_all(text,
+                         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))::INT
+                         AS n_bpe_tokens,
                      ROUND(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
                            / len(w), 6) AS avg_token_len,
                      ROUND(len(list_filter(w, x -> x IN ({_stop_list()})))::DOUBLE

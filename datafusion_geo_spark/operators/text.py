@@ -32,9 +32,20 @@ LANG_MARKERS = (
 ROLL_B = 31
 ROLL_P = 1_000_000_007
 
+# BPE-ish pre-tokenizer regex (GPT-2-style, ASCII simplification):
+# contractions | space?letters | space?digits | space?punct-run | spaces.
+# Kept to syntax Java regex (Spark) and RE2 (DuckDB) evaluate identically.
+BPE_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
 
 def words_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer — the whitespace-free
+    estimate a training pipeline budgets with."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), F.lit(0)))
 
 
 def text_stats(df: DataFrame, text_col: str = "text",
@@ -54,6 +65,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
     return df.select(
         id_col,
         n_tokens.alias("n_tokens"),
+        bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
         avg_token_len.alias("avg_token_len"),
         stop_ratio.alias("stop_ratio"),
         distinct_ratio.alias("distinct_ratio"),
