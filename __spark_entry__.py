@@ -362,6 +362,20 @@ def _q_streaming_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_extent(spark, sf_dir)
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video-shaped 1→N explosion) over the
+    media table: every 2nd 64-byte chunk becomes its own row via
+    mapInPandas — no shuffle, frames co-partitioned with source items."""
+    from datafusion_geo_spark.operators.multimodal import sample_frames, to_media
+    from datafusion_geo_spark.sources.fixtures import load_table
+    media = to_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_size=64, stride=2)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
+        "byte_offset")
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization via
     applyInPandasWithState (30-min inactivity gap). Bounded input +
@@ -416,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_frames": _q_multimodal_frames,
         "streaming_extent": _q_streaming_extent,
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -770,6 +785,17 @@ def oracle_sql() -> dict[str, str]:
                      AS checksum,
                    ascii(substr(text, 1, 1))::INT AS head_byte
             FROM documents
+        """,
+        "multimodal_frames": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0,
+                        CAST(floor((length(text) - 1) / 128.0) AS BIGINT))) AS i
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, i::INT AS frame_idx,
+                   substr(text, (i * 128 + 1)::INT, 64) AS frame_text,
+                   (i * 128)::INT AS byte_offset
+            FROM f
         """,
         "streaming_extent": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

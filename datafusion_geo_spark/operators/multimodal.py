@@ -83,3 +83,75 @@ def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
             })
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+
+def resize_images(media: DataFrame, width: int = 16, height: int = 16,
+                  real_decode: bool = False) -> DataFrame:
+    """Resize plumbing: per-item transform keeping the binary column
+    shape (1 row in → 1 row out, new payload + dimension metadata).
+    The stub 'resize' deterministically subsamples the payload to
+    width*height bytes; a real implementation decodes with PIL, resizes,
+    re-encodes — same schema, same batch iteration."""
+    if real_decode:
+        raise NotImplementedError(
+            "real image resize needs PIL — not available in this container")
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if len(b) >= target:
+                    step = len(b) // target
+                    out.append(b[::step][:target])
+                else:  # pad by repetition
+                    out.append((b * (target // max(len(b), 1) + 1))[:target])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": out,
+                "width": width, "height": height,
+            })
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame", BinaryType()),
+    StructField("byte_offset", IntegerType()),
+])
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64,
+                  stride: int = 2) -> DataFrame:
+    """Frame sampling plumbing: the 1→N row explosion a video pipeline
+    needs — each payload yields every ``stride``-th fixed-size chunk as
+    its own row. ``mapInPandas`` handles the fan-out without a shuffle;
+    output rows stay co-partitioned with their source item (frame-level
+    downstream ops — embed, filter — start from here)."""
+    step = frame_size * stride
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames, offs = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                for fi, off in enumerate(range(0, len(b), step)):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(b[off:off + frame_size])
+                    offs.append(off)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame": frames, "byte_offset": offs})
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
