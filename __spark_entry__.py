@@ -137,6 +137,24 @@ def _q_equals_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#2 ST_GeomFromWKB: re-validate WKB built by ST_Point, then
+    serialize back (plain path) and stamp an SRID (EWKB path) — mirrors
+    /root/reference/src/function/geom_from_wkb.rs:50-76."""
+    from datafusion_geo_spark.functions import (st_asewkt, st_astext,
+                                                st_geomfromwkb, st_srid)
+    from datafusion_geo_spark.sources.fixtures import points_lineitem
+    df = points_lineitem(spark, sf_dir)
+    revalidated = st_geomfromwkb(F.col("geom"))
+    stamped = st_geomfromwkb(F.col("geom"), 4326)
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        st_astext(revalidated).alias("wkt_out"),
+        st_srid(stamped).alias("srid_out"),
+        st_asewkt(stamped).alias("ewkt_out"),
+    )
+
+
 def _q_srid_ewkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#17 ST_SRID + #4 ST_AsEWKT with an SRID-stamped constructor
     (srid round-trip as in /root/reference/src/function/srid.rs:87-106)."""
@@ -411,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_points": _q_translate_points,
         "covers_envelope": _q_covers_envelope,
         "equals_lines": _q_equals_lines,
+        "wkb_roundtrip": _q_wkb_roundtrip,
         "srid_ewkt": _q_srid_ewkt,
         "geojson_points": _q_geojson_points,
         "geometry_type": _q_geometry_type,
@@ -596,6 +615,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE TRUE END AS eq_simplified,
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE FALSE END AS eq_shifted
             FROM orders
+        """,
+        "wkb_roundtrip": f"""
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE {_POINT_WKT} END AS wkt_out,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(4326 AS INTEGER) END AS srid_out,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE 'SRID=4326;' || {_POINT_WKT} END AS ewkt_out
+            FROM lineitem
         """,
         "srid_ewkt": f"""
             SELECT l_orderkey, l_linenumber,
