@@ -104,7 +104,12 @@ def main() -> None:
 
     timings = {}
     for name, make in queries.items():
-        force(make())  # warmup: JVM/Python-worker spin-up, parquet footer cache
+        # two warmups: codegen/python-worker spin-up on the first, AQE
+        # plan stabilization on the second; GC between queries so one
+        # query's garbage doesn't tax the next one's timed runs
+        spark.sparkContext._jvm.System.gc()
+        force(make())
+        force(make())
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()

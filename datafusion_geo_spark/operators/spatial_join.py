@@ -44,10 +44,22 @@ def ensure_bbox(df: DataFrame, geom_col: str = "geom") -> DataFrame:
 
 
 def _bbox_overlap(l: str, r: str) -> Column:
-    return ((F.col(f"{l}.xmin") <= F.col(f"{r}.xmax"))
-            & (F.col(f"{r}.xmin") <= F.col(f"{l}.xmax"))
-            & (F.col(f"{l}.ymin") <= F.col(f"{r}.ymax"))
-            & (F.col(f"{r}.ymin") <= F.col(f"{l}.ymax")))
+    """Null-TOLERANT bbox overlap: each conjunct coalesces the min side
+    to +inf and the max side to -inf, so null bboxes simply never match.
+    Deliberate: a null-intolerant condition makes Catalyst infer
+    IsNotNull constraints on the UDF-derived bbox columns and DUPLICATE
+    the box2d ArrowEvalPython node (one for the inferred filter, one for
+    the projection) — two full Python passes over the big side."""
+    def lo(c):  # min-side: null -> +inf (can never be <= anything real)
+        return F.coalesce(F.col(c), F.lit(float("inf")))
+
+    def hi(c):  # max-side: null -> -inf
+        return F.coalesce(F.col(c), F.lit(float("-inf")))
+
+    return ((lo(f"{l}.xmin") <= hi(f"{r}.xmax"))
+            & (lo(f"{r}.xmin") <= hi(f"{l}.xmax"))
+            & (lo(f"{l}.ymin") <= hi(f"{r}.ymax"))
+            & (lo(f"{r}.ymin") <= hi(f"{l}.ymax")))
 
 
 def broadcast_bbox_join(big: DataFrame, small: DataFrame,
