@@ -380,6 +380,27 @@ def _q_streaming_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_extent(spark, sf_dir)
 
 
+def _q_events_hourly_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface (SURVEY.md §2: ABSENT in ref, Spark
+    built-in): hourly event counts per type with previous-hour delta
+    (lag) and busiest-hour rank (dense_rank) — runs as native
+    WindowExec after a partial+final count aggregation."""
+    from pyspark.sql import Window
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = load_events(spark, sf_dir)
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                         "event_type")
+              .agg(F.count("*").alias("n_events")))
+    w_time = Window.partitionBy("event_type").orderBy("hour")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), F.col("hour"))
+    return hourly.select(
+        "hour", "event_type", "n_events",
+        (F.col("n_events") - F.lag("n_events", 1).over(w_time))
+        .alias("delta_prev_hour"),
+        F.dense_rank().over(w_rank).cast("long").alias("busy_rank"))
+
+
 def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (video-shaped 1→N explosion) over the
     media table: every 2nd 64-byte chunk becomes its own row via
@@ -450,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
+        "events_hourly_rank": _q_events_hourly_rank,
         "streaming_extent": _q_streaming_extent,
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -814,6 +836,21 @@ def oracle_sql() -> dict[str, str]:
                      AS checksum,
                    ascii(substr(text, 1, 1))::INT AS head_byte
             FROM documents
+        """,
+        "events_hourly_rank": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS hour, event_type,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT hour, event_type, n_events,
+                   n_events - lag(n_events, 1) OVER
+                       (PARTITION BY event_type ORDER BY hour)
+                       AS delta_prev_hour,
+                   dense_rank() OVER (PARTITION BY event_type
+                                      ORDER BY n_events DESC, hour)
+                       AS busy_rank
+            FROM hourly
         """,
         "multimodal_frames": """
             WITH f AS (

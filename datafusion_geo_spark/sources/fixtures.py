@@ -63,6 +63,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a usable timestamp column. The fixture stores
+    TIMESTAMP(NANOS), which Spark 4's parquet reader rejects — read
+    nanos as int64 and convert via integer division (never through
+    double: precision loss above 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
