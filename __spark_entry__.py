@@ -429,15 +429,19 @@ def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product): slope +1 order-lines × slope −1 part-lines; pairs
     aggregate by intercept offset m−k ∈ {−1,0,1,2}."""
     import pyspark.sql.functions as FF
-    from datafusion_geo_spark.operators.spatial_join import grid_join
+    from datafusion_geo_spark.operators.spatial_join import cogrouped_grid_join
     from datafusion_geo_spark.sources.fixtures import lines_orders, lines_part
     a = lines_orders(spark, sf_dir, with_nulls=False).select("o_orderkey", "k", "geom")
     b = lines_part(spark, sf_dir).select("p_partkey", "m", "geom")
-    pairs = grid_join(a, b, cell=8.0)
-    return (pairs.groupBy((FF.col("rb.m") - FF.col("la.k")).alias("m_minus_k"))
+    # cogroup strategy: cell members cross into Python once and pairs
+    # come back with only the narrow columns the aggregation needs —
+    # ~2× less transfer than the equi-join + exact-filter plan (which
+    # ships both WKB geometries for every one of the 24M candidates)
+    pairs = cogrouped_grid_join(a, b, cell=8.0)
+    return (pairs.groupBy((FF.col("m") - FF.col("k")).alias("m_minus_k"))
             .agg(FF.count("*").alias("n_pairs"),
-                 FF.countDistinct("la.o_orderkey").alias("n_orders"),
-                 FF.countDistinct("rb.p_partkey").alias("n_parts"))
+                 FF.countDistinct("o_orderkey").alias("n_orders"),
+                 FF.countDistinct("p_partkey").alias("n_parts"))
             .orderBy("m_minus_k"))
 
 

@@ -55,13 +55,26 @@ def test_spatial_join_broadcasts_and_prefilters(spark):
 
 
 def test_grid_join_is_equi_join_no_cross_product(spark):
+    """Both big×big strategies must avoid cross products: the cogroup
+    path shuffles on cell keys into FlatMapCoGroupsInPandas; the
+    equi-join path joins on cell keys."""
     import __spark_entry__ as entrymod
     df = entrymod.queries()["grid_spatial_join"](spark, SF_DIR)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
-        or ("BroadcastHashJoin" in plan)
+        or ("BroadcastHashJoin" in plan) or ("FlatMapCoGroupsInPandas" in plan)
+
+    from datafusion_geo_spark.operators.spatial_join import grid_join
+    from datafusion_geo_spark.sources.fixtures import lines_orders, lines_part
+    a = lines_orders(spark, SF_DIR, with_nulls=False).select("o_orderkey", "k", "geom")
+    b = lines_part(spark, SF_DIR).select("p_partkey", "m", "geom")
+    plan2 = plan_of(grid_join(a, b, cell=8.0))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert ("SortMergeJoin" in plan2) or ("ShuffledHashJoin" in plan2) \
+        or ("BroadcastHashJoin" in plan2)
 
 
 def test_extent_agg_is_partial_final(spark):
