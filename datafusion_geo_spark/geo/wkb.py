@@ -94,7 +94,13 @@ class _Reader:
 def from_wkb(buf: bytes) -> Geometry:
     if not buf or len(buf) < 5:
         raise ValueError("invalid WKB: too short")
-    return _Reader(bytes(buf)).geometry()
+    try:
+        return _Reader(bytes(buf)).geometry()
+    except (struct.error, IndexError, MemoryError, OverflowError) as e:
+        # truncated/garbage buffers surface as ValueError like every
+        # other malformed-input path (hypothesis: a 5-byte EWKB header
+        # claiming an SRID crashed struct.unpack_from)
+        raise ValueError(f"invalid WKB: {e}") from e
 
 
 def _header(code: int, srid: Optional[int], out: List[bytes]) -> None:

@@ -121,6 +121,29 @@ def test_vector_lines_intersect_matches_algos(xs, ys):
             to_wkt(xs[i]), to_wkt(ys[i]))
 
 
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_wkt_parser_never_crashes(s):
+    """Arbitrary text either parses or raises ValueError — no other
+    exception type escapes the parser (the kernel maps ValueError to a
+    clean per-row failure)."""
+    try:
+        g = from_wkt(s)
+    except ValueError:
+        return
+    assert isinstance(g, Geometry)
+
+
+@given(st.binary(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_wkb_decoder_never_crashes(b):
+    try:
+        g = from_wkb(b)
+    except ValueError:
+        return
+    assert isinstance(g, Geometry)
+
+
 @given(st.lists(linestrings(min_pts=3, max_pts=3), min_size=1, max_size=20))
 @settings(max_examples=100, deadline=None)
 def test_vector_line_codec_roundtrip(lines):
