@@ -83,6 +83,26 @@ def _q_extent_by_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extent_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#19 st_extent via the SQL-registered UDAF — the reference's own SQL
+    shape ``select ST_Extent(geom), name … group by name``
+    (/root/reference/src/function/extent.rs:205) as a drop-in. Grouped-agg
+    pandas UDFs return arrays, so ST_Box2DFromArray recovers the Box2d
+    struct. Correctness twin of extent_by_mktsegment (same oracle); the
+    native min-max lowering there remains the scale path."""
+    from datafusion_geo_spark.functions import register_all
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    register_all(spark)
+    points_customer(spark, sf_dir).createOrReplaceTempView("pts_extent_sql")
+    return spark.sql("""
+        SELECT c_mktsegment, b.xmin AS xmin, b.ymin AS ymin,
+               b.xmax AS xmax, b.ymax AS ymax
+        FROM (SELECT c_mktsegment,
+                     ST_Box2DFromArray(ST_Extent(geom)) AS b
+              FROM pts_extent_sql GROUP BY c_mktsegment)
+    """)
+
+
 def _q_box2d_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#7 Box2D per-row bounds over the linestring fixture."""
     from datafusion_geo_spark.functions import box2d
@@ -450,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_roundtrip_points": _q_wkt_roundtrip_points,
         "intersects_lines": _q_intersects_lines,
         "extent_by_mktsegment": _q_extent_by_mktsegment,
+        "extent_sql_udaf": _q_extent_sql_udaf,
         "box2d_lines": _q_box2d_lines,
         "translate_points": _q_translate_points,
         "covers_envelope": _q_covers_envelope,
@@ -594,6 +615,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "extent_by_mktsegment": """
+            SELECT c_mktsegment,
+                   MIN(x) AS xmin, MIN(y) AS ymin,
+                   MAX(x) AS xmax, MAX(y) AS ymax
+            FROM (
+              SELECT c_mktsegment,
+                     CASE WHEN c_custkey % 7 = 0 THEN NULL
+                          ELSE CAST(c_custkey % 360 - 180 AS DOUBLE) END AS x,
+                     CASE WHEN c_custkey % 7 = 0 THEN NULL
+                          ELSE CAST(c_nationkey * 3 AS DOUBLE) - 37.5 END AS y
+              FROM customer)
+            GROUP BY c_mktsegment
+        """,
+        "extent_sql_udaf": """
             SELECT c_mktsegment,
                    MIN(x) AS xmin, MIN(y) AS ymin,
                    MAX(x) AS xmax, MAX(y) AS ymax

@@ -20,7 +20,7 @@ from typing import Optional, Union
 import pyspark.sql.functions as F
 from pyspark.sql import Column, SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (BinaryType, BooleanType, DoubleType,
+from pyspark.sql.types import (ArrayType, BinaryType, BooleanType, DoubleType,
                                IntegerType, StringType, StructField, StructType)
 
 from ..geo.geom import Geometry
@@ -297,6 +297,24 @@ def st_extent(g: GeomLike) -> Column:
     return st_extent_agg(box2d(g))
 
 
+def _uagg_extent():
+    def f(g: pd.Series) -> list:  # Series -> scalar = grouped-agg UDF
+        return kernels.extent_array(g)
+    f.__name__ = "st_extent"
+    return pandas_udf(f, ArrayType(DoubleType()))
+
+
+# SQL drop-in for the reference's `select ST_Extent(geom) ... group by k`
+# (/root/reference/src/function/extent.rs:205). Returns [xmin,ymin,xmax,ymax]
+# (grouped-agg pandas UDFs cannot return StructType); wrap with
+# ST_Box2DFromArray(...) for the exact Box2d struct. SCALE WARNING: a
+# pandas UDAF has no map-side partial aggregation — every geometry blob
+# shuffles to its group. The scale path is ``st_extent_agg`` /
+# min-max over Box2D, which Catalyst runs as partial+final HashAggregate.
+_extent_sql = _uagg_extent()
+_box2d_from_array = _u1_df(kernels.box2d_from_array, BOX2D_TYPE)
+
+
 # -- SQL registration ---------------------------------------------------
 
 _SQL_UDFS = {
@@ -329,6 +347,8 @@ _SQL_UDFS = {
     "ST_AsMVTGeom": _as_mvt_geom,
     "ST_Point": _point,
     "ST_NPoints": _npoints,
+    "ST_Extent": _extent_sql,
+    "ST_Box2DFromArray": _box2d_from_array,
 }
 
 
@@ -340,9 +360,11 @@ def register_all(spark: SparkSession) -> None:
 
     Optional-SRID overloads (reference ``one_of`` signatures,
     geom_from_text.rs:21-27) resolve under the primary name via variadic
-    UDFs; ``<name>SRID`` aliases remain. ``st_extent`` has no SQL UDAF — use the
-    DataFrame helper ``st_extent_agg`` or plain
-    ``min(bbox.xmin)/…/max(bbox.ymax)`` in SQL (SURVEY.md §2.1 #19).
+    UDFs; ``<name>SRID`` aliases remain. ``ST_Extent`` registers as a
+    grouped-agg pandas UDAF returning [xmin,ymin,xmax,ymax] (struct via
+    ``ST_Box2DFromArray``) for reference-SQL drop-in parity; at scale
+    prefer ``st_extent_agg`` / native min-max, which aggregates
+    partial+final with no Python in the agg path (SURVEY.md §2.1 #19).
     """
     for name, udf_obj in _SQL_UDFS.items():
         spark.udf.register(name, udf_obj)

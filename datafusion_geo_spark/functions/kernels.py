@@ -362,6 +362,32 @@ def box2d_rows(s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
 
 
+def extent_array(s: pd.Series):
+    """One group's extent as [xmin, ymin, xmax, ymax] (None for an
+    all-null group) — the kernel behind the SQL-registered ST_Extent
+    UDAF. Null geometries are skipped, not group-nulling, exactly like
+    the reference accumulator (/root/reference/src/function/extent.rs:131-141)."""
+    bb = box2d_rows(s)
+    xmin = bb["xmin"].min()  # pandas min/max skip NaN/None
+    if pd.isna(xmin):
+        return None
+    return [float(xmin), float(bb["ymin"].min()),
+            float(bb["xmax"].max()), float(bb["ymax"].max())]
+
+
+def box2d_from_array(s: pd.Series) -> pd.DataFrame:
+    """array<double>[4] -> Box2D struct rows; the SQL bridge back from
+    ST_Extent's array encoding (grouped-agg pandas UDFs cannot return
+    StructType) to the reference's Box2d struct
+    (/root/reference/src/geo/box.rs:11-16)."""
+    cols = {k: [] for k in ("xmin", "ymin", "xmax", "ymax")}
+    for v in s.tolist():
+        ok = v is not None and len(v) == 4
+        for i, k in enumerate(cols):
+            cols[k].append(float(v[i]) if ok else None)
+    return pd.DataFrame(cols)
+
+
 # ------------------------------------------------------------ predicates
 
 def _pred_const_vs_points(fn_name: str, g: Geometry,
