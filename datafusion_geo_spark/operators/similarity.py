@@ -43,15 +43,20 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: broadcast the query set, evaluate cosine
     JVM-side, rank with a window partitioned by query id (ties broken by
-    neighbor id). Self-matches excluded."""
+    neighbor id). Self-matches excluded. Norms are materialized once per
+    side before the pairing — cosine() inline would re-aggregate the
+    corpus vector's norm for every one of the Q queries it meets."""
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   as_double(F.col(vec_col)).alias("qv")))
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   as_double(F.col(vec_col)).alias("cv"))
+                                   as_double(F.col(vec_col)).alias("qv"))
+                    .withColumn("qn", norm(F.col("qv"))))
+    c = (emb.select(F.col(id_col).alias("neighbor_id"),
+                    as_double(F.col(vec_col)).alias("cv"))
+         .withColumn("cn", norm(F.col("cv"))))
     scored = (c.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim")))
+                      F.round(dot(F.col("qv"), F.col("cv"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -101,15 +106,18 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
     vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     buckets = bucket_via_planes(vecs, planes, id_col=id_col)
     vb = vecs.join(buckets, id_col)
-    c = vb.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
-                  "bucket")
+    c = (vb.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                   "bucket")
+         .withColumn("cn", norm(F.col("cv"))))
     q = F.broadcast(vb.where(F.col(id_col) < max_query_id)
                     .select(F.col(id_col).alias("query_id"),
-                            F.col("v").alias("qv"), "bucket"))
+                            F.col("v").alias("qv"), "bucket")
+                    .withColumn("qn", norm(F.col("qv"))))
     scored = (c.join(q, "bucket")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim")))
+                      F.round(dot(F.col("qv"), F.col("cv"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -152,11 +160,14 @@ def embedding_near_dup(emb: DataFrame, probe_max_id: int,
     corpus = base.unionAll(copies)
     probes = F.broadcast(
         corpus.where((F.col(id_col) % offset) < probe_max_id)
-        .select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")))
-    cands = corpus.select(F.col(id_col).alias("id_b"),
-                          as_double(F.col(vec_col)).alias("vb"))
+        .select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+        .withColumn("na", norm(F.col("va"))))
+    cands = (corpus.select(F.col(id_col).alias("id_b"),
+                           as_double(F.col(vec_col)).alias("vb"))
+             .withColumn("nb", norm(F.col("vb"))))
     return (cands.crossJoin(probes)
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+                    F.round(dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")), 6).alias("sim"))
             .where(F.col("sim") >= min_cosine))

@@ -122,7 +122,7 @@ def test_vector_lines_intersect_matches_algos(xs, ys):
 
 
 @given(st.text(max_size=60))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=100, deadline=None)
 def test_wkt_parser_never_crashes(s):
     """Arbitrary text either parses or raises ValueError — no other
     exception type escapes the parser (the kernel maps ValueError to a
@@ -135,7 +135,7 @@ def test_wkt_parser_never_crashes(s):
 
 
 @given(st.binary(max_size=80))
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=100, deadline=None)
 def test_wkb_decoder_never_crashes(b):
     try:
         g = from_wkb(b)
