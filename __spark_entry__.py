@@ -451,13 +451,19 @@ def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as FF
     from datafusion_geo_spark.operators.spatial_join import cogrouped_grid_join
     from datafusion_geo_spark.sources.fixtures import lines_orders, lines_part
-    a = lines_orders(spark, sf_dir, with_nulls=False).select("o_orderkey", "k", "geom")
-    b = lines_part(spark, sf_dir).select("p_partkey", "m", "geom")
+    # with_bbox: fused construct-geometry+bbox in one Python crossing, so
+    # ensure_bbox inside the join skips its own Box2D pass on both sides
+    a = lines_orders(spark, sf_dir, with_nulls=False, with_bbox=True) \
+        .select("o_orderkey", "k", "geom", "xmin", "ymin", "xmax", "ymax")
+    b = lines_part(spark, sf_dir, with_bbox=True) \
+        .select("p_partkey", "m", "geom", "xmin", "ymin", "xmax", "ymax")
     # cogroup strategy: cell members cross into Python once and pairs
     # come back with only the narrow columns the aggregation needs —
     # ~2× less transfer than the equi-join + exact-filter plan (which
     # ships both WKB geometries for every one of the 24M candidates)
-    pairs = cogrouped_grid_join(a, b, cell=8.0)
+    pairs = cogrouped_grid_join(a, b, cell=8.0,
+                                a_cols=["o_orderkey", "k"],
+                                b_cols=["p_partkey", "m"])
     return (pairs.groupBy((FF.col("m") - FF.col("k")).alias("m_minus_k"))
             .agg(FF.count("*").alias("n_pairs"),
                  FF.countDistinct("o_orderkey").alias("n_orders"),

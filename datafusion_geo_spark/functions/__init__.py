@@ -314,6 +314,19 @@ def _uagg_extent():
 _extent_sql = _uagg_extent()
 _box2d_from_array = _u1_df(kernels.box2d_from_array, BOX2D_TYPE)
 
+GEOM_BBOX_TYPE = StructType(
+    [StructField("geom", BinaryType(), True)] + list(BOX2D_TYPE.fields))
+_geom_bbox_from_text = _u1_df(kernels.geom_bbox_from_text, GEOM_BBOX_TYPE)
+
+
+def st_geom_with_bbox_from_text(wkt: Union[Column, str]) -> Column:
+    """Fused ST_GeomFromText + Box2D: struct{geom,xmin,ymin,xmax,ymax} in
+    one Python crossing instead of two chained pandas-UDF stages. Use at
+    ingest so downstream spatial joins read native bbox columns
+    (ensure_bbox skips its Python pass when they exist)."""
+    c = wkt if isinstance(wkt, Column) else F.lit(wkt)
+    return _geom_bbox_from_text(c)
+
 
 # -- SQL registration ---------------------------------------------------
 
@@ -377,5 +390,5 @@ __all__ = [
     "st_intersects", "st_covers", "st_coveredby", "st_equals",
     "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",
     "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints",
-    "st_extent", "st_extent_agg",
+    "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",
 ]

@@ -375,6 +375,20 @@ def extent_array(s: pd.Series):
             float(bb["xmax"].max()), float(bb["ymax"].max())]
 
 
+def geom_bbox_from_text(s: pd.Series) -> pd.DataFrame:
+    """Fused constructor: WKT -> (geom WKB, xmin, ymin, xmax, ymax) in ONE
+    Python crossing. The bbox recompute on the in-memory WKB is ~1/10 the
+    cost of a second ArrowEvalPython stage round-tripping the geometry
+    column (the plan-level alternative: ST_GeomFromText then Box2D = two
+    chained-dependent pandas UDFs = two stages). This is the ingest shape
+    for bbox-covering-column tables (cf. GeoParquet covering metadata) that
+    spatial-join prefilters consume without touching the geometry blob."""
+    g = geom_from_text(s)
+    bb = box2d_rows(g)
+    bb.insert(0, "geom", g)
+    return bb
+
+
 def box2d_from_array(s: pd.Series) -> pd.DataFrame:
     """array<double>[4] -> Box2D struct rows; the SQL bridge back from
     ST_Extent's array encoding (grouped-agg pandas UDFs cannot return

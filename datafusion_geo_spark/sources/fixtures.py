@@ -144,15 +144,18 @@ def _points_customer(spark, sf_dir, with_nulls):
 
 
 def lines_orders(spark: SparkSession, sf_dir: str,
-                 with_nulls: bool = True) -> DataFrame:
+                 with_nulls: bool = True,
+                 with_bbox: bool = False) -> DataFrame:
     """3-point linestrings along y=x+1 from k = o_orderkey%1000 — the
     reference's generator (/root/reference/benches/util.rs:27-36).
-    Columns: o_orderkey, k, wkt, geom."""
-    return _memo(("lines_orders", sf_dir, with_nulls),
-                 lambda: _lines_orders(spark, sf_dir, with_nulls))
+    Columns: o_orderkey, k, wkt, geom [+ xmin,ymin,xmax,ymax when
+    ``with_bbox`` — fused single-crossing construction; spatial joins
+    then skip their Box2D Python pass entirely]."""
+    return _memo(("lines_orders", sf_dir, with_nulls, with_bbox),
+                 lambda: _lines_orders(spark, sf_dir, with_nulls, with_bbox))
 
 
-def _lines_orders(spark, sf_dir, with_nulls):
+def _lines_orders(spark, sf_dir, with_nulls, with_bbox=False):
     o = load_table(spark, sf_dir, "orders")
     df = o.select("o_orderkey", (F.col("o_orderkey") % 1000).alias("k"))
     k = F.col("k")
@@ -163,9 +166,18 @@ def _lines_orders(spark, sf_dir, with_nulls):
         (k + 4).cast("string"), F.lit(" "), (k + 5).cast("string"), F.lit(")"),
     )
     df = _spread(df.withColumn("wkt", wkt))
+    keep = F.col("o_orderkey") % 7 != 0
+    if with_bbox:
+        from ..functions import st_geom_with_bbox_from_text
+        gb = st_geom_with_bbox_from_text(F.col("wkt"))
+        if with_nulls:
+            gb = _null_unless(keep, gb)
+        df = df.withColumn("_gb", gb)
+        return df.select("o_orderkey", "k", "wkt", "_gb.geom",
+                         "_gb.xmin", "_gb.ymin", "_gb.xmax", "_gb.ymax")
     geom = st_geomfromtext(F.col("wkt"))
     if with_nulls:
-        geom = _null_unless(F.col("o_orderkey") % 7 != 0, geom)
+        geom = _null_unless(keep, geom)
     return df.withColumn("geom", geom)
 
 
@@ -177,17 +189,19 @@ LINES_ORDERS_WKT_SQL = (
 )
 
 
-def lines_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lines_part(spark: SparkSession, sf_dir: str,
+               with_bbox: bool = False) -> DataFrame:
     """Slope −1 linestrings from part: m = p_partkey % 1000, points
     (m, m+4) → (m+2, m+2) → (m+4, m), i.e. y = 2m+4−x on x∈[m, m+4].
     Crosses the slope +1 ``lines_orders`` family iff m−k ∈ {−1,0,1,2}
     (intersection x0 = m+1.5 must fall in [k, k+4]) — analytically
-    checkable by the oracle. Columns: p_partkey, m, geom."""
-    return _memo(("lines_part", sf_dir),
-                 lambda: _lines_part(spark, sf_dir))
+    checkable by the oracle. Columns: p_partkey, m, geom
+    [+ xmin..ymax when ``with_bbox``]."""
+    return _memo(("lines_part", sf_dir, with_bbox),
+                 lambda: _lines_part(spark, sf_dir, with_bbox))
 
 
-def _lines_part(spark, sf_dir):
+def _lines_part(spark, sf_dir, with_bbox=False):
     p = load_table(spark, sf_dir, "part")
     df = p.select("p_partkey", (F.col("p_partkey") % 1000).alias("m"))
     m = F.col("m")
@@ -198,6 +212,11 @@ def _lines_part(spark, sf_dir):
         (m + 4).cast("string"), F.lit(" "), m.cast("string"), F.lit(")"),
     )
     df = _spread(df.withColumn("wkt", wkt))
+    if with_bbox:
+        from ..functions import st_geom_with_bbox_from_text
+        df = df.withColumn("_gb", st_geom_with_bbox_from_text(F.col("wkt")))
+        return df.select("p_partkey", "m", "_gb.geom",
+                         "_gb.xmin", "_gb.ymin", "_gb.xmax", "_gb.ymax")
     return df.withColumn("geom", st_geomfromtext(F.col("wkt"))).drop("wkt")
 
 
