@@ -245,7 +245,9 @@ def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving pairs — the PostGIS &&-then-exact pattern."""
     from datafusion_geo_spark.operators.spatial_join import broadcast_bbox_join
     from datafusion_geo_spark.sources.fixtures import boxes_nation, lines_orders
-    lines = lines_orders(spark, sf_dir, with_nulls=False)
+    # with_bbox: fused construction attaches native bbox columns, so the
+    # join's big-side ensure_bbox skips its separate Box2D Python pass
+    lines = lines_orders(spark, sf_dir, with_nulls=False, with_bbox=True)
     joined = broadcast_bbox_join(lines, boxes_nation(spark, sf_dir))
     return joined.groupBy(F.col("s.n_nationkey").alias("n_nationkey")).agg(
         F.count("*").alias("n_lines")).orderBy("n_nationkey")
