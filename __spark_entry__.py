@@ -563,19 +563,28 @@ def _minhash_oracle() -> str:
 
 
 def _simhash_oracle() -> str:
+    # 64-bit signature from two 32-bit md5 halves; bit 63 is the int64
+    # sign bit (−2^63 added LAST so no intermediate overflows) — mirrors
+    # operators.dedup.simhash bit-for-bit. Brute-force O(n²) here; the
+    # Spark side uses the 4×16-bit-chunk pigeonhole equi-join.
     from datafusion_geo_spark.operators.dedup import SIMHASH_BITS
     sums = ", ".join(
-        f"SUM(CASE WHEN (hh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        f"SUM(CASE WHEN ({'hlo' if j < 32 else 'hhi'} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
         for j in range(SIMHASH_BITS))
-    sig = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
-        for j in range(SIMHASH_BITS))
+    terms = [f"(CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+             for j in range(63)]
+    terms.append("(CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1)::BIGINT "
+                 "ELSE 0 END)")
+    sig = " + ".join(terms)
     corpus = _CORPUS.format(where="")
-    h64 = _H64.format(arg="w")
     return f"""
         WITH corpus AS ({corpus}),
         wrd AS (SELECT doc_id, unnest({_WORDS}) AS w FROM corpus),
-        h AS (SELECT doc_id, {h64} AS hh FROM wrd),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(w), 1, 8))::BIGINT AS hlo,
+                     ('0x' || substr(md5(w), 9, 8))::BIGINT AS hhi
+              FROM wrd),
         sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
         sig AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -764,22 +773,29 @@ def oracle_sql() -> dict[str, str]:
               (3, 'GEOMETRYCOLLECTION(POLYGON((0 0,5 0,5 10,0 10,0 0)),POLYGON((5 0,10 0,10 10,5 10,5 0)))')
             ) AS t(id, split_wkt)
         """,
+        # ratios/score via exact scaled-integer half-up rounding — mirrors
+        # operators.text._ratio6 (F.round at 6 decimals is representation-
+        # dependent at half boundaries between engines; round-1 hash-fail)
         "text_stats": f"""
-            SELECT doc_id, n_tokens, n_bpe_tokens, avg_token_len, stop_ratio, distinct_ratio,
-                   ROUND(0.4 * LEAST(1.0, n_tokens / 100.0)
-                         + 0.3 * (1.0 - stop_ratio)
-                         + 0.3 * distinct_ratio, 6) AS quality_score
+            SELECT doc_id, n_tokens::INT AS n_tokens, n_bpe_tokens,
+                   ((2000000*nchars + n_tokens) // (2*n_tokens)) / 1000000.0
+                       AS avg_token_len,
+                   ((2000000*stops + n_tokens) // (2*n_tokens)) / 1000000.0
+                       AS stop_ratio,
+                   ((2000000*dst + n_tokens) // (2*n_tokens)) / 1000000.0
+                       AS distinct_ratio,
+                   ((2*(4000*LEAST(100, n_tokens)*n_tokens
+                        + 300000*(n_tokens - stops + dst)) + n_tokens)
+                    // (2*n_tokens)) / 1000000.0 AS quality_score
             FROM (
               SELECT doc_id,
-                     len(w)::INT AS n_tokens,
+                     len(w)::BIGINT AS n_tokens,
                      len(regexp_extract_all(text,
                          '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))::INT
                          AS n_bpe_tokens,
-                     ROUND(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-                           / len(w), 6) AS avg_token_len,
-                     ROUND(len(list_filter(w, x -> x IN ({_stop_list()})))::DOUBLE
-                           / len(w), 6) AS stop_ratio,
-                     ROUND(len(list_distinct(w))::DOUBLE / len(w), 6) AS distinct_ratio
+                     length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS nchars,
+                     len(list_filter(w, x -> x IN ({_stop_list()})))::BIGINT AS stops,
+                     len(list_distinct(w))::BIGINT AS dst
               FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents))
         """,
         "lang_id": _lang_oracle(),
@@ -930,7 +946,9 @@ def oracle_sql() -> dict[str, str]:
                                       ROWS UNBOUNDED PRECEDING) AS sid
                 FROM d
             )
-            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+            SELECT user_id,
+                   epoch_us(MIN(ts)) AS session_start,
+                   epoch_us(MAX(ts)) AS session_end,
                    COUNT(*) AS n_events, SUM(cents) AS total_cents
             FROM s GROUP BY user_id, sid
         """,

@@ -62,6 +62,13 @@ def _fmt(v: float) -> str:
     return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
 
 
+def _num(v):
+    """None when a numeric cell is SQL NULL: pandas delivers null numerics
+    as NaN in float Series, so ``is None`` alone misses them (null-in →
+    null-out contract for every numeric-argument kernel)."""
+    return None if v is None or v != v else v
+
+
 # NOTE: a pandas-based "vectorized" formatter (int astype(str) + Series
 # concat) measured FASTER single-threaded (0.59s vs 0.80s per 600k) but
 # 2× SLOWER inside Spark with 32 concurrent python workers (4.3s vs 1.9s
@@ -110,7 +117,13 @@ def geom_from_text(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
         if v is None:
             out.append(None)
             continue
-        r = srids[i] if srids is not None else None
+        if srids is not None:
+            r = _num(srids[i])
+            if r is None:  # srid argument present but NULL → NULL row
+                out.append(None)
+                continue
+        else:
+            r = None
         key = (v, r)
         b = cache.get(key)
         if b is None:
@@ -181,8 +194,14 @@ def geom_from_wkb(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
         if v is None:
             out.append(None)
             continue
+        if srids is not None:
+            r = _num(srids[i])
+            if r is None:  # srid argument present but NULL → NULL row
+                out.append(None)
+                continue
+        else:
+            r = None
         g = from_wkb(bytes(v))
-        r = srids[i] if srids is not None else None
         if r is not None:
             g = g.with_srid(int(r))
         out.append(to_wkb(g))
@@ -196,12 +215,13 @@ def make_envelope(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
     srids = None if srid is None else srid.tolist()
     out = []
     for i in range(len(xmin)):
-        a, b, c, d = xmin.iat[i], ymin.iat[i], xmax.iat[i], ymax.iat[i]
+        a, b, c, d = (_num(xmin.iat[i]), _num(ymin.iat[i]),
+                      _num(xmax.iat[i]), _num(ymax.iat[i]))
+        r = _num(srids[i]) if srids is not None else None
         if a is None or b is None or c is None or d is None or \
-                a != a or b != b or c != c or d != d:
+                (srids is not None and r is None):
             out.append(None)
             continue
-        r = srids[i] if srids is not None else None
         g = Geometry.box(float(a), float(b), float(c), float(d),
                          srid=None if r is None else int(r))
         out.append(to_wkb(g))
@@ -464,6 +484,13 @@ def _binary_pred(fn: Callable[[Geometry, Geometry], bool], fn_name: str):
         elif pa is not None and pbb is not None and fn_name in ("intersects", "equals"):
             fastres = ((np.abs(pa.x - pbb.x) <= vector.EPS)
                        & (np.abs(pa.y - pbb.y) <= vector.EPS))
+            if fn_name == "equals":
+                # POINT EMPTY ≡ POINT EMPTY (NaN coords): the object path
+                # (algos.equals) returns True for two empties; the NaN
+                # comparison above yields False — align the fast path.
+                both_empty = (np.isnan(pa.x) & np.isnan(pa.y)
+                              & np.isnan(pbb.x) & np.isnan(pbb.y))
+                fastres = fastres | both_empty
             valid = pa.valid & pbb.valid
         elif gb is not None and gb.typ == "Point" and fn_name == "intersects":
             la = vector.decode_uniform_lines(al)
@@ -557,12 +584,12 @@ def translate(s: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     out = []
     sl, dxl, dyl = s.tolist(), dx.tolist(), dy.tolist()
     for i in range(len(sl)):
-        v = sl[i]
-        if v is None or dxl[i] is None or dyl[i] is None:
+        v, ox, oy = sl[i], _num(dxl[i]), _num(dyl[i])
+        if v is None or ox is None or oy is None:
             out.append(None)
             continue
         g = cache.geom(bytes(v))
-        out.append(to_wkb(g.translate(float(dxl[i]), float(dyl[i]))))
+        out.append(to_wkb(g.translate(float(ox), float(oy))))
     return _obj_series(out)
 
 
@@ -572,12 +599,12 @@ def buffer(s: pd.Series, width: pd.Series, quadsegs: pd.Series) -> pd.Series:
     out = []
     sl, wl, ql = s.tolist(), width.tolist(), quadsegs.tolist()
     for i in range(len(sl)):
-        v = sl[i]
-        if v is None or wl[i] is None or ql[i] is None:
+        v, w, q = sl[i], _num(wl[i]), _num(ql[i])
+        if v is None or w is None or q is None:
             out.append(None)
             continue
         g = cache.geom(bytes(v))
-        out.append(to_wkb(algos.buffer(g, float(wl[i]), int(ql[i]))))
+        out.append(to_wkb(algos.buffer(g, float(w), int(q))))
     return _obj_series(out)
 
 
@@ -607,11 +634,12 @@ def as_mvt_geom(s: pd.Series, xmin: pd.Series, ymin: pd.Series,
     sl = s.tolist()
     for i in range(len(sl)):
         v = sl[i]
-        if v is None or xmin.iat[i] is None:
+        a, b2, c, d = (_num(xmin.iat[i]), _num(ymin.iat[i]),
+                       _num(xmax.iat[i]), _num(ymax.iat[i]))
+        if v is None or a is None or b2 is None or c is None or d is None:
             out.append(None)
             continue
         g = cache.geom(bytes(v))
         out.append(to_wkb(algos.as_mvt_geom(
-            g, float(xmin.iat[i]), float(ymin.iat[i]),
-            float(xmax.iat[i]), float(ymax.iat[i]))))
+            g, float(a), float(b2), float(c), float(d))))
     return _obj_series(out)

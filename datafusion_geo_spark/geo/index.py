@@ -36,9 +36,18 @@ class GridIndex:
                  cell: Optional[float] = None):
         boxes = list(boxes)
         if cell is None:
-            # heuristic: median envelope width, clamped away from 0
-            widths = [max(b[2] - b[0], b[3] - b[1]) for b in boxes if b] or [1.0]
-            cell = max(float(np.median(widths)), 1e-9) * 2
+            # heuristic: median envelope width; for degenerate widths
+            # (all-point batches → width 0) fall back to a data-extent-
+            # derived cell, else query() over a realistic envelope would
+            # iterate ~(extent/cell)² buckets — effectively unbounded
+            real = [b for b in boxes if b]
+            widths = [max(b[2] - b[0], b[3] - b[1]) for b in real] or [1.0]
+            med = float(np.median(widths))
+            if med < 1e-9 and real:
+                ext = max(max(b[2] for b in real) - min(b[0] for b in real),
+                          max(b[3] for b in real) - min(b[1] for b in real))
+                med = max(ext / max(np.sqrt(len(real)), 1.0), 1e-3)
+            cell = max(med, 1e-3) * 2
         self.cell = cell
         self._boxes: List[Optional[Tuple[float, float, float, float]]] = boxes
         self._buckets: Dict[Tuple[int, int], List[int]] = defaultdict(list)
@@ -71,16 +80,26 @@ class GridIndex:
         """Item indexes whose envelope intersects the query envelope
         (locate_in_envelope_intersecting, index.rs:57-63)."""
         c = self.cell
+        x0, x1 = int(xmin // c), int(xmax // c)
+        y0, y1 = int(ymin // c), int(ymax // c)
         seen = set()
         out = []
-        for cx in range(int(xmin // c), int(xmax // c) + 1):
-            for cy in range(int(ymin // c), int(ymax // c) + 1):
-                for i in self._buckets.get((cx, cy), ()):
-                    if i in seen:
-                        continue
-                    seen.add(i)
-                    b = self._boxes[i]
-                    if b and not (b[2] < xmin or xmax < b[0]
-                                  or b[3] < ymin or ymax < b[1]):
-                        out.append(i)
+        # iterate whichever is smaller: the query's bucket range or the
+        # populated buckets — bounds a huge envelope over a fine grid
+        nrange = (x1 - x0 + 1) * (y1 - y0 + 1)
+        if nrange > len(self._buckets):
+            keys = [k for k in self._buckets
+                    if x0 <= k[0] <= x1 and y0 <= k[1] <= y1]
+        else:
+            keys = [(cx, cy) for cx in range(x0, x1 + 1)
+                    for cy in range(y0, y1 + 1)]
+        for key in keys:
+            for i in self._buckets.get(key, ()):
+                if i in seen:
+                    continue
+                seen.add(i)
+                b = self._boxes[i]
+                if b and not (b[2] < xmin or xmax < b[0]
+                              or b[3] < ymin or ymax < b[1]):
+                    out.append(i)
         return sorted(out)

@@ -23,7 +23,11 @@ MINHASH_P = 1_000_000_007
 NUM_HASHES = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # NUM_HASHES = LSH_BANDS * LSH_ROWS
-SIMHASH_BITS = 16
+# 64-bit signatures, 4×16-bit chunks: the chunk equi-join key space is
+# 65 536 values per chunk, so candidate buckets stay selective as the
+# corpus grows (round 1 used 16-bit signatures → 4-bit chunk keys → the
+# join degenerated toward all-pairs: 157k "near" pairs from 1k docs).
+SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4
 
 
@@ -36,6 +40,13 @@ def h64(c: Column) -> Column:
     """Shared 32-bit-range hash: first 8 hex chars of md5 as bigint —
     identical to DuckDB's ('0x' || substr(md5(s),1,8))::BIGINT."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def h32_hi(c: Column) -> Column:
+    """Second 32-bit word hash (md5 hex chars 9..16) — together with
+    ``h64`` it gives 64 independent hash bits without building a single
+    64-bit value (which would overflow a signed cast in both engines)."""
+    return F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -139,19 +150,29 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash over word hashes: bit j of the signature is the sign of
     Σ_words (±1 depending on bit j of hash(word)). One explode + one
     grouped aggregation with ``bits`` conditional sums — map-side combine
-    keeps the shuffle at (doc_id, bits ints)."""
+    keeps the shuffle at (doc_id, bits ints).
+
+    Bits 0..31 come from md5 hex chars 1..8, bits 32..63 from chars 9..16
+    (two 32-bit halves: a single 64-bit value would overflow the signed
+    cast). Signature bit 63 is packed as the int64 sign bit (two's
+    complement: adding −2^63 last never overflows ANSI arithmetic, since
+    the partial sum of bits 0..62 is at most 2^63−1)."""
     wdf = df.select(F.col(id_col),
                     F.explode(words_col(F.col(text_col))).alias("w"))
-    h = wdf.select(id_col, h64(F.col("w")).alias("h"))
-    sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"s{j}")
-        for j in range(bits)
-    ]
+    h = wdf.select(id_col, h64(F.col("w")).alias("hlo"),
+                   h32_hi(F.col("w")).alias("hhi"))
+
+    def bit(j: int) -> Column:
+        src, k = ("hlo", j) if j < 32 else ("hhi", j - 32)
+        return F.shiftright(F.col(src), k).bitwiseAND(F.lit(1))
+
+    sums = [F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"s{j}")
+            for j in range(bits)]
     agg = h.groupBy(id_col).agg(*sums)
     sig = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        weight = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j)
+        term = F.when(F.col(f"s{j}") > 0, weight).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 

@@ -48,23 +48,52 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), F.lit(0)))
 
 
+def _idiv(num: Column, den: Column) -> Column:
+    """Exact integer division for non-negative longs, without SQL strings:
+    (num - num % den) is exactly divisible, and the double quotient of two
+    int64s < 2^53 with an integral result is exact."""
+    num = num.cast("long")
+    den = den.cast("long")
+    return ((num - num % den) / den).cast("long")
+
+
+def _ratio6(num: Column, den: Column) -> Column:
+    """round-half-up(num/den · 1e6) / 1e6 computed in exact int64
+    arithmetic. ``F.round`` on the double quotient is representation-
+    dependent at half boundaries (Spark HALF_UP on the shortest decimal vs
+    DuckDB on the binary value disagreed for 1/500 docs in round 1); the
+    scaled-integer form is deterministic and the oracle mirrors it with
+    DuckDB's ``//``."""
+    q6 = _idiv(F.lit(2_000_000) * num.cast("long") + den.cast("long"),
+               F.lit(2) * den.cast("long"))
+    return q6 / F.lit(1_000_000.0)
+
+
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    """Token count + quality features + composite quality score."""
+    """Token count + quality features + composite quality score.
+
+    All ratios (and the composite score) are rounded to 6 decimals via
+    exact scaled-integer half-up rounding (``_ratio6``) so every engine
+    computing the same integer counts produces bit-identical doubles."""
     w = words_col(F.col(text_col))
-    n_tokens = F.size(w)
+    n_tokens = F.size(w).cast("long")
     n_chars_nospace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
-    stops = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    distinct_tokens = F.size(F.array_distinct(w))
-    stop_ratio = F.round(stops.cast("double") / n_tokens, 6)
-    distinct_ratio = F.round(distinct_tokens.cast("double") / n_tokens, 6)
-    avg_token_len = F.round(n_chars_nospace.cast("double") / n_tokens, 6)
-    quality = F.round(
-        0.4 * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
-        + 0.3 * (1.0 - stop_ratio) + 0.3 * distinct_ratio, 6)
+    stops = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("long")
+    distinct_tokens = F.size(F.array_distinct(w)).cast("long")
+    stop_ratio = _ratio6(stops, n_tokens)
+    distinct_ratio = _ratio6(distinct_tokens, n_tokens)
+    avg_token_len = _ratio6(n_chars_nospace, n_tokens)
+    # quality = 0.4·min(1, n/100) + 0.3·(1 − stops/n) + 0.3·distinct/n,
+    # as one exact rational P/n in millionths:
+    #   P = 4000·min(100,n)·n + 300000·(n − stops + distinct)
+    p = (F.lit(4000) * F.least(F.lit(100).cast("long"), n_tokens) * n_tokens
+         + F.lit(300_000) * (n_tokens - stops + distinct_tokens))
+    quality = _idiv(F.lit(2) * p + n_tokens,
+                    F.lit(2) * n_tokens) / F.lit(1_000_000.0)
     return df.select(
         id_col,
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("int").alias("n_tokens"),
         bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
         avg_token_len.alias("avg_token_len"),
         stop_ratio.alias("stop_ratio"),

@@ -37,42 +37,89 @@ def read_wkt_csv(spark: SparkSession, path: str, wkt_col: str = "wkt",
     return out.drop(wkt_col) if drop_wkt else out
 
 
+BBOX_COLS = ("xmin", "ymin", "xmax", "ymax")
+
+
 def write_geo_parquet(df: DataFrame, path: str, cell: float = 8.0,
                       geom_col: str = "geom",
                       mode: str = "overwrite") -> None:
     """Sink: parquet partitioned by the grid cell of each geometry's
-    bbox centroid. At 100 TB this gives readers directory-level partition
-    pruning for spatial predicates; rows with NULL geometry land in the
-    NULL cell partitions and are never silently dropped."""
+    bbox centroid, with plain ``xmin..ymax`` bbox columns persisted
+    alongside (the GeoParquet "covering" pattern). At 100 TB readers get
+    BOTH directory-level partition pruning and parquet min/max row-group
+    skipping on the bbox columns; rows with NULL geometry land in the
+    NULL cell partitions and are never silently dropped.
+
+    A ``_geo_meta`` sidecar (underscore-prefixed → invisible to parquet
+    dataset readers) records the cell size and the maximum geometry
+    extent, so the read side can widen its centroid-cell slop correctly —
+    centroid partitioning alone would silently drop any geometry wider
+    than ~2 cells whose centroid sits outside the naive ±1 window."""
     b = box2d(F.col(geom_col))
-    with_cells = (df
-                  .withColumn("_bbox", b)
+    out = df
+    if not all(c in df.columns for c in BBOX_COLS):
+        out = out.withColumn("_bbox", b)
+        for c in BBOX_COLS:
+            out = out.withColumn(c, F.col(f"_bbox.{c}"))
+        out = out.drop("_bbox")
+    with_cells = (out
                   .withColumn("cell_x", F.floor(
-                      (F.col("_bbox.xmin") + F.col("_bbox.xmax")) / (2 * cell))
+                      (F.col("xmin") + F.col("xmax")) / (2 * cell))
                       .cast("long"))
                   .withColumn("cell_y", F.floor(
-                      (F.col("_bbox.ymin") + F.col("_bbox.ymax")) / (2 * cell))
-                      .cast("long"))
-                  .drop("_bbox"))
+                      (F.col("ymin") + F.col("ymax")) / (2 * cell))
+                      .cast("long")))
     (with_cells.write.mode(mode)
      .partitionBy("cell_x", "cell_y").parquet(path))
+    # extent metadata from the WRITTEN files: a column-pruned native scan
+    # of 2 doubles, not a second pass through the bbox pandas UDF
+    spark = df.sparkSession
+    ext = (spark.read.parquet(path)
+           .agg(F.max(F.col("xmax") - F.col("xmin")).alias("w"),
+                F.max(F.col("ymax") - F.col("ymin")).alias("h")).first())
+    meta = spark.createDataFrame(
+        [(float(cell), float(ext["w"] or 0.0), float(ext["h"] or 0.0))],
+        "cell double, max_w double, max_h double")
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/_geo_meta")
 
 
 def read_geo_parquet(spark: SparkSession, path: str,
                      bbox: Optional[Tuple[float, float, float, float]] = None,
                      cell: float = 8.0) -> DataFrame:
     """Read a spatially-partitioned dataset; with ``bbox`` set, restrict
-    to overlapping cells via a NATIVE partition-column predicate — shows
-    up as PartitionFilters in the scan, i.e. non-matching directories are
-    never opened. The exact geometry predicate still applies downstream
-    (cells over-approximate)."""
+    to overlapping cells via a NATIVE partition-column predicate (shows
+    up as PartitionFilters — non-matching directories are never opened)
+    plus a bbox-column range filter (pushed to parquet min/max stats for
+    row-group skipping). The cell slop is widened by the dataset's max
+    geometry extent from ``_geo_meta``, so wide geometries whose centroid
+    cell is far from the query window are still found. The exact geometry
+    predicate still applies downstream (both filters over-approximate).
+
+    Rows with NULL geometry have NULL bbox columns and are excluded —
+    correct for a spatial window query (NULL can't overlap)."""
     df = spark.read.parquet(path)
     if bbox is None:
         return df
     xmin, ymin, xmax, ymax = bbox
     import math
-    return df.where(
-        (F.col("cell_x") >= math.floor(xmin / cell) - 1)
-        & (F.col("cell_x") <= math.floor(xmax / cell) + 1)
-        & (F.col("cell_y") >= math.floor(ymin / cell) - 1)
-        & (F.col("cell_y") <= math.floor(ymax / cell) + 1))
+    slop_x, slop_y = 1, 1
+    try:
+        meta = spark.read.parquet(path + "/_geo_meta").first()
+        mcell = float(meta["cell"])
+        # centroid of a geometry with half-extent hw can sit up to
+        # ceil(hw/cell) cells away from any cell its bbox overlaps
+        slop_x = int(math.ceil((meta["max_w"] / 2.0) / mcell)) + 1
+        slop_y = int(math.ceil((meta["max_h"] / 2.0) / mcell)) + 1
+        cell = mcell
+    except Exception:
+        pass  # legacy dataset without metadata: keep ±1 (documented risk)
+    pruned = df.where(
+        (F.col("cell_x") >= math.floor(xmin / cell) - slop_x)
+        & (F.col("cell_x") <= math.floor(xmax / cell) + slop_x)
+        & (F.col("cell_y") >= math.floor(ymin / cell) - slop_y)
+        & (F.col("cell_y") <= math.floor(ymax / cell) + slop_y))
+    if all(c in df.columns for c in BBOX_COLS):
+        pruned = pruned.where(
+            (F.col("xmin") <= xmax) & (F.col("xmax") >= xmin)
+            & (F.col("ymin") <= ymax) & (F.col("ymax") >= ymin))
+    return pruned

@@ -39,10 +39,15 @@ from pyspark.sql.types import (LongType, StructField, StructType,
 
 from .extent import EVENTS_SCHEMA, _symlink_dir
 
+#  Session bounds are epoch-MICROS longs, not timestamps: a canonical
+#  integer representation hashes identically everywhere, whereas a
+#  timestamp column's value depends on each engine's internal unit
+#  (µs vs ns) and sink conversion — the round-1 driver hash-fail was
+#  exactly such a representation mismatch on an exact-value match.
 OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
-    StructField("session_start", TimestampType()),
-    StructField("session_end", TimestampType()),
+    StructField("session_start", LongType()),
+    StructField("session_end", LongType()),
     StructField("n_events", LongType()),
     StructField("total_cents", LongType()),
 ])
@@ -95,8 +100,8 @@ def _session_fn(gap_us: int):
         if out:
             yield pd.DataFrame({
                 "user_id": [r[0] for r in out],
-                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
-                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                "session_start": [r[1] for r in out],
+                "session_end": [r[2] for r in out],
                 "n_events": [r[3] for r in out],
                 "total_cents": [r[4] for r in out],
             })
