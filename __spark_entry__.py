@@ -235,6 +235,30 @@ def _q_buffer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_buffer_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#14 ST_Buffer over LineStrings — offset-curve capsules with round
+    caps (geo/offset.py; reference buffers via GEOS,
+    /root/reference/src/function/buffer.rs:86-104). The lines_orders
+    fixture is collinear at 45°, so the capsule is closed-form: 37
+    vertices, bbox = line bbox grown by w exactly (cap arcs hit the four
+    axis angles), area = 2wL + 2q·w²·sin(π/2q) (offset rectangle plus the
+    inscribed-polygon circle of the two caps)."""
+    from datafusion_geo_spark.functions import (box2d, st_area, st_buffer,
+                                                st_npoints)
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    df = lines_orders(spark, sf_dir, with_nulls=False)
+    df = df.withColumn("buf", st_buffer(F.col("geom"), 2.0, 8))
+    return df.select(
+        "o_orderkey",
+        st_npoints(F.col("buf")).alias("nvert"),
+        F.round(st_area(F.col("buf")), 6).alias("area"),
+        F.round(box2d(F.col("buf"))["xmin"], 6).alias("xmin"),
+        F.round(box2d(F.col("buf"))["ymin"], 6).alias("ymin"),
+        F.round(box2d(F.col("buf"))["xmax"], 6).alias("xmax"),
+        F.round(box2d(F.col("buf"))["ymax"], 6).alias("ymax"),
+    )
+
+
 def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial theta-join lines_orders ⋈ boxes_nation ON ST_Intersects —
     the derived capability SURVEY.md §2 flags as the interesting case
@@ -488,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_points": _q_geojson_points,
         "geometry_type": _q_geometry_type,
         "buffer_bbox": _q_buffer_bbox,
+        "buffer_lines": _q_buffer_lines,
         "spatial_join": _q_spatial_join,
         "boundary_literals": _q_boundary_literals,
         "mvt_literal": _q_mvt_literal,
@@ -742,6 +767,18 @@ def oracle_sql() -> dict[str, str]:
                      CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
                      CAST(c_nationkey * 3 AS DOUBLE) - 37.5 AS y
               FROM customer)
+        """,
+        # capsule of the collinear 45° fixture line, w=2 q=8: 37 vertices;
+        # bbox = line bbox ± w exactly (cap arcs land on the axis angles);
+        # area = 2wL + 2q*w^2*sin(pi/2q), L = 4*sqrt(2)
+        "buffer_lines": """
+            SELECT o_orderkey, CAST(37 AS INTEGER) AS nvert,
+                   ROUND(16 * sqrt(2.0) + 64 * sin(pi() / 16.0), 6) AS area,
+                   ROUND(CAST(k - 2 AS DOUBLE), 6) AS xmin,
+                   ROUND(CAST(k - 1 AS DOUBLE), 6) AS ymin,
+                   ROUND(CAST(k + 6 AS DOUBLE), 6) AS xmax,
+                   ROUND(CAST(k + 7 AS DOUBLE), 6) AS ymax
+            FROM (SELECT o_orderkey, o_orderkey % 1000 AS k FROM orders)
         """,
         # line k: y=x+1, x∈[k,k+4]; box: [n,n+5]×[r,r+5];
         # intersect ⇔ max(k, n, r-1) <= min(k+4, n+5, r+4)

@@ -138,6 +138,7 @@ _as_geojson = _u1(kernels.as_geojson, StringType())
 _geometry_type = _u1(kernels.geometry_type, StringType())
 _srid = _u1(kernels.srid, IntegerType())
 _npoints = _u1(kernels.npoints, IntegerType())
+_area = _u1(kernels.area, DoubleType())
 _box2d = _u1_df(kernels.box2d_rows, BOX2D_TYPE)
 _intersects = _u2(kernels.intersects, BooleanType())
 _covers = _u2(kernels.covers, BooleanType())
@@ -268,6 +269,12 @@ def st_npoints(g: GeomLike) -> Column:
     return _npoints(_geom(g))
 
 
+def st_area(g: GeomLike) -> Column:
+    """Planar area (PostGIS ST_Area; beyond-reference utility —
+    shells minus holes, 0 for points/lines)."""
+    return _area(_geom(g))
+
+
 def st_point(x, y) -> Column:
     """Fast point constructor (PostGIS ST_Point; no direct reference
     analogue — used to derive fixture geometry, FIXTURES.md §2)."""
@@ -360,6 +367,7 @@ _SQL_UDFS = {
     "ST_AsMVTGeom": _as_mvt_geom,
     "ST_Point": _point,
     "ST_NPoints": _npoints,
+    "ST_Area": _area,
     "ST_Extent": _extent_sql,
     "ST_Box2DFromArray": _box2d_from_array,
 }
@@ -389,6 +397,6 @@ __all__ = [
     "st_asgeojson", "st_geometrytype", "box2d", "st_makeenvelope",
     "st_intersects", "st_covers", "st_coveredby", "st_equals",
     "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",
-    "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints",
+    "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints", "st_area",
     "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",
 ]

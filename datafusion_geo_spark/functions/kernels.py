@@ -346,6 +346,15 @@ def srid(s: pd.Series) -> pd.Series:
                         for v in s.tolist()])
 
 
+def area(s: pd.Series) -> pd.Series:
+    """Planar area (PostGIS ST_Area; engine utility beyond the reference
+    surface — shells minus holes, 0 for points/lines)."""
+    cache = _DecodeCache()
+    return _obj_series([
+        None if v is None else algos.area(cache.geom(bytes(v)))
+        for v in s.tolist()])
+
+
 # ------------------------------------------------------------ bbox
 
 def box2d_rows(s: pd.Series) -> pd.DataFrame:

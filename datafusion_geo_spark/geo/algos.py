@@ -394,11 +394,13 @@ def buffer(g: Geometry, width: float, quadsegs: int = 8) -> Geometry:
     (/root/reference/src/function/buffer.rs:86-104). ``quadsegs`` segments
     per quarter circle (GEOS convention).
 
-    Supported inputs: Point and MultiPoint (circle approximations).
-    Vertices are placed counter-clockwise starting at angle 0, i.e.
-    (x+w, y), at angles k*(pi/2)/quadsegs — a deterministic layout the
-    DuckDB oracle reproduces with plain trig SQL. Line/polygon buffering
-    (offset curves) is not implemented in round 1.
+    Point/MultiPoint: circle approximations with vertices placed
+    counter-clockwise starting at angle 0, i.e. (x+w, y), at angles
+    k*(pi/2)/quadsegs — a deterministic layout the DuckDB oracle
+    reproduces with plain trig SQL. Lines, polygons, and collections:
+    offset curves with round joins/caps (geo/offset.py) — same
+    quadsegs convention; a line capsule's cap vertices start at the
+    right-normal angle of the adjacent segment.
     """
     if width <= 0:
         raise ValueError("ST_Buffer: width must be > 0")
@@ -417,9 +419,22 @@ def buffer(g: Geometry, width: float, quadsegs: int = 8) -> Geometry:
         return Geometry("Polygon", [circle(g.parts)], g.srid)
     if g.typ == "MultiPoint":
         return Geometry("MultiPolygon", [[circle(c)] for c in g.parts], g.srid)
-    raise NotImplementedError(
-        f"ST_Buffer over {g.typ} requires offset-curve construction; "
-        "round-1 scope is Point/MultiPoint (see docstring)")
+    from .offset import buffer_path
+    return buffer_path(g, float(width), max(1, int(quadsegs)))
+
+
+def area(g: Geometry) -> float:
+    """Planar area (shoelace): polygon shells minus holes; 0 for points
+    and lines. PostGIS ST_Area semantics (not in the reference's surface;
+    an honest extension used by the buffer oracles)."""
+    total = 0.0
+    for part in g.geometries():
+        if part.typ != "Polygon" or not part.parts:
+            continue
+        total += abs(ring_area2(part.parts[0])) / 2.0
+        for hole in part.parts[1:]:
+            total -= abs(ring_area2(hole)) / 2.0
+    return total
 
 
 # ---------------------------------------------------------------- split

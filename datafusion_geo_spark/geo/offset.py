@@ -1,0 +1,466 @@
+"""Offset-curve buffering: ST_Buffer over lines and polygons.
+
+The reference buffers any geometry through GEOS
+(/root/reference/src/function/buffer.rs:86-104). This module provides the
+same capability dependency-free, via winding-number offsetting (the
+approach of Chen & McMains, "Polygon Offsetting by Computing Winding
+Numbers", and of GEOS's OffsetCurveBuilder):
+
+1. **Raw offset curve** — walk the path and emit the offset boundary at
+   distance ``w``: straight offset edges per segment plus joint
+   connectors. Dilation uses a round arc at EVERY joint (``quadsegs``
+   segments per quarter circle, the GEOS round-join convention — the arc
+   at a reflex joint is the exact boundary of the capsule union there);
+   erosion uses arcs only at reflex joints and direct chords at convex
+   joints (eroded corners are sharp). Sharp features make the raw curve
+   self-intersect.
+2. **Positive-winding resolution** — split all curve segments at mutual
+   intersections, keep sub-segments whose winding number is ``>= 1`` on
+   exactly one side (the Chen–McMains rule: inverted lobes of an
+   over-shrunk or pinched curve get non-positive winding and vanish),
+   stitch survivors into rings, classify shells (CCW) vs holes (CW).
+3. **Composition** — a polygon buffer = dilated shell minus eroded
+   holes (erosion may split or empty a hole); a multi-part buffer =
+   the union of per-part clean results (any-part-nonzero rule).
+
+Stage 2 is skipped when the raw output is a single convex ring (convex ⇒
+simple), which covers the high-volume fixture case (capsules of straight
+linestrings) without the quadratic intersection pass.
+
+Vertex layout is deterministic (arcs step uniformly between exact start
+and end angles), so closed-form oracles can reproduce vertex counts,
+bounding boxes, and shoelace areas analytically.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+from .geom import Coord, Geometry, dist, ring_area2
+
+TAU = 2.0 * math.pi
+_EPS = 1e-9
+
+
+# ------------------------------------------------------------ raw offsets
+
+def _dedupe(cs: Sequence[Coord]) -> List[Coord]:
+    out: List[Coord] = []
+    for c in cs:
+        if not out or dist(c, out[-1]) > _EPS:
+            out.append(c)
+    return out
+
+
+def _close_ring(cs: List[Coord]) -> List[Coord]:
+    """Close an offset loop with an EXACT duplicate of its first point,
+    dropping a float-noise near-duplicate tail first (the final arc's end
+    angle differs from the start angle by 2π, so its point may or may not
+    land bitwise-equal to the start — vertex count must not depend on
+    that)."""
+    while len(cs) > 1 and dist(cs[0], cs[-1]) <= _EPS:
+        cs = cs[:-1]
+    cs.append(cs[0])
+    return cs
+
+
+def _arc(center: Coord, r: float, a0: float, sweep: float,
+         quadsegs: int) -> List[Coord]:
+    """Points along the circle of radius ``r`` from angle ``a0`` through a
+    signed ``sweep`` (positive = CCW), EXCLUDING the start point and
+    INCLUDING the exact end point. Steps are at most pi/(2*quadsegs)."""
+    if abs(sweep) < 1e-12:
+        return []
+    step = math.pi / (2.0 * max(1, int(quadsegs)))
+    n = max(1, math.ceil(abs(sweep) / step - 1e-9))
+    cx, cy = center
+    return [(cx + r * math.cos(a0 + sweep * k / n),
+             cy + r * math.sin(a0 + sweep * k / n)) for k in range(1, n + 1)]
+
+
+def _turns(cs: Sequence[Coord], closed: bool) -> Tuple[List[float], List[float]]:
+    """Per-segment direction angles and per-joint signed turn angles.
+
+    For an open path of n segments there are n-1 interior joints; for a
+    closed path (without the repeated closing coordinate) there are n
+    joints, joint j sitting at vertex ``cs[(j+1) % n]``."""
+    pts = list(cs)
+    if closed:
+        pts = pts + [pts[0]]
+    th = [math.atan2(pts[i + 1][1] - pts[i][1], pts[i + 1][0] - pts[i][0])
+          for i in range(len(pts) - 1)]
+    nseg = len(th)
+    njoint = nseg if closed else nseg - 1
+    turns = []
+    for j in range(njoint):
+        d = th[(j + 1) % nseg] - th[j]
+        while d > math.pi:
+            d -= TAU
+        while d <= -math.pi:
+            d += TAU
+        turns.append(d)
+    return th, turns
+
+
+def offset_open_ring(coords: Sequence[Coord], w: float,
+                     quadsegs: int) -> List[Coord]:
+    """Raw offset curve of an OPEN polyline (dilation): right side
+    forward, round end cap, left side backward, round start cap; round
+    arc at every interior joint. Overall CCW; returns a closed ring."""
+    cs = _dedupe(coords)
+    if len(cs) == 1:  # degenerate: pure disc
+        x, y = cs[0]
+        n = 4 * max(1, int(quadsegs))
+        ring = [(x + w * math.cos(TAU * k / n), y + w * math.sin(TAU * k / n))
+                for k in range(n)]
+        return ring + [ring[0]]
+    th, turns = _turns(cs, closed=False)
+    nseg = len(th)
+
+    def off(p: Coord, ang: float) -> Coord:
+        return (p[0] + w * math.cos(ang), p[1] + w * math.sin(ang))
+
+    pts: List[Coord] = []
+    # right side forward (right normal rho_i = th_i - pi/2)
+    pts.append(off(cs[0], th[0] - math.pi / 2.0))
+    for i in range(nseg):
+        rho = th[i] - math.pi / 2.0
+        pts.append(off(cs[i + 1], rho))
+        if i < nseg - 1:
+            pts.extend(_arc(cs[i + 1], w, rho, turns[i], quadsegs))
+    # end cap: half circle CCW from rho_last to lambda_last
+    pts.extend(_arc(cs[-1], w, th[-1] - math.pi / 2.0, math.pi, quadsegs))
+    # left side backward (left normal lambda_i = th_i + pi/2)
+    for i in range(nseg - 1, -1, -1):
+        lam = th[i] + math.pi / 2.0
+        pts.append(off(cs[i], lam))
+        if i > 0:
+            # traveling backward the joint sweep is the negated turn
+            pts.extend(_arc(cs[i], w, lam, -turns[i - 1], quadsegs))
+    # start cap: half circle CCW from lambda_0 back to rho_0
+    pts.extend(_arc(cs[0], w, th[0] + math.pi / 2.0, math.pi, quadsegs))
+    return _close_ring(_dedupe(pts))
+
+
+def ring_offset_curve(ring: Sequence[Coord], w: float, quadsegs: int,
+                      side: str) -> List[Coord]:
+    """Raw offset curve of a CLOSED ring (normalized to CCW).
+
+    ``side='out'`` — dilation curve: right (outward) normals, round arc
+    at every joint. ``{wn >= 1}`` of this curve is the ring's region
+    grown by ``w``.
+
+    ``side='in'`` — erosion curve: left (inward) normals, arc only at
+    reflex joints (negative turn), direct chord at convex joints (eroded
+    corners are sharp; the overshoot lobes cancel under the positive
+    winding rule — over-erosion yields an empty or partial result).
+    ``{wn >= 1}`` is the region shrunk by ``w``."""
+    cs = _dedupe(ring)
+    if len(cs) > 1 and dist(cs[0], cs[-1]) <= _EPS:
+        cs = cs[:-1]
+    if len(cs) < 3:
+        return offset_open_ring(cs, w, quadsegs) if side == "out" else []
+    if ring_area2(cs + [cs[0]]) < 0:
+        cs = [cs[0]] + cs[1:][::-1]
+    th, turns = _turns(cs, closed=True)
+    nseg = len(th)
+    nshift = -math.pi / 2.0 if side == "out" else math.pi / 2.0
+
+    def off(p: Coord, ang: float) -> Coord:
+        return (p[0] + w * math.cos(ang), p[1] + w * math.sin(ang))
+
+    pts: List[Coord] = []
+    for i in range(nseg):
+        ang = th[i] + nshift
+        pts.append(off(cs[i], ang))
+        nxt = cs[(i + 1) % nseg]
+        pts.append(off(nxt, ang))
+        if side == "out" or turns[i] < 0:
+            pts.extend(_arc(nxt, w, ang, turns[i], quadsegs))
+        # erosion at a convex joint: fall through — the next iteration's
+        # first append is the chord connector
+    out = _dedupe(pts)
+    if len(out) < 3:
+        return []
+    return _close_ring(out)
+
+
+# ------------------------------------------------------ winding resolution
+
+def _is_convex(ring: Sequence[Coord]) -> bool:
+    """True if the closed ring is convex (allowing collinear runs) —
+    a sufficient condition for simplicity, and also that total turning
+    is one full revolution (rules out multiply-wound rings)."""
+    n = len(ring) - 1
+    if n < 3:
+        return False
+    sign = 0.0
+    total = 0.0
+    for i in range(n):
+        a, b, c = ring[i], ring[(i + 1) % n], ring[(i + 2) % n]
+        ux, uy = b[0] - a[0], b[1] - a[1]
+        vx, vy = c[0] - b[0], c[1] - b[1]
+        cross = ux * vy - uy * vx
+        dot = ux * vx + uy * vy
+        if abs(cross) > _EPS:
+            if sign == 0.0:
+                sign = cross
+            elif (cross > 0) != (sign > 0):
+                return False
+        total += math.atan2(cross, dot)
+    return abs(abs(total) - TAU) < 1e-6
+
+
+def _winding(p: Coord, rings: Sequence[Sequence[Coord]]) -> int:
+    """Total winding number of the ring collection around p."""
+    x, y = p
+    wn = 0
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+            if y1 <= y:
+                if y2 > y and (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1) > 0:
+                    wn += 1
+            elif y2 <= y and (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1) < 0:
+                wn -= 1
+    return wn
+
+
+def _seg_params(a: Coord, b: Coord, c: Coord, d: Coord) -> List[float]:
+    """Parameters t in [0,1] along segment ab where it meets segment cd
+    (crossing point, or projection of overlapping-collinear endpoints)."""
+    ux, uy = b[0] - a[0], b[1] - a[1]
+    vx, vy = d[0] - c[0], d[1] - c[1]
+    denom = ux * vy - uy * vx
+    wx, wy = c[0] - a[0], c[1] - a[1]
+    if abs(denom) > _EPS:
+        t = (wx * vy - wy * vx) / denom
+        u = (wx * uy - wy * ux) / denom
+        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+            return [min(1.0, max(0.0, t))]
+        return []
+    # parallel: collinear overlap contributes the projected endpoints
+    len2 = ux * ux + uy * uy
+    if len2 < _EPS * _EPS:
+        return []
+    if abs(wx * uy - wy * ux) > _EPS * (1.0 + abs(wx) + abs(wy)):
+        return []  # parallel but not collinear
+    out = []
+    for q in (c, d):
+        t = ((q[0] - a[0]) * ux + (q[1] - a[1]) * uy) / len2
+        if -1e-12 <= t <= 1 + 1e-12:
+            out.append(min(1.0, max(0.0, t)))
+    return out
+
+
+def _node_key(p: Coord, tol: float = 1e-7) -> Tuple[int, int]:
+    return (round(p[0] / tol), round(p[1] / tol))
+
+
+def resolve(groups: List[List[List[Coord]]],
+            rules: List[str]) -> List[List[List[Coord]]]:
+    """Resolve raw ring groups into clean polygons.
+
+    ``groups`` is a list of ring collections; ``rules[k]`` is the
+    winding rule for group k: ``'pos'`` (inside ⇔ wn >= 1, the
+    Chen–McMains offset rule) or ``'nz'`` (inside ⇔ wn != 0). A point
+    is inside the result iff it is inside ANY group — i.e. the result
+    is the union of the groups' regions.
+
+    Returns polygons as ``[shell, hole, ...]`` lists, shells CCW and
+    holes CW."""
+    groups = [[r for r in g if len(r) >= 4] for g in groups]
+    groups = [g for g in groups if g]
+    if not groups:
+        return []
+    all_rings = [r for g in groups for r in g]
+    if len(all_rings) == 1 and _is_convex(all_rings[0]):
+        ring = all_rings[0]
+        if ring_area2(ring) < 0:
+            ring = ring[::-1]
+        return [[ring]]
+
+    def inside(p: Coord) -> bool:
+        for g, rule in zip(groups, rules):
+            wn = _winding(p, g)
+            if (wn >= 1) if rule == "pos" else (wn != 0):
+                return True
+        return False
+
+    # 1. split every segment at intersections with every other segment
+    segs: List[Tuple[Coord, Coord]] = []
+    for r in all_rings:
+        for i in range(len(r) - 1):
+            if dist(r[i], r[i + 1]) > _EPS:
+                segs.append((r[i], r[i + 1]))
+    cuts: List[List[float]] = [[] for _ in segs]
+    for i in range(len(segs)):
+        a, b = segs[i]
+        for j in range(i + 1, len(segs)):
+            c, d = segs[j]
+            if (min(a[0], b[0]) > max(c[0], d[0]) + _EPS
+                    or min(c[0], d[0]) > max(a[0], b[0]) + _EPS
+                    or min(a[1], b[1]) > max(c[1], d[1]) + _EPS
+                    or min(c[1], d[1]) > max(a[1], b[1]) + _EPS):
+                continue
+            for t in _seg_params(a, b, c, d):
+                if 1e-9 < t < 1 - 1e-9:
+                    cuts[i].append(t)
+            for t in _seg_params(c, d, a, b):
+                if 1e-9 < t < 1 - 1e-9:
+                    cuts[j].append(t)
+
+    pieces: List[Tuple[Coord, Coord]] = []
+    for (a, b), ts in zip(segs, cuts):
+        ts = sorted(set([0.0, 1.0] + ts))
+        for k in range(len(ts) - 1):
+            t0, t1 = ts[k], ts[k + 1]
+            p = (a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0)
+            q = (a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1)
+            if dist(p, q) > _EPS:
+                pieces.append((p, q))
+
+    # 2. keep boundary pieces (inside on exactly one side), directed so
+    #    the interior is on the LEFT
+    kept: List[Tuple[Coord, Coord]] = []
+    for a, b in pieces:
+        mx, my = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        ux, uy = b[0] - a[0], b[1] - a[1]
+        ln = math.hypot(ux, uy)
+        ux, uy = ux / ln, uy / ln
+        delta = max(1e-9, min(ln / 4.0, 1e-6))
+        il = inside((mx - uy * delta, my + ux * delta))
+        ir = inside((mx + uy * delta, my - ux * delta))
+        if il == ir:
+            continue
+        kept.append((a, b) if il else (b, a))
+
+    # 3. stitch directed pieces into rings (interior stays on the left;
+    #    at junction nodes take the rightmost turn, which keeps touching
+    #    lobes as separate rings)
+    outgoing: dict = {}
+    for e in kept:
+        outgoing.setdefault(_node_key(e[0]), []).append(e)
+    used = set()
+    out_rings: List[List[Coord]] = []
+    for start in kept:
+        if id(start) in used:
+            continue
+        ring = [start[0]]
+        e = start
+        for _ in range(len(kept) + 1):
+            used.add(id(e))
+            ring.append(e[1])
+            if _node_key(e[1]) == _node_key(start[0]):
+                break
+            cands = [c for c in outgoing.get(_node_key(e[1]), [])
+                     if id(c) not in used]
+            if not cands:
+                ring = []
+                break
+            if len(cands) == 1:
+                e = cands[0]
+            else:
+                din = math.atan2(e[1][1] - e[0][1], e[1][0] - e[0][0])
+
+                def turn(c):
+                    a = math.atan2(c[1][1] - c[0][1], c[1][0] - c[0][0]) - din
+                    while a <= -math.pi:
+                        a += TAU
+                    while a > math.pi:
+                        a -= TAU
+                    return a
+                e = min(cands, key=turn)  # rightmost turn
+        if len(ring) >= 4:
+            ring[-1] = ring[0]
+            out_rings.append(ring)
+
+    # 4. shells vs holes, hole assignment (smallest containing shell)
+    shells = [(abs(ring_area2(r)), r) for r in out_rings if ring_area2(r) > 0]
+    holes = [r for r in out_rings if ring_area2(r) < 0]
+    shells.sort(key=lambda s: s[0])
+    polys: List[List[List[Coord]]] = [[r] for _, r in shells]
+    for h in holes:
+        hx = ((h[0][0] + h[1][0]) / 2.0, (h[0][1] + h[1][1]) / 2.0)
+        for k, (_, shell) in enumerate(shells):
+            if _point_in_ring_fast(hx, shell):
+                polys[k].append(h)
+                break
+    return polys
+
+
+def _point_in_ring_fast(p: Coord, ring: Sequence[Coord]) -> bool:
+    x, y = p
+    inside = False
+    for i in range(len(ring) - 1):
+        (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            if x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                inside = not inside
+    return inside
+
+
+# --------------------------------------------------------------- buffer
+
+def _buffer_polygon(rings: Sequence[Sequence[Coord]], w: float,
+                    quadsegs: int) -> List[List[List[Coord]]]:
+    """Clean polygons for one polygon part: dilate the shell, erode each
+    hole, subtract. Erosion may split a hole or empty it; dilation may
+    create holes (a concave pocket whose mouth seals)."""
+    grown = resolve([[ring_offset_curve(rings[0], w, quadsegs, "out")]],
+                    ["pos"])
+    if not grown:
+        return []
+    new_holes: List[List[Coord]] = []
+    for hole in rings[1:]:
+        for poly in resolve([[ring_offset_curve(hole, w, quadsegs, "in")]],
+                            ["pos"]):
+            # erosion of a simple region yields simply connected parts;
+            # only the shells matter, reversed to CW hole orientation
+            new_holes.append(poly[0][::-1])
+    if new_holes:
+        for h in new_holes:
+            hx = h[0]
+            for poly in grown:
+                if _point_in_ring_fast(hx, poly[0]):
+                    poly.append(h)
+                    break
+    return grown
+
+
+def buffer_path(g: Geometry, w: float, quadsegs: int) -> Geometry:
+    """Buffer a LineString / Polygon / Multi* / collection geometry with
+    round joins and caps. Point/MultiPoint inputs are handled by
+    ``algos.buffer`` directly (their disc layout predates this module and
+    is pinned by oracles)."""
+    part_polys: List[List[List[List[Coord]]]] = []
+    for part in g.geometries():
+        if part.typ == "Point":
+            if part.parts is not None:
+                part_polys.append(
+                    resolve([[offset_open_ring([part.parts], w, quadsegs)]],
+                            ["pos"]))
+        elif part.typ == "LineString":
+            if part.parts:
+                part_polys.append(
+                    resolve([[offset_open_ring(part.parts, w, quadsegs)]],
+                            ["pos"]))
+        elif part.typ == "Polygon":
+            if part.parts:
+                part_polys.append(_buffer_polygon(part.parts, w, quadsegs))
+    part_polys = [p for p in part_polys if p]
+    if not part_polys:
+        return Geometry("Polygon", [], g.srid)
+    if len(part_polys) == 1:
+        polys = part_polys[0]
+    else:
+        # union across parts: each part's clean rings are one nonzero
+        # group; inside ⇔ inside any part
+        groups = [[r for poly in part for r in poly] for part in part_polys]
+        polys = resolve(groups, ["nz"] * len(groups))
+    if not polys:
+        return Geometry("Polygon", [], g.srid)
+    if len(polys) == 1:
+        return Geometry("Polygon", polys[0], g.srid)
+    return Geometry("MultiPolygon", polys, g.srid)
