@@ -235,6 +235,64 @@ def _q_buffer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_covers_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#10 ST_Covers over CONCAVE and HOLED polygons — the domain round
+    1's sampling-based covers was weak on (exact segment-split
+    implementation, geo/algos.py::covers; reference semantics
+    /root/reference/src/function/covers.rs:103-122).
+
+    25 L-shaped polygons and 25 donut polygons (one per nation) against
+    the customer point cloud: native bbox prefilter (JVM range
+    predicate), exact ST_Covers only on survivors, counts per nation.
+    The integer-grid layout makes coverage analytic for the oracle."""
+    from datafusion_geo_spark.functions import st_covers, st_geomfromtext
+    from datafusion_geo_spark.sources.fixtures import load_table, points_customer
+    pts = points_customer(spark, sf_dir, with_nulls=False) \
+        .select("c_custkey", "x", "y", "geom")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 14 - 180).alias("x0"),
+        (F.col("n_regionkey") * 14 - 38).alias("y0"))
+
+    def s(col):
+        return col.cast("string")
+
+    x0, y0 = F.col("x0"), F.col("y0")
+    l_wkt = F.concat(
+        F.lit("POLYGON(("),
+        s(x0), F.lit(" "), s(y0), F.lit(","),
+        s(x0 + 12), F.lit(" "), s(y0), F.lit(","),
+        s(x0 + 12), F.lit(" "), s(y0 + 6), F.lit(","),
+        s(x0 + 6), F.lit(" "), s(y0 + 6), F.lit(","),
+        s(x0 + 6), F.lit(" "), s(y0 + 12), F.lit(","),
+        s(x0), F.lit(" "), s(y0 + 12), F.lit(","),
+        s(x0), F.lit(" "), s(y0), F.lit("))"))
+    d_wkt = F.concat(
+        F.lit("POLYGON(("),
+        s(x0), F.lit(" "), s(y0), F.lit(","),
+        s(x0 + 12), F.lit(" "), s(y0), F.lit(","),
+        s(x0 + 12), F.lit(" "), s(y0 + 12), F.lit(","),
+        s(x0), F.lit(" "), s(y0 + 12), F.lit(","),
+        s(x0), F.lit(" "), s(y0), F.lit("),("),
+        s(x0 + 3), F.lit(" "), s(y0 + 3), F.lit(","),
+        s(x0 + 3), F.lit(" "), s(y0 + 9), F.lit(","),
+        s(x0 + 9), F.lit(" "), s(y0 + 9), F.lit(","),
+        s(x0 + 9), F.lit(" "), s(y0 + 3), F.lit(","),
+        s(x0 + 3), F.lit(" "), s(y0 + 3), F.lit("))"))
+    n = n.withColumn("lgeom", st_geomfromtext(l_wkt)) \
+         .withColumn("dgeom", st_geomfromtext(d_wkt))
+    # native bbox prefilter inside the broadcast join; exact covers after
+    cond = ((F.col("x") >= x0) & (F.col("x") <= x0 + 12)
+            & (F.col("y") >= y0) & (F.col("y") <= y0 + 12))
+    j = pts.join(F.broadcast(n), cond)
+    return (j.groupBy("n_nationkey")
+            .agg(F.sum(st_covers(F.col("lgeom"), F.col("geom"))
+                       .cast("int")).alias("n_l"),
+                 F.sum(st_covers(F.col("dgeom"), F.col("geom"))
+                       .cast("int")).alias("n_donut"))
+            .orderBy("n_nationkey"))
+
+
 def _q_buffer_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#14 ST_Buffer over LineStrings — offset-curve capsules with round
     caps (geo/offset.py; reference buffers via GEOS,
@@ -513,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_type": _q_geometry_type,
         "buffer_bbox": _q_buffer_bbox,
         "buffer_lines": _q_buffer_lines,
+        "covers_concave": _q_covers_concave,
         "spatial_join": _q_spatial_join,
         "boundary_literals": _q_boundary_literals,
         "mvt_literal": _q_mvt_literal,
@@ -767,6 +826,27 @@ def oracle_sql() -> dict[str, str]:
                      CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
                      CAST(c_nationkey * 3 AS DOUBLE) - 37.5 AS y
               FROM customer)
+        """,
+        # L-poly: covered iff in [x0,x0+12]x[y0,y0+12] and not in the
+        # notch x>x0+6 ∧ y>y0+6; donut: same box minus the open hole
+        # (x0+3,x0+9)x(y0+3,y0+9). Integer grid -> exact boundary ties.
+        "covers_concave": """
+            SELECT n_nationkey,
+                   SUM(CASE WHEN x <= x0 + 6 OR y <= y0 + 6
+                            THEN 1 ELSE 0 END) AS n_l,
+                   SUM(CASE WHEN NOT (x > x0 + 3 AND x < x0 + 9
+                                      AND y > y0 + 3 AND y < y0 + 9)
+                            THEN 1 ELSE 0 END) AS n_donut
+            FROM (SELECT CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
+                         c_nationkey * 3 - 37.5 AS y
+                  FROM customer),
+                 (SELECT n_nationkey,
+                         n_nationkey * 14 - 180 AS x0,
+                         n_regionkey * 14 - 38 AS y0
+                  FROM nation)
+            WHERE x >= x0 AND x <= x0 + 12 AND y >= y0 AND y <= y0 + 12
+            GROUP BY n_nationkey
+            ORDER BY n_nationkey
         """,
         # capsule of the collinear 45° fixture line, w=2 q=8: 37 vertices;
         # bbox = line bbox ± w exactly (cap arcs land on the axis angles);

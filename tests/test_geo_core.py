@@ -167,8 +167,8 @@ def test_buffer_point():
     for x, y in ring:
         assert math.isclose(math.hypot(x - 100, y - 90), 50.0, rel_tol=1e-12)
     assert ring[0] == (150.0, 90.0)  # starts at angle 0
-    with pytest.raises(NotImplementedError):
-        algos.buffer(from_wkt("LINESTRING(0 0,1 1)"), 1.0, 8)
+    # line/polygon buffering: offset curves (tests/test_buffer_offset.py)
+    assert algos.buffer(from_wkt("LINESTRING(0 0,1 1)"), 1.0, 8).typ == "Polygon"
 
 
 def test_split_line_by_point():
