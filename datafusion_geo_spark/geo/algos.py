@@ -480,8 +480,11 @@ def split(g: Geometry, blade: Geometry) -> Geometry:
     (/root/reference/src/function/split.rs:148 "FIXME fix split
     implementation"; SURVEY.md §7.3 Hard#4).
 
-    Supported: LineString split by Point / MultiPoint / LineString;
-    (convex) Polygon split by a straight 2-point LineString.
+    Supported: LineString split by Point / MultiPoint / (Multi)LineString;
+    any Polygon (concave, holed) or MultiPolygon split by any
+    (Multi)LineString blade — blade SEGMENTS cut, not the infinite line,
+    and a blade that dead-ends inside a face does not split (spur
+    pruning), both per PostGIS.
     """
     if g.typ == "LineString":
         cuts: List[Coord] = []
@@ -502,8 +505,16 @@ def split(g: Geometry, blade: Geometry) -> Geometry:
         pieces = _split_line(g.parts, cuts)
         return Geometry("GeometryCollection",
                         [Geometry("LineString", piece) for piece in pieces], g.srid)
-    if g.typ == "Polygon" and blade.typ == "LineString" and len(blade.parts) >= 2:
-        return _split_convex_polygon(g, blade)
+    if g.typ in ("Polygon", "MultiPolygon") and \
+            blade.typ in ("LineString", "MultiLineString"):
+        blade_segs = [s for gb in blade.geometries() for s in _segments(gb)]
+        pieces = []
+        for part in g.geometries():
+            pieces.extend(_split_polygon_faces(part, blade_segs))
+        pieces.sort(key=lambda rings: min(rings[0]))
+        return Geometry("GeometryCollection",
+                        [Geometry("Polygon", rings, g.srid) for rings in pieces],
+                        g.srid)
     raise NotImplementedError(f"split {g.typ} by {blade.typ}")
 
 
@@ -541,43 +552,177 @@ def _split_line(coords: List[Coord], cuts: List[Coord]) -> List[List[Coord]]:
     return [p for p in pieces if len(p) >= 2]
 
 
-def _split_convex_polygon(g: Geometry, blade: Geometry) -> Geometry:
-    """Split a convex polygon (no holes) by the infinite line through the
-    blade's first/last points, keeping both halves (Sutherland–Hodgman
-    against each half-plane). Raises for polygons with holes."""
-    if len(g.parts) != 1:
-        raise NotImplementedError("split of polygon with holes")
-    a, b = blade.parts[0], blade.parts[-1]
+def _node_key(p: Coord, tol: float = 1e-7) -> Tuple[int, int]:
+    return (round(p[0] / tol), round(p[1] / tol))
 
-    def clip(ring: List[Coord], sign: float) -> List[Coord]:
-        out: List[Coord] = []
-        n = len(ring) - 1
-        for i in range(n):
-            p, q = ring[i], ring[i + 1]
-            sp = sign * _orient(a, b, p)
-            sq = sign * _orient(a, b, q)
-            if sp >= -EPS:
-                out.append(p)
-            if (sp > EPS and sq < -EPS) or (sp < -EPS and sq > EPS):
-                x = segment_crossing(p, q, a, b)
-                if x is None:  # crossing with infinite line
-                    denom = (b[0] - a[0]) * (q[1] - p[1]) - (b[1] - a[1]) * (q[0] - p[0])
-                    t = ((b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])) / denom
-                    x = (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
-                out.append(x)
-        if len(out) < 3:
-            return []
-        out.append(out[0])
-        return out
 
-    halves = []
-    for sign in (1.0, -1.0):
-        ring = clip(list(g.parts[0]), sign)
-        if ring:
-            halves.append(Geometry("Polygon", [ring], g.srid))
-    if len(halves) < 2:  # blade missed: result is the input, collected
-        return Geometry("GeometryCollection", [g], g.srid)
-    return Geometry("GeometryCollection", halves, g.srid)
+def _cut_segment(a: Coord, b: Coord,
+                 cut: Sequence[Tuple[Coord, Coord]]) -> List[Tuple[Coord, Coord]]:
+    """Split ab at every crossing/overlap endpoint with the cut segments."""
+    ts = _split_params(a, b, cut)
+    out = []
+    for t0, t1 in zip(ts, ts[1:]):
+        if t1 - t0 <= EPS:
+            continue
+        p = (a[0] + (b[0] - a[0]) * t0, a[1] + (b[1] - a[1]) * t0)
+        q = (a[0] + (b[0] - a[0]) * t1, a[1] + (b[1] - a[1]) * t1)
+        if dist(p, q) > EPS:
+            out.append((p, q))
+    return out
+
+
+def _split_polygon_faces(g: Geometry,
+                         blade_segs: Sequence[Tuple[Coord, Coord]]
+                         ) -> List[List[List[Coord]]]:
+    """Faces of one polygon split by blade segments, as ring-lists
+    (shell CCW + holes CW), via a planar-arrangement face trace:
+
+    1. Orient rings interior-on-left (shell CCW, holes CW); cut ring
+       edges at blade crossings; cut blade edges at ring and mutual
+       blade crossings, keeping only pieces strictly inside the polygon.
+    2. Prune dangling blade pieces (degree-1 endpoints, iteratively) —
+       a blade that dead-ends inside a face splits nothing (PostGIS).
+    3. Trace faces: ring pieces one direction, blade pieces both; at
+       each node continue with the LEFTMOST turn (max signed angle),
+       which walks the face lying left of every directed edge. Positive
+       rings are pieces, negative rings are holes of the smallest
+       containing piece.
+    """
+    # 1. oriented ring edges, cut at blade
+    ring_edges: List[Tuple[Coord, Coord]] = []
+    for idx, ring in enumerate(g.parts):
+        r = list(ring)
+        if len(r) < 4:
+            continue
+        ccw = ring_area2(r) > 0
+        if (idx == 0) != ccw:  # shell must be CCW, holes CW
+            r = r[::-1]
+        for i in range(len(r) - 1):
+            if dist(r[i], r[i + 1]) > EPS:
+                ring_edges.extend(_cut_segment(r[i], r[i + 1], blade_segs))
+    if not ring_edges:
+        return []
+    # blade pieces: cut at rings and at other blade segments, keep the
+    # strictly-interior ones (a piece riding the boundary splits nothing)
+    all_ring_segs = [s for s in ring_edges]
+    blade_pieces: List[Tuple[Coord, Coord]] = []
+    for k, (a, b) in enumerate(blade_segs):
+        others = [s for i, s in enumerate(blade_segs) if i != k]
+        for p, q in _cut_segment(a, b, list(all_ring_segs) + others):
+            m = ((p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0)
+            if point_in_polygon(m, g.parts) == 1:
+                blade_pieces.append((p, q))
+    if not blade_pieces:
+        return [[list(r) for r in g.parts]]  # unsplit: the input itself
+
+    # 2. spur pruning
+    while True:
+        deg: dict = {}
+        for a, b in ring_edges:
+            deg[_node_key(a)] = deg.get(_node_key(a), 0) + 1
+            deg[_node_key(b)] = deg.get(_node_key(b), 0) + 1
+        for a, b in blade_pieces:
+            deg[_node_key(a)] = deg.get(_node_key(a), 0) + 1
+            deg[_node_key(b)] = deg.get(_node_key(b), 0) + 1
+        keep = [e for e in blade_pieces
+                if deg[_node_key(e[0])] > 1 and deg[_node_key(e[1])] > 1]
+        if len(keep) == len(blade_pieces):
+            break
+        blade_pieces = keep
+    if not blade_pieces:
+        return [[list(r) for r in g.parts]]
+
+    # 3. face trace. Snap every endpoint to one representative per node
+    # key first (ring-edge coordinates preferred) so shared nodes emit
+    # bit-identical output coordinates regardless of which edge's float
+    # arithmetic produced them.
+    rep: dict = {}
+    for a, b in ring_edges:
+        rep.setdefault(_node_key(a), a)
+        rep.setdefault(_node_key(b), b)
+    for a, b in blade_pieces:
+        rep.setdefault(_node_key(a), a)
+        rep.setdefault(_node_key(b), b)
+
+    def snap(e):
+        return (rep[_node_key(e[0])], rep[_node_key(e[1])])
+
+    ring_edges = [snap(e) for e in ring_edges]
+    blade_pieces = [snap(e) for e in blade_pieces]
+    edges: List[Tuple[Coord, Coord]] = list(ring_edges)
+    for a, b in blade_pieces:
+        edges.append((a, b))
+        edges.append((b, a))
+    outgoing: dict = {}
+    for e in edges:
+        outgoing.setdefault(_node_key(e[0]), []).append(e)
+    used = set()
+    rings_out: List[List[Coord]] = []
+    for start in edges:
+        if id(start) in used:
+            continue
+        ring = [start[0]]
+        e = start
+        ok = False
+        for _ in range(len(edges) + 1):
+            used.add(id(e))
+            ring.append(e[1])
+            if _node_key(e[1]) == _node_key(start[0]):
+                ok = True
+                break
+            cands = [c for c in outgoing.get(_node_key(e[1]), [])
+                     if id(c) not in used]
+            if not cands:
+                break
+            din = math.atan2(e[1][1] - e[0][1], e[1][0] - e[0][0])
+
+            def turn(c):
+                ang = math.atan2(c[1][1] - c[0][1], c[1][0] - c[0][0]) - din
+                while ang <= -math.pi:
+                    ang += 2.0 * math.pi
+                while ang > math.pi:
+                    ang -= 2.0 * math.pi
+                return ang
+            nonrev = [c for c in cands
+                      if not (_node_key(c[1]) == _node_key(e[0])
+                              and abs(abs(turn(c)) - math.pi) < 1e-9)]
+            e = max(nonrev or cands, key=turn)  # leftmost turn
+        if ok and len(ring) >= 4:
+            ring[-1] = ring[0]
+            rings_out.append(ring)
+
+    shells = sorted(
+        ((abs(ring_area2(r)), _canon_start(r)) for r in rings_out
+         if ring_area2(r) > EPS), key=lambda s: s[0])
+    holes = [_canon_start(r) for r in rings_out if ring_area2(r) < -EPS]
+    faces: List[List[List[Coord]]] = [[r] for _, r in shells]
+    for h in holes:
+        # strict containment: a CW ring coinciding with a piece's shell
+        # (a blade-cycle island) must attach to the face AROUND it, not
+        # to the identical shell — probe edge midpoints until one lands
+        # strictly inside some shell
+        assigned = False
+        for k, (_, shell) in enumerate(shells):
+            for i in range(len(h) - 1):
+                hm = ((h[i][0] + h[i + 1][0]) / 2.0,
+                      (h[i][1] + h[i + 1][1]) / 2.0)
+                if point_in_ring(hm, shell) == 1:
+                    faces[k].append(h)
+                    assigned = True
+                    break
+            if assigned:
+                break
+    return faces
+
+
+def _canon_start(ring: List[Coord]) -> List[Coord]:
+    """Rotate a closed ring to start at its lexicographic min vertex —
+    deterministic output layout for oracle comparison."""
+    cs = ring[:-1]
+    k = min(range(len(cs)), key=lambda i: cs[i])
+    cs = cs[k:] + cs[:k]
+    cs.append(cs[0])
+    return cs
 
 
 # ---------------------------------------------------------------- MVT

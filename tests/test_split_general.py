@@ -1,0 +1,130 @@
+"""Generalized ST_Split: any polygon (concave, holed, multi) by any
+polyline blade, via planar-arrangement face tracing (geo/algos.py).
+
+PostGIS semantics — blade SEGMENTS cut (not the infinite line through
+the endpoints), a dead-ending blade splits nothing — deliberately NOT
+the reference's author-flagged-broken kernel
+(/root/reference/src/function/split.rs:148).
+"""
+
+import random
+
+import pytest
+
+from datafusion_geo_spark.geo import algos
+from datafusion_geo_spark.geo.wkt import from_wkt as P, to_wkt
+
+
+def wkt_split(g, blade):
+    return to_wkt(algos.split(P(g), P(blade)))
+
+
+def areas(g, blade):
+    r = algos.split(P(g), P(blade))
+    return [algos.area(p) for p in r.parts]
+
+
+def test_convex_square_vertical():
+    assert wkt_split("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                     "LINESTRING(5 -1,5 11)") == \
+        ("GEOMETRYCOLLECTION(POLYGON((0 0,5 0,5 10,0 10,0 0)),"
+         "POLYGON((5 0,10 0,10 10,5 10,5 0)))")
+
+
+def test_concave_u_three_pieces():
+    got = areas("POLYGON((0 0,9 0,9 6,6 6,6 2,3 2,3 6,0 6,0 0))",
+                "LINESTRING(-1 4,10 4)")
+    assert sorted(got) == [6.0, 6.0, 30.0]
+    assert sum(got) == pytest.approx(42.0)
+
+
+def test_holed_polygon_blade_misses_hole():
+    got = wkt_split(
+        "POLYGON((0 0,20 0,20 20,0 20,0 0),(6 6,6 14,14 14,14 6,6 6))",
+        "LINESTRING(3 -1,3 21)")
+    # hole stays intact inside the right piece
+    assert got == ("GEOMETRYCOLLECTION(POLYGON((0 0,3 0,3 20,0 20,0 0)),"
+                   "POLYGON((3 0,20 0,20 20,3 20,3 0),"
+                   "(6 6,6 14,14 14,14 6,6 6)))")
+
+
+def test_holed_polygon_blade_through_hole():
+    got = areas("POLYGON((0 0,20 0,20 20,0 20,0 0),(6 6,6 14,14 14,14 6,6 6))",
+                "LINESTRING(10 -1,10 21)")
+    assert len(got) == 2
+    assert sum(got) == pytest.approx(336.0)
+    assert got[0] == pytest.approx(168.0)
+
+
+def test_bent_multisegment_blade():
+    got = areas("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                "LINESTRING(-1 3,5 3,5 11)")
+    assert sorted(got) == [35.0, 65.0]
+
+
+def test_partial_blade_no_split():
+    # blade dead-ends inside: PostGIS returns the input uncut
+    got = wkt_split("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                    "LINESTRING(5 -1,5 5)")
+    assert got == "GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,0 10,0 0)))"
+
+
+def test_blade_segments_not_infinite_line():
+    # a short blade nowhere near the polygon must not split it (the old
+    # convex implementation extended the infinite line through a,b)
+    got = wkt_split("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                    "LINESTRING(5 20,5 30)")
+    assert got == "GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,0 10,0 0)))"
+
+
+def test_closed_blade_ring_island():
+    got = wkt_split("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                    "LINESTRING(3 3,7 3,7 7,3 7,3 3)")
+    assert got == ("GEOMETRYCOLLECTION("
+                   "POLYGON((0 0,10 0,10 10,0 10,0 0),"
+                   "(3 3,3 7,7 7,7 3,3 3)),"
+                   "POLYGON((3 3,7 3,7 7,3 7,3 3)))")
+
+
+def test_diagonal_blade():
+    got = areas("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                "LINESTRING(-1 -1,11 11)")
+    assert sorted(got) == [50.0, 50.0]
+
+
+def test_multipolygon_input():
+    g = ("MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),((10 0,14 0,14 4,10 4,10 0)))")
+    got = areas(g, "LINESTRING(2 -1,2 5)")
+    # first part splits 8+8, second part untouched (16)
+    assert sorted(got) == [8.0, 8.0, 16.0]
+
+
+def test_multilinestring_blade():
+    got = areas("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                "MULTILINESTRING((3 -1,3 11),(7 -1,7 11))")
+    assert sorted(got) == [30.0, 30.0, 40.0]
+
+
+def test_blade_riding_boundary_no_split():
+    got = wkt_split("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                    "LINESTRING(0 -1,0 11)")
+    assert got == "GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,0 10,0 0)))"
+
+
+def test_line_by_point_regression():
+    assert wkt_split("LINESTRING(0 0,10 10)", "POINT(5 5)") == \
+        "GEOMETRYCOLLECTION(LINESTRING(0 0,5 5),LINESTRING(5 5,10 10))"
+
+
+def test_area_conservation_random():
+    """Splitting never creates or destroys area."""
+    rng = random.Random(5)
+    poly = "POLYGON((0 0,12 0,12 6,10 6,10 2,7 2,7 6,5 6,5 2,2 2,2 6,0 6,0 0))"
+    g = P(poly)
+    base = algos.area(g)
+    for _ in range(25):
+        x = rng.uniform(0.5, 11.5)
+        y0, y1 = -1.0, 7.0
+        r = algos.split(g, P(f"LINESTRING({x} {y0},{x} {y1})"))
+        total = sum(algos.area(p) for p in r.parts)
+        assert total == pytest.approx(base, abs=1e-9), x
