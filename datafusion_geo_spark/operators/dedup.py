@@ -12,12 +12,49 @@ reproduce every signature bit-for-bit (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+import logging
+from typing import List, Optional, Sequence, Tuple
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .text import words_col
+
+log = logging.getLogger(__name__)
+
+# Default cap on LSH/SimHash bucket membership. A band key shared by N
+# docs yields N(N-1)/2 candidate pairs in ONE shuffle partition; at web
+# scale a boilerplate page (empty doc, cookie banner) is exactly such a
+# key, and an uncapped bucket turns the equi-join quadratic. Dropping
+# oversized buckets is the standard web-scale LSH practice: members of a
+# monster bucket are near-dups of thousands of other docs and are caught
+# by the OTHER bands/chunks (or an exact-hash pass) anyway.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_buckets(banded: DataFrame, key_cols: Sequence[str],
+                 max_bucket: Optional[int],
+                 log_dropped: bool = False) -> DataFrame:
+    """Drop rows belonging to over-populated candidate buckets.
+
+    The membership count is a window count over the same key the
+    candidate join shuffles on, so it adds no extra shuffle (AQE reuses
+    the exchange). ``log_dropped`` forces a count action and logs the
+    truncation — off by default (costs a job)."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*[F.col(c) for c in key_cols])
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    if log_dropped:
+        dropped = (sized.where(F.col("_bsz") > max_bucket)
+                   .agg(F.count(F.lit(1)).alias("rows"),
+                        F.count_distinct(*[F.col(c) for c in key_cols])
+                        .alias("buckets")).collect()[0])
+        if dropped["rows"]:
+            log.warning(
+                "LSH bucket cap %d dropped %d rows across %d hot buckets",
+                max_bucket, dropped["rows"], dropped["buckets"])
+    return sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
 
 MINHASH_P = 1_000_000_007
 NUM_HASHES = 16
@@ -99,7 +136,9 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 def lsh_pairs(sig: DataFrame, id_col: str = "doc_id",
               bands: int = LSH_BANDS, rows: int = LSH_ROWS,
               min_sim: float = 0.5,
-              num_hashes: int = NUM_HASHES) -> DataFrame:
+              num_hashes: int = NUM_HASHES,
+              max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+              log_dropped: bool = False) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard.
 
     Candidates = pairs agreeing on at least one band (equi-join on the
@@ -112,7 +151,9 @@ def lsh_pairs(sig: DataFrame, id_col: str = "doc_id",
     shingle-explode+agg pipeline for each (measured 10 recomputations /
     20 parquet scans at sf0.1). Band keys come from ONE explode of a
     literal (band, bkey) struct array rather than a ``bands``-way union,
-    so the banded relation is a single narrow pass over the cached sig."""
+    so the banded relation is a single narrow pass over the cached sig.
+    Buckets larger than ``max_bucket`` are dropped (see _cap_buckets) so
+    one hot band key cannot make a single task quadratic."""
     sig = sig.persist()
     band_structs = F.array(*[
         F.struct(
@@ -123,6 +164,7 @@ def lsh_pairs(sig: DataFrame, id_col: str = "doc_id",
     banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
               .select(id_col, F.col("bb.band").alias("band"),
                       F.col("bb.bkey").alias("bkey")))
+    banded = _cap_buckets(banded, ("band", "bkey"), max_bucket, log_dropped)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (left.join(right, ["band", "bkey"])
@@ -180,13 +222,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3,
                        bits: int = SIMHASH_BITS,
-                       chunks: int = SIMHASH_CHUNKS) -> DataFrame:
+                       chunks: int = SIMHASH_CHUNKS,
+                       max_bucket: Optional[int] = DEFAULT_MAX_BUCKET,
+                       log_dropped: bool = False) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
     Scale path: band the signature into ``chunks`` bit-chunks; by
     pigeonhole any pair within distance < chunks shares ≥1 chunk, so an
     equi-join per chunk finds all such pairs without a cross product.
-    Requires max_hamming < chunks for completeness."""
+    Requires max_hamming < chunks for completeness. Chunk buckets larger
+    than ``max_bucket`` are dropped (see _cap_buckets)."""
     assert max_hamming < chunks, "pigeonhole completeness needs hamming < chunks"
     cbits = bits // chunks
     mask = (1 << cbits) - 1
@@ -201,6 +246,7 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
                          F.explode(chunk_structs).alias("cc"))
               .select(id_col, "simhash", F.col("cc.chunk").alias("chunk"),
                       F.col("cc.ckey").alias("ckey")))
+    banded = _cap_buckets(banded, ("chunk", "ckey"), max_bucket, log_dropped)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (l.join(r, ["chunk", "ckey"])
              .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

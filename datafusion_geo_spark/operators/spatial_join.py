@@ -30,6 +30,15 @@ from ..functions import box2d, st_intersects
 
 BBOX_COLS = ("xmin", "ymin", "xmax", "ymax")
 
+# Per-block cell budget for the cogrouped join's candidate matrix
+# (bool bytes per intermediate array); 1<<24 = 16M cells ≈ 16 MB.
+MATRIX_BLOCK_CELLS = 1 << 24
+
+# broadcast_bbox_join snapshots the small side on the driver; above this
+# many rows refuse loudly instead of OOMing the driver (a side this big
+# should go through grid_join / cogrouped_grid_join instead).
+MAX_SNAPSHOT_ROWS = 2_000_000
+
 
 def ensure_bbox(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     """Materialize bbox columns from the geometry once (single Python
@@ -77,12 +86,20 @@ def broadcast_bbox_join(big: DataFrame, small: DataFrame,
     local DataFrame. A broadcast plan containing a pandas UDF re-evaluates
     that UDF (fresh Python stage) on EVERY action that reuses the join —
     measured ~2-6 s per action for a 25-row side — whereas the snapshot is
-    UDF-free and broadcasts in ms. Safe by construction: the small side
-    must fit in the driver to be broadcast at all."""
+    UDF-free and broadcasts in ms. The collect is bounded: more than
+    ``max_snapshot_rows`` rows raises instead of OOMing the driver (the
+    limit+1 fetch stops the scan early, it never pulls the full side)."""
     b = ensure_bbox(big, geom_big).alias("b")
     s_df = ensure_bbox(small, geom_small)
     if snapshot_small:
-        s_df = s_df.sparkSession.createDataFrame(s_df.collect(), s_df.schema)
+        rows = s_df.limit(MAX_SNAPSHOT_ROWS + 1).collect()
+        if len(rows) > MAX_SNAPSHOT_ROWS:
+            raise ValueError(
+                f"broadcast_bbox_join: small side exceeds "
+                f"{MAX_SNAPSHOT_ROWS} rows; use grid_join / "
+                f"cogrouped_grid_join for big×big inputs, or pass "
+                f"snapshot_small=False to keep it distributed")
+        s_df = s_df.sparkSession.createDataFrame(rows, s_df.schema)
     s = F.broadcast(s_df).alias("s")
     cond = _bbox_overlap("b", "s")
     joined = b.join(s, cond)
@@ -199,12 +216,29 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
         ax1 = la["xmax"].to_numpy(float); ay1 = la["ymax"].to_numpy(float)
         bx0 = rb["xmin"].to_numpy(float); by0 = rb["ymin"].to_numpy(float)
         bx1 = rb["xmax"].to_numpy(float); by1 = rb["ymax"].to_numpy(float)
-        # outer bbox overlap + canonical cell (dedup across shared cells)
-        ov = ((ax0[:, None] <= bx1[None, :]) & (bx0[None, :] <= ax1[:, None])
-              & (ay0[:, None] <= by1[None, :]) & (by0[None, :] <= ay1[:, None]))
-        canon = ((np.floor(np.maximum(ax0[:, None], bx0[None, :]) / cell) == cx)
-                 & (np.floor(np.maximum(ay0[:, None], by0[None, :]) / cell) == cy))
-        ia, ib = np.nonzero(ov & canon)
+        # outer bbox overlap + canonical cell (dedup across shared cells),
+        # evaluated in fixed-size ROW BLOCKS: a dense cell (skewed data or
+        # a mis-chosen cell size) would otherwise allocate an na×nb
+        # boolean matrix in one shot — AQE skew splitting does not apply
+        # inside a cogroup, so the block loop is the memory bound
+        # (~MATRIX_BLOCK_CELLS bytes per intermediate, not na*nb).
+        ia_parts, ib_parts = [], []
+        step_a = max(1, MATRIX_BLOCK_CELLS // max(nb, 1))
+        for a0 in range(0, na, step_a):
+            a1 = min(a0 + step_a, na)
+            ov = ((ax0[a0:a1, None] <= bx1[None, :])
+                  & (bx0[None, :] <= ax1[a0:a1, None])
+                  & (ay0[a0:a1, None] <= by1[None, :])
+                  & (by0[None, :] <= ay1[a0:a1, None]))
+            canon = ((np.floor(np.maximum(ax0[a0:a1, None], bx0[None, :])
+                               / cell) == cx)
+                     & (np.floor(np.maximum(ay0[a0:a1, None], by0[None, :])
+                                 / cell) == cy))
+            pa, pb = np.nonzero(ov & canon)
+            ia_parts.append(pa + a0)
+            ib_parts.append(pb)
+        ia = np.concatenate(ia_parts) if ia_parts else np.empty(0, dtype=int)
+        ib = np.concatenate(ib_parts) if ib_parts else np.empty(0, dtype=int)
         if len(ia) == 0:
             return empty
         # exact refinement on surviving candidates
