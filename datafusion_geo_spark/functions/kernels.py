@@ -418,6 +418,15 @@ def geom_bbox_from_text(s: pd.Series) -> pd.DataFrame:
     return bb
 
 
+def wkt_roundtrip(s: pd.Series) -> pd.Series:
+    """Fused ST_AsText(ST_GeomFromText(x)) — canonical-form WKT in ONE
+    Python crossing. The plan-level alternative is two chained-dependent
+    pandas UDFs (construct then serialize) = two ArrowEvalPython stages
+    round-tripping the intermediate WKB through the JVM; fusing keeps the
+    intermediate in-process (same rationale as geom_bbox_from_text)."""
+    return as_text(geom_from_text(s))
+
+
 def box2d_from_array(s: pd.Series) -> pd.DataFrame:
     """array<double>[4] -> Box2D struct rows; the SQL bridge back from
     ST_Extent's array encoding (grouped-agg pandas UDFs cannot return

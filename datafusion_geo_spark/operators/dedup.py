@@ -16,7 +16,7 @@ import logging
 from typing import List, Optional, Sequence, Tuple
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 from .text import words_col
 
@@ -37,24 +37,29 @@ def _cap_buckets(banded: DataFrame, key_cols: Sequence[str],
                  log_dropped: bool = False) -> DataFrame:
     """Drop rows belonging to over-populated candidate buckets.
 
-    The membership count is a window count over the same key the
-    candidate join shuffles on, so it adds no extra shuffle (AQE reuses
-    the exchange). ``log_dropped`` forces a count action and logs the
-    truncation — off by default (costs a job)."""
+    Hot keys are found with a partial+final count aggregate (map-side
+    combined, so the shuffle carries one row per distinct key per map
+    task, not per doc) and removed with a BROADCAST anti-join: at web
+    scale the hot-key list is tiny (a handful of boilerplate pages) while
+    ``banded`` is huge, so the big side streams with no extra shuffle and
+    no sort — unlike a window count, which would shuffle AND sort every
+    banded row. ``log_dropped`` additionally logs how much the cap
+    removed (one extra count action on the tiny hot-key frame)."""
     if max_bucket is None:
         return banded
-    w = Window.partitionBy(*[F.col(c) for c in key_cols])
-    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    keys = [F.col(c) for c in key_cols]
+    hot = (banded.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("_bsz"))
+           .where(F.col("_bsz") > max_bucket))
     if log_dropped:
-        dropped = (sized.where(F.col("_bsz") > max_bucket)
-                   .agg(F.count(F.lit(1)).alias("rows"),
-                        F.count_distinct(*[F.col(c) for c in key_cols])
-                        .alias("buckets")).collect()[0])
-        if dropped["rows"]:
+        d = hot.agg(F.sum("_bsz").alias("rows"),
+                    F.count(F.lit(1)).alias("buckets")).collect()[0]
+        if d["buckets"]:
             log.warning(
                 "LSH bucket cap %d dropped %d rows across %d hot buckets",
-                max_bucket, dropped["rows"], dropped["buckets"])
-    return sized.where(F.col("_bsz") <= max_bucket).drop("_bsz")
+                max_bucket, d["rows"], d["buckets"])
+    return banded.join(F.broadcast(hot.drop("_bsz")),
+                       list(key_cols), "left_anti")
 
 MINHASH_P = 1_000_000_007
 NUM_HASHES = 16

@@ -161,7 +161,8 @@ def grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
 def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
                         geom_a: str = "geom", geom_b: str = "geom",
                         a_cols: Optional[list] = None,
-                        b_cols: Optional[list] = None) -> DataFrame:
+                        b_cols: Optional[list] = None,
+                        num_partitions: Optional[int] = None) -> DataFrame:
     """Big×big spatial join as a COGROUP over grid cells
     (``groupBy(cell).cogroup(...).applyInPandas``).
 
@@ -195,8 +196,19 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
                         *[F.col(c) for c in keep],
                         *[F.col(c) for c in BBOX_COLS if c not in keep]))
 
-    ea = explode_side(a, geom_a, a_cols)
-    eb = explode_side(b, geom_b, b_cols)
+    # Pin the cogroup's shuffle width with an explicitly-NUMBERED
+    # repartition on the cell keys. AQE's bytes-based coalescing sees
+    # only the tiny bbox rows entering the shuffle — not the quadratic
+    # candidate work inside the cogroup — and collapses the Python stage
+    # to ONE task (measured: whole 24M-candidate bench query in a single
+    # partition). A REPARTITION_BY_NUM shuffle is exempt from AQE
+    # coalescing, and EnsureRequirements reuses it for the cogroup
+    # (same hash partitioning on cx,cy → no second exchange).
+    if num_partitions is None:
+        num_partitions = int(
+            a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    ea = explode_side(a, geom_a, a_cols).repartition(num_partitions, "cx", "cy")
+    eb = explode_side(b, geom_b, b_cols).repartition(num_partitions, "cx", "cy")
 
     out_fields = ", ".join(
         [f"{c} {t}" for c, t in
