@@ -848,10 +848,10 @@ def oracle_sql() -> dict[str, str]:
         "covers_concave": """
             SELECT n_nationkey,
                    SUM(CASE WHEN x <= x0 + 6 OR y <= y0 + 6
-                            THEN 1 ELSE 0 END) AS n_l,
+                            THEN 1 ELSE 0 END)::BIGINT AS n_l,
                    SUM(CASE WHEN NOT (x > x0 + 3 AND x < x0 + 9
                                       AND y > y0 + 3 AND y < y0 + 9)
-                            THEN 1 ELSE 0 END) AS n_donut
+                            THEN 1 ELSE 0 END)::BIGINT AS n_donut
             FROM (SELECT CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
                          c_nationkey * 3 - 37.5 AS y
                   FROM customer),
@@ -1085,7 +1085,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    epoch_us(MIN(ts)) AS session_start,
                    epoch_us(MAX(ts)) AS session_end,
-                   COUNT(*) AS n_events, SUM(cents) AS total_cents
+                   COUNT(*) AS n_events, SUM(cents)::BIGINT AS total_cents
             FROM s GROUP BY user_id, sid
         """,
         "grid_spatial_join": """

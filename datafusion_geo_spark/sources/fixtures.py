@@ -17,8 +17,12 @@ the DataFrame so bbox prefilters can run natively without decoding WKB.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..functions import box2d, st_geomfromtext, st_point
 
@@ -63,15 +67,70 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with a usable timestamp column. The fixture stores
-    TIMESTAMP(NANOS), which Spark 4's parquet reader rejects — read
-    nanos as int64 and convert via integer division (never through
-    double: precision loss above 2^53)."""
+def _events_conf(spark: SparkSession) -> None:
+    """Session conf the events family relies on. nanosAsLong lets a
+    TIMESTAMP(NANOS)-encoded fixture load at all (Spark 4's parquet
+    reader rejects it otherwise); UTC pins truncation / epoch extraction
+    so results are byte-identical to the DuckDB oracle (which treats
+    parquet naive timestamps as-if-UTC) regardless of host timezone."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_event_ts(ev: DataFrame) -> DataFrame:
+    """Schema-adaptive event-time normalization → ``ts: TIMESTAMP``.
+
+    The events fixture has shipped with three different physical
+    encodings across driver versions; adapt to whatever was stored
+    instead of hard-coding one (the round-2 regression):
+      * int64 (TIMESTAMP(NANOS) read via nanosAsLong) → integer-divide
+        to micros (never through double: precision loss above 2^53);
+      * TIMESTAMP_NTZ (micros, no UTC flag — current fixtures) → cast,
+        identity under the UTC session timezone set by _events_conf;
+      * TIMESTAMP → already usable.
+    """
+    dt = ev.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to a proper TIMESTAMP column,
+    whatever the parquet file stored (see _normalize_event_ts)."""
+    _events_conf(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(ev)
+
+
+def _symlink_dir(file_path: str) -> str:
+    """Directory (under the repo's .cache) containing a symlink to the
+    given file — makes a single read-only file consumable by the
+    directory-based file stream source."""
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".cache", "streams")
+    key = hashlib.md5(file_path.encode()).hexdigest()[:12]
+    d = os.path.join(root, key)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(file_path))
+    if not os.path.islink(link):
+        os.symlink(file_path, link)
+    return d
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`load_events`: file-stream source over the
+    events fixture with the SAME schema-adaptive ``ts`` normalization.
+    The file source needs an explicit schema — take it from a batch read
+    of the same file (footer-only, no data scan), so the stream always
+    matches what is physically stored instead of assuming an encoding."""
+    _events_conf(spark)
+    stream_dir = _symlink_dir(f"{sf_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    return _normalize_event_ts(stream)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:

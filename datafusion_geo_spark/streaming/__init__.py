@@ -5,6 +5,6 @@ the Spark-native extension of its one aggregate (st_extent) to unbounded
 data: windowed incremental extent with watermarked late-data handling.
 """
 
-from .extent import streaming_extent, EVENTS_SCHEMA
+from .extent import streaming_extent
 
-__all__ = ["streaming_extent", "EVENTS_SCHEMA"]
+__all__ = ["streaming_extent"]

@@ -14,43 +14,15 @@ exactly — on a bounded input, availableNow streaming ≡ batch SQL.
 
 from __future__ import annotations
 
-import hashlib
-import os
 import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType, TimestampType)
 
-# The events fixture stores ts as parquet TIMESTAMP(NANOS), which Spark's
-# parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as
-# raw int64 nanos (spark.sql.legacy.parquet.nanosAsLong) and convert to a
-# microsecond timestamp with integer division — never via double, which
-# loses precision above 2^53.
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
-
-
-def _symlink_dir(file_path: str) -> str:
-    """Directory (under the repo's .cache) containing a symlink to the
-    given file — makes a single read-only file consumable by the
-    directory-based file stream source."""
-    root = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), ".cache", "streams")
-    key = hashlib.md5(file_path.encode()).hexdigest()[:12]
-    d = os.path.join(root, key)
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, os.path.basename(file_path))
-    if not os.path.islink(link):
-        os.symlink(file_path, link)
-    return d
+# Event ingestion (schema-adaptive ts normalization, stream-dir shim) is
+# shared with the batch path — ONE loader, so a fixture encoding change
+# cannot diverge batch from streaming again (the round-2 regression).
+from ..sources.fixtures import _symlink_dir, load_events_stream  # noqa: F401
 
 
 def streaming_extent(spark: SparkSession, sf_dir: str,
@@ -63,14 +35,9 @@ def streaming_extent(spark: SparkSession, sf_dir: str,
     group-by aggregation (native min/max, partial+final with streaming
     state store) → memory sink. On a real cluster the same query runs
     unbounded (kafka/file source) with identical semantics."""
-    # The file-stream source needs a *directory*; the fixture is a single
-    # read-only parquet file. Expose it through a symlink directory under
-    # the repo (the only writable location in this environment).
-    stream_dir = _symlink_dir(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir))
+    stream = load_events_stream(spark, sf_dir)
     pts = stream.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "ts",
         "event_type",
         F.col("value").alias("x"),
         (F.col("user_id") % 100).cast("double").alias("y"))

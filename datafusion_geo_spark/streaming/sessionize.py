@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (LongType, StructField, StructType,
                                TimestampType)
 
-from .extent import EVENTS_SCHEMA, _symlink_dir
+from ..sources.fixtures import load_events_stream
 
 #  Session bounds are epoch-MICROS longs, not timestamps: a canonical
 #  integer representation hashes identically everywhere, whereas a
@@ -113,12 +113,10 @@ def streaming_sessions(spark: SparkSession, sf_dir: str,
                        gap_minutes: int = 30) -> DataFrame:
     """Sessionize the events stream; returns the final sessions table for
     the bounded fixture (availableNow trigger, memory sink)."""
-    stream_dir = _symlink_dir(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    stream = load_events_stream(spark, sf_dir)
     ev = stream.select(
         "user_id",
-        F.expr("ts div 1000").alias("ts_us"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         F.round(F.col("value") * 100).cast("long").alias("cents"))
     sessions = (ev.groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_minutes * 60_000_000),
