@@ -473,8 +473,10 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side dot products, broadcast query set."""
     import pyspark.sql.functions as FF
     from datafusion_geo_spark.operators.similarity import cosine_topk
-    emb = _embs(spark, sf_dir)
-    return cosine_topk(emb, emb.where(FF.col("vec_id") < 8), k=10)
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    emb = embeddings_normed(spark, sf_dir)
+    return cosine_topk(emb, emb.where(FF.col("vec_id") < 8), k=10,
+                       prenormed=True)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def build_spark():
@@ -104,6 +104,7 @@ def main() -> None:
     queries = bench_queries(spark)
 
     timings = {}
+    spread = {}
     for name, make in queries.items():
         # two warmups: codegen/python-worker spin-up on the first, AQE
         # plan stabilization on the second; GC between queries so one
@@ -117,6 +118,10 @@ def main() -> None:
             force(make())
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
+        # min..max over the timed runs: sub-second queries on a shared
+        # box can swing ±3× run-to-run, so a single number without its
+        # spread reads as a regression when it is noise (BASELINE.md §4)
+        spread[name] = [round(min(runs), 4), round(max(runs), 4)]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -124,6 +129,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
         "runs": RUNS,

