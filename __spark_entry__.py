@@ -572,6 +572,31 @@ def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("m_minus_k"))
 
 
+def _q_geo_parquet_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatially-partitioned parquet sink + pruned window read
+    (sources.geoio): write the order-lines fixture bucketed by bbox-
+    centroid grid cell, read back the window [100,140]² through the
+    partition-filter + bbox-stats path, then apply the exact
+    ST_Intersects predicate. The k-range oracle is analytic: the slope-1
+    segment (k,k+1)→(k+4,k+5) meets the window iff 96 ≤ k ≤ 139; NULL
+    geometries (o_orderkey%7=0) have NULL bboxes and are excluded."""
+    import os
+    from datafusion_geo_spark.functions import st_intersects
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    from datafusion_geo_spark.sources.geoio import (read_geo_parquet,
+                                                    write_geo_parquet)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "geoparquet", tag)
+    src = lines_orders(spark, sf_dir, with_bbox=True) \
+        .select("o_orderkey", "k", "geom", "xmin", "ymin", "xmax", "ymax")
+    write_geo_parquet(src, path, cell=8.0)
+    win = read_geo_parquet(spark, path, bbox=(100.0, 100.0, 140.0, 140.0))
+    box = "POLYGON((100 100,140 100,140 140,100 140,100 100))"
+    return (win.where(st_intersects(F.col("geom"), box))
+            .select("o_orderkey", "k"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wkt_roundtrip_points": _q_wkt_roundtrip_points,
@@ -609,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extent": _q_streaming_extent,
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
+        "geo_parquet_window": _q_geo_parquet_window,
     }
 
 
@@ -1098,5 +1124,14 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT p_partkey, p_partkey % 1000 AS m FROM part)
             WHERE m - k BETWEEN -1 AND 2
             GROUP BY m - k ORDER BY m_minus_k
+        """,
+        # segment (k,k+1)->(k+4,k+5) meets [100,140]^2 iff x in
+        # [100,139] ∩ [k,k+4] nonempty -> 96 <= k <= 139; NULL geoms
+        # (o_orderkey%7=0) excluded by the bbox filter
+        "geo_parquet_window": """
+            SELECT o_orderkey, o_orderkey % 1000 AS k
+            FROM orders
+            WHERE o_orderkey % 7 <> 0
+              AND o_orderkey % 1000 BETWEEN 96 AND 139
         """,
     }

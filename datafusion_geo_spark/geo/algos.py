@@ -251,6 +251,30 @@ def _polygon_interior_bitten(gb: Geometry, apolys: Sequence[Geometry]) -> bool:
     return False
 
 
+def _polygon_interior_point(gb: Geometry) -> Optional[Coord]:
+    """A point strictly inside the polygon (shell minus holes), found by
+    scanline: for each horizontal band between distinct vertex y's, cut
+    the mid-band scanline at every non-horizontal edge and test the
+    midpoints of consecutive cuts. Exact for valid polygons — no
+    epsilon offsets; returns None only for degenerate (zero-area)
+    inputs."""
+    ys = sorted({c[1] for ring in gb.parts for c in ring})
+    edges = [(p, q) for ring in gb.parts
+             for p, q in zip(ring, ring[1:]) if p[1] != q[1]]
+    for y0, y1 in zip(ys, ys[1:]):
+        ym = (y0 + y1) / 2.0
+        xs = sorted(
+            p[0] + (q[0] - p[0]) * (ym - p[1]) / (q[1] - p[1])
+            for p, q in edges if min(p[1], q[1]) < ym < max(p[1], q[1]))
+        for x0, x1 in zip(xs, xs[1:]):
+            if x1 - x0 <= EPS:
+                continue
+            m = ((x0 + x1) / 2.0, ym)
+            if point_in_polygon(m, gb.parts) == 1:
+                return m
+    return None
+
+
 def covers(a: Geometry, b: Geometry) -> bool:
     """No point of b lies outside a — ST_Covers semantics
     (/root/reference/src/function/covers.rs:103-122). Boundary counts as
@@ -287,6 +311,15 @@ def covers(a: Geometry, b: Geometry) -> bool:
                 if not _segment_covered(s[0], s[1], apolys, alines):
                     return False
             if _polygon_interior_bitten(gb, apolys):
+                return False
+            # Boundary covered + unbitten ⇒ gb's interior never meets
+            # a's boundary, and a polygon interior is CONNECTED — so one
+            # strictly-interior point classifies the whole interior.
+            # Catches b filling a's hole when b's shell coincides with
+            # the hole ring (no strictly-inside bite piece exists).
+            ip = _polygon_interior_point(gb)
+            if ip is not None and not any(
+                    point_in_polygon(ip, ap.parts) >= 0 for ap in apolys):
                 return False
     return True
 

@@ -61,6 +61,22 @@ CASES = [
     # concave corner point
     (L, "POINT(3 3)", True),
     (L, "POINT(4 4)", False),
+    # MultiPolygon parts touching at ONE corner: the diagonal through
+    # the pinch point is covered (every point is in the closure), a
+    # parallel segment shifted off the pinch is not
+    ("MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),((4 4,8 4,8 8,4 8,4 4)))",
+     "LINESTRING(2 2,6 6)", True),
+    ("MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),((4 4,8 4,8 8,4 8,4 4)))",
+     "LINESTRING(2 2.5,6 6.5)", False),
+    ("MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),((4 4,8 4,8 8,4 8,4 4)))",
+     "POINT(4 4)", True),
+    # segment collinear with an edge but overhanging it
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "LINESTRING(-1 0,5 0)", False),
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "LINESTRING(0 0,10 0)", True),
+    # b's shell equals a's hole boundary (zero-area overlap region):
+    # b has interior points (inside a's hole) not in a
+    ("POLYGON((0 0,20 0,20 20,0 20,0 0),(6 6,6 14,14 14,14 6,6 6))",
+     "POLYGON((6 6,14 6,14 14,6 14,6 6))", False),
 ]
 
 

@@ -110,3 +110,70 @@ def test_cosine_topk_stays_jvm_side(spark):
     df = entrymod.queries()["cosine_topk"](spark, SF_DIR)
     plan = plan_of(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---- round-2 scale-fix pins (VERDICT r2 #8): these three plan shapes
+# fixed real scale-killers; a regression must fail loudly, not re-measure.
+
+def test_cogroup_repartition_pinned_against_aqe_collapse(spark):
+    """The cogrouped grid join must shuffle through an explicitly-
+    NUMBERED repartition on the cell keys (REPARTITION_BY_NUM is exempt
+    from AQE coalescing). Without it AQE sees only the tiny bbox rows
+    and collapses the quadratic Python stage to ONE task
+    (spatial_join.py:199-211)."""
+    from datafusion_geo_spark.operators.spatial_join import cogrouped_grid_join
+    from datafusion_geo_spark.sources.fixtures import lines_orders, lines_part
+    a = lines_orders(spark, SF_DIR, with_nulls=False, with_bbox=True) \
+        .select("o_orderkey", "k", "geom", "xmin", "ymin", "xmax", "ymax")
+    b = lines_part(spark, SF_DIR, with_bbox=True) \
+        .select("p_partkey", "m", "geom", "xmin", "ymin", "xmax", "ymax")
+    df = cogrouped_grid_join(a, b, cell=8.0, a_cols=["o_orderkey", "k"],
+                             b_cols=["p_partkey", "m"])
+    plan = plan_of(df)
+    assert plan.count("REPARTITION_BY_NUM") >= 2, \
+        "explicit-width repartition lost — AQE can collapse the cogroup"
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_lsh_cap_is_broadcast_anti_join_not_window(spark):
+    """The hot-bucket cap must be a partial+final count + BROADCAST
+    anti-join (big side streams, no sort) — never a window count, which
+    shuffles AND sorts every banded row (dedup.py:_cap_buckets)."""
+    from datafusion_geo_spark.operators.dedup import _cap_buckets
+    banded = spark.createDataFrame(
+        [(i % 5, i) for i in range(100)], "band long, doc_id long")
+    capped = _cap_buckets(banded, ["band"], max_bucket=10)
+    plan = plan_of(capped)
+    assert "LeftAnti" in plan, "anti-join shape lost"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, \
+        "hot-key side no longer broadcast"
+    assert "Window" not in plan, "cap regressed to a window count"
+    # partial+final count on the hot-key side (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+    import __spark_entry__ as entrymod
+    pairs_plan = plan_of(entrymod.queries()["minhash_pairs"](spark, SF_DIR))
+    assert "LeftAnti" in pairs_plan and "Window" not in pairs_plan
+
+
+def test_broadcast_snapshot_cap_enforced(spark, monkeypatch):
+    """broadcast_bbox_join's driver-side snapshot must stay bounded: a
+    small side above MAX_SNAPSHOT_ROWS raises instead of OOMing the
+    driver (spatial_join.py:94-101)."""
+    from datafusion_geo_spark.operators import spatial_join as sj
+    from datafusion_geo_spark.sources.fixtures import boxes_nation, points_customer
+    monkeypatch.setattr(sj, "MAX_SNAPSHOT_ROWS", 10)
+    with pytest.raises(ValueError, match="exceeds 10 rows"):
+        sj.broadcast_bbox_join(points_customer(spark, SF_DIR),
+                               boxes_nation(spark, SF_DIR))  # 25 > 10
+
+
+def test_geo_parquet_window_prunes_partitions(spark):
+    """The driver-checked geoio query must keep both pruning layers: a
+    native PartitionFilters entry on the cell columns (directories never
+    opened) and pushed bbox range filters (row-group skipping)."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["geo_parquet_window"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan and "cell_x" in plan
+    assert "PushedFilters: [" in plan and "xmin" in plan

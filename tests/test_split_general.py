@@ -116,6 +116,50 @@ def test_line_by_point_regression():
         "GEOMETRYCOLLECTION(LINESTRING(0 0,5 5),LINESTRING(5 5,10 10))"
 
 
+def test_radial_cut_into_hole_merges_ring():
+    """Blade from outside, ending INSIDE the hole: the annulus is cut
+    open into one C-shaped face — the hole merges into the outer
+    boundary, area is conserved, and no hole ring remains."""
+    donut = "POLYGON((0 0,20 0,20 20,0 20,0 0),(6 6,6 14,14 14,14 6,6 6))"
+    r = algos.split(P(donut), P("LINESTRING(-1 10,10 10)"))
+    got = [algos.area(p) for p in r.parts]
+    assert got == [336.0]
+    # single outer ring only: the hole is now part of the boundary walk
+    assert len(r.parts[0].parts) == 1
+
+
+def test_blade_entirely_inside_hole_no_split():
+    """A blade living in the hole's interior never touches the polygon's
+    interior — no split, hole preserved as a hole."""
+    donut = "POLYGON((0 0,20 0,20 20,0 20,0 0),(6 6,6 14,14 14,14 6,6 6))"
+    r = algos.split(P(donut), P("LINESTRING(7 10,13 10)"))
+    assert [algos.area(p) for p in r.parts] == [336.0]
+    assert len(r.parts[0].parts) == 2  # shell + intact hole
+
+
+def test_multipolygon_corner_touching_parts():
+    """Parts touching at a single corner split independently; the
+    touching point must not weld them into one face."""
+    mp = "MULTIPOLYGON(((0 0,4 0,4 4,0 4,0 0)),((4 4,8 4,8 8,4 8,4 4)))"
+    got = areas(mp, "LINESTRING(2 -1,2 9)")
+    assert sorted(got) == [8.0, 8.0, 16.0]
+
+
+def test_blade_collinear_with_edge_then_crossing():
+    """Blade riding along part of the bottom edge (collinear overlap)
+    before turning through the interior: the collinear stretch cuts
+    nothing, the interior stretch splits normally."""
+    got = areas("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                "LINESTRING(-1 0,5 0,5 11)")
+    assert sorted(got) == [50.0, 50.0]
+
+
+def test_blade_collinear_with_full_edge_no_split():
+    got = wkt_split("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                    "LINESTRING(-1 10,11 10)")
+    assert got == "GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,0 10,0 0)))"
+
+
 def test_area_conservation_random():
     """Splitting never creates or destroys area."""
     rng = random.Random(5)
