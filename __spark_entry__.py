@@ -545,6 +545,46 @@ def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessions(spark, sf_dir)
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (inverted-file lists from deterministic
+    centroids, nprobe=2): assignment by partial+final struct-max, probed
+    lists equi-joined on the compact list id (operators.similarity.
+    ivf_topk — the learned-partition scale path next to the LSH one)."""
+    from datafusion_geo_spark.operators.similarity import ivf_topk
+    return ivf_topk(_embs(spark, sf_dir))
+
+
+def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup: first event per (user_id, event_type)
+    by (ts, event_id) plus duplicate counts, via a streaming struct-MIN
+    groupBy aggregate (deterministic, unlike dropDuplicates)."""
+    from datafusion_geo_spark.streaming.dedup import streaming_first_seen
+    return streaming_first_seen(spark, sf_dir)
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (union-and-sweep, operators.asof_join):
+    each event picks up the newest order of its user with order
+    day-of-month <= the event's day-of-month — a point-in-time feature
+    lookup with one shuffle+sort and no range-pair explosion. The right
+    side is pre-aggregated to one row per (user, day) so the match is
+    deterministic; DuckDB verifies with its native ASOF LEFT JOIN."""
+    from datafusion_geo_spark.operators.asof_join import asof_join
+    from datafusion_geo_spark.sources.fixtures import load_events, load_table
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.dayofmonth(F.col("ts")).cast("long").alias("ed"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.dayofmonth(F.col("o_orderdate")).cast("long").alias("od"),
+        "o_orderkey")
+    o2 = orders.groupBy("user_id", "od").agg(
+        F.max("o_orderkey").alias("asof_orderkey"))
+    return asof_join(ev, o2, on="user_id", left_time="ed", right_time="od",
+                     right_cols=["asof_orderkey"]) \
+        .select("event_id", "user_id", "ed", "asof_orderkey")
+
+
 def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big spatial join partitioned by grid cells (no broadcast, no
     cross product): slope +1 order-lines × slope −1 part-lines; pairs
@@ -635,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
         "geo_parquet_window": _q_geo_parquet_window,
+        "ivf_topk": _q_ivf_topk,
+        "streaming_first_seen": _q_streaming_first_seen,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -1124,6 +1167,65 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT p_partkey, p_partkey % 1000 AS m FROM part)
             WHERE m - k BETWEEN -1 AND 2
             GROUP BY m - k ORDER BY m_minus_k
+        """,
+        # mirrors similarity.ivf_topk: centroids = vec_id < 8, argmax
+        # assignment (ties -> lowest cid), nprobe=2, exact cosine within
+        # probed lists
+        "ivf_topk": """
+            WITH vecs AS (SELECT vec_id,
+                                 list_transform(embedding, x -> x::DOUBLE) AS v
+                          FROM embeddings),
+            cents AS (SELECT vec_id::INT AS cid, v AS cvec
+                      FROM vecs WHERE vec_id < 8),
+            scored AS (SELECT a.vec_id, c.cid,
+                              ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                       FROM vecs a, cents c),
+            assign AS (SELECT vec_id, cid FROM (
+                         SELECT vec_id, cid,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cid) AS rn
+                         FROM scored) WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid FROM (
+                         SELECT vec_id, cid,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cid) AS rn
+                         FROM scored WHERE vec_id < 8) WHERE rn <= 2),
+            vb AS (SELECT vecs.vec_id, v, assign.cid
+                   FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
+            pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                             ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                      FROM probes p
+                      JOIN vb q ON q.vec_id = p.query_id
+                      JOIN vb c ON c.cid = p.cid
+                      WHERE c.vec_id != p.query_id)
+            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+              SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM pairs) WHERE rank <= 10
+        """,
+        "streaming_first_seen": """
+            WITH d AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY user_id, event_type)
+                           AS n_events
+                FROM events)
+            SELECT user_id, event_type, ts_us AS first_ts_us,
+                   event_id AS first_event_id, n_events
+            FROM d WHERE rn = 1
+        """,
+        "asof_join": """
+            WITH e AS (SELECT event_id, user_id, day(ts)::BIGINT AS ed
+                       FROM events),
+            o2 AS (SELECT o_custkey % 150 AS user_id,
+                          day(o_orderdate)::BIGINT AS od,
+                          MAX(o_orderkey) AS asof_orderkey
+                   FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ed, o2.asof_orderkey
+            FROM e ASOF LEFT JOIN o2
+              ON e.user_id = o2.user_id AND e.ed >= o2.od
         """,
         # segment (k,k+1)->(k+4,k+5) meets [100,140]^2 iff x in
         # [100,139] ∩ [k,k+4] nonempty -> 96 <= k <= 139; NULL geoms

@@ -2,6 +2,7 @@
 strategies, plus the LLM training-data pipeline set (dedup, similarity
 search, text analysis, multimodal columns) — BASELINE.json north star."""
 
-from . import dedup, multimodal, similarity, spatial_join, text
+from . import asof_join, dedup, multimodal, similarity, spatial_join, text
 
-__all__ = ["dedup", "multimodal", "similarity", "spatial_join", "text"]
+__all__ = ["asof_join", "dedup", "multimodal", "similarity",
+           "spatial_join", "text"]

@@ -142,6 +142,71 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
+             max_query_id: int = 8, k: int = 10, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the learned-partition
+    scale path sketched in the module docstring, with deterministic
+    "centroids" (the first ``n_centroids`` vectors by id — a stand-in
+    for k-means output that the SQL oracle can reproduce bit-for-bit;
+    swapping in trained centroids changes recall, not the plan).
+
+    Plan shape (the part that matters at 100 TB):
+      1. assignment — corpus × broadcast centroids, cosine JVM-side,
+         argmax per vector via a partial+final struct-max aggregate
+         (one shuffle on vec_id, map-side combined; NO window sort);
+      2. probing — each query ranks the tiny centroid set and keeps its
+         ``nprobe`` nearest lists (query side is small: window is fine);
+      3. search — candidates = corpus rows whose list is probed: an
+         equi-join on the compact centroid id against the BROADCAST
+         probe set, exact cosine + per-query top-k within candidates.
+    Recall < 1 by construction (a true neighbor assigned to an
+    unprobed list is missed); raising nprobe trades compute for recall
+    without changing the plan."""
+    vecs = prenorm(emb, id_col, vec_col)
+    cents = F.broadcast(
+        vecs.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int").alias("cid"),
+                F.col("v").alias("cvec"), F.col("n").alias("cn")))
+    scored = vecs.crossJoin(cents).select(
+        F.col(id_col), F.col("v"), F.col("n"), "cid",
+        F.round(dot(F.col("v"), F.col("cvec"))
+                / (F.col("n") * F.col("cn")), 6).alias("cs"))
+    # argmax centroid per vector: max of (cs, -cid) == highest cosine,
+    # ties to the LOWEST centroid id — deterministic, partial-aggregable
+    assign = (scored.groupBy(id_col)
+              .agg(F.max(F.struct(F.col("cs"),
+                                  (-F.col("cid")).alias("ncid"))).alias("m"))
+              .select(F.col(id_col), (-F.col("m.ncid")).cast("int").alias("cid")))
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probes = F.broadcast(
+        scored.where(F.col(id_col) < max_query_id)
+        .select(F.col(id_col).alias("query_id"), "cid", "cs")
+        .withColumn("_pr", F.row_number().over(wprobe))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "cid"))
+    vb = vecs.join(assign, id_col)
+    c = vb.select(F.col(id_col).alias("neighbor_id"),
+                  F.col("v").alias("cv"), F.col("n").alias("cn"), "cid")
+    q = F.broadcast(
+        vb.where(F.col(id_col) < max_query_id)
+        .select(F.col(id_col).alias("query_id"),
+                F.col("v").alias("qv"), F.col("n").alias("qn"))
+        .join(probes, "query_id"))
+    pairs = (c.join(q, "cid")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id",
+                     F.round(dot(F.col("qv"), F.col("cv"))
+                             / (F.col("qn") * F.col("cn")), 6).alias("sim")))
+    # no pair-dedup needed: each neighbor lives in exactly ONE list and
+    # a query's probed lists are distinct, so (query, neighbor) is unique
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def ann_hyperplane_topk(emb: DataFrame, queries: DataFrame, planes: list,
                         k: int = 10, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:

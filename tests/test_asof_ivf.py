@@ -1,0 +1,119 @@
+"""Unit + plan tests for the round-3 beyond-reference operators:
+distributed as-of join (union-and-sweep), IVF ANN, streaming first-seen
+dedup. Driver-level oracle checks live in test_entry_oracle.py; these
+cover semantics the fixture queries don't reach (forward direction,
+exclusive matches, empty right side) and pin the scale-plan shapes."""
+
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_geo_spark.operators.asof_join import asof_join
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 35, "c"), (2, 5, "d"), (3, 7, "e")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 30, 101), (2, 6, 102)],
+        "k long, rt long, price long")
+    return left, right
+
+
+def _rows(df):
+    return {r["tag"]: r["price"] for r in df.collect()}
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _sides(spark)
+    got = _rows(asof_join(left, right, on="k", left_time="t", right_time="rt"))
+    # a: exact match t=10; b: last rt<=20 is 10; c: 30; d: rt=6 > 5 -> null
+    assert got == {"a": 100, "b": 100, "c": 101, "d": None, "e": None}
+
+
+def test_asof_backward_exclusive(spark):
+    left, right = _sides(spark)
+    got = _rows(asof_join(left, right, on="k", left_time="t", right_time="rt",
+                          allow_exact_matches=False))
+    assert got == {"a": None, "b": 100, "c": 101, "d": None, "e": None}
+
+
+def test_asof_forward(spark):
+    left, right = _sides(spark)
+    got = _rows(asof_join(left, right, on="k", left_time="t", right_time="rt",
+                          direction="forward"))
+    # a: first rt>=10 is 10; b: 30; c: none; d: 6
+    assert got == {"a": 100, "b": 101, "c": None, "d": 102, "e": None}
+
+
+def test_asof_tie_takes_last_in_payload_order(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, tag string")
+    right = spark.createDataFrame([(1, 10, 7), (1, 10, 9)],
+                                  "k long, rt long, price long")
+    got = _rows(asof_join(left, right, on="k", left_time="t", right_time="rt"))
+    assert got == {"x": 9}
+
+
+def test_asof_name_collision_suffixed(spark):
+    left = spark.createDataFrame([(1, 10, 5)], "k long, t long, price long")
+    right = spark.createDataFrame([(1, 8, 42)], "k long, rt long, price long")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    assert "price_asof" in out.columns
+    row = out.collect()[0]
+    assert row["price"] == 5 and row["price_asof"] == 42
+
+
+def test_asof_plan_single_sweep_no_pair_explosion(spark):
+    """The as-of join must be a union + ONE window sweep: no join node
+    of any kind in the plan (a range theta-join would explode to pairs ×
+    history length at scale)."""
+    left, right = _sides(spark)
+    plan = asof_join(left, right, on="k", left_time="t", right_time="rt") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and "Window" in plan
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in plan, f"pair-producing {node} in as-of plan"
+
+
+def test_asof_bad_direction(spark):
+    left, right = _sides(spark)
+    with pytest.raises(ValueError, match="backward/forward"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  direction="nearest")
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_stays_jvm_side_and_broadcasts(spark):
+    """IVF: all math in built-ins (no Python eval nodes); centroids and
+    probe set broadcast; assignment aggregate is partial+final."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["ivf_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", "")  # corpus×centroids IS broadcast-NL
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 over 8 lists keeps most true top-10 neighbors —
+    and every returned pair's similarity must equal the brute-force
+    value (IVF approximates the candidate set, never the metric)."""
+    import __spark_entry__ as entrymod
+    ivf = {(r["query_id"], r["neighbor_id"]): r["sim"]
+           for r in entrymod.queries()["ivf_topk"](spark, SF_DIR).collect()}
+    bf = {(r["query_id"], r["neighbor_id"]): r["sim"]
+          for r in entrymod.queries()["cosine_topk"](spark, SF_DIR).collect()}
+    hits = sum(1 for p in ivf if p in bf)
+    assert hits / max(len(bf), 1) >= 0.5, "recall collapsed"
+    for p, sim in ivf.items():
+        if p in bf:
+            assert abs(sim - bf[p]) < 1e-9
