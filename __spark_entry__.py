@@ -585,6 +585,42 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ed", "asof_orderkey")
 
 
+def _q_range_tag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators.range_join): tag each event with
+    every nation interval [20n, 20n + 5r + 10] containing its value,
+    aggregated per interval. The equi-join-on-bucket shape is what
+    scales (and what AQE skew handling applies to) — a raw BETWEEN
+    theta-join would be a nested-loop product. Money math on cents
+    (int64) so the hash compare is order-independent."""
+    from datafusion_geo_spark.operators.range_join import range_join
+    from datafusion_geo_spark.sources.fixtures import load_events, load_table
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "value",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    iv = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 20.0).alias("lo"),
+        (F.col("n_nationkey") * 20.0 + F.col("n_regionkey") * 5.0 + 10.0)
+        .alias("hi"))
+    j = range_join(ev, iv, point_col="value", lo_col="lo", hi_col="hi",
+                   bucket=20.0)
+    return (j.groupBy("n_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (operators.sampling): bucket
+    and label are pure md5-based expressions of doc_id — reproducible
+    across engines/runs, evaluated map-side in the scan stage."""
+    from datafusion_geo_spark.operators.sampling import hash_bucket, with_split
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (with_split(docs, "doc_id")
+            .withColumn("bucket", hash_bucket(F.col("doc_id")))
+            .select("doc_id", "bucket", "split"))
+
+
 def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big spatial join partitioned by grid cells (no broadcast, no
     cross product): slope +1 order-lines × slope −1 part-lines; pairs
@@ -678,6 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "streaming_first_seen": _q_streaming_first_seen,
         "asof_join": _q_asof_join,
+        "range_tag_events": _q_range_tag_events,
+        "hash_split": _q_hash_split,
     }
 
 
@@ -1215,6 +1253,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, ts_us AS first_ts_us,
                    event_id AS first_event_id, n_events
             FROM d WHERE rn = 1
+        """,
+        "range_tag_events": """
+            SELECT n_nationkey, COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT
+                       AS sum_cents
+            FROM events e JOIN nation n
+              ON e.value >= n.n_nationkey * 20.0
+             AND e.value <= n.n_nationkey * 20.0 + n.n_regionkey * 5.0 + 10.0
+            GROUP BY n_nationkey
+        """,
+        "hash_split": """
+            SELECT doc_id, h % 10000 AS bucket,
+                   CASE WHEN h % 10000 < 9800 THEN 'train'
+                        WHEN h % 10000 < 9900 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             ::BIGINT AS h
+                  FROM documents)
         """,
         "asof_join": """
             WITH e AS (SELECT event_id, user_id, day(ts)::BIGINT AS ed

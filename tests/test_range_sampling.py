@@ -1,0 +1,116 @@
+"""Unit + plan tests for the bucketized range join and deterministic
+hash splitting/sampling operators."""
+
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_geo_spark.operators.range_join import range_join
+from datafusion_geo_spark.operators.sampling import (HASH_BUCKETS,
+                                                     deterministic_sample,
+                                                     hash_bucket, with_split)
+
+
+def _pts(spark):
+    return spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 15.0), (4, None)],
+        "pid long, p double")
+
+
+def _ivs(spark):
+    return spark.createDataFrame(
+        [(100, 0.0, 10.0), (101, 10.0, 20.0), (102, 4.0, 16.0)],
+        "iid long, lo double, hi double")
+
+
+def _pairs(df):
+    return {(r["pid"], r["iid"]) for r in df.collect()}
+
+
+def test_range_join_closed_both(spark):
+    got = _pairs(range_join(_pts(spark), _ivs(spark), "p", "lo", "hi",
+                            bucket=8.0))
+    assert got == {(1, 100), (1, 102), (2, 100), (2, 101), (2, 102),
+                   (3, 101), (3, 102)}
+
+
+def test_range_join_closed_left(spark):
+    got = _pairs(range_join(_pts(spark), _ivs(spark), "p", "lo", "hi",
+                            bucket=8.0, closed="left"))
+    # p=10 no longer matches [0,10), still matches [10,20) and [4,16)
+    assert (2, 100) not in got and (2, 101) in got and (2, 102) in got
+
+
+def test_range_join_closed_right_and_neither(spark):
+    right = _pairs(range_join(_pts(spark), _ivs(spark), "p", "lo", "hi",
+                              bucket=8.0, closed="right"))
+    assert (2, 101) not in right and (2, 100) in right
+    neither = _pairs(range_join(_pts(spark), _ivs(spark), "p", "lo", "hi",
+                                bucket=8.0, closed="neither"))
+    assert (2, 100) not in neither and (2, 101) not in neither
+
+
+def test_range_join_no_duplicate_pairs_and_bucket_invariance(spark):
+    """A point lives in one bucket — every (point, interval) pair must
+    appear exactly once, for any bucket width."""
+    for bucket in (1.0, 3.0, 8.0, 100.0):
+        rows = range_join(_pts(spark), _ivs(spark), "p", "lo", "hi",
+                          bucket=bucket).collect()
+        pairs = [(r["pid"], r["iid"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), bucket
+        assert set(pairs) == _pairs(
+            range_join(_pts(spark), _ivs(spark), "p", "lo", "hi", bucket=8.0))
+
+
+def test_range_join_is_equi_join(spark):
+    plan = range_join(_pts(spark), _ivs(spark), "p", "lo", "hi", bucket=8.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_bad_closed(spark):
+    with pytest.raises(ValueError, match="invalid closed"):
+        range_join(_pts(spark), _ivs(spark), "p", "lo", "hi", bucket=8.0,
+                   closed="open")
+
+
+def test_with_split_weights_and_determinism(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = with_split(docs, "k").groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] + counts["test"]
+    # pure function of the key: same assignment on a different frame
+    again = {r["k"]: r["split"]
+             for r in with_split(docs, "k").collect()}
+    subset = {r["k"]: r["split"]
+              for r in with_split(docs.where(F.col("k") < 100), "k").collect()}
+    assert all(again[k] == v for k, v in subset.items())
+
+
+def test_with_split_rejects_bad_weights(spark):
+    with pytest.raises(ValueError, match="must sum"):
+        with_split(spark.range(5), "id", weights={"a": 1, "b": 2})
+
+
+def test_deterministic_sample_aligned_across_tables(spark):
+    """Same key ⇒ same keep-decision in both tables: a sampled join
+    loses no pairs inside the sample (the property df.sample lacks)."""
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(0, 1000).withColumnRenamed("id", "k")
+    ka = {r["k"] for r in deterministic_sample(a, "k", 0.2).collect()}
+    kb = {r["k"] for r in deterministic_sample(b, "k", 0.2).collect()}
+    assert ka == kb
+    assert 100 < len(ka) < 320  # ~200 expected, generous band
+
+
+def test_hash_bucket_no_python_udf(spark):
+    df = spark.range(10).select(hash_bucket(F.col("id")).alias("b"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert df.where((F.col("b") < 0) | (F.col("b") >= HASH_BUCKETS)) \
+        .count() == 0
