@@ -45,12 +45,19 @@ def _q_wkt_roundtrip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     both operators are null-in → null-out, and it halves the Python
     crossings vs chaining st_astext(st_geomfromtext(...))."""
     from datafusion_geo_spark.functions import st_wkt_canonical
-    from datafusion_geo_spark.sources.fixtures import load_table
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
     li = load_table(spark, sf_dir, "lineitem")
     wkt = F.concat(F.lit("POINT("), (F.col("l_orderkey") % 1000).cast("string"),
                    F.lit(" "), (F.col("l_partkey") % 1000).cast("string"),
                    F.lit(")"))
-    return li.select(
+    # _spread BEFORE the string build and the pandas UDF: the test
+    # parquet ships one row group per file, so the scan cannot split —
+    # without this the whole Python stage runs in a single task, and the
+    # WKT concat would run (and shuffle its strings) single-task too.
+    # Only the three int columns cross the spreading shuffle.
+    # (No-op at production scale.)
+    df = _spread(li.select("l_orderkey", "l_linenumber", "l_partkey"))
+    return df.select(
         "l_orderkey", "l_linenumber",
         st_wkt_canonical(F.when(F.col("l_orderkey") % 7 != 0, wkt))
         .alias("wkt_out"),
@@ -184,13 +191,17 @@ def _q_srid_ewkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#17 ST_SRID + #4 ST_AsEWKT with an SRID-stamped constructor
     (srid round-trip as in /root/reference/src/function/srid.rs:87-106)."""
     from datafusion_geo_spark.functions import st_asewkt, st_geomfromtext, st_srid
-    from datafusion_geo_spark.sources.fixtures import load_table
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
     li = load_table(spark, sf_dir, "lineitem")
     wkt = F.concat(F.lit("POINT("), (F.col("l_orderkey") % 1000).cast("string"),
                    F.lit(" "), (F.col("l_partkey") % 1000).cast("string"),
                    F.lit(")"))
+    # _spread before the string build + pandas UDFs — single-row-group
+    # scan otherwise runs them all in one task (no-op at real scale);
+    # only int columns cross the spreading shuffle
+    df = _spread(li.select("l_orderkey", "l_linenumber", "l_partkey"))
     geom = F.when(F.col("l_orderkey") % 7 != 0, st_geomfromtext(wkt, 4269))
-    return li.select(
+    return df.select(
         "l_orderkey", "l_linenumber",
         st_srid(geom).alias("srid"),
         st_asewkt(geom).alias("ewkt"),
@@ -393,13 +404,16 @@ def _q_split_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- beyond-reference ops
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_geo_spark.sources.fixtures import load_table
-    return load_table(spark, sf_dir, "documents")
+    # _spread: the single-row-group fixture otherwise funnels the heavy
+    # pre-shuffle stage (word explode × hash fan-out in the dedup family)
+    # into one task; no-op on a properly-chunked production table
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    return _spread(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_geo_spark.sources.fixtures import load_table
-    return load_table(spark, sf_dir, "embeddings")
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    return _spread(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

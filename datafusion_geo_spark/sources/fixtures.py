@@ -224,7 +224,9 @@ def _lines_orders(spark, sf_dir, with_nulls, with_bbox=False):
         (k + 2).cast("string"), F.lit(" "), (k + 3).cast("string"), F.lit(","),
         (k + 4).cast("string"), F.lit(" "), (k + 5).cast("string"), F.lit(")"),
     )
-    df = _spread(df.withColumn("wkt", wkt))
+    # spread first (ints only cross the shuffle), THEN build the WKT —
+    # the single-row-group scan stage must not also do the string work
+    df = _spread(df).withColumn("wkt", wkt)
     keep = F.col("o_orderkey") % 7 != 0
     if with_bbox:
         from ..functions import st_geom_with_bbox_from_text
@@ -270,7 +272,7 @@ def _lines_part(spark, sf_dir, with_bbox=False):
         (m + 2).cast("string"), F.lit(" "), (m + 2).cast("string"), F.lit(","),
         (m + 4).cast("string"), F.lit(" "), m.cast("string"), F.lit(")"),
     )
-    df = _spread(df.withColumn("wkt", wkt))
+    df = _spread(df).withColumn("wkt", wkt)
     if with_bbox:
         from ..functions import st_geom_with_bbox_from_text
         df = df.withColumn("_gb", st_geom_with_bbox_from_text(F.col("wkt")))
@@ -287,7 +289,8 @@ def embeddings_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores norms alongside the vectors."""
     from ..operators.similarity import prenorm
     return _memo(("embeddings_normed", sf_dir),
-                 lambda: prenorm(load_table(spark, sf_dir, "embeddings")))
+                 lambda: prenorm(_spread(load_table(spark, sf_dir,
+                                                    "embeddings"))))
 
 
 def boxes_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
