@@ -237,7 +237,9 @@ def to_dialect(g: Geometry, dialect: str) -> bytes:
     d = dialect.lower()
     if d == "tagged":  # reference storage form: EWKB tag + EWKB
         return bytes([_DIALECT_TO_TAG["ewkb"]]) + to_wkb(g)
-    if d in ("wkb", "ewkb"):
+    if d == "wkb":  # ISO WKB carries no SRID — strip it
+        return to_wkb(g.with_srid(None))
+    if d == "ewkb":
         return to_wkb(g)
     if d == "geopackage":
         return to_geopackage(g)
