@@ -565,7 +565,8 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists equi-joined on the compact list id (operators.similarity.
     ivf_topk — the learned-partition scale path next to the LSH one)."""
     from datafusion_geo_spark.operators.similarity import ivf_topk
-    return ivf_topk(_embs(spark, sf_dir))
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
 def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -144,7 +144,7 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
 
 def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
              max_query_id: int = 8, k: int = 10, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding", prenormed: bool = False) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the learned-partition
     scale path sketched in the module docstring, with deterministic
     "centroids" (the first ``n_centroids`` vectors by id — a stand-in
@@ -162,8 +162,9 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
          probe set, exact cosine + per-query top-k within candidates.
     Recall < 1 by construction (a true neighbor assigned to an
     unprobed list is missed); raising nprobe trades compute for recall
-    without changing the plan."""
-    vecs = prenorm(emb, id_col, vec_col)
+    without changing the plan. ``prenormed=True`` accepts a corpus
+    already in the :func:`prenorm` contract (e.g. persisted)."""
+    vecs = emb if prenormed else prenorm(emb, id_col, vec_col)
     cents = F.broadcast(
         vecs.where(F.col(id_col) < n_centroids)
         .select(F.col(id_col).cast("int").alias("cid"),
