@@ -130,6 +130,7 @@ _geom_from_text2 = _u2(kernels.geom_from_text, BinaryType())
 _geom_from_wkb1 = _u1(kernels.geom_from_wkb, BinaryType())
 _geom_from_wkb2 = _u2(kernels.geom_from_wkb, BinaryType())
 _geom_from_wkb_dialect = _u2(kernels.geom_from_wkb_dialect, BinaryType())
+_geom_from_wkb_dialect_srid = _u3(kernels.geom_from_wkb_dialect, BinaryType())
 _make_envelope4 = _u4(kernels.make_envelope, BinaryType())
 _make_envelope5 = _u5(kernels.make_envelope, BinaryType())
 _point = _u2(kernels.st_point, BinaryType())
@@ -171,10 +172,12 @@ def st_geomfromwkb(wkb: Column, srid: Optional[Union[Column, int]] = None,
     tag-prefixed storage), or 'auto' (framing sniff; cannot detect
     MySQL's bare-int prefix). Output is always canonical (E)WKB."""
     if dialect is not None:
-        g = _geom_from_wkb_dialect(wkb, F.lit(str(dialect)))
         if srid is None:
-            return g
-        return _geom_from_wkb2(g, _num(srid, "int"))
+            return _geom_from_wkb_dialect(wkb, F.lit(str(dialect)))
+        # one crossing: the dialect kernel stamps the SRID on the decoded
+        # geometry directly instead of a second full re-parse
+        return _geom_from_wkb_dialect_srid(wkb, F.lit(str(dialect)),
+                                           _num(srid, "int"))
     if srid is None:
         return _geom_from_wkb1(wkb)
     return _geom_from_wkb2(wkb, _num(srid, "int"))

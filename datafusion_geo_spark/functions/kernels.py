@@ -208,21 +208,35 @@ def geom_from_wkb(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
     return _obj_series(out)
 
 
-def geom_from_wkb_dialect(s: pd.Series, dialect: pd.Series) -> pd.Series:
+def geom_from_wkb_dialect(s: pd.Series, dialect: pd.Series,
+                          srid: Optional[pd.Series] = None) -> pd.Series:
     """Foreign-dialect WKB ingest -> canonical (E)WKB. Accepts
     'wkb'/'ewkb'/'geopackage'/'mysql'/'spatialite', the reference's
     'tagged' storage form (1-byte dialect prefix,
     /root/reference/src/geo/dialect.rs:5-29), or 'auto' (framing sniff).
-    The dialect argument is per-row (normally a literal column)."""
+    The dialect argument is per-row (normally a literal column); the
+    optional srid overrides the blob's SRID in the SAME crossing — no
+    second decode pass."""
     from ..geo.dialect import from_dialect
     ds = dialect.tolist()
+    srids = None if srid is None else srid.tolist()
     out = []
     for i, v in enumerate(s.tolist()):
         d = ds[i]
         if v is None or d is None:
             out.append(None)
             continue
-        out.append(to_wkb(from_dialect(bytes(v), str(d))))
+        if srids is not None:
+            r = _num(srids[i])
+            if r is None:  # srid argument present but NULL → NULL row
+                out.append(None)
+                continue
+        else:
+            r = None
+        g = from_dialect(bytes(v), str(d))
+        if r is not None:
+            g = g.with_srid(int(r))
+        out.append(to_wkb(g))
     return _obj_series(out)
 
 

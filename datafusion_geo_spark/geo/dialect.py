@@ -152,7 +152,9 @@ def _sl_body(buf: bytes, pos: int, fmt: str, code: int) -> Tuple[Geometry, int]:
 
 def from_spatialite(buf: bytes) -> Geometry:
     buf = bytes(buf)
-    if len(buf) < 45 or buf[0] != _SL_START or buf[-1] != _SL_END:
+    # 60 = the true minimum (header 39 + class 4 + POINT body 16 + end);
+    # a shorter blob with valid framing would escape into struct.error
+    if len(buf) < 60 or buf[0] != _SL_START or buf[-1] != _SL_END:
         raise ValueError("invalid SpatiaLite blob: bad framing")
     fmt = "<" if buf[1] == 1 else ">"
     (srid,) = struct.unpack_from(fmt + "i", buf, 2)

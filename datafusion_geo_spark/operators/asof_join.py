@@ -58,23 +58,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
     # visible to it (inclusive match) — after it for exclusive
     l_tag, r_tag = (1, 0) if allow_exact_matches else (0, 1)
 
+    # The whole right payload travels as ONE struct: the sweep's
+    # last(ignorenulls) then picks the matching right row atomically, so
+    # a NULL payload VALUE inside it is carried faithfully instead of
+    # falling through to an older right row (per-column fills could even
+    # stitch a chimera row from different right rows).
+    pay_t = ", ".join(f"`{o}`: {right.schema[c].dataType.simpleString()}"
+                      for c, o in zip(right_cols, out_cols))
     l = left.select(
         *left.columns,
         (F.col(left_time) * sgn).alias("_t"),
         F.lit(l_tag).alias("_tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(o)
-          for c, o in zip(right_cols, out_cols)])
+        F.lit(None).cast(f"struct<{pay_t}>").alias("_pay"))
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c != on else F.col(on) for c in left.columns],
         (F.col(right_time) * sgn).alias("_t"),
         F.lit(r_tag).alias("_tag"),
-        *[F.col(c).alias(o) for c, o in zip(right_cols, out_cols)])
+        F.struct(*[F.col(c).alias(o)
+                   for c, o in zip(right_cols, out_cols)]).alias("_pay"))
 
     w = (Window.partitionBy(on)
-         .orderBy("_t", "_tag", *out_cols)
+         .orderBy("_t", "_tag", "_pay")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = l.unionByName(r)
-    for o in out_cols:
-        filled = filled.withColumn(o, F.last(o, ignorenulls=True).over(w))
-    return filled.where(F.col("_tag") == l_tag).drop("_t", "_tag")
+    filled = (l.unionByName(r)
+              .withColumn("_pay", F.last("_pay", ignorenulls=True).over(w)))
+    return (filled.where(F.col("_tag") == l_tag)
+            .select(*left.columns,
+                    *[F.col(f"_pay.`{o}`").alias(o) for o in out_cols]))

@@ -24,12 +24,12 @@ HASH_BUCKETS = 10_000
 
 
 def hash_bucket(key: Column, buckets: int = HASH_BUCKETS) -> Column:
-    """Deterministic bucket in [0, buckets): md5 of the key's string
-    form, first 8 hex digits as int64, mod buckets. Pure built-ins
+    """Deterministic bucket in [0, buckets): the repo-wide md5-prefix
+    hash (dedup.h64 — ONE definition, so the oracle mirror can never
+    desynchronize) of the key's string form, mod buckets. Pure built-ins
     (md5/conv are JVM expressions) — whole-stage-codegen'd, no UDF."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
-        .cast("long")
-    return h % buckets
+    from .dedup import h64
+    return h64(key.cast("string")) % buckets
 
 
 def with_split(df: DataFrame, key_col: str,

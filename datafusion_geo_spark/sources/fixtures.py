@@ -72,7 +72,13 @@ def _events_conf(spark: SparkSession) -> None:
     TIMESTAMP(NANOS)-encoded fixture load at all (Spark 4's parquet
     reader rejects it otherwise); UTC pins truncation / epoch extraction
     so results are byte-identical to the DuckDB oracle (which treats
-    parquet naive timestamps as-if-UTC) regardless of host timezone."""
+    parquet naive timestamps as-if-UTC) regardless of host timezone.
+
+    DELIBERATE GLOBAL SIDE EFFECT: the session timezone stays UTC for
+    the rest of the session (it cannot be scoped to one lazy query —
+    execution happens at action time). This engine's contract is
+    UTC-everywhere; callers needing another display zone should convert
+    at the edge (from_utc_timestamp) rather than re-pin the session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 

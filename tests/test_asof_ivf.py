@@ -80,6 +80,33 @@ def test_asof_plan_single_sweep_no_pair_explosion(spark):
         assert node not in plan, f"pair-producing {node} in as-of plan"
 
 
+def test_asof_null_payload_carried_not_filled_through(spark):
+    """A NULL payload VALUE in the matching right row must be carried
+    as-is (pandas.merge_asof semantics) — not filled from an older right
+    row, and with several payload columns the result must never stitch
+    a chimera row mixing columns of different right rows."""
+    left = spark.createDataFrame([(1, 3, "x")], "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 1, 5, 8), (1, 2, 7, None)],
+        "k long, rt long, a long, b long")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    right_cols=["a", "b"]).collect()[0]
+    assert out["a"] == 7 and out["b"] is None  # NOT (7, 8)
+
+
+def test_range_join_fanout_guard_and_inverted_intervals(spark):
+    from datafusion_geo_spark.operators.range_join import range_join
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, p double")
+    wide = spark.createDataFrame([(1, 0.0, 1e9)], "iid long, lo double, hi double")
+    with _pt.raises(Exception, match="spans more than"):
+        range_join(pts, wide, "p", "lo", "hi", bucket=1.0).collect()
+    inverted = spark.createDataFrame([(1, 10.0, 0.0)],
+                                     "iid long, lo double, hi double")
+    assert range_join(pts, inverted, "p", "lo", "hi", bucket=1.0).count() == 0
+
+
 def test_asof_bad_direction(spark):
     left, right = _sides(spark)
     with pytest.raises(ValueError, match="backward/forward"):
