@@ -636,6 +636,35 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "split"))
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composition story: quality
+    scoring (operators.text) → quality-gate filter → exact dedup keeping
+    the canonical copy (operators.dedup) → deterministic train/valid/
+    test split (operators.sampling) → per-split corpus stats. Every
+    stage is built-ins over engineered keys, so the whole pipeline is
+    three shuffles (dedup groupBy, split groupBy, final agg) regardless
+    of corpus size."""
+    from datafusion_geo_spark.operators.dedup import exact_dedup
+    from datafusion_geo_spark.operators.sampling import with_split
+    from datafusion_geo_spark.operators.text import text_stats
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    # corpus with exact copies (ids offset) so the dedup stage has work
+    corpus = base.unionAll(base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    stats = text_stats(corpus)
+    kept = (corpus.join(stats.where(F.col("quality_score") >= 0.5)
+                        .select("doc_id", "n_tokens"), "doc_id"))
+    canon = exact_dedup(kept.select("doc_id", "text")) \
+        .select(F.col("canonical_id").alias("doc_id"), "n_copies")
+    curated = (kept.join(canon, "doc_id")
+               .select("doc_id", "n_tokens", "n_copies"))
+    split = with_split(curated, "doc_id")
+    return (split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum(F.col("n_copies") - 1).alias("dupes_removed")))
+
+
 def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big spatial join partitioned by grid cells (no broadcast, no
     cross product): slope +1 order-lines × slope −1 part-lines; pairs
@@ -725,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extent": _q_streaming_extent,
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
+        "curation_pipeline": _q_curation_pipeline,
         "geo_parquet_window": _q_geo_parquet_window,
         "ivf_topk": _q_ivf_topk,
         "streaming_first_seen": _q_streaming_first_seen,
@@ -1057,6 +1087,40 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(w, x -> x IN ({_stop_list()})))::BIGINT AS stops,
                      len(list_distinct(w))::BIGINT AS dst
               FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents))
+        """,
+        # mirrors _q_curation_pipeline: quality gate (text_stats integer
+        # math) -> exact dedup keeping the min-id copy -> md5 hash split
+        "curation_pipeline": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents),
+            q AS (
+              SELECT doc_id, text, len(w)::BIGINT AS n_tokens,
+                     len(list_filter(w, x -> x IN ({_stop_list()})))::BIGINT
+                         AS stops,
+                     len(list_distinct(w))::BIGINT AS dst
+              FROM (SELECT doc_id, text, {_WORDS} AS w FROM corpus)),
+            kept AS (
+              SELECT doc_id, text, n_tokens FROM q
+              WHERE ((2*(4000*LEAST(100, n_tokens)*n_tokens
+                         + 300000*(n_tokens - stops + dst)) + n_tokens)
+                     // (2*n_tokens)) / 1000000.0 >= 0.5),
+            canon AS (
+              SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+              FROM kept GROUP BY md5(text)),
+            cur AS (
+              SELECT k.doc_id, k.n_tokens, c.n_copies,
+                     ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 10000 AS b
+              FROM kept k JOIN canon c ON k.doc_id = c.doc_id)
+            SELECT CASE WHEN b < 9800 THEN 'train'
+                        WHEN b < 9900 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   SUM(n_tokens)::BIGINT AS total_tokens,
+                   SUM(n_copies - 1)::BIGINT AS dupes_removed
+            FROM cur GROUP BY 1
         """,
         "lang_id": _lang_oracle(),
         "fingerprint": f"""
