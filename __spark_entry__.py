@@ -636,6 +636,29 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "split"))
 
 
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches: MinHash-LSH pairs →
+    distributed min-label propagation (operators.dedup.
+    connected_components) — the step that turns pair lists into dedup
+    groups. The DuckDB oracle computes the same components with a
+    recursive CTE over the same pair SQL."""
+    from datafusion_geo_spark.operators.dedup import (connected_components,
+                                                      lsh_pairs,
+                                                      minhash_signature,
+                                                      with_perturbed_copies)
+    corpus = with_perturbed_copies(_docs(spark, sf_dir))
+    pairs = lsh_pairs(minhash_signature(corpus))
+    return connected_components(pairs)
+
+
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators.dedup.chunk_documents): docs
+    split into 64-token windows with 16-token overlap, sliced before the
+    explode so no full-document duplication, zero shuffle."""
+    from datafusion_geo_spark.operators.dedup import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir))
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline — the composition story: quality
     scoring (operators.text) → quality-gate filter → exact dedup keeping
@@ -755,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
         "curation_pipeline": _q_curation_pipeline,
+        "neardup_components": _q_neardup_components,
+        "chunk_docs": _q_chunk_docs,
         "geo_parquet_window": _q_geo_parquet_window,
         "ivf_topk": _q_ivf_topk,
         "streaming_first_seen": _q_streaming_first_seen,
@@ -1142,6 +1167,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(text)
         """,
         "minhash_pairs": _minhash_oracle(),
+        # recursive min-label reachability over the SAME pair SQL: in an
+        # undirected graph, MIN(reachable id) == component id
+        "neardup_components": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_minhash_oracle()}) t),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL
+                      SELECT id_b AS src, id_a AS dst FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach AS (
+              SELECT v, v AS label FROM verts
+              UNION
+              SELECT e.dst AS v, r.label
+              FROM reach r JOIN edges e ON e.src = r.v
+            )
+            SELECT v AS doc_id, MIN(label)::BIGINT AS component
+            FROM reach GROUP BY v
+        """,
+        # mirrors dedup.chunk_documents (chunk 64, overlap 16, stride 48);
+        # DuckDB list_slice end-index is inclusive, Spark slice takes a
+        # LENGTH — i*48+1 .. i*48+64 covers the same 64 tokens
+        "chunk_docs": f"""
+            WITH d AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+            c AS (SELECT doc_id, w, len(w)::BIGINT AS n,
+                         GREATEST(1::BIGINT, (len(w)::BIGINT + 31) // 48)
+                             AS n_chunks
+                  FROM d),
+            x AS (SELECT doc_id, w, n,
+                         unnest(generate_series(0, n_chunks - 1)) AS i
+                  FROM c)
+            SELECT doc_id, i::INT AS chunk_idx,
+                   array_to_string(list_slice(w, (i*48 + 1)::INT,
+                                              (i*48 + 64)::INT), ' ')
+                       AS chunk_text,
+                   LEAST(n - i*48, 64)::INT AS n_tokens
+            FROM x
+        """,
         "simhash_pairs": _simhash_oracle(),
         "ngram_jaccard": f"""
             WITH corpus AS ({_CORPUS.format(where="WHERE doc_id < 100")}),

@@ -289,6 +289,97 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .where(F.col("jaccard") >= min_jaccard))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise matches into DEDUP GROUPS (keep one doc per
+    component). Returns (doc_id, component) where component = the min
+    doc id reachable from doc_id; every vertex appearing in ``pairs``
+    gets a row.
+
+    Algorithm: distributed min-label propagation. Each iteration is one
+    shuffle join (labels ⋈ symmetric edges) + a min-aggregate — the
+    standard iterative shape for components at scale (GraphX/GraphFrames
+    run the same loop); rounds needed = graph diameter, which for
+    near-dup clusters is tiny (docs similar to a common doc are 2 hops
+    apart). Labels persist between rounds and convergence is detected
+    with a count aggregate, not a data collect; ``max_iter`` bounds
+    pathological chains and raises rather than returning a half-merged
+    labeling."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"))).persist()
+    try:
+        # localCheckpoint (not just persist) each round: an iterative
+        # join grows the LOGICAL plan exponentially — by ~round 25 the
+        # nested plan alone OOMs the driver during codegen. Checkpointing
+        # truncates lineage so every round starts from a flat scan.
+        # (On a cluster with lossy executors, point
+        # spark.sparkContext.setCheckpointDir at durable storage and use
+        # .checkpoint() instead.)
+        labels = (edges.select(F.col("src").alias("v"))
+                  .distinct()
+                  .withColumn("label", F.col("v"))).localCheckpoint()
+        for _ in range(max_iter):
+            nbr_min = (edges.join(labels, edges.src == labels.v)
+                       .groupBy(F.col("dst").alias("v2"))
+                       .agg(F.min("label").alias("nmin")))
+            new_labels = (labels.join(nbr_min, labels.v == nbr_min.v2, "left")
+                          .select(F.col("v"),
+                                  F.least(F.col("label"),
+                                          F.coalesce(F.col("nmin"),
+                                                     F.col("label")))
+                                  .alias("label"))).localCheckpoint()
+            changed = (labels.alias("o").join(new_labels.alias("n"), "v")
+                       .where(F.col("o.label") != F.col("n.label")).count())
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("v").alias("doc_id"),
+                                     F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"— pathological chain graph; raise max_iter")
+    finally:
+        edges.unpersist()
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training pipeline. Chunk i
+    covers words [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the final partial window is kept
+    iff it starts inside the document and adds new tokens. Pure
+    higher-order array functions: the explode happens AFTER slicing, so
+    each output row carries only its own chunk text (no full-document
+    duplication through the shuffle), and rows stay co-partitioned with
+    their source document (narrow transformation, zero shuffle)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got "
+                         f"{overlap} / {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    # number of chunks: ceil(max(n - overlap, 1) / stride), via longs
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        ((n - F.lit(overlap) + F.lit(stride) - 1) / F.lit(stride))
+        .cast("long"))
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(w, (i * stride + 1).cast("int"),
+                                 chunk_tokens), " ").alias("chunk_text"),
+            F.least(n.cast("long") - i * stride,
+                    F.lit(chunk_tokens).cast("long"))
+            .cast("int").alias("n_tokens")))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+            .select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tokens"))
+
+
 def with_perturbed_copies(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           offset: int = 1_000_000) -> DataFrame:

@@ -108,6 +108,58 @@ def test_deterministic_sample_aligned_across_tables(spark):
     assert 100 < len(ka) < 320  # ~200 expected, generous band
 
 
+def test_connected_components_shapes(spark):
+    from datafusion_geo_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12, isolated edge 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iter_raises(spark):
+    from datafusion_geo_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and converges with enough rounds (min label flows ~2 hops/round)
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(chain, max_iter=31).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_chunk_documents_windows(spark):
+    from datafusion_geo_spark.operators.dedup import chunk_documents
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=40, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 tokens, stride 30 → ceil(90/30)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in c1] == [40, 40, 40]
+    assert c1[0]["chunk_text"].split()[0] == "w0"
+    assert c1[1]["chunk_text"].split()[0] == "w30"   # overlap of 10
+    assert c1[2]["chunk_text"].split()[-1] == "w99"
+    # short doc: one partial chunk
+    assert [(r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in by_doc[2]] == [(0, 2, "short doc")]
+
+
+def test_chunk_documents_bad_overlap(spark):
+    from datafusion_geo_spark.operators.dedup import chunk_documents
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(spark.range(1).withColumnRenamed("id", "doc_id")
+                        .withColumn("text", F.lit("x")),
+                        chunk_tokens=10, overlap=10)
+
+
 def test_hash_bucket_no_python_udf(spark):
     df = spark.range(10).select(hash_bucket(F.col("id")).alias("b"))
     plan = df._jdf.queryExecution().executedPlan().toString()
