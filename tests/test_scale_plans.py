@@ -168,6 +168,25 @@ def test_broadcast_snapshot_cap_enforced(spark, monkeypatch):
                                boxes_nation(spark, SF_DIR))  # 25 > 10
 
 
+def test_chunk_docs_is_narrow_no_shuffle(spark):
+    """Chunking must slice-then-explode with zero exchanges: chunks stay
+    co-partitioned with their source documents."""
+    from datafusion_geo_spark.operators.dedup import chunk_documents
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = plan_of(chunk_documents(df))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_range_join_no_nested_loop(spark):
+    """The range join must stay a bucket equi-join — a raw BETWEEN
+    theta-join would be a BroadcastNestedLoopJoin."""
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["range_tag_events"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_geo_parquet_window_prunes_partitions(spark):
     """The driver-checked geoio query must keep both pruning layers: a
     native PartitionFilters entry on the cell columns (directories never
