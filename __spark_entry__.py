@@ -1136,8 +1136,8 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY md5(text)),
             cur AS (
               SELECT k.doc_id, k.n_tokens, c.n_copies,
-                     ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
-                         ::BIGINT % 10000 AS b
+                     {_H64.format(arg="CAST(k.doc_id AS VARCHAR)")} % 10000
+                         AS b
               FROM kept k JOIN canon c ON k.doc_id = c.doc_id)
             SELECT CASE WHEN b < 9800 THEN 'train'
                         WHEN b < 9900 THEN 'valid'

@@ -152,16 +152,20 @@ def _sl_body(buf: bytes, pos: int, fmt: str, code: int) -> Tuple[Geometry, int]:
 
 def from_spatialite(buf: bytes) -> Geometry:
     buf = bytes(buf)
-    # 60 = the true minimum (header 39 + class 4 + POINT body 16 + end);
-    # a shorter blob with valid framing would escape into struct.error
-    if len(buf) < 60 or buf[0] != _SL_START or buf[-1] != _SL_END:
+    # 48 = minimum well-formed blob: header 39 + class 4 + a zero count
+    # (empty LINESTRING/POLYGON/MULTI*) 4 + end byte. Truncated bodies
+    # past the framing check surface as ValueError below, not struct.error.
+    if len(buf) < 48 or buf[0] != _SL_START or buf[-1] != _SL_END:
         raise ValueError("invalid SpatiaLite blob: bad framing")
     fmt = "<" if buf[1] == 1 else ">"
     (srid,) = struct.unpack_from(fmt + "i", buf, 2)
     if buf[38] != _SL_MBR_END:
         raise ValueError("invalid SpatiaLite blob: missing MBR terminator")
-    (code,) = struct.unpack_from(fmt + "I", buf, 39)
-    g, _ = _sl_body(buf, 43, fmt, code & 0xFF)
+    try:
+        (code,) = struct.unpack_from(fmt + "I", buf, 39)
+        g, _ = _sl_body(buf, 43, fmt, code & 0xFF)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"invalid SpatiaLite blob: {e}") from e
     if srid > 0:
         g = g.with_srid(srid)
     return g

@@ -62,14 +62,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
     # last(ignorenulls) then picks the matching right row atomically, so
     # a NULL payload VALUE inside it is carried faithfully instead of
     # falling through to an older right row (per-column fills could even
-    # stitch a chimera row from different right rows).
-    pay_t = ", ".join(f"`{o}`: {right.schema[c].dataType.simpleString()}"
-                      for c, o in zip(right_cols, out_cols))
+    # stitch a chimera row from different right rows). The type is built
+    # as a StructType OBJECT — a DDL string via simpleString() is not
+    # round-trippable for UDTs or backticked names.
+    from pyspark.sql.types import StructField, StructType
+    pay_t = StructType([StructField(o, right.schema[c].dataType)
+                        for c, o in zip(right_cols, out_cols)])
     l = left.select(
         *left.columns,
         (F.col(left_time) * sgn).alias("_t"),
         F.lit(l_tag).alias("_tag"),
-        F.lit(None).cast(f"struct<{pay_t}>").alias("_pay"))
+        F.lit(None).cast(pay_t).alias("_pay"))
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c != on else F.col(on) for c in left.columns],

@@ -42,7 +42,8 @@ BBOX_COLS = ("xmin", "ymin", "xmax", "ymax")
 
 def write_geo_parquet(df: DataFrame, path: str, cell: float = 8.0,
                       geom_col: str = "geom",
-                      mode: str = "overwrite") -> None:
+                      mode: str = "overwrite",
+                      files_per_cell: int = 1) -> None:
     """Sink: parquet partitioned by the grid cell of each geometry's
     bbox centroid, with plain ``xmin..ymax`` bbox columns persisted
     alongside (the GeoParquet "covering" pattern). At 100 TB readers get
@@ -72,10 +73,16 @@ def write_geo_parquet(df: DataFrame, path: str, cell: float = 8.0,
     # Cluster by the partition columns before the partitioned write:
     # without this every shuffle task opens a writer in EVERY cell
     # directory → tasks × cells tiny files (measured 37 s for a 600k-row
-    # write; 6 s after). One shuffle, one file per cell; hot cells are
-    # re-split by maxRecordsPerFile so a single cell never becomes one
-    # giant unsplittable file at 100 TB.
-    (with_cells.repartition("cell_x", "cell_y").write.mode(mode)
+    # write; 9 s after). maxRecordsPerFile re-splits a huge cell's
+    # FILES, but one task still writes the whole cell — for skewed data
+    # raise ``files_per_cell`` to salt the clustering shuffle so a hot
+    # cell spreads across that many tasks (bounded: at most
+    # files_per_cell writers per directory, never tasks × cells).
+    keys = [F.col("cell_x"), F.col("cell_y")]
+    if files_per_cell > 1:
+        keys.append(F.pmod(F.xxhash64(*[F.col(c) for c in BBOX_COLS]),
+                           F.lit(files_per_cell)))
+    (with_cells.repartition(*keys).write.mode(mode)
      .option("maxRecordsPerFile", 5_000_000)
      .partitionBy("cell_x", "cell_y").parquet(path))
     # extent metadata from the WRITTEN files: a column-pruned native scan

@@ -96,11 +96,9 @@ def test_asof_null_payload_carried_not_filled_through(spark):
 
 def test_range_join_fanout_guard_and_inverted_intervals(spark):
     from datafusion_geo_spark.operators.range_join import range_join
-    import pytest as _pt
-    from py4j.protocol import Py4JJavaError
     pts = spark.createDataFrame([(1, 5.0)], "pid long, p double")
     wide = spark.createDataFrame([(1, 0.0, 1e9)], "iid long, lo double, hi double")
-    with _pt.raises(Exception, match="spans more than"):
+    with pytest.raises(Exception, match="spans more than"):
         range_join(pts, wide, "p", "lo", "hi", bucket=1.0).collect()
     inverted = spark.createDataFrame([(1, 10.0, 0.0)],
                                      "iid long, lo double, hi double")

@@ -104,6 +104,20 @@ def test_tagged_matches_reference_tag_values():
         assert to_wkt(from_dialect(blob, "tagged")) == "POINT(5 6)"
 
 
+def test_spatialite_empty_geometry_decodes():
+    # 48-byte minimum well-formed blob: empty LINESTRING (zero count)
+    blob = (struct.pack("<BBi", 0x00, 1, 4326) + struct.pack("<4d", 0, 0, 0, 0)
+            + bytes([0x7C]) + struct.pack("<II", 2, 0) + bytes([0xFE]))
+    assert len(blob) == 48
+    g = from_spatialite(blob)
+    assert g.typ == "LineString" and g.is_empty() and g.srid == 4326
+    # truncated body past framing still raises ValueError, not struct.error
+    bad = (struct.pack("<BBi", 0x00, 1, 0) + struct.pack("<4d", 0, 0, 0, 0)
+           + bytes([0x7C]) + struct.pack("<II", 2, 5) + bytes([0xFE]))
+    with pytest.raises(ValueError):
+        from_spatialite(bad)
+
+
 def test_malformed_blobs_raise():
     with pytest.raises(ValueError):
         from_geopackage(b"XX" + b"\x00" * 10)
