@@ -550,6 +550,20 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_offset")
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators.multimodal.resize_images): 1-in
+    1-out mapInPandas transform producing a fixed 16×16-byte payload via
+    deterministic stub subsampling (step = len//256) or repetition
+    padding — the real decoder drops in with the same schema/batch
+    shape. Output decoded to UTF-8 so the value-hash compares strings."""
+    from datafusion_geo_spark.operators.multimodal import (resize_images,
+                                                           to_media)
+    r = resize_images(to_media(_docs(spark, sf_dir)))
+    return r.select(
+        "doc_id", F.decode(F.col("payload"), "UTF-8").alias("resized_text"),
+        "width", "height")
+
+
 def _q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization via
     applyInPandasWithState (30-min inactivity gap). Bounded input +
@@ -773,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
         "events_hourly_rank": _q_events_hourly_rank,
         "streaming_extent": _q_streaming_extent,
         "streaming_sessions": _q_streaming_sessions,
@@ -1284,6 +1299,21 @@ def oracle_sql() -> dict[str, str]:
                      AS checksum,
                    ascii(substr(text, 1, 1))::INT AS head_byte
             FROM documents
+        """,
+        # mirrors multimodal.resize_images' stub: n>=256 → every
+        # (n//256)-th char, 256 of them; n<256 → repetition padding
+        "multimodal_resize": """
+            SELECT doc_id,
+                   CASE WHEN n >= 256 THEN
+                     array_to_string(list_transform(generate_series(0, 255),
+                       i -> substr(text, (i * (n // 256) + 1)::INT, 1)), '')
+                   ELSE
+                     array_to_string(list_transform(generate_series(0, 255),
+                       i -> substr(text, (i % n + 1)::INT, 1)), '')
+                   END AS resized_text,
+                   16::INT AS width, 16::INT AS height
+            FROM (SELECT doc_id, text, length(text)::BIGINT AS n
+                  FROM documents)
         """,
         "events_hourly_rank": """
             WITH hourly AS (
