@@ -266,14 +266,27 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        min_jaccard: float = 0.4) -> DataFrame:
+                        min_jaccard: float = 0.4,
+                        max_shingle_df: Optional[int] = DEFAULT_MAX_BUCKET,
+                        log_dropped: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity via distinct-shingle equi-join:
     |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|−|A∩B|. Shuffles on
     the shingle hash — no cross product; candidate pairs are only those
-    sharing ≥1 shingle."""
+    sharing ≥1 shingle.
+
+    Shingles whose document frequency exceeds ``max_shingle_df`` are
+    dropped before the self-join (same broadcast anti-join as the
+    LSH/SimHash bucket caps — see _cap_buckets): one boilerplate shingle
+    shared by N docs would otherwise land N(N−1)/2 candidate rows in a
+    single shuffle partition. Sizes are computed AFTER the cap, so the
+    returned value is the exact Jaccard over the retained (non-
+    boilerplate) shingle vocabulary — the standard stopword-style
+    treatment. Pass ``max_shingle_df=None`` for the uncapped exact
+    Jaccard on a bounded corpus."""
     sh = df.select(F.col(id_col),
                    F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")) \
-           .distinct().persist()
+           .distinct()
+    sh = _cap_buckets(sh, ("s",), max_shingle_df, log_dropped).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
     l = sh.select(F.col(id_col).alias("id_a"), "s")
     r = sh.select(F.col(id_col).alias("id_b"), "s")

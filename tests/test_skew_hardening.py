@@ -65,6 +65,49 @@ def test_lsh_cap_noop_under_threshold(spark):
     assert a == b and len(a) == 10
 
 
+def test_ngram_hot_shingle_dropped_cold_kept(spark):
+    """One boilerplate shingle shared by 500 docs must not produce the
+    500·499/2 candidate pairs; a genuine near-dup pair sharing private
+    shingles must survive with its exact Jaccard (VERDICT r3 item 1)."""
+    from datafusion_geo_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 500 docs: a shared boilerplate 3-gram + a per-doc unique tail.
+    hot = [(i, f"cookie banner text unique{i} tail{i} words{i}")
+           for i in range(500)]
+    # One genuine near-dup pair with fully-private vocabulary.
+    cold = [(1000, "alpha beta gamma delta epsilon zeta"),
+            (1001, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(df, min_jaccard=0.1,
+                                 max_shingle_df=100).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    # hot-shingle pairs gone; the cold pair keeps its exact Jaccard
+    # (3 shared of 4+4 shingles → 3/5)
+    assert pairs == {(1000, 1001)}
+    assert capped[0].jaccard == pytest.approx(0.6)
+
+    # Candidate volume is bounded: the uncapped run would emit >120k
+    # intersection rows from the hot shingle alone.
+    uncapped = ngram_jaccard_pairs(df, min_jaccard=0.0,
+                                   max_shingle_df=None)
+    assert uncapped.count() == 500 * 499 // 2 + 1
+
+
+def test_ngram_cap_noop_under_threshold(spark):
+    """Every shingle under the df cap → capped == uncapped (why the
+    default-on cap cannot perturb the sf0.01 correctness rows)."""
+    from datafusion_geo_spark.operators.dedup import ngram_jaccard_pairs
+    rows = [(i, f"shared prefix words doc{i // 2} body{i // 2} end{i // 2}")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, ngram_jaccard_pairs(df, min_jaccard=0.05,
+                                              max_shingle_df=1000).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(df, min_jaccard=0.05,
+                                              max_shingle_df=None).collect()))
+    assert a == b and len(a) >= 10
+
+
 def test_cogroup_dense_cell_blocked_matrix(spark, monkeypatch):
     """A dense single cell (300×300 candidates) with a tiny block budget
     must produce exactly the same pairs as the equi-join strategy."""
