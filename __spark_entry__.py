@@ -510,9 +510,22 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_streaming_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed incremental extent over the events stream (Structured
-    Streaming, availableNow trigger; ≡ batch SQL on bounded input)."""
+    Streaming, availableNow trigger). COMPLETE mode — the bounded-oracle
+    runner that reports every window including still-open ones; the
+    deployable unbounded path is streaming_extent_append below."""
     from datafusion_geo_spark.streaming import streaming_extent
-    return streaming_extent(spark, sf_dir)
+    return streaming_extent(spark, sf_dir, output_mode="complete")
+
+
+def _q_streaming_extent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE streaming extent: append mode, where each window
+    is emitted exactly once when the watermark (max event time − 2h)
+    passes its end and its state is evicted — bounded state on an
+    unbounded stream. On the bounded fixture this equals batch SQL
+    restricted to windows closed by the final watermark, which is what
+    the oracle computes."""
+    from datafusion_geo_spark.streaming import streaming_extent
+    return streaming_extent(spark, sf_dir, output_mode="append")
 
 
 def _q_events_hourly_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "events_hourly_rank": _q_events_hourly_rank,
         "streaming_extent": _q_streaming_extent,
+        "streaming_extent_append": _q_streaming_extent_append,
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
         "curation_pipeline": _q_curation_pipeline,
@@ -1347,6 +1361,20 @@ def oracle_sql() -> dict[str, str]:
                    MAX(value) AS xmax, MAX((user_id % 100)::DOUBLE) AS ymax,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        # append mode emits exactly the windows whose END the final
+        # watermark (max ts − 2h) has passed; still-open windows stay in
+        # state. Equality at the boundary would need max(ts) to land on
+        # an exact hour, which the micros-resolution fixture never does.
+        "streaming_extent_append": """
+            WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   MIN(value) AS xmin, MIN((user_id % 100)::DOUBLE) AS ymin,
+                   MAX(value) AS xmax, MAX((user_id % 100)::DOUBLE) AS ymax,
+                   COUNT(*) AS n_events
+            FROM events, wm
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+            GROUP BY 1, 2
         """,
         "streaming_sessions": """
             WITH d AS (

@@ -14,6 +14,19 @@ sort anywhere. Deterministic even within a micro-batch, unlike
 ``dropDuplicates`` (which keeps an arbitrary row per key and so can't
 be oracle-checked). On the bounded fixture with an availableNow trigger
 the result equals the batch window query the DuckDB oracle runs.
+
+Unbounded-state story: first-seen dedup is keyed on (user_id,
+event_type), and a key's state must stay resident for as long as a
+duplicate of that key may still arrive — unlike a windowed aggregate
+there is no event-time bound to evict on, so complete/update keep one
+state row per live key FOREVER by design. Deploying this unbounded
+means either (a) ``update`` output mode — each key's first-seen row is
+re-emitted only when it changes, sink is an upsert store — plus a state
+TTL via ``dropDuplicatesWithinWatermark`` semantics when "first within
+the watermark horizon" is acceptable, or (b) bounding the key domain
+(e.g. daily key-space rollover baked into the key). The bounded-oracle
+runner below uses ``complete`` + availableNow, which on a finite replay
+is exact.
 """
 
 from __future__ import annotations

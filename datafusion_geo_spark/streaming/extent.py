@@ -3,13 +3,29 @@
 Extends the reference's only aggregate — st_extent, a two-phase
 partial/merge/final bbox union (/root/reference/src/function/extent.rs:75-128)
 — to unbounded data with Structured Streaming: per event-time window and
-event_type, maintain the running bbox of event points. The watermark
-bounds state: windows older than the watermark are finalized and dropped,
-so state size is O(active windows × groups) regardless of stream length.
+event_type, maintain the running bbox of event points.
+
+Output modes (the deployable path is APPEND, the default):
+
+- ``append``: a window is emitted exactly once, when the watermark
+  passes its end; its state is then evicted. State size is O(open
+  windows × groups) regardless of stream length and the sink receives
+  each finalized bbox once — this is the mode an unbounded production
+  stream runs. Note Spark's drop of late rows is LAZY: a behind-
+  watermark row merges into a window whose state is still alive and is
+  only guaranteed dropped after that window was emitted + evicted
+  (pinned in tests/test_streaming_semantics.py).
+- ``complete``: Spark keeps ALL window state forever and re-emits the
+  full result every trigger — unbounded state on an unbounded stream.
+  Only correct for bounded replays; it is what the bounded-oracle
+  correctness runner uses because it reports every window including the
+  still-open ones.
 
 Points derive analytically from event columns (x = value,
 y = user_id % 100) so the batch/DuckDB oracle can reproduce results
-exactly — on a bounded input, availableNow streaming ≡ batch SQL.
+exactly — on a bounded input, availableNow streaming ≡ batch SQL
+(append mode ≡ batch SQL restricted to windows closed by the final
+watermark).
 """
 
 from __future__ import annotations
@@ -27,14 +43,21 @@ from ..sources.fixtures import _symlink_dir, load_events_stream  # noqa: F401
 
 def streaming_extent(spark: SparkSession, sf_dir: str,
                      window: str = "1 hour",
-                     watermark: str = "2 hours") -> DataFrame:
+                     watermark: str = "2 hours",
+                     output_mode: str = "append") -> DataFrame:
     """Run the windowed extent over the bounded events fixture with an
-    availableNow trigger and return the final result as a DataFrame.
+    availableNow trigger and return the result as a DataFrame.
 
     Plan shape: file stream source → event-time watermark → window +
     group-by aggregation (native min/max, partial+final with streaming
     state store) → memory sink. On a real cluster the same query runs
-    unbounded (kafka/file source) with identical semantics."""
+    unbounded (kafka/file source) with identical semantics — in the
+    default ``append`` mode, where each window is emitted once when the
+    watermark passes it and its state is evicted (see module docstring
+    for the append/complete trade-off)."""
+    if output_mode not in ("append", "complete"):
+        raise ValueError(f"output_mode must be append|complete, got "
+                         f"{output_mode!r}")
     stream = load_events_stream(spark, sf_dir)
     pts = stream.select(
         "ts",
@@ -48,7 +71,7 @@ def streaming_extent(spark: SparkSession, sf_dir: str,
                 F.count("*").alias("n_events")))
     name = "stream_extent_" + uuid.uuid4().hex[:8]
     q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type",
