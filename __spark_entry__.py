@@ -382,7 +382,9 @@ def _q_split_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's author-flagged-broken kernel
     (/root/reference/src/function/split.rs:148). Cases 4-7 exercise the
     round-2 generalization: concave U, holed donut, bent multi-segment
-    blade, and a partially-penetrating blade that must not split."""
+    blade, and a partially-penetrating blade that must not split. Cases
+    8-9 exercise the POLYGONAL blade (round-4): the blade cuts with its
+    boundary rings — line÷polygon and polygon÷polygon."""
     from datafusion_geo_spark.functions import st_astext, st_geomfromtext, st_split
     rows = [(1, "LINESTRING(0 0,10 10)", "POINT(5 5)"),
             (2, "LINESTRING(0 5,10 5)", "LINESTRING(5 0,5 10)"),
@@ -393,7 +395,10 @@ def _q_split_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
              "LINESTRING(3 -1,3 21)"),
             (6, "POLYGON((0 0,10 0,10 10,0 10,0 0))",
              "LINESTRING(-1 3,5 3,5 11)"),
-            (7, "POLYGON((0 0,10 0,10 10,0 10,0 0))", "LINESTRING(5 -1,5 5)")]
+            (7, "POLYGON((0 0,10 0,10 10,0 10,0 0))", "LINESTRING(5 -1,5 5)"),
+            (8, "LINESTRING(-2 5,12 5)", "POLYGON((0 0,10 0,10 10,0 10,0 0))"),
+            (9, "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+             "POLYGON((5 -1,15 -1,15 11,5 11,5 -1))")]
     df = spark.createDataFrame(rows, "id int, wkt string, blade string")
     return df.select(
         "id",
@@ -1114,7 +1119,9 @@ def oracle_sql() -> dict[str, str]:
               (4, 'GEOMETRYCOLLECTION(POLYGON((0 0,9 0,9 4,6 4,6 2,3 2,3 4,0 4,0 0)),POLYGON((0 4,3 4,3 6,0 6,0 4)),POLYGON((6 4,9 4,9 6,6 6,6 4)))'),
               (5, 'GEOMETRYCOLLECTION(POLYGON((0 0,3 0,3 20,0 20,0 0)),POLYGON((3 0,20 0,20 20,3 20,3 0),(6 6,6 14,14 14,14 6,6 6)))'),
               (6, 'GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,5 10,5 3,0 3,0 0)),POLYGON((0 3,5 3,5 10,0 10,0 3)))'),
-              (7, 'GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,0 10,0 0)))')
+              (7, 'GEOMETRYCOLLECTION(POLYGON((0 0,10 0,10 10,0 10,0 0)))'),
+              (8, 'GEOMETRYCOLLECTION(LINESTRING(-2 5,0 5),LINESTRING(0 5,10 5),LINESTRING(10 5,12 5))'),
+              (9, 'GEOMETRYCOLLECTION(POLYGON((0 0,5 0,5 10,0 10,0 0)),POLYGON((5 0,10 0,10 10,5 10,5 0)))')
             ) AS t(id, split_wkt)
         """,
         # ratios/score via exact scaled-integer half-up rounding — mirrors

@@ -513,12 +513,20 @@ def split(g: Geometry, blade: Geometry) -> Geometry:
     (/root/reference/src/function/split.rs:148 "FIXME fix split
     implementation"; SURVEY.md §7.3 Hard#4).
 
-    Supported: LineString split by Point / MultiPoint / (Multi)LineString;
-    any Polygon (concave, holed) or MultiPolygon split by any
-    (Multi)LineString blade — blade SEGMENTS cut, not the infinite line,
-    and a blade that dead-ends inside a face does not split (spur
-    pruning), both per PostGIS.
+    Supported: LineString split by Point / MultiPoint / (Multi)LineString
+    / (Multi)Polygon; any Polygon (concave, holed) or MultiPolygon split
+    by any (Multi)LineString or (Multi)Polygon blade — blade SEGMENTS
+    cut, not the infinite line, and a blade that dead-ends inside a face
+    does not split (spur pruning), both per PostGIS.
+
+    A polygonal blade cuts with its BOUNDARY rings (PostGIS: "split a
+    line by a polygon boundary"; polygon÷polygon follows the same
+    boundary convention — the reference's kernel accepts any pair,
+    /root/reference/src/function/split.rs:103-130). The blade's interior
+    plays no role: normalize to boundary() and reuse the linework paths.
     """
+    if blade.typ in ("Polygon", "MultiPolygon"):
+        blade = boundary(blade)
     if g.typ == "LineString":
         cuts: List[Coord] = []
         if blade.typ == "Point":

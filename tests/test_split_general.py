@@ -172,3 +172,55 @@ def test_area_conservation_random():
         r = algos.split(g, P(f"LINESTRING({x} {y0},{x} {y1})"))
         total = sum(algos.area(p) for p in r.parts)
         assert total == pytest.approx(base, abs=1e-9), x
+
+
+# ------------------------------------------------- polygonal blades (round 4)
+
+def test_line_split_by_polygon_boundary():
+    """PostGIS: splitting a line by a polygon cuts at the BOUNDARY
+    crossings (the polygon interior plays no role)."""
+    assert wkt_split("LINESTRING(-2 5,12 5)",
+                     "POLYGON((0 0,10 0,10 10,0 10,0 0))") == \
+        ("GEOMETRYCOLLECTION(LINESTRING(-2 5,0 5),LINESTRING(0 5,10 5),"
+         "LINESTRING(10 5,12 5))")
+
+
+def test_line_split_by_holed_polygon_all_rings_cut():
+    """Both the shell and the hole ring cut the line."""
+    got = wkt_split(
+        "LINESTRING(-2 10,22 10)",
+        "POLYGON((0 0,20 0,20 20,0 20,0 0),(6 6,6 14,14 14,14 6,6 6))")
+    assert got == ("GEOMETRYCOLLECTION(LINESTRING(-2 10,0 10),"
+                   "LINESTRING(0 10,6 10),LINESTRING(6 10,14 10),"
+                   "LINESTRING(14 10,20 10),LINESTRING(20 10,22 10))")
+
+
+def test_polygon_split_by_polygon_boundary():
+    """Polygon ÷ polygon follows the boundary convention: equivalent to
+    splitting by the blade's rings."""
+    assert wkt_split("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                     "POLYGON((5 -1,15 -1,15 11,5 11,5 -1))") == \
+        ("GEOMETRYCOLLECTION(POLYGON((0 0,5 0,5 10,0 10,0 0)),"
+         "POLYGON((5 0,10 0,10 10,5 10,5 0)))")
+
+
+def test_polygon_split_by_multipolygon_blade():
+    got = areas("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                "MULTIPOLYGON(((2 -1,4 -1,4 11,2 11,2 -1)),"
+                "((6 -1,8 -1,8 11,6 11,6 -1)))")
+    assert sorted(got) == [20.0, 20.0, 20.0, 20.0, 20.0]
+
+
+def test_line_split_by_disjoint_polygon_no_split():
+    assert wkt_split("LINESTRING(0 0,1 1)",
+                     "POLYGON((5 5,6 5,6 6,5 6,5 5))") == \
+        "GEOMETRYCOLLECTION(LINESTRING(0 0,1 1))"
+
+
+def test_polygon_split_by_contained_blade_polygon_cuts_hole():
+    """A blade polygon strictly inside the target: its ring is a closed
+    loop inside the face, which carves an island — piece count 2 and
+    area conserved."""
+    got = areas("POLYGON((0 0,10 0,10 10,0 10,0 0))",
+                "POLYGON((3 3,7 3,7 7,3 7,3 3))")
+    assert sorted(got) == [16.0, 84.0]
