@@ -601,6 +601,28 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with TRAINED centroids: 2 rounds of deterministic
+    Lloyd's k-means (md5-ordered seeds, argmax-cosine assignment,
+    6-dp-rounded per-dimension means — operators.similarity.
+    kmeans_centroids), then the same broadcast-probe / list-equi-join
+    search as ivf_topk. The oracle unrolls the identical two rounds in
+    SQL, so the trained centroids — and therefore the search results —
+    match bit-for-bit.
+
+    Recall note: on the driver's embeddings fixture the vectors are
+    isotropic random (no label geometry), and ivf_topk's stand-in
+    centroids coincide with the query ids — the optimal IVF for those
+    queries by construction — so trained recall is LOWER here (0.51 vs
+    0.93). On data with real cluster structure training wins by a wide
+    margin (tests/test_asof_ivf.py::
+    test_ivf_trained_beats_standin_on_clustered_data)."""
+    from datafusion_geo_spark.operators.similarity import ivf_topk
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True,
+                    centroids="trained")
+
+
 def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup: first event per (user_id, event_type)
     by (ts, event_id) plus duplicate counts, via a streaming struct-MIN
@@ -816,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "geo_parquet_window": _q_geo_parquet_window,
         "ivf_topk": _q_ivf_topk,
+        "ivf_trained_topk": _q_ivf_trained_topk,
         "streaming_first_seen": _q_streaming_first_seen,
         "asof_join": _q_asof_join,
         "range_tag_events": _q_range_tag_events,
@@ -872,6 +895,68 @@ def _minhash_oracle() -> str:
                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands}))
         SELECT id_a, id_b, est_sim FROM cand WHERE est_sim >= 0.5
     """
+
+
+def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
+                        nprobe: int = 2, max_query_id: int = 8,
+                        k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of similarity.kmeans_centroids + ivf_topk(trained):
+    seeds = smallest-md5(vec_id) vectors, then ``iters`` unrolled Lloyd
+    rounds (argmax cosine rounded 6 dp, ties to lowest cid; per-dim AVG
+    rounded 6 dp — the rounding is what makes cross-engine summation
+    order irrelevant), then the standard IVF probe/search. ``dim`` is
+    the fixture's embedding length (64)."""
+    ctes = [f"""
+        vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+        c0 AS (SELECT cid::INT AS cid, cvec FROM (
+                 SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR),
+                                            vec_id) - 1) AS cid, v AS cvec
+                 FROM vecs) WHERE cid < {n_centroids})"""]
+    for it in range(1, iters + 1):
+        ctes.append(f"""
+        s{it} AS (SELECT a.vec_id, c.cid,
+                         ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                  FROM vecs a, c{it - 1} c),
+        a{it} AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid) AS rn
+                    FROM s{it}) WHERE rn = 1),
+        c{it} AS (SELECT cid, list(cx ORDER BY i) AS cvec FROM (
+                    SELECT a.cid, g.i, ROUND(AVG(b.v[g.i]), 6) AS cx
+                    FROM a{it} a JOIN vecs b USING (vec_id),
+                         generate_series(1, {dim}) AS g(i)
+                    GROUP BY a.cid, g.i) GROUP BY cid)""")
+    fin = f"""
+        scored AS (SELECT a.vec_id, c.cid,
+                          ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                   FROM vecs a, c{iters} c),
+        assign AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, cid) AS rn
+                     FROM scored) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid FROM (
+                     SELECT vec_id, cid,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, cid) AS rn
+                     FROM scored WHERE vec_id < {max_query_id})
+                   WHERE rn <= {nprobe}),
+        vb AS (SELECT vecs.vec_id, v, assign.cid
+               FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
+        pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                         ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                  FROM probes p
+                  JOIN vb q ON q.vec_id = p.query_id
+                  JOIN vb c ON c.cid = p.cid
+                  WHERE c.vec_id != p.query_id)
+        SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pairs) WHERE rank <= {k}"""
+    return "WITH " + ",".join(ctes) + "," + fin
 
 
 def _simhash_oracle() -> str:
@@ -1448,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY sim DESC, neighbor_id) AS rank
               FROM pairs) WHERE rank <= 10
         """,
+        "ivf_trained_topk": _ivf_trained_oracle(),
         "streaming_first_seen": """
             WITH d AS (
                 SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

@@ -142,14 +142,75 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def kmeans_centroids(vecs: DataFrame, n_centroids: int = 8,
+                     iters: int = 2, id_col: str = "vec_id") -> list:
+    """Deterministic fixed-iteration Lloyd's k-means over the prenormed
+    contract (id_col, v, n) → list of (cid, centroid) driver-side.
+
+    Every step is SQL-replayable so the DuckDB oracle can reproduce the
+    trained centroids bit-for-bit:
+      - seeds = the ``n_centroids`` vectors with the smallest
+        md5(vec_id) (id-hash order: pseudo-random but deterministic,
+        avoiding the adjacency bias of "first k by id");
+      - assignment = argmax cosine rounded to 6 dp, ties to the lowest
+        centroid id — the same partial+final struct-max aggregate
+        ivf_topk uses (no window sort over the corpus);
+      - update = per-dimension mean via posexplode + groupBy(cid, pos):
+        the explode is narrow and the avg is map-side combined, so the
+        shuffle carries k×dim partial sums per map task, not the corpus.
+        Means are rounded to 6 dp so sub-ulp summation-order differences
+        between engines cannot flip a later assignment.
+    The per-iteration collect is k×dim doubles — the standard k-means
+    driver sync (centroids must reach the driver to be re-broadcast);
+    it is independent of corpus size. Empty clusters drop out (both
+    engines identically). ``iters`` is fixed, not convergence-tested:
+    the oracle must unroll the same number of rounds.
+    """
+    spark = vecs.sparkSession
+    seeds = (vecs.select(F.col(id_col), "v")
+             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+             .limit(n_centroids).collect())
+    cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cid int, cvec array<double>")
+            .withColumn("cn", norm(F.col("cvec"))))
+        scored = vecs.crossJoin(cdf).select(
+            F.col(id_col),
+            F.round(dot(F.col("v"), F.col("cvec"))
+                    / (F.col("n") * F.col("cn")), 6).alias("cs"),
+            F.col("cid"))
+        assign = (scored.groupBy(id_col)
+                  .agg(F.max(F.struct(F.col("cs"),
+                                      (-F.col("cid")).alias("ncid"))).alias("m"))
+                  .select(F.col(id_col),
+                          (-F.col("m.ncid")).cast("int").alias("cid")))
+        upd = (assign.join(vecs, id_col)
+               .select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
+               .groupBy("cid", "pos")
+               .agg(F.round(F.avg("x"), 6).alias("cx"))
+               .collect())
+        by_cid: dict = {}
+        for r in upd:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cx"]
+        cents = [(cid, [dims[p] for p in sorted(dims)])
+                 for cid, dims in sorted(by_cid.items())]
+    return cents
+
+
 def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
              max_query_id: int = 8, k: int = 10, id_col: str = "vec_id",
-             vec_col: str = "embedding", prenormed: bool = False) -> DataFrame:
+             vec_col: str = "embedding", prenormed: bool = False,
+             centroids: str = "first", train_iters: int = 2) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the learned-partition
-    scale path sketched in the module docstring, with deterministic
-    "centroids" (the first ``n_centroids`` vectors by id — a stand-in
-    for k-means output that the SQL oracle can reproduce bit-for-bit;
-    swapping in trained centroids changes recall, not the plan).
+    scale path sketched in the module docstring. ``centroids`` picks the
+    list structure:
+      - "first" (default): the first ``n_centroids`` vectors by id — a
+        deterministic stand-in requiring no training pass;
+      - "trained": ``train_iters`` rounds of deterministic Lloyd's
+        k-means (:func:`kmeans_centroids`) — better-balanced lists and
+        recall on clustered data, same search plan.
+    Both are reproducible bit-for-bit by the SQL oracle.
 
     Plan shape (the part that matters at 100 TB):
       1. assignment — corpus × broadcast centroids, cosine JVM-side,
@@ -165,10 +226,19 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
     without changing the plan. ``prenormed=True`` accepts a corpus
     already in the :func:`prenorm` contract (e.g. persisted)."""
     vecs = emb if prenormed else prenorm(emb, id_col, vec_col)
-    cents = F.broadcast(
-        vecs.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("int").alias("cid"),
-                F.col("v").alias("cvec"), F.col("n").alias("cn")))
+    if centroids == "trained":
+        trained = kmeans_centroids(vecs, n_centroids, train_iters, id_col)
+        cents = F.broadcast(
+            vecs.sparkSession
+            .createDataFrame(trained, "cid int, cvec array<double>")
+            .withColumn("cn", norm(F.col("cvec"))))
+    elif centroids == "first":
+        cents = F.broadcast(
+            vecs.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).cast("int").alias("cid"),
+                    F.col("v").alias("cvec"), F.col("n").alias("cn")))
+    else:
+        raise ValueError(f"centroids must be first|trained, got {centroids!r}")
     scored = vecs.crossJoin(cents).select(
         F.col(id_col), F.col("v"), F.col("n"), "cid",
         F.round(dot(F.col("v"), F.col("cvec"))
