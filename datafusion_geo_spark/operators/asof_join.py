@@ -14,8 +14,9 @@ partitioned by key and ordered by (time, side): ``last(payload,
 ignorenulls=True)`` over an unbounded-preceding frame fills each left
 row with the latest preceding right payload. Cost = one shuffle + sort
 of |L|+|R| narrow rows — the same profile as any windowed aggregation,
-no pair explosion, skew bounded by the hottest key (salt upstream if a
-single key exceeds an executor).
+no pair explosion, skew bounded by the hottest key; pass ``salt=N`` to
+sub-partition a hot key's left rows with its right history replicated
+per sub-partition (see :func:`asof_join`).
 
 pandas.merge_asof runs the same sweep single-node; this is its
 shuffle-partitioned twin.
@@ -29,11 +30,31 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _fresh(base: str, taken) -> str:
+    """An internal column name guaranteed not to shadow a user column."""
+    name = base
+    while name in taken:
+        name = "_" + name
+    return name
+
+
+def _unorderable(dt) -> bool:
+    """True if a sort on this type would raise (MapType anywhere)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _unorderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_unorderable(f.dataType) for f in dt.fields)
+    return False
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
               right_time: str, right_cols: Optional[Sequence[str]] = None,
               direction: str = "backward",
               allow_exact_matches: bool = True,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof", salt: int = 1) -> DataFrame:
     """Left as-of join: every left row, plus the payload columns of the
     matching right row (NULL when no right row precedes/follows it).
 
@@ -42,15 +63,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
     last right row with ``right_time <= left_time`` (strict < when
     ``allow_exact_matches=False``), 'forward' the first with ``>=``.
     Ties between right rows at the same time are broken by the LAST one
-    in (time, payload) sort order — pre-aggregate the right side if a
-    different rule is needed. Time columns must be NUMERIC (cast
+    in (time, payload) sort order — a deterministic rule, which is why
+    payload columns must be ORDERABLE types (a MapType payload raises
+    up front with a clear error: drop it via ``right_cols`` or
+    pre-aggregate the right side). Time columns must be NUMERIC (cast
     timestamps to epoch micros/days first) so 'forward' can run as the
-    same sweep on the negated axis."""
+    same sweep on the negated axis.
+
+    ``salt``: the sweep's skew bound is the hottest key (one partition
+    sorts all of that key's rows). With ``salt=N`` each left row lands
+    in one of N sub-partitions of its key (deterministic xxhash64 of
+    its time) while the key's FULL right history is replicated into
+    every sub-partition, so each sweep sees all right rows but only
+    ~1/N of the hot left rows — same matches, same tie rule, partition
+    size |L_key|/N + |R_key|. The right trade: salting helps when the
+    LEFT side is hot (one user owning half the events) and right
+    history per key is modest (orders, price updates); a right side
+    hot enough to dominate the sort needs pre-aggregation instead
+    (it is replicated N times)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
     right_cols = list(right_cols if right_cols is not None else
                       [c for c in right.columns if c not in (on, right_time)])
     out_cols = [c if c not in left.columns else c + suffix for c in right_cols]
+    bad = [c for c in right_cols if _unorderable(right.schema[c].dataType)]
+    if bad:
+        raise ValueError(
+            f"asof_join payload columns {bad} have unorderable types "
+            f"(maps cannot participate in the deterministic tie order); "
+            f"exclude them via right_cols or pre-aggregate the right side")
+    taken = set(left.columns) | set(right.columns) | set(out_cols)
+    c_t = _fresh("_t", taken)
+    c_tag = _fresh("_tag", taken)
+    c_pay = _fresh("_pay", taken)
+    c_salt = _fresh("_salt", taken)
 
     # sign-flip makes 'forward' the same descending sweep as 'backward'
     sgn = 1 if direction == "backward" else -1
@@ -70,22 +118,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
                         for c, o in zip(right_cols, out_cols)])
     l = left.select(
         *left.columns,
-        (F.col(left_time) * sgn).alias("_t"),
-        F.lit(l_tag).alias("_tag"),
-        F.lit(None).cast(pay_t).alias("_pay"))
+        (F.col(left_time) * sgn).alias(c_t),
+        F.lit(l_tag).alias(c_tag),
+        F.lit(None).cast(pay_t).alias(c_pay))
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c != on else F.col(on) for c in left.columns],
-        (F.col(right_time) * sgn).alias("_t"),
-        F.lit(r_tag).alias("_tag"),
+        (F.col(right_time) * sgn).alias(c_t),
+        F.lit(r_tag).alias(c_tag),
         F.struct(*[F.col(c).alias(o)
-                   for c, o in zip(right_cols, out_cols)]).alias("_pay"))
+                   for c, o in zip(right_cols, out_cols)]).alias(c_pay))
 
-    w = (Window.partitionBy(on)
-         .orderBy("_t", "_tag", "_pay")
+    part_cols = [on]
+    if salt > 1:
+        # left rows: deterministic sub-partition by time hash; right
+        # rows: replicated into every sub-partition (1-row array
+        # explode — narrow, no shuffle of its own)
+        l = l.withColumn(c_salt, F.pmod(F.xxhash64(F.col(c_t)), F.lit(salt))
+                         .cast("int"))
+        r = r.withColumn(
+            c_salt, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        part_cols.append(c_salt)
+    else:
+        l = l.withColumn(c_salt, F.lit(0))
+        r = r.withColumn(c_salt, F.lit(0))
+
+    w = (Window.partitionBy(*part_cols)
+         .orderBy(c_t, c_tag, c_pay)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = (l.unionByName(r)
-              .withColumn("_pay", F.last("_pay", ignorenulls=True).over(w)))
-    return (filled.where(F.col("_tag") == l_tag)
+              .withColumn(c_pay, F.last(c_pay, ignorenulls=True).over(w)))
+    return (filled.where(F.col(c_tag) == l_tag)
             .select(*left.columns,
-                    *[F.col(f"_pay.`{o}`").alias(o) for o in out_cols]))
+                    *[F.col(f"`{c_pay}`.`{o}`").alias(o) for o in out_cols]))

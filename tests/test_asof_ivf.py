@@ -202,3 +202,58 @@ def test_kmeans_centroids_deterministic_across_runs(spark):
     a = kmeans_centroids(vecs, n_centroids=4, iters=2)
     b = kmeans_centroids(vecs, n_centroids=4, iters=2)
     assert a == b
+
+
+def test_asof_salted_matches_unsalted_on_hot_key(spark):
+    """Skew hardening (VERDICT r3 item 5): one user owns 50% of the
+    left events; salt=8 must return exactly the unsalted result while
+    splitting the hot key's sweep into sub-partitions."""
+    hot = [(1, t, f"h{t}") for t in range(0, 1000, 2)]       # 500 rows, key 1
+    cold = [(k, t * 10, f"c{k}_{t}") for k in range(2, 52)
+            for t in range(10)]                               # 50 keys x 10
+    left = spark.createDataFrame(hot + cold, "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k in range(1, 52)
+         for t in range(0, 1000, 97)], "k long, rt long, price long")
+    base = {r["tag"]: r["price"] for r in
+            asof_join(left, right, on="k", left_time="t",
+                      right_time="rt").collect()}
+    salted = {r["tag"]: r["price"] for r in
+              asof_join(left, right, on="k", left_time="t",
+                        right_time="rt", salt=8).collect()}
+    assert salted == base and len(base) == 1000
+    # forward + exclusive flavors stay correct under salt too
+    base_f = {r["tag"]: r["price"] for r in
+              asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        direction="forward",
+                        allow_exact_matches=False).collect()}
+    salted_f = {r["tag"]: r["price"] for r in
+                asof_join(left, right, on="k", left_time="t", right_time="rt",
+                          direction="forward", allow_exact_matches=False,
+                          salt=8).collect()}
+    assert salted_f == base_f
+
+
+def test_asof_map_payload_rejected_up_front(spark):
+    """A MapType payload cannot join the deterministic tie order; the
+    error must name the column and arrive BEFORE any job runs."""
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 5, {"a": 1})],
+                                  "k long, rt long, attrs map<string,long>")
+    with pytest.raises(ValueError, match="attrs.*unorderable"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt")
+
+
+def test_asof_internal_names_do_not_collide(spark):
+    """User columns named _t/_tag/_pay/_salt must survive untouched —
+    the sweep's internal columns uniquify themselves around them."""
+    left = spark.createDataFrame([(1, 10, "u", 5, 6, 7)],
+                                 "k long, t long, _tag string, _t long, "
+                                 "_pay long, _salt long")
+    right = spark.createDataFrame([(1, 5, 42)], "k long, rt long, price long")
+    got = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    salt=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["_tag"], r["_t"], r["_pay"], r["_salt"]) == ("u", 5, 6, 7)
+    assert r["price"] == 42
