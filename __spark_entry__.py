@@ -346,7 +346,13 @@ def _q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with_bbox: fused construction attaches native bbox columns, so the
     # join's big-side ensure_bbox skips its separate Box2D Python pass
     lines = lines_orders(spark, sf_dir, with_nulls=False, with_bbox=True)
-    joined = broadcast_bbox_join(lines, boxes_nation(spark, sf_dir))
+    # snapshot_small=False: this query is evaluated ONCE per run, so the
+    # snapshot's collect+recreate is pure fixed cost here (~0.1 s in the
+    # round-4 5×2 interleaved A/B, BASELINE.md); the snapshot default
+    # exists for results reused across actions, where it amortizes a
+    # 2-6 s per-action UDF re-broadcast
+    joined = broadcast_bbox_join(lines, boxes_nation(spark, sf_dir),
+                                 snapshot_small=False)
     return joined.groupBy(F.col("s.n_nationkey").alias("n_nationkey")).agg(
         F.count("*").alias("n_lines")).orderBy("n_nationkey")
 

@@ -88,7 +88,12 @@ def broadcast_bbox_join(big: DataFrame, small: DataFrame,
     measured ~2-6 s per action for a 25-row side — whereas the snapshot is
     UDF-free and broadcasts in ms. The collect is bounded: more than
     ``max_snapshot_rows`` rows raises instead of OOMing the driver (the
-    limit+1 fetch stops the scan early, it never pulls the full side)."""
+    limit+1 fetch stops the scan early, it never pulls the full side).
+    For a result evaluated exactly ONCE, pass ``snapshot_small=False``:
+    the collect+recreate is ~0.1 s of pure fixed cost in that case
+    (round-4 interleaved A/B, BASELINE.md spatial_join row) — default
+    True because reuse-across-actions is the common case and the trap
+    is silent."""
     b = ensure_bbox(big, geom_big).alias("b")
     s_df = ensure_bbox(small, geom_small)
     if snapshot_small:
