@@ -579,7 +579,14 @@ def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-out mapInPandas transform producing a fixed 16×16-byte payload via
     deterministic stub subsampling (step = len//256) or repetition
     padding — the real decoder drops in with the same schema/batch
-    shape. Output decoded to UTF-8 so the value-hash compares strings."""
+    shape. Output decoded to UTF-8 so the value-hash compares strings.
+
+    ASCII-fixture assumption: the stub subsamples BYTES while the DuckDB
+    oracle substr's CHARACTERS; these agree because the documents
+    fixture is pure ASCII (1 byte = 1 char). Non-ASCII payloads would
+    diverge (and byte-subsampled multibyte UTF-8 wouldn't decode) — see
+    operators/multimodal.resize_images for why byte granularity is the
+    honest stand-in for an opaque binary payload."""
     from datafusion_geo_spark.operators.multimodal import (resize_images,
                                                            to_media)
     r = resize_images(to_media(_docs(spark, sf_dir)))

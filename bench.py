@@ -39,6 +39,9 @@ def build_spark():
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # UTC-everywhere contract, pinned at session build (see
+        # sources/fixtures.py:_events_conf for the rationale).
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
 

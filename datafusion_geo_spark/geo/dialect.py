@@ -264,7 +264,10 @@ def _sniff(buf: bytes) -> str:
     SRID) — pass dialect='mysql' explicitly."""
     if len(buf) >= 2 and buf[:2] == _GPKG_MAGIC:
         return "geopackage"
-    if len(buf) >= 45 and buf[0] == _SL_START and buf[-1] == _SL_END \
+    # 48 = the same minimum from_spatialite enforces (header 39 + MBR-end
+    # + shortest WKB body); a shorter blob with matching framing bytes
+    # must fall through to the wkb path instead of failing in the codec.
+    if len(buf) >= 48 and buf[0] == _SL_START and buf[-1] == _SL_END \
             and buf[38] == _SL_MBR_END:
         return "spatialite"
     return "wkb"

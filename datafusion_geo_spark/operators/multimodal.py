@@ -99,7 +99,13 @@ def resize_images(media: DataFrame, width: int = 16, height: int = 16,
     shape (1 row in → 1 row out, new payload + dimension metadata).
     The stub 'resize' deterministically subsamples the payload to
     width*height bytes; a real implementation decodes with PIL, resizes,
-    re-encodes — same schema, same batch iteration."""
+    re-encodes — same schema, same batch iteration.
+
+    The stub slices BYTES (payloads are opaque binary — a real image is
+    not text, so byte granularity is the honest stand-in). Callers that
+    reinterpret the subsampled payload as text (the driver oracle
+    decodes it as UTF-8) rely on the input being single-byte-per-char
+    ASCII; byte-subsampled multibyte UTF-8 yields invalid sequences."""
     if real_decode:
         raise NotImplementedError(
             "real image resize needs PIL — not available in this container")

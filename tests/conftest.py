@@ -14,6 +14,10 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # UTC-everywhere contract: pin at session build so timestamp
+        # behavior never depends on which loader runs first (the events
+        # loader still re-pins defensively for driver-built sessions).
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     yield s
