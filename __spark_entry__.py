@@ -703,6 +703,98 @@ def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "split"))
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (operators.text.gopher_quality, Rae
+    et al. 2021 §A1.1): word-count bounds, mean-word-length band,
+    alphabetic-word ratio, distinct-stopword presence — all exact
+    scaled-integer built-ins, map-side only."""
+    from datafusion_geo_spark.operators.text import gopher_quality
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition metrics (operators.text.repetition_stats,
+    the Gopher repetition-removal family): duplicate word / bigram /
+    trigram fractions + keep verdict. Map-side built-ins only."""
+    from datafusion_geo_spark.operators.text import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (operators.text.pii_mask) over documents with
+    deterministic synthetic PII appended (the fixture itself carries
+    none): per-doc email + intl-phone, masked with typed placeholders,
+    match counts as audit columns. Regex syntax restricted to the
+    Java-regex ∩ RE2 subset so the oracle evaluates identically."""
+    from datafusion_geo_spark.operators.text import pii_mask
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"))
+    return pii_mask(docs)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators.sampling.
+    stratified_sample): exactly 10 docs per language, chosen by md5
+    order of doc_id — reproducible across engines, lowered by Spark to
+    a pre-shuffle WindowGroupLimit (no full per-stratum sort)."""
+    from datafusion_geo_spark.operators.sampling import stratified_sample
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", "doc_id", 10)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators.sampling.
+    pack_sequences): documents laid out on 16 hashed streams in doc_id
+    order, sliced every 512 tokens — each doc gets (bucket, seq_id,
+    seq_offset). One window shuffle; assignment is a pure function of
+    (doc_id, token count), which the oracle mirrors with the same
+    SUM() OVER window."""
+    from datafusion_geo_spark.operators.sampling import pack_sequences
+    from datafusion_geo_spark.operators.text import words_col
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"))
+    return (pack_sequences(docs, "n_tokens", budget=512, buckets=16)
+            .select("doc_id", "bucket", "seq_id", "seq_offset", "n_tokens"))
+
+
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators.range_join.
+    interval_join): per-part shipment windows [ship_day, ship_day +
+    linenumber] self-joined on overlap — bucketized equi-join on
+    (partkey, 8-day bucket) with first-covering-bucket dedup, never a
+    theta nested loop. Returns each overlapping pair once with its
+    overlap length in days."""
+    from datafusion_geo_spark.operators.range_join import interval_join
+    from datafusion_geo_spark.sources.fixtures import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.floor(
+        F.unix_timestamp(F.col("l_shipdate").cast("timestamp")) / 86400
+    ).cast("long")
+    iv = li.select(
+        "l_partkey",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        day.alias("lo"),
+        (day + F.col("l_linenumber")).alias("hi"))
+    a = iv.select("l_partkey", F.col("id").alias("a_id"),
+                  F.col("lo").alias("a_lo"), F.col("hi").alias("a_hi"))
+    b = iv.select("l_partkey", F.col("id").alias("b_id"),
+                  F.col("lo").alias("b_lo"), F.col("hi").alias("b_hi"))
+    j = interval_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+                      bucket=8.0, keys=["l_partkey"])
+    return (j.where(F.col("a_id") < F.col("b_id"))
+            .select("l_partkey", "a_id", "b_id",
+                    (F.least("a_hi", "b_hi")
+                     - F.greatest("a_lo", "b_lo")).alias("overlap_days")))
+
+
 def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from pairwise matches: MinHash-LSH pairs →
     distributed min-label propagation (operators.dedup.
@@ -856,6 +948,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_tag_events": _q_range_tag_events,
         "hash_split": _q_hash_split,
+        "gopher_quality": _q_gopher_quality,
+        "repetition_filter": _q_repetition_filter,
+        "pii_mask": _q_pii_mask,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "interval_overlap": _q_interval_overlap,
     }
 
 
@@ -876,6 +974,11 @@ _CORPUS = """
 
 _WORDS = "string_split_regex(trim(text), '\\s+')"
 _H64 = "('0x' || substr(md5({arg}), 1, 8))::BIGINT"
+
+# ONE definition (operators/text.py) so the oracle regex can never drift
+# from the operator's
+from datafusion_geo_spark.operators.text import EMAIL_RE as _EMAIL_RE
+from datafusion_geo_spark.operators.text import PHONE_RE as _PHONE_RE
 
 
 def _minhash_oracle() -> str:
@@ -1577,6 +1680,121 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                              ::BIGINT AS h
                   FROM documents)
+        """,
+        # mirrors _q_gopher_quality: same scaled-integer ratio math as
+        # text_stats (see _ratio6)
+        "gopher_quality": f"""
+            SELECT doc_id, n::INT AS n_words,
+                   mean6 AS mean_word_len,
+                   alpha6 AS alpha_ratio,
+                   dstops::INT AS distinct_stops,
+                   (n BETWEEN 50 AND 100000
+                    AND mean6 >= 3.0 AND mean6 <= 10.0
+                    AND alpha6 >= 0.8 AND dstops >= 2) AS keep
+            FROM (
+              SELECT doc_id, n,
+                     ((2000000*nchars + n) // (2*n)) / 1000000.0 AS mean6,
+                     ((2000000*alpha + n) // (2*n)) / 1000000.0 AS alpha6,
+                     dstops
+              FROM (
+                SELECT doc_id, len(w)::BIGINT AS n,
+                       length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT
+                           AS nchars,
+                       len(list_filter(w,
+                           x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                           AS alpha,
+                       len(list_distinct(list_filter(w,
+                           x -> x IN ({_stop_list()}))))::BIGINT AS dstops
+                FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents)))
+        """,
+        "repetition_filter": f"""
+            SELECT doc_id, n::INT AS n_words,
+                   CASE WHEN n > 0 THEN
+                     ((2000000*(n - dw) + n) // (2*n)) / 1000000.0
+                   ELSE 0.0 END AS dup_word_ratio,
+                   CASE WHEN n2 > 0 THEN
+                     ((2000000*(n2 - d2) + n2) // (2*n2)) / 1000000.0
+                   ELSE 0.0 END AS dup_bigram_ratio,
+                   CASE WHEN n3 > 0 THEN
+                     ((2000000*(n3 - d3) + n3) // (2*n3)) / 1000000.0
+                   ELSE 0.0 END AS dup_trigram_ratio,
+                   (CASE WHEN n3 > 0 THEN
+                     ((2000000*(n3 - d3) + n3) // (2*n3)) / 1000000.0
+                   ELSE 0.0 END) <= 0.5 AS keep
+            FROM (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n,
+                     len(list_distinct(w))::BIGINT AS dw,
+                     len(g2)::BIGINT AS n2,
+                     len(list_distinct(g2))::BIGINT AS d2,
+                     len(g3)::BIGINT AS n3,
+                     len(list_distinct(g3))::BIGINT AS d3
+              FROM (
+                SELECT doc_id, w,
+                       list_transform(generate_series(1, len(w)-1),
+                           i -> w[i] || ' ' || w[i+1]) AS g2,
+                       list_transform(generate_series(1, len(w)-2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+                FROM (SELECT doc_id, {_WORDS} AS w FROM documents)))
+        """,
+        # mirrors _q_pii_mask: identical injected PII, identical regexes
+        # (Java-regex ∩ RE2 subset, operators/text.py EMAIL_RE/PHONE_RE)
+        "pii_mask": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example or +1 (555) 010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_PHONE_RE}', '<PHONE>', 'g') AS masked_text,
+                   len(regexp_extract_all(text, '{_EMAIL_RE}'))::INT
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{_PHONE_RE}'))::INT
+                       AS n_phones
+            FROM d
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         AS rn
+              FROM documents) WHERE rn <= 10
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ({_H64.format(arg="CAST(doc_id AS VARCHAR)")} % 16)
+                         AS bucket,
+                     len({_WORDS})::BIGINT AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, bucket, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+                         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS st
+              FROM t)
+            SELECT doc_id, bucket::INT AS bucket, (st // 512) AS seq_id,
+                   (st % 512)::INT AS seq_offset, n_tokens
+            FROM s
+        """,
+        "interval_overlap": """
+            WITH iv AS (
+              SELECT l_partkey, l_orderkey*8 + l_linenumber AS id,
+                     epoch(l_shipdate)::BIGINT // 86400 AS lo,
+                     epoch(l_shipdate)::BIGINT // 86400 + l_linenumber
+                         AS hi
+              FROM lineitem)
+            SELECT a.l_partkey, a.id AS a_id, b.id AS b_id,
+                   (LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo))
+                       AS overlap_days
+            FROM iv a JOIN iv b
+              ON a.l_partkey = b.l_partkey AND a.id < b.id
+             AND a.lo <= b.hi AND b.lo <= a.hi
         """,
         "asof_join": """
             WITH e AS (SELECT event_id, user_id, day(ts)::BIGINT AS ed

@@ -59,3 +59,59 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     hi_ok = (F.col(point_col) <= F.col(hi_col)) if closed in ("both", "right") \
         else (F.col(point_col) < F.col(hi_col))
     return p.join(iv, "_rb").where(lo_ok & hi_ok).drop("_rb")
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  lo_left: str, hi_left: str, lo_right: str, hi_right: str,
+                  bucket: float, keys: list = None,
+                  max_fanout: int = 100_000) -> DataFrame:
+    """Interval×interval overlap join ([a_lo,a_hi] ∩ [b_lo,b_hi] ≠ ∅,
+    closed bounds): the big×big sibling of ``range_join``, same shape as
+    the 2-D grid spatial join collapsed to one axis. Each side
+    replicates its interval into every covering bucket (fan-out bounded
+    by width/bucket + 1, guarded by ``max_fanout``), the join is a
+    shuffle equi-join on (*keys, bucket), and the exact overlap
+    predicate refines above it.
+
+    De-dup without a shuffle: an overlapping pair shares every bucket in
+    the overlap region — the join keeps only the FIRST one, the bucket
+    containing max(a_lo, b_lo), so each pair emerges exactly once (the
+    same first-covering-cell trick the grid join uses, spatial_join.py).
+
+    ``keys``: equi-key columns present on BOTH sides (e.g. part key for
+    per-part shipment-window overlap). With keys, bucketing bounds the
+    per-key theta-join; without, it's what makes big×big feasible at
+    all. Inverted intervals (lo > hi) and null bounds never match.
+    Column collisions are the caller's to resolve (alias before
+    joining), exactly as with DataFrame.join."""
+    keys = list(keys or [])
+    lcols, rcols = set(left.columns), set(right.columns)
+    clash = (lcols & rcols) - set(keys)
+    if clash:
+        raise ValueError(
+            f"interval_join: columns {sorted(clash)} exist on both sides; "
+            f"rename/alias one side first (join keys {keys} are exempt)")
+
+    def replicate(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        b_lo = F.floor(F.col(lo) / bucket).cast("long")
+        b_hi = F.floor(F.col(hi) / bucket).cast("long")
+        seq = F.when(
+            b_hi - b_lo < F.lit(int(max_fanout)), F.sequence(b_lo, b_hi)
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"interval_join: interval spans more than {max_fanout} "
+                  f"buckets (bucket={bucket}): ["),
+            F.col(lo).cast("string"), F.lit(", "),
+            F.col(hi).cast("string"),
+            F.lit("] — raise `bucket` or split the interval"))))
+        return (df.where(F.col(lo) <= F.col(hi))
+                .withColumn("_ib", F.explode(seq)))
+
+    l = replicate(left, lo_left, hi_left)
+    r = replicate(right, lo_right, hi_right)
+    overlap = ((F.col(lo_left) <= F.col(hi_right))
+               & (F.col(lo_right) <= F.col(hi_left)))
+    first_bucket = (F.col("_ib") == F.floor(
+        F.greatest(F.col(lo_left), F.col(lo_right)) / bucket).cast("long"))
+    return (l.join(r, keys + ["_ib"])
+            .where(overlap & first_bucket)
+            .drop("_ib"))

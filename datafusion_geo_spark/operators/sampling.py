@@ -61,3 +61,71 @@ def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFr
     between same-key samples stay aligned, unlike df.sample)."""
     keep = int(round(fraction * HASH_BUCKETS))
     return df.where(hash_bucket(F.col(key_col)) < keep)
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
+                      n_per_stratum: int) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen and ORDERED by
+    the md5 hex of the key (ties broken by the key itself) — a
+    deterministic "uniform" draw that every engine reproduces, unlike
+    df.sampleBy's seeded-RNG approximation which guarantees neither
+    exact counts nor cross-engine agreement.
+
+    Scale: one shuffle on the stratum key; Spark lowers the
+    rank-then-filter to a per-partition top-n (WindowGroupLimit pushes
+    the limit below the exchange), so no stratum is ever fully sorted —
+    the map side keeps only n rows per stratum per partition. Stratum
+    skew is bounded by n, not by |stratum|."""
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    from pyspark.sql import Window
+    order = F.md5(F.col(key_col).cast("string"))
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(order.asc(), F.col(key_col).asc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n_per_stratum)
+            .drop("_rn"))
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   key_col: str = "doc_id", buckets: int = 64,
+                   bucket_col: str = None) -> DataFrame:
+    """Assign each document a (bucket, seq_id, offset) for fixed-budget
+    sequence packing: within a bucket, documents are laid out in key
+    order on one conceptual token stream and the stream is sliced every
+    ``budget`` tokens — the "concat then chunk" packing used for LLM
+    pretraining batches. ``seq_id`` = which slice this document STARTS
+    in; ``seq_offset`` = its start position inside that slice. Documents
+    may straddle a boundary (the consumer splits or pads); a bucket's
+    sequences are exactly full except the last.
+
+    Why not greedy first-fit bin packing: that needs a sequential reset
+    accumulator (order-dependent, not a window function), serializes per
+    bucket, and buys little — straddling is how Megatron/GPT-style
+    loaders actually pack. This form is ONE window shuffle over
+    ``buckets``-way hashed groups (bucket size ~ corpus/buckets — pick
+    buckets so a bucket's rows fit one task), all built-ins, and every
+    assignment is a pure function of (key, tokens) — the oracle mirrors
+    it with the same SUM() OVER window.
+
+    ``bucket_col``: group by an existing column (e.g. a curriculum or
+    domain label) instead of the hash bucket."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+    if bucket_col is None:
+        # derived hash bucket: compact int output column
+        df = df.withColumn("_pb", hash_bucket(F.col(key_col), buckets))
+        bucket_col, bucket_out = "_pb", F.col("_pb").cast("int")
+    else:
+        # caller's grouping column: keep its type as-is
+        bucket_out = F.col(bucket_col)
+    w = (Window.partitionBy(bucket_col).orderBy(F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(F.col(token_col)).over(w),
+                       F.lit(0)).cast("long")
+    return (df
+            .withColumn("bucket", bucket_out)
+            .withColumn("seq_id", F.floor(start / budget).cast("long"))
+            .withColumn("seq_offset", (start % budget).cast("int"))
+            .drop("_pb"))

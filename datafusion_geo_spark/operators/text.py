@@ -149,3 +149,113 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         md5_64.alias("fp_md5"),
         minword.alias("fp_minword"),
     )
+
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — public
+# paper). Thresholds are the published ones where the fixture can
+# exercise them; all math is the exact scaled-integer arithmetic used
+# throughout this module so the DuckDB oracle is bit-identical.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8     # frac of words containing >=1 letter
+GOPHER_MIN_DISTINCT_STOPS = 2    # distinct stopword hits required
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rule document filter: word-count bounds, mean word length
+    band, alphabetic-word ratio, and distinct-stopword presence, plus
+    the combined ``keep`` verdict. Pure built-ins (one map-side project,
+    no shuffle): at 100 TB this is a free rider on the scan."""
+    w = words_col(F.col(text_col))
+    n_words = F.size(w).cast("long")
+    n_chars_nospace = F.length(
+        F.regexp_replace(F.col(text_col), r"\s+", "")).cast("long")
+    mean_len = _ratio6(n_chars_nospace, n_words)
+    alpha_words = F.size(
+        F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    alpha_ratio = _ratio6(alpha_words, n_words)
+    distinct_stops = F.size(F.array_distinct(
+        F.filter(w, lambda x: x.isin(*STOPWORDS)))).cast("long")
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+            & (distinct_stops >= GOPHER_MIN_DISTINCT_STOPS))
+    return df.select(
+        id_col,
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_stops.cast("int").alias("distinct_stops"),
+        keep.alias("keep"),
+    )
+
+
+def _ngrams(w: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc has
+    fewer than n words (guard: Spark's sequence(1, 0) would DESCEND)."""
+    if n == 1:
+        return w
+    k = F.size(w) - F.lit(n - 1)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + F.lit(j)) for j in range(n)])
+    return F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), gram)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dup_trigram_ratio: float = 0.5) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText
+    repetition-removal family): fraction of duplicate words, bigrams and
+    trigrams (1 − distinct/total, exact scaled-integer rounding), plus a
+    ``keep`` verdict on the trigram ratio. Map-side only — no shuffle."""
+    w = words_col(F.col(text_col))
+
+    def dup_ratio(grams: Column) -> Column:
+        n = F.size(grams).cast("long")
+        dst = F.size(F.array_distinct(grams)).cast("long")
+        return F.when(n > 0, _ratio6(n - dst, n)).otherwise(F.lit(0.0))
+
+    dup_w = dup_ratio(w)
+    dup_2 = dup_ratio(_ngrams(w, 2))
+    dup_3 = dup_ratio(_ngrams(w, 3))
+    return df.select(
+        id_col,
+        F.size(w).alias("n_words"),
+        dup_w.alias("dup_word_ratio"),
+        dup_2.alias("dup_bigram_ratio"),
+        dup_3.alias("dup_trigram_ratio"),
+        (dup_3 <= F.lit(max_dup_trigram_ratio)).alias("keep"),
+    )
+
+
+# PII masking: pattern syntax restricted to what Java regex (Spark) and
+# RE2 (DuckDB) evaluate identically — char classes, bounded repeats, no
+# backrefs/lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_mask(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Mask emails and international-format phone numbers with typed
+    placeholders; report per-doc match counts (audit columns a redaction
+    pipeline logs). Map-side regexp built-ins — no shuffle, no UDF.
+    Counts are computed BEFORE masking; emails are masked first so a
+    digit-bearing local-part is not half-eaten by the phone pass."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    masked = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return df.select(
+        id_col,
+        masked.alias("masked_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
