@@ -219,6 +219,30 @@ def _q_geojson_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geojson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_GeomFromGeoJSON (PostGIS-parity extension — the reference only
+    serializes GeoJSON, as_geojson.rs:88-110): build Point and
+    LineString GeoJSON text from lineitem ints, parse to WKB, emit
+    canonical WKT. The oracle constructs the expected WKT directly from
+    the same integers."""
+    from datafusion_geo_spark.functions import st_astext, st_geomfromgeojson
+    from datafusion_geo_spark.sources.fixtures import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (F.col("l_orderkey") % 1000).cast("string")
+    b = (F.col("l_partkey") % 1000).cast("string")
+    c = (F.col("l_partkey") % 997).cast("string")
+    js_point = F.when(F.col("l_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.concat(F.lit('{"type":"Point","coordinates":['), a, F.lit(","),
+                 b, F.lit("]}")))
+    js_line = F.concat(
+        F.lit('{"type":"LineString","coordinates":[['), a, F.lit(","),
+        b, F.lit("],["), c, F.lit(",0]]}"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        st_astext(st_geomfromgeojson(js_point)).alias("wkt_point"),
+        st_astext(st_geomfromgeojson(js_line)).alias("wkt_line"))
+
+
 def _q_geometry_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#6 ST_GeometryType over a point ∪ linestring union."""
     from datafusion_geo_spark.functions import st_geometrytype
@@ -912,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkb_roundtrip": _q_wkb_roundtrip,
         "srid_ewkt": _q_srid_ewkt,
         "geojson_points": _q_geojson_points,
+        "geojson_parse": _q_geojson_parse,
         "geometry_type": _q_geometry_type,
         "buffer_bbox": _q_buffer_bbox,
         "buffer_lines": _q_buffer_lines,
@@ -1230,6 +1255,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '{"type":"Point","coordinates":[' ||
                              CAST(l_orderkey % 1000 AS VARCHAR) || ',' ||
                              CAST(l_partkey % 1000 AS VARCHAR) || ']}' END AS geojson
+            FROM lineitem
+        """,
+        "geojson_parse": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE 'POINT(' || CAST(l_orderkey % 1000 AS VARCHAR)
+                             || ' ' || CAST(l_partkey % 1000 AS VARCHAR)
+                             || ')' END AS wkt_point,
+                   'LINESTRING(' || CAST(l_orderkey % 1000 AS VARCHAR)
+                       || ' ' || CAST(l_partkey % 1000 AS VARCHAR) || ','
+                       || CAST(l_partkey % 997 AS VARCHAR) || ' 0)'
+                       AS wkt_line
             FROM lineitem
         """,
         "geometry_type": """

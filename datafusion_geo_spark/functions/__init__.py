@@ -127,6 +127,7 @@ def _u_variadic(kernel, rtype, name):
 
 _geom_from_text1 = _u1(kernels.geom_from_text, BinaryType())
 _geom_from_text2 = _u2(kernels.geom_from_text, BinaryType())
+_geom_from_geojson = _u1(kernels.geom_from_geojson, BinaryType())
 _geom_from_wkb1 = _u1(kernels.geom_from_wkb, BinaryType())
 _geom_from_wkb2 = _u2(kernels.geom_from_wkb, BinaryType())
 _geom_from_wkb_dialect = _u2(kernels.geom_from_wkb_dialect, BinaryType())
@@ -160,6 +161,14 @@ def st_geomfromtext(wkt: Union[Column, str], srid: Optional[Union[Column, int]] 
     if srid is None:
         return _geom_from_text1(c)
     return _geom_from_text2(c, _num(srid, "int"))
+
+
+def st_geomfromgeojson(geojson: Union[Column, str]) -> Column:
+    """PostGIS-parity ST_GeomFromGeoJSON: GeoJSON geometry text → (E)WKB
+    (geo/geojson.py). Inverse of st_asgeojson; the reference only
+    serializes (/root/reference/src/function/as_geojson.rs:88-110)."""
+    c = geojson if isinstance(geojson, Column) else F.lit(geojson)
+    return _geom_from_geojson(c)
 
 
 def st_geomfromwkb(wkb: Column, srid: Optional[Union[Column, int]] = None,
@@ -375,6 +384,7 @@ _SQL_UDFS = {
                                   "geom_from_wkb"),
     "ST_GeomFromWKBSRID": _geom_from_wkb2,
     "ST_GeomFromWKBDialect": _geom_from_wkb_dialect,
+    "ST_GeomFromGeoJSON": _geom_from_geojson,
     "ST_AsText": _as_text,
     "ST_AsEWKT": _as_ewkt,
     "ST_AsGeoJSON": _as_geojson,
@@ -421,7 +431,8 @@ def register_all(spark: SparkSession) -> None:
 
 __all__ = [
     "geom_lit", "register_all", "BOX2D_TYPE",
-    "st_geomfromtext", "st_geomfromwkb", "st_astext", "st_asewkt",
+    "st_geomfromtext", "st_geomfromwkb", "st_geomfromgeojson",
+    "st_astext", "st_asewkt",
     "st_asgeojson", "st_geometrytype", "box2d", "st_makeenvelope",
     "st_intersects", "st_covers", "st_coveredby", "st_equals",
     "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",

@@ -183,6 +183,27 @@ def _fast_lines_from_text(s: pd.Series) -> Optional[pd.Series]:
     return _obj_series(vector.encode_uniform_lines(coords, valid=~isnull))
 
 
+def geom_from_geojson(s: pd.Series) -> pd.Series:
+    """GeoJSON text -> (E)WKB — PostGIS-parity ST_GeomFromGeoJSON; the
+    inverse of as_geojson (the reference only serializes,
+    /root/reference/src/function/as_geojson.rs:88-110). A legacy ``crs``
+    EPSG member becomes the SRID (EWKB). Repeated strings within a batch
+    (dimension tables, literal fan-out) hit the per-batch cache."""
+    from ..geo.geojson import from_geojson
+    out = []
+    cache: dict = {}
+    for v in s.tolist():
+        if v is None:
+            out.append(None)
+            continue
+        b = cache.get(v)
+        if b is None:
+            b = to_wkb(from_geojson(v))
+            cache[v] = b
+        out.append(b)
+    return _obj_series(out)
+
+
 def geom_from_wkb(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
     """WKB -> validated (E)WKB, optionally stamping an SRID. Mirrors
     ST_GeomFromWKB (/root/reference/src/function/geom_from_wkb.rs:50-76).

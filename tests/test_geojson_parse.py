@@ -1,0 +1,113 @@
+"""ST_GeomFromGeoJSON: parser unit tests, serializer-inverse property,
+and the Spark column/SQL surface."""
+
+import sys
+
+import pytest
+from hypothesis import given, settings
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_geo_spark.geo.geojson import from_geojson
+from datafusion_geo_spark.geo.wkt import from_wkt, to_wkt
+
+
+def test_basic_types():
+    cases = [
+        ('{"type":"Point","coordinates":[1,2]}', "POINT(1 2)"),
+        ('{"type":"Point","coordinates":[]}', "POINT EMPTY"),
+        ('{"type":"LineString","coordinates":[[0,0],[3,4]]}',
+         "LINESTRING(0 0,3 4)"),
+        ('{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}',
+         "POLYGON((0 0,4 0,4 4,0 4,0 0))"),
+        ('{"type":"MultiPoint","coordinates":[[1,1],[2,2]]}',
+         "MULTIPOINT(1 1,2 2)"),
+        ('{"type":"GeometryCollection","geometries":['
+         '{"type":"Point","coordinates":[5,6]}]}',
+         "GEOMETRYCOLLECTION(POINT(5 6))"),
+        ('{"type":"GeometryCollection","geometries":[]}',
+         "GEOMETRYCOLLECTION EMPTY"),
+    ]
+    for js, wkt in cases:
+        assert to_wkt(from_geojson(js)) == to_wkt(from_wkt(wkt)), js
+
+
+def test_elevation_dropped_and_ring_closed():
+    g = from_geojson('{"type":"LineString","coordinates":[[0,0,7],[1,1,8]]}')
+    assert to_wkt(g) == "LINESTRING(0 0,1 1)"
+    g = from_geojson(
+        '{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4]]]}')
+    assert to_wkt(g) == "POLYGON((0 0,4 0,4 4,0 0))"  # auto-closed
+
+
+def test_crs_srid():
+    g = from_geojson(
+        '{"type":"Point","coordinates":[1,2],"crs":{"type":"name",'
+        '"properties":{"name":"EPSG:4326"}}}')
+    assert g.srid == 4326
+    g = from_geojson(
+        '{"type":"Point","coordinates":[1,2],"crs":{"type":"name",'
+        '"properties":{"name":"urn:ogc:def:crs:EPSG::3857"}}}')
+    assert g.srid == 3857
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ('{"type":"Feature","geometry":null}', "not a geometry"),
+    ('{"type":"FeatureCollection","features":[]}', "not a geometry"),
+    ('{"type":"Pointy","coordinates":[1,2]}', "unknown"),
+    ('{"type":"Point"}', "coordinates"),
+    ('{"type":"Point","coordinates":[1]}', "position"),
+    ('{"type":"Point","coordinates":[true,false]}', "position"),
+    ('{"type":"GeometryCollection"}', "geometries"),
+    ('not json', "invalid GeoJSON"),
+    ('{"type":"Point","coordinates":[1,2],"crs":{"type":"name",'
+     '"properties":{"name":"weird"}}}', "unsupported GeoJSON crs"),
+])
+def test_rejects(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        from_geojson(bad)
+
+
+def test_inverse_of_serializer_property():
+    from tests.test_property_dialect_asof import any_geom
+    from datafusion_geo_spark.functions.kernels import _geojson
+
+    @given(any_geom)
+    @settings(max_examples=200, deadline=None)
+    def roundtrip(g):
+        assert to_wkt(from_geojson(_geojson(g))) == to_wkt(g)
+
+    roundtrip()
+
+
+def test_spark_column_and_sql(spark):
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark import register_all
+    from datafusion_geo_spark.functions import (st_asgeojson, st_astext,
+                                                st_geomfromgeojson, st_srid)
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, '{"type":"Point","coordinates":[10,20]}'),
+         (2, '{"type":"LineString","coordinates":[[0,0],[5,5]]}'),
+         (3, None)],
+        "id long, js string")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        st_astext(st_geomfromgeojson(F.col("js"))).alias("wkt"),
+        st_asgeojson(st_geomfromgeojson(F.col("js"))).alias("js2"),
+    ).collect()}
+    assert out[1]["wkt"] == "POINT(10 20)"
+    assert out[2]["wkt"] == "LINESTRING(0 0,5 5)"
+    assert out[1]["js2"] == '{"type":"Point","coordinates":[10,20]}'
+    assert out[3]["wkt"] is None
+
+    row = spark.sql(
+        "SELECT ST_AsText(ST_GeomFromGeoJSON("
+        "'{\"type\":\"Point\",\"coordinates\":[3,4]}')) AS w").collect()[0]
+    assert row["w"] == "POINT(3 4)"
+
+    srid = df.where("id = 1").select(st_srid(st_geomfromgeojson(F.concat(
+        F.lit('{"type":"Point","coordinates":[1,2],"crs":{"type":"name",'
+              '"properties":{"name":"EPSG:'),
+        F.lit("4326"), F.lit('"}}}')))).alias("s")).collect()[0]
+    assert srid["s"] == 4326

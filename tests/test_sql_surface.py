@@ -43,6 +43,12 @@ GOLDENS = [
     # geom_from_wkb.rs:103-114
     ("select ST_AsText(ST_GeomFromWKB(x'0101000000cb49287d21c451c0f0bf95ecd8244540')) v",
      "POINT(-71.064544 42.28787)"),
+    # ST_GeomFromGeoJSON: beyond-ref (the reference only serializes,
+    # as_geojson.rs:88-110); golden mirrors the serializer's canonical form
+    ("""select ST_AsText(ST_GeomFromGeoJSON('{"type":"Point","coordinates":[-71.064544,42.28787]}')) v""",
+     "POINT(-71.064544 42.28787)"),
+    ("""select ST_AsGeoJSON(ST_GeomFromGeoJSON('{"type":"LineString","coordinates":[[0,0],[5,5]]}')) v""",
+     '{"type":"LineString","coordinates":[[0,0],[5,5]]}'),
     # geom_from_wkb.rs:125-134
     ("select ST_AsEWKT(ST_GeomFromWKB(x'0101000000cb49287d21c451c0f0bf95ecd8244540', 4269)) v",
      "SRID=4269;POINT(-71.064544 42.28787)"),
