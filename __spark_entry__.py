@@ -789,6 +789,31 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "seq_id", "seq_offset", "n_tokens"))
 
 
+def _q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: doc counts, char/token totals,
+    length min/max/mean/median, language breadth — the rollup a curation
+    run publishes per snapshot. One partial+final hash aggregate; sums
+    and averages stay in exact int64 (deterministic across engines).
+    The median is Spark's exact `percentile` to match the DuckDB oracle
+    bit-for-bit (quantile_cont); it buffers one group's values, so the
+    100 TB deployment swaps in approx_percentile — same plan shape,
+    bounded state."""
+    from datafusion_geo_spark.operators.text import words_col
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(words_col(F.col("text"))).cast("long")
+    return (docs
+            .select("source", "lang", "n_chars", n_tokens.alias("n_tokens"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.expr("percentile(n_chars, 0.5)").alias("med_chars"),
+                 F.avg("n_chars").alias("avg_chars"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
 def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join (operators.range_join.
     interval_join): per-part shipment windows [ship_day, ship_day +
@@ -923,6 +948,30 @@ def _q_geo_parquet_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "k"))
 
 
+def _q_geojsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON-lines sink + source round-trip (sources.geoio): write the
+    order-lines fixture as RFC 7946 Feature lines (geometry via
+    ST_AsGeoJSON, keys in properties), read it back through the
+    get_json_object → ST_GeomFromGeoJSON path with a typed properties
+    schema, and emit canonical WKT. The oracle reconstructs the same WKT
+    arithmetically from the key (slope-1 segment (k,k+1)→(k+4,k+5));
+    NULL geometries round-trip as "geometry":null."""
+    import os
+    from datafusion_geo_spark.functions import st_astext
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    from datafusion_geo_spark.sources.geoio import (read_geojsonl,
+                                                    write_geojsonl)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "geojsonl", tag)
+    src = lines_orders(spark, sf_dir).select("o_orderkey", "k", "geom")
+    write_geojsonl(src, path)
+    back = read_geojsonl(spark, path,
+                         properties_schema="o_orderkey long, k long")
+    return back.select("o_orderkey", "k",
+                       st_astext(F.col("geom")).alias("wkt_out"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wkt_roundtrip_points": _q_wkt_roundtrip_points,
@@ -979,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "interval_overlap": _q_interval_overlap,
+        "dataset_stats": _q_dataset_stats,
+        "geojsonl_roundtrip": _q_geojsonl_roundtrip,
     }
 
 
@@ -1130,6 +1181,13 @@ def _simhash_oracle() -> str:
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
+
+
+def _lines_wkt_sql() -> str:
+    """DuckDB expression for the lines_orders WKT (single shared
+    definition, fixtures.LINES_ORDERS_WKT_SQL)."""
+    from datafusion_geo_spark.sources.fixtures import LINES_ORDERS_WKT_SQL
+    return LINES_ORDERS_WKT_SQL
 
 
 def _stop_list() -> str:
@@ -1819,6 +1877,21 @@ def oracle_sql() -> dict[str, str]:
                    (st % 512)::INT AS seq_offset, n_tokens
             FROM s
         """,
+        "dataset_stats": f"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars)::BIGINT AS total_chars,
+                   MIN(n_chars) AS min_chars,
+                   MAX(n_chars) AS max_chars,
+                   quantile_cont(n_chars, 0.5) AS med_chars,
+                   AVG(n_chars) AS avg_chars,
+                   SUM(n_tokens)::BIGINT AS total_tokens,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM (SELECT source, lang, n_chars,
+                         len({_WORDS})::BIGINT AS n_tokens
+                  FROM documents)
+            GROUP BY source
+        """,
         "interval_overlap": """
             WITH iv AS (
               SELECT l_partkey, l_orderkey*8 + l_linenumber AS id,
@@ -1852,5 +1925,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 7 <> 0
               AND o_orderkey % 1000 BETWEEN 96 AND 139
+        """,
+        # mirrors _q_geojsonl_roundtrip: the sink/source must be an exact
+        # identity on the lines_orders fixture (fixtures.py generator)
+        "geojsonl_roundtrip": f"""
+            SELECT o_orderkey, k,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE {_lines_wkt_sql()} END AS wkt_out
+            FROM (SELECT o_orderkey, o_orderkey % 1000 AS k FROM orders)
         """,
     }

@@ -137,3 +137,56 @@ def read_geo_parquet(spark: SparkSession, path: str,
             (F.col("xmin") <= xmax) & (F.col("xmax") >= xmin)
             & (F.col("ymin") <= ymax) & (F.col("ymax") >= ymin))
     return pruned
+
+
+def read_geojsonl(spark: SparkSession, path: str, geom_col: str = "geom",
+                  properties_schema: Optional[str] = None) -> DataFrame:
+    """Newline-delimited GeoJSON source: each line is an RFC 7946
+    Feature (or a bare geometry object). The geometry member is
+    extracted JVM-side (``get_json_object`` — no Python until the
+    single parse kernel) and decoded to canonical (E)WKB via
+    ST_GeomFromGeoJSON; a Feature's ``properties`` object rides along
+    as a JSON string, or — with ``properties_schema`` (a DDL string,
+    e.g. ``"name string, pop long"``) — is expanded into typed columns
+    via the native ``from_json``.
+
+    Scale: spark.read.text splits large files by line ranges, both JSON
+    extractions and from_json are WholeStageCodegen expressions, and the
+    one pandas-UDF crossing is the same Arrow-batched kernel every other
+    ingest path uses. A Feature with ``"geometry": null`` yields a NULL
+    geometry row (kept — the caller decides); a malformed geometry
+    raises loudly in the kernel (eager validation, builder.rs:97-110)."""
+    from ..functions import st_geomfromgeojson
+    t = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    v = F.col("value")
+    is_feature = F.get_json_object(v, "$.type") == "Feature"
+    geo_src = F.when(is_feature, F.get_json_object(v, "$.geometry")) \
+               .otherwise(v)
+    out = t.select(
+        st_geomfromgeojson(geo_src).alias(geom_col),
+        F.get_json_object(v, "$.properties").alias("properties_json"))
+    if properties_schema is not None:
+        props = F.from_json(F.col("properties_json"), properties_schema)
+        out = out.select(geom_col, "properties_json", props.alias("_p")) \
+                 .select(geom_col, "_p.*")
+    return out
+
+
+def write_geojsonl(df: DataFrame, path: str, geom_col: str = "geom",
+                   mode: str = "overwrite") -> None:
+    """Newline-delimited GeoJSON sink: every row becomes one Feature
+    line — geometry via ST_AsGeoJSON, every other column packed into
+    ``properties`` with the native ``to_json(struct(...))``. NULL
+    geometries serialize as ``"geometry":null`` (valid per RFC 7946).
+    All string assembly is JVM expressions; the write parallelism is the
+    frame's partitioning (one part-file per task, same as any text
+    sink)."""
+    from ..functions import st_asgeojson
+    prop_cols = [c for c in df.columns if c != geom_col]
+    props = (F.to_json(F.struct(*[F.col(c) for c in prop_cols]))
+             if prop_cols else F.lit("{}"))
+    line = F.concat(
+        F.lit('{"type":"Feature","geometry":'),
+        F.coalesce(st_asgeojson(F.col(geom_col)), F.lit("null")),
+        F.lit(',"properties":'), props, F.lit("}"))
+    df.select(line.alias("value")).write.mode(mode).text(path)

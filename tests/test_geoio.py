@@ -64,3 +64,45 @@ def test_spatial_partitioned_write_and_pruned_read(spark):
     assert ids == expected
     # pruning really skipped partitions: fewer input rows than full scan
     assert pruned.count() < 200
+
+
+def test_geojsonl_roundtrip(spark):
+    from datafusion_geo_spark.sources.geoio import (read_geojsonl,
+                                                    write_geojsonl)
+    from datafusion_geo_spark.functions import st_geomfromtext
+    path = os.path.join(CACHE, "features")
+    src = spark.createDataFrame(
+        [(1, "alpha", "POINT(1 2)"),
+         (2, "beta", "LINESTRING(0 0,3 4)"),
+         (3, "gamma", None)],
+        "id long, name string, wkt string")
+    df = src.select("id", "name",
+                    st_geomfromtext(F.col("wkt")).alias("geom"))
+    write_geojsonl(df, path)
+
+    back = read_geojsonl(spark, path, properties_schema="id long, name string")
+    got = {r["id"]: r for r in back.select(
+        "id", "name",
+        st_astext(F.col("geom")).alias("wkt")).collect()}
+    assert got[1]["wkt"] == "POINT(1 2)" and got[1]["name"] == "alpha"
+    assert got[2]["wkt"] == "LINESTRING(0 0,3 4)"
+    assert got[3]["wkt"] is None  # null geometry preserved, not dropped
+
+    # without a schema: properties ride along as JSON text
+    raw = read_geojsonl(spark, path)
+    assert set(raw.columns) == {"geom", "properties_json"}
+    assert raw.where(F.col("properties_json").contains('"name":"beta"')) \
+              .count() == 1
+
+
+def test_geojsonl_bare_geometry_lines(spark):
+    path = os.path.join(CACHE, "bare")
+    from datafusion_geo_spark.sources.geoio import read_geojsonl
+    lines = ['{"type":"Point","coordinates":[7,8]}',
+             '',  # blank lines skipped
+             '{"type":"Polygon","coordinates":[[[0,0],[2,0],[2,2],[0,0]]]}']
+    spark.createDataFrame([(l,) for l in lines], "value string") \
+        .coalesce(1).write.mode("overwrite").text(path)
+    got = sorted(r["wkt"] for r in read_geojsonl(spark, path).select(
+        st_astext(F.col("geom")).alias("wkt")).collect())
+    assert got == ["POINT(7 8)", "POLYGON((0 0,2 0,2 2,0 0))"]
