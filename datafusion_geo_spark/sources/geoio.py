@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..functions import box2d, st_geomfromtext
 
@@ -40,10 +40,34 @@ def read_wkt_csv(spark: SparkSession, path: str, wkt_col: str = "wkt",
 BBOX_COLS = ("xmin", "ymin", "xmax", "ymax")
 
 
+def _part1by1(x: Column) -> Column:
+    """Spread the low 16 bits of x to even bit positions ("magic bits"
+    Morton spreading) — pure JVM shift/and expressions."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_key(x: Column, y: Column, cell: float = 1.0) -> Column:
+    """Z-order (Morton) key of a point: interleave the bits of the two
+    cell indices (16 bits each after a +2^15 offset to keep negatives
+    ordered). Nearby points share key prefixes, so sorting by this key
+    clusters 2-D neighborhoods into the same parquet row groups — the
+    standard lakehouse OPTIMIZE ZORDER layout, as a plain
+    WholeStageCodegen expression."""
+    cx = (F.floor(x / cell).cast("long") + (1 << 15)).bitwiseAND(F.lit(0xFFFF))
+    cy = (F.floor(y / cell).cast("long") + (1 << 15)).bitwiseAND(F.lit(0xFFFF))
+    return _part1by1(cx).bitwiseOR(F.shiftleft(_part1by1(cy), 1))
+
+
 def write_geo_parquet(df: DataFrame, path: str, cell: float = 8.0,
                       geom_col: str = "geom",
                       mode: str = "overwrite",
-                      files_per_cell: int = 1) -> None:
+                      files_per_cell: int = 1,
+                      zorder: bool = False) -> None:
     """Sink: parquet partitioned by the grid cell of each geometry's
     bbox centroid, with plain ``xmin..ymax`` bbox columns persisted
     alongside (the GeoParquet "covering" pattern). At 100 TB readers get
@@ -82,7 +106,18 @@ def write_geo_parquet(df: DataFrame, path: str, cell: float = 8.0,
     if files_per_cell > 1:
         keys.append(F.pmod(F.xxhash64(*[F.col(c) for c in BBOX_COLS]),
                            F.lit(files_per_cell)))
-    (with_cells.repartition(*keys).write.mode(mode)
+    clustered = with_cells.repartition(*keys)
+    if zorder:
+        # Z-order rows WITHIN each cell at cell/16 granularity: bbox
+        # min/max stats per row group then cover compact 2-D
+        # neighborhoods instead of insertion-order stripes, so a window
+        # read skips more row groups inside the cells it must open.
+        # Map-side sort after the clustering shuffle — no extra exchange.
+        clustered = clustered.sortWithinPartitions(
+            morton_key((F.col("xmin") + F.col("xmax")) / 2,
+                       (F.col("ymin") + F.col("ymax")) / 2,
+                       cell=cell / 16))
+    (clustered.write.mode(mode)
      .option("maxRecordsPerFile", 5_000_000)
      .partitionBy("cell_x", "cell_y").parquet(path))
     # extent metadata from the WRITTEN files: a column-pruned native scan

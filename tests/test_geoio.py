@@ -2,6 +2,7 @@
 round-trip, including the partition-pruning contract (PartitionFilters
 must appear in the pruned scan's plan)."""
 
+import math
 import os
 import shutil
 import sys
@@ -106,3 +107,58 @@ def test_geojsonl_bare_geometry_lines(spark):
     got = sorted(r["wkt"] for r in read_geojsonl(spark, path).select(
         st_astext(F.col("geom")).alias("wkt")).collect())
     assert got == ["POINT(7 8)", "POLYGON((0 0,2 0,2 2,0 0))"]
+
+
+def _py_morton(cx, cy):
+    def spread(v):
+        v &= 0xFFFF
+        v = (v | v << 8) & 0x00FF00FF
+        v = (v | v << 4) & 0x0F0F0F0F
+        v = (v | v << 2) & 0x33333333
+        v = (v | v << 1) & 0x55555555
+        return v
+    return spread(cx) | (spread(cy) << 1)
+
+
+def test_morton_key_matches_reference_bit_interleave(spark):
+    from datafusion_geo_spark.sources.geoio import morton_key
+    pts = [(float(x), float(y))
+           for x in (-300, -1, 0, 1, 7, 255, 32000)
+           for y in (-17, 0, 3, 1023)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {(r["x"], r["y"]): r["m"] for r in df.select(
+        "x", "y", morton_key(F.col("x"), F.col("y")).alias("m")).collect()}
+    for x, y in pts:
+        cx = (int(math.floor(x)) + (1 << 15)) & 0xFFFF
+        cy = (int(math.floor(y)) + (1 << 15)) & 0xFFFF
+        assert got[(x, y)] == _py_morton(cx, cy), (x, y)
+
+
+def test_morton_locality(spark):
+    """Points in the same small square sort closer to each other than to
+    far-away points — the property that makes row-group stats tight."""
+    from datafusion_geo_spark.sources.geoio import morton_key
+    import itertools
+    near = [(float(x), float(y)) for x, y in
+            itertools.product(range(0, 4), range(0, 4))]
+    far = [(1000.0, 1000.0)]
+    df = spark.createDataFrame(near + far, "x double, y double")
+    rows = df.select("x", "y",
+                     morton_key(F.col("x"), F.col("y")).alias("m")).collect()
+    near_keys = sorted(r["m"] for r in rows if r["x"] < 100)
+    far_key = [r["m"] for r in rows if r["x"] == 1000.0][0]
+    assert near_keys[-1] - near_keys[0] < 64   # 4x4 block: tight range
+    assert far_key > near_keys[-1] + 10_000    # far point far in key space
+
+
+def test_zorder_write_keeps_read_contract(spark):
+    from datafusion_geo_spark.functions import st_geomfromtext
+    path = os.path.join(CACHE, "zordered")
+    rows = [(i, f"POINT({i % 50} {(i * 7) % 50})") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, wkt string") \
+        .select("id", st_geomfromtext(F.col("wkt")).alias("geom"))
+    write_geo_parquet(df, path, cell=8.0, zorder=True)
+    win = read_geo_parquet(spark, path, bbox=(10.0, 10.0, 20.0, 20.0))
+    expect = {i for i in range(500)
+              if 10 <= i % 50 <= 20 and 10 <= (i * 7) % 50 <= 20}
+    assert {r["id"] for r in win.collect()} == expect
