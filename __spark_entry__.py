@@ -789,6 +789,19 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "seq_id", "seq_offset", "n_tokens"))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.decontaminate): flag
+    corpus docs sharing ≥2 distinct word trigrams with any doc of a
+    held-out benchmark slice (doc_id % 97 == 0) — the GPT-3/PaLM-style
+    n-gram overlap check. Equi-join on shingle with the hot-shingle df
+    cap; never corpus × benchmark."""
+    from datafusion_geo_spark.operators.dedup import decontaminate
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, bench, min_hits=2)
+
+
 def _q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card: doc counts, char/token totals,
     length min/max/mean/median, language breadth — the rollup a curation
@@ -1030,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": _q_interval_overlap,
         "dataset_stats": _q_dataset_stats,
         "geojsonl_roundtrip": _q_geojsonl_roundtrip,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1876,6 +1890,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket::INT AS bucket, (st // 512) AS seq_id,
                    (st % 512)::INT AS seq_offset, n_tokens
             FROM s
+        """,
+        # mirrors _q_decontaminate incl. the corpus-side hot-shingle df
+        # cap (> 1000 dropped, dedup._cap_buckets semantics)
+        "decontaminate": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            WHERE doc_id % 97 <> 0),
+            bench AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 97 = 0),
+            csh0 AS (SELECT DISTINCT doc_id AS corpus_id, s FROM (
+                       SELECT doc_id,
+                              unnest(list_transform(range(len(w) - 2),
+                                i -> array_to_string(
+                                       list_slice(w, i + 1, i + 3), ' ')))
+                                  AS s
+                       FROM (SELECT doc_id,
+                                    string_split_regex(trim(text), '\\s+')
+                                        AS w FROM corpus))),
+            hot AS (SELECT s FROM csh0 GROUP BY s HAVING COUNT(*) > 1000),
+            csh AS (SELECT * FROM csh0
+                    WHERE s NOT IN (SELECT s FROM hot)),
+            bsh AS (SELECT DISTINCT doc_id AS bench_id, s FROM (
+                       SELECT doc_id,
+                              unnest(list_transform(range(len(w) - 2),
+                                i -> array_to_string(
+                                       list_slice(w, i + 1, i + 3), ' ')))
+                                  AS s
+                       FROM (SELECT doc_id,
+                                    string_split_regex(trim(text), '\\s+')
+                                        AS w FROM bench)))
+            SELECT corpus_id, bench_id, COUNT(*) AS n_shared
+            FROM csh JOIN bsh USING (s)
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """,
         "dataset_stats": f"""
             SELECT source,

@@ -403,3 +403,40 @@ def with_perturbed_copies(df: DataFrame, text_col: str = "text",
         (F.col(id_col) + offset).alias(id_col),
         F.expr(f"substring({text_col}, instr({text_col}, ' ') + 1)").alias(text_col))
     return df.select(id_col, text_col).unionAll(copy)
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3, min_hits: int = 2,
+                  max_shingle_df: Optional[int] = DEFAULT_MAX_BUCKET,
+                  log_dropped: bool = False) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct word n-grams with ANY benchmark document — the
+    n-gram-overlap check (GPT-3/PaLM style) a pretraining pipeline runs
+    so eval sets don't leak into training data.
+
+    Returns one row per contaminated (corpus_id, benchmark_id) pair with
+    the shared-shingle count; anti-join the distinct corpus_ids against
+    the corpus to drop them.
+
+    Scale shape: both sides explode to distinct (id, shingle), join on
+    the shingle hash — an equi-join, never corpus × benchmark. Corpus
+    shingles above ``max_shingle_df`` document frequency are dropped
+    first (same broadcast anti-join as the dedup family's bucket caps —
+    boilerplate n-grams would otherwise pair with every benchmark doc
+    containing them); benchmark sets are curated and small, so their
+    side is left uncapped. The benchmark shingle frame is usually small
+    enough that AQE picks a broadcast join on its own."""
+    def shingled(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+        ).distinct()
+
+    c = shingled(corpus, "corpus_id")
+    c = _cap_buckets(c, ("s",), max_shingle_df, log_dropped)
+    b = shingled(benchmark, "bench_id")
+    return (c.join(b, "s")
+            .groupBy("corpus_id", "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_hits))

@@ -203,3 +203,38 @@ def test_interval_join_pair_emitted_once(spark):
     rows = interval_join(L.drop("k"), R.drop("k"), "alo", "ahi",
                          "blo", "bhi", bucket=5.0).collect()
     assert len(rows) == 1
+
+
+# ---- decontaminate ----------------------------------------------------
+
+def test_decontaminate_flags_overlap(spark):
+    from datafusion_geo_spark.operators.dedup import decontaminate
+    corpus = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta",      # 0: contains bench trigram x2
+        "one two three four five six seven",        # 1: one shared trigram only
+        "nothing in common here at all",            # 2: clean
+    ])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"),   # shares 3 trigrams with 0
+         (101, "one two three unrelated words")],   # shares 1 trigram with 1
+        "doc_id long, text string")
+    got = {(r["corpus_id"], r["bench_id"]): r["n_shared"]
+           for r in decontaminate(corpus, bench, min_hits=2).collect()}
+    assert got == {(0, 100): 3}  # doc 1 (1 hit) and doc 2 (0 hits) not flagged
+
+    loose = decontaminate(corpus, bench, min_hits=1)
+    assert {(r["corpus_id"], r["bench_id"]) for r in loose.collect()} == \
+        {(0, 100), (1, 101)}
+
+
+def test_decontaminate_hot_shingle_cap(spark):
+    """A boilerplate trigram present in EVERY corpus doc must not pair
+    everything with the benchmark once it crosses the df cap."""
+    from datafusion_geo_spark.operators.dedup import decontaminate
+    boiler = "terms of service apply"
+    corpus = _docs(spark, [f"{boiler} doc number {i} content" for i in range(40)])
+    bench = spark.createDataFrame([(999, boiler)], "doc_id long, text string")
+    flagged = decontaminate(corpus, bench, min_hits=1, max_shingle_df=10)
+    assert flagged.count() == 0  # all boiler trigrams exceed df cap 10
+    uncapped = decontaminate(corpus, bench, min_hits=1, max_shingle_df=None)
+    assert uncapped.count() == 40
