@@ -188,7 +188,19 @@ def geom_from_geojson(s: pd.Series) -> pd.Series:
     inverse of as_geojson (the reference only serializes,
     /root/reference/src/function/as_geojson.rs:88-110). A legacy ``crs``
     EPSG member becomes the SRID (EWKB). Repeated strings within a batch
-    (dimension tables, literal fan-out) hit the per-batch cache."""
+    (dimension tables, literal fan-out) hit the per-batch cache.
+
+    Fast paths mirror geom_from_text's: an all-Point batch in the
+    serializer's canonical key order parses via vectorized str ops +
+    one numpy float parse; same for all-LineString batches with one
+    shared vertex count (11.9 s → ~1 s for 600k×2 parses at sf0.1).
+    Anything else (crs, elevation, spacing, mixed types) falls back to
+    the full json.loads parser per row."""
+    fast = _fast_points_from_geojson(s)
+    if fast is None:
+        fast = _fast_lines_from_geojson(s)
+    if fast is not None:
+        return fast
     from ..geo.geojson import from_geojson
     out = []
     cache: dict = {}
@@ -202,6 +214,55 @@ def geom_from_geojson(s: pd.Series) -> pd.Series:
             cache[v] = b
         out.append(b)
     return _obj_series(out)
+
+
+_GJ_POINT_PRE = '{"type":"Point","coordinates":['
+_GJ_LINE_PRE = '{"type":"LineString","coordinates":[['
+
+
+def _fast_points_from_geojson(s: pd.Series) -> Optional[pd.Series]:
+    """All-'{"type":"Point","coordinates":[x,y]}' batches at C speed."""
+    isnull = s.isna().to_numpy()
+    body = s.dropna()
+    if len(body) == 0:
+        return _obj_series([None] * len(s))
+    ok = (body.str.startswith(_GJ_POINT_PRE) & body.str.endswith("]}")).all()
+    if not ok:
+        return None
+    inner = body.str.slice(len(_GJ_POINT_PRE), -2)
+    joined = ",".join(inner.tolist())
+    vals = np.fromstring(joined, dtype=float, sep=",")
+    # elevation / empty / exotic spacing → wrong count → full parser
+    if len(vals) != 2 * len(body) or np.isnan(vals).any():
+        return None
+    xs = np.empty(len(s)); ys = np.empty(len(s))
+    xs[~isnull] = vals[0::2]
+    ys[~isnull] = vals[1::2]
+    return _obj_series(vector.encode_points(xs, ys, valid=~isnull))
+
+
+def _fast_lines_from_geojson(s: pd.Series) -> Optional[pd.Series]:
+    """All-LineString batches with one shared vertex count."""
+    isnull = s.isna().to_numpy()
+    body = s.dropna()
+    if len(body) == 0:
+        return None
+    ok = (body.str.startswith(_GJ_LINE_PRE) & body.str.endswith("]]}")).all()
+    if not ok:
+        return None
+    inner = body.str.slice(len(_GJ_LINE_PRE), -3) \
+                .str.replace("],[", ",", regex=False)
+    ncommas = inner.str.count(",")
+    k = (int(ncommas.iloc[0]) + 1) // 2
+    if k < 2 or not (ncommas == 2 * k - 1).all():
+        return None
+    joined = ",".join(inner.tolist())
+    vals = np.fromstring(joined, dtype=float, sep=",")
+    if len(vals) != 2 * k * len(body) or np.isnan(vals).any():
+        return None
+    coords = np.empty((len(s), k, 2))
+    coords[~isnull] = vals.reshape(len(body), k, 2)
+    return _obj_series(vector.encode_uniform_lines(coords, valid=~isnull))
 
 
 def geom_from_wkb(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:

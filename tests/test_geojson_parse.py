@@ -111,3 +111,35 @@ def test_spark_column_and_sql(spark):
               '"properties":{"name":"EPSG:'),
         F.lit("4326"), F.lit('"}}}')))).alias("s")).collect()[0]
     assert srid["s"] == 4326
+
+
+def test_fast_paths_match_full_parser():
+    """Uniform Point / LineString batches take the vectorized path; the
+    result must be byte-identical to the per-row json.loads path."""
+    import pandas as pd
+    from datafusion_geo_spark.functions.kernels import (
+        _fast_lines_from_geojson, _fast_points_from_geojson,
+        geom_from_geojson)
+    from datafusion_geo_spark.geo.geojson import from_geojson
+    from datafusion_geo_spark.geo.wkb import to_wkb
+
+    pts = pd.Series(
+        ['{"type":"Point","coordinates":[%d,%d]}' % (i, -i)
+         for i in range(200)] + [None])
+    fast = _fast_points_from_geojson(pts)
+    assert fast is not None  # the fast path must actually engage
+    assert list(geom_from_geojson(pts)) == \
+        [None if v is None else to_wkb(from_geojson(v)) for v in pts]
+
+    lines = pd.Series(
+        ['{"type":"LineString","coordinates":[[%d,0],[%d,5],[9,9]]}'
+         % (i, i + 1) for i in range(200)] + [None])
+    fast = _fast_lines_from_geojson(lines)
+    assert fast is not None
+    assert list(geom_from_geojson(lines)) == \
+        [None if v is None else to_wkb(from_geojson(v)) for v in lines]
+
+    # elevation breaks the float count -> falls back, still correct
+    elev = pd.Series(['{"type":"Point","coordinates":[1,2,3]}'])
+    assert _fast_points_from_geojson(elev) is None
+    assert list(geom_from_geojson(elev)) == [to_wkb(from_geojson(elev[0]))]
