@@ -230,9 +230,14 @@ def _fast_points_from_geojson(s: pd.Series) -> Optional[pd.Series]:
     if not ok:
         return None
     inner = body.str.slice(len(_GJ_POINT_PRE), -2)
+    # PER-ROW arity check: exactly one comma ⇒ exactly [x,y]. A batch
+    # total alone lets a 3-float row and a 1-float row compensate each
+    # other into two silently wrong points — elevation ([x,y,z]) and
+    # short rows must fall back to the strict parser.
+    if not (inner.str.count(",") == 1).all():
+        return None
     joined = ",".join(inner.tolist())
     vals = np.fromstring(joined, dtype=float, sep=",")
-    # elevation / empty / exotic spacing → wrong count → full parser
     if len(vals) != 2 * len(body) or np.isnan(vals).any():
         return None
     xs = np.empty(len(s)); ys = np.empty(len(s))
@@ -250,11 +255,17 @@ def _fast_lines_from_geojson(s: pd.Series) -> Optional[pd.Series]:
     ok = (body.str.startswith(_GJ_LINE_PRE) & body.str.endswith("]]}")).all()
     if not ok:
         return None
-    inner = body.str.slice(len(_GJ_LINE_PRE), -3) \
-                .str.replace("],[", ",", regex=False)
+    raw = body.str.slice(len(_GJ_LINE_PRE), -3)
+    # PER-ROW 2-D check: with m "],["-separated positions a 2-D row has
+    # exactly 2m−1 commas; a 3-D row has 3m−1, which collides with some
+    # 2-D comma count whenever m is even (3m−1 = 2k−1 ⇔ k = 3m/2) — so
+    # comma totals alone would consume z values as the next point's x.
+    npairs = raw.str.count(r"\],\[") + 1
+    k = int(npairs.iloc[0])
+    inner = raw.str.replace("],[", ",", regex=False)
     ncommas = inner.str.count(",")
-    k = (int(ncommas.iloc[0]) + 1) // 2
-    if k < 2 or not (ncommas == 2 * k - 1).all():
+    if k < 2 or not (npairs == k).all() \
+            or not (ncommas == 2 * k - 1).all():
         return None
     joined = ",".join(inner.tolist())
     vals = np.fromstring(joined, dtype=float, sep=",")

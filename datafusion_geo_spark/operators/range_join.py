@@ -91,6 +91,8 @@ def interval_join(left: DataFrame, right: DataFrame,
         raise ValueError(
             f"interval_join: columns {sorted(clash)} exist on both sides; "
             f"rename/alias one side first (join keys {keys} are exempt)")
+    from .asof_join import _fresh
+    ib = _fresh("_ib", lcols | rcols)  # never shadow a user column
 
     def replicate(df: DataFrame, lo: str, hi: str) -> DataFrame:
         b_lo = F.floor(F.col(lo) / bucket).cast("long")
@@ -104,14 +106,14 @@ def interval_join(left: DataFrame, right: DataFrame,
             F.col(hi).cast("string"),
             F.lit("] — raise `bucket` or split the interval"))))
         return (df.where(F.col(lo) <= F.col(hi))
-                .withColumn("_ib", F.explode(seq)))
+                .withColumn(ib, F.explode(seq)))
 
     l = replicate(left, lo_left, hi_left)
     r = replicate(right, lo_right, hi_right)
     overlap = ((F.col(lo_left) <= F.col(hi_right))
                & (F.col(lo_right) <= F.col(hi_left)))
-    first_bucket = (F.col("_ib") == F.floor(
+    first_bucket = (F.col(ib) == F.floor(
         F.greatest(F.col(lo_left), F.col(lo_right)) / bucket).cast("long"))
-    return (l.join(r, keys + ["_ib"])
+    return (l.join(r, keys + [ib])
             .where(overlap & first_bucket)
-            .drop("_ib"))
+            .drop(ib))

@@ -79,12 +79,14 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
     if n_per_stratum < 1:
         raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
     from pyspark.sql import Window
+    from .asof_join import _fresh
     order = F.md5(F.col(key_col).cast("string"))
     w = (Window.partitionBy(stratum_col)
          .orderBy(order.asc(), F.col(key_col).asc()))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n_per_stratum)
-            .drop("_rn"))
+    rn = _fresh("_rn", df.columns)  # never shadow a user column
+    return (df.withColumn(rn, F.row_number().over(w))
+            .where(F.col(rn) <= n_per_stratum)
+            .drop(rn))
 
 
 def pack_sequences(df: DataFrame, token_col: str, budget: int,
@@ -113,10 +115,14 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     from pyspark.sql import Window
+    from .asof_join import _fresh
+    pb = None
     if bucket_col is None:
-        # derived hash bucket: compact int output column
-        df = df.withColumn("_pb", hash_bucket(F.col(key_col), buckets))
-        bucket_col, bucket_out = "_pb", F.col("_pb").cast("int")
+        # derived hash bucket: compact int output column; fresh internal
+        # name so a user column is never shadowed then dropped
+        pb = _fresh("_pb", df.columns)
+        df = df.withColumn(pb, hash_bucket(F.col(key_col), buckets))
+        bucket_col, bucket_out = pb, F.col(pb).cast("int")
     else:
         # caller's grouping column: keep its type as-is
         bucket_out = F.col(bucket_col)
@@ -124,8 +130,8 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
          .rowsBetween(Window.unboundedPreceding, -1))
     start = F.coalesce(F.sum(F.col(token_col)).over(w),
                        F.lit(0)).cast("long")
-    return (df
-            .withColumn("bucket", bucket_out)
-            .withColumn("seq_id", F.floor(start / budget).cast("long"))
-            .withColumn("seq_offset", (start % budget).cast("int"))
-            .drop("_pb"))
+    out = (df
+           .withColumn("bucket", bucket_out)
+           .withColumn("seq_id", F.floor(start / budget).cast("long"))
+           .withColumn("seq_offset", (start % budget).cast("int")))
+    return out.drop(pb) if pb is not None else out

@@ -162,3 +162,29 @@ def test_zorder_write_keeps_read_contract(spark):
     expect = {i for i in range(500)
               if 10 <= i % 50 <= 20 and 10 <= (i * 7) % 50 <= 20}
     assert {r["id"] for r in win.collect()} == expect
+
+
+def test_zorder_files_are_morton_sorted(spark):
+    """The Morton sort must SURVIVE the partitioned write (review
+    finding: without the partition-column sort prefix, V1Writes inserts
+    its own sort and scrambles the Morton order inside files)."""
+    import glob
+    import pyarrow.parquet as pq
+    from datafusion_geo_spark.functions import st_geomfromtext
+    path = os.path.join(CACHE, "zsorted")
+    rows = [(i, f"POINT({(i * 13) % 64} {(i * 29) % 64})") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, wkt string") \
+        .select("id", st_geomfromtext(F.col("wkt")).alias("geom"))
+    write_geo_parquet(df, path, cell=32.0, zorder=True)
+    checked = 0
+    for f in glob.glob(os.path.join(path, "cell_x=*", "cell_y=*", "*.parquet")):
+        t = pq.read_table(f, columns=["xmin", "ymin", "xmax", "ymax"]).to_pandas()
+        if len(t) < 3:
+            continue
+        cx = ((t["xmin"] + t["xmax"]) / 2 // 2.0).astype(int) + (1 << 15)
+        cy = ((t["ymin"] + t["ymax"]) / 2 // 2.0).astype(int) + (1 << 15)
+        keys = [_py_morton(int(a) & 0xFFFF, int(b) & 0xFFFF)
+                for a, b in zip(cx, cy)]
+        assert keys == sorted(keys), f
+        checked += 1
+    assert checked >= 2  # the assertion actually ran on real files

@@ -143,3 +143,33 @@ def test_fast_paths_match_full_parser():
     elev = pd.Series(['{"type":"Point","coordinates":[1,2,3]}'])
     assert _fast_points_from_geojson(elev) is None
     assert list(geom_from_geojson(elev)) == [to_wkb(from_geojson(elev[0]))]
+
+
+def test_fast_path_rejects_mixed_arity_and_3d_batches():
+    """Per-row arity validation: compensating wrong-length rows and 3-D
+    LineStrings with even vertex counts must NOT take the fast path
+    (review finding: batch-total float counts let them slip through)."""
+    import pandas as pd
+    from datafusion_geo_spark.functions.kernels import (
+        _fast_lines_from_geojson, _fast_points_from_geojson,
+        geom_from_geojson)
+
+    # 3 floats + 1 float = 4 = 2 rows x 2: totals match, rows are wrong
+    mixed = pd.Series(['{"type":"Point","coordinates":[1,2,3]}',
+                       '{"type":"Point","coordinates":[4]}'])
+    assert _fast_points_from_geojson(mixed) is None
+    out = geom_from_geojson(pd.Series([mixed[0]]))  # z dropped, correct
+    from datafusion_geo_spark.geo.wkb import from_wkb
+    from datafusion_geo_spark.geo.wkt import to_wkt
+    assert to_wkt(from_wkb(out[0])) == "POINT(1 2)"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="position"):
+        geom_from_geojson(pd.Series([mixed[1]]))
+
+    # 2 points x 3D = 5 commas after separator-collapse = 2*3-1: the
+    # old comma-total check parsed this as 3 2-D points
+    threed = pd.Series(
+        ['{"type":"LineString","coordinates":[[0,0,7],[1,1,8]]}'] * 3)
+    assert _fast_lines_from_geojson(threed) is None
+    got = geom_from_geojson(threed)
+    assert all(to_wkt(from_wkb(b)) == "LINESTRING(0 0,1 1)" for b in got)

@@ -238,3 +238,33 @@ def test_decontaminate_hot_shingle_cap(spark):
     assert flagged.count() == 0  # all boiler trigrams exceed df cap 10
     uncapped = decontaminate(corpus, bench, min_hits=1, max_shingle_df=None)
     assert uncapped.count() == 40
+
+
+# ---- review fixes: internal names never shadow user columns -----------
+
+def test_internal_names_do_not_clobber_user_columns(spark):
+    from datafusion_geo_spark.operators.range_join import interval_join
+    from datafusion_geo_spark.operators.sampling import (pack_sequences,
+                                                         stratified_sample)
+    # stratified_sample with a user '_rn'
+    df = spark.createDataFrame([(i, "s", i * 100) for i in range(10)],
+                               "k long, stratum string, _rn long")
+    out = stratified_sample(df, "stratum", "k", 3)
+    assert "_rn" in out.columns
+    assert {r["_rn"] for r in out.collect()} <= {i * 100 for i in range(10)}
+
+    # pack_sequences with a user '_pb'
+    df2 = spark.createDataFrame([(i, 10, i + 7) for i in range(20)],
+                                "doc_id long, toks long, _pb long")
+    out2 = pack_sequences(df2, "toks", budget=50, buckets=4)
+    assert "_pb" in out2.columns and out2.count() == 20
+    assert {r["_pb"] for r in out2.collect()} == {i + 7 for i in range(20)}
+
+    # interval_join with a user '_ib' on one side
+    L = spark.createDataFrame([(1, 0.0, 5.0, 42)],
+                              "aid long, alo double, ahi double, _ib long")
+    R = spark.createDataFrame([(2, 4.0, 6.0)],
+                              "bid long, blo double, bhi double")
+    j = interval_join(L, R, "alo", "ahi", "blo", "bhi", bucket=10.0)
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["_ib"] == 42
