@@ -793,6 +793,20 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "seq_id", "seq_offset", "n_tokens"))
 
 
+DOMAIN_MIX = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.1}  # zh → default 0
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain deterministic weighted sampling (operators.sampling.
+    weighted_sample): keep 50% of en, all of de, 25% of es, 10% of fr,
+    drop zh — the data-mixing step of a pretraining run, compiled to a
+    map-side CASE against the md5 hash bucket (no shuffle, no join)."""
+    from datafusion_geo_spark.operators.sampling import weighted_sample
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return weighted_sample(docs, "lang", "doc_id", DOMAIN_MIX)
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators.dedup.decontaminate): flag
     corpus docs sharing ≥2 distinct word trigrams with any doc of a
@@ -1048,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_stats": _q_dataset_stats,
         "geojsonl_roundtrip": _q_geojsonl_roundtrip,
         "decontaminate": _q_decontaminate,
+        "domain_mix": _q_domain_mix,
     }
 
 
@@ -1894,6 +1909,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket::INT AS bucket, (st // 512) AS seq_id,
                    (st % 512)::INT AS seq_offset, n_tokens
             FROM s
+        """,
+        # mirrors _q_domain_mix: same md5 bucket, same CASE thresholds
+        "domain_mix": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     {_H64.format(arg="CAST(doc_id AS VARCHAR)")} % 10000
+                         AS b
+              FROM documents)
+            WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                                WHEN 'es' THEN 2500 WHEN 'fr' THEN 1000
+                                ELSE 0 END
         """,
         # mirrors _q_decontaminate incl. the corpus-side hot-shingle df
         # cap (> 1000 dropped, dedup._cap_buckets semantics)

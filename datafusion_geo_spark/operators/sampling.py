@@ -135,3 +135,35 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
            .withColumn("seq_id", F.floor(start / budget).cast("long"))
            .withColumn("seq_offset", (start % budget).cast("int")))
     return out.drop(pb) if pb is not None else out
+
+
+def weighted_sample(df: DataFrame, stratum_col: str, key_col: str,
+                    fractions: Mapping[str, float],
+                    default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing step of a
+    pretraining pipeline ("keep 50% of web, all of books, 10% of
+    code"): each stratum keeps ~fraction of its rows, membership a pure
+    function of the key hash (same md5-bucket convention as
+    deterministic_sample, so re-runs and other engines agree row for
+    row, and same-key rows stay aligned across datasets).
+
+    Map-side only: the stratum→threshold lookup compiles to a CASE
+    expression against the hash bucket — no shuffle, no join, evaluated
+    inside the scan stage. Strata absent from ``fractions`` keep
+    ``default_fraction`` of their rows (0.0 = drop unknown domains,
+    loudly visible in counts)."""
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(
+            f"default_fraction must be in [0,1], got {default_fraction}")
+    thr = None
+    for label, frac in fractions.items():
+        keep = int(round(frac * HASH_BUCKETS))
+        cond = F.col(stratum_col) == label
+        thr = F.when(cond, keep) if thr is None else thr.when(cond, keep)
+    thr = (thr.otherwise(int(round(default_fraction * HASH_BUCKETS)))
+           if thr is not None
+           else F.lit(int(round(default_fraction * HASH_BUCKETS))))
+    return df.where(hash_bucket(F.col(key_col)) < thr)

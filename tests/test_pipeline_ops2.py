@@ -268,3 +268,29 @@ def test_internal_names_do_not_clobber_user_columns(spark):
     j = interval_join(L, R, "alo", "ahi", "blo", "bhi", bucket=10.0)
     rows = j.collect()
     assert len(rows) == 1 and rows[0]["_ib"] == 42
+
+
+# ---- weighted_sample --------------------------------------------------
+
+def test_weighted_sample_mix(spark):
+    from datafusion_geo_spark.operators.sampling import (
+        deterministic_sample, weighted_sample)
+    df = spark.createDataFrame(
+        [(i, ["web", "books", "code"][i % 3]) for i in range(3000)],
+        "k long, domain string")
+    mixed = weighted_sample(df, "domain", "k",
+                            {"web": 0.5, "books": 1.0}, default_fraction=0.0)
+    got = {r["domain"]: r["n"] for r in
+           mixed.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert got.get("books") == 1000          # fraction 1.0 keeps all
+    assert "code" not in got                  # default 0.0 drops
+    assert 400 < got.get("web", 0) < 600      # ~50% of 1000
+
+    # same key ⇒ same verdict as the single-fraction sampler (alignment)
+    web = df.where(F.col("domain") == "web")
+    a = {r["k"] for r in mixed.where(F.col("domain") == "web").collect()}
+    b = {r["k"] for r in deterministic_sample(web, "k", 0.5).collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="fraction"):
+        weighted_sample(df, "domain", "k", {"web": 1.5})
