@@ -294,3 +294,23 @@ def test_weighted_sample_mix(spark):
 
     with pytest.raises(ValueError, match="fraction"):
         weighted_sample(df, "domain", "k", {"web": 1.5})
+
+
+def test_interval_join_bucket_size_invariance(spark):
+    """The result must be independent of the bucket width (dedup +
+    replication are internal mechanics, not semantics)."""
+    import random
+    from datafusion_geo_spark.operators.range_join import interval_join
+    rnd = random.Random(21)
+    lrows = [(i, "x", lo := rnd.uniform(-50, 50), lo + rnd.uniform(0, 30))
+             for i in range(25)]
+    rrows = [(i, "x", lo := rnd.uniform(-50, 50), lo + rnd.uniform(0, 30))
+             for i in range(25)]
+    L = _intervals(spark, "a", lrows).drop("k")
+    R = _intervals(spark, "b", rrows).drop("k")
+    expect = sorted((l[0], r[0]) for l in lrows for r in rrows
+                    if l[2] <= r[3] and r[2] <= l[3])
+    for bucket in (0.7, 3.0, 11.0, 64.0):
+        got = sorted((r["aid"], r["bid"]) for r in interval_join(
+            L, R, "alo", "ahi", "blo", "bhi", bucket=bucket).collect())
+        assert got == expect, bucket
