@@ -30,12 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def _fresh(base: str, taken) -> str:
-    """An internal column name guaranteed not to shadow a user column."""
-    name = base
-    while name in taken:
-        name = "_" + name
-    return name
+from .util import fresh_name as _fresh
 
 
 def _unorderable(dt) -> bool:

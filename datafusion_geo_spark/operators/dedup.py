@@ -95,19 +95,12 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; empty array when the
     document has fewer than n words.
 
-    Built by zip_with-folding n SHIFTED slices of the word array —
-    measured 0.55s per 516k shingles at sf0.1 vs 2.7s for
-    per-index slice+concat_ws and 7.5s for per-index element_at
-    (ANSI-mode bounds machinery): positional array ops beat indexed
-    lookups inside codegen."""
-    w = F.split(F.trim(text), r"\s+")
-    m = F.size(w) - F.lit(n - 1)  # shingle count when size >= n
-    acc = F.slice(w, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(acc, F.slice(w, j + 1, m),
-                         lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(F.size(w) >= n, acc).otherwise(
-        F.array().cast("array<string>"))
+    The slice-fold construction (measured 0.55s per 516k shingles at
+    sf0.1 vs 2.7s for per-index slice+concat_ws and 7.5s for per-index
+    element_at) lives in text.ngram_array — ONE definition shared with
+    the repetition family."""
+    from .text import ngram_array, words_col
+    return ngram_array(words_col(text), n)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

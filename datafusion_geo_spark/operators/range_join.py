@@ -18,6 +18,27 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .util import fresh_name
+
+
+def _replicate(df: DataFrame, lo: str, hi: str, bucket: float,
+               max_fanout: int, out_col: str, opname: str) -> DataFrame:
+    """Explode each interval row into every bucket it covers, with the
+    loud fan-out guard shared by range_join and interval_join. Inverted
+    intervals (lo > hi) are dropped — they never match anything."""
+    b_lo = F.floor(F.col(lo) / bucket).cast("long")
+    b_hi = F.floor(F.col(hi) / bucket).cast("long")
+    seq = F.when(
+        b_hi - b_lo < F.lit(int(max_fanout)), F.sequence(b_lo, b_hi)
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"{opname}: interval spans more than {max_fanout} buckets "
+              f"(bucket={bucket}): ["),
+        F.col(lo).cast("string"), F.lit(", "),
+        F.col(hi).cast("string"),
+        F.lit("] — raise `bucket` or split the interval"))))
+    return (df.where(F.col(lo) <= F.col(hi))
+            .withColumn(out_col, F.explode(seq)))
+
 
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
                lo_col: str, hi_col: str, bucket: float,
@@ -38,27 +59,16 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     the equi-join shape is what makes that machinery applicable at all."""
     if closed not in ("both", "left", "right", "neither"):
         raise ValueError(f"invalid closed={closed!r}")
+    rb = fresh_name("_rb", set(points.columns) | set(intervals.columns))
     p = points.withColumn(
-        "_rb", F.floor(F.col(point_col) / bucket).cast("long"))
-    b_lo = F.floor(F.col(lo_col) / bucket).cast("long")
-    b_hi = F.floor(F.col(hi_col) / bucket).cast("long")
-    seq = F.when(
-        b_hi - b_lo < F.lit(int(max_fanout)),
-        F.sequence(b_lo, b_hi)
-    ).otherwise(F.raise_error(F.concat(
-        F.lit(f"range_join: interval spans more than {max_fanout} buckets "
-              f"(bucket={bucket}): ["),
-        F.col(lo_col).cast("string"), F.lit(", "),
-        F.col(hi_col).cast("string"),
-        F.lit("] — raise `bucket` or split the interval"))))
-    iv = (intervals
-          .where(F.col(lo_col) <= F.col(hi_col))
-          .withColumn("_rb", F.explode(seq)))
+        rb, F.floor(F.col(point_col) / bucket).cast("long"))
+    iv = _replicate(intervals, lo_col, hi_col, bucket, max_fanout, rb,
+                    "range_join")
     lo_ok = (F.col(lo_col) <= F.col(point_col)) if closed in ("both", "left") \
         else (F.col(lo_col) < F.col(point_col))
     hi_ok = (F.col(point_col) <= F.col(hi_col)) if closed in ("both", "right") \
         else (F.col(point_col) < F.col(hi_col))
-    return p.join(iv, "_rb").where(lo_ok & hi_ok).drop("_rb")
+    return p.join(iv, rb).where(lo_ok & hi_ok).drop(rb)
 
 
 def interval_join(left: DataFrame, right: DataFrame,
@@ -91,25 +101,11 @@ def interval_join(left: DataFrame, right: DataFrame,
         raise ValueError(
             f"interval_join: columns {sorted(clash)} exist on both sides; "
             f"rename/alias one side first (join keys {keys} are exempt)")
-    from .asof_join import _fresh
-    ib = _fresh("_ib", lcols | rcols)  # never shadow a user column
-
-    def replicate(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        b_lo = F.floor(F.col(lo) / bucket).cast("long")
-        b_hi = F.floor(F.col(hi) / bucket).cast("long")
-        seq = F.when(
-            b_hi - b_lo < F.lit(int(max_fanout)), F.sequence(b_lo, b_hi)
-        ).otherwise(F.raise_error(F.concat(
-            F.lit(f"interval_join: interval spans more than {max_fanout} "
-                  f"buckets (bucket={bucket}): ["),
-            F.col(lo).cast("string"), F.lit(", "),
-            F.col(hi).cast("string"),
-            F.lit("] — raise `bucket` or split the interval"))))
-        return (df.where(F.col(lo) <= F.col(hi))
-                .withColumn(ib, F.explode(seq)))
-
-    l = replicate(left, lo_left, hi_left)
-    r = replicate(right, lo_right, hi_right)
+    ib = fresh_name("_ib", lcols | rcols)  # never shadow a user column
+    l = _replicate(left, lo_left, hi_left, bucket, max_fanout, ib,
+                   "interval_join")
+    r = _replicate(right, lo_right, hi_right, bucket, max_fanout, ib,
+                   "interval_join")
     overlap = ((F.col(lo_left) <= F.col(hi_right))
                & (F.col(lo_right) <= F.col(hi_left)))
     first_bucket = (F.col(ib) == F.floor(

@@ -79,7 +79,7 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
     if n_per_stratum < 1:
         raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
     from pyspark.sql import Window
-    from .asof_join import _fresh
+    from .util import fresh_name as _fresh
     order = F.md5(F.col(key_col).cast("string"))
     w = (Window.partitionBy(stratum_col)
          .orderBy(order.asc(), F.col(key_col).asc()))
@@ -115,7 +115,7 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     from pyspark.sql import Window
-    from .asof_join import _fresh
+    from .util import fresh_name as _fresh
     pb = None
     if bucket_col is None:
         # derived hash bucket: compact int output column; fresh internal

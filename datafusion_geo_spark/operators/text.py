@@ -42,6 +42,25 @@ def words_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def ngram_array(w: Column, n: int) -> Column:
+    """Word n-grams of a word array as space-joined strings; empty array
+    when there are fewer than n words. Built by zip_with-folding n
+    SHIFTED slices of the array — measured ~5-14× faster inside codegen
+    than per-index element_at/slice+concat_ws (ANSI bounds machinery per
+    lookup; see dedup.word_shingles' 0.55 s/516k-shingle figure and the
+    10.0 s → 1.3 s repetition_stats fix). ONE definition, shared by the
+    shingle and repetition families."""
+    if n == 1:
+        return w
+    m = F.size(w) - F.lit(n - 1)
+    acc = F.slice(w, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(w, j + 1, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(w) >= n, acc) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def bpe_token_count(text: Column) -> Column:
     """Token count under the BPE-ish pre-tokenizer — the whitespace-free
     estimate a training pipeline budgets with."""
@@ -195,24 +214,6 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     )
 
 
-def _ngrams(w: Column, n: int) -> Column:
-    """Word n-grams as space-joined strings; empty array when the doc has
-    fewer than n words. Built by zip_with-folding n SHIFTED slices of the
-    word array — the same construction as dedup.word_shingles, which
-    measured ~14× faster than per-index element_at inside codegen (ANSI
-    bounds machinery per lookup; 10.0 s → 0.7 s for repetition_stats at
-    sf0.1/local[32])."""
-    if n == 1:
-        return w
-    m = F.size(w) - F.lit(n - 1)
-    acc = F.slice(w, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(acc, F.slice(w, j + 1, m),
-                         lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(F.size(w) >= n, acc) \
-            .otherwise(F.array().cast("array<string>"))
-
-
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_dup_trigram_ratio: float = 0.5) -> DataFrame:
@@ -228,8 +229,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         return F.when(n > 0, _ratio6(n - dst, n)).otherwise(F.lit(0.0))
 
     dup_w = dup_ratio(w)
-    dup_2 = dup_ratio(_ngrams(w, 2))
-    dup_3 = dup_ratio(_ngrams(w, 3))
+    dup_2 = dup_ratio(ngram_array(w, 2))
+    dup_3 = dup_ratio(ngram_array(w, 3))
     return df.select(
         id_col,
         F.size(w).alias("n_words"),
