@@ -41,6 +41,14 @@ def _pos(c) -> tuple:
     return (float(c[0]), float(c[1]))
 
 
+def _seq(x, what: str):
+    """A nested coordinate level must be an array — a null/scalar/object
+    member raises ValueError instead of leaking a TypeError."""
+    if not isinstance(x, (list, tuple)):
+        raise ValueError(f"invalid GeoJSON {what}: {x!r}")
+    return x
+
+
 def _ring(r) -> list:
     if not isinstance(r, (list, tuple)):
         raise ValueError(f"invalid GeoJSON ring: {r!r}")
@@ -86,9 +94,11 @@ def _geometry(obj) -> Geometry:
     if t == "Polygon":
         return Geometry(t, [_ring(r) for r in c])
     if t == "MultiLineString":
-        return Geometry(t, [[_pos(p) for p in line] for line in c])
+        return Geometry(t, [[_pos(p) for p in _seq(line, "linestring")]
+                            for line in c])
     # MultiPolygon
-    return Geometry(t, [[_ring(r) for r in poly] for poly in c])
+    return Geometry(t, [[_ring(r) for r in _seq(poly, "polygon")]
+                        for poly in c])
 
 
 def from_geojson(s: str) -> Geometry:

@@ -173,3 +173,44 @@ def test_fast_path_rejects_mixed_arity_and_3d_batches():
     assert _fast_lines_from_geojson(threed) is None
     got = geom_from_geojson(threed)
     assert all(to_wkt(from_wkb(b)) == "LINESTRING(0 0,1 1)" for b in got)
+
+
+def test_parser_never_crashes_on_junk():
+    """Arbitrary text must yield ValueError or a valid Geometry — never
+    an unhandled TypeError/KeyError/IndexError from malformed JSON
+    shapes (dicts where lists belong, null coordinates, etc.)."""
+    import json as _json
+
+    from hypothesis import given, settings, strategies as st
+
+    from datafusion_geo_spark.geo.geom import Geometry
+
+    scalars = st.one_of(st.none(), st.booleans(), st.integers(-5, 5),
+                        st.floats(allow_nan=False, allow_infinity=False,
+                                  width=32),
+                        st.text(max_size=6))
+    nested = st.recursive(
+        scalars,
+        lambda c: st.one_of(st.lists(c, max_size=4),
+                            st.dictionaries(st.text(max_size=8), c,
+                                            max_size=4)),
+        max_leaves=12)
+    gj_ish = st.fixed_dictionaries({
+        "type": st.sampled_from(["Point", "LineString", "Polygon",
+                                 "MultiPoint", "MultiLineString",
+                                 "MultiPolygon", "GeometryCollection",
+                                 "Feature", "bogus"]),
+    }, optional={"coordinates": nested, "geometries": nested,
+                 "crs": nested})
+
+    @given(st.one_of(st.text(max_size=20),
+                     gj_ish.map(lambda d: _json.dumps(d))))
+    @settings(max_examples=400, deadline=None)
+    def never_crashes(s):
+        try:
+            g = from_geojson(s)
+        except ValueError:
+            return
+        assert isinstance(g, Geometry)
+
+    never_crashes()

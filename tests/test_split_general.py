@@ -224,3 +224,48 @@ def test_polygon_split_by_contained_blade_polygon_cuts_hole():
     got = areas("POLYGON((0 0,10 0,10 10,0 10,0 0))",
                 "POLYGON((3 3,7 3,7 7,3 7,3 3))")
     assert sorted(got) == [16.0, 84.0]
+
+
+# ---- property: area conservation over random polygons × random blades
+
+
+def test_split_area_conservation_property():
+    """For ANY polygon (convex, concave, holed) split by ANY polyline,
+    the pieces' areas must sum to the original's — the invariant that
+    catches face-tracing errors no golden case pins."""
+    from hypothesis import given, settings, strategies as st
+
+    from datafusion_geo_spark.geo import algos
+    from datafusion_geo_spark.geo.wkt import from_wkt
+
+    coord = st.integers(-8, 18)  # integer grid: exact arithmetic
+
+    @st.composite
+    def polys(draw):
+        kind = draw(st.integers(0, 2))
+        x, y = draw(coord), draw(coord)
+        if kind == 0:    # box
+            return f"POLYGON(({x} {y},{x+10} {y},{x+10} {y+8},{x} {y+8},{x} {y}))"
+        if kind == 1:    # concave U
+            return (f"POLYGON(({x} {y},{x+9} {y},{x+9} {y+6},{x+6} {y+6},"
+                    f"{x+6} {y+2},{x+3} {y+2},{x+3} {y+6},{x} {y+6},{x} {y}))")
+        return (f"POLYGON(({x} {y},{x+12} {y},{x+12} {y+12},{x} {y+12},{x} {y}),"
+                f"({x+4} {y+4},{x+4} {y+8},{x+8} {y+8},{x+8} {y+4},{x+4} {y+4}))")
+
+    @st.composite
+    def blades(draw):
+        pts = [(draw(coord), draw(coord)) for _ in range(draw(st.integers(2, 4)))]
+        if len({p for p in pts}) < 2:
+            pts.append((pts[0][0] + 30, pts[0][1] + 1))
+        return "LINESTRING(" + ",".join(f"{a} {b}" for a, b in pts) + ")"
+
+    @given(polys(), blades())
+    @settings(max_examples=120, deadline=None)
+    def conserve(pw, bw):
+        g = from_wkt(pw)
+        total = algos.area(g)
+        pieces = algos.split(g, from_wkt(bw))
+        got = sum(algos.area(p) for p in pieces.parts)
+        assert abs(got - total) < 1e-6, (pw, bw)
+
+    conserve()
