@@ -793,6 +793,28 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bucket", "seq_id", "seq_offset", "n_tokens"))
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN evaluation: per-query recall of trained-IVF top-10
+    (ivf_trained_topk) against the brute-force ground truth
+    (cosine_topk) — the report an embedding pipeline publishes when
+    tuning nlist/nprobe. One semi-join on (query, neighbor) + two tiny
+    aggregates; recall in the repo's exact scaled-integer rounding so
+    the oracle (which replays both sides from their own SQL) hashes
+    identically."""
+    from datafusion_geo_spark.operators.text import _ratio6
+    bf = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = (_q_ivf_trained_topk(spark, sf_dir)
+           .select("query_id", "neighbor_id"))
+    hits = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    n_true = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    joined = (n_true.join(n_hit, "query_id", "left")
+              .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0))))
+    return joined.select(
+        "query_id", "n_true", "n_hit",
+        _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
+
+
 DOMAIN_MIX = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.1}  # zh → default 0
 
 
@@ -1063,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojsonl_roundtrip": _q_geojsonl_roundtrip,
         "decontaminate": _q_decontaminate,
         "domain_mix": _q_domain_mix,
+        "ann_recall": _q_ann_recall,
     }
 
 
@@ -1214,6 +1237,24 @@ def _simhash_oracle() -> str:
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
+
+
+_COSINE_TOPK_SQL = """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id AS neighbor_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS cv
+                  FROM embeddings)
+            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+              SELECT query_id, neighbor_id,
+                     ROUND(list_cosine_similarity(qv, cv), 6) AS sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                                 neighbor_id) AS rank
+              FROM q, c WHERE neighbor_id != query_id)
+            WHERE rank <= 10
+"""
 
 
 def _lines_wkt_sql() -> str:
@@ -1604,21 +1645,23 @@ def oracle_sql() -> dict[str, str]:
               FROM probes p, corpus c WHERE p.id_a < c.vec_id)
             WHERE sim >= 0.99
         """,
-        "cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id,
-                              list_transform(embedding, x -> x::DOUBLE) AS qv
-                       FROM embeddings WHERE vec_id < 8),
-            c AS (SELECT vec_id AS neighbor_id,
-                         list_transform(embedding, x -> x::DOUBLE) AS cv
-                  FROM embeddings)
-            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
-              SELECT query_id, neighbor_id,
-                     ROUND(list_cosine_similarity(qv, cv), 6) AS sim,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
-                                 neighbor_id) AS rank
-              FROM q, c WHERE neighbor_id != query_id)
-            WHERE rank <= 10
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # mirrors _q_ann_recall: exact-arith recall of trained-IVF
+        # against the brute-force ground truth, both replayed from their
+        # own oracle SQL (single source per side)
+        "ann_recall": f"""
+            WITH bf AS (SELECT query_id, neighbor_id
+                        FROM ({_COSINE_TOPK_SQL})),
+            ann AS (SELECT query_id, neighbor_id
+                    FROM ({_ivf_trained_oracle()})),
+            hits AS (SELECT bf.query_id FROM bf
+                     JOIN ann USING (query_id, neighbor_id)),
+            t AS (SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1),
+            h AS (SELECT query_id, COUNT(*) AS n_hit FROM hits GROUP BY 1)
+            SELECT t.query_id, t.n_true, COALESCE(h.n_hit, 0) AS n_hit,
+                   ((2000000*COALESCE(h.n_hit, 0) + t.n_true)
+                    // (2*t.n_true)) / 1000000.0 AS recall
+            FROM t LEFT JOIN h ON t.query_id = h.query_id
         """,
         "ann_topk": """
             WITH vecs AS (SELECT vec_id,

@@ -34,6 +34,8 @@ ALLOWED_BROADCAST_CROSSES = {
     "ann_topk": 2,           # hyperplane bucketing (corpus + probes)
     "ivf_topk": 3,           # centroid assignment ×2 + probe scoring
     "ivf_trained_topk": 3,   # same plan shape, trained centroids
+    "ann_recall": 3,         # inherits ivf_trained_topk's (bf side's
+                             # cross compiles away, as in cosine_topk)
 }
 
 
