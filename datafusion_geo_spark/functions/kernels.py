@@ -148,9 +148,15 @@ def _fast_points_from_text(s: pd.Series) -> Optional[pd.Series]:
     if not ok:
         return None
     inner = body.str.slice(6, -1)
+    # PER-ROW arity: exactly one separating space ⇒ exactly 'x y'. The
+    # batch-total float count alone lets a 3-coord row ('POINT(1 2 3)',
+    # which the strict parser truncates to XY) and a 1-coord row (which
+    # it rejects) compensate into two silently wrong points.
+    if not (inner.str.count(" ") == 1).all():
+        return None
     joined = " ".join(inner.tolist())
     vals = np.fromstring(joined, dtype=float, sep=" ")
-    if len(vals) != 2 * len(body):  # multi-space / malformed → full parser
+    if len(vals) != 2 * len(body):  # malformed → full parser
         return None
     xs = np.empty(len(s)); ys = np.empty(len(s))
     xs[~isnull] = vals[0::2]
@@ -173,7 +179,13 @@ def _fast_lines_from_text(s: pd.Series) -> Optional[pd.Series]:
     k = int(ncommas.iloc[0]) + 1
     if k < 2 or not (ncommas == k - 1).all():
         return None
-    inner = body.str.slice(11, -1).str.replace(",", " ", regex=False)
+    raw = body.str.slice(11, -1)
+    # PER-ROW arity: k 2-D points ⇒ exactly k separating spaces. Same
+    # compensation hazard as the point path — a 3-D row and a 1-D row
+    # with matching comma counts would otherwise misparse together.
+    if not (raw.str.count(" ") == k).all():
+        return None
+    inner = raw.str.replace(",", " ", regex=False)
     joined = " ".join(inner.tolist())
     vals = np.fromstring(joined, dtype=float, sep=" ")
     if len(vals) != 2 * k * len(body) or np.isnan(vals).any():

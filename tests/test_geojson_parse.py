@@ -214,3 +214,27 @@ def test_parser_never_crashes_on_junk():
         assert isinstance(g, Geometry)
 
     never_crashes()
+
+
+def test_wkt_fast_paths_reject_mixed_arity_batches():
+    """The WKT point/line fast paths had the same compensation hazard
+    as the GeoJSON ones: rows of the wrong coordinate arity summing to
+    the right batch total misparsed silently. Per-row space counts now
+    force those batches onto the strict parser."""
+    import pandas as pd
+    from datafusion_geo_spark.functions.kernels import geom_from_text
+    from datafusion_geo_spark.geo.wkb import from_wkb
+    from datafusion_geo_spark.geo.wkt import to_wkt
+
+    # 3 floats + 1 float = 4 = 2 rows x 2 — totals match, rows wrong
+    out = geom_from_text(pd.Series(["POINT(1 2 3)"]))
+    assert to_wkt(from_wkb(out[0])) == "POINT(1 2)"  # strict: Z dropped
+    with pytest.raises(ValueError):
+        geom_from_text(pd.Series(["POINT(1 2 3)", "POINT(4)"]))
+
+    # linestrings: one 3-D row + one 1-coord row, same comma count
+    good = geom_from_text(pd.Series(["LINESTRING(0 0,1 1)"] * 2))
+    assert to_wkt(from_wkb(good[0])) == "LINESTRING(0 0,1 1)"
+    mixed = pd.Series(["LINESTRING(0 0 7,1 1 8)", "LINESTRING(0,1)"])
+    with pytest.raises(ValueError):
+        geom_from_text(mixed)
