@@ -695,6 +695,29 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ed", "asof_orderkey")
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event picks up the EARLIEST order of its
+    user with order day >= the event's day — the "next scheduled
+    maintenance / next price change" lookup. Exercises asof_join's
+    direction='forward' sign-flip path (the sweep runs on the negated
+    axis); the DuckDB oracle negates both day columns so its
+    backward-only native ASOF JOIN computes the same match."""
+    from datafusion_geo_spark.operators.asof_join import asof_join
+    from datafusion_geo_spark.sources.fixtures import load_events, load_table
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.dayofmonth(F.col("ts")).cast("long").alias("ed"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.dayofmonth(F.col("o_orderdate")).cast("long").alias("od"),
+        "o_orderkey")
+    o2 = orders.groupBy("user_id", "od").agg(
+        F.max("o_orderkey").alias("next_orderkey"))
+    return asof_join(ev, o2, on="user_id", left_time="ed", right_time="od",
+                     right_cols=["next_orderkey"], direction="forward") \
+        .select("event_id", "user_id", "ed", "next_orderkey")
+
+
 def _q_range_tag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join (operators.range_join): tag each event with
     every nation interval [20n, 20n + 5r + 10] containing its value,
@@ -1073,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_trained_topk": _q_ivf_trained_topk,
         "streaming_first_seen": _q_streaming_first_seen,
         "asof_join": _q_asof_join,
+        "asof_forward": _q_asof_forward,
         "range_tag_events": _q_range_tag_events,
         "hash_split": _q_hash_split,
         "gopher_quality": _q_gopher_quality,
@@ -2035,6 +2059,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ed, o2.asof_orderkey
             FROM e ASOF LEFT JOIN o2
               ON e.user_id = o2.user_id AND e.ed >= o2.od
+        """,
+        # forward = backward on the negated axis (DuckDB's native ASOF
+        # only matches >=): -ed >= -od  <=>  od >= ed, nearest first
+        "asof_forward": """
+            WITH e AS (SELECT event_id, user_id, day(ts)::BIGINT AS ed,
+                              -day(ts)::BIGINT AS ned
+                       FROM events),
+            o2 AS (SELECT o_custkey % 150 AS user_id,
+                          -day(o_orderdate)::BIGINT AS nod,
+                          MAX(o_orderkey) AS next_orderkey
+                   FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ed, o2.next_orderkey
+            FROM e ASOF LEFT JOIN o2
+              ON e.user_id = o2.user_id AND e.ned >= o2.nod
         """,
         # segment (k,k+1)->(k+4,k+5) meets [100,140]^2 iff x in
         # [100,139] ∩ [k,k+4] nonempty -> 96 <= k <= 139; NULL geoms
