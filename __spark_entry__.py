@@ -1133,8 +1133,13 @@ _H64 = "('0x' || substr(md5({arg}), 1, 8))::BIGINT"
 
 # ONE definition (operators/text.py) so the oracle regex can never drift
 # from the operator's
-from datafusion_geo_spark.operators.text import EMAIL_RE as _EMAIL_RE
-from datafusion_geo_spark.operators.text import PHONE_RE as _PHONE_RE
+def _pii_regexes() -> tuple[str, str]:
+    """ONE definition (operators/text.py) so the oracle regex can never
+    drift from the operator's. Imported lazily like every other package
+    reference in this file — module import must not require the package
+    on sys.path before a query/oracle call does."""
+    from datafusion_geo_spark.operators.text import EMAIL_RE, PHONE_RE
+    return EMAIL_RE, PHONE_RE
 
 
 def _minhash_oracle() -> str:
@@ -1312,6 +1317,7 @@ def _lang_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _EMAIL_RE, _PHONE_RE = _pii_regexes()
     return {
         "wkt_roundtrip_points": f"""
             SELECT l_orderkey, l_linenumber,
