@@ -62,7 +62,10 @@ def _crs_srid(obj: dict) -> Optional[int]:
     crs = obj.get("crs")
     if not isinstance(crs, dict):
         return None
-    name = (crs.get("properties") or {}).get("name", "")
+    props = crs.get("properties")
+    if not isinstance(props, dict):  # a truthy non-dict must not crash
+        props = {}
+    name = props.get("name", "")
     m = _SRID_RE.search(str(name))
     if not m:
         raise ValueError(f"unsupported GeoJSON crs: {name!r}")

@@ -49,9 +49,11 @@ def ngram_array(w: Column, n: int) -> Column:
     than per-index element_at/slice+concat_ws (ANSI bounds machinery per
     lookup; see dedup.word_shingles' 0.55 s/516k-shingle figure and the
     10.0 s → 1.3 s repetition_stats fix). ONE definition, shared by the
-    shingle and repetition families."""
-    if n == 1:
-        return w
+    shingle and repetition families.
+
+    n=1 deliberately takes the same guarded path: NULL/degenerate input
+    yields an EMPTY array (the documented word_shingles contract), not
+    the raw (possibly NULL) word array."""
     m = F.size(w) - F.lit(n - 1)
     acc = F.slice(w, 1, m)
     for j in range(1, n):

@@ -189,11 +189,18 @@ def test_parser_never_crashes_on_junk():
                         st.floats(allow_nan=False, allow_infinity=False,
                                   width=32),
                         st.text(max_size=6))
+    # keys MUST include the real GeoJSON member names — st.text alone
+    # never generates 'properties' (10 chars > the old max_size=8), so
+    # nested-member crash paths were structurally unreachable (this gap
+    # let a crs.properties AttributeError escape the first fuzz run)
+    keys = st.one_of(st.sampled_from(["type", "coordinates", "geometries",
+                                      "crs", "properties", "name",
+                                      "features", "geometry"]),
+                     st.text(max_size=8))
     nested = st.recursive(
         scalars,
         lambda c: st.one_of(st.lists(c, max_size=4),
-                            st.dictionaries(st.text(max_size=8), c,
-                                            max_size=4)),
+                            st.dictionaries(keys, c, max_size=4)),
         max_leaves=12)
     gj_ish = st.fixed_dictionaries({
         "type": st.sampled_from(["Point", "LineString", "Polygon",
@@ -238,3 +245,13 @@ def test_wkt_fast_paths_reject_mixed_arity_batches():
     mixed = pd.Series(["LINESTRING(0 0 7,1 1 8)", "LINESTRING(0,1)"])
     with pytest.raises(ValueError):
         geom_from_text(mixed)
+
+
+def test_crs_properties_non_dict_raises_valueerror_not_attributeerror():
+    """Review finding: a truthy non-dict crs.properties crashed with
+    AttributeError; it must raise the parser's documented ValueError
+    (same contract as an unparseable crs name)."""
+    for js in ('{"type":"Point","coordinates":[1,2],"crs":{"properties":[1]}}',
+               '{"type":"Point","coordinates":[1,2],"crs":{"properties":"x"}}'):
+        with pytest.raises(ValueError, match="unsupported GeoJSON crs"):
+            from_geojson(js)

@@ -314,3 +314,16 @@ def test_interval_join_bucket_size_invariance(spark):
         got = sorted((r["aid"], r["bid"]) for r in interval_join(
             L, R, "alo", "ahi", "blo", "bhi", bucket=bucket).collect())
         assert got == expect, bucket
+
+
+def test_word_shingles_n1_null_contract(spark):
+    """word_shingles' documented contract — empty array (never NULL) for
+    NULL/degenerate text — must hold for n=1 too (review finding: the
+    shared ngram_array's n==1 short-circuit returned the raw array)."""
+    from datafusion_geo_spark.operators.dedup import word_shingles
+    df = spark.createDataFrame([(0, None), (1, ""), (2, "a b")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", word_shingles(F.col("text"), 1).alias("s")).collect()}
+    assert out[0] == []          # NULL text -> empty, not NULL
+    assert out[2] == ["a", "b"]
