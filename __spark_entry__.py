@@ -838,6 +838,24 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
 
 
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary report: top-50 words by exact document-wide
+    frequency (ties broken by word) with the count and the
+    document-frequency — the table a tokenizer-training or
+    stopword-curation step starts from. Classic word-count shape:
+    explode → partial+final hash aggregate on the word, then a global
+    top-k (TakeOrdered — never a full sort at scale)."""
+    from datafusion_geo_spark.operators.text import words_col
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id",
+                    F.explode(words_col(F.col("text"))).alias("word"))
+    return (w.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+            .limit(50))
+
+
 DOMAIN_MIX = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.1}  # zh → default 0
 
 
@@ -1110,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "domain_mix": _q_domain_mix,
         "ann_recall": _q_ann_recall,
+        "vocab_topk": _q_vocab_topk,
     }
 
 
@@ -1982,6 +2001,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket::INT AS bucket, (st // 512) AS seq_id,
                    (st % 512)::INT AS seq_offset, n_tokens
             FROM s
+        """,
+        "vocab_topk": f"""
+            SELECT word, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id, unnest({_WORDS}) AS word FROM documents)
+            GROUP BY word
+            ORDER BY n_occurrences DESC, word ASC
+            LIMIT 50
         """,
         # mirrors _q_domain_mix: same md5 bucket, same CASE thresholds
         "domain_mix": f"""
