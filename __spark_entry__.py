@@ -838,6 +838,16 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
 
 
+def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate-as-you-ingest (streaming.curate): documents stream with
+    injected exact copies → stateless Gopher gate BEFORE any keyed
+    state → first-seen-by-content-hash struct-MIN aggregate (the one
+    streaming aggregation allowed). Bounded availableNow replay equals
+    the batch query the oracle runs."""
+    from datafusion_geo_spark.streaming.curate import streaming_curation
+    return streaming_curation(spark, sf_dir)
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary report: top-50 words by exact document-wide
     frequency (ties broken by word) with the count and the
@@ -1129,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "ann_recall": _q_ann_recall,
         "vocab_topk": _q_vocab_topk,
+        "streaming_curation": _q_streaming_curation,
     }
 
 
@@ -2001,6 +2012,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket::INT AS bucket, (st // 512) AS seq_id,
                    (st % 512)::INT AS seq_offset, n_tokens
             FROM s
+        """,
+        # mirrors _q_streaming_curation: bounded availableNow replay ==
+        # this batch query (gopher gate -> md5 first-seen, arg_min ties)
+        "streaming_curation": f"""
+            WITH corpus AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang FROM documents),
+            q AS (
+              SELECT doc_id, text, lang, len(w)::BIGINT AS n,
+                     length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT
+                         AS nchars,
+                     len(list_filter(w,
+                         x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                         AS alpha,
+                     len(list_distinct(list_filter(w,
+                         x -> x IN ({_stop_list()}))))::BIGINT AS dstops
+              FROM (SELECT doc_id, text, lang, {_WORDS} AS w
+                    FROM corpus)),
+            kept AS (
+              SELECT doc_id, text, lang, n FROM q
+              WHERE n BETWEEN 50 AND 100000
+                AND ((2000000*nchars + n) // (2*n)) / 1000000.0 >= 3.0
+                AND ((2000000*nchars + n) // (2*n)) / 1000000.0 <= 10.0
+                AND ((2000000*alpha + n) // (2*n)) / 1000000.0 >= 0.8
+                AND dstops >= 2)
+            SELECT md5(text) AS text_md5,
+                   MIN(doc_id) AS canonical_id,
+                   arg_min(lang, doc_id) AS lang,
+                   arg_min(n, doc_id)::INT AS n_tokens,
+                   COUNT(*) AS n_copies
+            FROM kept GROUP BY md5(text)
         """,
         "vocab_topk": f"""
             SELECT word, COUNT(*) AS n_occurrences,

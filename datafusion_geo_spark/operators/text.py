@@ -184,16 +184,14 @@ GOPHER_MIN_ALPHA_RATIO = 0.8     # frac of words containing >=1 letter
 GOPHER_MIN_DISTINCT_STOPS = 2    # distinct stopword hits required
 
 
-def gopher_quality(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """Gopher-rule document filter: word-count bounds, mean word length
-    band, alphabetic-word ratio, and distinct-stopword presence, plus
-    the combined ``keep`` verdict. Pure built-ins (one map-side project,
-    no shuffle): at 100 TB this is a free rider on the scan."""
-    w = words_col(F.col(text_col))
+def gopher_metrics(text: Column) -> dict:
+    """The Gopher rule columns as a dict — composable into batch
+    (gopher_quality) or streaming (streaming/curate.py) plans; all
+    stateless map-side expressions."""
+    w = words_col(text)
     n_words = F.size(w).cast("long")
     n_chars_nospace = F.length(
-        F.regexp_replace(F.col(text_col), r"\s+", "")).cast("long")
+        F.regexp_replace(text, r"\s+", "")).cast("long")
     mean_len = _ratio6(n_chars_nospace, n_words)
     alpha_words = F.size(
         F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
@@ -206,13 +204,25 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
             & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
             & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
             & (distinct_stops >= GOPHER_MIN_DISTINCT_STOPS))
+    return {"n_words": n_words, "mean_word_len": mean_len,
+            "alpha_ratio": alpha_ratio, "distinct_stops": distinct_stops,
+            "keep": keep}
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rule document filter: word-count bounds, mean word length
+    band, alphabetic-word ratio, and distinct-stopword presence, plus
+    the combined ``keep`` verdict. Pure built-ins (one map-side project,
+    no shuffle): at 100 TB this is a free rider on the scan."""
+    m = gopher_metrics(F.col(text_col))
     return df.select(
         id_col,
-        n_words.cast("int").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_ratio.alias("alpha_ratio"),
-        distinct_stops.cast("int").alias("distinct_stops"),
-        keep.alias("keep"),
+        m["n_words"].cast("int").alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["distinct_stops"].cast("int").alias("distinct_stops"),
+        m["keep"].alias("keep"),
     )
 
 

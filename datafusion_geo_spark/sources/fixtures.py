@@ -139,6 +139,15 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_event_ts(stream)
 
 
+def load_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the documents table: file-stream source over
+    the fixture parquet (schema from a footer-only batch read), for the
+    curate-as-you-ingest operators (streaming/curate.py)."""
+    stream_dir = _symlink_dir(f"{sf_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
