@@ -838,6 +838,29 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
 
 
+def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental hypertable-style rollup (operators.rollup): events
+    applied as TWO hour-sliced batches through dynamic-partition-
+    overwrite upserts, then the maintained table is read back — the
+    continuous-aggregate maintenance path, whose final state must equal
+    the one-shot GROUP BY the oracle runs. Exact cent-sums (int64) keep
+    the value hash order-independent."""
+    import os
+    from datafusion_geo_spark.operators.rollup import (apply_rollup_batch,
+                                                       read_rollup)
+    from datafusion_geo_spark.sources.fixtures import load_events
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "rollup", tag)
+    ev = load_events(spark, sf_dir)
+    hour = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))
+                   / 3600).cast("long")
+    apply_rollup_batch(ev.where(hour % 2 == 0), path)
+    apply_rollup_batch(ev.where(hour % 2 == 1), path)
+    return read_rollup(spark, path).select(
+        "hour", "event_type", "n_events", "n_users", "sum_cents")
+
+
 def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curate-as-you-ingest (streaming.curate): documents stream with
     injected exact copies → stateless Gopher gate BEFORE any keyed
@@ -1140,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "vocab_topk": _q_vocab_topk,
         "streaming_curation": _q_streaming_curation,
+        "hourly_rollup": _q_hourly_rollup,
     }
 
 
@@ -2012,6 +2036,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket::INT AS bucket, (st // 512) AS seq_id,
                    (st % 512)::INT AS seq_offset, n_tokens
             FROM s
+        """,
+        # mirrors _q_hourly_rollup: the incrementally-maintained table's
+        # final state == the one-shot GROUP BY
+        # hour via exact integer micros: epoch(ts)::BIGINT ROUNDS
+        # fractional seconds (an hh:59:59.6 event would cross the hour)
+        # while Spark's unix_timestamp truncates — floor-division on
+        # epoch_us composes identically
+        "hourly_rollup": """
+            SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT
+                       AS sum_cents
+            FROM events GROUP BY 1, 2
         """,
         # mirrors _q_streaming_curation: bounded availableNow replay ==
         # this batch query (gopher gate -> md5 first-seen, arg_min ties)
