@@ -846,17 +846,25 @@ def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-shot GROUP BY the oracle runs. Exact cent-sums (int64) keep
     the value hash order-independent."""
     import os
+    import shutil
     from datafusion_geo_spark.operators.rollup import (apply_rollup_batch,
-                                                       read_rollup)
+                                                       hour_col, read_rollup)
     from datafusion_geo_spark.sources.fixtures import load_events
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         ".cache", "rollup", tag)
+    # fresh dataset per run: dynamic overwrite only replaces the hours a
+    # batch carries, so a stale run against a different fixture would
+    # otherwise leave orphan hour partitions the oracle doesn't have
+    shutil.rmtree(path, ignore_errors=True)
     ev = load_events(spark, sf_dir)
-    hour = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))
-                   / 3600).cast("long")
-    apply_rollup_batch(ev.where(hour % 2 == 0), path)
-    apply_rollup_batch(ev.where(hour % 2 == 1), path)
+    hour = hour_col("ts")  # slice with THE bucketing formula (rollup.py)
+    even = (hour % 2) == 0
+    apply_rollup_batch(ev.where(even), path)
+    # complement via null-safe negation: NULL-ts rows (hour NULL) and
+    # negative odd hours (Spark % keeps the dividend sign: -1) must land
+    # in exactly one batch, or they'd be silently dropped vs the oracle
+    apply_rollup_batch(ev.where(~F.coalesce(even, F.lit(False))), path)
     return read_rollup(spark, path).select(
         "hour", "event_type", "n_events", "n_users", "sum_cents")
 

@@ -20,22 +20,32 @@ re-applying the affected hour's full slice.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def hour_col(ts_col: str = "ts") -> Column:
+    """Epoch-hour bucket (long) — THE bucketing expression. Exported so
+    batch-slicing callers (who must carry each hour completely, see
+    module docstring) and tests slice with the exact formula the rollup
+    buckets with; a drifted copy would let dynamic overwrite replace a
+    complete hour with a partial aggregate."""
+    return F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                   / 3600).cast("long")
 
 
 def hourly_rollup(events: DataFrame, ts_col: str = "ts",
                   type_col: str = "event_type",
-                  value_col: str = "value") -> DataFrame:
+                  value_col: str = "value",
+                  user_col: str = "user_id") -> DataFrame:
     """Per (hour, event_type) aggregate of an events frame: counts, user
     reach, and exact cent-sums (int64 — order-independent for the value
     hash). One partial+final hash aggregate; ``hour`` is epoch-hours
     (long) so it doubles as the partition column."""
-    hour = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-                   / 3600).cast("long")
     return (events
-            .groupBy(hour.alias("hour"), F.col(type_col).alias("event_type"))
+            .groupBy(hour_col(ts_col).alias("hour"),
+                     F.col(type_col).alias("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.countDistinct("user_id").alias("n_users"),
+                 F.countDistinct(user_col).alias("n_users"),
                  F.sum(F.round(F.col(value_col) * 100).cast("long"))
                   .alias("sum_cents")))
 
@@ -61,5 +71,9 @@ def apply_rollup_batch(events_batch: DataFrame, path: str,
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     """The rollup table; hour-range predicates prune at the directory
-    level (partition column)."""
-    return spark.read.parquet(path)
+    level (partition column). ``hour`` is cast back to the LONG the
+    aggregate produced — partition-column inference reads the directory
+    values as INT, which would break strict-schema comparisons and
+    ANSI unions with hourly_rollup output."""
+    df = spark.read.parquet(path)
+    return df.withColumn("hour", F.col("hour").cast("long"))

@@ -18,13 +18,12 @@ dedup (streaming/dedup.py module docstring).
 
 from __future__ import annotations
 
-import uuid
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.text import gopher_metrics, words_col
+from ..operators.text import gopher_metrics
 from ..sources.fixtures import load_documents_stream
+from .runner import run_bounded_complete
 
 
 def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,16 +39,14 @@ def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = gopher_metrics(F.col("text"))
     kept = u.where(m["keep"]).select(
         "doc_id", "text", "lang",
-        F.size(words_col(F.col("text"))).cast("int").alias("n_tokens"))
+        # reuse the metric's word count — a fresh words_col() here would
+        # re-split every surviving document's text a second time
+        m["n_words"].cast("int").alias("n_tokens"))
     agg = (kept
            .groupBy(F.md5(F.col("text")).alias("text_md5"))
            .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("c"),
                 F.count(F.lit(1)).alias("n_copies")))
-    name = "stream_curate_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name).select(
+    return run_bounded_complete(agg, "stream_curate_").select(
         "text_md5",
         F.col("c.doc_id").alias("canonical_id"),
         F.col("c.lang").alias("lang"),

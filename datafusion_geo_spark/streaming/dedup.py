@@ -31,7 +31,6 @@ is exact.
 
 from __future__ import annotations
 
-import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -51,11 +50,8 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.min(F.struct(F.col("ts_us"), F.col("event_id")))
                 .alias("first"),
                 F.count(F.lit(1)).alias("n_events")))
-    name = "stream_firstseen_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name).select(
+    from .runner import run_bounded_complete
+    return run_bounded_complete(agg, "stream_firstseen_").select(
         "user_id", "event_type",
         F.col("first.ts_us").alias("first_ts_us"),
         F.col("first.event_id").alias("first_event_id"),

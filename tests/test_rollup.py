@@ -29,8 +29,11 @@ def _events(spark):
     return load_events(spark, SF_DIR)
 
 
-def _hour(col):
-    return F.floor(F.unix_timestamp(col.cast("timestamp")) / 3600).cast("long")
+def _hour():
+    # THE bucketing formula (rollup.hour_col) — slicing with a drifted
+    # copy would violate the hour-completeness contract under test
+    from datafusion_geo_spark.operators.rollup import hour_col
+    return hour_col("ts")
 
 
 def _rows(df):
@@ -45,8 +48,8 @@ def test_incremental_batches_equal_one_shot(spark):
     ev = _events(spark)
     path = os.path.join(CACHE, "ds")
     # two batches sliced BY HOUR (each carries its hours completely)
-    even = ev.where(_hour(F.col("ts")) % 2 == 0)
-    odd = ev.where(_hour(F.col("ts")) % 2 == 1)
+    even = ev.where(_hour() % 2 == 0)
+    odd = ev.where(_hour() % 2 == 1)
     apply_rollup_batch(even, path)
     apply_rollup_batch(odd, path)
     assert _rows(read_rollup(spark, path)) == _rows(hourly_rollup(ev))
@@ -68,7 +71,7 @@ def test_reapply_is_idempotent_and_touches_only_its_hours(spark):
     other_files = {f: os.path.getmtime(f) for f in
                    glob.glob(os.path.join(path, "hour=*", "*.parquet"))
                    if f"hour={target}" + os.sep not in f}
-    one_hour = ev.where(_hour(F.col("ts")) == target)
+    one_hour = ev.where(_hour() == target)
     apply_rollup_batch(one_hour, path)
     after = _rows(read_rollup(spark, path))
     assert after == before                       # idempotent
