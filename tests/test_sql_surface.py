@@ -69,6 +69,14 @@ GOLDENS = [
      True),
     # geometry_type.rs:108-117
     ("select ST_GeometryType(ST_GeomFromText('POINT(1 1)')) v", "ST_Point"),
+    # helper-surface goldens (previously only covered at DataFrame level)
+    ("select ST_AsText(ST_Point(3.5, -4.25)) v", "POINT(3.5 -4.25)"),
+    ("select ST_NPoints(ST_GeomFromText('LINESTRING(0 0,1 1,2 2)')) v", 3),
+    ("select ST_Area(ST_GeomFromText('POLYGON((0 0,4 0,4 4,0 4,0 0))')) v",
+     16.0),
+    ("select ST_Area(ST_GeomFromText("
+     "'POLYGON((0 0,12 0,12 12,0 12,0 0),(4 4,4 8,8 8,8 4,4 4))')) v",
+     128.0),
     # intersects.rs:153-164
     ("select ST_Intersects(ST_GeomFromText('POINT(1 1)'), ST_GeomFromText('LINESTRING ( 1 1, 0 2 )')) v",
      True),
