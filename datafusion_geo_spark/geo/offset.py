@@ -45,11 +45,111 @@ _EPS = 1e-9
 
 # ------------------------------------------------------------ raw offsets
 
-def _dedupe(cs: Sequence[Coord]) -> List[Coord]:
+def _dedupe(cs: Sequence[Coord], tol: float = _EPS) -> List[Coord]:
+    """Drop consecutive vertices closer than ``tol``. Offset paths pass a
+    WIDTH-RELATIVE tolerance (w·1e-3): a segment a thousandth of the
+    buffer width moves the boundary less than the quadsegs arc error,
+    but its joint arcs degenerate the arrangement's face classification
+    (fuzz-found: a 1.2e-07-long first segment emptied the buffer). GEOS
+    likewise simplifies by a fraction of the buffer distance first."""
     out: List[Coord] = []
     for c in cs:
-        if not out or dist(c, out[-1]) > _EPS:
+        if not out or dist(c, out[-1]) > tol:
             out.append(c)
+    return out
+
+
+# near-antiparallel joint snap threshold (radians). A joint whose turn
+# is within this of ±π is a doubling-back spike; the tiny lateral
+# deviation is numeric noise relative to the buffer's own arc
+# approximation, and leaving it produces offset-curve self-intersections
+# so close together that the planar arrangement's face classification
+# degenerates (fuzz-found: LINESTRING(0 0,1 0,0 -1e-05) buffered to an
+# EMPTY polygon while ±1e-4 deviations and the exact double-back were
+# fine). GEOS applies the same class of snapping before buffering.
+_SPIKE_EPS = 1e-4
+
+
+def _snap_spikes(cs: List[Coord]) -> List[Coord]:
+    """Make near-antiparallel joints EXACTLY antiparallel: the outgoing
+    segment keeps its length but leaves along the reversed incoming
+    direction. Displacement is bounded by len·_SPIKE_EPS — far below the
+    quadsegs arc-approximation error."""
+    if len(cs) < 3:
+        return cs
+    out = [cs[0], cs[1]]
+    for p in cs[2:]:
+        a, b = out[-2], out[-1]
+        th1 = math.atan2(b[1] - a[1], b[0] - a[0])
+        th2 = math.atan2(p[1] - b[1], p[0] - b[0])
+        d = th2 - th1
+        while d > math.pi:
+            d -= TAU
+        while d <= -math.pi:
+            d += TAU
+        if abs(abs(d) - math.pi) < _SPIKE_EPS:
+            seg = math.hypot(p[0] - b[0], p[1] - b[1])
+            p = (b[0] - seg * math.cos(th1), b[1] - seg * math.sin(th1))
+        out.append(p)
+    return out
+
+
+def _is_degenerate(cs: List[Coord], tol: float) -> bool:
+    """True when the path carries a feature the raw offset arrangement
+    can't classify robustly: a sub-tolerance segment, a near-antiparallel
+    (doubling-back) joint, or a start/end gap below tolerance. Only such
+    paths go through the snapping pipeline — everything else keeps its
+    exact oracle-pinned offset layout."""
+    if len(cs) < 2:
+        return False
+    for i in range(len(cs) - 1):
+        if dist(cs[i], cs[i + 1]) <= tol:
+            return True
+    if len(cs) >= 3:
+        if cs[0] != cs[-1] and dist(cs[0], cs[-1]) <= tol:
+            return True
+        _, turns = _turns(cs, closed=False)
+        if any(abs(abs(t) - math.pi) < _SPIKE_EPS for t in turns):
+            return True
+    return False
+
+
+def _snap_closure(cs: List[Coord], tol: float) -> List[Coord]:
+    """Snap a nearly-closed open path exactly closed: a start/end gap
+    below ``tol`` creates geometric features SMALLER than the
+    arrangement's side-classification probe offset (~1e-6), which
+    misclassifies every boundary piece (fuzz-found: a triangle path
+    closing to within 2.4e-07 of its start emptied the buffer while the
+    exactly-closed and 1e-3-gap variants were fine)."""
+    if len(cs) >= 3 and cs[0] != cs[-1] and dist(cs[0], cs[-1]) <= tol:
+        return cs[:-1] + [cs[0]]
+    return cs
+
+
+def _drop_collinear(cs: List[Coord], tol: float) -> List[Coord]:
+    """Remove interior vertices lying within ``tol`` of the segment
+    between their neighbors (and projecting BETWEEN them — spike apexes
+    are kept). A run of near-collinear vertices contributes nothing
+    visible at tol ≪ w but splits the offset side into multiple
+    exactly-coincident collinear pieces, whose arrangement degeneracy is
+    rotation-invariant (fuzz-found: an up-leg doubling back over TWO
+    collinear down-segments emptied the buffer even under the
+    perturbation retry)."""
+    if len(cs) < 3:
+        return cs
+    out = [cs[0]]
+    for i in range(1, len(cs) - 1):
+        a, b, c = out[-1], cs[i], cs[i + 1]
+        acx, acy = c[0] - a[0], c[1] - a[1]
+        abx, aby = b[0] - a[0], b[1] - a[1]
+        den = acx * acx + acy * acy
+        if den > 0:
+            t = (abx * acx + aby * acy) / den
+            perp = abs(abx * acy - aby * acx) / math.sqrt(den)
+            if 0.0 <= t <= 1.0 and perp <= tol:
+                continue  # b adds nothing: drop it
+        out.append(b)
+    out.append(cs[-1])
     return out
 
 
@@ -109,6 +209,14 @@ def offset_open_ring(coords: Sequence[Coord], w: float,
     forward, round end cap, left side backward, round start cap; round
     arc at every interior joint. Overall CCW; returns a closed ring."""
     cs = _dedupe(coords)
+    if _is_degenerate(cs, max(_EPS, abs(w) * 1e-3)):
+        # robustness pipeline for pathological paths ONLY — well-formed
+        # inputs keep the exact vertex layout the oracles pin (e.g. an
+        # exactly-collinear interior vertex contributes two offset
+        # points; dropping it unconditionally changed pinned counts)
+        tol = max(_EPS, abs(w) * 1e-3)
+        cs = _snap_spikes(_drop_collinear(
+            _snap_closure(_dedupe(cs, tol=tol), tol), tol))
     if len(cs) == 1:  # degenerate: pure disc
         x, y = cs[0]
         n = 4 * max(1, int(quadsegs))
@@ -430,6 +538,36 @@ def _buffer_polygon(rings: Sequence[Sequence[Coord]], w: float,
 
 
 def buffer_path(g: Geometry, w: float, quadsegs: int) -> Geometry:
+    """Dilation with a symbolic-perturbation safety net: a POSITIVE
+    buffer of a non-empty geometry can never be geometrically empty, so
+    an empty resolve() result means the arrangement hit an exact
+    coincidence (fuzz-found examples: an axis-aligned double-back
+    overshooting by exactly 1/256 aligning arc points with segment
+    endpoints bitwise; a start point lying exactly ON a later segment,
+    making its cap circle tangent to that segment's offset line —
+    a RELATIVE coincidence no rigid motion or uniform scale breaks).
+    Retry once with a deterministic per-vertex jitter of w·1e-6 — far
+    below the quadsegs arc-approximation error, large enough to break
+    every exact tangency/coincidence class, and a pure function of
+    vertex order so reruns and oracles agree."""
+    out = _buffer_path_once(g, w, quadsegs)
+    if w > 0 and out.is_empty() and not g.is_empty():
+        eps = w * 1e-6
+        idx = [0]
+
+        def jit(p):
+            i = idx[0]
+            idx[0] += 1
+            hx = ((i * 2654435761 + 97) & 0xFFFF) / 65535.0
+            hy = ((i * 40503 + 12345) & 0xFFFF) / 65535.0
+            return (p[0] + (2.0 * hx - 1.0) * eps,
+                    p[1] + (2.0 * hy - 1.0) * eps)
+
+        out = _buffer_path_once(g.map_coords(jit), w, quadsegs)
+    return out
+
+
+def _buffer_path_once(g: Geometry, w: float, quadsegs: int) -> Geometry:
     """Buffer a LineString / Polygon / Multi* / collection geometry with
     round joins and caps. Point/MultiPoint inputs are handled by
     ``algos.buffer`` directly (their disc layout predates this module and

@@ -208,3 +208,57 @@ def test_random_polylines_property():
         buf = algos.buffer(Geometry.linestring(line), w, Q)
         assert algos.area(buf) > 0, (trial, line)
         sample_check(buf, w, ((-5, 25), (-5, 25)), [line], n=600)
+
+
+# ---- degenerate-path robustness (fuzz-found round 4) ------------------
+
+DEGEN_CASES = [
+    # near-antiparallel double-back (turn within 1e-5 of -pi)
+    [(0.0, 0.0), (1.0, 0.0), (0.0, -1e-05)],
+    # microscopic first segment (1.2e-07) then a long leg
+    [(-1.192092896e-07, 0.0), (0.0, 2.0), (0.0, 1.0), (0.0, 0.0)],
+    # axis-aligned double-back overshooting by exactly 1/256 (arc points
+    # landed bitwise on segment endpoints)
+    [(0.0, 0.0), (0.0, 1.0), (0.0, -0.00390625)],
+    # triangle path closing to within 2.4e-07 of its start (gap smaller
+    # than the arrangement's side-probe offset)
+    [(0.0, 2.3841857910156247e-07), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)],
+]
+
+
+@pytest.mark.parametrize("pts", DEGEN_CASES)
+def test_degenerate_paths_buffer_nonempty_and_cover_vertices(pts):
+    g = Geometry("LineString", list(pts))
+    b = algos.buffer(g, 0.5, Q)
+    assert algos.area(b) > 0.5  # a positive buffer is never empty
+    for v in g.vertices():
+        assert algos.covers(b, Geometry("Point", v)), v
+
+
+def test_buffer_containment_property():
+    """buffer(g, r>0) covers every vertex of g and strictly exceeds its
+    area — the invariant the round-4 deep fuzz ran at 4000 examples; a
+    smaller deterministic budget keeps it in CI."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    coord = st.floats(min_value=-50, max_value=50, allow_nan=False,
+                      allow_infinity=False)
+
+    @st.composite
+    def lines(draw):
+        pts = [(draw(coord), draw(coord))
+               for _ in range(draw(st.integers(2, 5)))]
+        if len(set(pts)) < 2:
+            pts.append((pts[0][0] + 5, pts[0][1]))
+        return Geometry("LineString", pts)
+
+    @given(lines(), st.sampled_from([0.5, 1.0, 3.0]))
+    @settings(max_examples=250, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    def contains(g, r):
+        b = algos.buffer(g, r, Q)
+        for v in g.vertices():
+            assert algos.covers(b, Geometry("Point", v)), (g, r, v)
+        assert algos.area(b) > algos.area(g)
+
+    contains()
