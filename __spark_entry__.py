@@ -521,6 +521,22 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(_embs(spark, sf_dir), probe_max_id=50)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    clusters the corpus (deterministic Lloyd replay, same machinery as
+    ivf_trained_topk), then within-cluster cosine >= 0.95 to a lower-id
+    member drops a vector. Corpus augmented with exact copies
+    (vec_id + 1e6) so true semantic duplicates exist deterministically —
+    every copy is dropped, every original kept."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.similarity import semantic_dedup
+    base = _embs(spark, sf_dir).select("vec_id", "embedding")
+    copies = base.select((FF.col("vec_id") + 1_000_000).alias("vec_id"),
+                         "embedding")
+    return semantic_dedup(base.unionAll(copies), n_centroids=8,
+                          train_iters=2, min_cosine=0.95)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id < 8 —
     JVM-side dot products, broadcast query set."""
@@ -1153,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_parquet_window": _q_geo_parquet_window,
         "ivf_topk": _q_ivf_topk,
         "ivf_trained_topk": _q_ivf_trained_topk,
+        "semantic_dedup": _q_semantic_dedup,
         "streaming_first_seen": _q_streaming_first_seen,
         "asof_join": _q_asof_join,
         "asof_forward": _q_asof_forward,
@@ -1236,18 +1253,21 @@ def _minhash_oracle() -> str:
     """
 
 
-def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
-                        nprobe: int = 2, max_query_id: int = 8,
-                        k: int = 10, dim: int = 64) -> str:
-    """DuckDB twin of similarity.kmeans_centroids + ivf_topk(trained):
-    seeds = smallest-md5(vec_id) vectors, then ``iters`` unrolled Lloyd
-    rounds (argmax cosine rounded 6 dp, ties to lowest cid; per-dim AVG
-    rounded 6 dp — the rounding is what makes cross-engine summation
-    order irrelevant), then the standard IVF probe/search. ``dim`` is
-    the fixture's embedding length (64)."""
+_VECS_EMB = """SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings"""
+
+
+def _kmeans_ctes(n_centroids: int, iters: int, dim: int,
+                 vecs_sql: str = _VECS_EMB) -> list:
+    """Shared DuckDB twin of similarity.kmeans_centroids: seeds =
+    smallest-md5(vec_id) vectors, then ``iters`` unrolled Lloyd rounds
+    (argmax cosine rounded 6 dp, ties to lowest cid; per-dim AVG rounded
+    6 dp — the rounding is what makes cross-engine summation order
+    irrelevant). Returns CTE fragments ending with the trained centroid
+    set ``c{iters}``; ``vecs_sql`` supplies the corpus as (vec_id, v)."""
     ctes = [f"""
-        vecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                 FROM embeddings),
+        vecs AS ({vecs_sql}),
         c0 AS (SELECT cid::INT AS cid, cvec FROM (
                  SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR),
                                             vec_id) - 1) AS cid, v AS cvec
@@ -1267,6 +1287,16 @@ def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
                     FROM a{it} a JOIN vecs b USING (vec_id),
                          generate_series(1, {dim}) AS g(i)
                     GROUP BY a.cid, g.i) GROUP BY cid)""")
+    return ctes
+
+
+def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
+                        nprobe: int = 2, max_query_id: int = 8,
+                        k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of similarity.kmeans_centroids + ivf_topk(trained):
+    the shared k-means replay (:func:`_kmeans_ctes`), then the standard
+    IVF probe/search. ``dim`` is the fixture's embedding length (64)."""
+    ctes = _kmeans_ctes(n_centroids, iters, dim)
     fin = f"""
         scored AS (SELECT a.vec_id, c.cid,
                           ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
@@ -1295,6 +1325,43 @@ def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id) AS rank
           FROM pairs) WHERE rank <= {k}"""
+    return "WITH " + ",".join(ctes) + "," + fin
+
+
+def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2,
+                           min_cosine: float = 0.95, dim: int = 64) -> str:
+    """DuckDB twin of similarity.semantic_dedup over the copy-augmented
+    corpus: shared k-means replay (:func:`_kmeans_ctes`), argmax-cosine
+    assignment, then max cosine to any lower-id same-cluster member."""
+    vecs_sql = """SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings
+                  UNION ALL
+                  SELECT vec_id + 1000000,
+                         list_transform(embedding, x -> x::DOUBLE)
+                  FROM embeddings"""
+    ctes = _kmeans_ctes(n_centroids, iters, dim, vecs_sql)
+    fin = f"""
+        scored AS (SELECT a.vec_id, c.cid,
+                          ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                   FROM vecs a, c{iters} c),
+        assign AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, cid) AS rn
+                     FROM scored) WHERE rn = 1),
+        vb AS (SELECT vecs.vec_id, v, assign.cid
+               FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
+        sims AS (SELECT b.vec_id,
+                        MAX(ROUND(list_cosine_similarity(a.v, b.v), 6))
+                          AS max_sim_lower
+                 FROM vb a JOIN vb b
+                   ON a.cid = b.cid AND a.vec_id < b.vec_id
+                 GROUP BY b.vec_id)
+        SELECT vb.vec_id, vb.cid, s.max_sim_lower,
+               (s.max_sim_lower IS NULL OR s.max_sim_lower < {min_cosine})
+                 AS is_kept
+        FROM vb LEFT JOIN sims s ON vb.vec_id = s.vec_id"""
     return "WITH " + ",".join(ctes) + "," + fin
 
 
@@ -1913,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs) WHERE rank <= 10
         """,
         "ivf_trained_topk": _ivf_trained_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "streaming_first_seen": """
             WITH d AS (
                 SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

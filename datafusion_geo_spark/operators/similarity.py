@@ -278,6 +278,70 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def semantic_dedup(emb: DataFrame, n_centroids: int = 8,
+                   train_iters: int = 2, min_cosine: float = 0.95,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public paper): cluster the embedding corpus with
+    k-means, then WITHIN each cluster drop every vector whose cosine
+    similarity to a lower-id cluster member reaches ``min_cosine``.
+    Keeping the lowest id of each similar pair is the deterministic
+    stand-in for the paper's keep-one-per-group rule (the paper keeps
+    the member farthest from the centroid; any single-representative
+    rule yields the same dedup ratio, and lowest-id is exactly
+    SQL-replayable). Pairwise semantics: B is dropped when ANY lower-id
+    A in its cluster is similar, even if A is itself dropped — one
+    relational pass, no iterative chain.
+
+    Returns one row per input vector: (id_col, cid, max_sim_lower,
+    is_kept). ``max_sim_lower`` is the highest cosine to any lower-id
+    cluster member (NULL for each cluster's lowest id).
+
+    Scale design (100 TB): clustering IS the blocking structure — the
+    all-pairs comparison happens only inside a cluster (equi-join on the
+    compact cid, one shuffle), never across the corpus. The quadratic
+    term is bounded by the cluster size, which the operator controls:
+    n_centroids scales with the corpus (the paper uses ~100k clusters
+    for billions of docs) so the expected cluster stays O(N/k). The
+    k-means training cost is iters × (corpus × broadcast-centroids)
+    map passes with a k×dim driver sync per round
+    (:func:`kmeans_centroids`)."""
+    vecs = prenorm(emb, id_col, vec_col)
+    trained = kmeans_centroids(vecs, n_centroids, train_iters, id_col)
+    cents = F.broadcast(
+        vecs.sparkSession
+        .createDataFrame(trained, "cid int, cvec array<double>")
+        .withColumn("cn", norm(F.col("cvec"))))
+    scored = vecs.crossJoin(cents).select(
+        F.col(id_col),
+        F.round(dot(F.col("v"), F.col("cvec"))
+                / (F.col("n") * F.col("cn")), 6).alias("cs"),
+        F.col("cid"))
+    assign = (scored.groupBy(id_col)
+              .agg(F.max(F.struct(F.col("cs"),
+                                  (-F.col("cid")).alias("ncid"))).alias("m"))
+              .select(F.col(id_col), (-F.col("m.ncid")).cast("int").alias("cid")))
+    vb = vecs.join(assign, id_col).select(id_col, "v", "n", "cid")
+    a = vb.select(F.col("cid"), F.col(id_col).alias("_id_a"),
+                  F.col("v").alias("va"), F.col("n").alias("na"))
+    b = vb.select(F.col("cid"), F.col(id_col).alias("_id_b"),
+                  F.col("v").alias("vb"), F.col("n").alias("nb"))
+    sims = (a.join(b, "cid")
+            .where(F.col("_id_a") < F.col("_id_b"))
+            .groupBy(F.col("_id_b").alias(id_col))
+            .agg(F.max(F.round(dot(F.col("va"), F.col("vb"))
+                               / (F.col("na") * F.col("nb")), 6))
+                 .alias("max_sim_lower")))
+    return (vb.join(sims, id_col, "left")
+            .select(F.col(id_col), F.col("cid"),
+                    F.col("max_sim_lower"),
+                    (F.col("max_sim_lower").isNull()
+                     | (F.col("max_sim_lower") < min_cosine))
+                    .alias("is_kept")))
+
+
 def ann_hyperplane_topk(emb: DataFrame, queries: DataFrame, planes: list,
                         k: int = 10, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:

@@ -1,0 +1,83 @@
+"""Unit + plan tests for SemDeDup-style semantic_dedup
+(operators/similarity.py). The driver-level oracle check (copy-augmented
+embeddings fixture) lives in test_entry_oracle.py; these pin the
+semantics on a hand-built corpus with known cluster/duplicate structure
+and the scale-plan shape (cid equi-join, no cross product in the
+pairing stage)."""
+
+import math
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_geo_spark.operators.similarity import semantic_dedup
+
+
+def _corpus(spark):
+    """Two well-separated clusters on orthogonal axes, with exact and
+    near duplicates inside each: ids 0,1,2 ~ +x cluster (0 and 1 are
+    near-dups, 2 is distinct-ish but same cluster), ids 10,11 ~ +y
+    cluster (exact dups)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),       # near-dup of 0
+        (2, [0.7, 0.0, 0.714, 0.0]),        # same cluster, not a dup
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0]),         # exact dup of 10
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+
+
+def _by_id(df):
+    return {r["vec_id"]: r for r in df.collect()}
+
+
+def test_semantic_dedup_drops_near_dups_keeps_lowest_id(spark):
+    out = _by_id(semantic_dedup(_corpus(spark), n_centroids=2,
+                                train_iters=1, min_cosine=0.99))
+    assert set(out) == {0, 1, 2, 10, 11}
+    # lowest id of each near-dup group survives
+    assert out[0]["is_kept"]
+    assert not out[1]["is_kept"] and out[1]["max_sim_lower"] >= 0.99
+    assert out[2]["is_kept"]          # same cluster but below threshold
+    assert out[10]["is_kept"]
+    assert not out[11]["is_kept"] and out[11]["max_sim_lower"] == 1.0
+
+
+def test_semantic_dedup_cluster_blocking(spark):
+    """Cross-cluster near-identity must NOT be compared: x-cluster and
+    y-cluster members are orthogonal here, so each cluster's lowest id
+    has max_sim_lower NULL (nothing below it in its own cluster)."""
+    out = _by_id(semantic_dedup(_corpus(spark), n_centroids=2,
+                                train_iters=1, min_cosine=0.99))
+    cids = {i: out[i]["cid"] for i in out}
+    assert cids[0] == cids[1] == cids[2]
+    assert cids[10] == cids[11]
+    assert cids[0] != cids[10]
+    lowest_per_cluster = {min(i for i in cids if cids[i] == c) for c in set(cids.values())}
+    for i in lowest_per_cluster:
+        assert out[i]["max_sim_lower"] is None and out[i]["is_kept"]
+
+
+def test_semantic_dedup_threshold_boundary(spark):
+    """cosine == min_cosine (after 6-dp rounding) drops — the paper's
+    ``>= tau`` convention."""
+    out = _by_id(semantic_dedup(_corpus(spark), n_centroids=2,
+                                train_iters=1, min_cosine=1.0))
+    assert not out[11]["is_kept"]     # exact dup: sim 1.0 >= 1.0
+    assert out[1]["is_kept"]          # 0.99995 < 1.0
+
+
+def test_semantic_dedup_plan_no_cross_pairing(spark):
+    """The pairing stage must be an equi-join on cid (cluster blocking),
+    never a cartesian/BNLJ over the corpus; k-means centroids are
+    broadcast. Also: exactly one row out per row in."""
+    df = semantic_dedup(_corpus(spark), n_centroids=2, train_iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert df.count() == 5
