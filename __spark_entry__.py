@@ -913,6 +913,26 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords: top-5 terms per doc under the
+    smoothed-idf scikit-learn formula (operators.text.tfidf_top_terms).
+    Explode → two map-side-combined aggs → term join → per-doc window."""
+    from datafusion_geo_spark.operators.text import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+BM25_QUERY = ("join", "merge", "window")
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed bag-of-words query
+    (operators.text.bm25_search): per-term tf map-side via array
+    filters (no explode), one broadcast one-row global aggregate,
+    distributed TakeOrdered top-k."""
+    from datafusion_geo_spark.operators.text import bm25_search
+    return bm25_search(_docs(spark, sf_dir), list(BM25_QUERY), k=10)
+
+
 DOMAIN_MIX = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.1}  # zh → default 0
 
 
@@ -1187,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "ann_recall": _q_ann_recall,
         "vocab_topk": _q_vocab_topk,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_search": _q_bm25_search,
         "streaming_curation": _q_streaming_curation,
         "hourly_rollup": _q_hourly_rollup,
     }
@@ -1363,6 +1385,64 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2,
                  AS is_kept
         FROM vb LEFT JOIN sims s ON vb.vec_id = s.vec_id"""
     return "WITH " + ",".join(ctes) + "," + fin
+
+
+_WORDS_LOWER = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _tfidf_oracle(k: int = 5) -> str:
+    """DuckDB twin of text.tfidf_top_terms: explode → tf and document
+    frequency aggregates → smoothed-idf score, per-doc top-k window."""
+    return f"""
+        WITH tl AS (SELECT doc_id, {_WORDS_LOWER} AS w FROM documents),
+        terms AS (SELECT doc_id, unnest(w) AS term FROM tl),
+        tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+               FROM terms GROUP BY doc_id, term),
+        dft AS (SELECT term, COUNT(*)::BIGINT AS dft FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                          ROUND(tf.tf * (ln((n.n_docs + 1.0)
+                                            / (dft.dft + 1.0)) + 1.0), 6)
+                              AS score
+                   FROM tf JOIN dft USING (term), n)
+        SELECT doc_id, term, tf::INT AS tf, score, rank::INT AS rank FROM (
+          SELECT doc_id, term, tf, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of text.bm25_search over BM25_QUERY: identical
+    double-arithmetic order (per-term contributions summed in declared
+    term order, dl·N/Σdl as one division, final 6-dp round)."""
+    idx = range(len(BM25_QUERY))
+    tf_cols = ", ".join(
+        f"length(list_filter(w, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in idx)
+    contribs = []
+    for i in idx:
+        idf = f"ln(1.0 + ((n_docs - df_{i}) + 0.5) / (df_{i} + 0.5))"
+        denom = (f"(tf_{i} + {k1!r} * ({1.0 - b!r} "
+                 f"+ {b!r} * dl * n_docs / sum_dl))")
+        contribs.append(f"{idf} * (tf_{i} * {k1 + 1.0!r}) / {denom}")
+    score = " + ".join(contribs)
+    return f"""
+        WITH tl AS (SELECT doc_id, {_WORDS_LOWER} AS w FROM documents),
+        base AS (SELECT doc_id, length(w)::BIGINT AS dl, {tf_cols} FROM tl),
+        tot AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                        SUM(dl)::BIGINT AS sum_dl, {df_cols} FROM base),
+        scored AS (SELECT doc_id, ROUND({score}, 6) AS score
+                   FROM base, tot)
+        SELECT doc_id, score, rank::INT AS rank FROM (
+          SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
 
 
 def _simhash_oracle() -> str:
@@ -2167,6 +2247,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_occurrences DESC, word ASC
             LIMIT 50
         """,
+        "tfidf_top_terms": _tfidf_oracle(),
+        "bm25_search": _bm25_oracle(),
         # mirrors _q_domain_mix: same md5 bucket, same CASE thresholds
         "domain_mix": f"""
             SELECT doc_id, lang FROM (

@@ -253,6 +253,108 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the ``k`` highest-scoring
+    terms per doc, ``score = tf · (ln((N+1)/(df+1)) + 1)`` (smoothed idf,
+    the scikit-learn convention) rounded to 6 dp, ties by term asc.
+
+    Plan (the 100-TB story): explode of the term array, then two
+    map-side-combined aggregations — tf on (doc, term) and document
+    frequency on term — with the vocabulary-sized df frame BROADCAST
+    back onto tf (skew-free: see inline note); the corpus size N is a
+    one-row aggregate broadcast via crossJoin (lazy, no driver action).
+    The per-doc top-k window partitions on doc_id. Everything is
+    built-ins inside WholeStageCodegen."""
+    w = words_col(F.lower(F.col(text_col)))
+    terms = (df.select(F.col(id_col), F.explode(w).alias("term")))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # document frequency: groupBy (map-side combined — a stopword
+    # compresses to one partial row per map task, so no hot-key skew)
+    # then BROADCAST back onto tf — never a shuffle join keyed on term
+    # (a stopword would funnel its (doc,term) rows into one task) and
+    # never a count-window partitioned by term (same funnel). Price:
+    # Catalyst duplicates the explode subtree (two corpus scans);
+    # persist the tf frame before calling if the scan dominates.
+    dft = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("dft")))
+    n = F.broadcast(df.agg(F.count("*").alias("n_docs")))
+    scored = (tf.join(dft, "term").crossJoin(n)
+              .select(F.col(id_col), F.col("term"),
+                      F.col("tf").cast("int").alias("tf"),
+                      F.round(F.col("tf")
+                              * (F.log((F.col("n_docs") + F.lit(1.0))
+                                       / (F.col("dft") + F.lit(1.0)))
+                                 + F.lit(1.0)), 6).alias("score")))
+    from pyspark.sql import Window
+    win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(df: DataFrame, query_terms: list, k: int = 10,
+                k1: float = BM25_K1, b: float = BM25_B,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 ranking of the corpus against a fixed bag-of-words query
+    (Robertson/Spärck Jones; the Okapi formula with standard k1/b).
+
+    Because the query is a FIXED small term set, per-term tf is computed
+    map-side with an array filter — no explode, no (doc, term) shuffle.
+    The only wide operation is a single one-row global aggregate
+    (corpus size + total token count + per-term document frequencies)
+    broadcast back via crossJoin. At 100 TB this is one scan + one
+    scalar sync: the cheapest possible search plan short of an index.
+
+    Determinism across engines: per-term contributions are summed in the
+    DECLARED term order with left-associative ``+`` (both engines fold
+    identically), the length ratio is computed as dl·N/Σdl (one division)
+    and only the final score is rounded — so the oracle reproduces the
+    exact double. Ties rank by doc_id."""
+    if not query_terms:
+        raise ValueError("bm25_search needs at least one query term")
+    w = words_col(F.lower(F.col(text_col)))
+
+    def tfc(term):
+        # factory: one-arg lambda for HOF introspection, binds term
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col), F.size(w).cast("long").alias("dl"),
+        *[tfc(t).cast("long").alias(f"tf_{i}")
+          for i, t in enumerate(query_terms)])
+    glob = F.broadcast(base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(query_terms))]))
+    g = base.crossJoin(glob)
+    score = None
+    for i in range(len(query_terms)):
+        tf_i = F.col(f"tf_{i}").cast("double")
+        df_i = F.col(f"df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("n_docs") - df_i + F.lit(0.5))
+                    / (df_i + F.lit(0.5)))
+        denom = tf_i + F.lit(k1) * (F.lit(1.0 - b)
+                                    + F.lit(b) * F.col("dl") * F.col("n_docs")
+                                    / F.col("sum_dl"))
+        contrib = idf * (tf_i * F.lit(k1 + 1.0)) / denom
+        score = contrib if score is None else score + contrib
+    scored = g.select(F.col(id_col), F.round(score, 6).alias("score"))
+    # distributed top-k (TakeOrderedAndProject: per-partition heaps, no
+    # global sort/single-partition window); rank assigned over the k
+    # survivors only, where a one-partition window is free
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+    win = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (top.withColumn("rank", F.row_number().over(win).cast("int"))
+            .select(id_col, "score", "rank"))
+
+
 # PII masking: pattern syntax restricted to what Java regex (Spark) and
 # RE2 (DuckDB) evaluate identically — char classes, bounded repeats, no
 # backrefs/lookaround.

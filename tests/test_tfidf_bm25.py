@@ -1,0 +1,96 @@
+"""Unit + plan tests for tfidf_top_terms and bm25_search
+(operators/text.py). Oracle-level checks live in test_entry_oracle.py;
+these pin ranking semantics on a hand corpus and the scale-plan shapes
+(bm25: no explode, distributed TakeOrdered top-k)."""
+
+import math
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_geo_spark.operators.text import bm25_search, tfidf_top_terms
+
+
+def _corpus(spark):
+    rows = [
+        (1, "apple banana apple apple"),          # apple-heavy
+        (2, "banana cherry banana"),              # no apple
+        (3, "apple cherry date elderberry fig"),  # one of each
+        (4, "banana banana banana banana"),       # banana only, longer
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    out = tfidf_top_terms(_corpus(spark), k=2)
+    top = {r["doc_id"]: r["term"] for r in out.where(F.col("rank") == 1).collect()}
+    # doc 3: singleton terms (df=1) beat 'apple'/'cherry' (df>=2);
+    # 'date' wins the tie among df-1 terms alphabetically
+    assert top[3] == "date"
+    # doc 1: tf=3 apple dominates
+    assert top[1] == "apple"
+
+
+def test_tfidf_score_formula_and_k_cap(spark):
+    out = tfidf_top_terms(_corpus(spark), k=2)
+    rows = out.collect()
+    assert all(r["rank"] <= 2 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in per_doc.values())
+    # doc 1 apple: tf=3, df(apple)=2, N=4 -> 3 * (ln(5/3)+1)
+    apple = [r for r in rows if r["doc_id"] == 1 and r["term"] == "apple"][0]
+    assert apple["tf"] == 3
+    assert apple["score"] == pytest.approx(
+        round(3 * (math.log(5 / 3) + 1), 6), abs=1e-9)
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    out = bm25_search(_corpus(spark), ["apple", "cherry"], k=4)
+    ranked = [r["doc_id"] for r in out.orderBy("rank").collect()]
+    # doc 4 has neither term -> last (score 0); doc 3 has both
+    assert ranked[-1] == 4
+    assert set(ranked[:3]) == {1, 2, 3}
+    three = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert three[3] > three[2]          # both terms beat one rarer term
+    assert three[4] == 0.0
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc scores higher (b > 0)."""
+    df = spark.createDataFrame(
+        [(1, "apple pie"), (2, "apple " + "filler " * 20)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["score"]
+           for r in bm25_search(df, ["apple"], k=2).collect()}
+    assert out[1] > out[2] > 0
+
+
+def test_bm25_empty_query_rejected(spark):
+    with pytest.raises(ValueError):
+        bm25_search(_corpus(spark), [])
+
+
+def test_bm25_plan_no_explode_distributed_topk(spark):
+    """tf is computed map-side with array filters (no Generate node);
+    the global top-k is TakeOrderedAndProject, never a full sort."""
+    df = bm25_search(_corpus(spark), ["apple"], k=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan       # no explode anywhere
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_plan_broadcast_df_no_term_shuffle_join(spark):
+    """The document-frequency frame must come back via broadcast (a
+    shuffle join keyed on term would funnel a stopword's rows into one
+    task); the deliberate price is the duplicated explode subtree."""
+    plan = (tfidf_top_terms(_corpus(spark), k=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Generate explode") == 2
+    assert "BroadcastHashJoin [term" in plan or "BroadcastHashJoin [cast" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
