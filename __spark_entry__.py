@@ -913,6 +913,19 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+def _q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (passage-level) duplication audit, Lee et al.
+    2022 style: 100-char windows at stride 50, hashed corpus-wide;
+    corpus augmented with exact copies of docs < 50 (doc_id + 1e6) so
+    true cross-doc duplicated passages exist deterministically."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.dedup import passage_dedup_stats
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (base.where(FF.col("doc_id") < 50)
+              .select((FF.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return passage_dedup_stats(base.unionAll(copies))
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keywords: top-5 terms per doc under the
     smoothed-idf scikit-learn formula (operators.text.tfidf_top_terms).
@@ -1208,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": _q_ann_recall,
         "vocab_topk": _q_vocab_topk,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "passage_dedup": _q_passage_dedup,
         "bm25_search": _q_bm25_search,
         "streaming_curation": _q_streaming_curation,
         "hourly_rollup": _q_hourly_rollup,
@@ -1385,6 +1399,42 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2,
                  AS is_kept
         FROM vb LEFT JOIN sims s ON vb.vec_id = s.vec_id"""
     return "WITH " + ",".join(ctes) + "," + fin
+
+
+def _passage_dedup_oracle(window: int = 100, stride: int = 50,
+                          max_dup_ratio: float = 0.5) -> str:
+    """DuckDB twin of dedup.passage_dedup_stats over the copy-augmented
+    corpus: sliding-window substr+md5, global occurrence counts, per-doc
+    rollup with the exact scaled-integer ratio rounding."""
+    return f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 1000000, text FROM documents
+                        WHERE doc_id < 50),
+        docs AS (SELECT doc_id, text, length(text) AS L FROM corpus),
+        wins AS (SELECT doc_id, md5(substr(text, p, {window})) AS whash
+                 FROM docs,
+                      unnest(range(1, L - {window} + 2, {stride})) AS t(p)
+                 WHERE L >= {window}),
+        hc AS (SELECT whash, COUNT(*)::BIGINT AS n_occ
+               FROM wins GROUP BY whash),
+        per AS (SELECT w.doc_id, COUNT(*)::BIGINT AS nw,
+                       SUM(CASE WHEN hc.n_occ > 1 THEN 1 ELSE 0 END)::BIGINT
+                           AS nd
+                FROM wins w JOIN hc USING (whash) GROUP BY w.doc_id),
+        fin AS (SELECT d.doc_id,
+                       COALESCE(per.nw, 0)::BIGINT AS nw,
+                       COALESCE(per.nd, 0)::BIGINT AS nd
+                FROM docs d LEFT JOIN per USING (doc_id))
+        SELECT doc_id, nw::INT AS n_windows, nd::INT AS n_dup_windows,
+               CASE WHEN nw > 0
+                    THEN ((2000000*nd + nw) // (2*nw)) / 1000000.0
+                    ELSE 0.0 END AS dup_ratio,
+               (CASE WHEN nw > 0
+                     THEN ((2000000*nd + nw) // (2*nw)) / 1000000.0
+                     ELSE 0.0 END) <= {max_dup_ratio!r} AS keep
+        FROM fin
+    """
 
 
 _WORDS_LOWER = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -2248,6 +2298,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "tfidf_top_terms": _tfidf_oracle(),
+        "passage_dedup": _passage_dedup_oracle(),
         "bm25_search": _bm25_oracle(),
         # mirrors _q_domain_mix: same md5 bucket, same CASE thresholds
         "domain_mix": f"""

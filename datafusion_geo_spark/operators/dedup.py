@@ -386,6 +386,62 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
             .select(id_col, "_c.chunk_idx", "_c.chunk_text", "_c.n_tokens"))
 
 
+def passage_dedup_stats(df: DataFrame, window: int = 100, stride: int = 50,
+                        max_dup_ratio: float = 0.5, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication audit (the passage-level dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public paper; character windows stand in for their
+    token-suffix-array machinery, which needs a tokenizer): slide a
+    ``window``-char window with ``stride`` over each doc, hash every
+    window, and flag windows whose hash occurs more than once ANYWHERE
+    in the corpus (cross-doc duplication and exact within-doc repeats).
+    Docs shorter than ``window`` contribute zero windows and report a
+    zero ratio.
+
+    Returns (id_col, n_windows, n_dup_windows, dup_ratio, keep) with
+    ``keep = dup_ratio <= max_dup_ratio``; ratios use the exact
+    scaled-integer rounding shared with operators.text.
+
+    Scale design (100 TB): window generation is a map-side
+    sequence+transform then ONE explode (~len/stride rows per doc,
+    narrow (id, 32-char hash) columns — the passage text itself never
+    crosses a shuffle); global occurrence counts are a map-side-combined
+    hash aggregate; the flag comes back via a shuffle join on the hash
+    whose hot side is LINEAR per key (one row per occurrence, never
+    pairs) — exactly the shape AQE skew-join splits, unlike the
+    quadratic bucket blowups the pair-generating family caps with
+    _cap_buckets. Per-doc rollup is one more map-side-combined agg."""
+    t = F.col(text_col)
+    n_pos = F.length(t) - F.lit(window - 1)
+    positions = F.when(
+        n_pos >= 1, F.sequence(F.lit(1), n_pos, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.explode_outer(F.transform(
+            positions, lambda p: F.md5(F.substring(t, p, window))))
+        .alias("whash"))
+    hcount = wins.where(F.col("whash").isNotNull()) \
+                 .groupBy("whash").agg(F.count("*").alias("n_occ"))
+    flagged = wins.join(hcount, "whash", "left")
+    n_windows = F.sum((F.col("whash").isNotNull()).cast("long"))
+    # a zero-window doc's group is all-NULL -> SUM yields NULL, not 0
+    n_dup = F.coalesce(F.sum((F.col("n_occ") > 1).cast("long")), F.lit(0))
+    from datafusion_geo_spark.operators.text import _ratio6
+    per = (flagged.groupBy(id_col)
+           .agg(n_windows.alias("n_windows"), n_dup.alias("n_dup")))
+    ratio = F.when(F.col("n_windows") > 0,
+                   _ratio6(F.col("n_dup"), F.col("n_windows"))) \
+             .otherwise(F.lit(0.0))
+    return per.select(
+        F.col(id_col),
+        F.col("n_windows").cast("int").alias("n_windows"),
+        F.col("n_dup").cast("int").alias("n_dup_windows"),
+        ratio.alias("dup_ratio"),
+        (ratio <= F.lit(max_dup_ratio)).alias("keep"))
+
+
 def with_perturbed_copies(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           offset: int = 1_000_000) -> DataFrame:
