@@ -398,6 +398,57 @@ def _q_boundary_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", st_astext(st_boundary(st_geomfromtext(F.col("wkt")))).alias("boundary_wkt"))
 
 
+def _q_measures_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference measures over the lines fixture: ST_Length and
+    ST_Centroid (coords via Box2D of the point, 6-dp rounded — float
+    accumulation order differs per engine, so raw WKT text would
+    ulp-mismatch; same rounding convention as the rest of the repo)."""
+    from datafusion_geo_spark.functions import box2d, st_centroid, st_length
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    df = lines_orders(spark, sf_dir)
+    c = box2d(st_centroid(F.col("geom")))
+    return df.select(
+        "o_orderkey",
+        F.round(st_length(F.col("geom")), 6).alias("len"),
+        F.round(c["xmin"], 6).alias("cx"),
+        F.round(c["ymin"], 6).alias("cy"))
+
+
+def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Distance + ST_DWithin: lineitem points against a literal
+    anchor point (vectorized numpy point×point fast path)."""
+    from datafusion_geo_spark.functions import st_distance, st_dwithin
+    from datafusion_geo_spark.sources.fixtures import points_lineitem
+    df = points_lineitem(spark, sf_dir)
+    anchor = "POINT(500 500)"
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        F.round(st_distance(F.col("geom"), anchor), 6).alias("d"),
+        st_dwithin(F.col("geom"), anchor, 100.0).alias("near"))
+
+
+def _q_hull_simplify_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ConvexHull + ST_Simplify golden cases (GEOS degenerate
+    semantics: point, collinear, CCW shell; Douglas-Peucker keeping
+    endpoints, ring collapse below 4 points)."""
+    from datafusion_geo_spark.functions import (st_astext, st_convexhull,
+                                                st_geomfromtext, st_simplify)
+    rows = [
+        (1, "MULTIPOINT(0 0,1 0,1 1,0 1,0.5 0.5)", 0.0),
+        (2, "MULTIPOINT(0 0,1 1,2 2)", 0.0),
+        (3, "POINT(3 4)", 0.0),
+        (4, "LINESTRING(0 0,1 0.1,2 0,3 5,4 0)", 0.5),
+        (5, "POLYGON((0 0,4 0,4 1,4 4,0 4,0 0))", 0.5),
+        (6, "LINESTRING(10 10,20 21,30 10)", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, wkt string, tol double")
+    g = st_geomfromtext(F.col("wkt"))
+    return df.select(
+        "id",
+        st_astext(st_convexhull(g)).alias("hull_wkt"),
+        st_astext(st_simplify(g, F.col("tol"))).alias("simple_wkt"))
+
+
 def _q_mvt_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#18 ST_AsMVTGeom golden case
     (/root/reference/src/function/as_mvt_geom.rs:119-140)."""
@@ -1176,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covers_concave": _q_covers_concave,
         "spatial_join": _q_spatial_join,
         "boundary_literals": _q_boundary_literals,
+        "measures_lines": _q_measures_lines,
+        "distance_points": _q_distance_points,
+        "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
         "text_stats": _q_text_stats,
@@ -1769,6 +1823,52 @@ def oracle_sql() -> dict[str, str]:
         "mvt_literal": """
             SELECT 1 AS id,
                    'POLYGON((0 4096,10 4096,10 4091,0 4101,0 4096))' AS mvt_wkt
+        """,
+        # lines fixture: vertices (k,k+1),(k+2,k+3),(k+4,k+5) along y=x+1
+        # -> length 4*sqrt(2), centroid (k+2, k+3); 6-dp rounded like the
+        # Spark side (float accumulation order differs per engine)
+        "measures_lines": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE ROUND(4 * sqrt(2), 6) END AS len,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(o_orderkey % 1000 + 2 AS DOUBLE) END AS cx,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(o_orderkey % 1000 + 3 AS DOUBLE) END AS cy
+            FROM orders
+        """,
+        # point fixture x = l_orderkey%1000, y = l_partkey%1000; the
+        # kernel computes sqrt(dx*dx+dy*dy) (sqrt form, not hypot) so
+        # the doubles match bit-for-bit before the 6-dp round
+        "distance_points": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE ROUND(sqrt(
+                          (l_orderkey % 1000 - 500)*(l_orderkey % 1000 - 500)
+                          + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
+                        ), 6) END AS d,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE sqrt(
+                          (l_orderkey % 1000 - 500)*(l_orderkey % 1000 - 500)
+                          + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
+                        ) <= 100.0 END AS near
+            FROM lineitem
+        """,
+        # goldens hand-verified: CCW hull from lexicographically smallest
+        # vertex; GEOS degenerate cases (point / collinear LINESTRING);
+        # Douglas-Peucker keeps endpoints, drops the collinear ring vertex
+        "hull_simplify_literal": """
+            SELECT * FROM (VALUES
+              (1, 'POLYGON((0 0,1 0,1 1,0 1,0 0))',
+                  'MULTIPOINT(0 0,1 0,1 1,0 1,0.5 0.5)'),
+              (2, 'LINESTRING(0 0,2 2)', 'MULTIPOINT(0 0,1 1,2 2)'),
+              (3, 'POINT(3 4)', 'POINT(3 4)'),
+              (4, 'POLYGON((0 0,4 0,3 5,0 0))', 'LINESTRING(0 0,2 0,3 5,4 0)'),
+              (5, 'POLYGON((0 0,4 0,4 4,0 4,0 0))',
+                  'POLYGON((0 0,4 0,4 4,0 4,0 0))'),
+              (6, 'POLYGON((10 10,30 10,20 21,10 10))',
+                  'LINESTRING(10 10,20 21,30 10)')
+            ) AS t(id, hull_wkt, simple_wkt)
         """,
         "split_literal": """
             SELECT * FROM (VALUES

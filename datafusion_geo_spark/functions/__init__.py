@@ -306,6 +306,59 @@ def st_point(x, y) -> Column:
     return _point(_num(x, "double"), _num(y, "double"))
 
 
+_length = _u1(kernels.length, DoubleType())
+_perimeter = _u1(kernels.perimeter, DoubleType())
+_centroid = _u1(kernels.centroid, BinaryType())
+_convex_hull = _u1(kernels.convex_hull, BinaryType())
+_simplify = _u2(kernels.simplify, BinaryType())
+_distance = _u2(kernels.distance, DoubleType())
+_dwithin = _u3(kernels.dwithin, BooleanType())
+
+
+def st_length(g: GeomLike) -> Column:
+    """Line length (PostGIS ST_Length; beyond-reference utility —
+    0 for points/polygons, see st_perimeter)."""
+    return _length(_geom(g))
+
+
+def st_perimeter(g: GeomLike) -> Column:
+    """Polygon ring length incl. holes (PostGIS ST_Perimeter;
+    beyond-reference utility)."""
+    return _perimeter(_geom(g))
+
+
+def st_centroid(g: GeomLike) -> Column:
+    """Centroid of the highest-dimension components (PostGIS/GEOS
+    ST_Centroid; beyond-reference utility)."""
+    return _centroid(_geom(g))
+
+
+def st_convexhull(g: GeomLike) -> Column:
+    """Convex hull with GEOS degenerate semantics, canonical-CCW shell
+    (PostGIS ST_ConvexHull; beyond-reference utility)."""
+    return _convex_hull(_geom(g))
+
+
+def st_simplify(g: GeomLike, tolerance) -> Column:
+    """Douglas-Peucker simplification, non-topology-preserving
+    (PostGIS ST_Simplify; beyond-reference utility)."""
+    return _simplify(_geom(g), _num(tolerance, "double"))
+
+
+def st_distance(a: GeomLike, b: GeomLike) -> Column:
+    """Minimum planar distance; NULL for empty operands (PostGIS
+    ST_Distance; beyond-reference utility)."""
+    return _distance(_geom(a), _geom(b))
+
+
+def st_dwithin(a: GeomLike, b: GeomLike, d) -> Column:
+    """distance(a, b) <= d (PostGIS ST_DWithin; beyond-reference
+    utility). For distance-band JOINS prefer expanding one side's bbox
+    by d and using the grid/broadcast spatial-join machinery
+    (operators/spatial_join.py) with this as the exact refinement."""
+    return _dwithin(_geom(a), _geom(b), _num(d, "double"))
+
+
 # -- extent aggregate ---------------------------------------------------
 
 def st_extent_agg(bbox: Column) -> Column:
@@ -408,6 +461,13 @@ _SQL_UDFS = {
     "ST_Area": _area,
     "ST_Extent": _extent_sql,
     "ST_Box2DFromArray": _box2d_from_array,
+    "ST_Length": _length,
+    "ST_Perimeter": _perimeter,
+    "ST_Centroid": _centroid,
+    "ST_ConvexHull": _convex_hull,
+    "ST_Simplify": _simplify,
+    "ST_Distance": _distance,
+    "ST_DWithin": _dwithin,
 }
 
 
@@ -439,4 +499,6 @@ __all__ = [
     "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints", "st_area",
     "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",
     "st_wkt_canonical",
+    "st_length", "st_perimeter", "st_centroid", "st_convexhull",
+    "st_simplify", "st_distance", "st_dwithin",
 ]

@@ -405,8 +405,11 @@ def _unary_to_str(fn: Callable[[Geometry], str], point_fast=None, line_fast=None
 
 
 def _points_to_wkt(pb: vector.PointBatch) -> list:
+    # POINT EMPTY travels as NaN coords with valid=True (e.g. centroid
+    # of an empty geometry) — _fmt would raise on int(NaN)
     v = pb.valid
-    return [f"POINT({_fmt(pb.x[i])} {_fmt(pb.y[i])})" if v[i] else None
+    return [("POINT EMPTY" if pb.x[i] != pb.x[i]
+             else f"POINT({_fmt(pb.x[i])} {_fmt(pb.y[i])})") if v[i] else None
             for i in range(pb.n)]
 
 
@@ -797,4 +800,130 @@ def as_mvt_geom(s: pd.Series, xmin: pd.Series, ymin: pd.Series,
         g = cache.geom(bytes(v))
         out.append(to_wkb(algos.as_mvt_geom(
             g, float(a), float(b2), float(c), float(d))))
+    return _obj_series(out)
+
+
+# ------------------------------------------- measures (beyond-reference)
+
+def length(s: pd.Series) -> pd.Series:
+    """ST_Length (PostGIS; beyond-reference utility — line length, 0 for
+    points/polygons)."""
+    cache = _DecodeCache()
+    return _obj_series([
+        None if v is None else algos.length(cache.geom(bytes(v)))
+        for v in s.tolist()])
+
+
+def perimeter(s: pd.Series) -> pd.Series:
+    """ST_Perimeter (PostGIS; beyond-reference utility — polygon ring
+    length incl. holes, 0 for points/lines)."""
+    cache = _DecodeCache()
+    return _obj_series([
+        None if v is None else algos.perimeter(cache.geom(bytes(v)))
+        for v in s.tolist()])
+
+
+centroid = _unary_geom(algos.centroid)        # PostGIS ST_Centroid
+convex_hull = _unary_geom(algos.convex_hull)  # PostGIS ST_ConvexHull
+
+
+def simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
+    """ST_Simplify (PostGIS Douglas-Peucker, non-topology-preserving)."""
+    cache = _DecodeCache()
+    out = []
+    sl, tl = s.tolist(), tol.tolist()
+    for i in range(len(sl)):
+        v, t = sl[i], _num(tl[i])
+        if v is None or t is None:
+            out.append(None)
+            continue
+        out.append(to_wkb(algos.simplify(cache.geom(bytes(v)), float(t))))
+    return _obj_series(out)
+
+
+def _dist_points_to_const(pb: "vector.PointBatch", g) -> np.ndarray:
+    """Vectorized distance from a point batch to one constant geometry:
+    numpy point-to-segment over the constant's few edges, then zero out
+    points lying inside polygon parts (shell minus holes)."""
+    best = np.full(pb.n, np.inf)
+    for (a, b) in algos._all_segments(g):
+        vx, vy = b[0] - a[0], b[1] - a[1]
+        l2 = vx * vx + vy * vy
+        # sqrt(dx*dx+dy*dy), NOT np.hypot: hypot's rescaling differs
+        # from plain sqrt by an ulp on ~0.6% of integer-grid inputs,
+        # which would break exact-oracle reproducibility; coordinates
+        # here are far from the overflow range hypot guards against
+        if l2 <= 0.0:
+            dx0, dy0 = pb.x - a[0], pb.y - a[1]
+            d = np.sqrt(dx0 * dx0 + dy0 * dy0)
+        else:
+            t = np.clip(((pb.x - a[0]) * vx + (pb.y - a[1]) * vy) / l2,
+                        0.0, 1.0)
+            dx0, dy0 = pb.x - (a[0] + t * vx), pb.y - (a[1] + t * vy)
+            d = np.sqrt(dx0 * dx0 + dy0 * dy0)
+        np.minimum(best, d, out=best)
+    for part in g.geometries():
+        if part.typ == "Polygon" and part.parts:
+            inside = vector.points_in_ring(pb, part.parts[0])
+            for hole in part.parts[1:]:
+                # hole interior is outside the polygon; hole BOUNDARY
+                # points already have best == 0 from the edge loop
+                inside &= ~vector.points_in_ring(pb, hole)
+            best[inside] = 0.0
+    return best
+
+
+def distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Distance (PostGIS; beyond-reference utility). Vectorized fast
+    paths: point×point pairs (pure numpy hypot) and point-column ×
+    constant geometry (numpy per-edge loop); object fallback with
+    decode+result memoization otherwise."""
+    al, bl = a.tolist(), b.tolist()
+    pa = vector.decode_points(al)
+    pbb = vector.decode_points(bl)
+    if pa is not None and pbb is not None:
+        dx0, dy0 = pa.x - pbb.x, pa.y - pbb.y
+        d = np.sqrt(dx0 * dx0 + dy0 * dy0)  # sqrt-form: see _dist_points_to_const
+        # POINT EMPTY decodes as NaN coords with valid=True; PostGIS
+        # returns NULL for any empty operand
+        ok = pa.valid & pbb.valid & ~(np.isnan(pa.x) | np.isnan(pbb.x))
+        return pd.Series(_nullable(d, ok))
+    ga = _const_geom(al)
+    gb = _const_geom(bl)
+    if gb is not None and pa is not None and not gb.is_empty():
+        d = _dist_points_to_const(pa, gb)
+        ok = pa.valid & ~np.isnan(pa.x) & np.array([v is not None for v in bl])
+        return pd.Series(_nullable(d, ok))
+    if ga is not None and pbb is not None and not ga.is_empty():
+        d = _dist_points_to_const(pbb, ga)
+        ok = pbb.valid & ~np.isnan(pbb.x) & np.array([v is not None for v in al])
+        return pd.Series(_nullable(d, ok))
+    cache = _DecodeCache()
+    out = []
+    memo: dict = {}
+    for i in range(len(al)):
+        va, vb = al[i], bl[i]
+        if va is None or vb is None:
+            out.append(None)
+            continue
+        va, vb = bytes(va), bytes(vb)
+        key = (va, vb)
+        if key not in memo:
+            memo[key] = algos.distance(cache.geom(va), cache.geom(vb))
+        out.append(memo[key])
+    return _obj_series(out)
+
+
+def dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    """ST_DWithin (PostGIS; beyond-reference utility): distance <= d with
+    bbox band rejection in the object path."""
+    dl = d.tolist()
+    dist_s = distance(a, b)
+    out = []
+    for i, v in enumerate(dist_s.tolist()):
+        lim = _num(dl[i])
+        if v is None or lim is None:
+            out.append(None)
+        else:
+            out.append(bool(v <= float(lim)))
     return _obj_series(out)

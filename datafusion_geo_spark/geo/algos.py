@@ -784,3 +784,243 @@ def as_mvt_geom(g: Geometry, xmin: float, ymin: float,
     fx = MVT_EXTENT / w
     fy = -MVT_EXTENT / h
     return g.affine(fx, 0.0, 0.0, fy, -xmin * fx, -ymax * fy)
+
+
+# ------------------------------------------- measures (beyond-reference)
+# PostGIS-parity utilities absent from the reference's 19-op surface
+# (SURVEY.md §2.1) — same role as area(): honest engine extensions.
+
+def length(g: Geometry) -> float:
+    """ST_Length (PostGIS): total length of (Multi)LineString parts;
+    0 for points and polygons (PostGIS measures polygon edges via
+    ST_Perimeter / length of the boundary, not ST_Length)."""
+    total = 0.0
+    for part in g.geometries():
+        if part.typ == "LineString" and part.parts:
+            cs = part.parts
+            total += sum(dist(cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+    return total
+
+
+def perimeter(g: Geometry) -> float:
+    """ST_Perimeter (PostGIS): ring length of (Multi)Polygon parts,
+    holes included; 0 for points and lines."""
+    total = 0.0
+    for part in g.geometries():
+        if part.typ == "Polygon":
+            for ring in part.parts:
+                total += sum(dist(ring[i], ring[i + 1])
+                             for i in range(len(ring) - 1))
+    return total
+
+
+def _pt_seg_dist(p: Coord, a: Coord, b: Coord) -> float:
+    vx, vy = b[0] - a[0], b[1] - a[1]
+    l2 = vx * vx + vy * vy
+    if l2 <= 0.0:
+        return dist(p, a)
+    t = ((p[0] - a[0]) * vx + (p[1] - a[1]) * vy) / l2
+    t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+    dx, dy = p[0] - (a[0] + t * vx), p[1] - (a[1] + t * vy)
+    # sqrt form (not math.hypot) to match the numpy fast path and the
+    # SQL-oracle arithmetic bit-for-bit (see kernels._dist_points_to_const)
+    return math.sqrt(dx * dx + dy * dy)
+
+
+def _all_segments(g: Geometry) -> List[Tuple[Coord, Coord]]:
+    """Every edge of every simple part; points and 1-vertex lines become
+    degenerate (p, p) segments so one pairwise loop covers all types."""
+    segs: List[Tuple[Coord, Coord]] = []
+    for part in g.geometries():
+        if part.typ == "Point":
+            if part.parts is not None:
+                segs.append((part.parts, part.parts))
+        elif part.typ == "LineString":
+            cs = part.parts
+            if len(cs) == 1:
+                segs.append((cs[0], cs[0]))
+            segs.extend((cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+        else:  # Polygon
+            for ring in part.parts:
+                segs.extend((ring[i], ring[i + 1])
+                            for i in range(len(ring) - 1))
+    return segs
+
+
+def distance(a: Geometry, b: Geometry) -> Optional[float]:
+    """ST_Distance (PostGIS): minimum planar distance between two
+    geometries; None (SQL NULL) when either is empty. 0 whenever the
+    geometries intersect (including containment — the intersects()
+    check, not the edge loop, handles a point inside a polygon).
+    Otherwise the minimum over segment pairs, which for non-crossing
+    segments is always attained at a vertex-to-segment distance."""
+    if a.is_empty() or b.is_empty():
+        return None
+    if intersects(a, b):
+        return 0.0
+    best = math.inf
+    sb = _all_segments(b)
+    for (p, q) in _all_segments(a):
+        for (c, d) in sb:
+            v = min(_pt_seg_dist(p, c, d), _pt_seg_dist(q, c, d),
+                    _pt_seg_dist(c, p, q), _pt_seg_dist(d, p, q))
+            if v < best:
+                best = v
+    return best
+
+
+def dwithin(a: Geometry, b: Geometry, d: float) -> Optional[bool]:
+    """ST_DWithin (PostGIS): distance(a, b) <= d, with a cheap bbox
+    band rejection first (the common negative at scale never reaches
+    the pairwise loop)."""
+    ba, bb = a.bounds(), b.bounds()
+    if ba is None or bb is None:
+        return None
+    if (ba[0] - d > bb[2] or bb[0] - d > ba[2]
+            or ba[1] - d > bb[3] or bb[1] - d > ba[3]):
+        return False
+    v = distance(a, b)
+    return None if v is None else v <= d
+
+
+def centroid(g: Geometry) -> Geometry:
+    """ST_Centroid (PostGIS/GEOS): centroid of the HIGHEST-dimension
+    components only (areal beats linear beats puntal). Polygons use the
+    signed-area formula with holes subtracted; lines are length-weighted
+    segment midpoints; points are the plain mean. Empty → POINT EMPTY."""
+    parts = g.geometries()
+    polys = [p for p in parts if p.typ == "Polygon" and p.parts]
+    lines = [p for p in parts if p.typ == "LineString" and len(p.parts) > 1]
+    if polys:
+        ax = ay = aa = 0.0
+        for poly in polys:
+            for k, ring in enumerate(poly.parts):
+                # shoelace moments; holes carry opposite sign. Normalize
+                # EVERY ring to CCW (a2 > 0) so sgn alone decides
+                # add-vs-subtract regardless of stored orientation.
+                sgn = 1.0 if k == 0 else -1.0
+                a2 = ring_area2(ring)
+                if a2 < 0:
+                    ring = ring[::-1]
+                    a2 = -a2
+                cx = cy = 0.0
+                for i in range(len(ring) - 1):
+                    (x0, y0), (x1, y1) = ring[i], ring[i + 1]
+                    w = x0 * y1 - x1 * y0
+                    cx += (x0 + x1) * w
+                    cy += (y0 + y1) * w
+                aa += sgn * a2
+                ax += sgn * cx
+                ay += sgn * cy
+        if abs(aa) > EPS:
+            return Geometry("Point", (ax / (3.0 * aa), ay / (3.0 * aa)),
+                            g.srid)
+        # zero-area polygon: fall through to linear treatment of rings
+        lines = [Geometry("LineString", ring, g.srid)
+                 for poly in polys for ring in poly.parts] + lines
+    if lines:
+        sx = sy = sl = 0.0
+        for line in lines:
+            cs = line.parts
+            for i in range(len(cs) - 1):
+                ln = dist(cs[i], cs[i + 1])
+                sx += (cs[i][0] + cs[i + 1][0]) / 2.0 * ln
+                sy += (cs[i][1] + cs[i + 1][1]) / 2.0 * ln
+                sl += ln
+        if sl > EPS:
+            return Geometry("Point", (sx / sl, sy / sl), g.srid)
+    vs = [p.parts for p in parts if p.typ == "Point" and p.parts is not None]
+    if not vs:
+        vs = g.vertices()
+    if not vs:
+        return Geometry("Point", None, g.srid)
+    return Geometry("Point", (sum(c[0] for c in vs) / len(vs),
+                              sum(c[1] for c in vs) / len(vs)), g.srid)
+
+
+def convex_hull(g: Geometry) -> Geometry:
+    """ST_ConvexHull (PostGIS/GEOS semantics): Andrew monotone chain
+    over all vertices. Degenerate results follow GEOS: empty → POINT
+    EMPTY, single point → POINT, all-collinear → LINESTRING between the
+    extremes; otherwise a CCW shell starting at the lexicographically
+    smallest vertex (GEOS emits CW — orientation is not part of the
+    semantics; ours is canonical-CCW like ST_ForcePolygonCCW output)."""
+    pts = sorted(set(g.vertices()))
+    if not pts:
+        return Geometry("Point", None, g.srid)
+    if len(pts) == 1:
+        return Geometry("Point", pts[0], g.srid)
+    lo, hi = [], []
+    for p in pts:
+        while len(lo) >= 2 and _orient(lo[-2], lo[-1], p) <= EPS:
+            lo.pop()
+        lo.append(p)
+    for p in reversed(pts):
+        while len(hi) >= 2 and _orient(hi[-2], hi[-1], p) <= EPS:
+            hi.pop()
+        hi.append(p)
+    if len(lo) == 2 and len(hi) == 2:
+        return Geometry("LineString", [pts[0], pts[-1]], g.srid)
+    ring = lo[:-1] + hi[:-1] + [lo[0]]
+    return Geometry("Polygon", [ring], g.srid)
+
+
+def simplify(g: Geometry, tol: float) -> Geometry:
+    """ST_Simplify (PostGIS, non-topology-preserving Douglas–Peucker).
+    Lines keep their endpoints; rings are simplified as closed lines and
+    a ring collapsing below 4 points drops its polygon part (PostGIS
+    returns the shrunken/empty geometry, not an error). Points pass
+    through unchanged."""
+    def dp(cs: List[Coord]) -> List[Coord]:
+        if len(cs) < 3:
+            return list(cs)
+        keep = [False] * len(cs)
+        keep[0] = keep[-1] = True
+        stack = [(0, len(cs) - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            dmax, imax = -1.0, -1
+            for k in range(i + 1, j):
+                dk = _pt_seg_dist(cs[k], cs[i], cs[j])
+                if dk > dmax:
+                    dmax, imax = dk, k
+            if dmax > tol:
+                keep[imax] = True
+                stack.append((i, imax))
+                stack.append((imax, j))
+        return [c for c, k in zip(cs, keep) if k]
+
+    def simp_ring(ring: List[Coord]) -> Optional[List[Coord]]:
+        out = dp(ring)
+        if len(out) < 4:
+            return None
+        return out
+
+    t = g.typ
+    if t in ("Point", "MultiPoint"):
+        return g
+    if t == "LineString":
+        return Geometry(t, dp(g.parts), g.srid)
+    if t == "MultiLineString":
+        return Geometry(t, [dp(line) for line in g.parts], g.srid)
+    if t == "Polygon":
+        shell = simp_ring(g.parts[0]) if g.parts else None
+        if shell is None:
+            return Geometry("Polygon", [], g.srid)
+        rings = [shell]
+        for hole in g.parts[1:]:
+            h = simp_ring(hole)
+            if h is not None:
+                rings.append(h)
+        return Geometry("Polygon", rings, g.srid)
+    if t == "MultiPolygon":
+        polys = []
+        for poly in g.parts:
+            p = simplify(Geometry("Polygon", poly, g.srid), tol)
+            if p.parts:
+                polys.append(p.parts)
+        return Geometry("MultiPolygon", polys, g.srid)
+    return Geometry("GeometryCollection",
+                    [simplify(part, tol) for part in g.parts], g.srid)

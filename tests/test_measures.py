@@ -1,0 +1,140 @@
+"""Unit tests for the beyond-reference measure functions (ST_Length,
+ST_Perimeter, ST_Centroid, ST_ConvexHull, ST_Simplify, ST_Distance,
+ST_DWithin) — algorithm edge cases through the DataFrame and SQL
+surfaces. Fixture-level oracle checks live in test_entry_oracle.py."""
+
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_geo_spark.functions import (register_all, st_astext,
+                                            st_centroid, st_convexhull,
+                                            st_distance, st_dwithin,
+                                            st_geomfromtext, st_length,
+                                            st_perimeter, st_simplify)
+
+
+def _eval(spark, wkts, col):
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)],
+                               "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    rows = df.select(col(g).alias("v")).orderBy("id").collect()
+    return [r["v"] for r in rows]
+
+
+def test_length_and_perimeter(spark):
+    wkts = ["LINESTRING(0 0,3 4)", "POINT(1 1)",
+            "POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,2 2,1 2,1 1))",
+            "MULTILINESTRING((0 0,1 0),(0 0,0 2))"]
+    assert _eval(spark, wkts, st_length) == [5.0, 0.0, 0.0, 3.0]
+    assert _eval(spark, wkts, st_perimeter) == [0.0, 0.0, 20.0, 0.0]
+
+
+def test_centroid_cases(spark):
+    wkts = ["POLYGON((0 0,4 0,4 4,0 4,0 0))",
+            "POLYGON((0 0,4 0,4 4,0 4,0 0),(2 2,3 2,3 3,2 3,2 2))",
+            "LINESTRING(0 0,0 2,2 2)",
+            "MULTIPOINT(0 0,2 0,2 2,0 2)",
+            "POINT EMPTY"]
+    got = _eval(spark, wkts, lambda g: st_astext(st_centroid(g)))
+    assert got[0] == "POINT(2 2)"
+    # hole subtracted: (16*2 - 1*2.5)/15
+    assert got[1].startswith("POINT(1.9666666666666")
+    assert got[2] == "POINT(0.5 1.5)"
+    assert got[3] == "POINT(1 1)"
+    assert got[4] == "POINT EMPTY"
+
+
+def test_convex_hull_degenerates(spark):
+    wkts = ["MULTIPOINT(0 0,1 0,1 1,0 1,0.5 0.5)",
+            "MULTIPOINT(0 0,1 1,2 2)",
+            "POINT(7 8)",
+            "GEOMETRYCOLLECTION(POINT(0 0),LINESTRING(2 0,2 2))"]
+    got = _eval(spark, wkts, lambda g: st_astext(st_convexhull(g)))
+    assert got[0] == "POLYGON((0 0,1 0,1 1,0 1,0 0))"
+    assert got[1] == "LINESTRING(0 0,2 2)"
+    assert got[2] == "POINT(7 8)"
+    assert got[3] == "POLYGON((0 0,2 0,2 2,0 0))"
+
+
+def test_simplify_ring_collapse_and_holes(spark):
+    # tiny triangle collapses below 4 ring points at tol 10 -> empty;
+    # the hole below tolerance disappears while the shell survives
+    wkts = ["POLYGON((0 0,1 0,1 1,0 0))",
+            "POLYGON((0 0,40 0,40 40,0 40,0 0),(1 1,2 1,2 2,1 2,1 1))"]
+    got = _eval(spark, wkts,
+                lambda g: st_astext(st_simplify(g, 10.0)))
+    assert got[0] == "POLYGON EMPTY"
+    assert got[1] == "POLYGON((0 0,40 0,40 40,0 40,0 0))"
+
+
+def test_distance_combinations(spark):
+    df = spark.createDataFrame(
+        [(1, "POINT(0 0)", "POINT(3 4)"),
+         (2, "POINT(5 0)", "POLYGON((0 0,2 0,2 2,0 2,0 0))"),
+         (3, "POINT(1 1)", "POLYGON((0 0,2 0,2 2,0 2,0 0))"),
+         (4, "LINESTRING(0 0,1 0)", "LINESTRING(0 2,1 2)"),
+         (5, "POINT EMPTY", "POINT(1 1)"),
+         # point strictly inside the HOLE: distance to hole edge
+         (6, "POINT(2.5 2.5)",
+          "POLYGON((0 0,5 0,5 5,0 5,0 0),(2 2,3 2,3 3,2 3,2 2))")],
+        "id int, a string, b string")
+    ga, gb = st_geomfromtext(F.col("a")), st_geomfromtext(F.col("b"))
+    got = {r["id"]: r["d"] for r in
+           df.select("id", st_distance(ga, gb).alias("d")).collect()}
+    assert got[1] == 5.0
+    assert got[2] == 3.0
+    assert got[3] == 0.0
+    assert got[4] == 2.0
+    assert got[5] is None
+    assert got[6] == 0.5
+
+
+def test_distance_point_column_vs_const_polygon_fast_path(spark):
+    """Point batch × constant holed polygon goes through the numpy
+    per-edge fast path, including inside-hole handling."""
+    rows = [(0, 0.0, 0.5), (1, 1.0, 0.5), (2, 2.5, 0.5),
+            (3, 2.0, 0.5), (4, 7.0, 0.5)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    from datafusion_geo_spark.functions import st_point
+    poly = "POLYGON((0 0,5 0,5 5,0 5,0 0),(2 0.25,3 0.25,3 0.75,2 0.75,2 0.25))"
+    got = {r["id"]: r["d"] for r in df.select(
+        "id", st_distance(st_point(F.col("x"), F.col("y")), poly).alias("d")
+    ).collect()}
+    assert got[0] == 0.0          # on shell boundary
+    assert got[1] == 0.0          # inside polygon
+    assert got[2] == 0.25         # hole interior: distance to hole edge
+    assert got[3] == 0.0          # on hole boundary (part of the polygon)
+    assert got[4] == 2.0          # right of shell: x=7 -> 2 from x=5
+
+
+def test_dwithin(spark):
+    df = spark.createDataFrame([(1, "POINT(0 0)")], "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    row = df.select(
+        st_dwithin(g, "POINT(3 4)", 5.0).alias("yes"),
+        st_dwithin(g, "POINT(3 4)", 4.999).alias("no")).collect()[0]
+    assert row["yes"] is True and row["no"] is False
+
+
+def test_sql_registration_measures(spark):
+    register_all(spark)
+    row = spark.sql("""
+        SELECT ST_Length(ST_GeomFromText('LINESTRING(0 0,3 4)')) AS l,
+               ST_Perimeter(ST_GeomFromText('POLYGON((0 0,1 0,1 1,0 1,0 0))')) AS p,
+               ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON((0 0,2 0,2 2,0 2,0 0))'))) AS c,
+               ST_AsText(ST_ConvexHull(ST_GeomFromText('MULTIPOINT(0 0,1 1,2 2)'))) AS h,
+               ST_AsText(ST_Simplify(ST_GeomFromText('LINESTRING(0 0,1 0.1,2 0)'), 0.5)) AS s,
+               ST_Distance(ST_GeomFromText('POINT(0 0)'),
+                           ST_GeomFromText('POINT(3 4)')) AS d,
+               ST_DWithin(ST_GeomFromText('POINT(0 0)'),
+                          ST_GeomFromText('POINT(3 4)'), 5.0) AS w
+    """).collect()[0]
+    assert row["l"] == 5.0 and row["p"] == 4.0
+    assert row["c"] == "POINT(1 1)"
+    assert row["h"] == "LINESTRING(0 0,2 2)"
+    assert row["s"] == "LINESTRING(0 0,2 0)"
+    assert row["d"] == 5.0 and row["w"] is True

@@ -36,6 +36,12 @@ ALLOWED_BROADCAST_CROSSES = {
     "ivf_trained_topk": 3,   # same plan shape, trained centroids
     "ann_recall": 3,         # inherits ivf_trained_topk's (bf side's
                              # cross compiles away, as in cosine_topk)
+    "bm25_search": 1,        # ONE-ROW global aggregate (N, Σdl, dfs)
+                             # broadcast back onto the corpus
+    "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
+    "semantic_dedup": 3,     # k-centroid assignment crosses (training
+                             # round + final assign + copy-branch reuse),
+                             # same bounded dimension as ivf_topk
 }
 
 
