@@ -278,6 +278,63 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def knn_join(emb: DataFrame, k: int = 5, n_centroids: int = 8,
+             nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Full approximate k-NN GRAPH: every vector's top-k cosine
+    neighbors among its ``nprobe`` nearest IVF lists — the all-pairs
+    companion to ivf_topk (whose query side is a small broadcast set).
+
+    Plan shape (the 100-TB difference from ivf_topk): the query side is
+    the WHOLE corpus, so probes cannot be broadcast — candidate
+    generation is a SHUFFLE equi-join on the compact list id between
+    (corpus × its probed lists) and (corpus × its assigned list).
+    Per-key work is |probers(cid)| × |list(cid)|: quadratic within a
+    list, never across the corpus — the standard IVF-graph bound, tuned
+    by n_centroids (scale it ~√N so lists stay O(√N)). Assignment and
+    probing both come from one corpus × broadcast-centroids pass with a
+    struct-max / tiny per-vector window — no corpus-wide sort.
+
+    Deterministic stand-in centroids (first n_centroids by id) keep the
+    whole graph SQL-replayable; swap centroids="trained" machinery in
+    via ivf_topk's kmeans_centroids for production recall."""
+    vecs = prenorm(emb, id_col, vec_col)
+    cents = F.broadcast(
+        vecs.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("int").alias("cid"),
+                F.col("v").alias("cvec"), F.col("n").alias("cn")))
+    scored = vecs.crossJoin(cents).select(
+        F.col(id_col),
+        F.round(dot(F.col("v"), F.col("cvec"))
+                / (F.col("n") * F.col("cn")), 6).alias("cs"),
+        F.col("cid"))
+    assign = (scored.groupBy(id_col)
+              .agg(F.max(F.struct(F.col("cs"),
+                                  (-F.col("cid")).alias("ncid"))).alias("m"))
+              .select(F.col(id_col), (-F.col("m.ncid")).cast("int").alias("cid")))
+    # per-vector probe lists: window partitioned by vec_id over exactly
+    # n_centroids rows per vector — bounded, skew-free
+    wprobe = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cid"))
+    probes = (scored.withColumn("_pr", F.row_number().over(wprobe))
+              .where(F.col("_pr") <= nprobe).select(id_col, "cid"))
+    vb = vecs.join(assign, id_col)
+    q = (vecs.join(probes, id_col)
+         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                 F.col("n").alias("qn"), "cid"))
+    c = vb.select(F.col(id_col).alias("neighbor_id"),
+                  F.col("v").alias("cv"), F.col("n").alias("cn"), "cid")
+    pairs = (c.join(q, "cid")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id",
+                     F.round(dot(F.col("qv"), F.col("cv"))
+                             / (F.col("qn") * F.col("cn")), 6).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def semantic_dedup(emb: DataFrame, n_centroids: int = 8,
                    train_iters: int = 2, min_cosine: float = 0.95,
                    id_col: str = "vec_id",

@@ -257,3 +257,43 @@ def test_asof_internal_names_do_not_collide(spark):
     r = got[0]
     assert (r["_tag"], r["_t"], r["_pay"], r["_salt"]) == ("u", 5, 6, 7)
     assert r["price"] == 42
+
+
+def test_knn_join_full_graph(spark):
+    """knn_join emits a neighbor list for EVERY vector (not just a probe
+    subset) and within-cluster neighbors rank first on clustered data."""
+    import random
+    from datafusion_geo_spark.operators.similarity import knn_join
+    rng = random.Random(3)
+    rows = []
+    for i in range(24):
+        axis = i % 2              # two orthogonal clusters
+        v = [0.0] * 8
+        v[axis * 4] = 1.0
+        v[axis * 4 + 1] = rng.random() * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_join(df, k=3, n_centroids=2, nprobe=1).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    # every vector got k neighbors, ranked 1..k
+    assert set(per_q) == set(range(24))
+    for q, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+        # centroids are vec 0 (even axis) and vec 1 (odd axis): with
+        # nprobe=1 every neighbor shares the query's parity cluster
+        assert all(r["neighbor_id"] % 2 == q % 2 for r in rs)
+
+
+def test_knn_join_no_cartesian_no_corpus_broadcast(spark):
+    """Candidate generation must be a cid equi-join; the corpus-sized
+    probe side must NOT be broadcast (that's ivf_topk's small-query
+    shortcut, invalid for the full graph)."""
+    from datafusion_geo_spark.operators.similarity import knn_join
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    plan = (knn_join(df, k=2, n_centroids=2, nprobe=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan

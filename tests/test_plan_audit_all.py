@@ -42,6 +42,8 @@ ALLOWED_BROADCAST_CROSSES = {
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
                              # same bounded dimension as ivf_topk
+    "knn_join": 2,           # centroid scoring feeds assignment AND
+                             # probe branches (bounded k-centroid dim)
 }
 
 
