@@ -427,6 +427,26 @@ def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_dwithin(F.col("geom"), anchor, 100.0).alias("near"))
 
 
+def _q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band join (operators.spatial_join.dwithin_join):
+    lineitem points × customer points within d=2 — grid equi-join over
+    d-expanded bboxes with canonical-cell dedup; points_native compiles
+    the exact refinement to a JVM sqrt (zero Python in the join)."""
+    from datafusion_geo_spark.operators.spatial_join import dwithin_join
+    from datafusion_geo_spark.sources.fixtures import (points_customer,
+                                                       points_lineitem)
+    li = points_lineitem(spark, sf_dir)
+    cu = points_customer(spark, sf_dir)
+    j = dwithin_join(li, cu, d=2.0, points_native=True)
+    dx = F.col("la.xmin") - F.col("rb.xmin")
+    dy = F.col("la.ymin") - F.col("rb.ymin")
+    return j.select(
+        F.col("la.l_orderkey").alias("l_orderkey"),
+        F.col("la.l_linenumber").alias("l_linenumber"),
+        F.col("rb.c_custkey").alias("c_custkey"),
+        F.round(F.sqrt(dx * dx + dy * dy), 6).alias("dist"))
+
+
 def _q_hull_simplify_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_ConvexHull + ST_Simplify golden cases (GEOS degenerate
     semantics: point, collinear, CCW shell; Douglas-Peucker keeping
@@ -1237,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boundary_literals": _q_boundary_literals,
         "measures_lines": _q_measures_lines,
         "distance_points": _q_distance_points,
+        "dwithin_join": _q_dwithin_join,
         "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
@@ -1862,6 +1883,22 @@ def oracle_sql() -> dict[str, str]:
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
                         ) <= 100.0 END AS near
             FROM lineitem
+        """,
+        # mirrors _q_dwithin_join: fixture-analytic point coords, same
+        # sqrt-form distance, null keys (%7) excluded by the join
+        "dwithin_join": """
+            SELECT l.l_orderkey, l.l_linenumber, c.c_custkey,
+                   ROUND(sqrt((lx - cx)*(lx - cx) + (ly - cy)*(ly - cy)), 6)
+                       AS dist
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(l_orderkey % 1000 AS DOUBLE) AS lx,
+                         CAST(l_partkey % 1000 AS DOUBLE) AS ly
+                  FROM lineitem WHERE l_orderkey % 7 <> 0) l,
+                 (SELECT c_custkey,
+                         CAST(c_custkey % 360 - 180 AS DOUBLE) AS cx,
+                         c_nationkey * 3 - 37.5 AS cy
+                  FROM customer WHERE c_custkey % 7 <> 0) c
+            WHERE sqrt((lx - cx)*(lx - cx) + (ly - cy)*(ly - cy)) <= 2.0
         """,
         # goldens hand-verified: CCW hull from lexicographically smallest
         # vertex; GEOS degenerate cases (point / collinear LINESTRING);

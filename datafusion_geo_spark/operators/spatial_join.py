@@ -293,3 +293,69 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
     return (ea.groupBy("cx", "cy")
             .cogroup(eb.groupBy("cx", "cy"))
             .applyInPandas(find_pairs, out_fields))
+
+
+def dwithin_join(a: DataFrame, b: DataFrame, d: float,
+                 cell: Optional[float] = None,
+                 geom_a: str = "geom", geom_b: str = "geom",
+                 points_native: bool = False) -> DataFrame:
+    """Distance-band join: pairs with ST_DWithin(geom_a, geom_b, d) —
+    the PostGIS ``ST_DWithin(a.geom, b.geom, d)`` join, planned like
+    grid_join instead of a cross product.
+
+    Side a's bbox is EXPANDED by ``d`` before cell covering, so a bbox
+    band overlap against side b's raw bbox is exactly the "bbox gap
+    <= d" candidate condition; the join is a shuffle equi-join on
+    (cx, cy) with the canonical-cell local dedup (no distinct()
+    shuffle). ``cell`` defaults to max(2d, 8) so the band adds at most
+    one extra covering cell per axis.
+
+    Refinement: ``points_native=True`` declares BOTH geometry columns
+    to be 2-D points (their bbox is the point itself), compiling the
+    exact distance to a JVM-side sqrt over the bbox corners — zero
+    Python in the whole join. Otherwise the exact pandas-UDF
+    ST_DWithin refines surviving candidate pairs only.
+    """
+    if d < 0:
+        raise ValueError(f"dwithin_join: negative distance {d}")
+    if cell is None:
+        cell = max(2.0 * d, 8.0)
+    band = [("_xmin", "xmin", -d), ("_ymin", "ymin", -d),
+            ("_xmax", "xmax", d), ("_ymax", "ymax", d)]
+    ea = ensure_bbox(a, geom_a)
+    for bc, src, off in band:
+        ea = ea.withColumn(bc, F.col(src) + off)
+    ea = (ea.withColumn("_cell", F.explode(_cells("_", cell)))
+          .select(F.col("_cell.cx").alias("cx"),
+                  F.col("_cell.cy").alias("cy"),
+                  F.struct(*[F.col(c) for c in a.columns],
+                           *[F.col(c) for c in BBOX_COLS if c not in a.columns],
+                           *[F.col(bc) for bc, _, _ in band])
+                  .alias("la")))
+    eb = (ensure_bbox(b, geom_b)
+          .withColumn("_cell", F.explode(_cells("", cell)))
+          .select(F.col("_cell.cx").alias("cx"),
+                  F.col("_cell.cy").alias("cy"),
+                  F.struct(*[F.col(c) for c in b.columns],
+                           *[F.col(c) for c in BBOX_COLS if c not in b.columns])
+                  .alias("rb")))
+    j = ea.join(eb, ["cx", "cy"])
+    overlap = ((F.col("la._xmin") <= F.col("rb.xmax"))
+               & (F.col("rb.xmin") <= F.col("la._xmax"))
+               & (F.col("la._ymin") <= F.col("rb.ymax"))
+               & (F.col("rb.ymin") <= F.col("la._ymax")))
+    canonical = (
+        (F.col("cx") == F.floor(
+            F.greatest(F.col("la._xmin"), F.col("rb.xmin")) / cell))
+        & (F.col("cy") == F.floor(
+            F.greatest(F.col("la._ymin"), F.col("rb.ymin")) / cell)))
+    j = j.where(overlap & canonical)
+    if points_native:
+        dx = F.col("la.xmin") - F.col("rb.xmin")
+        dy = F.col("la.ymin") - F.col("rb.ymin")
+        j = j.where(F.sqrt(dx * dx + dy * dy) <= F.lit(float(d)))
+    else:
+        from ..functions import st_dwithin
+        j = j.where(st_dwithin(F.col(f"la.{geom_a}"),
+                               F.col(f"rb.{geom_b}"), float(d)))
+    return j
