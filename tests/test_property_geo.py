@@ -158,3 +158,75 @@ def test_vector_line_codec_roundtrip(lines):
         ys = [c[1] for c in g.parts]
         assert (xmin[i], ymin[i], xmax[i], ymax[i]) == (
             min(xs), min(ys), max(xs), max(ys))
+
+
+# ---------------------------------------------------------------- measures
+
+
+@given(points(), points())
+@settings(max_examples=150, deadline=None)
+def test_distance_axioms(a, b):
+    d = algos.distance(a, b)
+    assert d == algos.distance(b, a)          # symmetry
+    assert d >= 0.0
+    if a == b:
+        assert d == 0.0
+    assert algos.distance(a, a) == 0.0        # identity
+
+
+@given(linestrings(), points())
+@settings(max_examples=100, deadline=None)
+def test_distance_zero_iff_intersects_for_vertex(line, p):
+    # distance to one of the line's own vertices is 0
+    v = Geometry("Point", line.parts[0])
+    assert algos.distance(line, v) == 0.0
+    d = algos.distance(line, p)
+    if algos.intersects(line, p):
+        assert d == 0.0
+    else:
+        assert d > 0.0
+
+
+@given(st.lists(points(), min_size=1, max_size=12))
+@settings(max_examples=100, deadline=None)
+def test_convex_hull_contains_inputs_and_is_idempotent(pts):
+    mp = Geometry("MultiPoint", tuple(p.parts for p in pts))
+    hull = algos.convex_hull(mp)
+    # every input point lies on/in the hull
+    for p in pts:
+        assert algos.distance(hull, p) <= 1e-6 * (
+            1.0 + abs(p.parts[0]) + abs(p.parts[1]))
+    # hull of the hull's vertices is the hull itself (same vertex set)
+    hull2 = algos.convex_hull(hull)
+    assert set(hull2.vertices()) <= set(hull.vertices()) | set(mp.vertices())
+
+
+@given(boxes())
+@settings(max_examples=100, deadline=None)
+def test_centroid_of_box_is_center_and_inside_hull(box):
+    c = algos.centroid(box)
+    (x1, y1), (x2, y2) = box.parts[0][0], box.parts[0][2]
+    assert math.isclose(c.parts[0], (x1 + x2) / 2, rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(c.parts[1], (y1 + y2) / 2, rel_tol=1e-9, abs_tol=1e-9)
+    assert algos.covers(box, c)
+
+
+@given(linestrings(min_pts=2, max_pts=8),
+       st.floats(min_value=0.0, max_value=10.0, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_simplify_subset_of_vertices_keeps_endpoints(line, tol):
+    out = algos.simplify(line, tol)
+    assert out.typ == "LineString"
+    assert set(out.parts) <= set(line.parts)
+    assert out.parts[0] == line.parts[0]
+    assert out.parts[-1] == line.parts[-1]
+    # tol=0 keeps everything except nothing is ADDED; length never grows
+    assert algos.length(out) <= algos.length(line) + 1e-9
+
+
+@given(linestrings())
+@settings(max_examples=100, deadline=None)
+def test_length_translation_invariant(line):
+    moved = line.translate(7.25, -3.5)
+    assert math.isclose(algos.length(line), algos.length(moved),
+                        rel_tol=1e-9, abs_tol=1e-9)
