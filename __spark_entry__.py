@@ -427,6 +427,19 @@ def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_dwithin(F.col("geom"), anchor, 100.0).alias("near"))
 
 
+def _q_collect_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Collect-style aggregate: canonical MULTIPOINT per mktsegment
+    from customer points, built entirely JVM-side (collect_list +
+    sort_array + string assembly — no Python in the aggregate path)."""
+    from datafusion_geo_spark.functions import st_collect_points_agg
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    df = points_customer(spark, sf_dir).where(F.col("c_custkey") % 7 != 0)
+    return (df.groupBy("c_mktsegment")
+            .agg(st_collect_points_agg(F.col("x"), F.col("y"))
+                 .alias("multipoint_wkt"),
+                 F.count("*").alias("n_points")))
+
+
 def _q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-band join (operators.spatial_join.dwithin_join):
     lineitem points × customer points within d=2 — grid equi-join over
@@ -1258,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measures_lines": _q_measures_lines,
         "distance_points": _q_distance_points,
         "dwithin_join": _q_dwithin_join,
+        "collect_by_segment": _q_collect_by_segment,
         "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
@@ -1883,6 +1897,22 @@ def oracle_sql() -> dict[str, str]:
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
                         ) <= 100.0 END AS near
             FROM lineitem
+        """,
+        # mirrors _q_collect_by_segment: same canonical (x, y) ordering
+        # via string_agg ORDER BY; DuckDB prints doubles like Spark's
+        # cast-to-string for these fixture magnitudes
+        "collect_by_segment": """
+            SELECT c_mktsegment,
+                   'MULTIPOINT(' || string_agg(
+                       CAST(CAST(c_custkey % 360 - 180 AS DOUBLE) AS VARCHAR)
+                       || ' ' ||
+                       CAST(c_nationkey * 3 - 37.5 AS VARCHAR),
+                       ',' ORDER BY CAST(c_custkey % 360 - 180 AS DOUBLE),
+                                    c_nationkey * 3 - 37.5)
+                   || ')' AS multipoint_wkt,
+                   COUNT(*) AS n_points
+            FROM customer WHERE c_custkey % 7 <> 0
+            GROUP BY c_mktsegment
         """,
         # mirrors _q_dwithin_join: fixture-analytic point coords, same
         # sqrt-form distance, null keys (%7) excluded by the join

@@ -382,6 +382,29 @@ def st_extent(g: GeomLike) -> Column:
     return st_extent_agg(box2d(g))
 
 
+def st_collect_points_agg(x, y) -> Column:
+    """PostGIS-style ST_Collect aggregate for POINT inputs: one
+    canonical MULTIPOINT WKT per group, built ENTIRELY JVM-side —
+    collect_list of (x, y) structs, sort_array for a deterministic
+    vertex order (lexicographic by x then y, so the result is
+    reproducible in ANSI SQL via string_agg ORDER BY), then a
+    transform+array_join string assembly. Empty groups (all-null
+    coordinates filtered upstream) yield MULTIPOINT EMPTY.
+
+    Scale note: like PostGIS ST_Collect, the group's points materialize
+    in one aggregation buffer — bounded by the group size, not the
+    corpus; use st_extent_agg when only the bounds are needed."""
+    pts = F.sort_array(F.collect_list(
+        F.struct(_num(x, "double").alias("x"), _num(y, "double").alias("y"))))
+    body = F.array_join(
+        F.transform(pts, lambda p: F.concat(p["x"].cast("string"),
+                                            F.lit(" "),
+                                            p["y"].cast("string"))), ",")
+    return F.when(F.size(pts) > 0,
+                  F.concat(F.lit("MULTIPOINT("), body, F.lit(")"))) \
+            .otherwise(F.lit("MULTIPOINT EMPTY"))
+
+
 def _uagg_extent():
     def f(g: pd.Series) -> list:  # Series -> scalar = grouped-agg UDF
         return kernels.extent_array(g)
@@ -500,5 +523,5 @@ __all__ = [
     "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
-    "st_simplify", "st_distance", "st_dwithin",
+    "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
 ]

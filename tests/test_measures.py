@@ -138,3 +138,28 @@ def test_sql_registration_measures(spark):
     assert row["h"] == "LINESTRING(0 0,2 2)"
     assert row["s"] == "LINESTRING(0 0,2 0)"
     assert row["d"] == 5.0 and row["w"] is True
+
+
+def test_collect_points_agg(spark):
+    from datafusion_geo_spark.functions import st_collect_points_agg
+    df = spark.createDataFrame(
+        [("a", 2.0, 1.0), ("a", 1.0, 5.5), ("a", 1.0, -3.0), ("b", 0.0, 0.0)],
+        "g string, x double, y double")
+    got = {r["g"]: r["wkt"] for r in
+           df.groupBy("g").agg(
+               st_collect_points_agg(F.col("x"), F.col("y")).alias("wkt")
+           ).collect()}
+    # canonical order: lexicographic (x, y)
+    assert got["a"] == "MULTIPOINT(1.0 -3.0,1.0 5.5,2.0 1.0)"
+    assert got["b"] == "MULTIPOINT(0.0 0.0)"
+
+
+def test_collect_points_agg_plan_is_native(spark):
+    """The collect aggregate must run as a plain ObjectHashAggregate /
+    SortAggregate over collect_list — no Python stage."""
+    from datafusion_geo_spark.functions import st_collect_points_agg
+    df = spark.createDataFrame([("a", 1.0, 2.0)], "g string, x double, y double")
+    plan = (df.groupBy("g")
+            .agg(st_collect_points_agg(F.col("x"), F.col("y")).alias("w"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
