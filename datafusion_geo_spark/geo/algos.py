@@ -893,12 +893,20 @@ def centroid(g: Geometry) -> Geometry:
     lines = [p for p in parts if p.typ == "LineString" and len(p.parts) > 1]
     if polys:
         ax = ay = aa = 0.0
+        # moments in a LOCAL frame anchored at the first shell vertex:
+        # the raw shoelace cross terms are ~coord² with ~area-sized
+        # differences, so at 1e6-scale coordinates the global-frame sum
+        # cancels catastrophically (hypothesis found 1e-4 relative error
+        # on a unit box at (1e6,1e6)); translation preserves signed
+        # areas and shifts the centroid by exactly (rx, ry)
+        rx, ry = polys[0].parts[0][0]
         for poly in polys:
             for k, ring in enumerate(poly.parts):
                 # shoelace moments; holes carry opposite sign. Normalize
                 # EVERY ring to CCW (a2 > 0) so sgn alone decides
                 # add-vs-subtract regardless of stored orientation.
                 sgn = 1.0 if k == 0 else -1.0
+                ring = [(x - rx, y - ry) for (x, y) in ring]
                 a2 = ring_area2(ring)
                 if a2 < 0:
                     ring = ring[::-1]
@@ -913,8 +921,8 @@ def centroid(g: Geometry) -> Geometry:
                 ax += sgn * cx
                 ay += sgn * cy
         if abs(aa) > EPS:
-            return Geometry("Point", (ax / (3.0 * aa), ay / (3.0 * aa)),
-                            g.srid)
+            return Geometry("Point", (ax / (3.0 * aa) + rx,
+                                      ay / (3.0 * aa) + ry), g.srid)
         # zero-area polygon: fall through to linear treatment of rings
         lines = [Geometry("LineString", ring, g.srid)
                  for poly in polys for ring in poly.parts] + lines
@@ -951,12 +959,16 @@ def convex_hull(g: Geometry) -> Geometry:
     if len(pts) == 1:
         return Geometry("Point", pts[0], g.srid)
     lo, hi = [], []
+    # pop on <= 0 EXACTLY (strict monotone chain): an absolute-EPS
+    # threshold here misclassifies tiny-but-real turns as collinear and
+    # silently drops hull vertices at small coordinate scales
+    # (hypothesis counterexample: (0,0), (2.2e-16,0), (0,1))
     for p in pts:
-        while len(lo) >= 2 and _orient(lo[-2], lo[-1], p) <= EPS:
+        while len(lo) >= 2 and _orient(lo[-2], lo[-1], p) <= 0.0:
             lo.pop()
         lo.append(p)
     for p in reversed(pts):
-        while len(hi) >= 2 and _orient(hi[-2], hi[-1], p) <= EPS:
+        while len(hi) >= 2 and _orient(hi[-2], hi[-1], p) <= 0.0:
             hi.pop()
         hi.append(p)
     if len(lo) == 2 and len(hi) == 2:
