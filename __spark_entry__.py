@@ -427,6 +427,23 @@ def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_dwithin(F.col("geom"), anchor, 100.0).alias("near"))
 
 
+def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform EPSG:4326 -> EPSG:3857 over customer points (valid
+    lon/lat by construction): vectorized numpy web-mercator fast path;
+    result SRID stamped in the EWKB header (checked via ST_SRID)."""
+    from datafusion_geo_spark.functions import box2d, st_srid, st_transform
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    df = points_customer(spark, sf_dir)
+    t = st_transform(F.col("geom"), 3857, from_srid=4326)
+    df = df.withColumn("_t", t)
+    b = box2d(F.col("_t"))
+    return df.select(
+        "c_custkey",
+        F.round(b["xmin"], 6).alias("mx"),
+        F.round(b["ymin"], 6).alias("my"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
 def _q_collect_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Collect-style aggregate: canonical MULTIPOINT per mktsegment
     from customer points, built entirely JVM-side (collect_list +
@@ -1272,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_points": _q_distance_points,
         "dwithin_join": _q_dwithin_join,
         "collect_by_segment": _q_collect_by_segment,
+        "transform_points": _q_transform_points,
         "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
@@ -1897,6 +1915,23 @@ def oracle_sql() -> dict[str, str]:
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
                         ) <= 100.0 END AS near
             FROM lineitem
+        """,
+        # mirrors _q_transform_points: same literal constants and
+        # operation order as geo/proj.py (lon*DEG2RAD then *R), same
+        # libm tan/ln, 6-dp rounded
+        "transform_points": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE ROUND(6378137.0 *
+                          ((c_custkey % 360 - 180) * 0.017453292519943295),
+                          6) END AS mx,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE ROUND(6378137.0 * ln(tan(0.7853981633974483
+                          + ((c_nationkey * 3 - 37.5)
+                             * 0.017453292519943295) * 0.5)), 6) END AS my,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE 3857 END AS srid
+            FROM customer
         """,
         # mirrors _q_collect_by_segment: same canonical (x, y) ordering
         # via string_agg ORDER BY; DuckDB prints doubles like Spark's

@@ -351,6 +351,21 @@ def st_distance(a: GeomLike, b: GeomLike) -> Column:
     return _distance(_geom(a), _geom(b))
 
 
+_transform2 = _u2(kernels.transform_srid, BinaryType())
+_transform3 = _u3(kernels.transform_srid, BinaryType())
+
+
+def st_transform(g: GeomLike, to_srid, from_srid=None) -> Column:
+    """ST_Transform for EPSG:4326 <-> EPSG:3857 (spherical web
+    mercator, closed-form — geo/proj.py; beyond-reference utility).
+    PostGIS semantics: source SRID from the geometry's EWKB header, or
+    ``from_srid`` for plain-WKB inputs; output stamped with to_srid."""
+    if from_srid is None:
+        return _transform2(_geom(g), _num(to_srid, "int"))
+    return _transform3(_geom(g), _num(to_srid, "int"),
+                       _num(from_srid, "int"))
+
+
 def st_dwithin(a: GeomLike, b: GeomLike, d) -> Column:
     """distance(a, b) <= d (PostGIS ST_DWithin; beyond-reference
     utility). For distance-band JOINS prefer expanding one side's bbox
@@ -491,6 +506,8 @@ _SQL_UDFS = {
     "ST_Simplify": _simplify,
     "ST_Distance": _distance,
     "ST_DWithin": _dwithin,
+    "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
+                                "transform_srid"),
 }
 
 
@@ -524,4 +541,5 @@ __all__ = [
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
+    "st_transform",
 ]

@@ -927,3 +927,52 @@ def dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
         else:
             out.append(bool(v <= float(lim)))
     return _obj_series(out)
+
+
+def transform_srid(s: pd.Series, to_srid: pd.Series,
+                   from_srid: Optional[pd.Series] = None) -> pd.Series:
+    """ST_Transform for the 4326<->3857 pair (geo/proj.py; PostGIS
+    semantics — source SRID from the EWKB header unless from_srid is
+    given). Vectorized numpy fast path for uniform plain-WKB point
+    batches with an explicit constant from_srid; object fallback with
+    decode+result memoization otherwise."""
+    from ..geo import proj
+    tl = to_srid.tolist()
+    fl = from_srid.tolist() if from_srid is not None else None
+    vals = s.tolist()
+    if fl is not None and len(vals):
+        t0 = _num(tl[0])
+        f0 = _num(fl[0])
+        const_pair = (t0 is not None and f0 is not None
+                      and all(_num(v) == t0 for v in tl)
+                      and all(_num(v) == f0 for v in fl))
+        if const_pair and (int(f0), int(t0)) == (proj.SRID_LONLAT,
+                                                 proj.SRID_MERCATOR):
+            pb = vector.decode_points(vals)
+            if pb is not None and np.all(
+                    (np.abs(pb.y[pb.valid]) < 90.0)
+                    | np.isnan(pb.y[pb.valid])):
+                # errstate: invalid slots may hold garbage coords
+                with np.errstate(all="ignore"):
+                    x = proj.R_MAJOR * (pb.x * proj.DEG2RAD)
+                    y = proj.R_MAJOR * np.log(np.tan(
+                        proj.PI_4 + (pb.y * proj.DEG2RAD) * 0.5))
+                return _obj_series(vector.encode_points(
+                    x, y, valid=pb.valid, srid=int(t0)))
+    cache = _DecodeCache()
+    out = []
+    memo: dict = {}
+    for i, v in enumerate(vals):
+        t = _num(tl[i])
+        f = _num(fl[i]) if fl is not None else None
+        if v is None or t is None or (fl is not None and f is None):
+            out.append(None)
+            continue
+        v = bytes(v)
+        key = (v, t, f)
+        if key not in memo:
+            memo[key] = to_wkb(proj.transform_geometry(
+                cache.geom(v), int(t),
+                None if f is None else int(f)))
+        out.append(memo[key])
+    return _obj_series(out)

@@ -118,20 +118,37 @@ def decode_uniform_lines(values: Sequence) -> Optional[LineBatch]:
     return LineBatch(m, valid)
 
 
+_EPOINT_DTYPE = np.dtype([("bo", "u1"), ("typ", "<u4"), ("srid", "<u4"),
+                          ("x", "<f8"), ("y", "<f8")])
+_EPOINT_LEN = 25
+_SRID_FLAG = 0x20000000
+
+
 def encode_points(x: np.ndarray, y: np.ndarray,
-                  valid: Optional[np.ndarray] = None) -> List[Optional[bytes]]:
-    """Vectorized plain-WKB point encoder → list of 21-byte objects."""
+                  valid: Optional[np.ndarray] = None,
+                  srid: Optional[int] = None) -> List[Optional[bytes]]:
+    """Vectorized point encoder → list of WKB objects: 21-byte plain
+    WKB, or 25-byte EWKB when ``srid`` is given (one SRID for the whole
+    batch — the transform/constructor use case)."""
     n = len(x)
-    arr = np.empty(n, dtype=_POINT_DTYPE)
-    arr["bo"] = 1
-    arr["typ"] = 1
+    if srid is None:
+        arr = np.empty(n, dtype=_POINT_DTYPE)
+        arr["bo"] = 1
+        arr["typ"] = 1
+        L = _POINT_LEN
+    else:
+        arr = np.empty(n, dtype=_EPOINT_DTYPE)
+        arr["bo"] = 1
+        arr["typ"] = 1 | _SRID_FLAG
+        arr["srid"] = int(srid)
+        L = _EPOINT_LEN
     arr["x"] = x
     arr["y"] = y
     buf = arr.tobytes()
     mv = memoryview(buf)
     if valid is None:
-        return [bytes(mv[i * _POINT_LEN:(i + 1) * _POINT_LEN]) for i in range(n)]
-    return [bytes(mv[i * _POINT_LEN:(i + 1) * _POINT_LEN]) if valid[i] else None
+        return [bytes(mv[i * L:(i + 1) * L]) for i in range(n)]
+    return [bytes(mv[i * L:(i + 1) * L]) if valid[i] else None
             for i in range(n)]
 
 

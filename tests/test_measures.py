@@ -163,3 +163,60 @@ def test_collect_points_agg_plan_is_native(spark):
             .agg(st_collect_points_agg(F.col("x"), F.col("y")).alias("w"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_transform_roundtrip_and_ewkb_srid_source(spark):
+    from datafusion_geo_spark.functions import (box2d, st_srid,
+                                                st_transform)
+    # EWKB source SRID (no from_srid argument), roundtrip near-identity
+    df = spark.createDataFrame([(1, "POINT(-71.06 42.28)")],
+                               "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"), 4326)
+    merc = st_transform(g, 3857)
+    back = st_transform(merc, 4326)
+    row = df.select(st_srid(merc).alias("s"),
+                    box2d(merc)["xmin"].alias("mx"),
+                    box2d(back)["xmin"].alias("lon"),
+                    box2d(back)["ymin"].alias("lat")).collect()[0]
+    assert row["s"] == 3857
+    # R * radians(-71.06) — standard spherical web-mercator x
+    assert abs(row["mx"] - (-7910363.0)) < 1.0
+    assert abs(row["lon"] - (-71.06)) < 1e-9
+    assert abs(row["lat"] - 42.28) < 1e-9
+
+
+def test_transform_linestring_object_path(spark):
+    from datafusion_geo_spark.functions import st_astext, st_transform
+    df = spark.createDataFrame([(1, "LINESTRING(0 0,90 0)")],
+                               "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    out = df.select(st_astext(
+        st_transform(g, 3857, from_srid=4326)).alias("w")).collect()[0]["w"]
+    # lat 0 maps to ~0 (exactly R*ln(tan(fl(pi/4))) ≈ -7.1e-10, not 0.0
+    # — tan of the rounded pi/4 is not exactly 1); x(90°) = R*pi/2
+    assert out.startswith("LINESTRING(0 ")
+    assert "10018754.17" in out
+
+
+def test_transform_errors(spark):
+    import pytest as _pt
+    from datafusion_geo_spark.functions import st_transform
+    df = spark.createDataFrame([(1, "POINT(0 95)")], "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    with _pt.raises(Exception):   # latitude out of range
+        df.select(st_transform(g, 3857, from_srid=4326)).collect()
+    with _pt.raises(Exception):   # unsupported pair
+        df.select(st_transform(g, 2154, from_srid=4326)).collect()
+    with _pt.raises(Exception):   # unknown source SRID (plain WKB)
+        df.select(st_transform(g, 3857)).collect()
+
+
+def test_transform_sql_variadic(spark):
+    register_all(spark)
+    row = spark.sql("""
+        SELECT ST_SRID(ST_Transform(
+                 ST_GeomFromText('POINT(10 20)', 4326), 3857)) AS a,
+               ST_SRID(ST_Transform(
+                 ST_GeomFromText('POINT(10 20)'), 3857, 4326)) AS b
+    """).collect()[0]
+    assert row["a"] == 3857 and row["b"] == 3857
