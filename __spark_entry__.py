@@ -427,6 +427,18 @@ def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_dwithin(F.col("geom"), anchor, 100.0).alias("near"))
 
 
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ tile pyramid at zoom 4 over the lines fixture
+    (operators.tiles.make_tiles): bounded bbox->tile explode + per-tile
+    MVT affine, entirely map-side (no shuffle anywhere)."""
+    from datafusion_geo_spark.functions import st_astext
+    from datafusion_geo_spark.operators.tiles import make_tiles
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    t = make_tiles(lines_orders(spark, sf_dir), zoom=4)
+    return t.select("o_orderkey", "zoom", "tx", "ty",
+                    st_astext(F.col("mvt_geom")).alias("mvt_wkt"))
+
+
 def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform EPSG:4326 -> EPSG:3857 over customer points (valid
     lon/lat by construction): vectorized numpy web-mercator fast path;
@@ -1290,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin_join": _q_dwithin_join,
         "collect_by_segment": _q_collect_by_segment,
         "transform_points": _q_transform_points,
+        "tile_pyramid": _q_tile_pyramid,
         "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
@@ -1915,6 +1928,28 @@ def oracle_sql() -> dict[str, str]:
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
                         ) <= 100.0 END AS near
             FROM lineitem
+        """,
+        # mirrors _q_tile_pyramid: zoom 4 over world (0,0,1024) -> tile
+        # size 64, fx = 4096/64 = 64; exact integer MVT coords
+        # (x' = 64x - 4096tx, y' = 65536 - 4096ty - 64y, Y flipped)
+        "tile_pyramid": """
+            WITH base AS (SELECT o_orderkey, o_orderkey % 1000 AS k
+                          FROM orders WHERE o_orderkey % 7 <> 0),
+            t AS (SELECT o_orderkey, k, tx, ty FROM base,
+                  unnest(range(greatest(k // 64, 0),
+                               least((k + 4) // 64, 15) + 1)) AS gx(tx),
+                  unnest(range(greatest((1024 - (k + 5)) // 64, 0),
+                               least((1024 - (k + 1)) // 64, 15) + 1))
+                      AS gy(ty))
+            SELECT o_orderkey, 4 AS zoom, tx::INT AS tx, ty::INT AS ty,
+                   'LINESTRING(' ||
+                   (64*k - 4096*tx) || ' ' ||
+                   (65536 - 4096*ty - 64*(k+1)) || ',' ||
+                   (64*(k+2) - 4096*tx) || ' ' ||
+                   (65536 - 4096*ty - 64*(k+3)) || ',' ||
+                   (64*(k+4) - 4096*tx) || ' ' ||
+                   (65536 - 4096*ty - 64*(k+5)) || ')' AS mvt_wkt
+            FROM t
         """,
         # mirrors _q_transform_points: same literal constants and
         # operation order as geo/proj.py (lon*DEG2RAD then *R), same
