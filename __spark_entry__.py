@@ -1016,6 +1016,20 @@ def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_curation(spark, sf_dir)
 
 
+def _q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (streaming.rollup): watermarked
+    1-hour windowed totals upserted per updated (hour, event_type) key
+    via foreachBatch dynamic partition overwrite — the no-batch-contract
+    streaming twin of hourly_rollup. Mergeable stats only (the module
+    docstring explains the n_users/HLL omission)."""
+    import os
+    from datafusion_geo_spark.streaming.rollup import streaming_hourly_rollup
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "stream_rollup", tag)
+    return streaming_hourly_rollup(spark, sf_dir, path)
+
+
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary report: top-50 words by exact document-wide
     frequency (ties broken by word) with the count and the
@@ -1354,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "streaming_curation": _q_streaming_curation,
         "hourly_rollup": _q_hourly_rollup,
+        "streaming_rollup": _q_streaming_rollup,
     }
 
 
@@ -2537,6 +2552,17 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT
                        AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        # mirrors _q_streaming_rollup: the maintained table's final state
+        # equals the one-shot GROUP BY; event-time windows drop NULL ts
+        "streaming_rollup": """
+            SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT
+                       AS sum_cents,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         # mirrors _q_streaming_curation: bounded availableNow replay ==
         # this batch query (gopher gate -> md5 first-seen, arg_min ties)
