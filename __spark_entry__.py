@@ -439,6 +439,25 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     st_astext(F.col("mvt_geom")).alias("mvt_wkt"))
 
 
+def _q_accessors_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accessor family over the lines fixture: ST_X/ST_Y of
+    ST_StartPoint / ST_EndPoint, ST_PointN (incl. negative index) and
+    ST_NumGeometries (PostGIS parity, beyond-reference)."""
+    from datafusion_geo_spark.functions import (st_astext, st_endpoint,
+                                                st_numgeometries, st_pointn,
+                                                st_startpoint, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    df = lines_orders(spark, sf_dir)
+    g = F.col("geom")
+    return df.select(
+        "o_orderkey",
+        st_x(st_startpoint(g)).alias("sx"),
+        st_y(st_startpoint(g)).alias("sy"),
+        st_x(st_endpoint(g)).alias("ex"),
+        st_astext(st_pointn(g, -2)).alias("p_penult"),
+        st_numgeometries(g).alias("n_geoms"))
+
+
 def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform EPSG:4326 -> EPSG:3857 over customer points (valid
     lon/lat by construction): vectorized numpy web-mercator fast path;
@@ -1317,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_by_segment": _q_collect_by_segment,
         "transform_points": _q_transform_points,
         "tile_pyramid": _q_tile_pyramid,
+        "accessors_lines": _q_accessors_lines,
         "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
@@ -1943,6 +1963,23 @@ def oracle_sql() -> dict[str, str]:
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
                         ) <= 100.0 END AS near
             FROM lineitem
+        """,
+        # mirrors _q_accessors_lines over the analytic lines fixture
+        "accessors_lines": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(o_orderkey % 1000 AS DOUBLE) END AS sx,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(o_orderkey % 1000 + 1 AS DOUBLE) END AS sy,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(o_orderkey % 1000 + 4 AS DOUBLE) END AS ex,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE 'POINT(' || (o_orderkey % 1000 + 2) || ' '
+                             || (o_orderkey % 1000 + 3) || ')' END
+                       AS p_penult,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE 1 END AS n_geoms
+            FROM orders
         """,
         # mirrors _q_tile_pyramid: zoom 4 over world (0,0,1024) -> tile
         # size 64, fx = 4096/64 = 64; exact integer MVT coords

@@ -366,6 +366,49 @@ def st_transform(g: GeomLike, to_srid, from_srid=None) -> Column:
                        _num(from_srid, "int"))
 
 
+_x = _u1(kernels.st_x, DoubleType())
+_y = _u1(kernels.st_y, DoubleType())
+_num_geometries = _u1(kernels.num_geometries, IntegerType())
+_geometry_n = _u2(kernels.geometry_n, BinaryType())
+_point_n = _u2(kernels.point_n, BinaryType())
+
+
+def st_x(g: GeomLike) -> Column:
+    """x of a POINT, NULL otherwise (PostGIS ST_X; beyond-reference)."""
+    return _x(_geom(g))
+
+
+def st_y(g: GeomLike) -> Column:
+    """y of a POINT, NULL otherwise (PostGIS ST_Y; beyond-reference)."""
+    return _y(_geom(g))
+
+
+def st_numgeometries(g: GeomLike) -> Column:
+    """Member count (PostGIS ST_NumGeometries; beyond-reference)."""
+    return _num_geometries(_geom(g))
+
+
+def st_geometryn(g: GeomLike, n) -> Column:
+    """1-based nth member (PostGIS ST_GeometryN; beyond-reference)."""
+    return _geometry_n(_geom(g), _num(n, "int"))
+
+
+def st_pointn(g: GeomLike, n) -> Column:
+    """1-based nth vertex of a LINESTRING, negative from the end
+    (PostGIS ST_PointN; beyond-reference)."""
+    return _point_n(_geom(g), _num(n, "int"))
+
+
+def st_startpoint(g: GeomLike) -> Column:
+    """First vertex of a LINESTRING (PostGIS ST_StartPoint)."""
+    return _point_n(_geom(g), F.lit(1))
+
+
+def st_endpoint(g: GeomLike) -> Column:
+    """Last vertex of a LINESTRING (PostGIS ST_EndPoint)."""
+    return _point_n(_geom(g), F.lit(-1))
+
+
 def st_dwithin(a: GeomLike, b: GeomLike, d) -> Column:
     """distance(a, b) <= d (PostGIS ST_DWithin; beyond-reference
     utility). For distance-band JOINS prefer expanding one side's bbox
@@ -508,6 +551,11 @@ _SQL_UDFS = {
     "ST_DWithin": _dwithin,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
+    "ST_X": _x,
+    "ST_Y": _y,
+    "ST_NumGeometries": _num_geometries,
+    "ST_GeometryN": _geometry_n,
+    "ST_PointN": _point_n,
 }
 
 
@@ -541,5 +589,6 @@ __all__ = [
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
-    "st_transform",
+    "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
+    "st_pointn", "st_startpoint", "st_endpoint",
 ]

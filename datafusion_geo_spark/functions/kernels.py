@@ -976,3 +976,102 @@ def transform_srid(s: pd.Series, to_srid: pd.Series,
                 None if f is None else int(f)))
         out.append(memo[key])
     return _obj_series(out)
+
+
+# ------------------------------------------- accessors (beyond-reference)
+
+def _unary_to_num(fn):
+    def k(s: pd.Series) -> pd.Series:
+        cache = _DecodeCache()
+        return _obj_series([
+            None if v is None else fn(cache.geom(bytes(v)))
+            for v in s.tolist()])
+    return k
+
+
+def _pt_x(g) -> Optional[float]:
+    if g.typ != "Point" or g.parts is None:
+        return None
+    return float(g.parts[0])
+
+
+def _pt_y(g) -> Optional[float]:
+    if g.typ != "Point" or g.parts is None:
+        return None
+    return float(g.parts[1])
+
+
+def st_x(s: pd.Series) -> pd.Series:
+    """ST_X (PostGIS): x of a POINT; NULL for empty/non-point.
+    Vectorized for uniform point batches."""
+    pb = vector.decode_points(s.tolist())
+    if pb is not None:
+        return pd.Series(_nullable(pb.x, pb.valid & ~np.isnan(pb.x)))
+    return _unary_to_num(_pt_x)(s)
+
+
+def st_y(s: pd.Series) -> pd.Series:
+    """ST_Y (PostGIS): y of a POINT; NULL for empty/non-point."""
+    pb = vector.decode_points(s.tolist())
+    if pb is not None:
+        return pd.Series(_nullable(pb.y, pb.valid & ~np.isnan(pb.y)))
+    return _unary_to_num(_pt_y)(s)
+
+
+def num_geometries(s: pd.Series) -> pd.Series:
+    """ST_NumGeometries (PostGIS): member count — 1 for simple
+    non-empty geometries, len for multi/collection, 0 for empty."""
+    def f(g):
+        if g.typ in ("Point", "LineString", "Polygon"):
+            return 0 if g.is_empty() else 1
+        return len(g.parts)
+    return _unary_to_num(f)(s)
+
+
+def geometry_n(s: pd.Series, n: pd.Series) -> pd.Series:
+    """ST_GeometryN (PostGIS, 1-based): nth member of a multi/
+    collection; the geometry itself for n=1 on a simple type; NULL out
+    of range."""
+    cache = _DecodeCache()
+    out = []
+    sl, nl = s.tolist(), n.tolist()
+    for i in range(len(sl)):
+        v, k = sl[i], _num(nl[i])
+        if v is None or k is None:
+            out.append(None)
+            continue
+        g = cache.geom(bytes(v))
+        k = int(k)
+        if g.typ in ("Point", "LineString", "Polygon"):
+            members = [g] if not g.is_empty() else []
+        else:
+            members = g.geometries()
+        if 1 <= k <= len(members):
+            out.append(to_wkb(members[k - 1].with_srid(g.srid)))
+        else:
+            out.append(None)
+    return _obj_series(out)
+
+
+def point_n(s: pd.Series, n: pd.Series) -> pd.Series:
+    """ST_PointN (PostGIS, 1-based; negative counts from the end):
+    nth vertex of a LINESTRING; NULL otherwise / out of range."""
+    cache = _DecodeCache()
+    out = []
+    sl, nl = s.tolist(), n.tolist()
+    for i in range(len(sl)):
+        v, k = sl[i], _num(nl[i])
+        if v is None or k is None:
+            out.append(None)
+            continue
+        g = cache.geom(bytes(v))
+        if g.typ != "LineString":
+            out.append(None)
+            continue
+        k = int(k)
+        idx = k - 1 if k > 0 else len(g.parts) + k
+        if 0 <= idx < len(g.parts):
+            out.append(to_wkb(Geometry("Point", g.parts[idx], g.srid)))
+        else:
+            out.append(None)
+    return _obj_series(out)

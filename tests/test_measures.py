@@ -220,3 +220,45 @@ def test_transform_sql_variadic(spark):
                  ST_GeomFromText('POINT(10 20)'), 3857, 4326)) AS b
     """).collect()[0]
     assert row["a"] == 3857 and row["b"] == 3857
+
+
+def test_accessors_family(spark):
+    from datafusion_geo_spark.functions import (st_geometryn,
+                                                st_numgeometries, st_pointn,
+                                                st_x, st_y)
+    df = spark.createDataFrame(
+        [(1, "MULTIPOINT(1 2,3 4)"),
+         (2, "GEOMETRYCOLLECTION(POINT(5 6),LINESTRING(0 0,1 1))"),
+         (3, "POINT(7 8)"),
+         (4, "POINT EMPTY"),
+         (5, "LINESTRING(0 0,1 1,2 2)")],
+        "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    got = {r["id"]: r for r in df.select(
+        "id",
+        st_numgeometries(g).alias("n"),
+        st_astext(st_geometryn(g, 2)).alias("g2"),
+        st_astext(st_pointn(g, -1)).alias("pn"),
+        st_x(g).alias("x"), st_y(g).alias("y")).collect()}
+    assert got[1]["n"] == 2 and got[1]["g2"] == "POINT(3 4)"
+    assert got[2]["n"] == 2 and got[2]["g2"] == "LINESTRING(0 0,1 1)"
+    assert got[3]["n"] == 1 and got[3]["g2"] is None
+    assert got[3]["x"] == 7.0 and got[3]["y"] == 8.0
+    assert got[4]["n"] == 0 and got[4]["x"] is None
+    assert got[5]["pn"] == "POINT(2 2)"  # negative index from the end
+    assert got[5]["x"] is None           # not a point
+
+
+def test_accessors_sql_registration(spark):
+    register_all(spark)
+    row = spark.sql("""
+        SELECT ST_X(ST_GeomFromText('POINT(3 4)')) AS x,
+               ST_Y(ST_GeomFromText('POINT(3 4)')) AS y,
+               ST_NumGeometries(ST_GeomFromText('MULTIPOINT(0 0,1 1)')) AS n,
+               ST_AsText(ST_GeometryN(
+                 ST_GeomFromText('MULTIPOINT(0 0,1 1)'), 1)) AS g1,
+               ST_AsText(ST_PointN(
+                 ST_GeomFromText('LINESTRING(0 0,5 5)'), 2)) AS p2
+    """).collect()[0]
+    assert (row["x"], row["y"], row["n"]) == (3.0, 4.0, 2)
+    assert row["g1"] == "POINT(0 0)" and row["p2"] == "POINT(5 5)"
