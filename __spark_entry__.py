@@ -439,6 +439,26 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     st_astext(F.col("mvt_geom")).alias("mvt_wkt"))
 
 
+def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile rollup of the zoom-4 pyramid: feature count + st_extent
+    aggregate of the source bboxes — the tile-index summary a tile
+    server reads to skip empty/thin tiles. One map-side tiling pass
+    (make_tiles) + one partial+final hash aggregate on (tx, ty)."""
+    from datafusion_geo_spark.functions import st_extent_agg, box2d
+    from datafusion_geo_spark.operators.tiles import make_tiles
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    t = make_tiles(lines_orders(spark, sf_dir), zoom=4)
+    return (t.withColumn("_b", box2d(F.col("geom")))
+            .groupBy("zoom", "tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 st_extent_agg(F.col("_b")).alias("ext"))
+            .select("zoom", "tx", "ty", "n_features",
+                    F.col("ext.xmin").alias("xmin"),
+                    F.col("ext.ymin").alias("ymin"),
+                    F.col("ext.xmax").alias("xmax"),
+                    F.col("ext.ymax").alias("ymax")))
+
+
 def _q_accessors_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accessor family over the lines fixture: ST_X/ST_Y of
     ST_StartPoint / ST_EndPoint, ST_PointN (incl. negative index) and
@@ -1337,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_points": _q_transform_points,
         "tile_pyramid": _q_tile_pyramid,
         "accessors_lines": _q_accessors_lines,
+        "tile_stats": _q_tile_stats,
         "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
@@ -1980,6 +2001,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL
                         ELSE 1 END AS n_geoms
             FROM orders
+        """,
+        # mirrors _q_tile_stats: tile cover from the tile_pyramid
+        # derivation, grouped; source bboxes are the analytic line boxes
+        "tile_stats": """
+            WITH base AS (SELECT o_orderkey, o_orderkey % 1000 AS k
+                          FROM orders WHERE o_orderkey % 7 <> 0),
+            t AS (SELECT o_orderkey, k, tx, ty FROM base,
+                  unnest(range(greatest(k // 64, 0),
+                               least((k + 4) // 64, 15) + 1)) AS gx(tx),
+                  unnest(range(greatest((1024 - (k + 5)) // 64, 0),
+                               least((1024 - (k + 1)) // 64, 15) + 1))
+                      AS gy(ty))
+            SELECT 4 AS zoom, tx::INT AS tx, ty::INT AS ty,
+                   COUNT(*) AS n_features,
+                   MIN(k)::DOUBLE AS xmin,
+                   MIN(k + 1)::DOUBLE AS ymin,
+                   MAX(k + 4)::DOUBLE AS xmax,
+                   MAX(k + 5)::DOUBLE AS ymax
+            FROM t GROUP BY tx, ty
         """,
         # mirrors _q_tile_pyramid: zoom 4 over world (0,0,1024) -> tile
         # size 64, fx = 4096/64 = 64; exact integer MVT coords
