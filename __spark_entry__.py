@@ -440,7 +440,8 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_geo_spark.functions import st_astext
     from datafusion_geo_spark.operators.tiles import make_tiles
     from datafusion_geo_spark.sources.fixtures import lines_orders
-    t = make_tiles(lines_orders(spark, sf_dir), zoom=4)
+    # with_bbox: native bbox columns -> make_tiles skips its box2d pass
+    t = make_tiles(lines_orders(spark, sf_dir, with_bbox=True), zoom=4)
     return t.select("o_orderkey", "zoom", "tx", "ty",
                     st_astext(F.col("mvt_geom")).alias("mvt_wkt"))
 
@@ -450,11 +451,15 @@ def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the source bboxes — the tile-index summary a tile
     server reads to skip empty/thin tiles. One map-side tiling pass
     (make_tiles) + one partial+final hash aggregate on (tx, ty)."""
-    from datafusion_geo_spark.functions import st_extent_agg, box2d
+    from datafusion_geo_spark.functions import st_extent_agg
     from datafusion_geo_spark.operators.tiles import make_tiles
     from datafusion_geo_spark.sources.fixtures import lines_orders
-    t = make_tiles(lines_orders(spark, sf_dir), zoom=4)
-    return (t.withColumn("_b", box2d(F.col("geom")))
+    # with_bbox: the fused single-crossing fixture — make_tiles'
+    # ensure_bbox sees native xmin..ymax and skips its box2d pass, and
+    # the extent aggregate below reads the SAME columns (zero extra
+    # Python; the fix for the double-box2d review finding)
+    t = make_tiles(lines_orders(spark, sf_dir, with_bbox=True), zoom=4)
+    return (t.withColumn("_b", F.struct("xmin", "ymin", "xmax", "ymax"))
             .groupBy("zoom", "tx", "ty")
             .agg(F.count(F.lit(1)).alias("n_features"),
                  st_extent_agg(F.col("_b")).alias("ext"))

@@ -556,6 +556,10 @@ _SQL_UDFS = {
     "ST_NumGeometries": _num_geometries,
     "ST_GeometryN": _geometry_n,
     "ST_PointN": _point_n,
+    "ST_StartPoint": _u1(lambda s: kernels.point_n(
+        s, pd.Series([1] * len(s))), BinaryType()),
+    "ST_EndPoint": _u1(lambda s: kernels.point_n(
+        s, pd.Series([-1] * len(s))), BinaryType()),
 }
 
 

@@ -873,12 +873,10 @@ def _dist_points_to_const(pb: "vector.PointBatch", g) -> np.ndarray:
     return best
 
 
-def distance(a: pd.Series, b: pd.Series) -> pd.Series:
-    """ST_Distance (PostGIS; beyond-reference utility). Vectorized fast
-    paths: point×point pairs (pure numpy hypot) and point-column ×
-    constant geometry (numpy per-edge loop); object fallback with
-    decode+result memoization otherwise."""
-    al, bl = a.tolist(), b.tolist()
+def _distance_fast(al: list, bl: list) -> Optional[pd.Series]:
+    """Vectorized distance cases shared by distance() and dwithin():
+    point×point pairs (pure numpy) and point-column × constant geometry
+    (numpy per-edge loop). None when neither applies."""
     pa = vector.decode_points(al)
     pbb = vector.decode_points(bl)
     if pa is not None and pbb is not None:
@@ -890,14 +888,31 @@ def distance(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(_nullable(d, ok))
     ga = _const_geom(al)
     gb = _const_geom(bl)
-    if gb is not None and pa is not None and not gb.is_empty():
+    # a constant with NO segments (e.g. a collection of only-empty
+    # members: not is_empty(), yet edgeless) must fall through to the
+    # object path, which returns the NULL the contract requires —
+    # the per-edge loop would leave the distance at +inf
+    if gb is not None and pa is not None and not gb.is_empty() \
+            and algos._all_segments(gb):
         d = _dist_points_to_const(pa, gb)
         ok = pa.valid & ~np.isnan(pa.x) & np.array([v is not None for v in bl])
         return pd.Series(_nullable(d, ok))
-    if ga is not None and pbb is not None and not ga.is_empty():
+    if ga is not None and pbb is not None and not ga.is_empty() \
+            and algos._all_segments(ga):
         d = _dist_points_to_const(pbb, ga)
         ok = pbb.valid & ~np.isnan(pbb.x) & np.array([v is not None for v in al])
         return pd.Series(_nullable(d, ok))
+    return None
+
+
+def distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Distance (PostGIS; beyond-reference utility). Vectorized fast
+    paths (_distance_fast); object fallback with decode+result
+    memoization otherwise."""
+    al, bl = a.tolist(), b.tolist()
+    fast = _distance_fast(al, bl)
+    if fast is not None:
+        return fast
     cache = _DecodeCache()
     out = []
     memo: dict = {}
@@ -915,17 +930,36 @@ def distance(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
-    """ST_DWithin (PostGIS; beyond-reference utility): distance <= d with
-    bbox band rejection in the object path."""
-    dl = d.tolist()
-    dist_s = distance(a, b)
+    """ST_DWithin (PostGIS; beyond-reference utility): vectorized
+    distance fast paths when they apply; otherwise the object path goes
+    through algos.dwithin, whose bbox band rejection answers the common
+    far-apart negative without the pairwise segment loop."""
+    al, bl, dl = a.tolist(), b.tolist(), d.tolist()
+    fast = _distance_fast(al, bl)
+    if fast is not None:
+        out = []
+        for i, v in enumerate(fast.tolist()):
+            v = _num(v)
+            lim = _num(dl[i])
+            if v is None or lim is None:
+                out.append(None)
+            else:
+                out.append(bool(v <= float(lim)))
+        return _obj_series(out)
+    cache = _DecodeCache()
     out = []
-    for i, v in enumerate(dist_s.tolist()):
-        lim = _num(dl[i])
-        if v is None or lim is None:
+    memo: dict = {}
+    for i in range(len(al)):
+        va, vb, lim = al[i], bl[i], _num(dl[i])
+        if va is None or vb is None or lim is None:
             out.append(None)
-        else:
-            out.append(bool(v <= float(lim)))
+            continue
+        va, vb = bytes(va), bytes(vb)
+        key = (va, vb, float(lim))
+        if key not in memo:
+            memo[key] = algos.dwithin(cache.geom(va), cache.geom(vb),
+                                      float(lim))
+        out.append(memo[key])
     return _obj_series(out)
 
 
@@ -1018,18 +1052,31 @@ def st_y(s: pd.Series) -> pd.Series:
     return _unary_to_num(_pt_y)(s)
 
 
+def _direct_members(g: Geometry) -> list:
+    """DIRECT members of a geometry — what ST_NumGeometries counts and
+    ST_GeometryN indexes (PostGIS): the geometry itself for simple
+    types, one level of members for multi/collection. NOT the recursive
+    flattening of Geometry.geometries() — a GeometryCollection holding a
+    MultiPoint has 2 members, not 1-per-point."""
+    if g.typ in ("Point", "LineString", "Polygon"):
+        return [] if g.is_empty() else [g]
+    if g.typ == "GeometryCollection":
+        return list(g.parts)
+    if g.typ == "MultiPoint":
+        return [Geometry("Point", c, g.srid) for c in g.parts]
+    if g.typ == "MultiLineString":
+        return [Geometry("LineString", line, g.srid) for line in g.parts]
+    return [Geometry("Polygon", poly, g.srid) for poly in g.parts]
+
+
 def num_geometries(s: pd.Series) -> pd.Series:
-    """ST_NumGeometries (PostGIS): member count — 1 for simple
+    """ST_NumGeometries (PostGIS): direct-member count — 1 for simple
     non-empty geometries, len for multi/collection, 0 for empty."""
-    def f(g):
-        if g.typ in ("Point", "LineString", "Polygon"):
-            return 0 if g.is_empty() else 1
-        return len(g.parts)
-    return _unary_to_num(f)(s)
+    return _unary_to_num(lambda g: len(_direct_members(g)))(s)
 
 
 def geometry_n(s: pd.Series, n: pd.Series) -> pd.Series:
-    """ST_GeometryN (PostGIS, 1-based): nth member of a multi/
+    """ST_GeometryN (PostGIS, 1-based): nth DIRECT member of a multi/
     collection; the geometry itself for n=1 on a simple type; NULL out
     of range."""
     cache = _DecodeCache()
@@ -1042,10 +1089,7 @@ def geometry_n(s: pd.Series, n: pd.Series) -> pd.Series:
             continue
         g = cache.geom(bytes(v))
         k = int(k)
-        if g.typ in ("Point", "LineString", "Polygon"):
-            members = [g] if not g.is_empty() else []
-        else:
-            members = g.geometries()
+        members = _direct_members(g)
         if 1 <= k <= len(members):
             out.append(to_wkb(members[k - 1].with_srid(g.srid)))
         else:

@@ -866,7 +866,9 @@ def distance(a: Geometry, b: Geometry) -> Optional[float]:
                     _pt_seg_dist(c, p, q), _pt_seg_dist(d, p, q))
             if v < best:
                 best = v
-    return best
+    # a collection of only-empty members is not is_empty() but yields no
+    # segments — treat like an empty operand (NULL), never return inf
+    return None if best == math.inf else best
 
 
 def dwithin(a: Geometry, b: Geometry, d: float) -> Optional[bool]:

@@ -254,31 +254,53 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    vocab_join: str = "broadcast",
+                    salt: int = 16) -> DataFrame:
     """Per-document TF-IDF keyword extraction: the ``k`` highest-scoring
     terms per doc, ``score = tf · (ln((N+1)/(df+1)) + 1)`` (smoothed idf,
     the scikit-learn convention) rounded to 6 dp, ties by term asc.
 
-    Plan (the 100-TB story): explode of the term array, then two
-    map-side-combined aggregations — tf on (doc, term) and document
-    frequency on term — with the vocabulary-sized df frame BROADCAST
-    back onto tf (skew-free: see inline note); the corpus size N is a
-    one-row aggregate broadcast via crossJoin (lazy, no driver action).
-    The per-doc top-k window partitions on doc_id. Everything is
-    built-ins inside WholeStageCodegen."""
+    Plan: explode of the term array, then two map-side-combined
+    aggregations — tf on (doc, term) and document frequency on term —
+    joined back per ``vocab_join``; the corpus size N is a one-row
+    aggregate broadcast via crossJoin (lazy, no driver action). The
+    per-doc top-k window partitions on doc_id. Everything is built-ins
+    inside WholeStageCodegen.
+
+    ``vocab_join`` picks the df-frame join-back (the scale decision):
+      - "broadcast" (default): for vocabularies that fit the broadcast
+        limit (up to tens of millions of terms). Skew-free by
+        construction, no second shuffle.
+      - "salted": the OPEN-VOCABULARY path — a billions-of-terms web
+        corpus cannot broadcast, and a plain shuffle join keyed on term
+        would funnel a stopword's (doc, term) rows into one task. The
+        df frame replicates ``salt`` ways and the tf side joins on
+        (term, doc-hash salt), splitting every hot term across ``salt``
+        tasks."""
     w = words_col(F.lower(F.col(text_col)))
     terms = (df.select(F.col(id_col), F.explode(w).alias("term")))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # document frequency: groupBy (map-side combined — a stopword
-    # compresses to one partial row per map task, so no hot-key skew)
-    # then BROADCAST back onto tf — never a shuffle join keyed on term
-    # (a stopword would funnel its (doc,term) rows into one task) and
-    # never a count-window partitioned by term (same funnel). Price:
-    # Catalyst duplicates the explode subtree (two corpus scans);
-    # persist the tf frame before calling if the scan dominates.
-    dft = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("dft")))
+    # document frequency: groupBy is map-side combined — a stopword
+    # compresses to one partial row per map task, so the AGG itself has
+    # no hot-key problem; only the join-back does (see vocab_join).
+    # Price of either mode: Catalyst duplicates the explode subtree
+    # (two corpus scans); persist tf before calling if the scan
+    # dominates.
+    dft = tf.groupBy("term").agg(F.count("*").alias("dft"))
+    if vocab_join == "broadcast":
+        joined = tf.join(F.broadcast(dft), "term")
+    elif vocab_join == "salted":
+        tf_s = tf.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)))
+        dft_s = dft.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        joined = tf_s.join(dft_s, ["term", "_salt"]).drop("_salt")
+    else:
+        raise ValueError(
+            f"vocab_join must be broadcast|salted, got {vocab_join!r}")
     n = F.broadcast(df.agg(F.count("*").alias("n_docs")))
-    scored = (tf.join(dft, "term").crossJoin(n)
+    scored = (joined.crossJoin(n)
               .select(F.col(id_col), F.col("term"),
                       F.col("tf").cast("int").alias("tf"),
                       F.round(F.col("tf")

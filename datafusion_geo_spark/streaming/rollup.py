@@ -40,8 +40,7 @@ def _hourly_stream_agg(events: DataFrame) -> DataFrame:
                   .alias("sum_cents"),
                  F.min("value").alias("min_value"),
                  F.max("value").alias("max_value"))
-            .select(F.floor(F.unix_timestamp(F.col("w.start")) / 3600)
-                    .cast("long").alias("hour"),
+            .select(hour_col("w.start").alias("hour"),
                     "event_type", "n_events", "sum_cents",
                     "min_value", "max_value"))
 
@@ -56,6 +55,10 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str,
     import shutil
     import uuid
     shutil.rmtree(path, ignore_errors=True)
+    # the uuid'd checkpoint below makes each run independent; without
+    # wiping the parent, every run would leave an orphan offset/commit
+    # log tree behind
+    shutil.rmtree(path + ".chk", ignore_errors=True)
     agg = _hourly_stream_agg(load_events_stream(spark, sf_dir))
 
     def upsert(batch: DataFrame, _bid: int) -> None:

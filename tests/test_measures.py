@@ -262,3 +262,47 @@ def test_accessors_sql_registration(spark):
     """).collect()[0]
     assert (row["x"], row["y"], row["n"]) == (3.0, 4.0, 2)
     assert row["g1"] == "POINT(0 0)" and row["p2"] == "POINT(5 5)"
+
+
+def test_geometry_n_direct_members_not_flattened(spark):
+    """ST_GeometryN must index DIRECT members (PostGIS), consistent with
+    ST_NumGeometries — a collection holding a MultiPoint has 2 members,
+    not one per flattened point (review finding)."""
+    from datafusion_geo_spark.functions import st_geometryn, st_numgeometries
+    df = spark.createDataFrame(
+        [(1, "GEOMETRYCOLLECTION(MULTIPOINT(0 0,1 1),LINESTRING(0 0,2 2))")],
+        "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    row = df.select(
+        st_numgeometries(g).alias("n"),
+        st_astext(st_geometryn(g, 1)).alias("g1"),
+        st_astext(st_geometryn(g, 2)).alias("g2"),
+        st_astext(st_geometryn(g, 3)).alias("g3")).collect()[0]
+    assert row["n"] == 2
+    assert row["g1"] == "MULTIPOINT(0 0,1 1)"
+    assert row["g2"] == "LINESTRING(0 0,2 2)"
+    assert row["g3"] is None
+
+
+def test_distance_all_empty_collection_is_null(spark):
+    """A collection of only-empty members must yield NULL, not Infinity
+    (review finding)."""
+    from datafusion_geo_spark.functions import st_distance
+    df = spark.createDataFrame(
+        [(1, "GEOMETRYCOLLECTION(POINT EMPTY)", "POINT(0 0)")],
+        "id int, a string, b string")
+    row = df.select(st_distance(st_geomfromtext(F.col("a")),
+                                st_geomfromtext(F.col("b"))).alias("d")
+                    ).collect()[0]
+    assert row["d"] is None
+
+
+def test_start_end_point_sql_registered(spark):
+    register_all(spark)
+    row = spark.sql("""
+        SELECT ST_AsText(ST_StartPoint(
+                 ST_GeomFromText('LINESTRING(1 2,3 4)'))) AS s,
+               ST_AsText(ST_EndPoint(
+                 ST_GeomFromText('LINESTRING(1 2,3 4)'))) AS e
+    """).collect()[0]
+    assert row["s"] == "POINT(1 2)" and row["e"] == "POINT(3 4)"
