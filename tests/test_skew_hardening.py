@@ -145,3 +145,22 @@ def test_broadcast_snapshot_size_guard(spark, monkeypatch):
                                  F.lit(" 0)"))).alias("geom"))
     with pytest.raises(ValueError, match="small side exceeds"):
         sj.broadcast_bbox_join(pts, pts).collect()
+
+
+def test_passage_dedup_hot_window_linear_not_quadratic(spark):
+    """A passage shared by N docs must contribute N flagged rows (one
+    per occurrence, the linear AQE-splittable join shape), never N²
+    candidate pairs — the structural difference from the pair-generating
+    dedup family."""
+    from datafusion_geo_spark.operators.dedup import passage_dedup_stats
+
+    shared = "x" * 120                      # one hot window per doc
+    docs = [(i, shared) for i in range(500)]
+    out = passage_dedup_stats(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        window=100, stride=100)
+    rows = out.collect()
+    # one output row per doc; every window flagged; no pair explosion
+    assert len(rows) == 500
+    assert all(r["n_dup_windows"] == r["n_windows"] for r in rows)
+    assert sum(r["n_windows"] for r in rows) == 500
