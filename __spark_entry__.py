@@ -687,9 +687,21 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full approximate k-NN graph (operators.similarity.knn_join):
     every vector's top-5 neighbors among its 2 probed IVF lists — the
-    shuffle-join all-pairs companion to the broadcast-probe ivf_topk."""
+    shuffle-join all-pairs companion to the broadcast-probe ivf_topk.
+    scorer="jvm": the oracle's exact fold arithmetic (conservative
+    parity mode); the default blocked-GEMM path is gated separately as
+    knn_join_gemm."""
     from datafusion_geo_spark.operators.similarity import knn_join
-    return knn_join(_embs(spark, sf_dir), k=5)
+    return knn_join(_embs(spark, sf_dir), k=5, scorer="jvm")
+
+
+def _q_knn_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same k-NN graph through the default blocked-GEMM scorer
+    (cogrouped per-list BLAS matmul, ~6x the jvm fold) — gated against
+    the SAME oracle, demonstrating the fast path is bit-identical on
+    the fixture."""
+    from datafusion_geo_spark.operators.similarity import knn_join
+    return knn_join(_embs(spark, sf_dir), k=5, scorer="gemm")
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_trained_topk": _q_ivf_trained_topk,
         "semantic_dedup": _q_semantic_dedup,
         "knn_join": _q_knn_join,
+        "knn_join_gemm": _q_knn_join_gemm,
         "streaming_first_seen": _q_streaming_first_seen,
         "asof_join": _q_asof_join,
         "asof_forward": _q_asof_forward,
@@ -2463,6 +2476,39 @@ def oracle_sql() -> dict[str, str]:
         # mirrors _q_knn_join: ivf_topk's replay with probes over the
         # WHOLE corpus and k=5
         "knn_join": """
+            WITH vecs AS (SELECT vec_id,
+                                 list_transform(embedding, x -> x::DOUBLE) AS v
+                          FROM embeddings),
+            cents AS (SELECT vec_id::INT AS cid, v AS cvec
+                      FROM vecs WHERE vec_id < 8),
+            scored AS (SELECT a.vec_id, c.cid,
+                              ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                       FROM vecs a, cents c),
+            assign AS (SELECT vec_id, cid FROM (
+                         SELECT vec_id, cid,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cid) AS rn
+                         FROM scored) WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid FROM (
+                         SELECT vec_id, cid,
+                                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cs DESC, cid) AS rn
+                         FROM scored) WHERE rn <= 2),
+            vb AS (SELECT vecs.vec_id, v, assign.cid
+                   FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
+            pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                             ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                      FROM probes p
+                      JOIN vecs q ON q.vec_id = p.query_id
+                      JOIN vb c ON c.cid = p.cid
+                      WHERE c.vec_id != p.query_id)
+            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+              SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM pairs) WHERE rank <= 5
+        """,
+        "knn_join_gemm": """
             WITH vecs AS (SELECT vec_id,
                                  list_transform(embedding, x -> x::DOUBLE) AS v
                           FROM embeddings),

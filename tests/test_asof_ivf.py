@@ -297,3 +297,22 @@ def test_knn_join_no_cartesian_no_corpus_broadcast(spark):
     plan = (knn_join(df, k=2, n_centroids=2, nprobe=1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
+
+
+def test_knn_gemm_scorer_matches_jvm(spark):
+    """The blocked-GEMM scorer (default) must be row-identical to the
+    exact JVM fold arithmetic on clustered data, including rank order
+    and 6-dp sims."""
+    from datafusion_geo_spark.operators.similarity import knn_join
+    import random
+    rng = random.Random(5)
+    rows = [(i, [rng.random() for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = knn_join(df, k=4, n_centroids=4, nprobe=2,
+                 scorer="jvm").orderBy("query_id", "rank").collect()
+    b = knn_join(df, k=4, n_centroids=4, nprobe=2,
+                 scorer="gemm").orderBy("query_id", "rank").collect()
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        knn_join(df, scorer="nope")

@@ -44,6 +44,8 @@ ALLOWED_BROADCAST_CROSSES = {
                              # same bounded dimension as ivf_topk
     "knn_join": 2,           # centroid scoring feeds assignment AND
                              # probe branches (bounded k-centroid dim)
+    "knn_join_gemm": 2,      # same assignment/probe crosses; scoring
+                             # itself is the cogrouped GEMM
 }
 
 
