@@ -1078,6 +1078,15 @@ def _q_streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_curation(spark, sf_dir)
 
 
+def _q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming.join): views attributed
+    to the click they preceded within 1 hour — dual-watermarked,
+    time-range-bounded state; bounded availableNow replay equals the
+    batch join the oracle runs."""
+    from datafusion_geo_spark.streaming.join import streaming_click_attribution
+    return streaming_click_attribution(spark, sf_dir)
+
+
 def _q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming continuous aggregate (streaming.rollup): watermarked
     1-hour windowed totals upserted per updated (hour, event_type) key
@@ -1434,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation": _q_streaming_curation,
         "hourly_rollup": _q_hourly_rollup,
         "streaming_rollup": _q_streaming_rollup,
+        "streaming_join": _q_streaming_join,
     }
 
 
@@ -2686,6 +2696,17 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT
                        AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        # mirrors _q_streaming_join: inner stream-stream results emit on
+        # match, so the bounded replay equals this batch interval join
+        "streaming_join": """
+            SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+                   epoch_us(a.ts) AS click_ts_us,
+                   epoch_us(b.ts) AS view_ts_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'view'
+             AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts
         """,
         # mirrors _q_streaming_rollup: the maintained table's final state
         # equals the one-shot GROUP BY; event-time windows drop NULL ts

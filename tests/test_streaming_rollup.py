@@ -55,3 +55,28 @@ def test_streaming_rollup_drops_null_ts(spark, tmp_path):
     p = str(tmp_path / "roll3")
     out = streaming_hourly_rollup(spark, SF_DIR, p)
     assert out.where(F.col("hour").isNull()).count() == 0
+
+
+def test_streaming_join_equals_batch_interval_join(spark):
+    """Bounded availableNow replay of the dual-watermarked stream-stream
+    interval join must equal the batch join over the same fixture."""
+    from datafusion_geo_spark.sources.fixtures import load_events
+    from datafusion_geo_spark.streaming.join import (
+        streaming_click_attribution)
+    got = sorted(map(tuple, streaming_click_attribution(
+        spark, SF_DIR).collect()))
+    ev = load_events(spark, SF_DIR)
+    a = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"))
+    b = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"))
+    batch = (a.join(b, (F.col("user_id") == F.col("vu"))
+                    & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 1 HOUR"))
+                    & (F.col("vts") <= F.col("cts")))
+             .select("user_id", "click_id", "view_id",
+                     F.unix_micros("cts").alias("click_ts_us"),
+                     F.unix_micros("vts").alias("view_ts_us")))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
