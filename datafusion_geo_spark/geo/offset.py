@@ -546,13 +546,19 @@ def buffer_path(g: Geometry, w: float, quadsegs: int) -> Geometry:
     endpoints bitwise; a start point lying exactly ON a later segment,
     making its cap circle tangent to that segment's offset line —
     a RELATIVE coincidence no rigid motion or uniform scale breaks).
-    Retry once with a deterministic per-vertex jitter of w·1e-6 — far
-    below the quadsegs arc-approximation error, large enough to break
-    every exact tangency/coincidence class, and a pure function of
-    vertex order so reruns and oracles agree."""
+    Retry with a deterministic per-vertex jitter on an ESCALATING
+    ladder (w·1e-6, then w·1e-4, then w·1e-3 — the top rung is the same
+    width-relative budget _dedupe simplifies under, still below the
+    quadsegs arc error): a NEAR-coincidence (deep-fuzz: a path start
+    6e-8 off a later segment) needs a perturbation larger than the
+    coincidence distance, which the smallest rung alone cannot
+    guarantee. The jitter is a pure function of vertex order so reruns
+    and oracles agree."""
     out = _buffer_path_once(g, w, quadsegs)
-    if w > 0 and out.is_empty() and not g.is_empty():
-        eps = w * 1e-6
+    for scale in (1e-6, 1e-4, 1e-3):
+        if not (w > 0 and out.is_empty() and not g.is_empty()):
+            break
+        eps = w * scale
         idx = [0]
 
         def jit(p):

@@ -262,3 +262,19 @@ def test_buffer_containment_property():
         assert algos.area(b) > algos.area(g)
 
     contains()
+
+
+def test_buffer_near_coincident_start_not_empty():
+    """Deep-fuzz regression: a path start 6e-8 off a later joint/segment
+    made both the arrangement and the single small-jitter retry empty;
+    the escalating jitter ladder must recover a non-empty buffer
+    covering every vertex."""
+    from datafusion_geo_spark.geo import algos
+    from datafusion_geo_spark.geo.geom import Geometry
+    g = Geometry("LineString",
+                 [(-5.960464477539063e-08, 0.0), (0.0, 2.0), (1.0, 0.0),
+                  (0.0, 0.0), (0.0, 1.0)])
+    b = algos.buffer(g, 0.5, 8)
+    assert not b.is_empty() and algos.area(b) > 4.0
+    for v in g.vertices():
+        assert algos.covers(b, Geometry("Point", v))
