@@ -230,3 +230,15 @@ def test_length_translation_invariant(line):
     moved = line.translate(7.25, -3.5)
     assert math.isclose(algos.length(line), algos.length(moved),
                         rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(linestrings(min_pts=2, max_pts=8),
+       st.floats(min_value=0.0, max_value=20.0, allow_nan=False))
+@settings(max_examples=150, deadline=None)
+def test_simplify_error_bound(line, tol):
+    """Douglas-Peucker guarantee: every dropped vertex stays within tol
+    of the simplified line."""
+    out = algos.simplify(line, tol)
+    for v in line.parts:
+        d = algos.distance(out, Geometry("Point", v))
+        assert d is not None and d <= tol + 1e-9
