@@ -446,6 +446,29 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     st_astext(F.col("mvt_geom")).alias("mvt_wkt"))
 
 
+def _q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end geo pipeline (the spatial counterpart of
+    curation_pipeline): lines fixture -> ST_Centroid distance gate
+    (keep features whose centroid is within 300 of the anchor) ->
+    zoom-3 tiling -> per-tile rollup (count + summed ST_Length,
+    6-dp rounded). Composition: two pandas-UDF crossings (centroid via
+    box2d reuse, length), one map-side tile explode, one partial+final
+    hash aggregate — no shuffle before the final group-by."""
+    from datafusion_geo_spark.functions import box2d, st_centroid, st_length
+    from datafusion_geo_spark.operators.tiles import make_tiles
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    df = lines_orders(spark, sf_dir, with_bbox=True)
+    c = box2d(st_centroid(F.col("geom")))
+    dx = c["xmin"] - F.lit(500.0)
+    dy = c["ymin"] - F.lit(500.0)
+    df = (df.withColumn("_len", F.round(st_length(F.col("geom")), 6))
+          .where(F.sqrt(dx * dx + dy * dy) <= 300.0))
+    t = make_tiles(df, zoom=3)
+    return (t.groupBy("zoom", "tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.round(F.sum("_len"), 6).alias("total_len")))
+
+
 def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile rollup of the zoom-4 pyramid: feature count + st_extent
     aggregate of the source bboxes — the tile-index summary a tile
@@ -1390,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         "accessors_lines": _q_accessors_lines,
         "tile_stats": _q_tile_stats,
+        "geo_pipeline": _q_geo_pipeline,
         "hull_simplify_literal": _q_hull_simplify_literal,
         "mvt_literal": _q_mvt_literal,
         "split_literal": _q_split_literal,
@@ -2035,6 +2059,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL
                         ELSE 1 END AS n_geoms
             FROM orders
+        """,
+        # mirrors _q_geo_pipeline: centroid (k+2, k+3), length 4*sqrt(2),
+        # zoom-3 tiles of 128; kept k range never touches world edges so
+        # no clamps needed
+        "geo_pipeline": """
+            WITH base AS (
+              SELECT o_orderkey % 1000 AS k FROM orders
+              WHERE o_orderkey % 7 <> 0
+                AND sqrt((o_orderkey % 1000 + 2 - 500.0)
+                         * (o_orderkey % 1000 + 2 - 500.0)
+                       + (o_orderkey % 1000 + 3 - 500.0)
+                         * (o_orderkey % 1000 + 3 - 500.0)) <= 300.0),
+            t AS (SELECT k, tx, ty FROM base,
+                  unnest(range(k // 128, (k + 4) // 128 + 1)) AS gx(tx),
+                  unnest(range((1024 - (k + 5)) // 128,
+                               (1024 - (k + 1)) // 128 + 1)) AS gy(ty))
+            SELECT 3 AS zoom, tx::INT AS tx, ty::INT AS ty,
+                   COUNT(*) AS n_features,
+                   ROUND(SUM(ROUND(4 * sqrt(2), 6)), 6) AS total_len
+            FROM t GROUP BY tx, ty
         """,
         # mirrors _q_tile_stats: tile cover from the tile_pyramid
         # derivation, grouped; source bboxes are the analytic line boxes
