@@ -1820,7 +1820,7 @@ def _lang_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     _EMAIL_RE, _PHONE_RE = _pii_regexes()
-    return {
+    out = {
         "wkt_roundtrip_points": f"""
             SELECT l_orderkey, l_linenumber,
                    CASE WHEN l_orderkey % 7 = 0 THEN NULL
@@ -2562,39 +2562,6 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY sim DESC, neighbor_id) AS rank
               FROM pairs) WHERE rank <= 5
         """,
-        "knn_join_gemm": """
-            WITH vecs AS (SELECT vec_id,
-                                 list_transform(embedding, x -> x::DOUBLE) AS v
-                          FROM embeddings),
-            cents AS (SELECT vec_id::INT AS cid, v AS cvec
-                      FROM vecs WHERE vec_id < 8),
-            scored AS (SELECT a.vec_id, c.cid,
-                              ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
-                       FROM vecs a, cents c),
-            assign AS (SELECT vec_id, cid FROM (
-                         SELECT vec_id, cid,
-                                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY cs DESC, cid) AS rn
-                         FROM scored) WHERE rn = 1),
-            probes AS (SELECT vec_id AS query_id, cid FROM (
-                         SELECT vec_id, cid,
-                                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY cs DESC, cid) AS rn
-                         FROM scored) WHERE rn <= 2),
-            vb AS (SELECT vecs.vec_id, v, assign.cid
-                   FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
-            pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                             ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
-                      FROM probes p
-                      JOIN vecs q ON q.vec_id = p.query_id
-                      JOIN vb c ON c.cid = p.cid
-                      WHERE c.vec_id != p.query_id)
-            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
-              SELECT query_id, neighbor_id, sim,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, neighbor_id) AS rank
-              FROM pairs) WHERE rank <= 5
-        """,
         "streaming_first_seen": """
             WITH d AS (
                 SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
@@ -2921,3 +2888,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_orderkey, o_orderkey % 1000 AS k FROM orders)
         """,
     }
+    # the gemm scorer is gated against the SAME twin (one definition,
+    # no drift between the two scorers' oracles)
+    out["knn_join_gemm"] = out["knn_join"]
+    return out

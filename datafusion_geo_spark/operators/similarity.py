@@ -294,6 +294,12 @@ def _knn_gemm_pairs(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
 
     out_schema = ("query_id long, neighbor_id long, sim double")
 
+    def _round6_half_up(a):
+        # Spark F.round / the SQL oracle use decimal HALF_UP (away from
+        # zero); np.round is half-to-EVEN and flips exact 6-dp ties
+        # (e.g. 17/128 = 0.1328125 -> 0.132812 vs Spark's 0.132813)
+        return np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+
     def score(key, qpdf, cpdf):
         if not len(qpdf) or not len(cpdf):
             return pd.DataFrame(
@@ -305,17 +311,19 @@ def _knn_gemm_pairs(q: DataFrame, c: DataFrame, k: int) -> DataFrame:
         for lo in range(0, len(qpdf), 1024):
             qb = qpdf.iloc[lo:lo + 1024]
             Q = np.stack(qb["qv"].to_numpy())
-            S = np.round((Q @ C.T) / np.outer(qb["qn"].to_numpy(), cn), 6)
+            S = _round6_half_up(
+                (Q @ C.T) / np.outer(qb["qn"].to_numpy(), cn))
             qid = qb["query_id"].to_numpy()
             S[nb[None, :] == qid[:, None]] = -np.inf    # self-match
             # per-row top-k by (sim desc, neighbor_id asc): sort on
             # (-sim, nb) lexicographically via argsort of structured keys
             order = np.lexsort((nb[None, :].repeat(len(qb), 0), -S), axis=1)
             take = order[:, :k]
+            kk = take.shape[1]   # a list may hold FEWER than k members
             sims = np.take_along_axis(S, take, axis=1)
             keep = np.isfinite(sims)
             outs.append(pd.DataFrame({
-                "query_id": qid.repeat(k)[keep.ravel()],
+                "query_id": qid.repeat(kk)[keep.ravel()],
                 "neighbor_id": nb[take.ravel()][keep.ravel()],
                 "sim": sims.ravel()[keep.ravel()]}))
         return pd.concat(outs, ignore_index=True)

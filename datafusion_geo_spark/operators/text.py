@@ -291,6 +291,8 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
     if vocab_join == "broadcast":
         joined = tf.join(F.broadcast(dft), "term")
     elif vocab_join == "salted":
+        if salt < 1:
+            raise ValueError(f"salt must be >= 1, got {salt}")
         tf_s = tf.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)))
         dft_s = dft.withColumn(

@@ -316,3 +316,18 @@ def test_knn_gemm_scorer_matches_jvm(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         knn_join(df, scorer="nope")
+
+
+def test_knn_gemm_small_lists_no_crash(spark):
+    """Review regression: a probed list with FEWER than k members must
+    return the available neighbors, not raise a boolean-mask
+    IndexError (qid.repeat must use the actual take width)."""
+    from datafusion_geo_spark.operators.similarity import knn_join
+    df = spark.createDataFrame(
+        [(i, [float(i % 4 == j) for j in range(4)]) for i in range(8)],
+        "vec_id long, embedding array<float>")
+    a = knn_join(df, k=5, n_centroids=4, nprobe=1,
+                 scorer="jvm").orderBy("query_id", "rank").collect()
+    b = knn_join(df, k=5, n_centroids=4, nprobe=1,
+                 scorer="gemm").orderBy("query_id", "rank").collect()
+    assert a == b and len(b) > 0

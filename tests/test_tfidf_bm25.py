@@ -98,13 +98,18 @@ def test_tfidf_plan_broadcast_df_no_term_shuffle_join(spark):
 
 def test_tfidf_salted_matches_broadcast(spark):
     """The open-vocabulary salted join mode returns identical results to
-    the broadcast mode, and its plan has no broadcast of the df frame."""
+    the broadcast mode, and the df frame joins through a SHUFFLE join
+    (the whole point — a broadcast would be the mode it exists to
+    avoid)."""
     broadcast = tfidf_top_terms(_corpus(spark), k=3).collect()
     salted_df = tfidf_top_terms(_corpus(spark), k=3, vocab_join="salted",
                                 salt=4)
     salted = salted_df.collect()
-    key = lambda r: (r["doc_id"], r["rank"])
     assert sorted(map(tuple, broadcast), key=lambda t: (t[0], t[-1])) == \
            sorted(map(tuple, salted), key=lambda t: (t[0], t[-1]))
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     with pytest.raises(ValueError):
         tfidf_top_terms(_corpus(spark), vocab_join="nope")
+    with pytest.raises(ValueError):
+        tfidf_top_terms(_corpus(spark), vocab_join="salted", salt=0)
