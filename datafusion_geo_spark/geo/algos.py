@@ -818,7 +818,11 @@ def _pt_seg_dist(p: Coord, a: Coord, b: Coord) -> float:
     vx, vy = b[0] - a[0], b[1] - a[1]
     l2 = vx * vx + vy * vy
     if l2 <= 0.0:
-        return dist(p, a)
+        # sqrt form here too (not math.hypot): the degenerate-segment
+        # branch is how point-point distances reach the object path,
+        # and it must be bit-identical to the numpy fast path
+        dx, dy = p[0] - a[0], p[1] - a[1]
+        return math.sqrt(dx * dx + dy * dy)
     t = ((p[0] - a[0]) * vx + (p[1] - a[1]) * vy) / l2
     t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
     dx, dy = p[0] - (a[0] + t * vx), p[1] - (a[1] + t * vy)
