@@ -231,6 +231,15 @@ def st_intersects(a: GeomLike, b: GeomLike) -> Column:
     return _intersects(_geom(a), _geom(b))
 
 
+_disjoint = _u2(kernels.disjoint, BooleanType())
+
+
+def st_disjoint(a: GeomLike, b: GeomLike) -> Column:
+    """NOT ST_Intersects, with the same fast paths (PostGIS
+    ST_Disjoint; beyond-reference utility)."""
+    return _disjoint(_geom(a), _geom(b))
+
+
 def st_covers(a: GeomLike, b: GeomLike) -> Column:
     """#10 ST_Covers (/root/reference/src/function/covers.rs:15-122)."""
     return _covers(_geom(a), _geom(b))
@@ -528,6 +537,7 @@ _SQL_UDFS = {
                                    "make_envelope"),
     "ST_MakeEnvelopeSRID": _make_envelope5,
     "ST_Intersects": _intersects,
+    "ST_Disjoint": _disjoint,
     "ST_Covers": _covers,
     "ST_CoveredBy": _covered_by,
     "ST_Equals": _equals,
@@ -586,7 +596,7 @@ __all__ = [
     "st_geomfromtext", "st_geomfromwkb", "st_geomfromgeojson",
     "st_astext", "st_asewkt",
     "st_asgeojson", "st_geometrytype", "box2d", "st_makeenvelope",
-    "st_intersects", "st_covers", "st_coveredby", "st_equals",
+    "st_intersects", "st_disjoint", "st_covers", "st_coveredby", "st_equals",
     "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",
     "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints", "st_area",
     "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",

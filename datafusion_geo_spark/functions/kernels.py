@@ -693,6 +693,13 @@ def _binary_pred(fn: Callable[[Geometry, Geometry], bool], fn_name: str):
 intersects = _binary_pred(algos.intersects, "intersects")    # intersects.rs:100-132
 covers = _binary_pred(algos.covers, "covers")                # covers.rs:103-122
 covered_by = _binary_pred(algos.covered_by, "covered_by")    # covered_by.rs:102-121
+
+
+def disjoint(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Disjoint (PostGIS; beyond-reference utility) — the exact
+    negation of intersects, sharing all of its vectorized fast paths."""
+    out = intersects(a, b)
+    return _obj_series([None if v is None else not v for v in out.tolist()])
 equals = _binary_pred(algos.equals, "equals")                # equals.rs:103-122
 
 

@@ -329,3 +329,17 @@ def _boxes_nation(spark, sf_dir):
     return df.withColumn(
         "geom", st_makeenvelope(F.col("xmin"), F.col("ymin"),
                                 F.col("xmax"), F.col("ymax")))
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture parquet as a temp view (plus the derived
+    geometry tables ``points_li``, ``points_cust``, ``lines``) so a
+    SQL-first user can ``register_all(spark)`` and work entirely in
+    ``spark.sql`` — the engine's full surface without touching the
+    Python API."""
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    points_lineitem(spark, sf_dir).createOrReplaceTempView("points_li")
+    points_customer(spark, sf_dir).createOrReplaceTempView("points_cust")
+    lines_orders(spark, sf_dir).createOrReplaceTempView("lines")

@@ -172,3 +172,23 @@ def test_extent_grouped_sql(spark, sql):
                "from geom_table_ext group by name order by name")
     got = [(r.name, r.e.xmin, r.e.ymin, r.e.xmax, r.e.ymax) for r in rows]
     assert got == [("a", 0.0, 1.0, 5.0, 6.0), ("b", 2.0, 3.0, 7.0, 8.0)]
+
+
+def test_disjoint_and_fixture_views_sql_only(spark):
+    """SQL-first UX: register functions + fixture views and run a pure
+    SQL spatial query, including the new ST_Disjoint."""
+    from datafusion_geo_spark.functions import register_all
+    from datafusion_geo_spark.sources.fixtures import register_fixture_views
+    register_all(spark)
+    register_fixture_views(spark, "/root/testdata/sf0.001")
+    row = spark.sql("""
+        SELECT SUM(CASE WHEN ST_Disjoint(geom,
+                     ST_GeomFromText('POINT(10 11)')) THEN 1 ELSE 0 END) AS n_dis,
+               SUM(CASE WHEN ST_Intersects(geom,
+                     ST_GeomFromText('POINT(10 11)')) THEN 1 ELSE 0 END) AS n_hit,
+               COUNT(geom) AS n
+        FROM lines
+    """).collect()[0]
+    assert row["n_dis"] + row["n_hit"] == row["n"] and row["n"] > 0
+    assert spark.sql("SELECT ST_Disjoint(ST_GeomFromText('POINT(0 0)'), "
+                     "ST_GeomFromText('POINT(0 0)'))").collect()[0][0] is False
