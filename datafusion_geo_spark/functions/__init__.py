@@ -318,6 +318,7 @@ def st_point(x, y) -> Column:
 _length = _u1(kernels.length, DoubleType())
 _perimeter = _u1(kernels.perimeter, DoubleType())
 _centroid = _u1(kernels.centroid, BinaryType())
+_envelope = _u1(kernels.envelope, BinaryType())
 _convex_hull = _u1(kernels.convex_hull, BinaryType())
 _simplify = _u2(kernels.simplify, BinaryType())
 _distance = _u2(kernels.distance, DoubleType())
@@ -340,6 +341,13 @@ def st_centroid(g: GeomLike) -> Column:
     """Centroid of the highest-dimension components (PostGIS/GEOS
     ST_Centroid; beyond-reference utility)."""
     return _centroid(_geom(g))
+
+
+def st_envelope(g: GeomLike) -> Column:
+    """Bounding box as a geometry, with PostGIS degenerate forms
+    (POINT / LINESTRING for collapsed extents; ST_Envelope;
+    beyond-reference utility)."""
+    return _envelope(_geom(g))
 
 
 def st_convexhull(g: GeomLike) -> Column:
@@ -555,6 +563,7 @@ _SQL_UDFS = {
     "ST_Length": _length,
     "ST_Perimeter": _perimeter,
     "ST_Centroid": _centroid,
+    "ST_Envelope": _envelope,
     "ST_ConvexHull": _convex_hull,
     "ST_Simplify": _simplify,
     "ST_Distance": _distance,
@@ -603,6 +612,7 @@ __all__ = [
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
+    "st_envelope",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -832,6 +832,7 @@ def perimeter(s: pd.Series) -> pd.Series:
 
 centroid = _unary_geom(algos.centroid)        # PostGIS ST_Centroid
 convex_hull = _unary_geom(algos.convex_hull)  # PostGIS ST_ConvexHull
+envelope = _unary_geom(algos.envelope)        # PostGIS ST_Envelope
 
 
 def simplify(s: pd.Series, tol: pd.Series) -> pd.Series:

@@ -952,6 +952,21 @@ def centroid(g: Geometry) -> Geometry:
                               sum(c[1] for c in vs) / len(vs)), g.srid)
 
 
+def envelope(g: Geometry) -> Geometry:
+    """ST_Envelope (PostGIS): the bounding box as a geometry — POLYGON
+    for a real extent, degenerate POINT/LINESTRING for zero-width or
+    zero-height extents, POINT EMPTY for empty input."""
+    b = g.bounds()
+    if b is None:
+        return Geometry("Point", None, g.srid)
+    x1, y1, x2, y2 = b
+    if x1 == x2 and y1 == y2:
+        return Geometry("Point", (x1, y1), g.srid)
+    if x1 == x2 or y1 == y2:
+        return Geometry("LineString", [(x1, y1), (x2, y2)], g.srid)
+    return Geometry.box(x1, y1, x2, y2, srid=g.srid)
+
+
 def convex_hull(g: Geometry) -> Geometry:
     """ST_ConvexHull (PostGIS/GEOS semantics): Andrew monotone chain
     over all vertices. Degenerate results follow GEOS: empty → POINT

@@ -306,3 +306,22 @@ def test_start_end_point_sql_registered(spark):
                  ST_GeomFromText('LINESTRING(1 2,3 4)'))) AS e
     """).collect()[0]
     assert row["s"] == "POINT(1 2)" and row["e"] == "POINT(3 4)"
+
+
+def test_envelope_forms(spark):
+    from datafusion_geo_spark.functions import st_envelope
+    wkts = ["LINESTRING(1 2,5 7)", "POINT(3 4)",
+            "LINESTRING(0 5,9 5)", "MULTIPOINT EMPTY"]
+    got = _eval(spark, wkts, lambda g: st_astext(st_envelope(g)))
+    assert got[0] == "POLYGON((1 2,5 2,5 7,1 7,1 2))" or \
+           got[0] == "POLYGON((1 2,1 7,5 7,5 2,1 2))"
+    assert got[1] == "POINT(3 4)"
+    assert got[2] == "LINESTRING(0 5,9 5)"
+    assert got[3] == "POINT EMPTY"
+
+
+def test_envelope_sql(spark):
+    register_all(spark)
+    row = spark.sql("SELECT ST_AsText(ST_Envelope(ST_GeomFromText("
+                    "'LINESTRING(0 0,2 3)'))) AS e").collect()[0]
+    assert "POLYGON" in row["e"]
