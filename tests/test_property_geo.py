@@ -242,3 +242,13 @@ def test_simplify_error_bound(line, tol):
     for v in line.parts:
         d = algos.distance(out, Geometry("Point", v))
         assert d is not None and d <= tol + 1e-9
+
+
+@given(st.one_of(points(), linestrings(), boxes()))
+@settings(max_examples=150, deadline=None)
+def test_envelope_covers_geometry(g):
+    env = algos.envelope(g)
+    for v in g.vertices():
+        assert algos.covers(env, Geometry("Point", v)) or \
+            algos.distance(env, Geometry("Point", v)) <= 1e-9 * (
+                1.0 + abs(v[0]) + abs(v[1]))
