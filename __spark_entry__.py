@@ -15,10 +15,19 @@ reference's own unit tests (SURVEY.md §5).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+# Self-locate: queries/oracles lazily import datafusion_geo_spark, so a
+# driver loading this file by PATH (spec_from_file_location from another
+# cwd) must still resolve the sibling package.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
