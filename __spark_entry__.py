@@ -521,6 +521,21 @@ def _q_accessors_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_numgeometries(g).alias("n_geoms"))
 
 
+def _q_line_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_LineInterpolatePoint over the lines fixture at fractions
+    0.25 / 0.5 / 1.0 — the fixture's uniform segment lengths make every
+    interpolated coordinate an exact integer the oracle reproduces."""
+    from datafusion_geo_spark.functions import st_astext, st_lineinterpolatepoint
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    df = lines_orders(spark, sf_dir)
+    g = F.col("geom")
+    return df.select(
+        "o_orderkey",
+        st_astext(st_lineinterpolatepoint(g, 0.25)).alias("p25"),
+        st_astext(st_lineinterpolatepoint(g, 0.5)).alias("p50"),
+        st_astext(st_lineinterpolatepoint(g, 1.0)).alias("p100"))
+
+
 def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform EPSG:4326 -> EPSG:3857 over customer points (valid
     lon/lat by construction): vectorized numpy web-mercator fast path;
@@ -1421,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_points": _q_transform_points,
         "tile_pyramid": _q_tile_pyramid,
         "accessors_lines": _q_accessors_lines,
+        "line_interp": _q_line_interp,
         "tile_stats": _q_tile_stats,
         "geo_pipeline": _q_geo_pipeline,
         "hull_simplify_literal": _q_hull_simplify_literal,
@@ -2051,6 +2067,23 @@ def oracle_sql() -> dict[str, str]:
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
                         ) <= 100.0 END AS near
             FROM lineitem
+        """,
+        # mirrors _q_line_interp: total length 4*sqrt(2), two equal
+        # segments -> f=0.25 is the first segment's midpoint (k+1,k+2),
+        # f=0.5 the middle vertex's... actually the line midpoint
+        # (k+2,k+3), f=1 the endpoint (k+4,k+5); all exact integers
+        "line_interp": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE 'POINT(' || (o_orderkey % 1000 + 1) || ' '
+                             || (o_orderkey % 1000 + 2) || ')' END AS p25,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE 'POINT(' || (o_orderkey % 1000 + 2) || ' '
+                             || (o_orderkey % 1000 + 3) || ')' END AS p50,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE 'POINT(' || (o_orderkey % 1000 + 4) || ' '
+                             || (o_orderkey % 1000 + 5) || ')' END AS p100
+            FROM orders
         """,
         # mirrors _q_accessors_lines over the analytic lines fixture
         "accessors_lines": """

@@ -321,6 +321,7 @@ _centroid = _u1(kernels.centroid, BinaryType())
 _envelope = _u1(kernels.envelope, BinaryType())
 _convex_hull = _u1(kernels.convex_hull, BinaryType())
 _simplify = _u2(kernels.simplify, BinaryType())
+_line_interp = _u2(kernels.line_interpolate_point, BinaryType())
 _distance = _u2(kernels.distance, DoubleType())
 _dwithin = _u3(kernels.dwithin, BooleanType())
 
@@ -360,6 +361,12 @@ def st_simplify(g: GeomLike, tolerance) -> Column:
     """Douglas-Peucker simplification, non-topology-preserving
     (PostGIS ST_Simplify; beyond-reference utility)."""
     return _simplify(_geom(g), _num(tolerance, "double"))
+
+
+def st_lineinterpolatepoint(g: GeomLike, fraction) -> Column:
+    """Point at ``fraction`` of a LINESTRING's length, clamped to [0,1]
+    (PostGIS ST_LineInterpolatePoint; beyond-reference utility)."""
+    return _line_interp(_geom(g), _num(fraction, "double"))
 
 
 def st_distance(a: GeomLike, b: GeomLike) -> Column:
@@ -566,6 +573,7 @@ _SQL_UDFS = {
     "ST_Envelope": _envelope,
     "ST_ConvexHull": _convex_hull,
     "ST_Simplify": _simplify,
+    "ST_LineInterpolatePoint": _line_interp,
     "ST_Distance": _distance,
     "ST_DWithin": _dwithin,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
@@ -612,7 +620,7 @@ __all__ = [
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
-    "st_envelope",
+    "st_envelope", "st_lineinterpolatepoint",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -835,6 +835,26 @@ convex_hull = _unary_geom(algos.convex_hull)  # PostGIS ST_ConvexHull
 envelope = _unary_geom(algos.envelope)        # PostGIS ST_Envelope
 
 
+def line_interpolate_point(s: pd.Series, f: pd.Series) -> pd.Series:
+    """ST_LineInterpolatePoint (PostGIS; beyond-reference utility)."""
+    cache = _DecodeCache()
+    out = []
+    sl, fl = s.tolist(), f.tolist()
+    memo: dict = {}
+    for i in range(len(sl)):
+        v, fr = sl[i], _num(fl[i])
+        if v is None or fr is None:
+            out.append(None)
+            continue
+        v = bytes(v)
+        key = (v, float(fr))
+        if key not in memo:
+            memo[key] = to_wkb(algos.line_interpolate_point(
+                cache.geom(v), float(fr)))
+        out.append(memo[key])
+    return _obj_series(out)
+
+
 def simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
     """ST_Simplify (PostGIS Douglas-Peucker, non-topology-preserving)."""
     cache = _DecodeCache()

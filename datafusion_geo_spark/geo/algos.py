@@ -952,6 +952,36 @@ def centroid(g: Geometry) -> Geometry:
                               sum(c[1] for c in vs) / len(vs)), g.srid)
 
 
+def line_interpolate_point(g: Geometry, f: float) -> Geometry:
+    """ST_LineInterpolatePoint (PostGIS): the point at fraction
+    ``f`` (clamped to [0, 1]) of a LINESTRING's length; POINT EMPTY for
+    empty input; ValueError for non-linear input (PostGIS errors too)."""
+    if g.typ != "LineString":
+        raise ValueError(
+            f"ST_LineInterpolatePoint: expected LineString, got {g.typ}")
+    cs = g.parts
+    if not cs:
+        return Geometry("Point", None, g.srid)
+    if len(cs) == 1:
+        return Geometry("Point", cs[0], g.srid)
+    f = 0.0 if f < 0.0 else (1.0 if f > 1.0 else float(f))
+    total = sum(dist(cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+    if total <= 0.0:
+        return Geometry("Point", cs[0], g.srid)
+    target = f * total
+    acc = 0.0
+    for i in range(len(cs) - 1):
+        ln = dist(cs[i], cs[i + 1])
+        if acc + ln >= target and ln > 0.0:
+            t = (target - acc) / ln
+            return Geometry("Point",
+                            (cs[i][0] + t * (cs[i + 1][0] - cs[i][0]),
+                             cs[i][1] + t * (cs[i + 1][1] - cs[i][1])),
+                            g.srid)
+        acc += ln
+    return Geometry("Point", cs[-1], g.srid)
+
+
 def envelope(g: Geometry) -> Geometry:
     """ST_Envelope (PostGIS): the bounding box as a geometry — POLYGON
     for a real extent, degenerate POINT/LINESTRING for zero-width or

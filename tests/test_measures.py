@@ -325,3 +325,36 @@ def test_envelope_sql(spark):
     row = spark.sql("SELECT ST_AsText(ST_Envelope(ST_GeomFromText("
                     "'LINESTRING(0 0,2 3)'))) AS e").collect()[0]
     assert "POLYGON" in row["e"]
+
+
+def test_line_interpolate_point_semantics(spark):
+    from datafusion_geo_spark.functions import st_lineinterpolatepoint
+    df = spark.createDataFrame(
+        [(1, "LINESTRING(0 0,10 0,10 10)", 0.5),
+         (2, "LINESTRING(0 0,10 0,10 10)", 0.0),
+         (3, "LINESTRING(0 0,10 0,10 10)", 2.5),    # clamps to 1
+         (4, "LINESTRING(0 0,10 0,10 10)", -1.0),   # clamps to 0
+         (5, "LINESTRING(3 4,3 4)", 0.7)],          # zero length
+        "id int, wkt string, f double")
+    g = st_geomfromtext(F.col("wkt"))
+    got = {r["id"]: r["p"] for r in df.select(
+        "id", st_astext(st_lineinterpolatepoint(g, F.col("f"))).alias("p")
+    ).collect()}
+    assert got[1] == "POINT(10 0)"      # half of 20 = exactly the bend
+    assert got[2] == "POINT(0 0)"
+    assert got[3] == "POINT(10 10)"
+    assert got[4] == "POINT(0 0)"
+    assert got[5] == "POINT(3 4)"
+    # non-linear input raises (PostGIS parity)
+    df2 = spark.createDataFrame([(1, "POINT(0 0)")], "id int, wkt string")
+    with pytest.raises(Exception):
+        df2.select(st_lineinterpolatepoint(
+            st_geomfromtext(F.col("wkt")), 0.5)).collect()
+
+
+def test_line_interpolate_sql(spark):
+    register_all(spark)
+    row = spark.sql("SELECT ST_AsText(ST_LineInterpolatePoint("
+                    "ST_GeomFromText('LINESTRING(0 0,4 0)'), 0.25)) AS p"
+                    ).collect()[0]
+    assert row["p"] == "POINT(1 0)"
