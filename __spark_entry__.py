@@ -536,6 +536,22 @@ def _q_line_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_astext(st_lineinterpolatepoint(g, 1.0)).alias("p100"))
 
 
+def _q_line_locate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_LineLocatePoint golden cases (hand-verified: projection onto
+    the right-angle LINESTRING(0 0,10 0,10 10), clamped ends, tie to
+    the first minimal position)."""
+    from datafusion_geo_spark.functions import (st_geomfromtext,
+                                                st_linelocatepoint)
+    rows = [(1, "POINT(5 1)", 0.25), (2, "POINT(20 5)", 0.75),
+            (3, "POINT(-3 0)", 0.0), (4, "POINT(10 20)", 1.0),
+            (5, "POINT(10 0)", 0.5)]
+    df = spark.createDataFrame(rows, "id int, pwkt string, expected double")
+    line = st_geomfromtext(F.lit("LINESTRING(0 0,10 0,10 10)"))
+    return df.select(
+        "id",
+        st_linelocatepoint(line, st_geomfromtext(F.col("pwkt"))).alias("frac"))
+
+
 def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform EPSG:4326 -> EPSG:3857 over customer points (valid
     lon/lat by construction): vectorized numpy web-mercator fast path;
@@ -1437,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         "accessors_lines": _q_accessors_lines,
         "line_interp": _q_line_interp,
+        "line_locate_literal": _q_line_locate_literal,
         "tile_stats": _q_tile_stats,
         "geo_pipeline": _q_geo_pipeline,
         "hull_simplify_literal": _q_hull_simplify_literal,
@@ -2067,6 +2084,11 @@ def oracle_sql() -> dict[str, str]:
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
                         ) <= 100.0 END AS near
             FROM lineitem
+        """,
+        "line_locate_literal": """
+            SELECT * FROM (VALUES
+              (1, 0.25), (2, 0.75), (3, 0.0), (4, 1.0), (5, 0.5)
+            ) AS t(id, frac)
         """,
         # mirrors _q_line_interp: total length 4*sqrt(2), two equal
         # segments -> f=0.25 is the first segment's midpoint (k+1,k+2),

@@ -322,6 +322,7 @@ _envelope = _u1(kernels.envelope, BinaryType())
 _convex_hull = _u1(kernels.convex_hull, BinaryType())
 _simplify = _u2(kernels.simplify, BinaryType())
 _line_interp = _u2(kernels.line_interpolate_point, BinaryType())
+_line_locate = _u2(kernels.line_locate_point, DoubleType())
 _distance = _u2(kernels.distance, DoubleType())
 _dwithin = _u3(kernels.dwithin, BooleanType())
 
@@ -367,6 +368,13 @@ def st_lineinterpolatepoint(g: GeomLike, fraction) -> Column:
     """Point at ``fraction`` of a LINESTRING's length, clamped to [0,1]
     (PostGIS ST_LineInterpolatePoint; beyond-reference utility)."""
     return _line_interp(_geom(g), _num(fraction, "double"))
+
+
+def st_linelocatepoint(g: GeomLike, p: GeomLike) -> Column:
+    """Fraction of the line's length at the closest point to p —
+    the inverse of st_lineinterpolatepoint (PostGIS ST_LineLocatePoint;
+    beyond-reference utility)."""
+    return _line_locate(_geom(g), _geom(p))
 
 
 def st_distance(a: GeomLike, b: GeomLike) -> Column:
@@ -574,6 +582,7 @@ _SQL_UDFS = {
     "ST_ConvexHull": _convex_hull,
     "ST_Simplify": _simplify,
     "ST_LineInterpolatePoint": _line_interp,
+    "ST_LineLocatePoint": _line_locate,
     "ST_Distance": _distance,
     "ST_DWithin": _dwithin,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
@@ -620,7 +629,7 @@ __all__ = [
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
-    "st_envelope", "st_lineinterpolatepoint",
+    "st_envelope", "st_lineinterpolatepoint", "st_linelocatepoint",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

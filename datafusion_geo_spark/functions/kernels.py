@@ -855,6 +855,25 @@ def line_interpolate_point(s: pd.Series, f: pd.Series) -> pd.Series:
     return _obj_series(out)
 
 
+def line_locate_point(s: pd.Series, pt: pd.Series) -> pd.Series:
+    """ST_LineLocatePoint (PostGIS; beyond-reference utility)."""
+    cache = _DecodeCache()
+    out = []
+    sl, pl = s.tolist(), pt.tolist()
+    memo: dict = {}
+    for i in range(len(sl)):
+        v, q = sl[i], pl[i]
+        if v is None or q is None:
+            out.append(None)
+            continue
+        v, q = bytes(v), bytes(q)
+        key = (v, q)
+        if key not in memo:
+            memo[key] = algos.line_locate_point(cache.geom(v), cache.geom(q))
+        out.append(memo[key])
+    return _obj_series(out)
+
+
 def simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
     """ST_Simplify (PostGIS Douglas-Peucker, non-topology-preserving)."""
     cache = _DecodeCache()

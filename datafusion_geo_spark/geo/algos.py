@@ -982,6 +982,40 @@ def line_interpolate_point(g: Geometry, f: float) -> Geometry:
     return Geometry("Point", cs[-1], g.srid)
 
 
+def line_locate_point(g: Geometry, p: Geometry) -> Optional[float]:
+    """ST_LineLocatePoint (PostGIS): the fraction in [0, 1] of the
+    LINESTRING's length at the point CLOSEST to ``p`` (first such point
+    on ties, walking from the start). None for empty input; ValueError
+    for non-linear/non-point arguments."""
+    if g.typ != "LineString" or p.typ != "Point":
+        raise ValueError("ST_LineLocatePoint: expected (LineString, Point), "
+                         f"got ({g.typ}, {p.typ})")
+    if not g.parts or p.parts is None:
+        return None
+    cs = g.parts
+    if len(cs) == 1:
+        return 0.0
+    total = sum(dist(cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+    if total <= 0.0:
+        return 0.0
+    best_d, best_pos, acc = math.inf, 0.0, 0.0
+    for i in range(len(cs) - 1):
+        a, b = cs[i], cs[i + 1]
+        ln = dist(a, b)
+        vx, vy = b[0] - a[0], b[1] - a[1]
+        l2 = vx * vx + vy * vy
+        t = 0.0 if l2 <= 0.0 else max(0.0, min(1.0, (
+            (p.parts[0] - a[0]) * vx + (p.parts[1] - a[1]) * vy) / l2))
+        dx = p.parts[0] - (a[0] + t * vx)
+        dy = p.parts[1] - (a[1] + t * vy)
+        d = math.sqrt(dx * dx + dy * dy)
+        if d < best_d - EPS:
+            best_d = d
+            best_pos = acc + t * ln
+        acc += ln
+    return best_pos / total
+
+
 def envelope(g: Geometry) -> Geometry:
     """ST_Envelope (PostGIS): the bounding box as a geometry — POLYGON
     for a real extent, degenerate POINT/LINESTRING for zero-width or

@@ -358,3 +358,19 @@ def test_line_interpolate_sql(spark):
                     "ST_GeomFromText('LINESTRING(0 0,4 0)'), 0.25)) AS p"
                     ).collect()[0]
     assert row["p"] == "POINT(1 0)"
+
+
+def test_line_locate_point_roundtrip_and_errors(spark):
+    from datafusion_geo_spark.functions import (st_lineinterpolatepoint,
+                                                st_linelocatepoint)
+    df = spark.createDataFrame([(1, 0.3), (2, 0.8)], "id int, f double")
+    line = st_geomfromtext(F.lit("LINESTRING(0 0,10 0,10 10)"))
+    got = {r["id"]: r["back"] for r in df.select(
+        "id", st_linelocatepoint(
+            line, st_lineinterpolatepoint(line, F.col("f"))).alias("back")
+    ).collect()}
+    assert got[1] == pytest.approx(0.3) and got[2] == pytest.approx(0.8)
+    df2 = spark.createDataFrame([(1, "POINT(0 0)")], "id int, wkt string")
+    with pytest.raises(Exception):   # non-linear first arg
+        df2.select(st_linelocatepoint(
+            st_geomfromtext(F.col("wkt")), "POINT(1 1)")).collect()
