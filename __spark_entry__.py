@@ -536,6 +536,25 @@ def _q_line_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_astext(st_lineinterpolatepoint(g, 1.0)).alias("p100"))
 
 
+def _q_geohash_azimuth_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_GeoHash + ST_Azimuth golden cases: canonical geohash test
+    vectors (Wikipedia's 'ezs42', the docs' 11-char u4pruydqqvj) and
+    exact compass azimuths (N=0, E=pi/2, S=pi, W=3pi/2, NE=pi/4)."""
+    from datafusion_geo_spark.functions import (st_azimuth, st_geohash,
+                                                st_geomfromtext)
+    rows = [(1, "POINT(10.40744 57.64911)", 11, "POINT(10.40744 58.0)"),
+            (2, "POINT(-5.6 42.6)", 5, "POINT(-5.0 42.6)"),
+            (3, "POINT(0 0)", 4, "POINT(0 -1)"),
+            (4, "POINT(0 0)", 1, "POINT(-1 0)"),
+            (5, "POINT(0 0)", 12, "POINT(1 1)")]
+    df = spark.createDataFrame(rows, "id int, wkt string, prec int, to_wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    return df.select(
+        "id",
+        st_geohash(g, F.col("prec")).alias("gh"),
+        st_azimuth(g, st_geomfromtext(F.col("to_wkt"))).alias("az"))
+
+
 def _q_line_locate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_LineLocatePoint golden cases (hand-verified: projection onto
     the right-angle LINESTRING(0 0,10 0,10 10), clamped ends, tie to
@@ -1454,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "accessors_lines": _q_accessors_lines,
         "line_interp": _q_line_interp,
         "line_locate_literal": _q_line_locate_literal,
+        "geohash_azimuth_literal": _q_geohash_azimuth_literal,
         "tile_stats": _q_tile_stats,
         "geo_pipeline": _q_geo_pipeline,
         "hull_simplify_literal": _q_hull_simplify_literal,
@@ -2089,6 +2109,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (1, 0.25), (2, 0.75), (3, 0.0), (4, 1.0), (5, 0.5)
             ) AS t(id, frac)
+        """,
+        # goldens: canonical geohash vectors; azimuths are the exact
+        # doubles of atan2 at the compass points (row 1 due north,
+        # row 2 due east, then S/W/NE from the origin)
+        "geohash_azimuth_literal": """
+            SELECT * FROM (VALUES
+              (1, 'u4pruydqqvj', 0.0),
+              (2, 'ezs42', 1.5707963267948966),
+              (3, 's000', 3.141592653589793),
+              (4, 's', 4.71238898038469),
+              (5, 's00000000000', 0.7853981633974483)
+            ) AS t(id, gh, az)
         """,
         # mirrors _q_line_interp: total length 4*sqrt(2), two equal
         # segments -> f=0.25 is the first segment's midpoint (k+1,k+2),

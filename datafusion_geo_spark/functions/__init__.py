@@ -325,6 +325,8 @@ _convex_hull = _u1(kernels.convex_hull, BinaryType())
 _simplify = _u2(kernels.simplify, BinaryType())
 _line_interp = _u2(kernels.line_interpolate_point, BinaryType())
 _line_locate = _u2(kernels.line_locate_point, DoubleType())
+_geohash = _u2(kernels.st_geohash, StringType())
+_azimuth = _u2(kernels.st_azimuth, DoubleType())
 _distance = _u2(kernels.distance, DoubleType())
 _dwithin = _u3(kernels.dwithin, BooleanType())
 
@@ -370,6 +372,19 @@ def st_lineinterpolatepoint(g: GeomLike, fraction) -> Column:
     """Point at ``fraction`` of a LINESTRING's length, clamped to [0,1]
     (PostGIS ST_LineInterpolatePoint; beyond-reference utility)."""
     return _line_interp(_geom(g), _num(fraction, "double"))
+
+
+def st_geohash(g: GeomLike, precision=12) -> Column:
+    """Base-32 geohash of a lon/lat POINT (PostGIS ST_GeoHash;
+    beyond-reference utility) — THE cheap spatial bucketing key for
+    equi-join/group-by pipelines."""
+    return _geohash(_geom(g), _num(precision, "int"))
+
+
+def st_azimuth(a: GeomLike, b: GeomLike) -> Column:
+    """Clockwise angle from north of a->b in [0, 2*pi); NULL for
+    coincident points (PostGIS ST_Azimuth; beyond-reference)."""
+    return _azimuth(_geom(a), _geom(b))
 
 
 def st_linelocatepoint(g: GeomLike, p: GeomLike) -> Column:
@@ -585,6 +600,8 @@ _SQL_UDFS = {
     "ST_Simplify": _simplify,
     "ST_LineInterpolatePoint": _line_interp,
     "ST_LineLocatePoint": _line_locate,
+    "ST_GeoHash": _geohash,
+    "ST_Azimuth": _azimuth,
     "ST_Distance": _distance,
     "ST_DWithin": _dwithin,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
@@ -632,6 +649,7 @@ __all__ = [
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
     "st_envelope", "st_lineinterpolatepoint", "st_linelocatepoint",
+    "st_geohash", "st_azimuth",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -835,6 +835,40 @@ convex_hull = _unary_geom(algos.convex_hull)  # PostGIS ST_ConvexHull
 envelope = _unary_geom(algos.envelope)        # PostGIS ST_Envelope
 
 
+def st_geohash(s: pd.Series, prec: pd.Series) -> pd.Series:
+    """ST_GeoHash (PostGIS; beyond-reference utility)."""
+    cache = _DecodeCache()
+    out = []
+    sl, pl = s.tolist(), prec.tolist()
+    memo: dict = {}
+    for i in range(len(sl)):
+        v, p_ = sl[i], _num(pl[i])
+        if v is None or p_ is None:
+            out.append(None)
+            continue
+        v = bytes(v)
+        key = (v, int(p_))
+        if key not in memo:
+            memo[key] = algos.geohash(cache.geom(v), int(p_))
+        out.append(memo[key])
+    return _obj_series(out)
+
+
+def st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Azimuth (PostGIS; beyond-reference utility)."""
+    cache = _DecodeCache()
+    out = []
+    al, bl = a.tolist(), b.tolist()
+    for i in range(len(al)):
+        va, vb = al[i], bl[i]
+        if va is None or vb is None:
+            out.append(None)
+            continue
+        out.append(algos.azimuth(cache.geom(bytes(va)),
+                                 cache.geom(bytes(vb))))
+    return _obj_series(out)
+
+
 def line_interpolate_point(s: pd.Series, f: pd.Series) -> pd.Series:
     """ST_LineInterpolatePoint (PostGIS; beyond-reference utility)."""
     cache = _DecodeCache()

@@ -982,6 +982,65 @@ def line_interpolate_point(g: Geometry, f: float) -> Geometry:
     return Geometry("Point", cs[-1], g.srid)
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(g: Geometry, precision: int = 12) -> Optional[str]:
+    """ST_GeoHash (PostGIS): standard base-32 geohash of a lon/lat
+    POINT (x = longitude in [-180, 180], y = latitude in [-90, 90]).
+    None for empty points; ValueError for non-points or out-of-range
+    coordinates (PostGIS errors likewise)."""
+    if g.typ != "Point":
+        raise ValueError(f"ST_GeoHash: expected Point, got {g.typ}")
+    if g.parts is None:
+        return None
+    lon, lat = g.parts
+    if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0):
+        raise ValueError(f"ST_GeoHash: ({lon}, {lat}) outside lon/lat range")
+    precision = max(1, min(int(precision), 20))
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    out = []
+    bit, ch, even = 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lo_x + hi_x) / 2.0
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo_x = mid
+            else:
+                ch <<= 1
+                hi_x = mid
+        else:
+            mid = (lo_y + hi_y) / 2.0
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lo_y = mid
+            else:
+                ch <<= 1
+                hi_y = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_GEOHASH32[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def azimuth(a: Geometry, b: Geometry) -> Optional[float]:
+    """ST_Azimuth (PostGIS): clockwise angle from NORTH of the segment
+    a->b, in [0, 2*pi); None for coincident points or empty input."""
+    if a.typ != "Point" or b.typ != "Point":
+        raise ValueError("ST_Azimuth: expected (Point, Point), "
+                         f"got ({a.typ}, {b.typ})")
+    if a.parts is None or b.parts is None:
+        return None
+    dx, dy = b.parts[0] - a.parts[0], b.parts[1] - a.parts[1]
+    if dx == 0.0 and dy == 0.0:
+        return None
+    az = math.atan2(dx, dy)          # from north, clockwise
+    return az if az >= 0.0 else az + 2.0 * math.pi
+
+
 def line_locate_point(g: Geometry, p: Geometry) -> Optional[float]:
     """ST_LineLocatePoint (PostGIS): the fraction in [0, 1] of the
     LINESTRING's length at the point CLOSEST to ``p`` (first such point

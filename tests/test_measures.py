@@ -374,3 +374,39 @@ def test_line_locate_point_roundtrip_and_errors(spark):
     with pytest.raises(Exception):   # non-linear first arg
         df2.select(st_linelocatepoint(
             st_geomfromtext(F.col("wkt")), "POINT(1 1)")).collect()
+
+
+def test_geohash_properties(spark):
+    from datafusion_geo_spark.functions import st_geohash
+    df = spark.createDataFrame(
+        [(1, "POINT(10.40744 57.64911)"), (2, "POINT(10.40745 57.64912)"),
+         (3, "POINT(-170 -80)"), (4, "POINT EMPTY")],
+        "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    got = {r["id"]: (r["g4"], r["g8"]) for r in df.select(
+        "id", st_geohash(g, 4).alias("g4"), st_geohash(g, 8).alias("g8")
+    ).collect()}
+    # prefix property: a shorter geohash is a prefix of a longer one
+    assert got[1][1].startswith(got[1][0])
+    # nearby points share a prefix
+    assert got[1][0] == got[2][0]
+    assert got[3][0] is not None and got[4][0] is None
+    # out-of-range coordinates raise
+    df2 = spark.createDataFrame([(1, "POINT(500 500)")], "id int, wkt string")
+    with pytest.raises(Exception):
+        df2.select(st_geohash(st_geomfromtext(F.col("wkt")), 4)).collect()
+
+
+def test_azimuth_quadrants_sql(spark):
+    import math
+    register_all(spark)
+    row = spark.sql("""
+        SELECT ST_Azimuth(ST_GeomFromText('POINT(0 0)'),
+                          ST_GeomFromText('POINT(1 -1)')) AS se,
+               ST_Azimuth(ST_GeomFromText('POINT(2 2)'),
+                          ST_GeomFromText('POINT(2 2)')) AS self,
+               ST_GeoHash(ST_GeomFromText('POINT(-5.6 42.6)'), 5) AS gh
+    """).collect()[0]
+    assert row["se"] == pytest.approx(3 * math.pi / 4)
+    assert row["self"] is None
+    assert row["gh"] == "ezs42"
