@@ -325,7 +325,7 @@ _convex_hull = _u1(kernels.convex_hull, BinaryType())
 _simplify = _u2(kernels.simplify, BinaryType())
 _line_interp = _u2(kernels.line_interpolate_point, BinaryType())
 _line_locate = _u2(kernels.line_locate_point, DoubleType())
-_geohash = _u2(kernels.st_geohash, StringType())
+_geohash = _u_variadic(kernels.st_geohash, StringType(), "st_geohash")
 _azimuth = _u2(kernels.st_azimuth, DoubleType())
 _distance = _u2(kernels.distance, DoubleType())
 _dwithin = _u3(kernels.dwithin, BooleanType())
@@ -374,10 +374,11 @@ def st_lineinterpolatepoint(g: GeomLike, fraction) -> Column:
     return _line_interp(_geom(g), _num(fraction, "double"))
 
 
-def st_geohash(g: GeomLike, precision=12) -> Column:
+def st_geohash(g: GeomLike, precision=0) -> Column:
     """Base-32 geohash of a lon/lat POINT (PostGIS ST_GeoHash;
     beyond-reference utility) — THE cheap spatial bucketing key for
-    equi-join/group-by pipelines."""
+    equi-join/group-by pipelines. precision <= 0 (the default, PostGIS
+    parity) means full precision (20 chars)."""
     return _geohash(_geom(g), _num(precision, "int"))
 
 

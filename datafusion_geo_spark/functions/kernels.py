@@ -835,93 +835,69 @@ convex_hull = _unary_geom(algos.convex_hull)  # PostGIS ST_ConvexHull
 envelope = _unary_geom(algos.envelope)        # PostGIS ST_Envelope
 
 
-def st_geohash(s: pd.Series, prec: pd.Series) -> pd.Series:
-    """ST_GeoHash (PostGIS; beyond-reference utility)."""
-    cache = _DecodeCache()
-    out = []
-    sl, pl = s.tolist(), prec.tolist()
-    memo: dict = {}
-    for i in range(len(sl)):
-        v, p_ = sl[i], _num(pl[i])
-        if v is None or p_ is None:
-            out.append(None)
-            continue
-        v = bytes(v)
-        key = (v, int(p_))
-        if key not in memo:
-            memo[key] = algos.geohash(cache.geom(v), int(p_))
-        out.append(memo[key])
-    return _obj_series(out)
+def _geom_num_kernel(fn):
+    """Factory for (wkb, numeric) -> scalar/wkb kernels: decode cache,
+    null-in/null-out, (bytes, value) result memo — ONE definition for
+    the geohash / interpolate / simplify family."""
+    def k(s: pd.Series, n: pd.Series) -> pd.Series:
+        cache = _DecodeCache()
+        out = []
+        sl, nl = s.tolist(), n.tolist()
+        memo: dict = {}
+        for i in range(len(sl)):
+            v, x = sl[i], _num(nl[i])
+            if v is None or x is None:
+                out.append(None)
+                continue
+            v = bytes(v)
+            key = (v, float(x))
+            if key not in memo:
+                memo[key] = fn(cache.geom(v), x)
+            out.append(memo[key])
+        return _obj_series(out)
+    return k
 
 
-def st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
-    """ST_Azimuth (PostGIS; beyond-reference utility)."""
-    cache = _DecodeCache()
-    out = []
-    al, bl = a.tolist(), b.tolist()
-    for i in range(len(al)):
-        va, vb = al[i], bl[i]
-        if va is None or vb is None:
-            out.append(None)
-            continue
-        out.append(algos.azimuth(cache.geom(bytes(va)),
-                                 cache.geom(bytes(vb))))
-    return _obj_series(out)
+def _geom_geom_scalar_kernel(fn):
+    """Factory for (wkb, wkb) -> scalar kernels with pair memoization
+    (azimuth / line-locate family)."""
+    def k(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache = _DecodeCache()
+        out = []
+        al, bl = a.tolist(), b.tolist()
+        memo: dict = {}
+        for i in range(len(al)):
+            va, vb = al[i], bl[i]
+            if va is None or vb is None:
+                out.append(None)
+                continue
+            va, vb = bytes(va), bytes(vb)
+            key = (va, vb)
+            if key not in memo:
+                memo[key] = fn(cache.geom(va), cache.geom(vb))
+            out.append(memo[key])
+        return _obj_series(out)
+    return k
 
 
-def line_interpolate_point(s: pd.Series, f: pd.Series) -> pd.Series:
-    """ST_LineInterpolatePoint (PostGIS; beyond-reference utility)."""
-    cache = _DecodeCache()
-    out = []
-    sl, fl = s.tolist(), f.tolist()
-    memo: dict = {}
-    for i in range(len(sl)):
-        v, fr = sl[i], _num(fl[i])
-        if v is None or fr is None:
-            out.append(None)
-            continue
-        v = bytes(v)
-        key = (v, float(fr))
-        if key not in memo:
-            memo[key] = to_wkb(algos.line_interpolate_point(
-                cache.geom(v), float(fr)))
-        out.append(memo[key])
-    return _obj_series(out)
+def st_geohash(s: pd.Series, prec: Optional[pd.Series] = None) -> pd.Series:
+    """ST_GeoHash (PostGIS; beyond-reference utility). The optional
+    precision follows PostGIS: omitted or <= 0 means full precision."""
+    if prec is None:
+        prec = pd.Series([0] * len(s))
+    return _geom_num_kernel(lambda g, p_: algos.geohash(g, int(p_)))(s, prec)
 
 
-def line_locate_point(s: pd.Series, pt: pd.Series) -> pd.Series:
-    """ST_LineLocatePoint (PostGIS; beyond-reference utility)."""
-    cache = _DecodeCache()
-    out = []
-    sl, pl = s.tolist(), pt.tolist()
-    memo: dict = {}
-    for i in range(len(sl)):
-        v, q = sl[i], pl[i]
-        if v is None or q is None:
-            out.append(None)
-            continue
-        v, q = bytes(v), bytes(q)
-        key = (v, q)
-        if key not in memo:
-            memo[key] = algos.line_locate_point(cache.geom(v), cache.geom(q))
-        out.append(memo[key])
-    return _obj_series(out)
+st_azimuth = _geom_geom_scalar_kernel(algos.azimuth)     # PostGIS ST_Azimuth
+line_locate_point = _geom_geom_scalar_kernel(
+    algos.line_locate_point)                             # ST_LineLocatePoint
+line_interpolate_point = _geom_num_kernel(
+    lambda g, f: to_wkb(algos.line_interpolate_point(g, float(f))))
 
 
-def simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
-    """ST_Simplify (PostGIS Douglas-Peucker, non-topology-preserving)."""
-    cache = _DecodeCache()
-    out = []
-    sl, tl = s.tolist(), tol.tolist()
-    for i in range(len(sl)):
-        v, t = sl[i], _num(tl[i])
-        if v is None or t is None:
-            out.append(None)
-            continue
-        out.append(to_wkb(algos.simplify(cache.geom(bytes(v)), float(t))))
-    return _obj_series(out)
-
-
+# ST_Simplify (PostGIS Douglas-Peucker, non-topology-preserving)
+simplify = _geom_num_kernel(
+    lambda g, t: to_wkb(algos.simplify(g, float(t))))
 def _dist_points_to_const(pb: "vector.PointBatch", g) -> np.ndarray:
     """Vectorized distance from a point batch to one constant geometry:
     numpy point-to-segment over the constant's few edges, then zero out

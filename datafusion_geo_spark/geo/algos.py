@@ -988,8 +988,9 @@ _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 def geohash(g: Geometry, precision: int = 12) -> Optional[str]:
     """ST_GeoHash (PostGIS): standard base-32 geohash of a lon/lat
     POINT (x = longitude in [-180, 180], y = latitude in [-90, 90]).
-    None for empty points; ValueError for non-points or out-of-range
-    coordinates (PostGIS errors likewise)."""
+    ``precision <= 0`` means FULL precision (20 chars) exactly like
+    PostGIS's maxchars=0/omitted. None for empty points; ValueError for
+    non-points or out-of-range coordinates (PostGIS errors likewise)."""
     if g.typ != "Point":
         raise ValueError(f"ST_GeoHash: expected Point, got {g.typ}")
     if g.parts is None:
@@ -997,7 +998,7 @@ def geohash(g: Geometry, precision: int = 12) -> Optional[str]:
     lon, lat = g.parts
     if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0):
         raise ValueError(f"ST_GeoHash: ({lon}, {lat}) outside lon/lat range")
-    precision = max(1, min(int(precision), 20))
+    precision = 20 if precision <= 0 else min(int(precision), 20)
     lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
     out = []
     bit, ch, even = 0, 0, True

@@ -336,10 +336,16 @@ def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     geometry tables ``points_li``, ``points_cust``, ``lines``) so a
     SQL-first user can ``register_all(spark)`` and work entirely in
     ``spark.sql`` — the engine's full surface without touching the
-    Python API."""
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    Python API. ``events`` goes through load_events (NOT a bare
+    load_table) so the view carries the schema-adaptive ts
+    normalization and the UTC session pin every other events consumer
+    gets — a raw read would even fail outright on the NANOS-encoded
+    fixture variant."""
+    for t in TABLES:
+        if t == "events":
+            load_events(spark, sf_dir).createOrReplaceTempView(t)
+        else:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     points_lineitem(spark, sf_dir).createOrReplaceTempView("points_li")
     points_customer(spark, sf_dir).createOrReplaceTempView("points_cust")
     lines_orders(spark, sf_dir).createOrReplaceTempView("lines")

@@ -410,3 +410,17 @@ def test_azimuth_quadrants_sql(spark):
     assert row["se"] == pytest.approx(3 * math.pi / 4)
     assert row["self"] is None
     assert row["gh"] == "ezs42"
+
+
+def test_geohash_full_precision_default(spark):
+    from datafusion_geo_spark.functions import st_geohash
+    register_all(spark)
+    df = spark.createDataFrame([(1, "POINT(-5.6 42.6)")], "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    row = df.select(st_geohash(g).alias("full"),
+                    st_geohash(g, 0).alias("zero")).collect()[0]
+    assert len(row["full"]) == 20 and row["full"].startswith("ezs42")
+    assert row["zero"] == row["full"]       # PostGIS: <=0 -> full
+    sql_row = spark.sql("SELECT ST_GeoHash(ST_GeomFromText("
+                        "'POINT(-5.6 42.6)')) AS g").collect()[0]
+    assert sql_row["g"] == row["full"]      # 1-arg SQL form works
