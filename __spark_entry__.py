@@ -536,6 +536,21 @@ def _q_line_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_astext(st_lineinterpolatepoint(g, 1.0)).alias("p100"))
 
 
+def _q_closest_point_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ClosestPoint over the lines fixture vs the anchor
+    POINT(500 500): the foot of the perpendicular onto y=x+1 is
+    (499.5, 500.5), clamped to the segment range [k, k+4] — exact
+    arithmetic the oracle reproduces with one CASE."""
+    from datafusion_geo_spark.functions import box2d, st_closestpoint
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    df = lines_orders(spark, sf_dir)
+    c = box2d(st_closestpoint(F.col("geom"), "POINT(500 500)"))
+    return df.select(
+        "o_orderkey",
+        F.round(c["xmin"], 6).alias("cx"),
+        F.round(c["ymin"], 6).alias("cy"))
+
+
 def _q_geohash_azimuth_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_GeoHash + ST_Azimuth golden cases: canonical geohash test
     vectors (Wikipedia's 'ezs42', the docs' 11-char u4pruydqqvj) and
@@ -1474,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_interp": _q_line_interp,
         "line_locate_literal": _q_line_locate_literal,
         "geohash_azimuth_literal": _q_geohash_azimuth_literal,
+        "closest_point_lines": _q_closest_point_lines,
         "tile_stats": _q_tile_stats,
         "geo_pipeline": _q_geo_pipeline,
         "hull_simplify_literal": _q_hull_simplify_literal,
@@ -2109,6 +2125,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (1, 0.25), (2, 0.75), (3, 0.0), (4, 1.0), (5, 0.5)
             ) AS t(id, frac)
+        """,
+        # mirrors _q_closest_point_lines: foot of the perpendicular from
+        # (500,500) onto y=x+1 is (499.5, 500.5); clamp to [k, k+4]
+        "closest_point_lines": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        WHEN o_orderkey % 1000 + 4 < 499.5
+                             THEN CAST(o_orderkey % 1000 + 4 AS DOUBLE)
+                        WHEN o_orderkey % 1000 > 499.5
+                             THEN CAST(o_orderkey % 1000 AS DOUBLE)
+                        ELSE 499.5 END AS cx,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        WHEN o_orderkey % 1000 + 4 < 499.5
+                             THEN CAST(o_orderkey % 1000 + 5 AS DOUBLE)
+                        WHEN o_orderkey % 1000 > 499.5
+                             THEN CAST(o_orderkey % 1000 + 1 AS DOUBLE)
+                        ELSE 500.5 END AS cy
+            FROM orders
         """,
         # goldens: canonical geohash vectors; azimuths are the exact
         # doubles of atan2 at the compass points (row 1 due north,

@@ -327,6 +327,7 @@ _line_interp = _u2(kernels.line_interpolate_point, BinaryType())
 _line_locate = _u2(kernels.line_locate_point, DoubleType())
 _geohash = _u_variadic(kernels.st_geohash, StringType(), "st_geohash")
 _azimuth = _u2(kernels.st_azimuth, DoubleType())
+_closest_point = _u2(kernels.closest_point, BinaryType())
 _distance = _u2(kernels.distance, DoubleType())
 _dwithin = _u3(kernels.dwithin, BooleanType())
 
@@ -386,6 +387,12 @@ def st_azimuth(a: GeomLike, b: GeomLike) -> Column:
     """Clockwise angle from north of a->b in [0, 2*pi); NULL for
     coincident points (PostGIS ST_Azimuth; beyond-reference)."""
     return _azimuth(_geom(a), _geom(b))
+
+
+def st_closestpoint(a: GeomLike, b: GeomLike) -> Column:
+    """The point ON a nearest to b — the witness of st_distance
+    (PostGIS ST_ClosestPoint; beyond-reference utility)."""
+    return _closest_point(_geom(a), _geom(b))
 
 
 def st_linelocatepoint(g: GeomLike, p: GeomLike) -> Column:
@@ -603,6 +610,7 @@ _SQL_UDFS = {
     "ST_LineLocatePoint": _line_locate,
     "ST_GeoHash": _geohash,
     "ST_Azimuth": _azimuth,
+    "ST_ClosestPoint": _closest_point,
     "ST_Distance": _distance,
     "ST_DWithin": _dwithin,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
@@ -650,7 +658,7 @@ __all__ = [
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
     "st_envelope", "st_lineinterpolatepoint", "st_linelocatepoint",
-    "st_geohash", "st_azimuth",
+    "st_geohash", "st_azimuth", "st_closestpoint",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -889,6 +889,8 @@ def st_geohash(s: pd.Series, prec: Optional[pd.Series] = None) -> pd.Series:
 
 
 st_azimuth = _geom_geom_scalar_kernel(algos.azimuth)     # PostGIS ST_Azimuth
+closest_point = _geom_geom_scalar_kernel(
+    lambda a, b: to_wkb(algos.closest_point(a, b)))      # ST_ClosestPoint
 line_locate_point = _geom_geom_scalar_kernel(
     algos.line_locate_point)                             # ST_LineLocatePoint
 line_interpolate_point = _geom_num_kernel(

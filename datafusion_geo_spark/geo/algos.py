@@ -875,6 +875,46 @@ def distance(a: Geometry, b: Geometry) -> Optional[float]:
     return None if best == math.inf else best
 
 
+def _proj_clamped(p: Coord, a: Coord, b: Coord) -> Coord:
+    vx, vy = b[0] - a[0], b[1] - a[1]
+    l2 = vx * vx + vy * vy
+    if l2 <= 0.0:
+        return a
+    t = ((p[0] - a[0]) * vx + (p[1] - a[1]) * vy) / l2
+    t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+    return (a[0] + t * vx, a[1] + t * vy)
+
+
+def closest_point(a: Geometry, b: Geometry) -> Geometry:
+    """ST_ClosestPoint (PostGIS): the point ON ``a`` nearest to ``b``;
+    POINT EMPTY when either operand is empty/edgeless. When the
+    geometries intersect, PostGIS returns an intersection point — here
+    the minimum-distance witness, which coincides (distance 0) for the
+    point/segment combinations this engine measures. Witness candidates
+    per segment pair: each endpoint of b projected onto a's segment,
+    and a's endpoints when they are the closest approach."""
+    sa, sb = _all_segments(a), _all_segments(b)
+    if not sa or not sb:
+        return Geometry("Point", None, a.srid)
+    best_d = math.inf
+    best: Coord = sa[0][0]
+    for (p, q) in sa:
+        for (c, d) in sb:
+            for cand in (_proj_clamped(c, p, q), _proj_clamped(d, p, q)):
+                cc = _proj_clamped(cand, c, d)
+                dx, dy = cand[0] - cc[0], cand[1] - cc[1]
+                v = math.sqrt(dx * dx + dy * dy)
+                if v < best_d:
+                    best_d, best = v, cand
+            for w in (p, q):
+                cc = _proj_clamped(w, c, d)
+                dx, dy = w[0] - cc[0], w[1] - cc[1]
+                v = math.sqrt(dx * dx + dy * dy)
+                if v < best_d:
+                    best_d, best = v, w
+    return Geometry("Point", best, a.srid)
+
+
 def dwithin(a: Geometry, b: Geometry, d: float) -> Optional[bool]:
     """ST_DWithin (PostGIS): distance(a, b) <= d, with a cheap bbox
     band rejection first (the common negative at scale never reaches

@@ -424,3 +424,38 @@ def test_geohash_full_precision_default(spark):
     sql_row = spark.sql("SELECT ST_GeoHash(ST_GeomFromText("
                         "'POINT(-5.6 42.6)')) AS g").collect()[0]
     assert sql_row["g"] == row["full"]      # 1-arg SQL form works
+
+
+def test_closest_point_cases(spark):
+    from datafusion_geo_spark.functions import st_closestpoint
+    df = spark.createDataFrame(
+        [(1, "LINESTRING(0 0,10 0)", "POINT(3 5)"),
+         (2, "LINESTRING(0 0,10 0)", "POINT(-4 2)"),
+         (3, "POINT(7 8)", "LINESTRING(0 0,10 0)"),
+         (4, "POLYGON((0 0,4 0,4 4,0 4,0 0))", "POINT(6 2)"),
+         (5, "POINT EMPTY", "POINT(1 1)")],
+        "id int, a string, b string")
+    got = {r["id"]: r["p"] for r in df.select(
+        "id", st_astext(st_closestpoint(
+            st_geomfromtext(F.col("a")),
+            st_geomfromtext(F.col("b")))).alias("p")).collect()}
+    assert got[1] == "POINT(3 0)"
+    assert got[2] == "POINT(0 0)"
+    assert got[3] == "POINT(7 8)"       # witness lives on the FIRST arg
+    assert got[4] == "POINT(4 2)"       # on the polygon's boundary
+    assert got[5] == "POINT EMPTY"
+
+
+def test_closest_point_consistent_with_distance(spark):
+    """distance(a, b) == distance(closest_point(a,b), b) — the witness
+    property, checked through SQL."""
+    register_all(spark)
+    row = spark.sql("""
+        SELECT ST_Distance(ST_GeomFromText('LINESTRING(2 3,9 7)'),
+                           ST_GeomFromText('POINT(1 -4)')) AS d,
+               ST_Distance(ST_ClosestPoint(
+                             ST_GeomFromText('LINESTRING(2 3,9 7)'),
+                             ST_GeomFromText('POINT(1 -4)')),
+                           ST_GeomFromText('POINT(1 -4)')) AS dw
+    """).collect()[0]
+    assert row["d"] == pytest.approx(row["dw"], abs=1e-12)
