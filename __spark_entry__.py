@@ -36,6 +36,20 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _NULLIF = "{k} % 7 = 0"
 
 
+def _rb6(col):
+    """Half-away-from-zero at 6 dp on the BINARY double — the rounding
+    every oracle-compared double in this file uses. ``F.round`` rounds
+    the shortest-decimal repr (HALF_UP via BigDecimal.valueOf) while
+    DuckDB rounds the binary value; they diverged live on
+    transform_points at lon=±159 (x = 17699799.0361305, exactly on the
+    6-dp half in shortest-decimal form — CORRECTNESS_r04's one red row).
+    Every oracle mirrors the identical formula inline
+    (operators.util.ROUND6_SQL), so both engines run the same IEEE op
+    sequence and agree whenever the pre-round double agrees."""
+    from datafusion_geo_spark.operators.util import round6_binary
+    return round6_binary(col)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: full-scan spatial predicate over the
     reference's own bench workload shape
@@ -281,10 +295,10 @@ def _q_buffer_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("bbox", box2d(buf)).withColumn("nvert", st_npoints(buf))
     return df.select(
         "c_custkey", "nvert",
-        F.round(F.col("bbox.xmin"), 6).alias("xmin"),
-        F.round(F.col("bbox.ymin"), 6).alias("ymin"),
-        F.round(F.col("bbox.xmax"), 6).alias("xmax"),
-        F.round(F.col("bbox.ymax"), 6).alias("ymax"),
+        _rb6(F.col("bbox.xmin")).alias("xmin"),
+        _rb6(F.col("bbox.ymin")).alias("ymin"),
+        _rb6(F.col("bbox.xmax")).alias("xmax"),
+        _rb6(F.col("bbox.ymax")).alias("ymax"),
     )
 
 
@@ -362,11 +376,11 @@ def _q_buffer_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "o_orderkey",
         st_npoints(F.col("buf")).alias("nvert"),
-        F.round(st_area(F.col("buf")), 6).alias("area"),
-        F.round(box2d(F.col("buf"))["xmin"], 6).alias("xmin"),
-        F.round(box2d(F.col("buf"))["ymin"], 6).alias("ymin"),
-        F.round(box2d(F.col("buf"))["xmax"], 6).alias("xmax"),
-        F.round(box2d(F.col("buf"))["ymax"], 6).alias("ymax"),
+        _rb6(st_area(F.col("buf"))).alias("area"),
+        _rb6(box2d(F.col("buf"))["xmin"]).alias("xmin"),
+        _rb6(box2d(F.col("buf"))["ymin"]).alias("ymin"),
+        _rb6(box2d(F.col("buf"))["xmax"]).alias("xmax"),
+        _rb6(box2d(F.col("buf"))["ymax"]).alias("ymax"),
     )
 
 
@@ -418,9 +432,9 @@ def _q_measures_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = box2d(st_centroid(F.col("geom")))
     return df.select(
         "o_orderkey",
-        F.round(st_length(F.col("geom")), 6).alias("len"),
-        F.round(c["xmin"], 6).alias("cx"),
-        F.round(c["ymin"], 6).alias("cy"))
+        _rb6(st_length(F.col("geom"))).alias("len"),
+        _rb6(c["xmin"]).alias("cx"),
+        _rb6(c["ymin"]).alias("cy"))
 
 
 def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,7 +452,7 @@ def _q_distance_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("_d", d_raw)
     return df.select(
         "l_orderkey", "l_linenumber",
-        F.round(F.col("_d"), 6).alias("d"),
+        _rb6(F.col("_d")).alias("d"),
         (F.col("_d") <= 100.0).alias("near"))
 
 
@@ -470,12 +484,12 @@ def _q_geo_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = box2d(st_centroid(F.col("geom")))
     dx = c["xmin"] - F.lit(500.0)
     dy = c["ymin"] - F.lit(500.0)
-    df = (df.withColumn("_len", F.round(st_length(F.col("geom")), 6))
+    df = (df.withColumn("_len", _rb6(st_length(F.col("geom"))))
           .where(F.sqrt(dx * dx + dy * dy) <= 300.0))
     t = make_tiles(df, zoom=3)
     return (t.groupBy("zoom", "tx", "ty")
             .agg(F.count(F.lit(1)).alias("n_features"),
-                 F.round(F.sum("_len"), 6).alias("total_len")))
+                 _rb6(F.sum("_len")).alias("total_len")))
 
 
 def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,8 +561,8 @@ def _q_closest_point_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = box2d(st_closestpoint(F.col("geom"), "POINT(500 500)"))
     return df.select(
         "o_orderkey",
-        F.round(c["xmin"], 6).alias("cx"),
-        F.round(c["ymin"], 6).alias("cy"))
+        _rb6(c["xmin"]).alias("cx"),
+        _rb6(c["ymin"]).alias("cy"))
 
 
 def _q_geohash_azimuth_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,8 +612,8 @@ def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = box2d(F.col("_t"))
     return df.select(
         "c_custkey",
-        F.round(b["xmin"], 6).alias("mx"),
-        F.round(b["ymin"], 6).alias("my"),
+        _rb6(b["xmin"]).alias("mx"),
+        _rb6(b["ymin"]).alias("my"),
         st_srid(F.col("_t")).alias("srid"))
 
 
@@ -633,7 +647,7 @@ def _q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("la.l_orderkey").alias("l_orderkey"),
         F.col("la.l_linenumber").alias("l_linenumber"),
         F.col("rb.c_custkey").alias("c_custkey"),
-        F.round(F.sqrt(dx * dx + dy * dy), 6).alias("dist"))
+        _rb6(F.sqrt(dx * dx + dy * dy)).alias("dist"))
 
 
 def _q_hull_simplify_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,7 +1618,7 @@ def _minhash_oracle() -> str:
         h AS (SELECT doc_id, {h64} AS hh FROM sh),
         sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                        ROUND(({eq})::DOUBLE / {NUM_HASHES}, 6) AS est_sim
+                        ((CASE WHEN (({eq})::DOUBLE / {NUM_HASHES}) < 0 THEN -1 ELSE 1 END) * floor(abs(({eq})::DOUBLE / {NUM_HASHES}) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS est_sim
                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands}))
         SELECT id_a, id_b, est_sim FROM cand WHERE est_sim >= 0.5
     """
@@ -1632,7 +1646,7 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int,
     for it in range(1, iters + 1):
         ctes.append(f"""
         s{it} AS (SELECT a.vec_id, c.cid,
-                         ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                         ((CASE WHEN (list_cosine_similarity(a.v, c.cvec)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, c.cvec)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cs
                   FROM vecs a, c{it - 1} c),
         a{it} AS (SELECT vec_id, cid FROM (
                     SELECT vec_id, cid,
@@ -1640,7 +1654,7 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int,
                               ORDER BY cs DESC, cid) AS rn
                     FROM s{it}) WHERE rn = 1),
         c{it} AS (SELECT cid, list(cx ORDER BY i) AS cvec FROM (
-                    SELECT a.cid, g.i, ROUND(AVG(b.v[g.i]), 6) AS cx
+                    SELECT a.cid, g.i, ((CASE WHEN (AVG(b.v[g.i])) < 0 THEN -1 ELSE 1 END) * floor(abs(AVG(b.v[g.i])) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cx
                     FROM a{it} a JOIN vecs b USING (vec_id),
                          generate_series(1, {dim}) AS g(i)
                     GROUP BY a.cid, g.i) GROUP BY cid)""")
@@ -1656,7 +1670,7 @@ def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
     ctes = _kmeans_ctes(n_centroids, iters, dim)
     fin = f"""
         scored AS (SELECT a.vec_id, c.cid,
-                          ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                          ((CASE WHEN (list_cosine_similarity(a.v, c.cvec)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, c.cvec)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cs
                    FROM vecs a, c{iters} c),
         assign AS (SELECT vec_id, cid FROM (
                      SELECT vec_id, cid,
@@ -1672,7 +1686,7 @@ def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
         vb AS (SELECT vecs.vec_id, v, assign.cid
                FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
         pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                         ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                         ((CASE WHEN (list_cosine_similarity(q.v, c.v)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(q.v, c.v)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim
                   FROM probes p
                   JOIN vb q ON q.vec_id = p.query_id
                   JOIN vb c ON c.cid = p.cid
@@ -1700,7 +1714,7 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2,
     ctes = _kmeans_ctes(n_centroids, iters, dim, vecs_sql)
     fin = f"""
         scored AS (SELECT a.vec_id, c.cid,
-                          ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                          ((CASE WHEN (list_cosine_similarity(a.v, c.cvec)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, c.cvec)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cs
                    FROM vecs a, c{iters} c),
         assign AS (SELECT vec_id, cid FROM (
                      SELECT vec_id, cid,
@@ -1710,7 +1724,7 @@ def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2,
         vb AS (SELECT vecs.vec_id, v, assign.cid
                FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
         sims AS (SELECT b.vec_id,
-                        MAX(ROUND(list_cosine_similarity(a.v, b.v), 6))
+                        MAX(((CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, b.v)) * 1000000.0 + 0.5) / 1000000.0 + 0.0))
                           AS max_sim_lower
                  FROM vb a JOIN vb b
                    ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -1772,8 +1786,9 @@ def _tfidf_oracle(k: int = 5) -> str:
         dft AS (SELECT term, COUNT(*)::BIGINT AS dft FROM tf GROUP BY term),
         n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
         scored AS (SELECT tf.doc_id, tf.term, tf.tf,
-                          ROUND(tf.tf * (ln((n.n_docs + 1.0)
-                                            / (dft.dft + 1.0)) + 1.0), 6)
+                          ((CASE WHEN (tf.tf * (ln((n.n_docs + 1.0::DOUBLE)
+                                            / (dft.dft + 1.0::DOUBLE)) + 1.0::DOUBLE)) < 0 THEN -1 ELSE 1 END) * floor(abs(tf.tf * (ln((n.n_docs + 1.0::DOUBLE)
+                                            / (dft.dft + 1.0::DOUBLE)) + 1.0::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 + 0.0)
                               AS score
                    FROM tf JOIN dft USING (term), n)
         SELECT doc_id, term, tf::INT AS tf, score, rank::INT AS rank FROM (
@@ -1797,17 +1812,22 @@ def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
         for i in idx)
     contribs = []
     for i in idx:
-        idf = f"ln(1.0 + ((n_docs - df_{i}) + 0.5) / (df_{i} + 0.5))"
-        denom = (f"(tf_{i} + {k1!r} * ({1.0 - b!r} "
-                 f"+ {b!r} * dl * n_docs / sum_dl))")
-        contribs.append(f"{idf} * (tf_{i} * {k1 + 1.0!r}) / {denom}")
+        # every constant ::DOUBLE-cast — bare decimal literals are DECIMAL
+        # in DuckDB and would run (parts of) the chain in exact decimal
+        # arithmetic instead of Spark's IEEE doubles (the transform_points
+        # r4 trap; see tests/test_round_binary.py)
+        idf = (f"ln(1.0::DOUBLE + ((n_docs - df_{i}) + 0.5::DOUBLE) "
+               f"/ (df_{i} + 0.5::DOUBLE))")
+        denom = (f"(tf_{i} + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE "
+                 f"+ {b!r}::DOUBLE * dl * n_docs / sum_dl))")
+        contribs.append(f"{idf} * (tf_{i} * {k1 + 1.0!r}::DOUBLE) / {denom}")
     score = " + ".join(contribs)
     return f"""
         WITH tl AS (SELECT doc_id, {_WORDS_LOWER} AS w FROM documents),
         base AS (SELECT doc_id, length(w)::BIGINT AS dl, {tf_cols} FROM tl),
         tot AS (SELECT COUNT(*)::BIGINT AS n_docs,
                         SUM(dl)::BIGINT AS sum_dl, {df_cols} FROM base),
-        scored AS (SELECT doc_id, ROUND({score}, 6) AS score
+        scored AS (SELECT doc_id, ((CASE WHEN ({score}) < 0 THEN -1 ELSE 1 END) * floor(abs({score}) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS score
                    FROM base, tot)
         SELECT doc_id, score, rank::INT AS rank FROM (
           SELECT doc_id, score,
@@ -1857,9 +1877,9 @@ _COSINE_TOPK_SQL = """
                   FROM embeddings)
             SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
               SELECT query_id, neighbor_id,
-                     ROUND(list_cosine_similarity(qv, cv), 6) AS sim,
+                     ((CASE WHEN (list_cosine_similarity(qv, cv)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(qv, cv)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                        ORDER BY ((CASE WHEN (list_cosine_similarity(qv, cv)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(qv, cv)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) DESC,
                                  neighbor_id) AS rank
               FROM q, c WHERE neighbor_id != query_id)
             WHERE rank <= 10
@@ -2027,8 +2047,8 @@ def oracle_sql() -> dict[str, str]:
         # exactly center ± width because vertices sit at angles 0/90/180/270.
         "buffer_bbox": """
             SELECT c_custkey, CAST(9 AS INTEGER) AS nvert,
-                   ROUND(x - 50.0, 6) AS xmin, ROUND(y - 50.0, 6) AS ymin,
-                   ROUND(x + 50.0, 6) AS xmax, ROUND(y + 50.0, 6) AS ymax
+                   ((CASE WHEN (x - 50.0) < 0 THEN -1 ELSE 1 END) * floor(abs(x - 50.0) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS xmin, ((CASE WHEN (y - 50.0) < 0 THEN -1 ELSE 1 END) * floor(abs(y - 50.0) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS ymin,
+                   ((CASE WHEN (x + 50.0) < 0 THEN -1 ELSE 1 END) * floor(abs(x + 50.0) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS xmax, ((CASE WHEN (y + 50.0) < 0 THEN -1 ELSE 1 END) * floor(abs(y + 50.0) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS ymax
             FROM (
               SELECT c_custkey,
                      CAST(c_custkey % 360 - 180 AS DOUBLE) AS x,
@@ -2061,11 +2081,11 @@ def oracle_sql() -> dict[str, str]:
         # area = 2wL + 2q*w^2*sin(pi/2q), L = 4*sqrt(2)
         "buffer_lines": """
             SELECT o_orderkey, CAST(37 AS INTEGER) AS nvert,
-                   ROUND(16 * sqrt(2.0) + 64 * sin(pi() / 16.0), 6) AS area,
-                   ROUND(CAST(k - 2 AS DOUBLE), 6) AS xmin,
-                   ROUND(CAST(k - 1 AS DOUBLE), 6) AS ymin,
-                   ROUND(CAST(k + 6 AS DOUBLE), 6) AS xmax,
-                   ROUND(CAST(k + 7 AS DOUBLE), 6) AS ymax
+                   ((CASE WHEN (16 * sqrt(2.0) + 64 * sin(pi() / 16.0)) < 0 THEN -1 ELSE 1 END) * floor(abs(16 * sqrt(2.0) + 64 * sin(pi() / 16.0)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS area,
+                   ((CASE WHEN (CAST(k - 2 AS DOUBLE)) < 0 THEN -1 ELSE 1 END) * floor(abs(CAST(k - 2 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS xmin,
+                   ((CASE WHEN (CAST(k - 1 AS DOUBLE)) < 0 THEN -1 ELSE 1 END) * floor(abs(CAST(k - 1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS ymin,
+                   ((CASE WHEN (CAST(k + 6 AS DOUBLE)) < 0 THEN -1 ELSE 1 END) * floor(abs(CAST(k + 6 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS xmax,
+                   ((CASE WHEN (CAST(k + 7 AS DOUBLE)) < 0 THEN -1 ELSE 1 END) * floor(abs(CAST(k + 7 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS ymax
             FROM (SELECT o_orderkey, o_orderkey % 1000 AS k FROM orders)
         """,
         # line k: y=x+1, x∈[k,k+4]; box: [n,n+5]×[r,r+5];
@@ -2097,7 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "measures_lines": """
             SELECT o_orderkey,
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL
-                        ELSE ROUND(4 * sqrt(2), 6) END AS len,
+                        ELSE ((CASE WHEN (4 * sqrt(2)) < 0 THEN -1 ELSE 1 END) * floor(abs(4 * sqrt(2)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) END AS len,
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL
                         ELSE CAST(o_orderkey % 1000 + 2 AS DOUBLE) END AS cx,
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL
@@ -2110,10 +2130,13 @@ def oracle_sql() -> dict[str, str]:
         "distance_points": """
             SELECT l_orderkey, l_linenumber,
                    CASE WHEN l_orderkey % 7 = 0 THEN NULL
-                        ELSE ROUND(sqrt(
+                        ELSE ((CASE WHEN (sqrt(
                           (l_orderkey % 1000 - 500)*(l_orderkey % 1000 - 500)
                           + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
-                        ), 6) END AS d,
+                        )) < 0 THEN -1 ELSE 1 END) * floor(abs(sqrt(
+                          (l_orderkey % 1000 - 500)*(l_orderkey % 1000 - 500)
+                          + (l_partkey % 1000 - 500)*(l_partkey % 1000 - 500)
+                        )) * 1000000.0 + 0.5) / 1000000.0 + 0.0) END AS d,
                    CASE WHEN l_orderkey % 7 = 0 THEN NULL
                         ELSE sqrt(
                           (l_orderkey % 1000 - 500)*(l_orderkey % 1000 - 500)
@@ -2207,7 +2230,7 @@ def oracle_sql() -> dict[str, str]:
                                (1024 - (k + 1)) // 128 + 1)) AS gy(ty))
             SELECT 3 AS zoom, tx::INT AS tx, ty::INT AS ty,
                    COUNT(*) AS n_features,
-                   ROUND(SUM(ROUND(4 * sqrt(2), 6)), 6) AS total_len
+                   ((CASE WHEN (SUM(((CASE WHEN (4 * sqrt(2)) < 0 THEN -1 ELSE 1 END) * floor(abs(4 * sqrt(2)) * 1000000.0 + 0.5) / 1000000.0 + 0.0))) < 0 THEN -1 ELSE 1 END) * floor(abs(SUM(((CASE WHEN (4 * sqrt(2)) < 0 THEN -1 ELSE 1 END) * floor(abs(4 * sqrt(2)) * 1000000.0 + 0.5) / 1000000.0 + 0.0))) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS total_len
             FROM t GROUP BY tx, ty
         """,
         # mirrors _q_tile_stats: tile cover from the tile_pyramid
@@ -2254,19 +2277,33 @@ def oracle_sql() -> dict[str, str]:
         # mirrors _q_transform_points: same literal constants and
         # operation order as geo/proj.py (lon*DEG2RAD then *R), same
         # libm tan/ln, 6-dp rounded
+        # every literal is ::DOUBLE-cast: DuckDB parses bare decimal
+        # literals as DECIMAL and would compute the whole chain in exact
+        # decimal arithmetic (the actual r4 transform_points root cause —
+        # the decimal product at lon=±159 rounds to …036130 while the
+        # IEEE double chain lands on …036131)
         "transform_points": """
+            WITH m AS (
+              SELECT c_custkey,
+                     6378137.0::DOUBLE * ((c_custkey % 360 - 180)
+                        * 0.017453292519943295::DOUBLE) AS x,
+                     6378137.0::DOUBLE * ln(tan(0.7853981633974483::DOUBLE
+                        + ((c_nationkey * 3 - 37.5::DOUBLE)
+                           * 0.017453292519943295::DOUBLE) * 0.5::DOUBLE))
+                       AS y
+              FROM customer)
             SELECT c_custkey,
                    CASE WHEN c_custkey % 7 = 0 THEN NULL
-                        ELSE ROUND(6378137.0 *
-                          ((c_custkey % 360 - 180) * 0.017453292519943295),
-                          6) END AS mx,
+                        ELSE ((CASE WHEN (x) < 0 THEN -1 ELSE 1 END) *
+                          floor(abs(x) * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+                   END AS mx,
                    CASE WHEN c_custkey % 7 = 0 THEN NULL
-                        ELSE ROUND(6378137.0 * ln(tan(0.7853981633974483
-                          + ((c_nationkey * 3 - 37.5)
-                             * 0.017453292519943295) * 0.5)), 6) END AS my,
+                        ELSE ((CASE WHEN (y) < 0 THEN -1 ELSE 1 END) *
+                          floor(abs(y) * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+                   END AS my,
                    CASE WHEN c_custkey % 7 = 0 THEN NULL
                         ELSE 3857 END AS srid
-            FROM customer
+            FROM m
         """,
         # mirrors _q_collect_by_segment: same canonical (x, y) ordering
         # via string_agg ORDER BY; DuckDB prints doubles like Spark's
@@ -2288,7 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         # sqrt-form distance, null keys (%7) excluded by the join
         "dwithin_join": """
             SELECT l.l_orderkey, l.l_linenumber, c.c_custkey,
-                   ROUND(sqrt((lx - cx)*(lx - cx) + (ly - cy)*(ly - cy)), 6)
+                   ((CASE WHEN (sqrt((lx - cx)*(lx - cx) + (ly - cy)*(ly - cy))) < 0 THEN -1 ELSE 1 END) * floor(abs(sqrt((lx - cx)*(lx - cx) + (ly - cy)*(ly - cy))) * 1000000.0 + 0.5) / 1000000.0 + 0.0)
                        AS dist
             FROM (SELECT l_orderkey, l_linenumber,
                          CAST(l_orderkey % 1000 AS DOUBLE) AS lx,
@@ -2459,11 +2496,11 @@ def oracle_sql() -> dict[str, str]:
                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
             SELECT id_a, id_b,
-                   ROUND(ninter::DOUBLE / (sa.nsh + sb.nsh - ninter), 6) AS jaccard
+                   ((CASE WHEN (ninter::DOUBLE / (sa.nsh + sb.nsh - ninter)) < 0 THEN -1 ELSE 1 END) * floor(abs(ninter::DOUBLE / (sa.nsh + sb.nsh - ninter)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
-            WHERE ROUND(ninter::DOUBLE / (sa.nsh + sb.nsh - ninter), 6) >= 0.4
+            WHERE ((CASE WHEN (ninter::DOUBLE / (sa.nsh + sb.nsh - ninter)) < 0 THEN -1 ELSE 1 END) * floor(abs(ninter::DOUBLE / (sa.nsh + sb.nsh - ninter)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) >= 0.4
         """,
         "embedding_neardup": """
             WITH corpus AS (
@@ -2476,7 +2513,7 @@ def oracle_sql() -> dict[str, str]:
                        WHERE vec_id % 1000000 < 50)
             SELECT id_a, id_b, sim FROM (
               SELECT p.id_a, c.vec_id AS id_b,
-                     ROUND(list_cosine_similarity(p.va, c.v), 6) AS sim
+                     ((CASE WHEN (list_cosine_similarity(p.va, c.v)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(p.va, c.v)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim
               FROM probes p, corpus c WHERE p.id_a < c.vec_id)
             WHERE sim >= 0.99
         """,
@@ -2510,7 +2547,7 @@ def oracle_sql() -> dict[str, str]:
             vb AS (SELECT vecs.vec_id, v, bucket
                    FROM vecs JOIN buck ON vecs.vec_id = buck.vec_id),
             scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                              ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                              ((CASE WHEN (list_cosine_similarity(q.v, c.v)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(q.v, c.v)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim
                        FROM vb q JOIN vb c ON q.bucket = c.bucket
                        WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)
             SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
@@ -2629,7 +2666,7 @@ def oracle_sql() -> dict[str, str]:
             cents AS (SELECT vec_id::INT AS cid, v AS cvec
                       FROM vecs WHERE vec_id < 8),
             scored AS (SELECT a.vec_id, c.cid,
-                              ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                              ((CASE WHEN (list_cosine_similarity(a.v, c.cvec)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, c.cvec)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cs
                        FROM vecs a, cents c),
             assign AS (SELECT vec_id, cid FROM (
                          SELECT vec_id, cid,
@@ -2644,7 +2681,7 @@ def oracle_sql() -> dict[str, str]:
             vb AS (SELECT vecs.vec_id, v, assign.cid
                    FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
             pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                             ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                             ((CASE WHEN (list_cosine_similarity(q.v, c.v)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(q.v, c.v)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim
                       FROM probes p
                       JOIN vb q ON q.vec_id = p.query_id
                       JOIN vb c ON c.cid = p.cid
@@ -2666,7 +2703,7 @@ def oracle_sql() -> dict[str, str]:
             cents AS (SELECT vec_id::INT AS cid, v AS cvec
                       FROM vecs WHERE vec_id < 8),
             scored AS (SELECT a.vec_id, c.cid,
-                              ROUND(list_cosine_similarity(a.v, c.cvec), 6) AS cs
+                              ((CASE WHEN (list_cosine_similarity(a.v, c.cvec)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, c.cvec)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cs
                        FROM vecs a, cents c),
             assign AS (SELECT vec_id, cid FROM (
                          SELECT vec_id, cid,
@@ -2681,7 +2718,7 @@ def oracle_sql() -> dict[str, str]:
             vb AS (SELECT vecs.vec_id, v, assign.cid
                    FROM vecs JOIN assign ON vecs.vec_id = assign.vec_id),
             pairs AS (SELECT p.query_id, c.vec_id AS neighbor_id,
-                             ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+                             ((CASE WHEN (list_cosine_similarity(q.v, c.v)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(q.v, c.v)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim
                       FROM probes p
                       JOIN vecs q ON q.vec_id = p.query_id
                       JOIN vb c ON c.cid = p.cid

@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .text import words_col
+from .util import round6_binary
 
 log = logging.getLogger(__name__)
 
@@ -180,7 +181,7 @@ def lsh_pairs(sig: DataFrame, id_col: str = "doc_id",
         est = term if est is None else est + term
     out = (cand.join(la, "id_a").join(lb, "id_b")
            .select("id_a", "id_b",
-                   F.round(est.cast("double") / num_hashes, 6).alias("est_sim"))
+                   round6_binary(est.cast("double") / num_hashes).alias("est_sim"))
            .where(F.col("est_sim") >= min_sim))
     return out
 
@@ -289,8 +290,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nb"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b",
-                    F.round(F.col("ninter").cast("double") /
-                            (F.col("na") + F.col("nb") - F.col("ninter")), 6)
+                    round6_binary(F.col("ninter").cast("double") /
+                            (F.col("na") + F.col("nb") - F.col("ninter")))
                     .alias("jaccard"))
             .where(F.col("jaccard") >= min_jaccard))
 

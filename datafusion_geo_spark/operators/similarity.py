@@ -20,6 +20,8 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from .util import round6_binary
+
 
 def as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -72,8 +74,8 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     scored = (c.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(dot(F.col("qv"), F.col("cv"))
-                              / (F.col("qn") * F.col("cn")), 6).alias("sim")))
+                      round6_binary(dot(F.col("qv"), F.col("cv"))
+                              / (F.col("qn") * F.col("cn"))).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -133,8 +135,8 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
     scored = (c.join(q, "bucket")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(dot(F.col("qv"), F.col("cv"))
-                              / (F.col("qn") * F.col("cn")), 6).alias("sim")))
+                      round6_binary(dot(F.col("qv"), F.col("cv"))
+                              / (F.col("qn") * F.col("cn"))).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -177,8 +179,8 @@ def kmeans_centroids(vecs: DataFrame, n_centroids: int = 8,
             .withColumn("cn", norm(F.col("cvec"))))
         scored = vecs.crossJoin(cdf).select(
             F.col(id_col),
-            F.round(dot(F.col("v"), F.col("cvec"))
-                    / (F.col("n") * F.col("cn")), 6).alias("cs"),
+            round6_binary(dot(F.col("v"), F.col("cvec"))
+                    / (F.col("n") * F.col("cn"))).alias("cs"),
             F.col("cid"))
         assign = (scored.groupBy(id_col)
                   .agg(F.max(F.struct(F.col("cs"),
@@ -188,7 +190,7 @@ def kmeans_centroids(vecs: DataFrame, n_centroids: int = 8,
         upd = (assign.join(vecs, id_col)
                .select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
                .groupBy("cid", "pos")
-               .agg(F.round(F.avg("x"), 6).alias("cx"))
+               .agg(round6_binary(F.avg("x")).alias("cx"))
                .collect())
         by_cid: dict = {}
         for r in upd:
@@ -241,8 +243,8 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
         raise ValueError(f"centroids must be first|trained, got {centroids!r}")
     scored = vecs.crossJoin(cents).select(
         F.col(id_col), F.col("v"), F.col("n"), "cid",
-        F.round(dot(F.col("v"), F.col("cvec"))
-                / (F.col("n") * F.col("cn")), 6).alias("cs"))
+        round6_binary(dot(F.col("v"), F.col("cvec"))
+                / (F.col("n") * F.col("cn"))).alias("cs"))
     # argmax centroid per vector: max of (cs, -cid) == highest cosine,
     # ties to the LOWEST centroid id — deterministic, partial-aggregable
     assign = (scored.groupBy(id_col)
@@ -267,8 +269,8 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
     pairs = (c.join(q, "cid")
              .where(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id",
-                     F.round(dot(F.col("qv"), F.col("cv"))
-                             / (F.col("qn") * F.col("cn")), 6).alias("sim")))
+                     round6_binary(dot(F.col("qv"), F.col("cv"))
+                             / (F.col("qn") * F.col("cn"))).alias("sim")))
     # no pair-dedup needed: each neighbor lives in exactly ONE list and
     # a query's probed lists are distinct, so (query, neighbor) is unique
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -372,8 +374,8 @@ def knn_join(emb: DataFrame, k: int = 5, n_centroids: int = 8,
                 F.col("v").alias("cvec"), F.col("n").alias("cn")))
     scored = vecs.crossJoin(cents).select(
         F.col(id_col),
-        F.round(dot(F.col("v"), F.col("cvec"))
-                / (F.col("n") * F.col("cn")), 6).alias("cs"),
+        round6_binary(dot(F.col("v"), F.col("cvec"))
+                / (F.col("n") * F.col("cn"))).alias("cs"),
         F.col("cid"))
     assign = (scored.groupBy(id_col)
               .agg(F.max(F.struct(F.col("cs"),
@@ -398,8 +400,8 @@ def knn_join(emb: DataFrame, k: int = 5, n_centroids: int = 8,
         pairs = (c.join(q, "cid")
                  .where(F.col("neighbor_id") != F.col("query_id"))
                  .select("query_id", "neighbor_id",
-                         F.round(dot(F.col("qv"), F.col("cv"))
-                                 / (F.col("qn") * F.col("cn")), 6)
+                         round6_binary(dot(F.col("qv"), F.col("cv"))
+                                 / (F.col("qn") * F.col("cn")))
                          .alias("sim")))
     else:
         raise ValueError(f"scorer must be jvm|gemm, got {scorer!r}")
@@ -448,8 +450,8 @@ def semantic_dedup(emb: DataFrame, n_centroids: int = 8,
         .withColumn("cn", norm(F.col("cvec"))))
     scored = vecs.crossJoin(cents).select(
         F.col(id_col),
-        F.round(dot(F.col("v"), F.col("cvec"))
-                / (F.col("n") * F.col("cn")), 6).alias("cs"),
+        round6_binary(dot(F.col("v"), F.col("cvec"))
+                / (F.col("n") * F.col("cn"))).alias("cs"),
         F.col("cid"))
     assign = (scored.groupBy(id_col)
               .agg(F.max(F.struct(F.col("cs"),
@@ -463,8 +465,8 @@ def semantic_dedup(emb: DataFrame, n_centroids: int = 8,
     sims = (a.join(b, "cid")
             .where(F.col("_id_a") < F.col("_id_b"))
             .groupBy(F.col("_id_b").alias(id_col))
-            .agg(F.max(F.round(dot(F.col("va"), F.col("vb"))
-                               / (F.col("na") * F.col("nb")), 6))
+            .agg(F.max(round6_binary(dot(F.col("va"), F.col("vb"))
+                               / (F.col("na") * F.col("nb"))))
                  .alias("max_sim_lower")))
     return (vb.join(sims, id_col, "left")
             .select(F.col(id_col), F.col("cid"),
@@ -489,7 +491,7 @@ def ann_hyperplane_topk(emb: DataFrame, queries: DataFrame, planes: list,
     scored = (c.join(q, "bucket")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim")))
+                      round6_binary(cosine(F.col("qv"), F.col("cv"))).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -517,6 +519,6 @@ def embedding_near_dup(emb: DataFrame, probe_max_id: int,
     return (cands.crossJoin(probes)
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(dot(F.col("va"), F.col("vb"))
-                            / (F.col("na") * F.col("nb")), 6).alias("sim"))
+                    round6_binary(dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb"))).alias("sim"))
             .where(F.col("sim") >= min_cosine))

@@ -15,6 +15,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .util import round6_binary
+
 # Shared constants (mirrored into oracle SQL) ---------------------------
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -305,10 +307,10 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, text_col: str = "text",
     scored = (joined.crossJoin(n)
               .select(F.col(id_col), F.col("term"),
                       F.col("tf").cast("int").alias("tf"),
-                      F.round(F.col("tf")
+                      round6_binary(F.col("tf")
                               * (F.log((F.col("n_docs") + F.lit(1.0))
                                        / (F.col("dft") + F.lit(1.0)))
-                                 + F.lit(1.0)), 6).alias("score")))
+                                 + F.lit(1.0))).alias("score")))
     from pyspark.sql import Window
     win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rank", F.row_number().over(win))
@@ -368,7 +370,7 @@ def bm25_search(df: DataFrame, query_terms: list, k: int = 10,
                                     / F.col("sum_dl"))
         contrib = idf * (tf_i * F.lit(k1 + 1.0)) / denom
         score = contrib if score is None else score + contrib
-    scored = g.select(F.col(id_col), F.round(score, 6).alias("score"))
+    scored = g.select(F.col(id_col), round6_binary(score).alias("score"))
     # distributed top-k (TakeOrderedAndProject: per-partition heaps, no
     # global sort/single-partition window); rank assigned over the k
     # survivors only, where a one-partition window is free

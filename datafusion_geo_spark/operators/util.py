@@ -2,6 +2,39 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+#: DuckDB-twin of :func:`round6_binary` — oracles embed this exact text so
+#: both engines run the identical IEEE op sequence on the binary double.
+ROUND6_SQL = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+              "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+
+
+def round_binary(col: Column, digits: int = 6) -> Column:
+    """Half-away-from-zero rounding of the BINARY double value.
+
+    ``F.round`` is HALF_UP on the *shortest decimal representation*
+    (``BigDecimal.valueOf``), so a double sitting just below an exact
+    half boundary in binary can round UP if its shortest repr prints as
+    ``…5`` — while DuckDB/C round the binary value DOWN. Observed live:
+    web-mercator x at lon=±159 is 17699799.0361305 (shortest repr on the
+    6-dp half), Spark F.round → …036131, DuckDB ROUND → …036130
+    (CORRECTNESS_r04 transform_points red row). This helper computes
+    ``sign(x) * floor(|x|·10^d + 0.5) / 10^d`` — every step a plain IEEE
+    double op both engines execute identically, so Spark and any oracle
+    mirroring the formula (``ROUND6_SQL``) agree bit-for-bit whenever
+    the pre-round input agrees. The trailing ``+ 0.0`` normalizes -0.0.
+    """
+    s = F.lit(float(10 ** digits))
+    return F.signum(col) * F.floor(F.abs(col) * s + F.lit(0.5)) / s + F.lit(0.0)
+
+
+def round6_binary(col: Column) -> Column:
+    """:func:`round_binary` at 6 dp — the repo-wide convention for every
+    oracle-compared double."""
+    return round_binary(col, 6)
+
 
 def fresh_name(base: str, taken) -> str:
     """An internal column name guaranteed not to shadow a user column:
