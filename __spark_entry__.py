@@ -799,20 +799,21 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full approximate k-NN graph (operators.similarity.knn_join):
     every vector's top-5 neighbors among its 2 probed IVF lists — the
     shuffle-join all-pairs companion to the broadcast-probe ivf_topk.
-    scorer="jvm": the oracle's exact fold arithmetic (conservative
-    parity mode); the default blocked-GEMM path is gated separately as
-    knn_join_gemm."""
+    Runs the operator DEFAULT scorer (blocked-GEMM cogroup, ~6x the jvm
+    fold — r4 verdict item 4: the named graph query is the shipped fast
+    path); the jvm fold is gated against the SAME oracle as
+    knn_join_jvm."""
+    from datafusion_geo_spark.operators.similarity import knn_join
+    return knn_join(_embs(spark, sf_dir), k=5)
+
+
+def _q_knn_join_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same k-NN graph through the JVM HOF-fold scorer (exact fold
+    arithmetic, conservative parity mode) — gated against the SAME
+    oracle, demonstrating the two scorers are bit-identical on the
+    fixture."""
     from datafusion_geo_spark.operators.similarity import knn_join
     return knn_join(_embs(spark, sf_dir), k=5, scorer="jvm")
-
-
-def _q_knn_join_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same k-NN graph through the default blocked-GEMM scorer
-    (cogrouped per-list BLAS matmul, ~6x the jvm fold) — gated against
-    the SAME oracle, demonstrating the fast path is bit-identical on
-    the fixture."""
-    from datafusion_geo_spark.operators.similarity import knn_join
-    return knn_join(_embs(spark, sf_dir), k=5, scorer="gemm")
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,10 +1475,63 @@ def _q_geojsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate checks roughly the
+    # FIRST 50 entries per round (CORRECTNESS_r04 = exactly the first 50
+    # of r4's dict). Rotation policy (r4 verdict item 2): queries that
+    # have never earned a driver row lead, then this round's fixes and
+    # new operators, then the r3-green-but-rotated-out set, then the
+    # already-driver-green remainder (all still gated locally by
+    # tests/test_entry_oracle.py every run).
     return {
-        "wkt_roundtrip_points": _q_wkt_roundtrip_points,
+        # --- never driver-checked through r4 (24) ---
+        "knn_join": _q_knn_join,
+        "knn_join_jvm": _q_knn_join_jvm,
+        "ivf_trained_topk": _q_ivf_trained_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_recall": _q_ann_recall,
+        "asof_forward": _q_asof_forward,
+        "gopher_quality": _q_gopher_quality,
+        "repetition_filter": _q_repetition_filter,
+        "pii_mask": _q_pii_mask,
+        "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
+        "interval_overlap": _q_interval_overlap,
+        "dataset_stats": _q_dataset_stats,
+        "geojsonl_roundtrip": _q_geojsonl_roundtrip,
+        "decontaminate": _q_decontaminate,
+        "domain_mix": _q_domain_mix,
+        "vocab_topk": _q_vocab_topk,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "passage_dedup": _q_passage_dedup,
+        "bm25_search": _q_bm25_search,
+        "streaming_curation": _q_streaming_curation,
+        "hourly_rollup": _q_hourly_rollup,
+        "streaming_rollup": _q_streaming_rollup,
+        "streaming_join": _q_streaming_join,
+        # --- r4's one red row, fixed this round (binary rounding) ---
+        "transform_points": _q_transform_points,
+        # --- new in r5 ---
+        # --- r3-green, rotated out of r4's checked window (11) ---
+        "streaming_sessions": _q_streaming_sessions,
+        "grid_spatial_join": _q_grid_spatial_join,
+        "curation_pipeline": _q_curation_pipeline,
+        "neardup_components": _q_neardup_components,
+        "chunk_docs": _q_chunk_docs,
+        "geo_parquet_window": _q_geo_parquet_window,
+        "ivf_topk": _q_ivf_topk,
+        "streaming_first_seen": _q_streaming_first_seen,
+        "asof_join": _q_asof_join,
+        "range_tag_events": _q_range_tag_events,
+        "hash_split": _q_hash_split,
+        # --- driver-green in r4; bench headliners first ---
         "intersects_lines": _q_intersects_lines,
+        "wkt_roundtrip_points": _q_wkt_roundtrip_points,
         "extent_by_mktsegment": _q_extent_by_mktsegment,
+        "cosine_topk": _q_cosine_topk,
+        "spatial_join": _q_spatial_join,
+        "minhash_pairs": _q_minhash_pairs,
+        "dwithin_join": _q_dwithin_join,
+        "exact_dedup": _q_exact_dedup,
         "extent_sql_udaf": _q_extent_sql_udaf,
         "box2d_lines": _q_box2d_lines,
         "translate_points": _q_translate_points,
@@ -1491,13 +1545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_bbox": _q_buffer_bbox,
         "buffer_lines": _q_buffer_lines,
         "covers_concave": _q_covers_concave,
-        "spatial_join": _q_spatial_join,
         "boundary_literals": _q_boundary_literals,
         "measures_lines": _q_measures_lines,
         "distance_points": _q_distance_points,
-        "dwithin_join": _q_dwithin_join,
         "collect_by_segment": _q_collect_by_segment,
-        "transform_points": _q_transform_points,
         "tile_pyramid": _q_tile_pyramid,
         "accessors_lines": _q_accessors_lines,
         "line_interp": _q_line_interp,
@@ -1512,12 +1563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
-        "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
@@ -1525,41 +1573,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rank": _q_events_hourly_rank,
         "streaming_extent": _q_streaming_extent,
         "streaming_extent_append": _q_streaming_extent_append,
-        "streaming_sessions": _q_streaming_sessions,
-        "grid_spatial_join": _q_grid_spatial_join,
-        "curation_pipeline": _q_curation_pipeline,
-        "neardup_components": _q_neardup_components,
-        "chunk_docs": _q_chunk_docs,
-        "geo_parquet_window": _q_geo_parquet_window,
-        "ivf_topk": _q_ivf_topk,
-        "ivf_trained_topk": _q_ivf_trained_topk,
-        "semantic_dedup": _q_semantic_dedup,
-        "knn_join": _q_knn_join,
-        "knn_join_gemm": _q_knn_join_gemm,
-        "streaming_first_seen": _q_streaming_first_seen,
-        "asof_join": _q_asof_join,
-        "asof_forward": _q_asof_forward,
-        "range_tag_events": _q_range_tag_events,
-        "hash_split": _q_hash_split,
-        "gopher_quality": _q_gopher_quality,
-        "repetition_filter": _q_repetition_filter,
-        "pii_mask": _q_pii_mask,
-        "stratified_sample": _q_stratified_sample,
-        "pack_sequences": _q_pack_sequences,
-        "interval_overlap": _q_interval_overlap,
-        "dataset_stats": _q_dataset_stats,
-        "geojsonl_roundtrip": _q_geojsonl_roundtrip,
-        "decontaminate": _q_decontaminate,
-        "domain_mix": _q_domain_mix,
-        "ann_recall": _q_ann_recall,
-        "vocab_topk": _q_vocab_topk,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "passage_dedup": _q_passage_dedup,
-        "bm25_search": _q_bm25_search,
-        "streaming_curation": _q_streaming_curation,
-        "hourly_rollup": _q_hourly_rollup,
-        "streaming_rollup": _q_streaming_rollup,
-        "streaming_join": _q_streaming_join,
     }
 
 
@@ -3055,7 +3068,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_orderkey, o_orderkey % 1000 AS k FROM orders)
         """,
     }
-    # the gemm scorer is gated against the SAME twin (one definition,
+    # both scorers are gated against the SAME twin (one definition,
     # no drift between the two scorers' oracles)
-    out["knn_join_gemm"] = out["knn_join"]
+    out["knn_join_jvm"] = out["knn_join"]
     return out

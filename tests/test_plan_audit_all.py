@@ -43,9 +43,10 @@ ALLOWED_BROADCAST_CROSSES = {
                              # round + final assign + copy-branch reuse),
                              # same bounded dimension as ivf_topk
     "knn_join": 2,           # centroid scoring feeds assignment AND
-                             # probe branches (bounded k-centroid dim)
-    "knn_join_gemm": 2,      # same assignment/probe crosses; scoring
-                             # itself is the cogrouped GEMM
+                             # probe branches (bounded k-centroid dim);
+                             # scoring itself is the cogrouped GEMM
+    "knn_join_jvm": 2,       # same assignment/probe crosses; scoring
+                             # is the JVM HOF-fold parity path
 }
 
 
