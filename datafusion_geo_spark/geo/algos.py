@@ -885,17 +885,69 @@ def _proj_clamped(p: Coord, a: Coord, b: Coord) -> Coord:
     return (a[0] + t * vx, a[1] + t * vy)
 
 
+def _geom_primitives(g: Geometry):
+    """(polygons, lines, point-coords) of a geometry's members — the
+    primitive triple _point_covered consumes."""
+    parts = g.geometries()
+    polys = [p for p in parts if p.typ == "Polygon" and p.parts]
+    lines = [p for p in parts if p.typ == "LineString" and p.parts]
+    points = [p.parts for p in parts
+              if p.typ == "Point" and p.parts is not None]
+    return polys, lines, points
+
+
+def _intersection_witness(a: Geometry, b: Geometry) -> Optional[Coord]:
+    """A concrete shared point of two INTERSECTING geometries (PostGIS
+    ST_ClosestPoint returns an intersection point when distance is 0).
+    Checked in witness-quality order: a vertex of ``a`` covered by ``b``
+    (exactly on a), then a vertex of ``b`` covered by ``a``, then a true
+    segment-pair crossing. Any intersecting pair hits one of these: a
+    crossing with no covered vertex is caught by segment_crossing, and
+    collinear-overlap / containment cases always place some vertex of
+    one operand on (or inside a polygon of) the other."""
+    apolys, alines, apoints = _geom_primitives(a)
+    bpolys, blines, bpoints = _geom_primitives(b)
+    averts: List[Coord] = list(apoints)
+    for g in alines:
+        averts.extend(g.parts)
+    for g in apolys:
+        for ring in g.parts:
+            averts.extend(ring)
+    for v in averts:
+        if _point_covered(v, bpolys, blines, bpoints):
+            return v
+    bverts: List[Coord] = list(bpoints)
+    for g in blines:
+        bverts.extend(g.parts)
+    for g in bpolys:
+        for ring in g.parts:
+            bverts.extend(ring)
+    for v in bverts:
+        if _point_covered(v, apolys, alines, apoints):
+            return v
+    for (p, q) in _all_segments(a):
+        for (c, d) in _all_segments(b):
+            x = segment_crossing(p, q, c, d)
+            if x is not None:
+                return x
+    return None
+
+
 def closest_point(a: Geometry, b: Geometry) -> Geometry:
     """ST_ClosestPoint (PostGIS): the point ON ``a`` nearest to ``b``;
     POINT EMPTY when either operand is empty/edgeless. When the
-    geometries intersect, PostGIS returns an intersection point — here
-    the minimum-distance witness, which coincides (distance 0) for the
-    point/segment combinations this engine measures. Witness candidates
-    per segment pair: each endpoint of b projected onto a's segment,
-    and a's endpoints when they are the closest approach."""
+    geometries intersect, returns an actual intersection point
+    (PostGIS parity — distance(a, result) = distance(result, b) = 0),
+    via _intersection_witness. Otherwise the minimum-distance witness:
+    candidates per segment pair are each endpoint of b projected onto
+    a's segment, and a's endpoints when they are the closest approach."""
     sa, sb = _all_segments(a), _all_segments(b)
     if not sa or not sb:
         return Geometry("Point", None, a.srid)
+    if intersects(a, b):
+        w = _intersection_witness(a, b)
+        if w is not None:
+            return Geometry("Point", w, a.srid)
     best_d = math.inf
     best: Coord = sa[0][0]
     for (p, q) in sa:

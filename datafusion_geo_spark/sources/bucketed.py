@@ -30,16 +30,41 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int,
                    sort: bool = True) -> None:
     """Materialize ``df`` as a parquet table bucketed (and by default
     sorted) by ``key`` — sorted buckets additionally let sort-merge
-    joins skip their per-task sort."""
+    joins skip their per-task sort.
+
+    ``table`` must be an UNQUALIFIED name in the default database
+    (asserted): a qualified ``db.tbl`` maps to ``<wh>/db.db/tbl`` on
+    disk, so the name-derived cleanup below would target the wrong path
+    and ``saveAsTable`` would then refuse the orphan directory."""
+    assert "." not in table, (
+        "write_bucketed supports unqualified default-database table "
+        f"names only, got {table!r}")
     spark = df.sparkSession
     # a previous JVM's managed-table directory survives the (in-memory)
     # catalog it was registered in; saveAsTable refuses to reuse the
-    # orphan location, so drop both the entry and the directory
+    # orphan location, so drop both the entry and the directory.
+    # Resolve the real location from the catalog when the table is still
+    # registered (never guess a path for a live table); fall back to the
+    # default-database layout <warehouse>/<name> only for the orphan-dir
+    # case where no catalog entry exists.
+    loc = None
+    if spark.catalog.tableExists(table):
+        try:
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            for r in detail.collect():
+                if r["col_name"] == "Location":
+                    loc = urlparse(r["data_type"]).path
+                    break
+        except Exception:
+            loc = None
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if wh.path:
-        shutil.rmtree(os.path.join(wh.path, table.lower()),
-                      ignore_errors=True)
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
+    else:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.path:
+            shutil.rmtree(os.path.join(wh.path, table.lower()),
+                          ignore_errors=True)
     w = (df.write.mode("overwrite").format("parquet")
          .bucketBy(buckets, key))
     if sort:

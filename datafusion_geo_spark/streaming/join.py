@@ -55,4 +55,20 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str,
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
+    # PINNED ASSUMPTION (advisor-flagged r4): equality with the batch
+    # oracle relies on the whole fixture replaying in ONE micro-batch —
+    # with multiple batches and out-of-order files, rows older than the
+    # watermark (delay = band) would be evicted from join state and the
+    # stream would lawfully drop pairs the batch join keeps. One batch is
+    # structural here (single fixture file, no maxFilesPerTrigger), but
+    # assert it so a future multi-file fixture fails loudly instead of
+    # silently diverging. Production use with late data should widen the
+    # watermark delay beyond the join band.
+    data_batches = [p for p in q.recentProgress
+                    if p.get("numInputRows", 0) > 0]
+    assert len(data_batches) <= 1, (
+        f"streaming_click_attribution replayed in {len(data_batches)} "
+        "micro-batches; batch-oracle equivalence is only guaranteed for "
+        "a single-batch replay (widen the watermark beyond the band for "
+        "multi-batch input)")
     return spark.table(name)

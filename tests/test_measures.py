@@ -446,6 +446,44 @@ def test_closest_point_cases(spark):
     assert got[5] == "POINT EMPTY"
 
 
+def test_closest_point_intersecting_returns_intersection(spark):
+    """When the operands INTERSECT, the witness must be an actual shared
+    point (PostGIS parity; advisor-flagged r4: crossing linestrings
+    returned (3,0), ~0.447 away from the second operand)."""
+    from datafusion_geo_spark.functions import st_closestpoint
+    df = spark.createDataFrame(
+        [(1, "LINESTRING(0 0,10 0)", "LINESTRING(3 -1,5 3)"),   # X crossing
+         (2, "LINESTRING(0 0,10 0)", "LINESTRING(4 0,6 0)"),    # collinear
+         (3, "POLYGON((0 0,4 0,4 4,0 4,0 0))", "POINT(1 2)"),   # pt inside
+         (4, "LINESTRING(0 0,10 10)", "POINT(5 5)"),            # pt on line
+         (5, "POLYGON((0 0,4 0,4 4,0 4,0 0))",
+          "POLYGON((3 3,6 3,6 6,3 6,3 3))")],                   # overlap
+        "id int, a string, b string")
+    got = {r["id"]: r["p"] for r in df.select(
+        "id", st_astext(st_closestpoint(
+            st_geomfromtext(F.col("a")),
+            st_geomfromtext(F.col("b")))).alias("p")).collect()}
+    assert got[1] == "POINT(3.5 0)"     # the true crossing of the two
+    assert got[2] == "POINT(4 0)"       # b's endpoint on a
+    assert got[3] == "POINT(1 2)"       # the point itself (inside a)
+    assert got[4] == "POINT(5 5)"
+    assert got[5] == "POINT(4 4)"       # a's vertex inside b (a-side
+                                        # vertices are preferred: exact
+                                        # "on a" witness)
+    # the witness invariant now holds for intersecting operands too:
+    # distance(a, witness) == 0 AND distance(witness, b) == 0
+    register_all(spark)
+    for a, b in [("LINESTRING(0 0,10 0)", "LINESTRING(3 -1,5 3)"),
+                 ("POLYGON((0 0,4 0,4 4,0 4,0 0))",
+                  "POLYGON((3 3,6 3,6 6,3 6,3 3))")]:
+        row = spark.sql(f"""
+            SELECT ST_Distance(ST_ClosestPoint(ST_GeomFromText('{a}'),
+                                               ST_GeomFromText('{b}')),
+                               ST_GeomFromText('{b}')) AS dw
+        """).collect()[0]
+        assert row["dw"] == pytest.approx(0.0, abs=1e-9)
+
+
 def test_closest_point_consistent_with_distance(spark):
     """distance(a, b) == distance(closest_point(a,b), b) — the witness
     property, checked through SQL."""
