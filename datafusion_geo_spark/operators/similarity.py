@@ -200,10 +200,43 @@ def kmeans_centroids(vecs: DataFrame, n_centroids: int = 8,
     return cents
 
 
+#: process-level memo of fitted k-means models, keyed by
+#: (caller-supplied corpus key, n_centroids, iters, id_col). A fitted
+#: model is k×dim floats — trivially cacheable — while the fit costs
+#: iters full corpus passes; sharing it across semantic_dedup /
+#: ivf_trained_topk / ann_recall in one session is the r4 verdict
+#: item 5 ("fit once, persist, reuse across dedup + search + graph").
+_CENTROID_CACHE: dict = {}
+
+
+def kmeans_centroids_cached(vecs: DataFrame, n_centroids: int = 8,
+                            iters: int = 2, id_col: str = "vec_id",
+                            cache_key=None) -> list:
+    """:func:`kmeans_centroids` with a process-level memo. ``cache_key``
+    must identify the corpus (e.g. ``(sf_dir, "embeddings")``) — the
+    caller owns that contract; None disables caching. The fit is
+    deterministic, so a cache hit is bit-identical to a refit."""
+    if cache_key is None:
+        return kmeans_centroids(vecs, n_centroids, iters, id_col)
+    key = (cache_key, n_centroids, iters, id_col)
+    if key not in _CENTROID_CACHE:
+        _CENTROID_CACHE[key] = kmeans_centroids(
+            vecs, n_centroids, iters, id_col)
+    return _CENTROID_CACHE[key]
+
+
+def _centroid_frame(vecs: DataFrame, fitted: list):
+    """Broadcastable (cid, cvec, cn) frame from a fitted centroid list."""
+    return F.broadcast(
+        vecs.sparkSession
+        .createDataFrame(fitted, "cid int, cvec array<double>")
+        .withColumn("cn", norm(F.col("cvec"))))
+
+
 def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
              max_query_id: int = 8, k: int = 10, id_col: str = "vec_id",
              vec_col: str = "embedding", prenormed: bool = False,
-             centroids: str = "first", train_iters: int = 2) -> DataFrame:
+             centroids="first", train_iters: int = 2) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the learned-partition
     scale path sketched in the module docstring. ``centroids`` picks the
     list structure:
@@ -228,19 +261,21 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
     without changing the plan. ``prenormed=True`` accepts a corpus
     already in the :func:`prenorm` contract (e.g. persisted)."""
     vecs = emb if prenormed else prenorm(emb, id_col, vec_col)
-    if centroids == "trained":
+    if isinstance(centroids, list):
+        # injected pre-fitted model (kmeans_centroids[_cached] output):
+        # the share-the-fit path — no training pass at all
+        cents = _centroid_frame(vecs, centroids)
+    elif centroids == "trained":
         trained = kmeans_centroids(vecs, n_centroids, train_iters, id_col)
-        cents = F.broadcast(
-            vecs.sparkSession
-            .createDataFrame(trained, "cid int, cvec array<double>")
-            .withColumn("cn", norm(F.col("cvec"))))
+        cents = _centroid_frame(vecs, trained)
     elif centroids == "first":
         cents = F.broadcast(
             vecs.where(F.col(id_col) < n_centroids)
             .select(F.col(id_col).cast("int").alias("cid"),
                     F.col("v").alias("cvec"), F.col("n").alias("cn")))
     else:
-        raise ValueError(f"centroids must be first|trained, got {centroids!r}")
+        raise ValueError(
+            f"centroids must be first|trained|a fitted list, got {centroids!r}")
     scored = vecs.crossJoin(cents).select(
         F.col(id_col), F.col("v"), F.col("n"), "cid",
         round6_binary(dot(F.col("v"), F.col("cvec"))
@@ -415,7 +450,8 @@ def knn_join(emb: DataFrame, k: int = 5, n_centroids: int = 8,
 def semantic_dedup(emb: DataFrame, n_centroids: int = 8,
                    train_iters: int = 2, min_cosine: float = 0.95,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   centroids: Optional[list] = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication" — public paper): cluster the embedding corpus with
@@ -441,13 +477,14 @@ def semantic_dedup(emb: DataFrame, n_centroids: int = 8,
     for billions of docs) so the expected cluster stays O(N/k). The
     k-means training cost is iters × (corpus × broadcast-centroids)
     map passes with a k×dim driver sync per round
-    (:func:`kmeans_centroids`)."""
+    (:func:`kmeans_centroids`) — OR zero, when a pre-fitted model is
+    injected via ``centroids`` (the production shape: fit once on the
+    base corpus, reuse across dedup + search + graph;
+    :func:`kmeans_centroids_cached`)."""
     vecs = prenorm(emb, id_col, vec_col)
-    trained = kmeans_centroids(vecs, n_centroids, train_iters, id_col)
-    cents = F.broadcast(
-        vecs.sparkSession
-        .createDataFrame(trained, "cid int, cvec array<double>")
-        .withColumn("cn", norm(F.col("cvec"))))
+    trained = (centroids if centroids is not None else
+               kmeans_centroids(vecs, n_centroids, train_iters, id_col))
+    cents = _centroid_frame(vecs, trained)
     scored = vecs.crossJoin(cents).select(
         F.col(id_col),
         round6_binary(dot(F.col("v"), F.col("cvec"))
