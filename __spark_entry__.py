@@ -617,6 +617,93 @@ def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_srid(F.col("_t")).alias("srid"))
 
 
+def _q_setops_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection/ST_Union/ST_Difference over fixture box pairs
+    covering every overlap topology (partial overlap, containment,
+    edge-touching, disjoint — the dy sweep ranges −7..17 against a
+    10-tall box). Axis-aligned boxes make the oracle analytic: the
+    intersection is the clamped coordinate-interval product, areas
+    follow inclusion–exclusion (geo/overlay.py)."""
+    from datafusion_geo_spark.functions import (st_area, st_astext,
+                                                st_difference,
+                                                st_intersection,
+                                                st_makeenvelope, st_union)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    li = _spread(load_table(spark, sf_dir, "lineitem")
+                 .select("l_orderkey", "l_linenumber", "l_partkey",
+                         "l_suppkey"))
+    x0 = (F.col("l_orderkey") % 500).cast("double")
+    y0 = (F.col("l_partkey") % 500).cast("double")
+    dx = (F.col("l_linenumber") - 3).cast("double")
+    dy = ((F.col("l_suppkey") % 25) - 7).cast("double")
+    a = F.when(F.col("l_orderkey") % 7 != 0,
+               st_makeenvelope(x0, y0, x0 + 10, y0 + 10))
+    b = st_makeenvelope(x0 + dx, y0 + dy, x0 + dx + 8, y0 + dy + 8)
+    df = li.withColumn("_a", a).withColumn("_b", b)
+    i = st_intersection(F.col("_a"), F.col("_b"))
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        st_astext(i).alias("i_wkt"),
+        _rb6(st_area(i)).alias("i_area"),
+        _rb6(st_area(st_union(F.col("_a"), F.col("_b")))).alias("u_area"),
+        _rb6(st_area(st_difference(F.col("_a"), F.col("_b"))))
+        .alias("d_area"))
+
+
+def _q_union_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union AGGREGATE: each nation contributes a box in a pairwise-
+    overlapping horizontal chain per region ([5i, 5i+8] × [0, 10]); the
+    aggregate dissolves each region's chain into ONE rectangle whose
+    area is analytic ((5·(n−1)+8)·10). collect_list gathers the group
+    JVM-side; the per-group fold is the only Python (functions.
+    st_union_agg)."""
+    from pyspark.sql import Window
+    from datafusion_geo_spark.functions import (st_area, st_astext,
+                                                st_makeenvelope,
+                                                st_union_agg)
+    from datafusion_geo_spark.sources.fixtures import load_table
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    i = (F.row_number().over(w) - 1).cast("double")
+    boxed = n.select(
+        "n_regionkey",
+        st_makeenvelope(5 * i, F.lit(0.0), 5 * i + 8, F.lit(10.0))
+        .alias("g"))
+    u = (boxed.groupBy("n_regionkey")
+         .agg(st_union_agg(F.col("g")).alias("u"),
+              F.count(F.lit(1)).alias("n_boxes")))
+    # area + count only: the dissolved ring's collinear cut vertices
+    # depend on fold order, so exact WKT is not an analytic oracle —
+    # the area is (setops_literal / setops_boxes hash exact WKT)
+    return u.select("n_regionkey", "n_boxes",
+                    _rb6(st_area(F.col("u"))).alias("union_area"))
+
+
+def _q_setops_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden PostGIS-parity set-op cases: overlap, containment (hole
+    punch), edge-touch dissolve, line clip, line×line crossing — the
+    semantics tests/test_setops.py pins, hash-gated through the driver.
+    """
+    from datafusion_geo_spark.functions import (st_astext, st_difference,
+                                                st_geomfromtext,
+                                                st_intersection, st_union)
+    A = "POLYGON((0 0,2 0,2 2,0 2,0 0))"
+    rows = [
+        (1, A, "POLYGON((1 1,3 1,3 3,1 3,1 1))"),
+        (2, A, "POLYGON((0.5 0.5,1.5 0.5,1.5 1.5,0.5 1.5,0.5 0.5))"),
+        (3, A, "POLYGON((2 0,4 0,4 2,2 2,2 0))"),
+        (4, "LINESTRING(-1 1,3 1)", A),
+        (5, "LINESTRING(0 0,10 0)", "LINESTRING(3 -1,5 3)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, a string, b string")
+    ga, gb = st_geomfromtext(F.col("a")), st_geomfromtext(F.col("b"))
+    return df.select(
+        "id",
+        st_astext(st_intersection(ga, gb)).alias("i_wkt"),
+        st_astext(st_union(ga, gb)).alias("u_wkt"),
+        st_astext(st_difference(ga, gb)).alias("d_wkt"))
+
+
 def _q_collect_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Collect-style aggregate: canonical MULTIPOINT per mktsegment
     from customer points, built entirely JVM-side (collect_list +
@@ -1532,6 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4's one red row, fixed this round (binary rounding) ---
         "transform_points": _q_transform_points,
         # --- new in r5 ---
+        "setops_boxes": _q_setops_boxes,
+        "setops_literal": _q_setops_literal,
+        "union_agg_regions": _q_union_agg_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -2349,6 +2439,71 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey % 7 = 0 THEN NULL
                         ELSE 3857 END AS srid
             FROM m
+        """,
+        # mirrors _q_setops_boxes: axis-aligned overlay is analytic —
+        # clamped interval product in INTEGER arithmetic (exact), WKT in
+        # the engine's canonical layout (min-vertex start, CCW)
+        "setops_boxes": """
+            WITH t AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_orderkey % 500 AS x0, l_partkey % 500 AS y0,
+                     l_linenumber - 3 AS dx, (l_suppkey % 25) - 7 AS dy
+              FROM lineitem),
+            g AS (SELECT l_orderkey, l_linenumber,
+                         greatest(x0, x0 + dx) AS ix0,
+                         least(x0 + 10, x0 + dx + 8) AS ix1,
+                         greatest(y0, y0 + dy) AS iy0,
+                         least(y0 + 10, y0 + dy + 8) AS iy1
+                  FROM t),
+            m AS (SELECT l_orderkey, l_linenumber, ix0, ix1, iy0, iy1,
+                         CASE WHEN ix1 > ix0 AND iy1 > iy0
+                              THEN (ix1 - ix0) * (iy1 - iy0)
+                              ELSE 0 END AS ai
+                  FROM g)
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        WHEN ai > 0 THEN
+                          'POLYGON((' ||
+                          ix0 || ' ' || iy0 || ',' || ix1 || ' ' || iy0 ||
+                          ',' || ix1 || ' ' || iy1 || ',' || ix0 || ' ' ||
+                          iy1 || ',' || ix0 || ' ' || iy0 || '))'
+                        ELSE 'POLYGON EMPTY' END AS i_wkt,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE ai::DOUBLE END AS i_area,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE (164 - ai)::DOUBLE END AS u_area,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE (100 - ai)::DOUBLE END AS d_area
+            FROM m
+        """,
+        # mirrors _q_union_agg_regions: the pairwise-overlapping chain
+        # [5i, 5i+8]x[0,10] dissolves to one (5(n-1)+8) x 10 rectangle
+        "union_agg_regions": """
+            SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
+                   ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
+            FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_setops_literal: golden strings pinned by
+        # tests/test_setops.py (PostGIS-parity semantics; documented
+        # deviation: touching polygons intersect as POLYGON EMPTY)
+        "setops_literal": """
+            SELECT * FROM (VALUES
+              (1, 'POLYGON((1 1,2 1,2 2,1 2,1 1))',
+                  'POLYGON((0 0,2 0,2 1,3 1,3 3,1 3,1 2,0 2,0 0))',
+                  'POLYGON((0 0,2 0,2 1,1 1,1 2,0 2,0 0))'),
+              (2, 'POLYGON((0.5 0.5,1.5 0.5,1.5 1.5,0.5 1.5,0.5 0.5))',
+                  'POLYGON((0 0,2 0,2 2,0 2,0 0))',
+                  'POLYGON((0 0,2 0,2 2,0 2,0 0),(0.5 0.5,0.5 1.5,1.5 1.5,1.5 0.5,0.5 0.5))'),
+              (3, 'POLYGON EMPTY',
+                  'POLYGON((0 0,2 0,4 0,4 2,2 2,0 2,0 0))',
+                  'POLYGON((0 0,2 0,2 2,0 2,0 0))'),
+              (4, 'LINESTRING(0 1,2 1)',
+                  'GEOMETRYCOLLECTION(MULTILINESTRING((-1 1,0 1),(2 1,3 1)),POLYGON((0 0,2 0,2 2,0 2,0 0)))',
+                  'MULTILINESTRING((-1 1,0 1),(2 1,3 1))'),
+              (5, 'POINT(3.5 0)',
+                  'MULTILINESTRING((0 0,3.5 0,10 0),(3 -1,5 3))',
+                  'LINESTRING(0 0,3.5 0,10 0)')
+            ) AS v(id, i_wkt, u_wkt, d_wkt)
         """,
         # mirrors _q_collect_by_segment: same canonical (x, y) ordering
         # via string_agg ORDER BY; DuckDB prints doubles like Spark's

@@ -1,9 +1,9 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 50 SQL-registered names with the PostGIS-parity
-measures, accessors, linear-referencing, and transform utilities
-(SURVEY.md §8.1). Each operator exists both as a Python Column function
+UDAF) and extends it to 54 SQL-registered names with the PostGIS-parity
+measures, accessors, linear-referencing, transform, and set-operation
+utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
 the reference's exact names (`register_all(spark)`) — Spark SQL function
 lookup is case-insensitive, which subsumes the reference's lowercase
@@ -330,6 +330,10 @@ _azimuth = _u2(kernels.st_azimuth, DoubleType())
 _closest_point = _u2(kernels.closest_point, BinaryType())
 _distance = _u2(kernels.distance, DoubleType())
 _dwithin = _u3(kernels.dwithin, BooleanType())
+_intersection = _u2(kernels.geom_intersection, BinaryType())
+_union_pair = _u2(kernels.geom_union, BinaryType())
+_difference = _u2(kernels.geom_difference, BinaryType())
+_union_fold = _u1(kernels.st_union_all, BinaryType())
 
 
 def st_length(g: GeomLike) -> Column:
@@ -393,6 +397,37 @@ def st_closestpoint(a: GeomLike, b: GeomLike) -> Column:
     """The point ON a nearest to b — the witness of st_distance
     (PostGIS ST_ClosestPoint; beyond-reference utility)."""
     return _closest_point(_geom(a), _geom(b))
+
+
+def st_intersection(a: GeomLike, b: GeomLike) -> Column:
+    """Geometric intersection (PostGIS ST_Intersection; beyond-reference
+    — the reference has no set ops). Polygon×polygon is the dissolving
+    boundary-classification overlay (geo/overlay.py); line/point
+    operands clip; dimensional collapses are dropped (documented
+    deviation: touching polygons -> POLYGON EMPTY, not LINESTRING)."""
+    return _intersection(_geom(a), _geom(b))
+
+
+def st_union(a: GeomLike, b: GeomLike) -> Column:
+    """Pairwise geometric union (PostGIS ST_Union; beyond-reference).
+    Areal inputs dissolve shared boundaries; mixed dimensions return
+    GEOMETRYCOLLECTION((a - b), b). For the aggregate form see
+    st_union_agg."""
+    return _union_pair(_geom(a), _geom(b))
+
+
+def st_difference(a: GeomLike, b: GeomLike) -> Column:
+    """Geometric difference a - b (PostGIS ST_Difference;
+    beyond-reference). Lower-dimensional b leaves a unchanged."""
+    return _difference(_geom(a), _geom(b))
+
+
+def st_union_agg(g: Column) -> Column:
+    """ST_Union AGGREGATE over a WKB geometry column: JVM-side
+    collect_list gathers the group (no Python in the shuffle), then one
+    vectorized fold per GROUP dissolves it (kernels.st_union_all). Use
+    inside groupBy().agg(...); group sizes bound the fold cost."""
+    return _union_fold(F.collect_list(g))
 
 
 def st_linelocatepoint(g: GeomLike, p: GeomLike) -> Column:
@@ -613,6 +648,10 @@ _SQL_UDFS = {
     "ST_ClosestPoint": _closest_point,
     "ST_Distance": _distance,
     "ST_DWithin": _dwithin,
+    "ST_Intersection": _intersection,
+    "ST_Union": _union_pair,
+    "ST_Difference": _difference,
+    "ST_UnionFromArray": _union_fold,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -659,6 +698,7 @@ __all__ = [
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
     "st_envelope", "st_lineinterpolatepoint", "st_linelocatepoint",
     "st_geohash", "st_azimuth", "st_closestpoint",
+    "st_intersection", "st_union", "st_difference", "st_union_agg",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -22,7 +22,7 @@ from typing import Callable, Optional
 import numpy as np
 import pandas as pd
 
-from ..geo import algos, vector
+from ..geo import algos, overlay, vector
 from ..geo.geom import Geometry
 from ..geo.wkb import from_wkb, to_wkb, wkb_srid, point_wkb
 from ..geo.wkt import fmt_num, from_wkt, to_ewkt, to_wkt
@@ -891,6 +891,32 @@ def st_geohash(s: pd.Series, prec: Optional[pd.Series] = None) -> pd.Series:
 st_azimuth = _geom_geom_scalar_kernel(algos.azimuth)     # PostGIS ST_Azimuth
 closest_point = _geom_geom_scalar_kernel(
     lambda a, b: to_wkb(algos.closest_point(a, b)))      # ST_ClosestPoint
+
+# set operations (geo/overlay.py boundary-classification overlay;
+# beyond-reference — PostGIS ST_Intersection/ST_Union/ST_Difference)
+geom_intersection = _geom_geom_scalar_kernel(
+    lambda a, b: to_wkb(overlay.intersection(a, b)))
+geom_union = _geom_geom_scalar_kernel(
+    lambda a, b: to_wkb(overlay.union(a, b)))
+geom_difference = _geom_geom_scalar_kernel(
+    lambda a, b: to_wkb(overlay.difference(a, b)))
+
+
+def st_union_all(s: pd.Series) -> pd.Series:
+    """Fold overlay.union_all over an array<binary> column (the
+    collect_list side of the ST_Union aggregate): one fold per row —
+    rows are GROUPS, so the quadratic-ish fold is bounded by group
+    size, never the corpus."""
+    cache = _DecodeCache()
+    out = []
+    for arr in s.tolist():
+        if arr is None:
+            out.append(None)
+            continue
+        gs = [cache.geom(bytes(w)) for w in arr if w is not None]
+        u = overlay.union_all(gs)
+        out.append(None if u is None else to_wkb(u))
+    return _obj_series(out)
 line_locate_point = _geom_geom_scalar_kernel(
     algos.line_locate_point)                             # ST_LineLocatePoint
 line_interpolate_point = _geom_num_kernel(

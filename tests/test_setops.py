@@ -1,0 +1,193 @@
+"""Geometry set operations (geo/overlay.py): golden PostGIS-parity
+cases, hypothesis area identities, and the Spark/SQL surface."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_geo_spark.geo.algos import area, covers, intersects
+from datafusion_geo_spark.geo.overlay import (difference, intersection,
+                                              union, union_all)
+from datafusion_geo_spark.geo.wkt import from_wkt, to_wkt
+
+
+def W(op, a, b):
+    return to_wkt(op(from_wkt(a), from_wkt(b)))
+
+
+A = "POLYGON((0 0,2 0,2 2,0 2,0 0))"
+B = "POLYGON((1 1,3 1,3 3,1 3,1 1))"
+
+
+def test_overlap_golden():
+    assert W(intersection, A, B) == "POLYGON((1 1,2 1,2 2,1 2,1 1))"
+    assert W(union, A, B) == \
+        "POLYGON((0 0,2 0,2 1,3 1,3 3,1 3,1 2,0 2,0 0))"
+    assert W(difference, A, B) == \
+        "POLYGON((0 0,2 0,2 1,1 1,1 2,0 2,0 0))"
+
+
+def test_containment_and_hole():
+    C = "POLYGON((0.5 0.5,1.5 0.5,1.5 1.5,0.5 1.5,0.5 0.5))"
+    # containment: difference punches a hole; union/intersection collapse
+    assert W(difference, A, C) == ("POLYGON((0 0,2 0,2 2,0 2,0 0),"
+                                   "(0.5 0.5,0.5 1.5,1.5 1.5,1.5 0.5,0.5 0.5))")
+    assert W(union, A, C) == A
+    assert W(intersection, A, C) == C
+
+
+def test_disjoint_equal_touching():
+    E = "POLYGON((5 5,6 5,6 6,5 6,5 5))"
+    assert W(intersection, A, E) == "POLYGON EMPTY"
+    assert W(difference, A, E) == A
+    assert "MULTIPOLYGON" in W(union, A, E)
+    assert W(intersection, A, A) == A
+    assert W(union, A, A) == A
+    assert W(difference, A, A) == "POLYGON EMPTY"
+    # edge-touching: interiors disjoint; union dissolves the shared edge
+    T = "POLYGON((2 0,4 0,4 2,2 2,2 0))"
+    assert W(intersection, A, T) == "POLYGON EMPTY"  # documented deviation:
+    # GEOS returns the shared LINESTRING; this overlay drops collapses
+    assert W(union, A, T) == "POLYGON((0 0,2 0,4 0,4 2,2 2,0 2,0 0))"
+
+
+def test_line_and_point_operands():
+    L = "LINESTRING(-1 1,3 1)"
+    assert W(intersection, L, A) == "LINESTRING(0 1,2 1)"
+    assert W(intersection, A, L) == "LINESTRING(0 1,2 1)"
+    assert W(difference, L, A) == "MULTILINESTRING((-1 1,0 1),(2 1,3 1))"
+    assert W(difference, A, L) == A          # lower-dim b: a unchanged
+    assert W(intersection, "POINT(1 1)", A) == "POINT(1 1)"
+    assert W(intersection, "POINT(9 9)", A) == "POINT EMPTY"
+    assert W(difference, "POINT(9 9)", A) == "POINT(9 9)"
+    # line x line: crossing -> point; collinear overlap -> line
+    assert W(intersection, "LINESTRING(0 0,10 0)",
+             "LINESTRING(3 -1,5 3)") == "POINT(3.5 0)"
+    assert W(intersection, "LINESTRING(0 0,10 0)",
+             "LINESTRING(4 0,6 0)") == "LINESTRING(4 0,6 0)"
+    assert W(difference, "LINESTRING(0 0,10 0)",
+             "LINESTRING(4 0,6 0)") == \
+        "MULTILINESTRING((0 0,4 0),(6 0,10 0))"
+
+
+def test_union_all_fold():
+    u = union_all([from_wkt(A), from_wkt(B),
+                   from_wkt("POLYGON((10 10,11 10,11 11,10 11,10 10))")])
+    assert abs(area(u) - (4 + 4 - 1 + 1)) < 1e-9
+    assert u.typ == "MultiPolygon" and len(u.parts) == 2
+
+
+def _box(x0, y0, w, h):
+    return from_wkt(f"POLYGON(({x0} {y0},{x0 + w} {y0},{x0 + w} {y0 + h},"
+                    f"{x0} {y0 + h},{x0} {y0}))")
+
+
+boxes = st.tuples(st.integers(-20, 20), st.integers(-20, 20),
+                  st.integers(1, 15), st.integers(1, 15))
+
+
+@settings(max_examples=120, deadline=None)
+@given(boxes, boxes)
+def test_area_identities_boxes(ba, bb):
+    """The inclusion–exclusion identities every overlay must satisfy,
+    on integer boxes (any overlap topology: disjoint, touching,
+    overlapping, nested, equal)."""
+    a, b = _box(*ba), _box(*bb)
+    ai, au, ad, adb = (area(intersection(a, b)), area(union(a, b)),
+                       area(difference(a, b)), area(difference(b, a)))
+    assert ai + ad == pytest.approx(area(a), abs=1e-6)
+    assert ai + adb == pytest.approx(area(b), abs=1e-6)
+    assert au == pytest.approx(area(a) + area(b) - ai, abs=1e-6)
+    # symmetry of the dissolve
+    assert area(union(b, a)) == pytest.approx(au, abs=1e-6)
+    assert area(intersection(b, a)) == pytest.approx(ai, abs=1e-6)
+
+
+pts = st.lists(st.tuples(st.integers(-15, 15), st.integers(-15, 15)),
+               min_size=3, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pts, pts)
+def test_area_identities_convex(pa, pb):
+    """Same identities on random convex polygons (non-axis-aligned
+    edges, arbitrary crossing angles)."""
+    from datafusion_geo_spark.geo.algos import convex_hull
+    ga = convex_hull(from_wkt(
+        "MULTIPOINT(" + ",".join(f"{x} {y}" for x, y in pa) + ")"))
+    gb = convex_hull(from_wkt(
+        "MULTIPOINT(" + ",".join(f"{x} {y}" for x, y in pb) + ")"))
+    if ga.typ != "Polygon" or gb.typ != "Polygon":
+        return  # degenerate hull (collinear points)
+    ai = area(intersection(ga, gb))
+    assert ai + area(difference(ga, gb)) == pytest.approx(
+        area(ga), abs=1e-6)
+    assert area(union(ga, gb)) == pytest.approx(
+        area(ga) + area(gb) - ai, abs=1e-6)
+    # the intersection must be covered by both operands
+    gi = intersection(ga, gb)
+    if gi.typ in ("Polygon", "MultiPolygon") and gi.parts:
+        assert covers(ga, gi) and covers(gb, gi)
+
+
+def test_spark_surface(spark):
+    from datafusion_geo_spark.functions import (register_all, st_astext,
+                                                st_difference,
+                                                st_geomfromtext,
+                                                st_intersection, st_union,
+                                                st_union_agg)
+    df = spark.createDataFrame([(1, A, B)], "id int, a string, b string")
+    row = df.select(
+        st_astext(st_intersection(st_geomfromtext(F.col("a")),
+                                  st_geomfromtext(F.col("b")))).alias("i"),
+        st_astext(st_union(st_geomfromtext(F.col("a")),
+                           st_geomfromtext(F.col("b")))).alias("u"),
+        st_astext(st_difference(st_geomfromtext(F.col("a")),
+                                st_geomfromtext(F.col("b")))).alias("d"),
+    ).collect()[0]
+    assert row["i"] == "POLYGON((1 1,2 1,2 2,1 2,1 1))"
+    assert row["u"] == "POLYGON((0 0,2 0,2 1,3 1,3 3,1 3,1 2,0 2,0 0))"
+    assert row["d"] == "POLYGON((0 0,2 0,2 1,1 1,1 2,0 2,0 0))"
+    # aggregate: two overlapping + one far box per group
+    agg = spark.createDataFrame(
+        [("g1", A), ("g1", B), ("g1", "POLYGON((10 10,11 10,11 11,10 11,10 10))"),
+         ("g2", A), ("g2", A)],
+        "grp string, wkt string")
+    got = {r["grp"]: r for r in agg.select(
+        "grp", st_geomfromtext(F.col("wkt")).alias("g"))
+        .groupBy("grp").agg(st_union_agg(F.col("g")).alias("u"))
+        .select("grp", st_astext(F.col("u")).alias("u")).collect()}
+    assert got["g1"]["u"].startswith("MULTIPOLYGON")
+    assert got["g2"]["u"] == A
+    # SQL names
+    register_all(spark)
+    r = spark.sql(f"""
+        SELECT ST_AsText(ST_Intersection(ST_GeomFromText('{A}'),
+                                         ST_GeomFromText('{B}'))) AS i,
+               ST_AsText(ST_Difference(ST_GeomFromText('{A}'),
+                                       ST_GeomFromText('{B}'))) AS d
+    """).collect()[0]
+    assert r["i"] == "POLYGON((1 1,2 1,2 2,1 2,1 1))"
+    assert r["d"] == "POLYGON((0 0,2 0,2 1,1 1,1 2,0 2,0 0))"
+
+
+def test_null_and_empty(spark):
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_intersection, st_union)
+    df = spark.createDataFrame(
+        [(1, A, None), (2, None, B), (3, A, "POLYGON EMPTY")],
+        "id int, a string, b string")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        st_astext(st_intersection(st_geomfromtext(F.col("a")),
+                                  st_geomfromtext(F.col("b")))).alias("i"),
+        st_astext(st_union(st_geomfromtext(F.col("a")),
+                           st_geomfromtext(F.col("b")))).alias("u"),
+    ).collect()}
+    assert rows[1]["i"] is None and rows[1]["u"] is None
+    assert rows[2]["i"] is None and rows[2]["u"] is None
+    assert rows[3]["i"] == "POLYGON EMPTY"     # empty operand -> empty
+    assert rows[3]["u"] == A                   # union with empty -> a
