@@ -50,6 +50,16 @@ def _rb6(col):
     return round6_binary(col)
 
 
+def _rb2(col):
+    """2-dp (centimeter) twin of _rb6 for UTM coordinates: the oracle
+    expands sinh/cosh/atanh via exp/ln (DuckDB has no hyperbolics), so
+    the pre-round doubles differ from libm by a few ulp (~1e-9 at 1e6 m)
+    — far below the 0.01 grid, so cm-rounding is boundary-safe where
+    6 dp would not be."""
+    from datafusion_geo_spark.operators.util import round_binary
+    return round_binary(col, 2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: full-scan spatial predicate over the
     reference's own bench workload shape
@@ -614,6 +624,29 @@ def _q_transform_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         _rb6(b["xmin"]).alias("mx"),
         _rb6(b["ymin"]).alias("my"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
+def _q_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform EPSG:4326 -> EPSG:32631 (UTM zone 31N; Krüger α
+    series to n³, geo/proj.py — r4 verdict item 7) over analytic
+    customer points inside the zone (lon 0.5..5.4°E, lat 1.5..37.5°N).
+    Output easting/northing at cm rounding (_rb2: the oracle's exp/ln
+    hyperbolic expansion differs from libm by ulps, far below 0.01)."""
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    lon = (F.col("c_custkey") % 50) / F.lit(10.0) + F.lit(0.5)
+    lat = F.col("c_nationkey") * F.lit(1.5) + F.lit(1.5)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(lon, lat))
+    t = st_transform(g, 32631, from_srid=4326)
+    df = cu.withColumn("_t", t)
+    return df.select(
+        "c_custkey",
+        _rb2(st_x(F.col("_t"))).alias("easting"),
+        _rb2(st_y(F.col("_t"))).alias("northing"),
         st_srid(F.col("_t")).alias("srid"))
 
 
@@ -1619,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4's one red row, fixed this round (binary rounding) ---
         "transform_points": _q_transform_points,
         # --- new in r5 ---
+        "transform_utm": _q_transform_utm,
         "setops_boxes": _q_setops_boxes,
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
@@ -1714,6 +1748,68 @@ def _pii_regexes() -> tuple[str, str]:
     on sys.path before a query/oracle call does."""
     from datafusion_geo_spark.operators.text import EMAIL_RE, PHONE_RE
     return EMAIL_RE, PHONE_RE
+
+
+def _transform_utm_oracle() -> str:
+    """DuckDB twin of _q_transform_utm: the identical Krüger forward
+    chain (geo/proj.py lonlat_to_utm, same constants, same term order),
+    hyperbolics expanded via exp/ln (DuckDB has none), every literal
+    ::DOUBLE-cast, compared at cm rounding (see _rb2)."""
+    from datafusion_geo_spark.geo.proj import (A_TM, ALPHA_TM, K0_UTM,
+                                               TT_TM)
+    D = "0.017453292519943295::DOUBLE"          # DEG2RAD
+    TT = f"{TT_TM!r}::DOUBLE"
+    a1, a2, a3 = (f"{c!r}::DOUBLE" for c in ALPHA_TM)
+    KA = f"({K0_UTM!r}::DOUBLE * {A_TM!r}::DOUBLE)"
+
+    def atanh(x):
+        return (f"(0.5::DOUBLE * ln((1.0::DOUBLE + {x}) "
+                f"/ (1.0::DOUBLE - {x})))")
+
+    def rb2(x):
+        return (f"((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+                f"floor(abs({x}) * 100.0 + 0.5) / 100.0 + 0.0)")
+
+    xi_terms = " + ".join(
+        f"{a} * sin({2 * j} * xip) * ((exp({2 * j} * etap) "
+        f"+ exp(-({2 * j} * etap))) * 0.5::DOUBLE)"
+        for j, a in ((1, a1), (2, a2), (3, a3)))
+    eta_terms = " + ".join(
+        f"{a} * cos({2 * j} * xip) * ((exp({2 * j} * etap) "
+        f"- exp(-({2 * j} * etap))) * 0.5::DOUBLE)"
+        for j, a in ((1, a1), (2, a2), (3, a3)))
+    return f"""
+        WITH p AS (SELECT c_custkey,
+                          (c_custkey % 50) / 10.0::DOUBLE
+                            + 0.5::DOUBLE AS lon,
+                          c_nationkey * 1.5::DOUBLE + 1.5::DOUBLE AS lat
+                   FROM customer),
+        c1 AS (SELECT c_custkey, lon * {D} - 3 * {D} AS lam,
+                      sin(lat * {D}) AS sphi
+               FROM p),
+        c2 AS (SELECT c_custkey, lam,
+                      {atanh('sphi')} - {TT} * {atanh(f'{TT} * sphi')} AS q
+               FROM c1),
+        c3 AS (SELECT c_custkey, lam,
+                      (exp(q) - exp(-q)) * 0.5::DOUBLE AS t
+               FROM c2),
+        c4 AS (SELECT c_custkey, atan2(t, cos(lam)) AS xip,
+                      {atanh('sin(lam) / sqrt(1.0::DOUBLE + t * t)')} AS etap
+               FROM c3),
+        c5 AS (SELECT c_custkey,
+                      xip + {xi_terms} AS xi,
+                      etap + {eta_terms} AS eta
+               FROM c4)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {rb2(f'500000.0::DOUBLE + {KA} * eta')} END
+                 AS easting,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {rb2(f'0.0::DOUBLE + {KA} * xi')} END AS northing,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 32631 END AS srid
+        FROM c5
+    """
 
 
 def _minhash_oracle() -> str:
@@ -2440,6 +2536,8 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 3857 END AS srid
             FROM m
         """,
+        # mirrors _q_transform_utm (see _transform_utm_oracle)
+        "transform_utm": _transform_utm_oracle(),
         # mirrors _q_setops_boxes: axis-aligned overlay is analytic —
         # clamped interval product in INTEGER arithmetic (exact), WKT in
         # the engine's canonical layout (min-vertex start, CCW)

@@ -43,11 +43,81 @@ def mercator_to_lonlat(x: float, y: float) -> tuple:
     return (lon, lat)
 
 
+# ---- UTM (EPSG:326xx north / 327xx south) — closed-form Transverse
+# Mercator, Krüger α/β series to n³ (public formulas; sub-mm inside a
+# standard 6° zone). Constants precomputed once from WGS84
+# f = 1/298.257223563 and hard-coded as shortest-repr literals so a SQL
+# oracle can embed the identical doubles.
+K0_UTM = 0.9996
+FE_UTM = 500000.0
+FN_SOUTH = 10000000.0
+N_TM = 0.0016792203863837047        # n = f / (2 - f)
+A_TM = 6367449.145823415            # rectifying radius a/(1+n)(1+n²/4+n⁴/64)
+TT_TM = 0.08181919084262149         # 2·√n/(1+n)  (= first eccentricity e)
+ALPHA_TM = (0.0008377318188192541, 7.608496958699166e-07,
+            1.2034877875966646e-09)
+BETA_TM = (0.000837732164082144, 5.906110863719917e-08,
+           1.6769911794379754e-10)
+DELTA_TM = (0.003356551448628875, 6.571913193172695e-06,
+            1.76774599620756e-08)
+
+
+def utm_zone(srid: int):
+    """(zone, is_north) for EPSG:32601-32660 / 32701-32760, else None."""
+    if 32601 <= srid <= 32660:
+        return srid - 32600, True
+    if 32701 <= srid <= 32760:
+        return srid - 32700, False
+    return None
+
+
+def lonlat_to_utm(lon: float, lat: float, zone: int,
+                  north: bool) -> tuple:
+    """Forward Transverse Mercator (Krüger series). Operation order is
+    fixed and mirrored term-for-term by the SQL oracle (which expands
+    sinh/cosh/atanh via exp/ln); outputs are compared at 2 dp (cm), far
+    above the few-ulp libm-vs-exp-form divergence."""
+    lam0 = (zone * 6 - 183) * DEG2RAD
+    sphi = math.sin(lat * DEG2RAD)
+    t = math.sinh(math.atanh(sphi) - TT_TM * math.atanh(TT_TM * sphi))
+    lam = lon * DEG2RAD - lam0
+    xi_p = math.atan2(t, math.cos(lam))
+    eta_p = math.atanh(math.sin(lam) / math.sqrt(1.0 + t * t))
+    xi = xi_p
+    eta = eta_p
+    for j, aj in enumerate(ALPHA_TM, start=1):
+        xi = xi + aj * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+        eta = eta + aj * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+    e = FE_UTM + K0_UTM * A_TM * eta
+    nn = (0.0 if north else FN_SOUTH) + K0_UTM * A_TM * xi
+    return (e, nn)
+
+
+def utm_to_lonlat(e: float, nn: float, zone: int, north: bool) -> tuple:
+    """Inverse Transverse Mercator (Krüger β/δ series)."""
+    lam0 = (zone * 6 - 183) * DEG2RAD
+    xi = (nn - (0.0 if north else FN_SOUTH)) / (K0_UTM * A_TM)
+    eta = (e - FE_UTM) / (K0_UTM * A_TM)
+    xi_p = xi
+    eta_p = eta
+    for j, bj in enumerate(BETA_TM, start=1):
+        xi_p = xi_p - bj * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p = eta_p - bj * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    lat = chi
+    for j, dj in enumerate(DELTA_TM, start=1):
+        lat = lat + dj * math.sin(2 * j * chi)
+    lon = lam0 + math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    return (lon * RAD2DEG, lat * RAD2DEG)
+
+
 def transform_geometry(g: Geometry, to_srid: int,
                        from_srid: int = None) -> Geometry:
-    """PostGIS-style ST_Transform for the 4326<->3857 pair. ``from_srid``
-    falls back to the geometry's own SRID; missing both is an error
-    (PostGIS: 'cannot transform geometry with unknown SRID')."""
+    """PostGIS-style ST_Transform for the closed-form pairs this engine
+    carries: 4326 <-> 3857 (spherical web mercator) and 4326 <-> UTM
+    (EPSG:326xx/327xx, Krüger series). ``from_srid`` falls back to the
+    geometry's own SRID; missing both is an error (PostGIS: 'cannot
+    transform geometry with unknown SRID')."""
     src = from_srid if from_srid is not None else g.srid
     if src is None:
         raise ValueError("ST_Transform: source SRID unknown "
@@ -59,8 +129,19 @@ def transform_geometry(g: Geometry, to_srid: int,
         f = lonlat_to_mercator
     elif (src, dst) == (SRID_MERCATOR, SRID_LONLAT):
         f = mercator_to_lonlat
+    elif src == SRID_LONLAT and utm_zone(dst) is not None:
+        zone, north = utm_zone(dst)
+
+        def f(lon, lat):
+            return lonlat_to_utm(lon, lat, zone, north)
+    elif dst == SRID_LONLAT and utm_zone(src) is not None:
+        zone, north = utm_zone(src)
+
+        def f(e, nn):
+            return utm_to_lonlat(e, nn, zone, north)
     else:
         raise ValueError(
             f"ST_Transform: unsupported SRID pair {src} -> {dst} "
-            f"(supported: {SRID_LONLAT} <-> {SRID_MERCATOR})")
+            f"(supported: {SRID_LONLAT} <-> {SRID_MERCATOR}, "
+            f"{SRID_LONLAT} <-> UTM 326xx/327xx)")
     return g.map_coords(lambda c: f(c[0], c[1])).with_srid(dst)
