@@ -1050,11 +1050,13 @@ def dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
 
 def transform_srid(s: pd.Series, to_srid: pd.Series,
                    from_srid: Optional[pd.Series] = None) -> pd.Series:
-    """ST_Transform for the 4326<->3857 pair (geo/proj.py; PostGIS
-    semantics — source SRID from the EWKB header unless from_srid is
-    given). Vectorized numpy fast path for uniform plain-WKB point
-    batches with an explicit constant from_srid; object fallback with
-    decode+result memoization otherwise."""
+    """ST_Transform for the closed-form pairs (geo/proj.py): 4326<->3857
+    and 4326<->UTM 326xx/327xx (Krüger series); PostGIS semantics —
+    source SRID from the EWKB header unless from_srid is given.
+    Vectorized numpy fast path for uniform plain-WKB point batches on
+    the 4326->3857 pair with an explicit constant from_srid; object
+    fallback with decode+result memoization otherwise (UTM pairs take
+    the memoized path)."""
     from ..geo import proj
     tl = to_srid.tolist()
     fl = from_srid.tolist() if from_srid is not None else None
