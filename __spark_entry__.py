@@ -737,6 +737,63 @@ def _q_setops_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_astext(st_difference(ga, gb)).alias("d_wkt"))
 
 
+def _q_relate_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains/Within/Touches/Overlaps + ST_Intersects over the same
+    analytic box sweep as setops_boxes (partial overlap / containment /
+    edge-touch / disjoint all occur). For axis-aligned boxes every
+    predicate reduces to integer interval comparisons — the oracle."""
+    from datafusion_geo_spark.functions import (st_contains, st_intersects,
+                                                st_makeenvelope, st_overlaps,
+                                                st_touches, st_within)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    li = _spread(load_table(spark, sf_dir, "lineitem")
+                 .select("l_orderkey", "l_linenumber", "l_partkey",
+                         "l_suppkey"))
+    x0 = (F.col("l_orderkey") % 500).cast("double")
+    y0 = (F.col("l_partkey") % 500).cast("double")
+    dx = (F.col("l_linenumber") - 3).cast("double")
+    dy = ((F.col("l_suppkey") % 25) - 7).cast("double")
+    a = F.when(F.col("l_orderkey") % 7 != 0,
+               st_makeenvelope(x0, y0, x0 + 10, y0 + 10))
+    b = st_makeenvelope(x0 + dx, y0 + dy, x0 + dx + 8, y0 + dy + 8)
+    df = li.withColumn("_a", a).withColumn("_b", b)
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        st_intersects(F.col("_a"), F.col("_b")).alias("inter"),
+        st_contains(F.col("_a"), F.col("_b")).alias("cont"),
+        st_within(F.col("_b"), F.col("_a")).alias("withn"),
+        st_touches(F.col("_a"), F.col("_b")).alias("touch"),
+        st_overlaps(F.col("_a"), F.col("_b")).alias("ovlp"))
+
+
+def _q_relate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden DE-9IM split cases (covers-vs-contains on boundaries,
+    endpoint kisses, line-through-polygon crossings) — the semantics
+    tests/test_relate.py pins, hash-gated through the driver."""
+    from datafusion_geo_spark.functions import (st_contains, st_crosses,
+                                                st_geomfromtext,
+                                                st_overlaps, st_touches)
+    A = "POLYGON((0 0,2 0,2 2,0 2,0 0))"
+    rows = [
+        (1, A, "POINT(2 1)"),                     # boundary point
+        (2, A, "POINT(1 1)"),                     # interior point
+        (3, A, "LINESTRING(0 0,2 0)"),            # line riding the edge
+        (4, A, "POLYGON((1 1,3 1,3 3,1 3,1 1))"),  # partial overlap
+        (5, "LINESTRING(-1 1,3 1)", A),           # line through polygon
+        (6, "LINESTRING(0 0,10 0)", "LINESTRING(3 -1,5 3)"),   # X
+        (7, "LINESTRING(0 0,10 0)", "LINESTRING(10 0,12 5)"),  # kiss
+        (8, "LINESTRING(0 0,10 0)", "LINESTRING(4 0,12 0)"),   # overlap
+    ]
+    df = spark.createDataFrame(rows, "id int, a string, b string")
+    ga, gb = st_geomfromtext(F.col("a")), st_geomfromtext(F.col("b"))
+    return df.select(
+        "id",
+        st_contains(ga, gb).alias("cont"),
+        st_touches(ga, gb).alias("touch"),
+        st_overlaps(ga, gb).alias("ovlp"),
+        st_crosses(ga, gb).alias("crss"))
+
+
 def _q_collect_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Collect-style aggregate: canonical MULTIPOINT per mktsegment
     from customer points, built entirely JVM-side (collect_list +
@@ -1654,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "transform_utm": _q_transform_utm,
         "setops_boxes": _q_setops_boxes,
+        "relate_boxes": _q_relate_boxes,
+        "relate_literal": _q_relate_literal,
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -2573,6 +2632,52 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN l_orderkey % 7 = 0 THEN NULL
                         ELSE (100 - ai)::DOUBLE END AS d_area
             FROM m
+        """,
+        # mirrors _q_relate_boxes: for axis-aligned boxes every DE-9IM
+        # predicate reduces to integer interval comparisons (A is the
+        # 10x10 box, B the 8x8 box at offset (dx, dy))
+        "relate_boxes": """
+            WITH t AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_linenumber - 3 AS dx, (l_suppkey % 25) - 7 AS dy
+              FROM lineitem),
+            p AS (SELECT l_orderkey, l_linenumber,
+                         greatest(0, dx) AS ix0, least(10, dx + 8) AS ix1,
+                         greatest(0, dy) AS iy0, least(10, dy + 8) AS iy1,
+                         (dx >= 0 AND dx + 8 <= 10
+                          AND dy >= 0 AND dy + 8 <= 10) AS cov_ab,
+                         FALSE AS cov_ba          -- 8x8 never covers 10x10
+                  FROM t),
+            r AS (SELECT l_orderkey, l_linenumber, cov_ab, cov_ba,
+                         (ix1 >= ix0 AND iy1 >= iy0) AS inter,
+                         (ix1 > ix0 AND iy1 > iy0) AS openint
+                  FROM p)
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE inter END AS inter,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE cov_ab END AS cont,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE cov_ab END AS withn,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE (inter AND NOT openint) END AS touch,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE (openint AND NOT cov_ab AND NOT cov_ba)
+                   END AS ovlp
+            FROM r
+        """,
+        # mirrors _q_relate_literal: goldens pinned by tests/test_relate.py
+        "relate_literal": """
+            SELECT * FROM (VALUES
+              (1, FALSE, TRUE,  FALSE, FALSE),
+              (2, TRUE,  FALSE, FALSE, FALSE),
+              (3, FALSE, TRUE,  FALSE, FALSE),
+              (4, FALSE, FALSE, TRUE,  FALSE),
+              (5, FALSE, FALSE, FALSE, TRUE),
+              (6, FALSE, FALSE, FALSE, TRUE),
+              (7, FALSE, TRUE,  FALSE, FALSE),
+              (8, FALSE, FALSE, TRUE,  FALSE)
+            ) AS v(id, cont, touch, ovlp, crss)
         """,
         # mirrors _q_union_agg_regions: the pairwise-overlapping chain
         # [5i, 5i+8]x[0,10] dissolves to one (5(n-1)+8) x 10 rectangle

@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 54 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 59 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, and set-operation
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
@@ -330,6 +330,11 @@ _azimuth = _u2(kernels.st_azimuth, DoubleType())
 _closest_point = _u2(kernels.closest_point, BinaryType())
 _distance = _u2(kernels.distance, DoubleType())
 _dwithin = _u3(kernels.dwithin, BooleanType())
+_contains = _u2(kernels.st_contains, BooleanType())
+_within = _u2(kernels.st_within, BooleanType())
+_touches = _u2(kernels.st_touches, BooleanType())
+_overlaps = _u2(kernels.st_overlaps, BooleanType())
+_crosses = _u2(kernels.st_crosses, BooleanType())
 _intersection = _u2(kernels.geom_intersection, BinaryType())
 _union_pair = _u2(kernels.geom_union, BinaryType())
 _difference = _u2(kernels.geom_difference, BinaryType())
@@ -397,6 +402,37 @@ def st_closestpoint(a: GeomLike, b: GeomLike) -> Column:
     """The point ON a nearest to b — the witness of st_distance
     (PostGIS ST_ClosestPoint; beyond-reference utility)."""
     return _closest_point(_geom(a), _geom(b))
+
+
+def st_contains(a: GeomLike, b: GeomLike) -> Column:
+    """ST_Contains (PostGIS/DE-9IM; beyond-reference): covers + the
+    interiors actually meet — a geometry does not contain its boundary
+    (geo/relate.py)."""
+    return _contains(_geom(a), _geom(b))
+
+
+def st_within(a: GeomLike, b: GeomLike) -> Column:
+    """ST_Within — converse of st_contains (PostGIS; beyond-reference)."""
+    return _within(_geom(a), _geom(b))
+
+
+def st_touches(a: GeomLike, b: GeomLike) -> Column:
+    """ST_Touches: intersect at boundaries only (PostGIS;
+    beyond-reference)."""
+    return _touches(_geom(a), _geom(b))
+
+
+def st_overlaps(a: GeomLike, b: GeomLike) -> Column:
+    """ST_Overlaps: same-dimension partial interior overlap, neither
+    covering the other (PostGIS; beyond-reference)."""
+    return _overlaps(_geom(a), _geom(b))
+
+
+def st_crosses(a: GeomLike, b: GeomLike) -> Column:
+    """ST_Crosses: interiors meet in a lower dimension — lines crossing
+    at points, a line passing through a polygon, a point set split
+    across b (PostGIS; beyond-reference)."""
+    return _crosses(_geom(a), _geom(b))
 
 
 def st_intersection(a: GeomLike, b: GeomLike) -> Column:
@@ -648,6 +684,11 @@ _SQL_UDFS = {
     "ST_ClosestPoint": _closest_point,
     "ST_Distance": _distance,
     "ST_DWithin": _dwithin,
+    "ST_Contains": _contains,
+    "ST_Within": _within,
+    "ST_Touches": _touches,
+    "ST_Overlaps": _overlaps,
+    "ST_Crosses": _crosses,
     "ST_Intersection": _intersection,
     "ST_Union": _union_pair,
     "ST_Difference": _difference,
@@ -699,6 +740,7 @@ __all__ = [
     "st_envelope", "st_lineinterpolatepoint", "st_linelocatepoint",
     "st_geohash", "st_azimuth", "st_closestpoint",
     "st_intersection", "st_union", "st_difference", "st_union_agg",
+    "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -22,7 +22,7 @@ from typing import Callable, Optional
 import numpy as np
 import pandas as pd
 
-from ..geo import algos, overlay, vector
+from ..geo import algos, overlay, relate, vector
 from ..geo.geom import Geometry
 from ..geo.wkb import from_wkb, to_wkb, wkb_srid, point_wkb
 from ..geo.wkt import fmt_num, from_wkt, to_ewkt, to_wkt
@@ -891,6 +891,14 @@ def st_geohash(s: pd.Series, prec: Optional[pd.Series] = None) -> pd.Series:
 st_azimuth = _geom_geom_scalar_kernel(algos.azimuth)     # PostGIS ST_Azimuth
 closest_point = _geom_geom_scalar_kernel(
     lambda a, b: to_wkb(algos.closest_point(a, b)))      # ST_ClosestPoint
+
+# topological predicates beyond the covers family (geo/relate.py;
+# PostGIS ST_Contains/Within/Touches/Overlaps/Crosses)
+st_contains = _geom_geom_scalar_kernel(relate.contains)
+st_within = _geom_geom_scalar_kernel(relate.within)
+st_touches = _geom_geom_scalar_kernel(relate.touches)
+st_overlaps = _geom_geom_scalar_kernel(relate.overlaps)
+st_crosses = _geom_geom_scalar_kernel(relate.crosses)
 
 # set operations (geo/overlay.py boundary-classification overlay;
 # beyond-reference — PostGIS ST_Intersection/ST_Union/ST_Difference)
