@@ -794,6 +794,54 @@ def _q_relate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_crosses(ga, gb).alias("crss"))
 
 
+def _q_geom_edit_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_FlipCoordinates / ST_Scale (exact WKT — integer and .5-decimal
+    fixture coords print identically in both engines) and ST_Rotate
+    (6-dp rounded doubles; same x·cosθ − y·sinθ formula in the oracle)
+    over analytic customer points."""
+    from datafusion_geo_spark.functions import (st_astext,
+                                                st_flipcoordinates,
+                                                st_point, st_rotate,
+                                                st_scale, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    x = (F.col("c_custkey") % 360 - 180).cast("double")
+    y = F.col("c_nationkey") * F.lit(3.0) - F.lit(37.5)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(x, y))
+    rot = st_rotate(g, 0.5)
+    return cu.select(
+        "c_custkey",
+        st_astext(st_flipcoordinates(g)).alias("flip_wkt"),
+        st_astext(st_scale(g, 2.0, 3.0)).alias("scale_wkt"),
+        _rb6(st_x(rot)).alias("rx"),
+        _rb6(st_y(rot)).alias("ry"))
+
+
+def _q_line_edit_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Reverse / ST_Segmentize / ST_LineSubstring / ST_SymDifference
+    goldens (tests/test_edit.py pins the semantics)."""
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_linesubstring,
+                                                st_reverse, st_segmentize,
+                                                st_symdifference)
+    rows = [(1, "LINESTRING(0 0,10 0,10 10)",
+             "POLYGON((0 0,2 0,2 2,0 2,0 0))",
+             "POLYGON((1 1,3 1,3 3,1 3,1 1))"),
+            (2, "LINESTRING(0 0,3 4)",
+             "POLYGON((0 0,4 0,4 4,0 4,0 0))",
+             "POLYGON((1 1,3 1,3 3,1 3,1 1))")]
+    df = spark.createDataFrame(rows, "id int, line string, a string, b string")
+    ln = st_geomfromtext(F.col("line"))
+    ga, gb = st_geomfromtext(F.col("a")), st_geomfromtext(F.col("b"))
+    return df.select(
+        "id",
+        st_astext(st_reverse(ln)).alias("rev_wkt"),
+        st_astext(st_segmentize(ln, 4.0)).alias("seg_wkt"),
+        st_astext(st_linesubstring(ln, 0.25, 0.75)).alias("sub_wkt"),
+        st_astext(st_symdifference(ga, gb)).alias("sd_wkt"))
+
+
 def _q_collect_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Collect-style aggregate: canonical MULTIPOINT per mktsegment
     from customer points, built entirely JVM-side (collect_list +
@@ -1713,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_boxes": _q_setops_boxes,
         "relate_boxes": _q_relate_boxes,
         "relate_literal": _q_relate_literal,
+        "geom_edit_points": _q_geom_edit_points,
+        "line_edit_literal": _q_line_edit_literal,
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -2678,6 +2728,57 @@ def oracle_sql() -> dict[str, str]:
               (7, FALSE, TRUE,  FALSE, FALSE),
               (8, FALSE, FALSE, TRUE,  FALSE)
             ) AS v(id, cont, touch, ovlp, crss)
+        """,
+        # mirrors _q_geom_edit_points: flip/scale are exact fixture
+        # arithmetic (ints and .5-decimals print identically in both
+        # engines); rotate mirrors x·cosθ − y·sinθ with ::DOUBLE casts
+        "geom_edit_points": """
+            WITH p AS (SELECT c_custkey, c_nationkey,
+                              (c_custkey % 360 - 180)::DOUBLE AS x,
+                              c_nationkey * 3.0::DOUBLE - 37.5::DOUBLE AS y
+                       FROM customer)
+            SELECT c_custkey,
+                   -- string columns built from INT/DECIMAL arithmetic:
+                   -- values are exact (ints / .5-decimals) and print
+                   -- without the trailing '.0' a DOUBLE cast would add
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE 'POINT('
+                             || CAST(c_nationkey * 3 - 37.5 AS VARCHAR)
+                             || ' '
+                             || CAST(c_custkey % 360 - 180 AS VARCHAR)
+                             || ')' END AS flip_wkt,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE 'POINT('
+                             || CAST((c_custkey % 360 - 180) * 2 AS VARCHAR)
+                             || ' '
+                             || CAST(c_nationkey * 9 - 112.5 AS VARCHAR)
+                             || ')' END AS scale_wkt,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE ((CASE WHEN (x * cos(0.5::DOUBLE)
+                                - y * sin(0.5::DOUBLE)) < 0 THEN -1 ELSE 1
+                          END) * floor(abs(x * cos(0.5::DOUBLE)
+                                - y * sin(0.5::DOUBLE)) * 1000000.0 + 0.5)
+                          / 1000000.0 + 0.0) END AS rx,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE ((CASE WHEN (x * sin(0.5::DOUBLE)
+                                + y * cos(0.5::DOUBLE)) < 0 THEN -1 ELSE 1
+                          END) * floor(abs(x * sin(0.5::DOUBLE)
+                                + y * cos(0.5::DOUBLE)) * 1000000.0 + 0.5)
+                          / 1000000.0 + 0.0) END AS ry
+            FROM p
+        """,
+        # mirrors _q_line_edit_literal: goldens pinned by tests/test_edit.py
+        "line_edit_literal": """
+            SELECT * FROM (VALUES
+              (1, 'LINESTRING(10 10,10 0,0 0)',
+                  'LINESTRING(0 0,3.333333333333333 0,6.666666666666666 0,10 0,10 3.333333333333333,10 6.666666666666666,10 10)',
+                  'LINESTRING(5 0,10 0,10 5)',
+                  'MULTIPOLYGON(((0 0,2 0,2 1,1 1,1 2,0 2,0 0)),((1 2,2 2,2 1,3 1,3 3,1 3,1 2)))'),
+              (2, 'LINESTRING(3 4,0 0)',
+                  'LINESTRING(0 0,1.5 2,3 4)',
+                  'LINESTRING(0.75 1,2.25 3)',
+                  'POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,1 3,3 3,3 1,1 1))')
+            ) AS v(id, rev_wkt, seg_wkt, sub_wkt, sd_wkt)
         """,
         # mirrors _q_union_agg_regions: the pairwise-overlapping chain
         # [5i, 5i+8]x[0,10] dissolves to one (5(n-1)+8) x 10 rectangle

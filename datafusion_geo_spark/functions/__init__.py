@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 59 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 67 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, and set-operation
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
@@ -339,6 +339,14 @@ _intersection = _u2(kernels.geom_intersection, BinaryType())
 _union_pair = _u2(kernels.geom_union, BinaryType())
 _difference = _u2(kernels.geom_difference, BinaryType())
 _union_fold = _u1(kernels.st_union_all, BinaryType())
+_symdifference = _u2(kernels.geom_symdifference, BinaryType())
+_reverse = _u1(kernels.st_reverse, BinaryType())
+_flip = _u1(kernels.st_flip_coordinates, BinaryType())
+_rotate = _u_variadic(kernels.st_rotate, BinaryType(), "st_rotate")
+_scale = _u3(kernels.st_scale2, BinaryType())
+_segmentize = _u2(kernels.st_segmentize, BinaryType())
+_line_substring = _u3(kernels.st_line_substring, BinaryType())
+_reduce_precision = _u2(kernels.st_reduce_precision, BinaryType())
 
 
 def st_length(g: GeomLike) -> Column:
@@ -464,6 +472,60 @@ def st_union_agg(g: Column) -> Column:
     vectorized fold per GROUP dissolves it (kernels.st_union_all). Use
     inside groupBy().agg(...); group sizes bound the fold cost."""
     return _union_fold(F.collect_list(g))
+
+
+def st_symdifference(a: GeomLike, b: GeomLike) -> Column:
+    """ST_SymDifference — points in exactly one operand (PostGIS;
+    beyond-reference). Areal pairs are a single overlay pass
+    (geo/overlay.py symdifference)."""
+    return _symdifference(_geom(a), _geom(b))
+
+
+def st_reverse(g: GeomLike) -> Column:
+    """ST_Reverse: vertex order flipped (PostGIS; beyond-reference)."""
+    return _reverse(_geom(g))
+
+
+def st_flipcoordinates(g: GeomLike) -> Column:
+    """ST_FlipCoordinates: (x, y) -> (y, x) (PostGIS;
+    beyond-reference)."""
+    return _flip(_geom(g))
+
+
+def st_rotate(g: GeomLike, angle, x0=None, y0=None) -> Column:
+    """ST_Rotate: CCW radians about (x0, y0), origin by default
+    (PostGIS; beyond-reference)."""
+    if x0 is None:
+        return _rotate(_geom(g), _num(angle, "double"))
+    return _rotate(_geom(g), _num(angle, "double"),
+                   _num(x0, "double"), _num(y0 if y0 is not None else 0.0,
+                                            "double"))
+
+
+def st_scale(g: GeomLike, sx, sy) -> Column:
+    """ST_Scale about the origin (PostGIS; beyond-reference)."""
+    return _scale(_geom(g), _num(sx, "double"), _num(sy, "double"))
+
+
+def st_segmentize(g: GeomLike, max_len) -> Column:
+    """ST_Segmentize: no segment longer than max_len, minimal equal
+    splits per segment (PostGIS/GEOS; beyond-reference)."""
+    return _segmentize(_geom(g), _num(max_len, "double"))
+
+
+def st_linesubstring(g: GeomLike, start, end) -> Column:
+    """ST_LineSubstring: the fractional arc-length window [start, end]
+    of a LINESTRING; start == end yields the interpolated point
+    (PostGIS; beyond-reference)."""
+    return _line_substring(_geom(g), _num(start, "double"),
+                           _num(end, "double"))
+
+
+def st_reduceprecision(g: GeomLike, gridsize) -> Column:
+    """Grid-snap coordinates to multiples of gridsize (PostGIS
+    ST_ReducePrecision minus the GEOS validity repair — documented;
+    beyond-reference)."""
+    return _reduce_precision(_geom(g), _num(gridsize, "double"))
 
 
 def st_linelocatepoint(g: GeomLike, p: GeomLike) -> Column:
@@ -693,6 +755,14 @@ _SQL_UDFS = {
     "ST_Union": _union_pair,
     "ST_Difference": _difference,
     "ST_UnionFromArray": _union_fold,
+    "ST_SymDifference": _symdifference,
+    "ST_Reverse": _reverse,
+    "ST_FlipCoordinates": _flip,
+    "ST_Rotate": _rotate,
+    "ST_Scale": _scale,
+    "ST_Segmentize": _segmentize,
+    "ST_LineSubstring": _line_substring,
+    "ST_ReducePrecision": _reduce_precision,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -741,6 +811,8 @@ __all__ = [
     "st_geohash", "st_azimuth", "st_closestpoint",
     "st_intersection", "st_union", "st_difference", "st_union_agg",
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
+    "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
+    "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

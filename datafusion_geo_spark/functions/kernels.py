@@ -22,7 +22,7 @@ from typing import Callable, Optional
 import numpy as np
 import pandas as pd
 
-from ..geo import algos, overlay, relate, vector
+from ..geo import algos, edit, overlay, relate, vector
 from ..geo.geom import Geometry
 from ..geo.wkb import from_wkb, to_wkb, wkb_srid, point_wkb
 from ..geo.wkt import fmt_num, from_wkt, to_ewkt, to_wkt
@@ -858,6 +858,36 @@ def _geom_num_kernel(fn):
     return k
 
 
+def _geom_num_num_kernel(fn):
+    """Factory for (wkb, numeric, numeric) -> wkb/scalar kernels —
+    the 2-parameter twin of _geom_num_kernel (scale / line-substring
+    family)."""
+    def k(s: pd.Series, n1: pd.Series, n2: pd.Series) -> pd.Series:
+        cache = _DecodeCache()
+        out = []
+        sl, l1, l2 = s.tolist(), n1.tolist(), n2.tolist()
+        memo: dict = {}
+        for i in range(len(sl)):
+            v, x, y = sl[i], _num(l1[i]), _num(l2[i])
+            if v is None or x is None or y is None:
+                out.append(None)
+                continue
+            v = bytes(v)
+            x, y = float(x), float(y)   # SQL DECIMAL literals
+            key = (v, x, y)
+            if key not in memo:
+                memo[key] = fn(cache.geom(v), x, y)
+            out.append(memo[key])
+        return _obj_series(out)
+    return k
+
+
+def to_wkb_opt(g):
+    """to_wkb that passes None through (kernels whose algorithm can
+    itself return NULL, e.g. line_substring on a non-line)."""
+    return None if g is None else to_wkb(g)
+
+
 def _geom_geom_scalar_kernel(fn):
     """Factory for (wkb, wkb) -> scalar kernels with pair memoization
     (azimuth / line-locate family)."""
@@ -934,6 +964,49 @@ line_interpolate_point = _geom_num_kernel(
 # ST_Simplify (PostGIS Douglas-Peucker, non-topology-preserving)
 simplify = _geom_num_kernel(
     lambda g, t: to_wkb(algos.simplify(g, float(t))))
+
+# editing utilities (geo/edit.py; PostGIS parity, beyond-reference)
+st_reverse = _unary_geom(edit.reverse)
+st_flip_coordinates = _unary_geom(edit.flip_coordinates)
+st_scale2 = _geom_num_num_kernel(
+    lambda g, sx, sy: to_wkb(edit.scale(g, sx, sy)))
+st_segmentize = _geom_num_kernel(
+    lambda g, m: to_wkb(edit.segmentize(g, float(m))))
+st_line_substring = _geom_num_num_kernel(
+    lambda g, s_, e_: to_wkb_opt(edit.line_substring(g, s_, e_)))
+st_reduce_precision = _geom_num_kernel(
+    lambda g, gs: to_wkb(edit.reduce_precision(g, float(gs))))
+geom_symdifference = _geom_geom_scalar_kernel(
+    lambda a, b: to_wkb(overlay.symdifference(a, b)))
+
+
+def st_rotate(s: pd.Series, angle: pd.Series,
+              x0: Optional[pd.Series] = None,
+              y0: Optional[pd.Series] = None) -> pd.Series:
+    """ST_Rotate(geom, radians[, x0, y0]) — CCW about (x0, y0), origin
+    by default (PostGIS)."""
+    if x0 is None:
+        x0 = pd.Series([0.0] * len(s))
+    if y0 is None:
+        y0 = pd.Series([0.0] * len(s))
+    cache = _DecodeCache()
+    out = []
+    al, an, xl, yl = s.tolist(), angle.tolist(), x0.tolist(), y0.tolist()
+    memo: dict = {}
+    for i in range(len(al)):
+        v = al[i]
+        ang, ox, oy = _num(an[i]), _num(xl[i]), _num(yl[i])
+        if v is None or ang is None or ox is None or oy is None:
+            out.append(None)
+            continue
+        # SQL DECIMAL literals reach pandas as decimal.Decimal
+        ang, ox, oy = float(ang), float(ox), float(oy)
+        key = (bytes(v), ang, ox, oy)
+        if key not in memo:
+            memo[key] = to_wkb(edit.rotate(cache.geom(bytes(v)),
+                                           ang, ox, oy))
+        out.append(memo[key])
+    return _obj_series(out)
 def _dist_points_to_const(pb: "vector.PointBatch", g) -> np.ndarray:
     """Vectorized distance from a point batch to one constant geometry:
     numpy point-to-segment over the constant's few edges, then zero out

@@ -237,6 +237,15 @@ def _overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
         elif op == "union":
             if cls == -1 or (cls == 0 and _same_dir_on(p, q, sb)):
                 edges.append((p, q))
+        elif op == "symdifference":
+            # left in exactly one: OUT pieces bound A-only on the left;
+            # IN pieces reversed bound B-only on the left; ON pieces
+            # drop either way (same-dir: in both / opposite: in neither
+            # is a boundary of the symmetric difference)
+            if cls == -1:
+                edges.append((p, q))
+            elif cls == 1:
+                edges.append((q, p))
         else:  # difference a - b
             if cls == -1 or (cls == 0 and _same_dir_on(p, q, sb) is False):
                 edges.append((p, q))
@@ -248,6 +257,11 @@ def _overlay(a: Geometry, b: Geometry, op: str) -> Geometry:
         elif op == "union":
             if cls == -1 or (cls == 0 and _same_dir_on(p, q, sa)):
                 edges.append((p, q))
+        elif op == "symdifference":
+            if cls == -1:
+                edges.append((p, q))
+            elif cls == 1:
+                edges.append((q, p))
         else:  # difference: ∂B inside A bounds the removed region
             if cls == 1:
                 edges.append((q, p))
@@ -451,6 +465,38 @@ def union(a: Geometry, b: Geometry) -> Geometry:
     rest = difference(a, b)
     mem = ([] if _dim(rest) == -1 else _line_members(rest)) + _line_members(b)
     return _lines_to_geom(mem, a.srid)
+
+
+def symdifference(a: Geometry, b: Geometry) -> Geometry:
+    """ST_SymDifference — points in exactly one operand. Areal × areal
+    is a direct overlay rule (NOT union∘difference — one pass); equal
+    dimensions otherwise compose the two differences; mixed dimensions
+    return the collection PostGIS does ((a−b) with b, the lower part
+    clipped)."""
+    da, db = _dim(a), _dim(b)
+    if da == -1:
+        return b
+    if db == -1:
+        return a
+    if da == db == 2:
+        return _overlay(a, b, "symdifference")
+    if da == db == 0:
+        ap, bp = _point_members(a), _point_members(b)
+
+        def key(p):
+            return _node_key(p)
+        bk = {key(p) for p in bp}
+        ak = {key(p) for p in ap}
+        pts = [p for p in ap if key(p) not in bk] + \
+              [p for p in bp if key(p) not in ak]
+        return _points_to_geom(pts, a.srid)
+    if da == db == 1:
+        ra, rb = difference(a, b), difference(b, a)
+        mem = ([] if _dim(ra) == -1 else _line_members(ra)) + \
+              ([] if _dim(rb) == -1 else _line_members(rb))
+        return _lines_to_geom(mem, a.srid)
+    return union(a, b)   # mixed dims: measure-zero overlap — PostGIS
+                         # returns the same collection shape as union
 
 
 def union_all(geoms: Sequence[Geometry]) -> Optional[Geometry]:
