@@ -1607,6 +1607,22 @@ def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH pairs → components →
+    KEEP-ONE canonical selection over the whole corpus (operators.dedup.
+    keep_canonical) — the query a pipeline runs to materialize the
+    cleaned corpus. Oracle replays the recursive-CTE components and the
+    same left join."""
+    from datafusion_geo_spark.operators.dedup import (connected_components,
+                                                      keep_canonical,
+                                                      lsh_pairs,
+                                                      minhash_signature,
+                                                      with_perturbed_copies)
+    corpus = with_perturbed_copies(_docs(spark, sf_dir))
+    comps = connected_components(lsh_pairs(minhash_signature(corpus)))
+    return keep_canonical(corpus, comps)
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators.dedup.chunk_documents): docs
     split into 64-token windows with 16-token overlap, sliced before the
@@ -1763,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relate_literal": _q_relate_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
+        "dedup_keep_one": _q_dedup_keep_one,
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -2951,6 +2968,29 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle(),
         # recursive min-label reachability over the SAME pair SQL: in an
         # undirected graph, MIN(reachable id) == component id
+        # mirrors _q_dedup_keep_one: the neardup_components recursive CTE
+        # plus the keep-one left join over the full perturbed corpus
+        "dedup_keep_one": f"""
+            WITH RECURSIVE corpus AS ({_CORPUS.format(where="")}),
+            pairs AS (
+              SELECT id_a, id_b FROM ({_minhash_oracle()}) t),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL
+                      SELECT id_b AS src, id_a AS dst FROM pairs),
+            verts AS (SELECT DISTINCT src AS v FROM edges),
+            reach AS (
+              SELECT v, v AS label FROM verts
+              UNION
+              SELECT e.dst AS v, r.label
+              FROM reach r JOIN edges e ON e.src = r.v
+            ),
+            comp AS (SELECT v AS doc_id, MIN(label)::BIGINT AS component
+                     FROM reach GROUP BY v)
+            SELECT c.doc_id, comp.component,
+                   (comp.component IS NULL OR comp.component = c.doc_id)
+                       AS is_kept
+            FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+        """,
         "neardup_components": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_minhash_oracle()}) t),

@@ -443,6 +443,27 @@ def passage_dedup_stats(df: DataFrame, window: int = 100, stride: int = 50,
         (ratio <= F.lit(max_dup_ratio)).alias("keep"))
 
 
+def keep_canonical(corpus: DataFrame, components: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The KEEP-ONE step that materializes a deduplicated corpus from
+    near-dup components: every corpus row gets (id_col, component,
+    is_kept) where the kept document of each component is its canonical
+    (minimum-id) member — which IS the component label from
+    :func:`connected_components` — and documents in no component are
+    trivially kept.
+
+    Scale shape: one broadcast-or-shuffle left equi-join on the id (the
+    components side holds only docs that HAVE a near-dup, typically a
+    small fraction of the corpus) — this is the join a production
+    pipeline runs to write the cleaned corpus."""
+    comp = components.select(F.col(id_col), F.col("component"))
+    return (corpus.select(id_col).join(comp, id_col, "left")
+            .select(F.col(id_col), F.col("component"),
+                    (F.col("component").isNull()
+                     | (F.col("component") == F.col(id_col)))
+                    .alias("is_kept")))
+
+
 def with_perturbed_copies(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           offset: int = 1_000_000) -> DataFrame:
