@@ -1623,6 +1623,24 @@ def _q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_canonical(corpus, comps)
 
 
+def _q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/enrich.py): events
+    stream ⋈ broadcast customer dim → per-(segment, event_type) totals.
+    Complete-mode bounded replay ≡ the oracle's batch join+GROUP BY."""
+    from datafusion_geo_spark.streaming.enrich import \
+        streaming_enriched_totals
+    return streaming_enriched_totals(spark, sf_dir)
+
+
+def _q_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (operators.sessions.gap_sessions): the
+    two-window lag/cumsum shape sharing ONE user_id shuffle — the batch
+    twin of streaming_sessions, replayable in ANSI window SQL."""
+    from datafusion_geo_spark.operators.sessions import gap_sessions
+    from datafusion_geo_spark.sources.fixtures import load_events
+    return gap_sessions(load_events(spark, sf_dir))
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators.dedup.chunk_documents): docs
     split into 64-token windows with 16-token overlap, sliced before the
@@ -1780,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
+        "streaming_enrich": _q_streaming_enrich,
+        "batch_sessions": _q_batch_sessions,
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -3170,6 +3190,43 @@ def oracle_sql() -> dict[str, str]:
             FROM events, wm
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
             GROUP BY 1, 2
+        """,
+        # mirrors _q_streaming_enrich: batch twin of the stream-static
+        # broadcast join + grouped totals
+        "streaming_enrich": """
+            SELECT c.c_mktsegment, e.event_type,
+                   COUNT(*)::BIGINT AS n_events,
+                   SUM(CAST(ROUND(e.value * 100) AS BIGINT))::BIGINT
+                       AS sum_cents
+            FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+            WHERE e.ts IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        # mirrors _q_batch_sessions (operators.sessions.gap_sessions):
+        # same (ts, event_id) ordering, strict 30-minute gap, session
+        # index starting at 1 (lag NULL opens a session)
+        "batch_sessions": """
+            WITH d AS (
+                SELECT user_id, event_id, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, cents,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, sid::INT AS session_idx,
+                   epoch_us(MIN(ts)) AS start_us,
+                   epoch_us(MAX(ts)) AS end_us,
+                   COUNT(*)::BIGINT AS n_events,
+                   SUM(cents)::BIGINT AS sum_cents
+            FROM s GROUP BY user_id, sid
         """,
         "streaming_sessions": """
             WITH d AS (

@@ -133,6 +133,42 @@ def test_area_identities_convex(pa, pb):
         assert covers(ga, gi) and covers(gb, gi)
 
 
+holed = st.tuples(st.integers(-10, 10), st.integers(-10, 10),
+                  st.integers(4, 12),     # outer size
+                  st.integers(1, 3),      # hole inset
+                  st.integers(1, 3))      # hole size
+
+
+def _holed_box(x0, y0, w, i, hw):
+    hw = min(hw, w - 2 * i - 1)
+    if hw < 1:
+        hw = 1
+    hx, hy = x0 + i, y0 + i
+    return from_wkt(
+        f"POLYGON(({x0} {y0},{x0 + w} {y0},{x0 + w} {y0 + w},"
+        f"{x0} {y0 + w},{x0} {y0}),"
+        f"({hx} {hy},{hx + hw} {hy},{hx + hw} {hy + hw},"
+        f"{hx} {hy + hw},{hx} {hy}))")
+
+
+@settings(max_examples=80, deadline=None)
+@given(holed, boxes)
+def test_area_identities_holed_operand(ha, bb):
+    """The inclusion–exclusion identities with a HOLED left operand —
+    exercises hole-ring boundary pieces and hole-assignment in the
+    face trace."""
+    a, b = _holed_box(*ha), _box(*bb)
+    ai, au, ad = (area(intersection(a, b)), area(union(a, b)),
+                  area(difference(a, b)))
+    assert ai + ad == pytest.approx(area(a), abs=1e-6)
+    assert au == pytest.approx(area(a) + area(b) - ai, abs=1e-6)
+    assert area(intersection(b, a)) == pytest.approx(ai, abs=1e-6)
+    assert area(union(b, a)) == pytest.approx(au, abs=1e-6)
+    gi = intersection(a, b)
+    if gi.typ in ("Polygon", "MultiPolygon") and gi.parts:
+        assert covers(a, gi) and covers(b, gi)
+
+
 def test_spark_surface(spark):
     from datafusion_geo_spark.functions import (register_all, st_astext,
                                                 st_difference,
