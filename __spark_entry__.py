@@ -1641,6 +1641,23 @@ def _q_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_sessions(load_events(spark, sf_dir))
 
 
+def _q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EXACT interpolated quantiles (p50/p90/p99) of the
+    value column — Spark's sort-based ``percentile`` matches DuckDB's
+    ``quantile_cont`` definition, so the twin is exact. At the 100-TB
+    design point swap in ``percentile_approx`` (t-digest sketch,
+    mergeable partial aggregate) — exact percentile is the correctness
+    anchor, the sketch is the scale path."""
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    q = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _rb6(q[0]).alias("p50"),
+                 _rb6(q[1]).alias("p90"),
+                 _rb6(q[2]).alias("p99")))
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators.dedup.chunk_documents): docs
     split into 64-token windows with 16-token overlap, sliced before the
@@ -1800,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_one": _q_dedup_keep_one,
         "streaming_enrich": _q_streaming_enrich,
         "batch_sessions": _q_batch_sessions,
+        "value_quantiles": _q_value_quantiles,
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -3201,6 +3219,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
             WHERE e.ts IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # mirrors _q_value_quantiles: quantile_cont == Spark's exact
+        # interpolated percentile definition
+        "value_quantiles": """
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   ((CASE WHEN (quantile_cont(value, 0.5)) < 0 THEN -1 ELSE 1 END) * floor(abs(quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS p50,
+                   ((CASE WHEN (quantile_cont(value, 0.9)) < 0 THEN -1 ELSE 1 END) * floor(abs(quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS p90,
+                   ((CASE WHEN (quantile_cont(value, 0.99)) < 0 THEN -1 ELSE 1 END) * floor(abs(quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS p99
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
         """,
         # mirrors _q_batch_sessions (operators.sessions.gap_sessions):
         # same (ts, event_id) ordering, strict 30-minute gap, session
