@@ -683,6 +683,29 @@ def _q_setops_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_area"))
 
 
+def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN (PostGIS ST_ClusterDBSCAN semantics) over an
+    analytic point layout: 25 lattice blobs keyed by nationkey (7x11
+    cells, spacing 1, well separated) plus far-scattered %13 singleton
+    noise. eps=2, min_pts=4; cluster id = min custkey reachable through
+    the core graph (deterministic, unlike PostGIS's window numbering),
+    border points adopt their min core-neighbor cluster, noise is NULL.
+    Oracle: the identical relation computed by a recursive-CTE min-label
+    closure in DuckDB."""
+    from datafusion_geo_spark.operators.cluster import dbscan_points
+    from datafusion_geo_spark.sources.fixtures import load_table
+    c = load_table(spark, sf_dir, "customer")
+    ck, nk = F.col("c_custkey"), F.col("c_nationkey")
+    scattered = ck % 13 == 0
+    x = F.when(scattered, 2000.0 + ck * 3) \
+         .otherwise((nk % 5) * 50 + ck % 7).cast("double")
+    y = F.when(scattered, -((ck * 7) % 997).cast("double")) \
+         .otherwise((F.floor(nk / 5) * 50 + ck % 11).cast("double"))
+    pts = c.select(ck.alias("id"), x.alias("x"), y.alias("y"))
+    out = dbscan_points(pts, eps=2.0, min_pts=4)
+    return out.select(F.col("id").alias("c_custkey"), "is_core", "cluster")
+
+
 def _q_union_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Union AGGREGATE: each nation contributes a box in a pairwise-
     overlapping horizontal chain per region ([5i, 5i+8] × [0, 10]); the
@@ -1820,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": _q_value_quantiles,
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
+        "dbscan_clusters": _q_dbscan_clusters,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -2841,6 +2865,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
                    ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
             FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_dbscan_clusters: same point layout; DBSCAN recomputed
+        # relationally — pairs (incl. self) by quadratic predicate, core
+        # by HAVING count >= 4, components by a recursive-CTE reachability
+        # closure min-label, border adopts min core-neighbor cluster
+        "dbscan_clusters": """
+            WITH RECURSIVE pts AS (
+              SELECT c_custkey AS id,
+                     CASE WHEN c_custkey % 13 = 0
+                          THEN 2000.0 + c_custkey * 3
+                          ELSE ((c_nationkey % 5) * 50
+                                + c_custkey % 7)::DOUBLE END AS x,
+                     CASE WHEN c_custkey % 13 = 0
+                          THEN -((c_custkey * 7) % 997)::DOUBLE
+                          ELSE ((c_nationkey // 5) * 50
+                                + c_custkey % 11)::DOUBLE END AS y
+              FROM customer
+            ), pairs AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM pts a JOIN pts b
+                ON (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 4.0
+            ), core AS (
+              SELECT ia AS id FROM pairs GROUP BY ia HAVING COUNT(*) >= 4
+            ), core_edges AS (
+              SELECT p.ia, p.ib FROM pairs p
+              JOIN core ca ON ca.id = p.ia
+              JOIN core cb ON cb.id = p.ib
+            ), r(id, v) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT r.id, e.ib FROM r JOIN core_edges e ON e.ia = r.v
+            ), comp AS (
+              SELECT id, MIN(v) AS cluster FROM r GROUP BY id
+            ), border AS (
+              SELECT p.ia AS id, MIN(comp.cluster) AS cluster
+              FROM pairs p
+              JOIN core cb ON cb.id = p.ib
+              JOIN comp ON comp.id = p.ib
+              WHERE p.ia NOT IN (SELECT id FROM core)
+              GROUP BY p.ia
+            )
+            SELECT c.c_custkey,
+                   (comp.id IS NOT NULL) AS is_core,
+                   COALESCE(comp.cluster, border.cluster) AS cluster
+            FROM customer c
+            LEFT JOIN comp ON comp.id = c.c_custkey
+            LEFT JOIN border ON border.id = c.c_custkey
         """,
         # mirrors _q_setops_literal: golden strings pinned by
         # tests/test_setops.py (PostGIS-parity semantics; documented

@@ -1,0 +1,138 @@
+"""Density-based spatial clustering (PostGIS ``ST_ClusterDBSCAN``).
+
+PostGIS exposes DBSCAN as a window function over an entire partition —
+inherently single-node. This module re-expresses it as a distributed
+composition of existing scale-safe pieces:
+
+1. eps-neighbor pairs via grid-cell blocking (each point lands in ONE
+   cell of width eps; one side explodes to its 3x3 cell neighborhood;
+   the join is a shuffle equi-join on the cell key, never a cross
+   product) — same shape as ``spatial_join.dwithin_join``;
+2. core points by a neighbor-count aggregate (standard DBSCAN counts
+   the point itself in its eps-neighborhood);
+3. cluster ids by min-label connected components over the core-core
+   edge graph (``dedup.connected_components``, the GraphX-style
+   iterative join);
+4. border points adopt the smallest cluster id among their core
+   neighbors (PostGIS assigns border points to *an* adjacent cluster;
+   taking the min makes the labeling deterministic and so
+   oracle-checkable);
+5. everything else is noise: ``cluster`` is NULL, as in PostGIS.
+
+At 100 TB the dominant cost is the pair join, whose per-cell work is
+quadratic in cell population. DBSCAN's own parameters bound that: a use
+case with eps chosen so that millions of points share one eps-cell has
+degenerate clustering anyway (everything is one cluster). For heavy
+duplicate-coordinate skew, pre-aggregate identical (x, y) into weighted
+points before calling this (multiplicity only matters through the
+neighbor COUNT, which becomes a SUM of weights).
+
+No reference counterpart: /root/reference/src has no clustering kernel;
+semantics follow PostGIS ST_ClusterDBSCAN (minpoints as the core
+threshold, border adoption, NULL for noise).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import connected_components
+
+__all__ = ["dbscan_points", "eps_neighbor_pairs"]
+
+
+def eps_neighbor_pairs(df: DataFrame, eps: float, id_col: str = "id",
+                       x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """All ordered pairs (ia, ib) with euclidean distance <= eps,
+    INCLUDING the self-pair (ia == ib, distance 0) — the raw
+    eps-neighborhood relation N_eps.
+
+    Each point belongs to exactly one eps-width grid cell; the left
+    side explodes to the 9 surrounding cells, so any pair within eps
+    (which must lie in adjacent cells) is generated exactly once — no
+    distinct() pass. Everything is JVM-side integer/double arithmetic;
+    one shuffle on the compact (cx, cy) key.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps_neighbor_pairs: eps must be > 0, got {eps}")
+    pts = df.select(F.col(id_col).alias("_pid"),
+                    F.col(x_col).cast("double").alias("_px"),
+                    F.col(y_col).cast("double").alias("_py"))
+    cx = F.floor(F.col("_px") / eps)
+    cy = F.floor(F.col("_py") / eps)
+    three = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    left = (pts.select("*", cx.alias("_cx0"), cy.alias("_cy0"))
+            .select("*", F.explode(three).alias("_dx"))
+            .select("*", F.explode(three).alias("_dy"))
+            .select(F.col("_pid").alias("ia"),
+                    F.col("_px").alias("_ax"), F.col("_py").alias("_ay"),
+                    (F.col("_cx0") + F.col("_dx")).alias("_cx"),
+                    (F.col("_cy0") + F.col("_dy")).alias("_cy")))
+    right = pts.select(F.col("_pid").alias("ib"),
+                       F.col("_px").alias("_bx"), F.col("_py").alias("_by"),
+                       cx.alias("_cx"), cy.alias("_cy"))
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    return (left.join(right, ["_cx", "_cy"])
+            .where(dx * dx + dy * dy <= F.lit(float(eps) * float(eps)))
+            .select("ia", "ib"))
+
+
+def dbscan_points(df: DataFrame, eps: float, min_pts: int,
+                  id_col: str = "id", x_col: str = "x",
+                  y_col: str = "y") -> DataFrame:
+    """Distributed DBSCAN over a point table. Returns one row per input
+    point: (id_col, is_core boolean, cluster bigint-or-null).
+
+    ``cluster`` is the MINIMUM point id reachable through the core
+    graph (deterministic labeling; PostGIS numbers clusters 0..N-1 in
+    window order instead, an ordering a distributed engine should not
+    promise). Border points take the min cluster among their core
+    neighbors; noise points get NULL.
+    """
+    if min_pts < 1:
+        raise ValueError(f"dbscan_points: min_pts must be >= 1, got {min_pts}")
+    ids = df.select(F.col(id_col).alias("_pid")).persist()
+    pairs = eps_neighbor_pairs(df, eps, id_col, x_col, y_col).persist()
+    try:
+        core = (pairs.groupBy("ia").agg(F.count("*").alias("_deg"))
+                .where(F.col("_deg") >= min_pts)
+                .select(F.col("ia").alias("_core_id"))).persist()
+        core_edges = (pairs
+                      .join(core.withColumnRenamed("_core_id", "ia"), "ia")
+                      .join(core.withColumnRenamed("_core_id", "ib"), "ib"))
+        # components gives every core vertex a label (self-pairs ensure
+        # isolated-but-dense vertices, e.g. min_pts duplicates at one
+        # coordinate, still appear as their own edge).
+        comp = connected_components(core_edges, "ia", "ib", max_iter=64)
+        core_lab = comp.select(F.col("doc_id").alias(id_col),
+                               F.lit(True).alias("is_core"),
+                               F.col("component").alias("cluster"))
+        # border: non-core points adopting min cluster over core nbrs
+        border = (pairs
+                  .join(core.withColumnRenamed("_core_id", "ib"), "ib")
+                  .join(core.withColumnRenamed("_core_id", "ia"), "ia",
+                        "left_anti")
+                  .join(comp.select(F.col("doc_id").alias("ib"),
+                                    F.col("component")), "ib")
+                  .groupBy("ia")
+                  .agg(F.min("component").alias("cluster"))
+                  .select(F.col("ia").alias(id_col),
+                          F.lit(False).alias("is_core"), "cluster"))
+        labeled = core_lab.unionByName(border)
+        noise = (ids.join(labeled.select(F.col(id_col).alias("_pid")),
+                          "_pid", "left_anti")
+                 .select(F.col("_pid").alias(id_col),
+                         F.lit(False).alias("is_core"),
+                         F.lit(None).cast("long").alias("cluster")))
+        out = labeled.unionByName(noise)
+        # materialize before unpersisting the inputs the plan still needs
+        return out.localCheckpoint()
+    finally:
+        pairs.unpersist()
+        ids.unpersist()
+        try:
+            core.unpersist()
+        except Exception:
+            pass
