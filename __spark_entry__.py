@@ -865,6 +865,27 @@ def _q_line_edit_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_astext(st_symdifference(ga, gb)).alias("sd_wkt"))
 
 
+def _q_line_merge_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_LineMerge goldens: chain sewing (with reversal), degree-3
+    junction left unmerged, pure cycle, disjoint chains, non-lineal
+    rejection (tests/test_edit.py::TestLineMerge pins semantics)."""
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_linemerge)
+    rows = [
+        (1, "MULTILINESTRING((1 1,2 2),(0 0,1 1),(2 2,3 2))"),
+        (2, "MULTILINESTRING((0 0,1 0),(2 0,1 0),(2 0,3 0))"),
+        (3, "MULTILINESTRING((0 0,1 0),(1 0,2 0),(1 0,1 1))"),
+        (4, "MULTILINESTRING((0 0,1 0),(1 0,1 1),(1 1,0 1),(0 1,0 0))"),
+        (5, "MULTILINESTRING((0 0,1 0),(1 0,2 0),(10 0,11 0),(11 0,12 0))"),
+        (6, "POLYGON((0 0,1 0,1 1,0 1,0 0))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, w string")
+    return df.select(
+        "id",
+        st_astext(st_linemerge(st_geomfromtext(F.col("w"))))
+        .alias("merged_wkt"))
+
+
 def _q_collect_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Collect-style aggregate: canonical MULTIPOINT per mktsegment
     from customer points, built entirely JVM-side (collect_list +
@@ -1844,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_literal": _q_setops_literal,
         "union_agg_regions": _q_union_agg_regions,
         "dbscan_clusters": _q_dbscan_clusters,
+        "line_merge_literal": _q_line_merge_literal,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -2865,6 +2887,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
                    ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
             FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_line_merge_literal: goldens pinned by
+        # tests/test_edit.py::TestLineMerge (deterministic input-order
+        # chain starts; PostGIS/GEOS sewing semantics)
+        "line_merge_literal": """
+            SELECT * FROM (VALUES
+              (1, 'LINESTRING(0 0,1 1,2 2,3 2)'),
+              (2, 'LINESTRING(0 0,1 0,2 0,3 0)'),
+              (3, 'MULTILINESTRING((0 0,1 0),(1 0,2 0),(1 0,1 1))'),
+              (4, 'LINESTRING(0 0,1 0,1 1,0 1,0 0)'),
+              (5, 'MULTILINESTRING((0 0,1 0,2 0),(10 0,11 0,12 0))'),
+              (6, 'GEOMETRYCOLLECTION EMPTY')
+            ) AS v(id, merged_wkt)
         """,
         # mirrors _q_dbscan_clusters: same point layout; DBSCAN recomputed
         # relationally — pairs (incl. self) by quadratic predicate, core

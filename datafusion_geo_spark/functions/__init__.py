@@ -347,6 +347,7 @@ _scale = _u3(kernels.st_scale2, BinaryType())
 _segmentize = _u2(kernels.st_segmentize, BinaryType())
 _line_substring = _u3(kernels.st_line_substring, BinaryType())
 _reduce_precision = _u2(kernels.st_reduce_precision, BinaryType())
+_line_merge = _u1(kernels.st_line_merge, BinaryType())
 
 
 def st_length(g: GeomLike) -> Column:
@@ -526,6 +527,14 @@ def st_reduceprecision(g: GeomLike, gridsize) -> Column:
     ST_ReducePrecision minus the GEOS validity repair — documented;
     beyond-reference)."""
     return _reduce_precision(_geom(g), _num(gridsize, "double"))
+
+
+def st_linemerge(g: GeomLike) -> Column:
+    """ST_LineMerge: sew (Multi)LineString linework at degree-2 nodes,
+    reversing pieces as needed (PostGIS/GEOS semantics with a
+    deterministic input-order chain start; beyond-reference). Non-lineal
+    input yields GEOMETRYCOLLECTION EMPTY."""
+    return _line_merge(_geom(g))
 
 
 def st_linelocatepoint(g: GeomLike, p: GeomLike) -> Column:
@@ -763,6 +772,7 @@ _SQL_UDFS = {
     "ST_Segmentize": _segmentize,
     "ST_LineSubstring": _line_substring,
     "ST_ReducePrecision": _reduce_precision,
+    "ST_LineMerge": _line_merge,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -813,6 +823,7 @@ __all__ = [
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
+    "st_linemerge",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

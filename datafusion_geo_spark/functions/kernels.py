@@ -976,6 +976,7 @@ st_line_substring = _geom_num_num_kernel(
     lambda g, s_, e_: to_wkb_opt(edit.line_substring(g, s_, e_)))
 st_reduce_precision = _geom_num_kernel(
     lambda g, gs: to_wkb(edit.reduce_precision(g, float(gs))))
+st_line_merge = _unary_geom(edit.line_merge)
 geom_symdifference = _geom_geom_scalar_kernel(
     lambda a, b: to_wkb(overlay.symdifference(a, b)))
 

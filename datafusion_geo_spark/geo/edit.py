@@ -141,3 +141,59 @@ def reduce_precision(g: Geometry, gridsize: float) -> Geometry:
             math.floor(abs(v) / gridsize + 0.5), v) * gridsize + 0.0
 
     return g.map_coords(lambda p: (snap(p[0]), snap(p[1])))
+
+
+def line_merge(g: Geometry) -> Geometry:
+    """ST_LineMerge: sew the constituent linework of a
+    (Multi)LineString together at nodes of degree 2 (GEOS
+    LineMergeGraph semantics — a line may be REVERSED to join its
+    neighbor; junctions of degree != 2 stay unmerged). Non-lineal
+    input returns GEOMETRYCOLLECTION EMPTY, as PostGIS does.
+
+    Deterministic deviation from GEOS: chains start from
+    non-degree-2 endpoints in input order (then leftover cycles in
+    input order), so the output part order and orientation are a
+    pure function of the input — a promise a distributed engine can
+    keep and an oracle can pin.
+    """
+    if g.typ == "LineString":
+        return g
+    if g.typ != "MultiLineString":
+        return Geometry("GeometryCollection", [], g.srid)
+    lines: List[List[Coord]] = [list(p) for p in g.parts if len(p) >= 2]
+    if not lines:
+        return Geometry("GeometryCollection", [], g.srid)
+
+    incid = {}          # node coord -> [(line index, end 0|1), ...]
+    for i, cs in enumerate(lines):
+        for end, c in ((0, cs[0]), (1, cs[-1])):
+            incid.setdefault(c, []).append((i, end))
+    deg = {c: len(v) for c, v in incid.items()}
+    used = [False] * len(lines)
+
+    def walk(i: int, end: int) -> List[Coord]:
+        """Traverse line i entering at endpoint ``end``, extending
+        through degree-2 nodes until a junction/termination/cycle."""
+        used[i] = True
+        coords = list(lines[i]) if end == 0 else list(reversed(lines[i]))
+        while deg[coords[-1]] == 2:
+            nxt = [(j, e) for (j, e) in incid[coords[-1]] if not used[j]]
+            if not nxt:
+                break               # closed a cycle
+            j, e = nxt[0]
+            used[j] = True
+            more = list(lines[j]) if e == 0 else list(reversed(lines[j]))
+            coords.extend(more[1:])
+        return coords
+
+    merged: List[List[Coord]] = []
+    for i in range(len(lines)):
+        for end in (0, 1):
+            if not used[i] and deg[lines[i][0 if end == 0 else -1]] != 2:
+                merged.append(walk(i, end))
+    for i in range(len(lines)):    # leftovers are pure cycles
+        if not used[i]:
+            merged.append(walk(i, 0))
+    if len(merged) == 1:
+        return Geometry("LineString", merged[0], g.srid)
+    return Geometry("MultiLineString", merged, g.srid)

@@ -126,3 +126,59 @@ def test_spark_sql_surface(spark):
     assert r["sc"] == "POINT(4 9)"
     assert r["sub"] == "LINESTRING(5 0,10 0,10 5)"
     assert r["sd"].startswith("MULTIPOLYGON")
+
+
+class TestLineMerge:
+    def _m(self, wkt):
+        from datafusion_geo_spark.geo.edit import line_merge
+        from datafusion_geo_spark.geo.wkt import from_wkt, to_wkt
+        return to_wkt(line_merge(from_wkt(wkt)))
+
+    def test_goldens(self):
+        cases = {
+            # simple chain
+            "MULTILINESTRING((0 0,1 1),(1 1,2 2))": "LINESTRING(0 0,1 1,2 2)",
+            # middle piece listed first; start is the input-order
+            # junction-free endpoint
+            "MULTILINESTRING((1 1,2 2),(0 0,1 1),(2 2,3 2))":
+                "LINESTRING(0 0,1 1,2 2,3 2)",
+            # reversal required to sew
+            "MULTILINESTRING((0 0,1 0),(2 0,1 0),(2 0,3 0))":
+                "LINESTRING(0 0,1 0,2 0,3 0)",
+            # degree-3 junction: nothing merges
+            "MULTILINESTRING((0 0,1 0),(1 0,2 0),(1 0,1 1))":
+                "MULTILINESTRING((0 0,1 0),(1 0,2 0),(1 0,1 1))",
+            # pure cycle closes into one ring-shaped linestring
+            "MULTILINESTRING((0 0,1 0),(1 0,1 1),(1 1,0 1),(0 1,0 0))":
+                "LINESTRING(0 0,1 0,1 1,0 1,0 0)",
+            # two disjoint chains
+            "MULTILINESTRING((0 0,1 0),(1 0,2 0),(10 0,11 0),(11 0,12 0))":
+                "MULTILINESTRING((0 0,1 0,2 0),(10 0,11 0,12 0))",
+            # single member unwraps
+            "MULTILINESTRING((0 0,1 1))": "LINESTRING(0 0,1 1)",
+            # non-lineal input: empty collection (PostGIS)
+            "POINT(1 2)": "GEOMETRYCOLLECTION EMPTY",
+            "POLYGON((0 0,1 0,1 1,0 1,0 0))": "GEOMETRYCOLLECTION EMPTY",
+        }
+        for src, want in cases.items():
+            assert self._m(src) == want, src
+
+    def test_length_preserved_and_no_internal_deg2(self):
+        from datafusion_geo_spark.geo.algos import length as glen
+        from datafusion_geo_spark.geo.edit import line_merge
+        from datafusion_geo_spark.geo.wkt import from_wkt
+        import itertools, random
+        rng = random.Random(4)
+        # random path shuffled + randomly reversed: must always re-sew
+        # into a single linestring of identical length
+        pts = [(i, rng.randint(-3, 3)) for i in range(12)]
+        segs = [[a, b] for a, b in zip(pts, pts[1:])]
+        for _ in range(25):
+            rng.shuffle(segs)
+            parts = [list(reversed(s)) if rng.random() < 0.5 else list(s)
+                     for s in segs]
+            from datafusion_geo_spark.geo.geom import Geometry
+            g = Geometry("MultiLineString", parts)
+            m = line_merge(g)
+            assert m.typ == "LineString"
+            assert abs(glen(m) - glen(g)) < 1e-9
