@@ -706,6 +706,35 @@ def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("c_custkey"), "is_core", "cluster")
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: four synthesized variants of each document URL
+    (scheme/host case + www + :80, param order, :443 + trailing slash,
+    fbclid) plus a malformed %5==4 slice. canonicalize_url (pure
+    built-ins: try_parse_url + higher-order array ops) must collapse
+    variants {0,1} and {2,3} into two groups per (source, doc_id%50)
+    and drop the junk rows as NULL. Oracle: the canonical strings are
+    fixture-analytic, so DuckDB never parses a URL."""
+    from datafusion_geo_spark.operators.text import url_dedup
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 5
+    slot = (F.col("doc_id") % 50).cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("HTTP://WWW."), F.upper(host),
+                                F.lit(":80/docs/"), slot,
+                                F.lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(v == 1, F.concat(F.lit("https://"), host, F.lit("/docs/"),
+                               slot, F.lit("?a=1&b=2")))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(":443/docs/"),
+                               slot, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("http://"), host, F.lit("/docs/"),
+                               slot, F.lit("?fbclid=abc")))
+        .otherwise(F.concat(F.lit("not a url "),
+                            F.col("doc_id").cast("string"))))
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
 def _q_union_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Union AGGREGATE: each nation contributes a box in a pairwise-
     overlapping horizontal chain per region ([5i, 5i+8] × [0, 10]); the
@@ -1866,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_agg_regions": _q_union_agg_regions,
         "dbscan_clusters": _q_dbscan_clusters,
         "line_merge_literal": _q_line_merge_literal,
+        "url_dedup": _q_url_dedup,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -2887,6 +2917,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
                    ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
             FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_url_dedup: canonical URLs are fixture-analytic
+        # (variants {0,1} share '?a=1&b=2', {2,3} share the bare path,
+        # %5==4 is malformed -> dropped), so the oracle groups on the
+        # constructed canonical string without parsing anything
+        "url_dedup": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.com/docs/'
+                     || CAST(doc_id % 50 AS VARCHAR)
+                     || CASE WHEN doc_id % 5 IN (0, 1) THEN '?a=1&b=2'
+                             ELSE '' END AS canonical_url
+              FROM documents
+              WHERE doc_id % 5 <> 4
+            )
+            SELECT canonical_url, MIN(doc_id) AS kept_doc,
+                   COUNT(*) AS n_dups
+            FROM urls GROUP BY canonical_url
         """,
         # mirrors _q_line_merge_literal: goldens pinned by
         # tests/test_edit.py::TestLineMerge (deterministic input-order

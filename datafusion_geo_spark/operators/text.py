@@ -406,3 +406,59 @@ def pii_mask(df: DataFrame, text_col: str = "text",
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
     )
+
+
+# URL canonicalization (web-corpus dedup) -------------------------------
+
+# query params stripped before dedup: the standard tracking set
+TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for web-corpus deduplication — pure
+    Spark built-ins (``parse_url`` + higher-order array functions), so
+    the whole expression stays in WholeStageCodegen.
+
+    Rules (each a deliberate, documented dedup convention):
+      - scheme-insensitive: emitted as ``https://``
+      - host lowercased, leading ``www.`` stripped
+      - port kept only when non-default (not 80/443)
+      - path case preserved; trailing ``/`` stripped ('' / '/' -> '')
+      - fragment dropped; tracking params (utm_*, gclid, fbclid,
+        msclkid, ref) removed; surviving params SORTED and rejoined —
+        param order never distinguishes two URLs
+    Malformed input (no host) yields NULL rather than a fake key, so a
+    downstream groupBy does not glue all junk rows into one group.
+    """
+    host = F.regexp_replace(F.lower(F.try_parse_url(url, F.lit("HOST"))),
+                            "^www\\.", "")
+    port = F.regexp_extract(F.try_parse_url(url, F.lit("AUTHORITY")),
+                            ":(\\d+)$", 1)
+    port_part = F.when(port.isin("", "80", "443"), F.lit("")) \
+                 .otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(raw_path, "/+$", "")
+    q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qs = F.array_join(params, "&")
+    canon = F.concat(F.lit("https://"), host, port_part, path,
+                     F.when(qs == "", F.lit("")).otherwise(
+                         F.concat(F.lit("?"), qs)))
+    return F.when(host.isNull() | (host == ""), F.lit(None)).otherwise(canon)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Group a corpus by canonical URL: one row per canonical URL with
+    the kept (min-id) doc and the duplicate count — the usual first
+    pass of a web-scrape pipeline, upstream of content-level dedup.
+    One shuffle on the canonical-url key; NULL (malformed) URLs are
+    dropped, not grouped."""
+    canon = canonicalize_url(F.col(url_col)).alias("canonical_url")
+    return (df.select(canon, F.col(id_col))
+            .where(F.col("canonical_url").isNotNull())
+            .groupBy("canonical_url")
+            .agg(F.min(id_col).alias("kept_doc"),
+                 F.count("*").alias("n_dups")))
