@@ -706,6 +706,18 @@ def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("c_custkey"), "is_core", "cluster")
 
 
+def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric embedding quantization QA over the embeddings
+    table: per-vector scale (6 dp), integer code sum / abs-max, and the
+    nano-scaled integer dequantization error — every compared quantity
+    either integer-exact or binary-rounded, so the DuckDB twin (same
+    formula through list lambdas) matches bit-for-bit."""
+    from datafusion_geo_spark.operators.similarity import quantization_report
+    from datafusion_geo_spark.sources.fixtures import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantization_report(emb)
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup: four synthesized variants of each document URL
     (scheme/host case + www + :80, param order, :443 + trailing slash,
@@ -1896,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _q_dbscan_clusters,
         "line_merge_literal": _q_line_merge_literal,
         "url_dedup": _q_url_dedup,
+        "embed_quantize": _q_embed_quantize,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -2917,6 +2930,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
                    ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
             FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_embed_quantize: identical quantization formula via
+        # DuckDB list lambdas; per-dim errors rounded to integer nanos
+        # BEFORE summing so the comparison never depends on double fold
+        # order
+        "embed_quantize": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), m AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                     AS scale
+              FROM base
+            ), qq AS (
+              SELECT vec_id, v, scale,
+                     list_transform(v, x -> CAST(
+                       (CASE WHEN x / scale < 0 THEN -1 ELSE 1 END)
+                       * floor(abs(x / scale) + 0.5) AS BIGINT)) AS q
+              FROM m
+            )
+            SELECT vec_id,
+                   ((CASE WHEN (scale) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(scale) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS scale6,
+                   CAST(list_sum(q) AS BIGINT) AS q_sum,
+                   CAST(list_max(list_transform(q, x -> abs(x)))
+                        AS BIGINT) AS q_absmax,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, len(v)),
+                       i -> CAST(floor(abs(v[i] - q[i] * scale)
+                                 * 1000000000.0 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS err_nano
+            FROM qq
         """,
         # mirrors _q_url_dedup: canonical URLs are fixture-analytic
         # (variants {0,1} share '?a=1&b=2', {2,3} share the bare path,

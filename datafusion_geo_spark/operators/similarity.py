@@ -559,3 +559,54 @@ def embedding_near_dup(emb: DataFrame, probe_max_id: int,
                     round6_binary(dot(F.col("va"), F.col("vb"))
                             / (F.col("na") * F.col("nb"))).alias("sim"))
             .where(F.col("sim") >= min_cosine))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x storage/
+    bandwidth reduction for an ANN corpus (each float32 dim becomes one
+    int8 plus one shared per-vector scale). Pure higher-order array
+    built-ins, zero Python: scale = max|x| / 127, q_i = round(x_i /
+    scale) half away from zero (the binary-value convention the whole
+    repo uses, so a SQL oracle reproduces every code exactly). All-zero
+    vectors quantize to all-zero codes with scale 0 instead of dividing
+    by zero. Returns (id_col, scale double, q array<long> in
+    [-127, 127])."""
+    v = as_double(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+
+    def code(x):
+        r = x / scale
+        return (F.signum(r) * F.floor(F.abs(r) + F.lit(0.5))).cast("long")
+
+    q = F.when(maxabs == F.lit(0.0),
+               F.transform(v, lambda x: F.lit(0).cast("long"))) \
+         .otherwise(F.transform(v, code))
+    return emb.select(F.col(id_col), scale.alias("scale"), q.alias("q"),
+                      v.alias("v"))
+
+
+def quantization_report(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector quantization QA: the dequantization error of the int8
+    codes, in integer-exact form so engines agree bit-for-bit — the sum
+    of per-dim |x - q*scale| scaled to nano units and rounded to int
+    BEFORE summing (an integer sum is associative; a double sum of 64
+    terms is not, and two engines may fold in different orders).
+    Returns (id_col, scale6, q_sum, q_absmax, err_nano)."""
+    qd = quantize_embeddings(emb, id_col, vec_col)
+    zero = F.lit(0).cast("long")
+    err = F.aggregate(
+        F.zip_with(F.col("v"), F.col("q"),
+                   lambda x, qi: F.floor(
+                       F.abs(x - qi.cast("double") * F.col("scale"))
+                       * F.lit(1e9) + F.lit(0.5)).cast("long")),
+        zero, lambda acc, e: acc + e)
+    return qd.select(
+        F.col(id_col),
+        round6_binary(F.col("scale")).alias("scale6"),
+        F.aggregate(F.col("q"), zero, lambda a, e: a + e).alias("q_sum"),
+        F.array_max(F.transform(F.col("q"), lambda x: F.abs(x)))
+        .alias("q_absmax"),
+        err.alias("err_nano"))

@@ -81,3 +81,27 @@ def test_semantic_dedup_plan_no_cross_pairing(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert df.count() == 5
+
+
+def test_quantize_embeddings_codes(spark):
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.similarity import (
+        quantization_report, quantize_embeddings)
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # all-zero: no div-by-zero
+        (3, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["scale"], r["q"])
+           for r in quantize_embeddings(df).collect()}
+    assert got[1] == (1.0 / 127, [127, -64, 32, 0])
+    assert got[2] == (0.0, [0, 0, 0, 0])
+    assert got[3] == (2.0 / 127, [-127, 127, 64, -64])
+    rep = {r["vec_id"]: r.asDict() for r in quantization_report(df).collect()}
+    assert all(r["q_absmax"] <= 127 for r in rep.values())
+    assert rep[2]["err_nano"] == 0
+    # round-trip error bounded by scale/2 per dim (x4 dims, nano units)
+    for vid, r in rep.items():
+        bound = (got[vid][0] / 2) * 4 * 1e9 + 4
+        assert r["err_nano"] <= bound
