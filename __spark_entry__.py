@@ -706,6 +706,38 @@ def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("c_custkey"), "is_core", "cluster")
 
 
+def _q_subdivide_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Subdivide over lineitem-translated canonical boxes: each
+    surviving row carries the segmentized 10x10 box (41 verts), which
+    subdivides at max_vertices=20 into exactly 4 quadrant pieces of
+    area 25 with max 13 verts — translation-invariant constants pinned
+    by tests/test_subdivide.py::test_canonical_box_pinned, so the
+    oracle is pure arithmetic (4/100.0 per surviving row, aggregated
+    per orderkey — the fixture repeats l_linenumber=1 within an order).
+    %7 rows pass a NULL geometry through the whole chain (explode
+    drops them)."""
+    from datafusion_geo_spark.functions import (st_area, st_makeenvelope,
+                                                st_npoints, st_segmentize,
+                                                st_subdivide)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    li = _spread(load_table(spark, sf_dir, "lineitem")
+                 .where(F.col("l_linenumber") == 1)
+                 .select("l_orderkey", "l_partkey"))
+    x0 = (F.col("l_orderkey") % 500).cast("double")
+    y0 = (F.col("l_partkey") % 500).cast("double")
+    g = F.when(F.col("l_orderkey") % 7 != 0,
+               st_segmentize(st_makeenvelope(x0, y0, x0 + 10, y0 + 10),
+                             1.0))
+    ex = (li.withColumn("_p", F.explode(st_subdivide(g, 20)))
+          .select("l_orderkey",
+                  st_area(F.col("_p")).alias("_a"),
+                  st_npoints(F.col("_p")).alias("_n")))
+    return (ex.groupBy("l_orderkey")
+            .agg(F.count("*").alias("n_pieces"),
+                 F.sum("_a").alias("area_sum"),
+                 F.max("_n").alias("max_piece_verts")))
+
+
 def _q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric embedding quantization QA over the embeddings
     table: per-vector scale (6 dp), integer code sum / abs-max, and the
@@ -1909,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_merge_literal": _q_line_merge_literal,
         "url_dedup": _q_url_dedup,
         "embed_quantize": _q_embed_quantize,
+        "subdivide_boxes": _q_subdivide_boxes,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -2930,6 +2963,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
                    ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
             FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_subdivide_boxes: the canonical segmentized 10x10 /
+        # max_vertices=20 subdivision yields translation-invariant
+        # constants (4 pieces, 25.0 each, 13-vertex max) pinned by
+        # tests/test_subdivide.py — the oracle is arithmetic only
+        "subdivide_boxes": """
+            SELECT l_orderkey, (4 * COUNT(*))::BIGINT AS n_pieces,
+                   (100.0 * COUNT(*))::DOUBLE AS area_sum,
+                   13 AS max_piece_verts
+            FROM lineitem
+            WHERE l_linenumber = 1 AND l_orderkey % 7 <> 0
+            GROUP BY l_orderkey
         """,
         # mirrors _q_embed_quantize: identical quantization formula via
         # DuckDB list lambdas; per-dim errors rounded to integer nanos

@@ -348,6 +348,7 @@ _segmentize = _u2(kernels.st_segmentize, BinaryType())
 _line_substring = _u3(kernels.st_line_substring, BinaryType())
 _reduce_precision = _u2(kernels.st_reduce_precision, BinaryType())
 _line_merge = _u1(kernels.st_line_merge, BinaryType())
+_subdivide = _u2(kernels.st_subdivide, ArrayType(BinaryType()))
 
 
 def st_length(g: GeomLike) -> Column:
@@ -535,6 +536,15 @@ def st_linemerge(g: GeomLike) -> Column:
     deterministic input-order chain start; beyond-reference). Non-lineal
     input yields GEOMETRYCOLLECTION EMPTY."""
     return _line_merge(_geom(g))
+
+
+def st_subdivide(g: GeomLike, max_vertices=128) -> Column:
+    """ST_Subdivide: recursive longer-axis halving until every piece has
+    <= max_vertices vertices (PostGIS; beyond-reference). Returns
+    array<wkb> — explode() it for the PostGIS set-returning shape. The
+    pre-shard step that keeps per-pair refinement bounded when joining
+    continent-sized polygons at scale."""
+    return _subdivide(_geom(g), _num(max_vertices, "int"))
 
 
 def st_linelocatepoint(g: GeomLike, p: GeomLike) -> Column:
@@ -773,6 +783,7 @@ _SQL_UDFS = {
     "ST_LineSubstring": _line_substring,
     "ST_ReducePrecision": _reduce_precision,
     "ST_LineMerge": _line_merge,
+    "ST_Subdivide": _subdivide,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -823,7 +834,7 @@ __all__ = [
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
-    "st_linemerge",
+    "st_linemerge", "st_subdivide",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..geo import algos, edit, overlay, relate, vector
+from ..geo import subdivide as subdivide_mod
 from ..geo.geom import Geometry
 from ..geo.wkb import from_wkb, to_wkb, wkb_srid, point_wkb
 from ..geo.wkt import fmt_num, from_wkt, to_ewkt, to_wkt
@@ -977,6 +978,8 @@ st_line_substring = _geom_num_num_kernel(
 st_reduce_precision = _geom_num_kernel(
     lambda g, gs: to_wkb(edit.reduce_precision(g, float(gs))))
 st_line_merge = _unary_geom(edit.line_merge)
+st_subdivide = _geom_num_kernel(
+    lambda g, m: [to_wkb(p) for p in subdivide_mod.subdivide(g, int(m))])
 geom_symdifference = _geom_geom_scalar_kernel(
     lambda a, b: to_wkb(overlay.symdifference(a, b)))
 

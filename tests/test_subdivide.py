@@ -1,0 +1,61 @@
+"""ST_Subdivide: vertex bound respected, point set preserved (area /
+length identities), multi/holed/line inputs, guard rails."""
+
+import pytest
+
+from datafusion_geo_spark.geo.algos import area, length
+from datafusion_geo_spark.geo.edit import segmentize
+from datafusion_geo_spark.geo.subdivide import subdivide
+from datafusion_geo_spark.geo.wkt import from_wkt
+
+
+def _check(g, max_v):
+    ps = subdivide(g, max_v)
+    assert ps, "no pieces"
+    for p in ps:
+        assert len(p.vertices()) <= max_v
+    return ps
+
+
+def test_canonical_box_pinned():
+    # the exact shape the subdivide_boxes driver oracle hardcodes:
+    # segmentized 10x10 box at max_len 1 (41 verts) / max_vertices 20
+    g = segmentize(from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))"), 1.0)
+    ps = _check(g, 20)
+    assert len(ps) == 4
+    assert max(len(p.vertices()) for p in ps) == 13
+    assert sum(area(p) for p in ps) == 100.0
+
+
+def test_translation_invariant_piece_count():
+    for dx, dy in ((37.0, 121.0), (-250.0, 400.0), (499.0, 3.0)):
+        w = (f"POLYGON(({dx} {dy},{dx+10} {dy},{dx+10} {dy+10},"
+             f"{dx} {dy+10},{dx} {dy}))")
+        ps = _check(segmentize(from_wkt(w), 1.0), 20)
+        assert len(ps) == 4
+        assert sum(area(p) for p in ps) == 100.0
+
+
+def test_holed_polygon_area_preserved():
+    h = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0),"
+                 "(4 4,4 6,6 6,6 4,4 4))")
+    ps = _check(segmentize(h, 1.0), 20)
+    assert abs(sum(area(p) for p in ps) - 96.0) < 1e-9
+
+
+def test_line_and_small_inputs():
+    ln = segmentize(from_wkt("LINESTRING(0 0,40 0)"), 1.0)
+    ps = _check(ln, 12)
+    assert abs(sum(length(p) for p in ps) - 40.0) < 1e-9
+    # already small: unchanged single piece
+    g = from_wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")
+    assert _check(g, 20) == [g]
+    # multi input subdivides per member
+    m = from_wkt("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),"
+                 "((5 5,6 5,6 6,5 6,5 5)))")
+    assert len(_check(m, 20)) == 2
+
+
+def test_min_vertices_guard():
+    with pytest.raises(ValueError):
+        subdivide(from_wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))"), 4)
