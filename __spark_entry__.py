@@ -706,6 +706,57 @@ def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("c_custkey"), "is_core", "cluster")
 
 
+def _q_polygonize_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Polygonize goldens (tests/test_polygonize.py pins semantics):
+    segment-assembled triangle, chord-split square, nested rings with
+    hole assignment, dangling linework, open linework."""
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_polygonize)
+    rows = [
+        (1, "MULTILINESTRING((0 0,2 0),(2 0,1 2),(1 2,0 0))"),
+        (2, "MULTILINESTRING((0 0,4 0,4 4,0 4,0 0),(0 0,4 4))"),
+        (3, "MULTILINESTRING((0 0,10 0,10 10,0 10,0 0),"
+            "(4 4,6 4,6 6,4 6,4 4))"),
+        (4, "MULTILINESTRING((0 0,1 0,1 1,0 1,0 0),(5 5,9 9))"),
+        (5, "MULTILINESTRING((0 0,1 0),(1 0,1 1))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, w string")
+    return df.select(
+        "id",
+        st_astext(st_polygonize(st_geomfromtext(F.col("w"))))
+        .alias("faces_wkt"))
+
+
+def _q_polygonize_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Polygonize AGGREGATE at fixture scale: each nation's box
+    boundary arrives as four SEPARATE segment rows (shuffled to the
+    group by collect_list, faces assembled once per group); the face
+    area is analytic ((5 + nk%3)^2). The aggregate is the PostGIS
+    ST_Polygonize(geometry set) shape."""
+    from datafusion_geo_spark.functions import (st_area, st_geometrytype,
+                                                st_geomfromtext,
+                                                st_polygonize_agg)
+    from datafusion_geo_spark.sources.fixtures import load_table
+    n = load_table(spark, sf_dir, "nation")
+    x0 = (F.col("n_nationkey") * 10).cast("int")
+    y0 = (F.col("n_regionkey") * 7).cast("int")
+    w = (F.lit(5) + F.col("n_nationkey") % 3).cast("int")
+    x1, y1 = x0 + w, y0 + w
+    seg = F.explode(F.array(
+        F.format_string("LINESTRING(%d %d,%d %d)", x0, y0, x1, y0),
+        F.format_string("LINESTRING(%d %d,%d %d)", x1, y0, x1, y1),
+        F.format_string("LINESTRING(%d %d,%d %d)", x1, y1, x0, y1),
+        F.format_string("LINESTRING(%d %d,%d %d)", x0, y1, x0, y0)))
+    segs = n.select("n_nationkey", seg.alias("w"))
+    agg = (segs.groupBy("n_nationkey")
+           .agg(st_polygonize_agg(st_geomfromtext(F.col("w")))
+                .alias("g")))
+    return agg.select(
+        "n_nationkey",
+        st_geometrytype(F.col("g")).alias("ptype"),
+        st_area(F.col("g")).alias("parea"))
+
+
 def _q_subdivide_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Subdivide over lineitem-translated canonical boxes: each
     surviving row carries the segmentized 10x10 box (41 verts), which
@@ -1942,6 +1993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "embed_quantize": _q_embed_quantize,
         "subdivide_boxes": _q_subdivide_boxes,
+        "polygonize_literal": _q_polygonize_literal,
+        "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
         "grid_spatial_join": _q_grid_spatial_join,
@@ -2963,6 +3016,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
                    ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
             FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_polygonize_literal: goldens pinned by
+        # tests/test_polygonize.py (smallest-shell-first determinism)
+        "polygonize_literal": """
+            SELECT * FROM (VALUES
+              (1, 'POLYGON((0 0,2 0,1 2,0 0))'),
+              (2, 'MULTIPOLYGON(((0 0,4 0,4 4,0 0)),((0 0,4 4,0 4,0 0)))'),
+              (3, 'MULTIPOLYGON(((4 4,6 4,6 6,4 6,4 4)),((0 0,10 0,10 10,0 10,0 0),(4 4,4 6,6 6,6 4,4 4)))'),
+              (4, 'POLYGON((0 0,1 0,1 1,0 1,0 0))'),
+              (5, 'GEOMETRYCOLLECTION EMPTY')
+            ) AS v(id, faces_wkt)
+        """,
+        # mirrors _q_polygonize_regions: each nation's four segments
+        # close one (5 + nk%3)-square — type and area are analytic
+        "polygonize_regions": """
+            SELECT n_nationkey, 'ST_Polygon' AS ptype,
+                   ((5 + n_nationkey % 3) * (5 + n_nationkey % 3))::DOUBLE
+                   AS parea
+            FROM nation
         """,
         # mirrors _q_subdivide_boxes: the canonical segmentized 10x10 /
         # max_vertices=20 subdivision yields translation-invariant

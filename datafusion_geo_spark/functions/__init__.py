@@ -349,6 +349,8 @@ _line_substring = _u3(kernels.st_line_substring, BinaryType())
 _reduce_precision = _u2(kernels.st_reduce_precision, BinaryType())
 _line_merge = _u1(kernels.st_line_merge, BinaryType())
 _subdivide = _u2(kernels.st_subdivide, ArrayType(BinaryType()))
+_polygonize = _u1(kernels.st_polygonize, BinaryType())
+_polygonize_fold = _u1(kernels.st_polygonize_all, BinaryType())
 
 
 def st_length(g: GeomLike) -> Column:
@@ -474,6 +476,23 @@ def st_union_agg(g: Column) -> Column:
     vectorized fold per GROUP dissolves it (kernels.st_union_all). Use
     inside groupBy().agg(...); group sizes bound the fold cost."""
     return _union_fold(F.collect_list(g))
+
+
+def st_polygonize(g: GeomLike) -> Column:
+    """ST_Polygonize of ONE geometry's linework (typically a
+    MultiLineString/collection; PostGIS parity on correctly-noded
+    input — no noding is performed). Bounded faces come back as
+    (Multi)Polygon, holes assigned, GEOMETRYCOLLECTION EMPTY when the
+    linework closes nothing."""
+    return _polygonize(_geom(g))
+
+
+def st_polygonize_agg(g: Column) -> Column:
+    """ST_Polygonize AGGREGATE over a WKB geometry column: JVM-side
+    collect_list gathers the group's linework (no Python in the
+    shuffle), then one planar face walk per GROUP assembles the faces
+    (kernels.st_polygonize_all). Use inside groupBy().agg(...)."""
+    return _polygonize_fold(F.collect_list(g))
 
 
 def st_symdifference(a: GeomLike, b: GeomLike) -> Column:
@@ -784,6 +803,7 @@ _SQL_UDFS = {
     "ST_ReducePrecision": _reduce_precision,
     "ST_LineMerge": _line_merge,
     "ST_Subdivide": _subdivide,
+    "ST_Polygonize": _polygonize,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -834,7 +854,7 @@ __all__ = [
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
-    "st_linemerge", "st_subdivide",
+    "st_linemerge", "st_subdivide", "st_polygonize", "st_polygonize_agg",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

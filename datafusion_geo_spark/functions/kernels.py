@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..geo import algos, edit, overlay, relate, vector
+from ..geo import polygonize as polygonize_mod
 from ..geo import subdivide as subdivide_mod
 from ..geo.geom import Geometry
 from ..geo.wkb import from_wkb, to_wkb, wkb_srid, point_wkb
@@ -980,6 +981,24 @@ st_reduce_precision = _geom_num_kernel(
 st_line_merge = _unary_geom(edit.line_merge)
 st_subdivide = _geom_num_kernel(
     lambda g, m: [to_wkb(p) for p in subdivide_mod.subdivide(g, int(m))])
+st_polygonize = _unary_geom(
+    lambda g: polygonize_mod.polygonize([g]))
+
+
+def st_polygonize_all(s: pd.Series) -> pd.Series:
+    """Polygonize an array<binary> column (the collect_list side of the
+    ST_Polygonize AGGREGATE): one face assembly per row — rows are
+    GROUPS, so the planar walk is bounded by group linework, never the
+    corpus."""
+    cache = _DecodeCache()
+    out = []
+    for arr in s.tolist():
+        if arr is None:
+            out.append(None)
+            continue
+        gs = [cache.geom(bytes(w)) for w in arr if w is not None]
+        out.append(to_wkb(polygonize_mod.polygonize(gs)))
+    return _obj_series(out)
 geom_symdifference = _geom_geom_scalar_kernel(
     lambda a, b: to_wkb(overlay.symdifference(a, b)))
 
