@@ -706,6 +706,16 @@ def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("c_custkey"), "is_core", "cluster")
 
 
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM score per document (perplexity
+    proxy for quality filtering). Integer-exact: per-token ln(cnt/total)
+    is rounded to micro units BEFORE summing, so the comparison never
+    depends on double fold order."""
+    from datafusion_geo_spark.operators.text import unigram_logprob
+    from datafusion_geo_spark.sources.fixtures import load_table
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def _q_polygonize_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Polygonize goldens (tests/test_polygonize.py pins semantics):
     segment-assembled triangle, chord-split square, nested rings with
@@ -1994,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": _q_embed_quantize,
         "subdivide_boxes": _q_subdivide_boxes,
         "polygonize_literal": _q_polygonize_literal,
+        "unigram_logprob": _q_unigram_logprob,
         "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
@@ -3016,6 +3027,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*)::BIGINT AS n_boxes,
                    ((5 * (COUNT(*) - 1) + 8) * 10)::DOUBLE AS union_area
             FROM nation GROUP BY n_regionkey
+        """,
+        # mirrors _q_unigram_logprob: same tokenization, same per-token
+        # micro-int rounding of ln(cnt/total) before the per-doc sum
+        "unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_WORDS_LOWER}) AS w FROM documents
+            ), vocab AS (
+              SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w
+            ), tot AS (
+              SELECT COUNT(*)::BIGINT AS total FROM toks
+            ), scored AS (
+              SELECT t.doc_id, v.cnt,
+                     CAST((CASE WHEN ln(v.cnt::DOUBLE / tot.total::DOUBLE)
+                                     < 0 THEN -1 ELSE 1 END)
+                          * floor(abs(ln(v.cnt::DOUBLE / tot.total::DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS lp
+              FROM toks t JOIN vocab v USING (w), tot
+            )
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   CAST(SUM(lp) AS BIGINT) AS lp_micro_sum,
+                   MIN(cnt) AS min_cnt
+            FROM scored GROUP BY doc_id
         """,
         # mirrors _q_polygonize_literal: goldens pinned by
         # tests/test_polygonize.py (smallest-shell-first determinism)

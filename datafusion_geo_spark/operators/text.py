@@ -462,3 +462,37 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             .groupBy("canonical_url")
             .agg(F.min(id_col).alias("kept_doc"),
                  F.count("*").alias("n_dups")))
+
+
+# Self-trained unigram LM scoring (perplexity proxy) --------------------
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-self-trained unigram language-model score per document —
+    the cheap perplexity proxy for quality filtering (a doc whose
+    tokens are corpus-rare scores low). Two shuffles total: token
+    counts (word key) and the per-doc aggregate (doc key); the
+    one-row token total broadcasts via crossJoin (same shape as
+    TF-IDF's global aggregate).
+
+    Per-token log-probability ln(cnt_w / total) is rounded to MICRO
+    units as an integer BEFORE the per-doc sum, making the result
+    fold-order independent (a double sum over shuffled rows is not) —
+    so the score is engine-exact. Returns (id_col, n_tokens,
+    lp_micro_sum, min_cnt); mean logprob = lp_micro_sum / (1e6 *
+    n_tokens), and min_cnt is the rarest-token corpus count (an OOV
+    signal)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(words_col(F.lower(F.col(text_col))))
+                     .alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total"))
+    lp = F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    lp_micro = (F.signum(lp) * F.floor(F.abs(lp) * F.lit(1e6) + F.lit(0.5))
+                ).cast("long")
+    scored = (toks.join(vocab, "w").crossJoin(F.broadcast(total))
+              .withColumn("_lp", lp_micro))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("_lp").alias("lp_micro_sum"),
+                 F.min("cnt").alias("min_cnt")))

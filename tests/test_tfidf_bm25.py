@@ -113,3 +113,20 @@ def test_tfidf_salted_matches_broadcast(spark):
         tfidf_top_terms(_corpus(spark), vocab_join="nope")
     with pytest.raises(ValueError):
         tfidf_top_terms(_corpus(spark), vocab_join="salted", salt=0)
+
+
+def test_unigram_logprob_exact(spark):
+    import math
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.text import unigram_logprob
+    rows = [(1, "a a b"), (2, "b c"), (3, "A")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["lp_micro_sum"], r["min_cnt"])
+           for r in unigram_logprob(df).collect()}
+    # corpus (lowercased): a:3 b:2 c:1, total 6
+    def micro(c): 
+        v = math.log(c / 6)
+        return int(math.copysign(math.floor(abs(v) * 1e6 + 0.5), v))
+    assert got[1] == (3, 2 * micro(3) + micro(2), 2)
+    assert got[2] == (2, micro(2) + micro(1), 1)
+    assert got[3] == (1, micro(3), 3)
