@@ -820,8 +820,8 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and drop the junk rows as NULL. Oracle: the canonical strings are
     fixture-analytic, so DuckDB never parses a URL."""
     from datafusion_geo_spark.operators.text import url_dedup
-    from datafusion_geo_spark.sources.fixtures import load_table
-    docs = load_table(spark, sf_dir, "documents")
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     v = F.col("doc_id") % 5
     slot = (F.col("doc_id") % 50).cast("string")
     host = F.concat(F.col("source"), F.lit(".example.com"))

@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 67 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 70 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, and set-operation
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
