@@ -840,6 +840,26 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def _q_cluster_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostGIS ST_ClusterWithin (single-linkage within distance d) over
+    the same analytic layout as dbscan_clusters — DBSCAN with
+    min_pts=1, so even the scattered %13 points appear as singleton
+    clusters (their own id) instead of NULL noise. Oracle: the
+    recursive-CTE closure without the core distinction."""
+    from datafusion_geo_spark.operators.cluster import cluster_within_points
+    from datafusion_geo_spark.sources.fixtures import load_table
+    c = load_table(spark, sf_dir, "customer")
+    ck, nk = F.col("c_custkey"), F.col("c_nationkey")
+    scattered = ck % 13 == 0
+    x = F.when(scattered, 2000.0 + ck * 3) \
+         .otherwise((nk % 5) * 50 + ck % 7).cast("double")
+    y = F.when(scattered, -((ck * 7) % 997).cast("double")) \
+         .otherwise((F.floor(nk / 5) * 50 + ck % 11).cast("double"))
+    pts = c.select(ck.alias("id"), x.alias("x"), y.alias("y"))
+    out = cluster_within_points(pts, 2.0)
+    return out.select(F.col("id").alias("c_custkey"), "cluster")
+
+
 def _q_union_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Union AGGREGATE: each nation contributes a box in a pairwise-
     overlapping horizontal chain per region ([5i, 5i+8] × [0, 10]); the
@@ -2005,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subdivide_boxes": _q_subdivide_boxes,
         "polygonize_literal": _q_polygonize_literal,
         "unigram_logprob": _q_unigram_logprob,
+        "cluster_within": _q_cluster_within,
         "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
@@ -3147,6 +3168,32 @@ def oracle_sql() -> dict[str, str]:
               (5, 'MULTILINESTRING((0 0,1 0,2 0),(10 0,11 0,12 0))'),
               (6, 'GEOMETRYCOLLECTION EMPTY')
             ) AS v(id, merged_wkt)
+        """,
+        # mirrors _q_cluster_within: dbscan layout, single linkage —
+        # the reachability closure over ALL eps-pairs, no core filter
+        "cluster_within": """
+            WITH RECURSIVE pts AS (
+              SELECT c_custkey AS id,
+                     CASE WHEN c_custkey % 13 = 0
+                          THEN 2000.0 + c_custkey * 3
+                          ELSE ((c_nationkey % 5) * 50
+                                + c_custkey % 7)::DOUBLE END AS x,
+                     CASE WHEN c_custkey % 13 = 0
+                          THEN -((c_custkey * 7) % 997)::DOUBLE
+                          ELSE ((c_nationkey // 5) * 50
+                                + c_custkey % 11)::DOUBLE END AS y
+              FROM customer
+            ), pairs AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM pts a JOIN pts b
+                ON (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) <= 4.0
+            ), r(id, v) AS (
+              SELECT id, id FROM pts
+              UNION
+              SELECT r.id, e.ib FROM r JOIN pairs e ON e.ia = r.v
+            )
+            SELECT id AS c_custkey, MIN(v) AS cluster FROM r GROUP BY id
         """,
         # mirrors _q_dbscan_clusters: same point layout; DBSCAN recomputed
         # relationally — pairs (incl. self) by quadratic predicate, core

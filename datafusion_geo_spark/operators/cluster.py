@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame
 
 from .dedup import connected_components
 
-__all__ = ["dbscan_points", "eps_neighbor_pairs"]
+__all__ = ["cluster_within_points", "dbscan_points",
+           "eps_neighbor_pairs"]
 
 
 def eps_neighbor_pairs(df: DataFrame, eps: float, id_col: str = "id",
@@ -136,3 +137,16 @@ def dbscan_points(df: DataFrame, eps: float, min_pts: int,
             core.unpersist()
         except Exception:
             pass
+
+
+def cluster_within_points(df: DataFrame, d: float, id_col: str = "id",
+                          x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """PostGIS ``ST_ClusterWithin``: single-linkage clusters joining
+    points within distance ``d`` — exactly DBSCAN with min_pts=1
+    (every point is core, so there are no borders and no noise).
+    Returns (id_col, cluster) with cluster = min reachable point id,
+    the same deterministic labeling as :func:`dbscan_points`."""
+    pairs = eps_neighbor_pairs(df, d, id_col, x_col, y_col)
+    comp = connected_components(pairs, "ia", "ib", max_iter=64)
+    return comp.select(F.col("doc_id").alias(id_col),
+                       F.col("component").alias("cluster"))

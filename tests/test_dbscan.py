@@ -102,3 +102,16 @@ def test_self_pairs_present(spark):
     pairs = {(r["ia"], r["ib"])
              for r in eps_neighbor_pairs(df, 1.0).collect()}
     assert pairs == {(1, 1), (2, 2)}
+
+
+def test_cluster_within_is_minpts1(spark):
+    from datafusion_geo_spark.operators.cluster import cluster_within_points
+    pts = {0: (0.0, 0.0), 1: (1.0, 0.0), 2: (2.5, 0.0),
+           3: (10.0, 10.0), 4: (10.5, 10.0), 5: (50.0, 50.0)}
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in sorted(pts.items())],
+        "id long, x double, y double")
+    got = {r["id"]: r["cluster"]
+           for r in cluster_within_points(df, 1.6).collect()}
+    want = {i: c for i, (_, c) in _brute_dbscan(pts, 1.6, 1).items()}
+    assert got == want == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
