@@ -47,6 +47,9 @@ ALLOWED_BROADCAST_CROSSES = {
                              # scoring itself is the cogrouped GEMM
     "knn_join_jvm": 2,       # same assignment/probe crosses; scoring
                              # is the JVM HOF-fold parity path
+    "unigram_logprob": 1,    # one-row token-total aggregate broadcast
+                             # back onto the token stream (same shape
+                             # as tfidf's corpus-size cross)
 }
 
 
