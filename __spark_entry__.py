@@ -840,6 +840,34 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def _q_bounding_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MinimumBoundingRadius (center + radius) and
+    ST_OrientedEnvelope over lineitem-translated 10x10 boxes — for an
+    axis-aligned integer box every output is analytic: center
+    (x0+5, y0+5), radius sqrt(50) (Welzl's diagonal _circle_2 computes
+    hypot(10,10)/2, bit-equal to DuckDB's sqrt(50.0)), envelope = the
+    box itself with the canonical ring start."""
+    from datafusion_geo_spark.functions import (st_astext, st_makeenvelope,
+                                                st_minboundcenter,
+                                                st_minimumboundingradius,
+                                                st_orientedenvelope, st_x,
+                                                st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    li = _spread(load_table(spark, sf_dir, "lineitem")
+                 .where(F.col("l_linenumber") == 2)
+                 .select("l_orderkey", "l_partkey"))
+    x0 = (F.col("l_orderkey") % 500).cast("double")
+    y0 = (F.col("l_partkey") % 500).cast("double")
+    g = st_makeenvelope(x0, y0, x0 + 10, y0 + 10)
+    c = st_minboundcenter(g)
+    return li.select(
+        "l_orderkey",
+        _rb6(st_x(c)).alias("cx"),
+        _rb6(st_y(c)).alias("cy"),
+        _rb6(st_minimumboundingradius(g)).alias("radius"),
+        st_astext(st_orientedenvelope(g)).alias("env_wkt"))
+
+
 def _q_cluster_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PostGIS ST_ClusterWithin (single-linkage within distance d) over
     the same analytic layout as dbscan_clusters — DBSCAN with
@@ -2026,6 +2054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_literal": _q_polygonize_literal,
         "unigram_logprob": _q_unigram_logprob,
         "cluster_within": _q_cluster_within,
+        "bounding_forms": _q_bounding_forms,
         "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
@@ -3168,6 +3197,29 @@ def oracle_sql() -> dict[str, str]:
               (5, 'MULTILINESTRING((0 0,1 0,2 0),(10 0,11 0,12 0))'),
               (6, 'GEOMETRYCOLLECTION EMPTY')
             ) AS v(id, merged_wkt)
+        """,
+        # mirrors _q_bounding_forms: analytic center/radius/envelope of
+        # integer axis-aligned boxes; radius formula bit-equal (hypot
+        # diagonal / 2 == sqrt(50.0))
+        "bounding_forms": """
+            SELECT l_orderkey,
+                   ((l_orderkey % 500) + 5)::DOUBLE AS cx,
+                   ((l_partkey % 500) + 5)::DOUBLE AS cy,
+                   ((CASE WHEN (sqrt(50.0)) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(sqrt(50.0)) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS radius,
+                   'POLYGON((' ||
+                     CAST(l_orderkey % 500 AS VARCHAR) || ' ' ||
+                     CAST(l_partkey % 500 AS VARCHAR) || ',' ||
+                     CAST(l_orderkey % 500 + 10 AS VARCHAR) || ' ' ||
+                     CAST(l_partkey % 500 AS VARCHAR) || ',' ||
+                     CAST(l_orderkey % 500 + 10 AS VARCHAR) || ' ' ||
+                     CAST(l_partkey % 500 + 10 AS VARCHAR) || ',' ||
+                     CAST(l_orderkey % 500 AS VARCHAR) || ' ' ||
+                     CAST(l_partkey % 500 + 10 AS VARCHAR) || ',' ||
+                     CAST(l_orderkey % 500 AS VARCHAR) || ' ' ||
+                     CAST(l_partkey % 500 AS VARCHAR) || '))' AS env_wkt
+            FROM lineitem WHERE l_linenumber = 2
         """,
         # mirrors _q_cluster_within: dbscan layout, single linkage —
         # the reachability closure over ALL eps-pairs, no core filter

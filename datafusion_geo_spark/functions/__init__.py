@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 70 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 73 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, and set-operation
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
@@ -350,6 +350,9 @@ _reduce_precision = _u2(kernels.st_reduce_precision, BinaryType())
 _line_merge = _u1(kernels.st_line_merge, BinaryType())
 _subdivide = _u2(kernels.st_subdivide, ArrayType(BinaryType()))
 _polygonize = _u1(kernels.st_polygonize, BinaryType())
+_minbound_center = _u1(kernels.st_minbound_center, BinaryType())
+_minbound_radius = _u1(kernels.st_minbound_radius, DoubleType())
+_oriented_envelope = _u1(kernels.st_oriented_envelope, BinaryType())
 _polygonize_fold = _u1(kernels.st_polygonize_all, BinaryType())
 
 
@@ -493,6 +496,27 @@ def st_polygonize_agg(g: Column) -> Column:
     shuffle), then one planar face walk per GROUP assembles the faces
     (kernels.st_polygonize_all). Use inside groupBy().agg(...)."""
     return _polygonize_fold(F.collect_list(g))
+
+
+def st_minimumboundingradius(g: GeomLike) -> Column:
+    """Radius of the smallest enclosing circle (the radius field of
+    PostGIS ST_MinimumBoundingRadius's record; the center is
+    st_minboundcenter — Spark SQL UDFs return one column, so the
+    record splits into two functions, documented deviation)."""
+    return _minbound_radius(_geom(g))
+
+
+def st_minboundcenter(g: GeomLike) -> Column:
+    """Center POINT of the smallest enclosing circle (the center field
+    of PostGIS ST_MinimumBoundingRadius's record)."""
+    return _minbound_center(_geom(g))
+
+
+def st_orientedenvelope(g: GeomLike) -> Column:
+    """ST_OrientedEnvelope: minimum-area rotated rectangle (PostGIS;
+    beyond-reference). Degenerates like PostGIS (point/collinear
+    inputs); deterministic canonical ring start."""
+    return _oriented_envelope(_geom(g))
 
 
 def st_symdifference(a: GeomLike, b: GeomLike) -> Column:
@@ -804,6 +828,9 @@ _SQL_UDFS = {
     "ST_LineMerge": _line_merge,
     "ST_Subdivide": _subdivide,
     "ST_Polygonize": _polygonize,
+    "ST_MinimumBoundingRadius": _minbound_radius,
+    "ST_MinBoundCenter": _minbound_center,
+    "ST_OrientedEnvelope": _oriented_envelope,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -855,6 +882,7 @@ __all__ = [
     "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
     "st_linemerge", "st_subdivide", "st_polygonize", "st_polygonize_agg",
+    "st_minimumboundingradius", "st_minboundcenter", "st_orientedenvelope",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..geo import algos, edit, overlay, relate, vector
+from ..geo import bounding
 from ..geo import polygonize as polygonize_mod
 from ..geo import subdivide as subdivide_mod
 from ..geo.geom import Geometry
@@ -985,6 +986,17 @@ st_polygonize = _unary_geom(
     lambda g: polygonize_mod.polygonize([g]))
 
 
+def _mbc_center(g: Geometry) -> Geometry:
+    mbc = bounding.min_bounding_circle(g)
+    if mbc is None:
+        return Geometry("Point", None, g.srid)
+    return Geometry("Point", mbc[0], g.srid)
+
+
+st_minbound_center = _unary_geom(_mbc_center)
+st_oriented_envelope = _unary_geom(bounding.oriented_envelope)
+
+
 def st_polygonize_all(s: pd.Series) -> pd.Series:
     """Polygonize an array<binary> column (the collect_list side of the
     ST_Polygonize AGGREGATE): one face assembly per row — rows are
@@ -1241,6 +1253,17 @@ def st_y(s: pd.Series) -> pd.Series:
     if pb is not None:
         return pd.Series(_nullable(pb.y, pb.valid & ~np.isnan(pb.y)))
     return _unary_to_num(_pt_y)(s)
+
+
+def _mbc_radius(g: Geometry) -> Optional[float]:
+    mbc = bounding.min_bounding_circle(g)
+    return None if mbc is None else float(mbc[1])
+
+
+def st_minbound_radius(s: pd.Series) -> pd.Series:
+    """ST_MinimumBoundingRadius's radius field (PostGIS returns a
+    record; the center half is st_minbound_center)."""
+    return _unary_to_num(_mbc_radius)(s)
 
 
 def _direct_members(g: Geometry) -> list:
