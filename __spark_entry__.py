@@ -840,6 +840,55 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def _q_makevalid_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MakeValid (linework/even-odd) + ST_Node goldens pinned by
+    tests/test_makevalid.py: bowtie split, valid round-trip (incl.
+    hole), spike drop, figure-8 pinch, crossing/self-crossing/overlap
+    noding."""
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_makevalid, st_node)
+    rows = [
+        (1, "POLYGON((0 0,2 2,2 0,0 2,0 0))",
+         "MULTILINESTRING((0 0,10 0),(5 -5,5 5))"),
+        (2, "POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,4 6,6 6,6 4,4 4))",
+         "LINESTRING(0 0,4 4,4 0,0 4)"),
+        (3, "POLYGON((0 0,4 0,4 4,2 4,2 2,2 4,0 4,0 0))",
+         "MULTILINESTRING((0 0,10 0),(2 0,8 0))"),
+        (4, "POLYGON((0 0,2 0,2 2,0 2,0 0,-2 0,-2 -2,0 -2,0 0))",
+         "LINESTRING(0 0,5 5)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, p string, l string")
+    return df.select(
+        "id",
+        st_astext(st_makevalid(st_geomfromtext(F.col("p"))))
+        .alias("valid_wkt"),
+        st_astext(st_node(st_geomfromtext(F.col("l"))))
+        .alias("noded_wkt"))
+
+
+def _q_makevalid_bowties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MakeValid at fixture scale: a translated bowtie per lineitem
+    row splits into its two unit-triangle lobes — the repaired WKT and
+    area are fixture-analytic (translation-invariant lobe order pinned
+    by the literal golden)."""
+    from datafusion_geo_spark.functions import (st_area, st_astext,
+                                                st_geomfromtext,
+                                                st_makevalid)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    li = _spread(load_table(spark, sf_dir, "lineitem")
+                 .where(F.col("l_linenumber") == 3)
+                 .select("l_orderkey", "l_partkey"))
+    x0 = (F.col("l_orderkey") % 500).cast("int")
+    y0 = (F.col("l_partkey") % 500).cast("int")
+    w = F.format_string(
+        "POLYGON((%d %d,%d %d,%d %d,%d %d,%d %d))",
+        x0, y0, x0 + 2, y0 + 2, x0 + 2, y0, x0, y0 + 2, x0, y0)
+    mv = st_makevalid(st_geomfromtext(w))
+    return li.select("l_orderkey",
+                     st_astext(mv).alias("valid_wkt"),
+                     _rb6(st_area(mv)).alias("valid_area"))
+
+
 def _q_bounding_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MinimumBoundingRadius (center + radius) and
     ST_OrientedEnvelope over lineitem-translated 10x10 boxes — for an
@@ -2055,6 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": _q_unigram_logprob,
         "cluster_within": _q_cluster_within,
         "bounding_forms": _q_bounding_forms,
+        "makevalid_literal": _q_makevalid_literal,
+        "makevalid_bowties": _q_makevalid_bowties,
         "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
         "streaming_sessions": _q_streaming_sessions,
@@ -3197,6 +3248,38 @@ def oracle_sql() -> dict[str, str]:
               (5, 'MULTILINESTRING((0 0,1 0,2 0),(10 0,11 0,12 0))'),
               (6, 'GEOMETRYCOLLECTION EMPTY')
             ) AS v(id, merged_wkt)
+        """,
+        # mirrors _q_makevalid_literal: goldens pinned by
+        # tests/test_makevalid.py
+        "makevalid_literal": """
+            SELECT * FROM (VALUES
+              (1, 'MULTIPOLYGON(((0 0,1 1,0 2,0 0)),((1 1,2 0,2 2,1 1)))',
+                  'MULTILINESTRING((0 0,5 0),(5 0,10 0),(5 -5,5 0),(5 0,5 5))'),
+              (2, 'POLYGON((0 0,10 0,10 10,0 10,0 0),(4 4,4 6,6 6,6 4,4 4))',
+                  'MULTILINESTRING((0 0,2 2),(2 2,4 4,4 0,2 2),(2 2,0 4))'),
+              (3, 'POLYGON((0 0,4 0,4 4,2 4,0 4,0 0))',
+                  'MULTILINESTRING((0 0,2 0),(2 0,8 0),(8 0,10 0))'),
+              (4, 'MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((-2 -2,0 -2,0 0,-2 0,-2 -2)))',
+                  'LINESTRING(0 0,5 5)')
+            ) AS v(id, valid_wkt, noded_wkt)
+        """,
+        # mirrors _q_makevalid_bowties: translated bowtie -> two unit
+        # lobes; WKT and area constructed analytically
+        "makevalid_bowties": """
+            SELECT l_orderkey,
+                   'MULTIPOLYGON(((' ||
+                     (l_orderkey % 500) || ' ' || (l_partkey % 500) || ',' ||
+                     (l_orderkey % 500 + 1) || ' ' || (l_partkey % 500 + 1) || ',' ||
+                     (l_orderkey % 500) || ' ' || (l_partkey % 500 + 2) || ',' ||
+                     (l_orderkey % 500) || ' ' || (l_partkey % 500) ||
+                   ')),((' ||
+                     (l_orderkey % 500 + 1) || ' ' || (l_partkey % 500 + 1) || ',' ||
+                     (l_orderkey % 500 + 2) || ' ' || (l_partkey % 500) || ',' ||
+                     (l_orderkey % 500 + 2) || ' ' || (l_partkey % 500 + 2) || ',' ||
+                     (l_orderkey % 500 + 1) || ' ' || (l_partkey % 500 + 1) ||
+                   ')))' AS valid_wkt,
+                   2.0::DOUBLE AS valid_area
+            FROM lineitem WHERE l_linenumber = 3
         """,
         # mirrors _q_bounding_forms: analytic center/radius/envelope of
         # integer axis-aligned boxes; radius formula bit-equal (hypot

@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 73 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 75 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, and set-operation
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
@@ -353,6 +353,8 @@ _polygonize = _u1(kernels.st_polygonize, BinaryType())
 _minbound_center = _u1(kernels.st_minbound_center, BinaryType())
 _minbound_radius = _u1(kernels.st_minbound_radius, DoubleType())
 _oriented_envelope = _u1(kernels.st_oriented_envelope, BinaryType())
+_node = _u1(kernels.st_node, BinaryType())
+_make_valid = _u1(kernels.st_make_valid, BinaryType())
 _polygonize_fold = _u1(kernels.st_polygonize_all, BinaryType())
 
 
@@ -496,6 +498,23 @@ def st_polygonize_agg(g: Column) -> Column:
     shuffle), then one planar face walk per GROUP assembles the faces
     (kernels.st_polygonize_all). Use inside groupBy().agg(...)."""
     return _polygonize_fold(F.collect_list(g))
+
+
+def st_node(g: GeomLike) -> Column:
+    """ST_Node: fully node lineal input — every path split at each
+    crossing / endpoint touch, duplicate pieces dissolved (PostGIS;
+    beyond-reference)."""
+    return _node(_geom(g))
+
+
+def st_makevalid(g: GeomLike) -> Column:
+    """ST_MakeValid, LINEWORK method (PostGIS; beyond-reference): node
+    the boundary rings, polygonize the arrangement, keep odd even-odd
+    parity faces, drop zero-area spikes. Bowties split, pinches become
+    multipolygons, overlapping multipolygon members XOR (the documented
+    linework behavior); valid input round-trips. Non-areal input is
+    returned unchanged."""
+    return _make_valid(_geom(g))
 
 
 def st_minimumboundingradius(g: GeomLike) -> Column:
@@ -831,6 +850,8 @@ _SQL_UDFS = {
     "ST_MinimumBoundingRadius": _minbound_radius,
     "ST_MinBoundCenter": _minbound_center,
     "ST_OrientedEnvelope": _oriented_envelope,
+    "ST_Node": _node,
+    "ST_MakeValid": _make_valid,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -883,6 +904,7 @@ __all__ = [
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
     "st_linemerge", "st_subdivide", "st_polygonize", "st_polygonize_agg",
     "st_minimumboundingradius", "st_minboundcenter", "st_orientedenvelope",
+    "st_node", "st_makevalid",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..geo import algos, edit, overlay, relate, vector
-from ..geo import bounding
+from ..geo import bounding, noding
 from ..geo import polygonize as polygonize_mod
 from ..geo import subdivide as subdivide_mod
 from ..geo.geom import Geometry
@@ -994,6 +994,8 @@ def _mbc_center(g: Geometry) -> Geometry:
 
 
 st_minbound_center = _unary_geom(_mbc_center)
+st_node = _unary_geom(noding.node_geometry)
+st_make_valid = _unary_geom(noding.make_valid)
 st_oriented_envelope = _unary_geom(bounding.oriented_envelope)
 
 

@@ -1,0 +1,201 @@
+"""Linework noding and validity repair (PostGIS ST_Node /
+ST_MakeValid, linework method).
+
+``node_paths`` splits every input path at each intersection with any
+other segment — proper crossings (algos.segment_crossing) and
+endpoint-on-interior touches (algos._on_segment), which together also
+delimit collinear overlaps at their endpoints. O(segments²) per CALL —
+these kernels run per geometry (or per small group), where vertex
+counts are bounded; corpus-scale noding is the job of the distributed
+operators on top.
+
+``make_valid`` is the GEOS/PostGIS *linework* strategy: node the
+boundary rings, polygonize the resulting arrangement, and keep the
+faces whose interior has ODD even-odd parity against the original ring
+multiset (a bowtie becomes two triangles; a valid polygon round-trips).
+Deviation, documented: faces are emitted as separate polygons even when
+they share an edge (only reachable through degenerate double-traced
+chords); PostGIS would dissolve them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .algos import _node_key, _on_segment, point_in_ring, segment_crossing
+from .geom import Coord, Geometry, ring_area2
+
+__all__ = ["node_paths", "node_geometry", "make_valid"]
+
+
+def node_paths(lines: Sequence[Sequence[Coord]]) -> List[List[Coord]]:
+    """Each input path split at every node; pieces keep their original
+    interior vertices and direction. Duplicate pieces are NOT removed
+    here (ST_Node dissolves them; polygonize dedups itself)."""
+    lines = [list(ln) for ln in lines if len(ln) >= 2]
+    segs: List[Tuple[int, int, Coord, Coord]] = []
+    for li, line in enumerate(lines):
+        for si in range(len(line) - 1):
+            segs.append((li, si, line[si], line[si + 1]))
+    cuts: Dict[Tuple[int, int], Dict[tuple, Coord]] = {}
+
+    def addcut(li: int, si: int, p: Coord) -> None:
+        cuts.setdefault((li, si), {})[_node_key(p)] = p
+
+    for i in range(len(segs)):
+        li, si, a, b = segs[i]
+        for j in range(i + 1, len(segs)):
+            lj, sj, c, d = segs[j]
+            if li == lj and abs(si - sj) <= 1:
+                continue            # same-path neighbors share a vertex
+            x = segment_crossing(a, b, c, d)
+            if x is not None:
+                addcut(li, si, x)
+                addcut(lj, sj, x)
+            for p in (c, d):
+                if _on_segment(p, a, b):
+                    addcut(li, si, p)
+            for p in (a, b):
+                if _on_segment(p, c, d):
+                    addcut(lj, sj, p)
+
+    out: List[List[Coord]] = []
+    for li, line in enumerate(lines):
+        piece: List[Coord] = [line[0]]
+        for si in range(len(line) - 1):
+            a, b = line[si], line[si + 1]
+            cs = list(cuts.get((li, si), {}).values())
+            cs.sort(key=lambda p: (p[0] - a[0]) ** 2 + (p[1] - a[1]) ** 2)
+            for p in cs:
+                if _node_key(p) == _node_key(piece[-1]):
+                    # node AT the current position (segment start / a
+                    # previous cut): close the running piece
+                    if len(piece) > 1:
+                        out.append(piece)
+                        piece = [piece[-1]]
+                    continue
+                piece.append(p)
+                out.append(piece)
+                piece = [p]
+            if _node_key(b) != _node_key(piece[-1]):
+                piece.append(b)
+        if len(piece) > 1:
+            out.append(piece)
+    return out
+
+
+def _line_members(g: Geometry) -> List[List[Coord]]:
+    from .overlay import _line_members as lm
+    return lm(g)
+
+
+def node_geometry(g: Geometry) -> Geometry:
+    """ST_Node: fully node the lineal input; duplicate pieces dissolve
+    (undirected canonical-key dedup), output is a MultiLineString of
+    the noded paths in deterministic input order."""
+    pieces = node_paths(_line_members(g))
+    seen = set()
+    keep: List[List[Coord]] = []
+    for p in pieces:
+        fwd = tuple(_node_key(c) for c in p)
+        key = min(fwd, fwd[::-1])
+        if key in seen:
+            continue
+        seen.add(key)
+        keep.append(p)
+    if not keep:
+        return Geometry("MultiLineString", [], g.srid)
+    if len(keep) == 1:
+        return Geometry("LineString", keep[0], g.srid)
+    return Geometry("MultiLineString", keep, g.srid)
+
+
+def _interior_point(face: Sequence[Sequence[Coord]],
+                    avoid: Sequence[Tuple[Coord, Coord]]) -> Optional[Coord]:
+    """A point strictly inside the face (inside its shell, outside its
+    holes) and off every ``avoid`` segment, so an even-odd parity test
+    is unambiguous. Probes points pulled from each shell corner toward
+    its neighbors' midpoint at shrinking weights (small weights first —
+    a large step can vault across a concavity or into a hole)."""
+    shell = list(face[0])
+    holes = [list(h) for h in face[1:]]
+    n = len(shell) - 1
+    for i in range(n):
+        a, v, b = shell[(i - 1) % n], shell[i], shell[(i + 1) % n]
+        for w in (0.1, 0.01, 0.5, 0.001):
+            m = (v[0] + w * ((a[0] + b[0]) / 2.0 - v[0]),
+                 v[1] + w * ((a[1] + b[1]) / 2.0 - v[1]))
+            if point_in_ring(m, shell) != 1:
+                continue
+            if any(point_in_ring(m, h) != -1 for h in holes):
+                continue
+            if any(_on_segment(m, p, q) for p, q in avoid):
+                continue
+            return m
+    return None
+
+
+def make_valid(g: Geometry) -> Geometry:
+    """ST_MakeValid (linework method) for areal inputs; non-areal
+    geometries come back unchanged (points/lines have no ring validity
+    to repair — PostGIS behaves the same)."""
+    if g.typ not in ("Polygon", "MultiPolygon"):
+        return g
+    rings: List[List[Coord]] = []
+    if g.typ == "Polygon":
+        rings = [list(r) for r in g.parts]
+    else:
+        for poly in g.parts:
+            rings.extend(list(r) for r in poly)
+    rings = [r for r in rings if len(r) >= 4]
+    if not rings:
+        return Geometry("Polygon", [], g.srid)
+    from .polygonize import polygonize
+    noded = node_paths(rings)
+    arrangement = polygonize(
+        [Geometry("LineString", p) for p in noded])
+    faces: List[List[List[Coord]]] = []
+    if arrangement.typ == "Polygon" and not arrangement.is_empty():
+        faces = [arrangement.parts]
+    elif arrangement.typ == "MultiPolygon":
+        faces = list(arrangement.parts)
+    ring_segs = [(r[i], r[i + 1]) for r in rings for i in range(len(r) - 1)]
+    kept: List[List[List[Coord]]] = []
+    for face in faces:
+        m = _interior_point(face, ring_segs)
+        if m is None:
+            continue            # sliver thinner than the probe — drop
+        crossings = sum(1 for r in rings if point_in_ring(m, r) == 1)
+        if crossings % 2 == 1:
+            kept.append(face)
+    kept = [[r for r in (_drop_spikes(r) for r in face) if r is not None]
+            for face in kept]
+    kept = [face for face in kept if face]
+    if not kept:
+        return Geometry("Polygon", [], g.srid)
+    if len(kept) == 1:
+        return Geometry("Polygon", kept[0], g.srid)
+    return Geometry("MultiPolygon", kept, g.srid)
+
+
+def _drop_spikes(ring: Sequence[Coord]) -> Optional[List[Coord]]:
+    """Remove zero-area spikes (…, a, b, a, …) from a closed ring —
+    the boundary artifact a degenerate input spike leaves on an
+    otherwise valid face (PostGIS's keepCollapsed=false drops them
+    too). None if the ring collapses below a triangle."""
+    r = list(ring[:-1])
+    changed = True
+    while changed and len(r) >= 3:
+        changed = False
+        for i in range(len(r)):
+            if r[(i - 1) % len(r)] == r[(i + 1) % len(r)]:
+                # vertex i is the tip of a backtrack: drop it and one
+                # duplicate neighbor
+                j = (i + 1) % len(r)
+                for k in sorted((i, j), reverse=True):
+                    r.pop(k)
+                changed = True
+                break
+    if len(r) < 3 or abs(ring_area2(r + [r[0]])) == 0.0:
+        return None
+    return r + [r[0]]
