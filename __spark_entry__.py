@@ -840,6 +840,43 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout keys over customer lon/lat — the
+    file-clustering write key (operators/layout.py). Pure JVM bit
+    arithmetic; the oracle mirrors the identical quantize + spread-bits
+    ladder with DuckDB integer ops. %7 rows carry a NULL coordinate
+    through (null-in/null-out, the greatest/least clamp trap)."""
+    from datafusion_geo_spark.operators.layout import morton_key
+    from datafusion_geo_spark.sources.fixtures import load_table
+    c = load_table(spark, sf_dir, "customer")
+    x = F.when(F.col("c_custkey") % 7 != 0,
+               (F.col("c_custkey") % 360 - 180).cast("double"))
+    y = (F.col("c_nationkey") * 7 - 84).cast("double")
+    return c.select(
+        "c_custkey",
+        morton_key(x, y, (-180.0, -90.0, 180.0, 90.0)).alias("zkey"))
+
+
+def _morton_sql(xe: str, ye: str) -> str:
+    """DuckDB twin of layout.morton_key: identical quantization and
+    spread-bits ladder via integer bit ops."""
+    def cell(e: str, lo: float, hi: float) -> str:
+        q = (f"CAST(floor((({e}) - ({lo})) / ({hi} - {lo}) * 65536.0) "
+             f"AS BIGINT)")
+        return f"LEAST(65535, GREATEST(0, {q}))"
+
+    def spread(e: str) -> str:
+        m = f"(({e}) & 65535)"
+        for mask, sh in ((0x00FF00FF, 8), (0x0F0F0F0F, 4),
+                         (0x33333333, 2), (0x55555555, 1)):
+            m = f"((({m}) | (({m}) << {sh})) & {mask})"
+        return m
+
+    qx = cell(xe, -180.0, 180.0)
+    qy = cell(ye, -90.0, 90.0)
+    return f"({spread(qx)} | ({spread(qy)} << 1))"
+
+
 def _q_makevalid_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MakeValid (linework/even-odd) + ST_Node goldens pinned by
     tests/test_makevalid.py: bowtie split, valid round-trip (incl.
@@ -2105,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_within": _q_cluster_within,
         "bounding_forms": _q_bounding_forms,
         "makevalid_literal": _q_makevalid_literal,
+        "zorder_keys": _q_zorder_keys,
         "makevalid_bowties": _q_makevalid_bowties,
         "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -3248,6 +3286,17 @@ def oracle_sql() -> dict[str, str]:
               (5, 'MULTILINESTRING((0 0,1 0,2 0),(10 0,11 0,12 0))'),
               (6, 'GEOMETRYCOLLECTION EMPTY')
             ) AS v(id, merged_wkt)
+        """,
+        # mirrors _q_zorder_keys: same quantize + spread-bits ladder in
+        # DuckDB integer ops (helper _morton_sql); %7 null propagates
+        "zorder_keys": f"""
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE {_morton_sql(
+                            "(c_custkey % 360 - 180)::DOUBLE",
+                            "(c_nationkey * 7 - 84)::DOUBLE")}
+                   END AS zkey
+            FROM customer
         """,
         # mirrors _q_makevalid_literal: goldens pinned by
         # tests/test_makevalid.py
