@@ -1533,6 +1533,18 @@ def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=_fitted_centroids(vecs, sf_dir))
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 by inner product: subspace L2
+    Lloyd codebooks (all subspaces trained in shared jobs), m=8 int
+    codes per vector (32x storage cut over 64 float dims), scores =
+    micro-int table lookups summed — the PQ memory-bound scale path
+    next to IVF's compute path. Oracle: full SQL replay
+    (_pq_oracle)."""
+    from datafusion_geo_spark.operators.similarity import pq_search
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    return pq_search(embeddings_normed(spark, sf_dir))
+
+
 def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup: first event per (user_id, event_type)
     by (ts, event_id) plus duplicate counts, via a streaming struct-MIN
@@ -2143,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounding_forms": _q_bounding_forms,
         "makevalid_literal": _q_makevalid_literal,
         "zorder_keys": _q_zorder_keys,
+        "pq_topk": _q_pq_topk,
         "makevalid_bowties": _q_makevalid_bowties,
         "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -2376,6 +2389,78 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int,
                          generate_series(1, {dim}) AS g(i)
                     GROUP BY a.cid, g.i) GROUP BY cid)""")
     return ctes
+
+
+def _pq_oracle(m: int = 8, ksub: int = 16, iters: int = 2,
+               max_query_id: int = 8, k: int = 10, dim: int = 64) -> str:
+    """DuckDB twin of similarity.pq_train/encode/search: the subspace
+    L2 Lloyd replay (all subspaces in one CTE chain, keyed by s), PQ
+    codes from the trained books, then ADC inner-product scoring with
+    per-entry micro-int rounding before the sum."""
+    d = dim // m
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    l2 = (f"list_sum(list_transform(generate_series(1, {d}), i -> "
+          f"(a.sv[i] - c.cvec[i]) * (a.sv[i] - c.cvec[i])))")
+    dp = (f"list_sum(list_transform(generate_series(1, {d}), i -> "
+          f"q.qv[i] * c.cvec[i]))")
+    sub = "list_slice(v, g.s * {d} + 1, g.s * {d} + {d})".format(d=d)
+    ctes = [f"vecs AS ({_VECS_EMB})",
+            f"""subs AS (SELECT vec_id, g.s, {sub} AS sv
+                 FROM vecs, generate_series(0, {m - 1}) AS g(s))""",
+            f"""c0 AS (SELECT g.s, cid::INT AS cid, {sub} AS cvec
+                 FROM (SELECT (ROW_NUMBER() OVER (
+                                 ORDER BY md5(vec_id::VARCHAR), vec_id)
+                               - 1) AS cid, v
+                       FROM vecs) r,
+                      generate_series(0, {m - 1}) AS g(s)
+                 WHERE cid < {ksub})"""]
+    for it in range(1, iters + 1):
+        ctes.append(f"""
+        s{it} AS (SELECT a.vec_id, a.s, c.cid,
+                         {r6.format(x=l2)} AS d2
+                  FROM subs a JOIN c{it - 1} c ON c.s = a.s),
+        a{it} AS (SELECT vec_id, s, cid FROM (
+                    SELECT vec_id, s, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, cid) AS rn
+                    FROM s{it}) WHERE rn = 1),
+        c{it} AS (SELECT s, cid, list(cx ORDER BY i) AS cvec FROM (
+                    SELECT a.s, a.cid, g.i,
+                           {r6.format(x="AVG(b.sv[g.i])")} AS cx
+                    FROM a{it} a
+                    JOIN subs b ON b.vec_id = a.vec_id AND b.s = a.s,
+                         generate_series(1, {d}) AS g(i)
+                    GROUP BY a.s, a.cid, g.i) GROUP BY s, cid)""")
+    fin = f"""
+        enc_s AS (SELECT a.vec_id, a.s, c.cid,
+                         {r6.format(x=l2)} AS d2
+                  FROM subs a JOIN c{iters} c ON c.s = a.s),
+        codes AS (SELECT vec_id, s, cid FROM (
+                    SELECT vec_id, s, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2, cid) AS rn
+                  FROM enc_s) WHERE rn = 1),
+        qsubs AS (SELECT vec_id AS query_id, s, sv AS qv FROM subs
+                  WHERE vec_id < {max_query_id}),
+        tab AS (SELECT q.query_id, c.s, c.cid,
+                       CAST((CASE WHEN ({r6.format(x=dp)}) < 0
+                                  THEN -1 ELSE 1 END)
+                            * floor(abs({r6.format(x=dp)}) * 1000000.0
+                                    + 0.5) AS BIGINT) AS dp_micro
+                FROM qsubs q JOIN c{iters} c ON c.s = q.s),
+        scored AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                          CAST(SUM(t.dp_micro) AS BIGINT) AS score_micro
+                   FROM codes e
+                   JOIN tab t ON t.s = e.s AND t.cid = e.cid
+                   WHERE t.query_id != e.vec_id
+                   GROUP BY t.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, score_micro, rank::INT AS rank FROM (
+          SELECT query_id, neighbor_id, score_micro,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= {k}"""
+    return "WITH " + ",".join(ctes) + "," + fin
 
 
 def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
@@ -3907,6 +3992,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs) WHERE rank <= 10
         """,
         "ivf_trained_topk": _ivf_trained_oracle(),
+        "pq_topk": _pq_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         # mirrors _q_knn_join: ivf_topk's replay with probes over the
         # WHOLE corpus and k=5

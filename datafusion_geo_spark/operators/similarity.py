@@ -610,3 +610,141 @@ def quantization_report(emb: DataFrame, id_col: str = "vec_id",
         F.array_max(F.transform(F.col("q"), lambda x: F.abs(x)))
         .alias("q_absmax"),
         err.alias("err_nano"))
+
+
+# Product quantization (ADC search) -------------------------------------
+
+def _subvectors(v: Column, m: int, d: int) -> Column:
+    """array of m subvector slices (each d dims) of an array<double>."""
+    return F.array(*[F.slice(v, s * d + 1, d) for s in range(m)])
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_train(vecs: DataFrame, m: int = 8, ksub: int = 16, iters: int = 2,
+             id_col: str = "vec_id") -> list:
+    """Product-quantization codebooks: the embedding dimension is split
+    into ``m`` subspaces and each gets ``ksub`` centroids from
+    deterministic L2 Lloyd's — ALL subspaces train in the SAME Spark
+    jobs (subspace id rides the rows via posexplode; assignment and the
+    mean-update aggregate just carry ``s`` in their keys), so the fit
+    costs one corpus pass per iteration, not one per subspace.
+
+    Same engine-exactness discipline as kmeans_centroids: seeds are the
+    ksub smallest-md5(id) vectors (identical row set for every
+    subspace), assignment is argmin of 6-dp-rounded SQUARED L2 with
+    ties to the lowest centroid id, means round to 6 dp. Returns
+    [(s, cid, centroid)] driver-side (m*ksub*d doubles — the standard
+    k-means sync, corpus-size independent)."""
+    spark = vecs.sparkSession
+    dim = len(vecs.select("v").first()["v"])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    d = dim // m
+    subs = (vecs.select(F.col(id_col),
+                        F.posexplode(_subvectors(F.col("v"), m, d))
+                        .alias("s", "sv"))).persist()
+    try:
+        seed_rows = (vecs
+                     .orderBy(F.md5(F.col(id_col).cast("string")),
+                              F.col(id_col))
+                     .limit(ksub).select(id_col, "v").collect())
+        cents = [(s, cid, list(r["v"])[s * d:(s + 1) * d])
+                 for cid, r in enumerate(seed_rows) for s in range(m)]
+        for _ in range(iters):
+            cdf = F.broadcast(spark.createDataFrame(
+                cents, "s int, cid int, cvec array<double>"))
+            scored = (subs.join(cdf, "s")
+                      .select(F.col(id_col), "s", "cid",
+                              round6_binary(_l2sq(F.col("sv"),
+                                                  F.col("cvec")))
+                              .alias("d2")))
+            assign = (scored.groupBy(id_col, "s")
+                      .agg(F.min(F.struct("d2", "cid")).alias("mn"))
+                      .select(F.col(id_col), "s",
+                              F.col("mn.cid").alias("cid")))
+            upd = (assign.join(subs, [id_col, "s"])
+                   .select("s", "cid",
+                           F.posexplode(F.col("sv")).alias("pos", "x"))
+                   .groupBy("s", "cid", "pos")
+                   .agg(round6_binary(F.avg("x")).alias("cx"))
+                   .collect())
+            by_key: dict = {}
+            for r in upd:
+                by_key.setdefault((r["s"], r["cid"]), {})[r["pos"]] = r["cx"]
+            cents = [(s, cid, [dims[p] for p in sorted(dims)])
+                     for (s, cid), dims in sorted(by_key.items())]
+        return cents
+    finally:
+        subs.unpersist()
+
+
+def pq_encode(vecs: DataFrame, codebooks: list, m: int, d: int,
+              id_col: str = "vec_id") -> DataFrame:
+    """int8-style PQ codes: (id_col, codes array<int> of length m) —
+    each float32 corpus vector becomes m small ints plus the shared
+    codebooks (m*ksub*d doubles), a 32x storage cut at m=8 over 64
+    float dims. One broadcast join + one aggregate."""
+    spark = vecs.sparkSession
+    cdf = F.broadcast(spark.createDataFrame(
+        codebooks, "s int, cid int, cvec array<double>"))
+    subs = vecs.select(F.col(id_col),
+                       F.posexplode(_subvectors(F.col("v"), m, d))
+                       .alias("s", "sv"))
+    assign = (subs.join(cdf, "s")
+              .select(F.col(id_col), "s", "cid",
+                      round6_binary(_l2sq(F.col("sv"), F.col("cvec")))
+                      .alias("d2"))
+              .groupBy(id_col, "s")
+              .agg(F.min(F.struct("d2", "cid")).alias("mn")))
+    return (assign.groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("s"), F.col("mn.cid").alias("cid"))))
+                .alias("sc"))
+            .select(F.col(id_col),
+                    F.transform(F.col("sc"), lambda x: x["cid"])
+                    .alias("codes")))
+
+
+def pq_search(vecs: DataFrame, m: int = 8, ksub: int = 16,
+              iters: int = 2, max_query_id: int = 8, k: int = 10,
+              id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k by inner product: the dot
+    product decomposes exactly over subspaces, so score(q, x) ~
+    sum_s dot(q_s, codebook[s][code_s(x)]). Per query the m*ksub
+    lookup table broadcasts (tiny); the corpus side touches only the
+    CODES — at 100 TB the scan reads m bytes per vector instead of the
+    raw floats, the entire point of PQ. Per-entry contributions round
+    to integer micro units before the sum, making scores fold-order
+    independent. Returns (query_id, neighbor_id, score_micro, rank)."""
+    dim = len(vecs.select("v").first()["v"])
+    d = dim // m
+    cb = pq_train(vecs, m, ksub, iters, id_col)
+    codes = pq_encode(vecs, cb, m, d, id_col)
+    spark = vecs.sparkSession
+    cdf = spark.createDataFrame(cb, "s int, cid int, cvec array<double>")
+    qsubs = (vecs.where(F.col(id_col) < max_query_id)
+             .select(F.col(id_col).alias("query_id"),
+                     F.posexplode(_subvectors(F.col("v"), m, d))
+                     .alias("s", "qv")))
+    dp = round6_binary(dot(F.col("qv"), F.col("cvec")))
+    table = F.broadcast(
+        qsubs.join(F.broadcast(cdf), "s")
+        .select("query_id", "s", "cid",
+                (F.signum(dp) * F.floor(F.abs(dp) * F.lit(1e6)
+                                        + F.lit(0.5))).cast("long")
+                .alias("dp_micro")))
+    exploded = codes.select(F.col(id_col).alias("neighbor_id"),
+                            F.posexplode(F.col("codes"))
+                            .alias("s", "cid"))
+    scored = (exploded.join(table, ["s", "cid"])
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("dp_micro").alias("score_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id"))
+    return (scored.where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

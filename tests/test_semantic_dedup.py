@@ -105,3 +105,33 @@ def test_quantize_embeddings_codes(spark):
     for vid, r in rep.items():
         bound = (got[vid][0] / 2) * 4 * 1e9 + 4
         assert r["err_nano"] <= bound
+
+
+def test_pq_beats_random_recall(spark):
+    """PQ ADC top-k must overlap real brute-force top-k far above
+    chance (codes preserve geometry), and codes must be in range."""
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_search, pq_train)
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    from tests.conftest import SF_DIR
+    vecs = embeddings_normed(spark, SF_DIR)
+    n = vecs.count()
+    cb = pq_train(vecs, m=8, ksub=16, iters=2)
+    assert all(0 <= cid < 16 and len(cv) == 8 for _, cid, cv in cb)
+    codes = pq_encode(vecs, cb, 8, 8).collect()
+    assert all(len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+               for r in codes)
+    pq = pq_search(vecs, k=10).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bf = cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=10).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for r in pq:
+        total += 1
+        hits += r["neighbor_id"] in bf_sets.get(r["query_id"], set())
+    recall = hits / total
+    chance = 10.0 / n
+    assert recall > 5 * chance, (recall, chance)
