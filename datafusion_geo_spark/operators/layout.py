@@ -23,19 +23,14 @@ from typing import Optional, Tuple
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from ..sources.geoio import _part1by1 as _spread16
+
 __all__ = ["morton_key", "zorder_layout"]
 
-# (mask, shift) ladder spreading 16 bits to even positions of 32
-_SPREAD = ((0x00FF00FF, 8), (0x0F0F0F0F, 4), (0x33333333, 2),
-           (0x55555555, 1))
-
-
-def _spread16(v: Column) -> Column:
-    """Spread the low 16 bits of ``v`` to the even bit positions."""
-    m = v.bitwiseAND(F.lit(0xFFFF))
-    for mask, sh in _SPREAD:
-        m = (m.bitwiseOR(F.shiftleft(m, sh))).bitwiseAND(F.lit(mask))
-    return m
+# The bit-spreading ladder is shared with sources/geoio.py, whose
+# cell-size-based morton_key serves the write_geo_parquet within-cell
+# clustering; this module's bounds-quantized variant is the global
+# layout key (fixed [0, 2^bits) grid over known bounds).
 
 
 def morton_key(x: Column, y: Column,
