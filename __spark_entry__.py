@@ -15,6 +15,7 @@ reference's own unit tests (SURVEY.md §5).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -838,6 +839,34 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("not a url "),
                             F.col("doc_id").cast("string"))))
     return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+def _q_shortline_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ShortestLine + ST_Project over analytic customer points: the
+    box sits strictly up-right of the point so the witness pair is
+    (point, box corner) with length sqrt(200); the projected point at
+    azimuth pi/2 (due east) lands at x+d (y shifts by d*cos(pi/2) ~
+    1e-16, erased by the 6-dp rounding both engines share)."""
+    from datafusion_geo_spark.functions import (st_astext, st_length,
+                                                st_makeenvelope, st_point,
+                                                st_project,
+                                                st_shortestline, st_x,
+                                                st_y)
+    from datafusion_geo_spark.sources.fixtures import load_table
+    c = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 100).cast("double")
+    y = F.col("c_nationkey").cast("double")
+    d = (F.col("c_custkey") % 5 + 1).cast("double")
+    pt = st_point(x, y)
+    box = st_makeenvelope(x + 10, y + 10, x + 15, y + 15)
+    sl = st_shortestline(pt, box)
+    pr = st_project(pt, d, math.pi / 2)
+    return c.select(
+        "c_custkey",
+        st_astext(sl).alias("sl_wkt"),
+        _rb6(st_length(sl)).alias("sl_len"),
+        _rb6(st_x(pr)).alias("px"),
+        _rb6(st_y(pr)).alias("py"))
 
 
 def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2156,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "makevalid_literal": _q_makevalid_literal,
         "zorder_keys": _q_zorder_keys,
         "pq_topk": _q_pq_topk,
+        "shortline_project": _q_shortline_project,
         "makevalid_bowties": _q_makevalid_bowties,
         "polygonize_regions": _q_polygonize_regions,
         # --- r3-green, rotated out of r4's checked window (11) ---
@@ -3371,6 +3401,29 @@ def oracle_sql() -> dict[str, str]:
               (5, 'MULTILINESTRING((0 0,1 0,2 0),(10 0,11 0,12 0))'),
               (6, 'GEOMETRYCOLLECTION EMPTY')
             ) AS v(id, merged_wkt)
+        """,
+        # mirrors _q_shortline_project: witness pair and projection are
+        # analytic; libm sin/cos/sqrt agree across engines (the kernel
+        # runs Python math, which matches DuckDB bit-for-bit)
+        "shortline_project": """
+            SELECT c_custkey,
+                   'LINESTRING(' || (c_custkey % 100) || ' '
+                     || c_nationkey || ',' || (c_custkey % 100 + 10)
+                     || ' ' || (c_nationkey + 10) || ')' AS sl_wkt,
+                   ((CASE WHEN (sqrt(200.0)) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(sqrt(200.0)) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS sl_len,
+                   ((CASE WHEN ((c_custkey % 100) + (c_custkey % 5 + 1)
+                                * sin(pi() / 2)) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs((c_custkey % 100) + (c_custkey % 5 + 1)
+                                * sin(pi() / 2)) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS px,
+                   ((CASE WHEN (c_nationkey + (c_custkey % 5 + 1)
+                                * cos(pi() / 2)) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(c_nationkey + (c_custkey % 5 + 1)
+                                * cos(pi() / 2)) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS py
+            FROM customer
         """,
         # mirrors _q_zorder_keys: same quantize + spread-bits ladder in
         # DuckDB integer ops (helper _morton_sql); %7 null propagates

@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 75 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 77 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, and set-operation
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
@@ -355,6 +355,8 @@ _minbound_radius = _u1(kernels.st_minbound_radius, DoubleType())
 _oriented_envelope = _u1(kernels.st_oriented_envelope, BinaryType())
 _node = _u1(kernels.st_node, BinaryType())
 _make_valid = _u1(kernels.st_make_valid, BinaryType())
+_shortest_line = _u2(kernels.st_shortest_line, BinaryType())
+_project = _u3(kernels.st_project, BinaryType())
 _polygonize_fold = _u1(kernels.st_polygonize_all, BinaryType())
 
 
@@ -515,6 +517,21 @@ def st_makevalid(g: GeomLike) -> Column:
     linework behavior); valid input round-trips. Non-areal input is
     returned unchanged."""
     return _make_valid(_geom(g))
+
+
+def st_shortestline(a: GeomLike, b: GeomLike) -> Column:
+    """ST_ShortestLine: the 2-point LINESTRING realizing
+    distance(a, b) (PostGIS; beyond-reference). Intersecting operands
+    yield the degenerate zero-length line at the shared witness."""
+    return _shortest_line(_geom(a), _geom(b))
+
+
+def st_project(g: GeomLike, distance, azimuth) -> Column:
+    """ST_Project (planar geometry form): point ``distance`` away along
+    ``azimuth`` radians clockwise from north — the ST_Azimuth
+    convention, so st_azimuth(p, st_project(p, d, az)) == az."""
+    return _project(_geom(g), _num(distance, "double"),
+                    _num(azimuth, "double"))
 
 
 def st_minimumboundingradius(g: GeomLike) -> Column:
@@ -852,6 +869,8 @@ _SQL_UDFS = {
     "ST_OrientedEnvelope": _oriented_envelope,
     "ST_Node": _node,
     "ST_MakeValid": _make_valid,
+    "ST_ShortestLine": _shortest_line,
+    "ST_Project": _project,
     "ST_Transform": _u_variadic(kernels.transform_srid, BinaryType(),
                                 "transform_srid"),
     "ST_X": _x,
@@ -904,7 +923,7 @@ __all__ = [
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
     "st_linemerge", "st_subdivide", "st_polygonize", "st_polygonize_agg",
     "st_minimumboundingradius", "st_minboundcenter", "st_orientedenvelope",
-    "st_node", "st_makevalid",
+    "st_node", "st_makevalid", "st_shortestline", "st_project",
     "st_transform", "st_x", "st_y", "st_numgeometries", "st_geometryn",
     "st_pointn", "st_startpoint", "st_endpoint",
 ]

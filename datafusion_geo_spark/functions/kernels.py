@@ -995,6 +995,10 @@ def _mbc_center(g: Geometry) -> Geometry:
 
 st_minbound_center = _unary_geom(_mbc_center)
 st_node = _unary_geom(noding.node_geometry)
+st_shortest_line = _geom_geom_scalar_kernel(
+    lambda a, b: to_wkb_opt(algos.shortest_line(a, b)))
+st_project = _geom_num_num_kernel(
+    lambda g, d_, az_: to_wkb_opt(algos.project_point(g, d_, az_)))
 st_make_valid = _unary_geom(noding.make_valid)
 st_oriented_envelope = _unary_geom(bounding.oriented_envelope)
 

@@ -1273,3 +1273,30 @@ def simplify(g: Geometry, tol: float) -> Geometry:
         return Geometry("MultiPolygon", polys, g.srid)
     return Geometry("GeometryCollection",
                     [simplify(part, tol) for part in g.parts], g.srid)
+
+
+def shortest_line(a: Geometry, b: Geometry) -> Optional[Geometry]:
+    """ST_ShortestLine (PostGIS): the 2-point LINESTRING realizing
+    distance(a, b) — closest_point(a, b) to closest_point(b, a).
+    Intersecting operands yield a degenerate zero-length line at the
+    shared witness (PostGIS does the same). None on empty input."""
+    p = closest_point(a, b)
+    q = closest_point(b, a)
+    if p is None or q is None or p.parts is None or q.parts is None:
+        return None
+    return Geometry("LineString", [tuple(p.parts), tuple(q.parts)], a.srid)
+
+
+def project_point(a: Geometry, distance: float,
+                  az: float) -> Optional[Geometry]:
+    """ST_Project (planar, PostGIS 3.4 geometry form): the point
+    ``distance`` away from ``a`` along azimuth ``az`` (radians
+    clockwise from north — the ST_Azimuth convention, so
+    azimuth(a, project(a, d, az)) == az)."""
+    if a.typ != "Point":
+        raise ValueError(f"ST_Project: expected Point, got {a.typ}")
+    if a.parts is None:
+        return None
+    return Geometry("Point", (a.parts[0] + distance * math.sin(az),
+                              a.parts[1] + distance * math.cos(az)),
+                    a.srid)

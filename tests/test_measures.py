@@ -497,3 +497,28 @@ def test_closest_point_consistent_with_distance(spark):
                            ST_GeomFromText('POINT(1 -4)')) AS dw
     """).collect()[0]
     assert row["d"] == pytest.approx(row["dw"], abs=1e-12)
+
+
+def test_shortest_line_and_project(spark):
+    import math
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.functions import (st_astext, st_azimuth,
+                                                st_geomfromtext, st_point,
+                                                st_project,
+                                                st_shortestline)
+    df = spark.createDataFrame(
+        [("POINT(0 0)", "LINESTRING(2 -1,2 1)"),
+         ("LINESTRING(0 0,10 0)", "LINESTRING(3 -1,5 3)")],
+        "a string, b string")
+    got = [r["sl"] for r in df.select(
+        st_astext(st_shortestline(st_geomfromtext(F.col("a")),
+                                  st_geomfromtext(F.col("b"))))
+        .alias("sl")).collect()]
+    assert got == ["LINESTRING(0 0,2 0)",
+                   "LINESTRING(3.5 0,3.5 0)"]   # intersecting: degenerate
+    # azimuth round-trip: azimuth(p, project(p, d, az)) == az
+    p = st_point(F.lit(1.0), F.lit(1.0))
+    for az in (0.1, 1.0, math.pi / 2, 3.0, 5.5):
+        r = spark.range(1).select(
+            st_azimuth(p, st_project(p, 7.0, az)).alias("az")).collect()[0]
+        assert abs(r["az"] - az) < 1e-12
