@@ -1114,6 +1114,37 @@ def _q_relate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_crosses(ga, gb).alias("crss"))
 
 
+def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DE-9IM matrices (ST_Relate, geo/de9im.py) over the golden
+    pair set tests/test_de9im.py pins by hand-derivation, plus the
+    pattern forms (3-arg ST_Relate and ST_RelateMatch)."""
+    from datafusion_geo_spark.functions import (st_geomfromtext, st_relate,
+                                                st_relatematch)
+    A = "POLYGON((0 0,2 0,2 2,0 2,0 0))"
+    rows = [
+        (1, A, "POINT(2 1)"),
+        (2, A, "POINT(1 1)"),
+        (3, A, "LINESTRING(0 0,2 0)"),
+        (4, A, "POLYGON((1 1,3 1,3 3,1 3,1 1))"),
+        (5, "LINESTRING(-1 1,3 1)", A),
+        (6, "LINESTRING(0 0,10 0)", "LINESTRING(3 -1,5 3)"),
+        (7, "LINESTRING(0 0,10 0)", "LINESTRING(10 0,12 5)"),
+        (8, "LINESTRING(0 0,10 0)", "LINESTRING(4 0,12 0)"),
+        (9, A, "POLYGON((2 0,4 0,4 2,2 2,2 0))"),
+        (10, A, "POLYGON((0.5 0.5,1.5 0.5,1.5 1.5,0.5 1.5,0.5 0.5))"),
+        (11, "MULTILINESTRING((0 0,1 0),(1 0,2 0))", "POINT(1 0)"),
+        (12, "POINT(5 0)", "LINESTRING(0 0,10 0)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, a string, b string")
+    ga, gb = st_geomfromtext(F.col("a")), st_geomfromtext(F.col("b"))
+    m = st_relate(ga, gb)
+    return df.select(
+        "id",
+        m.alias("de9im"),
+        st_relate(ga, gb, "T*****FF*").alias("contains_pat"),
+        st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
+
+
 def _q_geom_edit_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_FlipCoordinates / ST_Scale (exact WKT — integer and .5-decimal
     fixture coords print identically in both engines) and ST_Rotate
@@ -2165,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_boxes": _q_setops_boxes,
         "relate_boxes": _q_relate_boxes,
         "relate_literal": _q_relate_literal,
+        "relate_matrix": _q_relate_matrix,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3223,6 +3255,24 @@ def oracle_sql() -> dict[str, str]:
               (7, FALSE, TRUE,  FALSE, FALSE),
               (8, FALSE, FALSE, TRUE,  FALSE)
             ) AS v(id, cont, touch, ovlp, crss)
+        """,
+        # mirrors _q_relate_matrix: matrices hand-derived from the OGC
+        # point-set definitions, pinned by tests/test_de9im.py
+        "relate_matrix": """
+            SELECT * FROM (VALUES
+              (1,  'FF20F1FF2', FALSE, FALSE),
+              (2,  '0F2FF1FF2', TRUE,  FALSE),
+              (3,  'FF2101FF2', FALSE, FALSE),
+              (4,  '212101212', FALSE, FALSE),
+              (5,  '101FF0212', FALSE, FALSE),
+              (6,  '0F1FF0102', FALSE, FALSE),
+              (7,  'FF1F00102', FALSE, FALSE),
+              (8,  '1010F0102', FALSE, FALSE),
+              (9,  'FF2F11212', FALSE, FALSE),
+              (10, '212FF1FF2', TRUE,  FALSE),
+              (11, '0F1FF0FF2', TRUE,  FALSE),
+              (12, '0FFFFF102', FALSE, FALSE)
+            ) AS v(id, de9im, contains_pat, disjoint_pat)
         """,
         # mirrors _q_geom_edit_points: flip/scale are exact fixture
         # arithmetic (ints and .5-decimals print identically in both

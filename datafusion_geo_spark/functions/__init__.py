@@ -335,6 +335,9 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_relate = _u2(kernels.st_relate, StringType())
+_relate_pattern = _u3(kernels.st_relate_pattern, BooleanType())
+_relate_match = _u2(kernels.st_relate_match, BooleanType())
 _intersection = _u2(kernels.geom_intersection, BinaryType())
 _union_pair = _u2(kernels.geom_union, BinaryType())
 _difference = _u2(kernels.geom_difference, BinaryType())
@@ -452,6 +455,28 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
     at points, a line passing through a polygon, a point set split
     across b (PostGIS; beyond-reference)."""
     return _crosses(_geom(a), _geom(b))
+
+
+def st_relate(a: GeomLike, b: GeomLike,
+              pattern: "Column | str | None" = None) -> Column:
+    """PostGIS ST_Relate (beyond-reference; geo/de9im.py): without a
+    pattern, the 9-char DE-9IM matrix string of a vs b; with one, the
+    boolean matrix-vs-pattern test. NULL for GeometryCollection /
+    mixed-dimension inputs (GEOS refuses those too)."""
+    if pattern is None:
+        return _relate(_geom(a), _geom(b))
+    pat = pattern if isinstance(pattern, Column) else F.lit(pattern)
+    return _relate_pattern(_geom(a), _geom(b), pat)
+
+
+def st_relatematch(matrix: "Column | str", pattern: "Column | str") -> Column:
+    """PostGIS ST_RelateMatch: DE-9IM matrix string vs intersection
+    pattern ('T'/'F'/'0'/'1'/'2'/'*'). Pure string logic — usable on
+    precomputed matrices. In SQL the 3-arg relate form is spelled
+    st_relatematch(st_relate(a, b), pattern)."""
+    m = matrix if isinstance(matrix, Column) else F.lit(matrix)
+    p = pattern if isinstance(pattern, Column) else F.lit(pattern)
+    return _relate_match(m, p)
 
 
 def st_intersection(a: GeomLike, b: GeomLike) -> Column:
@@ -849,6 +874,8 @@ _SQL_UDFS = {
     "ST_Touches": _touches,
     "ST_Overlaps": _overlaps,
     "ST_Crosses": _crosses,
+    "ST_Relate": _relate,
+    "ST_RelateMatch": _relate_match,
     "ST_Intersection": _intersection,
     "ST_Union": _union_pair,
     "ST_Difference": _difference,
@@ -919,6 +946,7 @@ __all__ = [
     "st_geohash", "st_azimuth", "st_closestpoint",
     "st_intersection", "st_union", "st_difference", "st_union_agg",
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
+    "st_relate", "st_relatematch",
     "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
     "st_linemerge", "st_subdivide", "st_polygonize", "st_polygonize_agg",

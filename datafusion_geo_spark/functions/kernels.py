@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 
 from ..geo import algos, edit, overlay, relate, vector
-from ..geo import bounding, noding
+from ..geo import bounding, de9im, noding
 from ..geo import polygonize as polygonize_mod
 from ..geo import subdivide as subdivide_mod
 from ..geo.geom import Geometry
@@ -932,6 +932,40 @@ st_within = _geom_geom_scalar_kernel(relate.within)
 st_touches = _geom_geom_scalar_kernel(relate.touches)
 st_overlaps = _geom_geom_scalar_kernel(relate.overlaps)
 st_crosses = _geom_geom_scalar_kernel(relate.crosses)
+
+# full DE-9IM matrix (geo/de9im.py; PostGIS ST_Relate / ST_RelateMatch;
+# beyond the reference's covers/intersects/equals predicate surface)
+st_relate = _geom_geom_scalar_kernel(de9im.relate)
+
+
+def st_relate_pattern(a: pd.Series, b: pd.Series,
+                      pat: pd.Series) -> pd.Series:
+    """ST_Relate(a, b, pattern) — matrix computed once per distinct
+    geometry pair, then tested against the row's pattern."""
+    al, bl, pl = a.tolist(), b.tolist(), pat.tolist()
+    cache = _DecodeCache()
+    memo: dict = {}
+    out = []
+    for i in range(len(al)):
+        va, vb, p = al[i], bl[i], pl[i]
+        if va is None or vb is None or p is None:
+            out.append(None)
+            continue
+        va, vb = bytes(va), bytes(vb)
+        key = (va, vb)
+        if key not in memo:
+            memo[key] = de9im.relate(cache.geom(va), cache.geom(vb))
+        out.append(de9im.relate_match(memo[key], str(p)))
+    return _obj_series(out)
+
+
+def st_relate_match(m: pd.Series, p: pd.Series) -> pd.Series:
+    """ST_RelateMatch — pure string matrix-vs-pattern test."""
+    out = [None if (mv is None or pv is None)
+           else de9im.relate_match(str(mv), str(pv))
+           for mv, pv in zip(m.tolist(), p.tolist())]
+    return _obj_series(out)
+
 
 # set operations (geo/overlay.py boundary-classification overlay;
 # beyond-reference — PostGIS ST_Intersection/ST_Union/ST_Difference)
