@@ -1145,6 +1145,44 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_edit_utils_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5-tail editing utilities (ST_Affine/Expand/Angle/SnapToGrid/
+    AddPoint/Multi/CollectionExtract/Dump) over exact-integer literals —
+    goldens pinned by tests/test_edit_utils.py, WKT printed identically
+    by both engines."""
+    from datafusion_geo_spark.functions import (st_addpoint, st_affine,
+                                                st_angle, st_astext,
+                                                st_collectionextract,
+                                                st_dump, st_dumppoints,
+                                                st_expand, st_geomfromtext,
+                                                st_multi, st_point,
+                                                st_removerepeatedpoints,
+                                                st_snaptogrid)
+    rows = [
+        (1, "LINESTRING(0 0,1 1)"),
+        (2, "LINESTRING(2 0,4 2)"),
+        (3, "LINESTRING(0 0,0 0,3 3,3 3,6 6)"),
+        (4, "MULTIPOINT(1 1,2 2,3 3)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    return df.select(
+        "id",
+        st_astext(st_affine(g, 2, 0, 0, 3, 10, 20)).alias("aff_wkt"),
+        st_astext(st_expand(g, 1)).alias("exp_wkt"),
+        st_astext(st_removerepeatedpoints(g)).alias("dedup_wkt"),
+        st_astext(st_snaptogrid(g, 2.0)).alias("snap_wkt"),
+        st_astext(st_addpoint(g, st_point(F.lit(9.0), F.lit(9.0))))
+        .alias("add_wkt"),
+        st_astext(st_multi(g)).alias("multi_wkt"),
+        st_astext(st_collectionextract(g, 2)).alias("lines_wkt"),
+        F.size(st_dump(g)).alias("n_members"),
+        F.size(st_dumppoints(g)).alias("n_points"),
+        _rb6(st_angle(st_point(F.lit(0.0), F.lit(0.0)),
+                      st_point(F.lit(1.0), F.lit(0.0)),
+                      st_point(F.lit(1.0), F.lit(1.0)))).alias("ang"))
+
+
 def _q_geom_edit_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_FlipCoordinates / ST_Scale (exact WKT — integer and .5-decimal
     fixture coords print identically in both engines) and ST_Rotate
@@ -2197,6 +2235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relate_boxes": _q_relate_boxes,
         "relate_literal": _q_relate_literal,
         "relate_matrix": _q_relate_matrix,
+        "edit_utils_literal": _q_edit_utils_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3273,6 +3312,45 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_edit_utils_literal: exact-integer WKT goldens
+        # (tests/test_edit_utils.py pins the same semantics)
+        "edit_utils_literal": """
+            SELECT * FROM (VALUES
+              (1, 'LINESTRING(10 20,12 23)',
+                  'POLYGON((-1 -1,2 -1,2 2,-1 2,-1 -1))',
+                  'LINESTRING(0 0,1 1)',
+                  'LINESTRING(0 0,2 2)',
+                  'LINESTRING(0 0,1 1,9 9)',
+                  'MULTILINESTRING((0 0,1 1))',
+                  'MULTILINESTRING((0 0,1 1))',
+                  1, 2, 1.570796),
+              (2, 'LINESTRING(14 20,18 26)',
+                  'POLYGON((1 -1,5 -1,5 3,1 3,1 -1))',
+                  'LINESTRING(2 0,4 2)',
+                  'LINESTRING(2 0,4 2)',
+                  'LINESTRING(2 0,4 2,9 9)',
+                  'MULTILINESTRING((2 0,4 2))',
+                  'MULTILINESTRING((2 0,4 2))',
+                  1, 2, 1.570796),
+              (3, 'LINESTRING(10 20,10 20,16 29,16 29,22 38)',
+                  'POLYGON((-1 -1,7 -1,7 7,-1 7,-1 -1))',
+                  'LINESTRING(0 0,3 3,6 6)',
+                  'LINESTRING(0 0,4 4,6 6)',
+                  'LINESTRING(0 0,0 0,3 3,3 3,6 6,9 9)',
+                  'MULTILINESTRING((0 0,0 0,3 3,3 3,6 6))',
+                  'MULTILINESTRING((0 0,0 0,3 3,3 3,6 6))',
+                  1, 5, 1.570796),
+              (4, 'MULTIPOINT(12 23,14 26,16 29)',
+                  'POLYGON((0 0,4 0,4 4,0 4,0 0))',
+                  'MULTIPOINT(1 1,2 2,3 3)',
+                  'MULTIPOINT(2 2,4 4)',
+                  NULL,
+                  'MULTIPOINT(1 1,2 2,3 3)',
+                  'MULTILINESTRING EMPTY',
+                  3, 3, 1.570796)
+            ) AS v(id, aff_wkt, exp_wkt, dedup_wkt, snap_wkt, add_wkt,
+                   multi_wkt, lines_wkt, n_members, n_points, ang)
         """,
         # mirrors _q_geom_edit_points: flip/scale are exact fixture
         # arithmetic (ints and .5-decimals print identically in both

@@ -1,9 +1,9 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 77 SQL-registered names with the PostGIS-parity
-measures, accessors, linear-referencing, transform, and set-operation
-utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
+UDAF) and extends it to 92 SQL-registered names with the PostGIS-parity
+measures, accessors, linear-referencing, transform, set-operation,
+relate-matrix, and editing utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
 the reference's exact names (`register_all(spark)`) — Spark SQL function
 lookup is case-insensitive, which subsumes the reference's lowercase
@@ -335,6 +335,20 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_affine = _u_variadic(kernels.st_affine, BinaryType(), "st_affine")
+_expand = _u_variadic(kernels.st_expand, BinaryType(), "st_expand")
+_angle = _u_variadic(kernels.st_angle, DoubleType(), "st_angle")
+_remove_repeated = _u_variadic(kernels.st_remove_repeated_points,
+                               BinaryType(), "st_removerepeatedpoints")
+_snap_to_grid = _u2(kernels.st_snap_to_grid, BinaryType())
+_add_point = _u_variadic(kernels.st_add_point, BinaryType(), "st_addpoint")
+_set_point = _u3(kernels.st_set_point, BinaryType())
+_remove_point = _u2(kernels.st_remove_point, BinaryType())
+_multi = _u1(kernels.st_multi, BinaryType())
+_collection_extract = _u2(kernels.st_collection_extract, BinaryType())
+_collection_homogenize = _u1(kernels.st_collection_homogenize, BinaryType())
+_dump = _u1(kernels.st_dump, ArrayType(BinaryType()))
+_dump_points = _u1(kernels.st_dump_points, ArrayType(BinaryType()))
 _relate = _u2(kernels.st_relate, StringType())
 _relate_pattern = _u3(kernels.st_relate_pattern, BooleanType())
 _relate_match = _u2(kernels.st_relate_match, BooleanType())
@@ -455,6 +469,100 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
     at points, a line passing through a polygon, a point set split
     across b (PostGIS; beyond-reference)."""
     return _crosses(_geom(a), _geom(b))
+
+
+def _numcol(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_affine(g: GeomLike, a, b, d, e, xoff, yoff) -> Column:
+    """PostGIS ST_Affine (2D): x' = a·x + b·y + xoff,
+    y' = d·x + e·y + yoff (geo/edit.py; beyond-reference)."""
+    return _affine(_geom(g), _numcol(a), _numcol(b), _numcol(d),
+                   _numcol(e), _numcol(xoff), _numcol(yoff))
+
+
+def st_expand(g: GeomLike, dx, dy=None) -> Column:
+    """PostGIS ST_Expand: bounding box grown by dx/dy, as a POLYGON."""
+    if dy is None:
+        return _expand(_geom(g), _numcol(dx))
+    return _expand(_geom(g), _numcol(dx), _numcol(dy))
+
+
+def st_angle(p1: GeomLike, p2: GeomLike, p3: GeomLike,
+             p4: "GeomLike | None" = None) -> Column:
+    """PostGIS ST_Angle over POINTs: 3-point form = angle at vertex p2
+    of p1-p2-p3; 4-point form = clockwise angle from direction p1→p2
+    to p3→p4. Radians in [0, 2π)."""
+    if p4 is None:
+        return _angle(_geom(p1), _geom(p2), _geom(p3))
+    return _angle(_geom(p1), _geom(p2), _geom(p3), _geom(p4))
+
+
+def st_removerepeatedpoints(g: GeomLike, tolerance=None) -> Column:
+    """PostGIS ST_RemoveRepeatedPoints: consecutive vertices closer
+    than the tolerance dissolved (exact duplicates by default)."""
+    if tolerance is None:
+        return _remove_repeated(_geom(g))
+    return _remove_repeated(_geom(g), _numcol(tolerance))
+
+
+def st_snaptogrid(g: GeomLike, size) -> Column:
+    """PostGIS ST_SnapToGrid (origin 0): coords to grid multiples,
+    duplicates dissolved, collapsed parts dropped."""
+    return _snap_to_grid(_geom(g), _numcol(size))
+
+
+def st_addpoint(g: GeomLike, pt: GeomLike, pos=None) -> Column:
+    """PostGIS ST_AddPoint: insert a POINT into a LINESTRING before
+    0-based index pos (default append)."""
+    if pos is None:
+        return _add_point(_geom(g), _geom(pt))
+    p = pos if isinstance(pos, Column) else F.lit(int(pos))
+    return _add_point(_geom(g), _geom(pt), p)
+
+
+def st_setpoint(g: GeomLike, pos, pt: GeomLike) -> Column:
+    """PostGIS ST_SetPoint: replace vertex pos (negative from end) of a
+    LINESTRING."""
+    p = pos if isinstance(pos, Column) else F.lit(int(pos))
+    return _set_point(_geom(g), p, _geom(pt))
+
+
+def st_removepoint(g: GeomLike, pos) -> Column:
+    """PostGIS ST_RemovePoint: drop vertex pos of a LINESTRING."""
+    p = pos if isinstance(pos, Column) else F.lit(int(pos))
+    return _remove_point(_geom(g), p)
+
+
+def st_multi(g: GeomLike) -> Column:
+    """PostGIS ST_Multi: promote to the multi-type."""
+    return _multi(_geom(g))
+
+
+def st_collectionextract(g: GeomLike, dimtype) -> Column:
+    """PostGIS ST_CollectionExtract: members of type 1=points 2=lines
+    3=polygons as a multi-geometry."""
+    t = dimtype if isinstance(dimtype, Column) else F.lit(int(dimtype))
+    return _collection_extract(_geom(g), t)
+
+
+def st_collectionhomogenize(g: GeomLike) -> Column:
+    """PostGIS ST_CollectionHomogenize: simplest representation of the
+    collection contents."""
+    return _collection_homogenize(_geom(g))
+
+
+def st_dump(g: GeomLike) -> Column:
+    """PostGIS ST_Dump, Spark-shaped: ARRAY of member WKBs — compose
+    with explode() for the set-returning form."""
+    return _dump(_geom(g))
+
+
+def st_dumppoints(g: GeomLike) -> Column:
+    """PostGIS ST_DumpPoints, Spark-shaped: ARRAY of vertex POINTs in
+    coordinate order."""
+    return _dump_points(_geom(g))
 
 
 def st_relate(a: GeomLike, b: GeomLike,
@@ -876,6 +984,19 @@ _SQL_UDFS = {
     "ST_Crosses": _crosses,
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
+    "ST_Affine": _affine,
+    "ST_Expand": _expand,
+    "ST_Angle": _angle,
+    "ST_RemoveRepeatedPoints": _remove_repeated,
+    "ST_SnapToGrid": _snap_to_grid,
+    "ST_AddPoint": _add_point,
+    "ST_SetPoint": _set_point,
+    "ST_RemovePoint": _remove_point,
+    "ST_Multi": _multi,
+    "ST_CollectionExtract": _collection_extract,
+    "ST_CollectionHomogenize": _collection_homogenize,
+    "ST_Dump": _dump,
+    "ST_DumpPoints": _dump_points,
     "ST_Intersection": _intersection,
     "ST_Union": _union_pair,
     "ST_Difference": _difference,
@@ -947,6 +1068,10 @@ __all__ = [
     "st_intersection", "st_union", "st_difference", "st_union_agg",
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_relate", "st_relatematch",
+    "st_affine", "st_expand", "st_angle", "st_removerepeatedpoints",
+    "st_snaptogrid", "st_addpoint", "st_setpoint", "st_removepoint",
+    "st_multi", "st_collectionextract", "st_collectionhomogenize",
+    "st_dump", "st_dumppoints",
     "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
     "st_linemerge", "st_subdivide", "st_polygonize", "st_polygonize_agg",

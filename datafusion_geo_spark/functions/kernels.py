@@ -1373,3 +1373,163 @@ def point_n(s: pd.Series, n: pd.Series) -> pd.Series:
         else:
             out.append(None)
     return _obj_series(out)
+
+
+# ------------------------------------------------- editing utilities (r5)
+# ST_Affine / ST_Expand / ST_Angle / ST_RemoveRepeatedPoints /
+# ST_SnapToGrid / ST_AddPoint / ST_SetPoint / ST_RemovePoint /
+# ST_Multi / ST_CollectionExtract / ST_CollectionHomogenize / ST_Dump
+# (geo/edit.py; PostGIS parity, beyond-reference)
+
+def st_affine(s: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
+              e: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
+    cache = _DecodeCache()
+    out = []
+    cols = [s.tolist()] + [c.tolist() for c in (a, b, d, e, xoff, yoff)]
+    memo: dict = {}
+    for i in range(len(cols[0])):
+        v = cols[0][i]
+        nums = [_num(c[i]) for c in cols[1:]]
+        if v is None or any(n is None for n in nums):
+            out.append(None)
+            continue
+        v = bytes(v)
+        nums = [float(n) for n in nums]
+        key = (v, *nums)
+        if key not in memo:
+            memo[key] = to_wkb(edit.affine(cache.geom(v), *nums))
+        out.append(memo[key])
+    return _obj_series(out)
+
+
+def st_expand(s: pd.Series, dx: pd.Series,
+              dy: Optional[pd.Series] = None) -> pd.Series:
+    if dy is None:
+        return _geom_num_kernel(
+            lambda g, v: to_wkb(edit.expand(g, float(v))))(s, dx)
+    return _geom_num_num_kernel(
+        lambda g, x, y: to_wkb(edit.expand(g, x, y)))(s, dx, dy)
+
+
+def st_angle(p1: pd.Series, p2: pd.Series, p3: pd.Series,
+             p4: Optional[pd.Series] = None) -> pd.Series:
+    """ST_Angle over POINT args (3- or 4-point form)."""
+    cache = _DecodeCache()
+    cols = [p1.tolist(), p2.tolist(), p3.tolist()]
+    if p4 is not None:
+        cols.append(p4.tolist())
+    out = []
+    for i in range(len(cols[0])):
+        vs = [c[i] for c in cols]
+        if any(v is None for v in vs):
+            out.append(None)
+            continue
+        pts = []
+        ok = True
+        for v in vs:
+            g = cache.geom(bytes(v))
+            if g.typ != "Point" or g.parts is None:
+                ok = False
+                break
+            pts.append(g.parts)
+        out.append(edit.angle(*pts) if ok else None)
+    return _obj_series(out)
+
+
+def st_remove_repeated_points(s: pd.Series,
+                              tol: Optional[pd.Series] = None) -> pd.Series:
+    if tol is None:
+        return _unary_geom(edit.remove_repeated_points)(s)
+    return _geom_num_kernel(
+        lambda g, v: to_wkb(edit.remove_repeated_points(g, float(v))))(s, tol)
+
+
+st_snap_to_grid = _geom_num_kernel(
+    lambda g, v: to_wkb(edit.snap_to_grid(g, float(v))))
+st_remove_point = _geom_num_kernel(
+    lambda g, v: (lambda r: None if r is None else to_wkb(r))(
+        edit.remove_point(g, int(v))))
+st_multi = _unary_geom(edit.multi)
+st_collection_extract = _geom_num_kernel(
+    lambda g, v: to_wkb(edit.collection_extract(g, int(v))))
+st_collection_homogenize = _unary_geom(edit.collection_homogenize)
+
+
+def st_add_point(s: pd.Series, pt: pd.Series,
+                 pos: Optional[pd.Series] = None) -> pd.Series:
+    cache = _DecodeCache()
+    sl, ptl = s.tolist(), pt.tolist()
+    posl = [-1] * len(sl) if pos is None else pos.tolist()
+    out = []
+    for i in range(len(sl)):
+        v, pv, k = sl[i], ptl[i], _num(posl[i])
+        if v is None or pv is None or k is None:
+            out.append(None)
+            continue
+        gp = cache.geom(bytes(pv))
+        if gp.typ != "Point" or gp.parts is None:
+            out.append(None)
+            continue
+        r = edit.add_point(cache.geom(bytes(v)), gp.parts, int(k))
+        out.append(None if r is None else to_wkb(r))
+    return _obj_series(out)
+
+
+def st_set_point(s: pd.Series, pos: pd.Series, pt: pd.Series) -> pd.Series:
+    cache = _DecodeCache()
+    sl, posl, ptl = s.tolist(), pos.tolist(), pt.tolist()
+    out = []
+    for i in range(len(sl)):
+        v, k, pv = sl[i], _num(posl[i]), ptl[i]
+        if v is None or k is None or pv is None:
+            out.append(None)
+            continue
+        gp = cache.geom(bytes(pv))
+        if gp.typ != "Point" or gp.parts is None:
+            out.append(None)
+            continue
+        r = edit.set_point(cache.geom(bytes(v)), int(k), gp.parts)
+        out.append(None if r is None else to_wkb(r))
+    return _obj_series(out)
+
+
+def st_dump(s: pd.Series) -> pd.Series:
+    """ST_Dump as an ARRAY of member WKBs — explode() DataFrame-side
+    (the set-returning form is not expressible as a pandas UDF; the
+    array + explode composition is the idiomatic Spark spelling)."""
+    cache = _DecodeCache()
+    out = []
+    for v in s.tolist():
+        if v is None:
+            out.append(None)
+            continue
+        g = cache.geom(bytes(v))
+        out.append([to_wkb(m.with_srid(g.srid)) for m in g.geometries()
+                    if m.parts is not None and (m.typ == "Point" or m.parts)])
+    return _obj_series(out)
+
+
+def st_dump_points(s: pd.Series) -> pd.Series:
+    """ST_DumpPoints as an ARRAY of vertex POINT WKBs, in coordinate
+    order (ring/member order preserved)."""
+    cache = _DecodeCache()
+    out = []
+    for v in s.tolist():
+        if v is None:
+            out.append(None)
+            continue
+        g = cache.geom(bytes(v))
+        pts = []
+
+        def walk(m):
+            if m.typ == "Point" and m.parts is not None:
+                pts.append(m.parts)
+            elif m.typ == "LineString":
+                pts.extend(m.parts)
+            elif m.typ == "Polygon":
+                for r in m.parts:
+                    pts.extend(r)
+        for m in g.geometries():
+            walk(m)
+        out.append([to_wkb(Geometry("Point", p, g.srid)) for p in pts])
+    return _obj_series(out)

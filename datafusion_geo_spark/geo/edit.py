@@ -197,3 +197,267 @@ def line_merge(g: Geometry) -> Geometry:
     if len(merged) == 1:
         return Geometry("LineString", merged[0], g.srid)
     return Geometry("MultiLineString", merged, g.srid)
+
+
+def affine(g: Geometry, a: float, b: float, d: float, e: float,
+           xoff: float, yoff: float) -> Geometry:
+    """ST_Affine (2D form): x' = a·x + b·y + xoff, y' = d·x + e·y +
+    yoff — the general matrix rotate/scale/shear/translate compose."""
+    return g.map_coords(
+        lambda p: (a * p[0] + b * p[1] + xoff, d * p[0] + e * p[1] + yoff))
+
+
+def expand(g: Geometry, dx: float, dy: Optional[float] = None) -> Geometry:
+    """ST_Expand: the bounding box grown by dx/dy (dy defaults to dx),
+    returned as a POLYGON (PostGIS returns the expanded BOX2D cast to
+    geometry). Empty input -> POLYGON EMPTY. A negative delta that
+    inverts the box collapses to POLYGON EMPTY (PostGIS yields an
+    inverted box; an empty result is this engine's saner convention,
+    and is documented)."""
+    if dy is None:
+        dy = dx
+    bb = g.bounds()
+    if bb is None:
+        return Geometry("Polygon", [], g.srid)
+    x0, y0, x1, y1 = bb[0] - dx, bb[1] - dy, bb[2] + dx, bb[3] + dy
+    if x0 > x1 or y0 > y1:
+        return Geometry("Polygon", [], g.srid)
+    ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+    return Geometry("Polygon", [ring], g.srid)
+
+
+def _azim(p: Coord, q: Coord) -> Optional[float]:
+    """North-based clockwise azimuth of p->q in [0, 2π)."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    if abs(dx) <= 1e-15 and abs(dy) <= 1e-15:
+        return None
+    return math.atan2(dx, dy) % (2.0 * math.pi)
+
+
+def angle(p1: Coord, p2: Coord, p3: Coord,
+          p4: Optional[Coord] = None) -> Optional[float]:
+    """ST_Angle: with four points, the clockwise angle from the
+    direction p1->p2 to the direction p3->p4; with three, the angle at
+    vertex p2 of the path p1-p2-p3 (PostGIS defines it as
+    ST_Angle(p2,p1, p2,p3)). Radians in [0, 2π); None when either
+    direction is degenerate (coincident points)."""
+    if p4 is None:
+        a1, a2 = _azim(p2, p1), _azim(p2, p3)
+    else:
+        a1, a2 = _azim(p1, p2), _azim(p3, p4)
+    if a1 is None or a2 is None:
+        return None
+    return (a2 - a1) % (2.0 * math.pi)
+
+
+def remove_repeated_points(g: Geometry, tolerance: float = 0.0) -> Geometry:
+    """ST_RemoveRepeatedPoints: drop consecutive vertices closer than
+    ``tolerance`` (exact duplicates when 0). Ring closure is preserved;
+    a line keeps >= 2 points and a ring >= 4 (the last repeats the
+    first), matching PostGIS's refusal to collapse below validity."""
+    tol = max(tolerance, 0.0)
+
+    def dedup(cs: List[Coord], closed: bool) -> List[Coord]:
+        keep = [cs[0]]
+        for c in cs[1:]:
+            if dist(keep[-1], c) > tol:
+                keep.append(c)
+        if closed:
+            if dist(keep[0], keep[-1]) > 0.0:
+                keep.append(keep[0])
+            if len(keep) < 4:    # would collapse the ring: keep original
+                return list(cs)
+        elif len(keep) < 2:
+            keep.append(cs[-1])
+        return keep
+
+    t, p, s = g.typ, g.parts, g.srid
+    if t == "LineString" and len(p) >= 2:
+        return Geometry(t, dedup(list(p), False), s)
+    if t == "MultiLineString":
+        return Geometry(t, [dedup(list(m), False) for m in p if len(m) >= 2], s)
+    if t == "Polygon" and p:
+        return Geometry(t, [dedup(list(r), True) for r in p], s)
+    if t == "MultiPolygon":
+        return Geometry(t, [[dedup(list(r), True) for r in poly]
+                            for poly in p], s)
+    if t == "MultiPoint":
+        seen, out = set(), []
+        for c in p:
+            k = c if tol == 0.0 else None
+            if tol == 0.0:
+                if k in seen:
+                    continue
+                seen.add(k)
+                out.append(c)
+            else:
+                if all(dist(c, q) > tol for q in out):
+                    out.append(c)
+        return Geometry(t, out, s)
+    if t == "GeometryCollection":
+        return Geometry(t, [remove_repeated_points(m, tol) for m in p], s)
+    return g
+
+
+def snap_to_grid(g: Geometry, size: float) -> Geometry:
+    """ST_SnapToGrid (origin 0,0): coordinates snapped to multiples of
+    ``size`` (half away from zero), consecutive duplicates dissolved;
+    parts that collapse below validity (ring < 4 pts after closure,
+    line < 2 pts) are DROPPED — PostGIS behavior."""
+    if not (size > 0.0):
+        raise ValueError("ST_SnapToGrid: size must be positive")
+
+    def snap(c: Coord) -> Coord:
+        return (math.copysign(math.floor(abs(c[0]) / size + 0.5), c[0])
+                * size + 0.0,
+                math.copysign(math.floor(abs(c[1]) / size + 0.5), c[1])
+                * size + 0.0)
+
+    def snap_seq(cs: List[Coord], closed: bool) -> Optional[List[Coord]]:
+        out: List[Coord] = []
+        for c in cs:
+            sc = snap(c)
+            if not out or dist(out[-1], sc) > 0.0:
+                out.append(sc)
+        if closed:
+            if len(out) >= 2 and dist(out[0], out[-1]) <= 0.0:
+                out.pop()
+            if len(out) < 3:
+                return None
+            out.append(out[0])
+            return out
+        return out if len(out) >= 2 else None
+
+    t, p, s = g.typ, g.parts, g.srid
+    if t == "Point":
+        return Geometry(t, snap(p) if p is not None else None, s)
+    if t == "MultiPoint":
+        seen, out = set(), []
+        for c in p:
+            sc = snap(c)
+            if sc not in seen:
+                seen.add(sc)
+                out.append(sc)
+        return Geometry(t, out, s)
+    if t == "LineString":
+        cs = snap_seq(list(p), False) if len(p) >= 2 else None
+        return Geometry(t, cs if cs else [], s)
+    if t == "MultiLineString":
+        ms = [snap_seq(list(m), False) for m in p if len(m) >= 2]
+        return Geometry(t, [m for m in ms if m], s)
+    if t == "Polygon":
+        rs = [snap_seq(list(r), True) for r in p]
+        if not rs or rs[0] is None:      # collapsed shell kills the polygon
+            return Geometry(t, [], s)
+        return Geometry(t, [r for r in rs if r], s)
+    if t == "MultiPolygon":
+        polys = []
+        for poly in p:
+            rs = [snap_seq(list(r), True) for r in poly]
+            if rs and rs[0]:
+                polys.append([r for r in rs if r])
+        return Geometry(t, polys, s)
+    if t == "GeometryCollection":
+        return Geometry(t, [snap_to_grid(m, size) for m in p], s)
+    return g
+
+
+def add_point(g: Geometry, pt: Coord, pos: int = -1) -> Optional[Geometry]:
+    """ST_AddPoint: insert ``pt`` into a LINESTRING before 0-based
+    index ``pos`` (-1 = append). None for non-lines / out-of-range
+    (PostGIS errors; NULL is the engine's SQL convention)."""
+    if g.typ != "LineString":
+        return None
+    cs = list(g.parts)
+    if pos == -1 or pos == len(cs):
+        cs.append(pt)
+    elif 0 <= pos < len(cs):
+        cs.insert(pos, pt)
+    else:
+        return None
+    return Geometry("LineString", cs, g.srid)
+
+
+def set_point(g: Geometry, pos: int, pt: Coord) -> Optional[Geometry]:
+    """ST_SetPoint: replace vertex ``pos`` (negative counts from the
+    end, PostGIS-style) of a LINESTRING."""
+    if g.typ != "LineString":
+        return None
+    cs = list(g.parts)
+    if pos < 0:
+        pos += len(cs)
+    if not (0 <= pos < len(cs)):
+        return None
+    cs[pos] = pt
+    return Geometry("LineString", cs, g.srid)
+
+
+def remove_point(g: Geometry, pos: int) -> Optional[Geometry]:
+    """ST_RemovePoint: delete vertex ``pos`` of a LINESTRING; None if
+    that would leave fewer than 2 points or the index is bad."""
+    if g.typ != "LineString":
+        return None
+    cs = list(g.parts)
+    if not (0 <= pos < len(cs)) or len(cs) <= 2:
+        return None
+    del cs[pos]
+    return Geometry("LineString", cs, g.srid)
+
+
+def multi(g: Geometry) -> Geometry:
+    """ST_Multi: promote a single geometry to its multi-type (already-
+    multi and collections pass through)."""
+    t, p, s = g.typ, g.parts, g.srid
+    if t == "Point" and p is not None:
+        return Geometry("MultiPoint", [p], s)
+    if t == "LineString" and p:
+        return Geometry("MultiLineString", [list(p)], s)
+    if t == "Polygon" and p:
+        return Geometry("MultiPolygon", [[list(r) for r in p]], s)
+    return g
+
+
+def collection_extract(g: Geometry, dimtype: int) -> Geometry:
+    """ST_CollectionExtract: the members of the requested type
+    (1=points, 2=lines, 3=polygons, PostGIS codes) re-assembled as a
+    multi-geometry; empty multi of that type when none match."""
+    want = {1: "Point", 2: "LineString", 3: "Polygon"}.get(dimtype)
+    if want is None:
+        raise ValueError("ST_CollectionExtract: type must be 1, 2 or 3")
+    members = [m for m in g.geometries() if m.typ == want]
+    if want == "Point":
+        return Geometry("MultiPoint",
+                        [m.parts for m in members if m.parts is not None],
+                        g.srid)
+    if want == "LineString":
+        return Geometry("MultiLineString",
+                        [list(m.parts) for m in members if len(m.parts) >= 2],
+                        g.srid)
+    return Geometry("MultiPolygon",
+                    [[list(r) for r in m.parts] for m in members if m.parts],
+                    g.srid)
+
+
+def collection_homogenize(g: Geometry) -> Geometry:
+    """ST_CollectionHomogenize: the simplest representation of the
+    contents — a lone member unwraps, same-type members collapse to one
+    multi, mixed contents stay a collection (members themselves
+    unwrapped of nesting)."""
+    members = [m for m in g.geometries()
+               if not (m.parts is None and m.typ == "Point") and m.parts
+               or (m.typ == "Point" and m.parts is not None)]
+    if not members:
+        return Geometry("GeometryCollection", [], g.srid)
+    if len(members) == 1:
+        m = members[0]
+        return Geometry(m.typ, m.parts, g.srid)
+    typs = {m.typ for m in members}
+    if typs == {"Point"}:
+        return Geometry("MultiPoint", [m.parts for m in members], g.srid)
+    if typs == {"LineString"}:
+        return Geometry("MultiLineString",
+                        [list(m.parts) for m in members], g.srid)
+    if typs == {"Polygon"}:
+        return Geometry("MultiPolygon",
+                        [[list(r) for r in m.parts] for m in members], g.srid)
+    return Geometry("GeometryCollection", members, g.srid)
