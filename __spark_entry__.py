@@ -1145,6 +1145,43 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_validity_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity predicates + ST_PointOnSurface + discrete Hausdorff /
+    Fréchet over golden literals (tests/test_validity_metrics.py pins
+    the same semantics; all outputs exact integers/strings)."""
+    from datafusion_geo_spark.functions import (st_astext,
+                                                st_frechetdistance,
+                                                st_geomfromtext,
+                                                st_hausdorffdistance,
+                                                st_isclosed, st_isring,
+                                                st_issimple, st_isvalid,
+                                                st_isvalidreason,
+                                                st_pointonsurface)
+    rows = [
+        (1, "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+            "LINESTRING(0 0,10 0)", "LINESTRING(0 1,10 1)"),
+        (2, "POLYGON((0 0,10 0,0 10,10 10,0 0))",
+            "LINESTRING(0 0,10 0)", "LINESTRING(10 0,0 0)"),
+        (3, "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2))",
+            "LINESTRING(0 0,1 0,1 1,0 1,0 0)", "LINESTRING(0 0,3 4)"),
+        (4, "LINESTRING(0 0,10 0,5 5,5 -1)",
+            "POINT(0 0)", "LINESTRING(2 0,4 0)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, a string, b string")
+    g = st_geomfromtext(F.col("g"))
+    a, b = st_geomfromtext(F.col("a")), st_geomfromtext(F.col("b"))
+    return df.select(
+        "id",
+        st_isvalid(g).alias("valid"),
+        st_isvalidreason(g).alias("reason"),
+        st_issimple(g).alias("simple"),
+        st_isclosed(a).alias("closed_a"),
+        st_isring(a).alias("ring_a"),
+        st_astext(st_pointonsurface(g)).alias("pos_wkt"),
+        _rb6(st_hausdorffdistance(a, b)).alias("hd"),
+        _rb6(st_frechetdistance(a, b)).alias("fd"))
+
+
 def _q_edit_utils_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5-tail editing utilities (ST_Affine/Expand/Angle/SnapToGrid/
     AddPoint/Multi/CollectionExtract/Dump) over exact-integer literals —
@@ -2236,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relate_literal": _q_relate_literal,
         "relate_matrix": _q_relate_matrix,
         "edit_utils_literal": _q_edit_utils_literal,
+        "validity_literal": _q_validity_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3312,6 +3350,21 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_validity_literal: hand-derived flags/reasons/POS;
+        # hd/fd are exact surds rounded by the shared binary helper
+        "validity_literal": """
+            SELECT * FROM (VALUES
+              (1, TRUE,  'Valid Geometry', TRUE, FALSE, FALSE,
+                  'POINT(5 5)', 1.0, 1.0),
+              (2, FALSE, 'Ring Self-intersection[5 5]', TRUE, FALSE, FALSE,
+                  'POINT(5 5)', 0.0, 10.0),
+              (3, TRUE,  'Valid Geometry', TRUE, TRUE, TRUE,
+                  'POINT(1 5)', 3.605551, 5.0),
+              (4, TRUE,  'Valid Geometry', FALSE, TRUE, NULL,
+                  'POINT(5 5)', 4.0, 4.0)
+            ) AS v(id, valid, reason, simple, closed_a, ring_a,
+                   pos_wkt, hd, fd)
         """,
         # mirrors _q_edit_utils_literal: exact-integer WKT goldens
         # (tests/test_edit_utils.py pins the same semantics)

@@ -335,6 +335,14 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_is_closed = _u1(kernels.st_is_closed, BooleanType())
+_is_ring = _u1(kernels.st_is_ring, BooleanType())
+_is_simple = _u1(kernels.st_is_simple, BooleanType())
+_is_valid = _u1(kernels.st_is_valid, BooleanType())
+_is_valid_reason = _u1(kernels.st_is_valid_reason, StringType())
+_point_on_surface = _u1(kernels.st_point_on_surface, BinaryType())
+_hausdorff = _u2(kernels.st_hausdorff, DoubleType())
+_frechet = _u2(kernels.st_frechet, DoubleType())
 _affine = _u_variadic(kernels.st_affine, BinaryType(), "st_affine")
 _expand = _u_variadic(kernels.st_expand, BinaryType(), "st_expand")
 _angle = _u_variadic(kernels.st_angle, DoubleType(), "st_angle")
@@ -473,6 +481,52 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_isclosed(g: GeomLike) -> Column:
+    """PostGIS ST_IsClosed: line start == end (all members for
+    multi-lines); points/polygons are closed (geo/validity.py)."""
+    return _is_closed(_geom(g))
+
+
+def st_isring(g: GeomLike) -> Column:
+    """PostGIS ST_IsRing: closed AND simple LINESTRING."""
+    return _is_ring(_geom(g))
+
+
+def st_issimple(g: GeomLike) -> Column:
+    """PostGIS/OGC ST_IsSimple: no anomalous self-intersection."""
+    return _is_simple(_geom(g))
+
+
+def st_isvalid(g: GeomLike) -> Column:
+    """PostGIS ST_IsValid (geo/validity.py rule set; the interior-
+    connectedness rule is documented out of scope)."""
+    return _is_valid(_geom(g))
+
+
+def st_isvalidreason(g: GeomLike) -> Column:
+    """PostGIS ST_IsValidReason: 'Valid Geometry' or the first
+    violation with its [x y] location."""
+    return _is_valid_reason(_geom(g))
+
+
+def st_pointonsurface(g: GeomLike) -> Column:
+    """PostGIS ST_PointOnSurface: a point guaranteed ON the geometry
+    (GEOS interior-point algorithms, geo/metrics.py)."""
+    return _point_on_surface(_geom(g))
+
+
+def st_hausdorffdistance(a: GeomLike, b: GeomLike) -> Column:
+    """PostGIS ST_HausdorffDistance (discrete form, vertex-to-geometry
+    — what GEOS computes without densification)."""
+    return _hausdorff(_geom(a), _geom(b))
+
+
+def st_frechetdistance(a: GeomLike, b: GeomLike) -> Column:
+    """PostGIS ST_FrechetDistance (discrete, ordered vertex walks —
+    direction-sensitive unlike Hausdorff)."""
+    return _frechet(_geom(a), _geom(b))
 
 
 def st_affine(g: GeomLike, a, b, d, e, xoff, yoff) -> Column:
@@ -984,6 +1038,14 @@ _SQL_UDFS = {
     "ST_Crosses": _crosses,
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
+    "ST_IsClosed": _is_closed,
+    "ST_IsRing": _is_ring,
+    "ST_IsSimple": _is_simple,
+    "ST_IsValid": _is_valid,
+    "ST_IsValidReason": _is_valid_reason,
+    "ST_PointOnSurface": _point_on_surface,
+    "ST_HausdorffDistance": _hausdorff,
+    "ST_FrechetDistance": _frechet,
     "ST_Affine": _affine,
     "ST_Expand": _expand,
     "ST_Angle": _angle,
@@ -1068,6 +1130,9 @@ __all__ = [
     "st_intersection", "st_union", "st_difference", "st_union_agg",
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_relate", "st_relatematch",
+    "st_isclosed", "st_isring", "st_issimple", "st_isvalid",
+    "st_isvalidreason", "st_pointonsurface", "st_hausdorffdistance",
+    "st_frechetdistance",
     "st_affine", "st_expand", "st_angle", "st_removerepeatedpoints",
     "st_snaptogrid", "st_addpoint", "st_setpoint", "st_removepoint",
     "st_multi", "st_collectionextract", "st_collectionhomogenize",

@@ -24,6 +24,8 @@ import pandas as pd
 
 from ..geo import algos, edit, overlay, relate, vector
 from ..geo import bounding, de9im, noding
+from ..geo import metrics as metrics_mod
+from ..geo import validity as validity_mod
 from ..geo import polygonize as polygonize_mod
 from ..geo import subdivide as subdivide_mod
 from ..geo.geom import Geometry
@@ -1533,3 +1535,18 @@ def st_dump_points(s: pd.Series) -> pd.Series:
             walk(m)
         out.append([to_wkb(Geometry("Point", p, g.srid)) for p in pts])
     return _obj_series(out)
+
+
+# --------------------------------------- validity & interior-point (r5)
+# ST_IsClosed / ST_IsRing / ST_IsSimple / ST_IsValid / ST_IsValidReason
+# (geo/validity.py), ST_PointOnSurface and the discrete Hausdorff /
+# Fréchet distances (geo/metrics.py). PostGIS parity, beyond-reference.
+
+st_is_closed = _unary_to_num(validity_mod.is_closed)
+st_is_ring = _unary_to_num(validity_mod.is_ring)
+st_is_simple = _unary_to_num(validity_mod.is_simple)
+st_is_valid = _unary_to_num(validity_mod.is_valid)
+st_is_valid_reason = _unary_to_num(validity_mod.is_valid_reason)
+st_point_on_surface = _unary_geom(metrics_mod.point_on_surface)
+st_hausdorff = _geom_geom_scalar_kernel(metrics_mod.hausdorff_distance)
+st_frechet = _geom_geom_scalar_kernel(metrics_mod.frechet_distance)
