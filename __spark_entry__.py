@@ -1145,6 +1145,44 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_triangulate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delaunay / Voronoi / concave hull / seeded point generation over
+    literal sites. Correctness is established property-wise in
+    tests/test_triangulate.py (empty circumcircle, cell tiling,
+    nearest-site, hull coverage); this query pins the DETERMINISTIC
+    output the docs promise (sorted sites, canonical triangles,
+    seeded sampling)."""
+    from datafusion_geo_spark.functions import (st_area, st_astext,
+                                                st_concavehull,
+                                                st_delaunaytriangles,
+                                                st_generatepoints,
+                                                st_geomfromtext,
+                                                st_numgeometries,
+                                                st_snaptogrid,
+                                                st_voronoipolygons)
+    rows = [
+        (1, "MULTIPOINT(0 0,10 0,10 10,0 10)",
+            "POLYGON((0 0,10 0,10 10,0 10,0 0))"),
+        (2, "MULTIPOINT(0 0,10 0,5 8)",
+            "POLYGON((0 0,4 0,4 4,0 4,0 0))"),
+        (3, "MULTIPOINT(0 0,10 0,10 10,0 10,5 5,2 7)",
+            "POLYGON((0 0,6 0,6 6,0 6,0 0),(2 2,4 2,4 4,2 4,2 2))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, sites string, poly string")
+    g = st_geomfromtext(F.col("sites"))
+    p = st_geomfromtext(F.col("poly"))
+    return df.select(
+        "id",
+        st_astext(st_delaunaytriangles(g)).alias("dt_wkt"),
+        st_astext(st_delaunaytriangles(g, 1)).alias("edges_wkt"),
+        # 1e-6 grid snap strips half-plane-clip float noise so the WKT
+        # golden is stable (correctness is property-gated in tests)
+        st_astext(st_snaptogrid(st_voronoipolygons(g), 0.000001))
+        .alias("vor_wkt"),
+        _rb6(st_area(st_concavehull(g, 1.0))).alias("hull_area"),
+        st_numgeometries(st_generatepoints(p, 25, 7)).alias("n_gen"))
+
+
 def _q_validity_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validity predicates + ST_PointOnSurface + discrete Hausdorff /
     Fréchet over golden literals (tests/test_validity_metrics.py pins
@@ -2274,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relate_matrix": _q_relate_matrix,
         "edit_utils_literal": _q_edit_utils_literal,
         "validity_literal": _q_validity_literal,
+        "triangulate_literal": _q_triangulate_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3350,6 +3389,24 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_triangulate_literal: deterministic pinned outputs
+        # (correctness is property-gated in tests/test_triangulate.py)
+        "triangulate_literal": """
+            SELECT * FROM (VALUES
+              (1, 'GEOMETRYCOLLECTION(POLYGON((0 0,10 0,0 10,0 0)),POLYGON((0 10,10 0,10 10,0 10)))',
+                  'MULTILINESTRING((0 0,0 10),(0 0,10 0),(0 10,10 0),(0 10,10 10),(10 0,10 10))',
+                  'GEOMETRYCOLLECTION(POLYGON((-10 -10,5 -10,5 5,-10 5,-10 -10)),POLYGON((5 20,-10 20,-10 5,5 5,5 20)),POLYGON((5 -10,20 -10,20 5,5 5,5 -10)),POLYGON((20 5,20 20,5 20,5 5,20 5)))',
+                  100.0, 25),
+              (2, 'GEOMETRYCOLLECTION(POLYGON((0 0,10 0,5 8,0 0)))',
+                  'MULTILINESTRING((0 0,5 8),(0 0,10 0),(5 8,10 0))',
+                  'GEOMETRYCOLLECTION(POLYGON((-10 -10,5 -10,5 2.4375,-10 11.8125,-10 -10)),POLYGON((20 11.8125,20 18,-10 18,-10 11.8125,5 2.4375,20 11.8125)),POLYGON((5 -10,20 -10,20 11.8125,5 2.4375,5 -10)))',
+                  40.0, 25),
+              (3, 'GEOMETRYCOLLECTION(POLYGON((0 0,2 7,0 10,0 0)),POLYGON((0 0,5 5,2 7,0 0)),POLYGON((0 0,10 0,5 5,0 0)),POLYGON((0 10,2 7,10 10,0 10)),POLYGON((2 7,5 5,10 10,2 7)),POLYGON((5 5,10 0,10 10,5 5)))',
+                  'MULTILINESTRING((0 0,0 10),(0 0,2 7),(0 0,5 5),(0 0,10 0),(0 10,2 7),(0 10,10 10),(2 7,5 5),(2 7,10 10),(5 5,10 0),(5 5,10 10),(10 0,10 10))',
+                  'GEOMETRYCOLLECTION(POLYGON((-10 -10,5 -10,5 0,1.7 3.3,-4.25 5,-10 5,-10 -10)),POLYGON((5 20,-10 20,-10 5,-4.25 5,5 11.166667,5 20)),POLYGON((5 11.166667,-4.25 5,1.7 3.3,5.7 9.3,5 11.166667)),POLYGON((5.7 9.3,1.7 3.3,5 0,10 5,5.7 9.3)),POLYGON((5 -10,20 -10,20 5,10 5,5 0,5 -10)),POLYGON((20 5,20 20,5 20,5 11.166667,5.7 9.3,10 5,20 5)))',
+                  100.0, 25)
+            ) AS v(id, dt_wkt, edges_wkt, vor_wkt, hull_area, n_gen)
         """,
         # mirrors _q_validity_literal: hand-derived flags/reasons/POS;
         # hd/fd are exact surds rounded by the shared binary helper

@@ -335,6 +335,13 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_delaunay = _u_variadic(kernels.st_delaunay_triangles, BinaryType(),
+                        "st_delaunaytriangles")
+_voronoi = _u_variadic(kernels.st_voronoi_polygons, BinaryType(),
+                       "st_voronoipolygons")
+_concave_hull = _u2(kernels.st_concave_hull, BinaryType())
+_generate_points = _u_variadic(kernels.st_generate_points, BinaryType(),
+                               "st_generatepoints")
 _is_closed = _u1(kernels.st_is_closed, BooleanType())
 _is_ring = _u1(kernels.st_is_ring, BooleanType())
 _is_simple = _u1(kernels.st_is_simple, BooleanType())
@@ -481,6 +488,42 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_delaunaytriangles(g: GeomLike, flags=None) -> Column:
+    """PostGIS ST_DelaunayTriangles (geo/triangulate.py Bowyer-Watson):
+    flags 0/None = GEOMETRYCOLLECTION of triangles, 1 = MULTILINESTRING
+    of unique edges."""
+    if flags is None:
+        return _delaunay(_geom(g))
+    f = flags if isinstance(flags, Column) else F.lit(int(flags))
+    return _delaunay(_geom(g), f)
+
+
+def st_voronoipolygons(g: GeomLike, extend_to: "GeomLike | None" = None
+                       ) -> Column:
+    """PostGIS ST_VoronoiPolygons: cell polygons per distinct site,
+    clipped to the input bbox expanded by its larger dimension (or the
+    extend_to envelope)."""
+    if extend_to is None:
+        return _voronoi(_geom(g))
+    return _voronoi(_geom(g), _geom(extend_to))
+
+
+def st_concavehull(g: GeomLike, ratio) -> Column:
+    """PostGIS ST_ConcaveHull (edge-length-ratio chi-shape; ratio 1 =
+    convex hull, smaller = tighter)."""
+    return _concave_hull(_geom(g), _numcol(ratio))
+
+
+def st_generatepoints(g: GeomLike, n, seed=None) -> Column:
+    """PostGIS ST_GeneratePoints: seeded deterministic uniform points
+    inside a polygonal geometry."""
+    nn = n if isinstance(n, Column) else F.lit(int(n))
+    if seed is None:
+        return _generate_points(_geom(g), nn)
+    s = seed if isinstance(seed, Column) else F.lit(int(seed))
+    return _generate_points(_geom(g), nn, s)
 
 
 def st_isclosed(g: GeomLike) -> Column:
@@ -1038,6 +1081,10 @@ _SQL_UDFS = {
     "ST_Crosses": _crosses,
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
+    "ST_DelaunayTriangles": _delaunay,
+    "ST_VoronoiPolygons": _voronoi,
+    "ST_ConcaveHull": _concave_hull,
+    "ST_GeneratePoints": _generate_points,
     "ST_IsClosed": _is_closed,
     "ST_IsRing": _is_ring,
     "ST_IsSimple": _is_simple,
@@ -1130,6 +1177,8 @@ __all__ = [
     "st_intersection", "st_union", "st_difference", "st_union_agg",
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_relate", "st_relatematch",
+    "st_delaunaytriangles", "st_voronoipolygons", "st_concavehull",
+    "st_generatepoints",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",
     "st_isvalidreason", "st_pointonsurface", "st_hausdorffdistance",
     "st_frechetdistance",

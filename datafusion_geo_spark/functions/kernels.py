@@ -25,6 +25,7 @@ import pandas as pd
 from ..geo import algos, edit, overlay, relate, vector
 from ..geo import bounding, de9im, noding
 from ..geo import metrics as metrics_mod
+from ..geo import triangulate as triangulate_mod
 from ..geo import validity as validity_mod
 from ..geo import polygonize as polygonize_mod
 from ..geo import subdivide as subdivide_mod
@@ -1550,3 +1551,54 @@ st_is_valid_reason = _unary_to_num(validity_mod.is_valid_reason)
 st_point_on_surface = _unary_geom(metrics_mod.point_on_surface)
 st_hausdorff = _geom_geom_scalar_kernel(metrics_mod.hausdorff_distance)
 st_frechet = _geom_geom_scalar_kernel(metrics_mod.frechet_distance)
+
+
+# ------------------------------------ triangulations & derivatives (r5)
+# ST_DelaunayTriangles / ST_VoronoiPolygons / ST_ConcaveHull /
+# ST_GeneratePoints (geo/triangulate.py; PostGIS parity,
+# beyond-reference).
+
+def st_delaunay_triangles(s: pd.Series,
+                          flags: Optional[pd.Series] = None) -> pd.Series:
+    """flags 0 (default) -> GEOMETRYCOLLECTION of triangles; 1 ->
+    MULTILINESTRING of unique edges (PostGIS flag semantics)."""
+    if flags is None:
+        return _unary_geom(triangulate_mod.delaunay_geometry)(s)
+    return _geom_num_kernel(
+        lambda g, v: to_wkb(
+            triangulate_mod.delaunay_geometry(g, edges=int(v) == 1)))(s, flags)
+
+
+def st_voronoi_polygons(s: pd.Series,
+                        extend_to: Optional[pd.Series] = None) -> pd.Series:
+    if extend_to is None:
+        return _unary_geom(triangulate_mod.voronoi_geometry)(s)
+    cache = _DecodeCache()
+    sl, el = s.tolist(), extend_to.tolist()
+    out = []
+    for i in range(len(sl)):
+        v = sl[i]
+        if v is None:
+            out.append(None)
+            continue
+        ext = None if el[i] is None else cache.geom(bytes(el[i]))
+        out.append(to_wkb(triangulate_mod.voronoi_geometry(
+            cache.geom(bytes(v)), ext)))
+    return _obj_series(out)
+
+
+def st_concave_hull(s: pd.Series, ratio: pd.Series) -> pd.Series:
+    return _geom_num_kernel(
+        lambda g, v: to_wkb(triangulate_mod.concave_hull(g, float(v))))(
+        s, ratio)
+
+
+def st_generate_points(s: pd.Series, n: pd.Series,
+                       seed: Optional[pd.Series] = None) -> pd.Series:
+    if seed is None:
+        return _geom_num_kernel(
+            lambda g, v: to_wkb(
+                triangulate_mod.generate_points(g, int(v))))(s, n)
+    return _geom_num_num_kernel(
+        lambda g, a, b: to_wkb(
+            triangulate_mod.generate_points(g, int(a), int(b))))(s, n, seed)

@@ -307,11 +307,15 @@ def snap_to_grid(g: Geometry, size: float) -> Geometry:
     if not (size > 0.0):
         raise ValueError("ST_SnapToGrid: size must be positive")
 
+    def snap1(v: float) -> float:
+        k = math.copysign(math.floor(abs(v) / size + 0.5), v) * size
+        # k*size carries one-ulp product noise (9300000·1e-6 =
+        # 9.299999999999999); 12-significant-digit reparse restores the
+        # intended grid value without disturbing exact results
+        return float(f"{k:.12g}") + 0.0
+
     def snap(c: Coord) -> Coord:
-        return (math.copysign(math.floor(abs(c[0]) / size + 0.5), c[0])
-                * size + 0.0,
-                math.copysign(math.floor(abs(c[1]) / size + 0.5), c[1])
-                * size + 0.0)
+        return (snap1(c[0]), snap1(c[1]))
 
     def snap_seq(cs: List[Coord], closed: bool) -> Optional[List[Coord]]:
         out: List[Coord] = []
