@@ -1145,6 +1145,26 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial kNN join (operators/spatial_join.py knn_point_join):
+    every ~1%-sampled customer point finds its 3 nearest customer
+    points (self included at distance 0) through bounded grid-join
+    rounds — the PostGIS ``<->`` lateral join shape without a cross
+    product. Ties break on the right key, so the result is exact
+    against the brute-force oracle."""
+    from datafusion_geo_spark.operators.spatial_join import knn_point_join
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = points_customer(spark, sf_dir)
+    left = cu.where((F.col("c_custkey") % 97 == 0)
+                    & F.col("geom").isNotNull())
+    out = knn_point_join(left, cu, 3, "c_custkey", "c_custkey", cell=8.0)
+    return out.select(
+        F.col("la.c_custkey").alias("lkey"),
+        F.col("rk").alias("rkey"),
+        "rn",
+        _rb6(F.col("dist")).alias("dist"))
+
+
 def _q_triangulate_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delaunay / Voronoi / concave hull / seeded point generation over
     literal sites. Correctness is established property-wise in
@@ -2313,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_utils_literal": _q_edit_utils_literal,
         "validity_literal": _q_validity_literal,
         "triangulate_literal": _q_triangulate_literal,
+        "spatial_knn_join": _q_spatial_knn_join,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3389,6 +3410,31 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_spatial_knn_join: brute-force kNN with identical
+        # exact-arithmetic d2 ordering and right-key tie-break
+        "spatial_knn_join": """
+            WITH p AS (
+              SELECT c_custkey,
+                     (c_custkey % 360 - 180)::DOUBLE AS x,
+                     (c_nationkey * 3 - 37.5)::DOUBLE AS y
+              FROM customer WHERE c_custkey % 7 <> 0
+            ), l AS (SELECT * FROM p WHERE c_custkey % 97 = 0)
+            SELECT lkey, rkey, rn,
+                   ((CASE WHEN sqrt(d2) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(sqrt(d2)) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS dist
+            FROM (
+              SELECT l.c_custkey AS lkey, p.c_custkey AS rkey,
+                     ((l.x - p.x) * (l.x - p.x)
+                      + (l.y - p.y) * (l.y - p.y)) AS d2,
+                     row_number() OVER (
+                       PARTITION BY l.c_custkey
+                       ORDER BY ((l.x - p.x) * (l.x - p.x)
+                                 + (l.y - p.y) * (l.y - p.y)),
+                                p.c_custkey) AS rn
+              FROM l, p) t
+            WHERE rn <= 3
         """,
         # mirrors _q_triangulate_literal: deterministic pinned outputs
         # (correctness is property-gated in tests/test_triangulate.py)

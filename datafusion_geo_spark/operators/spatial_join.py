@@ -359,3 +359,100 @@ def dwithin_join(a: DataFrame, b: DataFrame, d: float,
         j = j.where(st_dwithin(F.col(f"la.{geom_a}"),
                                F.col(f"rb.{geom_b}"), float(d)))
     return j
+
+
+def knn_point_join(left: DataFrame, right: DataFrame, k: int,
+                   left_key: str, right_key: str,
+                   cell: float = 8.0, max_rounds: int = 4,
+                   geom_left: str = "geom", geom_right: str = "geom"
+                   ) -> DataFrame:
+    """Spatial k-nearest-neighbor join for POINT layers: for every left
+    point, its ``k`` nearest right points (PostGIS's lateral
+    ``ORDER BY a.geom <-> b.geom LIMIT k`` join), planned as bounded
+    rounds of grid equi-joins instead of a cross product.
+
+    Round with radius r: right points land in r-sized cells, each left
+    point probes its 3x3 cell block (which covers the full Euclidean
+    r-ball), candidates are ranked by squared distance with a
+    per-left-key window, and a left key RESOLVES when it found k
+    candidates whose k-th distance is <= r — every unseen point is
+    farther by the covering guarantee. Unresolved keys retry with r*3
+    (one extra shuffle per round, at most ``max_rounds``); the
+    stragglers that remain (isolated points in empty space) finish in
+    one broadcast-left brute-force pass over the right side, which at
+    that stage is tiny-by-construction.
+
+    Ties at equal distance break on ``right_key`` — output is a pure
+    function of the inputs on any cluster. Output columns: left row
+    struct ``la``, right key, ``dist``, ``rn`` (1-based rank).
+    """
+    from pyspark.sql import Window
+    if k <= 0:
+        raise ValueError(f"knn_point_join: k must be positive, got {k}")
+    la = (ensure_bbox(left, geom_left)
+          .where(F.col(geom_left).isNotNull())
+          .select(F.struct(*[F.col(c) for c in left.columns]).alias("la"),
+                  F.col(left_key).alias("_lk"),
+                  F.col("xmin").alias("_lx"), F.col("ymin").alias("_ly")))
+    rb = (ensure_bbox(right, geom_right)
+          .where(F.col(geom_right).isNotNull())
+          .select(F.col(right_key).alias("_rk"),
+                  F.col("xmin").alias("_rx"), F.col("ymin").alias("_ry"))
+          .persist())
+    rb.count()
+
+    d2 = ((F.col("_lx") - F.col("_rx")) * (F.col("_lx") - F.col("_rx"))
+          + (F.col("_ly") - F.col("_ry")) * (F.col("_ly") - F.col("_ry")))
+    w = Window.partitionBy("_lk").orderBy(F.col("_d2").asc(),
+                                          F.col("_rk").asc())
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (cand.withColumn("_d2", d2)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k))
+
+    remaining = la.persist()
+    resolved = []
+    r = float(cell)
+    offsets = [F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+               for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    for _ in range(max_rounds):
+        rcells = rb.select(
+            "_rk", "_rx", "_ry",
+            F.floor(F.col("_rx") / r).alias("cx"),
+            F.floor(F.col("_ry") / r).alias("cy"))
+        probes = (remaining
+                  .withColumn("_o", F.explode(F.array(*offsets)))
+                  .select("la", "_lk", "_lx", "_ly",
+                          (F.floor(F.col("_lx") / r)
+                           + F.col("_o.dx")).alias("cx"),
+                          (F.floor(F.col("_ly") / r)
+                           + F.col("_o.dy")).alias("cy")))
+        top = topk(probes.join(rcells, ["cx", "cy"]))
+        safe_keys = (top.groupBy("_lk")
+                     .agg(F.count("*").alias("_n"),
+                          F.max("_d2").alias("_kth"))
+                     .where((F.col("_n") == k)
+                            & (F.col("_kth") <= F.lit(r * r)))
+                     .select("_lk"))
+        resolved.append(
+            top.join(safe_keys, "_lk", "left_semi")
+               .select("la", "_lk", F.col("_rk"), "_d2", "rn").persist())
+        nxt = remaining.join(safe_keys, "_lk", "left_anti").persist()
+        n_left = nxt.count()
+        remaining.unpersist()
+        remaining = nxt
+        if n_left == 0:
+            break
+        r *= 3.0
+    else:
+        # brute force for isolated stragglers: broadcast the (tiny)
+        # remaining left side over one scan of the right points
+        brute = topk(F.broadcast(remaining).crossJoin(rb))
+        resolved.append(
+            brute.select("la", "_lk", F.col("_rk"), "_d2", "rn"))
+    out = resolved[0]
+    for part in resolved[1:]:
+        out = out.unionByName(part)
+    return out.select("la", F.col("_rk").alias("rk"),
+                      F.sqrt(F.col("_d2")).alias("dist"), "rn")
