@@ -1145,6 +1145,35 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_mic_snap_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MaximumInscribedCircle (polylabel) + ST_Snap over golden
+    literals (tests/test_mic_snap.py pins semantics; pocket-radius
+    constants are exact surds rounded by the shared binary helper)."""
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_maxinscribedcenter,
+                                                st_maxinscribedradius,
+                                                st_snap)
+    rows = [
+        (1, "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+            "LINESTRING(0 0,10 0)", "POINT(5 0.2)"),
+        (2, "POLYGON((0 0,20 0,20 4,0 4,0 0))",
+            "LINESTRING(0.1 0,5 5)", "POINT(0 0)"),
+        (3, "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,8 2,8 8,2 8,2 2))",
+            "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+            "MULTIPOINT(0.2 0.1,5 -0.3)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, poly string, src string, "
+                                     "ref string")
+    p = st_geomfromtext(F.col("poly"))
+    return df.select(
+        "id",
+        st_astext(st_maxinscribedcenter(p)).alias("mic_wkt"),
+        _rb6(st_maxinscribedradius(p)).alias("mic_r"),
+        st_astext(st_snap(st_geomfromtext(F.col("src")),
+                          st_geomfromtext(F.col("ref")), 0.5))
+        .alias("snap_wkt"))
+
+
 def _q_spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN join (operators/spatial_join.py knn_point_join):
     every ~1%-sampled customer point finds its 3 nearest customer
@@ -2334,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity_literal": _q_validity_literal,
         "triangulate_literal": _q_triangulate_literal,
         "spatial_knn_join": _q_spatial_knn_join,
+        "mic_snap_literal": _q_mic_snap_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3410,6 +3440,17 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_mic_snap_literal: exact centers for symmetric
+        # shapes; the holed-square pocket center/radius are the
+        # deterministic polylabel outputs tests/test_mic_snap.py bounds
+        "mic_snap_literal": """
+            SELECT * FROM (VALUES
+              (1, 'POINT(5 5)', 5.0, 'LINESTRING(0 0,5 0.2,10 0)'),
+              (2, 'POINT(10 2)', 2.0, 'LINESTRING(0 0,5 5)'),
+              (3, 'POINT(1.171875 1.171875)', 1.171146,
+                  'POLYGON((0.2 0.1,5 -0.3,10 0,10 10,0 10,0.2 0.1))')
+            ) AS v(id, mic_wkt, mic_r, snap_wkt)
         """,
         # mirrors _q_spatial_knn_join: brute-force kNN with identical
         # exact-arithmetic d2 ordering and right-key tie-break

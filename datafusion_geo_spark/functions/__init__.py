@@ -335,6 +335,9 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_mic_center = _u1(kernels.st_max_inscribed_center, BinaryType())
+_mic_radius = _u1(kernels.st_max_inscribed_radius, DoubleType())
+_snap = _u3(kernels.st_snap, BinaryType())
 _delaunay = _u_variadic(kernels.st_delaunay_triangles, BinaryType(),
                         "st_delaunaytriangles")
 _voronoi = _u_variadic(kernels.st_voronoi_polygons, BinaryType(),
@@ -488,6 +491,24 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_maxinscribedcenter(g: GeomLike) -> Column:
+    """Center of PostGIS ST_MaximumInscribedCircle (polylabel quadtree
+    refinement, geo/bounding.py). Split across two functions like the
+    min-bounding pair — Spark SQL UDFs return one column."""
+    return _mic_center(_geom(g))
+
+
+def st_maxinscribedradius(g: GeomLike) -> Column:
+    """Radius of PostGIS ST_MaximumInscribedCircle."""
+    return _mic_radius(_geom(g))
+
+
+def st_snap(g: GeomLike, ref: GeomLike, tolerance) -> Column:
+    """PostGIS ST_Snap: vertices of g within tolerance of a ref vertex
+    move onto it; ref vertices near g's segments are inserted."""
+    return _snap(_geom(g), _geom(ref), _numcol(tolerance))
 
 
 def st_delaunaytriangles(g: GeomLike, flags=None) -> Column:
@@ -1081,6 +1102,9 @@ _SQL_UDFS = {
     "ST_Crosses": _crosses,
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
+    "ST_MaxInscribedCenter": _mic_center,
+    "ST_MaxInscribedRadius": _mic_radius,
+    "ST_Snap": _snap,
     "ST_DelaunayTriangles": _delaunay,
     "ST_VoronoiPolygons": _voronoi,
     "ST_ConcaveHull": _concave_hull,
@@ -1178,7 +1202,8 @@ __all__ = [
     "st_contains", "st_within", "st_touches", "st_overlaps", "st_crosses",
     "st_relate", "st_relatematch",
     "st_delaunaytriangles", "st_voronoipolygons", "st_concavehull",
-    "st_generatepoints",
+    "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
+    "st_snap",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",
     "st_isvalidreason", "st_pointonsurface", "st_hausdorffdistance",
     "st_frechetdistance",

@@ -1602,3 +1602,46 @@ def st_generate_points(s: pd.Series, n: pd.Series,
     return _geom_num_num_kernel(
         lambda g, a, b: to_wkb(
             triangulate_mod.generate_points(g, int(a), int(b))))(s, n, seed)
+
+
+# ---------------------------- max inscribed circle + snapping (r5)
+# ST_MaximumInscribedCircle (geo/bounding.py polylabel; center/radius
+# split across two SQL names like the min-bounding pair) and ST_Snap
+# (geo/edit.py). PostGIS parity, beyond-reference.
+
+def _mic(g):
+    return bounding.max_inscribed_circle(g)
+
+
+def st_max_inscribed_center(s: pd.Series) -> pd.Series:
+    def f(g):
+        r = _mic(g)
+        return to_wkb(Geometry("Point", None if r is None else r[0],
+                               g.srid))
+    return _unary_to_num(f)(s)
+
+
+def st_max_inscribed_radius(s: pd.Series) -> pd.Series:
+    def f(g):
+        r = _mic(g)
+        return None if r is None else float(r[1])
+    return _unary_to_num(f)(s)
+
+
+def st_snap(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+    cache = _DecodeCache()
+    al, bl, tl = a.tolist(), b.tolist(), tol.tolist()
+    memo: dict = {}
+    out = []
+    for i in range(len(al)):
+        va, vb, t = al[i], bl[i], _num(tl[i])
+        if va is None or vb is None or t is None:
+            out.append(None)
+            continue
+        va, vb = bytes(va), bytes(vb)
+        key = (va, vb, float(t))
+        if key not in memo:
+            memo[key] = to_wkb(edit.snap(cache.geom(va), cache.geom(vb),
+                                         float(t)))
+        out.append(memo[key])
+    return _obj_series(out)

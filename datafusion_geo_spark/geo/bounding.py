@@ -120,3 +120,82 @@ def ring_area_sign(ring: List[Coord]) -> float:
     for a, b in zip(ring, ring[1:]):
         s += a[0] * b[1] - b[0] * a[1]
     return s
+
+
+# ------------------------------------------- maximum inscribed circle
+
+def _seg_dist(p: Coord, a: Coord, b: Coord) -> float:
+    ax, ay = b[0] - a[0], b[1] - a[1]
+    px, py = p[0] - a[0], p[1] - a[1]
+    L2 = ax * ax + ay * ay
+    t = 0.0 if L2 <= 0.0 else max(0.0, min(1.0, (px * ax + py * ay) / L2))
+    dx, dy = px - t * ax, py - t * ay
+    return math.sqrt(dx * dx + dy * dy)
+
+
+def max_inscribed_circle(g: Geometry, tol: Optional[float] = None
+                         ) -> Optional[Tuple[Coord, float]]:
+    """ST_MaximumInscribedCircle: (center, radius) of the largest
+    circle inside a polygonal geometry — the quadtree refinement
+    algorithm published as Mapbox "polylabel" (also what GEOS 3.9
+    implements). Cells are explored best-first by their potential
+    (signed center distance + cell radius); the search stops when no
+    cell can beat the incumbent by more than ``tol`` (default: larger
+    bbox dimension / 1000). Deterministic: the heap breaks ties on
+    insertion order of a fixed traversal."""
+    import heapq
+
+    from .overlay import _member_polys, _poly_segs, _pt_in
+    polys = _member_polys(g)
+    if not polys:
+        return None
+    segs = _poly_segs(polys)
+    bb = g.bounds()
+    x0, y0, x1, y1 = bb
+    w, h = x1 - x0, y1 - y0
+    if w <= 0.0 or h <= 0.0:
+        return None
+    if tol is None:
+        tol = max(w, h) / 1000.0
+
+    def signed(p: Coord) -> float:
+        d = min(_seg_dist(p, a, b) for a, b in segs)
+        return d if _pt_in(p, polys) == 1 else -d
+
+    size = min(w, h)
+    half = size / 2.0
+    seq = 0
+    heap: List[Tuple[float, int, float, float, float]] = []
+
+    def push(cx: float, cy: float, hf: float) -> None:
+        nonlocal seq
+        d = signed((cx, cy))
+        potential = d + hf * math.sqrt(2.0)
+        heapq.heappush(heap, (-potential, seq, cx, cy, hf))
+        seq += 1
+
+    yy = y0
+    while yy < y1:
+        xx = x0
+        while xx < x1:
+            push(xx + half, yy + half, half)
+            xx += size
+        yy += size
+    # seed with the bbox centroid so convex shapes converge instantly
+    best_p: Coord = ((x0 + x1) / 2.0, (y0 + y1) / 2.0)
+    best_d = signed(best_p)
+    while heap:
+        npot, _, cx, cy, hf = heapq.heappop(heap)
+        if -npot - best_d <= tol:
+            break
+        d = signed((cx, cy))
+        if d > best_d:
+            best_d, best_p = d, (cx, cy)
+        q = hf / 2.0
+        if q * math.sqrt(2.0) > tol / 4.0:
+            for dx in (-q, q):
+                for dy in (-q, q):
+                    push(cx + dx, cy + dy, q)
+    if best_d < 0.0:
+        return None
+    return best_p, best_d

@@ -465,3 +465,85 @@ def collection_homogenize(g: Geometry) -> Geometry:
         return Geometry("MultiPolygon",
                         [[list(r) for r in m.parts] for m in members], g.srid)
     return Geometry("GeometryCollection", members, g.srid)
+
+
+def snap(g: Geometry, ref: Geometry, tol: float) -> Geometry:
+    """ST_Snap (GEOS SnapTo semantics): vertices of ``g`` within
+    ``tol`` of a vertex of ``ref`` move onto it, and ``ref`` vertices
+    lying within ``tol`` of a segment of ``g`` are inserted into that
+    segment (in projection order) — the standard pre-overlay
+    coordinate-reconciliation step. tol <= 0 returns ``g``
+    unchanged."""
+    if tol <= 0.0:
+        return g
+    ref_vs: List[Coord] = []
+    for m in ref.geometries():
+        if m.typ == "Point" and m.parts is not None:
+            ref_vs.append(m.parts)
+        elif m.typ == "LineString":
+            ref_vs.extend(m.parts)
+        elif m.typ == "Polygon":
+            for r in m.parts:
+                ref_vs.extend(r)
+    if not ref_vs:
+        return g
+
+    def snap_vertex(c: Coord) -> Coord:
+        best, bd = c, tol
+        for v in ref_vs:
+            d = dist(c, v)
+            if d <= bd:
+                best, bd = v, d
+        return best
+
+    def seg_insertions(a: Coord, b: Coord) -> List[Coord]:
+        L2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+        if L2 <= 0.0:
+            return []
+        ins = []
+        for v in ref_vs:
+            if dist(v, a) <= 1e-12 or dist(v, b) <= 1e-12:
+                continue
+            t = ((v[0] - a[0]) * (b[0] - a[0])
+                 + (v[1] - a[1]) * (b[1] - a[1])) / L2
+            if t <= 0.0 or t >= 1.0:
+                continue
+            px = a[0] + t * (b[0] - a[0])
+            py = a[1] + t * (b[1] - a[1])
+            if dist(v, (px, py)) <= tol:
+                ins.append((t, v))
+        return [v for _, v in sorted(ins)]
+
+    def snap_seq(cs: List[Coord], closed: bool) -> List[Coord]:
+        moved = [snap_vertex(c) for c in cs]
+        out: List[Coord] = []
+        for i in range(len(moved) - 1):
+            a, b = moved[i], moved[i + 1]
+            if not out or dist(out[-1], a) > 0.0:
+                out.append(a)
+            for v in seg_insertions(a, b):
+                if dist(out[-1], v) > 0.0:
+                    out.append(v)
+        if dist(out[-1], moved[-1]) > 0.0 or len(out) == 1:
+            out.append(moved[-1])
+        if closed and dist(out[0], out[-1]) > 0.0:
+            out.append(out[0])
+        return out
+
+    t, p, s = g.typ, g.parts, g.srid
+    if t == "Point":
+        return Geometry(t, None if p is None else snap_vertex(p), s)
+    if t == "MultiPoint":
+        return Geometry(t, [snap_vertex(c) for c in p], s)
+    if t == "LineString":
+        return Geometry(t, snap_seq(list(p), False) if len(p) >= 2 else p, s)
+    if t == "MultiLineString":
+        return Geometry(t, [snap_seq(list(m), False) for m in p], s)
+    if t == "Polygon":
+        return Geometry(t, [snap_seq(list(r), True) for r in p], s)
+    if t == "MultiPolygon":
+        return Geometry(t, [[snap_seq(list(r), True) for r in poly]
+                            for poly in p], s)
+    if t == "GeometryCollection":
+        return Geometry(t, [snap(m, ref, tol) for m in p], s)
+    return g
