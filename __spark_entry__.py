@@ -1145,6 +1145,37 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_offset_clip_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_OffsetCurve (both sides, quadsegs=1 so joints land on exact
+    integer normals), ST_SharedPaths direction split, and
+    ST_ClipByBox2D — goldens pinned by tests/test_offset_shared_clip.py
+    semantics, all exact-integer arithmetic."""
+    from datafusion_geo_spark.functions import (st_astext, st_clipbybox2d,
+                                                st_geomfromtext,
+                                                st_offsetcurve,
+                                                st_sharedpaths)
+    rows = [
+        (1, "LINESTRING(0 0,10 0)", "LINESTRING(6 0,2 0)",
+            "POLYGON((0 0,10 0,10 10,0 10,0 0))"),
+        (2, "LINESTRING(0 0,10 0,10 10)", "LINESTRING(0 0,4 0)",
+            "LINESTRING(-5 1,15 1)"),
+        (3, "LINESTRING(0 0,6 0,6 6)",
+            "MULTILINESTRING((1 0,3 0),(5 0,4 0))",
+            "POLYGON((4 4,14 4,14 14,4 14,4 4))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, src string, other string, "
+                                     "clip string")
+    g = st_geomfromtext(F.col("src"))
+    return df.select(
+        "id",
+        st_astext(st_offsetcurve(g, 1.0, 1)).alias("oc_left"),
+        st_astext(st_offsetcurve(g, -1.0, 1)).alias("oc_right"),
+        st_astext(st_sharedpaths(g, st_geomfromtext(F.col("other"))))
+        .alias("sp_wkt"),
+        st_astext(st_clipbybox2d(st_geomfromtext(F.col("clip")),
+                                 5.0, 5.0, 20.0, 20.0)).alias("clip_wkt"))
+
+
 def _q_mic_snap_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MaximumInscribedCircle (polylabel) + ST_Snap over golden
     literals (tests/test_mic_snap.py pins semantics; pocket-radius
@@ -2364,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangulate_literal": _q_triangulate_literal,
         "spatial_knn_join": _q_spatial_knn_join,
         "mic_snap_literal": _q_mic_snap_literal,
+        "offset_clip_literal": _q_offset_clip_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3440,6 +3472,23 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_offset_clip_literal: exact-integer goldens
+        # (quadsegs=1 joints land on exact vector normals)
+        "offset_clip_literal": """
+            SELECT * FROM (VALUES
+              (1, 'LINESTRING(0 1,10 1)', 'LINESTRING(10 -1,0 -1)',
+                  'GEOMETRYCOLLECTION(MULTILINESTRING EMPTY,MULTILINESTRING((2 0,6 0)))',
+                  'POLYGON((5 5,10 5,10 10,5 10,5 5))'),
+              (2, 'LINESTRING(0 1,9 1,9 10)',
+                  'LINESTRING(11 10,11 0,10 -1,0 -1)',
+                  'GEOMETRYCOLLECTION(MULTILINESTRING((0 0,4 0)),MULTILINESTRING EMPTY)',
+                  'LINESTRING EMPTY'),
+              (3, 'LINESTRING(0 1,5 1,5 6)',
+                  'LINESTRING(7 6,7 0,6 -1,0 -1)',
+                  'GEOMETRYCOLLECTION(MULTILINESTRING((1 0,3 0)),MULTILINESTRING((4 0,5 0)))',
+                  'POLYGON((5 5,14 5,14 14,5 14,5 5))')
+            ) AS v(id, oc_left, oc_right, sp_wkt, clip_wkt)
         """,
         # mirrors _q_mic_snap_literal: exact centers for symmetric
         # shapes; the holed-square pocket center/radius are the

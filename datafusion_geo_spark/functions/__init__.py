@@ -335,6 +335,10 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_offset_curve = _u_variadic(kernels.st_offset_curve, BinaryType(),
+                            "st_offsetcurve")
+_shared_paths = _u2(kernels.st_shared_paths, BinaryType())
+_clip_by_box = _u5(kernels.st_clip_by_box, BinaryType())
 _mic_center = _u1(kernels.st_max_inscribed_center, BinaryType())
 _mic_radius = _u1(kernels.st_max_inscribed_radius, DoubleType())
 _snap = _u3(kernels.st_snap, BinaryType())
@@ -491,6 +495,29 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_offsetcurve(g: GeomLike, d, quadsegs=None) -> Column:
+    """PostGIS ST_OffsetCurve: one-sided parallel of a (Multi)LineString
+    — positive d left, negative d right with reversed output. Round
+    outward joins, trimmed inward joins (geo/offset.py)."""
+    if quadsegs is None:
+        return _offset_curve(_geom(g), _numcol(d))
+    q = quadsegs if isinstance(quadsegs, Column) else F.lit(int(quadsegs))
+    return _offset_curve(_geom(g), _numcol(d), q)
+
+
+def st_sharedpaths(a: GeomLike, b: GeomLike) -> Column:
+    """PostGIS ST_SharedPaths: GC of (same-direction, opposite-
+    direction) collinear-overlap MULTILINESTRINGs."""
+    return _shared_paths(_geom(a), _geom(b))
+
+
+def st_clipbybox2d(g: GeomLike, xmin, ymin, xmax, ymax) -> Column:
+    """PostGIS ST_ClipByBox2D: overlay intersection with an axis-
+    aligned rectangle (exact ST_Intersection semantics)."""
+    return _clip_by_box(_geom(g), _numcol(xmin), _numcol(ymin),
+                        _numcol(xmax), _numcol(ymax))
 
 
 def st_maxinscribedcenter(g: GeomLike) -> Column:
@@ -1102,6 +1129,9 @@ _SQL_UDFS = {
     "ST_Crosses": _crosses,
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
+    "ST_OffsetCurve": _offset_curve,
+    "ST_SharedPaths": _shared_paths,
+    "ST_ClipByBox2D": _clip_by_box,
     "ST_MaxInscribedCenter": _mic_center,
     "ST_MaxInscribedRadius": _mic_radius,
     "ST_Snap": _snap,
@@ -1203,7 +1233,7 @@ __all__ = [
     "st_relate", "st_relatematch",
     "st_delaunaytriangles", "st_voronoipolygons", "st_concavehull",
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
-    "st_snap",
+    "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",
     "st_isvalidreason", "st_pointonsurface", "st_hausdorffdistance",
     "st_frechetdistance",

@@ -422,6 +422,8 @@ def _points_to_wkt(pb: vector.PointBatch) -> list:
 def _lines_to_wkt(lb: vector.LineBatch) -> list:
     v = lb.valid
     c = lb.coords
+    if lb.k == 0:   # a batch of empty linestrings (e.g. empty clips)
+        return ["LINESTRING EMPTY" if v[i] else None for i in range(lb.n)]
     return ["LINESTRING(" + ",".join(
         f"{_fmt(c[i, j, 0])} {_fmt(c[i, j, 1])}" for j in range(lb.k)) + ")"
         if v[i] else None for i in range(lb.n)]
@@ -1644,4 +1646,43 @@ def st_snap(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
             memo[key] = to_wkb(edit.snap(cache.geom(va), cache.geom(vb),
                                          float(t)))
         out.append(memo[key])
+    return _obj_series(out)
+
+
+# -------------------- offset curve / shared paths / box clip (r5)
+# ST_OffsetCurve (geo/offset.py one-sided offset), ST_SharedPaths and
+# ST_ClipByBox2D (geo/overlay.py). PostGIS parity, beyond-reference.
+
+def st_offset_curve(s: pd.Series, d: pd.Series,
+                    quadsegs: Optional[pd.Series] = None) -> pd.Series:
+    from ..geo import offset as offset_mod
+    if quadsegs is None:
+        return _geom_num_kernel(
+            lambda g, v: (lambda r: None if r is None else to_wkb(r))(
+                offset_mod.offset_curve_geometry(g, float(v))))(s, d)
+    return _geom_num_num_kernel(
+        lambda g, v, q: (lambda r: None if r is None else to_wkb(r))(
+            offset_mod.offset_curve_geometry(g, v, int(q))))(s, d, quadsegs)
+
+
+st_shared_paths = _geom_geom_scalar_kernel(
+    lambda a, b: (lambda r: None if r is None else to_wkb(r))(
+        overlay.shared_paths(a, b)))
+
+
+def st_clip_by_box(s: pd.Series, xmin: pd.Series, ymin: pd.Series,
+                   xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    cache = _DecodeCache()
+    sl = s.tolist()
+    bl = [c.tolist() for c in (xmin, ymin, xmax, ymax)]
+    out = []
+    for i in range(len(sl)):
+        v = sl[i]
+        nums = [_num(c[i]) for c in bl]
+        if v is None or any(n is None for n in nums):
+            out.append(None)
+            continue
+        r = overlay.clip_by_box(cache.geom(bytes(v)),
+                                *[float(n) for n in nums])
+        out.append(None if r is None else to_wkb(r))
     return _obj_series(out)

@@ -608,3 +608,84 @@ def _buffer_path_once(g: Geometry, w: float, quadsegs: int) -> Geometry:
     if len(polys) == 1:
         return Geometry("Polygon", polys[0], g.srid)
     return Geometry("MultiPolygon", polys, g.srid)
+
+
+def _line_line_x(p0: Coord, p1: Coord, q0: Coord,
+                 q1: Coord) -> Optional[Coord]:
+    """Intersection of the INFINITE lines p0p1 and q0q1."""
+    d1 = (p1[0] - p0[0], p1[1] - p0[1])
+    d2 = (q1[0] - q0[0], q1[1] - q0[1])
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(den) < 1e-12:
+        return None
+    t = ((q0[0] - p0[0]) * d2[1] - (q0[1] - p0[1]) * d2[0]) / den
+    return (p0[0] + t * d1[0], p0[1] + t * d1[1])
+
+
+def offset_polyline(coords: Sequence[Coord], d: float,
+                    quadsegs: int = 8) -> Optional[List[Coord]]:
+    """One-sided offset of an open polyline (PostGIS ST_OffsetCurve
+    core): positive ``d`` offsets to the LEFT of the travel direction,
+    negative to the right with the output REVERSED (PostGIS/GEOS
+    convention). Outward joints get round arcs (the GEOS default
+    join); inward joints are trimmed at the offset-line intersection.
+    Large offsets on tightly-folded input can self-intersect — the
+    same documented caveat GEOS carries."""
+    cs = _dedupe(coords)
+    if len(cs) < 2:
+        return None
+    w = abs(d)
+    if w <= 0.0:
+        return list(cs)
+    left = d > 0
+    _, turns = _turns(cs, closed=False)
+    sgn = 1.0 if left else -1.0
+    # exact unit normals from the segment vectors (no trig on straight
+    # runs — axis-aligned input offsets stay exactly axis-aligned)
+    normals: List[Coord] = []
+    for a, b in zip(cs, cs[1:]):
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        L = math.hypot(dx, dy)
+        normals.append((-sgn * dy / L, sgn * dx / L))
+
+    def off(p: Coord, n: Coord) -> Coord:
+        return (p[0] + w * n[0], p[1] + w * n[1])
+
+    out: List[Coord] = [off(cs[0], normals[0])]
+    for i in range(1, len(cs) - 1):
+        n0, n1 = normals[i - 1], normals[i]
+        turn = turns[i - 1]
+        outward = (turn < 0.0) if left else (turn > 0.0)
+        if outward:
+            out.append(off(cs[i], n0))
+            a0 = math.atan2(n0[1], n0[0])
+            arc = _arc(cs[i], w, a0, turn, quadsegs)
+            # the arc's trig end point equals off(cs[i], n1) up to 1-ulp
+            # noise; emit the vector-exact form instead
+            out.extend(arc[:-1])
+            out.append(off(cs[i], n1))
+        else:
+            x = _line_line_x(off(cs[i - 1], n0), off(cs[i], n0),
+                             off(cs[i], n1), off(cs[i + 1], n1))
+            out.append(x if x is not None else off(cs[i], n0))
+    out.append(off(cs[-1], normals[-1]))
+    out = _dedupe(out)
+    if not left:
+        out.reverse()
+    return out if len(out) >= 2 else None
+
+
+def offset_curve_geometry(g, d: float, quadsegs: int = 8):
+    """ST_OffsetCurve over (Multi)LineString input; None (SQL NULL)
+    otherwise, matching the engine's non-applicable-type convention."""
+    from .geom import Geometry
+    if g.typ == "LineString":
+        pts = offset_polyline(list(g.parts), d, quadsegs) \
+            if len(g.parts) >= 2 else None
+        return None if pts is None else Geometry("LineString", pts, g.srid)
+    if g.typ == "MultiLineString":
+        outs = [offset_polyline(list(m), d, quadsegs)
+                for m in g.parts if len(m) >= 2]
+        outs = [o for o in outs if o]
+        return Geometry("MultiLineString", outs, g.srid)
+    return None

@@ -510,3 +510,54 @@ def union_all(geoms: Sequence[Geometry]) -> Optional[Geometry]:
             continue
         acc = g if acc is None else union(acc, g)
     return acc
+
+
+def shared_paths(a: Geometry, b: Geometry) -> Optional[Geometry]:
+    """ST_SharedPaths (PostGIS): GEOMETRYCOLLECTION of two
+    MULTILINESTRINGs — the collinear-overlap pieces of ``a`` over ``b``
+    running in the SAME direction, then those running OPPOSITE.
+    None (SQL NULL) for non-lineal operands, as PostGIS errors."""
+    la, lb = _line_members(a), _line_members(b)
+    if not la or not lb:
+        return None
+    segs_b = [(ln[i], ln[i + 1]) for ln in lb for i in range(len(ln) - 1)
+              if dist(ln[i], ln[i + 1]) > EPS]
+
+    def on_b(m: Coord) -> int:
+        return 0 if any(_on_segment(m, c, d) for c, d in segs_b) else -1
+
+    pieces = _clip_lines(la, segs_b, on_b, (0,))
+    same: List[List[Coord]] = []
+    opp: List[List[Coord]] = []
+    for piece in pieces:
+        cur: List[Coord] = []
+        cur_dir: Optional[bool] = None
+        for i in range(len(piece) - 1):
+            p, q = piece[i], piece[i + 1]
+            d = _same_dir_on(p, q, segs_b)
+            if d is None:
+                d = cur_dir if cur_dir is not None else True
+            if cur and d == cur_dir:
+                cur.append(q)
+            else:
+                if len(cur) >= 2:
+                    (same if cur_dir else opp).append(cur)
+                cur, cur_dir = [p, q], d
+        if len(cur) >= 2:
+            (same if cur_dir else opp).append(cur)
+    return Geometry("GeometryCollection",
+                    [Geometry("MultiLineString", same, a.srid),
+                     Geometry("MultiLineString", opp, a.srid)], a.srid)
+
+
+def clip_by_box(g: Geometry, xmin: float, ymin: float,
+                xmax: float, ymax: float) -> Optional[Geometry]:
+    """ST_ClipByBox2D: intersection with an axis-aligned rectangle —
+    the fast tiling clip, expressed through the overlay so semantics
+    match ST_Intersection exactly."""
+    if xmin > xmax or ymin > ymax:
+        return Geometry("Polygon", [], g.srid)
+    box = Geometry("Polygon",
+                   [[(xmin, ymin), (xmax, ymin), (xmax, ymax),
+                     (xmin, ymax), (xmin, ymin)]], g.srid)
+    return intersection(g, box)
