@@ -1145,6 +1145,32 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.py
+    seeded_shuffle): reproducible global training order via
+    md5(seed|key) range sort — df.orderBy(rand()) is neither
+    reproducible nor engine-portable."""
+    from datafusion_geo_spark.operators.sampling import seeded_shuffle
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return (seeded_shuffle(docs, "doc_id", "epoch1")
+            .select("doc_id", "shuffle_order"))
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental exact dedup (operators/dedup.py
+    incremental_exact_dedup): new-batch rows whose content hash is
+    unseen in the accumulated corpus and canonical within the batch.
+    The O(batch) ingest-time shape, vs re-deduping the O(corpus)."""
+    from datafusion_geo_spark.operators.dedup import incremental_exact_dedup
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 == 0)
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    return (incremental_exact_dedup(batch, seen)
+            .select("doc_id", "lang", "source"))
+
+
 def _q_offset_clip_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_OffsetCurve (both sides, quadsegs=1 so joints land on exact
     integer normals), ST_SharedPaths direction split, and
@@ -2396,6 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_knn_join": _q_spatial_knn_join,
         "mic_snap_literal": _q_mic_snap_literal,
         "offset_clip_literal": _q_offset_clip_literal,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "incremental_dedup": _q_incremental_dedup,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3472,6 +3500,36 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_seeded_shuffle: identical md5 digests order rows
+        # the same way in both engines (lowercase hex, ASCII collation)
+        "seeded_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5('epoch1|' || CAST(doc_id AS VARCHAR)),
+                              CAST(doc_id AS VARCHAR)) AS shuffle_order
+            FROM documents
+        """,
+        # mirrors _q_incremental_dedup: anti-join on the shared h64
+        # hash, min-doc_id canonical within the batch
+        "incremental_dedup": """
+            WITH seen AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+              FROM documents WHERE doc_id % 3 = 0
+            ), nb AS (
+              SELECT doc_id, lang, source,
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+              FROM documents WHERE doc_id % 3 <> 0
+            ), fresh AS (
+              SELECT * FROM nb
+              WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = nb.h)
+            )
+            SELECT doc_id, lang, source FROM (
+              SELECT *, row_number() OVER (
+                          PARTITION BY h ORDER BY doc_id) AS rn
+              FROM fresh) t
+            WHERE rn = 1
         """,
         # mirrors _q_offset_clip_literal: exact-integer goldens
         # (quadsegs=1 joints land on exact vector normals)

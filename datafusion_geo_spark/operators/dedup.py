@@ -525,3 +525,25 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .groupBy("corpus_id", "bench_id")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .where(F.col("n_shared") >= min_hits))
+
+
+def incremental_exact_dedup(new_batch: DataFrame, seen: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Snapshot-incremental exact dedup: keep the rows of ``new_batch``
+    whose content hash appears neither in the ``seen`` corpus nor
+    earlier in the batch itself (min-id-wins within the batch, the same
+    canonical rule as exact_dedup). The ``seen`` side travels as
+    hashes only — at 100 TB the accumulated-corpus state is a compact
+    hash table, and the anti-join shuffles just (hash, id), never the
+    text. This is the shape of every production dedup pipeline:
+    re-deduping the full corpus per ingest is O(corpus), the
+    incremental anti-join is O(batch)."""
+    nb = new_batch.withColumn("_h", h64(F.col(text_col)))
+    seen_h = seen.select(h64(F.col(text_col)).alias("_h")).distinct()
+    fresh = nb.join(seen_h, "_h", "left_anti")
+    from pyspark.sql import Window
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (fresh.withColumn("_rn", F.row_number().over(w))
+                 .where(F.col("_rn") == 1)
+                 .drop("_rn", "_h"))

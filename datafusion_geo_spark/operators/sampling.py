@@ -167,3 +167,24 @@ def weighted_sample(df: DataFrame, stratum_col: str, key_col: str,
            if thr is not None
            else F.lit(int(round(default_fraction * HASH_BUCKETS))))
     return df.where(hash_bucket(F.col(key_col)) < thr)
+
+
+def seeded_shuffle(df: DataFrame, key_col: str, seed: str,
+                   order_col: str = "shuffle_order") -> DataFrame:
+    """Deterministic global training-order shuffle: rows ranked by
+    md5(seed || key) — the standard 'epoch shuffle' a 100-TB pipeline
+    needs to be reproducible across engines and runs (df.orderBy(rand)
+    is neither). The ORDER BY on the digest is a range-partitioned
+    total sort, Spark's scalable global sort; changing ``seed`` gives
+    an independent permutation while keys keep their identity.
+
+    Emits a dense 1-based ``order_col`` (row_number over the digest,
+    key as tiebreak for digest collisions) — the position a sequential
+    trainer would read the row at."""
+    from pyspark.sql import Window
+    digest = F.md5(F.concat(F.lit(seed), F.lit("|"),
+                            F.col(key_col).cast("string")))
+    w = Window.orderBy(digest.asc(), F.col(key_col).cast("string").asc())
+    return (df.withColumn("_digest", digest)
+              .withColumn(order_col, F.row_number().over(w))
+              .drop("_digest"))
