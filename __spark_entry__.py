@@ -1145,6 +1145,38 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_distance_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DistanceSphere (haversine meters, PostGIS mean radius) from
+    every customer point to the origin — the Python-math kernel and
+    the DuckDB libm oracle agree bit-for-bit before the shared binary
+    rounding (same property transform_points relies on)."""
+    from datafusion_geo_spark.functions import st_distancesphere, st_point
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = points_customer(spark, sf_dir)
+    return cu.select(
+        "c_custkey",
+        _rb6(st_distancesphere(
+            F.col("geom"), st_point(F.lit(0.0), F.lit(0.0))))
+        .alias("dist_m"))
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle over the events table (operators/sessions.py
+    retention_cohorts): first-activity-day cohorts x day offsets."""
+    from datafusion_geo_spark.operators.sessions import retention_cohorts
+    from datafusion_geo_spark.sources.fixtures import load_events
+    return retention_cohorts(load_events(spark, sf_dir))
+
+
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel (operators/sessions.py
+    funnel_stages): users surviving each ordered stage."""
+    from datafusion_geo_spark.operators.sessions import funnel_stages
+    from datafusion_geo_spark.sources.fixtures import load_events
+    return funnel_stages(load_events(spark, sf_dir),
+                         ["view", "click", "purchase"])
+
+
 def _q_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch shuffle (operators/sampling.py
     seeded_shuffle): reproducible global training order via
@@ -2424,6 +2456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_clip_literal": _q_offset_clip_literal,
         "seeded_shuffle": _q_seeded_shuffle,
         "incremental_dedup": _q_incremental_dedup,
+        "distance_sphere": _q_distance_sphere,
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel_conversion": _q_funnel_conversion,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3500,6 +3535,68 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_distance_sphere: same haversine literals and
+        # operation order; Python math == DuckDB libm bit-for-bit
+        "distance_sphere": """
+            WITH p AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN NULL
+                          ELSE (c_custkey % 360 - 180)::DOUBLE END AS x,
+                     (c_nationkey * 3 - 37.5)::DOUBLE AS y
+              FROM customer
+            )
+            SELECT c_custkey,
+              CASE WHEN x IS NULL THEN NULL ELSE
+                ((CASE WHEN h < 0 THEN -1 ELSE 1 END)
+                 * floor(abs(h) * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+              END AS dist_m
+            FROM (
+              SELECT c_custkey, x,
+                2.0 * 6371008.0 * asin(sqrt(LEAST(1.0,
+                    sin(((0.0 - y) * 0.017453292519943295) / 2.0)
+                    * sin(((0.0 - y) * 0.017453292519943295) / 2.0)
+                  + cos(y * 0.017453292519943295) * cos(0.0)
+                    * sin(((0.0 - x) * 0.017453292519943295) / 2.0)
+                    * sin(((0.0 - x) * 0.017453292519943295) / 2.0)
+                ))) AS h
+              FROM p) t
+        """,
+        # mirrors _q_retention_cohorts: cohort day x offset counts
+        "retention_cohorts": """
+            WITH a AS (
+              SELECT DISTINCT user_id AS uid, CAST(ts AS DATE) AS d
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), f AS (
+              SELECT uid, MIN(d) AS cohort_day FROM a GROUP BY uid
+            )
+            SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+                   (d - cohort_day) AS day_offset,
+                   COUNT(DISTINCT a.uid) AS users
+            FROM a JOIN f USING (uid)
+            GROUP BY cohort_day, (d - cohort_day)
+        """,
+        # mirrors _q_funnel_conversion: chained earliest-qualifying
+        # stage times, exactly the operator's join-aggregate ladder
+        "funnel_conversion": """
+            WITH v AS (
+              SELECT user_id AS uid, MIN(ts) AS st FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id AS uid, MIN(e.ts) AS st
+              FROM events e JOIN v ON e.user_id = v.uid
+              WHERE e.event_type = 'click' AND e.ts >= v.st
+              GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id AS uid, MIN(e.ts) AS st
+              FROM events e JOIN c ON e.user_id = c.uid
+              WHERE e.event_type = 'purchase' AND e.ts >= c.st
+              GROUP BY e.user_id
+            )
+            SELECT 1 AS stage_idx, 'view' AS stage,
+                   (SELECT COUNT(*) FROM v) AS users
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+            UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
         """,
         # mirrors _q_seeded_shuffle: identical md5 digests order rows
         # the same way in both engines (lowercase hex, ASCII collation)

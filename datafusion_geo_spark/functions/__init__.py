@@ -335,6 +335,7 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
 _offset_curve = _u_variadic(kernels.st_offset_curve, BinaryType(),
                             "st_offsetcurve")
 _shared_paths = _u2(kernels.st_shared_paths, BinaryType())
@@ -495,6 +496,15 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_distancesphere(a: GeomLike, b: GeomLike) -> Column:
+    """PostGIS ST_DistanceSphere: great-circle meters between POINT
+    lon/lat geometries (haversine on the mean-radius sphere,
+    geo/proj.py). For the JVM-native scale path over raw lon/lat
+    DOUBLE columns, inline the same formula with pyspark.sql.functions
+    trig — this kernel is the geometry-typed convenience."""
+    return _distance_sphere(_geom(a), _geom(b))
 
 
 def st_offsetcurve(g: GeomLike, d, quadsegs=None) -> Column:
@@ -1129,6 +1139,7 @@ _SQL_UDFS = {
     "ST_Crosses": _crosses,
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
+    "ST_DistanceSphere": _distance_sphere,
     "ST_OffsetCurve": _offset_curve,
     "ST_SharedPaths": _shared_paths,
     "ST_ClipByBox2D": _clip_by_box,
@@ -1234,6 +1245,7 @@ __all__ = [
     "st_delaunaytriangles", "st_voronoipolygons", "st_concavehull",
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
+    "st_distancesphere",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",
     "st_isvalidreason", "st_pointonsurface", "st_hausdorffdistance",
     "st_frechetdistance",

@@ -1686,3 +1686,27 @@ def st_clip_by_box(s: pd.Series, xmin: pd.Series, ymin: pd.Series,
                                 *[float(n) for n in nums])
         out.append(None if r is None else to_wkb(r))
     return _obj_series(out)
+
+
+# ---------------------------------------- spherical distance (r5)
+# ST_DistanceSphere over POINT geometries (geo/proj.py haversine;
+# PostGIS mean-radius sphere). Beyond-reference.
+
+def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..geo import proj as proj_mod
+    cache = _DecodeCache()
+    al, bl = a.tolist(), b.tolist()
+    out = []
+    for i in range(len(al)):
+        va, vb = al[i], bl[i]
+        if va is None or vb is None:
+            out.append(None)
+            continue
+        ga, gb = cache.geom(bytes(va)), cache.geom(bytes(vb))
+        if ga.typ != "Point" or gb.typ != "Point" \
+                or ga.parts is None or gb.parts is None:
+            out.append(None)
+            continue
+        out.append(proj_mod.haversine_m(ga.parts[0], ga.parts[1],
+                                        gb.parts[0], gb.parts[1]))
+    return _obj_series(out)

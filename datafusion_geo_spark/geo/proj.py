@@ -145,3 +145,23 @@ def transform_geometry(g: Geometry, to_srid: int,
             f"(supported: {SRID_LONLAT} <-> {SRID_MERCATOR}, "
             f"{SRID_LONLAT} <-> UTM 326xx/327xx)")
     return g.map_coords(lambda c: f(c[0], c[1])).with_srid(dst)
+
+
+# PostGIS ST_DistanceSphere radius (mean Earth radius, meters)
+R_SPHERE = 6371008.0
+
+
+def haversine_m(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    """Great-circle distance in meters on the R_SPHERE sphere
+    (PostGIS ST_DistanceSphere). Fixed operation order so a SQL oracle
+    with the same literals reproduces the doubles exactly."""
+    phi1 = lat1 * DEG2RAD
+    phi2 = lat2 * DEG2RAD
+    dphi = (lat2 - lat1) * DEG2RAD
+    dlam = (lon2 - lon1) * DEG2RAD
+    s1 = math.sin(dphi / 2.0)
+    s2 = math.sin(dlam / 2.0)
+    a = s1 * s1 + math.cos(phi1) * math.cos(phi2) * s2 * s2
+    if a > 1.0:
+        a = 1.0
+    return 2.0 * R_SPHERE * math.asin(math.sqrt(a))

@@ -46,3 +46,56 @@ def gap_sessions(events: DataFrame, user_col: str = "user_id",
                  F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.round(F.col(value_col) * 100).cast("long"))
                   .alias("sum_cents")))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity day
+    (cohort), counted per day-offset of later activity. Two grouped
+    aggregates sharing the user_id hash partitioning: first-day per
+    user, then distinct (user, day) joined back — at 100 TB both
+    shuffles move only (user, date) pairs, never event payloads."""
+    act = (events.select(F.col(user_col).alias("uid"),
+                         F.to_date(F.col(ts_col)).alias("d"))
+           .where(F.col("uid").isNotNull() & F.col("d").isNotNull())
+           .distinct())
+    first = act.groupBy("uid").agg(F.min("d").alias("cohort_day"))
+    return (act.join(first, "uid")
+            .groupBy(F.date_format("cohort_day", "yyyy-MM-dd")
+                     .alias("cohort"),
+                     F.datediff(F.col("d"), F.col("cohort_day"))
+                     .alias("day_offset"))
+            .agg(F.countDistinct("uid").alias("users")))
+
+
+def funnel_stages(events: DataFrame, stages: list,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: a user reaches stage k when an event of
+    stages[k] occurs AT OR AFTER their stage-(k-1) time (earliest
+    qualifying event chains the dependency). Returns one row per stage
+    with the surviving-user count — each hop is a user-keyed
+    aggregate + equi-join, so the whole funnel shares one hash
+    partitioning on the user."""
+    if not stages:
+        raise ValueError("funnel_stages: need at least one stage")
+    ev = events.select(F.col(user_col).alias("uid"),
+                       F.col(ts_col).alias("t"),
+                       F.col(type_col).alias("et"))
+    reached = (ev.where(F.col("et") == stages[0])
+               .groupBy("uid").agg(F.min("t").alias("st")))
+    parts = []
+    for i, stage in enumerate(stages):
+        if i > 0:
+            reached = (ev.where(F.col("et") == stage)
+                       .join(reached, "uid")
+                       .where(F.col("t") >= F.col("st"))
+                       .groupBy("uid").agg(F.min("t").alias("st")))
+        parts.append(reached.agg(F.count("*").alias("users"))
+                     .select(F.lit(i + 1).alias("stage_idx"),
+                             F.lit(stage).alias("stage"),
+                             F.col("users")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
