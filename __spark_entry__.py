@@ -1145,6 +1145,62 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ClusterKMeans parity (operators/cluster.py kmeans_points):
+    Euclidean Lloyd's over customer points, k=4, 2 update rounds +
+    final assignment — every step 6-dp-rounded so the unrolled SQL
+    replay (_kmeans_oracle) reproduces assignments exactly."""
+    from datafusion_geo_spark.operators.cluster import kmeans_points
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = (points_customer(spark, sf_dir)
+          .where(F.col("geom").isNotNull())
+          .select(F.col("c_custkey").alias("id"), "x", "y"))
+    return (kmeans_points(cu, k=4, iters=2)
+            .select(F.col("id").alias("c_custkey"), "cid"))
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2) -> str:
+    """Unrolled SQL replay of kmeans_points over the customer points —
+    same md5 seed order, 6-dp binary-rounded distances and means,
+    lowest-cid tie-break (the _pq_oracle discipline)."""
+    rb6 = "floor(({v}) * 1000000.0 + 0.5) / 1000000.0"
+    rb6s = ("((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) "
+            "* floor(abs({v}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    d2 = ("(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)")
+    ctes = [
+        """p AS (
+          SELECT c_custkey AS id,
+                 (c_custkey % 360 - 180)::DOUBLE AS x,
+                 (c_nationkey * 3 - 37.5)::DOUBLE AS y
+          FROM customer WHERE c_custkey % 7 <> 0
+        )""",
+        f"""c0 AS (
+          SELECT (row_number() OVER (
+                    ORDER BY md5(CAST(id AS VARCHAR)), id) - 1)::INT
+                   AS cid, x AS cx, y AS cy
+          FROM p ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k}
+        )""",
+    ]
+    for r in range(iters + 1):
+        ctes.append(f"""a{r} AS (
+          SELECT id, cid FROM (
+            SELECT p.id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY p.id
+                     ORDER BY {rb6.format(v=d2)}, c.cid) AS rn
+            FROM p, c{r} AS c) t
+          WHERE rn = 1
+        )""")
+        if r < iters:
+            ctes.append(f"""c{r + 1} AS (
+              SELECT cid, {rb6s.format(v='avg(p.x)')} AS cx,
+                          {rb6s.format(v='avg(p.y)')} AS cy
+              FROM a{r} JOIN p USING (id) GROUP BY cid
+            )""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id AS c_custkey, cid FROM a{iters}")
+
+
 def _q_distance_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_DistanceSphere (haversine meters, PostGIS mean radius) from
     every customer point to the origin — the Python-math kernel and
@@ -2459,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_sphere": _q_distance_sphere,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_conversion": _q_funnel_conversion,
+        "kmeans_clusters": _q_kmeans_clusters,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3536,6 +3593,8 @@ def oracle_sql() -> dict[str, str]:
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
         """,
+        # mirrors _q_kmeans_clusters: unrolled Lloyd replay
+        "kmeans_clusters": _kmeans_oracle(),
         # mirrors _q_distance_sphere: same haversine literals and
         # operation order; Python math == DuckDB libm bit-for-bit
         "distance_sphere": """

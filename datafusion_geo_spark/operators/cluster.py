@@ -150,3 +150,57 @@ def cluster_within_points(df: DataFrame, d: float, id_col: str = "id",
     comp = connected_components(pairs, "ia", "ib", max_iter=64)
     return comp.select(F.col("doc_id").alias(id_col),
                        F.col("component").alias("cluster"))
+
+
+def kmeans_points(df: DataFrame, k: int = 4, iters: int = 2,
+                  id_col: str = "id", x_col: str = "x",
+                  y_col: str = "y") -> DataFrame:
+    """PostGIS ``ST_ClusterKMeans`` re-expressed distributed: Euclidean
+    Lloyd's over 2-D points with every step SQL-replayable (the same
+    determinism discipline as similarity.kmeans_centroids, but L2):
+
+      - seeds = the ``k`` points with the smallest (md5(id), id);
+      - assignment = argmin of the squared distance rounded to 6 dp
+        (binary half-up), ties to the LOWEST centroid id — a broadcast
+        of k centroids against the corpus, aggregated per point;
+      - update = per-cluster coordinate means rounded to 6 dp (empty
+        clusters drop out in both engines identically);
+      - ``iters`` update rounds, then one final assignment.
+
+    The per-iteration driver sync is k pairs of doubles (centroids
+    re-broadcast), independent of corpus size; the corpus-side work per
+    round is one broadcast-join scan + one map-side-combined aggregate.
+    Returns (id_col, cid) — cluster numbers are seed ranks, PostGIS's
+    arbitrary-but-stable integers."""
+    from .util import round6_binary
+    spark = df.sparkSession
+    pts = df.select(F.col(id_col), F.col(x_col).alias("_x"),
+                    F.col(y_col).alias("_y")) \
+            .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    seeds = (pts.orderBy(F.md5(F.col(id_col).cast("string")),
+                         F.col(id_col))
+             .limit(k).collect())
+    cents = [(i, float(r["_x"]), float(r["_y"]))
+             for i, r in enumerate(seeds)]
+
+    def assign(cdf):
+        d2 = ((F.col("_x") - F.col("cx")) * (F.col("_x") - F.col("cx"))
+              + (F.col("_y") - F.col("cy")) * (F.col("_y") - F.col("cy")))
+        scored = pts.crossJoin(cdf).select(
+            F.col(id_col), round6_binary(d2).alias("d2"), F.col("cid"))
+        return (scored.groupBy(id_col)
+                .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"))
+                .select(F.col(id_col), F.col("m.cid").alias("cid")))
+
+    for _ in range(iters):
+        cdf = F.broadcast(spark.createDataFrame(
+            cents, "cid int, cx double, cy double"))
+        upd = (assign(cdf).join(pts, id_col)
+               .groupBy("cid")
+               .agg(round6_binary(F.avg("_x")).alias("cx"),
+                    round6_binary(F.avg("_y")).alias("cy"))
+               .collect())
+        cents = sorted((r["cid"], r["cx"], r["cy"]) for r in upd)
+    cdf = F.broadcast(spark.createDataFrame(
+        cents, "cid int, cx double, cy double"))
+    return assign(cdf)
