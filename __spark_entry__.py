@@ -1145,6 +1145,30 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_tile_normalize_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_TileEnvelope (exact power-of-two mercator arithmetic) +
+    ST_Normalize canonical forms over literals."""
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_normalize, st_srid,
+                                                st_tileenvelope)
+    rows = [
+        (1, 0, 0, 0, "POLYGON((2 0,2 2,0 2,0 0,2 0))"),
+        (2, 1, 1, 0, "LINESTRING(5 5,0 0)"),
+        (3, 2, 1, 2, "MULTIPOINT(3 3,1 1,2 2)"),
+        (4, 3, 7, 7,
+         "MULTIPOLYGON(((5 5,6 5,6 6,5 6,5 5)),((0 0,1 0,1 1,0 1,0 0)))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, z int, x int, y int, "
+                                     "g string")
+    env = st_tileenvelope(F.col("z"), F.col("x"), F.col("y"))
+    return df.select(
+        "id",
+        st_astext(env).alias("tile_wkt"),
+        st_srid(env).alias("tile_srid"),
+        st_astext(st_normalize(st_geomfromtext(F.col("g"))))
+        .alias("norm_wkt"))
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_ClusterKMeans parity (operators/cluster.py kmeans_points):
     Euclidean Lloyd's over customer points, k=4, 2 update rounds +
@@ -2516,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "funnel_conversion": _q_funnel_conversion,
         "kmeans_clusters": _q_kmeans_clusters,
+        "tile_normalize_literal": _q_tile_normalize_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3592,6 +3617,20 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_tile_normalize_literal: exact mercator tile bounds
+        # + canonical-form goldens
+        "tile_normalize_literal": """
+            SELECT * FROM (VALUES
+              (1, 'POLYGON((-20037508.342789244 -20037508.342789244,20037508.342789244 -20037508.342789244,20037508.342789244 20037508.342789244,-20037508.342789244 20037508.342789244,-20037508.342789244 -20037508.342789244))',
+                  3857, 'POLYGON((0 0,2 0,2 2,0 2,0 0))'),
+              (2, 'POLYGON((0 0,20037508.342789244 0,20037508.342789244 20037508.342789244,0 20037508.342789244,0 0))',
+                  3857, 'LINESTRING(0 0,5 5)'),
+              (3, 'POLYGON((-10018754.171394622 -10018754.171394622,0 -10018754.171394622,0 0,-10018754.171394622 0,-10018754.171394622 -10018754.171394622))',
+                  3857, 'MULTIPOINT(1 1,2 2,3 3)'),
+              (4, 'POLYGON((15028131.257091936 -20037508.342789248,20037508.342789248 -20037508.342789248,20037508.342789248 -15028131.257091936,15028131.257091936 -15028131.257091936,15028131.257091936 -20037508.342789248))',
+                  3857, 'MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))')
+            ) AS v(id, tile_wkt, tile_srid, norm_wkt)
         """,
         # mirrors _q_kmeans_clusters: unrolled Lloyd replay
         "kmeans_clusters": _kmeans_oracle(),

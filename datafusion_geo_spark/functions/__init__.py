@@ -336,6 +336,8 @@ _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
 _distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
+_tile_envelope = _u3(kernels.st_tile_envelope, BinaryType())
+_normalize = _u1(kernels.st_normalize, BinaryType())
 _offset_curve = _u_variadic(kernels.st_offset_curve, BinaryType(),
                             "st_offsetcurve")
 _shared_paths = _u2(kernels.st_shared_paths, BinaryType())
@@ -496,6 +498,22 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_tileenvelope(z, x, y) -> Column:
+    """PostGIS ST_TileEnvelope: XYZ web-mercator tile bounds as a
+    POLYGON stamped SRID 3857; NULL for out-of-range tiles."""
+    def c(v):
+        return v if isinstance(v, Column) else F.lit(int(v))
+    return _tile_envelope(c(z), c(x), c(y))
+
+
+def st_normalize(g: GeomLike) -> Column:
+    """ST_Normalize (documented canonical form, geo/edit.py): shells
+    CCW / holes CW at canonical starts, lines from their smaller
+    endpoint, sorted multi-members. Idempotent; equality-after-
+    normalize compares point sets."""
+    return _normalize(_geom(g))
 
 
 def st_distancesphere(a: GeomLike, b: GeomLike) -> Column:
@@ -1140,6 +1158,8 @@ _SQL_UDFS = {
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
     "ST_DistanceSphere": _distance_sphere,
+    "ST_TileEnvelope": _tile_envelope,
+    "ST_Normalize": _normalize,
     "ST_OffsetCurve": _offset_curve,
     "ST_SharedPaths": _shared_paths,
     "ST_ClipByBox2D": _clip_by_box,
@@ -1245,7 +1265,7 @@ __all__ = [
     "st_delaunaytriangles", "st_voronoipolygons", "st_concavehull",
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
-    "st_distancesphere",
+    "st_distancesphere", "st_tileenvelope", "st_normalize",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",
     "st_isvalidreason", "st_pointonsurface", "st_hausdorffdistance",
     "st_frechetdistance",

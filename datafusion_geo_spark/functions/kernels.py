@@ -1710,3 +1710,35 @@ def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
         out.append(proj_mod.haversine_m(ga.parts[0], ga.parts[1],
                                         gb.parts[0], gb.parts[1]))
     return _obj_series(out)
+
+
+# ------------------------------- tile envelope + normalize (r5)
+
+_MERC_WORLD = 20037508.342789244
+
+
+def st_tile_envelope(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """ST_TileEnvelope: web-mercator XYZ tile bounds as a POLYGON
+    stamped SRID 3857 (exact power-of-two arithmetic)."""
+    out = []
+    zl, xl, yl = z.tolist(), x.tolist(), y.tolist()
+    for i in range(len(zl)):
+        zz, xx, yy = _num(zl[i]), _num(xl[i]), _num(yl[i])
+        if zz is None or xx is None or yy is None:
+            out.append(None)
+            continue
+        zz, xx, yy = int(zz), int(xx), int(yy)
+        n = 1 << zz
+        if not (0 <= xx < n and 0 <= yy < n):
+            out.append(None)
+            continue
+        size = 2.0 * _MERC_WORLD / n
+        x0 = -_MERC_WORLD + xx * size
+        y1 = _MERC_WORLD - yy * size
+        ring = [(x0, y1 - size), (x0 + size, y1 - size),
+                (x0 + size, y1), (x0, y1), (x0, y1 - size)]
+        out.append(to_wkb(Geometry("Polygon", [ring], 3857)))
+    return _obj_series(out)
+
+
+st_normalize = _unary_geom(edit.normalize)

@@ -547,3 +547,55 @@ def snap(g: Geometry, ref: Geometry, tol: float) -> Geometry:
     if t == "GeometryCollection":
         return Geometry(t, [snap(m, ref, tol) for m in p], s)
     return g
+
+
+def normalize(g: Geometry) -> Geometry:
+    """ST_Normalize — a canonical form that is a pure function of the
+    point set: shells CCW / holes CW starting at their lexicographically
+    smallest vertex, open lines directed from their smaller endpoint,
+    multi-members sorted lexicographically. (GEOS's normalized form
+    differs in convention; ours is documented and idempotent, which is
+    what equality-after-normalize workflows actually need.)"""
+    from .algos import _canon_start, ring_area2
+    t, p, s = g.typ, g.parts, g.srid
+
+    def norm_ring(r: List[Coord], ccw: bool) -> List[Coord]:
+        rr = list(r)
+        if len(rr) >= 4:
+            if (ring_area2(rr) > 0) != ccw:
+                rr = rr[::-1]
+            rr = _canon_start(rr)
+        return rr
+
+    def norm_line(cs: List[Coord]) -> List[Coord]:
+        cs = list(cs)
+        if len(cs) >= 2 and dist(cs[0], cs[-1]) <= 0.0:
+            ring = norm_ring(cs, True)
+            return ring
+        if cs and tuple(cs[-1]) < tuple(cs[0]):
+            cs = cs[::-1]
+        return cs
+
+    def norm_poly(rings) -> list:
+        out = [norm_ring(rings[0], True)] if rings else []
+        holes = sorted((norm_ring(r, False) for r in rings[1:]),
+                       key=lambda r: r[0] if r else ())
+        return out + list(holes)
+
+    if t == "MultiPoint":
+        return Geometry(t, sorted(p), s)
+    if t == "LineString":
+        return Geometry(t, norm_line(p), s)
+    if t == "MultiLineString":
+        return Geometry(t, sorted((norm_line(m) for m in p),
+                                  key=lambda m: [tuple(c) for c in m]), s)
+    if t == "Polygon":
+        return Geometry(t, norm_poly(p), s)
+    if t == "MultiPolygon":
+        return Geometry(t, sorted((norm_poly(poly) for poly in p),
+                                  key=lambda poly: [tuple(c) for c in
+                                                    poly[0]] if poly else []),
+                        s)
+    if t == "GeometryCollection":
+        return Geometry(t, [normalize(m) for m in p], s)
+    return g
