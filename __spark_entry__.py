@@ -1145,6 +1145,21 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory construction: ST_MakeLine-style aggregate per order —
+    lineitem points in l_linenumber order become one LINESTRING WKT,
+    entirely JVM-side (functions.st_makeline_agg). The canonical
+    GPS-trace/telemetry assembly; one hash aggregate on the group
+    key."""
+    from datafusion_geo_spark.functions import st_makeline_agg
+    from datafusion_geo_spark.sources.fixtures import points_lineitem
+    li = points_lineitem(spark, sf_dir).where(F.col("geom").isNotNull())
+    return (li.groupBy("l_orderkey")
+            .agg(st_makeline_agg(F.col("x"), F.col("y"),
+                                 F.col("l_linenumber")).alias("traj_wkt"),
+                 F.count("*").alias("n_pts")))
+
+
 def _q_tile_normalize_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_TileEnvelope (exact power-of-two mercator arithmetic) +
     ST_Normalize canonical forms over literals."""
@@ -2541,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "kmeans_clusters": _q_kmeans_clusters,
         "tile_normalize_literal": _q_tile_normalize_literal,
+        "trajectories": _q_trajectories,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3617,6 +3633,24 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_trajectories: string_agg ORDER BY replays the
+        # sorted-struct vertex order; double casts print identically
+        "trajectories": """
+            SELECT l_orderkey,
+                   CASE WHEN COUNT(*) >= 2 THEN
+                     'LINESTRING(' || string_agg(
+                        CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR),
+                        -- (x, y) tie-break mirrors the struct sort: the
+                        -- synthetic lineitem repeats l_linenumber
+                        ',' ORDER BY l_linenumber, x, y) || ')'
+                   ELSE 'LINESTRING EMPTY' END AS traj_wkt,
+                   COUNT(*) AS n_pts
+            FROM (SELECT l_orderkey, l_linenumber,
+                         (l_orderkey % 1000)::DOUBLE AS x,
+                         (l_partkey % 1000)::DOUBLE AS y
+                  FROM lineitem WHERE l_orderkey % 7 <> 0) p
+            GROUP BY l_orderkey
         """,
         # mirrors _q_tile_normalize_literal: exact mercator tile bounds
         # + canonical-form goldens

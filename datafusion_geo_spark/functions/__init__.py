@@ -1057,6 +1057,31 @@ def st_collect_points_agg(x, y) -> Column:
             .otherwise(F.lit("MULTIPOINT EMPTY"))
 
 
+def st_makeline_agg(x, y, order_by) -> Column:
+    """PostGIS-style ST_MakeLine aggregate: one LINESTRING WKT per
+    group with vertices in ``order_by`` order (the trajectory
+    constructor: points + sequence/timestamp -> path). Entirely
+    JVM-side like st_collect_points_agg — collect_list of
+    (order, x, y) structs, sort_array for the deterministic vertex
+    order, transform+array_join assembly. Groups with fewer than two
+    points yield LINESTRING EMPTY (a one-point line is invalid;
+    documented deviation from PostGIS's degenerate output).
+
+    Scale note: the group's vertices materialize in one aggregation
+    buffer — bounded by trajectory length, not the corpus."""
+    pts = F.sort_array(F.collect_list(
+        F.struct(_num(order_by, "double").alias("o"),
+                 _num(x, "double").alias("x"),
+                 _num(y, "double").alias("y"))))
+    body = F.array_join(
+        F.transform(pts, lambda p: F.concat(p["x"].cast("string"),
+                                            F.lit(" "),
+                                            p["y"].cast("string"))), ",")
+    return F.when(F.size(pts) >= 2,
+                  F.concat(F.lit("LINESTRING("), body, F.lit(")"))) \
+            .otherwise(F.lit("LINESTRING EMPTY"))
+
+
 def _uagg_extent():
     def f(g: pd.Series) -> list:  # Series -> scalar = grouped-agg UDF
         return kernels.extent_array(g)
@@ -1257,6 +1282,7 @@ __all__ = [
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",
+    "st_makeline_agg",
     "st_envelope", "st_lineinterpolatepoint", "st_linelocatepoint",
     "st_geohash", "st_azimuth", "st_closestpoint",
     "st_intersection", "st_union", "st_difference", "st_union_agg",
