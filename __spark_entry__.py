@@ -1145,6 +1145,16 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofencing (streaming/geofence.py): event stream
+    bbox-matched against broadcast fence polygons, exact-covers
+    refined, counted per fence — stateless stream-static join, bounded
+    (fence_id) aggregate state."""
+    from datafusion_geo_spark.streaming.geofence import \
+        streaming_geofence_hits
+    return streaming_geofence_hits(spark, sf_dir)
+
+
 def _q_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trajectory construction: ST_MakeLine-style aggregate per order —
     lineitem points in l_linenumber order become one LINESTRING WKT,
@@ -2557,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "tile_normalize_literal": _q_tile_normalize_literal,
         "trajectories": _q_trajectories,
+        "streaming_geofence": _q_streaming_geofence,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3633,6 +3644,27 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_streaming_geofence: covers on an axis-aligned box
+        # is exactly the inclusive bbox condition
+        "streaming_geofence": """
+            WITH f AS (
+              SELECT n_nationkey AS fence_id,
+                     (n_nationkey * 13 % 340 - 170)::DOUBLE AS fx0,
+                     (n_nationkey * 3 - 37)::DOUBLE AS fy0
+              FROM nation
+            ), e AS (
+              SELECT user_id, value,
+                     (user_id % 360 - 180)::DOUBLE AS px,
+                     ((user_id % 25) * 3 - 37.5)::DOUBLE AS py
+              FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT fence_id, COUNT(*) AS n_hits,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+            FROM e JOIN f
+              ON px >= fx0 AND px <= fx0 + 20
+             AND py >= fy0 AND py <= fy0 + 8
+            GROUP BY fence_id
         """,
         # mirrors _q_trajectories: string_agg ORDER BY replays the
         # sorted-struct vertex order; double casts print identically
