@@ -1145,6 +1145,32 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_negative_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer with negative width (inward erosion; splits and
+    vanishing parts) — semantics pinned by
+    tests/test_buffer_offset.py::TestNegativeBuffer."""
+    from datafusion_geo_spark.functions import (st_area, st_buffer,
+                                                st_geometrytype,
+                                                st_geomfromtext,
+                                                st_numgeometries)
+    rows = [
+        (1, "POLYGON((0 0,10 0,10 10,0 10,0 0))", -2.0),
+        (2, "POLYGON((0 0,10 0,10 10,0 10,0 0))", -6.0),
+        (3, "POLYGON((0 0,20 0,20 4,0 4,0 0),(9 1,11 1,11 3,9 3,9 1))",
+            -1.0),
+        (4, "POLYGON((0 0,8 0,8 1.8,12 1.8,12 0,20 0,20 6,12 6,"
+            "12 4.2,8 4.2,8 6,0 6,0 0))", -1.5),
+        (5, "LINESTRING(0 0,5 5)", -1.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, wkt string, w double")
+    b = st_buffer(st_geomfromtext(F.col("wkt")), F.col("w"))
+    return df.select(
+        "id",
+        _rb6(st_area(b)).alias("area"),
+        st_geometrytype(b).alias("gtype"),
+        st_numgeometries(b).alias("nparts"))
+
+
 def _q_streaming_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming geofencing (streaming/geofence.py): event stream
     bbox-matched against broadcast fence polygons, exact-covers
@@ -2568,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_normalize_literal": _q_tile_normalize_literal,
         "trajectories": _q_trajectories,
         "streaming_geofence": _q_streaming_geofence,
+        "negative_buffer": _q_negative_buffer,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3644,6 +3671,17 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_negative_buffer: analytic erosion areas (row 4's
+        # reflex-joint arcs make its area quadsegs-determined, pinned)
+        "negative_buffer": """
+            SELECT * FROM (VALUES
+              (1, 36.0, 'ST_Polygon', 1),
+              (2, 0.0, 'ST_Polygon', 0),
+              (3, 28.0, 'ST_MultiPolygon', 2),
+              (4, 30.894521, 'ST_MultiPolygon', 2),
+              (5, 0.0, 'ST_Polygon', 0)
+            ) AS v(id, area, gtype, nparts)
         """,
         # mirrors _q_streaming_geofence: covers on an axis-aligned box
         # is exactly the inclusive bbox condition

@@ -469,8 +469,13 @@ def buffer(g: Geometry, width: float, quadsegs: int = 8) -> Geometry:
     quadsegs convention; a line capsule's cap vertices start at the
     right-normal angle of the adjacent segment.
     """
-    if width <= 0:
-        raise ValueError("ST_Buffer: width must be > 0")
+    if width < 0:
+        # PostGIS negative buffer: polygons erode inward (possibly
+        # splitting or vanishing); points/lines yield EMPTY
+        from .offset import erode_polygons
+        return erode_polygons(g, -float(width), max(1, int(quadsegs)))
+    if width == 0:
+        raise ValueError("ST_Buffer: width must be nonzero")
     n = max(1, int(quadsegs)) * 4
 
     def circle(c: Coord) -> List[Coord]:

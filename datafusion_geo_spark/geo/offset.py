@@ -689,3 +689,48 @@ def offset_curve_geometry(g, d: float, quadsegs: int = 8):
         outs = [o for o in outs if o]
         return Geometry("MultiLineString", outs, g.srid)
     return None
+
+
+def erode_polygons(g, w: float, quadsegs: int = 8):
+    """NEGATIVE polygon buffer (PostGIS ST_Buffer with width < 0):
+    each member polygon's shell is eroded inward by ``w`` (the 'in'
+    offset curve resolved under the positive-winding rule — over-
+    erosion empties or splits a part), and each hole is DILATED by
+    ``w`` and subtracted through the exact overlay. Non-areal members
+    contribute nothing (PostGIS: negative buffer of points/lines is
+    EMPTY)."""
+    from .geom import Geometry
+    from .overlay import difference, union_all
+    out_parts = []
+    for m in g.geometries():
+        if m.typ != "Polygon" or not m.parts:
+            continue
+        rings = [list(r) for r in m.parts if len(r) >= 4]
+        if not rings:
+            continue
+        shell_polys = resolve(
+            [[ring_offset_curve(rings[0], w, quadsegs, "in")]], ["pos"])
+        if not shell_polys:
+            continue
+        base = Geometry(
+            "MultiPolygon",
+            [[list(r) for r in poly] for poly in shell_polys], g.srid)
+        grown_holes = []
+        for hole in rings[1:]:
+            for poly in resolve(
+                    [[ring_offset_curve(hole, w, quadsegs, "out")]],
+                    ["pos"]):
+                grown_holes.append(
+                    Geometry("Polygon", [list(r) for r in poly], g.srid))
+        if grown_holes:
+            hu = union_all(grown_holes)
+            if hu is not None:
+                base = difference(base, hu)
+        for part in base.geometries():
+            if part.typ == "Polygon" and part.parts:
+                out_parts.append([list(r) for r in part.parts])
+    if not out_parts:
+        return Geometry("Polygon", [], g.srid)
+    if len(out_parts) == 1:
+        return Geometry("Polygon", out_parts[0], g.srid)
+    return Geometry("MultiPolygon", out_parts, g.srid)

@@ -278,3 +278,55 @@ def test_buffer_near_coincident_start_not_empty():
     assert not b.is_empty() and algos.area(b) > 4.0
     for v in g.vertices():
         assert algos.covers(b, Geometry("Point", v))
+
+
+class TestNegativeBuffer:
+    def test_square_erodes_exact(self):
+        from datafusion_geo_spark.geo.algos import area, buffer
+        from datafusion_geo_spark.geo.wkt import from_wkt
+        g = buffer(from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))"), -2.0)
+        assert g.typ == "Polygon" and g.parts
+        assert area(g) == pytest.approx(36.0, abs=1e-9)
+
+    def test_over_erosion_empties(self):
+        from datafusion_geo_spark.geo.algos import buffer
+        from datafusion_geo_spark.geo.wkt import from_wkt, to_wkt
+        assert to_wkt(buffer(
+            from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))"), -6.0)) == \
+            "POLYGON EMPTY"
+
+    def test_hole_grows(self):
+        from datafusion_geo_spark.geo.algos import area, buffer
+        from datafusion_geo_spark.geo.wkt import from_wkt
+        g = buffer(from_wkt(
+            "POLYGON((0 0,20 0,20 4,0 4,0 0),(9 1,11 1,11 3,9 3,9 1))"),
+            -1.0)
+        # outer shrinks to 18x2=36, hole grows to 4x... clipped: two
+        # rectangles 1..8 x 1..3 and 12..19 x 1..3 = 14 + 14
+        assert area(g) == pytest.approx(28.0, abs=1e-9)
+        assert g.typ == "MultiPolygon" and len(g.parts) == 2
+
+    def test_waist_splits(self):
+        from datafusion_geo_spark.geo.algos import buffer
+        from datafusion_geo_spark.geo.wkt import from_wkt
+        g = buffer(from_wkt(
+            "POLYGON((0 0,8 0,8 1.8,12 1.8,12 0,20 0,20 6,12 6,"
+            "12 4.2,8 4.2,8 6,0 6,0 0))"), -1.5)
+        assert g.typ == "MultiPolygon" and len(g.parts) == 2
+
+    def test_lines_points_empty(self):
+        from datafusion_geo_spark.geo.algos import buffer
+        from datafusion_geo_spark.geo.wkt import from_wkt, to_wkt
+        assert to_wkt(buffer(from_wkt("LINESTRING(0 0,5 5)"), -1.0)) == \
+            "POLYGON EMPTY"
+        assert to_wkt(buffer(from_wkt("POINT(1 1)"), -1.0)) == \
+            "POLYGON EMPTY"
+
+    def test_dilate_then_erode_roundtrip_area(self):
+        from datafusion_geo_spark.geo.algos import area, buffer
+        from datafusion_geo_spark.geo.wkt import from_wkt
+        g0 = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+        g = buffer(buffer(g0, 2.0, 8), -2.0, 8)
+        # closing (dilate+erode) of a convex polygon ~ the original
+        # (small excess from the arc chords)
+        assert area(g) == pytest.approx(area(g0), rel=0.02)
