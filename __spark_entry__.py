@@ -1145,6 +1145,18 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_hexbin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex binning (operators/hexbin.py): customer points aggregated
+    into pointy-top hexagons of circumradius 12 — assignment is pure
+    JVM arithmetic (axial + cube rounding), one hash aggregate on two
+    ints; the oracle replays the identical IEEE expressions."""
+    from datafusion_geo_spark.operators.hexbin import hexbin_counts
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = (points_customer(spark, sf_dir)
+          .where(F.col("geom").isNotNull()))
+    return hexbin_counts(cu, 12.0)
+
+
 def _q_negative_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Buffer with negative width (inward erosion; splits and
     vanishing parts) — semantics pinned by
@@ -2595,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectories": _q_trajectories,
         "streaming_geofence": _q_streaming_geofence,
         "negative_buffer": _q_negative_buffer,
+        "hexbin_customers": _q_hexbin_customers,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3671,6 +3684,39 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_hexbin_customers: identical IEEE arithmetic (same
+        # literals, same order — +,*,/,floor only, no libm) so the
+        # cube rounding picks the same cell in both engines
+        "hexbin_customers": """
+            WITH p AS (
+              SELECT (c_custkey % 360 - 180)::DOUBLE AS x,
+                     (c_nationkey * 3 - 37.5)::DOUBLE AS y
+              FROM customer WHERE c_custkey % 7 <> 0
+            ), ax AS (
+              SELECT (0.5773502691896257 * x - 0.3333333333333333 * y)
+                       / 12.0 AS fq,
+                     (0.6666666666666666 * y) / 12.0 AS fr
+              FROM p
+            ), rnd AS (
+              SELECT fq, fr, (-fq - fr) AS fs,
+                     floor(fq + 0.5) AS rq,
+                     floor(fr + 0.5) AS rr,
+                     floor((-fq - fr) + 0.5) AS rs
+              FROM ax
+            ), fixed AS (
+              SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+                           AND abs(rq - fq) > abs(rs - fs)
+                          THEN -rr - rs ELSE rq END AS q,
+                     CASE WHEN NOT (abs(rq - fq) > abs(rr - fr)
+                                    AND abs(rq - fq) > abs(rs - fs))
+                           AND abs(rr - fr) > abs(rs - fs)
+                          THEN -rq - rs ELSE rr END AS r
+              FROM rnd
+            )
+            SELECT CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r,
+                   COUNT(*) AS n
+            FROM fixed GROUP BY 1, 2
         """,
         # mirrors _q_negative_buffer: analytic erosion areas (row 4's
         # reflex-joint arcs make its area quadsegs-determined, pinned)
