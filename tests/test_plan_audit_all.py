@@ -50,6 +50,12 @@ ALLOWED_BROADCAST_CROSSES = {
     "unigram_logprob": 1,    # one-row token-total aggregate broadcast
                              # back onto the token stream (same shape
                              # as tfidf's corpus-size cross)
+    "kmeans_clusters": 1,    # final Lloyd assignment crosses the
+                             # corpus with the broadcast k=4 centroid
+                             # frame (operators/cluster.kmeans_points —
+                             # the training rounds' crosses execute
+                             # eagerly at build time, only the final
+                             # assignment survives into this plan)
 }
 
 
