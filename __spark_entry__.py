@@ -1145,6 +1145,78 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH detector quality vs exact Jaccard ground truth at
+    threshold 0.5 over the perturbed sub-corpus (operators/dedup.py
+    minhash_eval) — the text-dedup twin of ann_recall."""
+    from datafusion_geo_spark.operators.dedup import (minhash_eval,
+                                                      with_perturbed_copies)
+    corpus = with_perturbed_copies(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 100))
+    return minhash_eval(corpus, threshold=0.5)
+
+
+def _minhash_eval_oracle() -> str:
+    """DuckDB twin of _q_minhash_eval: the minhash-pairs replay and the
+    exact-Jaccard replay over the same <100 perturbed corpus, reduced
+    to the one metrics row."""
+    from datafusion_geo_spark.operators.dedup import (LSH_BANDS, LSH_ROWS,
+                                                      MINHASH_P, NUM_HASHES,
+                                                      hash_params)
+    mins = ", ".join(
+        f"min(({hash_params(i)[0]} * hh + {hash_params(i)[1]}) "
+        f"% {MINHASH_P}) AS mh{i}"
+        for i in range(NUM_HASHES))
+    bands = " OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{b * LSH_ROWS + r} = b.mh{b * LSH_ROWS + r}"
+            for r in range(LSH_ROWS)) + ")"
+        for b in range(LSH_BANDS))
+    eq = " + ".join(f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+                    for i in range(NUM_HASHES))
+    corpus = _CORPUS.format(where="WHERE doc_id < 100")
+    h64 = _H64.format(arg="s")
+    rb6 = ("((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) "
+           "* floor(abs({v}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    est = f"(({eq})::DOUBLE / {NUM_HASHES})"
+    return f"""
+        WITH corpus AS ({corpus}),
+        words AS (SELECT doc_id, {_WORDS} AS w FROM corpus),
+        rawsh AS (SELECT doc_id,
+                      unnest(list_transform(range(len(w) - 2),
+                             i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS s
+               FROM words),
+        h AS (SELECT doc_id, {h64} AS hh FROM rawsh),
+        sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+        pred AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sig a JOIN sig b
+                   ON a.doc_id < b.doc_id AND ({bands})
+                 WHERE {rb6.format(v=est)} >= 0.5),
+        dsh AS (SELECT DISTINCT doc_id, s FROM rawsh),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dsh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         COUNT(*) AS ninter
+                  FROM dsh a JOIN dsh b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE {rb6.format(v='(ninter::DOUBLE / (sa.nsh + sb.nsh - ninter))')} >= 0.5),
+        m AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                     (SELECT COUNT(*) FROM pred) AS n_pred,
+                     (SELECT COUNT(*) FROM pred p
+                      WHERE EXISTS (SELECT 1 FROM truth t
+                                    WHERE t.id_a = p.id_a
+                                      AND t.id_b = p.id_b)) AS n_tp)
+        SELECT n_truth, n_pred, n_tp,
+               {rb6.format(v='(n_tp::DOUBLE / GREATEST(n_pred, 1))')} AS precision,
+               {rb6.format(v='(n_tp::DOUBLE / GREATEST(n_truth, 1))')} AS recall
+        FROM m
+    """
+
+
 def _q_hexbin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex binning (operators/hexbin.py): customer points aggregated
     into pointy-top hexagons of circumradius 12 — assignment is pure
@@ -2608,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_geofence": _q_streaming_geofence,
         "negative_buffer": _q_negative_buffer,
         "hexbin_customers": _q_hexbin_customers,
+        "minhash_eval": _q_minhash_eval,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3685,6 +3758,8 @@ def oracle_sql() -> dict[str, str]:
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
         """,
+        # mirrors _q_minhash_eval: both pair replays + the metrics row
+        "minhash_eval": _minhash_eval_oracle(),
         # mirrors _q_hexbin_customers: identical IEEE arithmetic (same
         # literals, same order — +,*,/,floor only, no libm) so the
         # cube rounding picks the same cell in both engines

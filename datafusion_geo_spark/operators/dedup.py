@@ -547,3 +547,39 @@ def incremental_exact_dedup(new_batch: DataFrame, seen: DataFrame,
     return (fresh.withColumn("_rn", F.row_number().over(w))
                  .where(F.col("_rn") == 1)
                  .drop("_rn", "_h"))
+
+
+def minhash_eval(corpus: DataFrame, threshold: float = 0.5,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Quality evaluation of the MinHash-LSH detector against exact
+    n-gram Jaccard ground truth at the same similarity threshold — the
+    text-dedup twin of similarity.ann_recall's in-engine recall eval.
+    Returns ONE row: truth/predicted/true-positive pair counts plus
+    precision and recall (6-dp binary rounded).
+
+    Scale shape: both pair generators are the existing bucketed joins;
+    the metric combination is three one-row aggregates crossed back
+    together (bounded broadcast, the tfidf/bm25 pattern). Run it on a
+    SAMPLE at 100 TB — exact Jaccard ground truth is a research-grade
+    measurement, not a production pass."""
+    truth = ngram_jaccard_pairs(corpus, text_col=text_col, id_col=id_col,
+                                min_jaccard=threshold,
+                                max_shingle_df=None) \
+        .select("id_a", "id_b")
+    pred = lsh_pairs(minhash_signature(corpus, text_col=text_col,
+                                       id_col=id_col),
+                     id_col=id_col, min_sim=threshold,
+                     max_bucket=None).select("id_a", "id_b")
+    tp = pred.join(truth, ["id_a", "id_b"], "inner")
+    n_t = truth.agg(F.count("*").alias("n_truth"))
+    n_p = pred.agg(F.count("*").alias("n_pred"))
+    n_tp = tp.agg(F.count("*").alias("n_tp"))
+    return (n_t.crossJoin(n_p).crossJoin(n_tp)
+            .select("n_truth", "n_pred", "n_tp",
+                    round6_binary(F.col("n_tp").cast("double")
+                                  / F.greatest(F.col("n_pred"), F.lit(1)))
+                    .alias("precision"),
+                    round6_binary(F.col("n_tp").cast("double")
+                                  / F.greatest(F.col("n_truth"), F.lit(1)))
+                    .alias("recall")))

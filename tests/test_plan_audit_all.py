@@ -50,6 +50,9 @@ ALLOWED_BROADCAST_CROSSES = {
     "unigram_logprob": 1,    # one-row token-total aggregate broadcast
                              # back onto the token stream (same shape
                              # as tfidf's corpus-size cross)
+    "minhash_eval": 2,       # three ONE-ROW count aggregates crossed
+                             # into the single metrics row (the
+                             # tfidf/bm25 one-row broadcast pattern)
     "kmeans_clusters": 1,    # final Lloyd assignment crosses the
                              # corpus with the broadcast k=4 centroid
                              # frame (operators/cluster.kmeans_points —
