@@ -1375,6 +1375,30 @@ def _q_distance_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dist_m"))
 
 
+def _q_sphere_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic path length per nation: customers as ordered waypoints,
+    consecutive-pair haversine distances summed as exact integer
+    micrometers (each segment rounds to 6 dp first, so the per-group
+    SUM is summation-order independent — the _ratio6/unigram micro-int
+    discipline applied to doubles that ARE bit-identical across
+    engines but whose float sums would not be)."""
+    from pyspark.sql import Window
+    from datafusion_geo_spark.functions import st_distancesphere, st_point
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = points_customer(spark, sf_dir).where(F.col("geom").isNotNull())
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    lx = F.lag("x").over(w)
+    ly = F.lag("y").over(w)
+    seg = st_distancesphere(st_point(F.col("x"), F.col("y")),
+                            st_point(lx, ly))
+    segs = (cu.select(F.col("c_mktsegment"), seg.alias("d"))
+            .where(F.col("d").isNotNull()))
+    um = F.floor(F.col("d") * 1e6 + F.lit(0.5)).cast("long")
+    return (segs.groupBy("c_mktsegment")
+            .agg(F.sum(um).alias("path_um"),
+                 F.count("*").alias("n_segs")))
+
+
 def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle over the events table (operators/sessions.py
     retention_cohorts): first-activity-day cohorts x day offsets."""
@@ -2681,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_buffer": _q_negative_buffer,
         "hexbin_customers": _q_hexbin_customers,
         "minhash_eval": _q_minhash_eval,
+        "sphere_paths": _q_sphere_paths,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3757,6 +3782,39 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_sphere_paths: identical haversine (libm ==
+        # Python math), per-segment micro-int rounding, exact SUM
+        "sphere_paths": """
+            WITH p AS (
+              SELECT c_mktsegment, c_custkey,
+                     (c_custkey % 360 - 180)::DOUBLE AS x,
+                     (c_nationkey * 3 - 37.5)::DOUBLE AS y
+              FROM customer WHERE c_custkey % 7 <> 0
+            ), lagged AS (
+              SELECT c_mktsegment, x, y,
+                     lag(x) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_custkey) AS lx,
+                     lag(y) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_custkey) AS ly
+              FROM p
+            ), seg AS (
+              SELECT c_mktsegment,
+                2.0 * 6371008.0 * asin(sqrt(LEAST(1.0,
+                    sin(((ly - y) * 0.017453292519943295) / 2.0)
+                    * sin(((ly - y) * 0.017453292519943295) / 2.0)
+                  + cos(y * 0.017453292519943295)
+                    * cos(ly * 0.017453292519943295)
+                    * sin(((lx - x) * 0.017453292519943295) / 2.0)
+                    * sin(((lx - x) * 0.017453292519943295) / 2.0)
+                ))) AS d
+              FROM lagged WHERE lx IS NOT NULL
+            )
+            SELECT c_mktsegment,
+                   SUM(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT))
+                     AS path_um,
+                   COUNT(*) AS n_segs
+            FROM seg GROUP BY c_mktsegment
         """,
         # mirrors _q_minhash_eval: both pair replays + the metrics row
         "minhash_eval": _minhash_eval_oracle(),
