@@ -1145,6 +1145,18 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real multimodal DSP (operators/multimodal.py
+    audio_frame_features): document payloads as u8 PCM → per-frame
+    DC-centered energy + zero crossings, all-integer exact. ASCII-only
+    docs so the oracle's per-character ord() equals the byte value."""
+    from datafusion_geo_spark.operators.multimodal import (
+        audio_frame_features, to_media)
+    docs = (_docs(spark, sf_dir)
+            .where(F.col("text").rlike("^[\\x00-\\x7F]*$")))
+    return audio_frame_features(to_media(docs), window=256)
+
+
 def _q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH detector quality vs exact Jaccard ground truth at
     threshold 0.5 over the perturbed sub-corpus (operators/dedup.py
@@ -2706,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hexbin_customers": _q_hexbin_customers,
         "minhash_eval": _q_minhash_eval,
         "sphere_paths": _q_sphere_paths,
+        "audio_frames": _q_audio_frames,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3782,6 +3795,38 @@ def oracle_sql() -> dict[str, str]:
               (11, '0F1FF0FF2', TRUE,  FALSE),
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
+        """,
+        # mirrors _q_audio_frames: per-character ord == byte value on
+        # the ASCII-filtered corpus; all-integer window reductions
+        "audio_frames": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+            ), b AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) + 1),
+                                    i -> ord(substr(text, i::INT, 1)))
+                       AS bytes
+              FROM d WHERE length(text) > 0
+            ), frames AS (
+              SELECT doc_id, f AS frame_idx,
+                     list_slice(bytes, f * 256 + 1, f * 256 + 256) AS win
+              FROM b, unnest(range((len(bytes) + 255) // 256)) AS t(f)
+            ), stats AS (
+              SELECT doc_id, frame_idx, len(win) AS n_samples,
+                     list_sum(win) // len(win) AS m, win
+              FROM frames WHERE len(win) > 0
+            )
+            SELECT doc_id, frame_idx::INT AS frame_idx,
+                   n_samples::INT AS n_samples,
+                   CAST(list_sum(list_transform(win,
+                        v -> (v - m) * (v - m))) AS BIGINT) AS sum_sq,
+                   CAST(COALESCE(list_sum(list_transform(
+                        range(1, len(win)),
+                        i -> CASE WHEN (win[i::INT] - m < 0)
+                                  <> (win[(i + 1)::INT] - m < 0)
+                             THEN 1 ELSE 0 END)), 0) AS INT) AS zcr
+            FROM stats
         """,
         # mirrors _q_sphere_paths: identical haversine (libm ==
         # Python math), per-segment micro-int rounding, exact SUM

