@@ -1145,6 +1145,48 @@ def _q_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_relatematch(m, "FF*FF****").alias("disjoint_pat"))
 
 
+def _q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over the MinHash
+    near-dup pair graph: 3 unrolled rounds of floor-division
+    contributions — reproducible across engines/partitionings because
+    every intermediate is an int64."""
+    from datafusion_geo_spark.operators.dedup import (lsh_pairs,
+                                                      minhash_signature,
+                                                      with_perturbed_copies)
+    from datafusion_geo_spark.operators.graph import pagerank_int
+    corpus = with_perturbed_copies(_docs(spark, sf_dir))
+    pairs = lsh_pairs(minhash_signature(corpus))
+    return pagerank_int(pairs, iters=3)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled integer-PageRank replay over the minhash-pair edges."""
+    body = [f"""edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ), deg AS (
+          SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ), r0 AS (
+          SELECT src, 1000000::BIGINT AS rank_int FROM deg
+        )"""]
+    for i in range(3):
+        body.append(f"""r{i + 1} AS (
+          SELECT d.src,
+                 CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+                   AS rank_int
+          FROM deg d LEFT JOIN (
+            SELECT e.dst, SUM(r.rank_int // dd.deg) AS s
+            FROM edges e
+            JOIN r{i} r ON r.src = e.src
+            JOIN deg dd ON dd.src = e.src
+            GROUP BY e.dst) s ON s.dst = d.src
+        )""")
+    return (f"WITH pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle()}) t),\n"
+            + ",\n".join(body)
+            + "\nSELECT src AS id, rank_int FROM r3")
+
+
 def _q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal DSP (operators/multimodal.py
     audio_frame_features): document payloads as u8 PCM → per-frame
@@ -2719,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_eval": _q_minhash_eval,
         "sphere_paths": _q_sphere_paths,
         "audio_frames": _q_audio_frames,
+        "pagerank_neardup": _q_pagerank_neardup,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3796,6 +3839,8 @@ def oracle_sql() -> dict[str, str]:
               (12, '0FFFFF102', FALSE, FALSE)
             ) AS v(id, de9im, contains_pat, disjoint_pat)
         """,
+        # mirrors _q_pagerank_neardup: unrolled integer rounds
+        "pagerank_neardup": _pagerank_oracle(),
         # mirrors _q_audio_frames: per-character ord == byte value on
         # the ASCII-filtered corpus; all-integer window reductions
         "audio_frames": """

@@ -1,0 +1,61 @@
+"""Graph analytics over similarity graphs — integer-exact PageRank.
+
+PageRank in floating point is not reproducible across engines or
+partitionings (per-vertex sums change order). This implementation works
+ENTIRELY in scaled integers: ranks start at 10^6 micro-units, each
+round a vertex sends ``rank // degree`` to every neighbor (integer
+floor division — exact, order-independent), and the update is
+
+    rank' = (teleport_pct · 10^6) // 100 + (damping_pct · Σ contrib) // 100
+
+so every intermediate is an int64 and the result is a pure function of
+the edge set and iteration count. The usual float PageRank is recovered
+by dividing by 10^6; rank ORDER (the thing consumers use) matches the
+float version except at sub-micro-unit ties, which float wouldn't
+resolve portably anyway.
+
+Scale shape per iteration: one shuffle join edges⋈ranks on the source
+id + one grouped SUM on the destination — the GraphX/Pregel cost, with
+AQE free to re-plan skewed vertices. Iterations are fixed (the oracle
+unrolls the same count)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SCALE = 1_000_000
+
+
+def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                 iters: int = 3, damping_pct: int = 85) -> DataFrame:
+    """Integer PageRank over an UNDIRECTED pair list (each pair becomes
+    two directed edges). Returns (id, rank_int) with rank_int in
+    micro-units."""
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in [0, 100]")
+    teleport = (100 - damping_pct) * SCALE // 100
+    edges = (pairs.select(F.col(id_a).alias("src"),
+                          F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct().persist())
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select("src", F.lit(SCALE).cast("long").alias("rank_int"))
+    for _ in range(iters):
+        contrib = (edges.join(ranks, "src").join(deg, "src")
+                   .select(F.col("dst"),
+                           F.expr("rank_int div deg").alias("c")))
+        ranks = (contrib.groupBy("dst")
+                 .agg(F.sum("c").alias("s"))
+                 .select(F.col("dst").alias("src"),
+                         (F.lit(teleport)
+                          + F.expr(f"({damping_pct} * s) div 100"))
+                         .cast("long").alias("rank_int")))
+        # vertices that received nothing this round fall back to the
+        # teleport floor (cannot happen on an undirected graph where
+        # every vertex has degree >= 1, kept for safety)
+        ranks = deg.select("src").join(ranks, "src", "left") \
+            .select("src", F.coalesce(F.col("rank_int"),
+                                      F.lit(teleport)).alias("rank_int"))
+    return ranks.select(F.col("src").alias("id"), "rank_int")
