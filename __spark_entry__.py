@@ -1187,6 +1187,18 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural profile of the near-dup graph (operators/graph.py
+    graph_stats): vertex/edge counts, max degree, exact triangle count
+    via oriented two-join enumeration."""
+    from datafusion_geo_spark.operators.dedup import (lsh_pairs,
+                                                      minhash_signature,
+                                                      with_perturbed_copies)
+    from datafusion_geo_spark.operators.graph import graph_stats
+    corpus = with_perturbed_copies(_docs(spark, sf_dir))
+    return graph_stats(lsh_pairs(minhash_signature(corpus)))
+
+
 def _q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal DSP (operators/multimodal.py
     audio_frame_features): document payloads as u8 PCM → per-frame
@@ -2762,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_paths": _q_sphere_paths,
         "audio_frames": _q_audio_frames,
         "pagerank_neardup": _q_pagerank_neardup,
+        "graph_stats": _q_graph_stats,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3841,6 +3854,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_graph_stats: oriented triangle enumeration
+        "graph_stats": f"""
+            WITH pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle()}) t),
+            e AS (
+              SELECT DISTINCT LEAST(id_a, id_b) AS a,
+                              GREATEST(id_a, id_b) AS b
+              FROM pairs WHERE id_a <> id_b
+            ), verts AS (
+              SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+            ), deg AS (
+              SELECT v, COUNT(*) AS deg FROM verts GROUP BY v
+            )
+            SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+                   (SELECT COUNT(*) FROM e) AS n_edges,
+                   (SELECT MAX(deg) FROM deg) AS max_degree,
+                   (SELECT COUNT(*)
+                    FROM e e1 JOIN e e2 ON e1.b = e2.a
+                              JOIN e e3 ON e3.a = e1.a
+                                       AND e3.b = e2.b) AS n_triangles
+        """,
         # mirrors _q_audio_frames: per-character ord == byte value on
         # the ASCII-filtered corpus; all-integer window reductions
         "audio_frames": """

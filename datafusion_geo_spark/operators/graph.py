@@ -59,3 +59,34 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .select("src", F.coalesce(F.col("rank_int"),
                                       F.lit(teleport)).alias("rank_int"))
     return ranks.select(F.col("src").alias("id"), "rank_int")
+
+
+def graph_stats(pairs: DataFrame, id_a: str = "id_a",
+                id_b: str = "id_b") -> DataFrame:
+    """One-row structural profile of an undirected pair graph:
+    vertex/edge counts, max degree, and the exact triangle count via
+    the canonical two-join enumeration over ORIENTED edges (each
+    triangle a<b<c counted exactly once: (a,b)⋈(b,c)⋈(a,c)) — the
+    standard distributed triangle algorithm, two shuffle joins on
+    vertex keys."""
+    e = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                      F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct().persist())
+    verts = (e.select(F.col("a").alias("v"))
+             .unionByName(e.select(F.col("b").alias("v"))))
+    deg = verts.groupBy("v").agg(F.count("*").alias("deg"))
+    wedges = (e.alias("e1")
+              .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+              .select(F.col("e1.a").alias("wa"),
+                      F.col("e1.b").alias("wb"),
+                      F.col("e2.b").alias("wc")))
+    tris = wedges.join(
+        e.alias("e3"),
+        (F.col("wa") == F.col("e3.a")) & (F.col("wc") == F.col("e3.b")))
+    n_v = deg.agg(F.count("*").alias("n_vertices"),
+                  F.max("deg").alias("max_degree"))
+    n_e = e.agg(F.count("*").alias("n_edges"))
+    n_t = tris.agg(F.count("*").alias("n_triangles"))
+    return (n_v.crossJoin(n_e).crossJoin(n_t)
+            .select("n_vertices", "n_edges", "max_degree", "n_triangles"))

@@ -50,6 +50,8 @@ ALLOWED_BROADCAST_CROSSES = {
     "unigram_logprob": 1,    # one-row token-total aggregate broadcast
                              # back onto the token stream (same shape
                              # as tfidf's corpus-size cross)
+    "graph_stats": 2,        # three ONE-ROW count aggregates crossed
+                             # into the single profile row
     "minhash_eval": 2,       # three ONE-ROW count aggregates crossed
                              # into the single metrics row (the
                              # tfidf/bm25 one-row broadcast pattern)
