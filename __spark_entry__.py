@@ -1187,6 +1187,19 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded JL sketch over int8 codes (operators/similarity.py
+    random_projection_int): derived ±1 matrix, exact integer sums —
+    the dimensionality-reduction stage of a cheap-candidate ANN
+    pipeline."""
+    from datafusion_geo_spark.operators.similarity import \
+        random_projection_int
+    from datafusion_geo_spark.sources.fixtures import load_table
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .where(F.col("vec_id") < 200)
+    return random_projection_int(emb, out_dim=16, seed="rp1")
+
+
 def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural profile of the near-dup graph (operators/graph.py
     graph_stats): vertex/edge counts, max degree, exact triangle count
@@ -2775,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frames": _q_audio_frames,
         "pagerank_neardup": _q_pagerank_neardup,
         "graph_stats": _q_graph_stats,
+        "random_projection": _q_random_projection,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3854,6 +3868,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_random_projection: same quantization CTE as
+        # embed_quantize, same md5-nibble-parity sign derivation,
+        # exact integer sums
+        "random_projection": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id < 200
+            ), m AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0
+                     AS scale
+              FROM base
+            ), qq AS (
+              SELECT vec_id,
+                     list_transform(v, x -> CAST(
+                       (CASE WHEN x / scale < 0 THEN -1 ELSE 1 END)
+                       * floor(abs(x / scale) + 0.5) AS BIGINT)) AS q
+              FROM m
+            ), pos AS (
+              SELECT vec_id, (j - 1)::BIGINT AS j, q[j::INT] AS x
+              FROM qq, unnest(range(1, len(q) + 1)) AS t(j)
+            ), ks AS (SELECT k::INT AS k FROM range(16) AS r(k))
+            SELECT vec_id, k,
+                   SUM(x * (CASE WHEN
+                     ('0x' || substr(md5('rp1|' || CAST(j AS VARCHAR)
+                        || '|' || CAST(k AS VARCHAR)), 1, 1))::BIGINT
+                     % 2 = 0 THEN 1 ELSE -1 END)) AS proj_int
+            FROM pos, ks
+            GROUP BY vec_id, k
+        """,
         # mirrors _q_graph_stats: oriented triangle enumeration
         "graph_stats": f"""
             WITH pairs AS (SELECT id_a, id_b FROM ({_minhash_oracle()}) t),

@@ -748,3 +748,36 @@ def pq_search(vecs: DataFrame, m: int = 8, ksub: int = 16,
     return (scored.where(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def random_projection_int(emb: DataFrame, out_dim: int = 16,
+                          seed: str = "rp1", id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Seeded Johnson-Lindenstrauss sketch over int8-QUANTIZED codes —
+    the dimensionality-reduction stage before cheap candidate scoring
+    (a 64-dim float vector becomes ``out_dim`` exact int64 sums).
+
+    The ±1 projection matrix is DERIVED, not stored: sign(j, k) =
+    parity of the first md5 nibble of "seed|j|k" — identical in any
+    engine, no broadcast state, and a new ``seed`` is a fresh
+    projection. Projecting the integer codes instead of the floats
+    makes every output an exact integer (no summation-order term), at
+    the cost of the (already-accepted) quantization error.
+
+    Scale shape: posexplode to (vec, dim) pairs, a crossJoin against
+    the bounded ``out_dim`` axis, one grouped integer SUM — all
+    JVM-side, whole-stage-codegen'd."""
+    spark = emb.sparkSession
+    q = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    pos = q.select(F.col(id_col),
+                   F.posexplode(F.col("q")).alias("j", "x"))
+    ks = F.broadcast(spark.range(out_dim)
+                     .select(F.col("id").cast("int").alias("k")))
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit(seed), F.lit("|"), F.col("j").cast("string"),
+            F.lit("|"), F.col("k").cast("string"))), 1, 1), 16, 10)
+        .cast("int") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (pos.crossJoin(ks)
+            .groupBy(id_col, "k")
+            .agg(F.sum(F.col("x") * sign).alias("proj_int")))

@@ -50,6 +50,9 @@ ALLOWED_BROADCAST_CROSSES = {
     "unigram_logprob": 1,    # one-row token-total aggregate broadcast
                              # back onto the token stream (same shape
                              # as tfidf's corpus-size cross)
+    "random_projection": 1,  # (vec, dim) stream crossed with the
+                             # BOUNDED out_dim axis (16 rows) — linear
+                             # work per stream row, the k-centroid shape
     "graph_stats": 2,        # three ONE-ROW count aggregates crossed
                              # into the single profile row
     "minhash_eval": 2,       # three ONE-ROW count aggregates crossed
