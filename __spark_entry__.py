@@ -1187,6 +1187,39 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_accessors2_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accessor batch II: ST_IsEmpty / ST_Dimension / ST_ExteriorRing /
+    ST_InteriorRingN / ST_NumInteriorRings / ST_BoundingDiagonal over
+    exact-integer literals."""
+    from datafusion_geo_spark.functions import (st_astext,
+                                                st_boundingdiagonal,
+                                                st_dimension,
+                                                st_exteriorring,
+                                                st_geomfromtext,
+                                                st_interiorringn,
+                                                st_isempty,
+                                                st_numinteriorrings)
+    rows = [
+        (1, "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2),"
+            "(6 6,8 6,8 8,6 8,6 6))"),
+        (2, "POLYGON((0 0,3 0,3 3,0 3,0 0))"),
+        (3, "LINESTRING(1 2,5 8)"),
+        (4, "POINT(7 7)"),
+        (5, "POLYGON EMPTY"),
+        (6, "GEOMETRYCOLLECTION(POINT(1 1),LINESTRING(0 0,2 2))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, wkt string")
+    g = st_geomfromtext(F.col("wkt"))
+    return df.select(
+        "id",
+        st_isempty(g).alias("empty"),
+        st_dimension(g).alias("dim"),
+        st_astext(st_exteriorring(g)).alias("shell_wkt"),
+        st_astext(st_interiorringn(g, 2)).alias("hole2_wkt"),
+        st_numinteriorrings(g).alias("n_holes"),
+        st_astext(st_boundingdiagonal(g)).alias("diag_wkt"))
+
+
 def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded JL sketch over int8 codes (operators/similarity.py
     random_projection_int): derived ±1 matrix, exact integer sums —
@@ -2789,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_neardup": _q_pagerank_neardup,
         "graph_stats": _q_graph_stats,
         "random_projection": _q_random_projection,
+        "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
@@ -3868,6 +3902,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_accessors2_literal: exact-integer goldens
+        "accessors2_literal": """
+            SELECT * FROM (VALUES
+              (1, FALSE, 2, 'LINESTRING(0 0,10 0,10 10,0 10,0 0)',
+                  'LINESTRING(6 6,8 6,8 8,6 8,6 6)', 2,
+                  'LINESTRING(0 0,10 10)'),
+              (2, FALSE, 2, 'LINESTRING(0 0,3 0,3 3,0 3,0 0)',
+                  NULL, 0, 'LINESTRING(0 0,3 3)'),
+              (3, FALSE, 1, NULL, NULL, NULL, 'LINESTRING(1 2,5 8)'),
+              (4, FALSE, 0, NULL, NULL, NULL, 'LINESTRING(7 7,7 7)'),
+              (5, TRUE, 0, NULL, NULL, NULL, 'LINESTRING EMPTY'),
+              (6, FALSE, 1, NULL, NULL, NULL, 'LINESTRING(0 0,2 2)')
+            ) AS v(id, empty, dim, shell_wkt, hole2_wkt, n_holes,
+                   diag_wkt)
+        """,
         # mirrors _q_random_projection: same quantization CTE as
         # embed_quantize, same md5-nibble-parity sign derivation,
         # exact integer sums

@@ -335,6 +335,12 @@ _within = _u2(kernels.st_within, BooleanType())
 _touches = _u2(kernels.st_touches, BooleanType())
 _overlaps = _u2(kernels.st_overlaps, BooleanType())
 _crosses = _u2(kernels.st_crosses, BooleanType())
+_is_empty = _u1(kernels.st_is_empty, BooleanType())
+_dimension = _u1(kernels.st_dimension, IntegerType())
+_exterior_ring = _u1(kernels.st_exterior_ring, BinaryType())
+_interior_ring_n = _u2(kernels.st_interior_ring_n, BinaryType())
+_num_interior_rings = _u1(kernels.st_num_interior_rings, IntegerType())
+_bounding_diagonal = _u1(kernels.st_bounding_diagonal, BinaryType())
 _distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
 _tile_envelope = _u3(kernels.st_tile_envelope, BinaryType())
 _normalize = _u1(kernels.st_normalize, BinaryType())
@@ -498,6 +504,40 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_isempty(g: GeomLike) -> Column:
+    """PostGIS ST_IsEmpty."""
+    return _is_empty(_geom(g))
+
+
+def st_dimension(g: GeomLike) -> Column:
+    """PostGIS ST_Dimension: topological dimension (max over members;
+    0 for empty, matching PostGIS's 0-for-POINT convention)."""
+    return _dimension(_geom(g))
+
+
+def st_exteriorring(g: GeomLike) -> Column:
+    """PostGIS ST_ExteriorRing: polygon shell as a LINESTRING; NULL
+    for non-polygons."""
+    return _exterior_ring(_geom(g))
+
+
+def st_interiorringn(g: GeomLike, n) -> Column:
+    """PostGIS ST_InteriorRingN (1-based); NULL out of range."""
+    k = n if isinstance(n, Column) else F.lit(int(n))
+    return _interior_ring_n(_geom(g), k)
+
+
+def st_numinteriorrings(g: GeomLike) -> Column:
+    """PostGIS ST_NumInteriorRings; NULL for non-polygons."""
+    return _num_interior_rings(_geom(g))
+
+
+def st_boundingdiagonal(g: GeomLike) -> Column:
+    """PostGIS ST_BoundingDiagonal: the bbox min->max corner
+    LINESTRING (LINESTRING EMPTY for empty input)."""
+    return _bounding_diagonal(_geom(g))
 
 
 def st_tileenvelope(z, x, y) -> Column:
@@ -1183,6 +1223,12 @@ _SQL_UDFS = {
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
     "ST_DistanceSphere": _distance_sphere,
+    "ST_IsEmpty": _is_empty,
+    "ST_Dimension": _dimension,
+    "ST_ExteriorRing": _exterior_ring,
+    "ST_InteriorRingN": _interior_ring_n,
+    "ST_NumInteriorRings": _num_interior_rings,
+    "ST_BoundingDiagonal": _bounding_diagonal,
     "ST_TileEnvelope": _tile_envelope,
     "ST_Normalize": _normalize,
     "ST_OffsetCurve": _offset_curve,
@@ -1292,6 +1338,8 @@ __all__ = [
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
     "st_distancesphere", "st_tileenvelope", "st_normalize",
+    "st_isempty", "st_dimension", "st_exteriorring", "st_interiorringn",
+    "st_numinteriorrings", "st_boundingdiagonal",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",
     "st_isvalidreason", "st_pointonsurface", "st_hausdorffdistance",
     "st_frechetdistance",

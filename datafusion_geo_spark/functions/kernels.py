@@ -1742,3 +1742,57 @@ def st_tile_envelope(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 st_normalize = _unary_geom(edit.normalize)
+
+
+# ----------------------------------------- simple accessors II (r5)
+# ST_IsEmpty / ST_Dimension / ST_ExteriorRing / ST_InteriorRingN /
+# ST_NumInteriorRings / ST_BoundingDiagonal (PostGIS parity).
+
+st_is_empty = _unary_to_num(lambda g: g.is_empty())
+
+
+def _g_dimension(g: Geometry):
+    dims = [2 if m.typ == "Polygon" and m.parts else
+            1 if m.typ == "LineString" and len(m.parts or []) > 1 else
+            0 if m.typ == "Point" and m.parts is not None else -1
+            for m in g.geometries()]
+    dims = [d for d in dims if d >= 0]
+    return max(dims) if dims else 0
+
+
+st_dimension = _unary_to_num(_g_dimension)
+
+
+def _g_exterior_ring(g: Geometry):
+    if g.typ != "Polygon" or not g.parts:
+        return None
+    return to_wkb(Geometry("LineString", list(g.parts[0]), g.srid))
+
+
+st_exterior_ring = _unary_to_num(_g_exterior_ring)
+
+
+def st_interior_ring_n(s: pd.Series, n: pd.Series) -> pd.Series:
+    """1-based like PostGIS; NULL out of range / non-polygon."""
+    def f(g: Geometry, k) -> object:
+        k = int(k)
+        if g.typ != "Polygon" or not g.parts or not (1 <= k <= len(g.parts) - 1):
+            return None
+        return to_wkb(Geometry("LineString", list(g.parts[k]), g.srid))
+    return _geom_num_kernel(f)(s, n)
+
+
+st_num_interior_rings = _unary_to_num(
+    lambda g: max(len(g.parts) - 1, 0) if g.typ == "Polygon" and g.parts
+    else None)
+
+
+def _g_bounding_diagonal(g: Geometry):
+    bb = g.bounds()
+    if bb is None:
+        return to_wkb(Geometry("LineString", [], g.srid))
+    return to_wkb(Geometry("LineString",
+                           [(bb[0], bb[1]), (bb[2], bb[3])], g.srid))
+
+
+st_bounding_diagonal = _unary_to_num(_g_bounding_diagonal)
