@@ -1,9 +1,10 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 92 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 119 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, set-operation,
-relate-matrix, and editing utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
+relate-matrix, validity, triangulation, offset/clip, and editing
+utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
 (``st_intersects(col, col) -> Column``) and as a SQL-registered UDF with
 the reference's exact names (`register_all(spark)`) — Spark SQL function
 lookup is case-insensitive, which subsumes the reference's lowercase
