@@ -163,7 +163,7 @@ def sample_frames(media: DataFrame, frame_size: int = 64,
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
-FRAME_SCHEMA = StructType([
+AUDIO_FRAME_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("frame_idx", IntegerType()),
     StructField("n_samples", IntegerType()),
@@ -212,4 +212,4 @@ def audio_frame_features(media: DataFrame, window: int = 256) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(
-        gen, schema=FRAME_SCHEMA)
+        gen, schema=AUDIO_FRAME_SCHEMA)
