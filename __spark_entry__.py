@@ -2797,21 +2797,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_utm": _q_transform_utm,
         "setops_boxes": _q_setops_boxes,
         "relate_boxes": _q_relate_boxes,
-        "relate_literal": _q_relate_literal,
         "relate_matrix": _q_relate_matrix,
-        "edit_utils_literal": _q_edit_utils_literal,
-        "validity_literal": _q_validity_literal,
         "triangulate_literal": _q_triangulate_literal,
         "spatial_knn_join": _q_spatial_knn_join,
-        "mic_snap_literal": _q_mic_snap_literal,
-        "offset_clip_literal": _q_offset_clip_literal,
+        # flagship r5-early operators with recorded BASELINE numbers —
+        # promoted into the driver's checked window (rotation policy)
+        "dbscan_clusters": _q_dbscan_clusters,
+        "cluster_within": _q_cluster_within,
+        "pq_topk": _q_pq_topk,
+        "union_agg_regions": _q_union_agg_regions,
+        "zorder_keys": _q_zorder_keys,
+        "bounding_forms": _q_bounding_forms,
         "seeded_shuffle": _q_seeded_shuffle,
         "incremental_dedup": _q_incremental_dedup,
         "distance_sphere": _q_distance_sphere,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_conversion": _q_funnel_conversion,
         "kmeans_clusters": _q_kmeans_clusters,
-        "tile_normalize_literal": _q_tile_normalize_literal,
         "trajectories": _q_trajectories,
         "streaming_geofence": _q_streaming_geofence,
         "negative_buffer": _q_negative_buffer,
@@ -2824,25 +2826,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": _q_random_projection,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
+        "relate_literal": _q_relate_literal,
+        "edit_utils_literal": _q_edit_utils_literal,
+        "validity_literal": _q_validity_literal,
+        "mic_snap_literal": _q_mic_snap_literal,
+        "offset_clip_literal": _q_offset_clip_literal,
+        "tile_normalize_literal": _q_tile_normalize_literal,
         "line_edit_literal": _q_line_edit_literal,
         "dedup_keep_one": _q_dedup_keep_one,
         "streaming_enrich": _q_streaming_enrich,
         "batch_sessions": _q_batch_sessions,
         "value_quantiles": _q_value_quantiles,
         "setops_literal": _q_setops_literal,
-        "union_agg_regions": _q_union_agg_regions,
-        "dbscan_clusters": _q_dbscan_clusters,
         "line_merge_literal": _q_line_merge_literal,
         "url_dedup": _q_url_dedup,
         "embed_quantize": _q_embed_quantize,
         "subdivide_boxes": _q_subdivide_boxes,
         "polygonize_literal": _q_polygonize_literal,
         "unigram_logprob": _q_unigram_logprob,
-        "cluster_within": _q_cluster_within,
-        "bounding_forms": _q_bounding_forms,
         "makevalid_literal": _q_makevalid_literal,
-        "zorder_keys": _q_zorder_keys,
-        "pq_topk": _q_pq_topk,
         "shortline_project": _q_shortline_project,
         "makevalid_bowties": _q_makevalid_bowties,
         "polygonize_regions": _q_polygonize_regions,
