@@ -1187,6 +1187,26 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the classic GIS aggregate: per-zone counts
+    and exact cent-sums of the customer points covered by each nation
+    box (broadcast zones + native bbox containment; covers on an
+    axis-aligned box is the inclusive range condition, so the whole
+    join is JVM range predicates, no Python)."""
+    from datafusion_geo_spark.sources.fixtures import (boxes_nation,
+                                                       points_customer)
+    cu = points_customer(spark, sf_dir).where(F.col("geom").isNotNull())
+    zones = F.broadcast(boxes_nation(spark, sf_dir))
+    j = cu.join(
+        zones,
+        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax")),
+        "inner")
+    return (j.groupBy("n_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum(F.col("c_custkey")).alias("key_sum")))
+
+
 def _q_accessors2_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accessor batch II: ST_IsEmpty / ST_Dimension / ST_ExteriorRing /
     ST_InteriorRingN / ST_NumInteriorRings / ST_BoundingDiagonal over
@@ -2824,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_neardup": _q_pagerank_neardup,
         "graph_stats": _q_graph_stats,
         "random_projection": _q_random_projection,
+        "zonal_stats": _q_zonal_stats,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
         "relate_literal": _q_relate_literal,
@@ -3904,6 +3925,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_zonal_stats: inclusive range join + exact sums
+        "zonal_stats": """
+            WITH p AS (
+              SELECT c_custkey,
+                     (c_custkey % 360 - 180)::DOUBLE AS x,
+                     (c_nationkey * 3 - 37.5)::DOUBLE AS y
+              FROM customer WHERE c_custkey % 7 <> 0
+            ), z AS (
+              SELECT n_nationkey,
+                     n_nationkey::DOUBLE AS xmin,
+                     n_regionkey::DOUBLE AS ymin,
+                     (n_nationkey + 5)::DOUBLE AS xmax,
+                     (n_regionkey + 5)::DOUBLE AS ymax
+              FROM nation
+            )
+            SELECT n_nationkey, COUNT(*) AS n_points,
+                   SUM(c_custkey) AS key_sum
+            FROM p JOIN z
+              ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
+            GROUP BY n_nationkey
+        """,
         # mirrors _q_accessors2_literal: exact-integer goldens
         "accessors2_literal": """
             SELECT * FROM (VALUES
