@@ -1187,6 +1187,26 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_sphere_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography navigation: initial great-circle bearing from every
+    customer point to the origin, and the destination 100 km along
+    bearing 0.7 — same libm-exact discipline as distance_sphere."""
+    from datafusion_geo_spark.functions import (st_azimuthsphere,
+                                                st_point,
+                                                st_projectsphere, st_x,
+                                                st_y)
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = points_customer(spark, sf_dir).where(F.col("geom").isNotNull())
+    dest = st_projectsphere(F.col("geom"), 100000.0, 0.7)
+    return cu.select(
+        "c_custkey",
+        _rb6(st_azimuthsphere(
+            F.col("geom"), st_point(F.lit(0.0), F.lit(0.0))))
+        .alias("az"),
+        _rb6(st_x(dest)).alias("dlon"),
+        _rb6(st_y(dest)).alias("dlat"))
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — the classic GIS aggregate: per-zone counts
     and exact cent-sums of the customer points covered by each nation
@@ -2845,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "random_projection": _q_random_projection,
         "zonal_stats": _q_zonal_stats,
+        "sphere_nav": _q_sphere_nav,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
         "relate_literal": _q_relate_literal,
@@ -3925,6 +3946,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_sphere_nav: identical spherical-trig literals and
+        # operation order (Python math == DuckDB libm)
+        "sphere_nav": """
+            WITH p AS (
+              SELECT c_custkey,
+                     (c_custkey % 360 - 180)::DOUBLE AS x,
+                     (c_nationkey * 3 - 37.5)::DOUBLE AS y
+              FROM customer WHERE c_custkey % 7 <> 0
+            ), az AS (
+              SELECT c_custkey, x, y,
+                     -- sphere_azimuth(x, y, 0, 0)
+                     CASE WHEN atan2(
+                         sin((0.0 - x) * 0.017453292519943295) * cos(0.0),
+                         cos(y * 0.017453292519943295) * sin(0.0)
+                         - sin(y * 0.017453292519943295) * cos(0.0)
+                           * cos((0.0 - x) * 0.017453292519943295)
+                       ) < 0
+                     THEN atan2(
+                         sin((0.0 - x) * 0.017453292519943295) * cos(0.0),
+                         cos(y * 0.017453292519943295) * sin(0.0)
+                         - sin(y * 0.017453292519943295) * cos(0.0)
+                           * cos((0.0 - x) * 0.017453292519943295)
+                       ) + 6.283185307179586
+                     ELSE atan2(
+                         sin((0.0 - x) * 0.017453292519943295) * cos(0.0),
+                         cos(y * 0.017453292519943295) * sin(0.0)
+                         - sin(y * 0.017453292519943295) * cos(0.0)
+                           * cos((0.0 - x) * 0.017453292519943295)
+                       ) END AS azv
+              FROM p
+            ), pr AS (
+              SELECT c_custkey, azv, x, y,
+                     sin(y * 0.017453292519943295) * cos(100000.0 / 6371008.0)
+                     + cos(y * 0.017453292519943295)
+                       * sin(100000.0 / 6371008.0) * cos(0.7) AS sphi2
+              FROM az
+            ), dest AS (
+              SELECT c_custkey, azv,
+                     x * 0.017453292519943295
+                     + atan2(sin(0.7) * sin(100000.0 / 6371008.0)
+                             * cos(y * 0.017453292519943295),
+                             cos(100000.0 / 6371008.0)
+                             - sin(y * 0.017453292519943295) * sphi2)
+                       AS lam2,
+                     asin(sphi2) AS phi2
+              FROM pr
+            ), deg AS (
+              SELECT c_custkey, azv,
+                     lam2 * 57.29577951308232 AS lon2r,
+                     phi2 * 57.29577951308232 AS lat2
+              FROM dest
+            )
+            SELECT c_custkey,
+                   ((CASE WHEN azv < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(azv) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS az,
+                   ((CASE WHEN lon2 < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(lon2) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS dlon,
+                   ((CASE WHEN lat2 < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(lat2) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS dlat
+            FROM (SELECT c_custkey, azv, lat2,
+                         CASE WHEN lon2r > 180.0 THEN lon2r - 360.0
+                              WHEN lon2r < -180.0 THEN lon2r + 360.0
+                              ELSE lon2r END AS lon2
+                  FROM deg) t
+        """,
         # mirrors _q_zonal_stats: inclusive range join + exact sums
         "zonal_stats": """
             WITH p AS (

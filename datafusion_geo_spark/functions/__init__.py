@@ -343,6 +343,8 @@ _interior_ring_n = _u2(kernels.st_interior_ring_n, BinaryType())
 _num_interior_rings = _u1(kernels.st_num_interior_rings, IntegerType())
 _bounding_diagonal = _u1(kernels.st_bounding_diagonal, BinaryType())
 _distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
+_azimuth_sphere = _u2(kernels.st_azimuth_sphere, DoubleType())
+_project_sphere = _u3(kernels.st_project_sphere, BinaryType())
 _tile_envelope = _u3(kernels.st_tile_envelope, BinaryType())
 _normalize = _u1(kernels.st_normalize, BinaryType())
 _offset_curve = _u_variadic(kernels.st_offset_curve, BinaryType(),
@@ -505,6 +507,19 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_azimuthsphere(a: GeomLike, b: GeomLike) -> Column:
+    """Initial great-circle bearing a->b, radians clockwise from north
+    (geography twin of ST_Azimuth; geo/proj.py)."""
+    return _azimuth_sphere(_geom(a), _geom(b))
+
+
+def st_projectsphere(g: GeomLike, distance_m, azimuth) -> Column:
+    """Geography ST_Project: destination point dist meters along the
+    great circle at the given initial bearing (mean-radius sphere)."""
+    return _project_sphere(_geom(g), _numcol(distance_m),
+                           _numcol(azimuth))
 
 
 def st_isempty(g: GeomLike) -> Column:
@@ -1224,6 +1239,8 @@ _SQL_UDFS = {
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
     "ST_DistanceSphere": _distance_sphere,
+    "ST_AzimuthSphere": _azimuth_sphere,
+    "ST_ProjectSphere": _project_sphere,
     "ST_IsEmpty": _is_empty,
     "ST_Dimension": _dimension,
     "ST_ExteriorRing": _exterior_ring,
@@ -1339,6 +1356,7 @@ __all__ = [
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
     "st_distancesphere", "st_tileenvelope", "st_normalize",
+    "st_azimuthsphere", "st_projectsphere",
     "st_isempty", "st_dimension", "st_exteriorring", "st_interiorringn",
     "st_numinteriorrings", "st_boundingdiagonal",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",

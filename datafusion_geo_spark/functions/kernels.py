@@ -1796,3 +1796,46 @@ def _g_bounding_diagonal(g: Geometry):
 
 
 st_bounding_diagonal = _unary_to_num(_g_bounding_diagonal)
+
+
+# ------------------------- spherical azimuth / destination (r5)
+
+def st_azimuth_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..geo import proj as proj_mod
+    cache = _DecodeCache()
+    al, bl = a.tolist(), b.tolist()
+    out = []
+    for i in range(len(al)):
+        va, vb = al[i], bl[i]
+        if va is None or vb is None:
+            out.append(None)
+            continue
+        ga, gb = cache.geom(bytes(va)), cache.geom(bytes(vb))
+        if ga.typ != "Point" or gb.typ != "Point" \
+                or ga.parts is None or gb.parts is None:
+            out.append(None)
+            continue
+        out.append(proj_mod.sphere_azimuth(ga.parts[0], ga.parts[1],
+                                           gb.parts[0], gb.parts[1]))
+    return _obj_series(out)
+
+
+def st_project_sphere(s: pd.Series, d: pd.Series,
+                      az: pd.Series) -> pd.Series:
+    from ..geo import proj as proj_mod
+    cache = _DecodeCache()
+    sl, dl, azl = s.tolist(), d.tolist(), az.tolist()
+    out = []
+    for i in range(len(sl)):
+        v, dd, aa = sl[i], _num(dl[i]), _num(azl[i])
+        if v is None or dd is None or aa is None:
+            out.append(None)
+            continue
+        g = cache.geom(bytes(v))
+        if g.typ != "Point" or g.parts is None:
+            out.append(None)
+            continue
+        lon2, lat2 = proj_mod.sphere_project(g.parts[0], g.parts[1],
+                                             float(dd), float(aa))
+        out.append(to_wkb(Geometry("Point", (lon2, lat2), g.srid)))
+    return _obj_series(out)

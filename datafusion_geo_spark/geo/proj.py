@@ -165,3 +165,41 @@ def haversine_m(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
     if a > 1.0:
         a = 1.0
     return 2.0 * R_SPHERE * math.asin(math.sqrt(a))
+
+
+def sphere_azimuth(lon1: float, lat1: float,
+                   lon2: float, lat2: float) -> float:
+    """Initial great-circle bearing from point 1 to point 2, radians in
+    [0, 2π) clockwise from north (the geography twin of the planar
+    ST_Azimuth). Fixed literal constants / operation order for oracle
+    replay."""
+    phi1 = lat1 * DEG2RAD
+    phi2 = lat2 * DEG2RAD
+    dlam = (lon2 - lon1) * DEG2RAD
+    y = math.sin(dlam) * math.cos(phi2)
+    x = (math.cos(phi1) * math.sin(phi2)
+         - math.sin(phi1) * math.cos(phi2) * math.cos(dlam))
+    return math.atan2(y, x) % (2.0 * math.pi)
+
+
+def sphere_project(lon: float, lat: float, dist_m: float,
+                   azimuth: float) -> tuple:
+    """Destination point at ``dist_m`` meters along the great circle
+    with initial bearing ``azimuth`` (radians clockwise from north) —
+    the geography form of PostGIS ST_Project, on the R_SPHERE
+    sphere."""
+    phi1 = lat * DEG2RAD
+    lam1 = lon * DEG2RAD
+    delta = dist_m / R_SPHERE
+    sphi2 = (math.sin(phi1) * math.cos(delta)
+             + math.cos(phi1) * math.sin(delta) * math.cos(azimuth))
+    phi2 = math.asin(sphi2)
+    y = math.sin(azimuth) * math.sin(delta) * math.cos(phi1)
+    x = math.cos(delta) - math.sin(phi1) * sphi2
+    lam2 = lam1 + math.atan2(y, x)
+    lon2 = lam2 * RAD2DEG
+    if lon2 > 180.0:
+        lon2 -= 360.0
+    elif lon2 < -180.0:
+        lon2 += 360.0
+    return (lon2, phi2 * RAD2DEG)
