@@ -1187,6 +1187,78 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_GeometricMedian per market segment: customer points collected
+    JVM-side (the st_collect_points_agg aggregate), median'd with the
+    fixed-round Weiszfeld kernel. Deterministic: fixed 8 rounds, 9-dp
+    iterates — goldens pinned from the pure function."""
+    from datafusion_geo_spark.functions import (st_astext,
+                                                st_collect_points_agg,
+                                                st_geometricmedian,
+                                                st_geomfromtext)
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = points_customer(spark, sf_dir).where(F.col("geom").isNotNull())
+    mp = cu.groupBy("c_mktsegment").agg(
+        st_collect_points_agg(F.col("x"), F.col("y")).alias("mp_wkt"))
+    return mp.select(
+        "c_mktsegment",
+        st_astext(st_geometricmedian(st_geomfromtext(F.col("mp_wkt"))))
+        .alias("median_wkt"))
+
+
+def _gmedian_oracle(iters: int = 8) -> str:
+    """Unrolled Weiszfeld replay: sequential list_reduce folds mirror
+    the kernel's left-to-right float summation; 9-dp rounded iterates;
+    1/GREATEST(d, 1e-12) is the branch-free singularity floor."""
+    r9 = ("((CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) "
+          "* floor(abs({v}) * 1000000000.0 + 0.5) "
+          "/ 1000000000.0 + 0.0)")
+
+    def fold(term: str) -> str:
+        return ("list_reduce(list_transform(generate_series(1, n), "
+                f"i -> {term}), (a, b) -> a + b)")
+
+    w = ("(1.0 / GREATEST(sqrt((cx - xs[i]) * (cx - xs[i]) "
+         "+ (cy - ys[i]) * (cy - ys[i])), 0.000000000001))")
+    ctes = [f"""pts AS (
+          SELECT c_mktsegment,
+                 list(x ORDER BY x, y) AS xs,
+                 list(y ORDER BY x, y) AS ys,
+                 COUNT(*)::INT AS n
+          FROM (SELECT c_mktsegment,
+                       (c_custkey % 360 - 180)::DOUBLE AS x,
+                       (c_nationkey * 3 - 37.5)::DOUBLE AS y
+                FROM customer WHERE c_custkey % 7 <> 0) p
+          GROUP BY c_mktsegment
+        )""", f"""it0 AS (
+          SELECT c_mktsegment, xs, ys, n,
+                 {r9.format(v=fold('xs[i]') + ' / n')} AS cx,
+                 {r9.format(v=fold('ys[i]') + ' / n')} AS cy
+          FROM pts
+        )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""it{k} AS (
+          SELECT c_mktsegment, xs, ys, n,
+                 {r9.format(v=fold('xs[i] * ' + w) + ' / ' + fold(w))}
+                   AS cx,
+                 {r9.format(v=fold('ys[i] * ' + w) + ' / ' + fold(w))}
+                   AS cy
+          FROM it{k - 1}
+        )""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+            SELECT c_mktsegment,
+                   'POINT(' ||
+                   (CASE WHEN cx = floor(cx) AND abs(cx) < 1e15
+                         THEN CAST(CAST(cx AS BIGINT) AS VARCHAR)
+                         ELSE CAST(cx AS VARCHAR) END) || ' ' ||
+                   (CASE WHEN cy = floor(cy) AND abs(cy) < 1e15
+                         THEN CAST(CAST(cy AS BIGINT) AS VARCHAR)
+                         ELSE CAST(cy AS VARCHAR) END) || ')'
+                     AS median_wkt
+            FROM it{iters}""")
+
+
 def _q_sphere_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geography navigation: initial great-circle bearing from every
     customer point to the origin, and the destination 100 km along
@@ -2866,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": _q_random_projection,
         "zonal_stats": _q_zonal_stats,
         "sphere_nav": _q_sphere_nav,
+        "geometric_median": _q_geometric_median,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
         "relate_literal": _q_relate_literal,
@@ -3946,6 +4019,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_geometric_median: unrolled Weiszfeld replay
+        "geometric_median": _gmedian_oracle(),
         # mirrors _q_sphere_nav: identical spherical-trig literals and
         # operation order (Python math == DuckDB libm)
         "sphere_nav": """

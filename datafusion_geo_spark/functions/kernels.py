@@ -1839,3 +1839,7 @@ def st_project_sphere(s: pd.Series, d: pd.Series,
                                              float(dd), float(aa))
         out.append(to_wkb(Geometry("Point", (lon2, lat2), g.srid)))
     return _obj_series(out)
+
+
+# ST_GeometricMedian (geo/metrics.py Weiszfeld; fixed rounds) — r5
+st_geometric_median = _unary_geom(metrics_mod.geometric_median)

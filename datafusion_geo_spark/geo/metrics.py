@@ -154,3 +154,40 @@ def frechet_distance(a: Geometry, b: Geometry) -> Optional[float]:
                 cur[j] = max(min(prev[j], prev[j - 1], cur[j - 1]), d)
         prev = cur
     return prev[-1]
+
+
+def geometric_median(g: Geometry, iters: int = 8) -> Geometry:
+    """ST_GeometricMedian (PostGIS) over the points of ``g``: Weiszfeld
+    iteration from the arithmetic mean, a FIXED ``iters`` rounds with
+    each iterate rounded to 9 dp (half away from zero) — the fixed-
+    round + rounding discipline that makes the result a pure function
+    of the input point SEQUENCE (reruns, engines, and SQL replays
+    agree; feed it canonically-sorted multipoints)."""
+    pts = [m.parts for m in g.geometries()
+           if m.typ == "Point" and m.parts is not None]
+    if not pts:
+        return Geometry("Point", None, g.srid)
+    if len(pts) == 1:
+        return Geometry("Point", pts[0], g.srid)
+
+    def rnd(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e9 + 0.5), v) / 1e9 + 0.0
+
+    cx = rnd(sum(p[0] for p in pts) / len(pts))
+    cy = rnd(sum(p[1] for p in pts) / len(pts))
+    for _ in range(iters):
+        num_x = num_y = den = 0.0
+        for (px, py) in pts:
+            dx, dy = cx - px, cy - py
+            # branch-free Weiszfeld: the distance floor stands in for
+            # the singular-at-a-data-point case (a 1e12 weight pins the
+            # iterate to that point) and is exactly mirrorable in SQL
+            # (1/GREATEST(d, 1e-12)); sqrt form, not hypot, for the
+            # same reason (hypot is not bit-identical to sqrt(dx²+dy²))
+            d = math.sqrt(dx * dx + dy * dy)
+            w = 1.0 / (d if d > 1e-12 else 1e-12)
+            num_x += px * w
+            num_y += py * w
+            den += w
+        cx, cy = rnd(num_x / den), rnd(num_y / den)
+    return Geometry("Point", (cx, cy), g.srid)
