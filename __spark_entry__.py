@@ -1187,6 +1187,32 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius map matching (operators/spatial_join.py
+    nearest_segment_join): sampled customer points snap to the nearest
+    order segment within r=5 — segments as coordinate columns, the
+    entire join JVM arithmetic (zero Python)."""
+    from datafusion_geo_spark.operators.spatial_join import \
+        nearest_segment_join
+    from datafusion_geo_spark.sources.fixtures import (load_table,
+                                                       points_customer)
+    pts = (points_customer(spark, sf_dir)
+           .where((F.col("c_custkey") % 13 == 0)
+                  & F.col("geom").isNotNull())
+           .select("c_custkey", "x", "y"))
+    o = load_table(spark, sf_dir, "orders") \
+        .where(F.col("o_orderkey") % 7 != 0)
+    k = (F.col("o_orderkey") % 1000).cast("double")
+    segs = o.select("o_orderkey",
+                    k.alias("ax"), (k + 1).alias("ay"),
+                    (k + 4).alias("bx"), (k + 5).alias("by"))
+    out = nearest_segment_join(pts, segs, 5.0, "c_custkey", "o_orderkey")
+    return out.select(F.col("pt.c_custkey").alias("c_custkey"),
+                      F.col("seg_key").alias("o_orderkey"),
+                      _rb6(F.col("dist")).alias("dist"),
+                      _rb6(F.col("t")).alias("t"))
+
+
 def _q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_GeometricMedian per market segment: customer points collected
     JVM-side (the st_collect_points_agg aggregate), median'd with the
@@ -2939,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "sphere_nav": _q_sphere_nav,
         "geometric_median": _q_geometric_median,
+        "map_match": _q_map_match,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
         "relate_literal": _q_relate_literal,
@@ -4019,6 +4046,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_map_match: identical clamped-projection formula,
+        # exact arithmetic, lowest-orderkey tie-break
+        "map_match": """
+            WITH pts AS (
+              SELECT c_custkey,
+                     (c_custkey % 360 - 180)::DOUBLE AS px,
+                     (c_nationkey * 3 - 37.5)::DOUBLE AS py
+              FROM customer
+              WHERE c_custkey % 7 <> 0 AND c_custkey % 13 = 0
+            ), segs AS (
+              SELECT o_orderkey,
+                     (o_orderkey % 1000)::DOUBLE AS ax,
+                     (o_orderkey % 1000 + 1)::DOUBLE AS ay,
+                     (o_orderkey % 1000 + 4)::DOUBLE AS bx,
+                     (o_orderkey % 1000 + 5)::DOUBLE AS by
+              FROM orders WHERE o_orderkey % 7 <> 0
+            ), cand AS (
+              SELECT c_custkey, o_orderkey,
+                     GREATEST(0.0, LEAST(1.0,
+                       ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+                       / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+                     )) AS t,
+                     px, py, ax, ay, bx, by
+              FROM pts, segs
+            ), scored AS (
+              SELECT c_custkey, o_orderkey, t,
+                     (px - (ax + t * (bx - ax)))
+                       * (px - (ax + t * (bx - ax)))
+                     + (py - (ay + t * (by - ay)))
+                       * (py - (ay + t * (by - ay))) AS d2
+              FROM cand
+            )
+            SELECT c_custkey, o_orderkey,
+                   ((CASE WHEN sqrt(d2) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(sqrt(d2)) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS dist,
+                   ((CASE WHEN t < 0 THEN -1 ELSE 1 END)
+                    * floor(abs(t) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS t
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY c_custkey
+                    ORDER BY d2, o_orderkey) AS rn
+                  FROM scored WHERE d2 <= 25.0) s
+            WHERE rn = 1
+        """,
         # mirrors _q_geometric_median: unrolled Weiszfeld replay
         "geometric_median": _gmedian_oracle(),
         # mirrors _q_sphere_nav: identical spherical-trig literals and

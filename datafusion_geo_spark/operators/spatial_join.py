@@ -456,3 +456,70 @@ def knn_point_join(left: DataFrame, right: DataFrame, k: int,
         out = out.unionByName(part)
     return out.select("la", F.col("_rk").alias("rk"),
                       F.sqrt(F.col("_d2")).alias("dist"), "rn")
+
+
+def nearest_segment_join(points: DataFrame, segs: DataFrame, r: float,
+                         point_key: str, seg_key: str,
+                         x_col: str = "x", y_col: str = "y",
+                         ax: str = "ax", ay: str = "ay",
+                         bx: str = "bx", by: str = "by",
+                         cell: Optional[float] = None) -> DataFrame:
+    """Bounded-radius map matching: each point's nearest segment within
+    ``r`` (points farther than r from every segment are unmatched and
+    absent — the GPS-snap contract). Segments arrive as COORDINATE
+    COLUMNS (key, ax, ay, bx, by) — the production shape for a road
+    network at scale — so the whole join is JVM arithmetic: segment
+    bboxes expand by r into covering grid cells, the equi-join on the
+    cell key bounds candidates, the exact point-to-segment distance is
+    a clamped-projection expression, and a per-point window takes the
+    argmin (ties on the segment key). Zero Python anywhere.
+
+    Output: the point row struct ``pt``, the matched segment key,
+    ``dist``, and the projection parameter ``t`` in [0, 1]."""
+    from pyspark.sql import Window
+    if r <= 0:
+        raise ValueError(f"nearest_segment_join: radius must be > 0")
+    if cell is None:
+        cell = max(2.0 * r, 8.0)
+    sxmin = F.least(F.col(ax), F.col(bx)) - r
+    sxmax = F.greatest(F.col(ax), F.col(bx)) + r
+    symin = F.least(F.col(ay), F.col(by)) - r
+    symax = F.greatest(F.col(ay), F.col(by)) + r
+    sb = (segs.select(F.col(seg_key).alias("_sk"),
+                      F.col(ax).alias("_ax"), F.col(ay).alias("_ay"),
+                      F.col(bx).alias("_bx"), F.col(by).alias("_by"),
+                      F.sequence(F.floor(sxmin / cell),
+                                 F.floor(sxmax / cell)).alias("_cxs"),
+                      F.sequence(F.floor(symin / cell),
+                                 F.floor(symax / cell)).alias("_cys"))
+          .withColumn("cx", F.explode("_cxs"))
+          .withColumn("cy", F.explode("_cys"))
+          .drop("_cxs", "_cys"))
+    pb = (points
+          .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+          .select(F.struct(*[F.col(c) for c in points.columns])
+                  .alias("pt"),
+                  F.col(point_key).alias("_pk"),
+                  F.col(x_col).alias("_px"), F.col(y_col).alias("_py"))
+          .withColumn("cx", F.floor(F.col("_px") / cell))
+          .withColumn("cy", F.floor(F.col("_py") / cell)))
+    j = pb.join(sb, ["cx", "cy"])
+    dx, dy = F.col("_bx") - F.col("_ax"), F.col("_by") - F.col("_ay")
+    l2 = dx * dx + dy * dy
+    traw = ((F.col("_px") - F.col("_ax")) * dx
+            + (F.col("_py") - F.col("_ay")) * dy) / l2
+    t = F.when(l2 <= F.lit(0.0), F.lit(0.0)) \
+        .otherwise(F.greatest(F.lit(0.0), F.least(F.lit(1.0), traw)))
+    qx = F.col("_ax") + t * dx
+    qy = F.col("_ay") + t * dy
+    d2 = (F.col("_px") - qx) * (F.col("_px") - qx) \
+        + (F.col("_py") - qy) * (F.col("_py") - qy)
+    j = j.withColumn("_t", t).withColumn("_d2", d2) \
+         .where(F.col("_d2") <= F.lit(float(r) * float(r)))
+    w = Window.partitionBy("_pk").orderBy(F.col("_d2").asc(),
+                                          F.col("_sk").asc())
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("pt", F.col("_sk").alias("seg_key"),
+                    F.sqrt(F.col("_d2")).alias("dist"),
+                    F.col("_t").alias("t")))
