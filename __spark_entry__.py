@@ -1187,6 +1187,48 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (the idiomatic spelling of gap
+    sessionization, vs the window-function twin batch_sessions and the
+    applyInPandasWithState streaming sessionizer): per-user 30-minute
+    gap sessions as one groupBy — the aggregate Catalyst plans with
+    session-window merging, no explicit lag/cumsum."""
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = load_events(spark, sf_dir).where(F.col("ts").isNotNull())
+    return (ev.groupBy(F.col("user_id"),
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("sum_cents"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start")).alias("start_us"),
+                    F.unix_micros(F.col("w.end")).alias("end_us"),
+                    "n_events", "sum_cents"))
+
+
+def _q_streaming_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hex heatmap: the events stream mapped to lattice
+    points, binned with the zero-UDF hex assignment, counted per cell
+    in complete mode — the live-dashboard shape; bounded (q, r) state."""
+    import uuid as _uuid
+    from datafusion_geo_spark.operators.hexbin import hex_cell
+    from datafusion_geo_spark.sources.fixtures import load_events_stream
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("user_id").isNotNull())
+          .withColumn("px", (F.col("user_id") % 360 - 180).cast("double"))
+          .withColumn("py", ((F.col("user_id") % 25) * 3 - 37.5)
+                      .cast("double")))
+    cell = hex_cell(F.col("px"), F.col("py"), 12.0)
+    agg = (ev.select(cell.alias("_c"))
+           .groupBy(F.col("_c.q").alias("q"), F.col("_c.r").alias("r"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    name = "stream_hexbin_" + _uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-radius map matching (operators/spatial_join.py
     nearest_segment_join): sampled customer points snap to the nearest
@@ -2966,6 +3008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sphere_nav": _q_sphere_nav,
         "geometric_median": _q_geometric_median,
         "map_match": _q_map_match,
+        "session_window_agg": _q_session_window_agg,
+        "streaming_hexbin": _q_streaming_hexbin,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
         "relate_literal": _q_relate_literal,
@@ -4046,6 +4090,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_session_window_agg: gap sessionization with the
+        # session_window convention end = max(ts) + gap
+        "session_window_agg": """
+            WITH d AS (
+                SELECT user_id, event_id, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, cents,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id,
+                   epoch_us(MIN(ts)) AS start_us,
+                   epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS end_us,
+                   COUNT(*)::BIGINT AS n_events,
+                   SUM(cents)::BIGINT AS sum_cents
+            FROM s GROUP BY user_id, sid
+        """,
+        # mirrors _q_streaming_hexbin: same hex arithmetic as
+        # hexbin_customers over the event lattice points
+        "streaming_hexbin": """
+            WITH p AS (
+              SELECT (user_id % 360 - 180)::DOUBLE AS x,
+                     ((user_id % 25) * 3 - 37.5)::DOUBLE AS y
+              FROM events WHERE user_id IS NOT NULL
+            ), ax AS (
+              SELECT (0.5773502691896257 * x - 0.3333333333333333 * y)
+                       / 12.0 AS fq,
+                     (0.6666666666666666 * y) / 12.0 AS fr
+              FROM p
+            ), rnd AS (
+              SELECT fq, fr, (-fq - fr) AS fs,
+                     floor(fq + 0.5) AS rq,
+                     floor(fr + 0.5) AS rr,
+                     floor((-fq - fr) + 0.5) AS rs
+              FROM ax
+            ), fixed AS (
+              SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+                           AND abs(rq - fq) > abs(rs - fs)
+                          THEN -rr - rs ELSE rq END AS q,
+                     CASE WHEN NOT (abs(rq - fq) > abs(rr - fr)
+                                    AND abs(rq - fq) > abs(rs - fs))
+                           AND abs(rr - fr) > abs(rs - fs)
+                          THEN -rq - rs ELSE rr END AS r
+              FROM rnd
+            )
+            SELECT CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r,
+                   COUNT(*) AS n
+            FROM fixed GROUP BY 1, 2
+        """,
         # mirrors _q_map_match: identical clamped-projection formula,
         # exact arithmetic, lowest-orderkey tie-break
         "map_match": """
