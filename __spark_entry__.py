@@ -1187,6 +1187,23 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token→id encoding (operators/text.py encode_with_vocab): top-128
+    vocabulary, OOV id 0, documents as id sequences (emitted as the
+    space-joined string so the hash compare is list-representation
+    agnostic)."""
+    from datafusion_geo_spark.operators.text import encode_with_vocab
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") < 200)
+    enc = encode_with_vocab(docs, vocab_size=128)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.col("ids"), " ").alias("ids_str"),
+        F.size(F.col("ids")).alias("n_tokens"),
+        F.col("n_oov"))
+
+
 def _q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's BUILT-IN session_window (the idiomatic spelling of gap
     sessionization, vs the window-function twin batch_sessions and the
@@ -3009,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometric_median": _q_geometric_median,
         "map_match": _q_map_match,
         "session_window_agg": _q_session_window_agg,
+        "vocab_encode": _q_vocab_encode,
         "streaming_hexbin": _q_streaming_hexbin,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
@@ -4090,6 +4108,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_vocab_encode: same count-desc/term-asc vocabulary
+        # order, OOV id 0, string_agg ORDER BY pos replays the array
+        "vocab_encode": f"""
+            WITH d AS (
+              SELECT doc_id, {_WORDS} AS w FROM documents
+              WHERE doc_id < 200
+            ), toks AS (
+              SELECT doc_id, i AS pos, w[i::INT] AS tok
+              FROM d, unnest(range(1, len(w) + 1)) AS t(i)
+            ), counts AS (
+              SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ), vocab AS (
+              SELECT tok, row_number() OVER (
+                       ORDER BY n DESC, tok ASC) AS tid
+              FROM counts QUALIFY tid <= 128
+            )
+            SELECT doc_id,
+                   string_agg(CAST(COALESCE(v.tid, 0) AS VARCHAR), ' '
+                              ORDER BY pos) AS ids_str,
+                   COUNT(*)::INT AS n_tokens,
+                   SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)
+                     AS n_oov
+            FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+            GROUP BY doc_id
+        """,
         # mirrors _q_session_window_agg: gap sessionization with the
         # session_window convention end = max(ts) + gap
         "session_window_agg": """

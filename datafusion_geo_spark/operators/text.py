@@ -503,3 +503,39 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             .agg(F.count("*").alias("n_tokens"),
                  F.sum("_lp").alias("lp_micro_sum"),
                  F.min("cnt").alias("min_cnt")))
+
+
+def encode_with_vocab(df: DataFrame, vocab_size: int = 256,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The token→id encoding step of a training pipeline: a vocabulary
+    of the ``vocab_size`` most frequent whitespace tokens (count desc,
+    term asc — deterministic), ids 1..V in that order, every other
+    token the OOV id 0; documents come back as int arrays in token
+    order plus an OOV count.
+
+    Scale shape: one token-count aggregate builds the vocab (top-V via
+    one ORDER BY LIMIT on the aggregated counts — count rows, not
+    corpus rows), broadcast-joined onto the exploded (doc, pos, token)
+    stream; array reassembly is a sorted collect_list per doc, the
+    aggregation buffer bounded by document length."""
+    from pyspark.sql import Window
+    toks = df.select(F.col(id_col),
+                     F.posexplode(words_col(F.col(text_col)))
+                     .alias("pos", "tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    vocab = F.broadcast(
+        counts.withColumn("tid", F.row_number().over(w))
+        .where(F.col("tid") <= vocab_size)
+        .select("tok", "tid"))
+    enc = (toks.join(vocab, "tok", "left")
+           .select(F.col(id_col), "pos",
+                   F.coalesce(F.col("tid"), F.lit(0)).alias("tid")))
+    return (enc.groupBy(id_col)
+            .agg(F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("pos"), F.col("tid")))),
+                lambda s: s["tid"]).alias("ids"),
+                F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+                .alias("n_oov")))
