@@ -1187,6 +1187,29 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_buildarea_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_BuildArea over golden linework: simple ring, donut, shared
+    edge dissolve, triple nesting, dangling edges, open line."""
+    from datafusion_geo_spark.functions import (st_area, st_astext,
+                                                st_buildarea,
+                                                st_geomfromtext)
+    rows = [
+        (1, "LINESTRING(0 0,10 0,10 10,0 10,0 0)"),
+        (2, "MULTILINESTRING((0 0,10 0,10 10,0 10,0 0),"
+            "(2 2,8 2,8 8,2 8,2 2))"),
+        (3, "MULTILINESTRING((0 0,5 0,5 10,0 10,0 0),"
+            "(5 0,10 0,10 10,5 10))"),
+        (4, "MULTILINESTRING((0 0,20 0,20 20,0 20,0 0),"
+            "(4 4,16 4,16 16,4 16,4 4),(8 8,12 8,12 12,8 12,8 8))"),
+        (5, "MULTILINESTRING((0 0,1 1),(0 0,4 0,4 4,0 4,0 0))"),
+        (6, "LINESTRING(0 0,5 5)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, wkt string")
+    b = st_buildarea(st_geomfromtext(F.col("wkt")))
+    return df.select("id", st_astext(b).alias("area_wkt"),
+                     _rb6(st_area(b)).alias("area"))
+
+
 def _q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token→id encoding (operators/text.py encode_with_vocab): top-128
     vocabulary, OOV id 0, documents as id sequences (emitted as the
@@ -3027,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match": _q_map_match,
         "session_window_agg": _q_session_window_agg,
         "vocab_encode": _q_vocab_encode,
+        "buildarea_literal": _q_buildarea_literal,
         "streaming_hexbin": _q_streaming_hexbin,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
@@ -4108,6 +4132,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_buildarea_literal: goldens pinned from the
+        # even-odd face-parity semantics (donut 64, dissolve 100,
+        # triple nesting 272)
+        "buildarea_literal": """
+            SELECT * FROM (VALUES
+              (1, 'POLYGON((0 0,10 0,10 10,0 10,0 0))', 100.0),
+              (2, 'POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,2 8,8 8,8 2,2 2))', 64.0),
+              (3, 'POLYGON((0 0,5 0,10 0,10 10,5 10,0 10,0 0))', 100.0),
+              (4, 'MULTIPOLYGON(((8 8,12 8,12 12,8 12,8 8)),((0 0,20 0,20 20,0 20,0 0),(4 4,4 16,16 16,16 4,4 4)))', 272.0),
+              (5, 'POLYGON((0 0,4 0,4 4,0 4,0 0))', 16.0),
+              (6, 'POLYGON EMPTY', 0.0)
+            ) AS v(id, area_wkt, area)
+        """,
         # mirrors _q_vocab_encode: same count-desc/term-asc vocabulary
         # order, OOV id 0, string_agg ORDER BY pos replays the array
         "vocab_encode": f"""

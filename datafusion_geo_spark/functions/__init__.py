@@ -343,6 +343,7 @@ _interior_ring_n = _u2(kernels.st_interior_ring_n, BinaryType())
 _num_interior_rings = _u1(kernels.st_num_interior_rings, IntegerType())
 _bounding_diagonal = _u1(kernels.st_bounding_diagonal, BinaryType())
 _distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
+_build_area = _u1(kernels.st_build_area, BinaryType())
 _geometric_median = _u1(kernels.st_geometric_median, BinaryType())
 _azimuth_sphere = _u2(kernels.st_azimuth_sphere, DoubleType())
 _project_sphere = _u3(kernels.st_project_sphere, BinaryType())
@@ -508,6 +509,13 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_buildarea(g: GeomLike) -> Column:
+    """PostGIS ST_BuildArea: areal geometry from closed linework —
+    even-odd nesting (enclosed faces become holes), dangling edges
+    ignored, shared edges dissolved (geo/noding.py)."""
+    return _build_area(_geom(g))
 
 
 def st_geometricmedian(g: GeomLike) -> Column:
@@ -1247,6 +1255,7 @@ _SQL_UDFS = {
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
     "ST_DistanceSphere": _distance_sphere,
+    "ST_BuildArea": _build_area,
     "ST_GeometricMedian": _geometric_median,
     "ST_AzimuthSphere": _azimuth_sphere,
     "ST_ProjectSphere": _project_sphere,
@@ -1365,7 +1374,7 @@ __all__ = [
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
     "st_distancesphere", "st_tileenvelope", "st_normalize",
-    "st_azimuthsphere", "st_projectsphere", "st_geometricmedian",
+    "st_azimuthsphere", "st_projectsphere", "st_geometricmedian", "st_buildarea",
     "st_isempty", "st_dimension", "st_exteriorring", "st_interiorringn",
     "st_numinteriorrings", "st_boundingdiagonal",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",

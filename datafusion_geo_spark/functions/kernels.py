@@ -1843,3 +1843,7 @@ def st_project_sphere(s: pd.Series, d: pd.Series,
 
 # ST_GeometricMedian (geo/metrics.py Weiszfeld; fixed rounds) — r5
 st_geometric_median = _unary_geom(metrics_mod.geometric_median)
+
+
+# ST_BuildArea (geo/noding.py even-odd face parity) — r5
+st_build_area = _unary_geom(noding.build_area)

@@ -199,3 +199,46 @@ def _drop_spikes(ring: Sequence[Coord]) -> Optional[List[Coord]]:
     if len(r) < 3 or abs(ring_area2(r + [r[0]])) == 0.0:
         return None
     return r + [r[0]]
+
+
+def build_area(g: Geometry) -> Geometry:
+    """ST_BuildArea (PostGIS/GEOS): form areal geometry from closed
+    linework — faces of the noded arrangement at EVEN nesting depth
+    are kept (odd-depth enclosed faces are the holes, the even-odd
+    rule), dangling edges contribute nothing, and shared edges between
+    kept faces dissolve through the overlay union. Non-lineal members
+    are ignored; no closed face → POLYGON EMPTY."""
+    lines = _line_members(g)
+    if not lines:
+        return Geometry("Polygon", [], g.srid)
+    from .algos import point_in_polygon
+    from .overlay import union_all
+    from .polygonize import polygonize
+    noded = node_paths(lines)
+    arrangement = polygonize([Geometry("LineString", p) for p in noded])
+    faces: List[List[List[Coord]]] = []
+    if arrangement.typ == "Polygon" and not arrangement.is_empty():
+        faces = [arrangement.parts]
+    elif arrangement.typ == "MultiPolygon":
+        faces = list(arrangement.parts)
+    if not faces:
+        return Geometry("Polygon", [], g.srid)
+    segs = [(p[i], p[i + 1]) for p in noded for i in range(len(p) - 1)]
+    kept = []
+    for fi, face in enumerate(faces):
+        ip = _interior_point(face, segs)
+        if ip is None:
+            continue
+        # count containment in other faces' SHELLS (a hole-assigned
+        # outer face would otherwise exclude the very face that is its
+        # hole, breaking the parity)
+        depth = sum(1 for fj, other in enumerate(faces)
+                    if fj != fi and other
+                    and point_in_polygon(ip, [other[0]]) == 1)
+        if depth % 2 == 0:
+            kept.append(Geometry("Polygon", face, g.srid))
+    if not kept:
+        return Geometry("Polygon", [], g.srid)
+    out = union_all(kept)
+    return out.with_srid(g.srid) if out is not None \
+        else Geometry("Polygon", [], g.srid)
