@@ -1187,6 +1187,63 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_streaming_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming map matching: event lattice points snap to their
+    nearest broadcast segment within r=5 (same clamped-projection
+    arithmetic as map_match, argmin via a min-struct aggregate — window
+    functions don't stream, struct-MIN does), counted per segment in
+    complete mode. Stateless join + bounded (segment) aggregate."""
+    import uuid as _uuid
+    from datafusion_geo_spark.sources.fixtures import (load_events_stream,
+                                                       load_table)
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("user_id").isNotNull())
+          .withColumn("px", (F.col("user_id") % 360 - 180).cast("double"))
+          .withColumn("py", ((F.col("user_id") % 25) * 3 - 37.5)
+                      .cast("double")))
+    o = load_table(spark, sf_dir, "orders") \
+        .where(F.col("o_orderkey") % 97 == 0)
+    k = (F.col("o_orderkey") % 1000).cast("double")
+    segs = F.broadcast(o.select(
+        "o_orderkey", k.alias("ax"), (k + 1).alias("ay"),
+        (k + 4).alias("bx"), (k + 5).alias("by")))
+    j = ev.crossJoin(segs)
+    dx, dy = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    l2 = dx * dx + dy * dy
+    t = F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+        ((F.col("px") - F.col("ax")) * dx
+         + (F.col("py") - F.col("ay")) * dy) / l2))
+    qx, qy = F.col("ax") + t * dx, F.col("ay") + t * dy
+    d2 = (F.col("px") - qx) * (F.col("px") - qx) \
+        + (F.col("py") - qy) * (F.col("py") - qy)
+    j = j.withColumn("_d2", d2).where(F.col("_d2") <= F.lit(25.0))
+    # the per-event argmin then per-segment count is TWO aggregation
+    # levels — unsupported as a chained streaming aggregate, so the
+    # micro-batch finishes it batch-side via foreachBatch (the
+    # streaming_rollup upsert pattern; bounded replay = one batch)
+    name = "stream_mm_" + _uuid.uuid4().hex[:8]
+    acc: dict = {}
+
+    def _batch(bdf, _epoch):
+        best = (bdf.groupBy("event_id")
+                .agg(F.min(F.struct(F.col("_d2"), F.col("o_orderkey")))
+                     .alias("m"))
+                .select(F.col("m.o_orderkey").alias("o_orderkey")))
+        for r in (best.groupBy("o_orderkey")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()):
+            acc[r["o_orderkey"]] = acc.get(r["o_orderkey"], 0) + r["n"]
+
+    q = (j.select("event_id", "_d2", "o_orderkey")
+         .writeStream.foreachBatch(_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in sorted(acc.items())],
+        "o_orderkey long, n_matches long")
+    out.createOrReplaceTempView(name)
+    return out
+
+
 def _q_buildarea_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_BuildArea over golden linework: simple ring, donut, shared
     edge dissolve, triple nesting, dangling edges, open line."""
@@ -3051,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": _q_session_window_agg,
         "vocab_encode": _q_vocab_encode,
         "buildarea_literal": _q_buildarea_literal,
+        "streaming_map_match": _q_streaming_map_match,
         "streaming_hexbin": _q_streaming_hexbin,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
@@ -4132,6 +4190,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_streaming_map_match: batch argmin twin (identical
+        # clamped-projection arithmetic, lowest-orderkey tie inside the
+        # struct-MIN)
+        "streaming_map_match": """
+            WITH e AS (
+              SELECT event_id,
+                     (user_id % 360 - 180)::DOUBLE AS px,
+                     ((user_id % 25) * 3 - 37.5)::DOUBLE AS py
+              FROM events WHERE user_id IS NOT NULL
+            ), segs AS (
+              SELECT o_orderkey,
+                     (o_orderkey % 1000)::DOUBLE AS ax,
+                     (o_orderkey % 1000 + 1)::DOUBLE AS ay,
+                     (o_orderkey % 1000 + 4)::DOUBLE AS bx,
+                     (o_orderkey % 1000 + 5)::DOUBLE AS by
+              FROM orders WHERE o_orderkey % 97 = 0
+            ), scored AS (
+              SELECT event_id, o_orderkey,
+                     (px - (ax + GREATEST(0.0, LEAST(1.0,
+                        ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+                        / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+                      )) * (bx - ax)))
+                     * (px - (ax + GREATEST(0.0, LEAST(1.0,
+                        ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+                        / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+                      )) * (bx - ax)))
+                     + (py - (ay + GREATEST(0.0, LEAST(1.0,
+                        ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+                        / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+                      )) * (by - ay)))
+                     * (py - (ay + GREATEST(0.0, LEAST(1.0,
+                        ((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+                        / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+                      )) * (by - ay))) AS d2
+              FROM e, segs
+            ), best AS (
+              SELECT event_id, o_orderkey FROM (
+                SELECT event_id, o_orderkey,
+                       row_number() OVER (PARTITION BY event_id
+                                          ORDER BY d2, o_orderkey) AS rn
+                FROM scored WHERE d2 <= 25.0) t
+              WHERE rn = 1
+            )
+            SELECT o_orderkey, COUNT(*) AS n_matches
+            FROM best GROUP BY o_orderkey
+        """,
         # mirrors _q_buildarea_literal: goldens pinned from the
         # even-odd face-parity semantics (donut 64, dissolve 100,
         # triple nesting 272)
