@@ -1187,6 +1187,26 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_longest_line_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MaxDistance / ST_LongestLine over exact-integer literals
+    (vertex-pair witnesses, smallest-pair tie-break)."""
+    from datafusion_geo_spark.functions import (st_astext, st_geomfromtext,
+                                                st_longestline,
+                                                st_maxdistance)
+    rows = [
+        (1, "POLYGON((0 0,10 0,10 10,0 10,0 0))", "POINT(12 10)"),
+        (2, "LINESTRING(0 0,10 0)", "LINESTRING(0 5,10 5)"),
+        (3, "POINT(0 0)", "POINT(3 4)"),
+        (4, "MULTIPOINT(0 0,1 1)", "MULTIPOINT(4 5,2 2)"),
+    ]
+    df = spark.createDataFrame(rows, "id int, a string, b string")
+    ga, gb = st_geomfromtext(F.col("a")), st_geomfromtext(F.col("b"))
+    return df.select(
+        "id",
+        _rb6(st_maxdistance(ga, gb)).alias("maxd"),
+        st_astext(st_longestline(ga, gb)).alias("ll_wkt"))
+
+
 def _q_streaming_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming map matching: event lattice points snap to their
     nearest broadcast segment within r=5 (same clamped-projection
@@ -3109,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": _q_vocab_encode,
         "buildarea_literal": _q_buildarea_literal,
         "streaming_map_match": _q_streaming_map_match,
+        "longest_line_literal": _q_longest_line_literal,
         "streaming_hexbin": _q_streaming_hexbin,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
@@ -4190,6 +4211,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_longest_line_literal: exact surd goldens
+        "longest_line_literal": """
+            SELECT * FROM (VALUES
+              (1, 15.620499, 'LINESTRING(0 0,12 10)'),
+              (2, 11.18034, 'LINESTRING(0 0,10 5)'),
+              (3, 5.0, 'LINESTRING(0 0,3 4)'),
+              (4, 6.403124, 'LINESTRING(0 0,4 5)')
+            ) AS v(id, maxd, ll_wkt)
+        """,
         # mirrors _q_streaming_map_match: batch argmin twin (identical
         # clamped-projection arithmetic, lowest-orderkey tie inside the
         # struct-MIN)

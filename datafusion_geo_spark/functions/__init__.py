@@ -343,6 +343,8 @@ _interior_ring_n = _u2(kernels.st_interior_ring_n, BinaryType())
 _num_interior_rings = _u1(kernels.st_num_interior_rings, IntegerType())
 _bounding_diagonal = _u1(kernels.st_bounding_diagonal, BinaryType())
 _distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
+_max_distance = _u2(kernels.st_max_distance, DoubleType())
+_longest_line = _u2(kernels.st_longest_line, BinaryType())
 _build_area = _u1(kernels.st_build_area, BinaryType())
 _geometric_median = _u1(kernels.st_geometric_median, BinaryType())
 _azimuth_sphere = _u2(kernels.st_azimuth_sphere, DoubleType())
@@ -509,6 +511,18 @@ def st_crosses(a: GeomLike, b: GeomLike) -> Column:
 
 def _numcol(v) -> Column:
     return v if isinstance(v, Column) else F.lit(float(v))
+
+
+def st_maxdistance(a: GeomLike, b: GeomLike) -> Column:
+    """PostGIS ST_MaxDistance: largest distance between the two
+    geometries (attained at a vertex pair)."""
+    return _max_distance(_geom(a), _geom(b))
+
+
+def st_longestline(a: GeomLike, b: GeomLike) -> Column:
+    """PostGIS ST_LongestLine: the max-distance witness pair as a
+    LINESTRING (deterministic smallest-pair tie-break)."""
+    return _longest_line(_geom(a), _geom(b))
 
 
 def st_buildarea(g: GeomLike) -> Column:
@@ -1255,6 +1269,8 @@ _SQL_UDFS = {
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
     "ST_DistanceSphere": _distance_sphere,
+    "ST_MaxDistance": _max_distance,
+    "ST_LongestLine": _longest_line,
     "ST_BuildArea": _build_area,
     "ST_GeometricMedian": _geometric_median,
     "ST_AzimuthSphere": _azimuth_sphere,
@@ -1374,7 +1390,7 @@ __all__ = [
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
     "st_distancesphere", "st_tileenvelope", "st_normalize",
-    "st_azimuthsphere", "st_projectsphere", "st_geometricmedian", "st_buildarea",
+    "st_azimuthsphere", "st_projectsphere", "st_geometricmedian", "st_buildarea", "st_maxdistance", "st_longestline",
     "st_isempty", "st_dimension", "st_exteriorring", "st_interiorringn",
     "st_numinteriorrings", "st_boundingdiagonal",
     "st_isclosed", "st_isring", "st_issimple", "st_isvalid",

@@ -1847,3 +1847,10 @@ st_geometric_median = _unary_geom(metrics_mod.geometric_median)
 
 # ST_BuildArea (geo/noding.py even-odd face parity) — r5
 st_build_area = _unary_geom(noding.build_area)
+
+
+# ST_MaxDistance / ST_LongestLine (geo/metrics.py vertex-pair scan) — r5
+st_max_distance = _geom_geom_scalar_kernel(metrics_mod.max_distance)
+st_longest_line = _geom_geom_scalar_kernel(
+    lambda a, b: (lambda r: None if r is None else to_wkb(r))(
+        metrics_mod.longest_line(a, b)))

@@ -191,3 +191,26 @@ def geometric_median(g: Geometry, iters: int = 8) -> Geometry:
             den += w
         cx, cy = rnd(num_x / den), rnd(num_y / den)
     return Geometry("Point", (cx, cy), g.srid)
+
+
+def max_distance(a: Geometry, b: Geometry) -> Optional[float]:
+    """ST_MaxDistance (PostGIS): the largest distance between the two
+    geometries — attained at a vertex pair (the farthest point of any
+    segment from a fixed point is one of its endpoints), so the scan
+    is over vertex pairs. None when either side has no vertices."""
+    va, vb = _vertices(a), _vertices(b)
+    if not va or not vb:
+        return None
+    return max(dist(p, q) for p in va for q in vb)
+
+
+def longest_line(a: Geometry, b: Geometry) -> Optional[Geometry]:
+    """ST_LongestLine: the witness vertex pair of max_distance as a
+    LINESTRING from a to b (ties: lexicographically smallest pair, so
+    the witness is deterministic)."""
+    va, vb = _vertices(a), _vertices(b)
+    if not va or not vb:
+        return None
+    best = max(((dist(p, q), p, q) for p in va for q in vb),
+               key=lambda t: (t[0], [-c for c in t[1] + t[2]]))
+    return Geometry("LineString", [best[1], best[2]], a.srid)
