@@ -1187,6 +1187,19 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality curation (operators/text.py
+    percentile_quality_filter): keep documents whose mean unigram
+    logprob sits at or above the corpus P25 — the drop-the-worst-
+    quartile pass after absolute rule filters."""
+    from datafusion_geo_spark.operators.text import \
+        percentile_quality_filter
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return percentile_quality_filter(docs, pct=0.25) \
+        .select("doc_id", "n_tokens", "lp_micro_sum")
+
+
 def _q_longest_line_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_MaxDistance / ST_LongestLine over exact-integer literals
     (vertex-pair witnesses, smallest-pair tie-break)."""
@@ -3130,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buildarea_literal": _q_buildarea_literal,
         "streaming_map_match": _q_streaming_map_match,
         "longest_line_literal": _q_longest_line_literal,
+        "quality_filter": _q_quality_filter,
         "streaming_hexbin": _q_streaming_hexbin,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
@@ -4211,6 +4225,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_quality_filter: same integer-exact scores, the
+        # P25 threshold via quantile_cont == Spark percentile
+        "quality_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_WORDS_LOWER}) AS w FROM documents
+            ), vocab AS (
+              SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w
+            ), tot AS (
+              SELECT COUNT(*)::BIGINT AS total FROM toks
+            ), lp AS (
+              SELECT t.doc_id,
+                     CAST((CASE WHEN ln(v.cnt::DOUBLE / tot.total::DOUBLE)
+                                     < 0 THEN -1 ELSE 1 END)
+                          * floor(abs(ln(v.cnt::DOUBLE / tot.total::DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS lp
+              FROM toks t JOIN vocab v USING (w), tot
+            ), scored AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                     CAST(SUM(lp) AS BIGINT) AS lp_micro_sum
+              FROM lp GROUP BY doc_id
+            ), s2 AS (
+              SELECT *, lp_micro_sum::DOUBLE / n_tokens AS score
+              FROM scored WHERE n_tokens > 0
+            ), thr AS (
+              SELECT quantile_cont(score, 0.25) AS t FROM s2
+            )
+            SELECT doc_id, n_tokens, lp_micro_sum
+            FROM s2, thr WHERE score >= t
+        """,
         # mirrors _q_longest_line_literal: exact surd goldens
         "longest_line_literal": """
             SELECT * FROM (VALUES

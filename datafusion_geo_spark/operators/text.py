@@ -539,3 +539,27 @@ def encode_with_vocab(df: DataFrame, vocab_size: int = 256,
                 lambda s: s["tid"]).alias("ids"),
                 F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
                 .alias("n_oov")))
+
+
+def percentile_quality_filter(df: DataFrame, pct: float = 0.25,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Corpus-relative quality curation: keep documents whose unigram
+    log-probability (the perplexity proxy, unigram_logprob) is at or
+    above the corpus ``pct`` quantile — the 'drop the worst quartile'
+    pass every curation pipeline runs after absolute rule filters.
+
+    The threshold is ONE exact interpolated percentile over the
+    per-doc scores (a single small aggregate — score rows, not corpus
+    rows) broadcast back as a one-row cross, so the whole filter adds
+    one scan over the scored frame. Scores are the operator's exact
+    micro-int sums, so the quantile and the comparison are integer-
+    exact and engine-portable."""
+    scored = (unigram_logprob(df, text_col=text_col, id_col=id_col)
+              .where(F.col("n_tokens") > 0)
+              .withColumn("_score",
+                          F.col("lp_micro_sum") / F.col("n_tokens")))
+    thr = scored.agg(F.expr(f"percentile(_score, {pct})").alias("_thr"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .where(F.col("_score") >= F.col("_thr"))
+            .drop("_thr", "_score"))

@@ -55,6 +55,9 @@ ALLOWED_BROADCAST_CROSSES = {
                              # work per stream row, the k-centroid shape
     "graph_stats": 2,        # three ONE-ROW count aggregates crossed
                              # into the single profile row
+    "quality_filter": 2,     # unigram's one-row token total PLUS the
+                             # one-row percentile threshold, both
+                             # broadcast back onto the scored frame
     "minhash_eval": 2,       # three ONE-ROW count aggregates crossed
                              # into the single metrics row (the
                              # tfidf/bm25 one-row broadcast pattern)
