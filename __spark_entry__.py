@@ -1187,6 +1187,23 @@ def _pagerank_oracle() -> str:
             + "\nSELECT src AS id, rank_int FROM r3")
 
 
+def _q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout keys over customer points (operators/layout.py
+    with_hilbert_key, 8-bit grid over the fixture bounds) — the
+    stronger-locality sibling of zorder_keys: consecutive keys are
+    grid-adjacent (tests/test_hilbert.py), so key-range files cover
+    contiguous regions. Both engines replay the SAME per-level walk
+    (linear projections / chained CTEs from one generator family)."""
+    from datafusion_geo_spark.operators.layout import with_hilbert_key
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = (points_customer(spark, sf_dir)
+          .where(F.col("geom").isNotNull())
+          .select("c_custkey", "x", "y"))
+    return with_hilbert_key(cu, "x", "y",
+                            (-180.0, -37.5, 180.0, 37.5), 8) \
+        .select("c_custkey", "hkey")
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality curation (operators/text.py
     percentile_quality_filter): keep documents whose mean unigram
@@ -3144,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_map_match": _q_streaming_map_match,
         "longest_line_literal": _q_longest_line_literal,
         "quality_filter": _q_quality_filter,
+        "hilbert_keys": _q_hilbert_keys,
         "streaming_hexbin": _q_streaming_hexbin,
         "accessors2_literal": _q_accessors2_literal,
         "geom_edit_points": _q_geom_edit_points,
@@ -4225,6 +4243,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_pagerank_neardup: unrolled integer rounds
         "pagerank_neardup": _pagerank_oracle(),
+        # mirrors _q_hilbert_keys: the CTE-chained walk from the same
+        # generator family (operators/layout.py hilbert_key_sql_query)
+        "hilbert_keys": __import__(
+            "datafusion_geo_spark.operators.layout",
+            fromlist=["hilbert_key_sql_query"]).hilbert_key_sql_query(
+                "c_custkey", "(c_custkey % 360 - 180)",
+                "(c_nationkey * 3 - 37.5)",
+                (-180.0, -37.5, 180.0, 37.5), 8,
+                "customer WHERE c_custkey % 7 <> 0",
+                key_name="c_custkey"),
         # mirrors _q_quality_filter: same integer-exact scores, the
         # P25 threshold via quantile_cont == Spark percentile
         "quality_filter": f"""
