@@ -170,21 +170,44 @@ def weighted_sample(df: DataFrame, stratum_col: str, key_col: str,
 
 
 def seeded_shuffle(df: DataFrame, key_col: str, seed: str,
-                   order_col: str = "shuffle_order") -> DataFrame:
+                   order_col: str = "shuffle_order",
+                   buckets: int = 256) -> DataFrame:
     """Deterministic global training-order shuffle: rows ranked by
     md5(seed || key) — the standard 'epoch shuffle' a 100-TB pipeline
     needs to be reproducible across engines and runs (df.orderBy(rand)
-    is neither). The ORDER BY on the digest is a range-partitioned
-    total sort, Spark's scalable global sort; changing ``seed`` gives
-    an independent permutation while keys keep their identity.
+    is neither); changing ``seed`` gives an independent permutation
+    while keys keep their identity.
 
-    Emits a dense 1-based ``order_col`` (row_number over the digest,
-    key as tiebreak for digest collisions) — the position a sequential
-    trainer would read the row at."""
+    The dense 1-based ``order_col`` is the classic TWO-PHASE global
+    rank — a partition-less row_number window would pull the whole
+    corpus through one task. Phase 1: rows rank WITHIN their
+    digest-prefix bucket (the first hex chars partition the uniform
+    digest space, so ``buckets`` parallel windows); phase 2: per-bucket
+    counts (a tiny aggregate) become cumulative offsets broadcast back.
+    Both phases shuffle on the bucket key only; the composition is
+    exactly the digest-lexicographic global order because bucket order
+    is digest-prefix order."""
     from pyspark.sql import Window
     digest = F.md5(F.concat(F.lit(seed), F.lit("|"),
                             F.col(key_col).cast("string")))
-    w = Window.orderBy(digest.asc(), F.col(key_col).cast("string").asc())
-    return (df.withColumn("_digest", digest)
-              .withColumn(order_col, F.row_number().over(w))
-              .drop("_digest"))
+    nhex = max(1, (buckets - 1).bit_length() // 4 + 1)
+    d = df.withColumn("_digest", digest).withColumn(
+        "_bkt", F.conv(F.substring(F.col("_digest"), 1, nhex), 16, 10)
+        .cast("int"))
+    w = Window.partitionBy("_bkt").orderBy(
+        F.col("_digest").asc(), F.col(key_col).cast("string").asc())
+    ranked = d.withColumn("_rn", F.row_number().over(w))
+    counts = (ranked.groupBy("_bkt").agg(F.count("*").alias("_n")))
+    offs = F.broadcast(
+        counts.withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bkt")
+                    .rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)))
+        .select("_bkt", "_off"))
+    return (ranked.join(offs, "_bkt")
+            .withColumn(order_col, (F.col("_rn") + F.col("_off"))
+                        .cast("long"))
+            .drop("_digest", "_bkt", "_rn", "_off"))
