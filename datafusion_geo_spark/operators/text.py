@@ -524,10 +524,15 @@ def encode_with_vocab(df: DataFrame, vocab_size: int = 256,
                      F.posexplode(words_col(F.col(text_col)))
                      .alias("pos", "tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    # top-V via distributed sort+limit (TakeOrdered) — a partition-less
+    # window over the FULL count frame would single-task a 100-TB
+    # corpus's billion-token vocabulary; the rank window then runs over
+    # only the V selected rows
+    topv = counts.orderBy(F.col("n").desc(), F.col("tok").asc()) \
+        .limit(vocab_size)
     w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
     vocab = F.broadcast(
-        counts.withColumn("tid", F.row_number().over(w))
-        .where(F.col("tid") <= vocab_size)
+        topv.withColumn("tid", F.row_number().over(w))
         .select("tok", "tid"))
     enc = (toks.join(vocab, "tok", "left")
            .select(F.col(id_col), "pos",
