@@ -1421,6 +1421,49 @@ def _q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_wkt"))
 
 
+def _hav_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Haversine SQL expression mirroring geo/proj.py haversine_m's
+    exact operation order (a = s1·s1 + cosφ1·cosφ2·s2·s2 left-assoc,
+    LEAST clamp, 2·R·asin(√a)) — DuckDB libm == Python math."""
+    d = "0.017453292519943295"
+    s1 = f"sin((({lat2}) - ({lat1})) * {d} / 2.0)"
+    s2 = f"sin((({lon2}) - ({lon1})) * {d} / 2.0)"
+    return (f"2.0 * 6371008.0 * asin(sqrt(LEAST(1.0, {s1} * {s1} "
+            f"+ cos(({lat1}) * {d}) * cos(({lat2}) * {d}) "
+            f"* {s2} * {s2})))")
+
+
+def _sphere_area_oracle() -> str:
+    """Replay of _q_sphere_area: the box ring is (xmin ymin, xmin ymax,
+    xmax ymax, xmax ymin, xmin ymin) (Geometry.box), so the two
+    meridional edges contribute exact +0.0 to the JPL edge sum and the
+    two parallel edges are t2/t4 below; the perimeter is the four
+    haversine edges left-folded in ring order."""
+    d = "0.017453292519943295"
+    t2 = (f"(((x + 0.5) - x) * {d} * (2.0 + sin((y + 0.25) * {d}) "
+          f"+ sin((y + 0.25) * {d})))")
+    t4 = (f"((x - (x + 0.5)) * {d} * (2.0 + sin(y * {d}) "
+          f"+ sin(y * {d})))")
+    h1 = _hav_sql("x", "y", "x", "y + 0.25")
+    h2 = _hav_sql("x", "y + 0.25", "x + 0.5", "y + 0.25")
+    h3 = _hav_sql("x + 0.5", "y + 0.25", "x + 0.5", "y")
+    h4 = _hav_sql("x + 0.5", "y", "x", "y")
+    return f"""
+        WITH p AS (
+          SELECT c_custkey,
+                 (c_custkey % 360 - 180)::DOUBLE AS x,
+                 (c_nationkey * 3 - 37.5)::DOUBLE AS y
+          FROM customer WHERE c_custkey % 7 <> 0
+        )
+        SELECT c_custkey,
+               floor(abs({t2} + {t4}) * 6371008.0 * 6371008.0 / 2.0
+                     * 1000.0 + 0.5)::BIGINT AS area_mm2,
+               floor(((({h1} + {h2}) + {h3}) + {h4})
+                     * 1000000.0 + 0.5)::BIGINT AS perim_um
+        FROM p
+    """
+
+
 def _gmedian_oracle(iters: int = 8) -> str:
     """Unrolled Weiszfeld replay: sequential list_reduce folds mirror
     the kernel's left-to-right float summation; 9-dp rounded iterates;
@@ -1492,6 +1535,31 @@ def _q_sphere_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("az"),
         _rb6(st_x(dest)).alias("dlon"),
         _rb6(st_y(dest)).alias("dlat"))
+
+
+def _q_sphere_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography measures: spherical area and perimeter of a
+    0.5°x0.25° lon/lat box at every customer point (ST_AreaSphere /
+    ST_PerimeterSphere — the geography ST_Area/ST_Perimeter twins,
+    geo/proj.py sphere_area_m2 JPL edge-sum + haversine rings).
+    Outputs as exact scaled integers (milli-m² / micro-m): the
+    pre-round doubles are bit-identical across engines (fixed literal
+    constants + operation order, Python math == DuckDB libm), so the
+    floor(x·scale + 0.5) ints compare exactly."""
+    from datafusion_geo_spark.functions import (st_areasphere,
+                                                st_makeenvelope,
+                                                st_perimetersphere)
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = points_customer(spark, sf_dir).where(F.col("geom").isNotNull())
+    box = st_makeenvelope(F.col("x"), F.col("y"),
+                          F.col("x") + F.lit(0.5),
+                          F.col("y") + F.lit(0.25))
+    return cu.select(
+        "c_custkey",
+        F.floor(st_areasphere(box) * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("area_mm2"),
+        F.floor(st_perimetersphere(box) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("perim_um"))
 
 
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3121,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4's one red row, fixed this round (binary rounding) ---
         "transform_points": _q_transform_points,
         # --- new in r5 ---
+        "sphere_area": _q_sphere_area,
         "transform_utm": _q_transform_utm,
         "setops_boxes": _q_setops_boxes,
         "relate_boxes": _q_relate_boxes,
@@ -4481,6 +4550,9 @@ def oracle_sql() -> dict[str, str]:
         "geometric_median": _gmedian_oracle(),
         # mirrors _q_sphere_nav: identical spherical-trig literals and
         # operation order (Python math == DuckDB libm)
+        # mirrors _q_sphere_area: JPL box edge terms + haversine ring
+        # fold, identical literals/op order (Python math == DuckDB libm)
+        "sphere_area": _sphere_area_oracle(),
         "sphere_nav": """
             WITH p AS (
               SELECT c_custkey,

@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 119 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 128 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, set-operation,
 relate-matrix, validity, triangulation, offset/clip, and editing
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
@@ -343,6 +343,9 @@ _interior_ring_n = _u2(kernels.st_interior_ring_n, BinaryType())
 _num_interior_rings = _u1(kernels.st_num_interior_rings, IntegerType())
 _bounding_diagonal = _u1(kernels.st_bounding_diagonal, BinaryType())
 _distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
+_area_sphere = _u1(kernels.st_area_sphere, DoubleType())
+_length_sphere = _u1(kernels.st_length_sphere, DoubleType())
+_perimeter_sphere = _u1(kernels.st_perimeter_sphere, DoubleType())
 _max_distance = _u2(kernels.st_max_distance, DoubleType())
 _longest_line = _u2(kernels.st_longest_line, BinaryType())
 _build_area = _u1(kernels.st_build_area, BinaryType())
@@ -609,6 +612,26 @@ def st_distancesphere(a: GeomLike, b: GeomLike) -> Column:
     DOUBLE columns, inline the same formula with pyspark.sql.functions
     trig — this kernel is the geometry-typed convenience."""
     return _distance_sphere(_geom(a), _geom(b))
+
+
+def st_areasphere(g: GeomLike) -> Column:
+    """Geography ST_Area twin: polygon area in m² on the mean-radius
+    sphere (JPL edge-sum formula, geo/proj.py sphere_area_m2); holes
+    subtracted, non-areal parts 0."""
+    return _area_sphere(_geom(g))
+
+
+def st_lengthsphere(g: GeomLike) -> Column:
+    """Geography ST_Length twin: great-circle line length in meters
+    (haversine per segment, geo/proj.py sphere_length_m); areal and
+    puntal parts 0."""
+    return _length_sphere(_geom(g))
+
+
+def st_perimetersphere(g: GeomLike) -> Column:
+    """Geography ST_Perimeter twin: great-circle ring length in meters
+    over shells and holes (geo/proj.py sphere_perimeter_m)."""
+    return _perimeter_sphere(_geom(g))
 
 
 def st_offsetcurve(g: GeomLike, d, quadsegs=None) -> Column:
@@ -1269,6 +1292,9 @@ _SQL_UDFS = {
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
     "ST_DistanceSphere": _distance_sphere,
+    "ST_AreaSphere": _area_sphere,
+    "ST_LengthSphere": _length_sphere,
+    "ST_PerimeterSphere": _perimeter_sphere,
     "ST_MaxDistance": _max_distance,
     "ST_LongestLine": _longest_line,
     "ST_BuildArea": _build_area,
@@ -1390,6 +1416,7 @@ __all__ = [
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
     "st_distancesphere", "st_tileenvelope", "st_normalize",
+    "st_areasphere", "st_lengthsphere", "st_perimetersphere",
     "st_azimuthsphere", "st_projectsphere", "st_geometricmedian", "st_buildarea", "st_maxdistance", "st_longestline",
     "st_isempty", "st_dimension", "st_exteriorring", "st_interiorringn",
     "st_numinteriorrings", "st_boundingdiagonal",

@@ -1712,6 +1712,27 @@ def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
     return _obj_series(out)
 
 
+def _sphere_measure_kernel(fn_name):
+    """Factory for the geography measure twins (area / length /
+    perimeter on the R_SPHERE sphere, geo/proj.py)."""
+    def k(s: pd.Series) -> pd.Series:
+        from ..geo import proj as proj_mod
+        fn = getattr(proj_mod, fn_name)
+        cache = _DecodeCache()
+        return _obj_series([
+            None if v is None else fn(cache.geom(bytes(v)))
+            for v in s.tolist()])
+    k.__name__ = fn_name
+    return k
+
+
+# Geography ST_Area / ST_Length / ST_Perimeter twins (lon/lat degrees
+# in, meters/m² on the PostGIS mean-radius sphere). Beyond-reference.
+st_area_sphere = _sphere_measure_kernel("sphere_area_m2")
+st_length_sphere = _sphere_measure_kernel("sphere_length_m")
+st_perimeter_sphere = _sphere_measure_kernel("sphere_perimeter_m")
+
+
 # ------------------------------- tile envelope + normalize (r5)
 
 _MERC_WORLD = 20037508.342789244

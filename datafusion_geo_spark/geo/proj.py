@@ -203,3 +203,69 @@ def sphere_project(lon: float, lat: float, dist_m: float,
     elif lon2 < -180.0:
         lon2 += 360.0
     return (lon2, phi2 * RAD2DEG)
+
+
+def sphere_ring_sum(ring) -> float:
+    """Raw spherical-area accumulator for one closed ring: the JPL
+    "Some Algorithms for Polygons on a Sphere" (Chamberlain & Duquette
+    2007) edge sum Σ (λ2−λ1)·(2 + sin φ1 + sin φ2) over edges in vertex
+    order (radians for λ, degrees in, the turf.js ringArea form).
+    Fixed operation order so a SQL oracle spelling the same per-edge
+    terms and left-associated additions replays the double exactly."""
+    total = 0.0
+    for i in range(len(ring) - 1):
+        lon1, lat1 = ring[i]
+        lon2, lat2 = ring[i + 1]
+        total = total + (lon2 - lon1) * DEG2RAD * (
+            2.0 + math.sin(lat1 * DEG2RAD) + math.sin(lat2 * DEG2RAD))
+    return total
+
+
+def sphere_area_m2(g: Geometry) -> float:
+    """Geography ST_Area twin on the R_SPHERE sphere: per polygon,
+    |shell sum| − Σ |hole sums|, each scaled by R²/2; areal parts only
+    (lines/points contribute 0, like PostGIS geography ST_Area).
+    Coordinates are interpreted as lon/lat degrees."""
+    total = 0.0
+    for part in g.geometries():
+        if part.typ != "Polygon" or not part.parts:
+            continue
+        rings = part.parts
+        poly = abs(sphere_ring_sum(rings[0])) * R_SPHERE * R_SPHERE / 2.0
+        for hole in rings[1:]:
+            poly = poly - abs(sphere_ring_sum(hole)) \
+                * R_SPHERE * R_SPHERE / 2.0
+        total = total + poly
+    return total
+
+
+def _sphere_path_m(coords) -> float:
+    total = 0.0
+    for i in range(len(coords) - 1):
+        lon1, lat1 = coords[i]
+        lon2, lat2 = coords[i + 1]
+        total = total + haversine_m(lon1, lat1, lon2, lat2)
+    return total
+
+
+def sphere_length_m(g: Geometry) -> float:
+    """Geography ST_Length twin: great-circle length of the linear
+    parts (haversine per segment, summed in vertex order); areal and
+    puntal parts contribute 0, like PostGIS geography ST_Length."""
+    total = 0.0
+    for part in g.geometries():
+        if part.typ == "LineString" and part.parts:
+            total = total + _sphere_path_m(part.parts)
+    return total
+
+
+def sphere_perimeter_m(g: Geometry) -> float:
+    """Geography ST_Perimeter twin: great-circle length of every ring
+    (shells and holes) of the areal parts; linear/puntal parts
+    contribute 0."""
+    total = 0.0
+    for part in g.geometries():
+        if part.typ == "Polygon" and part.parts:
+            for ring in part.parts:
+                total = total + _sphere_path_m(ring)
+    return total
