@@ -2190,6 +2190,35 @@ def _q_line_edit_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_astext(st_symdifference(ga, gb)).alias("sd_wkt"))
 
 
+def _q_smoothing_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_ChaikinSmoothing (1/4–3/4 corner cutting, PostGIS-doc example
+    verified) and ST_SimplifyVW (Visvalingam–Whyatt area threshold)
+    goldens — dyadic inputs keep every coordinate exact
+    (tests/test_smoothing.py pins the semantics)."""
+    from datafusion_geo_spark.functions import (st_astext,
+                                                st_chaikinsmoothing,
+                                                st_geomfromtext,
+                                                st_simplifyvw)
+    rows = [
+        (1, "LINESTRING(0 0,4 4,8 0)", 1,
+            "LINESTRING(0 0,1 0.1,2 0,3 5,4 0)", 1.0),
+        (2, "POLYGON((0 0,4 0,4 4,0 4,0 0))", 1,
+            "POLYGON((0 0,8 0,8 8,4 8.1,0 8,0 0))", 1.0),
+        (3, "LINESTRING(0 0,8 8,16 0)", 2,
+            "LINESTRING(0 0,10 0)", 5.0),
+        (4, "MULTILINESTRING((0 0,4 0),(0 4,4 4))", 3,
+            "POLYGON((0 0,1 0,1 1,0 1,0 0))", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, cw string, n int, vw string, tol double")
+    return df.select(
+        "id",
+        st_astext(st_chaikinsmoothing(
+            st_geomfromtext(F.col("cw")), F.col("n"))).alias("smooth_wkt"),
+        st_astext(st_simplifyvw(
+            st_geomfromtext(F.col("vw")), F.col("tol"))).alias("vw_wkt"))
+
+
 def _q_line_merge_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_LineMerge goldens: chain sewing (with reversal), degree-3
     junction left unmerged, pure cycle, disjoint chains, non-lineal
@@ -3247,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_quantiles": _q_value_quantiles,
         "setops_literal": _q_setops_literal,
         "line_merge_literal": _q_line_merge_literal,
+        "smoothing_literal": _q_smoothing_literal,
         "url_dedup": _q_url_dedup,
         "embed_quantize": _q_embed_quantize,
         "subdivide_boxes": _q_subdivide_boxes,
@@ -5258,6 +5288,19 @@ def oracle_sql() -> dict[str, str]:
         # mirrors _q_line_merge_literal: goldens pinned by
         # tests/test_edit.py::TestLineMerge (deterministic input-order
         # chain starts; PostGIS/GEOS sewing semantics)
+        # mirrors _q_smoothing_literal: dyadic corner-cut / VW goldens
+        "smoothing_literal": """
+            SELECT * FROM (VALUES
+              (1, 'LINESTRING(0 0,3 3,5 3,8 0)',
+                  'LINESTRING(0 0,2 0,3 5,4 0)'),
+              (2, 'POLYGON((1 0,3 0,4 1,4 3,3 4,1 4,0 3,0 1,1 0))',
+                  'POLYGON((0 0,8 0,8 8,0 8,0 0))'),
+              (3, 'LINESTRING(0 0,4.5 4.5,7 6,9 6,11.5 4.5,16 0)',
+                  'LINESTRING(0 0,10 0)'),
+              (4, 'MULTILINESTRING((0 0,4 0),(0 4,4 4))',
+                  'POLYGON((1 0,1 1,0 1,1 0))')
+            ) AS v(id, smooth_wkt, vw_wkt)
+        """,
         "line_merge_literal": """
             SELECT * FROM (VALUES
               (1, 'LINESTRING(0 0,1 1,2 2,3 2)'),

@@ -1,7 +1,7 @@
 """Public function surface: DataFrame Column functions + SQL registration.
 
 Mirrors the reference's UDF registry (SURVEY.md §2.1: 18 scalar UDFs + 1
-UDAF) and extends it to 128 SQL-registered names with the PostGIS-parity
+UDAF) and extends it to 130 SQL-registered names with the PostGIS-parity
 measures, accessors, linear-referencing, transform, set-operation,
 relate-matrix, validity, triangulation, offset/clip, and editing
 utilities (SURVEY.md §8.1). Each operator exists both as a Python Column function
@@ -403,6 +403,8 @@ _flip = _u1(kernels.st_flip_coordinates, BinaryType())
 _rotate = _u_variadic(kernels.st_rotate, BinaryType(), "st_rotate")
 _scale = _u3(kernels.st_scale2, BinaryType())
 _segmentize = _u2(kernels.st_segmentize, BinaryType())
+_chaikin = _u2(kernels.st_chaikin_smoothing, BinaryType())
+_simplify_vw = _u2(kernels.st_simplify_vw, BinaryType())
 _line_substring = _u3(kernels.st_line_substring, BinaryType())
 _reduce_precision = _u2(kernels.st_reduce_precision, BinaryType())
 _line_merge = _u1(kernels.st_line_merge, BinaryType())
@@ -1009,6 +1011,20 @@ def st_segmentize(g: GeomLike, max_len) -> Column:
     return _segmentize(_geom(g), _num(max_len, "double"))
 
 
+def st_chaikinsmoothing(g: GeomLike, iterations=1) -> Column:
+    """ST_ChaikinSmoothing: iterative 1/4–3/4 corner cutting on lines
+    and polygon rings; iterations clamp to [1, 5] (PostGIS parity,
+    geo/edit.py)."""
+    return _chaikin(_geom(g), _num(iterations, "double"))
+
+
+def st_simplifyvw(g: GeomLike, tolerance) -> Column:
+    """ST_SimplifyVW: Visvalingam–Whyatt area-threshold simplification
+    (smallest effective triangle removed first; rings keep at least a
+    triangle — geo/edit.py)."""
+    return _simplify_vw(_geom(g), _num(tolerance, "double"))
+
+
 def st_linesubstring(g: GeomLike, start, end) -> Column:
     """ST_LineSubstring: the fractional arc-length window [start, end]
     of a LINESTRING; start == end yields the interpolated point
@@ -1350,6 +1366,8 @@ _SQL_UDFS = {
     "ST_Rotate": _rotate,
     "ST_Scale": _scale,
     "ST_Segmentize": _segmentize,
+    "ST_ChaikinSmoothing": _chaikin,
+    "ST_SimplifyVW": _simplify_vw,
     "ST_LineSubstring": _line_substring,
     "ST_ReducePrecision": _reduce_precision,
     "ST_LineMerge": _line_merge,
@@ -1429,6 +1447,7 @@ __all__ = [
     "st_dump", "st_dumppoints",
     "st_symdifference", "st_reverse", "st_flipcoordinates", "st_rotate",
     "st_scale", "st_segmentize", "st_linesubstring", "st_reduceprecision",
+    "st_chaikinsmoothing", "st_simplifyvw",
     "st_linemerge", "st_subdivide", "st_polygonize", "st_polygonize_agg",
     "st_minimumboundingradius", "st_minboundcenter", "st_orientedenvelope",
     "st_node", "st_makevalid", "st_shortestline", "st_project",

@@ -1018,6 +1018,10 @@ st_line_substring = _geom_num_num_kernel(
     lambda g, s_, e_: to_wkb_opt(edit.line_substring(g, s_, e_)))
 st_reduce_precision = _geom_num_kernel(
     lambda g, gs: to_wkb(edit.reduce_precision(g, float(gs))))
+st_chaikin_smoothing = _geom_num_kernel(
+    lambda g, n: to_wkb(edit.chaikin_smoothing(g, int(n))))
+st_simplify_vw = _geom_num_kernel(
+    lambda g, t: to_wkb(edit.simplify_vw(g, float(t))))
 st_line_merge = _unary_geom(edit.line_merge)
 st_subdivide = _geom_num_kernel(
     lambda g, m: [to_wkb(p) for p in subdivide_mod.subdivide(g, int(m))])

@@ -599,3 +599,133 @@ def normalize(g: Geometry) -> Geometry:
     if t == "GeometryCollection":
         return Geometry(t, [normalize(m) for m in p], s)
     return g
+
+
+def _chaikin_once(coords, closed: bool):
+    """One corner-cutting pass: each edge (p,q) yields the 1/4 and 3/4
+    points. Open lines keep their endpoints (PostGIS keeps them always
+    for lines); rings cut every corner and re-close."""
+    n = len(coords)
+    out = []
+    if closed:
+        ring = coords[:-1] if n > 1 and coords[0] == coords[-1] else coords
+        m = len(ring)
+        for i in range(m):
+            px, py = ring[i]
+            qx, qy = ring[(i + 1) % m]
+            out.append((0.75 * px + 0.25 * qx, 0.75 * py + 0.25 * qy))
+            out.append((0.25 * px + 0.75 * qx, 0.25 * py + 0.75 * qy))
+        out.append(out[0])
+        return out
+    out.append(coords[0])
+    for i in range(n - 1):
+        px, py = coords[i]
+        qx, qy = coords[i + 1]
+        if i > 0:
+            out.append((0.75 * px + 0.25 * qx, 0.75 * py + 0.25 * qy))
+        if i < n - 2:
+            out.append((0.25 * px + 0.75 * qx, 0.25 * py + 0.75 * qy))
+    out.append(coords[-1])
+    return out
+
+
+def chaikin_smoothing(g: Geometry, iterations: int = 1) -> Geometry:
+    """ST_ChaikinSmoothing (PostGIS): iterative Chaikin corner cutting
+    on (multi)linestrings and polygon rings; other types unchanged.
+    ``iterations`` clamps to [1, 5] like PostGIS. Quarter-multiple
+    arithmetic is exact for dyadic inputs, so goldens are exact."""
+    it = max(1, min(5, int(iterations)))
+
+    def seq(coords, closed):
+        c = list(coords)
+        if len(c) < 3:
+            return c
+        for _ in range(it):
+            c = _chaikin_once(c, closed)
+        return c
+
+    t, p, s = g.typ, g.parts, g.srid
+    if t == "LineString" and p:
+        return Geometry(t, seq(p, False), s)
+    if t == "MultiLineString":
+        return Geometry(t, [seq(m, False) for m in p], s)
+    if t == "Polygon" and p:
+        return Geometry(t, [seq(r, True) for r in p], s)
+    if t == "MultiPolygon":
+        return Geometry(t, [[seq(r, True) for r in poly] for poly in p], s)
+    if t == "GeometryCollection":
+        return Geometry(t, [chaikin_smoothing(m, it) for m in p], s)
+    return g
+
+
+def _tri_area2(a, b, c) -> float:
+    return abs((b[0] - a[0]) * (c[1] - a[1])
+               - (c[0] - a[0]) * (b[1] - a[1]))
+
+
+def _vw_seq(coords, closed: bool, tol2: float):
+    """Visvalingam–Whyatt: repeatedly drop the vertex whose effective
+    triangle has doubled-area < tol2 (smallest first, lowest index on
+    ties), recomputing neighbors. Open lines keep endpoints; rings
+    cycle over all vertices and must keep >= 3 distinct points."""
+    if closed:
+        pts = list(coords[:-1]) if len(coords) > 1 \
+            and coords[0] == coords[-1] else list(coords)
+    else:
+        pts = list(coords)
+    while True:
+        m = len(pts)
+        if closed:
+            if m <= 3:
+                break
+            areas = [(_tri_area2(pts[(i - 1) % m], pts[i],
+                                 pts[(i + 1) % m]), i) for i in range(m)]
+        else:
+            if m <= 2:
+                break
+            areas = [(_tri_area2(pts[i - 1], pts[i], pts[i + 1]), i)
+                     for i in range(1, m - 1)]
+        best_a, best_i = min(areas)
+        if best_a >= tol2:
+            break
+        del pts[best_i]
+    if closed:
+        pts.append(pts[0])
+    return pts
+
+
+def simplify_vw(g: Geometry, tolerance: float) -> Geometry:
+    """ST_SimplifyVW (PostGIS): Visvalingam–Whyatt area-based
+    simplification — vertices whose effective triangle area is below
+    ``tolerance`` are removed smallest-first. Rings never drop below a
+    triangle (GEOS keeps a minimal ring); a ring left without 3
+    distinct vertices (repeated points) is dropped, and a polygon
+    losing its shell that way becomes POLYGON EMPTY.
+    Points/multipoints unchanged."""
+    tol2 = 2.0 * float(tolerance)
+
+    def ring_ok(r):
+        return len(set(r[:-1])) >= 3
+
+    t, p, s = g.typ, g.parts, g.srid
+    if t == "LineString" and p:
+        return Geometry(t, _vw_seq(p, False, tol2), s)
+    if t == "MultiLineString":
+        return Geometry(t, [_vw_seq(m, False, tol2) for m in p], s)
+    if t == "Polygon" and p:
+        rings = [_vw_seq(r, True, tol2) for r in p]
+        if not ring_ok(rings[0]):
+            return Geometry(t, None, s)
+        return Geometry(t, [rings[0]] + [r for r in rings[1:]
+                                         if ring_ok(r)], s)
+    if t == "MultiPolygon":
+        polys = []
+        for poly in p:
+            rings = [_vw_seq(r, True, tol2) for r in poly]
+            if ring_ok(rings[0]):
+                polys.append([rings[0]] + [r for r in rings[1:]
+                                           if ring_ok(r)])
+        return Geometry(t, polys, s)
+    if t == "GeometryCollection":
+        return Geometry(t, [simplify_vw(m, tolerance) for m in p], s)
+    return g
