@@ -1892,14 +1892,33 @@ def _q_sphere_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from datafusion_geo_spark.functions import st_distancesphere, st_point
     from datafusion_geo_spark.sources.fixtures import points_customer
-    cu = points_customer(spark, sf_dir).where(F.col("geom").isNotNull())
-    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
-    lx = F.lag("x").over(w)
-    ly = F.lag("y").over(w)
-    seg = st_distancesphere(st_point(F.col("x"), F.col("y")),
-                            st_point(lx, ly))
-    segs = (cu.select(F.col("c_mktsegment"), seg.alias("d"))
-            .where(F.col("d").isNotNull()))
+    # TWO-PHASE lag (the seeded_shuffle pattern): a window partitioned
+    # by c_mktsegment alone is 5 tasks forever — instead rows lag within
+    # (segment, custkey-range block), and the block-boundary pairs are
+    # patched from a per-block first/last aggregate (one row per block)
+    # whose own window sorts only n/1024 rows per segment. Parallelism
+    # scales with data; the pair set is identical to the single window.
+    cu = (points_customer(spark, sf_dir)
+          .where(F.col("geom").isNotNull())
+          .select("c_mktsegment", "c_custkey", "x", "y",
+                  (F.col("c_custkey") / 1024).cast("long").alias("_b")))
+    w = Window.partitionBy("c_mktsegment", "_b").orderBy("c_custkey")
+    seg = st_distancesphere(
+        st_point(F.col("x"), F.col("y")),
+        st_point(F.lag("x").over(w), F.lag("y").over(w)))
+    interior = (cu.select(F.col("c_mktsegment"), seg.alias("d"))
+                .where(F.col("d").isNotNull()))
+    blocks = (cu.groupBy("c_mktsegment", "_b")
+              .agg(F.min_by(F.struct("x", "y"), "c_custkey").alias("_f"),
+                   F.max_by(F.struct("x", "y"), "c_custkey").alias("_l")))
+    wb = Window.partitionBy("c_mktsegment").orderBy("_b")
+    prev_last = F.lag("_l").over(wb)
+    bseg = st_distancesphere(
+        st_point(F.col("_f.x"), F.col("_f.y")),
+        st_point(prev_last.getField("x"), prev_last.getField("y")))
+    boundary = (blocks.select(F.col("c_mktsegment"), bseg.alias("d"))
+                .where(F.col("d").isNotNull()))
+    segs = interior.unionByName(boundary)
     um = F.floor(F.col("d") * 1e6 + F.lit(0.5)).cast("long")
     return (segs.groupBy("c_mktsegment")
             .agg(F.sum(um).alias("path_um"),
@@ -3182,69 +3201,16 @@ def _q_geojsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checks roughly the
-    # FIRST 50 entries per round (CORRECTNESS_r04 = exactly the first 50
-    # of r4's dict). Rotation policy (r4 verdict item 2): queries that
-    # have never earned a driver row lead, then this round's fixes and
-    # new operators, then the r3-green-but-rotated-out set, then the
-    # already-driver-green remainder (all still gated locally by
-    # tests/test_entry_oracle.py every run).
+    # ORDER MATTERS: the driver's correctness gate checks exactly the
+    # FIRST 50 entries per round (r5's checked set == first 50 of r5's
+    # dict). Rotation policy (r5 verdict item 2): the 41 queries that
+    # have never earned a driver row lead, then the 3 r5 oracle-type
+    # fixes, then 6 heavy previously-green regression canaries — the
+    # remainder are all driver-green in some earlier round and stay
+    # gated locally by tests/test_entry_oracle.py every run.
     return {
-        # --- never driver-checked through r4 (24) ---
-        "knn_join": _q_knn_join,
-        "knn_join_jvm": _q_knn_join_jvm,
-        "ivf_trained_topk": _q_ivf_trained_topk,
-        "semantic_dedup": _q_semantic_dedup,
-        "ann_recall": _q_ann_recall,
-        "asof_forward": _q_asof_forward,
-        "gopher_quality": _q_gopher_quality,
-        "repetition_filter": _q_repetition_filter,
-        "pii_mask": _q_pii_mask,
-        "stratified_sample": _q_stratified_sample,
-        "pack_sequences": _q_pack_sequences,
-        "interval_overlap": _q_interval_overlap,
-        "dataset_stats": _q_dataset_stats,
-        "geojsonl_roundtrip": _q_geojsonl_roundtrip,
-        "decontaminate": _q_decontaminate,
-        "domain_mix": _q_domain_mix,
-        "vocab_topk": _q_vocab_topk,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "passage_dedup": _q_passage_dedup,
-        "bm25_search": _q_bm25_search,
-        "streaming_curation": _q_streaming_curation,
-        "hourly_rollup": _q_hourly_rollup,
-        "streaming_rollup": _q_streaming_rollup,
-        "streaming_join": _q_streaming_join,
-        # --- r4's one red row, fixed this round (binary rounding) ---
-        "transform_points": _q_transform_points,
-        # --- new in r5 ---
-        "sphere_area": _q_sphere_area,
-        "transform_utm": _q_transform_utm,
-        "setops_boxes": _q_setops_boxes,
-        "relate_boxes": _q_relate_boxes,
-        "relate_matrix": _q_relate_matrix,
-        "triangulate_literal": _q_triangulate_literal,
-        "spatial_knn_join": _q_spatial_knn_join,
-        # flagship r5-early operators with recorded BASELINE numbers —
-        # promoted into the driver's checked window (rotation policy)
-        "dbscan_clusters": _q_dbscan_clusters,
-        "cluster_within": _q_cluster_within,
-        "pq_topk": _q_pq_topk,
-        "union_agg_regions": _q_union_agg_regions,
-        "zorder_keys": _q_zorder_keys,
-        "bounding_forms": _q_bounding_forms,
-        "seeded_shuffle": _q_seeded_shuffle,
-        "incremental_dedup": _q_incremental_dedup,
-        "distance_sphere": _q_distance_sphere,
-        "retention_cohorts": _q_retention_cohorts,
-        "funnel_conversion": _q_funnel_conversion,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "trajectories": _q_trajectories,
-        "streaming_geofence": _q_streaming_geofence,
-        "negative_buffer": _q_negative_buffer,
-        "hexbin_customers": _q_hexbin_customers,
-        "minhash_eval": _q_minhash_eval,
-        "sphere_paths": _q_sphere_paths,
+        # --- never driver-checked through r5 (41: the entire tail;
+        #     after this round every declared query has faced the gate) ---
         "audio_frames": _q_audio_frames,
         "pagerank_neardup": _q_pagerank_neardup,
         "graph_stats": _q_graph_stats,
@@ -3286,9 +3252,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortline_project": _q_shortline_project,
         "makevalid_bowties": _q_makevalid_bowties,
         "polygonize_regions": _q_polygonize_regions,
-        # --- r3-green, rotated out of r4's checked window (11) ---
-        "streaming_sessions": _q_streaming_sessions,
+        # --- r5 oracle-type fixes to re-verify (3) ---
+        "pack_sequences": _q_pack_sequences,
+        "streaming_geofence": _q_streaming_geofence,
+        "sphere_paths": _q_sphere_paths,
+        # --- regression canaries: heaviest previously-green (6) ---
         "grid_spatial_join": _q_grid_spatial_join,
+        "knn_join": _q_knn_join,
+        "minhash_pairs": _q_minhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "extent_by_mktsegment": _q_extent_by_mktsegment,
+        "streaming_curation": _q_streaming_curation,
+        # --- driver-green in r1-r5, still locally gated every run ---
+        "knn_join_jvm": _q_knn_join_jvm,
+        "ivf_trained_topk": _q_ivf_trained_topk,
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_recall": _q_ann_recall,
+        "asof_forward": _q_asof_forward,
+        "gopher_quality": _q_gopher_quality,
+        "repetition_filter": _q_repetition_filter,
+        "pii_mask": _q_pii_mask,
+        "stratified_sample": _q_stratified_sample,
+        "interval_overlap": _q_interval_overlap,
+        "dataset_stats": _q_dataset_stats,
+        "geojsonl_roundtrip": _q_geojsonl_roundtrip,
+        "decontaminate": _q_decontaminate,
+        "domain_mix": _q_domain_mix,
+        "vocab_topk": _q_vocab_topk,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "passage_dedup": _q_passage_dedup,
+        "bm25_search": _q_bm25_search,
+        "hourly_rollup": _q_hourly_rollup,
+        "streaming_rollup": _q_streaming_rollup,
+        "streaming_join": _q_streaming_join,
+        "transform_points": _q_transform_points,
+        "sphere_area": _q_sphere_area,
+        "transform_utm": _q_transform_utm,
+        "setops_boxes": _q_setops_boxes,
+        "relate_boxes": _q_relate_boxes,
+        "relate_matrix": _q_relate_matrix,
+        "triangulate_literal": _q_triangulate_literal,
+        "spatial_knn_join": _q_spatial_knn_join,
+        "dbscan_clusters": _q_dbscan_clusters,
+        "cluster_within": _q_cluster_within,
+        "pq_topk": _q_pq_topk,
+        "union_agg_regions": _q_union_agg_regions,
+        "zorder_keys": _q_zorder_keys,
+        "bounding_forms": _q_bounding_forms,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "incremental_dedup": _q_incremental_dedup,
+        "distance_sphere": _q_distance_sphere,
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel_conversion": _q_funnel_conversion,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "trajectories": _q_trajectories,
+        "negative_buffer": _q_negative_buffer,
+        "hexbin_customers": _q_hexbin_customers,
+        "minhash_eval": _q_minhash_eval,
+        "streaming_sessions": _q_streaming_sessions,
         "curation_pipeline": _q_curation_pipeline,
         "neardup_components": _q_neardup_components,
         "chunk_docs": _q_chunk_docs,
@@ -3298,13 +3319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_tag_events": _q_range_tag_events,
         "hash_split": _q_hash_split,
-        # --- driver-green in r4; bench headliners first ---
         "intersects_lines": _q_intersects_lines,
         "wkt_roundtrip_points": _q_wkt_roundtrip_points,
-        "extent_by_mktsegment": _q_extent_by_mktsegment,
-        "cosine_topk": _q_cosine_topk,
         "spatial_join": _q_spatial_join,
-        "minhash_pairs": _q_minhash_pairs,
         "dwithin_join": _q_dwithin_join,
         "exact_dedup": _q_exact_dedup,
         "extent_sql_udaf": _q_extent_sql_udaf,
@@ -4469,7 +4486,7 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(COALESCE(v.tid, 0) AS VARCHAR), ' '
                               ORDER BY pos) AS ids_str,
                    COUNT(*)::INT AS n_tokens,
-                   SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)
+                   SUM(CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END)::BIGINT
                      AS n_oov
             FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
             GROUP BY doc_id
@@ -4665,7 +4682,7 @@ def oracle_sql() -> dict[str, str]:
               FROM nation
             )
             SELECT n_nationkey, COUNT(*) AS n_points,
-                   SUM(c_custkey) AS key_sum
+                   SUM(c_custkey)::BIGINT AS key_sum
             FROM p JOIN z
               ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
             GROUP BY n_nationkey
@@ -4713,7 +4730,7 @@ def oracle_sql() -> dict[str, str]:
                    SUM(x * (CASE WHEN
                      ('0x' || substr(md5('rp1|' || CAST(j AS VARCHAR)
                         || '|' || CAST(k AS VARCHAR)), 1, 1))::BIGINT
-                     % 2 = 0 THEN 1 ELSE -1 END)) AS proj_int
+                     % 2 = 0 THEN 1 ELSE -1 END))::BIGINT AS proj_int
             FROM pos, ks
             GROUP BY vec_id, k
         """,
@@ -4797,7 +4814,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lagged WHERE lx IS NOT NULL
             )
             SELECT c_mktsegment,
-                   SUM(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT))
+                   SUM(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT))::BIGINT
                      AS path_um,
                    COUNT(*) AS n_segs
             FROM seg GROUP BY c_mktsegment
@@ -4863,7 +4880,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE user_id IS NOT NULL
             )
             SELECT fence_id, COUNT(*) AS n_hits,
-                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_cents
             FROM e JOIN f
               ON px >= fx0 AND px <= fx0 + 20
              AND py >= fy0 AND py <= fy0 + 8
@@ -6119,7 +6136,7 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING), 0) AS st
               FROM t)
-            SELECT doc_id, bucket::INT AS bucket, (st // 512) AS seq_id,
+            SELECT doc_id, bucket::INT AS bucket, (st // 512)::BIGINT AS seq_id,
                    (st % 512)::INT AS seq_offset, n_tokens
             FROM s
         """,

@@ -193,6 +193,9 @@ def sphere_project(lon: float, lat: float, dist_m: float,
     delta = dist_m / R_SPHERE
     sphi2 = (math.sin(phi1) * math.cos(delta)
              + math.cos(phi1) * math.sin(delta) * math.cos(azimuth))
+    # rounding near the poles can push |sphi2| infinitesimally past 1;
+    # clamp before asin (same guard as haversine_m's a > 1.0 clamp)
+    sphi2 = max(-1.0, min(1.0, sphi2))
     phi2 = math.asin(sphi2)
     y = math.sin(azimuth) * math.sin(delta) * math.cos(phi1)
     x = math.cos(delta) - math.sin(phi1) * sphi2

@@ -58,7 +58,12 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         ranks = deg.select("src").join(ranks, "src", "left") \
             .select("src", F.coalesce(F.col("rank_int"),
                                       F.lit(teleport)).alias("rank_int"))
-    return ranks.select(F.col("src").alias("id"), "rank_int")
+    # eager checkpoint cuts the iters-deep unrolled lineage AND lets the
+    # edges cache be released now instead of leaking across calls
+    out = (ranks.select(F.col("src").alias("id"), "rank_int")
+           .localCheckpoint(eager=True))
+    edges.unpersist()
+    return out
 
 
 def graph_stats(pairs: DataFrame, id_a: str = "id_a",
@@ -88,5 +93,10 @@ def graph_stats(pairs: DataFrame, id_a: str = "id_a",
                   F.max("deg").alias("max_degree"))
     n_e = e.agg(F.count("*").alias("n_edges"))
     n_t = tris.agg(F.count("*").alias("n_triangles"))
-    return (n_v.crossJoin(n_e).crossJoin(n_t)
-            .select("n_vertices", "n_edges", "max_degree", "n_triangles"))
+    # one-row result: materialize eagerly so the oriented-edge cache
+    # can be released instead of leaking across calls
+    out = (n_v.crossJoin(n_e).crossJoin(n_t)
+           .select("n_vertices", "n_edges", "max_degree", "n_triangles")
+           .localCheckpoint(eager=True))
+    e.unpersist()
+    return out

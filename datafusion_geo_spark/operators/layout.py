@@ -82,7 +82,7 @@ def zorder_layout(df: DataFrame, x_col: str, y_col: str,
 
 def hilbert_key(x: Column, y: Column,
                 bounds: Tuple[float, float, float, float],
-                bits: int = 12) -> Column:
+                bits: int = 6) -> Column:
     """Hilbert-curve key of (x, y) — the stronger locality sibling of
     morton_key (Hilbert never long-jumps between consecutive cells, so
     file bboxes come out tighter than Z-order's diagonal seams; what
@@ -91,9 +91,9 @@ def hilbert_key(x: Column, y: Column,
     The classic xy2d walk is unrolled ``bits`` levels into pure JVM
     bitwise/conditional expressions (no UDF, codegen-friendly). Each
     level's rotated frame references the previous level's EXPRESSIONS,
-    so the tree doubles per level — bits is capped at 8 (a 256x256 =
-    65k-cell grid; finer grids only reshuffle rows inside one file,
-    the same argument morton_key documents, and 8 levels keep both the
+    so the tree doubles per level — bits is capped at 6 (a 64x64 =
+    4k-cell grid; finer grids only reshuffle rows inside one file,
+    the same argument morton_key documents, and 6 levels keep both the
     Catalyst tree and the SQL twin's text tractable):
     per level, quadrant bits (rx, ry) accumulate s²·((3·rx) XOR ry)
     and the frame rotates via the conditional swap/reflect. The SQL

@@ -454,8 +454,18 @@ def knn_point_join(left: DataFrame, right: DataFrame, k: int,
     out = resolved[0]
     for part in resolved[1:]:
         out = out.unionByName(part)
-    return out.select("la", F.col("_rk").alias("rk"),
-                      F.sqrt(F.col("_d2")).alias("dist"), "rn")
+    out = out.select("la", F.col("_rk").alias("rk"),
+                     F.sqrt(F.col("_d2")).alias("dist"), "rn")
+    # the loop already ran per-round actions, so one eager checkpoint
+    # adds no extra pass over the data — and it lets every temp cache
+    # (rb + per-round resolved frames) be released here instead of
+    # accumulating executor storage across calls in a long session
+    out = out.localCheckpoint(eager=True)
+    for part in resolved:
+        part.unpersist()
+    remaining.unpersist()
+    rb.unpersist()
+    return out
 
 
 def nearest_segment_join(points: DataFrame, segs: DataFrame, r: float,

@@ -60,8 +60,23 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     assert name in ORACLES, f"query {name} missing an oracle"
-    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
-    want = _normalize(_duck(ORACLES[name]))
+    got_raw = QUERIES[name](spark, SF_DIR).toPandas()
+    want_raw = _duck(ORACLES[name])
+    # the driver's value-hash renders 0 and 0.0 differently, so an
+    # integral Spark column whose oracle twin comes back float64 (the
+    # DuckDB HUGEINT-from-SUM(BIGINT) trap — fix: SUM(...)::BIGINT)
+    # fails the gate even when values agree; catch that class here
+    for c in got_raw.columns:
+        if c in want_raw.columns \
+                and str(got_raw[c].dtype).startswith("int") \
+                and str(want_raw[c].dtype).startswith("float"):
+            pytest.fail(
+                f"oracle dtype drift on {name}.{c}: spark "
+                f"{got_raw[c].dtype} vs oracle {want_raw[c].dtype} — "
+                "cast the oracle expression (::BIGINT) so DuckDB does "
+                "not widen to HUGEINT/float64")
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     assert list(got.columns) == list(want.columns), \
         f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"

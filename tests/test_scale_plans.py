@@ -196,3 +196,23 @@ def test_geo_parquet_window_prunes_partitions(spark):
     plan = plan_of(df)
     assert "PartitionFilters: [" in plan and "cell_x" in plan
     assert "PushedFilters: [" in plan and "xmin" in plan
+
+
+def test_sphere_paths_window_parallelism_scales(spark):
+    """The r5 verdict's one scale-killer: a lag window partitioned by
+    c_mktsegment alone runs as 5 tasks forever. The two-phase rewrite
+    must lag within (segment, custkey block) — the big window's
+    partition spec has to include the block key, and only the tiny
+    per-block boundary pass may partition on the segment alone."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["sphere_paths"](spark, SF_DIR)
+    plan = plan_of(df)
+    # every Window node over the raw rows must key on the block column
+    windows = [ln for ln in plan.split("\n") if "Window [" in ln]
+    assert windows, "expected window nodes in sphere_paths plan"
+    big = [ln for ln in windows if "_b#" not in ln]
+    # the only segment-only window allowed is the boundary patch, which
+    # consumes the per-block aggregate (it carries the _f/_l structs)
+    for ln in big:
+        assert "_f#" in ln or "_l#" in ln, \
+            f"segment-only window over raw rows (5-task sort): {ln}"
