@@ -2906,6 +2906,57 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+def _q_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountMin heavy hitters (operators/sketch.py count_min_topk):
+    top-20 words by sketch-estimated count over the documents corpus,
+    depth 4 x width 1024. The sketch-build shuffle carries at most
+    depth*width rows per map task (partial hash agg) no matter the
+    corpus size, and estimation joins the broadcast 4k-row sketch —
+    the bounded-state substitute for the exact vocab_topk shuffle.
+    Estimates over-count on collisions; the oracle replays the same
+    md5-seeded collisions, so rows match exactly."""
+    from datafusion_geo_spark.operators.sketch import count_min_topk
+    from datafusion_geo_spark.operators.text import words_col
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(words_col(F.col("text"))).alias("tok"))
+    return count_min_topk(toks, "tok", 20, depth=4, width=1024)
+
+
+def _q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (operators/sketch.py
+    bloom_filter_new): docs with doc_id%3==0 arrive as a batch against
+    the corpus of the rest (key = md5(text)); rows whose 3 bloom
+    positions (m=65536) are all set drop as probable dups. The corpus
+    collapses ONCE into <= m set positions (distinct on a bounded key
+    space, map-side combined); each batch then only broadcast-joins
+    that fixed table — no per-batch corpus shuffle, the bounded-state
+    trade vs incremental_exact_dedup. False positives are a pure
+    function of md5, replayed identically by the oracle."""
+    from datafusion_geo_spark.operators.sketch import bloom_filter_new
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("key"))
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    return bloom_filter_new(corpus, batch, "key",
+                            m=65536, k=3).select("doc_id")
+
+
+def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (operators/sketch.py hll_registers)
+    over events.user_id, b=8: (register, rho) via one grouped MAX over
+    256 groups — map-side combined, and the table IS the mergeable
+    sketch state (union of corpora = same MAX over both tables), so a
+    1000-executor rollup ships 256 ints per merge. Registers are
+    integer-exact (minimal-binary-length rho in both engines); the
+    float cardinality estimate is left to the consumer."""
+    from datafusion_geo_spark.operators.sketch import hll_registers
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select(F.col("user_id").cast("string").alias("key")))
+    return hll_registers(ev, "key", b=8)
+
+
 def _q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (passage-level) duplication audit, Lee et al.
     2022 style: 100-char windows at stride 50, hashed corpus-wide;
@@ -3256,10 +3307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "streaming_geofence": _q_streaming_geofence,
         "sphere_paths": _q_sphere_paths,
-        # --- regression canaries: heaviest previously-green (6) ---
+        # --- new this round: bounded-state sketches (3) ---
+        "count_min_topk": _q_count_min_topk,
+        "bloom_new_docs": _q_bloom_new_docs,
+        "hll_registers": _q_hll_registers,
+        # --- regression canaries: heaviest previously-green (3) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "knn_join": _q_knn_join,
         "minhash_pairs": _q_minhash_pairs,
+        # --- driver-green in earlier rounds (pos 51+) ---
         "cosine_topk": _q_cosine_topk,
         "extent_by_mktsegment": _q_extent_by_mktsegment,
         "streaming_curation": _q_streaming_curation,
@@ -6215,6 +6271,76 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n_occurrences DESC, word ASC
             LIMIT 50
+        """,
+        # mirrors _q_count_min_topk: same md5-seeded cells, same
+        # collisions, same (est desc, tok asc) top-k
+        "count_min_topk": f"""
+            WITH toks AS (
+              SELECT unnest({_WORDS}) AS tok FROM documents
+            ), upd AS (
+              SELECT i,
+                     ('0x' || substr(md5('cm' || i || '|' || tok), 1, 8))
+                       ::BIGINT % 1024 AS cell
+              FROM toks, range(4) AS r(i)
+            ), sk AS (
+              SELECT i, cell, COUNT(*)::BIGINT AS cnt
+              FROM upd GROUP BY i, cell
+            ), probes AS (
+              SELECT DISTINCT tok FROM toks
+            ), ph AS (
+              SELECT tok, i,
+                     ('0x' || substr(md5('cm' || i || '|' || tok), 1, 8))
+                       ::BIGINT % 1024 AS cell
+              FROM probes, range(4) AS r(i)
+            )
+            SELECT tok, MIN(cnt)::BIGINT AS est_cnt
+            FROM ph JOIN sk USING (i, cell)
+            GROUP BY tok
+            ORDER BY est_cnt DESC, tok ASC
+            LIMIT 20
+        """,
+        # mirrors _q_bloom_new_docs: same positions, same FP set
+        "bloom_new_docs": """
+            WITH d AS (
+              SELECT doc_id, md5(text) AS key FROM documents
+            ), corpus AS (
+              SELECT key FROM d WHERE doc_id % 3 <> 0
+            ), batch AS (
+              SELECT doc_id, key FROM d WHERE doc_id % 3 = 0
+            ), positions AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5('bf' || i || '|' || key), 1, 8))
+                       ::BIGINT % 65536 AS pos
+              FROM corpus, range(3) AS r(i)
+            ), probe AS (
+              SELECT DISTINCT key,
+                     ('0x' || substr(md5('bf' || i || '|' || key), 1, 8))
+                       ::BIGINT % 65536 AS pos
+              FROM batch, range(3) AS r(i)
+            ), dup AS (
+              SELECT p.key
+              FROM probe p LEFT JOIN positions q ON p.pos = q.pos
+              GROUP BY p.key
+              HAVING MIN(CASE WHEN q.pos IS NULL THEN 0 ELSE 1 END) = 1
+            )
+            SELECT doc_id FROM batch
+            WHERE key NOT IN (SELECT key FROM dup)
+        """,
+        # mirrors _q_hll_registers: identical hash, register split, and
+        # minimal-binary-length rho
+        "hll_registers": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(
+                       'hll0|' || CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+              SELECT hv % 256 AS register, hv // 256 AS v FROM h
+            )
+            SELECT register,
+                   MAX(CASE WHEN v > 0 THEN 25 - length(bin(v))
+                            ELSE 25 END)::INT AS rho
+            FROM r GROUP BY register
         """,
         "tfidf_top_terms": _tfidf_oracle(),
         "passage_dedup": _passage_dedup_oracle(),

@@ -562,7 +562,18 @@ def normalize(g: Geometry) -> Geometry:
     def norm_ring(r: List[Coord], ccw: bool) -> List[Coord]:
         rr = list(r)
         if len(rr) >= 4:
-            if (ring_area2(rr) > 0) != ccw:
+            a2 = ring_area2(rr)
+            if a2 == 0:
+                # degenerate (zero-area, e.g. collinear) ring: the CCW
+                # test would flip it on EVERY pass, breaking idempotence
+                # — instead pick the direction whose canonical rotation
+                # is lexicographically smaller, a pure function of the
+                # point sequence
+                fwd = _canon_start(rr)
+                rev = _canon_start(rr[::-1])
+                return (fwd if [tuple(c) for c in fwd]
+                        <= [tuple(c) for c in rev] else rev)
+            if (a2 > 0) != ccw:
                 rr = rr[::-1]
             rr = _canon_start(rr)
         return rr

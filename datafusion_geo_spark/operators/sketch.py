@@ -1,0 +1,156 @@
+"""Sketch operators — the bounded-state summaries a 100 TB pipeline
+reaches for when exact shuffles stop fitting: CountMin heavy hitters,
+Bloom-filter incremental dedup, and HyperLogLog registers.
+
+Every sketch here is DETERMINISTIC: hash row i of a sketch uses
+``bigint(md5('<tag><i>|' || s)[0:8])`` (the repo-wide md5-prefix hash,
+see operators/dedup.py h64), so the DuckDB oracle replays each cell,
+bit position, and register bit-for-bit — including the sketch's own
+false positives / over-counts, which are a pure function of the hash.
+
+Scale shape (the whole point of a sketch):
+- CountMin: explode each token into ``depth`` (row, cell) updates and
+  let Catalyst's partial hash aggregate combine them map-side — the
+  shuffle carries at most depth*width rows PER TASK no matter how many
+  tokens a task saw. The merged sketch (depth*width rows, a few KB) is
+  then a broadcast dimension for estimation joins.
+- Bloom: the corpus pass is a distinct on a key space bounded by ``m``
+  (map-side combined, shuffle <= m rows per task); membership at query
+  time is a broadcast equi-join against the <= m set bit positions —
+  the corpus itself is never re-shuffled per batch.
+- HLL: one grouped max over (register) — 2^b groups, map-side
+  combined; merging two sketches is the same max, so the register
+  table IS the mergeable state a rollup tree would ship.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["seeded_h64", "count_min_sketch", "count_min_topk",
+           "bloom_positions", "bloom_filter_new",
+           "hll_registers"]
+
+
+def seeded_h64(tag: str, i: int, c: Column) -> Column:
+    """Hash row i of a sketch family: first 8 md5 hex chars of
+    ``'<tag><i>|' || c`` as a non-negative bigint in [0, 2^32) —
+    DuckDB twin ``('0x' || substr(md5('<tag><i>|' || s),1,8))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{tag}{i}|"),
+                                   c.cast("string"))), 1, 8),
+        16, 10).cast("long")
+
+
+def count_min_sketch(tokens: DataFrame, tok_col: str,
+                     depth: int = 4, width: int = 1024) -> DataFrame:
+    """CountMin sketch of a token stream: one row per non-empty cell,
+    columns (row, cell, cnt). Each input row contributes ``depth``
+    updates; the grouped SUM is partial+final, so a map task emits at
+    most depth*width rows into the shuffle regardless of its input
+    size — the sketch-merge dataflow, not a token-count shuffle."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"count_min_sketch: bad depth={depth} width={width}")
+    t = F.col(tok_col)
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 (seeded_h64("cm", i, t) % width).alias("cell"))
+        for i in range(depth)])
+    return (tokens.select(F.explode(cells).alias("u"))
+            .groupBy(F.col("u.row").alias("row"),
+                     F.col("u.cell").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def count_min_topk(tokens: DataFrame, tok_col: str, k: int,
+                   depth: int = 4, width: int = 1024) -> DataFrame:
+    """Heavy hitters by CountMin estimate: distinct tokens scored
+    est = min over rows of sketch[row][h_row(tok)], top ``k`` by
+    (est desc, token asc). The sketch side of the join is at most
+    depth*width rows — broadcast — so scoring is one scan of the
+    distinct-token side with no big-to-big shuffle. Estimates
+    over-count on collisions by construction; the oracle replays the
+    same collisions, so rows match exactly."""
+    sk = count_min_sketch(tokens, tok_col, depth, width)
+    t = F.col(tok_col)
+    probes = (tokens.select(t.alias("tok")).distinct()
+              .select("tok", F.explode(F.array(*[
+                  F.struct(F.lit(i).alias("row"),
+                           (seeded_h64("cm", i, F.col("tok")) % width)
+                           .alias("cell"))
+                  for i in range(depth)])).alias("u"))
+              .select("tok", "u.row", "u.cell"))
+    est = (probes.join(F.broadcast(sk), ["row", "cell"])
+           .groupBy("tok").agg(F.min("cnt").alias("est_cnt")))
+    return (est.orderBy(F.col("est_cnt").desc(), F.col("tok").asc())
+            .limit(k))
+
+
+def bloom_positions(keys: DataFrame, key_col: str,
+                    m: int = 65536, k: int = 4) -> DataFrame:
+    """The set bit positions of a Bloom filter over ``keys`` — one row
+    per distinct position (<= m rows total, a broadcastable dimension
+    regardless of corpus size). Positions: h_i(key) % m, i in [0, k)."""
+    if m < 2 or k < 1:
+        raise ValueError(f"bloom_positions: bad m={m} k={k}")
+    c = F.col(key_col)
+    pos = F.array(*[(seeded_h64("bf", i, c) % m) for i in range(k)])
+    return (keys.select(F.explode(pos).alias("pos")).distinct())
+
+
+def bloom_filter_new(corpus: DataFrame, batch: DataFrame, key_col: str,
+                     m: int = 65536, k: int = 4,
+                     positions: Optional[DataFrame] = None) -> DataFrame:
+    """Incremental dedup with bounded state: batch rows whose key is
+    DEFINITELY not in ``corpus`` (at least one of its k Bloom positions
+    unset). Rows where all k positions are set are dropped as probable
+    dups — the standard Bloom trade: no false negatives, deterministic
+    false positives that the oracle replays exactly.
+
+    vs incremental_exact_dedup (operators/dedup.py): that anti-join
+    shuffles O(corpus) hashes per batch; this shuffles the corpus ONCE
+    into <= m positions, then every batch is a broadcast join against
+    that fixed m-row set — the right trade when batches are frequent
+    and an FP rate of ~(1-e^{-kn/m})^k is acceptable."""
+    if positions is None:
+        positions = bloom_positions(corpus, key_col, m, k)
+    c = F.col(key_col)
+    probe = (batch.select(c.alias("_key")).distinct()
+             .select("_key", F.explode(F.array(
+                 *[(seeded_h64("bf", i, F.col("_key")) % m)
+                   for i in range(k)])).alias("pos"))
+             .distinct())
+    flagged = probe.join(
+        F.broadcast(positions.withColumn("_set", F.lit(1))), "pos", "left")
+    dup_keys = (flagged.groupBy("_key")
+                .agg(F.min(F.coalesce(F.col("_set"), F.lit(0)))
+                     .alias("_all_set"))
+                .where(F.col("_all_set") == 1)
+                .select(F.col("_key").alias(key_col)))
+    return batch.join(dup_keys, key_col, "left_anti")
+
+
+def hll_registers(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
+    """HyperLogLog register table: (register, rho) with
+    register = h(key) % 2^b and rho = position of the leftmost 1-bit in
+    the remaining 32-b hash bits (1-based; empty registers absent).
+    One grouped MAX over 2^b groups — map-side combined, and the
+    register table is the mergeable sketch state itself (union of two
+    corpora = same grouped MAX over both tables). rho is computed from
+    the minimal binary length of the residual value — integer-exact in
+    both engines (Spark ``bin``, DuckDB ``bin``) — so the oracle
+    matches register-for-register; the float cardinality estimate is
+    deliberately left to the consumer."""
+    if not 2 <= b <= 16:
+        raise ValueError(f"hll_registers: b must be in [2, 16], got {b}")
+    m = 1 << b
+    h = seeded_h64("hll", 0, F.col(key_col))
+    reg = (h % m).alias("register")
+    v = F.shiftright(h, b)  # residual (32-b)-bit value, exact
+    rho = F.when(v > 0, F.lit(32 - b + 1) - F.length(F.bin(v))) \
+           .otherwise(F.lit(32 - b + 1)).cast("int")
+    return (keys.select(reg, rho.alias("_rho"))
+            .groupBy("register").agg(F.max("_rho").alias("rho")))

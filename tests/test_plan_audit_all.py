@@ -53,8 +53,10 @@ ALLOWED_BROADCAST_CROSSES = {
     "random_projection": 1,  # (vec, dim) stream crossed with the
                              # BOUNDED out_dim axis (16 rows) — linear
                              # work per stream row, the k-centroid shape
-    "graph_stats": 2,        # three ONE-ROW count aggregates crossed
-                             # into the single profile row
+    "graph_stats": 0,        # its three ONE-ROW count-aggregate crosses
+                             # now execute eagerly inside the operator
+                             # (localCheckpoint releases the edge cache)
+                             # so the returned plan is a checkpoint scan
     "quality_filter": 2,     # unigram's one-row token total PLUS the
                              # one-row percentile threshold, both
                              # broadcast back onto the scored frame

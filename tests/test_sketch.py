@@ -1,0 +1,116 @@
+"""Sketch operators: CountMin over-count bound, Bloom no-false-negative
+guarantee, HLL register equivalence vs a pure-Python replay of the same
+md5 hashing."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from datafusion_geo_spark.operators.sketch import (
+    bloom_filter_new, bloom_positions, count_min_sketch, count_min_topk,
+    hll_registers, seeded_h64)
+
+
+def _h(tag, i, s):
+    return int(hashlib.md5(f"{tag}{i}|{s}".encode()).hexdigest()[:8], 16)
+
+
+def test_seeded_h64_matches_python(spark):
+    df = spark.createDataFrame([("alpha",), ("beta",), ("42",)], ["s"])
+    got = {r["s"]: r["h"] for r in
+           df.select("s", seeded_h64("cm", 3, F.col("s")).alias("h"))
+           .collect()}
+    for s, h in got.items():
+        assert h == _h("cm", 3, s)
+
+
+def test_count_min_never_undercounts(spark):
+    # skewed stream: 'hot' 50x, a long tail of 200 singletons in a
+    # width-64 sketch -> collisions guaranteed, est >= exact always
+    rows = [("hot",)] * 50 + [(f"w{i}",) for i in range(200)]
+    toks = spark.createDataFrame(rows, ["tok"])
+    exact = {r["tok"]: r["n"] for r in
+             toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r["tok"]: r["est_cnt"] for r in
+           count_min_topk(toks, "tok", 1000, depth=4, width=64).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    top = count_min_topk(toks, "tok", 1, depth=4, width=64).collect()[0]
+    assert top["tok"] == "hot" and top["est_cnt"] >= 50
+
+
+def test_count_min_sketch_is_bounded(spark):
+    rows = [(f"w{i % 37}",) for i in range(500)]
+    sk = count_min_sketch(spark.createDataFrame(rows, ["tok"]),
+                          "tok", depth=3, width=16).collect()
+    assert len(sk) <= 3 * 16
+    per_row = {}
+    for r in sk:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["cnt"]
+    assert all(v == 500 for v in per_row.values())  # mass preserved
+
+
+def test_bloom_no_false_negatives(spark):
+    corpus = spark.createDataFrame([(f"doc{i}",) for i in range(300)],
+                                   ["key"])
+    overlap = [(f"doc{i}",) for i in range(0, 300, 3)]
+    fresh = [(f"new{i}",) for i in range(100)]
+    batch = spark.createDataFrame(overlap + fresh, ["key"])
+    out = {r["key"] for r in
+           bloom_filter_new(corpus, batch, "key", m=8192, k=4).collect()}
+    # every corpus key must be dropped (no false negatives)
+    assert not any(k.startswith("doc") for k in out)
+    # survivors are a subset of the genuinely-new keys; with m=8192,
+    # n=300, k=4 the FP rate is ~1e-5 so nearly all 100 survive
+    assert out <= {k for (k,) in fresh}
+    assert len(out) >= 95
+
+
+def test_bloom_positions_bounded_and_deterministic(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], ["key"])
+    p1 = sorted(r["pos"] for r in
+                bloom_positions(keys, "key", m=256, k=4).collect())
+    p2 = sorted(r["pos"] for r in
+                bloom_positions(keys, "key", m=256, k=4).collect())
+    assert p1 == p2
+    assert len(p1) <= 256 and all(0 <= v < 256 for v in p1)
+
+
+def test_hll_registers_match_python_replay(spark):
+    keys = [f"u{i}" for i in range(1000)]
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    got = {r["register"]: r["rho"]
+           for r in hll_registers(df, "key", b=8).collect()}
+    want = {}
+    for s in keys:
+        h = _h("hll", 0, s)
+        reg, v = h % 256, h >> 8
+        rho = 25 - v.bit_length() if v > 0 else 25
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want
+
+
+def test_hll_registers_merge_is_max(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(200)], ["key"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(200)], ["key"])
+    both = a.unionByName(b)
+    direct = {r["register"]: r["rho"]
+              for r in hll_registers(both, "key", b=6).collect()}
+    ra = hll_registers(a, "key", b=6)
+    rb = hll_registers(b, "key", b=6)
+    merged = {r["register"]: r["rho"] for r in
+              ra.unionByName(rb).groupBy("register")
+              .agg(F.max("rho").alias("rho")).collect()}
+    assert direct == merged
+
+
+def test_sketch_guards():
+    import pyspark.sql.functions as _  # noqa: F401
+    from datafusion_geo_spark.operators import sketch
+    with pytest.raises(ValueError):
+        sketch.count_min_sketch(None, "t", depth=0)
+    with pytest.raises(ValueError):
+        sketch.bloom_positions(None, "k", m=1)
+    with pytest.raises(ValueError):
+        sketch.hll_registers(None, "k", b=1)
