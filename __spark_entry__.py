@@ -2957,6 +2957,16 @@ def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(ev, "key", b=8)
 
 
+def _q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL (streaming/sketch.py): the SAME hll_registers
+    operator run as a streaming groupBy-MAX — constant 2^b-row state
+    regardless of stream length (no watermark, no TTL: the sketch IS
+    the eviction policy). Bounded availableNow replay equals the batch
+    register table, so the oracle is shared with hll_registers."""
+    from datafusion_geo_spark.streaming.sketch import streaming_hll
+    return streaming_hll(spark, sf_dir, b=8)
+
+
 def _q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (passage-level) duplication audit, Lee et al.
     2022 style: 100-char windows at stride 50, hashed corpus-wide;
@@ -3311,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_topk": _q_count_min_topk,
         "bloom_new_docs": _q_bloom_new_docs,
         "hll_registers": _q_hll_registers,
+        "streaming_hll": _q_streaming_hll,
         # --- regression canaries: heaviest previously-green (3) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "knn_join": _q_knn_join,
@@ -6329,6 +6340,21 @@ def oracle_sql() -> dict[str, str]:
         # mirrors _q_hll_registers: identical hash, register split, and
         # minimal-binary-length rho
         "hll_registers": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(
+                       'hll0|' || CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+              SELECT hv % 256 AS register, hv // 256 AS v FROM h
+            )
+            SELECT register,
+                   MAX(CASE WHEN v > 0 THEN 25 - length(bin(v))
+                            ELSE 25 END)::INT AS rho
+            FROM r GROUP BY register
+        """,
+        # streaming twin: bounded replay == the same batch register table
+        "streaming_hll": """
             WITH h AS (
               SELECT ('0x' || substr(md5(
                        'hll0|' || CAST(user_id AS VARCHAR)), 1, 8))

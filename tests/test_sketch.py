@@ -114,3 +114,22 @@ def test_sketch_guards():
         sketch.bloom_positions(None, "k", m=1)
     with pytest.raises(ValueError):
         sketch.hll_registers(None, "k", b=1)
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path):
+    """The same hll_registers operator over a bounded stream replay must
+    produce the identical register table as the batch run — constant
+    2^b-row state, no watermark."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"key": [f"u{i % 137}" for i in range(1000)]})
+    src = str(tmp_path / "keys")
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(src)
+    batch = {r["register"]: r["rho"] for r in
+             hll_registers(spark.read.parquet(src), "key", b=6).collect()}
+    stream = (spark.readStream.schema("key string").parquet(src))
+    agg = hll_registers(stream, "key", b=6)
+    from datafusion_geo_spark.streaming.runner import run_bounded_complete
+    got = {r["register"]: r["rho"] for r in
+           run_bounded_complete(agg, "t_hll_").collect()}
+    assert got == batch
