@@ -2957,6 +2957,18 @@ def _q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(ev, "key", b=8)
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py bpe_train):
+    8 merge rounds over the documents word dict. ONE corpus-sized pass
+    (the word count); each round is a bigram shuffle over the
+    Zipf-bounded dict + a top-1 collect (the Lloyd-style bounded sync)
+    + a map-side re-tokenization fold. Ties break (count desc, pair
+    asc) so the merge table is engine-portable; the oracle replays all
+    8 rounds as an unrolled CTE chain with the same list_reduce fold."""
+    from datafusion_geo_spark.operators.bpe import bpe_train
+    return bpe_train(_docs(spark, sf_dir), "text", rounds=8)
+
+
 def _q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL (streaming/sketch.py): the SAME hll_registers
     operator run as a streaming groupBy-MAX — constant 2^b-row state
@@ -3322,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_new_docs": _q_bloom_new_docs,
         "hll_registers": _q_hll_registers,
         "streaming_hll": _q_streaming_hll,
+        "bpe_merges": _q_bpe_merges,
         # --- regression canaries: heaviest previously-green (3) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "knn_join": _q_knn_join,
@@ -3455,6 +3468,53 @@ _H64 = "('0x' || substr(md5({arg}), 1, 8))::BIGINT"
 
 # ONE definition (operators/text.py) so the oracle regex can never drift
 # from the operator's
+def _bpe_oracle(rounds: int = 8) -> str:
+    """Unrolled CTE replay of bpe_train (operators/bpe.py): round r
+    computes pair counts over dict state r, picks top-1 with the same
+    (count desc, pair asc) tie-break, and folds the merge into state
+    r+1 with the same greedy list_reduce the Spark side's F.aggregate
+    performs. chr(31) pair separator (ASCII-fixture assumption shared
+    with the repo's other string oracles)."""
+    sep = "chr(31)"
+    parts = [f"""vocab AS (
+          SELECT w, COUNT(*)::BIGINT AS n FROM (
+            SELECT unnest({_WORDS}) AS w FROM documents)
+          WHERE w <> '' GROUP BY w
+        ), r0 AS (SELECT n, string_split(w, '') AS toks FROM vocab)"""]
+    for r in range(rounds):
+        parts.append(f"""p{r} AS (
+          SELECT p, SUM(n)::BIGINT AS cnt FROM (
+            SELECT n, unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || {sep} || toks[i+1])) AS p
+            FROM r{r}) GROUP BY p
+        ), t{r} AS (
+          SELECT {r} AS merge_rank,
+                 string_split(p, {sep})[1] AS lt,
+                 string_split(p, {sep})[2] AS rt,
+                 string_split(p, {sep})[1]
+                   || string_split(p, {sep})[2] AS mg,
+                 cnt
+          FROM p{r} ORDER BY cnt DESC, p ASC LIMIT 1
+        )""")
+        if r < rounds - 1:
+            parts.append(f"""r{r + 1} AS (
+          SELECT n, list_reduce(
+            list_prepend([]::VARCHAR[],
+                         list_transform(r{r}.toks, v -> [v])),
+            (acc, v) -> CASE WHEN len(acc) > 0 AND acc[-1] = t{r}.lt
+                                  AND v[1] = t{r}.rt
+                             THEN list_append(array_pop_back(acc),
+                                              t{r}.mg)
+                             ELSE list_append(acc, v[1]) END) AS toks
+          FROM r{r}, t{r}
+        )""")
+    sel = "\n            UNION ALL ".join(
+        f"SELECT merge_rank, lt AS left_tok, rt AS right_tok, "
+        f"mg AS merged, cnt AS pair_count FROM t{r}"
+        for r in range(rounds))
+    return "WITH " + ",\n        ".join(parts) + "\n            " + sel
+
+
 def _pii_regexes() -> tuple[str, str]:
     """ONE definition (operators/text.py) so the oracle regex can never
     drift from the operator's. Imported lazily like every other package
@@ -6368,6 +6428,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 25 END)::INT AS rho
             FROM r GROUP BY register
         """,
+        "bpe_merges": _bpe_oracle(8),
         "tfidf_top_terms": _tfidf_oracle(),
         "passage_dedup": _passage_dedup_oracle(),
         "bm25_search": _bm25_oracle(),

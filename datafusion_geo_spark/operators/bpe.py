@@ -1,0 +1,121 @@
+"""Byte-Pair-Encoding merge training — distributed tokenizer training.
+
+Classic BPE (Sennrich et al. 2016) trains on the WORD-FREQUENCY
+DICTIONARY, not the raw corpus: the corpus collapses once into
+(distinct word, count) — a partial+final hash aggregate whose output is
+Zipf-bounded — and every merge round then works on that small dict.
+This is the right 100-TB shape: the only corpus-sized pass is the word
+count; each of the ``rounds`` iterations is (1) a bigram-count shuffle
+over the dict, (2) a top-1 collect (ONE row — the same bounded
+driver sync as a Lloyd centroid step), (3) a map-side re-tokenization
+fold. No step touches the raw corpus again.
+
+Everything is deterministic and engine-portable: ties on pair counts
+break lexicographically on the pair string, and the greedy
+left-to-right merge is an explicit fold (Spark ``F.aggregate`` with an
+array accumulator; the DuckDB oracle replays the same fold with
+``list_reduce``), so both engines produce identical merge tables.
+
+ASCII-fixture caveat (shared with the repo's other string oracles):
+the internal pair separator is chr(31); tokens containing that byte
+would mis-split. The documents fixture is printable ASCII.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import words_col
+
+SEP = "\x1f"
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-pair strings 'a<SEP>b'; zip_with pads the shorter slice
+    with null and concat null-propagates, so the trailing slot drops in
+    the caller's isNotNull filter."""
+    return F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(SEP), b))
+
+
+def merge_fold(toks: Column, left: str, right: str, merged: str) -> Column:
+    """Greedy left-to-right BPE merge of one pair: fold the token array
+    into an accumulator, replacing the accumulator tail when it is
+    ``left`` and the incoming token is ``right`` (a just-merged token
+    never re-matches ``left``, which is exactly BPE's greedy scan)."""
+    return F.aggregate(
+        toks,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, v: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (v == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))))
+        .otherwise(F.concat(acc, F.array(v))))
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              rounds: int = 8) -> DataFrame:
+    """Learn ``rounds`` BPE merges from a document corpus. Returns the
+    merge table (merge_rank int, left_tok, right_tok, merged string,
+    pair_count long) — the artifact a tokenizer ships.
+
+    Each round's dict state is eagerly localCheckpoint-ed: the top-1
+    collect forces the compute anyway, and checkpointing keeps the
+    fold expressions from nesting ``rounds`` deep in one Catalyst tree
+    while releasing the previous round's plan."""
+    if rounds < 1:
+        raise ValueError(f"bpe_train: rounds must be >= 1, got {rounds}")
+    spark = docs.sparkSession
+    vocab = (docs.select(F.explode(words_col(F.col(text_col))).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    cur = (vocab.select("n", F.split(F.col("w"), "").alias("toks"))
+           .localCheckpoint(eager=True))
+    merges: List[Tuple[int, str, str, str, int]] = []
+    for r in range(rounds):
+        pairs = (cur.select("n", F.explode(_bigrams(F.col("toks")))
+                            .alias("p"))
+                 .where(F.col("p").isNotNull())
+                 .groupBy("p").agg(F.sum("n").alias("cnt")))
+        top = (pairs.orderBy(F.col("cnt").desc(), F.col("p").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        p, cnt = top[0]["p"], top[0]["cnt"]
+        left, right = p.split(SEP)
+        merged = left + right
+        merges.append((r, left, right, merged, int(cnt)))
+        nxt = (cur.select("n", merge_fold(F.col("toks"), left, right,
+                                          merged).alias("toks"))
+               .localCheckpoint(eager=True))
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_tok string, right_tok string, "
+                "merged string, pair_count long")
+
+
+def bpe_apply(df: DataFrame, text_col: str,
+              merges: List[Tuple[str, str, str]],
+              out_col: str = "bpe_tokens") -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list (ordered
+    (left, right, merged) triples): char-split each word, then fold the
+    merges in rank order — pure map-side column expressions, no
+    shuffle, the standard 'apply the shipped tokenizer' pass."""
+    words = words_col(F.col(text_col))
+    def encode(word: Column) -> Column:
+        toks = F.split(word, "")
+        for left, right, merged in merges:
+            toks = merge_fold(toks, left, right, merged)
+        return toks
+    return df.withColumn(
+        out_col,
+        F.transform(F.filter(words, lambda w: w != ""), encode))
