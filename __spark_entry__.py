@@ -2969,6 +2969,24 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), "text", rounds=8)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (operators/bpe.py bpe_apply): train 8 merges
+    corpus-wide, collect the 8-row merge table (bounded), then encode
+    docs with doc_id < 200 as pure map-side fold expressions — the
+    'apply the shipped tokenizer' pass, no shuffle beyond training.
+    COALESCE keeps empty-text docs as ('', 0) in both engines."""
+    from datafusion_geo_spark.operators.bpe import bpe_apply, bpe_train
+    docs = _docs(spark, sf_dir)
+    triples = [(r["left_tok"], r["right_tok"], r["merged"])
+               for r in bpe_train(docs, "text", rounds=8)
+               .orderBy("merge_rank").collect()]
+    enc = bpe_apply(docs.where(F.col("doc_id") < 200), "text", triples)
+    flat = F.flatten(F.col("bpe_tokens"))
+    return enc.select("doc_id",
+                      F.array_join(flat, " ").alias("toks_str"),
+                      F.size(flat).alias("n_tokens"))
+
+
 def _q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL (streaming/sketch.py): the SAME hll_registers
     operator run as a streaming groupBy-MAX — constant 2^b-row state
@@ -3335,8 +3353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": _q_hll_registers,
         "streaming_hll": _q_streaming_hll,
         "bpe_merges": _q_bpe_merges,
-        # --- regression canaries: heaviest previously-green (3) ---
+        # --- regression canary: heaviest previously-green (1) ---
         "grid_spatial_join": _q_grid_spatial_join,
+        # --- pos 51+: next round's rotation leads with these ---
+        "bpe_encode": _q_bpe_encode,
         "knn_join": _q_knn_join,
         "minhash_pairs": _q_minhash_pairs,
         # --- driver-green in earlier rounds (pos 51+) ---
@@ -3468,19 +3488,22 @@ _H64 = "('0x' || substr(md5({arg}), 1, 8))::BIGINT"
 
 # ONE definition (operators/text.py) so the oracle regex can never drift
 # from the operator's
-def _bpe_oracle(rounds: int = 8) -> str:
-    """Unrolled CTE replay of bpe_train (operators/bpe.py): round r
-    computes pair counts over dict state r, picks top-1 with the same
-    (count desc, pair asc) tie-break, and folds the merge into state
-    r+1 with the same greedy list_reduce the Spark side's F.aggregate
-    performs. chr(31) pair separator (ASCII-fixture assumption shared
-    with the repo's other string oracles)."""
+def _bpe_chain(rounds: int, thru: bool = False) -> str:
+    """Shared CTE chain replaying bpe_train (operators/bpe.py): round r
+    computes pair counts over dict state r{r}, picks top-1 with the
+    same (count desc, pair asc) tie-break, and folds the merge into
+    r{r+1} with the same greedy list_reduce the Spark side's
+    F.aggregate performs. chr(31) pair separator (ASCII-fixture
+    assumption shared with the repo's other string oracles). With
+    ``thru`` the chain extends to the post-round state r{rounds}
+    (needed by the encode oracle); dict state carries the word ``w``
+    so encode can join back."""
     sep = "chr(31)"
     parts = [f"""vocab AS (
           SELECT w, COUNT(*)::BIGINT AS n FROM (
             SELECT unnest({_WORDS}) AS w FROM documents)
           WHERE w <> '' GROUP BY w
-        ), r0 AS (SELECT n, string_split(w, '') AS toks FROM vocab)"""]
+        ), r0 AS (SELECT w, n, string_split(w, '') AS toks FROM vocab)"""]
     for r in range(rounds):
         parts.append(f"""p{r} AS (
           SELECT p, SUM(n)::BIGINT AS cnt FROM (
@@ -3496,9 +3519,9 @@ def _bpe_oracle(rounds: int = 8) -> str:
                  cnt
           FROM p{r} ORDER BY cnt DESC, p ASC LIMIT 1
         )""")
-        if r < rounds - 1:
+        if thru or r < rounds - 1:
             parts.append(f"""r{r + 1} AS (
-          SELECT n, list_reduce(
+          SELECT w, n, list_reduce(
             list_prepend([]::VARCHAR[],
                          list_transform(r{r}.toks, v -> [v])),
             (acc, v) -> CASE WHEN len(acc) > 0 AND acc[-1] = t{r}.lt
@@ -3508,11 +3531,45 @@ def _bpe_oracle(rounds: int = 8) -> str:
                              ELSE list_append(acc, v[1]) END) AS toks
           FROM r{r}, t{r}
         )""")
+    return ",\n        ".join(parts)
+
+
+def _bpe_oracle(rounds: int = 8) -> str:
+    """The merge table: one row per round from the chain's t{r} CTEs."""
     sel = "\n            UNION ALL ".join(
         f"SELECT merge_rank, lt AS left_tok, rt AS right_tok, "
         f"mg AS merged, cnt AS pair_count FROM t{r}"
         for r in range(rounds))
-    return "WITH " + ",\n        ".join(parts) + "\n            " + sel
+    return "WITH " + _bpe_chain(rounds) + "\n            " + sel
+
+
+def _bpe_encode_oracle(rounds: int = 8, max_doc: int = 200) -> str:
+    """Encode replay: every doc_id < max_doc word joins the post-round
+    dict state r{rounds} (training folds a word exactly as bpe_apply's
+    rank-ordered folds do), token strings concatenated in word order.
+    LEFT JOIN from the doc list keeps empty-text docs as ('', 0)."""
+    return f"""
+            WITH {_bpe_chain(rounds, thru=True)},
+            enc AS (
+              SELECT doc_id, i AS pos, w[i::INT] AS word
+              FROM (SELECT doc_id, {_WORDS} AS w FROM documents
+                    WHERE doc_id < {max_doc}) d,
+                   unnest(range(1, len(w) + 1)) AS t(i)
+              WHERE w[i::INT] <> ''
+            ), perdoc AS (
+              SELECT e.doc_id,
+                     string_agg(list_aggregate(s.toks, 'string_agg', ' '),
+                                ' ' ORDER BY e.pos) AS toks_str,
+                     SUM(len(s.toks))::INT AS n_tokens
+              FROM enc e JOIN r{rounds} s ON s.w = e.word
+              GROUP BY e.doc_id
+            )
+            SELECT d.doc_id, COALESCE(p.toks_str, '') AS toks_str,
+                   COALESCE(p.n_tokens, 0) AS n_tokens
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id < {max_doc}) d
+            LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        """
 
 
 def _pii_regexes() -> tuple[str, str]:
@@ -6429,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY register
         """,
         "bpe_merges": _bpe_oracle(8),
+        "bpe_encode": _bpe_encode_oracle(8, 200),
         "tfidf_top_terms": _tfidf_oracle(),
         "passage_dedup": _passage_dedup_oracle(),
         "bm25_search": _bm25_oracle(),
