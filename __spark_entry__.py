@@ -2824,6 +2824,25 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
 
 
+def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ evaluation twin of ann_recall: per-query recall of the
+    ADC-scored pq_topk against brute-force cosine ground truth — the
+    report that justifies PQ's 32x memory cut. Same semi-join + two
+    tiny aggregates, same scaled-integer recall rounding, oracle
+    composes both sides' own SQL replays."""
+    from datafusion_geo_spark.operators.text import _ratio6
+    bf = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = _q_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    n_true = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    joined = (n_true.join(n_hit, "query_id", "left")
+              .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0))))
+    return joined.select(
+        "query_id", "n_true", "n_hit",
+        _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
+
+
 def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental hypertable-style rollup (operators.rollup): events
     applied as TWO hour-sliced batches through dynamic-partition-
@@ -3357,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_spatial_join": _q_grid_spatial_join,
         # --- pos 51+: next round's rotation leads with these ---
         "bpe_encode": _q_bpe_encode,
+        "pq_recall": _q_pq_recall,
         "knn_join": _q_knn_join,
         "minhash_pairs": _q_minhash_pairs,
         # --- driver-green in earlier rounds (pos 51+) ---
@@ -5941,6 +5961,20 @@ def oracle_sql() -> dict[str, str]:
                         FROM ({_COSINE_TOPK_SQL})),
             ann AS (SELECT query_id, neighbor_id
                     FROM ({_ivf_trained_oracle()})),
+            hits AS (SELECT bf.query_id FROM bf
+                     JOIN ann USING (query_id, neighbor_id)),
+            t AS (SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1),
+            h AS (SELECT query_id, COUNT(*) AS n_hit FROM hits GROUP BY 1)
+            SELECT t.query_id, t.n_true, COALESCE(h.n_hit, 0) AS n_hit,
+                   ((2000000*COALESCE(h.n_hit, 0) + t.n_true)
+                    // (2*t.n_true)) / 1000000.0 AS recall
+            FROM t LEFT JOIN h ON t.query_id = h.query_id
+        """,
+        "pq_recall": f"""
+            WITH bf AS (SELECT query_id, neighbor_id
+                        FROM ({_COSINE_TOPK_SQL})),
+            ann AS (SELECT query_id, neighbor_id
+                    FROM ({_pq_oracle()})),
             hits AS (SELECT bf.query_id FROM bf
                      JOIN ann USING (query_id, neighbor_id)),
             t AS (SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1),
