@@ -82,3 +82,30 @@ def test_bpe_guards(spark):
     # fewer pairs than rounds: stops early without error
     got = bpe_train(docs, "text", rounds=3).collect()
     assert got == []
+
+
+def test_merge_fold_property(spark):
+    """F.aggregate greedy fold == the pure-Python greedy scan for
+    random token sequences over a tiny alphabet (adversarial for
+    overlapping pairs like (a,a) on 'a a a')."""
+    import itertools
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.bpe import merge_fold
+
+    alpha = ["a", "b"]
+    seqs = [list(t) for n in range(0, 6)
+            for t in itertools.product(alpha, repeat=n)]
+    df = spark.createDataFrame([(s,) for s in seqs], "toks: array<string>")
+    for left, right in (("a", "a"), ("a", "b"), ("b", "a")):
+        merged = left + right
+        got = [r["m"] for r in
+               df.select(merge_fold(F.col("toks"), left, right, merged)
+                         .alias("m")).collect()]
+        for s, g in zip(seqs, got):
+            out = []
+            for v in s:
+                if out and out[-1] == left and v == right:
+                    out[-1] = merged
+                else:
+                    out.append(v)
+            assert g == out, (s, left, right, g, out)
