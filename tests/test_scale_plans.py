@@ -216,3 +216,41 @@ def test_sphere_paths_window_parallelism_scales(spark):
     for ln in big:
         assert "_f#" in ln or "_l#" in ln, \
             f"segment-only window over raw rows (5-task sort): {ln}"
+
+
+def test_count_min_sketch_is_partial_final(spark):
+    """The sketch build must be a partial+final hash aggregate on
+    (row, cell) — the map-side combine is what bounds the shuffle at
+    depth*width rows per task."""
+    from datafusion_geo_spark.operators.sketch import count_min_sketch
+    toks = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                    .alias("tok")))
+    plan = plan_of(count_min_sketch(toks, "tok", depth=4, width=1024))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_membership_is_broadcast_join(spark):
+    """Batch membership must probe the bounded positions table via a
+    broadcast join — never shuffle the corpus per batch."""
+    from datafusion_geo_spark.operators.sketch import bloom_filter_new
+    d = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .select("doc_id", F.md5(F.col("text")).alias("key")))
+    corpus = d.where(F.col("doc_id") % 3 != 0)
+    batch = d.where(F.col("doc_id") % 3 == 0)
+    plan = plan_of(bloom_filter_new(corpus, batch, "key", m=65536, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_partial_final_max(spark):
+    """The register MAX must combine map-side (2^b groups)."""
+    from datafusion_geo_spark.operators.sketch import hll_registers
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .where(F.col("user_id").isNotNull())
+          .select(F.col("user_id").cast("string").alias("key")))
+    plan = plan_of(hll_registers(ev, "key", b=8))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan  # one shuffle, on the register key
