@@ -2843,6 +2843,23 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version snapshot diff (operators/dedup.py corpus_diff):
+    old = docs with doc_id % 11 != 0; new = docs with doc_id % 13 != 0,
+    where doc_id % 7 == 0 texts carry a simulated edit. Both sides
+    collapse to (id, h64(text)) before a full-outer join on the id —
+    the audit shuffles two narrow hash columns, never the text."""
+    from datafusion_geo_spark.operators.dedup import corpus_diff
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = (docs.where(F.col("doc_id") % 13 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"), F.lit(" [v2]")))
+                       .otherwise(F.col("text"))))
+    return corpus_diff(old, new)
+
+
 def _q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental hypertable-style rollup (operators.rollup): events
     applied as TWO hour-sliced batches through dynamic-partition-
@@ -3377,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- pos 51+: next round's rotation leads with these ---
         "bpe_encode": _q_bpe_encode,
         "pq_recall": _q_pq_recall,
+        "corpus_diff": _q_corpus_diff,
         "knn_join": _q_knn_join,
         "minhash_pairs": _q_minhash_pairs,
         # --- driver-green in earlier rounds (pos 51+) ---
@@ -6520,6 +6538,26 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY register
         """,
         "bpe_merges": _bpe_oracle(8),
+        # mirrors _q_corpus_diff: same h64 content hash, same edit sim
+        "corpus_diff": f"""
+            WITH old AS (
+              SELECT doc_id,
+                     {_H64.format(arg="text")} AS ho
+              FROM documents WHERE doc_id % 11 <> 0
+            ), new AS (
+              SELECT doc_id,
+                     {_H64.format(arg=
+                       "CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' "
+                       "ELSE text END")} AS hn
+              FROM documents WHERE doc_id % 13 <> 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN ho = hn THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
         "bpe_encode": _bpe_encode_oracle(8, 200),
         "tfidf_top_terms": _tfidf_oracle(),
         "passage_dedup": _passage_dedup_oracle(),

@@ -549,6 +549,29 @@ def incremental_exact_dedup(new_batch: DataFrame, seen: DataFrame,
                  .drop("_rn", "_h"))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per doc_id
+    with status 'added' / 'removed' / 'changed' / 'unchanged' — the
+    audit a dataset-versioning pipeline publishes before promoting a
+    new training snapshot (how much churn did this crawl introduce?).
+
+    Scale shape: both sides collapse to (id, content hash) first —
+    the full-outer join then shuffles two narrow hash columns on the
+    id, never the text; co-located/bucketed snapshots join with no
+    shuffle at all. Content equality is the repo-wide md5-prefix hash
+    (h64), so the oracle replays the status column exactly."""
+    oh = old.select(F.col(id_col), h64(F.col(text_col)).alias("_ho"))
+    nh = new.select(F.col(id_col), h64(F.col(text_col)).alias("_hn"))
+    j = oh.join(nh, id_col, "full_outer")
+    status = (F.when(F.col("_ho").isNull(), F.lit("added"))
+              .when(F.col("_hn").isNull(), F.lit("removed"))
+              .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias("status"))
+
+
 def minhash_eval(corpus: DataFrame, threshold: float = 0.5,
                  text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:

@@ -327,3 +327,14 @@ def test_word_shingles_n1_null_contract(spark):
         "doc_id", word_shingles(F.col("text"), 1).alias("s")).collect()}
     assert out[0] == []          # NULL text -> empty, not NULL
     assert out[2] == ["a", "b"]
+
+
+def test_corpus_diff_statuses(spark):
+    from datafusion_geo_spark.operators.dedup import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
