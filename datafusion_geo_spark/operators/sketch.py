@@ -55,6 +55,7 @@ def count_min_sketch(tokens: DataFrame, tok_col: str,
     if depth < 1 or width < 2:
         raise ValueError(f"count_min_sketch: bad depth={depth} width={width}")
     t = F.col(tok_col)
+    tokens = tokens.where(t.isNotNull())  # null tokens carry no mass
     cells = F.array(*[
         F.struct(F.lit(i).alias("row"),
                  (seeded_h64("cm", i, t) % width).alias("cell"))
@@ -76,7 +77,7 @@ def count_min_topk(tokens: DataFrame, tok_col: str, k: int,
     same collisions, so rows match exactly."""
     sk = count_min_sketch(tokens, tok_col, depth, width)
     t = F.col(tok_col)
-    probes = (tokens.select(t.alias("tok")).distinct()
+    probes = (tokens.where(t.isNotNull()).select(t.alias("tok")).distinct()
               .select("tok", F.explode(F.array(*[
                   F.struct(F.lit(i).alias("row"),
                            (seeded_h64("cm", i, F.col("tok")) % width)
@@ -98,7 +99,8 @@ def bloom_positions(keys: DataFrame, key_col: str,
         raise ValueError(f"bloom_positions: bad m={m} k={k}")
     c = F.col(key_col)
     pos = F.array(*[(seeded_h64("bf", i, c) % m) for i in range(k)])
-    return (keys.select(F.explode(pos).alias("pos")).distinct())
+    return (keys.where(c.isNotNull())
+            .select(F.explode(pos).alias("pos")).distinct())
 
 
 def bloom_filter_new(corpus: DataFrame, batch: DataFrame, key_col: str,
@@ -118,7 +120,8 @@ def bloom_filter_new(corpus: DataFrame, batch: DataFrame, key_col: str,
     if positions is None:
         positions = bloom_positions(corpus, key_col, m, k)
     c = F.col(key_col)
-    probe = (batch.select(c.alias("_key")).distinct()
+    probe = (batch.where(c.isNotNull())
+             .select(c.alias("_key")).distinct()
              .select("_key", F.explode(F.array(
                  *[(seeded_h64("bf", i, F.col("_key")) % m)
                    for i in range(k)])).alias("pos"))
@@ -147,6 +150,7 @@ def hll_registers(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
     if not 2 <= b <= 16:
         raise ValueError(f"hll_registers: b must be in [2, 16], got {b}")
     m = 1 << b
+    keys = keys.where(F.col(key_col).isNotNull())  # null keys: no mass
     h = seeded_h64("hll", 0, F.col(key_col))
     reg = (h % m).alias("register")
     v = F.shiftright(h, b)  # residual (32-b)-bit value, exact

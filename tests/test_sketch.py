@@ -133,3 +133,20 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
     got = {r["register"]: r["rho"] for r in
            run_bounded_complete(agg, "t_hll_").collect()}
     assert got == batch
+
+
+def test_null_keys_carry_no_mass(spark):
+    """NULL tokens/keys must not contribute cells, positions, or
+    registers (null-in -> dropped, the repo-wide null discipline)."""
+    toks = spark.createDataFrame([("a",), (None,), ("a",)], ["tok"])
+    sk = count_min_sketch(toks, "tok", depth=2, width=8).collect()
+    assert all(r["cnt"] == 2 for r in sk)  # only the two 'a' updates
+    est = count_min_topk(toks, "tok", 10, depth=2, width=8).collect()
+    assert [r["tok"] for r in est] == ["a"]
+    keys = spark.createDataFrame([("k",), (None,)], ["key"])
+    assert bloom_positions(keys, "key", m=64, k=2).count() <= 2
+    regs = hll_registers(keys, "key", b=4).collect()
+    assert len(regs) == 1 and regs[0]["register"] is not None
+    out = bloom_filter_new(keys, keys, "key", m=64, k=2).collect()
+    # the null-key batch row passes through untouched (never a dup)
+    assert {r["key"] for r in out} == {None}
