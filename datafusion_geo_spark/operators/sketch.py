@@ -67,17 +67,30 @@ def count_min_sketch(tokens: DataFrame, tok_col: str,
 
 
 def count_min_topk(tokens: DataFrame, tok_col: str, k: int,
-                   depth: int = 4, width: int = 1024) -> DataFrame:
-    """Heavy hitters by CountMin estimate: distinct tokens scored
+                   depth: int = 4, width: int = 1024,
+                   candidates: Optional[DataFrame] = None) -> DataFrame:
+    """Heavy hitters by CountMin estimate: candidate tokens scored
     est = min over rows of sketch[row][h_row(tok)], top ``k`` by
     (est desc, token asc). The sketch side of the join is at most
     depth*width rows — broadcast — so scoring is one scan of the
-    distinct-token side with no big-to-big shuffle. Estimates
-    over-count on collisions by construction; the oracle replays the
-    same collisions, so rows match exactly."""
+    candidate side with no big-to-big shuffle. Estimates over-count on
+    collisions by construction; the oracle replays the same
+    collisions, so rows match exactly.
+
+    ``candidates`` defaults to the stream's distinct tokens — correct
+    but a corpus-sized distinct at 100 TB; production callers pass a
+    bounded candidate frame (per-partition local tops, a watchlist, a
+    prior round's hitters) and the whole query then touches the raw
+    stream only through the bounded-shuffle sketch build."""
     sk = count_min_sketch(tokens, tok_col, depth, width)
     t = F.col(tok_col)
-    probes = (tokens.where(t.isNotNull()).select(t.alias("tok")).distinct()
+    if candidates is None:
+        candidates = tokens.where(t.isNotNull()).select(t.alias("tok")) \
+                           .distinct()
+    else:
+        candidates = (candidates.where(F.col(tok_col).isNotNull())
+                      .select(F.col(tok_col).alias("tok")).distinct())
+    probes = (candidates
               .select("tok", F.explode(F.array(*[
                   F.struct(F.lit(i).alias("row"),
                            (seeded_h64("cm", i, F.col("tok")) % width)

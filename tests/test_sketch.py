@@ -150,3 +150,19 @@ def test_null_keys_carry_no_mass(spark):
     out = bloom_filter_new(keys, keys, "key", m=64, k=2).collect()
     # the null-key batch row passes through untouched (never a dup)
     assert {r["key"] for r in out} == {None}
+
+
+def test_count_min_topk_candidate_set(spark):
+    """A bounded candidate frame restricts scoring without touching the
+    sketch — the production scale path."""
+    rows = [("hot",)] * 30 + [(f"w{i}",) for i in range(50)]
+    toks = spark.createDataFrame(rows, ["tok"])
+    cands = spark.createDataFrame([("hot",), ("w1",), ("absent",)], ["tok"])
+    got = {r["tok"]: r["est_cnt"] for r in
+           count_min_topk(toks, "tok", 10, depth=4, width=256,
+                          candidates=cands).collect()}
+    # 'absent' has no sketch mass only if its cells are empty; with
+    # width=256 and 51 distinct tokens collisions are possible, so just
+    # pin the two real candidates and that no other token appears
+    assert set(got) <= {"hot", "w1", "absent"}
+    assert got["hot"] >= 30 and got["w1"] >= 1
