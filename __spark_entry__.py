@@ -221,6 +221,28 @@ def _q_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_setsrid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SetSRID writer paired with #17 ST_SRID / #4 ST_AsEWKT readers:
+    stamp a fresh SRID, overwrite the constructor's, and clear with 0 —
+    the EWKB-header rewrite discipline (geo/dialect.py) over lineitem
+    points."""
+    from datafusion_geo_spark.functions import (st_asewkt, st_geomfromtext,
+                                                st_setsrid, st_srid)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    wkt = F.concat(F.lit("POINT("), (F.col("l_orderkey") % 1000).cast("string"),
+                   F.lit(" "), (F.col("l_partkey") % 1000).cast("string"),
+                   F.lit(")"))
+    df = _spread(li.select("l_orderkey", "l_linenumber", "l_partkey"))
+    g = F.when(F.col("l_orderkey") % 7 != 0, st_geomfromtext(wkt))
+    g4269 = F.when(F.col("l_orderkey") % 7 != 0, st_geomfromtext(wkt, 4269))
+    return df.select(
+        "l_orderkey", "l_linenumber",
+        st_srid(st_setsrid(g, 4326)).alias("stamped"),
+        st_asewkt(st_setsrid(g4269, 3857)).alias("restamped"),
+        st_srid(st_setsrid(g4269, 0)).alias("cleared"))
+
+
 def _q_srid_ewkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#17 ST_SRID + #4 ST_AsEWKT with an SRID-stamped constructor
     (srid round-trip as in /root/reference/src/function/srid.rs:87-106)."""
@@ -3395,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "pq_recall": _q_pq_recall,
         "corpus_diff": _q_corpus_diff,
+        "setsrid_roundtrip": _q_setsrid_roundtrip,
         "knn_join": _q_knn_join,
         "minhash_pairs": _q_minhash_pairs,
         # --- driver-green in earlier rounds (pos 51+) ---
@@ -4181,6 +4204,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(4269 AS INTEGER) END AS srid,
                    CASE WHEN l_orderkey % 7 = 0 THEN NULL
                         ELSE 'SRID=4269;' || {_POINT_WKT} END AS ewkt
+            FROM lineitem
+        """,
+        "setsrid_roundtrip": f"""
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(4326 AS INTEGER) END AS stamped,
+                   CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                        ELSE 'SRID=3857;' || {_POINT_WKT} END AS restamped,
+                   CAST(NULL AS INTEGER) AS cleared
             FROM lineitem
         """,
         "geojson_points": """

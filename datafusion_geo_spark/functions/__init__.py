@@ -133,6 +133,7 @@ _geom_from_text2 = _u2(kernels.geom_from_text, BinaryType())
 _geom_from_geojson = _u1(kernels.geom_from_geojson, BinaryType())
 _geom_from_wkb1 = _u1(kernels.geom_from_wkb, BinaryType())
 _geom_from_wkb2 = _u2(kernels.geom_from_wkb, BinaryType())
+_set_srid = _u2(kernels.set_srid, BinaryType())
 _geom_from_wkb_dialect = _u2(kernels.geom_from_wkb_dialect, BinaryType())
 _geom_from_wkb_dialect_srid = _u3(kernels.geom_from_wkb_dialect, BinaryType())
 _make_envelope4 = _u4(kernels.make_envelope, BinaryType())
@@ -285,6 +286,13 @@ def st_split(g: GeomLike, blade: GeomLike) -> Column:
 def st_srid(g: GeomLike) -> Column:
     """#17 ST_SRID (/root/reference/src/function/srid.rs:11-72)."""
     return _srid(_geom(g))
+
+
+def st_setsrid(g: GeomLike, srid) -> Column:
+    """ST_SetSRID (PostGIS pair of #17 ST_SRID): stamp or clear the
+    EWKB SRID header; NULL/<=0 clears (see kernels.set_srid)."""
+    return _set_srid(_geom(g), srid if isinstance(srid, Column)
+                     else F.lit(srid))
 
 
 def st_asmvtgeom(g: GeomLike, xmin, ymin, xmax, ymax) -> Column:
@@ -1281,6 +1289,7 @@ _SQL_UDFS = {
     "ST_Boundary": _boundary_udf,
     "ST_Split": _split,
     "ST_SRID": _srid,
+    "ST_SetSRID": _set_srid,
     "ST_AsMVTGeom": _as_mvt_geom,
     "ST_Point": _point,
     "ST_NPoints": _npoints,

@@ -494,6 +494,28 @@ def srid(s: pd.Series) -> pd.Series:
                         for v in s.tolist()])
 
 
+def set_srid(s: pd.Series, srid_s: pd.Series) -> pd.Series:
+    """ST_SetSRID: (re)stamp the EWKB header SRID per row — the writer
+    twin of ST_SRID (/root/reference/src/function/srid.rs:46-67 reads
+    the header; this rewrites it). PostGIS uses SRID 0 for "unknown";
+    this engine's unknown is an absent EWKB flag, so srid NULL or <= 0
+    clears the header (ST_SRID then returns NULL, the same contract the
+    reference's header-less WKB produces)."""
+    cache = _DecodeCache()
+    out = []
+    for v, r in zip(s.tolist(), srid_s.tolist()):
+        if v is None:
+            out.append(None)
+            continue
+        sr = None
+        if r is not None and not (isinstance(r, float) and np.isnan(r)):
+            sr = int(r)
+            if sr <= 0:
+                sr = None
+        out.append(to_wkb(cache.geom(bytes(v)).with_srid(sr)))
+    return _obj_series(out)
+
+
 def area(s: pd.Series) -> pd.Series:
     """Planar area (PostGIS ST_Area; engine utility beyond the reference
     surface — shells minus holes, 0 for points/lines)."""

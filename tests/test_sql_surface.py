@@ -192,3 +192,25 @@ def test_disjoint_and_fixture_views_sql_only(spark):
     assert row["n_dis"] + row["n_hit"] == row["n"] and row["n"] > 0
     assert spark.sql("SELECT ST_Disjoint(ST_GeomFromText('POINT(0 0)'), "
                      "ST_GeomFromText('POINT(0 0)'))").collect()[0][0] is False
+
+
+def test_setsrid_roundtrip_sql(spark):
+    from datafusion_geo_spark.functions import register_all
+    register_all(spark)
+    rows = spark.sql("""
+        SELECT ST_SRID(ST_SetSRID(ST_GeomFromText('POINT(1 2)'), 4326))
+                 AS stamped,
+               ST_AsEWKT(ST_SetSRID(ST_GeomFromText('POINT(1 2)'), 3857))
+                 AS ewkt,
+               ST_SRID(ST_SetSRID(
+                   ST_GeomFromText('POINT(1 2)', 4269), 0)) AS cleared,
+               ST_SRID(ST_SetSRID(
+                   ST_GeomFromText('POINT(1 2)', 4269), CAST(NULL AS INT)))
+                 AS nulled,
+               ST_SetSRID(CAST(NULL AS BINARY), 4326) AS null_geom
+    """).collect()[0]
+    assert rows["stamped"] == 4326
+    assert rows["ewkt"] == "SRID=3857;POINT(1 2)"
+    assert rows["cleared"] is None
+    assert rows["nulled"] is None
+    assert rows["null_geom"] is None
