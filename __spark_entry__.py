@@ -2669,7 +2669,8 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_pq_oracle)."""
     from datafusion_geo_spark.operators.similarity import pq_search
     from datafusion_geo_spark.sources.fixtures import embeddings_normed
-    return pq_search(embeddings_normed(spark, sf_dir))
+    return pq_search(embeddings_normed(spark, sf_dir),
+                     cache_key=(sf_dir, "pq"))
 
 
 def _q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -709,9 +709,30 @@ def pq_encode(vecs: DataFrame, codebooks: list, m: int, d: int,
                     .alias("codes")))
 
 
+#: process-level memo of trained PQ codebooks, same contract as
+#: _CENTROID_CACHE: a codebook is m*ksub*(dim/m) floats (tiny) while
+#: training costs iters corpus passes; pq_topk + pq_recall in one
+#: session then share ONE fit (deterministic, so a hit is bit-identical
+#: to a refit).
+_PQ_CACHE: dict = {}
+
+
+def pq_train_cached(vecs: DataFrame, m: int = 8, ksub: int = 16,
+                    iters: int = 2, id_col: str = "vec_id",
+                    cache_key=None) -> list:
+    """:func:`pq_train` with a process-level memo; ``cache_key`` must
+    identify the corpus, None disables caching."""
+    if cache_key is None:
+        return pq_train(vecs, m, ksub, iters, id_col)
+    key = (cache_key, m, ksub, iters, id_col)
+    if key not in _PQ_CACHE:
+        _PQ_CACHE[key] = pq_train(vecs, m, ksub, iters, id_col)
+    return _PQ_CACHE[key]
+
+
 def pq_search(vecs: DataFrame, m: int = 8, ksub: int = 16,
               iters: int = 2, max_query_id: int = 8, k: int = 10,
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id", cache_key=None) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k by inner product: the dot
     product decomposes exactly over subspaces, so score(q, x) ~
     sum_s dot(q_s, codebook[s][code_s(x)]). Per query the m*ksub
@@ -722,7 +743,8 @@ def pq_search(vecs: DataFrame, m: int = 8, ksub: int = 16,
     independent. Returns (query_id, neighbor_id, score_micro, rank)."""
     dim = len(vecs.select("v").first()["v"])
     d = dim // m
-    cb = pq_train(vecs, m, ksub, iters, id_col)
+    cb = pq_train_cached(vecs, m, ksub, iters, id_col,
+                         cache_key=cache_key)
     codes = pq_encode(vecs, cb, m, d, id_col)
     spark = vecs.sparkSession
     cdf = spark.createDataFrame(cb, "s int, cid int, cvec array<double>")
