@@ -3092,6 +3092,23 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_MIX = {"en": 0.5, "de": 1.0, "es": 0.25, "fr": 0.1}  # zh → default 0
 
 
+def _q_alpha_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R/mT5-style alpha-(temperature) domain resampling
+    (operators/sampling.py alpha_factors + resample_by_factor):
+    p_lang ∝ n^0.5 with corpus size preserved, so rare languages
+    up-sample (factor > 1 replicates rows with a deterministic
+    md5-coin) and common ones down-sample. Everything after the
+    IEEE-exact sqrt is integer math (micro-int factor BEFORE the
+    cross-domain sum), so the oracle replays every copy exactly.
+    Output: one row per emitted copy (doc_id, lang, copy_id)."""
+    from datafusion_geo_spark.operators.sampling import (alpha_factors,
+                                                         resample_by_factor)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    fac = alpha_factors(docs, "lang", 0.5)
+    return (resample_by_factor(docs, fac, "lang", "doc_id", seed="as1")
+            .select("doc_id", "lang", "copy_id"))
+
+
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain deterministic weighted sampling (operators.sampling.
     weighted_sample): keep 50% of en, all of de, 25% of es, 10% of fr,
@@ -3419,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": _q_pq_recall,
         "corpus_diff": _q_corpus_diff,
         "setsrid_roundtrip": _q_setsrid_roundtrip,
+        "alpha_resample": _q_alpha_resample,
         "knn_join": _q_knn_join,
         "minhash_pairs": _q_minhash_pairs,
         # --- driver-green in earlier rounds (pos 51+) ---
@@ -6571,6 +6589,32 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY register
         """,
         "bpe_merges": _bpe_oracle(8),
+        # mirrors _q_alpha_resample: sqrt is IEEE-exact, everything
+        # after is integer math, coin = md5('as1|'||doc_id) % 1e6
+        "alpha_resample": """
+            WITH c AS (
+              SELECT lang, COUNT(*)::BIGINT AS n,
+                     CAST(floor(sqrt(COUNT(*)::DOUBLE) * 1000000.0 + 0.5)
+                          AS BIGINT) AS s
+              FROM documents GROUP BY lang
+            ), t AS (
+              SELECT SUM(s)::BIGINT AS st, SUM(n)::BIGINT AS nt FROM c
+            ), f AS (
+              SELECT lang, (s * nt * 1000000) // (st * n) AS r_micro
+              FROM c, t
+            ), d AS (
+              SELECT doc_id, d0.lang, r_micro,
+                     (r_micro // 1000000
+                      + CASE WHEN ('0x' || substr(md5('as1|' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                              % 1000000 < r_micro % 1000000
+                             THEN 1 ELSE 0 END)::INT AS nc
+              FROM documents d0 JOIN f ON f.lang = d0.lang
+            )
+            SELECT doc_id, lang, i::INT AS copy_id
+            FROM d, unnest(range(1, nc + 1)) AS u(i)
+            WHERE nc > 0
+        """,
         # mirrors _q_corpus_diff: same h64 content hash, same edit sim
         "corpus_diff": f"""
             WITH old AS (

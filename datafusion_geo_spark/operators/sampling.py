@@ -211,3 +211,55 @@ def seeded_shuffle(df: DataFrame, key_col: str, seed: str,
             .withColumn(order_col, (F.col("_rn") + F.col("_off"))
                         .cast("long"))
             .drop("_digest", "_bkt", "_rn", "_off"))
+def alpha_factors(docs: DataFrame, domain_col: str,
+                  alpha: float = 0.5) -> DataFrame:
+    """Integer-exact α-(temperature) resampling factors, the XLM-R /
+    mT5 recipe: domain d is sampled with p_d ∝ n_d^α, corpus size
+    preserved, so each of d's docs replicates r_d = p_d·N/n_d times in
+    expectation. Returns (domain, r_micro bigint) — the factor in
+    millionths, computed with integers only after the one float op:
+    n^α goes through the micro-int rounding (floor(x·1e6+0.5)) BEFORE
+    the cross-domain sum, so the result is summation-order independent
+    and engine-portable (α=0.5 is IEEE-exact sqrt in every engine).
+    One tiny aggregate (n_domains rows) + a one-row total — broadcast
+    dimensions, no corpus-sized float math anywhere."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    s_micro = F.floor(F.pow(F.col("_n").cast("double"), F.lit(alpha))
+                      * 1e6 + F.lit(0.5)).cast("long")
+    cs = counts.select(F.col(domain_col), "_n", s_micro.alias("_s"))
+    tot = F.broadcast(cs.agg(F.sum("_s").alias("_S"),
+                             F.sum("_n").alias("_N")))
+    # alias both sides: tot derives from cs, so unqualified _s/_n would
+    # be ambiguous in the self-join
+    return (cs.alias("c").crossJoin(tot.alias("t"))
+            .select(F.col(f"c.{domain_col}").alias(domain_col),
+                    F.expr("(c._s * t._N * 1000000) div (t._S * c._n)")
+                    .cast("long").alias("r_micro")))
+
+
+def resample_by_factor(docs: DataFrame, factors: DataFrame,
+                       domain_col: str, key_col: str,
+                       seed: str = "as1") -> DataFrame:
+    """Deterministic fractional replication: each row gets
+    floor(r)+coin copies where the coin is md5(seed|key) % 1e6 <
+    frac(r)·1e6 — a pure function of the key, so re-runs and engines
+    agree row for row (the up-sampling complement of weighted_sample's
+    down-sampling CASE). ``factors`` is a (domain, r_micro bigint)
+    dimension — broadcast, tiny — and the explode is map-side: no
+    shuffle touches the corpus. Output adds ``copy_id`` (1-based);
+    rows whose domain is absent from ``factors`` are dropped (factor
+    0, loudly visible in counts)."""
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit(seed + "|"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    n_copies = (F.expr("r_micro div 1000000")
+                + F.when((h % 1000000) < F.col("r_micro") % 1000000, 1)
+                .otherwise(0)).cast("int")
+    return (docs.join(F.broadcast(factors), domain_col)
+            .withColumn("_nc", n_copies)
+            .where(F.col("_nc") > 0)
+            .withColumn("copy_id",
+                        F.explode(F.sequence(F.lit(1), F.col("_nc"))))
+            .drop("_nc", "r_micro"))

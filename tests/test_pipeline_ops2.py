@@ -338,3 +338,45 @@ def test_corpus_diff_statuses(spark):
     got = {r["doc_id"]: r["status"]
            for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_alpha_resample_properties(spark):
+    """alpha=0.5 up-samples rare domains and down-samples common ones,
+    preserves corpus size in expectation, and is a pure function of
+    the key hash (rerun-identical)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.sampling import (alpha_factors,
+                                                         resample_by_factor)
+    rows = ([(i, "big") for i in range(900)]
+            + [(1000 + i, "small") for i in range(100)])
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    fac = {r["lang"]: r["r_micro"]
+           for r in alpha_factors(docs, "lang", 0.5).collect()}
+    # integer-exact replay: s_micro = floor(sqrt(n)*1e6+0.5)
+    import math
+    s_big = math.floor(math.sqrt(900) * 1e6 + 0.5)
+    s_small = math.floor(math.sqrt(100) * 1e6 + 0.5)
+    S, N = s_big + s_small, 1000
+    assert fac["big"] == (s_big * N * 1_000_000) // (S * 900)
+    assert fac["small"] == (s_small * N * 1_000_000) // (S * 100)
+    assert fac["small"] > 1_000_000 > fac["big"]  # up vs down
+    out = resample_by_factor(
+        docs, alpha_factors(docs, "lang", 0.5), "lang", "doc_id")
+    got = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    sizes = {r["lang"]: r["n"] for r in got}
+    # expectation: 900*fac_big/1e6 = 750, 100*fac_small/1e6 = 250;
+    # md5 coins keep it within a loose band
+    assert 700 <= sizes["big"] <= 800 and 220 <= sizes["small"] <= 280
+    # determinism: exact same rows on rerun
+    again = resample_by_factor(
+        docs, alpha_factors(docs, "lang", 0.5), "lang", "doc_id")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
+    # per-row coin replay for a spot-checked key
+    h = int(hashlib.md5(b"as1|5").hexdigest()[:8], 16)
+    want_copies = fac["big"] // 1_000_000 + (
+        1 if h % 1_000_000 < fac["big"] % 1_000_000 else 0)
+    n5 = out.where(F.col("doc_id") == 5).count()
+    assert n5 == want_copies
