@@ -3046,6 +3046,23 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size(flat).alias("n_tokens"))
 
 
+def _q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate (operators/sketch.py hll_estimate) over
+    events.user_id: the register table collapses to ONE row —
+    n_registers, the exact integer indicator sum z_scaled (fits int64,
+    summation-order independent), and the Flajolet estimate with
+    linear-counting correction. Every float op is a fixed literal/op
+    chain the oracle replays verbatim, so the 6-dp estimate hashes
+    identically — the distinct-user count of an unbounded stream in
+    256 ints plus one row of arithmetic."""
+    from datafusion_geo_spark.operators.sketch import hll_estimate
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull())
+          .select(F.col("user_id").cast("string").alias("key")))
+    return hll_estimate(ev, "key", b=8)
+
+
 def _q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL (streaming/sketch.py): the SAME hll_registers
     operator run as a streaming groupBy-MAX — constant 2^b-row state
@@ -3437,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _q_corpus_diff,
         "setsrid_roundtrip": _q_setsrid_roundtrip,
         "alpha_resample": _q_alpha_resample,
+        "hll_estimate": _q_hll_estimate,
         "knn_join": _q_knn_join,
         "minhash_pairs": _q_minhash_pairs,
         # --- driver-green in earlier rounds (pos 51+) ---
@@ -6572,6 +6590,43 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN v > 0 THEN 25 - length(bin(v))
                             ELSE 25 END)::INT AS rho
             FROM r GROUP BY register
+        """,
+        # mirrors _q_hll_estimate: same registers, exact integer
+        # z_scaled, then the identical literal/op chain for the estimate
+        "hll_estimate": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(
+                       'hll0|' || CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS hv
+              FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+              SELECT hv % 256 AS register, hv // 256 AS v FROM h
+            ), regs AS (
+              SELECT register,
+                     MAX(CASE WHEN v > 0 THEN 25 - length(bin(v))
+                              ELSE 25 END) AS rho
+              FROM r GROUP BY register
+            ), agg AS (
+              SELECT COUNT(*)::BIGINT AS n_registers,
+                     SUM(CAST(pow(2.0, 25 - rho) AS BIGINT))::BIGINT
+                       AS z_scaled
+              FROM regs
+            ), est AS (
+              SELECT n_registers, z_scaled,
+                     CASE WHEN (47072.71267120224::DOUBLE * 33554432.0::DOUBLE
+                                / CAST(z_scaled AS DOUBLE)) <= 640.0
+                               AND (256 - n_registers) > 0
+                          THEN 256.0 * ln(256.0 /
+                                 CAST(256 - n_registers AS DOUBLE))
+                          ELSE (47072.71267120224::DOUBLE * 33554432.0::DOUBLE
+                                / CAST(z_scaled AS DOUBLE)) END AS e
+              FROM agg
+            )
+            SELECT n_registers, z_scaled,
+                   (CASE WHEN e < 0 THEN -1 ELSE 1 END)
+                     * floor(abs(e) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+                     AS est
+            FROM est
         """,
         # streaming twin: bounded replay == the same batch register table
         "streaming_hll": """

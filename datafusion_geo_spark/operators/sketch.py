@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = ["seeded_h64", "count_min_sketch", "count_min_topk",
            "bloom_positions", "bloom_filter_new",
-           "hll_registers"]
+           "hll_registers", "hll_estimate"]
 
 
 def seeded_h64(tag: str, i: int, c: Column) -> Column:
@@ -171,3 +171,31 @@ def hll_registers(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
            .otherwise(F.lit(32 - b + 1)).cast("int")
     return (keys.select(reg, rho.alias("_rho"))
             .groupBy("register").agg(F.max("_rho").alias("rho")))
+def hll_estimate(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
+    """One-row HyperLogLog cardinality estimate from the register
+    table: n_registers, the EXACT integer indicator sum
+    z_scaled = sum(2^(maxrho - rho)) (fits int64: <= 2^b * 2^maxrho —
+    order-independent, unlike a float fold), and the Flajolet estimate
+    est = alpha_m * m^2 / (z_scaled / 2^maxrho), with the standard
+    small-range linear-counting correction (est <= 2.5m and empty
+    registers present -> m * ln(m / V)). Every float op is a fixed
+    literal/op chain replayed verbatim by the oracle, so the 6-dp
+    binary-rounded estimate hashes identically."""
+    if b != 8:
+        raise ValueError("hll_estimate: oracle constants are b=8 only")
+    m = 1 << b
+    maxrho = 32 - b + 1
+    alpha_m = 0.7213 / (1.0 + 1.079 / float(m))
+    regs = hll_registers(keys, key_col, b)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), F.lit(maxrho) - F.col("rho"))
+              .cast("long")).alias("z_scaled"))
+    v = F.lit(m) - F.col("n_registers")
+    raw = (F.lit(alpha_m * m * m)
+           * F.lit(float(1 << maxrho)) / F.col("z_scaled").cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")))            .otherwise(raw)
+    est6 = (F.signum(est) * F.floor(F.abs(est) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6) + F.lit(0.0))
+    return agg.select("n_registers", "z_scaled", est6.alias("est"))

@@ -9,7 +9,7 @@ import pytest
 
 from datafusion_geo_spark.operators.sketch import (
     bloom_filter_new, bloom_positions, count_min_sketch, count_min_topk,
-    hll_registers, seeded_h64)
+    hll_estimate, hll_registers, seeded_h64)
 
 
 def _h(tag, i, s):
@@ -166,3 +166,22 @@ def test_count_min_topk_candidate_set(spark):
     # pin the two real candidates and that no other token appears
     assert set(got) <= {"hot", "w1", "absent"}
     assert got["hot"] >= 30 and got["w1"] >= 1
+
+
+def test_hll_estimate_accuracy_and_replay(spark):
+    """Estimate within the ~1.04/sqrt(m) HLL error band for a known
+    cardinality, and z_scaled replays the pure-Python registers."""
+    n = 5000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], ["key"])
+    row = hll_estimate(df, "key", b=8).collect()[0]
+    regs = {}
+    for i in range(n):
+        h = _h("hll", 0, f"u{i}")
+        reg, v = h % 256, h >> 8
+        rho = 25 - v.bit_length() if v > 0 else 25
+        regs[reg] = max(regs.get(reg, 0), rho)
+    want_z = sum(2 ** (25 - r) for r in regs.values())
+    assert row["z_scaled"] == want_z
+    assert row["n_registers"] == len(regs)
+    # 3-sigma band: 1.04/sqrt(256) ~ 6.5% per sigma
+    assert abs(row["est"] - n) / n < 0.20
