@@ -3126,6 +3126,38 @@ def _q_alpha_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "copy_id"))
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span audit — the word-level form of exact-substring
+    dedup (Lee et al. 2022; operators/dedup.py dup_span_stats):
+    corpus-wide 8-gram occurrence counts, then per-doc merged duplicated
+    spans via a gaps-and-islands window PARTITIONED BY doc_id (sort
+    parallelism grows with the corpus). Corpus augmented with exact
+    copies of docs < 50 (the passage_dedup fixture) so cross-doc
+    duplicated substrings exist deterministically; the fixture also
+    contains natural exact-dup texts, which the audit surfaces."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.dedup import dup_span_stats
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = (base.where(FF.col("doc_id") < 50)
+              .select((FF.col("doc_id") + 1_000_000).alias("doc_id"),
+                      "text"))
+    return dup_span_stats(base.unionAll(copies), n=8)
+
+
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join with PPJoin-style prefix filtering
+    (operators/dedup.py jaccard_prefix_pairs) over the perturbed-copy
+    corpus: distinct 3-gram shingle sets, global-df-ordered prefixes as
+    the only join keys, integer cross-multiplied threshold test at
+    J >= 1/2 — the third candidate-generation family next to LSH
+    banding (minhash_pairs) and full shingle equi-joins
+    (ngram_jaccard), with no estimation error."""
+    from datafusion_geo_spark.operators.dedup import (jaccard_prefix_pairs,
+                                                      with_perturbed_copies)
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    return jaccard_prefix_pairs(with_perturbed_copies(base))
+
+
 def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain deterministic weighted sampling (operators.sampling.
     weighted_sample): keep 50% of en, all of de, 25% of es, 10% of fr,
@@ -3449,6 +3481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- regression canary: heaviest previously-green (1) ---
         "grid_spatial_join": _q_grid_spatial_join,
         # --- pos 51+: next round's rotation leads with these ---
+        "dup_spans": _q_dup_spans,
+        "jaccard_prefix": _q_jaccard_prefix,
         "bpe_encode": _q_bpe_encode,
         "pq_recall": _q_pq_recall,
         "corpus_diff": _q_corpus_diff,
@@ -6644,6 +6678,83 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY register
         """,
         "bpe_merges": _bpe_oracle(8),
+        # mirrors _q_dup_spans: passage_dedup's copy-augmented corpus,
+        # 8-gram md5 occurrence counts, gaps-and-islands span merge —
+        # every quantity int64 (COUNT/SUM all ::BIGINT, no HUGEINT)
+        "dup_spans": """
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 1000000, text FROM documents
+                            WHERE doc_id < 50),
+            wordsx AS (SELECT doc_id, {words} AS w FROM corpus),
+            base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                            greatest(len(w) - 7, 0)::BIGINT AS n_ngrams, w
+                     FROM wordsx),
+            grams AS (SELECT doc_id, i AS pos,
+                             md5(array_to_string(
+                                 list_slice(w, i + 1, i + 8), ' ')) AS gh
+                      FROM base, unnest(range(len(w) - 7)) AS t(i)
+                      WHERE len(w) >= 8),
+            occ AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1),
+            dup AS (SELECT doc_id, pos FROM grams JOIN occ USING (gh)),
+            sp AS (SELECT doc_id, pos,
+                          COALESCE(MAX(pos + 7) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), -1) AS prev_end
+                   FROM dup),
+            per AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_ngrams,
+                           SUM(CASE WHEN pos > prev_end
+                                    THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+                           SUM(GREATEST(0, pos + 7 - GREATEST(pos - 1,
+                               prev_end)))::BIGINT AS dup_words
+                    FROM sp GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words, b.n_ngrams,
+                   COALESCE(p.n_dup_ngrams, 0)::BIGINT AS n_dup_ngrams,
+                   COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+                   COALESCE(p.dup_words, 0)::BIGINT AS dup_words,
+                   COALESCE(p.dup_words, 0) * 2 <= b.n_words AS keep
+            FROM base b LEFT JOIN per p USING (doc_id)
+        """.format(words=_WORDS),
+        # mirrors _q_jaccard_prefix: perturbed-copy corpus, distinct
+        # 3-gram shingle sets, (df, shingle)-ordered prefixes of length
+        # sz - ceil(sz/2) + 1, exact intersection, integer threshold
+        "jaccard_prefix": """
+            WITH corpus AS ({corpus}),
+            wordsx AS (SELECT doc_id, {words} AS w FROM corpus),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(list_slice(w, i + 1, i + 3),
+                                          ' ') AS tok
+                   FROM wordsx, unnest(range(len(w) - 2)) AS t(i)
+                   WHERE len(w) >= 3),
+            sz AS (SELECT doc_id, COUNT(*)::BIGINT AS sz
+                   FROM sh GROUP BY doc_id),
+            dft AS (SELECT tok, COUNT(*)::BIGINT AS dft FROM sh
+                    GROUP BY tok HAVING COUNT(*) <= 1000),
+            ranked AS (SELECT s.doc_id, s.tok, z.sz,
+                              ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.dft, s.tok) AS r
+                       FROM sh s JOIN dft d USING (tok)
+                                 JOIN sz z USING (doc_id)),
+            prefix AS (SELECT doc_id, tok FROM ranked
+                       WHERE r <= sz - ((sz + 1) // 2) + 1),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM prefix a JOIN prefix b USING (tok)
+                     WHERE a.doc_id < b.doc_id),
+            intr AS (SELECT c.id_a, c.id_b, COUNT(*)::BIGINT AS inter
+                     FROM cand c
+                     JOIN sh sa ON sa.doc_id = c.id_a
+                     JOIN sh sb ON sb.doc_id = c.id_b
+                                AND sb.tok = sa.tok
+                     GROUP BY c.id_a, c.id_b)
+            SELECT i.id_a, i.id_b, i.inter,
+                   za.sz AS size_a, zb.sz AS size_b,
+                   (za.sz + zb.sz - i.inter)::BIGINT AS union_sz
+            FROM intr i
+            JOIN sz za ON za.doc_id = i.id_a
+            JOIN sz zb ON zb.doc_id = i.id_b
+            WHERE i.inter * 2 >= za.sz + zb.sz - i.inter
+        """.format(corpus=_CORPUS.format(where=""), words=_WORDS),
         # mirrors _q_alpha_resample: sqrt is IEEE-exact, everything
         # after is integer math, coin = md5('as1|'||doc_id) % 1e6
         "alpha_resample": """

@@ -606,3 +606,131 @@ def minhash_eval(corpus: DataFrame, threshold: float = 0.5,
                     round6_binary(F.col("n_tp").cast("double")
                                   / F.greatest(F.col("n_truth"), F.lit(1)))
                     .alias("recall")))
+
+
+def dup_span_stats(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Duplicate-span audit, the word-level form of exact-substring dedup
+    (Lee et al. 2022): hash every word n-gram corpus-wide, mark the
+    occurrences whose n-gram appears anywhere else (any doc, or again in
+    the same doc), merge each doc's marked [pos, pos+n) windows into
+    maximal spans with a gaps-and-islands window, and report per doc how
+    many words sit inside duplicated spans. ``keep`` applies the usual
+    <50%-duplicated retention rule — all in exact integer arithmetic.
+
+    Scale shape: one shuffle on the n-gram hash for the global occurrence
+    count (partial+final agg), one hash equi-join back, then a window
+    PARTITIONED BY doc_id — millions of independent keys, so the sort
+    parallelism grows with the corpus (unlike a low-cardinality window).
+    No all-pairs stage anywhere: the classic suffix-array pass is
+    re-expressed as a bucketed group-by, which is the form that survives
+    100 TB."""
+    from pyspark.sql import Window
+
+    from .text import ngram_array
+
+    w = df.select(F.col(id_col).alias("doc_id"),
+                  words_col(F.col(text_col)).alias("w"))
+    base = w.select("doc_id",
+                    F.size("w").cast("long").alias("n_words"),
+                    ngram_array(F.col("w"), n).alias("gs"))
+    grams = base.select("doc_id", F.posexplode("gs").alias("pos", "g"))
+    hashed = grams.select("doc_id", "pos", F.md5(F.col("g")).alias("gh"))
+    occ = (hashed.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
+           .where(F.col("n_occ") > 1))
+    dup = hashed.join(occ.select("gh"), "gh").select("doc_id", "pos")
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    spans = (dup
+             .withColumn("prev_end",
+                         F.coalesce(F.max(F.col("pos") + F.lit(n - 1))
+                                    .over(win), F.lit(-1)))
+             .withColumn("contrib",
+                         F.greatest(F.lit(0),
+                                    F.col("pos") + F.lit(n - 1)
+                                    - F.greatest(F.col("pos") - 1,
+                                                 F.col("prev_end"))))
+             .withColumn("new_span",
+                         (F.col("pos") > F.col("prev_end")).cast("long")))
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_ngrams"),
+        F.sum("new_span").alias("n_spans"),
+        F.sum("contrib").alias("dup_words"))
+    return (base.select("doc_id", "n_words",
+                        F.size("gs").cast("long").alias("n_ngrams"))
+            .join(per, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col), "n_words", "n_ngrams",
+                    F.coalesce("n_dup_ngrams", F.lit(0)).cast("long")
+                    .alias("n_dup_ngrams"),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.coalesce("dup_words", F.lit(0)).cast("long")
+                    .alias("dup_words"))
+            .withColumn("keep",
+                        F.col("dup_words") * F.lit(2) <= F.col("n_words")))
+
+
+def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         threshold_num: int = 1, threshold_den: int = 2,
+                         shingle_n: int = 3,
+                         max_token_df: Optional[int] = DEFAULT_MAX_BUCKET
+                         ) -> DataFrame:
+    """Exact Jaccard similarity join with PPJoin-style prefix filtering
+    (Xiao et al. 2011) — the third candidate-generation family next to
+    LSH banding and plain shingle equi-joins. The set universe is the
+    doc's distinct word ``shingle_n``-grams (selective even when the
+    word vocabulary is shared); shingles are globally ordered by
+    (document frequency, shingle); a doc of set size s only emits its
+    s - ceil(t*s) + 1 RAREST shingles as join keys (any pair with
+    J >= t = num/den must share one of them), so candidate volume is
+    governed by rare-token selectivity instead of all shared tokens.
+    Verification is exact: intersection via a (pair x token) equi-join,
+    threshold test in integer cross-multiplication.
+
+    Scale shape: two shuffles on token (global df, prefix self-join) and
+    one on the candidate pair key; tokens with df > ``max_token_df``
+    never enter the prefix (the stop-word guard — same hot-bucket
+    rationale as _cap_buckets, and replayed verbatim by the oracle)."""
+    from pyspark.sql import Window
+    from .text import _idiv
+
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.array_distinct(
+                          word_shingles(F.col(text_col),
+                                        shingle_n))).alias("tok")))
+    sz = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    dft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+    if max_token_df is not None:
+        dft = dft.where(F.col("dft") <= max_token_df)
+    ranked = (toks.join(dft, "tok").join(sz, "_id")
+              .withColumn("r", F.row_number().over(
+                  Window.partitionBy("_id").orderBy("dft", "tok"))))
+    # prefix length = sz - ceil(t*sz) + 1, all int64
+    need = _idiv(F.col("sz") * F.lit(threshold_num)
+                 + F.lit(threshold_den - 1), F.lit(threshold_den))
+    prefix = ranked.where(F.col("r") <= F.col("sz") - need + F.lit(1)) \
+                   .select("_id", "tok")
+    cand = (prefix.alias("a").join(prefix.alias("b"), "tok")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"))
+            .distinct())
+    inter = (cand
+             .join(toks.select(F.col("_id").alias("id_a"),
+                               "tok"), "id_a")
+             .join(toks.select(F.col("_id").alias("id_b"),
+                               "tok"), ["id_b", "tok"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sz.select(F.col("_id").alias("id_a"),
+                           F.col("sz").alias("size_a")), "id_a")
+           .join(sz.select(F.col("_id").alias("id_b"),
+                           F.col("sz").alias("size_b")), "id_b")
+           .withColumn("union_sz",
+                       F.col("size_a") + F.col("size_b") - F.col("inter")))
+    return (out.where(F.col("inter") * F.lit(threshold_den)
+                      >= F.lit(threshold_num) * F.col("union_sz"))
+            .select("id_a", "id_b", "inter", "size_a", "size_b",
+                    "union_sz"))
