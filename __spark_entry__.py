@@ -2637,6 +2637,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) top-10: the billion-scale composition — coarse
+    cosine k-means lists (fit SHARED with ivf_trained_topk/
+    semantic_dedup via the process memo), product-quantized RESIDUALS
+    (m=8 ints/vector), probe-pruned ADC serving with the exact
+    inner-product decomposition dot(q,c)+dot(q,r). The serving scan
+    reads 9 small ints per corpus vector and only nprobe/n_coarse of
+    them score at all. Oracle: full composed SQL replay
+    (_ivfpq_oracle)."""
+    from datafusion_geo_spark.operators.similarity import ivfpq_search
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    vecs = embeddings_normed(spark, sf_dir)
+    return ivfpq_search(vecs, cache_key=(sf_dir, "embeddings_normed"))
+
+
 def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 with TRAINED centroids: 2 rounds of deterministic
     Lloyd's k-means (md5-ordered seeds, argmax-cosine assignment,
@@ -3483,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- pos 51+: next round's rotation leads with these ---
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
+        "ivfpq_topk": _q_ivfpq_topk,
         "bpe_encode": _q_bpe_encode,
         "pq_recall": _q_pq_recall,
         "corpus_diff": _q_corpus_diff,
@@ -3959,6 +3975,116 @@ def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id) AS rank
           FROM pairs) WHERE rank <= {k}"""
+    return "WITH " + ",".join(ctes) + "," + fin
+
+
+def _ivfpq_oracle(n_coarse: int = 8, coarse_iters: int = 2,
+                  nprobe: int = 2, m: int = 8, ksub: int = 16,
+                  pq_iters: int = 2, max_query_id: int = 8, k: int = 10,
+                  dim: int = 64) -> str:
+    """DuckDB twin of similarity.ivfpq_search (IVFADC): the shared
+    coarse k-means replay (:func:`_kmeans_ctes`), argmax-cosine list
+    assignment, exact residuals against the 6-dp coarse means, the PQ
+    subspace-Lloyd replay RENAMED (p*/ps*/pa*) to coexist with the
+    coarse chain, then probe-pruned ADC scoring with the coarse
+    dot-term added — every micro-int identical to the Spark plan."""
+    d = dim // m
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    micro = ("(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)")
+    cos = "list_cosine_similarity(a.v, c.cvec)"
+    l2 = (f"list_sum(list_transform(generate_series(1, {d}), i -> "
+          f"(a.sv[i] - c.cvec[i]) * (a.sv[i] - c.cvec[i])))")
+    qdot = (f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+            f"q.v[i] * c.cvec[i]))")
+    qsub_dot = (f"list_sum(list_transform(generate_series(1, {d}), i -> "
+                f"q.v[c.s * {d} + i] * c.cvec[i]))")
+    ci = coarse_iters
+    ctes = _kmeans_ctes(n_coarse, ci, dim)
+    ctes.append(f"""
+        kscored AS (SELECT a.vec_id, c.cid, {r6.format(x=cos)} AS cs
+                    FROM vecs a, c{ci} c),
+        kassign AS (SELECT vec_id, cid FROM (
+                      SELECT vec_id, cid,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, cid) AS rn
+                      FROM kscored) WHERE rn = 1),
+        res AS (SELECT a.vec_id, ka.cid AS kcid,
+                       list_transform(generate_series(1, {dim}),
+                                      i -> a.v[i] - c.cvec[i]) AS rv
+                FROM vecs a JOIN kassign ka USING (vec_id)
+                     JOIN c{ci} c ON c.cid = ka.cid),
+        rsubs AS (SELECT vec_id, g.s,
+                         list_slice(rv, g.s * {d} + 1,
+                                    g.s * {d} + {d}) AS sv
+                  FROM res, generate_series(0, {m - 1}) AS g(s)),
+        p0 AS (SELECT g.s, cid::INT AS cid,
+                      list_slice(rv, g.s * {d} + 1,
+                                 g.s * {d} + {d}) AS cvec
+               FROM (SELECT (ROW_NUMBER() OVER (
+                               ORDER BY md5(vec_id::VARCHAR), vec_id)
+                             - 1) AS cid, rv
+                     FROM res) r,
+                    generate_series(0, {m - 1}) AS g(s)
+               WHERE cid < {ksub})""")
+    for it in range(1, pq_iters + 1):
+        ctes.append(f"""
+        ps{it} AS (SELECT a.vec_id, a.s, c.cid, {r6.format(x=l2)} AS d2
+                   FROM rsubs a JOIN p{it - 1} c ON c.s = a.s),
+        pa{it} AS (SELECT vec_id, s, cid FROM (
+                     SELECT vec_id, s, cid,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2, cid) AS rn
+                     FROM ps{it}) WHERE rn = 1),
+        p{it} AS (SELECT s, cid, list(cx ORDER BY i) AS cvec FROM (
+                    SELECT a.s, a.cid, g.i,
+                           {r6.format(x="AVG(b.sv[g.i])")} AS cx
+                    FROM pa{it} a
+                    JOIN rsubs b ON b.vec_id = a.vec_id AND b.s = a.s,
+                         generate_series(1, {d}) AS g(i)
+                    GROUP BY a.s, a.cid, g.i) GROUP BY s, cid)""")
+    fin = f"""
+        enc AS (SELECT a.vec_id, a.s, c.cid, {r6.format(x=l2)} AS d2
+                FROM rsubs a JOIN p{pq_iters} c ON c.s = a.s),
+        pcodes AS (SELECT vec_id, s, cid FROM (
+                     SELECT vec_id, s, cid,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2, cid) AS rn
+                     FROM enc) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid FROM (
+                     SELECT vec_id, cid,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, cid) AS rn
+                     FROM kscored WHERE vec_id < {max_query_id})
+                   WHERE rn <= {nprobe}),
+        qdp AS (SELECT q.vec_id AS query_id, c.cid,
+                       {micro.format(x=r6.format(x=qdot))} AS coarse_micro
+                FROM vecs q, c{ci} c WHERE q.vec_id < {max_query_id}),
+        lut AS (SELECT q.vec_id AS query_id, c.s, c.cid,
+                       {micro.format(x=r6.format(x=qsub_dot))} AS dp_micro
+                FROM vecs q, p{pq_iters} c
+                WHERE q.vec_id < {max_query_id}),
+        cand AS (SELECT pr.query_id, pc.vec_id AS neighbor_id,
+                        pc.s, pc.cid, ka.cid AS kcid
+                 FROM probes pr
+                 JOIN kassign ka ON ka.cid = pr.cid
+                 JOIN pcodes pc ON pc.vec_id = ka.vec_id),
+        sc AS (SELECT c.query_id, c.neighbor_id, c.kcid,
+                      SUM(l.dp_micro)::BIGINT AS res_micro
+               FROM cand c JOIN lut l ON l.query_id = c.query_id
+                                     AND l.s = c.s AND l.cid = c.cid
+               GROUP BY c.query_id, c.neighbor_id, c.kcid),
+        tot AS (SELECT s.query_id, s.neighbor_id,
+                       (s.res_micro + q.coarse_micro)::BIGINT AS score_micro
+                FROM sc s JOIN qdp q ON q.query_id = s.query_id
+                                    AND q.cid = s.kcid
+                WHERE s.neighbor_id != s.query_id)
+        SELECT query_id, neighbor_id, score_micro, rank::INT AS rank FROM (
+          SELECT query_id, neighbor_id, score_micro,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, neighbor_id) AS rank
+          FROM tot) WHERE rank <= {k}"""
     return "WITH " + ",".join(ctes) + "," + fin
 
 
@@ -6310,6 +6436,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs) WHERE rank <= 10
         """,
         "ivf_trained_topk": _ivf_trained_oracle(),
+        "ivfpq_topk": _ivfpq_oracle(),
         "pq_topk": _pq_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         # mirrors _q_knn_join: ivf_topk's replay with probes over the

@@ -803,3 +803,117 @@ def random_projection_int(emb: DataFrame, out_dim: int = 16,
     return (pos.crossJoin(ks)
             .groupBy(id_col, "k")
             .agg(F.sum(F.col("x") * sign).alias("proj_int")))
+
+
+def ivfpq_search(vecs: DataFrame, n_coarse: int = 8, coarse_iters: int = 2,
+                 nprobe: int = 2, m: int = 8, ksub: int = 16,
+                 pq_iters: int = 2, max_query_id: int = 8, k: int = 10,
+                 id_col: str = "vec_id", cache_key=None) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011) — the billion-scale serving
+    composition of the two index families above: a trained coarse
+    quantizer partitions the corpus into inverted lists, and product
+    quantization encodes each vector's RESIDUAL from its list centroid.
+    A query probes ``nprobe`` lists and scores candidates as
+    dot(q, c_list) + sum_s dot(q_s, codebook[s][code_s]) — the exact
+    inner-product decomposition v = c + r, with both terms micro-int
+    rounded so the sum is fold-order independent.
+
+    Why this is THE 100 TB shape: the serving scan reads m ints + one
+    list id per corpus vector (not the floats), the probe join prunes
+    to nprobe/n_coarse of the corpus BEFORE any scoring, and the only
+    driver syncs are the two bounded centroid collects (k x dim and
+    m x ksub x d doubles, corpus-size independent). Training residuals
+    on 6-dp-rounded coarse means keeps every residual an exact IEEE
+    double in both engines, so the full pipeline — coarse fit, residual
+    PQ fit, encode, probe, ADC — is SQL-replayable bit-for-bit.
+
+    ``vecs`` must be in the prenorm contract (vec_id, v, n). Returns
+    (query_id, neighbor_id, score_micro, rank).
+    """
+    spark = vecs.sparkSession
+    dim = len(vecs.select("v").first()["v"])
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_search: dim {dim} not divisible by m {m}")
+    d = dim // m
+
+    # 1. coarse quantizer: shared deterministic cosine Lloyd fit
+    coarse = kmeans_centroids_cached(vecs, n_coarse, coarse_iters, id_col,
+                                     cache_key=cache_key)
+    cdf = _centroid_frame(vecs, coarse)
+    scored = vecs.crossJoin(cdf).select(
+        F.col(id_col), "cid",
+        round6_binary(dot(F.col("v"), F.col("cvec"))
+                      / (F.col("n") * F.col("cn"))).alias("cs"))
+    assign = (scored.groupBy(id_col)
+              .agg(F.max(F.struct(F.col("cs"),
+                                  (-F.col("cid")).alias("ncid"))).alias("mx"))
+              .select(F.col(id_col),
+                      (-F.col("mx.ncid")).cast("int").alias("cid")))
+
+    # 2. residuals r = v - c_assigned (exact: centroid entries are 6-dp
+    #    decimals, so both engines subtract identical doubles)
+    res = (vecs.join(assign, id_col)
+           .join(cdf.select("cid", "cvec"), "cid")
+           .select(F.col(id_col), "cid",
+                   F.zip_with("v", "cvec", lambda x, y: x - y).alias("v")))
+
+    # 3. PQ codebooks on the residuals + inverted index: per vector the
+    #    index stores ONE list id + m small ints
+    res_key = None if cache_key is None else (cache_key, "ivfpq-res")
+    cb = pq_train_cached(res.select(id_col, "v"), m, ksub, pq_iters,
+                         id_col, cache_key=res_key)
+    codes = pq_encode(res.select(id_col, "v"), cb, m, d, id_col)
+    inv = codes.join(assign, id_col)
+
+    # 4. query side (bounded): probe set, coarse dot term, ADC table
+    qv = (vecs.where(F.col(id_col) < max_query_id)
+          .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")))
+    wpr = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probes = (scored.where(F.col(id_col) < max_query_id)
+              .select(F.col(id_col).alias("query_id"), "cid", "cs")
+              .withColumn("_pr", F.row_number().over(wpr))
+              .where(F.col("_pr") <= nprobe)
+              .select("query_id", "cid"))
+    cvdf = F.broadcast(spark.createDataFrame(
+        coarse, "cid int, cvec array<double>"))
+    cdp = round6_binary(dot(F.col("qv"), F.col("cvec")))
+    coarse_dp = (qv.crossJoin(cvdf)
+                 .select("query_id", "cid",
+                         (F.signum(cdp) * F.floor(F.abs(cdp) * F.lit(1e6)
+                                                  + F.lit(0.5)))
+                         .cast("long").alias("coarse_micro")))
+    probe_t = F.broadcast(probes.join(coarse_dp, ["query_id", "cid"]))
+    cbdf = F.broadcast(spark.createDataFrame(
+        cb, "s int, cid int, cvec array<double>"))
+    qsubs = qv.select("query_id",
+                      F.posexplode(_subvectors(F.col("qv"), m, d))
+                      .alias("s", "qsv"))
+    sdp = round6_binary(dot(F.col("qsv"), F.col("cvec")))
+    lut = F.broadcast(
+        qsubs.join(cbdf, "s")
+        .select(F.col("query_id").alias("q2"), F.col("s").alias("s2"),
+                F.col("cid").alias("cid2"),
+                (F.signum(sdp) * F.floor(F.abs(sdp) * F.lit(1e6)
+                                         + F.lit(0.5)))
+                .cast("long").alias("dp_micro")))
+
+    # 5. serve: probe-pruned code scan -> per-subspace table lookups
+    cand = inv.join(probe_t, "cid")
+    expl = cand.select(F.col(id_col).alias("neighbor_id"), "query_id",
+                       "coarse_micro",
+                       F.posexplode(F.col("codes")).alias("s", "scid"))
+    scoredq = (expl.join(lut, (expl["query_id"] == lut["q2"])
+                         & (expl["s"] == lut["s2"])
+                         & (expl["scid"] == lut["cid2"]))
+               .groupBy("query_id", "neighbor_id", "coarse_micro")
+               .agg(F.sum("dp_micro").alias("res_micro"))
+               .select("query_id", "neighbor_id",
+                       (F.col("coarse_micro") + F.col("res_micro"))
+                       .alias("score_micro")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("neighbor_id"))
+    return (scoredq.where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score_micro",
+                    F.col("rank").cast("int").alias("rank")))

@@ -331,3 +331,31 @@ def test_knn_gemm_small_lists_no_crash(spark):
     b = knn_join(df, k=5, n_centroids=4, nprobe=1,
                  scorer="gemm").orderBy("query_id", "rank").collect()
     assert a == b and len(b) > 0
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """IVFADC end-to-end sanity on data with real cluster structure:
+    coarse lists + residual PQ codes must still put most of each
+    query's true top-10 (by exact cosine) into the returned top-10.
+    PQ at m=8/ksub=16 over 32 dims is lossy and the probe prunes
+    6/8 of the corpus, so the floor is recall >= 0.5 — far above the
+    ~10/470 random baseline — plus exact determinism across runs."""
+    from datafusion_geo_spark.operators.similarity import (cosine_topk,
+                                                           ivfpq_search,
+                                                           prenorm)
+    emb = _clustered_corpus(spark)
+    vecs = prenorm(emb).persist()
+    try:
+        qs = vecs.where("vec_id < 8")
+        truth = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(vecs, qs, prenormed=True).collect()}
+        got1 = ivfpq_search(vecs, m=8, max_query_id=8).collect()
+        got = {(r.query_id, r.neighbor_id) for r in got1}
+        rec = len(got & truth) / len(truth)
+        assert rec >= 0.5, f"ivfpq recall collapsed: {rec}"
+        got2 = {(r.query_id, r.neighbor_id, r.score_micro, r.rank)
+                for r in ivfpq_search(vecs, m=8, max_query_id=8).collect()}
+        assert {(r.query_id, r.neighbor_id, r.score_micro, r.rank)
+                for r in got1} == got2
+    finally:
+        vecs.unpersist()

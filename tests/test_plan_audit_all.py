@@ -42,6 +42,10 @@ ALLOWED_BROADCAST_CROSSES = {
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
                              # same bounded dimension as ivf_topk
+    "ivfpq_topk": 4,         # IVFADC's bounded crosses: coarse assign +
+                             # probe scoring (8-centroid dim, as ivf) +
+                             # query coarse-dot + ADC LUT build (m*ksub
+                             # codebook dim) — all corpus-independent
     "knn_join": 2,           # centroid scoring feeds assignment AND
                              # probe branches (bounded k-centroid dim);
                              # scoring itself is the cogrouped GEMM
