@@ -2637,6 +2637,26 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_linreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ridge regression by normal equations (operators/
+    mlfit.py): ONE exact-int64 Gram/moment aggregate over the corpus
+    (k(k+1)/2+k+1 sums, map-side combined), driver-side Gaussian
+    elimination with 6-dp rounding after every arithmetic op — the
+    distill-a-heuristic-into-a-linear-scorer fit every data pipeline
+    runs. Output: the k fitted weights. Oracle replays the identical
+    elimination schedule as an unrolled scalar CTE chain."""
+    from datafusion_geo_spark.operators.mlfit import ridge_weights_df
+    return ridge_weights_df(_docs(spark, sf_dir))
+
+
+def _q_linreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model serving for the ridge fit: weights fold into codegen as
+    LITERALS (no join at serving time — the model-shipping shape),
+    yhat/residual as exact micro-ints per document."""
+    from datafusion_geo_spark.operators.mlfit import ridge_score
+    return ridge_score(_docs(spark, sf_dir))
+
+
 def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (IVFADC) top-10: the billion-scale composition — coarse
     cosine k-means lists (fit SHARED with ivf_trained_topk/
@@ -3499,6 +3519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "linreg_weights": _q_linreg_weights,
+        "linreg_score": _q_linreg_score,
         "bpe_encode": _q_bpe_encode,
         "pq_recall": _q_pq_recall,
         "corpus_diff": _q_corpus_diff,
@@ -3976,6 +3998,94 @@ def _ivf_trained_oracle(n_centroids: int = 8, iters: int = 2,
                     ORDER BY sim DESC, neighbor_id) AS rank
           FROM pairs) WHERE rank <= {k}"""
     return "WITH " + ",".join(ctes) + "," + fin
+
+
+def _ridge_ctes(ridge: int = 1, k: int = 4) -> list:
+    """Shared DuckDB twin of operators.mlfit: integer feature rows,
+    ONE exact-int64 Gram/moment aggregate, then the driver's Gaussian
+    elimination unrolled as scalar CTEs — the SAME operation schedule
+    as mlfit.solve_spd_r6 (round6 after every arithmetic result), so
+    the replayed weights are bit-identical. Ends with CTE ``wts``
+    holding w0..w{k-1}."""
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    K = k  # rhs column index in the augmented matrix
+    ctes = [f"""feats AS (
+            SELECT doc_id, length(text)::BIGINT AS y,
+                   1::BIGINT AS x0, len(w)::BIGINT AS x1,
+                   len(list_filter(w, t -> length(t) <= 3))::BIGINT AS x2,
+                   len(list_filter(w, t -> length(t) >= 8))::BIGINT AS x3
+            FROM (SELECT doc_id, text, {_WORDS} AS w FROM documents))"""]
+    sums = []
+    for i in range(k):
+        for j in range(i, k):
+            sums.append(f"SUM(x{i} * x{j})::BIGINT AS g{i}{j}")
+    for i in range(k):
+        sums.append(f"SUM(x{i} * y)::BIGINT AS b{i}")
+    ctes.append("gram AS (SELECT " + ", ".join(sums) + " FROM feats)")
+    init = []
+    for i in range(k):
+        for j in range(k):
+            g = f"g{min(i, j)}{max(i, j)}"
+            expr = f"({g} + {ridge})" if i == j else g
+            init.append(f"{expr}::DOUBLE AS a{i}{j}")
+        init.append(f"b{i}::DOUBLE AS a{i}{K}")
+    ctes.append("e0 AS (SELECT " + ", ".join(init) + " FROM gram)")
+    step = 0
+    for p in range(k):
+        fcols = [f"{r6.format(x=f'a{i}{p} / a{p}{p}')} AS f{i}"
+                 for i in range(p + 1, k)]
+        if not fcols:
+            continue
+        ctes.append(f"f{p} AS (SELECT *, " + ", ".join(fcols)
+                    + f" FROM e{step})")
+        upd = []
+        for i in range(k):
+            for j in range(k + 1):
+                if i > p and j >= p:
+                    inner = r6.format(x=f"f{i} * a{p}{j}")
+                    upd.append(f"{r6.format(x=f'a{i}{j} - {inner}')} "
+                               f"AS a{i}{j}")
+                else:
+                    upd.append(f"a{i}{j}")
+        ctes.append(f"e{step + 1} AS (SELECT " + ", ".join(upd)
+                    + f" FROM f{p})")
+        step += 1
+    prev = f"e{step}"
+    for i in range(k - 1, -1, -1):
+        acc = f"a{i}{K}"
+        for j in range(i + 1, k):
+            inner = r6.format(x=f"a{i}{j} * w{j}")
+            acc = r6.format(x=f"{acc} - {inner}")
+        ctes.append(f"w{i}c AS (SELECT *, "
+                    + r6.format(x=f"({acc}) / a{i}{i}")
+                    + f" AS w{i} FROM {prev})")
+        prev = f"w{i}c"
+    ctes.append(f"wts AS (SELECT "
+                + ", ".join(f"w{i}" for i in range(k))
+                + f" FROM {prev})")
+    return ctes
+
+
+def _ridge_weights_oracle() -> str:
+    names = ["bias", "n_words", "n_short", "n_long"]
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS feature_idx, '{names[i]}' AS feature, "
+        f"w{i} AS weight FROM wts" for i in range(4))
+    return "WITH " + ",".join(_ridge_ctes()) + " " + sel
+
+
+def _ridge_score_oracle() -> str:
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    micro = ("(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)")
+    yhat = "w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3"
+    ym = micro.format(x=r6.format(x=yhat))
+    return ("WITH " + ",".join(_ridge_ctes()) + f"""
+        SELECT doc_id, y, {ym} AS yhat_micro,
+               (y * 1000000 - ({ym}))::BIGINT AS resid_micro
+        FROM feats, wts""")
 
 
 def _ivfpq_oracle(n_coarse: int = 8, coarse_iters: int = 2,
@@ -6437,6 +6547,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
+        "linreg_weights": _ridge_weights_oracle(),
+        "linreg_score": _ridge_score_oracle(),
         "pq_topk": _pq_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         # mirrors _q_knn_join: ivf_topk's replay with probes over the

@@ -1,0 +1,146 @@
+"""Distributed linear-model fitting for data-pipeline scoring.
+
+Ridge regression by NORMAL EQUATIONS: the corpus contributes one
+Gram-matrix aggregate (k(k+1)/2 + k + 1 integer sums — the shuffle
+carries a handful of int64s per map task, never rows), and the k x k
+solve happens driver-side, bounded by the feature count, independent of
+corpus size. This is the textbook 100-TB shape for linear fits: at any
+scale the data pass is a single partial+final aggregate, and the model
+ships back as literals folded into whole-stage codegen.
+
+Engine-exactness discipline (the kmeans_centroids pattern): features
+are exact small integers, so the Gram entries are EXACT int64 in both
+engines; the driver-side Gaussian elimination rounds every arithmetic
+result to 6 decimal places (round-half-up on the scaled value), which
+the DuckDB oracle replays as an unrolled CTE chain with the identical
+operation order — same doubles in, same rounding after every op, same
+weights out, bit-for-bit.
+
+Overflow note at real scale: sum(x_i * x_j) over ~1e12 rows of
+O(1e3)-valued features approaches int64 range; production would scale
+features down or use a two-level (per-partition then global) sum.  The
+CONTRACT here (integer Gram, bounded solve) is what matters.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import words_col
+
+#: feature names, in model order: bias, word count, short words
+#: (len <= 3), long words (len >= 8). All exact int64 per document.
+FEATURES = ("bias", "n_words", "n_short", "n_long")
+RIDGE_LAMBDA = 1  # added to the Gram diagonal: SPD => pivot-safe
+
+
+def r6(x: float) -> float:
+    """Python twin of util.round6_binary: round-half-up at 6 dp on the
+    magnitude, computed in IEEE doubles (Python floats ARE doubles, so
+    this is the same value the JVM/DuckDB expression produces)."""
+    import math
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1000000.0 + 0.5) / 1000000.0
+
+
+def doc_features(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc integer feature row: (id, y, x1..xk) with y = char
+    length and x = (1, word count, short-word count, long-word count).
+    Pure JVM expressions — no UDF, fully codegen'd."""
+    w = words_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.size(w).cast("long").alias("x1"),
+        F.size(F.filter(w, lambda t: F.length(t) <= 3)).cast("long")
+        .alias("x2"),
+        F.size(F.filter(w, lambda t: F.length(t) >= 8)).cast("long")
+        .alias("x3"))
+
+
+def gram_moments(feat: DataFrame) -> Tuple[list, list, int]:
+    """ONE aggregate pass: exact int64 Gram matrix G = X'X, moment
+    vector b = X'y, and the row count. This is the only corpus touch of
+    the whole fit — k(k+1)/2 + k + 1 sums, map-side combined."""
+    k = 4
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"x{j}"))
+                        .alias(f"g{i}{j}"))
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"x{i}") * F.col("y")).alias(f"b{i}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    row = feat.agg(*aggs).collect()[0]
+    g = [[row[f"g{min(i, j)}{max(i, j)}"] for j in range(k)]
+         for i in range(k)]
+    b = [row[f"b{i}"] for i in range(k)]
+    return g, b, row["n"]
+
+
+def solve_spd_r6(g: Sequence[Sequence[int]], b: Sequence[int],
+                 ridge: int = RIDGE_LAMBDA) -> List[float]:
+    """Gaussian elimination (no pivoting; ridge makes the matrix SPD)
+    with round6 after EVERY arithmetic result — the exact operation
+    schedule the SQL oracle unrolls (__spark_entry__._ridge_chain must
+    mirror any change here step for step)."""
+    k = len(g)
+    a = [[float(g[i][j]) + (ridge if i == j else 0) for j in range(k)]
+         + [float(b[i])] for i in range(k)]
+    for p in range(k):
+        for i in range(p + 1, k):
+            f = r6(a[i][p] / a[p][p])
+            for j in range(p, k + 1):
+                a[i][j] = r6(a[i][j] - r6(f * a[p][j]))
+    w = [0.0] * k
+    for i in range(k - 1, -1, -1):
+        acc = a[i][k]
+        for j in range(i + 1, k):
+            acc = r6(acc - r6(a[i][j] * w[j]))
+        w[i] = r6(acc / a[i][i])
+    return w
+
+
+def ridge_fit(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> List[float]:
+    """Fit the length-from-structure ridge model; returns the k
+    weights (6-dp doubles) driver-side."""
+    g, b, _ = gram_moments(doc_features(df, text_col, id_col))
+    return solve_spd_r6(g, b)
+
+
+def ridge_weights_df(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The fitted model as a k-row DataFrame (feature name, weight)."""
+    w = ridge_fit(df, text_col, id_col)
+    rows = [(i, FEATURES[i], w[i]) for i in range(len(w))]
+    return df.sparkSession.createDataFrame(
+        rows, "feature_idx int, feature string, weight double")
+
+
+def ridge_score(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Score every document with the fitted model: yhat folded into
+    codegen as LITERAL weights (the model-shipping shape — no join at
+    serving time), micro-int rounded; residual as exact micro int."""
+    w = ridge_fit(df, text_col, id_col)
+    feat = doc_features(df, text_col, id_col)
+    yhat = F.lit(w[0]) * F.col("x0")
+    for i in range(1, len(w)):
+        yhat = yhat + F.lit(w[i]) * F.col(f"x{i}")
+    # left-to-right sum, 6-dp round, then micro units — the oracle
+    # parenthesizes identically
+    from .util import round6_binary
+    yr = round6_binary(yhat)
+    yhat_micro = (F.signum(yr) * F.floor(F.abs(yr) * F.lit(1e6)
+                                         + F.lit(0.5))).cast("long")
+    return (feat.select(F.col(id_col), "y",
+                        yhat_micro.alias("yhat_micro"))
+            .withColumn("resid_micro",
+                        F.col("y") * F.lit(1_000_000)
+                        - F.col("yhat_micro")))
