@@ -2637,6 +2637,20 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression classifier fit by full-batch GD (operators/
+    mlfit.py logreg_fit): label = (lang == 'en'), integer text features,
+    3 unrolled iterations. Per iteration ONE corpus aggregate whose per-
+    row sigmoid errors are micro-int'ed per feature before the sum
+    (exact int64 gradients, fold-order free); weight updates replay
+    driver-side with the r6-per-op schedule the oracle unrolls — the
+    fastText-shaped quality-classifier recipe of LLM data pipelines."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.mlfit import logreg_weights_df
+    return logreg_weights_df(_docs(spark, sf_dir),
+                             FF.col("lang") == FF.lit("en"))
+
+
 def _q_linreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed ridge regression by normal equations (operators/
     mlfit.py): ONE exact-int64 Gram/moment aggregate over the corpus
@@ -3519,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "logreg_weights": _q_logreg_weights,
         "linreg_weights": _q_linreg_weights,
         "linreg_score": _q_linreg_score,
         "bpe_encode": _q_bpe_encode,
@@ -4086,6 +4101,53 @@ def _ridge_score_oracle() -> str:
         SELECT doc_id, y, {ym} AS yhat_micro,
                (y * 1000000 - ({ym}))::BIGINT AS resid_micro
         FROM feats, wts""")
+
+
+def _logreg_oracle(iters: int = 3, lr: str = "0.5::DOUBLE",
+                   scale: str = "100.0::DOUBLE", k: int = 4) -> str:
+    """DuckDB twin of mlfit.logreg_fit: integer features + 0/1 label,
+    then ``iters`` unrolled full-batch GD rounds — per row the sigmoid
+    error is r6'd and micro-int'ed per feature before the SUM (exact
+    int64 gradients), per round the weight update replays the driver's
+    r6-after-every-op schedule. exp() is the one libm-parity op (same
+    contract as the bm25/tfidf ln)."""
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    micro = ("(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)")
+    ctes = [f"""feats AS (
+            SELECT doc_id,
+                   (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                       AS y01,
+                   1::BIGINT AS x0, len(w)::BIGINT AS x1,
+                   len(list_filter(w, t -> length(t) <= 3))::BIGINT AS x2,
+                   len(list_filter(w, t -> length(t) >= 8))::BIGINT AS x3
+            FROM (SELECT doc_id, lang, {_WORDS} AS w FROM documents))""",
+            "nn AS (SELECT COUNT(*)::BIGINT AS n FROM feats)",
+            "lw0 AS (SELECT " + ", ".join(
+                f"0.0::DOUBLE AS w{j}" for j in range(k)) + ")"]
+    zexpr = " + ".join(f"w{j} * (x{j} / {scale})" for j in range(k))
+    for t in range(1, iters + 1):
+        z = r6.format(x=zexpr)
+        p = r6.format(x=f"1.0::DOUBLE / (1.0::DOUBLE + exp(-({z})))")
+        gs = []
+        for j in range(k):
+            e = r6.format(x=f"(({p}) - y01) * (x{j} / {scale})")
+            gs.append(f"SUM({micro.format(x=e)})::BIGINT AS g{j}")
+        ctes.append(f"lg{t} AS (SELECT " + ", ".join(gs)
+                    + f" FROM feats, lw{t - 1})")
+        ups = []
+        for j in range(k):
+            gbar = r6.format(x=f"(g{j} / 1000000.0) / n")
+            ups.append(r6.format(x=f"w{j} - {r6.format(x=f'{lr} * {gbar}')}")
+                       + f" AS w{j}")
+        ctes.append(f"lw{t} AS (SELECT " + ", ".join(ups)
+                    + f" FROM lg{t}, lw{t - 1}, nn)")
+    names = ["bias", "n_words", "n_short", "n_long"]
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS feature_idx, '{names[i]}' AS feature, "
+        f"w{i} AS weight FROM lw{iters}" for i in range(k))
+    return "WITH " + ",".join(ctes) + " " + sel
 
 
 def _ivfpq_oracle(n_coarse: int = 8, coarse_iters: int = 2,
@@ -6547,6 +6609,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
+        "logreg_weights": _logreg_oracle(),
         "linreg_weights": _ridge_weights_oracle(),
         "linreg_score": _ridge_score_oracle(),
         "pq_topk": _pq_oracle(),

@@ -144,3 +144,79 @@ def ridge_score(df: DataFrame, text_col: str = "text",
             .withColumn("resid_micro",
                         F.col("y") * F.lit(1_000_000)
                         - F.col("yhat_micro")))
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression (full-batch GD) — the classifier sibling
+# ---------------------------------------------------------------------------
+
+FEATURE_SCALE = 100.0  # x/100 keeps w.x in sigmoid's responsive range
+LOGREG_LR = 0.5
+LOGREG_ITERS = 3
+
+
+def _scaled_z(weights: Sequence[float]) -> Column:
+    """w . (x / FEATURE_SCALE), left-associated like ridge_score."""
+    z = F.lit(weights[0]) * (F.col("x0") / F.lit(FEATURE_SCALE))
+    for i in range(1, len(weights)):
+        z = z + F.lit(weights[i]) * (F.col(f"x{i}") / F.lit(FEATURE_SCALE))
+    return z
+
+
+def logreg_fit(feat: DataFrame, iters: int = LOGREG_ITERS,
+               lr: float = LOGREG_LR) -> List[float]:
+    """Full-batch gradient descent for logistic regression — the
+    fastText-shaped quality-classifier fit of LLM data pipelines
+    (label a slice, fit a cheap linear model, score the corpus).
+
+    Each iteration is ONE corpus aggregate: per row the sigmoid error
+    is 6-dp rounded and micro-int'ed per feature BEFORE the sum, so the
+    k gradient sums are exact int64 (fold-order independent); the
+    weight update runs driver-side with the same r6-after-every-op
+    schedule the SQL oracle unrolls per iteration. The driver sync is
+    k longs + a count per iteration — bounded, corpus-independent.
+
+    ``feat`` must carry integer columns x0..x3 and a 0/1 ``y01``.
+    sigmoid's exp is the one op trusted to libm parity (same contract
+    as the bm25/tfidf ln) — everything else is exact or 6-dp gridded.
+    """
+    from .util import round6_binary
+    k = 4
+    n = None
+    w = [0.0] * k
+    feat = feat.persist()
+    try:
+        for _ in range(iters):
+            z = round6_binary(_scaled_z(w))
+            p = round6_binary(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+            err = p - F.col("y01")
+            aggs = []
+            for j in range(k):
+                e = round6_binary(err * (F.col(f"x{j}")
+                                         / F.lit(FEATURE_SCALE)))
+                aggs.append(F.sum((F.signum(e) * F.floor(
+                    F.abs(e) * F.lit(1e6) + F.lit(0.5))).cast("long"))
+                    .alias(f"g{j}"))
+            aggs.append(F.count(F.lit(1)).alias("n"))
+            row = feat.agg(*aggs).collect()[0]
+            n = row["n"]
+            for j in range(k):
+                gbar = r6((row[f"g{j}"] / 1000000.0) / n)
+                w[j] = r6(w[j] - r6(lr * gbar))
+        return w
+    finally:
+        feat.unpersist()
+
+
+def logreg_weights_df(df: DataFrame, label: Column,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Fit the classifier on doc_features + ``label`` (0/1 column
+    expression over ``df``); returns the k weights as a DataFrame."""
+    feat = (doc_features(df, text_col, id_col)
+            .join(df.select(F.col(id_col),
+                            label.cast("long").alias("y01")), id_col))
+    w = logreg_fit(feat)
+    rows = [(i, FEATURES[i], w[i]) for i in range(len(w))]
+    return df.sparkSession.createDataFrame(
+        rows, "feature_idx int, feature string, weight double")

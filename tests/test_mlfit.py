@@ -70,3 +70,37 @@ def test_fit_recovers_exact_linear_relation(spark):
         yhat = (w[0] * fr["x0"] + w[1] * fr["x1"] + w[2] * fr["x2"]
                 + w[3] * fr["x3"])
         assert abs(yhat - fr["y"]) < 0.5, (i, yhat, fr["y"])
+
+
+def test_logreg_learns_separable_label(spark):
+    # label = "doc has > 20 words": perfectly separable on x1; three
+    # GD rounds must move the n_words weight positive and classify the
+    # training extremes correctly at the sigmoid midpoint
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.mlfit import (FEATURE_SCALE,
+                                                      logreg_fit)
+    rows = [(i, " ".join("word" for _ in range(5 if i % 2 else 40)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feat = (doc_features(df)
+            .withColumn("y01", (F.col("x1") > 20).cast("long")))
+    w = logreg_fit(feat)
+    assert w[1] > 0.0
+    z_long = sum(wj * xj / FEATURE_SCALE
+                 for wj, xj in zip(w, (1, 40, 0, 0)))
+    z_short = sum(wj * xj / FEATURE_SCALE
+                  for wj, xj in zip(w, (1, 5, 5, 0)))
+    assert z_long > z_short
+
+
+def test_logreg_deterministic(spark):
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.mlfit import logreg_weights_df
+    rows = [(i, "some words here to classify " + "pad " * (i % 7))
+            for i in range(30)]
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          .withColumn("lang", F.when(F.col("doc_id") % 3 == 0,
+                                     "en").otherwise("de")))
+    a = logreg_weights_df(df, F.col("lang") == "en").collect()
+    b = logreg_weights_df(df, F.col("lang") == "en").collect()
+    assert a == b
