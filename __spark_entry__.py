@@ -2637,6 +2637,18 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    per anchor the top-5 most-cosine-similar vectors with a DIFFERENT
+    label — the contrastive-training data op (DPR/SimCSE recipes).
+    Exact baseline contract of cosine_topk with the label-inequality
+    pruned inside the scoring stage; compose with IVF/IVFPQ candidate
+    sets for the 100 TB path."""
+    from datafusion_geo_spark.operators.similarity import hard_negatives
+    from datafusion_geo_spark.sources.fixtures import load_table
+    return hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic-regression classifier fit by full-batch GD (operators/
     mlfit.py logreg_fit): label = (lang == 'en'), integer text features,
@@ -3533,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "hard_negatives": _q_hard_negatives,
         "logreg_weights": _q_logreg_weights,
         "linreg_weights": _q_linreg_weights,
         "linreg_score": _q_linreg_score,
@@ -6610,6 +6623,27 @@ def oracle_sql() -> dict[str, str]:
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "logreg_weights": _logreg_oracle(),
+        "hard_negatives": """
+            WITH vecs AS (SELECT vec_id,
+                                 list_transform(embedding, x -> x::DOUBLE)
+                                     AS v,
+                                 label FROM embeddings),
+            anchors AS (SELECT vec_id AS anchor_id, v AS av,
+                               label AS anchor_label
+                        FROM vecs WHERE vec_id < 8),
+            pairs AS (SELECT q.anchor_id, q.anchor_label,
+                             a.vec_id AS negative_id,
+                             a.label AS negative_label,
+                             ((CASE WHEN (list_cosine_similarity(a.v, q.av)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, q.av)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim
+                      FROM vecs a, anchors q
+                      WHERE a.label != q.anchor_label
+                        AND a.vec_id != q.anchor_id)
+            SELECT anchor_id, anchor_label, negative_id, negative_label,
+                   sim, rank::INT AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                           ORDER BY sim DESC, negative_id) AS rank
+              FROM pairs) WHERE rank <= 5
+        """,
         "linreg_weights": _ridge_weights_oracle(),
         "linreg_score": _ridge_score_oracle(),
         "pq_topk": _pq_oracle(),

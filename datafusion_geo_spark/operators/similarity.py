@@ -917,3 +917,47 @@ def ivfpq_search(vecs: DataFrame, n_coarse: int = 8, coarse_iters: int = 2,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "score_micro",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def hard_negatives(emb: DataFrame, k: int = 5, max_anchor_id: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually teach the margin
+    (random negatives are trivially separable; the hard ones sit just
+    across the boundary). The classic retrieval-training data op
+    (DPR / SimCSE / E5 recipes).
+
+    This is the exact (brute-force-scored) baseline, mirroring
+    cosine_topk's contract: anchors broadcast (bounded), corpus
+    streams, label-inequality prunes BEFORE scoring inside the same
+    codegen stage. At 100 TB compose with the pruned families instead
+    (ivf_topk / ivfpq_search restricted to probed lists, or
+    ann_bucketed_topk) and apply the same label filter — identical
+    semantics per candidate set.
+    """
+    vecs = prenorm(emb, id_col, vec_col)
+    lab = emb.select(F.col(id_col), F.col(label_col).alias("_lab"))
+    vl = vecs.join(lab, id_col)
+    anchors = F.broadcast(
+        vl.where(F.col(id_col) < max_anchor_id)
+        .select(F.col(id_col).alias("anchor_id"),
+                F.col("v").alias("av"), F.col("n").alias("an"),
+                F.col("_lab").alias("anchor_label")))
+    pairs = (vl.crossJoin(anchors)
+             .where((F.col("_lab") != F.col("anchor_label"))
+                    & (F.col(id_col) != F.col("anchor_id")))
+             .select("anchor_id", "anchor_label",
+                     F.col(id_col).alias("negative_id"),
+                     F.col("_lab").alias("negative_label"),
+                     round6_binary(dot(F.col("v"), F.col("av"))
+                                   / (F.col("n") * F.col("an")))
+                     .alias("sim")))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"),
+                                                F.asc("negative_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("anchor_id", "anchor_label", "negative_id",
+                    "negative_label", "sim",
+                    F.col("rank").cast("int").alias("rank")))
