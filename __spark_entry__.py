@@ -2637,6 +2637,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption examples (operators/objectives.py
+    span_corruption): md5-coin span candidates merged into maximal
+    islands (the dup_spans gaps-and-islands window), sentinel-masked
+    ``inputs`` + sentinel-prefixed ``targets`` via ordered per-doc
+    aggregation — the objective-construction stage right before the
+    trainer, byte-for-byte replayed by the oracle."""
+    from datafusion_geo_spark.operators.objectives import span_corruption
+    return span_corruption(_docs(spark, sf_dir))
+
+
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (operators/similarity.py hard_negatives):
     per anchor the top-5 most-cosine-similar vectors with a DIFFERENT
@@ -3545,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "span_corruption": _q_span_corruption,
         "hard_negatives": _q_hard_negatives,
         "logreg_weights": _q_logreg_weights,
         "linreg_weights": _q_linreg_weights,
@@ -6623,6 +6635,61 @@ def oracle_sql() -> dict[str, str]:
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "logreg_weights": _logreg_oracle(),
+        "span_corruption": """
+            WITH toks AS (
+              SELECT doc_id, len(w)::BIGINT AS n_words, i - 1 AS pos,
+                     w[i] AS tok
+              FROM (SELECT doc_id, {words} AS w FROM documents),
+                   unnest(range(1, len(w) + 1)) AS t(i)),
+            cand0 AS (SELECT doc_id, pos,
+                             2 + (('0x' || substr(md5('sc1|' || doc_id || '|' || pos || '|L'), 1, 8))::BIGINT % 3) AS slen
+                      FROM toks
+                      WHERE ('0x' || substr(md5('sc1|' || doc_id || '|' || pos), 1, 8))::BIGINT % 1000 < 50),
+            cand1 AS (SELECT doc_id, pos, slen,
+                             COALESCE(MAX(pos + slen - 1) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), -1) AS prev_end
+                      FROM cand0),
+            cand2 AS (SELECT doc_id, pos, slen,
+                             SUM(CASE WHEN pos > prev_end
+                                      THEN 1 ELSE 0 END) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+                      FROM cand1),
+            cov AS (SELECT DISTINCT doc_id, isl, pos + g.i AS pos
+                    FROM cand2, unnest(range(0, slen)) AS g(i)),
+            tk AS (SELECT t.doc_id, t.n_words, t.pos, t.tok, c.isl
+                   FROM toks t LEFT JOIN cov c
+                        ON c.doc_id = t.doc_id AND c.pos = t.pos),
+            tk2 AS (SELECT *,
+                           CASE WHEN isl IS NOT NULL THEN
+                                MIN(pos) OVER (PARTITION BY doc_id, isl)
+                           END AS isl_first
+                    FROM tk),
+            agg AS (SELECT doc_id, n_words,
+                       string_agg(CASE WHEN isl IS NULL THEN tok
+                                       WHEN pos = isl_first
+                                       THEN '<X_' || isl || '>' END,
+                                  ' ' ORDER BY pos) AS inputs,
+                       string_agg(CASE WHEN isl IS NOT NULL THEN
+                                    CASE WHEN pos = isl_first
+                                         THEN '<X_' || isl || '> ' || tok
+                                         ELSE tok END END,
+                                  ' ' ORDER BY pos) AS targets,
+                       COUNT(DISTINCT isl)::BIGINT AS n_spans,
+                       SUM(CASE WHEN isl IS NOT NULL
+                                THEN 1 ELSE 0 END)::BIGINT
+                           AS n_corrupt_tokens
+                    FROM tk2 GROUP BY doc_id, n_words)
+            SELECT doc_id, COALESCE(inputs, '') AS inputs,
+                   COALESCE(targets, '') AS targets, n_spans,
+                   COALESCE(n_corrupt_tokens, 0)::BIGINT
+                       AS n_corrupt_tokens,
+                   n_words
+            FROM agg
+        """.format(words=_WORDS),
         "hard_negatives": """
             WITH vecs AS (SELECT vec_id,
                                  list_transform(embedding, x -> x::DOUBLE)
