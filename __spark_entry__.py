@@ -2637,6 +2637,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM example construction (operators/objectives.py
+    mlm_masking): md5-coin 15% position selection with the 80/10/10
+    [MASK]/random/keep split; random replacements hash-index into the
+    top-1024 common-token pool (vocab_encode's distributed sort+limit
+    — no full-vocab single-task window). Byte-replayed by the
+    oracle, labels as ordered pos:original pairs."""
+    from datafusion_geo_spark.operators.objectives import mlm_masking
+    return mlm_masking(_docs(spark, sf_dir))
+
+
 def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5/UL2-style span-corruption examples (operators/objectives.py
     span_corruption): md5-coin span candidates merged into maximal
@@ -3556,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "mlm_masking": _q_mlm_masking,
         "span_corruption": _q_span_corruption,
         "hard_negatives": _q_hard_negatives,
         "logreg_weights": _q_logreg_weights,
@@ -6635,6 +6647,47 @@ def oracle_sql() -> dict[str, str]:
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "logreg_weights": _logreg_oracle(),
+        "mlm_masking": """
+            WITH toks AS (
+              SELECT doc_id, len(w)::BIGINT AS n_words, i - 1 AS pos,
+                     w[i] AS tok
+              FROM (SELECT doc_id, {words} AS w FROM documents),
+                   unnest(range(1, len(w) + 1)) AS t(i)),
+            pool AS (SELECT tok, COUNT(*)::BIGINT AS c FROM toks
+                     GROUP BY tok ORDER BY c DESC, tok LIMIT 1024),
+            vocab AS (SELECT tok AS vtok,
+                             (ROW_NUMBER() OVER (ORDER BY c DESC, tok)
+                              - 1)::BIGINT AS vidx
+                      FROM pool),
+            nv AS (SELECT COUNT(*)::BIGINT AS n_vocab FROM vocab),
+            sel AS (SELECT doc_id, n_words, pos, tok,
+                           (('0x' || substr(md5('mm1|' || doc_id || '|' || pos), 1, 8))::BIGINT % 1000 < 150) AS hit,
+                           (('0x' || substr(md5('mm1|' || doc_id || '|' || pos || '|A'), 1, 8))::BIGINT % 10) AS act,
+                           (('0x' || substr(md5('mm1|' || doc_id || '|' || pos || '|R'), 1, 8))::BIGINT % n_vocab) AS ridx
+                    FROM toks, nv),
+            sel2 AS (SELECT s.*, v.vtok FROM sel s
+                     LEFT JOIN vocab v ON v.vidx = s.ridx),
+            agg AS (SELECT doc_id, n_words,
+                       string_agg(CASE WHEN NOT hit THEN tok
+                                       WHEN act < 8 THEN '[MASK]'
+                                       WHEN act = 8 THEN vtok
+                                       ELSE tok END,
+                                  ' ' ORDER BY pos) AS masked,
+                       string_agg(CASE WHEN hit
+                                       THEN pos || ':' || tok END,
+                                  ' ' ORDER BY pos) AS labels,
+                       SUM(CASE WHEN hit AND act < 8
+                                THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+                       SUM(CASE WHEN hit AND act = 8
+                                THEN 1 ELSE 0 END)::BIGINT AS n_replaced,
+                       SUM(CASE WHEN hit AND act = 9
+                                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+                    FROM sel2 GROUP BY doc_id, n_words)
+            SELECT doc_id, COALESCE(masked, '') AS masked,
+                   COALESCE(labels, '') AS labels, n_masked,
+                   n_replaced, n_kept, n_words
+            FROM agg
+        """.format(words=_WORDS),
         "span_corruption": """
             WITH toks AS (
               SELECT doc_id, len(w)::BIGINT AS n_words, i - 1 AS pos,

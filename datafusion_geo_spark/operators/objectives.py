@@ -115,3 +115,73 @@ def span_corruption(df: DataFrame, text_col: str = "text",
                        F.coalesce("n_corrupt_tokens", F.lit(0))
                        .cast("long").alias("n_corrupt_tokens"),
                        "n_words"))
+
+
+def mlm_masking(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", density_permille: int = 150,
+                seed: str = "mm1") -> DataFrame:
+    """BERT-style MLM example construction: ~density/1000 of word
+    positions are selected by md5 coin; of those, 8/10 become [MASK],
+    1/10 are replaced by a RANDOM vocabulary word (hash-indexed into
+    the alphabetically-ordered corpus vocabulary — deterministic in
+    any engine), 1/10 keep the original token. Returns per doc the
+    corrupted text, the ordered "pos:original" label string, and the
+    mask/replace/keep counts — all byte-replayable.
+
+    The replacement pool is the TOP-1024 most common tokens (selected
+    with the vocab_encode distributed sort+limit — a partition-less
+    window over the full vocabulary would single-task at 100 TB; a
+    bounded pool broadcasts). The one-row pool-size frame rides a
+    broadcast cross (the tfidf corpus-size pattern); windows again
+    partition by doc_id."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      words_col(F.col(text_col)).alias("w"))
+            .select("doc_id", F.size("w").cast("long").alias("n_words"),
+                    F.posexplode("w").alias("pos", "tok")))
+
+    def coin(tag: str) -> Column:
+        return h64(F.concat(F.lit(seed), F.lit("|"),
+                            F.col("doc_id").cast("string"), F.lit("|"),
+                            F.col("pos").cast("string"), F.lit(tag)))
+
+    pool = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+            .orderBy(F.col("_c").desc(), F.col("tok").asc())
+            .limit(1024))
+    wv = Window.orderBy(F.col("_c").desc(), F.col("tok").asc())
+    vocab = F.broadcast(
+        pool.withColumn("vidx", (F.row_number().over(wv) - F.lit(1))
+                        .cast("long"))
+        .select(F.col("tok").alias("vtok"), "vidx"))
+    nv = F.broadcast(vocab.agg(F.count(F.lit(1)).alias("n_vocab")))
+    sel = toks.crossJoin(nv).select(
+        "doc_id", "n_words", "pos", "tok",
+        (coin("") % F.lit(1000) < F.lit(density_permille)).alias("hit"),
+        (coin("|A") % F.lit(10)).alias("act"),
+        (coin("|R") % F.col("n_vocab")).alias("ridx"))
+    sel = (sel.join(vocab, sel["ridx"] == vocab["vidx"], "left")
+           .drop("vidx", "ridx"))
+    piece = (F.when(~F.col("hit"), F.col("tok"))
+             .when(F.col("act") < 8, F.lit("[MASK]"))
+             .when(F.col("act") == 8, F.col("vtok"))
+             .otherwise(F.col("tok")))
+    lab = F.when(F.col("hit"),
+                 F.concat(F.col("pos").cast("string"), F.lit(":"),
+                          F.col("tok")))
+    agg = (sel.groupBy("doc_id", "n_words").agg(
+        _ordered_join(F.collect_list(
+            F.struct(F.col("pos").alias("ord"),
+                     piece.alias("s")))).alias("masked"),
+        _ordered_join(F.collect_list(
+            F.when(lab.isNotNull(),
+                   F.struct(F.col("pos").alias("ord"),
+                            lab.alias("s"))))).alias("labels"),
+        F.sum((F.col("hit") & (F.col("act") < 8)).cast("long"))
+        .alias("n_masked"),
+        F.sum((F.col("hit") & (F.col("act") == 8)).cast("long"))
+        .alias("n_replaced"),
+        F.sum((F.col("hit") & (F.col("act") == 9)).cast("long"))
+        .alias("n_kept")))
+    return agg.select(F.col("doc_id").alias(id_col),
+                      F.coalesce("masked", F.lit("")).alias("masked"),
+                      F.coalesce("labels", F.lit("")).alias("labels"),
+                      "n_masked", "n_replaced", "n_kept", "n_words")

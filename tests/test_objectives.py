@@ -67,3 +67,30 @@ def test_corruption_rate_tracks_density(spark):
     assert rate(lo) < rate(hi)
     # union-of-spans expectation: 1-(1-p)^3 within loose bounds
     assert 0.03 < rate(lo) < 0.20 and 0.25 < rate(hi) < 0.55
+
+
+def test_mlm_split_and_labels(spark):
+    from datafusion_geo_spark.operators.objectives import mlm_masking
+    rows = [(i, " ".join(f"w{j}" for j in range(50))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mlm_masking(df).collect()}
+    tot_hit = sum(r["n_masked"] + r["n_replaced"] + r["n_kept"]
+                  for r in out.values())
+    tot = sum(r["n_words"] for r in out.values())
+    assert 0.08 < tot_hit / tot < 0.25          # ~15% selection
+    masked = sum(r["n_masked"] for r in out.values())
+    assert masked / max(tot_hit, 1) > 0.6       # ~80% of hits -> [MASK]
+    for i, orig in rows:
+        r = out[i]
+        toks = orig.split()
+        got = r["masked"].split()
+        assert len(got) == len(toks)
+        labels = dict(p.split(":") for p in r["labels"].split()) \
+            if r["labels"] else {}
+        # every label records the true original token at that position
+        for pos, t in labels.items():
+            assert toks[int(pos)] == t
+        # non-selected positions are untouched
+        for j, (a, b) in enumerate(zip(toks, got)):
+            if str(j) not in labels:
+                assert a == b, (i, j)

@@ -38,6 +38,9 @@ ALLOWED_BROADCAST_CROSSES = {
                              # cross compiles away, as in cosine_topk)
     "bm25_search": 1,        # ONE-ROW global aggregate (N, Σdl, dfs)
                              # broadcast back onto the corpus
+    "mlm_masking": 1,        # one-row replacement-pool-size aggregate
+                             # broadcast onto the token stream (the
+                             # tfidf corpus-size shape)
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
