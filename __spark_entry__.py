@@ -2637,6 +2637,15 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram perplexity (operators/text.py
+    heldout_perplexity): deterministic 90/10 hash split, add-1
+    smoothed train-vocab LM, micro-int token logprobs, one-row eval —
+    the corpus-drift metric tracked across dataset versions."""
+    from datafusion_geo_spark.operators.text import heldout_perplexity
+    return heldout_perplexity(_docs(spark, sf_dir))
+
+
 def _q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BERT-style MLM example construction (operators/objectives.py
     mlm_masking): md5-coin 15% position selection with the 80/10/10
@@ -3567,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "heldout_ppl": _q_heldout_ppl,
         "mlm_masking": _q_mlm_masking,
         "span_corruption": _q_span_corruption,
         "hard_negatives": _q_hard_negatives,
@@ -6647,6 +6657,32 @@ def oracle_sql() -> dict[str, str]:
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "logreg_weights": _logreg_oracle(),
+        "heldout_ppl": """
+            WITH sp AS (SELECT doc_id, text,
+                               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+                        FROM documents),
+            ttoks AS (SELECT unnest({wl}) AS w
+                      FROM sp WHERE b < 9000),
+            vocab AS (SELECT w, COUNT(*)::BIGINT AS cnt
+                      FROM ttoks GROUP BY w),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM ttoks),
+            vs AS (SELECT COUNT(*)::BIGINT AS v FROM vocab),
+            htoks AS (SELECT doc_id, unnest({wl}) AS w
+                      FROM sp WHERE b >= 9000),
+            sc AS (SELECT h.doc_id, vocab.cnt
+                   FROM htoks h LEFT JOIN vocab USING (w)),
+            agg AS (SELECT COUNT(DISTINCT sc.doc_id)::BIGINT
+                               AS n_test_docs,
+                           COUNT(*)::BIGINT AS n_test_tokens,
+                           SUM(CASE WHEN cnt IS NULL
+                                    THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                           SUM((CASE WHEN (ln((COALESCE(cnt, 0) + 1)::DOUBLE / ((total + v + 1))::DOUBLE)) < 0 THEN -1 ELSE 1 END) * CAST(floor(abs(ln((COALESCE(cnt, 0) + 1)::DOUBLE / ((total + v + 1))::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+                               AS lp_micro_sum
+                    FROM sc, tot, vs)
+            SELECT n_test_docs, n_test_tokens, n_oov, lp_micro_sum,
+                   (CASE WHEN (((CASE WHEN (exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) < 0 THEN -1 ELSE 1 END) * floor(abs(exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) * 1000000.0 + 0.5) / 1000000.0 + 0.0)) < 0 THEN -1 ELSE 1 END) * CAST(floor(abs(((CASE WHEN (exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) < 0 THEN -1 ELSE 1 END) * floor(abs(exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) * 1000000.0 + 0.5) / 1000000.0 + 0.0)) * 1000000.0 + 0.5) AS BIGINT) AS ppl_micro
+            FROM agg
+        """.format(wl="string_split_regex(trim(lower(text)), '\\s+')"),
         "mlm_masking": """
             WITH toks AS (
               SELECT doc_id, len(w)::BIGINT AS n_words, i - 1 AS pos,

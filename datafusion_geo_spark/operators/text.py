@@ -568,3 +568,57 @@ def percentile_quality_filter(df: DataFrame, pct: float = 0.25,
     return (scored.crossJoin(F.broadcast(thr))
             .where(F.col("_score") >= F.col("_thr"))
             .drop("_thr", "_score"))
+
+
+def heldout_perplexity(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Held-out perplexity of the corpus-trained unigram LM — the
+    eval-side twin of unigram_logprob and the standard sanity metric a
+    data pipeline tracks across corpus versions (rising held-out ppl =
+    the new crawl drifted).
+
+    Deterministic 90/10 train/test split by the repo hash bucket
+    (sampling.with_split semantics); the LM is add-1 smoothed over the
+    TRAIN vocabulary so held-out OOV tokens score ln(1/(T+V+1)) instead
+    of -inf. Per-token log-probs round to micro ints BEFORE the sum
+    (fold-order free); perplexity exp(-mean) is a fixed literal chain
+    on the two integers (ln/exp libm-parity contract, as bm25/logreg).
+
+    ONE row out: test doc/token counts, OOV count, lp_micro_sum, and
+    ppl_micro. Scale shape: token-count shuffle + one broadcast-able
+    vocab join + two one-row aggregates — the unigram_logprob plan plus
+    a split predicate evaluated in the scan."""
+    from .dedup import h64
+    from .util import round6_binary
+    b = h64(F.col(id_col).cast("string")) % F.lit(10000)
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t"),
+                     b.alias("_b"))
+    ttoks = (base.where(F.col("_b") < 9000)
+             .select(F.explode(words_col(F.lower(F.col("_t"))))
+                     .alias("w")))
+    vocab = ttoks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ttoks.agg(F.count(F.lit(1)).alias("total"))
+    vs = vocab.agg(F.count(F.lit(1)).alias("v"))
+    htoks = (base.where(F.col("_b") >= 9000)
+             .select(F.col(id_col),
+                     F.explode(words_col(F.lower(F.col("_t"))))
+                     .alias("w")))
+    sc = (htoks.join(vocab, "w", "left")
+          .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(vs)))
+    lp = F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+               .cast("double")
+               / (F.col("total") + F.col("v") + F.lit(1)).cast("double"))
+    lp_micro = (F.signum(lp) * F.floor(F.abs(lp) * F.lit(1e6)
+                                       + F.lit(0.5))).cast("long")
+    agg = sc.agg(
+        F.countDistinct(id_col).alias("n_test_docs"),
+        F.count(F.lit(1)).alias("n_test_tokens"),
+        F.sum(F.col("cnt").isNull().cast("long")).alias("n_oov"),
+        F.sum(lp_micro).alias("lp_micro_sum"))
+    mean = (F.col("lp_micro_sum") / F.lit(1000000.0)) \
+        / F.col("n_test_tokens")
+    p = round6_binary(F.exp(-mean))
+    ppl_micro = (F.signum(p) * F.floor(F.abs(p) * F.lit(1e6)
+                                       + F.lit(0.5))).cast("long")
+    return agg.select("n_test_docs", "n_test_tokens", "n_oov",
+                      "lp_micro_sum", ppl_micro.alias("ppl_micro"))

@@ -38,6 +38,9 @@ ALLOWED_BROADCAST_CROSSES = {
                              # cross compiles away, as in cosine_topk)
     "bm25_search": 1,        # ONE-ROW global aggregate (N, Σdl, dfs)
                              # broadcast back onto the corpus
+    "heldout_ppl": 2,        # two one-row aggregates (train token
+                             # total + train vocab size) broadcast onto
+                             # the held-out token stream
     "mlm_masking": 1,        # one-row replacement-pool-size aggregate
                              # broadcast onto the token stream (the
                              # tfidf corpus-size shape)
