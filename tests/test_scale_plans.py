@@ -254,3 +254,57 @@ def test_hll_registers_partial_final_max(spark):
     plan = plan_of(hll_registers(ev, "key", b=8))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan  # one shuffle, on the register key
+
+
+def test_dup_spans_window_partitions_by_doc(spark):
+    """The duplicate-span islands window must partition by doc_id
+    (parallelism grows with the corpus) — never a low-cardinality or
+    global window — and the occurrence count must be partial+final."""
+    from datafusion_geo_spark.operators.dedup import dup_span_stats
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = plan_of(dup_span_stats(docs))
+    assert "partitionspec=[doc_id" in plan.lower().replace(" ", "") \
+        or "PartitionSpec: [doc_id" in plan or "[doc_id#" in plan
+    assert "partial_count" in plan.lower()
+
+
+def test_mlm_pool_is_take_ordered_not_global_window(spark):
+    """MLM's replacement pool must come from a distributed
+    TakeOrderedAndProject (top-1024 over aggregated counts), never a
+    row_number over the FULL vocabulary (single-task at 100 TB); the
+    pool itself then broadcasts."""
+    from datafusion_geo_spark.operators.objectives import mlm_masking
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = plan_of(mlm_masking(docs))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ivfpq_serving_scan_reads_codes_not_floats(spark):
+    """IVFADC's serving side: the probe prune must be an equi-join on
+    the coarse list id (broadcast probe set), with NO cartesian
+    product anywhere in the executed plan."""
+    from datafusion_geo_spark.operators.similarity import ivfpq_search
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    vecs = embeddings_normed(spark, SF_DIR)
+    plan = plan_of(ivfpq_search(vecs, cache_key=(SF_DIR, "scale-plan")))
+    assert "CartesianProduct" not in plan
+    # the ADC table lookup joins on (query, subspace, code) — hashed
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_linear_fits_are_single_aggregate_collects(spark):
+    """ridge/logreg corpus passes must be partial+final aggregates (the
+    map-side-combined Gram/gradient sums), never a window or sort over
+    the corpus."""
+    from datafusion_geo_spark.operators.mlfit import doc_features
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    feat = doc_features(docs)
+    agg = feat.agg(F.sum(F.col("x1") * F.col("x1")).alias("g"),
+                   F.sum(F.col("x1") * F.col("y")).alias("b"))
+    plan = plan_of(agg)
+    assert "partial_sum" in plan.lower()
+    assert "Window" not in plan and "Sort" not in plan
