@@ -2637,6 +2637,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_streaming_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model serving (streaming/score.py): ridge weights
+    fitted OFFLINE on the batch corpus fold into the streaming plan as
+    literals — scoring is a stateless projection, the per-language
+    monitor a one-row-per-lang streaming groupBy. Bounded availableNow
+    replay equals the batch aggregate; oracle composes the ridge
+    elimination chain with the grouped serving scan."""
+    from datafusion_geo_spark.streaming.score import streaming_ridge_monitor
+    return streaming_ridge_monitor(spark, sf_dir)
+
+
 def _q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out unigram perplexity (operators/text.py
     heldout_perplexity): deterministic 90/10 hash split, add-1
@@ -3576,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "streaming_ridge": _q_streaming_ridge,
         "heldout_ppl": _q_heldout_ppl,
         "mlm_masking": _q_mlm_masking,
         "span_corruption": _q_span_corruption,
@@ -4148,6 +4160,31 @@ def _ridge_score_oracle() -> str:
         SELECT doc_id, y, {ym} AS yhat_micro,
                (y * 1000000 - ({ym}))::BIGINT AS resid_micro
         FROM feats, wts""")
+
+
+def _ridge_monitor_oracle() -> str:
+    """DuckDB twin of streaming.score.streaming_ridge_monitor: the
+    ridge elimination chain (shared :func:`_ridge_ctes`), then the
+    per-language serving aggregate over a lang-carrying feature CTE —
+    the bounded streaming replay equals this batch SQL exactly."""
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    micro = ("(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)")
+    yhat = "w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3"
+    ym = micro.format(x=r6.format(x=yhat))
+    sfeats = f"""sfeats AS (
+            SELECT doc_id, lang, length(text)::BIGINT AS y,
+                   1::BIGINT AS x0, len(w)::BIGINT AS x1,
+                   len(list_filter(w, t -> length(t) <= 3))::BIGINT AS x2,
+                   len(list_filter(w, t -> length(t) >= 8))::BIGINT AS x3
+            FROM (SELECT doc_id, lang, text, {_WORDS} AS w
+                  FROM documents))"""
+    return ("WITH " + ",".join(_ridge_ctes()) + "," + sfeats + f"""
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM({ym})::BIGINT AS yhat_micro_sum,
+               SUM(y * 1000000 - ({ym}))::BIGINT AS resid_micro_sum
+        FROM sfeats, wts GROUP BY lang""")
 
 
 def _logreg_oracle(iters: int = 3, lr: str = "0.5::DOUBLE",
@@ -6657,6 +6694,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "logreg_weights": _logreg_oracle(),
+        "streaming_ridge": _ridge_monitor_oracle(),
         "heldout_ppl": """
             WITH sp AS (SELECT doc_id, text,
                                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b

@@ -47,13 +47,15 @@ def r6(x: float) -> float:
 
 
 def doc_features(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 extra_cols: Sequence[str] = ()) -> DataFrame:
     """Per-doc integer feature row: (id, y, x1..xk) with y = char
     length and x = (1, word count, short-word count, long-word count).
-    Pure JVM expressions — no UDF, fully codegen'd."""
+    Pure JVM expressions — no UDF, fully codegen'd. ``extra_cols``
+    carries passthrough columns (e.g. lang for a grouped monitor)."""
     w = words_col(F.col(text_col))
     return df.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in extra_cols],
         F.length(F.col(text_col)).cast("long").alias("y"),
         F.lit(1).cast("long").alias("x0"),
         F.size(w).cast("long").alias("x1"),
