@@ -121,3 +121,49 @@ def test_ppjoin_hot_shingle_cap_drops_stopword_keys(spark):
     df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
     assert jaccard_prefix_pairs(df, max_token_df=1).count() == 0
     assert jaccard_prefix_pairs(df, max_token_df=None).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# property: dup_span_stats vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+def _brute_spans(docs, n):
+    """Reference implementation: global n-gram counts, per-doc merged
+    covered intervals."""
+    grams = {}
+    per_doc = {}
+    for d, words in docs.items():
+        gs = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+        per_doc[d] = gs
+        for g in gs:
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for d, words in docs.items():
+        dup_pos = [i for i, g in enumerate(per_doc[d]) if grams[g] > 1]
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + n - 1)
+            else:
+                spans.append([p, p + n - 1])
+        covered = sum(e - s + 1 for s, e in spans)
+        out[d] = (len(dup_pos), len(spans), covered)
+    return out
+
+
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=18),
+    min_size=1, max_size=8))
+@settings(max_examples=20, deadline=None)
+def test_dup_spans_matches_brute_force(spark, doc_words):
+    n = 3
+    docs = {i: w for i, w in enumerate(doc_words)}
+    rows = [(i, " ".join(w)) for i, w in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_dup_ngrams"], r["n_spans"], r["dup_words"])
+           for r in dup_span_stats(df, n=n).collect()}
+    want = _brute_spans(docs, n)
+    assert got == want
