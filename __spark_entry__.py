@@ -2637,6 +2637,25 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embeddings_normed(spark, sf_dir), prenormed=True)
 
 
+def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (operators/sketch.py hll_set_ops): two
+    overlapping user cohorts (user_id%10<6 vs >=3), register tables
+    merged by grouped MAX for the union sketch — NO rescan of either
+    side — and intersection by inclusion-exclusion on the three
+    estimates. The mergeability property that makes sketches the
+    right cross-dataset state at 100 TB."""
+    import pyspark.sql.functions as FF
+    from datafusion_geo_spark.operators.sketch import hll_set_ops
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(FF.col("user_id").isNotNull()))
+    a = (ev.where(FF.col("user_id") % 10 < 6)
+         .select(FF.col("user_id").cast("string").alias("key")))
+    b = (ev.where(FF.col("user_id") % 10 >= 3)
+         .select(FF.col("user_id").cast("string").alias("key")))
+    return hll_set_ops(a, b, "key")
+
+
 def _q_streaming_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming model serving (streaming/score.py): ridge weights
     fitted OFFLINE on the batch corpus fold into the streaming plan as
@@ -3587,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
+        "hll_setops": _q_hll_setops,
         "streaming_ridge": _q_streaming_ridge,
         "heldout_ppl": _q_heldout_ppl,
         "mlm_masking": _q_mlm_masking,
@@ -4160,6 +4180,53 @@ def _ridge_score_oracle() -> str:
         SELECT doc_id, y, {ym} AS yhat_micro,
                (y * 1000000 - ({ym}))::BIGINT AS resid_micro
         FROM feats, wts""")
+
+
+def _hll_setops_oracle() -> str:
+    """DuckDB twin of sketch.hll_set_ops over the two user cohorts:
+    per-side register/agg/est chains (the corrected dense+empty
+    indicator sum), union registers by grouped MAX over the UNION ALL
+    of both tables, inclusion-exclusion intersection."""
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    raw = ("(47072.71267120224::DOUBLE * 33554432.0::DOUBLE "
+           "/ CAST(z_{s} + (256 - n_{s}) * 33554432 AS DOUBLE))")
+    est = ("CASE WHEN {raw} <= 640.0 AND (256 - n_{s}) > 0 "
+           "THEN 256.0 * ln(256.0 / CAST(256 - n_{s} AS DOUBLE)) "
+           "ELSE {raw} END")
+    ctes = []
+    for s, pred in (("a", "user_id % 10 < 6"), ("b", "user_id % 10 >= 3")):
+        ctes.append(f"""
+        h_{s} AS (SELECT ('0x' || substr(md5(
+                    'hll0|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                    AS hv
+                  FROM events WHERE user_id IS NOT NULL AND {pred}),
+        regs_{s} AS (SELECT hv % 256 AS register,
+                            MAX(CASE WHEN hv // 256 > 0
+                                     THEN 25 - length(bin(hv // 256))
+                                     ELSE 25 END) AS rho
+                     FROM h_{s} GROUP BY hv % 256)""")
+    ctes.append("""
+        regs_u AS (SELECT register, MAX(rho) AS rho FROM (
+                     SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+                   GROUP BY register)""")
+    for s in ("a", "b", "u"):
+        ctes.append(f"""
+        agg_{s} AS (SELECT COUNT(*)::BIGINT AS n_{s},
+                           SUM(CAST(pow(2.0, 25 - rho) AS BIGINT))::BIGINT
+                             AS z_{s}
+                    FROM regs_{s}),
+        est_{s} AS (SELECT n_{s}, z_{s},
+                           {r6.format(x=est.format(raw=raw.format(s=s), s=s))}
+                             AS e_{s}
+                    FROM agg_{s})""")
+    inter = r6.format(x="(e_a + e_b) - e_u")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT n_a AS n_reg_a, z_a, e_a AS est_a,
+               n_b AS n_reg_b, z_b, e_b AS est_b,
+               n_u AS n_reg_u, z_u AS z_u, e_u AS est_union,
+               {inter} AS est_inter
+        FROM est_a, est_b, est_u""")
 
 
 def _ridge_monitor_oracle() -> str:
@@ -6694,6 +6761,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_trained_topk": _ivf_trained_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "logreg_weights": _logreg_oracle(),
+        "hll_setops": _hll_setops_oracle(),
         "streaming_ridge": _ridge_monitor_oracle(),
         "heldout_ppl": """
             WITH sp AS (SELECT doc_id, text,
@@ -7178,12 +7246,16 @@ def oracle_sql() -> dict[str, str]:
             ), est AS (
               SELECT n_registers, z_scaled,
                      CASE WHEN (47072.71267120224::DOUBLE * 33554432.0::DOUBLE
-                                / CAST(z_scaled AS DOUBLE)) <= 640.0
+                                / CAST(z_scaled
+                                       + (256 - n_registers) * 33554432
+                                       AS DOUBLE)) <= 640.0
                                AND (256 - n_registers) > 0
                           THEN 256.0 * ln(256.0 /
                                  CAST(256 - n_registers AS DOUBLE))
                           ELSE (47072.71267120224::DOUBLE * 33554432.0::DOUBLE
-                                / CAST(z_scaled AS DOUBLE)) END AS e
+                                / CAST(z_scaled
+                                       + (256 - n_registers) * 33554432
+                                       AS DOUBLE)) END AS e
               FROM agg
             )
             SELECT n_registers, z_scaled,

@@ -183,19 +183,65 @@ def hll_estimate(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
     binary-rounded estimate hashes identically."""
     if b != 8:
         raise ValueError("hll_estimate: oracle constants are b=8 only")
+    return regs_estimate(hll_registers(keys, key_col, b), b)
+
+
+def regs_estimate(regs: DataFrame, b: int = 8) -> DataFrame:
+    """The Flajolet estimate chain from a (register, rho) table — the
+    shared tail of hll_estimate and hll_set_ops (ONE definition, so
+    the literal float chain can never desynchronize from its oracle
+    replay)."""
     m = 1 << b
     maxrho = 32 - b + 1
     alpha_m = 0.7213 / (1.0 + 1.079 / float(m))
-    regs = hll_registers(keys, key_col, b)
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_registers"),
         F.sum(F.pow(F.lit(2.0), F.lit(maxrho) - F.col("rho"))
               .cast("long")).alias("z_scaled"))
     v = F.lit(m) - F.col("n_registers")
+    # empty registers carry rho=0 -> indicator 2^0 each: their mass is
+    # (m - V_occupied) * 2^maxrho in scaled units. Omitting it (the
+    # pre-r6-late bug) only cancels on DENSE tables; a sparse sketch
+    # (hll_set_ops sides) then overestimates by orders of magnitude.
+    z_full = (F.col("z_scaled")
+              + v.cast("long") * F.lit(1 << maxrho)).cast("double")
     raw = (F.lit(alpha_m * m * m)
-           * F.lit(float(1 << maxrho)) / F.col("z_scaled").cast("double"))
+           * F.lit(float(1 << maxrho)) / z_full)
     est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
                  F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")))            .otherwise(raw)
     est6 = (F.signum(est) * F.floor(F.abs(est) * F.lit(1e6) + F.lit(0.5))
             / F.lit(1e6) + F.lit(0.0))
     return agg.select("n_registers", "z_scaled", est6.alias("est"))
+
+
+def hll_set_ops(a_keys: DataFrame, b_keys: DataFrame, key_col: str,
+                b: int = 8) -> DataFrame:
+    """HLL set algebra across two key sets — the property that makes
+    sketches the right 100 TB state: register tables MERGE by grouped
+    MAX (union sketch = same aggregate over both tables, no rescan of
+    either corpus), and intersection follows by inclusion-exclusion on
+    the three estimates. ONE row out: per-side and union register
+    counts / exact indicator sums / estimates, plus est_inter =
+    round6(est_a + est_b - est_union). The two one-row crosses are the
+    tfidf global-aggregate shape."""
+    ra = hll_registers(a_keys, key_col, b)
+    rb = hll_registers(b_keys, key_col, b)
+    ru = (ra.unionAll(rb).groupBy("register")
+          .agg(F.max("rho").alias("rho")))
+    ea = regs_estimate(ra, b).select(
+        F.col("n_registers").alias("n_reg_a"),
+        F.col("z_scaled").alias("z_a"), F.col("est").alias("est_a"))
+    eb = regs_estimate(rb, b).select(
+        F.col("n_registers").alias("n_reg_b"),
+        F.col("z_scaled").alias("z_b"), F.col("est").alias("est_b"))
+    eu = regs_estimate(ru, b).select(
+        F.col("n_registers").alias("n_reg_u"),
+        F.col("z_scaled").alias("z_u"), F.col("est").alias("est_union"))
+    inter = (F.col("est_a") + F.col("est_b")) - F.col("est_union")
+    inter6 = (F.signum(inter) * F.floor(F.abs(inter) * F.lit(1e6)
+                                        + F.lit(0.5))
+              / F.lit(1e6) + F.lit(0.0))
+    return (ea.crossJoin(eb).crossJoin(eu)
+            .select("n_reg_a", "z_a", "est_a", "n_reg_b", "z_b", "est_b",
+                    "n_reg_u", "z_u", "est_union",
+                    inter6.alias("est_inter")))

@@ -38,6 +38,9 @@ ALLOWED_BROADCAST_CROSSES = {
                              # cross compiles away, as in cosine_topk)
     "bm25_search": 1,        # ONE-ROW global aggregate (N, Σdl, dfs)
                              # broadcast back onto the corpus
+    "hll_setops": 2,         # three one-row estimate frames crossed
+                             # into the single output row (bounded by
+                             # construction: each is a 2^b-register agg)
     "heldout_ppl": 2,        # two one-row aggregates (train token
                              # total + train vocab size) broadcast onto
                              # the held-out token stream

@@ -185,3 +185,28 @@ def test_hll_estimate_accuracy_and_replay(spark):
     assert row["n_registers"] == len(regs)
     # 3-sigma band: 1.04/sqrt(256) ~ 6.5% per sigma
     assert abs(row["est"] - n) / n < 0.20
+
+
+def test_hll_estimate_sparse_uses_linear_counting(spark):
+    """Regression for the empty-register mass bug: a SPARSE sketch
+    (90 keys, 256 registers) must estimate near truth via linear
+    counting, not orders-of-magnitude high (the omitted (m-V)*2^maxrho
+    indicator term made raw ~2200 for 90 keys)."""
+    df = spark.createDataFrame([(f"u{i}",) for i in range(90)], ["key"])
+    row = hll_estimate(df, "key", b=8).collect()[0]
+    assert abs(row["est"] - 90) / 90 < 0.30, row["est"]
+
+
+def test_hll_set_ops_union_and_intersection(spark):
+    from datafusion_geo_spark.operators.sketch import hll_set_ops
+    a = spark.createDataFrame([(f"u{i}",) for i in range(120)], ["key"])
+    b = spark.createDataFrame([(f"u{i}",) for i in range(60, 200)], ["key"])
+    row = hll_set_ops(a, b, "key").collect()[0]
+    # truth: |A|=120 |B|=140 |U|=200 |I|=60; b=8 sketch error ~6.5%/sigma
+    assert abs(row["est_a"] - 120) / 120 < 0.30
+    assert abs(row["est_b"] - 140) / 140 < 0.30
+    assert abs(row["est_union"] - 200) / 200 < 0.30
+    assert abs(row["est_inter"] - 60) / 60 < 0.60  # I-E compounds error
+    # union register table dominates both sides register-wise
+    assert row["n_reg_u"] >= max(row["n_reg_a"], row["n_reg_b"])
+    assert row["z_u"] >= max(row["z_a"], row["z_b"])
