@@ -858,12 +858,21 @@ def ivfpq_search(vecs: DataFrame, n_coarse: int = 8, coarse_iters: int = 2,
                    F.zip_with("v", "cvec", lambda x, y: x - y).alias("v")))
 
     # 3. PQ codebooks on the residuals + inverted index: per vector the
-    #    index stores ONE list id + m small ints
-    res_key = None if cache_key is None else (cache_key, "ivfpq-res")
-    cb = pq_train_cached(res.select(id_col, "v"), m, ksub, pq_iters,
-                         id_col, cache_key=res_key)
-    codes = pq_encode(res.select(id_col, "v"), cb, m, d, id_col)
-    inv = codes.join(assign, id_col)
+    #    index stores ONE list id + m small ints. The residual frame is
+    #    persisted across the training seed collect / Lloyd passes /
+    #    encode (it embeds the coarse cross+agg assignment — without
+    #    materialization that whole pipeline re-runs three times), and
+    #    the finished index is localCheckpoint'd so the serving plan
+    #    reads the narrow (id, codes, cid) table, releasing the cache.
+    res = res.persist()
+    try:
+        res_key = None if cache_key is None else (cache_key, "ivfpq-res")
+        cb = pq_train_cached(res.select(id_col, "v"), m, ksub, pq_iters,
+                             id_col, cache_key=res_key)
+        codes = pq_encode(res.select(id_col, "v"), cb, m, d, id_col)
+        inv = codes.join(assign, id_col).localCheckpoint()
+    finally:
+        res.unpersist()
 
     # 4. query side (bounded): probe set, coarse dot term, ADC table
     qv = (vecs.where(F.col(id_col) < max_query_id)

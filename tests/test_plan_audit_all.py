@@ -51,10 +51,12 @@ ALLOWED_BROADCAST_CROSSES = {
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
                              # same bounded dimension as ivf_topk
-    "ivfpq_topk": 4,         # IVFADC's bounded crosses: coarse assign +
-                             # probe scoring (8-centroid dim, as ivf) +
-                             # query coarse-dot + ADC LUT build (m*ksub
-                             # codebook dim) — all corpus-independent
+    "ivfpq_topk": 2,         # IVFADC's bounded crosses in the SERVING
+                             # plan: probe scoring + query coarse-dot /
+                             # ADC LUT build (8-centroid and m*ksub
+                             # dims). The index-build crosses (coarse
+                             # assign) now run eagerly inside the
+                             # localCheckpoint'd inverted index
     "knn_join": 2,           # centroid scoring feeds assignment AND
                              # probe branches (bounded k-centroid dim);
                              # scoring itself is the cogrouped GEMM
