@@ -3538,6 +3538,106 @@ def _q_geojsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+# ----------------------------------------- round-6 tail: evals & hygiene
+
+def _q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL (operators/sketch.py hll_by_group): approximate
+    distinct users PER event_type — the sketch that replaces
+    COUNT(DISTINCT) GROUP BY when the distinct explosion stops
+    fitting. One (group, register) grouped MAX with map-side combine
+    (shuffle <= |groups|*256 rows per task at any corpus size), then
+    the per-group Flajolet chain shared with hll_estimate — same
+    literals, same 6-dp rounding, replayed verbatim by the oracle."""
+    from datafusion_geo_spark.operators.sketch import hll_by_group
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.col("user_id").cast("string").alias("key")))
+    return hll_by_group(ev, "event_type", "key", b=8)
+
+
+def _q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (operators/evals.py auc_exact) of a
+    quantized embedding coordinate against the class indicator
+    label < 5 — the eval a quality-classifier pipeline logs per
+    dataset version. Histogram shape: the corpus pass is one grouped
+    count; the rank-sum window runs over distinct quantized scores
+    only. All ranks are exact 2x-scaled int64; auc is the house 6-dp
+    half-up round of an exact-int ratio."""
+    from datafusion_geo_spark.operators.evals import auc_exact
+    scored = _embs(spark, sf_dir).select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double")
+                * F.lit(20)).cast("long").alias("score"),
+        (F.col("label") < 5).cast("int").alias("y"))
+    return auc_exact(scored, "score", "y")
+
+
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic
+    (operators/evals.py ks_stat) between the quantized value
+    distributions of 'click' vs 'error' events — the audit a pipeline
+    runs between dataset versions. Cross-multiplied integer CDF gap
+    (max |cumA*nB - cumB*nA|) so no float accumulates; only the final
+    ratio rounds at 6 dp."""
+    from datafusion_geo_spark.operators.evals import ks_stat
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 10).cast("long").alias("vq")))
+    return ks_stat(ev, "vq", "event_type", "click", "error")
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of documents (operators/profile.py): row/
+    null/exact-distinct counts, lexicographic min/max of the string
+    form, total code-point length — the before/after audit of every
+    100 TB transformation. Melt + one grouped aggregate; the k-fold
+    melt is the same cost Catalyst's expand pays for multi-column
+    COUNT(DISTINCT)."""
+    from datafusion_geo_spark.operators.profile import table_profile
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return table_profile(docs,
+                         ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+# decomposed-unicode augmentation for normalize_text: combining acute
+# (U+0301) and diaeresis (U+0308) + double space + tab + trailing space,
+# so NFC / lower / collapse / strip each provably fire on the ASCII
+# fixture. The oracle builds the identical string with chr() codes.
+_NORM_AUG = " Café  ZÜGE\tx "
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization audit (operators/normalize.py): NFC +
+    lower + ASCII-whitespace-run collapse + strip over text augmented
+    with decomposed sequences (see _NORM_AUG). The one pandas-UDF text
+    op (Spark has no NFC built-in) — map-side, no shuffle; lengths are
+    code-point counts, identical in Python/Spark/DuckDB."""
+    from datafusion_geo_spark.operators.normalize import normalize_text
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40),
+                 F.lit(_NORM_AUG)).alias("text"))
+    return normalize_text(docs, "text", "doc_id")
+
+
+def _q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (operators/text.py split_sentences) over
+    text given synthetic terminators (every standalone 'row' gains a
+    period — the fixture has no punctuation). Inject-marker-then-split
+    keeps Java regex and RE2 semantics identical (no lookbehind);
+    per-sentence word counts use the house empty-filtered split."""
+    from datafusion_geo_spark.operators.text import split_sentences
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"\brow\b", "row.").alias("text"))
+    return split_sentences(docs, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
     # FIRST 50 entries per round (r5's checked set == first 50 of r5's
@@ -3729,6 +3829,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rank": _q_events_hourly_rank,
         "streaming_extent": _q_streaming_extent,
         "streaming_extent_append": _q_streaming_extent_append,
+        # --- round-6 session-3 tail (first gate slots: round 7) ---
+        "hll_by_group": _q_hll_by_group,
+        "auc_eval": _q_auc_eval,
+        "ks_drift": _q_ks_drift,
+        "table_profile": _q_table_profile,
+        "normalize_text": _q_normalize_text,
+        "sentence_split": _q_sentence_split,
     }
 
 
@@ -7520,6 +7627,193 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN o_orderkey % 7 = 0 THEN NULL
                         ELSE {_lines_wkt_sql()} END AS wkt_out
             FROM (SELECT o_orderkey, o_orderkey % 1000 AS k FROM orders)
+        """,
+        # mirrors _q_hll_by_group: the hll_estimate chain (same hash,
+        # same literals, same 6-dp round) carried per event_type
+        "hll_by_group": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(
+                       'hll0|' || CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT AS hv
+              FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), r AS (
+              SELECT event_type, hv % 256 AS register, hv // 256 AS v
+              FROM h
+            ), regs AS (
+              SELECT event_type, register,
+                     MAX(CASE WHEN v > 0 THEN 25 - length(bin(v))
+                              ELSE 25 END) AS rho
+              FROM r GROUP BY event_type, register
+            ), agg AS (
+              SELECT event_type, COUNT(*)::BIGINT AS n_registers,
+                     SUM(CAST(pow(2.0, 25 - rho) AS BIGINT))::BIGINT
+                       AS z_scaled
+              FROM regs GROUP BY event_type
+            ), est AS (
+              SELECT event_type, n_registers, z_scaled,
+                     CASE WHEN (47072.71267120224::DOUBLE * 33554432.0::DOUBLE
+                                / CAST(z_scaled
+                                       + (256 - n_registers) * 33554432
+                                       AS DOUBLE)) <= 640.0
+                               AND (256 - n_registers) > 0
+                          THEN 256.0 * ln(256.0 /
+                                 CAST(256 - n_registers AS DOUBLE))
+                          ELSE (47072.71267120224::DOUBLE * 33554432.0::DOUBLE
+                                / CAST(z_scaled
+                                       + (256 - n_registers) * 33554432
+                                       AS DOUBLE)) END AS e
+              FROM agg
+            )
+            SELECT event_type, n_registers, z_scaled,
+                   (CASE WHEN e < 0 THEN -1 ELSE 1 END)
+                     * floor(abs(e) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+                     AS est
+            FROM est
+        """,
+        # mirrors _q_auc_eval: histogram rank-sum AUC — every count and
+        # 2x-scaled rank exact int64 (::BIGINT on every SUM), final
+        # ratio = 6-dp half-up of a double divide of exact ints
+        "auc_eval": """
+            WITH s AS (
+              SELECT floor(CAST(embedding[1] AS DOUBLE) * 20)::BIGINT
+                       AS score,
+                     CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+              FROM embeddings
+            ), hist AS (
+              SELECT score, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS npos
+              FROM s GROUP BY score
+            ), cum AS (
+              SELECT score, n, npos,
+                     COALESCE(SUM(n) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS c_before
+              FROM hist
+            ), agg AS (
+              SELECT SUM(npos)::BIGINT AS p_total,
+                     SUM(n - npos)::BIGINT AS n_total,
+                     SUM(npos * (2 * c_before + n + 1))::BIGINT
+                       AS rank2_pos
+              FROM cum
+            ), v AS (
+              SELECT p_total, n_total, rank2_pos,
+                     CAST(rank2_pos - p_total * (p_total + 1) AS DOUBLE)
+                       / CAST(2 * p_total * n_total AS DOUBLE) AS e
+              FROM agg
+            )
+            SELECT p_total, n_total, rank2_pos,
+                   (CASE WHEN e < 0 THEN -1 WHEN e > 0 THEN 1 ELSE 0 END)
+                     * floor(abs(e) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+                     AS auc
+            FROM v
+        """,
+        # mirrors _q_ks_drift: cross-multiplied integer CDF gap, max'd
+        "ks_drift": """
+            WITH s AS (
+              SELECT event_type, floor(value * 10)::BIGINT AS vq
+              FROM events
+              WHERE value IS NOT NULL
+                AND event_type IN ('click', 'error')
+            ), hist AS (
+              SELECT vq,
+                     SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                         END)::BIGINT AS na_i,
+                     SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                         END)::BIGINT AS nb_i
+              FROM s GROUP BY vq
+            ), cum AS (
+              SELECT vq, na_i, nb_i,
+                     SUM(na_i) OVER (ORDER BY vq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS ca,
+                     SUM(nb_i) OVER (ORDER BY vq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS cb
+              FROM hist
+            ), tot AS (
+              SELECT SUM(na_i)::BIGINT AS n_a, SUM(nb_i)::BIGINT AS n_b
+              FROM hist
+            ), agg AS (
+              SELECT MAX(t.n_a)::BIGINT AS n_a, MAX(t.n_b)::BIGINT AS n_b,
+                     MAX(abs(c.ca * t.n_b - c.cb * t.n_a))::BIGINT AS d_num
+              FROM cum c, tot t
+            )
+            SELECT n_a, n_b, d_num,
+                   floor(CAST(d_num AS DOUBLE)
+                         / CAST(n_a * n_b AS DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 + 0.0 AS ks
+            FROM agg
+        """,
+        # mirrors _q_table_profile: melt + one grouped aggregate; string
+        # min/max are binary-collation lexicographic in both engines
+        "table_profile": """
+            WITH m AS (
+              SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val
+              FROM documents
+              UNION ALL SELECT 'text', text FROM documents
+              UNION ALL SELECT 'lang', lang FROM documents
+              UNION ALL SELECT 'source', source FROM documents
+              UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+              FROM documents
+            )
+            SELECT col_name, COUNT(*)::BIGINT AS n_rows,
+                   SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_null,
+                   COUNT(DISTINCT val)::BIGINT AS n_distinct,
+                   MIN(val) AS min_val, MAX(val) AS max_val,
+                   COALESCE(SUM(length(val)), 0)::BIGINT AS sum_len
+            FROM m GROUP BY col_name
+        """,
+        # mirrors _q_normalize_text: identical augmentation via chr()
+        # codes (U+0301 = 769, U+0308 = 776, tab = 9), identical op
+        # order (NFC -> lower -> ASCII-ws collapse -> trim). The ws
+        # class is explicit [ \t\r\n] on BOTH sides: RE2's \s is
+        # ASCII-only while Python's is Unicode-wide.
+        "normalize_text": """
+            WITH aug AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || ' Cafe' || chr(769)
+                       || '  ZU' || chr(776) || 'GE' || chr(9) || 'x '
+                       AS t2
+              FROM documents
+            ), n AS (
+              SELECT doc_id, t2,
+                     trim(regexp_replace(lower(nfc_normalize(t2)),
+                          '[ \t\r\n]+', ' ', 'g')) AS norm_text
+              FROM aug
+            )
+            SELECT doc_id, norm_text,
+                   length(t2)::BIGINT AS n_before,
+                   length(norm_text)::BIGINT AS n_after,
+                   (CASE WHEN norm_text <> t2 THEN 1 ELSE 0 END)::INT
+                     AS changed
+            FROM n
+        """,
+        # mirrors _q_sentence_split: same synthetic terminators
+        # (\brow\b -> 'row.'), same inject-chr(31)-then-split (the
+        # ASCII-fixture separator convention), 0-based PRE-filter
+        # sent_idx via the house unnest(range(...)) position pattern
+        "sentence_split": """
+            WITH marked AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(text, '\\brow\\b', 'row.', 'g'),
+                       '([.!?]) +', '\\1' || chr(31), 'g') AS mt
+              FROM documents
+            ), arrs AS (
+              SELECT doc_id, string_split(mt, chr(31)) AS arr
+              FROM marked
+            ), ex AS (
+              SELECT doc_id, (i - 1)::BIGINT AS sent_idx,
+                     trim(arr[i]) AS sentence
+              FROM arrs, unnest(range(1, len(arr) + 1)) AS t(i)
+            )
+            SELECT doc_id, sent_idx, sentence,
+                   len(list_filter(
+                       string_split_regex(trim(sentence), '\\s+'),
+                       w -> w <> ''))::BIGINT AS n_words
+            FROM ex WHERE sentence <> ''
         """,
     }
     # both scorers are gated against the SAME twin (one definition,

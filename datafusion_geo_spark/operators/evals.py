@@ -1,0 +1,105 @@
+"""Model/dataset evaluation statistics, histogram-shaped for scale.
+
+Both operators here reduce a corpus-sized column to a HISTOGRAM over
+quantized values first (one partial+final grouped aggregate — the only
+corpus-wide shuffle), then run the order-dependent part (cumulative
+ranks / CDF sweep) over the histogram rows. With a quantized score the
+histogram is bounded (dozens-to-thousands of rows, independent of
+corpus size), so the single-partition ordered window over it is O(1)
+at the 100 TB design point — the same shape a GROUP BY rollup of a
+bounded dimension takes.
+
+Engine-exactness discipline: scores/values are quantized to int64
+BEFORE aggregation, every count/rank identity is integer arithmetic
+(tie-aware average ranks carried as 2x-scaled ints so .5 ranks stay
+exact), and only the final ratio is a double divide of exact int64s,
+rounded with the repo's 6-dp half-up convention — the DuckDB oracle
+replays it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["auc_exact", "ks_stat"]
+
+
+def _r6(col):
+    """6-dp round-half-up on the scaled value (house convention)."""
+    return (F.signum(col) * F.floor(F.abs(col) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6) + F.lit(0.0))
+
+
+def auc_exact(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann-Whitney rank-sum form) of an
+    integer-quantized score against a 0/1 label. ONE row out:
+    p_total, n_total, rank2_pos (2x the rank-sum of positives, exact
+    int64), and auc (6-dp).
+
+    Identity used: with the histogram bucket i holding n_i rows
+    (p_i positive) and C_i rows in strictly-smaller buckets, every row
+    of the bucket gets average rank C_i + (n_i + 1)/2, so
+    2*sum(rank of positives) = sum_i p_i * (2*C_i + n_i + 1) — all
+    int64. AUC = (rank2_pos - P*(P+1)) / (2*P*N).
+
+    Scale shape: the corpus pass is groupBy(score) with map-side
+    combine; the cumulative window then runs over DISTINCT quantized
+    scores only (bounded by the quantization grid, not the corpus), so
+    its single ordered partition is a constant-size driver of the
+    final one-row aggregate."""
+    hist = (scored
+            .groupBy(score_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col(label_col).cast("long")).alias("npos")))
+    w = (Window.orderBy(score_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "c_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"))
+    agg = cum.agg(
+        F.sum("npos").cast("long").alias("p_total"),
+        F.sum(F.col("n") - F.col("npos")).cast("long").alias("n_total"),
+        F.sum(F.col("npos")
+              * (F.lit(2) * F.col("c_before") + F.col("n") + F.lit(1)))
+         .cast("long").alias("rank2_pos"))
+    num = (F.col("rank2_pos")
+           - F.col("p_total") * (F.col("p_total") + F.lit(1)))
+    den = F.lit(2) * F.col("p_total") * F.col("n_total")
+    auc = _r6(num.cast("double") / den.cast("double"))
+    return agg.select("p_total", "n_total", "rank2_pos",
+                      auc.alias("auc"))
+
+
+def ks_stat(df: DataFrame, value_col: str, group_col: str,
+            side_a: str, side_b: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the
+    integer-quantized ``value_col`` distributions of two groups — the
+    drift audit a pipeline runs between dataset versions / splits.
+    ONE row out: n_a, n_b, d_num (max |F_a - F_b| cross-multiplied to
+    int64: max |cumA*n_b - cumB*n_a|), and ks (6-dp d_num/(n_a*n_b)).
+
+    Same scale shape as auc_exact: corpus pass = one grouped count per
+    (value) with per-side conditional sums; the CDF sweep is an
+    ordered window over distinct quantized values (bounded), and the
+    max collapses to one row."""
+    sided = df.where(F.col(group_col).isin(side_a, side_b))
+    hist = (sided.groupBy(value_col)
+            .agg(F.sum(F.when(F.col(group_col) == side_a, 1)
+                        .otherwise(0)).cast("long").alias("na_i"),
+                 F.sum(F.when(F.col(group_col) == side_b, 1)
+                        .otherwise(0)).cast("long").alias("nb_i")))
+    w = (Window.orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist
+           .withColumn("ca", F.sum("na_i").over(w).cast("long"))
+           .withColumn("cb", F.sum("nb_i").over(w).cast("long")))
+    totals = hist.agg(F.sum("na_i").cast("long").alias("n_a"),
+                      F.sum("nb_i").cast("long").alias("n_b"))
+    joined = cum.crossJoin(F.broadcast(totals))  # totals: exactly 1 row
+    agg = joined.agg(
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.max(F.abs(F.col("ca") * F.col("n_b")
+                    - F.col("cb") * F.col("n_a"))).alias("d_num"))
+    ks = _r6(F.col("d_num").cast("double")
+             / (F.col("n_a") * F.col("n_b")).cast("double"))
+    return agg.select("n_a", "n_b", "d_num", ks.alias("ks"))

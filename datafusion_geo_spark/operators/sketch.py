@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = ["seeded_h64", "count_min_sketch", "count_min_topk",
            "bloom_positions", "bloom_filter_new",
-           "hll_registers", "hll_estimate"]
+           "hll_registers", "hll_estimate", "hll_by_group"]
 
 
 def seeded_h64(tag: str, i: int, c: Column) -> Column:
@@ -149,7 +149,8 @@ def bloom_filter_new(corpus: DataFrame, batch: DataFrame, key_col: str,
     return batch.join(dup_keys, key_col, "left_anti")
 
 
-def hll_registers(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
+def hll_registers(keys: DataFrame, key_col: str, b: int = 8,
+                  group_cols: tuple = ()) -> DataFrame:
     """HyperLogLog register table: (register, rho) with
     register = h(key) % 2^b and rho = position of the leftmost 1-bit in
     the remaining 32-b hash bits (1-based; empty registers absent).
@@ -159,7 +160,12 @@ def hll_registers(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
     the minimal binary length of the residual value — integer-exact in
     both engines (Spark ``bin``, DuckDB ``bin``) — so the oracle
     matches register-for-register; the float cardinality estimate is
-    deliberately left to the consumer."""
+    deliberately left to the consumer.
+
+    ``group_cols`` keeps one independent sketch per group (e.g. one
+    distinct-user HLL per domain): the grouped MAX runs over
+    (group, register) — still map-side combined, still <= |groups|*2^b
+    rows of shuffle per task."""
     if not 2 <= b <= 16:
         raise ValueError(f"hll_registers: b must be in [2, 16], got {b}")
     m = 1 << b
@@ -169,8 +175,10 @@ def hll_registers(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
     v = F.shiftright(h, b)  # residual (32-b)-bit value, exact
     rho = F.when(v > 0, F.lit(32 - b + 1) - F.length(F.bin(v))) \
            .otherwise(F.lit(32 - b + 1)).cast("int")
-    return (keys.select(reg, rho.alias("_rho"))
-            .groupBy("register").agg(F.max("_rho").alias("rho")))
+    g = [F.col(c) for c in group_cols]
+    return (keys.select(*g, reg, rho.alias("_rho"))
+            .groupBy(*group_cols, "register")
+            .agg(F.max("_rho").alias("rho")))
 def hll_estimate(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
     """One-row HyperLogLog cardinality estimate from the register
     table: n_registers, the EXACT integer indicator sum
@@ -186,18 +194,22 @@ def hll_estimate(keys: DataFrame, key_col: str, b: int = 8) -> DataFrame:
     return regs_estimate(hll_registers(keys, key_col, b), b)
 
 
-def regs_estimate(regs: DataFrame, b: int = 8) -> DataFrame:
+def regs_estimate(regs: DataFrame, b: int = 8,
+                  group_cols: tuple = ()) -> DataFrame:
     """The Flajolet estimate chain from a (register, rho) table — the
-    shared tail of hll_estimate and hll_set_ops (ONE definition, so
-    the literal float chain can never desynchronize from its oracle
-    replay)."""
+    shared tail of hll_estimate, hll_set_ops, and hll_by_group (ONE
+    definition, so the literal float chain can never desynchronize
+    from its oracle replay). With ``group_cols`` the same chain runs
+    per group (register tables keyed by group)."""
     m = 1 << b
     maxrho = 32 - b + 1
     alpha_m = 0.7213 / (1.0 + 1.079 / float(m))
-    agg = regs.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_registers"),
         F.sum(F.pow(F.lit(2.0), F.lit(maxrho) - F.col("rho"))
-              .cast("long")).alias("z_scaled"))
+              .cast("long")).alias("z_scaled")]
+    agg = regs.groupBy(*group_cols).agg(*aggs) if group_cols \
+        else regs.agg(*aggs)
     v = F.lit(m) - F.col("n_registers")
     # empty registers carry rho=0 -> indicator 2^0 each: their mass is
     # (m - V_occupied) * 2^maxrho in scaled units. Omitting it (the
@@ -211,7 +223,24 @@ def regs_estimate(regs: DataFrame, b: int = 8) -> DataFrame:
                  F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")))            .otherwise(raw)
     est6 = (F.signum(est) * F.floor(F.abs(est) * F.lit(1e6) + F.lit(0.5))
             / F.lit(1e6) + F.lit(0.0))
-    return agg.select("n_registers", "z_scaled", est6.alias("est"))
+    return agg.select(*group_cols, "n_registers", "z_scaled",
+                      est6.alias("est"))
+
+
+def hll_by_group(keys: DataFrame, group_col: str, key_col: str,
+                 b: int = 8) -> DataFrame:
+    """Approximate distinct-``key_col`` per ``group_col`` — the grouped
+    HLL (one row per group: n_registers, exact z_scaled, 6-dp
+    estimate). The 100 TB shape: per-(group, register) grouped MAX with
+    map-side combine, so the shuffle carries <= |groups| * 2^b rows per
+    task no matter how many raw keys a task saw — this is what replaces
+    COUNT(DISTINCT ...) GROUP BY when the distinct explosion stops
+    fitting, and per-group sketches still merge by the same MAX for a
+    rollup tree."""
+    if b != 8:
+        raise ValueError("hll_by_group: oracle constants are b=8 only")
+    regs = hll_registers(keys, key_col, b, group_cols=(group_col,))
+    return regs_estimate(regs, b, group_cols=(group_col,))
 
 
 def hll_set_ops(a_keys: DataFrame, b_keys: DataFrame, key_col: str,

@@ -622,3 +622,37 @@ def heldout_perplexity(df: DataFrame, text_col: str = "text",
                                        + F.lit(0.5))).cast("long")
     return agg.select("n_test_docs", "n_test_tokens", "n_oov",
                       "lp_micro_sum", ppl_micro.alias("ppl_micro"))
+
+
+# Sentence segmentation --------------------------------------------------
+
+# unit separator: the injected sentence-boundary marker. Safe for the
+# ASCII fixtures (cannot collide with document bytes; documented in the
+# oracle that relies on it, same convention as the dup-span oracles).
+_US = "\x1f"
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Regex sentence segmentation: a terminator run ([.!?]) followed
+    by spaces ends a sentence. Emits one row per non-empty sentence:
+    (id, sent_idx, sentence, n_words) with sent_idx the 0-based
+    PRE-filter position, so downstream windows can reconstruct
+    adjacency even after empty segments drop.
+
+    Mechanics: a unit separator (chr 31) is injected AFTER each
+    terminator+spaces run, then one split + posexplode — all map-side
+    built-ins inside WholeStageCodegen, no shuffle. Lookbehind is
+    deliberately avoided: the inject-then-split form runs identically
+    under Java regex (Spark) and RE2 (DuckDB), so the oracle replays
+    it verbatim."""
+    marked = F.regexp_replace(F.col(text_col), "([.!?]) +", "$1" + _US)
+    ex = df.select(F.col(id_col),
+                   F.posexplode(F.split(marked, _US))
+                    .alias("sent_idx", "_raw"))
+    sent = F.trim(F.col("_raw"))
+    n_words = F.size(F.filter(F.split(sent, r"\s+"), lambda w: w != ""))
+    return (ex.where(sent != "")
+            .select(id_col, F.col("sent_idx").cast("long").alias("sent_idx"),
+                    sent.alias("sentence"),
+                    n_words.cast("long").alias("n_words")))

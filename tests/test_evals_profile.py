@@ -1,0 +1,124 @@
+"""Unit tests for the round-6 tail operators: exact AUC / KS drift
+(hand-computed small cases with ties), table profiling (null/distinct
+accounting), unicode normalization (NFC + case + whitespace), sentence
+segmentation (indices, empty filtering), and grouped HLL (per-group
+sketch == global sketch of the group's keys)."""
+
+import pyspark.sql.functions as F
+
+from datafusion_geo_spark.operators.evals import auc_exact, ks_stat
+from datafusion_geo_spark.operators.normalize import normalize_text
+from datafusion_geo_spark.operators.profile import table_profile
+from datafusion_geo_spark.operators.sketch import (hll_by_group,
+                                                   hll_registers,
+                                                   regs_estimate)
+from datafusion_geo_spark.operators.text import split_sentences
+
+
+def test_auc_perfect_separation(spark):
+    # scores: positives all above negatives -> AUC = 1
+    rows = [(1, 0), (2, 0), (3, 1), (4, 1)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    out = auc_exact(df, "score", "y").collect()[0]
+    assert out.p_total == 2 and out.n_total == 2
+    assert out.auc == 1.0
+
+
+def test_auc_with_ties_hand_computed(spark):
+    # one tied bucket mixing classes: scores [1-, 1+, 2-, 2+]
+    # ranks: bucket 1 -> avg 1.5 (x2), bucket 2 -> avg 3.5 (x2)
+    # rank-sum of positives = 1.5 + 3.5 = 5 -> AUC = (5 - 3) / 4 = 0.5
+    rows = [(1, 0), (1, 1), (2, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    out = auc_exact(df, "score", "y").collect()[0]
+    assert out.rank2_pos == 10  # 2 * 5
+    assert out.auc == 0.5
+
+
+def test_auc_all_reversed(spark):
+    # positives all BELOW negatives -> AUC = 0
+    rows = [(1, 1), (2, 1), (3, 0), (4, 0)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    assert auc_exact(df, "score", "y").collect()[0].auc == 0.0
+
+
+def test_ks_identical_and_disjoint(spark):
+    same = [(v, g) for v in (1, 2, 3) for g in ("a", "b")]
+    df = spark.createDataFrame(same, "vq long, grp string")
+    out = ks_stat(df, "vq", "grp", "a", "b").collect()[0]
+    assert out.d_num == 0 and out.ks == 0.0
+
+    disjoint = [(1, "a"), (2, "a"), (3, "b"), (4, "b")]
+    df2 = spark.createDataFrame(disjoint, "vq long, grp string")
+    out2 = ks_stat(df2, "vq", "grp", "a", "b").collect()[0]
+    # after vq=2: F_a=1, F_b=0 -> D=1
+    assert out2.ks == 1.0 and out2.n_a == 2 and out2.n_b == 2
+
+
+def test_ks_hand_computed_fraction(spark):
+    # a: [1, 2]; b: [1, 3] -> max gap at vq=2: |2*2 - 1*2| = 2 of 4
+    rows = [(1, "a"), (2, "a"), (1, "b"), (3, "b")]
+    df = spark.createDataFrame(rows, "vq long, grp string")
+    out = ks_stat(df, "vq", "grp", "a", "b").collect()[0]
+    assert out.d_num == 2 and out.ks == 0.5
+
+
+def test_table_profile_nulls_distinct(spark):
+    rows = [(1, "x"), (2, None), (3, "x")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    prof = {r.col_name: r for r in table_profile(df, ["k", "s"]).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_null == 0
+    assert prof["k"].n_distinct == 3
+    assert prof["k"].min_val == "1" and prof["k"].max_val == "3"
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 1
+    assert prof["s"].sum_len == 2  # two non-null 'x'
+
+
+def test_normalize_text_nfc_case_ws(spark):
+    # decomposed e + U+0301 must NFC-fold to precomposed é; tabs and
+    # runs collapse; ends strip; NULL passes through
+    rows = [(1, "A  Café\tB "), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].norm_text == "a café b"
+    # 'é' here is the DECOMPOSED e+U+0301 (2 code points pre-NFC):
+    # A,sp,sp,C,a,f,e,U+0301,tab,B,sp = 11
+    assert out[1].n_before == 11
+    assert out[1].n_after == 8
+    assert out[1].changed == 1
+    assert out[2].norm_text is None
+
+
+def test_normalize_text_identity_row(spark):
+    df = spark.createDataFrame([(1, "already clean")],
+                               "doc_id long, text string")
+    r = normalize_text(df).collect()[0]
+    assert r.changed == 0 and r.n_before == r.n_after
+
+
+def test_split_sentences_indices_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "one two. three!  four? "), (2, "no terminator here")],
+        "doc_id long, text string")
+    rows = sorted(split_sentences(df).collect(),
+                  key=lambda r: (r.doc_id, r.sent_idx))
+    got = [(r.doc_id, r.sent_idx, r.sentence, r.n_words) for r in rows]
+    # doc 1: trailing ' ' after 'four?' becomes an empty segment ->
+    # filtered, but earlier indices keep their pre-filter positions
+    assert got == [(1, 0, "one two.", 2), (1, 1, "three!", 1),
+                   (1, 2, "four?", 1),
+                   (2, 0, "no terminator here", 3)]
+
+
+def test_hll_by_group_matches_per_group_global(spark):
+    rows = [(g, f"u{g}{i % 7}") for g in ("x", "y") for i in range(40)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    grouped = {r.grp: r for r in
+               hll_by_group(df, "grp", "key", b=8).collect()}
+    for g in ("x", "y"):
+        solo = regs_estimate(
+            hll_registers(df.where(F.col("grp") == g), "key", 8),
+            8).collect()[0]
+        assert grouped[g].n_registers == solo.n_registers
+        assert grouped[g].z_scaled == solo.z_scaled
+        assert grouped[g].est == solo.est

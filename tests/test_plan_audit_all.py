@@ -47,6 +47,10 @@ ALLOWED_BROADCAST_CROSSES = {
     "mlm_masking": 1,        # one-row replacement-pool-size aggregate
                              # broadcast onto the token stream (the
                              # tfidf corpus-size shape)
+    "ks_drift": 1,           # one-row (n_a, n_b) totals aggregate
+                             # crossed onto the distinct-value CDF
+                             # histogram (bounded by the quantization
+                             # grid)
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
