@@ -1,0 +1,61 @@
+"""Property tests for the eval statistics: auc_exact against the
+O(P*N) pair-counting definition of ROC-AUC, ks_stat against a direct
+two-CDF sweep — both as exact fractions, plus the 6-dp rounded output
+replayed with the identical double op chain."""
+
+import math
+from fractions import Fraction
+
+from hypothesis import assume, given, settings, strategies as st
+
+from datafusion_geo_spark.operators.evals import auc_exact, ks_stat
+
+
+def _r6(x: float) -> float:
+    s = -1.0 if x < 0 else (0.0 if x == 0 else 1.0)
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0
+
+
+def _brute_auc(pairs):
+    """Pair-counting AUC: wins + half-ties over P*N, as (num2, 2*P*N)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num2 = sum(2 * (p > n) + (p == n) for p in pos for n in neg)
+    return num2, 2 * len(pos) * len(neg), len(pos), len(neg)
+
+
+@given(st.lists(st.tuples(st.integers(-4, 4), st.integers(0, 1)),
+                min_size=2, max_size=40))
+@settings(max_examples=20, deadline=None)
+def test_auc_matches_pair_counting(spark, pairs):
+    num2, den2, p, n = _brute_auc(pairs)
+    assume(p > 0 and n > 0)
+    df = spark.createDataFrame(pairs, "score long, y int")
+    out = auc_exact(df, "score", "y").collect()[0]
+    assert out.p_total == p and out.n_total == n
+    # rank-sum identity: 2*sum(rank of positives) = num2 + P*(P+1)
+    assert out.rank2_pos == num2 + p * (p + 1)
+    assert out.auc == _r6(num2 / den2)
+
+
+def _brute_ks(vals_a, vals_b):
+    """Direct CDF sweep: max |F_a - F_b| over all observed values."""
+    na, nb = len(vals_a), len(vals_b)
+    best = Fraction(0)
+    for v in sorted(set(vals_a) | set(vals_b)):
+        fa = Fraction(sum(1 for x in vals_a if x <= v), na)
+        fb = Fraction(sum(1 for x in vals_b if x <= v), nb)
+        best = max(best, abs(fa - fb))
+    return best
+
+
+@given(st.lists(st.integers(-4, 4), min_size=1, max_size=25),
+       st.lists(st.integers(-4, 4), min_size=1, max_size=25))
+@settings(max_examples=20, deadline=None)
+def test_ks_matches_cdf_sweep(spark, vals_a, vals_b):
+    rows = [(v, "a") for v in vals_a] + [(v, "b") for v in vals_b]
+    df = spark.createDataFrame(rows, "vq long, grp string")
+    out = ks_stat(df, "vq", "grp", "a", "b").collect()[0]
+    want = _brute_ks(vals_a, vals_b)
+    assert Fraction(out.d_num, out.n_a * out.n_b) == want
+    assert out.ks == _r6(out.d_num / (out.n_a * out.n_b))
