@@ -3625,6 +3625,65 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs, "text", "doc_id")
 
 
+# CSV-hostile augmentation: comma, quote, LF, doubled quote — the
+# character classes RFC-4180 quoting must protect. The oracle rebuilds
+# it with chr() codes and never touches the CSV (the round-trip itself
+# is what's under test). Deliberately NO bare CR: Spark's multiLine
+# reader (univocity) normalizes line separators INSIDE quoted fields,
+# so a lone \r comes back as \n — a documented lossy edge of the
+# format, not of this pipeline (see rowio.py).
+_CSV_AUG = ',"x\ny""z end '
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV sink + source round-trip (sources/rowio.py): text
+    augmented with embedded comma/quote/LF/CR is written with
+    double-quote escaping + quoteAll and read back with the pinned
+    reader options (multiLine for quoted newlines). The oracle computes
+    the same augmented rows straight from parquet — equality proves the
+    CSV codec is lossless on the hostile classes. NULL text is filtered
+    on both sides (CSV can't encode NULL vs '' without a side
+    convention; documented in rowio.py)."""
+    import os
+    from datafusion_geo_spark.sources.rowio import (read_csv_rfc4180,
+                                                    write_csv_rfc4180)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "csv_rt", tag)
+    src = (_docs(spark, sf_dir)
+           .where(F.col("text").isNotNull())
+           .select("doc_id",
+                   F.concat(F.substring("text", 1, 30),
+                            F.lit(_CSV_AUG)).alias("text2"),
+                   "lang", "n_chars"))
+    write_csv_rfc4180(src, path)
+    return read_csv_rfc4180(
+        spark, path, "doc_id long, text2 string, lang string, n_chars long")
+
+
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (sources/rowio.py) on the
+    embeddings table — nested array<float> included. Output carries a
+    per-row micro-int checksum of the vector (sum of
+    floor(x*1e6 + 0.5), order-independent int64), so one changed float
+    bit anywhere fails the oracle without hashing raw float arrays."""
+    import os
+    from datafusion_geo_spark.sources.rowio import read_orc, write_orc
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "orc_rt", tag)
+    write_orc(_embs(spark, sf_dir), path)
+    back = read_orc(spark, path)
+    micro = F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda x: F.floor(x.cast("double") * F.lit(1e6)
+                                      + F.lit(0.5)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return back.select("vec_id", "label",
+                       F.size("embedding").alias("dim"),
+                       micro.alias("vec_micro_sum"))
+
+
 def _q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation (operators/text.py split_sentences) over
     text given synthetic terminators (every standalone 'row' gains a
@@ -3836,6 +3895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "normalize_text": _q_normalize_text,
         "sentence_split": _q_sentence_split,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
     }
 
 
@@ -7789,6 +7850,29 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN norm_text <> t2 THEN 1 ELSE 0 END)::INT
                      AS changed
             FROM n
+        """,
+        # mirrors _q_csv_roundtrip: the oracle rebuilds the augmented
+        # rows from parquet with chr() codes (44 ',', 34 '"', 10 LF,
+        # 13 CR) and never reads the CSV — equality proves the Spark
+        # CSV write+read is the identity on the hostile classes
+        "csv_roundtrip": """
+            SELECT doc_id,
+                   substr(text, 1, 30) || chr(44) || chr(34) || 'x'
+                     || chr(10) || 'y' || chr(34) || chr(34)
+                     || 'z end ' AS text2,
+                   lang, n_chars
+            FROM documents
+            WHERE text IS NOT NULL
+        """,
+        # mirrors _q_orc_roundtrip: identity on embeddings + the same
+        # order-independent micro-int vector checksum
+        "orc_roundtrip": """
+            SELECT vec_id, label,
+                   len(embedding)::INT AS dim,
+                   list_sum(list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                              ::BIGINT))::BIGINT AS vec_micro_sum
+            FROM embeddings
         """,
         # mirrors _q_sentence_split: same synthetic terminators
         # (\brow\b -> 'row.'), same inject-chr(31)-then-split (the
