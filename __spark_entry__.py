@@ -3590,6 +3590,18 @@ def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_stat(ev, "vq", "event_type", "click", "error")
 
 
+def _q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor (streaming/drift.py): the quantized-
+    value histogram is the streaming aggregate (state bounded by the
+    quantization grid — no watermark, no TTL, like streaming_hll), and
+    the CDF sweep runs as a batch tail over the final histogram table
+    through the SAME ks_from_hist code as the batch operator. Bounded
+    availableNow replay equals batch ks_drift, so the oracle is
+    shared."""
+    from datafusion_geo_spark.streaming.drift import streaming_ks
+    return streaming_ks(spark, sf_dir)
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of documents (operators/profile.py): row/
     null/exact-distinct counts, lexicographic min/max of the string
@@ -3897,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentence_split,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
+        "streaming_drift": _q_streaming_drift,
     }
 
 
@@ -7903,4 +7916,7 @@ def oracle_sql() -> dict[str, str]:
     # both scorers are gated against the SAME twin (one definition,
     # no drift between the two scorers' oracles)
     out["knn_join_jvm"] = out["knn_join"]
+    # bounded streaming replay == the batch statistic (one ks_from_hist
+    # definition drives both), so the oracle is shared
+    out["streaming_drift"] = out["ks_drift"]
     return out

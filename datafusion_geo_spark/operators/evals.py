@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["auc_exact", "ks_stat"]
+__all__ = ["auc_exact", "ks_stat", "ks_from_hist"]
 
 
 def _r6(col):
@@ -88,6 +88,16 @@ def ks_stat(df: DataFrame, value_col: str, group_col: str,
                         .otherwise(0)).cast("long").alias("na_i"),
                  F.sum(F.when(F.col(group_col) == side_b, 1)
                         .otherwise(0)).cast("long").alias("nb_i")))
+    return ks_from_hist(hist, value_col)
+
+
+def ks_from_hist(hist: DataFrame, value_col: str) -> DataFrame:
+    """The CDF sweep + max from a (value, na_i, nb_i) histogram — the
+    shared tail of ks_stat and the streaming drift monitor (ONE
+    definition, so the integer identities and rounding can never
+    desynchronize from the oracle replay). ``hist`` may come from a
+    batch groupBy or from a completed streaming aggregate's state
+    table; the sweep itself runs over histogram rows only."""
     w = (Window.orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (hist

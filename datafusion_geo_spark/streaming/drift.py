@@ -1,0 +1,45 @@
+"""Streaming distribution-drift monitor: a two-sample KS statistic
+maintained over an event stream.
+
+State story (the reason this is deployable unbounded, like
+streaming/sketch.py): the streaming aggregate is the per-quantized-
+value histogram with per-side conditional counts — its state is
+bounded by the quantization grid, NOT the stream length, so no
+watermark and no TTL are needed. The order-dependent part (CDF sweep,
+max gap) cannot nest inside a streaming aggregate (no chained
+streaming aggregations) and doesn't need to: it runs as a tiny batch
+query over the final histogram table, sharing ONE definition with the
+batch operator (operators/evals.py ks_from_hist), so the streaming
+monitor provably equals the batch statistic on the same data — which
+is exactly what the shared DuckDB oracle checks on a bounded replay.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.evals import ks_from_hist
+from ..sources.fixtures import load_events_stream
+from .runner import run_bounded_complete
+
+
+def streaming_ks(spark: SparkSession, sf_dir: str,
+                 side_a: str = "click", side_b: str = "error",
+                 scale: int = 10) -> DataFrame:
+    """KS drift between two event types' quantized value distributions
+    over the events stream, bounded-fixture runner. Output is the same
+    one row as the batch ks_stat: (n_a, n_b, d_num, ks)."""
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("value").isNotNull()
+                 & F.col("event_type").isin(side_a, side_b))
+          .select("event_type",
+                  F.floor(F.col("value") * scale).cast("long")
+                   .alias("vq")))
+    hist = (ev.groupBy("vq")
+            .agg(F.sum(F.when(F.col("event_type") == side_a, 1)
+                        .otherwise(0)).cast("long").alias("na_i"),
+                 F.sum(F.when(F.col("event_type") == side_b, 1)
+                        .otherwise(0)).cast("long").alias("nb_i")))
+    final_hist = run_bounded_complete(hist, "stream_ks_")
+    return ks_from_hist(final_hist, "vq")

@@ -51,6 +51,8 @@ ALLOWED_BROADCAST_CROSSES = {
                              # crossed onto the distinct-value CDF
                              # histogram (bounded by the quantization
                              # grid)
+    "streaming_drift": 1,    # same ks_from_hist tail over the
+                             # completed streaming histogram
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
