@@ -3637,6 +3637,38 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs, "text", "doc_id")
 
 
+def _q_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (operators/evals.py pearson_corr) between
+    two micro-int-quantized embedding coordinates — the feature-
+    redundancy check an embedding pipeline logs. One partial+final
+    aggregate of six exact int64 moments; the closed form (double cast
+    before the variance product, IEEE sqrt/divide, 6-dp round) replays
+    bit-for-bit in the oracle."""
+    from datafusion_geo_spark.operators.evals import pearson_corr
+    e = _embs(spark, sf_dir).select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double")
+                * F.lit(1e6) + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.element_at(F.col("embedding"), 2).cast("double")
+                * F.lit(1e6) + F.lit(0.5)).cast("long").alias("y"))
+    return pearson_corr(e, "x", "y")
+
+
+def _q_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP over (source, lang): doc counts + char totals at
+    detail, per-source subtotal, and grand-total levels, with the
+    grouping-id bitmask distinguishing the levels — the SURVEY §2
+    'grouping sets / cube / rollup' host surface, demonstrated against
+    DuckDB's GROUP BY ROLLUP. Pure built-in: Catalyst expands the
+    grouping sets into one aggregate (map-side combined), no extra
+    scan per level."""
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.rollup("source", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.grouping_id().cast("long").alias("gid")))
+
+
 # CSV-hostile augmentation: comma, quote, LF, doubled quote — the
 # character classes RFC-4180 quoting must protect. The oracle rebuilds
 # it with chr() codes and never touches the CSV (the round-trip itself
@@ -3910,6 +3942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
         "streaming_drift": _q_streaming_drift,
+        "feature_corr": _q_feature_corr,
+        "source_lang_rollup": _q_source_lang_rollup,
     }
 
 
@@ -7886,6 +7920,49 @@ def oracle_sql() -> dict[str, str]:
                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
+        """,
+        # mirrors _q_feature_corr: same micro-int quantization, same
+        # exact int64 moments, same double-cast-before-product chain
+        "feature_corr": """
+            WITH q AS (
+              SELECT floor(CAST(embedding[1] AS DOUBLE) * 1000000.0
+                           + 0.5)::BIGINT AS x,
+                     floor(CAST(embedding[2] AS DOUBLE) * 1000000.0
+                           + 0.5)::BIGINT AS y
+              FROM embeddings
+            ), agg AS (
+              SELECT COUNT(*)::BIGINT AS n,
+                     SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                     SUM(x * y)::BIGINT AS sxy,
+                     SUM(x * x)::BIGINT AS sxx,
+                     SUM(y * y)::BIGINT AS syy
+              FROM q
+            ), t AS (
+              SELECT n, (n * sxy - sx * sy)::BIGINT AS cov_num,
+                     (n * sxx - sx * sx)::BIGINT AS varx_num,
+                     (n * syy - sy * sy)::BIGINT AS vary_num
+              FROM agg
+            ), v AS (
+              SELECT n, cov_num, varx_num, vary_num,
+                     CAST(cov_num AS DOUBLE)
+                       / sqrt(CAST(varx_num AS DOUBLE)
+                              * CAST(vary_num AS DOUBLE)) AS e
+              FROM t
+            )
+            SELECT n AS n_rows, cov_num, varx_num, vary_num,
+                   (CASE WHEN e < 0 THEN -1 WHEN e > 0 THEN 1 ELSE 0 END)
+                     * floor(abs(e) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+                     AS corr
+            FROM v
+        """,
+        # mirrors _q_source_lang_rollup: DuckDB GROUP BY ROLLUP with the
+        # same (source, lang) bitmask semantics as Spark grouping_id()
+        "source_lang_rollup": """
+            SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_chars)::BIGINT AS sum_chars,
+                   GROUPING(source, lang)::BIGINT AS gid
+            FROM documents
+            GROUP BY ROLLUP (source, lang)
         """,
         # mirrors _q_sentence_split: same synthetic terminators
         # (\brow\b -> 'row.'), same inject-chr(31)-then-split (the

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["auc_exact", "ks_stat", "ks_from_hist"]
+__all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr"]
 
 
 def _r6(col):
@@ -113,3 +113,35 @@ def ks_from_hist(hist: DataFrame, value_col: str) -> DataFrame:
     ks = _r6(F.col("d_num").cast("double")
              / (F.col("n_a") * F.col("n_b")).cast("double"))
     return agg.select("n_a", "n_b", "d_num", ks.alias("ks"))
+
+
+def pearson_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pearson correlation of two INTEGER-quantized columns with
+    engine-exact arithmetic: the corpus pass is one partial+final
+    aggregate of exact int64 moments (n, Sx, Sy, Sxy, Sxx, Syy); the
+    closed form runs once on the single output row. The two variance
+    terms are cast to double BEFORE their product (each fits int64,
+    their product does not); sqrt and the final divide are IEEE
+    correctly-rounded, so the 6-dp result replays bit-for-bit.
+
+    Overflow envelope (the mlfit.py Gram note): micro-int inputs
+    |x| <= ~4e5 keep n*Sxy inside int64 up to ~1e7 rows; beyond that,
+    scale the quantization down — the CONTRACT (exact integer moments,
+    one aggregate) is the scale-relevant part. ONE row out:
+    (n_rows, cov_num, varx_num, vary_num, corr)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                 F.sum(x * y).alias("sxy"),
+                 F.sum(x * x).alias("sxx"),
+                 F.sum(y * y).alias("syy"))
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return agg.select(F.col("n").alias("n_rows"),
+                      cov.cast("long").alias("cov_num"),
+                      vx.cast("long").alias("varx_num"),
+                      vy.cast("long").alias("vary_num"),
+                      _r6(r).alias("corr"))

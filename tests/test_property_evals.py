@@ -59,3 +59,33 @@ def test_ks_matches_cdf_sweep(spark, vals_a, vals_b):
     want = _brute_ks(vals_a, vals_b)
     assert Fraction(out.d_num, out.n_a * out.n_b) == want
     assert out.ks == _r6(out.d_num / (out.n_a * out.n_b))
+
+
+def _brute_corr(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return cov, vx, vy
+
+
+@given(st.lists(st.tuples(st.integers(-1000, 1000),
+                          st.integers(-1000, 1000)),
+                min_size=2, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_pearson_matches_exact_moments(spark, pairs):
+    from datafusion_geo_spark.operators.evals import pearson_corr
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    cov, vx, vy = _brute_corr(xs, ys)
+    assume(vx > 0 and vy > 0)  # degenerate (constant column) excluded
+    df = spark.createDataFrame(pairs, "x long, y long")
+    out = pearson_corr(df, "x", "y").collect()[0]
+    assert (out.cov_num, out.varx_num, out.vary_num) == (cov, vx, vy)
+    # identical double op order: cast-to-double product, sqrt, divide
+    assert out.corr == _r6(cov / math.sqrt(float(vx) * float(vy)))
+    assert abs(out.corr) <= 1.0
