@@ -3637,6 +3637,55 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs, "text", "doc_id")
 
 
+def _q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ROC-AUC of the composite quality score
+    (operators/text.py text_stats) as a predictor of the Gopher keep
+    verdict (gopher_quality) — a REAL grouped model eval: how well does
+    the cheap score rank what the rule-based filter keeps, per
+    language. auc_exact's grouped form: the cumulative window is
+    PARTITIONED BY lang, so sort parallelism scales with group count;
+    degenerate groups (all-keep / all-drop) yield NULL auc in both
+    engines. The score is the quality micro-int recovered exactly from
+    the 6-dp double (floor(q*1e6 + 0.5))."""
+    from datafusion_geo_spark.operators.evals import auc_exact
+    from datafusion_geo_spark.operators.text import (gopher_quality,
+                                                     text_stats)
+    docs = _docs(spark, sf_dir)
+    ts = text_stats(docs).select(
+        "doc_id",
+        F.floor(F.col("quality_score") * F.lit(1e6) + F.lit(0.5))
+         .cast("long").alias("score"))
+    gq = gopher_quality(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("y"))
+    scored = (ts.join(gq, "doc_id")
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    return auc_exact(scored, "score", "y", group_cols=("lang",))
+
+
+def _q_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-CDF quantiles (operators/evals.py hist_quantiles) of
+    the quantized events.value — the bounded-state companion to the
+    exact buffering percentile (value_quantiles): mergeable grouped
+    count + integer rank test (100*cum >= p*N, no division, no float),
+    the sketch shape that replaces exact percentile at 100 TB."""
+    from datafusion_geo_spark.operators.evals import hist_quantiles
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select(F.floor(F.col("value") * 100).cast("long").alias("vq")))
+    return hist_quantiles(ev, "vq", percents=(50, 90, 99))
+
+
+def _q_domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-distribution Shannon entropy (operators/text.py
+    domain_entropy) — the diversity metric next to alpha_resample's
+    sampling factors. Per-term micro-int scaling keeps the corpus sum
+    order-independent (unigram_logprob discipline); shuffle carries one
+    row per distinct (domain, word)."""
+    from datafusion_geo_spark.operators.text import domain_entropy
+    return domain_entropy(_docs(spark, sf_dir), "text", "source")
+
+
 def _q_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation (operators/evals.py pearson_corr) between
     two micro-int-quantized embedding coordinates — the feature-
@@ -3944,6 +3993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift": _q_streaming_drift,
         "feature_corr": _q_feature_corr,
         "source_lang_rollup": _q_source_lang_rollup,
+        "auc_by_group": _q_auc_by_group,
+        "value_hist_quantiles": _q_value_hist_quantiles,
+        "domain_entropy": _q_domain_entropy,
     }
 
 
@@ -7920,6 +7972,128 @@ def oracle_sql() -> dict[str, str]:
                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
+        """,
+        # mirrors _q_auc_by_group: text_stats quality micro-int as the
+        # score, gopher keep as the label, the auc_exact identities
+        # PARTITIONED BY lang; degenerate groups -> NULL auc
+        "auc_by_group": f"""
+            WITH base AS (
+              SELECT doc_id, lang, text,
+                     string_split_regex(trim(text), '\\s+') AS w
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, lang, len(w)::BIGINT AS n,
+                     length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT
+                       AS nchars,
+                     len(list_filter(w, x -> x IN ({_stop_list()})))::BIGINT
+                       AS stops,
+                     len(list_distinct(w))::BIGINT AS dst,
+                     len(list_filter(w,
+                         x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                       AS alpha,
+                     len(list_distinct(list_filter(w,
+                         x -> x IN ({_stop_list()}))))::BIGINT AS dstops
+              FROM base
+            ), scored AS (
+              SELECT lang,
+                     ((2*(4000*LEAST(100, n)*n
+                          + 300000*(n - stops + dst)) + n)
+                      // (2*n))::BIGINT AS score,
+                     CASE WHEN n BETWEEN 50 AND 100000
+                               AND ((2000000*nchars + n) // (2*n))
+                                     / 1000000.0 >= 3.0
+                               AND ((2000000*nchars + n) // (2*n))
+                                     / 1000000.0 <= 10.0
+                               AND ((2000000*alpha + n) // (2*n))
+                                     / 1000000.0 >= 0.8
+                               AND dstops >= 2
+                          THEN 1 ELSE 0 END AS y
+              FROM feat
+            ), hist AS (
+              SELECT lang, score, COUNT(*)::BIGINT AS n,
+                     SUM(y)::BIGINT AS npos
+              FROM scored GROUP BY lang, score
+            ), cum AS (
+              SELECT lang, score, n, npos,
+                     COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS c_before
+              FROM hist
+            ), agg AS (
+              SELECT lang, SUM(npos)::BIGINT AS p_total,
+                     SUM(n - npos)::BIGINT AS n_total,
+                     SUM(npos * (2 * c_before + n + 1))::BIGINT
+                       AS rank2_pos
+              FROM cum GROUP BY lang
+            ), v AS (
+              SELECT lang, p_total, n_total, rank2_pos,
+                     CASE WHEN p_total > 0 AND n_total > 0 THEN
+                       CAST(rank2_pos - p_total * (p_total + 1) AS DOUBLE)
+                         / CAST(2 * p_total * n_total AS DOUBLE) END AS e
+              FROM agg
+            )
+            SELECT lang, p_total, n_total, rank2_pos,
+                   CASE WHEN e IS NULL THEN NULL ELSE
+                     (CASE WHEN e < 0 THEN -1 WHEN e > 0 THEN 1 ELSE 0 END)
+                       * floor(abs(e) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+                   END AS auc
+            FROM v
+        """,
+        # mirrors _q_value_hist_quantiles: integer rank test, no float
+        "value_hist_quantiles": """
+            WITH q AS (
+              SELECT floor(value * 100)::BIGINT AS vq
+              FROM events WHERE value IS NOT NULL
+            ), hist AS (
+              SELECT vq, COUNT(*)::BIGINT AS cnt FROM q GROUP BY vq
+            ), cum AS (
+              SELECT vq, SUM(cnt) OVER (ORDER BY vq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ::BIGINT AS cum
+              FROM hist
+            ), tot AS (SELECT SUM(cnt)::BIGINT AS n_total FROM hist)
+            SELECT MAX(t.n_total)::BIGINT AS n_total,
+                   MIN(CASE WHEN 100 * c.cum >= 50 * t.n_total
+                            THEN c.vq END)::BIGINT AS p50,
+                   MIN(CASE WHEN 100 * c.cum >= 90 * t.n_total
+                            THEN c.vq END)::BIGINT AS p90,
+                   MIN(CASE WHEN 100 * c.cum >= 99 * t.n_total
+                            THEN c.vq END)::BIGINT AS p99
+            FROM cum c, tot t
+        """,
+        # mirrors _q_domain_entropy: per-term micro-int cnt*ln(cnt)
+        # before the sum (order-independent), identical final chain
+        "domain_entropy": """
+            WITH toks AS (
+              SELECT source AS domain, w
+              FROM (SELECT source,
+                           unnest(string_split_regex(trim(text), '\\s+'))
+                             AS w
+                    FROM documents)
+              WHERE w <> ''
+            ), cnts AS (
+              SELECT domain, w, COUNT(*)::BIGINT AS cnt
+              FROM toks GROUP BY domain, w
+            ), agg AS (
+              SELECT domain, SUM(cnt)::BIGINT AS n_tokens,
+                     COUNT(*)::BIGINT AS vocab,
+                     SUM(floor(CAST(cnt AS DOUBLE)
+                               * ln(CAST(cnt AS DOUBLE))
+                               * 1000000.0 + 0.5)::BIGINT)::BIGINT
+                       AS s_micro
+              FROM cnts GROUP BY domain
+            ), v AS (
+              SELECT domain, n_tokens, vocab, s_micro,
+                     ln(CAST(n_tokens AS DOUBLE))
+                       - (CAST(s_micro AS DOUBLE) / 1000000.0)
+                         / CAST(n_tokens AS DOUBLE) AS e
+              FROM agg
+            )
+            SELECT domain, n_tokens, vocab, s_micro,
+                   (CASE WHEN e < 0 THEN -1 WHEN e > 0 THEN 1 ELSE 0 END)
+                     * floor(abs(e) * 1000000.0 + 0.5) / 1000000.0 + 0.0
+                     AS entropy
+            FROM v
         """,
         # mirrors _q_feature_corr: same micro-int quantization, same
         # exact int64 moments, same double-cast-before-product chain

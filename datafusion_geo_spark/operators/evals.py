@@ -22,7 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr"]
+__all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
+           "hist_quantiles"]
 
 
 def _r6(col):
@@ -31,11 +32,13 @@ def _r6(col):
             / F.lit(1e6) + F.lit(0.0))
 
 
-def auc_exact(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+def auc_exact(scored: DataFrame, score_col: str, label_col: str,
+              group_cols: tuple = ()) -> DataFrame:
     """Exact tie-aware ROC-AUC (Mann-Whitney rank-sum form) of an
-    integer-quantized score against a 0/1 label. ONE row out:
-    p_total, n_total, rank2_pos (2x the rank-sum of positives, exact
-    int64), and auc (6-dp).
+    integer-quantized score against a 0/1 label. ONE row out (or one
+    per group with ``group_cols``): p_total, n_total, rank2_pos (2x
+    the rank-sum of positives, exact int64), and auc (6-dp; NULL for
+    a degenerate group with no positives or no negatives).
 
     Identity used: with the histogram bucket i holding n_i rows
     (p_i positive) and C_i rows in strictly-smaller buckets, every row
@@ -43,30 +46,33 @@ def auc_exact(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
     2*sum(rank of positives) = sum_i p_i * (2*C_i + n_i + 1) — all
     int64. AUC = (rank2_pos - P*(P+1)) / (2*P*N).
 
-    Scale shape: the corpus pass is groupBy(score) with map-side
-    combine; the cumulative window then runs over DISTINCT quantized
-    scores only (bounded by the quantization grid, not the corpus), so
-    its single ordered partition is a constant-size driver of the
-    final one-row aggregate."""
+    Scale shape: the corpus pass is groupBy(group, score) with
+    map-side combine; the cumulative window then runs over DISTINCT
+    quantized scores only (bounded by the quantization grid, not the
+    corpus) — and with groups it is partitioned BY group, so the
+    sort parallelism scales with group count."""
+    gc = list(group_cols)
     hist = (scored
-            .groupBy(score_col)
+            .groupBy(*gc, score_col)
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col(label_col).cast("long")).alias("npos")))
-    w = (Window.orderBy(score_col)
+    w = Window.partitionBy(*gc) if gc else Window.partitionBy()
+    w = (w.orderBy(score_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     cum = hist.withColumn(
         "c_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long"))
-    agg = cum.agg(
+    aggs = [
         F.sum("npos").cast("long").alias("p_total"),
         F.sum(F.col("n") - F.col("npos")).cast("long").alias("n_total"),
         F.sum(F.col("npos")
               * (F.lit(2) * F.col("c_before") + F.col("n") + F.lit(1)))
-         .cast("long").alias("rank2_pos"))
+         .cast("long").alias("rank2_pos")]
+    agg = cum.groupBy(*gc).agg(*aggs) if gc else cum.agg(*aggs)
     num = (F.col("rank2_pos")
            - F.col("p_total") * (F.col("p_total") + F.lit(1)))
     den = F.lit(2) * F.col("p_total") * F.col("n_total")
-    auc = _r6(num.cast("double") / den.cast("double"))
-    return agg.select("p_total", "n_total", "rank2_pos",
+    auc = F.when(den > 0, _r6(num.cast("double") / den.cast("double")))
+    return agg.select(*gc, "p_total", "n_total", "rank2_pos",
                       auc.alias("auc"))
 
 
@@ -145,3 +151,31 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                       vx.cast("long").alias("varx_num"),
                       vy.cast("long").alias("vary_num"),
                       _r6(r).alias("corr"))
+
+
+def hist_quantiles(df: DataFrame, value_col: str,
+                   percents: tuple = (50, 90, 99)) -> DataFrame:
+    """Quantiles from the quantized-value histogram — the bounded-state
+    companion to the exact buffering percentile (value_quantiles): the
+    corpus pass is one grouped count (mergeable: histograms of two
+    corpora just add), and each requested percentile is the SMALLEST
+    value whose cumulative count reaches ceil(p/100 * N) — the 'lower'
+    interpolation, chosen because the rank test ``100*cum >= p*N`` is
+    pure int64 comparison, no division, no float anywhere. ONE row out:
+    (n_total, p<p1>, p<p2>, ...).
+
+    This is the shape that replaces exact percentile at 100 TB: state
+    is the quantization grid, the sweep is histogram-sized, and the
+    sketch merges by addition across partitions/batches."""
+    hist = (df.groupBy(value_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = (Window.orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    totals = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    j = cum.crossJoin(F.broadcast(totals))  # totals: exactly 1 row
+    picks = [F.min(F.when(F.lit(100) * F.col("cum")
+                          >= F.lit(int(p)) * F.col("n_total"),
+                          F.col(value_col))).alias(f"p{int(p)}")
+             for p in percents]
+    return j.agg(F.max("n_total").alias("n_total"), *picks)

@@ -656,3 +656,42 @@ def split_sentences(df: DataFrame, text_col: str = "text",
             .select(id_col, F.col("sent_idx").cast("long").alias("sent_idx"),
                     sent.alias("sentence"),
                     n_words.cast("long").alias("n_words")))
+
+
+# Corpus diversity --------------------------------------------------------
+
+def domain_entropy(df: DataFrame, text_col: str = "text",
+                   domain_col: str = "source") -> DataFrame:
+    """Shannon entropy (nats) of the word distribution per domain — the
+    diversity metric a data-mixing step logs next to its sampling
+    factors (low entropy = templated/boilerplate domain). One row per
+    domain: (domain, n_tokens, vocab, s_micro, entropy).
+
+    Exactness: H = ln(N) - (sum_w cnt_w * ln(cnt_w)) / N. Each per-word
+    term is scaled to a micro-int BEFORE the sum (floor(cnt*ln(cnt)*1e6
+    + 0.5) — int64), so the corpus-wide sum is summation-order
+    independent (the unigram_logprob discipline); ln is the IEEE libm
+    call both engines agree on for these integer-valued inputs, and the
+    final three-op float chain is replayed verbatim by the oracle.
+
+    Scale shape: explode -> one partial+final (domain, word) count ->
+    one per-domain aggregate; the shuffle carries one row per distinct
+    (domain, word), never per token."""
+    toks = df.select(F.col(domain_col).alias("domain"),
+                     F.explode(words_col(F.col(text_col))).alias("w"))
+    toks = toks.where(F.col("w") != "")
+    cnts = (toks.groupBy("domain", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    term = F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))
+    micro = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+    agg = (cnts.groupBy("domain")
+           .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("vocab"),
+                F.sum(micro).alias("s_micro")))
+    nd = F.col("n_tokens").cast("double")
+    h = (F.log(nd)
+         - (F.col("s_micro").cast("double") / F.lit(1e6)) / nd)
+    h6 = (F.signum(h) * F.floor(F.abs(h) * F.lit(1e6) + F.lit(0.5))
+          / F.lit(1e6) + F.lit(0.0))
+    return agg.select("domain", "n_tokens", "vocab", "s_micro",
+                      h6.alias("entropy"))

@@ -122,3 +122,47 @@ def test_hll_by_group_matches_per_group_global(spark):
         assert grouped[g].n_registers == solo.n_registers
         assert grouped[g].z_scaled == solo.z_scaled
         assert grouped[g].est == solo.est
+
+
+def test_auc_grouped_and_degenerate(spark):
+    rows = [("g1", 1, 0), ("g1", 2, 1),     # perfect separation
+            ("g2", 1, 1), ("g2", 2, 1)]     # degenerate: no negatives
+    df = spark.createDataFrame(rows, "grp string, score long, y int")
+    from datafusion_geo_spark.operators.evals import auc_exact
+    out = {r.grp: r for r in
+           auc_exact(df, "score", "y", group_cols=("grp",)).collect()}
+    assert out["g1"].auc == 1.0
+    assert out["g2"].auc is None and out["g2"].n_total == 0
+
+
+def test_hist_quantiles_hand_computed(spark):
+    from datafusion_geo_spark.operators.evals import hist_quantiles
+    # 10 values 1..10: rank(p50)=ceil(5)=5 -> 5, p90 -> 9, p99 -> 10
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], "v long")
+    r = hist_quantiles(df, "v", percents=(50, 90, 99)).collect()[0]
+    assert (r.n_total, r.p50, r.p90, r.p99) == (10, 5, 9, 10)
+    # heavy ties: 9x value 1, 1x value 2 -> p90 hits 1, p99 needs 2
+    df2 = spark.createDataFrame([(1,)] * 9 + [(2,)], "v long")
+    r2 = hist_quantiles(df2, "v", percents=(50, 90, 99)).collect()[0]
+    assert (r2.p50, r2.p90, r2.p99) == (1, 1, 2)
+
+
+def test_domain_entropy_uniform_and_skewed(spark):
+    import math
+    from datafusion_geo_spark.operators.text import domain_entropy
+    rows = [(1, "a b c d", "u"),            # uniform over 4 words
+            (2, "x x x x x x x y", "s")]    # skewed 7:1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in domain_entropy(df).collect()}
+    assert out["u"].n_tokens == 4 and out["u"].vocab == 4
+    # uniform: H = ln(4); replay the operator's exact chain
+    s_micro_u = 0  # every cnt = 1 -> cnt*ln(cnt) = 0
+    assert out["u"].s_micro == s_micro_u
+    want_u = math.floor(abs(math.log(4.0)) * 1e6 + 0.5) / 1e6
+    assert out["u"].entropy == want_u
+    # skewed: s_micro = round(7*ln(7)*1e6); H = ln(8) - s/1e6/8
+    s7 = math.floor(7.0 * math.log(7.0) * 1e6 + 0.5)
+    assert out["s"].s_micro == s7
+    h = math.log(8.0) - (s7 / 1e6) / 8.0
+    assert out["s"].entropy == math.floor(abs(h) * 1e6 + 0.5) / 1e6
+    assert out["s"].entropy < out["u"].entropy  # skew lowers diversity

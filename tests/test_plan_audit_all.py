@@ -53,6 +53,9 @@ ALLOWED_BROADCAST_CROSSES = {
                              # grid)
     "streaming_drift": 1,    # same ks_from_hist tail over the
                              # completed streaming histogram
+    "value_hist_quantiles": 1,  # one-row N total crossed onto the
+                             # quantized-value CDF histogram (the
+                             # ks_drift shape)
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
