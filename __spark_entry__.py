@@ -3637,6 +3637,46 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs, "text", "doc_id")
 
 
+def _q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the report a dedup run
+    publishes (how much of the corpus sits in 2x, 3x, ... clusters).
+    Corpus gets one exact copy of every doc (+1e6) and a SECOND copy of
+    docs < 50 (+2e6), so sizes 2 and 3 both exist deterministically.
+    exact_dedup's grouped hash agg, then a second tiny aggregate over
+    cluster sizes: both map-side combined, shuffle rows bounded by
+    distinct texts then by distinct sizes."""
+    from datafusion_geo_spark.operators.dedup import exact_dedup
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = (d.unionAll(d.select((F.col("doc_id") + 1000000)
+                                  .alias("doc_id"), "text"))
+              .unionAll(d.where(F.col("doc_id") < 50)
+                        .select((F.col("doc_id") + 2000000)
+                                .alias("doc_id"), "text")))
+    clusters = exact_dedup(corpus)
+    return (clusters.groupBy("n_copies")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("n_copies").cast("long").alias("n_docs")))
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: hour-of-day x event-type count matrix — the OLAP pivot
+    surface next to source_lang_rollup's ROLLUP. Spark's pivot with an
+    EXPLICIT value list compiles to one hash aggregate with conditional
+    counts (no second pass to discover values — the form that scales);
+    hour-of-day is timezone-free epoch arithmetic (the hourly_rollup
+    convention). The oracle is the equivalent conditional aggregation."""
+    from datafusion_geo_spark.sources.fixtures import load_table
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull())
+          .select((F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))
+                           / 3600).cast("long") % 24).alias("hr"),
+                  "event_type"))
+    piv = ev.groupBy("hr").pivot("event_type", types).count()
+    return piv.select("hr", *[F.coalesce(F.col(t), F.lit(0))
+                              .cast("long").alias(t) for t in types])
+
+
 def _q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language ROC-AUC of the composite quality score
     (operators/text.py text_stats) as a predictor of the Gopher keep
@@ -3994,6 +4034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_corr": _q_feature_corr,
         "source_lang_rollup": _q_source_lang_rollup,
         "auc_by_group": _q_auc_by_group,
+        "dup_cluster_hist": _q_dup_cluster_hist,
+        "events_pivot": _q_events_pivot,
         "value_hist_quantiles": _q_value_hist_quantiles,
         "domain_entropy": _q_domain_entropy,
     }
@@ -7972,6 +8014,41 @@ def oracle_sql() -> dict[str, str]:
                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
+        """,
+        # mirrors _q_dup_cluster_hist: same triple-union corpus, same
+        # two-level aggregate
+        "dup_cluster_hist": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM documents
+              WHERE doc_id < 50
+            ), clusters AS (
+              SELECT md5(text) AS text_md5, COUNT(*)::BIGINT AS n_copies
+              FROM corpus GROUP BY md5(text)
+            )
+            SELECT n_copies, COUNT(*)::BIGINT AS n_clusters,
+                   SUM(n_copies)::BIGINT AS n_docs
+            FROM clusters GROUP BY n_copies
+        """,
+        # mirrors _q_events_pivot: conditional aggregation == the
+        # explicit-value-list pivot; hour-of-day is epoch arithmetic
+        "events_pivot": """
+            SELECT (epoch_us(ts) // 3600000000) % 24 AS hr,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS view
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1
         """,
         # mirrors _q_auc_by_group: text_stats quality micro-int as the
         # score, gopher keep as the label, the auc_exact identities
