@@ -3637,6 +3637,32 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(docs, "text", "doc_id")
 
 
+def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource round-trip (sources/pyds.py): the same
+    GeoJSON-lines files read through the Spark 4 DataSource V2 Python
+    API (schema from options, one InputPartition per file, per-
+    partition generator) instead of the JVM text+JSON fast path — and
+    gated against the SAME oracle as geojsonl_roundtrip, so both
+    readers provably produce identical rows from identical files."""
+    import os
+    from datafusion_geo_spark.functions import st_astext
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    from datafusion_geo_spark.sources.geoio import write_geojsonl
+    from datafusion_geo_spark.sources.pyds import GeoJsonLinesDataSource
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "geojsonl_py", tag)
+    src = lines_orders(spark, sf_dir).select("o_orderkey", "k", "geom")
+    write_geojsonl(src, path)
+    spark.dataSource.register(GeoJsonLinesDataSource)
+    back = (spark.read.format("geojsonl_py")
+            .option("path", path)
+            .option("properties_schema", "o_orderkey long, k long")
+            .load())
+    return back.select("o_orderkey", "k",
+                       st_astext(F.col("geom")).alias("wkt_out"))
+
+
 def _q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram — the report a dedup run
     publishes (how much of the corpus sits in 2x, 3x, ... clusters).
@@ -4035,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_rollup": _q_source_lang_rollup,
         "auc_by_group": _q_auc_by_group,
         "dup_cluster_hist": _q_dup_cluster_hist,
+        "pyds_roundtrip": _q_pyds_roundtrip,
         "events_pivot": _q_events_pivot,
         "value_hist_quantiles": _q_value_hist_quantiles,
         "domain_entropy": _q_domain_entropy,
@@ -8247,4 +8274,6 @@ def oracle_sql() -> dict[str, str]:
     # bounded streaming replay == the batch statistic (one ks_from_hist
     # definition drives both), so the oracle is shared
     out["streaming_drift"] = out["ks_drift"]
+    # the Python-DataSource reader must equal the JVM fast-path reader
+    out["pyds_roundtrip"] = out["geojsonl_roundtrip"]
     return out
