@@ -3663,6 +3663,31 @@ def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+def _q_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINK direction of the custom Python DataSource
+    (sources/pyds.py GeoJsonLinesWriter): each task serializes its
+    partition to one Feature-per-line part file and returns a commit
+    message; the JVM fast-path reader (geoio.read_geojsonl) then reads
+    the result back — gated against the same oracle, so the Python
+    writer and the JVM writer are provably interchangeable."""
+    import os
+    from datafusion_geo_spark.functions import st_astext
+    from datafusion_geo_spark.sources.fixtures import lines_orders
+    from datafusion_geo_spark.sources.geoio import read_geojsonl
+    from datafusion_geo_spark.sources.pyds import GeoJsonLinesDataSource
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "geojsonl_pyw", tag)
+    spark.dataSource.register(GeoJsonLinesDataSource)
+    src = lines_orders(spark, sf_dir).select("o_orderkey", "k", "geom")
+    (src.write.format("geojsonl_py").mode("overwrite")
+        .option("path", path).save())
+    back = read_geojsonl(spark, path,
+                         properties_schema="o_orderkey long, k long")
+    return back.select("o_orderkey", "k",
+                       st_astext(F.col("geom")).alias("wkt_out"))
+
+
 def _q_dup_cluster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram — the report a dedup run
     publishes (how much of the corpus sits in 2x, 3x, ... clusters).
@@ -4062,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_by_group": _q_auc_by_group,
         "dup_cluster_hist": _q_dup_cluster_hist,
         "pyds_roundtrip": _q_pyds_roundtrip,
+        "pyds_write_roundtrip": _q_pyds_write_roundtrip,
         "events_pivot": _q_events_pivot,
         "value_hist_quantiles": _q_value_hist_quantiles,
         "domain_entropy": _q_domain_entropy,
@@ -8276,4 +8302,5 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_drift"] = out["ks_drift"]
     # the Python-DataSource reader must equal the JVM fast-path reader
     out["pyds_roundtrip"] = out["geojsonl_roundtrip"]
+    out["pyds_write_roundtrip"] = out["geojsonl_roundtrip"]
     return out

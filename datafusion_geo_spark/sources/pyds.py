@@ -21,7 +21,8 @@ identical files.
 from __future__ import annotations
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 __all__ = ["GeoJsonLinesDataSource"]
 
@@ -43,6 +44,9 @@ class GeoJsonLinesDataSource(DataSource):
 
     def reader(self, schema) -> "GeoJsonLinesReader":
         return GeoJsonLinesReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> "GeoJsonLinesWriter":
+        return GeoJsonLinesWriter(self.options, schema, overwrite)
 
 
 class GeoJsonLinesReader(DataSourceReader):
@@ -82,3 +86,56 @@ class GeoJsonLinesReader(DataSourceReader):
                 wkb = None if geo is None \
                     else to_wkb(from_geojson(json.dumps(geo)))
                 yield tuple(props.get(n) for n in prop_fields) + (wkb,)
+
+
+class GeoJsonPartCommit(WriterCommitMessage):
+    """Per-task commit message: which file landed, how many rows."""
+
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class GeoJsonLinesWriter(DataSourceWriter):
+    """The sink direction of the same API: each task serializes its
+    partition to one part file (Feature per line — geometry via the
+    repo's single GeoJSON serializer, every non-geom column into
+    ``properties``). ``overwrite`` clears existing part files on the
+    DRIVER before tasks launch (the one driver-side step, O(files));
+    commit messages carry (file, row count) back for the driver-side
+    commit, mirroring how a real transactional sink would publish a
+    manifest. Gated by a round-trip through the JVM fast-path reader
+    against the same oracle as the Python reader."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        import glob
+        import os
+        self.path = options["path"]
+        self.schema = schema
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in glob.glob(os.path.join(self.path, "part-*")):
+                os.remove(f)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json
+        import os
+        import uuid
+
+        from ..functions.kernels import _geojson
+        from ..geo.wkb import from_wkb
+
+        prop_fields = [f.name for f in self.schema.fields
+                       if f.name != "geom"]
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                geom = row["geom"]
+                gj = "null" if geom is None else _geojson(from_wkb(geom))
+                props = json.dumps({k: row[k] for k in prop_fields},
+                                   separators=(",", ":"))
+                fh.write('{"type":"Feature","geometry":%s,'
+                         '"properties":%s}\n' % (gj, props))
+                n += 1
+        return GeoJsonPartCommit(out, n)
