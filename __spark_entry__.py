@@ -21,7 +21,7 @@ import sys
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 # Self-locate: queries/oracles lazily import datafusion_geo_spark, so a
 # driver loading this file by PATH (spec_from_file_location from another
@@ -3663,6 +3663,57 @@ def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+def _q_top_words_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped heavy hitters: top-3 words per source by exact count
+    (ties by word) — the per-domain vocabulary report next to the
+    global vocab_topk. One word-count aggregate, then a rank window
+    PARTITIONED BY source that Spark lowers to a pre-shuffle
+    WindowGroupLimit (each map task forwards only its local top-3 per
+    group — the stratified_sample optimization)."""
+    docs = _docs(spark, sf_dir)
+    from datafusion_geo_spark.operators.text import words_col
+    cnts = (docs.select("source",
+                        F.explode(words_col(F.col("text"))).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("source", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    win = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("w"))
+    return (cnts.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= 3)
+            .select("source", "rank", "w", "cnt"))
+
+
+def _q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped histogram-CDF quantiles (hist_quantiles with
+    group_cols): p50/p90/p99 of the quantized value PER event_type —
+    both the cumulative and the total are windows PARTITIONED BY the
+    group (no cross join at all), so sweep parallelism scales with
+    group count."""
+    from datafusion_geo_spark.operators.evals import hist_quantiles
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * 100).cast("long").alias("vq")))
+    return hist_quantiles(ev, "vq", percents=(50, 90, 99),
+                          group_cols=("event_type",))
+
+
+def _q_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker as a Python UDTF (operators/udtfs.py ChunkUDTF) in a
+    SQL LATERAL join — the table-valued-function surface the reference
+    lacks, gated against the SAME oracle as chunk_docs so the UDTF and
+    the higher-order-array fast path provably never drift."""
+    from datafusion_geo_spark.operators.udtfs import ChunkUDTF
+    docs = _docs(spark, sf_dir)
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    docs.createOrReplaceTempView("_chunk_src")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM _chunk_src d, LATERAL chunk_udtf(d.text) c
+    """)
+
+
 def _q_pyds_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SINK direction of the custom Python DataSource
     (sources/pyds.py GeoJsonLinesWriter): each task serializes its
@@ -4088,6 +4139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_hist": _q_dup_cluster_hist,
         "pyds_roundtrip": _q_pyds_roundtrip,
         "pyds_write_roundtrip": _q_pyds_write_roundtrip,
+        "top_words_by_source": _q_top_words_by_source,
+        "quantiles_by_type": _q_quantiles_by_type,
+        "chunk_udtf": _q_chunk_udtf,
         "events_pivot": _q_events_pivot,
         "value_hist_quantiles": _q_value_hist_quantiles,
         "domain_entropy": _q_domain_entropy,
@@ -8068,6 +8122,52 @@ def oracle_sql() -> dict[str, str]:
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
         """,
+        # mirrors _q_top_words_by_source: same counts, same rank window
+        "top_words_by_source": """
+            WITH toks AS (
+              SELECT source, w
+              FROM (SELECT source,
+                           unnest(string_split_regex(trim(text), '\\s+'))
+                             AS w
+                    FROM documents)
+              WHERE w <> ''
+            ), cnts AS (
+              SELECT source, w, COUNT(*)::BIGINT AS cnt
+              FROM toks GROUP BY source, w
+            ), ranked AS (
+              SELECT source, w, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY cnt DESC, w ASC)::INT AS rank
+              FROM cnts
+            )
+            SELECT source, rank, w, cnt FROM ranked WHERE rank <= 3
+        """,
+        # mirrors _q_quantiles_by_type: grouped integer rank test
+        "quantiles_by_type": """
+            WITH q AS (
+              SELECT event_type, floor(value * 100)::BIGINT AS vq
+              FROM events WHERE value IS NOT NULL
+            ), hist AS (
+              SELECT event_type, vq, COUNT(*)::BIGINT AS cnt
+              FROM q GROUP BY event_type, vq
+            ), cum AS (
+              SELECT event_type, vq, cnt,
+                     SUM(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS cum,
+                     SUM(cnt) OVER (PARTITION BY event_type)
+                       ::BIGINT AS n_total
+              FROM hist
+            )
+            SELECT event_type, MAX(n_total)::BIGINT AS n_total,
+                   MIN(CASE WHEN 100 * cum >= 50 * n_total
+                            THEN vq END)::BIGINT AS p50,
+                   MIN(CASE WHEN 100 * cum >= 90 * n_total
+                            THEN vq END)::BIGINT AS p90,
+                   MIN(CASE WHEN 100 * cum >= 99 * n_total
+                            THEN vq END)::BIGINT AS p99
+            FROM cum GROUP BY event_type
+        """,
         # mirrors _q_dup_cluster_hist: same triple-union corpus, same
         # two-level aggregate
         "dup_cluster_hist": """
@@ -8303,4 +8403,6 @@ def oracle_sql() -> dict[str, str]:
     # the Python-DataSource reader must equal the JVM fast-path reader
     out["pyds_roundtrip"] = out["geojsonl_roundtrip"]
     out["pyds_write_roundtrip"] = out["geojsonl_roundtrip"]
+    # the Python UDTF chunker must equal the array fast-path chunker
+    out["chunk_udtf"] = out["chunk_docs"]
     return out

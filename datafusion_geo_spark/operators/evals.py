@@ -154,7 +154,8 @@ def pearson_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
 
 
 def hist_quantiles(df: DataFrame, value_col: str,
-                   percents: tuple = (50, 90, 99)) -> DataFrame:
+                   percents: tuple = (50, 90, 99),
+                   group_cols: tuple = ()) -> DataFrame:
     """Quantiles from the quantized-value histogram — the bounded-state
     companion to the exact buffering percentile (value_quantiles): the
     corpus pass is one grouped count (mergeable: histograms of two
@@ -166,16 +167,31 @@ def hist_quantiles(df: DataFrame, value_col: str,
 
     This is the shape that replaces exact percentile at 100 TB: state
     is the quantization grid, the sweep is histogram-sized, and the
-    sketch merges by addition across partitions/batches."""
-    hist = (df.groupBy(value_col)
+    sketch merges by addition across partitions/batches.
+
+    With ``group_cols``, one row per group: the cumulative and total
+    windows PARTITION BY group (no cross join at all), so the sweep
+    parallelism scales with group count."""
+    gc = list(group_cols)
+    hist = (df.groupBy(*gc, value_col)
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    picks = [F.min(F.when(F.lit(100) * F.col("cum")
+                          >= F.lit(int(p)) * F.col("n_total"),
+                          F.col(value_col))).alias(f"p{int(p)}")
+             for p in percents]
+    if gc:
+        wc = (Window.partitionBy(*gc).orderBy(value_col)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wt = (Window.partitionBy(*gc)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+        j = (hist.withColumn("cum", F.sum("cnt").over(wc).cast("long"))
+             .withColumn("n_total", F.sum("cnt").over(wt).cast("long")))
+        return j.groupBy(*gc).agg(F.max("n_total").alias("n_total"),
+                                  *picks)
     w = (Window.orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
     totals = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
     j = cum.crossJoin(F.broadcast(totals))  # totals: exactly 1 row
-    picks = [F.min(F.when(F.lit(100) * F.col("cum")
-                          >= F.lit(int(p)) * F.col("n_total"),
-                          F.col(value_col))).alias(f"p{int(p)}")
-             for p in percents]
     return j.agg(F.max("n_total").alias("n_total"), *picks)
