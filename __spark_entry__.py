@@ -8069,7 +8069,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT col_name, COUNT(*)::BIGINT AS n_rows,
                    SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT
                      AS n_null,
-                   COUNT(DISTINCT val)::BIGINT AS n_distinct,
+                   COUNT(DISTINCT md5(val))::BIGINT AS n_distinct,
                    MIN(val) AS min_val, MAX(val) AS max_val,
                    COALESCE(SUM(length(val)), 0)::BIGINT AS sum_len
             FROM m GROUP BY col_name

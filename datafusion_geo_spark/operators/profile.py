@@ -36,11 +36,16 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         F.struct(F.lit(c).alias("col_name"),
                  F.col(c).cast("string").alias("val"))
         for c in cols])).alias("kv")).select("kv.col_name", "kv.val")
+    # distinct is counted on md5(val), not val: every other aggregate
+    # here is a map-side partial (one min/max/sum per task crosses the
+    # wire), but COUNT(DISTINCT) must ship each distinct value — hashing
+    # first ships 32-byte digests instead of full document texts. Same
+    # count modulo md5 collisions; the oracle hashes identically.
     return (melted.groupBy("col_name")
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
                   .cast("long").alias("n_null"),
-                 F.count_distinct(F.col("val")).cast("long")
+                 F.count_distinct(F.md5(F.col("val"))).cast("long")
                   .alias("n_distinct"),
                  F.min("val").alias("min_val"),
                  F.max("val").alias("max_val"),
