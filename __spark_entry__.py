@@ -3663,6 +3663,53 @@ def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators/asof_join.py asof_join_nearest):
+    each event takes its user's order with the day CLOSEST to the
+    event day, ties to the backward match — completing the
+    backward/forward/nearest merge_asof family. Two skew-hardened
+    sweeps + one equi-join on the unique event_id; the oracle runs
+    DuckDB's backward-only ASOF twice (forward via the negated axis)
+    and applies the identical pick rule."""
+    from datafusion_geo_spark.operators.asof_join import asof_join_nearest
+    from datafusion_geo_spark.sources.fixtures import (load_events,
+                                                       load_table)
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.dayofmonth(F.col("ts")).cast("long").alias("ed"))
+    o2 = (load_table(spark, sf_dir, "orders")
+          .select((F.col("o_custkey") % 150).alias("user_id"),
+                  F.dayofmonth(F.col("o_orderdate")).cast("long")
+                   .alias("od"), "o_orderkey")
+          .groupBy("user_id", "od")
+          .agg(F.max("o_orderkey").alias("near_orderkey")))
+    return asof_join_nearest(ev, o2, on="user_id", left_time="ed",
+                             right_time="od", left_id="event_id",
+                             right_cols=["near_orderkey"])
+
+
+def _q_rolling_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each event's rolling 1-hour cents total for
+    its user (RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW over epoch
+    seconds) — the event-time sliding aggregate a feature store
+    computes. Partitioned by user_id, so sort parallelism scales with
+    the user population; cents stay exact int64 (the hourly_rollup
+    convention)."""
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select("event_id", "user_id",
+                  F.unix_timestamp(F.col("ts").cast("timestamp"))
+                   .cast("long").alias("sec"),
+                  F.round(F.col("value") * 100).cast("long")
+                   .alias("cents")))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3599, 0))
+    return ev.select("event_id", "user_id", "sec", "cents",
+                     F.sum("cents").over(w).cast("long")
+                      .alias("roll_cents"))
+
+
 def _q_top_words_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped heavy hitters: top-3 words per source by exact count
     (ties by word) — the per-domain vocabulary report next to the
@@ -4139,6 +4186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_hist": _q_dup_cluster_hist,
         "pyds_roundtrip": _q_pyds_roundtrip,
         "pyds_write_roundtrip": _q_pyds_write_roundtrip,
+        "asof_nearest": _q_asof_nearest,
+        "rolling_user_sum": _q_rolling_user_sum,
         "top_words_by_source": _q_top_words_by_source,
         "quantiles_by_type": _q_quantiles_by_type,
         "chunk_udtf": _q_chunk_udtf,
@@ -8121,6 +8170,51 @@ def oracle_sql() -> dict[str, str]:
                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
+        """,
+        # mirrors _q_asof_nearest: backward + negated-axis forward ASOF,
+        # identical pick rule (ties -> backward)
+        "asof_nearest": """
+            WITH e AS (SELECT event_id, user_id, day(ts)::BIGINT AS ed,
+                              -day(ts)::BIGINT AS ned
+                       FROM events),
+            o2 AS (SELECT o_custkey % 150 AS user_id,
+                          day(o_orderdate)::BIGINT AS od,
+                          -day(o_orderdate)::BIGINT AS nod,
+                          MAX(o_orderkey) AS near_orderkey
+                   FROM orders GROUP BY 1, 2, 3),
+            b AS (SELECT e.event_id, o2.od AS od_b,
+                         o2.near_orderkey AS k_b
+                  FROM e ASOF LEFT JOIN o2
+                    ON e.user_id = o2.user_id AND e.ed >= o2.od),
+            f AS (SELECT e.event_id, o2.od AS od_f,
+                         o2.near_orderkey AS k_f
+                  FROM e ASOF LEFT JOIN o2
+                    ON e.user_id = o2.user_id AND e.ned >= o2.nod)
+            SELECT e.event_id, e.user_id, e.ed,
+                   CASE WHEN b.od_b IS NOT NULL AND (f.od_f IS NULL OR
+                             (e.ed - b.od_b) <= (f.od_f - e.ed))
+                        THEN b.k_b ELSE f.k_f END AS near_orderkey,
+                   CASE WHEN b.od_b IS NOT NULL AND (f.od_f IS NULL OR
+                             (e.ed - b.od_b) <= (f.od_f - e.ed))
+                        THEN b.od_b ELSE f.od_f END AS od_asof
+            FROM e
+            JOIN b ON b.event_id = e.event_id
+            JOIN f ON f.event_id = e.event_id
+        """,
+        # mirrors _q_rolling_user_sum: same RANGE frame over epoch secs
+        "rolling_user_sum": """
+            WITH ev AS (
+              SELECT event_id, user_id,
+                     (epoch_us(ts) // 1000000)::BIGINT AS sec,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL
+            )
+            SELECT event_id, user_id, sec, cents,
+                   SUM(cents) OVER (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+                     ::BIGINT AS roll_cents
+            FROM ev
         """,
         # mirrors _q_top_words_by_source: same counts, same rank window
         "top_words_by_source": """

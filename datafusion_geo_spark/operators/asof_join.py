@@ -146,3 +146,49 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_time: str,
     return (filled.where(F.col(c_tag) == l_tag)
             .select(*left.columns,
                     *[F.col(f"`{c_pay}`.`{o}`").alias(o) for o in out_cols]))
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
+                      left_time: str, right_time: str, left_id: str,
+                      right_cols: Optional[Sequence[str]] = None,
+                      suffix: str = "_asof", salt: int = 1) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'
+    parity, completing backward/forward): every left row takes the
+    right row with the smallest absolute time gap; an exact tie
+    (|backward gap| == |forward gap|) resolves to the BACKWARD match —
+    a deterministic documented rule.
+
+    Composition, not a third sweep: one backward and one forward
+    asof_join (each the skew-hardened single sweep above) aligned by
+    ``left_id`` — a UNIQUE left row key the caller must provide — with
+    a row-level CASE picking the closer side. Both candidate payloads
+    ride as whole per-side column sets chosen by one predicate, so the
+    output can never mix columns of the two candidates. Output = left
+    columns + payload columns + the matched right time as
+    ``{right_time}{suffix}``. Cost: two sweeps + one equi-join on
+    ``left_id`` — the honest price of nearest without a bespoke
+    two-direction sweep."""
+    right_cols = list(right_cols if right_cols is not None else
+                      [c for c in right.columns if c not in (on, right_time)])
+    rc = right_cols + ([right_time] if right_time not in right_cols
+                       else [])
+    out_time = right_time + suffix
+
+    def _side(direction, tag):
+        j = asof_join(left, right, on, left_time, right_time,
+                      right_cols=rc, direction=direction, salt=salt)
+        keep = [F.col(left_id)] if tag == "f" else \
+            [F.col(c) for c in left.columns]
+        return j.select(*keep,
+                        *[F.col(c).alias(f"{c}__{tag}") for c in rc])
+
+    b, f = _side("backward", "b"), _side("forward", "f")
+    j = b.join(f, left_id)
+    gap_b = F.col(left_time) - F.col(f"{right_time}__b")
+    gap_f = F.col(f"{right_time}__f") - F.col(left_time)
+    take_b = F.col(f"{right_time}__b").isNotNull() & (
+        F.col(f"{right_time}__f").isNull() | (gap_b <= gap_f))
+    pick = [F.when(take_b, F.col(f"{c}__b"))
+             .otherwise(F.col(f"{c}__f")).alias(o)
+            for c, o in zip(rc, right_cols + [out_time])]
+    return j.select(*left.columns, *pick)
