@@ -3663,6 +3663,49 @@ def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+def _q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CountMin (streaming/sketch.py streaming_cms): the
+    second constant-state streaming sketch — grouped SUM over
+    (row, cell) holds <= depth*width state rows for an unbounded
+    stream, same operator code as the batch count_min_sketch. Bounded
+    replay equals the batch cell table."""
+    from datafusion_geo_spark.streaming.sketch import streaming_cms
+    return streaming_cms(spark, sf_dir, depth=4, width=1024)
+
+
+def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) bins: quantized score -> observed
+    positive rate — the plot behind 'is the quality classifier's score
+    a probability'. One grouped aggregate; the rate is the repo's
+    exact scaled-integer 6-dp ratio, so the float replays
+    bit-for-bit."""
+    from datafusion_geo_spark.operators.text import _ratio6
+    e = _embs(spark, sf_dir).select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double")
+                * F.lit(10)).cast("long").alias("bin"),
+        (F.col("label") < 5).cast("long").alias("y"))
+    agg = (e.groupBy("bin")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("y").cast("long").alias("n_pos")))
+    return agg.select("bin", "n", "n_pos",
+                      _ratio6(F.col("n_pos"), F.col("n"))
+                      .alias("pos_rate"))
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: fixture label (documents.lang) x
+    lang_id prediction, with counts — the eval table a classifier
+    change is judged by. Composes the lang_id operator with one
+    grouped count; the oracle reuses the lang_id oracle SQL as a CTE
+    so the prediction logic has ONE definition per engine."""
+    from datafusion_geo_spark.operators.text import lang_id
+    docs = _docs(spark, sf_dir)
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+
 def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join (operators/asof_join.py asof_join_nearest):
     each event takes its user's order with the day CLOSEST to the
@@ -4186,6 +4229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_hist": _q_dup_cluster_hist,
         "pyds_roundtrip": _q_pyds_roundtrip,
         "pyds_write_roundtrip": _q_pyds_write_roundtrip,
+        "streaming_cms": _q_streaming_cms,
+        "calibration_bins": _q_calibration_bins,
+        "lang_confusion": _q_lang_confusion,
         "asof_nearest": _q_asof_nearest,
         "rolling_user_sum": _q_rolling_user_sum,
         "top_words_by_source": _q_top_words_by_source,
@@ -7745,6 +7791,14 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY register
         """,
         "bpe_merges": _bpe_oracle(8),
+        # mirrors _q_lang_confusion: the lang_id oracle as a CTE (one
+        # prediction definition per engine), then a grouped count
+        "lang_confusion": f"""
+            WITH pred AS ({_lang_oracle()})
+            SELECT d.lang, p.lang_pred, COUNT(*)::BIGINT AS n_docs
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+            GROUP BY d.lang, p.lang_pred
+        """,
         # mirrors _q_dup_spans: passage_dedup's copy-augmented corpus,
         # 8-gram md5 occurrence counts, gaps-and-islands span merge —
         # every quantity int64 (COUNT/SUM all ::BIGINT, no HUGEINT)
@@ -8170,6 +8224,36 @@ def oracle_sql() -> dict[str, str]:
                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
+        """,
+        # mirrors _q_streaming_cms: bounded replay == batch cell table
+        "streaming_cms": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS tok
+              FROM events WHERE user_id IS NOT NULL
+            ), u AS (
+              SELECT s.i,
+                     ('0x' || substr(md5('cm' || s.i || '|' || tok),
+                                     1, 8))::BIGINT % 1024 AS cell
+              FROM t, unnest([0, 1, 2, 3]) AS s(i)
+            )
+            SELECT i::INT AS row, cell, COUNT(*)::BIGINT AS cnt
+            FROM u GROUP BY i, cell
+        """,
+        # mirrors _q_calibration_bins: exact scaled-int 6-dp ratio
+        "calibration_bins": """
+            WITH e AS (
+              SELECT floor(CAST(embedding[1] AS DOUBLE) * 10)::BIGINT
+                       AS bin,
+                     CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+              FROM embeddings
+            ), agg AS (
+              SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS n_pos
+              FROM e GROUP BY bin
+            )
+            SELECT bin, n, n_pos,
+                   ((2000000 * n_pos + n) // (2 * n)) / 1000000.0
+                     AS pos_rate
+            FROM agg
         """,
         # mirrors _q_asof_nearest: backward + negated-axis forward ASOF,
         # identical pick rule (ties -> backward)

@@ -37,3 +37,21 @@ def streaming_hll(spark: SparkSession, sf_dir: str, b: int = 8) -> DataFrame:
           .select(F.col("user_id").cast("string").alias("key")))
     agg = hll_registers(ev, "key", b=b)
     return run_bounded_complete(agg, "stream_hll_")
+
+
+def streaming_cms(spark: SparkSession, sf_dir: str,
+                  depth: int = 4, width: int = 1024) -> DataFrame:
+    """CountMin sketch over the events stream's user_id — the second
+    constant-state streaming sketch next to streaming_hll: the grouped
+    SUM over (row, cell) keeps at most depth*width state rows no
+    matter how many events arrive (no watermark, no TTL — the sketch
+    is the eviction policy), and the same operator code
+    (operators/sketch.py count_min_sketch) drives batch and stream.
+    Bounded availableNow replay equals the batch cell table, which the
+    oracle replays hash-for-hash."""
+    from ..operators.sketch import count_min_sketch
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("user_id").isNotNull())
+          .select(F.col("user_id").cast("string").alias("tok")))
+    agg = count_min_sketch(ev, "tok", depth=depth, width=width)
+    return run_bounded_complete(agg, "stream_cms_")
