@@ -172,6 +172,12 @@ def asof_join_nearest(left: DataFrame, right: DataFrame, on: str,
                       [c for c in right.columns if c not in (on, right_time)])
     rc = right_cols + ([right_time] if right_time not in right_cols
                        else [])
+    clash = [c for c in rc if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join_nearest: right columns {clash} collide with left "
+            f"column names — the per-side rename needs distinct names; "
+            f"alias them on the right side first")
     out_time = right_time + suffix
 
     def _side(direction, tag):
