@@ -207,6 +207,40 @@ def _rings_cross(a: Ring, b: Ring) -> Optional[Coord]:
     return None
 
 
+def _rings_overlap_segment(a: Ring, b: Ring) -> Optional[Coord]:
+    """A witness point where two rings run along a SHARED SEGMENT of
+    positive length. OGC allows ring pairs to touch only at isolated
+    points; a collinear overlap (hole edge lying on the shell, two
+    holes sharing an edge, two member shells glued along a border) is
+    invalid — GEOS reports it as Self-intersection. _rings_cross can't
+    see it: there is no proper crossing anywhere."""
+    la, lb = list(a), list(b)
+    for i in range(len(la) - 1):
+        p1, p2 = la[i], la[i + 1]
+        for j in range(len(lb) - 1):
+            q1, q2 = lb[j], lb[j + 1]
+            d1 = (p2[0] - p1[0]) * (q1[1] - p1[1]) \
+                - (p2[1] - p1[1]) * (q1[0] - p1[0])
+            d2 = (p2[0] - p1[0]) * (q2[1] - p1[1]) \
+                - (p2[1] - p1[1]) * (q2[0] - p1[0])
+            if abs(d1) > EPS or abs(d2) > EPS:
+                continue  # not collinear
+            # project both segments on the dominant axis of p1p2
+            ax = 0 if abs(p2[0] - p1[0]) >= abs(p2[1] - p1[1]) else 1
+            lo_p, hi_p = sorted((p1[ax], p2[ax]))
+            lo_q, hi_q = sorted((q1[ax], q2[ax]))
+            lo, hi = max(lo_p, lo_q), min(hi_p, hi_q)
+            if hi - lo <= EPS:
+                continue  # touch at (at most) a point — allowed
+            mid = (lo + hi) / 2.0
+            if ax == 0:
+                t = (mid - p1[0]) / (p2[0] - p1[0])
+                return (mid, p1[1] + t * (p2[1] - p1[1]))
+            t = (mid - p1[1]) / (p2[1] - p1[1])
+            return (p1[0] + t * (p2[0] - p1[0]), mid)
+    return None
+
+
 def _poly_violation(rings: List[Ring]) -> Optional[str]:
     for r in rings:
         v = _ring_violation(r)
@@ -217,7 +251,7 @@ def _poly_violation(rings: List[Ring]) -> Optional[str]:
     shell = list(rings[0])
     for hole in rings[1:]:
         h = list(hole)
-        x = _rings_cross(shell, h)
+        x = _rings_cross(shell, h) or _rings_overlap_segment(shell, h)
         if x is not None:
             return "Self-intersection" + _fmt_loc(x)
         if any(point_in_polygon(p, [shell]) == -1 for p in h):
@@ -225,7 +259,7 @@ def _poly_violation(rings: List[Ring]) -> Optional[str]:
     for i in range(1, len(rings)):
         for j in range(i + 1, len(rings)):
             hi, hj = list(rings[i]), list(rings[j])
-            x = _rings_cross(hi, hj)
+            x = _rings_cross(hi, hj) or _rings_overlap_segment(hi, hj)
             if x is not None:
                 return "Self-intersection" + _fmt_loc(x)
             if all(point_in_polygon(p, [hi]) >= 0 for p in hj):
@@ -253,7 +287,7 @@ def is_valid_reason(g: Geometry) -> str:
         for i in range(len(polys)):
             for j in range(i + 1, len(polys)):
                 si, sj = list(polys[i][0]), list(polys[j][0])
-                x = _rings_cross(si, sj)
+                x = _rings_cross(si, sj) or _rings_overlap_segment(si, sj)
                 if x is not None:
                     return "Self-intersection" + _fmt_loc(x)
                 if all(point_in_polygon(p, [sj]) >= 0 for p in si):

@@ -140,6 +140,12 @@ holed = st.tuples(st.integers(-10, 10), st.integers(-10, 10),
 
 
 def _holed_box(x0, y0, w, i, hw):
+    # clamp inset FIRST so a >=1-unit hole stays STRICTLY interior:
+    # the old clamp (hw floor alone) could emit a hole sharing an edge
+    # with the shell (w=4, i=3 -> hole [3,4]^2) — an INVALID polygon
+    # (rings may touch at points only; is_valid now flags it), on which
+    # overlay results are undefined
+    i = max(1, min(i, (w - 2) // 2))
     hw = min(hw, w - 2 * i - 1)
     if hw < 1:
         hw = 1

@@ -168,3 +168,28 @@ def test_sql_surface(spark):
     assert row["pos"] == "POINT(1 1)"
     assert row["hd"] == pytest.approx(1.0)
     assert row["fd"] == pytest.approx(10.0)
+
+
+def test_ring_collinear_overlap_is_invalid():
+    """Rings sharing a SEGMENT (not just a point) are invalid — GEOS
+    Self-intersection. The point-touch variants stay valid."""
+    from datafusion_geo_spark.geo.validity import is_valid, is_valid_reason
+    from datafusion_geo_spark.geo.wkt import from_wkt
+    # hole edge lies ON the shell edge
+    g = from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),"
+                 "(3 3,4 3,4 4,3 4,3 3))")
+    assert not is_valid(g)
+    assert is_valid_reason(g).startswith("Self-intersection")
+    # two holes sharing an edge
+    g2 = from_wkt("POLYGON((0 0,6 0,6 6,0 6,0 0),"
+                  "(1 1,2 1,2 2,1 2,1 1),(2 1,3 1,3 2,2 2,2 1))")
+    assert not is_valid(g2)
+    # member shells glued along a border
+    g3 = from_wkt("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),"
+                  "((2 0,4 0,4 2,2 2,2 0)))")
+    assert not is_valid(g3)
+    # hole touching the shell at ONE POINT only: still valid
+    ok = from_wkt("POLYGON((0 0,4 0,4 4,0 4,0 0),"
+                  "(2 2,4 2,2 3,2 2))")
+    # ring touches shell at the single point (4 2)
+    assert is_valid(ok)
