@@ -3663,6 +3663,16 @@ def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+def _q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile monitor (streaming/drift.py
+    streaming_quantiles): histogram as the bounded-state streaming
+    aggregate, integer rank test as the shared batch tail
+    (quantiles_from_hist — one definition with batch hist_quantiles).
+    Bounded replay equals the batch query, so the oracle is shared."""
+    from datafusion_geo_spark.streaming.drift import streaming_quantiles
+    return streaming_quantiles(spark, sf_dir)
+
+
 def _q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CountMin (streaming/sketch.py streaming_cms): the
     second constant-state streaming sketch — grouped SUM over
@@ -4229,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_hist": _q_dup_cluster_hist,
         "pyds_roundtrip": _q_pyds_roundtrip,
         "pyds_write_roundtrip": _q_pyds_write_roundtrip,
+        "streaming_quantiles": _q_streaming_quantiles,
         "streaming_cms": _q_streaming_cms,
         "calibration_bins": _q_calibration_bins,
         "lang_confusion": _q_lang_confusion,
@@ -8583,4 +8594,6 @@ def oracle_sql() -> dict[str, str]:
     out["pyds_write_roundtrip"] = out["geojsonl_roundtrip"]
     # the Python UDTF chunker must equal the array fast-path chunker
     out["chunk_udtf"] = out["chunk_docs"]
+    # bounded streaming replay == the batch histogram quantiles
+    out["streaming_quantiles"] = out["value_hist_quantiles"]
     return out

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
-           "hist_quantiles"]
+           "hist_quantiles", "quantiles_from_hist"]
 
 
 def _r6(col):
@@ -189,6 +189,20 @@ def hist_quantiles(df: DataFrame, value_col: str,
              .withColumn("n_total", F.sum("cnt").over(wt).cast("long")))
         return j.groupBy(*gc).agg(F.max("n_total").alias("n_total"),
                                   *picks)
+    return quantiles_from_hist(hist, value_col, percents)
+
+
+def quantiles_from_hist(hist: DataFrame, value_col: str,
+                        percents: tuple = (50, 90, 99)) -> DataFrame:
+    """The rank-test tail from a (value, cnt) histogram — the shared
+    tail of hist_quantiles and the streaming quantile monitor (the
+    ks_from_hist pattern: ONE definition, so the integer rank test can
+    never desynchronize from its oracle replay). ``hist`` may be a
+    batch groupBy or a completed streaming aggregate's state table."""
+    picks = [F.min(F.when(F.lit(100) * F.col("cum")
+                          >= F.lit(int(p)) * F.col("n_total"),
+                          F.col(value_col))).alias(f"p{int(p)}")
+             for p in percents]
     w = (Window.orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))

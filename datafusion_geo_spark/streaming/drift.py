@@ -43,3 +43,23 @@ def streaming_ks(spark: SparkSession, sf_dir: str,
                         .otherwise(0)).cast("long").alias("nb_i")))
     final_hist = run_bounded_complete(hist, "stream_ks_")
     return ks_from_hist(final_hist, "vq")
+
+
+def streaming_quantiles(spark: SparkSession, sf_dir: str,
+                        percents: tuple = (50, 90, 99),
+                        scale: int = 100) -> DataFrame:
+    """Streaming percentile monitor: the quantized-value histogram is
+    the streaming aggregate (same bounded-state story as streaming_ks
+    — state rows = quantization grid, no watermark), and the integer
+    rank test runs as the shared batch tail
+    (operators/evals.py quantiles_from_hist). Bounded replay equals
+    batch hist_quantiles, so the oracle is shared."""
+    from ..operators.evals import quantiles_from_hist
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("value").isNotNull())
+          .select(F.floor(F.col("value") * scale).cast("long")
+                   .alias("vq")))
+    hist = ev.groupBy("vq").agg(F.count(F.lit(1)).cast("long")
+                                .alias("cnt"))
+    final_hist = run_bounded_complete(hist, "stream_quant_")
+    return quantiles_from_hist(final_hist, "vq", percents)

@@ -56,6 +56,8 @@ ALLOWED_BROADCAST_CROSSES = {
     "value_hist_quantiles": 1,  # one-row N total crossed onto the
                              # quantized-value CDF histogram (the
                              # ks_drift shape)
+    "streaming_quantiles": 1,  # same quantiles_from_hist tail over
+                             # the completed streaming histogram
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
