@@ -3663,6 +3663,36 @@ def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit (operators/profile.py skew_audit) of
+    events.user_id: n_keys, max/p99 group size, exact Gini of the
+    group-size distribution — the report that predicts whether a
+    groupBy/join on this key needs salting or AQE skew splitting.
+    Corpus pass = one grouped count; everything else runs on the
+    histogram OF SIZES (tie-block rank identity, pure int64)."""
+    from datafusion_geo_spark.operators.profile import skew_audit
+    from datafusion_geo_spark.sources.fixtures import load_table
+    return skew_audit(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS join-cardinality estimate (operators/sketch.py
+    cms_join_size): |click JOIN view ON user_id| from two depth*width
+    summaries (min over rows of the cell-wise dot product — a
+    guaranteed overestimate whose collisions the oracle replays),
+    next to the exact truth and the 6-dp over-ratio. The
+    planner-side sketch use: broadcast-vs-shuffle decisions without
+    touching the data."""
+    from datafusion_geo_spark.operators.sketch import cms_join_size
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = load_table(spark, sf_dir, "events")
+    a = (ev.where(F.col("event_type") == "click")
+         .select(F.col("user_id").cast("string").alias("key")))
+    b = (ev.where(F.col("event_type") == "view")
+         .select(F.col("user_id").cast("string").alias("key")))
+    return cms_join_size(a, b, "key", depth=4, width=1024)
+
+
 def _q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming percentile monitor (streaming/drift.py
     streaming_quantiles): histogram as the bounded-state streaming
@@ -4239,6 +4269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_hist": _q_dup_cluster_hist,
         "pyds_roundtrip": _q_pyds_roundtrip,
         "pyds_write_roundtrip": _q_pyds_write_roundtrip,
+        "skew_audit": _q_skew_audit,
+        "join_size_estimate": _q_join_size_estimate,
         "streaming_quantiles": _q_streaming_quantiles,
         "streaming_cms": _q_streaming_cms,
         "calibration_bins": _q_calibration_bins,
@@ -8235,6 +8267,79 @@ def oracle_sql() -> dict[str, str]:
                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
+        """,
+        # mirrors _q_skew_audit: histogram-of-sizes identities, all int64
+        "skew_audit": """
+            WITH sizes AS (
+              SELECT user_id, COUNT(*)::BIGINT AS sz
+              FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+            ), hist AS (
+              SELECT sz, COUNT(*)::BIGINT AS f FROM sizes GROUP BY sz
+            ), cum AS (
+              SELECT sz, f,
+                     COALESCE(SUM(f) OVER (ORDER BY sz
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS c_before,
+                     SUM(f) OVER (ORDER BY sz
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS c_incl
+              FROM hist
+            ), agg AS (
+              SELECT SUM(f)::BIGINT AS n_keys,
+                     SUM(sz * f)::BIGINT AS n_rows,
+                     MAX(sz)::BIGINT AS max_size,
+                     SUM(2 * sz * f * c_before
+                         + sz * f * (f + 1))::BIGINT AS r2
+              FROM cum
+            ), p AS (
+              SELECT MIN(CASE WHEN 100 * c.c_incl >= 99 * a.n_keys
+                              THEN c.sz END)::BIGINT AS p99_size
+              FROM cum c, agg a
+            )
+            SELECT a.n_keys, a.n_rows, a.max_size, p.p99_size, a.r2,
+                   floor(abs(CAST(a.r2 - (a.n_keys + 1) * a.n_rows
+                                  AS DOUBLE)
+                             / CAST(a.n_keys * a.n_rows AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS gini
+            FROM agg a, p
+        """,
+        # mirrors _q_join_size_estimate: same md5 cells, same min-dot
+        "join_size_estimate": """
+            WITH a AS (
+              SELECT CAST(user_id AS VARCHAR) AS key FROM events
+              WHERE event_type = 'click' AND user_id IS NOT NULL
+            ), b AS (
+              SELECT CAST(user_id AS VARCHAR) AS key FROM events
+              WHERE event_type = 'view' AND user_id IS NOT NULL
+            ), ca AS (
+              SELECT s.i AS row,
+                     ('0x' || substr(md5('cm' || s.i || '|' || key),
+                                     1, 8))::BIGINT % 1024 AS cell,
+                     COUNT(*)::BIGINT AS ca
+              FROM a, unnest([0, 1, 2, 3]) AS s(i) GROUP BY 1, 2
+            ), cb AS (
+              SELECT s.i AS row,
+                     ('0x' || substr(md5('cm' || s.i || '|' || key),
+                                     1, 8))::BIGINT % 1024 AS cell,
+                     COUNT(*)::BIGINT AS cb
+              FROM b, unnest([0, 1, 2, 3]) AS s(i) GROUP BY 1, 2
+            ), dots AS (
+              SELECT ca.row, SUM(ca.ca * cb.cb)::BIGINT AS dot
+              FROM ca JOIN cb ON ca.row = cb.row AND ca.cell = cb.cell
+              GROUP BY ca.row
+            ), est AS (SELECT MIN(dot)::BIGINT AS est_size FROM dots),
+            ta AS (SELECT key, COUNT(*)::BIGINT AS na FROM a GROUP BY key),
+            tb AS (SELECT key, COUNT(*)::BIGINT AS nb FROM b GROUP BY key),
+            tru AS (
+              SELECT COALESCE(SUM(ta.na * tb.nb), 0)::BIGINT AS true_size
+              FROM ta JOIN tb ON ta.key = tb.key
+            )
+            SELECT t.true_size, e.est_size,
+                   floor(abs(CAST(e.est_size AS DOUBLE)
+                             / CAST(t.true_size AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 + 0.0
+                     AS over_ratio
+            FROM tru t, est e
         """,
         # mirrors _q_streaming_cms: bounded replay == batch cell table
         "streaming_cms": """

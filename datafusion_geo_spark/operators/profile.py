@@ -22,7 +22,7 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["table_profile"]
+__all__ = ["table_profile", "skew_audit"]
 
 
 def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -51,3 +51,63 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                  F.max("val").alias("max_val"),
                  F.coalesce(F.sum(F.length("val")), F.lit(0))
                   .cast("long").alias("sum_len")))
+
+
+def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-skew audit of a prospective shuffle/join key: one row with
+    n_keys, n_rows, max_size, p99_size (the size the 99th-percentile
+    key reaches), and the exact Gini coefficient of the group-size
+    distribution — the report that predicts whether groupBy/join on
+    this key needs salting or AQE skew splitting BEFORE the job runs.
+
+    Shape: groupBy(key) count (the only corpus shuffle), then a
+    histogram OF SIZES (bounded by distinct sizes, not keys) carries
+    everything else: p99 via the integer rank test and Gini via the
+    tie-block rank identity — a block of f keys of size s starting
+    after C smaller keys contributes ranks C+1..C+f, so
+    sum(rank*size) = s*(f*C + f*(f+1)/2), all exact int64, and
+    G = (2*sum(rank*size) - (n+1)*total) / (n*total) rounds once at
+    6 dp. Overflow envelope: s*f*C <= rows*keys — beyond ~3e9*3e9
+    rescale sizes first; the contract (exact ints, bounded sweep) is
+    the scale-relevant part."""
+    sizes = (df.where(F.col(key_col).isNotNull())
+             .groupBy(key_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("sz")))
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("f"))
+    from pyspark.sql import Window
+    w = (Window.orderBy("sz")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "c_before", F.coalesce(F.sum("f").over(w), F.lit(0)).cast("long"))
+    # 2*s*(f*C + f*(f+1)/2) == 2*s*f*C + s*f*(f+1) — the second form is
+    # pure int64 (f*(f+1) is even), no double division anywhere
+    r2_block = (F.lit(2) * F.col("sz") * F.col("f") * F.col("c_before")
+                + F.col("sz") * F.col("f") * (F.col("f") + F.lit(1))
+                ).cast("long")
+    agg = cum.agg(
+        F.sum("f").cast("long").alias("n_keys"),
+        F.sum(F.col("sz") * F.col("f")).cast("long").alias("n_rows"),
+        F.max("sz").cast("long").alias("max_size"),
+        F.sum(r2_block).alias("r2"))
+    # p99: smallest size with cumulative key count >= ceil(.99*n_keys)
+    totals = hist.agg(F.sum("f").cast("long").alias("nk"))
+    jj = (hist.withColumn(
+              "cum", F.sum("f").over(
+                  Window.orderBy("sz")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)).cast("long"))
+          .crossJoin(F.broadcast(totals))  # totals: exactly 1 row
+          .agg(F.min(F.when(F.lit(100) * F.col("cum")
+                            >= F.lit(99) * F.col("nk"),
+                            F.col("sz"))).cast("long").alias("p99_size")))
+    gini_num = (F.col("r2")
+                - (F.col("n_keys") + F.lit(1)) * F.col("n_rows"))
+    gini_den = F.col("n_keys") * F.col("n_rows")
+    g6 = (F.signum(gini_num.cast("double") / gini_den.cast("double"))
+          * F.floor(F.abs(gini_num.cast("double")
+                          / gini_den.cast("double")) * F.lit(1e6)
+                    + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0))
+    return (agg.crossJoin(F.broadcast(jj))  # both sides: exactly 1 row
+            .select("n_keys", "n_rows", "max_size", "p99_size", "r2",
+                    g6.alias("gini")))

@@ -32,7 +32,8 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = ["seeded_h64", "count_min_sketch", "count_min_topk",
            "bloom_positions", "bloom_filter_new",
-           "hll_registers", "hll_estimate", "hll_by_group"]
+           "hll_registers", "hll_estimate", "hll_by_group",
+           "cms_join_size"]
 
 
 def seeded_h64(tag: str, i: int, c: Column) -> Column:
@@ -274,3 +275,42 @@ def hll_set_ops(a_keys: DataFrame, b_keys: DataFrame, key_col: str,
             .select("n_reg_a", "z_a", "est_a", "n_reg_b", "z_b", "est_b",
                     "n_reg_u", "z_u", "est_union",
                     inter6.alias("est_inter")))
+
+
+def cms_join_size(a_keys: DataFrame, b_keys: DataFrame, key_col: str,
+                  depth: int = 4, width: int = 1024) -> DataFrame:
+    """Join-cardinality estimation from CountMin sketches — the
+    planner-side use of a sketch: |A JOIN B ON key| = sum_k
+    cntA(k)*cntB(k), estimated as min over sketch rows of the cell-wise
+    dot product sum_c cmsA[r,c]*cmsB[r,c]. Hash collisions only ADD
+    mass, so the estimate is a guaranteed OVERestimate; the min across
+    depth independent rows tightens it. This is how an engine decides
+    broadcast-vs-shuffle (or warns of a fan-out join) from two
+    depth*width summaries — without ever joining the data.
+
+    The report also computes the exact truth (per-key counts
+    equi-join) so the estimate's bias is visible: ONE row out
+    (true_size, est_size, over_ratio at 6 dp). The estimate path
+    touches only sketch cells (bounded); the truth path is one
+    key-count join — drop it at scale, it exists for the audit."""
+    ca = count_min_sketch(a_keys, key_col, depth, width)
+    cb = count_min_sketch(b_keys, key_col, depth, width)
+    dots = (ca.withColumnRenamed("cnt", "ca")
+            .join(cb.withColumnRenamed("cnt", "cb"), ["row", "cell"])
+            .groupBy("row")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+                 .alias("dot")))
+    est = dots.agg(F.min("dot").cast("long").alias("est_size"))
+    ta = (a_keys.where(F.col(key_col).isNotNull()).groupBy(key_col)
+          .agg(F.count(F.lit(1)).cast("long").alias("na")))
+    tb = (b_keys.where(F.col(key_col).isNotNull()).groupBy(key_col)
+          .agg(F.count(F.lit(1)).cast("long").alias("nb")))
+    true = (ta.join(tb, key_col)
+            .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+                 .cast("long").alias("true_size")))
+    over = (F.col("est_size").cast("double")
+            / F.col("true_size").cast("double"))
+    o6 = (F.signum(over) * F.floor(F.abs(over) * F.lit(1e6) + F.lit(0.5))
+          / F.lit(1e6) + F.lit(0.0))
+    return (true.crossJoin(F.broadcast(est))  # both: exactly 1 row
+            .select("true_size", "est_size", o6.alias("over_ratio")))

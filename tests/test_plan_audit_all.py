@@ -58,6 +58,11 @@ ALLOWED_BROADCAST_CROSSES = {
                              # ks_drift shape)
     "streaming_quantiles": 1,  # same quantiles_from_hist tail over
                              # the completed streaming histogram
+    "skew_audit": 2,         # two one-row frames (key-count totals,
+                             # p99 pick) crossed into the single
+                             # report row
+    "join_size_estimate": 1,  # one-row CMS min-dot estimate crossed
+                             # onto the one-row exact truth
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
