@@ -3663,6 +3663,25 @@ def _q_pyds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_astext(F.col("geom")).alias("wkt_out"))
 
 
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history (operators/scd.py scd2_history):
+    each user's event_type change log as versioned rows with
+    [valid_from, valid_to) epoch-micro intervals — consecutive
+    duplicates collapse, same-instant events break ties by event_id.
+    Two key-partitioned windows, one shuffle; the warehouse-maintenance
+    primitive next to hourly_rollup."""
+    from datafusion_geo_spark.operators.scd import scd2_history
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, sf_dir)
+          .where(F.col("ts").isNotNull())
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("ts_us"),
+                  "event_id", "event_type"))
+    return scd2_history(ev, "user_id", "ts_us", "event_id",
+                        ["event_type"])
+
+
 def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew audit (operators/profile.py skew_audit) of
     events.user_id: n_keys, max/p99 group size, exact Gini of the
@@ -4269,6 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_hist": _q_dup_cluster_hist,
         "pyds_roundtrip": _q_pyds_roundtrip,
         "pyds_write_roundtrip": _q_pyds_write_roundtrip,
+        "scd2_history": _q_scd2_history,
         "skew_audit": _q_skew_audit,
         "join_size_estimate": _q_join_size_estimate,
         "streaming_quantiles": _q_streaming_quantiles,
@@ -8267,6 +8287,29 @@ def oracle_sql() -> dict[str, str]:
                        x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                               ::BIGINT))::BIGINT AS vec_micro_sum
             FROM embeddings
+        """,
+        # mirrors _q_scd2_history: same change-collapse + lead intervals
+        "scd2_history": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id,
+                     event_type
+              FROM events WHERE ts IS NOT NULL
+            ), marked AS (
+              SELECT user_id, ts_us, event_id, event_type,
+                     (LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type) AS chg
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts_us, event_id)
+            ), surv AS (SELECT * FROM marked WHERE chg)
+            SELECT user_id, event_type,
+                   ts_us AS valid_from,
+                   LEAD(ts_us) OVER w2 AS valid_to,
+                   ROW_NUMBER() OVER w2::BIGINT AS version,
+                   (CASE WHEN LEAD(ts_us) OVER w2 IS NULL
+                         THEN 1 ELSE 0 END)::INT AS is_current
+            FROM surv
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         """,
         # mirrors _q_skew_audit: histogram-of-sizes identities, all int64
         "skew_audit": """

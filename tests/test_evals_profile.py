@@ -166,3 +166,26 @@ def test_domain_entropy_uniform_and_skewed(spark):
     h = math.log(8.0) - (s7 / 1e6) / 8.0
     assert out["s"].entropy == math.floor(abs(h) * 1e6 + 0.5) / 1e6
     assert out["s"].entropy < out["u"].entropy  # skew lowers diversity
+
+
+def test_scd2_history_collapse_and_ties(spark):
+    from datafusion_geo_spark.operators.scd import scd2_history
+    rows = [
+        ("u", 10, 1, "a"),
+        ("u", 20, 2, "a"),   # unchanged -> collapses into version 1
+        ("u", 30, 3, "b"),   # change -> version 2
+        ("u", 30, 4, "a"),   # same instant, higher tiebreak -> version 3
+        ("v", 5, 9, "x"),    # single-version key
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, eid long, attr string")
+    out = sorted(((r.k, r.version, r.attr, r.valid_from, r.valid_to,
+                   r.is_current)
+                  for r in scd2_history(df, "k", "ts", "eid",
+                                        ["attr"]).collect()))
+    assert out == [
+        ("u", 1, "a", 10, 30, 0),
+        ("u", 2, "b", 30, 30, 0),   # closed by the same-instant change
+        ("u", 3, "a", 30, None, 1),
+        ("v", 1, "x", 5, None, 1),
+    ]
