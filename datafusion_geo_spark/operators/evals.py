@@ -103,15 +103,22 @@ def ks_from_hist(hist: DataFrame, value_col: str) -> DataFrame:
     definition, so the integer identities and rounding can never
     desynchronize from the oracle replay). ``hist`` may come from a
     batch groupBy or from a completed streaming aggregate's state
-    table; the sweep itself runs over histogram rows only."""
+    table; the sweep itself runs over histogram rows only.
+
+    Totals ride as a FULL-FRAME window over the histogram (not a
+    crossJoin against a re-aggregation): the histogram is derived from
+    a corpus-wide pass, and a second reference to it would re-run that
+    pass — one window over bounded rows keeps the corpus scan
+    single."""
     w = (Window.orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (hist
-           .withColumn("ca", F.sum("na_i").over(w).cast("long"))
-           .withColumn("cb", F.sum("nb_i").over(w).cast("long")))
-    totals = hist.agg(F.sum("na_i").cast("long").alias("n_a"),
-                      F.sum("nb_i").cast("long").alias("n_b"))
-    joined = cum.crossJoin(F.broadcast(totals))  # totals: exactly 1 row
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    joined = (hist
+              .withColumn("ca", F.sum("na_i").over(w).cast("long"))
+              .withColumn("cb", F.sum("nb_i").over(w).cast("long"))
+              .withColumn("n_a", F.sum("na_i").over(wt).cast("long"))
+              .withColumn("n_b", F.sum("nb_i").over(wt).cast("long")))
     agg = joined.agg(
         F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
         F.max(F.abs(F.col("ca") * F.col("n_b")
@@ -205,7 +212,10 @@ def quantiles_from_hist(hist: DataFrame, value_col: str,
              for p in percents]
     w = (Window.orderBy(value_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
-    totals = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
-    j = cum.crossJoin(F.broadcast(totals))  # totals: exactly 1 row
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    # totals as a full-frame window, not a crossJoin against a
+    # re-aggregation — one corpus pass, see ks_from_hist
+    j = (hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+         .withColumn("n_total", F.sum("cnt").over(wt).cast("long")))
     return j.agg(F.max("n_total").alias("n_total"), *picks)

@@ -85,22 +85,25 @@ def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
     r2_block = (F.lit(2) * F.col("sz") * F.col("f") * F.col("c_before")
                 + F.col("sz") * F.col("f") * (F.col("f") + F.lit(1))
                 ).cast("long")
+    # p99 needs n_keys per histogram row: a FULL-FRAME window over the
+    # bounded histogram (NOT a crossJoin against a re-aggregation —
+    # that would re-run the corpus-wide key count; this file's
+    # table_profile note and evals.ks_from_hist explain the rule).
+    # One histogram derivation -> one corpus pass total.
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    cum = (cum
+           .withColumn("cum_incl",
+                       (F.col("c_before") + F.col("f")).cast("long"))
+           .withColumn("nk", F.sum("f").over(wt).cast("long")))
     agg = cum.agg(
         F.sum("f").cast("long").alias("n_keys"),
         F.sum(F.col("sz") * F.col("f")).cast("long").alias("n_rows"),
         F.max("sz").cast("long").alias("max_size"),
-        F.sum(r2_block).alias("r2"))
-    # p99: smallest size with cumulative key count >= ceil(.99*n_keys)
-    totals = hist.agg(F.sum("f").cast("long").alias("nk"))
-    jj = (hist.withColumn(
-              "cum", F.sum("f").over(
-                  Window.orderBy("sz")
-                  .rowsBetween(Window.unboundedPreceding,
-                               Window.currentRow)).cast("long"))
-          .crossJoin(F.broadcast(totals))  # totals: exactly 1 row
-          .agg(F.min(F.when(F.lit(100) * F.col("cum")
-                            >= F.lit(99) * F.col("nk"),
-                            F.col("sz"))).cast("long").alias("p99_size")))
+        F.sum(r2_block).alias("r2"),
+        F.min(F.when(F.lit(100) * F.col("cum_incl")
+                     >= F.lit(99) * F.col("nk"),
+                     F.col("sz"))).cast("long").alias("p99_size"))
     gini_num = (F.col("r2")
                 - (F.col("n_keys") + F.lit(1)) * F.col("n_rows"))
     gini_den = F.col("n_keys") * F.col("n_rows")
@@ -108,6 +111,5 @@ def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
           * F.floor(F.abs(gini_num.cast("double")
                           / gini_den.cast("double")) * F.lit(1e6)
                     + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0))
-    return (agg.crossJoin(F.broadcast(jj))  # both sides: exactly 1 row
-            .select("n_keys", "n_rows", "max_size", "p99_size", "r2",
-                    g6.alias("gini")))
+    return agg.select("n_keys", "n_rows", "max_size", "p99_size", "r2",
+                      g6.alias("gini"))

@@ -47,22 +47,12 @@ ALLOWED_BROADCAST_CROSSES = {
     "mlm_masking": 1,        # one-row replacement-pool-size aggregate
                              # broadcast onto the token stream (the
                              # tfidf corpus-size shape)
-    "ks_drift": 1,           # one-row (n_a, n_b) totals aggregate
-                             # crossed onto the distinct-value CDF
-                             # histogram (bounded by the quantization
-                             # grid)
-    "streaming_drift": 1,    # same ks_from_hist tail over the
-                             # completed streaming histogram
-    "value_hist_quantiles": 1,  # one-row N total crossed onto the
-                             # quantized-value CDF histogram (the
-                             # ks_drift shape)
-    "streaming_quantiles": 1,  # same quantiles_from_hist tail over
-                             # the completed streaming histogram
-    "skew_audit": 2,         # two one-row frames (key-count totals,
-                             # p99 pick) crossed into the single
-                             # report row
     "join_size_estimate": 1,  # one-row CMS min-dot estimate crossed
-                             # onto the one-row exact truth
+                             # onto the one-row exact truth (the only
+                             # legitimate cross left in the eval
+                             # family: the two sides aggregate
+                             # DIFFERENT data; same-source totals ride
+                             # as full-frame windows instead)
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     "semantic_dedup": 3,     # k-centroid assignment crosses (training
                              # round + final assign + copy-branch reuse),
