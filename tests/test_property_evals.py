@@ -89,3 +89,46 @@ def test_pearson_matches_exact_moments(spark, pairs):
     # identical double op order: cast-to-double product, sqrt, divide
     assert out.corr == _r6(cov / math.sqrt(float(vx) * float(vy)))
     assert abs(out.corr) <= 1.0
+
+
+@given(st.lists(st.integers(-5, 5), min_size=1, max_size=40))
+@settings(max_examples=15, deadline=None)
+def test_hist_quantiles_match_sorted_indexing(spark, vals):
+    from datafusion_geo_spark.operators.evals import hist_quantiles
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = hist_quantiles(df, "v", percents=(50, 90, 99)).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    for p, got in ((50, r.p50), (90, r.p90), (99, r.p99)):
+        rank = -(-p * n // 100)  # ceil(p*n/100)
+        assert got == s[rank - 1]
+    assert r.n_total == n
+
+
+def _brute_gini(sizes):
+    s = sorted(sizes)
+    n, t = len(s), sum(s)
+    r2 = 2 * sum((i + 1) * x for i, x in enumerate(s))
+    return r2, (r2 - (n + 1) * t) / (n * t)
+
+
+@given(st.lists(st.integers(0, 25), min_size=1, max_size=60))
+@settings(max_examples=15, deadline=None)
+def test_skew_audit_gini_matches_brute_force(spark, key_sizes):
+    from datafusion_geo_spark.operators.profile import skew_audit
+    # materialize a frame with key i repeated size_i times (size 0 keys
+    # simply don't exist — drop them from the expectation too)
+    sizes = [z for z in key_sizes if z > 0]
+    assume(len(sizes) > 0)
+    rows = [(i,) for i, z in enumerate(sizes) for _ in range(z)]
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_audit(df, "k").collect()[0]
+    r2, g = _brute_gini(sizes)
+    assert out.n_keys == len(sizes) and out.n_rows == sum(sizes)
+    assert out.max_size == max(sizes)
+    assert out.r2 == r2
+    assert out.gini == _r6(g)
+    # p99: size of the ceil(.99*n)-th smallest key
+    s = sorted(sizes)
+    rank = -(-99 * len(s) // 100)
+    assert out.p99_size == s[rank - 1]
