@@ -3755,13 +3755,14 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: fixture label (documents.lang) x
     lang_id prediction, with counts — the eval table a classifier
     change is judged by. Composes the lang_id operator with one
-    grouped count; the oracle reuses the lang_id oracle SQL as a CTE
-    so the prediction logic has ONE definition per engine."""
+    grouped count (keep_cols passthrough: ONE map-side pass, no
+    re-scan/self-join on doc_id); the oracle reuses the lang_id oracle
+    SQL as a CTE so the prediction logic has ONE definition per
+    engine."""
     from datafusion_geo_spark.operators.text import lang_id
     docs = _docs(spark, sf_dir)
-    pred = lang_id(docs).select("doc_id", "lang_pred")
-    return (docs.select("doc_id", "lang").join(pred, "doc_id")
-            .groupBy("lang", "lang_pred")
+    pred = lang_id(docs, keep_cols=("lang",))
+    return (pred.groupBy("lang", "lang_pred")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 

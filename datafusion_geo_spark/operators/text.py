@@ -126,10 +126,13 @@ def text_stats(df: DataFrame, text_col: str = "text",
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", keep_cols: tuple = ()) -> DataFrame:
     """Marker-word language-ID heuristic: score per language = count of
     marker-word occurrences; prediction = first language (declared order)
-    reaching the max score."""
+    reaching the max score. ``keep_cols`` ride through to the output —
+    a downstream eval that needs them (e.g. the confusion matrix's
+    truth label) then runs on THIS one map-side pass instead of
+    re-scanning and self-joining on the id."""
     w = words_col(F.col(text_col))
 
     def marker_score(markers):
@@ -143,7 +146,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
     for lang, _ in LANG_MARKERS[1:]:
         pred = pred.when(scores[lang] == mx, lang)
     return df.select(
-        id_col,
+        id_col, *keep_cols,
         *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
         pred.alias("lang_pred"),
     )
