@@ -3943,14 +3943,16 @@ def _q_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_geo_spark.operators.text import (gopher_quality,
                                                      text_stats)
     docs = _docs(spark, sf_dir)
-    ts = text_stats(docs).select(
-        "doc_id",
-        F.floor(F.col("quality_score") * F.lit(1e6) + F.lit(0.5))
-         .cast("long").alias("score"))
-    gq = gopher_quality(docs).select(
-        "doc_id", F.col("keep").cast("int").alias("y"))
-    scored = (ts.join(gq, "doc_id")
-              .join(docs.select("doc_id", "lang"), "doc_id"))
+    # one map-side pass: text_stats keeps (lang, text) riding, then
+    # gopher_quality computes the label from the retained text — no
+    # doc_id self-joins (two operators chain on the same scan)
+    ts = text_stats(docs, keep_cols=("lang", "text"))
+    scored = gopher_quality(
+        ts.select("doc_id", "lang", "text",
+                  F.floor(F.col("quality_score") * F.lit(1e6)
+                          + F.lit(0.5)).cast("long").alias("score")),
+        keep_cols=("lang", "score")).select(
+        "lang", "score", F.col("keep").cast("int").alias("y"))
     return auc_exact(scored, "score", "y", group_cols=("lang",))
 
 

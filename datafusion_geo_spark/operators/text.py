@@ -93,7 +93,7 @@ def _ratio6(num: Column, den: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", keep_cols: tuple = ()) -> DataFrame:
     """Token count + quality features + composite quality score.
 
     All ratios (and the composite score) are rounded to 6 decimals via
@@ -115,7 +115,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
     quality = _idiv(F.lit(2) * p + n_tokens,
                     F.lit(2) * n_tokens) / F.lit(1_000_000.0)
     return df.select(
-        id_col,
+        id_col, *keep_cols,
         n_tokens.cast("int").alias("n_tokens"),
         bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
         avg_token_len.alias("avg_token_len"),
@@ -215,14 +215,14 @@ def gopher_metrics(text: Column) -> dict:
 
 
 def gopher_quality(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", keep_cols: tuple = ()) -> DataFrame:
     """Gopher-rule document filter: word-count bounds, mean word length
     band, alphabetic-word ratio, and distinct-stopword presence, plus
     the combined ``keep`` verdict. Pure built-ins (one map-side project,
     no shuffle): at 100 TB this is a free rider on the scan."""
     m = gopher_metrics(F.col(text_col))
     return df.select(
-        id_col,
+        id_col, *keep_cols,
         m["n_words"].cast("int").alias("n_words"),
         m["mean_word_len"].alias("mean_word_len"),
         m["alpha_ratio"].alias("alpha_ratio"),
