@@ -54,3 +54,49 @@ def test_normalize_text_invariants(spark, text):
     assert unicodedata.is_normalized("NFC", norm)
     assert norm == norm.lower()
     assert row.n_after == len(norm)
+
+
+# CSV-hostile alphabet: quotes, commas, newlines, spaces, padding
+_CSV_ALPHABET = 'ab,"\n x'
+
+
+@given(st.lists(st.text(alphabet=_CSV_ALPHABET, min_size=1,
+                        max_size=20)
+                .filter(lambda s: s.strip(" ") != ""),
+                min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_csv_roundtrip_hostile_property(spark, texts):
+    import os
+    from datafusion_geo_spark.sources.rowio import (read_csv_rfc4180,
+                                                    write_csv_rfc4180)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "rowio_tests", "prop")
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    write_csv_rfc4180(df, path)
+    back = read_csv_rfc4180(spark, path, "k long, s string")
+    assert sorted((r.k, r.s) for r in back.collect()) == sorted(rows)
+
+
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=200),
+                min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None)
+def test_chunk_udtf_equals_array_chunker(spark, texts):
+    """The @udtf chunker and the higher-order-array chunker must agree
+    on arbitrary word streams (the gate proves it on the fixture; this
+    generalizes it), including >1-chunk and whitespace-run inputs."""
+    from datafusion_geo_spark.operators.dedup import chunk_documents
+    from datafusion_geo_spark.operators.udtfs import ChunkUDTF
+    rows = [(i, t) for i, t in enumerate(texts) if t.split()]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted((r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+                  for r in chunk_documents(df).collect())
+    spark.udtf.register("chunk_udtf_p", ChunkUDTF)
+    df.createOrReplaceTempView("_cu_prop")
+    slow = sorted((r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+                  for r in spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM _cu_prop d, LATERAL chunk_udtf_p(d.text) c""").collect())
+    assert fast == slow
