@@ -308,3 +308,53 @@ def test_linear_fits_are_single_aggregate_collects(spark):
     plan = plan_of(agg)
     assert "partial_sum" in plan.lower()
     assert "Window" not in plan and "Sort" not in plan
+
+
+def test_eval_histograms_scan_corpus_once(spark):
+    """The histogram-shaped eval family must read its source table
+    exactly ONCE: totals ride as full-frame windows over the bounded
+    histogram, never as a crossJoin against a re-aggregation (which
+    re-runs the corpus-wide pass — the r6 session-3 fix)."""
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    for name in ("auc_eval", "ks_drift", "value_hist_quantiles",
+                 "skew_audit", "feature_corr", "calibration_bins"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        scans = plan.count("Scan parquet")  # matches FileScan lines too
+        assert scans == 1, f"{name}: {scans} parquet scans, want 1"
+
+
+def test_composed_evals_have_no_self_join(spark):
+    """auc_by_group and lang_confusion compose map-side operators via
+    keep_cols passthrough — ONE scan, ZERO joins (the previous
+    composition self-joined derivations of the same scan on doc_id)."""
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    for name in ("auc_by_group", "lang_confusion"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        for node in ("SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"{name}: unexpected {node}"
+        scans = plan.count("Scan parquet")  # matches FileScan lines too
+        assert scans == 1, f"{name}: {scans} parquet scans, want 1"
+
+
+def test_grouped_evals_partition_windows_by_group(spark):
+    """Grouped AUC / grouped quantiles must PARTITION their windows by
+    the group column — sort parallelism scales with group count, not a
+    single global sort (the sphere_paths lesson)."""
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    plan = plan_of(qs["auc_by_group"](spark, SF_DIR))
+    assert "lang" in plan[plan.index("Window"):].split("\n")[0] or \
+        "partitionBy" not in plan  # Window node names its partition keys
+    p2 = plan_of(qs["quantiles_by_type"](spark, SF_DIR))
+    w = p2[p2.index("Window"):].split("\n")[0]
+    assert "event_type" in w
+
+
+def test_scd2_windows_partition_by_key(spark):
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()["scd2_history"](spark, SF_DIR))
+    w = plan[plan.index("Window"):].split("\n")[0]
+    assert "user_id" in w
