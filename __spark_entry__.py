@@ -4092,6 +4092,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixes, then 6 heavy previously-green regression canaries — the
     # remainder are all driver-green in some earlier round and stay
     # gated locally by tests/test_entry_oracle.py every run.
+    #
+    # ROUND 7: rotate the 49 round-6 additions (every entry from
+    # "count_min_topk" through "scd2_history" minus this round's
+    # first-50 members — the keys after position 50 today) into the
+    # first 50, plus ONE heavy canary (grid_spatial_join). All 49 are
+    # verified vs DuckDB at sf0.001 + sf0.01 (and the session-3 adds
+    # at sf0.1) — see the round7-rotation note. Do NOT reorder before
+    # the r6 gate runs: the current first-50 backlog queries get their
+    # only driver row from it.
     return {
         # --- never driver-checked through r5 (41: the entire tail;
         #     after this round every declared query has faced the gate) ---
