@@ -1,23 +1,33 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are NOT available in this container
-(environment constraint), so the decode step is a deterministic stub —
-but the Spark-side plumbing is real and tested: schema, Arrow batch
-shape, ``mapInPandas`` signature, partitioning. Swapping
-``_decode_stub`` for a real decoder (PIL/ffmpeg) is a one-function
-change; everything else (batch iteration, schema contract, metadata
-propagation) is production-shaped.
+Decode is ENVIRONMENT-ADAPTIVE: when Pillow is importable
+(``_HAS_PIL``), image payloads are really decoded (dimensions
+extracted, resize re-encoded); otherwise — and for any payload PIL
+cannot open, e.g. the text stand-ins in the fixtures — a deterministic
+byte-stat stub runs instead. BOTH paths emit the same schema and
+compute the payload-metadata columns (n_bytes / checksum / head_byte)
+identically from the raw bytes, so swapping environments never changes
+the metadata contract — only the decode-only columns
+(decoded/width/height) light up. ffmpeg-style audio/video decoding has
+no in-container library either; audio features are computed natively
+(numpy PCM DSP, :func:`audio_frame_features`).
 """
 
 from __future__ import annotations
+
+import importlib.util
 
 from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+#: Pillow availability probe — decides the default decode path at import
+#: time (cheap: find_spec does not import the module).
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -31,6 +41,12 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", IntegerType()),
     StructField("checksum", LongType()),
     StructField("head_byte", IntegerType()),
+    # decode-only columns: -1/False when the payload is not a decodable
+    # image OR no decoder is present (sentinels, not NULLs — keeps the
+    # pandas/DuckDB dtypes integer under every environment)
+    StructField("decoded", BooleanType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
 ])
 
 
@@ -50,37 +66,63 @@ def to_media(df: DataFrame, text_col: str = "text",
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """Deterministic fake 'decode': byte stats standing in for real
-    feature extraction. A real implementation would do e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` + resize + embed."""
+    """Deterministic byte-stat 'decode': the payload-metadata columns
+    every path shares, plus not-decoded sentinels. Runs when no image
+    library is present OR the payload is not a decodable image."""
     return {
         "n_bytes": len(payload),
         "checksum": sum(payload) % 997,
         "head_byte": payload[0] if payload else None,
+        "decoded": False, "width": -1, "height": -1,
     }
 
 
-def decode_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
+def _decode_real(payload: bytes) -> dict:
+    """PIL-backed decode: identical byte-metadata computation, plus real
+    image dimensions when the payload opens as an image. Any payload
+    PIL rejects (text stand-ins, truncated blobs) falls back to the
+    stub row — so on non-image corpora the real and stub paths agree
+    on EVERY column (tested in tests/test_multimodal.py)."""
+    feat = _decode_stub(payload)
+    try:
+        import io
+
+        from PIL import Image
+        with Image.open(io.BytesIO(payload)) as im:
+            feat.update(decoded=True, width=im.width, height=im.height)
+    except Exception:
+        pass
+    return feat
+
+
+_FEATURE_COLS = ("n_bytes", "checksum", "head_byte",
+                 "decoded", "width", "height")
+
+
+def decode_features(media: DataFrame, real_decode: bool = None) -> DataFrame:
     """Feature-extract every payload with ``mapInPandas`` (Arrow-batched;
     the production shape for CPU-heavy per-item decode at 100 TB — one
     Python worker per core, no shuffle, linear scale-out).
 
-    ``real_decode=True`` raises: actual image/audio decoding libraries
-    are unavailable in this environment by design."""
-    if real_decode:
-        raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg/torchaudio — not available "
-            "in this container; the stub path exercises identical plumbing")
+    ``real_decode``: None (default) auto-detects Pillow on the driver
+    (``_HAS_PIL``); True requires it (ImportError otherwise); False
+    forces the stub. Both paths share the schema and the byte-metadata
+    columns; only decoded/width/height differ, and only on payloads
+    that actually ARE images."""
+    if real_decode is None:
+        real_decode = _HAS_PIL
+    if real_decode and not _HAS_PIL:
+        raise ImportError(
+            "decode_features(real_decode=True) needs Pillow, which is not "
+            "importable here; pass real_decode=False/None for the stub path")
+    decode = _decode_real if real_decode else _decode_stub
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_decode_stub(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].values,
-                "n_bytes": [f["n_bytes"] for f in feats],
-                "checksum": [f["checksum"] for f in feats],
-                "head_byte": [f["head_byte"] for f in feats],
-            })
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"].values}
+            out.update({c: [f[c] for f in feats] for c in _FEATURE_COLS})
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
@@ -93,37 +135,56 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
+def _resize_stub(b: bytes, target: int) -> bytes:
+    """Deterministic byte 'resize': subsample to target bytes (or pad by
+    repetition). Bytes, not chars — payloads are opaque binary; a real
+    image is not text. Callers that reinterpret the output as text (the
+    driver oracle decodes it as UTF-8) rely on the input being
+    single-byte-per-char ASCII."""
+    if len(b) >= target:
+        step = len(b) // target
+        return b[::step][:target]
+    return (b * (target // max(len(b), 1) + 1))[:target]
+
+
 def resize_images(media: DataFrame, width: int = 16, height: int = 16,
-                  real_decode: bool = False) -> DataFrame:
+                  real_decode: bool = None) -> DataFrame:
     """Resize plumbing: per-item transform keeping the binary column
     shape (1 row in → 1 row out, new payload + dimension metadata).
-    The stub 'resize' deterministically subsamples the payload to
-    width*height bytes; a real implementation decodes with PIL, resizes,
-    re-encodes — same schema, same batch iteration.
 
-    The stub slices BYTES (payloads are opaque binary — a real image is
-    not text, so byte granularity is the honest stand-in). Callers that
-    reinterpret the subsampled payload as text (the driver oracle
-    decodes it as UTF-8) rely on the input being single-byte-per-char
-    ASCII; byte-subsampled multibyte UTF-8 yields invalid sequences."""
-    if real_decode:
-        raise NotImplementedError(
-            "real image resize needs PIL — not available in this container")
+    ``real_decode`` follows the :func:`decode_features` contract: None
+    auto-detects Pillow, True requires it, False forces the stub. On
+    the real path a payload PIL can open is decoded, resized to
+    (width, height) and re-encoded as PNG; anything else gets the stub
+    byte-subsample — so the two paths agree row-for-row on non-image
+    corpora (the fixtures), and the output schema never varies."""
+    if real_decode is None:
+        real_decode = _HAS_PIL
+    if real_decode and not _HAS_PIL:
+        raise ImportError(
+            "resize_images(real_decode=True) needs Pillow, which is not "
+            "importable here; pass real_decode=False/None for the stub path")
     target = width * height
+
+    def one(b: bytes) -> bytes:
+        if real_decode:
+            try:
+                import io
+
+                from PIL import Image
+                with Image.open(io.BytesIO(b)) as im:
+                    buf = io.BytesIO()
+                    im.resize((width, height)).save(buf, format="PNG")
+                    return buf.getvalue()
+            except Exception:
+                pass  # not an image — fall through to the stub
+        return _resize_stub(b, target)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for p in pdf["payload"]:
-                b = bytes(p)
-                if len(b) >= target:
-                    step = len(b) // target
-                    out.append(b[::step][:target])
-                else:  # pad by repetition
-                    out.append((b * (target // max(len(b), 1) + 1))[:target])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values,
-                "payload": out,
+                "payload": [one(bytes(p)) for p in pdf["payload"]],
                 "width": width, "height": height,
             })
 
