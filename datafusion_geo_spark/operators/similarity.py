@@ -144,60 +144,111 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
                     F.col("rank").cast("int").alias("rank")))
 
 
+#: Bounded training-sample size for the Lloyd fits below. Training a
+#: coarse quantizer / PQ codebook on a deterministic SAMPLE is the
+#: standard billion-scale design (FAISS trains on ~10k-1M points
+#: regardless of corpus size): driver work becomes corpus-size
+#: INDEPENDENT — one TakeOrdered job collects the sample, the fit runs
+#: locally, and only the fitted model (k×dim doubles) is re-broadcast.
+#: The sample is the ``cap`` corpus rows with the smallest
+#: (md5(id), id) — pseudo-random but deterministic and SQL-replayable
+#: (ORDER BY md5(id) LIMIT cap). When the corpus fits under the cap
+#: (every test fixture does: <= 2000 vectors) the sample IS the corpus
+#: and the fit is bit-identical to the old full-corpus distributed
+#: Lloyd, so every oracle replay still matches; beyond the cap the
+#: oracle would need the same LIMIT — documented here, not exercised
+#: by the fixtures.
+TRAIN_SAMPLE_CAP = 4096
+
+
+def _r6(x: float) -> float:
+    """Python twin of operators.util.round6_binary — the identical IEEE
+    op sequence (sign(x)*floor(|x|*1e6+0.5)/1e6 + 0.0), so a local fold
+    over Spark-collected doubles rounds exactly as the JVM expression
+    does."""
+    import math
+    s = 0.0 if x == 0.0 else (1.0 if x > 0.0 else -1.0)
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0
+
+
+def _dot_fold(a, b) -> float:
+    """Left-to-right add fold, matching F.aggregate(zip_with(a,b,*),0.0)
+    and DuckDB list_reduce order — bit-identical across all three."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _norm_fold(v) -> float:
+    import math
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _md5_order_key(vid):
+    import hashlib
+    return (hashlib.md5(str(vid).encode()).hexdigest(), vid)
+
+
+def _train_sample(vecs: DataFrame, id_col: str,
+                  cols: tuple, cap: int = TRAIN_SAMPLE_CAP) -> list:
+    """Collect the deterministic bounded training sample: the ``cap``
+    rows with the smallest (md5(id), id), already in that order — ONE
+    TakeOrdered job (no full sort shuffle), k rows x dim doubles on the
+    driver regardless of corpus size."""
+    rows = (vecs.select(F.col(id_col).alias("_id"), *cols)
+            .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(cap).collect())
+    return rows
+
+
 def kmeans_centroids(vecs: DataFrame, n_centroids: int = 8,
                      iters: int = 2, id_col: str = "vec_id") -> list:
     """Deterministic fixed-iteration Lloyd's k-means over the prenormed
     contract (id_col, v, n) → list of (cid, centroid) driver-side.
 
-    Every step is SQL-replayable so the DuckDB oracle can reproduce the
-    trained centroids bit-for-bit:
-      - seeds = the ``n_centroids`` vectors with the smallest
-        md5(vec_id) (id-hash order: pseudo-random but deterministic,
-        avoiding the adjacency bias of "first k by id");
-      - assignment = argmax cosine rounded to 6 dp, ties to the lowest
-        centroid id — the same partial+final struct-max aggregate
-        ivf_topk uses (no window sort over the corpus);
-      - update = per-dimension mean via posexplode + groupBy(cid, pos):
-        the explode is narrow and the avg is map-side combined, so the
-        shuffle carries k×dim partial sums per map task, not the corpus.
-        Means are rounded to 6 dp so sub-ulp summation-order differences
-        between engines cannot flip a later assignment.
-    The per-iteration collect is k×dim doubles — the standard k-means
-    driver sync (centroids must reach the driver to be re-broadcast);
-    it is independent of corpus size. Empty clusters drop out (both
-    engines identically). ``iters`` is fixed, not convergence-tested:
-    the oracle must unroll the same number of rounds.
-    """
-    spark = vecs.sparkSession
-    seeds = (vecs.select(F.col(id_col), "v")
-             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-             .limit(n_centroids).collect())
-    cents = [(i, list(r["v"])) for i, r in enumerate(seeds)]
+    Trains on the bounded md5-ordered sample (``TRAIN_SAMPLE_CAP``; the
+    full corpus whenever it fits, as every fixture does) with ONE Spark
+    job — the sample collect — then runs Lloyd locally with the exact
+    engine arithmetic, so the result is bit-identical to the previous
+    distributed implementation AND to the SQL oracle replay:
+      - seeds = the ``n_centroids`` sample rows with the smallest
+        (md5(id), id) — the sample is already in that order;
+      - assignment = argmax of 6-dp-rounded cosine (left-to-right dot
+        fold, the F.aggregate/list_reduce order), ties to the lowest
+        centroid id;
+      - update = per-dimension mean rounded to 6 dp, summed in sample
+        (md5) order — engines sum in their own partial-aggregate
+        orders, and the 6-dp rounding absorbs the sub-ulp spread, the
+        same envelope the distributed version relied on.
+    Empty clusters drop out. ``iters`` is fixed, not convergence-tested:
+    the oracle must unroll the same number of rounds. The fit is
+    corpus-size independent: at 100 TB the one TakeOrdered sample job
+    replaces ``iters`` full-corpus shuffle rounds + per-round collects."""
+    rows = _train_sample(vecs, id_col, ("v", "n"))
+    sample = [(list(r["v"]), r["n"]) for r in rows]
+    cents = [list(v) for v, _ in sample[:n_centroids]]
+    cids = list(range(len(cents)))
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(cents, "cid int, cvec array<double>")
-            .withColumn("cn", norm(F.col("cvec"))))
-        scored = vecs.crossJoin(cdf).select(
-            F.col(id_col),
-            round6_binary(dot(F.col("v"), F.col("cvec"))
-                    / (F.col("n") * F.col("cn"))).alias("cs"),
-            F.col("cid"))
-        assign = (scored.groupBy(id_col)
-                  .agg(F.max(F.struct(F.col("cs"),
-                                      (-F.col("cid")).alias("ncid"))).alias("m"))
-                  .select(F.col(id_col),
-                          (-F.col("m.ncid")).cast("int").alias("cid")))
-        upd = (assign.join(vecs, id_col)
-               .select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
-               .groupBy("cid", "pos")
-               .agg(round6_binary(F.avg("x")).alias("cx"))
-               .collect())
-        by_cid: dict = {}
-        for r in upd:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cx"]
-        cents = [(cid, [dims[p] for p in sorted(dims)])
-                 for cid, dims in sorted(by_cid.items())]
-    return cents
+        cns = [_norm_fold(c) for c in cents]
+        members: dict = {}
+        for v, n in sample:
+            best = max(
+                (_r6(_dot_fold(v, c) / (n * cn)), -cid)
+                for cid, c, cn in zip(cids, cents, cns))
+            members.setdefault(-best[1], []).append(v)
+        new_cids, new_cents = [], []
+        for cid in sorted(members):
+            vs = members[cid]
+            dim = len(vs[0])
+            new_cids.append(cid)
+            new_cents.append([
+                _r6(sum(v[p] for v in vs) / len(vs)) for p in range(dim)])
+        cids, cents = new_cids, new_cents
+    return list(zip(cids, cents))
 
 
 #: process-level memo of fitted k-means models, keyed by
@@ -231,6 +282,41 @@ def _centroid_frame(vecs: DataFrame, fitted: list):
         vecs.sparkSession
         .createDataFrame(fitted, "cid int, cvec array<double>")
         .withColumn("cn", norm(F.col("cvec"))))
+
+
+def _lit_vec(xs) -> Column:
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
+def _assign_inline(fitted: list, v_col: Column, n_col: Column) -> Column:
+    """Argmax-cosine list id per row with the fitted centroids INLINED
+    as literals — map-only assignment: no crossJoin, no corpus shuffle.
+    Values are identical to the crossJoin + struct-max form (same
+    left-to-right dot fold, same 6-dp rounding, same (cs, -cid)
+    tie-break; centroid norms precomputed with the same fold), so
+    oracle replays are unaffected — only the plan shape changes. At
+    100 TB this turns index-build assignment from a full-corpus shuffle
+    into a scan."""
+    cands = F.array(*[
+        F.struct(F.lit(int(cid)).alias("cid"), _lit_vec(cvec).alias("cvec"),
+                 F.lit(_norm_fold(cvec)).alias("cn"))
+        for cid, cvec in fitted])
+    # ONE lambda over the literal candidate array (not one aggregate
+    # node per candidate): tree size stays O(model data), so Catalyst
+    # analysis/serialization cost is per-JOB constant, not per-candidate
+    best = F.array_max(F.transform(
+        cands, lambda c: F.struct(
+            round6_binary(dot(v_col, c["cvec"]) / (n_col * c["cn"]))
+            .alias("cs"),
+            (-c["cid"]).alias("ncid"))))
+    return (-best["ncid"]).cast("int")
+
+
+def _centroid_map(fitted: list) -> Column:
+    """cid → centroid-vector literal map (for residual subtraction)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(int(cid)) for cid, _ in fitted]),
+        F.array(*[_lit_vec(c) for _, c in fitted]))
 
 
 def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
@@ -628,58 +714,82 @@ def pq_train(vecs: DataFrame, m: int = 8, ksub: int = 16, iters: int = 2,
              id_col: str = "vec_id") -> list:
     """Product-quantization codebooks: the embedding dimension is split
     into ``m`` subspaces and each gets ``ksub`` centroids from
-    deterministic L2 Lloyd's — ALL subspaces train in the SAME Spark
-    jobs (subspace id rides the rows via posexplode; assignment and the
-    mean-update aggregate just carry ``s`` in their keys), so the fit
-    costs one corpus pass per iteration, not one per subspace.
+    deterministic L2 Lloyd's over the bounded md5-ordered training
+    sample (``TRAIN_SAMPLE_CAP`` — see :func:`kmeans_centroids` for the
+    sample-training rationale). ONE Spark job total: the sample collect
+    is shared by all m subspaces; the Lloyd rounds run locally.
 
     Same engine-exactness discipline as kmeans_centroids: seeds are the
-    ksub smallest-md5(id) vectors (identical row set for every
-    subspace), assignment is argmin of 6-dp-rounded SQUARED L2 with
-    ties to the lowest centroid id, means round to 6 dp. Returns
-    [(s, cid, centroid)] driver-side (m*ksub*d doubles — the standard
-    k-means sync, corpus-size independent)."""
-    spark = vecs.sparkSession
-    dim = len(vecs.select("v").first()["v"])
+    ksub smallest-(md5(id), id) vectors (identical row set for every
+    subspace), assignment is argmin of 6-dp-rounded SQUARED L2
+    (left-to-right fold) with ties to the lowest centroid id, means
+    round to 6 dp — bit-identical to the previous distributed fit and
+    to the SQL oracle replay whenever the corpus fits under the cap.
+    Returns [(s, cid, centroid)] (m*ksub*d doubles — corpus-size
+    independent)."""
+    rows = _train_sample(vecs, id_col, ("v",))
+    sample = [list(r["v"]) for r in rows]
+    dim = len(sample[0])
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
     d = dim // m
-    subs = (vecs.select(F.col(id_col),
-                        F.posexplode(_subvectors(F.col("v"), m, d))
-                        .alias("s", "sv"))).persist()
-    try:
-        seed_rows = (vecs
-                     .orderBy(F.md5(F.col(id_col).cast("string")),
-                              F.col(id_col))
-                     .limit(ksub).select(id_col, "v").collect())
-        cents = [(s, cid, list(r["v"])[s * d:(s + 1) * d])
-                 for cid, r in enumerate(seed_rows) for s in range(m)]
+
+    def _l2sq_fold(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    # per-subspace training over the SAME bounded sample (one collect
+    # shared by all m subspaces; the old distributed version's "all
+    # subspaces in shared jobs" property carries over trivially)
+    out = []
+    for s in range(m):
+        svs = [v[s * d:(s + 1) * d] for v in sample]
+        cents = [list(sv) for sv in svs[:ksub]]
+        cids = list(range(len(cents)))
         for _ in range(iters):
-            cdf = F.broadcast(spark.createDataFrame(
-                cents, "s int, cid int, cvec array<double>"))
-            scored = (subs.join(cdf, "s")
-                      .select(F.col(id_col), "s", "cid",
-                              round6_binary(_l2sq(F.col("sv"),
-                                                  F.col("cvec")))
-                              .alias("d2")))
-            assign = (scored.groupBy(id_col, "s")
-                      .agg(F.min(F.struct("d2", "cid")).alias("mn"))
-                      .select(F.col(id_col), "s",
-                              F.col("mn.cid").alias("cid")))
-            upd = (assign.join(subs, [id_col, "s"])
-                   .select("s", "cid",
-                           F.posexplode(F.col("sv")).alias("pos", "x"))
-                   .groupBy("s", "cid", "pos")
-                   .agg(round6_binary(F.avg("x")).alias("cx"))
-                   .collect())
-            by_key: dict = {}
-            for r in upd:
-                by_key.setdefault((r["s"], r["cid"]), {})[r["pos"]] = r["cx"]
-            cents = [(s, cid, [dims[p] for p in sorted(dims)])
-                     for (s, cid), dims in sorted(by_key.items())]
-        return cents
-    finally:
-        subs.unpersist()
+            members: dict = {}
+            for sv in svs:
+                best = min(
+                    (_r6(_l2sq_fold(sv, c)), cid)
+                    for cid, c in zip(cids, cents))
+                members.setdefault(best[1], []).append(sv)
+            cids, cents = [], []
+            for cid in sorted(members):
+                vs = members[cid]
+                cids.append(cid)
+                cents.append([
+                    _r6(sum(v[p] for v in vs) / len(vs)) for p in range(d)])
+        out.extend((s, cid, c) for cid, c in zip(cids, cents))
+    return out
+
+
+def _codes_expr(codebooks: list, m: int, d: int, v_col: Column) -> Column:
+    """array<int> of m PQ codes per row, codebooks inlined as literals —
+    map-only encode (no explode, no join, no per-id aggregate): per
+    subspace, argmin of the 6-dp-rounded squared L2 against the ksub
+    candidate centroids, ties to the lowest code (F.array_min over
+    (d2, cid) structs == the old F.min(struct(d2, cid)) aggregate)."""
+    by_s: dict = {}
+    for s, cid, cvec in codebooks:
+        by_s.setdefault(s, []).append((cid, cvec))
+    # nested literal: cb_lit[s] = that subspace's (cid, cvec) candidates;
+    # ONE nested lambda scores them all, keeping the expression tree
+    # O(model data) instead of one aggregate node per (s, cid) pair
+    cb_lit = F.array(*[
+        F.array(*[F.struct(F.lit(int(cid)).alias("cid"),
+                           _lit_vec(cvec).alias("cvec"))
+                  for cid, cvec in by_s[s]])
+        for s in range(m)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(F.transform(
+            F.element_at(cb_lit, s + 1),
+            lambda c: F.struct(
+                round6_binary(_l2sq(F.slice(v_col, s * d + 1, d),
+                                    c["cvec"])).alias("d2"),
+                c["cid"].alias("cid"))))["cid"])
 
 
 def pq_encode(vecs: DataFrame, codebooks: list, m: int, d: int,
@@ -687,26 +797,10 @@ def pq_encode(vecs: DataFrame, codebooks: list, m: int, d: int,
     """int8-style PQ codes: (id_col, codes array<int> of length m) —
     each float32 corpus vector becomes m small ints plus the shared
     codebooks (m*ksub*d doubles), a 32x storage cut at m=8 over 64
-    float dims. One broadcast join + one aggregate."""
-    spark = vecs.sparkSession
-    cdf = F.broadcast(spark.createDataFrame(
-        codebooks, "s int, cid int, cvec array<double>"))
-    subs = vecs.select(F.col(id_col),
-                       F.posexplode(_subvectors(F.col("v"), m, d))
-                       .alias("s", "sv"))
-    assign = (subs.join(cdf, "s")
-              .select(F.col(id_col), "s", "cid",
-                      round6_binary(_l2sq(F.col("sv"), F.col("cvec")))
-                      .alias("d2"))
-              .groupBy(id_col, "s")
-              .agg(F.min(F.struct("d2", "cid")).alias("mn")))
-    return (assign.groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(
-                F.struct(F.col("s"), F.col("mn.cid").alias("cid"))))
-                .alias("sc"))
-            .select(F.col(id_col),
-                    F.transform(F.col("sc"), lambda x: x["cid"])
-                    .alias("codes")))
+    float dims. Map-only (:func:`_codes_expr`): the encode pass is a
+    scan, no shuffle at any corpus size."""
+    return vecs.select(F.col(id_col),
+                       _codes_expr(codebooks, m, d, F.col("v")).alias("codes"))
 
 
 #: process-level memo of trained PQ codebooks, same contract as
@@ -820,59 +914,67 @@ def ivfpq_search(vecs: DataFrame, n_coarse: int = 8, coarse_iters: int = 2,
 
     Why this is THE 100 TB shape: the serving scan reads m ints + one
     list id per corpus vector (not the floats), the probe join prunes
-    to nprobe/n_coarse of the corpus BEFORE any scoring, and the only
-    driver syncs are the two bounded centroid collects (k x dim and
-    m x ksub x d doubles, corpus-size independent). Training residuals
+    to nprobe/n_coarse of the corpus BEFORE any scoring, the index
+    build (assignment + residual + encode) is MAP-ONLY — zero corpus
+    shuffles, the fitted models inlined as literal expressions — and
+    the only driver syncs are the two bounded TakeOrdered sample
+    collects (<= TRAIN_SAMPLE_CAP rows each, corpus-size independent;
+    both Lloyd fits run locally on those samples). Training residuals
     on 6-dp-rounded coarse means keeps every residual an exact IEEE
     double in both engines, so the full pipeline — coarse fit, residual
-    PQ fit, encode, probe, ADC — is SQL-replayable bit-for-bit.
+    PQ fit, encode, probe, ADC — is SQL-replayable bit-for-bit
+    (corpus <= TRAIN_SAMPLE_CAP; beyond the cap the fits see the same
+    bounded md5-ordered sample the oracle would have to LIMIT to).
 
     ``vecs`` must be in the prenorm contract (vec_id, v, n). Returns
     (query_id, neighbor_id, score_micro, rank).
     """
     spark = vecs.sparkSession
-    dim = len(vecs.select("v").first()["v"])
+
+    # 1. coarse quantizer: shared deterministic cosine Lloyd fit
+    #    (bounded-sample, one job; the centroids carry the dimension so
+    #    no separate first() probe job is needed)
+    coarse = kmeans_centroids_cached(vecs, n_coarse, coarse_iters, id_col,
+                                     cache_key=cache_key)
+    dim = len(coarse[0][1])
     if dim % m != 0:
         raise ValueError(f"ivfpq_search: dim {dim} not divisible by m {m}")
     d = dim // m
-
-    # 1. coarse quantizer: shared deterministic cosine Lloyd fit
-    coarse = kmeans_centroids_cached(vecs, n_coarse, coarse_iters, id_col,
-                                     cache_key=cache_key)
     cdf = _centroid_frame(vecs, coarse)
+    # query-side scoring frame (probes filter it to max_query_id rows;
+    # the filter pushes below the tiny broadcast crossJoin)
     scored = vecs.crossJoin(cdf).select(
         F.col(id_col), "cid",
         round6_binary(dot(F.col("v"), F.col("cvec"))
                       / (F.col("n") * F.col("cn"))).alias("cs"))
-    assign = (scored.groupBy(id_col)
-              .agg(F.max(F.struct(F.col("cs"),
-                                  (-F.col("cid")).alias("ncid"))).alias("mx"))
-              .select(F.col(id_col),
-                      (-F.col("mx.ncid")).cast("int").alias("cid")))
 
-    # 2. residuals r = v - c_assigned (exact: centroid entries are 6-dp
-    #    decimals, so both engines subtract identical doubles)
-    res = (vecs.join(assign, id_col)
-           .join(cdf.select("cid", "cvec"), "cid")
+    # 2. + 3. corpus-side index build, MAP-ONLY: the fitted model is a
+    #    tiny driver-side list, so list assignment (argmax cosine),
+    #    residual subtraction r = v - c_assigned (exact: centroid
+    #    entries are 6-dp decimals, both engines subtract identical
+    #    doubles) and PQ encoding are all inlined literal expressions —
+    #    the whole build is ONE scan of the corpus with ZERO shuffles
+    #    (plus one TakeOrdered sample collect for the residual PQ fit).
+    #    localCheckpoint materializes the narrow (id, cid, codes) index
+    #    so serving never replays the build lineage.
+    #    (res is checkpointed BEFORE encoding so Catalyst's projection
+    #    collapse cannot substitute the large inlined-assignment
+    #    expression into each of the m*ksub encode candidates)
+    res = (vecs
+           .select(F.col(id_col),
+                   _assign_inline(coarse, F.col("v"), F.col("n"))
+                   .alias("cid"), "v")
            .select(F.col(id_col), "cid",
-                   F.zip_with("v", "cvec", lambda x, y: x - y).alias("v")))
-
-    # 3. PQ codebooks on the residuals + inverted index: per vector the
-    #    index stores ONE list id + m small ints. The residual frame is
-    #    persisted across the training seed collect / Lloyd passes /
-    #    encode (it embeds the coarse cross+agg assignment — without
-    #    materialization that whole pipeline re-runs three times), and
-    #    the finished index is localCheckpoint'd so the serving plan
-    #    reads the narrow (id, codes, cid) table, releasing the cache.
-    res = res.persist()
-    try:
-        res_key = None if cache_key is None else (cache_key, "ivfpq-res")
-        cb = pq_train_cached(res.select(id_col, "v"), m, ksub, pq_iters,
-                             id_col, cache_key=res_key)
-        codes = pq_encode(res.select(id_col, "v"), cb, m, d, id_col)
-        inv = codes.join(assign, id_col).localCheckpoint()
-    finally:
-        res.unpersist()
+                   F.zip_with("v", F.element_at(_centroid_map(coarse),
+                                                F.col("cid")),
+                              lambda x, y: x - y).alias("v"))
+           .localCheckpoint())
+    res_key = None if cache_key is None else (cache_key, "ivfpq-res")
+    cb = pq_train_cached(res.select(id_col, "v"), m, ksub, pq_iters,
+                         id_col, cache_key=res_key)
+    inv = res.select(F.col(id_col), "cid",
+                     _codes_expr(cb, m, d, F.col("v")).alias("codes")) \
+             .localCheckpoint()
 
     # 4. query side (bounded): probe set, coarse dot term, ADC table
     qv = (vecs.where(F.col(id_col) < max_query_id)
