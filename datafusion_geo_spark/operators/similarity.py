@@ -297,19 +297,39 @@ def _assign_inline(fitted: list, v_col: Column, n_col: Column) -> Column:
     oracle replays are unaffected — only the plan shape changes. At
     100 TB this turns index-build assignment from a full-corpus shuffle
     into a scan."""
-    cands = F.array(*[
-        F.struct(F.lit(int(cid)).alias("cid"), _lit_vec(cvec).alias("cvec"),
-                 F.lit(_norm_fold(cvec)).alias("cn"))
-        for cid, cvec in fitted])
     # ONE lambda over the literal candidate array (not one aggregate
     # node per candidate): tree size stays O(model data), so Catalyst
     # analysis/serialization cost is per-JOB constant, not per-candidate
     best = F.array_max(F.transform(
-        cands, lambda c: F.struct(
+        _cands_lit(fitted), lambda c: F.struct(
             round6_binary(dot(v_col, c["cvec"]) / (n_col * c["cn"]))
             .alias("cs"),
             (-c["cid"]).alias("ncid"))))
     return (-best["ncid"]).cast("int")
+
+
+def _cands_lit(fitted: list) -> Column:
+    """The fitted centroid list as a literal candidate array
+    (cid, cvec, cn) — cn precomputed with the engine-exact fold."""
+    return F.array(*[
+        F.struct(F.lit(int(cid)).alias("cid"), _lit_vec(cvec).alias("cvec"),
+                 F.lit(_norm_fold(cvec)).alias("cn"))
+        for cid, cvec in fitted])
+
+
+def _ranked_lists_inline(fitted: list, v_col: Column,
+                         n_col: Column) -> Column:
+    """All centroid candidates ranked per row — array<struct<ncs, cid>>
+    sorted by (cosine desc, cid asc), computed map-only against the
+    inlined fitted list. Element 1 is the argmax assignment
+    (== :func:`_assign_inline`); the first nprobe elements are the
+    probe lists the old corpus-wide row_number window produced — same
+    values, zero shuffles."""
+    return F.array_sort(F.transform(
+        _cands_lit(fitted), lambda c: F.struct(
+            (-round6_binary(dot(v_col, c["cvec"]) / (n_col * c["cn"])))
+            .alias("ncs"),
+            c["cid"].alias("cid"))))
 
 
 def _centroid_map(fitted: list) -> Column:
@@ -334,9 +354,10 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
     Both are reproducible bit-for-bit by the SQL oracle.
 
     Plan shape (the part that matters at 100 TB):
-      1. assignment — corpus × broadcast centroids, cosine JVM-side,
-         argmax per vector via a partial+final struct-max aggregate
-         (one shuffle on vec_id, map-side combined; NO window sort);
+      1. assignment — MAP-ONLY: the centroid set is a tiny fitted list,
+         inlined as a literal candidate array (:func:`_assign_inline`);
+         argmax cosine per vector inside the corpus scan — no
+         crossJoin, no shuffle, no window sort;
       2. probing — each query ranks the tiny centroid set and keeps its
          ``nprobe`` nearest lists (query side is small: window is fine);
       3. search — candidates = corpus rows whose list is probed: an
@@ -350,28 +371,26 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
     if isinstance(centroids, list):
         # injected pre-fitted model (kmeans_centroids[_cached] output):
         # the share-the-fit path — no training pass at all
-        cents = _centroid_frame(vecs, centroids)
+        fitted = centroids
     elif centroids == "trained":
-        trained = kmeans_centroids(vecs, n_centroids, train_iters, id_col)
-        cents = _centroid_frame(vecs, trained)
+        fitted = kmeans_centroids(vecs, n_centroids, train_iters, id_col)
     elif centroids == "first":
-        cents = F.broadcast(
-            vecs.where(F.col(id_col) < n_centroids)
-            .select(F.col(id_col).cast("int").alias("cid"),
-                    F.col("v").alias("cvec"), F.col("n").alias("cn")))
+        # deterministic stand-in lists: the first n vectors by id —
+        # a bounded k-row collect (the vectors must reach the driver to
+        # be inlined, exactly like a fitted model)
+        fitted = [(int(r[0]), list(r[1])) for r in
+                  vecs.where(F.col(id_col) < n_centroids)
+                      .select(F.col(id_col), "v")
+                      .orderBy(id_col).collect()]
     else:
         raise ValueError(
             f"centroids must be first|trained|a fitted list, got {centroids!r}")
+    cents = _centroid_frame(vecs, fitted)
+    # query-side scoring frame (probes filter it to max_query_id rows)
     scored = vecs.crossJoin(cents).select(
         F.col(id_col), F.col("v"), F.col("n"), "cid",
         round6_binary(dot(F.col("v"), F.col("cvec"))
                 / (F.col("n") * F.col("cn"))).alias("cs"))
-    # argmax centroid per vector: max of (cs, -cid) == highest cosine,
-    # ties to the LOWEST centroid id — deterministic, partial-aggregable
-    assign = (scored.groupBy(id_col)
-              .agg(F.max(F.struct(F.col("cs"),
-                                  (-F.col("cid")).alias("ncid"))).alias("m"))
-              .select(F.col(id_col), (-F.col("m.ncid")).cast("int").alias("cid")))
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
     probes = F.broadcast(
         scored.where(F.col(id_col) < max_query_id)
@@ -379,7 +398,14 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
         .withColumn("_pr", F.row_number().over(wprobe))
         .where(F.col("_pr") <= nprobe)
         .select("query_id", "cid"))
-    vb = vecs.join(assign, id_col)
+    # corpus-side list assignment is MAP-ONLY (argmax centroid per
+    # vector: highest 6-dp cosine, ties to the LOWEST centroid id —
+    # the fitted list inlined as a literal via _assign_inline), so the
+    # corpus reaches the search join with zero prior shuffles — the
+    # old crossJoin + struct-max groupBy + re-join corpus shuffles are
+    # gone; values are identical
+    vb = vecs.withColumn(
+        "cid", _assign_inline(fitted, F.col("v"), F.col("n")))
     c = vb.select(F.col(id_col).alias("neighbor_id"),
                   F.col("v").alias("cv"), F.col("n").alias("cn"), "cid")
     q = F.broadcast(
@@ -470,8 +496,9 @@ def knn_join(emb: DataFrame, k: int = 5, n_centroids: int = 8,
     Per-key work is |probers(cid)| × |list(cid)|: quadratic within a
     list, never across the corpus — the standard IVF-graph bound, tuned
     by n_centroids (scale it ~√N so lists stay O(√N)). Assignment and
-    probing both come from one corpus × broadcast-centroids pass with a
-    struct-max / tiny per-vector window — no corpus-wide sort.
+    probing are both MAP-ONLY (one ranked inlined-candidates array per
+    row, :func:`_ranked_lists_inline`) — the corpus meets its first
+    shuffle at the candidate equi-join itself.
 
     Deterministic stand-in centroids (first n_centroids by id) keep the
     whole graph SQL-replayable; swap centroids="trained" machinery in
@@ -489,30 +516,26 @@ def knn_join(emb: DataFrame, k: int = 5, n_centroids: int = 8,
         conservative-parity mode; both modes are oracle-gated and
         equality-tested against each other."""
     vecs = prenorm(emb, id_col, vec_col)
-    cents = F.broadcast(
-        vecs.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("int").alias("cid"),
-                F.col("v").alias("cvec"), F.col("n").alias("cn")))
-    scored = vecs.crossJoin(cents).select(
-        F.col(id_col),
-        round6_binary(dot(F.col("v"), F.col("cvec"))
-                / (F.col("n") * F.col("cn"))).alias("cs"),
-        F.col("cid"))
-    assign = (scored.groupBy(id_col)
-              .agg(F.max(F.struct(F.col("cs"),
-                                  (-F.col("cid")).alias("ncid"))).alias("m"))
-              .select(F.col(id_col), (-F.col("m.ncid")).cast("int").alias("cid")))
-    # per-vector probe lists: window partitioned by vec_id over exactly
-    # n_centroids rows per vector — bounded, skew-free
-    wprobe = Window.partitionBy(id_col).orderBy(F.desc("cs"), F.asc("cid"))
-    probes = (scored.withColumn("_pr", F.row_number().over(wprobe))
-              .where(F.col("_pr") <= nprobe).select(id_col, "cid"))
-    vb = vecs.join(assign, id_col)
-    q = (vecs.join(probes, id_col)
-         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-                 F.col("n").alias("qn"), "cid"))
-    c = vb.select(F.col(id_col).alias("neighbor_id"),
-                  F.col("v").alias("cv"), F.col("n").alias("cn"), "cid")
+    # deterministic stand-in lists (first n by id): a bounded k-row
+    # collect so the centroids can be inlined like a fitted model
+    fitted = [(int(r[0]), list(r[1])) for r in
+              vecs.where(F.col(id_col) < n_centroids)
+                  .select(F.col(id_col), "v").orderBy(id_col).collect()]
+    # assignment AND per-vector probe lists map-only from ONE ranked
+    # literal-candidates array (_ranked_lists_inline): the old corpus ×
+    # centroids crossJoin, struct-max groupBy shuffle, per-vector
+    # row_number window and the two corpus re-joins are all gone —
+    # candidate generation is the first shuffle the corpus meets
+    base = vecs.select(F.col(id_col), "v", "n",
+                       _ranked_lists_inline(fitted, F.col("v"), F.col("n"))
+                       .alias("_rk"))
+    q = (base.select(F.col(id_col).alias("query_id"),
+                     F.col("v").alias("qv"), F.col("n").alias("qn"),
+                     F.explode(F.slice("_rk", 1, nprobe)).alias("_p"))
+         .select("query_id", "qv", "qn", F.col("_p.cid").alias("cid")))
+    c = base.select(F.col(id_col).alias("neighbor_id"),
+                    F.col("v").alias("cv"), F.col("n").alias("cn"),
+                    F.element_at("_rk", 1)["cid"].alias("cid"))
     if scorer == "gemm":
         # per-list top-k then global top-k: the global winner set is a
         # subset of the per-list winners, so the merge is exact
@@ -570,17 +593,11 @@ def semantic_dedup(emb: DataFrame, n_centroids: int = 8,
     vecs = prenorm(emb, id_col, vec_col)
     trained = (centroids if centroids is not None else
                kmeans_centroids(vecs, n_centroids, train_iters, id_col))
-    cents = _centroid_frame(vecs, trained)
-    scored = vecs.crossJoin(cents).select(
-        F.col(id_col),
-        round6_binary(dot(F.col("v"), F.col("cvec"))
-                / (F.col("n") * F.col("cn"))).alias("cs"),
-        F.col("cid"))
-    assign = (scored.groupBy(id_col)
-              .agg(F.max(F.struct(F.col("cs"),
-                                  (-F.col("cid")).alias("ncid"))).alias("m"))
-              .select(F.col(id_col), (-F.col("m.ncid")).cast("int").alias("cid")))
-    vb = vecs.join(assign, id_col).select(id_col, "v", "n", "cid")
+    # map-only cluster assignment (inlined fitted list): the corpus
+    # reaches the within-cluster pair join with zero prior shuffles
+    vb = vecs.select(F.col(id_col), "v", "n",
+                     _assign_inline(trained, F.col("v"), F.col("n"))
+                     .alias("cid"))
     a = vb.select(F.col("cid"), F.col(id_col).alias("_id_a"),
                   F.col("v").alias("va"), F.col("n").alias("na"))
     b = vb.select(F.col("cid"), F.col(id_col).alias("_id_b"),

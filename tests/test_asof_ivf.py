@@ -116,16 +116,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_ivf_stays_jvm_side_and_broadcasts(spark):
-    """IVF: all math in built-ins (no Python eval nodes); centroids and
-    probe set broadcast; assignment aggregate is partial+final."""
+    """IVF: all math in built-ins (no Python eval nodes); probe set
+    broadcast; corpus list assignment is MAP-ONLY (inlined fitted
+    list — no assignment aggregate/shuffle in the plan)."""
     import __spark_entry__ as entrymod
     df = entrymod.queries()["ivf_topk"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
-    assert plan.count("HashAggregate") >= 2
+    assert "array_max" in plan  # the inlined argmax assignment
     assert "CartesianProduct" not in plan.replace(
-        "BroadcastNestedLoopJoin", "")  # corpus×centroids IS broadcast-NL
+        "BroadcastNestedLoopJoin", "")  # probe scoring IS broadcast-NL
 
 
 def test_ivf_recall_vs_brute_force(spark):

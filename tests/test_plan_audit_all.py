@@ -32,9 +32,11 @@ ALLOWED_BROADCAST_CROSSES = {
     # set, but Catalyst pushes their scoring filter into the BNLJ as a
     # condition, so no naked Cross node survives into the plan.)
     "ann_topk": 2,           # hyperplane bucketing (corpus + probes)
-    "ivf_topk": 3,           # centroid assignment ×2 + probe scoring
-    "ivf_trained_topk": 3,   # same plan shape, trained centroids
-    "ann_recall": 3,         # inherits ivf_trained_topk's (bf side's
+    "ivf_topk": 1,           # probe scoring only — corpus assignment
+                             # is now map-only (_assign_inline), no
+                             # assignment crosses survive
+    "ivf_trained_topk": 1,   # same plan shape, trained centroids
+    "ann_recall": 1,         # inherits ivf_trained_topk's (bf side's
                              # cross compiles away, as in cosine_topk)
     "bm25_search": 1,        # ONE-ROW global aggregate (N, Σdl, dfs)
                              # broadcast back onto the corpus
@@ -54,20 +56,14 @@ ALLOWED_BROADCAST_CROSSES = {
                              # DIFFERENT data; same-source totals ride
                              # as full-frame windows instead)
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
-    "semantic_dedup": 3,     # k-centroid assignment crosses (training
-                             # round + final assign + copy-branch reuse),
-                             # same bounded dimension as ivf_topk
+    # (semantic_dedup / knn_join / knn_join_jvm: assignment and probing
+    # are map-only inlined-literal expressions now — zero crosses)
     "ivfpq_topk": 2,         # IVFADC's bounded crosses in the SERVING
                              # plan: probe scoring + query coarse-dot /
                              # ADC LUT build (8-centroid and m*ksub
-                             # dims). The index-build crosses (coarse
-                             # assign) now run eagerly inside the
-                             # localCheckpoint'd inverted index
-    "knn_join": 2,           # centroid scoring feeds assignment AND
-                             # probe branches (bounded k-centroid dim);
-                             # scoring itself is the cogrouped GEMM
-    "knn_join_jvm": 2,       # same assignment/probe crosses; scoring
-                             # is the JVM HOF-fold parity path
+                             # dims). The index build (coarse assign +
+                             # residual + encode) is map-only inside
+                             # the localCheckpoint'd inverted index
     "unigram_logprob": 1,    # one-row token-total aggregate broadcast
                              # back onto the token stream (same shape
                              # as tfidf's corpus-size cross)
