@@ -3561,6 +3561,24 @@ def _q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_by_group(ev, "event_type", "key", b=8)
 
 
+def _q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bounded-state quantile + distinct sketch per
+    event_type (operators/sketch.py kmv_quantile_sketch): deterministic
+    KMV/bottom-k sampling — the k smallest (h64(event_id), value) rows
+    per group, built shard-partial then min-k merged (state <= k
+    entries per aggregation key at any corpus size), sample-rank
+    quantiles at p50/p90/p99, plus the classic KMV (k-1)/h_k distinct-
+    user estimate. Completes the quantile family next to exact
+    (value_quantiles), histogram-CDF (value_hist_quantiles) and
+    streaming (streaming_quantiles). Oracle: one-pass global bottom-k
+    replay (equal to the shard merge by construction)."""
+    from datafusion_geo_spark.operators.sketch import kmv_quantile_sketch
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_quantile_sketch(ev, "event_type", "value",
+                               "event_id", "user_id", k=64, shards=32)
+
+
 def _q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC (operators/evals.py auc_exact) of a
     quantized embedding coordinate against the class indicator
@@ -4157,8 +4175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- regression canaries (heavy, driver-green r1-r6) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "minhash_pairs": _q_minhash_pairs,
-        # --- pos 51+: driver-green in an earlier round; still gated
-        #     locally by tests/test_entry_oracle.py every run ---
+        # --- pos 51+: NEW this round (no first-50 room left: the 48
+        #     never-gated queries own it) — must lead round 8's gate ---
+        "kmv_quantiles": _q_kmv_quantiles,
+        # --- driver-green in an earlier round; still gated locally by
+        #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
         "pagerank_neardup": _q_pagerank_neardup,
         "graph_stats": _q_graph_stats,
@@ -8120,6 +8141,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_hll_by_group: the hll_estimate chain (same hash,
         # same literals, same 6-dp round) carried per event_type
+        # one-pass global bottom-k replay of the sketch's shard-partial
+        # merge (equal by construction: every global bottom-k row is in
+        # its own shard's bottom-k); KMV ndv via the shared _ratio6 form
+        "kmv_quantiles": """
+            WITH ev AS (
+              SELECT event_type, event_id, user_id, value
+              FROM events WHERE value IS NOT NULL
+            ), ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ('0x' || substr(md5(
+                         CAST(event_id AS VARCHAR)), 1, 8))::BIGINT,
+                         value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n_all
+              FROM ev
+            ), sagg AS (
+              SELECT event_type, MAX(n_all)::BIGINT AS n_events,
+                     count(*)::INT AS n_sample,
+                     list(value ORDER BY value) AS vals
+              FROM ranked WHERE rn <= 64 GROUP BY event_type
+            ), u AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(
+                       CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+              FROM ev
+            ), uranked AS (
+              SELECT event_type, hv, row_number() OVER (
+                       PARTITION BY event_type ORDER BY hv) AS rn
+              FROM u
+            ), uagg AS (
+              SELECT event_type, count(*)::INT AS m,
+                     MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+              FROM uranked WHERE rn <= 64 GROUP BY event_type
+            )
+            SELECT s.event_type, s.n_events, s.n_sample,
+                   vals[greatest(1, ceil(0.5 * n_sample))::INT] AS p50,
+                   vals[greatest(1, ceil(0.9 * n_sample))::INT] AS p90,
+                   vals[greatest(1, ceil(0.99 * n_sample))::INT] AS p99,
+                   CASE WHEN u.m < 64 THEN u.m::DOUBLE
+                        ELSE ((2000000 * (63 * 4294967296) + hk)
+                              // (2 * hk)) / 1000000.0
+                   END AS ndv_users
+            FROM sagg s JOIN uagg u USING (event_type)
+        """,
         "hll_by_group": """
             WITH h AS (
               SELECT event_type,

@@ -210,3 +210,52 @@ def test_hll_set_ops_union_and_intersection(spark):
     # union register table dominates both sides register-wise
     assert row["n_reg_u"] >= max(row["n_reg_a"], row["n_reg_b"])
     assert row["z_u"] >= max(row["z_a"], row["z_b"])
+
+
+def test_kmv_quantiles_matches_python_replay(spark):
+    """The KMV sample is exactly the global bottom-k by (h64(id), value)
+    — replayed here in pure Python — and the shard-partial merge must
+    not change it. Quantiles are the sample's rank statistics; the
+    distinct estimate is exact (= m) below k."""
+    import hashlib
+
+    from datafusion_geo_spark.operators.sketch import kmv_quantile_sketch
+    rows = [(i, i % 7, "g", float((i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "event_type string, value double")
+    out = kmv_quantile_sketch(df, "event_type", "value", "event_id",
+                              "user_id", k=16, shards=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    h = lambda x: int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+    sample = sorted((h(i), v) for i, _, _, v in rows)[:16]
+    vals = sorted(v for _, v in sample)
+    assert r["n_events"] == 500 and r["n_sample"] == 16
+    import math
+    assert r["p50"] == vals[max(1, math.ceil(0.5 * 16)) - 1]
+    assert r["p90"] == vals[max(1, math.ceil(0.9 * 16)) - 1]
+    assert r["p99"] == vals[max(1, math.ceil(0.99 * 16)) - 1]
+    # 7 distinct users < k=16 -> exact count, not the (k-1)/h_k estimate
+    assert r["ndv_users"] == 7.0
+
+
+def test_kmv_quantiles_ndv_estimate_above_k(spark):
+    """Above k distinct users the KMV estimate (k-1)/h_k kicks in; with
+    1000 uniform 32-bit hashes and k=64 this fixture's deterministic
+    draw lands at ~1235 (md5 replay) — assert the exact value so any
+    arithmetic drift (hash base, rounding, rank-off-by-one) trips."""
+    import hashlib
+
+    from datafusion_geo_spark.operators.sketch import kmv_quantile_sketch
+    rows = [(i, i, "g", 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "event_type string, value double")
+    r = kmv_quantile_sketch(df, "event_type", "value", "event_id",
+                            "user_id", k=64, shards=4).collect()[0]
+    assert r["n_sample"] == 64
+    hs = sorted(int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in range(1000))
+    want = ((2_000_000 * 63 * 4294967296 + hs[63])
+            // (2 * hs[63])) / 1_000_000.0
+    assert r["ndv_users"] == want
+    assert abs(r["ndv_users"] - 1000) / 1000 < 0.30  # ~2 sigma at k=64
