@@ -161,19 +161,23 @@ def kmeans_points(df: DataFrame, k: int = 4, iters: int = 2,
 
       - seeds = the ``k`` points with the smallest (md5(id), id);
       - assignment = argmin of the squared distance rounded to 6 dp
-        (binary half-up), ties to the LOWEST centroid id — a broadcast
-        of k centroids against the corpus, aggregated per point;
+        (binary half-up), ties to the LOWEST centroid id — MAP-ONLY:
+        the k centroids are inlined as a literal candidate array, so
+        the per-point argmin happens inside the scan (no crossJoin, no
+        per-point shuffle);
       - update = per-cluster coordinate means rounded to 6 dp (empty
-        clusters drop out in both engines identically);
+        clusters drop out in both engines identically) — the one
+        shuffle per round carries k partial sums per map task;
       - ``iters`` update rounds, then one final assignment.
 
-    The per-iteration driver sync is k pairs of doubles (centroids
-    re-broadcast), independent of corpus size; the corpus-side work per
-    round is one broadcast-join scan + one map-side-combined aggregate.
+    Unlike similarity.kmeans_centroids (which trains on a bounded
+    sample), the fit here stays FULL-corpus: ST_ClusterKMeans parity
+    means every point votes in every round, and the oracle unrolls
+    exactly that. The per-iteration driver sync is k pairs of doubles
+    (centroids re-broadcast), independent of corpus size.
     Returns (id_col, cid) — cluster numbers are seed ranks, PostGIS's
     arbitrary-but-stable integers."""
     from .util import round6_binary
-    spark = df.sparkSession
     pts = df.select(F.col(id_col), F.col(x_col).alias("_x"),
                     F.col(y_col).alias("_y")) \
             .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
@@ -183,24 +187,22 @@ def kmeans_points(df: DataFrame, k: int = 4, iters: int = 2,
     cents = [(i, float(r["_x"]), float(r["_y"]))
              for i, r in enumerate(seeds)]
 
-    def assign(cdf):
-        d2 = ((F.col("_x") - F.col("cx")) * (F.col("_x") - F.col("cx"))
-              + (F.col("_y") - F.col("cy")) * (F.col("_y") - F.col("cy")))
-        scored = pts.crossJoin(cdf).select(
-            F.col(id_col), round6_binary(d2).alias("d2"), F.col("cid"))
-        return (scored.groupBy(id_col)
-                .agg(F.min(F.struct(F.col("d2"), F.col("cid"))).alias("m"))
-                .select(F.col(id_col), F.col("m.cid").alias("cid")))
+    def assign_expr(cs) -> F.Column:
+        cands = F.array(*[
+            F.struct(F.lit(cid).alias("cid"), F.lit(cx).alias("cx"),
+                     F.lit(cy).alias("cy")) for cid, cx, cy in cs])
+        best = F.array_min(F.transform(cands, lambda c: F.struct(
+            round6_binary((F.col("_x") - c["cx"]) * (F.col("_x") - c["cx"])
+                          + (F.col("_y") - c["cy"]) * (F.col("_y") - c["cy"]))
+            .alias("d2"),
+            c["cid"].alias("cid"))))
+        return best["cid"]
 
     for _ in range(iters):
-        cdf = F.broadcast(spark.createDataFrame(
-            cents, "cid int, cx double, cy double"))
-        upd = (assign(cdf).join(pts, id_col)
+        upd = (pts.select(assign_expr(cents).alias("cid"), "_x", "_y")
                .groupBy("cid")
                .agg(round6_binary(F.avg("_x")).alias("cx"),
                     round6_binary(F.avg("_y")).alias("cy"))
                .collect())
         cents = sorted((r["cid"], r["cx"], r["cy"]) for r in upd)
-    cdf = F.broadcast(spark.createDataFrame(
-        cents, "cid int, cx double, cy double"))
-    return assign(cdf)
+    return pts.select(F.col(id_col), assign_expr(cents).alias("cid"))

@@ -80,12 +80,8 @@ ALLOWED_BROADCAST_CROSSES = {
     "minhash_eval": 2,       # three ONE-ROW count aggregates crossed
                              # into the single metrics row (the
                              # tfidf/bm25 one-row broadcast pattern)
-    "kmeans_clusters": 1,    # final Lloyd assignment crosses the
-                             # corpus with the broadcast k=4 centroid
-                             # frame (operators/cluster.kmeans_points —
-                             # the training rounds' crosses execute
-                             # eagerly at build time, only the final
-                             # assignment survives into this plan)
+    # (kmeans_clusters: the final Lloyd assignment is a map-only
+    # inlined-literal argmin now — zero crosses)
 }
 
 
