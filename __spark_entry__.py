@@ -2693,6 +2693,17 @@ def _q_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heldout_perplexity(_docs(spark, sf_dir))
 
 
+def _q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out INTERPOLATED-BIGRAM perplexity (operators/text.py
+    bigram_heldout_perplexity): the word-order-aware drift metric next
+    to heldout_ppl — Jelinek-Mercer λ=0.75 bigram + heldout_ppl's add-1
+    unigram, same 90/10 md5 split, map-only bigram extraction (no lag
+    window), micro-int pair logprobs. Oracle replays the full LM in
+    SQL (lateral-unnest bigrams, the shared ln/exp literal chain)."""
+    from datafusion_geo_spark.operators.text import bigram_heldout_perplexity
+    return bigram_heldout_perplexity(_docs(spark, sf_dir))
+
+
 def _q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BERT-style MLM example construction (operators/objectives.py
     mlm_masking): md5-coin 15% position selection with the 80/10/10
@@ -4193,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     never-gated queries own it) — must lead round 8's gate ---
         "kmv_quantiles": _q_kmv_quantiles,
         "intersects_scan": _q_intersects_scan,
+        "bigram_ppl": _q_bigram_ppl,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -5248,6 +5260,67 @@ def _lang_oracle() -> str:
                {pred} AS lang_pred
         FROM (SELECT doc_id, {score_defs}
               FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
+    """
+
+
+def _bigram_ppl_oracle() -> str:
+    """SQL replay of text.bigram_heldout_perplexity: same 90/10 md5
+    split, lateral-unnest adjacent pairs (w[i], w[i+1]), the identical
+    JM-interpolated probability expression (0.75·c12/c1 when the
+    context is seen, plus 0.25·(c2+1)/(T+V+1)), micro-int pair
+    logprobs summed, heldout_ppl's exp(-mean) literal chain."""
+    wl = "string_split_regex(trim(lower(text)), '\\s+')"
+    micro = ("(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)")
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    p = ("(CASE WHEN c1 IS NOT NULL THEN "
+         "0.75 * (COALESCE(c12, 0)::DOUBLE / c1::DOUBLE) "
+         "ELSE 0.0 END "
+         "+ 0.25 * ((COALESCE(c2, 0) + 1)::DOUBLE "
+         "/ (total + v + 1)::DOUBLE))")
+    lp_m = micro.format(x=f"ln({p})")
+    ppl = r6.format(x="exp(-((lp_micro_sum / 1000000.0) "
+                      "/ n_test_bigrams))")
+    ppl_m = micro.format(x=ppl)
+    return f"""
+            WITH sp AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS b
+              FROM documents
+            ), tw AS (SELECT doc_id, {wl} AS w FROM sp WHERE b < 9000),
+            ttoks AS (SELECT unnest(w) AS w FROM tw),
+            vocab AS (SELECT w, COUNT(*)::BIGINT AS cnt
+                      FROM ttoks GROUP BY w),
+            tot AS (SELECT COUNT(*)::BIGINT AS total FROM ttoks),
+            vs AS (SELECT COUNT(*)::BIGINT AS v FROM vocab),
+            tbg AS (SELECT w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+                    FROM tw, unnest(range(1, len(w))) AS t(i)),
+            bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12
+                   FROM tbg GROUP BY w1, w2),
+            hw AS (SELECT doc_id, {wl} AS w FROM sp WHERE b >= 9000),
+            hbg AS (SELECT doc_id, w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+                    FROM hw, unnest(range(1, len(w))) AS t(i)),
+            sc AS (SELECT h.doc_id, bg.c12, v1.cnt AS c1, v2.cnt AS c2
+                   FROM hbg h
+                   LEFT JOIN bg ON bg.w1 = h.w1 AND bg.w2 = h.w2
+                   LEFT JOIN vocab v1 ON v1.w = h.w1
+                   LEFT JOIN vocab v2 ON v2.w = h.w2),
+            agg AS (
+              SELECT COUNT(DISTINCT sc.doc_id)::BIGINT AS n_test_docs,
+                     COUNT(*)::BIGINT AS n_test_bigrams,
+                     SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unseen_ctx,
+                     SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unseen_pair,
+                     SUM({lp_m})::BIGINT AS lp_micro_sum
+              FROM sc, tot, vs
+            )
+            SELECT n_test_docs, n_test_bigrams, n_unseen_ctx,
+                   n_unseen_pair, lp_micro_sum,
+                   {ppl_m} AS ppl_micro
+            FROM agg
     """
 
 
@@ -7419,6 +7492,10 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN (((CASE WHEN (exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) < 0 THEN -1 ELSE 1 END) * floor(abs(exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) * 1000000.0 + 0.5) / 1000000.0 + 0.0)) < 0 THEN -1 ELSE 1 END) * CAST(floor(abs(((CASE WHEN (exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) < 0 THEN -1 ELSE 1 END) * floor(abs(exp(-((lp_micro_sum / 1000000.0) / n_test_tokens))) * 1000000.0 + 0.5) / 1000000.0 + 0.0)) * 1000000.0 + 0.5) AS BIGINT) AS ppl_micro
             FROM agg
         """.format(wl="string_split_regex(trim(lower(text)), '\\s+')"),
+        # full SQL replay of the interpolated bigram LM: lateral-unnest
+        # bigrams (w[i], w[i+1]), the same 0.75/0.25 JM mix in the same
+        # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
+        "bigram_ppl": _bigram_ppl_oracle(),
         "mlm_masking": """
             WITH toks AS (
               SELECT doc_id, len(w)::BIGINT AS n_words, i - 1 AS pos,

@@ -627,6 +627,95 @@ def heldout_perplexity(df: DataFrame, text_col: str = "text",
                       "lp_micro_sum", ppl_micro.alias("ppl_micro"))
 
 
+def _bigrams_col(words: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent word pairs — MAP-ONLY (one
+    transform over the word array; no lag window, no positional
+    self-join). Empty below two words."""
+    return F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.struct(
+                        F.element_at(words, i).alias("w1"),
+                        F.element_at(words, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def bigram_heldout_perplexity(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Held-out perplexity of an INTERPOLATED BIGRAM LM — the
+    word-order-aware upgrade of :func:`heldout_perplexity` (unigram ppl
+    is blind to shuffled or boilerplate-stitched text; bigram ppl is
+    the standard next sanity metric a data pipeline tracks).
+
+    Same deterministic 90/10 md5-bucket split. Jelinek-Mercer mix with
+    a fixed λ = 0.75 (exact in binary, so both engines multiply the
+    same double):
+
+        p(w2|w1) = 0.75·c(w1w2)/c(w1)      (ML bigram; 0 if c(w1)=0)
+                 + 0.25·(c(w2)+1)/(T+V+1)  (heldout_ppl's add-1 unigram)
+
+    Bigram extraction is map-only (:func:`_bigrams_col`); per-pair
+    log-probs round to micro ints BEFORE the sum (fold-order free);
+    perplexity exp(-mean) follows the heldout_ppl literal chain
+    (ln/exp libm-parity contract).
+
+    ONE row out: (n_test_docs, n_test_bigrams, n_unseen_ctx,
+    n_unseen_pair, lp_micro_sum, ppl_micro). Scale shape: two grouped
+    counts over the train stream, the held-out stream joined on
+    (w1,w2) and twice on the unigram vocab (word-key shuffles), two
+    one-row broadcast totals."""
+    from .dedup import h64
+    from .util import round6_binary
+    b = h64(F.col(id_col).cast("string")) % F.lit(10000)
+    base = df.select(F.col(id_col),
+                     words_col(F.lower(F.col(text_col))).alias("_w"),
+                     b.alias("_b"))
+    train = base.where(F.col("_b") < 9000)
+    ttoks = train.select(F.explode(F.col("_w")).alias("w"))
+    vocab = ttoks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ttoks.agg(F.count(F.lit(1)).alias("total"))
+    vs = vocab.agg(F.count(F.lit(1)).alias("v"))
+    bg = (train.select(F.explode(_bigrams_col(F.col("_w"))).alias("p"))
+          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c12")))
+    hbg = (base.where(F.col("_b") >= 9000)
+           .select(F.col(id_col),
+                   F.explode(_bigrams_col(F.col("_w"))).alias("p"))
+           .select(id_col, F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    sc = (hbg.join(bg, ["w1", "w2"], "left")
+          .join(vocab.select(F.col("w").alias("w1"),
+                             F.col("cnt").alias("c1")), "w1", "left")
+          .join(vocab.select(F.col("w").alias("w2"),
+                             F.col("cnt").alias("c2")), "w2", "left")
+          .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(vs)))
+    p_bg = F.when(
+        F.col("c1").isNotNull(),
+        F.lit(0.75) * (F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                       / F.col("c1").cast("double"))).otherwise(F.lit(0.0))
+    p_uni = F.lit(0.25) * ((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+                           .cast("double")
+                           / (F.col("total") + F.col("v") + F.lit(1))
+                           .cast("double"))
+    lp = F.log(p_bg + p_uni)
+    lp_micro = (F.signum(lp) * F.floor(F.abs(lp) * F.lit(1e6)
+                                       + F.lit(0.5))).cast("long")
+    agg = sc.agg(
+        F.countDistinct(id_col).alias("n_test_docs"),
+        F.count(F.lit(1)).alias("n_test_bigrams"),
+        F.sum(F.col("c1").isNull().cast("long")).alias("n_unseen_ctx"),
+        F.sum(F.col("c12").isNull().cast("long")).alias("n_unseen_pair"),
+        F.sum(lp_micro).alias("lp_micro_sum"))
+    mean = (F.col("lp_micro_sum") / F.lit(1000000.0)) \
+        / F.col("n_test_bigrams")
+    p = round6_binary(F.exp(-mean))
+    ppl_micro = (F.signum(p) * F.floor(F.abs(p) * F.lit(1e6)
+                                       + F.lit(0.5))).cast("long")
+    return agg.select("n_test_docs", "n_test_bigrams", "n_unseen_ctx",
+                      "n_unseen_pair", "lp_micro_sum",
+                      ppl_micro.alias("ppl_micro"))
+
+
 # Sentence segmentation --------------------------------------------------
 
 # unit separator: the injected sentence-boundary marker. Safe for the

@@ -46,6 +46,9 @@ ALLOWED_BROADCAST_CROSSES = {
     "heldout_ppl": 2,        # two one-row aggregates (train token
                              # total + train vocab size) broadcast onto
                              # the held-out token stream
+    "bigram_ppl": 2,         # the same two one-row train totals
+                             # broadcast onto the held-out bigram
+                             # stream (text.bigram_heldout_perplexity)
     "mlm_masking": 1,        # one-row replacement-pool-size aggregate
                              # broadcast onto the token stream (the
                              # tfidf corpus-size shape)

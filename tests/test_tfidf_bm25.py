@@ -130,3 +130,34 @@ def test_unigram_logprob_exact(spark):
     assert got[1] == (3, 2 * micro(3) + micro(2), 2)
     assert got[2] == (2, micro(2) + micro(1), 1)
     assert got[3] == (1, micro(3), 3)
+
+
+def test_bigram_ppl_detects_word_order_corruption(spark):
+    """The motivating property of the bigram eval: scrambling word
+    order leaves unigram ppl untouched (same token multiset) but must
+    raise bigram ppl (held-out pairs fall out of the trained bigram
+    table into the 0.25-weighted unigram floor)."""
+    import hashlib
+
+    from datafusion_geo_spark.operators.text import (
+        bigram_heldout_perplexity, heldout_perplexity)
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+
+    train_ids = [i for i in range(500) if bucket(i) < 9000][:40]
+    test_ids = [i for i in range(500) if bucket(i) >= 9000][:4]
+    pat = "alpha beta gamma delta " * 6
+    scram = "delta alpha gamma beta " * 6  # same multiset, new pairs
+    rows = [(i, pat) for i in train_ids]
+    ordered = spark.createDataFrame(
+        rows + [(i, pat) for i in test_ids], "doc_id long, text string")
+    shuffled = spark.createDataFrame(
+        rows + [(i, scram) for i in test_ids], "doc_id long, text string")
+    bg_o = bigram_heldout_perplexity(ordered).collect()[0]
+    bg_s = bigram_heldout_perplexity(shuffled).collect()[0]
+    assert bg_s["ppl_micro"] > bg_o["ppl_micro"]
+    assert bg_s["n_unseen_pair"] > bg_o["n_unseen_pair"]
+    uni_o = heldout_perplexity(ordered).collect()[0]
+    uni_s = heldout_perplexity(shuffled).collect()[0]
+    assert uni_o["ppl_micro"] == uni_s["ppl_micro"]  # unigram is blind
