@@ -3778,6 +3778,19 @@ def _q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_cms(spark, sf_dir, depth=4, width=1024)
 
 
+def _q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV bottom-k sketch (streaming/sketch.py
+    streaming_kmv): quantile + distinct estimates per event_type with
+    <= 2k+1 custom state entries carried through
+    applyInPandasWithState (min-k is not one Spark aggregate — this is
+    the stateful-operator spelling, next to the aggregate-state
+    streaming_hll/streaming_cms). Min-k union is batch-split
+    insensitive, so the bounded replay equals the batch
+    kmv_quantile_sketch and the oracle is SHARED with kmv_quantiles."""
+    from datafusion_geo_spark.streaming.sketch import streaming_kmv
+    return streaming_kmv(spark, sf_dir, k=64)
+
+
 def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration (reliability) bins: quantized score -> observed
     positive rate — the plot behind 'is the quality classifier's score
@@ -4205,6 +4218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_quantiles": _q_kmv_quantiles,
         "intersects_scan": _q_intersects_scan,
         "bigram_ppl": _q_bigram_ppl,
+        "streaming_kmv": _q_streaming_kmv,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -8922,4 +8936,7 @@ def oracle_sql() -> dict[str, str]:
     out["chunk_udtf"] = out["chunk_docs"]
     # bounded streaming replay == the batch histogram quantiles
     out["streaming_quantiles"] = out["value_hist_quantiles"]
+    # min-k union is batch-split insensitive: the stateful streaming
+    # KMV's bounded replay == the batch bottom-k sketch
+    out["streaming_kmv"] = out["kmv_quantiles"]
     return out

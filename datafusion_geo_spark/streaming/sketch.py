@@ -55,3 +55,120 @@ def streaming_cms(spark: SparkSession, sf_dir: str,
           .select(F.col("user_id").cast("string").alias("tok")))
     agg = count_min_sketch(ev, "tok", depth=depth, width=width)
     return run_bounded_complete(agg, "stream_cms_")
+
+
+def kmv_state_step(prev, batch: list, k: int):
+    """One micro-batch of KMV state: merge ``batch`` rows
+    [(h, value, user_hash)] into ``prev`` state
+    (hs, vs, user_hashes, n), keep the min-k of each sketch, and
+    compute the estimate row. Pure function (tested directly for
+    batch-split insensitivity: any partition of the rows into batches
+    folds to the same state — min-k union is associative and
+    commutative). Returns ((hs, vs, uhs, n),
+    (n_sample, p50, p90, p99, ndv)); every arithmetic op replicates
+    the batch kmv_quantile_sketch exactly."""
+    import math
+    pairs, uhashes, n = [], set(), 0
+    if prev is not None:
+        hs, vs, uhs, n = prev
+        pairs = list(zip(hs, vs))
+        uhashes = set(uhs)
+    n += len(batch)
+    pairs.extend((h, v) for h, v, _ in batch)
+    uhashes.update(hv for _, _, hv in batch)
+    pairs = sorted(pairs)[:k]
+    ukeep = sorted(uhashes)[:k]
+    vals = sorted(v for _, v in pairs)
+    ns = len(vals)
+
+    def q(p: float) -> float:
+        return vals[max(1, math.ceil(p * ns)) - 1]
+
+    if len(ukeep) < k:
+        ndv = float(len(ukeep))
+    else:
+        hk = ukeep[k - 1]
+        ndv = ((2_000_000 * ((k - 1) * 4294967296) + hk)
+               // (2 * hk)) / 1_000_000.0
+    state = ([h for h, _ in pairs], [v for _, v in pairs], ukeep, n)
+    return state, (ns, q(0.5), q(0.9), q(0.99), ndv)
+
+
+def streaming_kmv(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
+    """Streaming KMV bottom-k quantile + distinct sketch per event_type
+    — the custom-stateful-operator spelling of operators/sketch.py
+    kmv_quantile_sketch, and the third constant-state streaming sketch
+    (next to streaming_hll's MAX and streaming_cms's SUM, whose states
+    are plain associative aggregates; min-k is NOT one Spark aggregate,
+    so this one carries its state through applyInPandasWithState).
+
+    State per group: the k smallest (h64(event_id), value) pairs, the
+    k smallest distinct user hashes, and the exact event count —
+    <= 2k+1 entries forever, no watermark, no TTL (the sketch IS the
+    eviction policy). Each micro-batch merges its rows into the state
+    (min-k union — order-insensitive, so any batch split yields the
+    same final state) and emits the current estimate row; on the
+    bounded single-file availableNow replay that equals the batch
+    kmv_quantile_sketch, so the oracle is SHARED with kmv_quantiles.
+
+    Hashes and all estimate arithmetic (ceil-rank sample quantiles,
+    the scaled-integer (k-1)/h_k distinct estimate) replicate the
+    batch operator exactly — Python ints/doubles perform the identical
+    IEEE/integer ops."""
+    import math
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StringType, StructField,
+                                   StructType)
+
+    from ..operators.dedup import h64
+    from ..sources.fixtures import load_events_stream
+
+    out_schema = StructType([
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_sample", IntegerType()),
+        StructField("p50", DoubleType()),
+        StructField("p90", DoubleType()),
+        StructField("p99", DoubleType()),
+        StructField("ndv_users", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("hs", ArrayType(LongType())),
+        StructField("vs", ArrayType(DoubleType())),
+        StructField("uhs", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ])
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        prev = state.get if state.exists else None
+        batch = [(int(h), float(v), int(hv))
+                 for pdf in pdfs
+                 for h, v, hv in zip(pdf["h"], pdf["v"], pdf["hv"])]
+        new_state, est = kmv_state_step(prev, batch, k)
+        state.update(new_state)
+        yield pd.DataFrame({
+            "event_type": [etype], "n_events": [new_state[3]],
+            "n_sample": [est[0]], "p50": [est[1]], "p90": [est[2]],
+            "p99": [est[3]], "ndv_users": [est[4]],
+        })
+
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("value").isNotNull())
+          .select("event_type",
+                  h64(F.col("event_id").cast("string")).alias("h"),
+                  F.col("value").alias("v"),
+                  h64(F.col("user_id").cast("string")).alias("hv")))
+    sk = ev.groupBy("event_type").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf="NoTimeout")
+    import uuid
+    name = "stream_kmv_" + uuid.uuid4().hex[:8]
+    q = (sk.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -259,3 +259,25 @@ def test_kmv_quantiles_ndv_estimate_above_k(spark):
             // (2 * hs[63])) / 1_000_000.0
     assert r["ndv_users"] == want
     assert abs(r["ndv_users"] - 1000) / 1000 < 0.30  # ~2 sigma at k=64
+
+
+def test_kmv_state_step_batch_split_insensitive():
+    """The streaming KMV's correctness claim: ANY partition of the rows
+    into micro-batches folds to the same final state and estimates
+    (min-k union is associative/commutative), and the final row equals
+    the single-batch (= batch operator) result."""
+    import hashlib
+
+    from datafusion_geo_spark.streaming.sketch import kmv_state_step
+    h = lambda x: int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
+    rows = [(h(i), float((i * 13) % 50), h(i % 9)) for i in range(300)]
+    one_state, one_est = kmv_state_step(None, rows, k=16)
+    for cut1, cut2 in ((100, 200), (1, 299), (150, 150)):
+        st, _ = kmv_state_step(None, rows[:cut1], k=16)
+        if cut2 > cut1:
+            st, _ = kmv_state_step(st, rows[cut1:cut2], k=16)
+        st, est = kmv_state_step(st, rows[cut2:], k=16)
+        assert st == one_state and est == one_est
+    # reordered rows too
+    st, est = kmv_state_step(None, sorted(rows, reverse=True), k=16)
+    assert st == one_state and est == one_est
