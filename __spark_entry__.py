@@ -3791,6 +3791,21 @@ def _q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_kmv(spark, sf_dir, k=64)
 
 
+def _q_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (operators/evals.py categorical_drift):
+    chi-squared homogeneity + Laplace-smoothed PSI of the event_type
+    mix between the even- and odd-event_id halves — the label-mix
+    drift pair next to ks_drift's continuous test. One per-category
+    histogram shuffle; per-term micro rounding; full SQL replay."""
+    from datafusion_geo_spark.operators.evals import categorical_drift
+    from datafusion_geo_spark.sources.fixtures import load_table
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isNotNull())
+          .select("event_type",
+                  (F.col("event_id") % 2 == 0).cast("int").alias("side")))
+    return categorical_drift(ev, "event_type", "side")
+
+
 def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration (reliability) bins: quantized score -> observed
     positive rate — the plot behind 'is the quality classifier's score
@@ -4219,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersects_scan": _q_intersects_scan,
         "bigram_ppl": _q_bigram_ppl,
         "streaming_kmv": _q_streaming_kmv,
+        "cat_drift": _q_cat_drift,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7510,6 +7526,55 @@ def oracle_sql() -> dict[str, str]:
         # bigrams (w[i], w[i+1]), the same 0.75/0.25 JM mix in the same
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
+        # chi2 homogeneity identity + Laplace PSI, per-term micro
+        # rounding before the sums (categorical_drift replay)
+        "cat_drift": """
+            WITH t AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+              FROM events WHERE event_type IS NOT NULL
+            ), hist AS (
+              SELECT event_type, SUM(a)::BIGINT AS na_i,
+                     SUM(1 - a)::BIGINT AS nb_i
+              FROM t GROUP BY event_type
+            ), tot AS (
+              SELECT COUNT(*)::BIGINT AS c, SUM(na_i)::BIGINT AS n_a,
+                     SUM(nb_i)::BIGINT AS n_b
+              FROM hist
+            ), terms AS (
+              SELECT c, n_a, n_b,
+                (CASE WHEN (((na_i * n_b - nb_i * n_a)::DOUBLE
+                             * (na_i * n_b - nb_i * n_a)::DOUBLE)
+                            / ((na_i + nb_i)::DOUBLE * n_a::DOUBLE
+                               * n_b::DOUBLE)) < 0 THEN -1 ELSE 1 END)
+                * CAST(floor(abs(((na_i * n_b - nb_i * n_a)::DOUBLE
+                                  * (na_i * n_b - nb_i * n_a)::DOUBLE)
+                                 / ((na_i + nb_i)::DOUBLE * n_a::DOUBLE
+                                    * n_b::DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT) AS chi_t,
+                (CASE WHEN ((((na_i + 1)::DOUBLE / (n_a + c)::DOUBLE)
+                             - ((nb_i + 1)::DOUBLE / (n_b + c)::DOUBLE))
+                            * ln(((na_i + 1)::DOUBLE / (n_a + c)::DOUBLE)
+                                 / ((nb_i + 1)::DOUBLE
+                                    / (n_b + c)::DOUBLE))) < 0
+                      THEN -1 ELSE 1 END)
+                * CAST(floor(abs((((na_i + 1)::DOUBLE / (n_a + c)::DOUBLE)
+                                  - ((nb_i + 1)::DOUBLE
+                                     / (n_b + c)::DOUBLE))
+                                 * ln(((na_i + 1)::DOUBLE
+                                       / (n_a + c)::DOUBLE)
+                                      / ((nb_i + 1)::DOUBLE
+                                         / (n_b + c)::DOUBLE)))
+                             * 1000000.0 + 0.5) AS BIGINT) AS psi_t
+              FROM hist, tot
+            )
+            SELECT MAX(c)::BIGINT AS n_cats,
+                   MAX(n_a)::BIGINT AS n_a, MAX(n_b)::BIGINT AS n_b,
+                   ((MAX(n_a) + MAX(n_b)) * SUM(chi_t))::BIGINT
+                     AS chi2_micro,
+                   SUM(psi_t)::BIGINT AS psi_micro
+            FROM terms
+        """,
         "mlm_masking": """
             WITH toks AS (
               SELECT doc_id, len(w)::BIGINT AS n_words, i - 1 AS pos,

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
-           "hist_quantiles", "quantiles_from_hist"]
+           "hist_quantiles", "quantiles_from_hist", "categorical_drift"]
 
 
 def _r6(col):
@@ -219,3 +219,64 @@ def quantiles_from_hist(hist: DataFrame, value_col: str,
     j = (hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
          .withColumn("n_total", F.sum("cnt").over(wt).cast("long")))
     return j.agg(F.max("n_total").alias("n_total"), *picks)
+
+
+def categorical_drift(df: DataFrame, cat_col: str,
+                      side_col: str) -> DataFrame:
+    """Categorical distribution drift between two samples — Pearson's
+    chi-squared homogeneity statistic plus the Population Stability
+    Index, the industry pair next to :func:`ks_stat`'s continuous test
+    (chi2/PSI watch a label/category mix — source, language, event
+    type — across dataset versions; KS watches a value distribution).
+
+    ``side_col`` is an int column: 1 = sample A, 0 = sample B. The
+    corpus collapses to ONE per-category histogram (na_i, nb_i) —
+    the only corpus-wide shuffle; totals ride as full-frame windows
+    over the bounded histogram (the ks_from_hist pattern).
+
+    Engine-exact arithmetic:
+      - chi2 via the homogeneity identity
+        chi2 = N · Σ_i d_i²/((na_i+nb_i)·NA·NB), d_i = na_i·NB − nb_i·NA
+        — d_i is exact int64, squared and divided in doubles (each
+        factor cast BEFORE multiplying, the pearson_corr envelope),
+        each term micro-rounded BEFORE the sum (fold-order free);
+      - PSI with add-1 Laplace smoothing over the category count C
+        (zero-proof): Σ_i (pa_i−pb_i)·ln(pa_i/pb_i),
+        pa_i = (na_i+1)/(NA+C) — same per-term micro rounding, ln under
+        the libm-parity contract.
+
+    ONE row out: (n_cats, n_a, n_b, chi2_micro, psi_micro)."""
+    hist = (df.groupBy(F.col(cat_col).alias("cat"))
+            .agg(F.sum(F.col(side_col)).cast("long").alias("na_i"),
+                 F.sum(F.lit(1) - F.col(side_col)).cast("long")
+                 .alias("nb_i")))
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    h = (hist.withColumn("n_a", F.sum("na_i").over(wt).cast("long"))
+         .withColumn("n_b", F.sum("nb_i").over(wt).cast("long"))
+         .withColumn("c", F.count(F.lit(1)).over(wt).cast("long")))
+    d = (F.col("na_i") * F.col("n_b")
+         - F.col("nb_i") * F.col("n_a")).cast("double")
+    chi_t = (d * d) / ((F.col("na_i") + F.col("nb_i")).cast("double")
+                       * F.col("n_a").cast("double")
+                       * F.col("n_b").cast("double"))
+    pa = ((F.col("na_i") + F.lit(1)).cast("double")
+          / (F.col("n_a") + F.col("c")).cast("double"))
+    pb = ((F.col("nb_i") + F.lit(1)).cast("double")
+          / (F.col("n_b") + F.col("c")).cast("double"))
+    psi_t = (pa - pb) * F.log(pa / pb)
+
+    def micro(col):
+        return (F.signum(col) * F.floor(F.abs(col) * F.lit(1e6)
+                                        + F.lit(0.5))).cast("long")
+
+    agg = h.agg(
+        F.max("c").alias("n_cats"),
+        F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+        F.sum(micro(chi_t)).alias("chi_sum"),
+        F.sum(micro(psi_t)).alias("psi_micro"))
+    return agg.select(
+        "n_cats", "n_a", "n_b",
+        ((F.col("n_a") + F.col("n_b")) * F.col("chi_sum")).cast("long")
+        .alias("chi2_micro"),
+        F.col("psi_micro").cast("long").alias("psi_micro"))

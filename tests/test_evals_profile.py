@@ -189,3 +189,24 @@ def test_scd2_history_collapse_and_ties(spark):
         ("u", 3, "a", 30, None, 1),
         ("v", 1, "x", 5, None, 1),
     ]
+
+
+def test_categorical_drift_orders_mixes(spark):
+    """Identical category mixes score ~0 on both statistics; a shifted
+    mix scores strictly higher on chi2 AND PSI — and the chi2 of the
+    identical-mix case is exactly 0 (d_i = 0 for every category)."""
+    from datafusion_geo_spark.operators.evals import categorical_drift
+    same = spark.createDataFrame(
+        [(c, s) for c in ("x", "y", "z") for s in (1, 0)
+         for _ in range(50)], "cat string, side int")
+    r_same = categorical_drift(same, "cat", "side").collect()[0]
+    assert r_same["chi2_micro"] == 0
+    assert r_same["psi_micro"] == 0
+    shifted = spark.createDataFrame(
+        [("x", 1)] * 90 + [("y", 1)] * 10 + [("z", 1)] * 50
+        + [("x", 0)] * 10 + [("y", 0)] * 90 + [("z", 0)] * 50,
+        "cat string, side int")
+    r_sh = categorical_drift(shifted, "cat", "side").collect()[0]
+    assert r_sh["n_cats"] == 3 and r_sh["n_a"] == 150 and r_sh["n_b"] == 150
+    assert r_sh["chi2_micro"] > r_same["chi2_micro"]
+    assert r_sh["psi_micro"] > r_same["psi_micro"]
