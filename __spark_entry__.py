@@ -2810,6 +2810,20 @@ def _q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=_fitted_centroids(vecs, sf_dir))
 
 
+def _q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report (operators/similarity.py
+    cluster_cohesion): per trained-k-means cluster, member count and
+    micro-int sums of each member's cosine to its own vs second-nearest
+    centroid — the separation audit for tuning n_centroids in
+    IVF/SemDeDup. Fit SHARED with ivf_trained_topk via the process
+    memo; scoring map-only; k rows out. Oracle replays the fit
+    (_kmeans_ctes) and the same ranked scoring."""
+    from datafusion_geo_spark.operators.similarity import cluster_cohesion
+    from datafusion_geo_spark.sources.fixtures import embeddings_normed
+    vecs = embeddings_normed(spark, sf_dir)
+    return cluster_cohesion(vecs, _fitted_centroids(vecs, sf_dir))
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 by inner product: subspace L2
     Lloyd codebooks (all subspaces trained in shared jobs), m=8 int
@@ -4235,6 +4249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_ppl": _q_bigram_ppl,
         "streaming_kmv": _q_streaming_kmv,
         "cat_drift": _q_cat_drift,
+        "cluster_cohesion": _q_cluster_cohesion,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -5290,6 +5305,36 @@ def _lang_oracle() -> str:
                {pred} AS lang_pred
         FROM (SELECT doc_id, {score_defs}
               FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
+    """
+
+
+def _cluster_cohesion_oracle(n_centroids: int = 8, iters: int = 2,
+                             dim: int = 64) -> str:
+    """DuckDB twin of similarity.cluster_cohesion: the shared k-means
+    replay (_kmeans_ctes), every vector scored against the trained
+    centroids (6-dp cosine), own = rank 1 / second = rank 2 by
+    (cs DESC, cid) — the _ranked_lists_inline order — each micro-int
+    rounded, grouped by the own cluster."""
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    cs = r6.format(x="list_cosine_similarity(a.v, c.cvec)")
+    micro = ("(CASE WHEN (cs) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs(cs) * 1000000.0 + 0.5) AS BIGINT)")
+    ctes = _kmeans_ctes(n_centroids, iters, dim)
+    return "WITH " + ",".join(ctes) + f""",
+        sc AS (SELECT a.vec_id, c.cid, {cs} AS cs
+               FROM vecs a, c{iters} c),
+        rk AS (SELECT vec_id, cid, {micro} AS m,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cs DESC, cid) AS rn
+               FROM sc)
+        SELECT o.cid, COUNT(*)::BIGINT AS n_members,
+               SUM(o.m)::BIGINT AS own_micro_sum,
+               SUM(s.m)::BIGINT AS second_micro_sum,
+               (SUM(o.m) - SUM(s.m))::BIGINT AS sep_micro_sum
+        FROM (SELECT vec_id, cid, m FROM rk WHERE rn = 1) o
+        JOIN (SELECT vec_id, m FROM rk WHERE rn = 2) s USING (vec_id)
+        GROUP BY o.cid
     """
 
 
@@ -7526,6 +7571,7 @@ def oracle_sql() -> dict[str, str]:
         # bigrams (w[i], w[i+1]), the same 0.75/0.25 JM mix in the same
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
+        "cluster_cohesion": _cluster_cohesion_oracle(),
         # chi2 homogeneity identity + Laplace PSI, per-term micro
         # rounding before the sums (categorical_drift replay)
         "cat_drift": """

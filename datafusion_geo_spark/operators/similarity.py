@@ -1089,3 +1089,42 @@ def hard_negatives(emb: DataFrame, k: int = 5, max_anchor_id: int = 8,
             .select("anchor_id", "anchor_label", "negative_id",
                     "negative_label", "sim",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def cluster_cohesion(vecs: DataFrame, centroids: list,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Clustering-quality report from a fitted model — the cheap
+    silhouette stand-in a pipeline tracks when tuning n_centroids for
+    IVF/SemDeDup: per cluster, the exact member count and the micro-int
+    SUMS of each member's cosine to its OWN centroid and to its
+    SECOND-nearest centroid (their difference, ``sep_micro_sum``, is
+    the separation margin; a cluster whose members sit nearly as close
+    to another centroid is over-split). Sums, not means — integer
+    sums are fold-order free and divisions on possibly-negative
+    cosines would need sign-dependent rounding; readers divide by
+    n_members themselves.
+
+    Scale shape: scoring is MAP-ONLY (one ranked inlined-candidates
+    array per row, :func:`_ranked_lists_inline`); the only shuffle is
+    the k-row groupBy(cid) with map-side combine. Output is k rows
+    regardless of corpus size."""
+    ranked = _ranked_lists_inline(centroids, F.col("v"), F.col("n"))
+    r = vecs.select(F.col(id_col), ranked.alias("_rk"))
+    own = F.element_at(F.col("_rk"), 1)
+    snd = F.element_at(F.col("_rk"), 2)
+
+    def micro(c: Column) -> Column:
+        return (F.signum(c) * F.floor(F.abs(c) * F.lit(1e6)
+                                      + F.lit(0.5))).cast("long")
+
+    rows = r.select(own["cid"].alias("cid"),
+                    micro(-own["ncs"]).alias("_o"),
+                    micro(-snd["ncs"]).alias("_s"))
+    return (rows.groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.sum("_o").cast("long").alias("own_micro_sum"),
+                 F.sum("_s").cast("long").alias("second_micro_sum"))
+            .select("cid", "n_members", "own_micro_sum",
+                    "second_micro_sum",
+                    (F.col("own_micro_sum") - F.col("second_micro_sum"))
+                    .cast("long").alias("sep_micro_sum")))
