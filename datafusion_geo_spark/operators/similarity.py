@@ -117,14 +117,20 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
     the query's bucket (equi-join on a compact int key); exact cosine +
     window rank within the bucket. The oracle reproduces the identical
     algorithm, so results match exactly even though recall < 1 vs
-    brute force."""
-    planes = F.broadcast(
-        emb.where(F.col(id_col) < n_planes)
-        .select(F.col(id_col).cast("int").alias("pid"),
-                as_double(F.col(vec_col)).alias("pv")))
+    brute force.
+
+    Bucketing is MAP-ONLY: the planes are a bounded n_planes-row
+    collect inlined as literals (:func:`hyperplane_bucket` — same
+    dot-fold sign bits as the relational :func:`bucket_via_planes`),
+    so the corpus meets its first shuffle at the bucket equi-join."""
+    plane_rows = [list(r[1]) for r in
+                  emb.where(F.col(id_col) < n_planes)
+                     .select(F.col(id_col),
+                             as_double(F.col(vec_col)).alias("pv"))
+                     .orderBy(id_col).collect()]
     vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    buckets = bucket_via_planes(vecs, planes, id_col=id_col)
-    vb = vecs.join(buckets, id_col)
+    vb = vecs.withColumn("bucket",
+                         hyperplane_bucket(F.col("v"), plane_rows))
     c = (vb.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
                    "bucket")
          .withColumn("cn", norm(F.col("cv"))))

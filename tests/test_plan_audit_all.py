@@ -31,7 +31,8 @@ ALLOWED_BROADCAST_CROSSES = {
     # (cosine_topk / embedding_neardup also crossJoin a broadcast probe
     # set, but Catalyst pushes their scoring filter into the BNLJ as a
     # condition, so no naked Cross node survives into the plan.)
-    "ann_topk": 2,           # hyperplane bucketing (corpus + probes)
+    # (ann_topk: hyperplane bucketing is a map-only inlined-literal
+    # expression now — zero crosses)
     "ivf_topk": 1,           # probe scoring only — corpus assignment
                              # is now map-only (_assign_inline), no
                              # assignment crosses survive
