@@ -92,23 +92,6 @@ def hyperplane_bucket(vec: Column, planes: list) -> Column:
     return b.cast("int")
 
 
-def bucket_via_planes(vectors: DataFrame, planes: DataFrame,
-                      id_col: str = "vec_id",
-                      vec_col: str = "v",
-                      plane_id: str = "pid",
-                      plane_vec: str = "pv") -> DataFrame:
-    """Relational hyperplane bucketing: cross-join with the (broadcast)
-    plane set, one grouped sum of sign-bits — fully JVM-side and
-    shuffle-light (planes are tiny). Returns (id_col, bucket int)."""
-    p = F.broadcast(planes)
-    scored = vectors.crossJoin(p).select(
-        F.col(id_col),
-        F.when(dot(F.col(vec_col), F.col(plane_vec)) > 0,
-               F.expr(f"shiftleft(1, {plane_id})")).otherwise(0).alias("bit"))
-    return scored.groupBy(id_col).agg(
-        F.sum("bit").cast("int").alias("bucket"))
-
-
 def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
                       k: int = 10, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
@@ -120,9 +103,9 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
     brute force.
 
     Bucketing is MAP-ONLY: the planes are a bounded n_planes-row
-    collect inlined as literals (:func:`hyperplane_bucket` — same
-    dot-fold sign bits as the relational :func:`bucket_via_planes`),
-    so the corpus meets its first shuffle at the bucket equi-join."""
+    collect inlined as literals (:func:`hyperplane_bucket`'s dot-fold
+    sign bits), so the corpus meets its first shuffle at the bucket
+    equi-join."""
     plane_rows = [list(r[1]) for r in
                   emb.where(F.col(id_col) < n_planes)
                      .select(F.col(id_col),
