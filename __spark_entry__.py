@@ -3805,6 +3805,20 @@ def _q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_kmv(spark, sf_dir, k=64)
 
 
+def _q_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    wrs_topn, Efraimidis-Spirakis exponential clocks): per source, the
+    5 documents winning the -ln(u)/w race with w = n_chars + 1 — the
+    exact-size weight-proportional sampler next to weighted_sample's
+    per-stratum fractions. u = (h+1)/2^32 is an exact double (power-of-
+    two divide), clocks micro-rounded before ranking, so the oracle
+    replays the race bit-for-bit."""
+    from datafusion_geo_spark.operators.sampling import wrs_topn
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return wrs_topn(docs, "source", "doc_id",
+                    F.col("n_chars") + F.lit(1), n=5)
+
+
 def _q_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift (operators/evals.py categorical_drift):
     chi-squared homogeneity + Laplace-smoothed PSI of the event_type
@@ -4250,6 +4264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv": _q_streaming_kmv,
         "cat_drift": _q_cat_drift,
         "cluster_cohesion": _q_cluster_cohesion,
+        "weighted_topn": _q_weighted_topn,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7572,6 +7587,29 @@ def oracle_sql() -> dict[str, str]:
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
         "cluster_cohesion": _cluster_cohesion_oracle(),
+        # A-ES race replay: exact-double u (power-of-two divide),
+        # micro-rounded clocks, (clock, key) rank — wrs_topn twin
+        "weighted_topn": """
+            WITH k AS (
+              SELECT source, doc_id, (n_chars + 1)::BIGINT AS w,
+                     (CASE WHEN (-ln((('0x' || substr(md5(
+                              'ws0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                              + 1)::DOUBLE / 4294967296.0)
+                            / (n_chars + 1)::DOUBLE) < 0
+                           THEN -1 ELSE 1 END)
+                     * CAST(floor(abs(-ln((('0x' || substr(md5(
+                              'ws0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                              + 1)::DOUBLE / 4294967296.0)
+                            / (n_chars + 1)::DOUBLE) * 1000000.0 + 0.5)
+                            AS BIGINT) AS clock_micro
+              FROM documents
+            )
+            SELECT source, doc_id, w, clock_micro, rn::INT AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY clock_micro, doc_id) AS rn FROM k)
+            WHERE rn <= 5
+        """,
         # chi2 homogeneity identity + Laplace PSI, per-term micro
         # rounding before the sums (categorical_drift replay)
         "cat_drift": """

@@ -263,3 +263,43 @@ def resample_by_factor(docs: DataFrame, factors: DataFrame,
             .withColumn("copy_id",
                         F.explode(F.sequence(F.lit(1), F.col("_nc"))))
             .drop("_nc", "r_micro"))
+
+
+def wrs_topn(df: DataFrame, stratum_col: str, key_col: str,
+             weight: Column, n: int, seed_tag: str = "ws") -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, the exponential-clock form): each row draws a
+    deterministic uniform u from its key hash and competes with clock
+    -ln(u)/w — the n smallest clocks per stratum are a weight-
+    proportional exact-size sample. The per-row-weight companion to
+    :func:`weighted_sample`'s per-stratum fractions (sample importance
+    ∝ quality score / length / dedup count, not just domain).
+
+    Determinism/parity: u = (h+1)/2^32 with h = seeded_h64(key) —
+    the division is by a power of two, so u is an EXACT double; the
+    clock rounds to micro ints before ranking (ties then by key), and
+    -ln under the libm-parity contract — the SQL oracle replays the
+    race bit-for-bit.
+
+    Scale shape: the clock is map-only; the rank is the standard
+    per-stratum top-n window (bounded strata). Mergeable like any
+    min-k: unioned partitions re-rank to the same winners, so partial
+    top-n per shard + re-rank is the unbounded-stratum path (the
+    kmv_quantile_sketch shard pattern). Output: stratum, key, weight
+    (w), clock_micro, rank (1..n by ascending clock)."""
+    from pyspark.sql import Window
+
+    from .sketch import seeded_h64
+    w = weight.cast("long")
+    u = (seeded_h64(seed_tag, 0, F.col(key_col)) + F.lit(1)) \
+        .cast("double") / F.lit(4294967296.0)
+    clock = -F.log(u) / w.cast("double")
+    clock_micro = (F.signum(clock) * F.floor(F.abs(clock) * F.lit(1e6)
+                                             + F.lit(0.5))).cast("long")
+    base = df.select(F.col(stratum_col), F.col(key_col),
+                     w.alias("w"), clock_micro.alias("clock_micro"))
+    win = Window.partitionBy(stratum_col).orderBy("clock_micro", key_col)
+    return (base.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= n)
+            .select(stratum_col, key_col, "w", "clock_micro",
+                    F.col("rank").cast("int").alias("rank")))

@@ -100,3 +100,21 @@ def test_chunk_udtf_equals_array_chunker(spark, texts):
         SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
         FROM _cu_prop d, LATERAL chunk_udtf_p(d.text) c""").collect())
     assert fast == slow
+
+
+def test_wrs_topn_is_weight_proportional_and_deterministic(spark):
+    """A-ES sanity: (a) two runs agree exactly; (b) with one stratum
+    where a few rows carry overwhelming weight, those rows win the
+    race (weight-proportionality in the regime where it is nearly
+    deterministic); (c) ranks are 1..n with unique keys."""
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.operators.sampling import wrs_topn
+    rows = [(i, "s", 1_000_000 if i < 3 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    a = wrs_topn(df, "source", "doc_id", F.col("w"), n=3).collect()
+    b = wrs_topn(df, "source", "doc_id", F.col("w"), n=3).collect()
+    assert a == b
+    winners = {r["doc_id"] for r in a}
+    assert winners == {0, 1, 2}
+    assert sorted(r["rank"] for r in a) == [1, 2, 3]
