@@ -3805,6 +3805,16 @@ def _q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_kmv(spark, sf_dir, k=64)
 
 
+def _q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 diversity ratios per source
+    (operators/text.py distinct_ngrams, Li et al. 2016) — the
+    mode-collapse check on generated/synthetic corpora. Exact counts
+    (countDistinct; swap in HLL/KMV at 100 TB), 6-dp scaled-integer
+    ratios, full SQL replay."""
+    from datafusion_geo_spark.operators.text import distinct_ngrams
+    return distinct_ngrams(_docs(spark, sf_dir))
+
+
 def _q_weighted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (operators/sampling.py
     wrs_topn, Efraimidis-Spirakis exponential clocks): per source, the
@@ -4265,6 +4275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_drift": _q_cat_drift,
         "cluster_cohesion": _q_cluster_cohesion,
         "weighted_topn": _q_weighted_topn,
+        "distinct_ngrams": _q_distinct_ngrams,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7587,6 +7598,34 @@ def oracle_sql() -> dict[str, str]:
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
         "cluster_cohesion": _cluster_cohesion_oracle(),
+        # distinct-n diversity replay: same lateral-unnest unigrams/
+        # bigrams, exact counts, shared scaled-integer 6-dp ratios
+        "distinct_ngrams": """
+            WITH base AS (
+              SELECT source AS grp,
+                     string_split_regex(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), uni AS (
+              SELECT grp, COUNT(*)::BIGINT AS n_tokens,
+                     COUNT(DISTINCT t)::BIGINT AS n_distinct_1
+              FROM (SELECT grp, unnest(w) AS t FROM base)
+              WHERE t <> '' GROUP BY grp
+            ), bi AS (
+              SELECT grp, COUNT(*)::BIGINT AS n_bigrams,
+                     COUNT(DISTINCT b)::BIGINT AS n_distinct_2
+              FROM (SELECT grp,
+                           w[i::INT] || ' ' || w[(i + 1)::INT] AS b
+                    FROM base, unnest(range(1, len(w))) AS t(i))
+              GROUP BY grp
+            )
+            SELECT uni.grp AS source, n_tokens, n_distinct_1,
+                   ((2000000 * n_distinct_1 + n_tokens)
+                    // (2 * n_tokens)) / 1000000.0 AS distinct1_ratio,
+                   n_bigrams, n_distinct_2,
+                   ((2000000 * n_distinct_2 + n_bigrams)
+                    // (2 * n_bigrams)) / 1000000.0 AS distinct2_ratio
+            FROM uni JOIN bi USING (grp)
+        """,
         # A-ES race replay: exact-double u (power-of-two divide),
         # micro-rounded clocks, (clock, key) rank — wrs_topn twin
         "weighted_topn": """

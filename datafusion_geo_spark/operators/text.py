@@ -787,3 +787,41 @@ def domain_entropy(df: DataFrame, text_col: str = "text",
           / F.lit(1e6) + F.lit(0.0))
     return agg.select("domain", "n_tokens", "vocab", "s_micro",
                       h6.alias("entropy"))
+
+
+def distinct_ngrams(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Distinct-1 / distinct-2 diversity ratios per group (Li et al.
+    2016's dialogue-diversity metrics, the standard mode-collapse
+    check on generated/synthetic training data): distinct n-grams over
+    total n-grams, lower = more repetitive corpus.
+
+    One explode per n; counts are exact int64 (distinct via
+    countDistinct on the n-gram itself — at 100 TB swap in the
+    HLL/KMV sketches for the distinct term, same report shape);
+    ratios at the exact scaled-integer 6-dp rounding. Output per
+    group: (group, n_tokens, n_distinct_1, distinct1_ratio,
+    n_bigrams, n_distinct_2, distinct2_ratio)."""
+    base = df.select(F.col(group_col).alias("grp"),
+                     words_col(F.lower(F.col(text_col))).alias("_w"))
+    uni = (base.select("grp", F.explode(F.col("_w")).alias("t"))
+           .where(F.col("t") != "")
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.countDistinct("t").cast("long").alias("n_distinct_1")))
+    bi = (base.select("grp", F.explode(_bigrams_col(F.col("_w")))
+                      .alias("p"))
+          .select("grp", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))
+                  .alias("b"))
+          .groupBy("grp")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+               F.countDistinct("b").cast("long").alias("n_distinct_2")))
+    return (uni.join(bi, "grp")
+            .select(F.col("grp").alias(group_col),
+                    "n_tokens", "n_distinct_1",
+                    _ratio6(F.col("n_distinct_1"), F.col("n_tokens"))
+                    .alias("distinct1_ratio"),
+                    "n_bigrams", "n_distinct_2",
+                    _ratio6(F.col("n_distinct_2"), F.col("n_bigrams"))
+                    .alias("distinct2_ratio")))
