@@ -3805,6 +3805,15 @@ def _q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_kmv(spark, sf_dir, k=64)
 
 
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source (operators/text.py zipf_fit):
+    least-squares ln(freq)-on-ln(rank) slope/intercept over the top-100
+    words — natural text near slope -1, boilerplate flattens. Milli-int
+    log points, exact int64 sums, 6-dp closed-form; full SQL replay."""
+    from datafusion_geo_spark.operators.text import zipf_fit
+    return zipf_fit(_docs(spark, sf_dir))
+
+
 def _q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/distinct-2 diversity ratios per source
     (operators/text.py distinct_ngrams, Li et al. 2016) — the
@@ -4276,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cohesion": _q_cluster_cohesion,
         "weighted_topn": _q_weighted_topn,
         "distinct_ngrams": _q_distinct_ngrams,
+        "zipf_fit": _q_zipf_fit,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7598,6 +7608,54 @@ def oracle_sql() -> dict[str, str]:
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
         "cluster_cohesion": _cluster_cohesion_oracle(),
+        # Zipf fit replay: same rank window, milli-int log points,
+        # exact int64 sums, closed-form slope/intercept at 6 dp
+        "zipf_fit": """
+            WITH cnt AS (
+              SELECT source AS grp, t, COUNT(*)::BIGINT AS c
+              FROM (SELECT source,
+                           unnest(string_split_regex(
+                             trim(lower(text)), '\\s+')) AS t
+                    FROM documents)
+              WHERE t <> '' GROUP BY source, t
+            ), ranked AS (
+              SELECT grp, c, ROW_NUMBER() OVER (
+                       PARTITION BY grp ORDER BY c DESC, t) AS r
+              FROM cnt QUALIFY r <= 100
+            ), pts AS (
+              SELECT grp,
+                     (CASE WHEN (ln(r::DOUBLE)) < 0 THEN -1 ELSE 1 END)
+                     * CAST(floor(abs(ln(r::DOUBLE)) * 1000.0 + 0.5)
+                            AS BIGINT) AS x,
+                     (CASE WHEN (ln(c::DOUBLE)) < 0 THEN -1 ELSE 1 END)
+                     * CAST(floor(abs(ln(c::DOUBLE)) * 1000.0 + 0.5)
+                            AS BIGINT) AS y
+              FROM ranked
+            ), s AS (
+              SELECT grp, COUNT(*)::BIGINT AS n,
+                     SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                     SUM(x * y)::BIGINT AS sxy,
+                     SUM(x * x)::BIGINT AS sxx
+              FROM pts GROUP BY grp
+            ), sl AS (
+              SELECT grp, n, sx, sy,
+                     ((CASE WHEN ((n * sxy - sx * sy)::DOUBLE
+                                  / (n * sxx - sx * sx)::DOUBLE) < 0
+                            THEN -1 ELSE 1 END)
+                      * floor(abs((n * sxy - sx * sy)::DOUBLE
+                                  / (n * sxx - sx * sx)::DOUBLE)
+                              * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+                       AS slope
+              FROM s
+            )
+            SELECT grp AS source, n::INT AS n_points, slope,
+                   ((CASE WHEN ((sy::DOUBLE - slope * sx::DOUBLE)
+                                / n::DOUBLE) < 0 THEN -1 ELSE 1 END)
+                    * floor(abs((sy::DOUBLE - slope * sx::DOUBLE)
+                                / n::DOUBLE) * 1000000.0 + 0.5)
+                    / 1000000.0 + 0.0) AS intercept
+            FROM sl
+        """,
         # distinct-n diversity replay: same lateral-unnest unigrams/
         # bigrams, exact counts, shared scaled-integer 6-dp ratios
         "distinct_ngrams": """

@@ -825,3 +825,56 @@ def distinct_ngrams(df: DataFrame, group_col: str = "source",
                     "n_bigrams", "n_distinct_2",
                     _ratio6(F.col("n_distinct_2"), F.col("n_bigrams"))
                     .alias("distinct2_ratio")))
+
+
+def zipf_fit(df: DataFrame, group_col: str = "source",
+             text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Zipf's-law fit per group: least-squares slope/intercept of
+    ln(freq) on ln(rank) over the top ``top_n`` words — natural text
+    sits near slope -1; template/boilerplate corpora flatten, spam
+    steepens. The corpus-quality signal next to domain_entropy.
+
+    Engine-exact recipe (the linreg_weights discipline, 1-D closed
+    form): word counts are exact int64; rank = row_number by
+    (count DESC, word); ln(rank)/ln(count) round to MILLI ints (1e3 —
+    keeps n·Σxy inside int64 at any top_n the window can hold), the
+    four sums are exact int64, and slope/intercept are double divides
+    of exact ints, 6-dp rounded. One token-count shuffle + one bounded
+    per-group window (top_n rows/group).
+
+    Output: (group, n_points, slope, intercept) — slope/intercept in
+    MILLI-ln units (dimensionless, comparable across groups)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(group_col).alias("grp"),
+                     words_col(F.lower(F.col(text_col))).alias("_w"))
+    cnt = (base.select("grp", F.explode(F.col("_w")).alias("t"))
+           .where(F.col("t") != "")
+           .groupBy("grp", "t")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    win = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("t"))
+    ranked = (cnt.withColumn("r", F.row_number().over(win))
+              .where(F.col("r") <= top_n))
+
+    def milli(col):
+        return (F.signum(col) * F.floor(F.abs(col) * F.lit(1e3)
+                                        + F.lit(0.5))).cast("long")
+
+    pts = ranked.select(
+        "grp", milli(F.log(F.col("r").cast("double"))).alias("x"),
+        milli(F.log(F.col("c").cast("double"))).alias("y"))
+    s = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = round6_binary(num.cast("double") / den.cast("double"))
+    intercept = round6_binary(
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double"))
+    return s.select(F.col("grp").alias(group_col),
+                    F.col("n").cast("int").alias("n_points"),
+                    slope.alias("slope"), intercept.alias("intercept"))

@@ -118,3 +118,20 @@ def test_wrs_topn_is_weight_proportional_and_deterministic(spark):
     winners = {r["doc_id"] for r in a}
     assert winners == {0, 1, 2}
     assert sorted(r["rank"] for r in a) == [1, 2, 3]
+
+
+def test_zipf_fit_orders_natural_vs_uniform(spark):
+    """Zipf sanity: a 1/r-frequency corpus fits slope near -1; a
+    uniform-frequency corpus fits slope ~0 — the fit must separate
+    them (natural text vs templated boilerplate)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from datafusion_geo_spark.operators.text import zipf_fit
+    zipfy = " ".join(f"w{r}" for r in range(1, 40) for _ in range(40 // r))
+    flat = " ".join(f"u{r}" for r in range(1, 40) for _ in range(5))
+    df = spark.createDataFrame(
+        [(1, zipfy, "zipf"), (2, flat, "flat")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r for r in zipf_fit(df, top_n=30).collect()}
+    assert got["zipf"]["slope"] < -0.8
+    assert abs(got["flat"]["slope"]) < 0.05
