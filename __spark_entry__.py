@@ -3604,8 +3604,8 @@ def _q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bounded-state quantile + distinct sketch per
     event_type (operators/sketch.py kmv_quantile_sketch): deterministic
     KMV/bottom-k sampling — the k smallest (h64(event_id), value) rows
-    per group, built shard-partial then min-k merged (state <= k
-    entries per aggregation key at any corpus size), sample-rank
+    per group, built by a partition-local bottom-k combiner then min-k
+    merged (state <= k entries per group per partition), sample-rank
     quantiles at p50/p90/p99, plus the classic KMV (k-1)/h_k distinct-
     user estimate. Completes the quantile family next to exact
     (value_quantiles), histogram-CDF (value_hist_quantiles) and
@@ -3615,7 +3615,7 @@ def _q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_geo_spark.sources.fixtures import load_table
     ev = load_table(spark, sf_dir, "events")
     return kmv_quantile_sketch(ev, "event_type", "value",
-                               "event_id", "user_id", k=64, shards=32)
+                               "event_id", "user_id", k=64)
 
 
 def _q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8498,9 +8498,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors _q_hll_by_group: the hll_estimate chain (same hash,
         # same literals, same 6-dp round) carried per event_type
-        # one-pass global bottom-k replay of the sketch's shard-partial
-        # merge (equal by construction: every global bottom-k row is in
-        # its own shard's bottom-k); KMV ndv via the shared _ratio6 form
+        # one-pass global bottom-k replay of the sketch's partition-
+        # local merge (equal by construction: every global bottom-k row
+        # wins its own partition); KMV ndv via the shared _ratio6 form
         "kmv_quantiles": """
             WITH ev AS (
               SELECT event_type, event_id, user_id, value

@@ -317,8 +317,8 @@ def cms_join_size(a_keys: DataFrame, b_keys: DataFrame, key_col: str,
 
 
 def kmv_quantile_sketch(events: DataFrame, group_col: str, value_col: str,
-                        id_col: str, user_col: str, k: int = 64,
-                        shards: int = 32) -> DataFrame:
+                        id_col: str, user_col: str,
+                        k: int = 64) -> DataFrame:
     """Mergeable bounded-state quantile + distinct sketch per group —
     the deterministic stand-in for KLL/t-digest (whose random
     compaction coin-flips no SQL oracle can replay): a KMV / bottom-k
@@ -327,40 +327,83 @@ def kmv_quantile_sketch(events: DataFrame, group_col: str, value_col: str,
     value-independent — and min-k is trivially mergeable, so the
     dataflow is the sketch-merge shape:
 
-      1. partial: groupBy(group, shard) keeps each shard's bottom-k
-         (sorted, sliced) plus its exact row count — every map-side
-         state is <= k entries regardless of input size;
-      2. merge: flatten the <= ``shards`` partial lists, re-sort,
-         re-slice to k — exactly how two KMV sketches union, and equal
-         by construction to the GLOBAL bottom-k (each global winner is
-         a winner in its own shard), which is what the one-pass SQL
-         oracle computes;
+      1. partial: a PARTITION-LOCAL bottom-k combiner (mapInPandas —
+         Spark has no bounded top-k aggregate, and a collect_list
+         would buffer the whole group slice before slicing): each
+         input partition emits, per group it saw, <= k (h, value)
+         pairs + <= k distinct user hashes + its exact row count —
+         genuinely bounded map-side state, compacted batch by batch;
+      2. merge: flatten the per-partition lists (<= k entries each,
+         one row per (partition, group)), re-sort, re-slice to k —
+         exactly how two KMV sketches union, and equal by construction
+         to the GLOBAL bottom-k (each global winner wins its own
+         partition), which is what the one-pass SQL oracle computes;
       3. estimate: quantile p = the sample value at rank
          max(1, ceil(p*|sample|)); the distinct-user estimate is the
          classic KMV (k-1)/h_k over the k smallest DISTINCT user
-         hashes (users are sharded by pmod(user), so a user's hash
-         never appears in two shards; exact count when fewer than k),
-         at the repo's exact scaled-integer 6-dp rounding.
+         hashes (exact count when fewer than k), at the repo's exact
+         scaled-integer 6-dp rounding.
 
     Accuracy is the standard KMV bound (~1/sqrt(k) relative rank
     error); raising k trades state for accuracy without changing the
     plan. NULL values are excluded (their rank is undefined). Output:
     (group, n_events, n_sample, p50, p90, p99, ndv_users)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
     from .dedup import h64
     from .text import _ratio6
 
     ev = events.where(F.col(value_col).isNotNull())
-    h = h64(F.col(id_col).cast("string"))
-    part = (ev.groupBy(F.col(group_col),
-                       F.pmod(F.col(id_col), F.lit(shards)).alias("_sh"))
-            .agg(F.slice(F.array_sort(F.collect_list(
-                     F.struct(h.alias("h"),
-                              F.col(value_col).alias("v")))), 1, k)
-                 .alias("part"),
-                 F.count(F.lit(1)).alias("n_part")))
+    hashed = ev.select(
+        F.col(group_col).alias("grp"),
+        h64(F.col(id_col).cast("string")).alias("h"),
+        F.col(value_col).alias("v"),
+        h64(F.col(user_col).cast("string")).alias("hv"))
+    part_schema = StructType([
+        events.schema[group_col],
+        StructField("part", ArrayType(StructType([
+            StructField("h", LongType()), StructField("v", DoubleType())]))),
+        StructField("kmin", ArrayType(LongType())),
+        StructField("n_part", LongType()),
+    ])
+
+    def local_bottomk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pairs: dict = {}
+        uh: dict = {}
+        n: dict = {}
+        for pdf in it:
+            for g, h_, v_, hv_ in zip(pdf["grp"], pdf["h"], pdf["v"],
+                                      pdf["hv"]):
+                n[g] = n.get(g, 0) + 1
+                pairs.setdefault(g, []).append((int(h_), float(v_)))
+                uh.setdefault(g, set()).add(int(hv_))
+            # compact after every Arrow batch: state stays
+            # <= groups * (k + batch) entries, never the partition
+            for g in pairs:
+                if len(pairs[g]) > k:
+                    pairs[g] = sorted(pairs[g])[:k]
+                if len(uh[g]) > k:
+                    uh[g] = set(sorted(uh[g])[:k])
+        if n:
+            yield pd.DataFrame({
+                group_col: list(n),
+                "part": [[{"h": h_, "v": v_}
+                          for h_, v_ in sorted(pairs[g])[:k]] for g in n],
+                "kmin": [sorted(uh[g])[:k] for g in n],
+                "n_part": [n[g] for g in n],
+            })
+
+    part = hashed.mapInPandas(local_bottomk, part_schema)
     merged = (part.groupBy(group_col)
               .agg(F.slice(F.array_sort(F.flatten(F.collect_list("part"))),
                            1, k).alias("sample"),
+                   F.slice(F.array_sort(F.array_distinct(
+                       F.flatten(F.collect_list("kmin")))), 1, k)
+                   .alias("kmin"),
                    F.sum("n_part").cast("long").alias("n_events")))
     vals = F.array_sort(F.transform(F.col("sample"), lambda x: x["v"]))
     n_s = F.size(F.col("sample"))
@@ -369,22 +412,10 @@ def kmv_quantile_sketch(events: DataFrame, group_col: str, value_col: str,
         idx = F.greatest(F.lit(1), F.ceil(F.lit(p) * n_s)).cast("int")
         return F.element_at(vals, idx)
 
-    quant = merged.select(
-        F.col(group_col), F.col("n_events"), n_s.alias("n_sample"),
-        q_at(0.5).alias("p50"), q_at(0.9).alias("p90"),
-        q_at(0.99).alias("p99"))
-
-    hv = h64(F.col(user_col).cast("string"))
-    upart = (ev.groupBy(F.col(group_col),
-                        F.pmod(F.col(user_col), F.lit(shards)).alias("_sh"))
-             .agg(F.slice(F.array_sort(F.collect_set(hv)), 1, k)
-                  .alias("kmin")))
-    umerged = (upart.groupBy(group_col)
-               .agg(F.slice(F.array_sort(F.array_distinct(
-                        F.flatten(F.collect_list("kmin")))), 1, k)
-                    .alias("kmin")))
     m = F.size(F.col("kmin"))
     est = F.when(m < k, m.cast("double")).otherwise(
         _ratio6(F.lit((k - 1) * 4294967296), F.element_at(F.col("kmin"), k)))
-    ndv = umerged.select(F.col(group_col), est.alias("ndv_users"))
-    return quant.join(ndv, group_col)
+    return merged.select(
+        F.col(group_col), F.col("n_events"), n_s.alias("n_sample"),
+        q_at(0.5).alias("p50"), q_at(0.9).alias("p90"),
+        q_at(0.99).alias("p99"), est.alias("ndv_users"))

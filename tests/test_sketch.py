@@ -224,7 +224,7 @@ def test_kmv_quantiles_matches_python_replay(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, "
                                      "event_type string, value double")
     out = kmv_quantile_sketch(df, "event_type", "value", "event_id",
-                              "user_id", k=16, shards=4).collect()
+                              "user_id", k=16).collect()
     assert len(out) == 1
     r = out[0]
     h = lambda x: int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16)
@@ -251,7 +251,7 @@ def test_kmv_quantiles_ndv_estimate_above_k(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, "
                                      "event_type string, value double")
     r = kmv_quantile_sketch(df, "event_type", "value", "event_id",
-                            "user_id", k=64, shards=4).collect()[0]
+                            "user_id", k=64).collect()[0]
     assert r["n_sample"] == 64
     hs = sorted(int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
                 for i in range(1000))
