@@ -3853,6 +3853,17 @@ def _q_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_drift(ev, "event_type", "side")
 
 
+def _q_streaming_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming label-mix drift (streaming/drift.py streaming_cat_drift):
+    the per-category two-side histogram maintained as a bounded-state
+    streaming aggregate (state = |categories| rows, no watermark), the
+    chi2/PSI tail shared with the batch categorical_drift
+    (cat_drift_from_hist). Bounded replay == batch, oracle SHARED with
+    cat_drift."""
+    from datafusion_geo_spark.streaming.drift import streaming_cat_drift
+    return streaming_cat_drift(spark, sf_dir)
+
+
 def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration (reliability) bins: quantized score -> observed
     positive rate — the plot behind 'is the quality classifier's score
@@ -4286,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_topn": _q_weighted_topn,
         "distinct_ngrams": _q_distinct_ngrams,
         "zipf_fit": _q_zipf_fit,
+        "streaming_cat_drift": _q_streaming_cat_drift,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -9185,4 +9197,7 @@ def oracle_sql() -> dict[str, str]:
     # min-k union is batch-split insensitive: the stateful streaming
     # KMV's bounded replay == the batch bottom-k sketch
     out["streaming_kmv"] = out["kmv_quantiles"]
+    # bounded streaming replay == the batch chi2/PSI statistic (one
+    # cat_drift_from_hist definition drives both)
+    out["streaming_cat_drift"] = out["cat_drift"]
     return out

@@ -23,7 +23,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
-           "hist_quantiles", "quantiles_from_hist", "categorical_drift"]
+           "hist_quantiles", "quantiles_from_hist", "categorical_drift",
+           "cat_drift_from_hist"]
 
 
 def _r6(col):
@@ -250,6 +251,16 @@ def categorical_drift(df: DataFrame, cat_col: str,
             .agg(F.sum(F.col(side_col)).cast("long").alias("na_i"),
                  F.sum(F.lit(1) - F.col(side_col)).cast("long")
                  .alias("nb_i")))
+    return cat_drift_from_hist(hist)
+
+
+def cat_drift_from_hist(hist: DataFrame) -> DataFrame:
+    """The chi2/PSI tail from a (cat, na_i, nb_i) histogram — the
+    shared tail of :func:`categorical_drift` and the streaming label-
+    mix monitor (the ks_from_hist pattern: ONE definition so the
+    identities and rounding never desynchronize from the oracle).
+    ``hist`` may come from a batch groupBy or a completed streaming
+    aggregate's state table."""
     wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
                                           Window.unboundedFollowing)
     h = (hist.withColumn("n_a", F.sum("na_i").over(wt).cast("long"))

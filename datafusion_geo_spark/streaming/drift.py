@@ -63,3 +63,24 @@ def streaming_quantiles(spark: SparkSession, sf_dir: str,
                                 .alias("cnt"))
     final_hist = run_bounded_complete(hist, "stream_quant_")
     return quantiles_from_hist(final_hist, "vq", percents)
+
+
+def streaming_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming label-mix drift monitor: the per-category two-side
+    histogram is the streaming aggregate (state rows = |categories|,
+    no watermark), and the chi-squared + PSI statistics run as the
+    shared batch tail (operators/evals.py cat_drift_from_hist — ONE
+    definition with the batch categorical_drift). Bounded replay
+    equals the batch statistic, so the oracle is shared with
+    cat_drift."""
+    from ..operators.evals import cat_drift_from_hist
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("event_type").isNotNull())
+          .select("event_type",
+                  (F.col("event_id") % 2 == 0).cast("int").alias("side")))
+    hist = (ev.groupBy(F.col("event_type").alias("cat"))
+            .agg(F.sum(F.col("side")).cast("long").alias("na_i"),
+                 F.sum(F.lit(1) - F.col("side")).cast("long")
+                 .alias("nb_i")))
+    final_hist = run_bounded_complete(hist, "stream_catd_")
+    return cat_drift_from_hist(final_hist)
