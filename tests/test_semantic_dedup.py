@@ -135,3 +135,23 @@ def test_pq_beats_random_recall(spark):
     recall = hits / total
     chance = 10.0 / n
     assert recall > 5 * chance, (recall, chance)
+
+
+def test_cluster_cohesion_separation_nonnegative(spark):
+    """Every member's own-centroid cosine >= its second-best by
+    definition of argmax assignment, so each cluster's separation sum
+    must be >= 0; counts must cover the corpus exactly once."""
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.operators.similarity import (
+        cluster_cohesion, kmeans_centroids, prenorm)
+    rows = [(i, [float((i * j) % 7 - 3) for j in range(1, 9)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = prenorm(emb)
+    fitted = kmeans_centroids(vecs, n_centroids=4, iters=2)
+    out = cluster_cohesion(vecs, fitted).collect()
+    assert sum(r["n_members"] for r in out) == 120
+    for r in out:
+        assert r["sep_micro_sum"] >= 0
+        assert r["own_micro_sum"] >= r["second_micro_sum"]
