@@ -3853,6 +3853,18 @@ def _q_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_drift(ev, "event_type", "side")
 
 
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/sampling.py curriculum_order):
+    quality-decile buckets from the mean unigram logprob (ONE exact
+    percentile aggregate, broadcast back), best decile = bucket 0,
+    deterministic md5 shuffle key within buckets — the easy-to-hard
+    epoch construction. Bucket assignment and key are map-only; the
+    oracle replays the score chain + quantile_cont thresholds."""
+    from datafusion_geo_spark.operators.sampling import curriculum_order
+    from datafusion_geo_spark.sources.fixtures import load_table
+    return curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
 def _q_streaming_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming label-mix drift (streaming/drift.py streaming_cat_drift):
     the per-category two-side histogram maintained as a bounded-state
@@ -4298,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": _q_distinct_ngrams,
         "zipf_fit": _q_zipf_fit,
         "streaming_cat_drift": _q_streaming_cat_drift,
+        "curriculum_order": _q_curriculum_order,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7620,6 +7633,42 @@ def oracle_sql() -> dict[str, str]:
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
         "cluster_cohesion": _cluster_cohesion_oracle(),
+        # curriculum replay: the quality_filter score chain, 9 decile
+        # thresholds via quantile_cont (== Spark's exact interpolated
+        # percentile — the quality_filter parity), map-only bucketing
+        "curriculum_order": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_WORDS_LOWER}) AS w FROM documents
+            ), vocab AS (
+              SELECT w, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY w
+            ), tot AS (
+              SELECT COUNT(*)::BIGINT AS total FROM toks
+            ), lp AS (
+              SELECT t.doc_id,
+                     CAST((CASE WHEN ln(v.cnt::DOUBLE / tot.total::DOUBLE)
+                                     < 0 THEN -1 ELSE 1 END)
+                          * floor(abs(ln(v.cnt::DOUBLE / tot.total::DOUBLE))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS lp
+              FROM toks t JOIN vocab v USING (w), tot
+            ), scored AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                     CAST(SUM(lp) AS BIGINT) AS lp_micro_sum
+              FROM lp GROUP BY doc_id
+            ), s2 AS (
+              SELECT *, lp_micro_sum::DOUBLE / n_tokens AS score
+              FROM scored WHERE n_tokens > 0
+            ), thr AS (
+              SELECT quantile_cont(score,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+              FROM s2
+            )
+            SELECT doc_id, n_tokens, lp_micro_sum,
+                   (9 - len(list_filter(thr.t, x -> x <= score)))::INT
+                     AS bucket,
+                   ('0x' || substr(md5('cur0|' || doc_id::VARCHAR), 1, 8))
+                     ::BIGINT AS sort_key
+            FROM s2, thr
+        """,
         # Zipf fit replay: same rank window, milli-int log points,
         # exact int64 sums, closed-form slope/intercept at 6 dp
         "zipf_fit": """

@@ -303,3 +303,37 @@ def wrs_topn(df: DataFrame, stratum_col: str, key_col: str,
             .where(F.col("rank") <= n)
             .select(stratum_col, key_col, "w", "clock_micro",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def curriculum_order(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 10,
+                     seed: str = "cur") -> DataFrame:
+    """Curriculum ordering for training: documents bucketed by
+    corpus-relative quality decile (mean unigram log-probability — the
+    perplexity proxy percentile_quality_filter thresholds on), best
+    decile first, with a deterministic md5 shuffle key inside each
+    bucket (quality-ordered epochs with no intra-bucket bias — the
+    standard easy-to-hard curriculum construction).
+
+    Scale shape: scoring is the unigram_logprob plan; the n_buckets-1
+    thresholds are ONE exact interpolated percentile aggregate over
+    the per-doc score rows, broadcast back as a one-row cross; bucket
+    assignment and the shuffle key are map-only. The writer sorts by
+    (bucket, sort_key) — no global sort happens here. Output:
+    (id, n_tokens, lp_micro_sum, bucket 0=best, sort_key)."""
+    from .sketch import seeded_h64
+    from .text import unigram_logprob
+    scored = (unigram_logprob(df, text_col=text_col, id_col=id_col)
+              .where(F.col("n_tokens") > 0)
+              .withColumn("_score",
+                          F.col("lp_micro_sum") / F.col("n_tokens")))
+    qs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    thr = scored.agg(F.expr(f"percentile(_score, array({qs}))")
+                     .alias("_thr"))
+    n_at_or_below = F.size(F.filter(
+        F.col("_thr"), lambda t: t <= F.col("_score")))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(F.col(id_col), "n_tokens", "lp_micro_sum",
+                    (F.lit(n_buckets - 1) - n_at_or_below).cast("int")
+                    .alias("bucket"),
+                    seeded_h64(seed, 0, F.col(id_col)).alias("sort_key")))

@@ -81,6 +81,12 @@ ALLOWED_BROADCAST_CROSSES = {
     "quality_filter": 2,     # unigram's one-row token total PLUS the
                              # one-row percentile threshold, both
                              # broadcast back onto the scored frame
+    "curriculum_order": 3,   # quality_filter's two one-row crosses,
+                             # plus the scored frame feeding BOTH the
+                             # decile aggregate and the final bucket
+                             # projection (the token-total cross
+                             # appears once per subtree) — all one-row
+                             # broadcast dimensions
     "minhash_eval": 2,       # three ONE-ROW count aggregates crossed
                              # into the single metrics row (the
                              # tfidf/bm25 one-row broadcast pattern)
