@@ -3910,6 +3910,18 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+def _q_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the lang_id classifier vs the fixture label
+    (operators/evals.py cohen_kappa over the lang_confusion matrix):
+    chance-corrected agreement via the exact-integer identity
+    kappa = (N·T − PE)/(N² − PE). The matrix is |langs|² rows, so
+    every aggregate is bounded; oracle wraps the lang_confusion SQL as
+    a CTE (one prediction definition per engine)."""
+    from datafusion_geo_spark.operators.evals import cohen_kappa
+    conf = _q_lang_confusion(spark, sf_dir)
+    return cohen_kappa(conf, "lang", "lang_pred", "n_docs")
+
+
 def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join (operators/asof_join.py asof_join_nearest):
     each event takes its user's order with the day CLOSEST to the
@@ -4311,6 +4323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "streaming_cat_drift": _q_streaming_cat_drift,
         "curriculum_order": _q_curriculum_order,
+        "kappa_eval": _q_kappa_eval,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -9249,4 +9262,33 @@ def oracle_sql() -> dict[str, str]:
     # bounded streaming replay == the batch chi2/PSI statistic (one
     # cat_drift_from_hist definition drives both)
     out["streaming_cat_drift"] = out["cat_drift"]
+    # kappa wraps the confusion matrix: reuse the lang_confusion SQL
+    # as a CTE so the prediction logic has ONE definition per engine
+    out["kappa_eval"] = f"""
+        WITH conf AS ({out["lang_confusion"]})
+        , t AS (
+          SELECT SUM(n_docs)::BIGINT AS n_total,
+                 SUM(CASE WHEN lang = lang_pred THEN n_docs
+                          ELSE 0 END)::BIGINT AS trace
+          FROM conf
+        ), r AS (SELECT lang AS lbl, SUM(n_docs)::BIGINT AS rn
+                 FROM conf GROUP BY lang),
+        c AS (SELECT lang_pred AS lbl, SUM(n_docs)::BIGINT AS cn
+              FROM conf GROUP BY lang_pred),
+        m AS (SELECT SUM(COALESCE(rn, 0) * COALESCE(cn, 0))::BIGINT
+                       AS pe_num
+              FROM r FULL JOIN c USING (lbl))
+        SELECT n_total, trace, pe_num,
+               CASE WHEN n_total * n_total - pe_num = 0 THEN NULL
+                    ELSE ((CASE WHEN ((n_total * trace - pe_num)::DOUBLE
+                                      / (n_total * n_total - pe_num)
+                                        ::DOUBLE) < 0
+                                THEN -1 ELSE 1 END)
+                          * floor(abs((n_total * trace - pe_num)::DOUBLE
+                                      / (n_total * n_total - pe_num)
+                                        ::DOUBLE) * 1000000.0 + 0.5)
+                          / 1000000.0 + 0.0)
+               END AS kappa
+        FROM t, m
+    """
     return out

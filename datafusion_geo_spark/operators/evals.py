@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 
 __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
            "hist_quantiles", "quantiles_from_hist", "categorical_drift",
-           "cat_drift_from_hist"]
+           "cat_drift_from_hist", "cohen_kappa"]
 
 
 def _r6(col):
@@ -291,3 +291,39 @@ def cat_drift_from_hist(hist: DataFrame) -> DataFrame:
         ((F.col("n_a") + F.col("n_b")) * F.col("chi_sum")).cast("long")
         .alias("chi2_micro"),
         F.col("psi_micro").cast("long").alias("psi_micro"))
+
+
+def cohen_kappa(conf: DataFrame, true_col: str, pred_col: str,
+                n_col: str = "n_docs") -> DataFrame:
+    """Cohen's kappa from a confusion-matrix frame (true, pred, n) —
+    chance-corrected agreement, the one-number summary a classifier
+    change is judged by next to the raw confusion matrix (accuracy
+    alone rewards majority-class collapse; kappa ~0 exposes it).
+
+    Exact-integer identity: with N = total, T = trace, and
+    PE = Σ_label row_total · col_total,
+        kappa = (N·T − PE) / (N² − PE)
+    — numerator/denominator exact int64 (envelope: N <= ~3e9 keeps N²
+    inside int64; the confusion matrix itself is |labels|² rows, so
+    every aggregate here is driver-trivial), the final divide a 6-dp
+    double. NULL when N² = PE (degenerate single-cell matrix).
+    ONE row out: (n_total, trace, pe_num, kappa)."""
+    n = F.col(n_col).cast("long")
+    t = conf.agg(
+        F.sum(n).cast("long").alias("n_total"),
+        F.sum(F.when(F.col(true_col) == F.col(pred_col), n)
+              .otherwise(F.lit(0))).cast("long").alias("trace"))
+    r = (conf.groupBy(F.col(true_col).alias("lbl"))
+         .agg(F.sum(n).cast("long").alias("rn")))
+    c = (conf.groupBy(F.col(pred_col).alias("lbl"))
+         .agg(F.sum(n).cast("long").alias("cn")))
+    m = (r.join(c, "lbl", "full")
+         .agg(F.sum(F.coalesce(F.col("rn"), F.lit(0))
+                    * F.coalesce(F.col("cn"), F.lit(0)))
+              .cast("long").alias("pe_num")))
+    j = t.crossJoin(F.broadcast(m))
+    num = (F.col("n_total") * F.col("trace") - F.col("pe_num"))
+    den = (F.col("n_total") * F.col("n_total") - F.col("pe_num"))
+    kappa = F.when(den != 0,
+                   _r6(num.cast("double") / den.cast("double")))
+    return j.select("n_total", "trace", "pe_num", kappa.alias("kappa"))

@@ -210,3 +210,20 @@ def test_categorical_drift_orders_mixes(spark):
     assert r_sh["n_cats"] == 3 and r_sh["n_a"] == 150 and r_sh["n_b"] == 150
     assert r_sh["chi2_micro"] > r_same["chi2_micro"]
     assert r_sh["psi_micro"] > r_same["psi_micro"]
+
+
+def test_cohen_kappa_bounds_and_degenerate(spark):
+    """Perfect agreement -> kappa 1; independent marginals -> ~0;
+    a single-cell matrix (N^2 == PE) -> NULL, not a crash."""
+    from datafusion_geo_spark.operators.evals import cohen_kappa
+    perfect = spark.createDataFrame(
+        [("a", "a", 50), ("b", "b", 50)], "t string, p string, n long")
+    r = cohen_kappa(perfect, "t", "p", "n").collect()[0]
+    assert r["kappa"] == 1.0 and r["trace"] == 100
+    indep = spark.createDataFrame(
+        [("a", "a", 25), ("a", "b", 25), ("b", "a", 25), ("b", "b", 25)],
+        "t string, p string, n long")
+    r2 = cohen_kappa(indep, "t", "p", "n").collect()[0]
+    assert r2["kappa"] == 0.0
+    one = spark.createDataFrame([("a", "a", 10)], "t string, p string, n long")
+    assert cohen_kappa(one, "t", "p", "n").collect()[0]["kappa"] is None

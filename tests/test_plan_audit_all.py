@@ -81,6 +81,10 @@ ALLOWED_BROADCAST_CROSSES = {
     "quality_filter": 2,     # unigram's one-row token total PLUS the
                              # one-row percentile threshold, both
                              # broadcast back onto the scored frame
+    "kappa_eval": 1,         # the one-row PE aggregate crossed onto
+                             # the one-row (N, trace) totals — both
+                             # derived from the bounded |langs|^2
+                             # confusion matrix
     "curriculum_order": 3,   # quality_filter's two one-row crosses,
                              # plus the scored frame feeding BOTH the
                              # decile aggregate and the final bucket
