@@ -184,7 +184,34 @@ def test_distance_zero_iff_intersects_for_vertex(line, p):
     if algos.intersects(line, p):
         assert d == 0.0
     else:
-        assert d > 0.0
+        # floats: a disjoint point can still measure 0.0 when its TRUE
+        # separation sits below cancellation scale (hypothesis found
+        # POINT(1000000 -48577) vs a segment ending 1.2e-10 away — the
+        # double arithmetic rounds the projection onto the segment to
+        # the point itself). When that happens, arbitrate with EXACT
+        # rational point-to-segment distance: the float 0.0 is only
+        # acceptable if the true separation is ulp-scale relative to
+        # the coordinate magnitude.
+        assert d >= 0.0
+        if d == 0.0:
+            from fractions import Fraction as Fr
+            px, py = (Fr(c) for c in p.parts)
+            best = None
+            verts = [tuple(map(Fr, xy)) for xy in line.parts]
+            for (ax, ay), (bx, by) in zip(verts, verts[1:]):
+                abx, aby = bx - ax, by - ay
+                den = abx * abx + aby * aby
+                t = Fr(0) if den == 0 else (
+                    (px - ax) * abx + (py - ay) * aby) / den
+                t = min(max(t, Fr(0)), Fr(1))
+                dx, dy = px - (ax + t * abx), py - (ay + t * aby)
+                d2 = dx * dx + dy * dy
+                best = d2 if best is None else min(best, d2)
+            scale = max((abs(c) for xy in line.parts for c in xy),
+                        default=1.0)
+            scale = max(scale, abs(p.parts[0]), abs(p.parts[1]), 1.0)
+            assert best <= (Fr(1, 10**9) * Fr(scale)) ** 2, \
+                f"float distance 0.0 but exact separation^2 = {best}"
 
 
 @given(st.lists(points(), min_size=1, max_size=12))
