@@ -3910,6 +3910,19 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embeddings' uncentered second
+    moments (operators/mlfit.py pca_top_component): milli-int
+    quantization, partition-local numpy int64 Gram partials (exact in
+    any summation order) + one (i,j)-grouped SUM, then two unrolled
+    power-iteration rounds driver-side in pure integer arithmetic —
+    the whitening/anisotropy audit. Oracle replays the Gram and both
+    rounds in SQL CTEs."""
+    from datafusion_geo_spark.operators.mlfit import pca_top_component
+    from datafusion_geo_spark.sources.fixtures import load_table
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa of the lang_id classifier vs the fixture label
     (operators/evals.py cohen_kappa over the lang_confusion matrix):
@@ -4324,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cat_drift": _q_streaming_cat_drift,
         "curriculum_order": _q_curriculum_order,
         "kappa_eval": _q_kappa_eval,
+        "pca_power": _q_pca_power,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7646,6 +7660,41 @@ def oracle_sql() -> dict[str, str]:
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
         "cluster_cohesion": _cluster_cohesion_oracle(),
+        # PCA power-iteration replay: milli quantization, exact int64
+        # Gram (::BIGINT vs HUGEINT), two unrolled integer rounds with
+        # the identical half-up renormalization
+        "pca_power": """
+            WITH q AS (
+              SELECT vec_id, t.i,
+                     (CASE WHEN embedding[t.i::INT]::DOUBLE < 0
+                           THEN -1 ELSE 1 END)
+                     * CAST(floor(abs(embedding[t.i::INT]::DOUBLE)
+                                  * 1000.0 + 0.5) AS BIGINT) AS qv
+              FROM embeddings,
+                   unnest(range(1, len(embedding) + 1)) AS t(i)
+            ), gram AS (
+              SELECT a.i, b.i AS j, SUM(a.qv * b.qv)::BIGINT AS g
+              FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i
+            ), r0 AS (
+              SELECT i, 1000::BIGINT AS v
+              FROM (SELECT DISTINCT i FROM q)
+            ), w1 AS (
+              SELECT g.i, SUM(g.g * r0.v)::BIGINT AS w
+              FROM gram g JOIN r0 ON r0.i = g.j GROUP BY g.i
+            ), m1 AS (SELECT MAX(abs(w))::BIGINT AS m FROM w1),
+            r1 AS (
+              SELECT i, ((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                         * ((2000 * abs(w) + m) // (2 * m)))::BIGINT AS v
+              FROM w1, m1
+            ), w2 AS (
+              SELECT g.i, SUM(g.g * r1.v)::BIGINT AS w
+              FROM gram g JOIN r1 ON r1.i = g.j GROUP BY g.i
+            ), m2 AS (SELECT MAX(abs(w))::BIGINT AS m FROM w2)
+            SELECT i::INT AS pos,
+                   ((CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                    * ((2000 * abs(w) + m) // (2 * m)))::BIGINT AS v_milli
+            FROM w2, m2
+        """,
         # curriculum replay: the quality_filter score chain, 9 decile
         # thresholds via quantile_cont (== Spark's exact interpolated
         # percentile — the quality_filter parity), map-only bucketing

@@ -222,3 +222,67 @@ def logreg_weights_df(df: DataFrame, label: Column,
     rows = [(i, FEATURES[i], w[i]) for i in range(len(w))]
     return df.sparkSession.createDataFrame(
         rows, "feature_idx int, feature string, weight double")
+
+
+def pca_top_component(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", iters: int = 2,
+                      quant: int = 1000) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second-
+    moment matrix by power iteration — the whitening/anisotropy audit
+    an embedding pipeline runs (a dominant raw direction means the
+    encoder wastes capacity; PCA-proper would subtract means first,
+    uncentered keeps every step integer-exact).
+
+    Engine-exact recipe (the ridge_fit discipline):
+      1. coordinates quantize to milli ints (fixture |x| <= ~0.6);
+      2. Gram G = Q^T Q via a partition-local numpy partial — int64
+         products are EXACT in any summation order, so the BLAS-fast
+         combiner is bit-safe — then one (i, j)-grouped SUM over
+         <= dim^2 rows per partition (the only shuffle);
+      3. ``iters`` power rounds DRIVER-side on the collected dim x dim
+         integer grid (the bounded k-means-style sync): w = G.v in
+         exact python ints, renormalized to milli by
+         v_i <- sign(w_i) * (2*quant*|w_i| + M) // (2*M), M = max|w| —
+         pure integer half-up, replayed verbatim by the SQL oracle's
+         unrolled CTE rounds.
+    Returns dim rows: (pos 1-based, v_milli) — the direction in milli
+    units (sign fixed by the all-positive seed)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+
+    def gram_parts(it):
+        acc = None
+        for pdf in it:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = (np.sign(x) * np.floor(np.abs(x) * quant + 0.5)) \
+                .astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            dim = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(1, dim + 1),
+                                 np.arange(1, dim + 1), indexing="ij")
+            yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(),
+                                "g": acc.ravel()})
+
+    parts = emb.select(vec_col).mapInPandas(
+        gram_parts, "i int, j int, g long")
+    rows = (parts.groupBy("i", "j")
+            .agg(F.sum("g").cast("long").alias("g")).collect())
+    dim = max(r["i"] for r in rows)
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["i"] - 1][r["j"] - 1] = int(r["g"])
+
+    v = [quant] * dim
+    for _ in range(iters):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:  # all-zero corpus: direction undefined, keep seed
+            break
+        v = [(-1 if x < 0 else 1) * ((2 * quant * abs(x) + m) // (2 * m))
+             for x in w]
+    return spark.createDataFrame(
+        [(i + 1, int(v[i])) for i in range(dim)], "pos int, v_milli long")

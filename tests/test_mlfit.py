@@ -104,3 +104,22 @@ def test_logreg_deterministic(spark):
     a = logreg_weights_df(df, F.col("lang") == "en").collect()
     b = logreg_weights_df(df, F.col("lang") == "en").collect()
     assert a == b
+
+
+def test_pca_power_finds_dominant_direction(spark):
+    """A corpus stretched along e1 (variance 100x other dims) must
+    yield a top component concentrated on dim 1 (|v_1| = quant after
+    renormalization, the rest near 0); deterministic across runs."""
+    from datafusion_geo_spark.operators.mlfit import pca_top_component
+    rows = [(i, [((i % 5) - 2) * 0.1] + [((i * 7 + d) % 3 - 1) * 0.01
+                                         for d in range(7)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["pos"]: r["v_milli"]
+           for r in pca_top_component(df, iters=2).collect()}
+    assert len(out) == 8
+    assert abs(out[1]) == 1000  # dominant axis pinned to the milli unit
+    assert all(abs(out[p]) < 200 for p in range(2, 9))
+    out2 = {r["pos"]: r["v_milli"]
+            for r in pca_top_component(df, iters=2).collect()}
+    assert out == out2
