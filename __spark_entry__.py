@@ -3923,6 +3923,16 @@ def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_streaming_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PCA monitor (streaming/score.py streaming_pca): the
+    exact-int64 Gram as a constant dim^2-state streaming aggregate
+    (mapInPandas partials merge in any order — integer sums), the
+    power rounds as the driver tail shared with pca_power. Bounded
+    replay == batch; oracle SHARED with pca_power."""
+    from datafusion_geo_spark.streaming.score import streaming_pca
+    return streaming_pca(spark, sf_dir)
+
+
 def _q_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa of the lang_id classifier vs the fixture label
     (operators/evals.py cohen_kappa over the lang_confusion matrix):
@@ -4338,6 +4348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": _q_curriculum_order,
         "kappa_eval": _q_kappa_eval,
         "pca_power": _q_pca_power,
+        "streaming_pca": _q_streaming_pca,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -9311,6 +9322,9 @@ def oracle_sql() -> dict[str, str]:
     # bounded streaming replay == the batch chi2/PSI statistic (one
     # cat_drift_from_hist definition drives both)
     out["streaming_cat_drift"] = out["cat_drift"]
+    # constant dim^2-state streaming Gram + shared power tail: bounded
+    # replay == the batch PCA
+    out["streaming_pca"] = out["pca_power"]
     # kappa wraps the confusion matrix: reuse the lang_confusion SQL
     # as a CTE so the prediction logic has ONE definition per engine
     out["kappa_eval"] = f"""

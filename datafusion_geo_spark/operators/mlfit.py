@@ -247,10 +247,22 @@ def pca_top_component(emb: DataFrame, id_col: str = "vec_id",
          unrolled CTE rounds.
     Returns dim rows: (pos 1-based, v_milli) — the direction in milli
     units (sign fixed by the all-positive seed)."""
+    spark = emb.sparkSession
+    parts = emb.select(vec_col).mapInPandas(
+        gram_parts_fn(vec_col, quant), "i int, j int, g long")
+    rows = (parts.groupBy("i", "j")
+            .agg(F.sum("g").cast("long").alias("g")).collect())
+    return spark.createDataFrame(
+        power_rounds(rows, iters, quant), "pos int, v_milli long")
+
+
+def gram_parts_fn(vec_col: str, quant: int):
+    """Partition-local exact-int64 Gram partial for mapInPandas (batch
+    AND streaming: the fn is stateless per partition/micro-batch, so
+    the same code drives both and the grouped SUM merges partials) —
+    emits <= dim^2 (i, j, g) rows per partition."""
     import numpy as np
     import pandas as pd
-
-    spark = emb.sparkSession
 
     def gram_parts(it):
         acc = None
@@ -267,15 +279,18 @@ def pca_top_component(emb: DataFrame, id_col: str = "vec_id",
             yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(),
                                 "g": acc.ravel()})
 
-    parts = emb.select(vec_col).mapInPandas(
-        gram_parts, "i int, j int, g long")
-    rows = (parts.groupBy("i", "j")
-            .agg(F.sum("g").cast("long").alias("g")).collect())
+    return gram_parts
+
+
+def power_rounds(rows, iters: int, quant: int) -> list:
+    """The driver-side power-iteration tail over collected (i, j, g)
+    Gram rows — pure integer arithmetic, shared by the batch and
+    streaming PCA so the rounds can never desynchronize from the SQL
+    oracle's unrolled replay. Returns [(pos 1-based, v_milli)]."""
     dim = max(r["i"] for r in rows)
     G = [[0] * dim for _ in range(dim)]
     for r in rows:
         G[r["i"] - 1][r["j"] - 1] = int(r["g"])
-
     v = [quant] * dim
     for _ in range(iters):
         w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
@@ -284,5 +299,4 @@ def pca_top_component(emb: DataFrame, id_col: str = "vec_id",
             break
         v = [(-1 if x < 0 else 1) * ((2 * quant * abs(x) + m) // (2 * m))
              for x in w]
-    return spark.createDataFrame(
-        [(i + 1, int(v[i])) for i in range(dim)], "pos int, v_milli long")
+    return [(i + 1, int(v[i])) for i in range(dim)]

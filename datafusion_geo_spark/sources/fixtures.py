@@ -148,6 +148,15 @@ def load_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 
+def load_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the embeddings table (schema from a
+    footer-only batch read) — for the streaming Gram/PCA monitor
+    (streaming/score.py streaming_pca)."""
+    stream_dir = _symlink_dir(f"{sf_dir}/embeddings.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

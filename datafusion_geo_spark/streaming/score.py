@@ -42,3 +42,28 @@ def streaming_ridge_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.lit(1_000_000) - F.col("yhat_micro"))
         .alias("resid_micro_sum")))
     return run_bounded_complete(agg, "stream_ridge_")
+
+
+def streaming_pca(spark: SparkSession, sf_dir: str, iters: int = 2,
+                  quant: int = 1000) -> DataFrame:
+    """Streaming top-principal-direction monitor: the exact-int64 Gram
+    is the streaming aggregate — mapInPandas partials per micro-batch
+    (stateless; integer sums merge in any order) into a grouped SUM
+    whose state is CONSTANT dim^2 rows for an unbounded stream (the
+    streaming_hll class: the sketch is the eviction policy). The
+    power-iteration rounds run as the shared driver tail
+    (operators/mlfit.py power_rounds — one definition with the batch
+    pca_top_component), so the bounded replay equals batch and the
+    oracle is SHARED with pca_power."""
+    import pyspark.sql.functions as F
+
+    from ..operators.mlfit import gram_parts_fn, power_rounds
+    from ..sources.fixtures import load_embeddings_stream
+    from .runner import run_bounded_complete
+    stream = load_embeddings_stream(spark, sf_dir).select("embedding")
+    parts = stream.mapInPandas(gram_parts_fn("embedding", quant),
+                               "i int, j int, g long")
+    gram = parts.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))
+    rows = run_bounded_complete(gram, "stream_pca_").collect()
+    return spark.createDataFrame(power_rounds(rows, iters, quant),
+                                 "pos int, v_milli long")
