@@ -3910,6 +3910,19 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
 
+def _q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (operators/evals.py rbo_overlap, Webber et
+    al. 2010) of trained-IVF top-10 vs brute-force cosine top-10 per
+    query — the top-weighted ranking-agreement eval next to
+    ann_recall's set recall. Per-pair weights are precomputed micro-int
+    literals (one python definition feeds both engines), so the
+    geometric series never crosses engines as float arithmetic."""
+    from datafusion_geo_spark.operators.evals import rbo_overlap
+    bf = _q_cosine_topk(spark, sf_dir)
+    ann = _q_ivf_trained_topk(spark, sf_dir)
+    return rbo_overlap(bf, ann, k=10, p=0.9)
+
+
 def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embeddings' uncentered second
     moments (operators/mlfit.py pca_top_component): milli-int
@@ -4349,6 +4362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_eval": _q_kappa_eval,
         "pca_power": _q_pca_power,
         "streaming_pca": _q_streaming_pca,
+        "rbo_eval": _q_rbo_eval,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7412,6 +7426,35 @@ def oracle_sql() -> dict[str, str]:
                     // (2*t.n_true)) / 1000000.0 AS recall
             FROM t LEFT JOIN h ON t.query_id = h.query_id
         """,
+        # RBO composes both sides' own replays; the weight table comes
+        # from the SAME python definition the operator inlines
+        "rbo_eval": (lambda W: f"""
+            WITH bf AS (SELECT query_id, neighbor_id, rank
+                        FROM ({_COSINE_TOPK_SQL})),
+            ann AS (SELECT query_id, neighbor_id, rank
+                    FROM ({_ivf_trained_oracle()})),
+            wt(m, w) AS (VALUES {", ".join(
+                f"({m}, {w})" for m, w in enumerate(W, start=1))}),
+            pairs AS (SELECT bf.query_id,
+                             greatest(bf.rank, ann.rank) AS m
+                      FROM bf JOIN ann
+                        USING (query_id, neighbor_id)),
+            s AS (SELECT query_id, COUNT(*)::BIGINT AS n_common,
+                         SUM(wt.w)::BIGINT AS wsum
+                  FROM pairs JOIN wt USING (m) GROUP BY query_id),
+            q AS (SELECT DISTINCT query_id FROM bf)
+            SELECT q.query_id,
+                   COALESCE(s.n_common, 0)::BIGINT AS n_common,
+                   ((CASE WHEN ((1.0 - 0.9)
+                                * (COALESCE(s.wsum, 0) / 1000000.0)) < 0
+                          THEN -1 ELSE 1 END)
+                    * floor(abs((1.0 - 0.9)
+                                * (COALESCE(s.wsum, 0) / 1000000.0))
+                            * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS rbo
+            FROM q LEFT JOIN s USING (query_id)
+        """)(__import__("datafusion_geo_spark.operators.evals",
+                        fromlist=["rbo_weights_micro"])
+             .rbo_weights_micro(10, 0.9)),
         "pq_recall": f"""
             WITH bf AS (SELECT query_id, neighbor_id
                         FROM ({_COSINE_TOPK_SQL})),

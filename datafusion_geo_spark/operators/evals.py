@@ -327,3 +327,62 @@ def cohen_kappa(conf: DataFrame, true_col: str, pred_col: str,
     kappa = F.when(den != 0,
                    _r6(num.cast("double") / den.cast("double")))
     return j.select("n_total", "trace", "pe_num", kappa.alias("kappa"))
+
+
+def rbo_weights_micro(k: int = 10, p: float = 0.9) -> list:
+    """RBO@k per-pair weight table (Webber et al. 2010, truncated
+    form): W[m] = micro(Σ_{d=m..k} p^(d-1)/d) — the total agreement
+    contribution of a result pair whose LATER appearance is at depth
+    m = max(rank_a, rank_b). Computed ONCE here in plain python and
+    inlined as integer literals on BOTH engines, so the geometric
+    series never exists as cross-engine float arithmetic."""
+    import math
+    out = []
+    for m in range(1, k + 1):
+        s = 0.0
+        for d in range(m, k + 1):
+            s = s + (p ** (d - 1)) / d
+        out.append(int(math.floor(abs(s) * 1e6 + 0.5)))
+    return out
+
+
+def rbo_overlap(a: DataFrame, b: DataFrame, k: int = 10,
+                p: float = 0.9) -> DataFrame:
+    """Rank-biased overlap between two per-query top-k rankings —
+    the IR-standard top-weighted similarity of result lists (recall
+    counts set agreement; RBO rewards agreeing EARLY, the metric that
+    actually tracks user-facing ANN quality). Inputs: two
+    (query_id, neighbor_id, rank<=k) frames; output per a-side query:
+    (query_id, n_common, rbo in [0, ~1]).
+
+    Identity used: truncated RBO@k = (1-p) Σ_d p^(d-1)·|A_d ∩ B_d|/d
+    re-grouped per common pair as Σ_pairs W[max(ra, rb)] with the
+    precomputed micro-int table :func:`rbo_weights_micro` — per-pair
+    weights are integer literals, the per-query sum is exact int64,
+    and only the final (1-p)·sum scaling is a double (identical
+    literal expression in the oracle). One equi-join on
+    (query, neighbor) + one k-row-bounded grouped sum."""
+    W = rbo_weights_micro(k, p)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(m) for m in range(1, k + 1)]),
+        F.array(*[F.lit(w) for w in W]))
+    ra = a.select(F.col("query_id"), F.col("neighbor_id"),
+                  F.col("rank").alias("_ra"))
+    rb = b.select(F.col("query_id"), F.col("neighbor_id"),
+                  F.col("rank").alias("_rb"))
+    pairs = (ra.join(rb, ["query_id", "neighbor_id"])
+             .select("query_id",
+                     F.element_at(wmap, F.greatest(F.col("_ra"),
+                                                   F.col("_rb")))
+                     .alias("_w")))
+    s = (pairs.groupBy("query_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+              F.sum("_w").cast("long").alias("_wsum")))
+    q = a.select("query_id").distinct()
+    rbo = _r6((F.lit(1.0) - F.lit(p))
+              * (F.coalesce(F.col("_wsum"), F.lit(0)) / F.lit(1e6)))
+    return (q.join(s, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    rbo.alias("rbo")))

@@ -227,3 +227,35 @@ def test_cohen_kappa_bounds_and_degenerate(spark):
     assert r2["kappa"] == 0.0
     one = spark.createDataFrame([("a", "a", 10)], "t string, p string, n long")
     assert cohen_kappa(one, "t", "p", "n").collect()[0]["kappa"] is None
+
+
+def test_rbo_identical_and_disjoint_rankings(spark):
+    """RBO sanity: identical top-k lists score the truncated-RBO@k
+    maximum ((1-p)*sum(p^(d-1))); disjoint lists score 0; and a
+    shared-prefix list scores strictly between."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from datafusion_geo_spark.operators.evals import (rbo_overlap,
+                                                      rbo_weights_micro)
+    k, p = 10, 0.9
+    base = [(1, 100 + r, r) for r in range(1, k + 1)]
+    a = spark.createDataFrame(base, "query_id long, neighbor_id long, "
+                                    "rank int")
+    same = rbo_overlap(a, a, k=k, p=p).collect()[0]
+    # identical lists score the truncated-RBO@k ceiling 1 - p^k
+    # (~0.6513 at k=10, p=0.9 — truncated RBO has no extrapolation
+    # term, so it never reaches 1); verify via the weight table
+    wmax = sum(rbo_weights_micro(k, p))
+    assert same["n_common"] == k
+    assert abs(same["rbo"] - (1 - p) * wmax / 1e6) < 2e-6
+    assert abs(same["rbo"] - (1 - p ** k)) < 1e-4
+    disjoint = spark.createDataFrame(
+        [(1, 900 + r, r) for r in range(1, k + 1)],
+        "query_id long, neighbor_id long, rank int")
+    d = rbo_overlap(a, disjoint, k=k, p=p).collect()[0]
+    assert d["n_common"] == 0 and d["rbo"] == 0.0
+    prefix = spark.createDataFrame(
+        base[:5] + [(1, 900 + r, r) for r in range(6, k + 1)],
+        "query_id long, neighbor_id long, rank int")
+    m = rbo_overlap(a, prefix, k=k, p=p).collect()[0]
+    assert 0.0 < m["rbo"] < same["rbo"]

@@ -39,6 +39,8 @@ ALLOWED_BROADCAST_CROSSES = {
     "ivf_trained_topk": 1,   # same plan shape, trained centroids
     "ann_recall": 1,         # inherits ivf_trained_topk's (bf side's
                              # cross compiles away, as in cosine_topk)
+    "rbo_eval": 1,           # same composition: ivf_trained's one
+                             # bounded probe-scoring cross
     "bm25_search": 1,        # ONE-ROW global aggregate (N, Σdl, dfs)
                              # broadcast back onto the corpus
     "hll_setops": 2,         # three one-row estimate frames crossed
