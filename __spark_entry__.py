@@ -3923,6 +3923,19 @@ def _q_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rbo_overlap(bf, ann, k=10, p=0.9)
 
 
+def _q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the trained-IVF ranking against brute-force gains
+    (operators/evals.py ndcg_overlap) — the graded-relevance companion
+    to rbo_eval: each retrieved item weighted by the exact scorer's
+    6-dp similarity (clamped micro-int gain) and the 1/log2(1+r)
+    discount table inlined as literals from one python definition.
+    Exact int64 gain-discount sums; one 6-dp ratio per query."""
+    from datafusion_geo_spark.operators.evals import ndcg_overlap
+    bf = _q_cosine_topk(spark, sf_dir)
+    ann = _q_ivf_trained_topk(spark, sf_dir)
+    return ndcg_overlap(bf, ann, k=10)
+
+
 def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embeddings' uncentered second
     moments (operators/mlfit.py pca_top_component): milli-int
@@ -4363,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power": _q_pca_power,
         "streaming_pca": _q_streaming_pca,
         "rbo_eval": _q_rbo_eval,
+        "ndcg_eval": _q_ndcg_eval,
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
@@ -7455,6 +7469,46 @@ def oracle_sql() -> dict[str, str]:
         """)(__import__("datafusion_geo_spark.operators.evals",
                         fromlist=["rbo_weights_micro"])
              .rbo_weights_micro(10, 0.9)),
+        # nDCG composes both replays; discounts from the same python
+        # table as the operator; gains = clamped micro of the bf sim
+        "ndcg_eval": (lambda W: f"""
+            WITH bf AS (SELECT query_id, neighbor_id, sim, rank
+                        FROM ({_COSINE_TOPK_SQL})),
+            ann AS (SELECT query_id, neighbor_id, rank
+                    FROM ({_ivf_trained_oracle()})),
+            wt(r, w) AS (VALUES {", ".join(
+                f"({r}, {w})" for r, w in enumerate(W, start=1))}),
+            judged AS (SELECT query_id, neighbor_id, rank,
+                              greatest(0, (CASE WHEN sim < 0 THEN -1
+                                           ELSE 1 END)
+                                 * CAST(floor(abs(sim) * 1000000.0
+                                              + 0.5) AS BIGINT)) AS g
+                       FROM bf),
+            idcg AS (SELECT query_id, COUNT(*)::BIGINT AS n_judged,
+                            SUM(g * wt.w)::BIGINT AS idcg_num
+                     FROM judged JOIN wt ON wt.r = judged.rank
+                     GROUP BY query_id),
+            hits AS (SELECT a.query_id,
+                            SUM(j.g * wt.w)::BIGINT AS dcg_num
+                     FROM ann a
+                     JOIN judged j USING (query_id, neighbor_id)
+                     JOIN wt ON wt.r = a.rank
+                     GROUP BY a.query_id)
+            SELECT i.query_id, i.n_judged,
+                   COALESCE(h.dcg_num, 0)::BIGINT AS dcg_num,
+                   i.idcg_num,
+                   CASE WHEN i.idcg_num > 0 THEN
+                     ((CASE WHEN (COALESCE(h.dcg_num, 0)::DOUBLE
+                                  / i.idcg_num::DOUBLE) < 0
+                            THEN -1 ELSE 1 END)
+                      * floor(abs(COALESCE(h.dcg_num, 0)::DOUBLE
+                                  / i.idcg_num::DOUBLE)
+                              * 1000000.0 + 0.5) / 1000000.0 + 0.0)
+                   END AS ndcg
+            FROM idcg i LEFT JOIN hits h USING (query_id)
+        """)(__import__("datafusion_geo_spark.operators.evals",
+                        fromlist=["ndcg_weights_micro"])
+             .ndcg_weights_micro(10)),
         "pq_recall": f"""
             WITH bf AS (SELECT query_id, neighbor_id
                         FROM ({_COSINE_TOPK_SQL})),

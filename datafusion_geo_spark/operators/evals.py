@@ -386,3 +386,58 @@ def rbo_overlap(a: DataFrame, b: DataFrame, k: int = 10,
                     F.coalesce(F.col("n_common"), F.lit(0)).cast("long")
                     .alias("n_common"),
                     rbo.alias("rbo")))
+
+
+def ndcg_weights_micro(k: int = 10) -> list:
+    """nDCG discount table: D[r] = micro(1/log2(1+r)) for ranks 1..k —
+    like :func:`rbo_weights_micro`, computed once in python and inlined
+    as integer literals on both engines (log2 never crosses engines)."""
+    import math
+    return [int(math.floor(abs(1.0 / math.log2(1 + r)) * 1e6 + 0.5))
+            for r in range(1, k + 1)]
+
+
+def ndcg_overlap(bf: DataFrame, ann: DataFrame, k: int = 10) -> DataFrame:
+    """nDCG@k of an approximate ranking against the exact one — the
+    graded-relevance companion to :func:`rbo_overlap` (RBO measures
+    list agreement; nDCG weighs each retrieved item by how relevant
+    the EXACT scorer says it is). Gains = the brute-force 6-dp
+    similarity as a micro int, clamped at 0 (a negative-cosine
+    "relevant" item carries no gain), 0 for items outside the exact
+    top-k — the standard graded-relevance convention when the judged
+    pool is the exact top-k.
+
+    All engine-shared arithmetic is integer: gain × discount products
+    are exact int64 (<= 1e12 each, k per query); only the final
+    DCG/IDCG ratio is a 6-dp double divide. Output per bf query:
+    (query_id, n_judged, dcg_num, idcg_num, ndcg)."""
+    W = ndcg_weights_micro(k)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(r) for r in range(1, k + 1)]),
+        F.array(*[F.lit(w) for w in W]))
+    gain = F.greatest(
+        F.lit(0),
+        (F.signum(F.col("sim")) * F.floor(F.abs(F.col("sim"))
+                                          * F.lit(1e6) + F.lit(0.5)))
+        .cast("long"))
+    judged = bf.select("query_id", "neighbor_id", gain.alias("_g"),
+                       F.col("rank").alias("_rb"))
+    idcg = (judged.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_judged"),
+                 F.sum(F.col("_g") * F.element_at(wmap, F.col("_rb")))
+                 .cast("long").alias("idcg_num")))
+    hits = (ann.select("query_id", "neighbor_id",
+                       F.col("rank").alias("_ra"))
+            .join(judged.select("query_id", "neighbor_id", "_g"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.sum(F.col("_g") * F.element_at(wmap, F.col("_ra")))
+                 .cast("long").alias("dcg_num")))
+    j = (idcg.join(hits, "query_id", "left")
+         .withColumn("dcg_num",
+                     F.coalesce(F.col("dcg_num"), F.lit(0)).cast("long")))
+    ndcg = F.when(F.col("idcg_num") > 0,
+                  _r6(F.col("dcg_num").cast("double")
+                      / F.col("idcg_num").cast("double")))
+    return j.select("query_id", "n_judged", "dcg_num", "idcg_num",
+                    ndcg.alias("ndcg"))

@@ -259,3 +259,26 @@ def test_rbo_identical_and_disjoint_rankings(spark):
         "query_id long, neighbor_id long, rank int")
     m = rbo_overlap(a, prefix, k=k, p=p).collect()[0]
     assert 0.0 < m["rbo"] < same["rbo"]
+
+
+def test_ndcg_identical_and_worst_orderings(spark):
+    """nDCG sanity: the exact ranking scores 1.0 against itself; a
+    reversed ranking of the same items scores strictly less but > 0;
+    disjoint items score 0."""
+    from datafusion_geo_spark.operators.evals import ndcg_overlap
+    bf = spark.createDataFrame(
+        [(1, 100 + r, 1.0 - 0.05 * r, r) for r in range(1, 11)],
+        "query_id long, neighbor_id long, sim double, rank int")
+    same = ndcg_overlap(bf, bf.select("query_id", "neighbor_id", "rank"),
+                        k=10).collect()[0]
+    assert same["ndcg"] == 1.0 and same["n_judged"] == 10
+    rev = spark.createDataFrame(
+        [(1, 100 + r, 11 - r) for r in range(1, 11)],
+        "query_id long, neighbor_id long, rank int")
+    r = ndcg_overlap(bf, rev, k=10).collect()[0]
+    assert 0.0 < r["ndcg"] < 1.0
+    disjoint = spark.createDataFrame(
+        [(1, 900 + r, r) for r in range(1, 11)],
+        "query_id long, neighbor_id long, rank int")
+    d = ndcg_overlap(bf, disjoint, k=10).collect()[0]
+    assert d["ndcg"] == 0.0 and d["dcg_num"] == 0

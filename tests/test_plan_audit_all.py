@@ -41,6 +41,7 @@ ALLOWED_BROADCAST_CROSSES = {
                              # cross compiles away, as in cosine_topk)
     "rbo_eval": 1,           # same composition: ivf_trained's one
                              # bounded probe-scoring cross
+    "ndcg_eval": 1,          # same composition as rbo_eval
     "bm25_search": 1,        # ONE-ROW global aggregate (N, Σdl, dfs)
                              # broadcast back onto the corpus
     "hll_setops": 2,         # three one-row estimate frames crossed
