@@ -4297,17 +4297,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder are all driver-green in some earlier round and stay
     # gated locally by tests/test_entry_oracle.py every run.
     #
-    # ROUND 7 (this ordering): the 48 never-gated queries (diff of
-    # CORRECTNESS_r01-r06 keys vs queries() keys) fill slots 1-48,
-    # grid_spatial_join + minhash_pairs are the canaries at 49-50.
-    # After the r7 gate, every declared query has >= 1 green driver
-    # row. Any NEW query added this round must slot before position 50
-    # in the round it is added if room remains, else lead round 8.
+    # ROUND 8 (this ordering, r7 verdict items 1+5): slots 1-16 = the
+    # 16 round-7 adds that have never earned a driver CORRECTNESS row;
+    # then any NEW round-8 queries; then 2 heavy green canaries; the
+    # remaining slots re-gate the OLDEST previously-green rows — all of
+    # the SURVEY §2 geometry queries last gated at r3/r4 (three rounds
+    # of kernel-adjacent refactors since) plus the heaviest r3/r4
+    # pipeline queries and the two bench-weak queries (cosine_topk,
+    # extent_by_mktsegment) so the r8 gate re-certifies their values.
     return {
-        # --- ROUND-7 GATE SLOTS (first 50): the 48 queries that have
-        #     never earned a driver CORRECTNESS row (r1-r6 keys-diff;
-        #     verdict r6 item 1) + 2 heavy previously-green canaries.
-        #     After this gate, every declared query has >= 1 driver row.
+        # --- ROUND-8 GATE SLOTS 1-16: never driver-gated (added r7) ---
+        "kmv_quantiles": _q_kmv_quantiles,
+        "intersects_scan": _q_intersects_scan,
+        "bigram_ppl": _q_bigram_ppl,
+        "streaming_kmv": _q_streaming_kmv,
+        "cat_drift": _q_cat_drift,
+        "cluster_cohesion": _q_cluster_cohesion,
+        "weighted_topn": _q_weighted_topn,
+        "distinct_ngrams": _q_distinct_ngrams,
+        "zipf_fit": _q_zipf_fit,
+        "streaming_cat_drift": _q_streaming_cat_drift,
+        "curriculum_order": _q_curriculum_order,
+        "kappa_eval": _q_kappa_eval,
+        "pca_power": _q_pca_power,
+        "streaming_pca": _q_streaming_pca,
+        "rbo_eval": _q_rbo_eval,
+        "ndcg_eval": _q_ndcg_eval,
+        # --- NEW this round (round 8) slot here, before the canaries ---
+        # --- regression canaries (heavy, driver-green r1-r7) ---
+        "grid_spatial_join": _q_grid_spatial_join,
+        "minhash_pairs": _q_minhash_pairs,
+        # --- re-gates: SURVEY §2 geometry set, last gated r4 ---
+        "wkt_roundtrip_points": _q_wkt_roundtrip_points,
+        "intersects_lines": _q_intersects_lines,
+        "extent_by_mktsegment": _q_extent_by_mktsegment,
+        "box2d_lines": _q_box2d_lines,
+        "covers_envelope": _q_covers_envelope,
+        "equals_lines": _q_equals_lines,
+        "wkb_roundtrip": _q_wkb_roundtrip,
+        "srid_ewkt": _q_srid_ewkt,
+        "geojson_points": _q_geojson_points,
+        "geometry_type": _q_geometry_type,
+        "buffer_bbox": _q_buffer_bbox,
+        "boundary_literals": _q_boundary_literals,
+        "mvt_literal": _q_mvt_literal,
+        "split_literal": _q_split_literal,
+        "translate_points": _q_translate_points,
+        "spatial_join": _q_spatial_join,
+        "extent_sql_udaf": _q_extent_sql_udaf,
+        # --- re-gates: bench-weak + heaviest r3/r4 pipeline queries ---
+        "cosine_topk": _q_cosine_topk,
+        "dwithin_join": _q_dwithin_join,
+        "ivf_topk": _q_ivf_topk,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "exact_dedup": _q_exact_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "asof_join": _q_asof_join,
+        "hash_split": _q_hash_split,
+        "neardup_components": _q_neardup_components,
+        "chunk_docs": _q_chunk_docs,
+        "curation_pipeline": _q_curation_pipeline,
+        "range_tag_events": _q_range_tag_events,
+        "geo_parquet_window": _q_geo_parquet_window,
+        # ---------------- position 51+ below this line ----------------
+        # --- driver-green in an earlier round; still gated locally by
+        #     tests/test_entry_oracle.py every run ---
         "dup_spans": _q_dup_spans,
         "jaccard_prefix": _q_jaccard_prefix,
         "ivfpq_topk": _q_ivfpq_topk,
@@ -4356,29 +4412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "value_hist_quantiles": _q_value_hist_quantiles,
         "domain_entropy": _q_domain_entropy,
-        # --- regression canaries (heavy, driver-green r1-r6) ---
-        "grid_spatial_join": _q_grid_spatial_join,
-        "minhash_pairs": _q_minhash_pairs,
-        # --- pos 51+: NEW this round (no first-50 room left: the 48
-        #     never-gated queries own it) — must lead round 8's gate ---
-        "kmv_quantiles": _q_kmv_quantiles,
-        "intersects_scan": _q_intersects_scan,
-        "bigram_ppl": _q_bigram_ppl,
-        "streaming_kmv": _q_streaming_kmv,
-        "cat_drift": _q_cat_drift,
-        "cluster_cohesion": _q_cluster_cohesion,
-        "weighted_topn": _q_weighted_topn,
-        "distinct_ngrams": _q_distinct_ngrams,
-        "zipf_fit": _q_zipf_fit,
-        "streaming_cat_drift": _q_streaming_cat_drift,
-        "curriculum_order": _q_curriculum_order,
-        "kappa_eval": _q_kappa_eval,
-        "pca_power": _q_pca_power,
-        "streaming_pca": _q_streaming_pca,
-        "rbo_eval": _q_rbo_eval,
-        "ndcg_eval": _q_ndcg_eval,
-        # --- driver-green in an earlier round; still gated locally by
-        #     tests/test_entry_oracle.py every run ---
         "audio_frames": _q_audio_frames,
         "pagerank_neardup": _q_pagerank_neardup,
         "graph_stats": _q_graph_stats,
@@ -4429,8 +4462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": _q_streaming_hll,
         "bpe_merges": _q_bpe_merges,
         "knn_join": _q_knn_join,
-        "cosine_topk": _q_cosine_topk,
-        "extent_by_mktsegment": _q_extent_by_mktsegment,
         "streaming_curation": _q_streaming_curation,
         "knn_join_jvm": _q_knn_join_jvm,
         "ivf_trained_topk": _q_ivf_trained_topk,
@@ -4478,34 +4509,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hexbin_customers": _q_hexbin_customers,
         "minhash_eval": _q_minhash_eval,
         "streaming_sessions": _q_streaming_sessions,
-        "curation_pipeline": _q_curation_pipeline,
-        "neardup_components": _q_neardup_components,
-        "chunk_docs": _q_chunk_docs,
-        "geo_parquet_window": _q_geo_parquet_window,
-        "ivf_topk": _q_ivf_topk,
         "streaming_first_seen": _q_streaming_first_seen,
-        "asof_join": _q_asof_join,
-        "range_tag_events": _q_range_tag_events,
-        "hash_split": _q_hash_split,
-        "intersects_lines": _q_intersects_lines,
-        "wkt_roundtrip_points": _q_wkt_roundtrip_points,
-        "spatial_join": _q_spatial_join,
-        "dwithin_join": _q_dwithin_join,
-        "exact_dedup": _q_exact_dedup,
-        "extent_sql_udaf": _q_extent_sql_udaf,
-        "box2d_lines": _q_box2d_lines,
-        "translate_points": _q_translate_points,
-        "covers_envelope": _q_covers_envelope,
-        "equals_lines": _q_equals_lines,
-        "wkb_roundtrip": _q_wkb_roundtrip,
-        "srid_ewkt": _q_srid_ewkt,
-        "geojson_points": _q_geojson_points,
         "geojson_parse": _q_geojson_parse,
-        "geometry_type": _q_geometry_type,
-        "buffer_bbox": _q_buffer_bbox,
         "buffer_lines": _q_buffer_lines,
         "covers_concave": _q_covers_concave,
-        "boundary_literals": _q_boundary_literals,
         "measures_lines": _q_measures_lines,
         "distance_points": _q_distance_points,
         "collect_by_segment": _q_collect_by_segment,
@@ -4518,15 +4525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_stats": _q_tile_stats,
         "geo_pipeline": _q_geo_pipeline,
         "hull_simplify_literal": _q_hull_simplify_literal,
-        "mvt_literal": _q_mvt_literal,
-        "split_literal": _q_split_literal,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
-        "simhash_pairs": _q_simhash_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "embedding_neardup": _q_embedding_neardup,
-        "ann_topk": _q_ann_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
