@@ -54,6 +54,40 @@ def force(df) -> int:
     return row["n"]
 
 
+def jvm_counters(spark):
+    """Cumulative JVM-side counters for per-query telemetry deltas.
+
+    Round-8 bench instrumentation (r7 verdict item 2): three rounds of
+    driver-vs-builder bench splits that same-tree A/Bs could not
+    reproduce mean the instrument must carry its own diagnosis. In
+    local[N] mode driver == executor == one JVM, so the management
+    beans cover everything: cumulative GC ms across all collectors,
+    executor task-time totals from the app status store, JVM uptime
+    (fresh-JVM vs benched-late-in-a-long-session is the leading
+    hypothesis for the driver's out-of-band numbers), and heap in use.
+    All reads are cheap (no Spark job) and failure-isolated: telemetry
+    must never fail the bench, so any reflective miss degrades to None.
+    """
+    out = {"gc_ms": None, "task_ms": None, "uptime_ms": None,
+           "heap_used_mb": None}
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        out["gc_ms"] = sum(b.getCollectionTime()
+                           for b in mf.getGarbageCollectorMXBeans())
+        out["uptime_ms"] = mf.getRuntimeMXBean().getUptime()
+        out["heap_used_mb"] = round(
+            mf.getMemoryMXBean().getHeapMemoryUsage().getUsed() / 2**20)
+    except Exception:
+        pass
+    try:
+        execs = spark.sparkContext._jsc.sc().statusStore().executorList(True)
+        out["task_ms"] = sum(execs.apply(i).totalDuration()
+                             for i in range(execs.size()))
+    except Exception:
+        pass
+    return out
+
+
 def bench_queries(spark):
     """name -> zero-arg callable returning a DataFrame."""
     import pyspark.sql.functions as F
@@ -108,6 +142,9 @@ def main() -> None:
 
     timings = {}
     spread = {}
+    runs_all = {}
+    telemetry = {}
+    bench_start = jvm_counters(spark)
     for name, make in queries.items():
         # two warmups: codegen/python-worker spin-up on the first, AQE
         # plan stabilization on the second; GC between queries so one
@@ -115,17 +152,36 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         force(make())
         force(make())
+        load0 = os.getloadavg()
+        ctr0 = jvm_counters(spark)
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             force(make())
             runs.append(time.perf_counter() - t0)
+        ctr1 = jvm_counters(spark)
+        load1 = os.getloadavg()
         timings[name] = round(statistics.median(runs), 4)
         # min..max over the timed runs: sub-second queries on a shared
         # box can swing ±3× run-to-run, so a single number without its
         # spread reads as a regression when it is noise (BASELINE.md §4)
         spread[name] = [round(min(runs), 4), round(max(runs), 4)]
+        # r7 verdict item 2: an out-of-band number must arrive with its
+        # own diagnosis — all timed runs (not just median/spread), host
+        # load around the timed window, and GC/task-time deltas over it
+        runs_all[name] = [round(r, 4) for r in runs]
+        telemetry[name] = {
+            "loadavg_before": [round(x, 2) for x in load0],
+            "loadavg_after": [round(x, 2) for x in load1],
+            "gc_ms": (ctr1["gc_ms"] - ctr0["gc_ms"]
+                      if None not in (ctr0["gc_ms"], ctr1["gc_ms"]) else None),
+            "task_ms": (ctr1["task_ms"] - ctr0["task_ms"]
+                        if None not in (ctr0["task_ms"], ctr1["task_ms"])
+                        else None),
+            "heap_used_mb": ctr1["heap_used_mb"],
+        }
 
+    bench_end = jvm_counters(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "spatial_queries_total_sec",
@@ -136,6 +192,19 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
         "runs": RUNS,
+        "runs_all": runs_all,
+        "telemetry": telemetry,
+        # session shape: a fresh-JVM bench shows uptime of a few tens of
+        # seconds; the driver benching after a 50-query gate sweep in
+        # the same JVM shows minutes — directly adjudicates the
+        # long-session hypothesis for driver-vs-builder bench splits
+        "session": {
+            "jvm_uptime_ms_at_start": bench_start["uptime_ms"],
+            "jvm_uptime_ms_at_end": bench_end["uptime_ms"],
+            "gc_ms_total": bench_end["gc_ms"],
+            "task_ms_total": bench_end["task_ms"],
+            "heap_used_mb_at_end": bench_end["heap_used_mb"],
+        },
     }))
     spark.stop()
 
