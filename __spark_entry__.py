@@ -4761,21 +4761,33 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int,
     When ``train_vecs_sql`` is given, the k-means replay trains on THAT
     corpus (the shared-fit shape: fit once on the base corpus, apply to
     the query's own — e.g. copy-augmented — corpus); otherwise training
-    and downstream use share ``vecs``."""
+    and downstream use share ``vecs``.
+
+    The Lloyd rounds run over ``ktrain`` — the TRAIN_SAMPLE_CAP rows of
+    the training corpus with the smallest (md5(id), id) — exactly the
+    bounded sample similarity._train_sample collects, so the replay
+    stays bit-identical when a corpus exceeds the cap (r7 verdict item
+    4; under the cap ktrain IS the corpus and the SQL is equivalent to
+    the pre-r8 full-corpus form)."""
+    from datafusion_geo_spark.operators.similarity import TRAIN_SAMPLE_CAP
     tv = "tvecs" if train_vecs_sql else "vecs"
     ctes = [f"vecs AS ({vecs_sql})"]
     if train_vecs_sql:
         ctes.append(f"tvecs AS ({train_vecs_sql})")
     ctes.append(f"""
+        ktrain AS (SELECT vec_id, v FROM {tv}
+                   ORDER BY md5(vec_id::VARCHAR), vec_id
+                   LIMIT {TRAIN_SAMPLE_CAP})""")
+    ctes.append(f"""
         c0 AS (SELECT cid::INT AS cid, cvec FROM (
                  SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR),
                                             vec_id) - 1) AS cid, v AS cvec
-                 FROM {tv}) WHERE cid < {n_centroids})""")
+                 FROM ktrain) WHERE cid < {n_centroids})""")
     for it in range(1, iters + 1):
         ctes.append(f"""
         s{it} AS (SELECT a.vec_id, c.cid,
                          ((CASE WHEN (list_cosine_similarity(a.v, c.cvec)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(a.v, c.cvec)) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cs
-                  FROM {tv} a, c{it - 1} c),
+                  FROM ktrain a, c{it - 1} c),
         a{it} AS (SELECT vec_id, cid FROM (
                     SELECT vec_id, cid,
                            ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -4783,7 +4795,7 @@ def _kmeans_ctes(n_centroids: int, iters: int, dim: int,
                     FROM s{it}) WHERE rn = 1),
         c{it} AS (SELECT cid, list(cx ORDER BY i) AS cvec FROM (
                     SELECT a.cid, g.i, ((CASE WHEN (AVG(b.v[g.i])) < 0 THEN -1 ELSE 1 END) * floor(abs(AVG(b.v[g.i])) * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS cx
-                    FROM a{it} a JOIN {tv} b USING (vec_id),
+                    FROM a{it} a JOIN ktrain b USING (vec_id),
                          generate_series(1, {dim}) AS g(i)
                     GROUP BY a.cid, g.i) GROUP BY cid)""")
     return ctes
@@ -4794,7 +4806,12 @@ def _pq_oracle(m: int = 8, ksub: int = 16, iters: int = 2,
     """DuckDB twin of similarity.pq_train/encode/search: the subspace
     L2 Lloyd replay (all subspaces in one CTE chain, keyed by s), PQ
     codes from the trained books, then ADC inner-product scoring with
-    per-entry micro-int rounding before the sum."""
+    per-entry micro-int rounding before the sum. The Lloyd chain trains
+    on ``tsubs`` — subspaces of the TRAIN_SAMPLE_CAP-bounded md5-ordered
+    sample, the exact rows similarity.pq_train collects — while encoding
+    (``enc_s``) covers the FULL corpus, mirroring the engine (r7 verdict
+    item 4)."""
+    from datafusion_geo_spark.operators.similarity import TRAIN_SAMPLE_CAP
     d = dim // m
     r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
           "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
@@ -4804,20 +4821,25 @@ def _pq_oracle(m: int = 8, ksub: int = 16, iters: int = 2,
           f"q.qv[i] * c.cvec[i]))")
     sub = "list_slice(v, g.s * {d} + 1, g.s * {d} + {d})".format(d=d)
     ctes = [f"vecs AS ({_VECS_EMB})",
+            f"""ptrain AS (SELECT vec_id, v FROM vecs
+                 ORDER BY md5(vec_id::VARCHAR), vec_id
+                 LIMIT {TRAIN_SAMPLE_CAP})""",
             f"""subs AS (SELECT vec_id, g.s, {sub} AS sv
                  FROM vecs, generate_series(0, {m - 1}) AS g(s))""",
+            f"""tsubs AS (SELECT vec_id, g.s, {sub} AS sv
+                 FROM ptrain, generate_series(0, {m - 1}) AS g(s))""",
             f"""c0 AS (SELECT g.s, cid::INT AS cid, {sub} AS cvec
                  FROM (SELECT (ROW_NUMBER() OVER (
                                  ORDER BY md5(vec_id::VARCHAR), vec_id)
                                - 1) AS cid, v
-                       FROM vecs) r,
+                       FROM ptrain) r,
                       generate_series(0, {m - 1}) AS g(s)
                  WHERE cid < {ksub})"""]
     for it in range(1, iters + 1):
         ctes.append(f"""
         s{it} AS (SELECT a.vec_id, a.s, c.cid,
                          {r6.format(x=l2)} AS d2
-                  FROM subs a JOIN c{it - 1} c ON c.s = a.s),
+                  FROM tsubs a JOIN c{it - 1} c ON c.s = a.s),
         a{it} AS (SELECT vec_id, s, cid FROM (
                     SELECT vec_id, s, cid,
                            ROW_NUMBER() OVER (PARTITION BY vec_id, s
@@ -4827,7 +4849,7 @@ def _pq_oracle(m: int = 8, ksub: int = 16, iters: int = 2,
                     SELECT a.s, a.cid, g.i,
                            {r6.format(x="AVG(b.sv[g.i])")} AS cx
                     FROM a{it} a
-                    JOIN subs b ON b.vec_id = a.vec_id AND b.s = a.s,
+                    JOIN tsubs b ON b.vec_id = a.vec_id AND b.s = a.s,
                          generate_series(1, {d}) AS g(i)
                     GROUP BY a.s, a.cid, g.i) GROUP BY s, cid)""")
     fin = f"""
@@ -5115,7 +5137,13 @@ def _ivfpq_oracle(n_coarse: int = 8, coarse_iters: int = 2,
     assignment, exact residuals against the 6-dp coarse means, the PQ
     subspace-Lloyd replay RENAMED (p*/ps*/pa*) to coexist with the
     coarse chain, then probe-pruned ADC scoring with the coarse
-    dot-term added — every micro-int identical to the Spark plan."""
+    dot-term added — every micro-int identical to the Spark plan. The
+    residual-PQ Lloyd chain trains on ``rtsubs`` — subspaces of the
+    TRAIN_SAMPLE_CAP-bounded md5-ordered residual sample, the rows
+    similarity.ivfpq_search's pq_train collects — while encoding
+    (``enc``) covers all residuals (r7 verdict item 4)."""
+    from datafusion_geo_spark.operators.similarity import TRAIN_SAMPLE_CAP \
+        as _TRAIN_CAP
     d = dim // m
     r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
           "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
@@ -5147,19 +5175,26 @@ def _ivfpq_oracle(n_coarse: int = 8, coarse_iters: int = 2,
                          list_slice(rv, g.s * {d} + 1,
                                     g.s * {d} + {d}) AS sv
                   FROM res, generate_series(0, {m - 1}) AS g(s)),
+        rtrain AS (SELECT vec_id, rv FROM res
+                   ORDER BY md5(vec_id::VARCHAR), vec_id
+                   LIMIT {_TRAIN_CAP}),
+        rtsubs AS (SELECT vec_id, g.s,
+                          list_slice(rv, g.s * {d} + 1,
+                                     g.s * {d} + {d}) AS sv
+                   FROM rtrain, generate_series(0, {m - 1}) AS g(s)),
         p0 AS (SELECT g.s, cid::INT AS cid,
                       list_slice(rv, g.s * {d} + 1,
                                  g.s * {d} + {d}) AS cvec
                FROM (SELECT (ROW_NUMBER() OVER (
                                ORDER BY md5(vec_id::VARCHAR), vec_id)
                              - 1) AS cid, rv
-                     FROM res) r,
+                     FROM rtrain) r,
                     generate_series(0, {m - 1}) AS g(s)
                WHERE cid < {ksub})""")
     for it in range(1, pq_iters + 1):
         ctes.append(f"""
         ps{it} AS (SELECT a.vec_id, a.s, c.cid, {r6.format(x=l2)} AS d2
-                   FROM rsubs a JOIN p{it - 1} c ON c.s = a.s),
+                   FROM rtsubs a JOIN p{it - 1} c ON c.s = a.s),
         pa{it} AS (SELECT vec_id, s, cid FROM (
                      SELECT vec_id, s, cid,
                             ROW_NUMBER() OVER (PARTITION BY vec_id, s
@@ -5169,7 +5204,7 @@ def _ivfpq_oracle(n_coarse: int = 8, coarse_iters: int = 2,
                     SELECT a.s, a.cid, g.i,
                            {r6.format(x="AVG(b.sv[g.i])")} AS cx
                     FROM pa{it} a
-                    JOIN rsubs b ON b.vec_id = a.vec_id AND b.s = a.s,
+                    JOIN rtsubs b ON b.vec_id = a.vec_id AND b.s = a.s,
                          generate_series(1, {d}) AS g(i)
                     GROUP BY a.s, a.cid, g.i) GROUP BY s, cid)""")
     fin = f"""
@@ -7956,15 +7991,14 @@ def oracle_sql() -> dict[str, str]:
               FROM hist
             ), terms AS (
               SELECT c, n_a, n_b,
-                (CASE WHEN (((na_i * n_b - nb_i * n_a)::DOUBLE
+                -- chi terms are nonnegative; carried at NANO (1e9)
+                -- fixed point (r7 ADVICE #3), matching evals.py
+                -- cat_drift_from_hist's nano_nonneg
+                CAST(floor((((na_i * n_b - nb_i * n_a)::DOUBLE
                              * (na_i * n_b - nb_i * n_a)::DOUBLE)
                             / ((na_i + nb_i)::DOUBLE * n_a::DOUBLE
-                               * n_b::DOUBLE)) < 0 THEN -1 ELSE 1 END)
-                * CAST(floor(abs(((na_i * n_b - nb_i * n_a)::DOUBLE
-                                  * (na_i * n_b - nb_i * n_a)::DOUBLE)
-                                 / ((na_i + nb_i)::DOUBLE * n_a::DOUBLE
-                                    * n_b::DOUBLE)) * 1000000.0 + 0.5)
-                       AS BIGINT) AS chi_t,
+                               * n_b::DOUBLE)) * 1000000000.0 + 0.5)
+                     AS BIGINT) AS chi_nano,
                 (CASE WHEN ((((na_i + 1)::DOUBLE / (n_a + c)::DOUBLE)
                              - ((nb_i + 1)::DOUBLE / (n_b + c)::DOUBLE))
                             * ln(((na_i + 1)::DOUBLE / (n_a + c)::DOUBLE)
@@ -7980,13 +8014,21 @@ def oracle_sql() -> dict[str, str]:
                                          / (n_b + c)::DOUBLE)))
                              * 1000000.0 + 0.5) AS BIGINT) AS psi_t
               FROM hist, tot
+            ), summed AS (
+              SELECT MAX(c)::BIGINT AS n_cats,
+                     MAX(n_a)::BIGINT AS n_a, MAX(n_b)::BIGINT AS n_b,
+                     SUM(chi_nano)::BIGINT AS chi_nano,
+                     SUM(psi_t)::BIGINT AS psi_micro
+              FROM terms
             )
-            SELECT MAX(c)::BIGINT AS n_cats,
-                   MAX(n_a)::BIGINT AS n_a, MAX(n_b)::BIGINT AS n_b,
-                   ((MAX(n_a) + MAX(n_b)) * SUM(chi_t))::BIGINT
-                     AS chi2_micro,
-                   SUM(psi_t)::BIGINT AS psi_micro
-            FROM terms
+            -- exact int64 identity N*nano/1000 (half-up), the same
+            -- expression evals.py emits
+            SELECT n_cats, n_a, n_b,
+                   ((n_a + n_b) * (chi_nano // 1000)
+                    + ((n_a + n_b) * (chi_nano % 1000) + 500) // 1000)
+                     ::BIGINT AS chi2_micro,
+                   psi_micro
+            FROM summed
         """,
         "mlm_masking": """
             WITH toks AS (

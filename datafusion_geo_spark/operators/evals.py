@@ -281,15 +281,29 @@ def cat_drift_from_hist(hist: DataFrame) -> DataFrame:
         return (F.signum(col) * F.floor(F.abs(col) * F.lit(1e6)
                                         + F.lit(0.5))).cast("long")
 
+    # chi terms are nonnegative (d²/positive), so they carry NO sign
+    # handling and can ride at NANO (1e9) fixed point: rounding each
+    # term at micro and THEN multiplying the sum by N amplified the
+    # per-term half-ulp linearly in N (r7 ADVICE #3 — several whole
+    # chi² units at N=1e6). The micro-scaled output comes from the
+    # exact int64 identity
+    #   N·nano/1000 = N·(nano div 1000) + (N·(nano mod 1000) + 500) div 1000
+    # (half-up, every intermediate exact). Envelope: chi² <= N for a
+    # 2×k table, so Σnano <= 1e9 and N·(nano div 1000) <= N·1e6 — the
+    # same int64 headroom the previous micro code had.
+    def nano_nonneg(col):
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")
+
     agg = h.agg(
         F.max("c").alias("n_cats"),
         F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
-        F.sum(micro(chi_t)).alias("chi_sum"),
+        F.sum(nano_nonneg(chi_t)).alias("chi_nano"),
         F.sum(micro(psi_t)).alias("psi_micro"))
     return agg.select(
         "n_cats", "n_a", "n_b",
-        ((F.col("n_a") + F.col("n_b")) * F.col("chi_sum")).cast("long")
-        .alias("chi2_micro"),
+        F.expr("CAST((n_a + n_b) * (chi_nano DIV 1000) + "
+               "((n_a + n_b) * (chi_nano % 1000) + 500) DIV 1000 "
+               "AS LONG)").alias("chi2_micro"),
         F.col("psi_micro").cast("long").alias("psi_micro"))
 
 

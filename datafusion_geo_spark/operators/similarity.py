@@ -48,7 +48,16 @@ def prenorm(df: DataFrame, id_col: str = "vec_id",
     once, so a caller can persist/cache this frame and reuse it across
     many searches instead of re-deriving norms per query (the norm is a
     full O(dim) aggregate per row; at 100 TB you want it materialized
-    with the corpus, not recomputed per probe batch)."""
+    with the corpus, not recomputed per probe batch).
+
+    PRECONDITION: every vector must have nonzero norm. A zero-norm row
+    makes the cosine NaN, and the three ranking paths order NaN
+    differently (Spark array_max ranks NaN greatest, _ranked_lists_inline
+    sorts it last via the negated key, DuckDB's ORDER BY cs DESC ranks
+    it first) — assignment, probe lists, and oracle replays would
+    disagree. Callers ingesting untrusted embeddings should filter
+    ``n > 0`` before entering the contract; every fixture and the
+    synthesized >cap test corpus satisfy it by construction."""
     return (df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
             .withColumn("n", norm(F.col("v"))))
 
@@ -142,11 +151,13 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
 #: The sample is the ``cap`` corpus rows with the smallest
 #: (md5(id), id) — pseudo-random but deterministic and SQL-replayable
 #: (ORDER BY md5(id) LIMIT cap). When the corpus fits under the cap
-#: (every test fixture does: <= 2000 vectors) the sample IS the corpus
-#: and the fit is bit-identical to the old full-corpus distributed
-#: Lloyd, so every oracle replay still matches; beyond the cap the
-#: oracle would need the same LIMIT — documented here, not exercised
-#: by the fixtures.
+#: the sample IS the corpus and the fit is bit-identical to the old
+#: full-corpus distributed Lloyd. The oracle replays carry the same
+#: bounded sample (the ktrain/ptrain/rtrain LIMIT CTEs in
+#: __spark_entry__._kmeans_ctes/_pq_oracle/_ivfpq_oracle), so parity
+#: holds PAST the cap too — exercised by
+#: tests/test_train_cap_parity.py on a cap+904-row corpus where the
+#: full-corpus replay provably diverges.
 TRAIN_SAMPLE_CAP = 4096
 
 
@@ -175,11 +186,6 @@ def _norm_fold(v) -> float:
     for x in v:
         acc = acc + x * x
     return math.sqrt(acc)
-
-
-def _md5_order_key(vid):
-    import hashlib
-    return (hashlib.md5(str(vid).encode()).hexdigest(), vid)
 
 
 def _train_sample(vecs: DataFrame, id_col: str,
