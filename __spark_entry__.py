@@ -3210,6 +3210,52 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size(flat).alias("n_tokens"))
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality selection table (operators/bpe.py
+    tokenizer_stats): per language, fertility (BPE tokens per word) and
+    byte coverage (share of word bytes inside multi-char merges) of the
+    8-merge tokenizer trained corpus-wide — the standard table a
+    tokenizer choice is judged by. Dictionary-encoded: the merge folds
+    run once per distinct word; the corpus pass is one (lang, word)
+    count; ratios are exact-int64 half-up micros. Oracle replays the
+    training chain (_bpe_chain thru r8) and the same integer
+    identities."""
+    from datafusion_geo_spark.operators.bpe import bpe_train, tokenizer_stats
+    docs = _docs(spark, sf_dir)
+    triples = [(r["left_tok"], r["right_tok"], r["merged"])
+               for r in bpe_train(docs, "text", rounds=8)
+               .orderBy("merge_rank").collect()]
+    return tokenizer_stats(docs, triples)
+
+
+def _q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform corpus sample (operators/sampling.py
+    reservoir_sample): the 64 documents with the smallest
+    (md5(doc_id), doc_id) coin — the distributed, engine-replayable
+    reservoir draw, executed as ONE TakeOrdered (per-partition top-k +
+    k-row merge; no corpus sort or shuffle). Completes the sampling
+    family next to the weighted (wrs_topn) and per-stratum
+    (stratified_sample) draws."""
+    from datafusion_geo_spark.operators.sampling import reservoir_sample
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source")
+    return reservoir_sample(docs, "doc_id", k=64)
+
+
+def _q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional Bernoulli sample (operators/sampling.py
+    deterministic_sample): keep the ~20% of documents whose md5 bucket
+    falls under 2000/10000 — membership a pure map-side function of
+    doc_id (same sample on any engine/partitioning/day; same-key joins
+    across datasets stay aligned, unlike df.sample's seeded RNG)."""
+    from datafusion_geo_spark.operators.sampling import deterministic_sample
+    from datafusion_geo_spark.sources.fixtures import load_table
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source")
+    return deterministic_sample(docs, "doc_id", 0.2)
+
+
 def _q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality estimate (operators/sketch.py hll_estimate) over
     events.user_id: the register table collapses to ONE row —
@@ -4323,7 +4369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pca": _q_streaming_pca,
         "rbo_eval": _q_rbo_eval,
         "ndcg_eval": _q_ndcg_eval,
-        # --- NEW this round (round 8) slot here, before the canaries ---
+        # --- NEW this round (round 8): tokenizer-quality eval + the
+        #     uniform sampling pair completing the family ---
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "reservoir_sample": _q_reservoir_sample,
+        "bernoulli_sample": _q_bernoulli_sample,
         # --- regression canaries (heavy, driver-green r1-r7) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "minhash_pairs": _q_minhash_pairs,
@@ -4358,10 +4408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "neardup_components": _q_neardup_components,
         "chunk_docs": _q_chunk_docs,
+        # ---------------- position 51+ below this line ----------------
+        # (three re-gate candidates displaced by the round-8 adds; all
+        # r3-green and still gated locally every run)
         "curation_pipeline": _q_curation_pipeline,
         "range_tag_events": _q_range_tag_events,
         "geo_parquet_window": _q_geo_parquet_window,
-        # ---------------- position 51+ below this line ----------------
         # --- driver-green in an earlier round; still gated locally by
         #     tests/test_entry_oracle.py every run ---
         "dup_spans": _q_dup_spans,
@@ -4638,6 +4690,50 @@ def _bpe_encode_oracle(rounds: int = 8, max_doc: int = 200) -> str:
             FROM (SELECT DISTINCT doc_id FROM documents
                   WHERE doc_id < {max_doc}) d
             LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        """
+
+
+def _tokenizer_fertility_oracle(rounds: int = 8) -> str:
+    """DuckDB twin of bpe.tokenizer_stats: the shared training chain
+    (_bpe_chain thru r{rounds}) supplies every distinct word's token
+    list; per-(lang, word) counts weight the dict-sized join; fertility
+    and coverage come from the identical exact-int64 half-up identity
+    (2·num·1e6 + den) // (2·den)."""
+    return f"""
+            WITH {_bpe_chain(rounds, thru=True)},
+            occ AS (
+              SELECT lang, w[i::INT] AS word
+              FROM (SELECT lang, {_WORDS} AS w FROM documents
+                    WHERE lang IS NOT NULL) d,
+                   unnest(range(1, len(w) + 1)) AS t(i)
+              WHERE w[i::INT] <> ''
+            ), lw AS (
+              SELECT lang, word, COUNT(*)::BIGINT AS cnt
+              FROM occ GROUP BY lang, word
+            ), wstats AS (
+              SELECT w, len(toks)::BIGINT AS wtoks,
+                     COALESCE(list_sum(list_transform(toks,
+                       t -> CASE WHEN len(t) >= 2 THEN len(t)
+                                 ELSE 0 END)), 0)::BIGINT AS cov,
+                     len(w)::BIGINT AS wchars
+              FROM r{rounds}
+            ), agg AS (
+              SELECT lang, SUM(cnt)::BIGINT AS n_words,
+                     SUM(cnt * wtoks)::BIGINT AS n_tokens,
+                     SUM(cnt * cov)::BIGINT AS covered_chars,
+                     SUM(cnt * wchars)::BIGINT AS n_chars
+              FROM lw JOIN wstats ON wstats.w = lw.word
+              GROUP BY lang
+            ), nd AS (
+              SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents
+              WHERE lang IS NOT NULL GROUP BY lang
+            )
+            SELECT nd.lang, n_docs, n_words, n_tokens, n_chars,
+                   ((2 * n_tokens * 1000000 + n_words)
+                    // (2 * n_words))::BIGINT AS fertility_micro,
+                   ((2 * covered_chars * 1000000 + n_chars)
+                    // (2 * n_chars))::BIGINT AS coverage_micro
+            FROM nd JOIN agg USING (lang)
         """
 
 
@@ -8521,6 +8617,22 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY register
         """,
         "bpe_merges": _bpe_oracle(8),
+        "tokenizer_fertility": _tokenizer_fertility_oracle(8),
+        # reservoir draw: k smallest (md5(doc_id), doc_id) coins
+        "reservoir_sample": """
+            SELECT ROW_NUMBER() OVER (
+                     ORDER BY md5(doc_id::VARCHAR), doc_id)::INT
+                     AS sample_rank,
+                   doc_id, lang, source
+            FROM documents
+            ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 64
+        """,
+        # bernoulli: md5-prefix bucket under 2000/10000 (sampling.py
+        # hash_bucket — the repo-wide md5-prefix convention)
+        "bernoulli_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {_H64.format(arg="doc_id::VARCHAR")} % 10000 < 2000
+        """,
         # mirrors _q_lang_confusion: the lang_id oracle as a CTE (one
         # prediction definition per engine), then a grouped count
         "lang_confusion": f"""

@@ -103,6 +103,69 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
                 "merged string, pair_count long")
 
 
+def tokenizer_stats(docs: DataFrame, merges: List[Tuple[str, str, str]],
+                    text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer-quality table — the standard
+    tokenizer-selection report: fertility (BPE tokens per word) and
+    byte coverage (share of word bytes inside multi-char learned
+    merges; the chars == bytes equality is the repo's ASCII-fixture
+    convention) for a learned merge list.
+
+    100 TB shape — dictionary-encode, never tokenize the corpus twice:
+    the merge folds run once per DISTINCT word (the Zipf-bounded dict),
+    the corpus-sized pass is a (lang, word) partial+final count, and
+    the two meet in a dict-sized equi-join weighted by the counts.
+    Ratios are exact-int64 half-up micro values via
+    (2·num·1e6 + den) div (2·den), so cross-engine replay is
+    bit-identical (envelope: num <= ~4.6e12 tokens per language keeps
+    2·num·1e6 inside int64).
+
+    Returns one row per language: (lang, n_docs, n_words, n_tokens,
+    n_chars, fertility_micro, coverage_micro)."""
+    words = words_col(F.col(text_col))
+    occ = (docs.where(F.col(lang_col).isNotNull())
+           .select(F.col(lang_col).alias("lang"),
+                   F.explode(words).alias("w"))
+           .where(F.col("w") != ""))
+    lw = occ.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    toks = F.split(F.col("w"), "")
+    for left, right, merged in merges:
+        toks = merge_fold(toks, left, right, merged)
+    wstats = (lw.select("w").distinct()
+              .select("w",
+                      toks.alias("toks"),
+                      F.length("w").cast("long").alias("wchars"))
+              .select("w", "wchars",
+                      F.size("toks").cast("long").alias("wtoks"),
+                      F.aggregate(
+                          "toks", F.lit(0),
+                          lambda acc, t: acc + F.when(
+                              F.length(t) >= 2, F.length(t))
+                          .otherwise(F.lit(0))).cast("long").alias("cov")))
+
+    agg = (lw.join(wstats, "w")
+           .groupBy("lang")
+           .agg(F.sum("cnt").cast("long").alias("n_words"),
+                F.sum(F.col("cnt") * F.col("wtoks")).cast("long")
+                .alias("n_tokens"),
+                F.sum(F.col("cnt") * F.col("cov")).cast("long")
+                .alias("covered_chars"),
+                F.sum(F.col("cnt") * F.col("wchars")).cast("long")
+                .alias("n_chars")))
+    nd = (docs.where(F.col(lang_col).isNotNull())
+          .groupBy(F.col(lang_col).alias("lang"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return (nd.join(agg, "lang")
+            .select("lang", "n_docs", "n_words", "n_tokens", "n_chars",
+                    F.expr("CAST((2*n_tokens*1000000 + n_words) DIV "
+                           "(2*n_words) AS LONG)").alias("fertility_micro"),
+                    F.expr("CAST((2*covered_chars*1000000 + n_chars) DIV "
+                           "(2*n_chars) AS LONG)").alias("coverage_micro")))
+
+
 def bpe_apply(df: DataFrame, text_col: str,
               merges: List[Tuple[str, str, str]],
               out_col: str = "bpe_tokens") -> DataFrame:

@@ -63,6 +63,37 @@ def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFr
     return df.where(hash_bucket(F.col(key_col)) < keep)
 
 
+def reservoir_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Fixed-size uniform sample WITHOUT replacement — the distributed,
+    replayable equivalent of reservoir sampling: every row draws the
+    deterministic coin (md5(key), key) and the k smallest coins win.
+    A sequential reservoir (Vitter's Algorithm R) keeps the first k
+    rows and randomly evicts — order-dependent state that neither
+    distributes nor replays; ranking a uniform coin produces the same
+    distribution (each k-subset equally likely under the hash-as-uniform
+    model) as ONE TakeOrdered: per-partition top-k + a k-row driver
+    merge, no full sort, no shuffle of the corpus. The md5 coin makes
+    the draw a pure function of the key — same sample on any engine,
+    any partitioning, any day (the Efraimidis-Spirakis clock trick
+    wrs_topn uses, with unit weights and no strata).
+
+    Returns the k winners with ``sample_rank`` (1-based coin order).
+    The rank window runs AFTER the limit, over k rows — bounded."""
+    if k < 1:
+        raise ValueError(f"reservoir_sample: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+    from .util import fresh_name as _fresh
+    coin = _fresh("_coin", df.columns)
+    won = (df.withColumn(coin, F.md5(F.col(key_col).cast("string")))
+           .orderBy(F.col(coin).asc(), F.col(key_col).asc())
+           .limit(k))
+    w = Window.partitionBy().orderBy(F.col(coin).asc(),
+                                     F.col(key_col).asc())
+    return (won.withColumn("sample_rank",
+                           F.row_number().over(w).cast("int"))
+            .drop(coin))
+
+
 def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
                       n_per_stratum: int) -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, chosen and ORDERED by

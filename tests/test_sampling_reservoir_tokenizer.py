@@ -1,0 +1,111 @@
+"""reservoir_sample (fixed-k uniform md5-coin draw) and
+bpe.tokenizer_stats (per-language fertility / byte-coverage table):
+brute-force agreement, determinism, and the exact-int64 ratio
+identity."""
+
+import re
+from collections import Counter
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from datafusion_geo_spark.operators.bpe import bpe_apply, bpe_train, \
+    tokenizer_stats
+from datafusion_geo_spark.operators.sampling import reservoir_sample
+
+
+def _docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the rain in spain stays mainly in the plain", "en"),
+        (2, "der schnelle braune fuchs springt", "de"),
+        (3, "die ratte rennt durch die gasse", "de"),
+        (4, "", "en"),          # empty text still counts as a doc
+        (5, "le chat noir dort", None),  # NULL lang is excluded
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+
+
+def test_reservoir_sample_matches_bruteforce(spark):
+    import hashlib
+    df = spark.range(0, 500).select(F.col("id").alias("k"),
+                                    (F.col("id") * 7).alias("v"))
+    got = {(r["k"], r["sample_rank"])
+           for r in reservoir_sample(df, "k", 20).collect()}
+    coins = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                   for i in range(500))
+    want = {(i, rank + 1) for rank, (_, i) in enumerate(coins[:20])}
+    assert got == want
+
+
+def test_reservoir_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    a = sorted(reservoir_sample(df, "k", 15).collect())
+    b = sorted(reservoir_sample(df.repartition(7), "k", 15).collect())
+    assert a == b
+    assert len(a) == 15
+
+
+def test_reservoir_sample_k_larger_than_input(spark):
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    out = reservoir_sample(df, "k", 50).collect()
+    assert len(out) == 5
+    assert sorted(r["sample_rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_reservoir_sample_guards(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        reservoir_sample(df, "k", 0)
+
+
+def test_tokenizer_stats_matches_bruteforce(spark):
+    docs = _docs_df(spark)
+    merges_df = bpe_train(docs, "text", rounds=4)
+    triples = [(r["left_tok"], r["right_tok"], r["merged"])
+               for r in merges_df.orderBy("merge_rank").collect()]
+    got = {r["lang"]: r.asDict()
+           for r in tokenizer_stats(docs, triples).collect()}
+
+    # brute force via bpe_apply (the already-verified encoder)
+    enc = bpe_apply(docs.where(F.col("lang").isNotNull()),
+                    "text", triples).collect()
+    want = {}
+    for row in enc:
+        lang = row["lang"]
+        st = want.setdefault(lang, Counter())
+        st["n_docs"] += 1
+        for toks in row["bpe_tokens"]:
+            st["n_words"] += 1
+            st["n_tokens"] += len(toks)
+            st["n_chars"] += sum(len(t) for t in toks)
+            st["covered"] += sum(len(t) for t in toks if len(t) >= 2)
+    for lang, st in want.items():
+        g = got[lang]
+        assert g["n_docs"] == st["n_docs"]
+        assert g["n_words"] == st["n_words"]
+        assert g["n_tokens"] == st["n_tokens"]
+        assert g["n_chars"] == st["n_chars"]
+        # exact-int64 half-up micro identity
+        assert g["fertility_micro"] == (
+            2 * st["n_tokens"] * 1000000 + st["n_words"]) \
+            // (2 * st["n_words"])
+        assert g["coverage_micro"] == (
+            2 * st["covered"] * 1000000 + st["n_chars"]) \
+            // (2 * st["n_chars"])
+    assert set(got) == set(want)  # NULL lang excluded, both langs in
+
+
+def test_tokenizer_stats_ranges(spark):
+    docs = _docs_df(spark)
+    triples = [(r["left_tok"], r["right_tok"], r["merged"])
+               for r in bpe_train(docs, "text", rounds=4)
+               .orderBy("merge_rank").collect()]
+    for r in tokenizer_stats(docs, triples).collect():
+        # fertility: between 1 token/word and chars/word tokens/word
+        assert 1_000_000 <= r["fertility_micro"]
+        assert r["n_tokens"] <= r["n_chars"]
+        # coverage is a share of bytes: [0, 1] in micro units
+        assert 0 <= r["coverage_micro"] <= 1_000_000
