@@ -3266,6 +3266,17 @@ def _q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, "doc_id", 0.2)
 
 
+def _q_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fixed-k uniform sample (streaming/sketch.py
+    streaming_reservoir): per-salt bottom-k md5-coin states through
+    applyInPandasWithState (<= salts×k rows forever, no watermark — the
+    sample IS the eviction policy), merged by one TakeOrdered batch
+    tail. Min-k union is batch-split insensitive, so the bounded replay
+    equals batch reservoir_sample and the oracle is SHARED."""
+    from datafusion_geo_spark.streaming.sketch import streaming_reservoir
+    return streaming_reservoir(spark, sf_dir, k=64)
+
+
 def _q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality estimate (operators/sketch.py hll_estimate) over
     events.user_id: the register table collapses to ONE row —
@@ -4384,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "reservoir_sample": _q_reservoir_sample,
         "bernoulli_sample": _q_bernoulli_sample,
+        "streaming_reservoir": _q_streaming_reservoir,
         # --- regression canaries (heavy, driver-green r1-r7) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "minhash_pairs": _q_minhash_pairs,
@@ -4417,10 +4429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "hash_split": _q_hash_split,
         "neardup_components": _q_neardup_components,
-        "chunk_docs": _q_chunk_docs,
         # ---------------- position 51+ below this line ----------------
-        # (three re-gate candidates displaced by the round-8 adds; all
+        # (four re-gate candidates displaced by the round-8 adds; all
         # r3-green and still gated locally every run)
+        "chunk_docs": _q_chunk_docs,
         "curation_pipeline": _q_curation_pipeline,
         "range_tag_events": _q_range_tag_events,
         "geo_parquet_window": _q_geo_parquet_window,
@@ -8630,6 +8642,16 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _tokenizer_fertility_oracle(8),
         # reservoir draw: k smallest (md5(doc_id), doc_id) coins
         "reservoir_sample": """
+            SELECT ROW_NUMBER() OVER (
+                     ORDER BY md5(doc_id::VARCHAR), doc_id)::INT
+                     AS sample_rank,
+                   doc_id, lang, source
+            FROM documents
+            ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 64
+        """,
+        # bounded availableNow replay == the batch reservoir (min-k
+        # union is batch-split insensitive), so the oracle is shared
+        "streaming_reservoir": """
             SELECT ROW_NUMBER() OVER (
                      ORDER BY md5(doc_id::VARCHAR), doc_id)::INT
                      AS sample_rank,

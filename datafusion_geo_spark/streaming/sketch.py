@@ -172,3 +172,96 @@ def streaming_kmv(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_reservoir(spark: SparkSession, sf_dir: str, k: int = 64,
+                        salts: int = 32, docs: DataFrame = None) -> DataFrame:
+    """Streaming fixed-k uniform sample — the unbounded-stream twin of
+    operators/sampling.py reservoir_sample: keep the k documents with
+    the smallest (md5(doc_id), doc_id) coin seen so far, with BOUNDED
+    state and no watermark/TTL (like the sketches above, the sample IS
+    the eviction policy).
+
+    Scale shape: a single global bottom-k state would funnel every
+    stream row through one stateful task, so the state is SALTED —
+    ``salts`` groups each hold their own bottom-k (doc_id % salts
+    partitions the stateful shuffle; state <= salts×k rows forever) and
+    the batch tail merges them with one TakeOrdered over <= salts×k
+    emitted rows. Correctness of the tail does not depend on batch
+    boundaries: a row in the global bottom-k is in its salt group's
+    bottom-k from arrival on (a group's rows are a subset of the
+    stream), so the union of ALL per-batch emissions contains the
+    global bottom-k and contains only real stream rows — min-k over
+    the union is exactly the global bottom-k, whatever the micro-batch
+    split. On the bounded availableNow replay the result therefore
+    equals the batch reservoir_sample and the oracle is SHARED.
+
+    The coin replicates the batch/Spark/DuckDB convention exactly:
+    Python's md5 hex of the decimal id string, ordered as ASCII —
+    identical to Spark md5(CAST(id AS STRING)) ordering.
+
+    ``docs`` overrides the stream source (any streaming DataFrame with
+    doc_id/lang/source) — the multi-batch split-insensitivity test
+    injects a maxFilesPerTrigger=1 source through it."""
+    import hashlib
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+
+    from ..sources.fixtures import load_documents_stream
+
+    out_schema = StructType([
+        StructField("coin", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("coins", ArrayType(StringType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("langs", ArrayType(StringType())),
+        StructField("srcs", ArrayType(StringType())),
+    ])
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        cur = (list(zip(*state.get)) if state.exists else [])
+        batch = [
+            (hashlib.md5(str(int(d)).encode()).hexdigest(), int(d),
+             None if lg is None else str(lg),
+             None if sc is None else str(sc))
+            for pdf in pdfs
+            for d, lg, sc in zip(pdf["doc_id"], pdf["lang"], pdf["source"])]
+        # min-k union: order-insensitive, so any batch split yields the
+        # same state; (coin, doc_id) is a total order (ids are unique)
+        merged = sorted(cur + batch, key=lambda r: (r[0], r[1]))[:k]
+        state.update((
+            [r[0] for r in merged], [r[1] for r in merged],
+            [r[2] for r in merged], [r[3] for r in merged]))
+        yield pd.DataFrame(merged,
+                           columns=["coin", "doc_id", "lang", "source"])
+
+    if docs is None:
+        docs = load_documents_stream(spark, sf_dir)
+    docs = docs.select("doc_id", "lang", "source",
+                       (F.col("doc_id") % salts).alias("salt"))
+    sk = docs.groupBy("salt").applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf="NoTimeout")
+    import uuid
+    name = "stream_rsv_" + uuid.uuid4().hex[:8]
+    q = (sk.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # bounded tail: distinct over <= salts×k×batches emitted rows, ONE
+    # TakeOrdered to the global bottom-k, rank window over k rows
+    won = (spark.table(name).distinct()
+           .orderBy(F.col("coin").asc(), F.col("doc_id").asc()).limit(k))
+    w = Window.partitionBy().orderBy(F.col("coin").asc(),
+                                     F.col("doc_id").asc())
+    return (won.withColumn("sample_rank",
+                           F.row_number().over(w).cast("int"))
+            .select("doc_id", "lang", "source", "sample_rank"))

@@ -109,3 +109,28 @@ def test_tokenizer_stats_ranges(spark):
         assert r["n_tokens"] <= r["n_chars"]
         # coverage is a share of bytes: [0, 1] in micro units
         assert 0 <= r["coverage_micro"] <= 1_000_000
+
+
+def test_streaming_reservoir_split_insensitive(spark, tmp_path):
+    """The union-of-emissions argument (streaming/sketch.py
+    streaming_reservoir): a genuinely multi-batch run
+    (maxFilesPerTrigger=1 over 3 files) must produce exactly the batch
+    reservoir_sample of the same rows."""
+    from datafusion_geo_spark.streaming.sketch import streaming_reservoir
+
+    rows = [(i, f"l{i % 3}", f"s{i % 5}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "source string")
+    d = str(tmp_path / "docs_stream")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    for part in range(3):
+        df.where(F.col("doc_id") % 3 == part).coalesce(1) \
+          .write.mode("append").parquet(d)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    got = sorted(streaming_reservoir(spark, sf_dir="unused", k=20,
+                                     salts=4, docs=stream).collect())
+    want = sorted(reservoir_sample(df, "doc_id", 20)
+                  .select("doc_id", "lang", "source", "sample_rank")
+                  .collect())
+    assert got == want
