@@ -3266,6 +3266,54 @@ def _q_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, "doc_id", 0.2)
 
 
+def _q_tokenizer_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-selection sweep: the tokenizer_fertility table at 2, 4
+    and 8 merges — the fertility/coverage-vs-vocab-size elbow a merge
+    budget is chosen from. BPE merge lists are PREFIX-NESTED (the
+    n-round tokenizer is the first n rows of the 8-round fit), so the
+    sweep costs ZERO extra training: one shared cached fit, three
+    dict-sized stats tails. Oracle reads the same nested states — the
+    training chain's intermediate r2/r4/r8 dict tables."""
+    from datafusion_geo_spark.operators.bpe import bpe_train_cached, \
+        tokenizer_stats
+    docs = _docs(spark, sf_dir)
+    triples = [(l, r, m) for _, l, r, m, _ in
+               bpe_train_cached(docs, "text", rounds=8,
+                                cache_key=(sf_dir, "documents"))]
+    out = None
+    for n in (2, 4, 8):
+        t = (tokenizer_stats(docs, triples[:n])
+             .select(F.lit(n).cast("int").alias("n_merges"),
+                     "lang", "n_tokens", "fertility_micro",
+                     "coverage_micro"))
+        out = t if out is None else out.unionAll(t)
+    return out
+
+
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between corpus versions (operators/evals.py
+    embedding_drift): per label, cosine of the versions' 6-dp-rounded
+    mean vectors — the embedding-model regression check next to the
+    value-space monitors (ks_drift/cat_drift). Versions use the
+    corpus_diff convention (old = vec_id % 11 != 0, new = % 13 != 0)
+    with vec_id % 7 == 0 vectors shifted +0.25 per coordinate on the
+    new side (exact binary constant) so true drift exists
+    deterministically. Each side is ONE (label, dim) partial+final
+    average; the rounded means make the cosine engine-exact."""
+    from datafusion_geo_spark.operators.evals import embedding_drift
+    from datafusion_geo_spark.operators.similarity import as_double
+    base = _embs(spark, sf_dir).select(
+        "vec_id", F.col("label").cast("int").alias("label"),
+        as_double(F.col("embedding")).alias("v"))
+    old = base.where(F.col("vec_id") % 11 != 0).select("label", "v")
+    new = (base.where(F.col("vec_id") % 13 != 0)
+           .select("label",
+                   F.when(F.col("vec_id") % 7 == 0,
+                          F.transform("v", lambda x: x + F.lit(0.25)))
+                   .otherwise(F.col("v")).alias("v")))
+    return embedding_drift(old, new)
+
+
 def _q_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming fixed-k uniform sample (streaming/sketch.py
     streaming_reservoir): per-salt bottom-k md5-coin states through
@@ -4396,6 +4444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": _q_reservoir_sample,
         "bernoulli_sample": _q_bernoulli_sample,
         "streaming_reservoir": _q_streaming_reservoir,
+        "tokenizer_selection": _q_tokenizer_selection,
+        "embedding_drift": _q_embedding_drift,
         # --- regression canaries (heavy, driver-green r1-r7) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "minhash_pairs": _q_minhash_pairs,
@@ -4427,11 +4477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "asof_join": _q_asof_join,
+        # ---------------- position 51+ below this line ----------------
+        # (re-gate candidates displaced by the round-8 adds; all
+        # r3/r4-green and still gated locally every run)
         "hash_split": _q_hash_split,
         "neardup_components": _q_neardup_components,
-        # ---------------- position 51+ below this line ----------------
-        # (four re-gate candidates displaced by the round-8 adds; all
-        # r3-green and still gated locally every run)
         "chunk_docs": _q_chunk_docs,
         "curation_pipeline": _q_curation_pipeline,
         "range_tag_events": _q_range_tag_events,
@@ -4756,6 +4806,44 @@ def _tokenizer_fertility_oracle(rounds: int = 8) -> str:
                    ((2 * covered_chars * 1000000 + n_chars)
                     // (2 * n_chars))::BIGINT AS coverage_micro
             FROM nd JOIN agg USING (lang)
+        """
+
+
+def _tokenizer_selection_oracle(variants=(2, 4, 8)) -> str:
+    """DuckDB twin of _q_tokenizer_selection: BPE prefix-nesting means
+    the n-merge tokenizer's dict state is the training chain's OWN
+    intermediate r{n} table, so the sweep is one shared chain + one
+    fertility/coverage select per variant, unioned. Shares the lw
+    (lang, word, cnt) corpus aggregate across variants."""
+    rounds = max(variants)
+    per_n = []
+    for n in variants:
+        per_n.append(f"""
+            SELECT {n}::INT AS n_merges, lang,
+                   SUM(cnt * len(toks))::BIGINT AS n_tokens,
+                   ((2 * SUM(cnt * len(toks)) * 1000000 + SUM(cnt))
+                    // (2 * SUM(cnt)))::BIGINT AS fertility_micro,
+                   ((2 * SUM(cnt * COALESCE(list_sum(list_transform(toks,
+                        t -> CASE WHEN len(t) >= 2 THEN len(t)
+                                  ELSE 0 END)), 0)) * 1000000
+                     + SUM(cnt * len(w)))
+                    // (2 * SUM(cnt * len(w))))::BIGINT AS coverage_micro
+            FROM lw JOIN r{n} ON r{n}.w = lw.word
+            GROUP BY lang""")
+    sel = "\n            UNION ALL".join(per_n)
+    return f"""
+            WITH {_bpe_chain(rounds, thru=True)},
+            occ AS (
+              SELECT lang, w[i::INT] AS word
+              FROM (SELECT lang, {_WORDS} AS w FROM documents
+                    WHERE lang IS NOT NULL) d,
+                   unnest(range(1, len(w) + 1)) AS t(i)
+              WHERE w[i::INT] <> ''
+            ), lw AS (
+              SELECT lang, word, COUNT(*)::BIGINT AS cnt
+              FROM occ GROUP BY lang, word
+            )
+            {sel}
         """
 
 
@@ -8640,6 +8728,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _bpe_oracle(8),
         "tokenizer_fertility": _tokenizer_fertility_oracle(8),
+        "tokenizer_selection": _tokenizer_selection_oracle((2, 4, 8)),
+        # per-label mean-vector cosine between corpus versions; means
+        # 6-dp rounded after AVG (the kmeans-update discipline) so the
+        # cosine is engine-exact; dim = 64 (the fixture embedding)
+        "embedding_drift": """
+            WITH base AS (
+              SELECT vec_id, label::INT AS label,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), old AS (
+              SELECT label, v FROM base WHERE vec_id % 11 <> 0
+            ), newv AS (
+              SELECT label,
+                     CASE WHEN vec_id % 7 = 0
+                          THEN list_transform(v, x -> x + 0.25)
+                          ELSE v END AS v
+              FROM base WHERE vec_id % 13 <> 0
+            ), om AS (
+              SELECT label, g.i,
+                     ((CASE WHEN (AVG(v[g.i])) < 0 THEN -1 ELSE 1 END)
+                      * floor(abs(AVG(v[g.i])) * 1000000.0 + 0.5)
+                      / 1000000.0 + 0.0) AS mx
+              FROM old, generate_series(1, 64) AS g(i)
+              GROUP BY label, g.i
+            ), nm AS (
+              SELECT label, g.i,
+                     ((CASE WHEN (AVG(v[g.i])) < 0 THEN -1 ELSE 1 END)
+                      * floor(abs(AVG(v[g.i])) * 1000000.0 + 0.5)
+                      / 1000000.0 + 0.0) AS mx
+              FROM newv, generate_series(1, 64) AS g(i)
+              GROUP BY label, g.i
+            ), omv AS (
+              SELECT label, list(mx ORDER BY i) AS mo FROM om
+              GROUP BY label
+            ), nmv AS (
+              SELECT label, list(mx ORDER BY i) AS mn FROM nm
+              GROUP BY label
+            ), oc AS (
+              SELECT label, COUNT(*)::BIGINT AS n_old FROM old
+              GROUP BY label
+            ), nc AS (
+              SELECT label, COUNT(*)::BIGINT AS n_new FROM newv
+              GROUP BY label
+            )
+            SELECT label, n_old, n_new,
+                   (CASE WHEN (((CASE WHEN (list_cosine_similarity(mo, mn)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(mo, mn)) * 1000000.0 + 0.5) / 1000000.0 + 0.0)) < 0
+                         THEN -1 ELSE 1 END)
+                   * CAST(floor(abs(((CASE WHEN (list_cosine_similarity(mo, mn)) < 0 THEN -1 ELSE 1 END) * floor(abs(list_cosine_similarity(mo, mn)) * 1000000.0 + 0.5) / 1000000.0 + 0.0)) * 1000000.0 + 0.5) AS BIGINT)
+                     AS cos_micro
+            FROM omv JOIN nmv USING (label) JOIN oc USING (label)
+                 JOIN nc USING (label)
+        """,
         # reservoir draw: k smallest (md5(doc_id), doc_id) coins
         "reservoir_sample": """
             SELECT ROW_NUMBER() OVER (

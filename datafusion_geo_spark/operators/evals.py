@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 
 __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
            "hist_quantiles", "quantiles_from_hist", "categorical_drift",
-           "cat_drift_from_hist", "cohen_kappa"]
+           "cat_drift_from_hist", "cohen_kappa", "embedding_drift"]
 
 
 def _r6(col):
@@ -455,3 +455,50 @@ def ndcg_overlap(bf: DataFrame, ann: DataFrame, k: int = 10) -> DataFrame:
                       / F.col("idcg_num").cast("double")))
     return j.select("query_id", "n_judged", "dcg_num", "idcg_num",
                     ndcg.alias("ndcg"))
+
+
+def embedding_drift(old: DataFrame, new: DataFrame,
+                    label_col: str = "label",
+                    vec_col: str = "v") -> DataFrame:
+    """Embedding-space drift between two corpus versions: per label,
+    the cosine between the versions' 6-dp-rounded mean vectors — the
+    regression check run when an embedding model or its input pipeline
+    changes (a label's centroid swinging away from 1.0 flags the drift
+    before any downstream ANN/recall eval does).
+
+    Scale shape: each side is ONE partial+final (label, dim) average —
+    state |labels|·dim cells — then a |labels|-row join; nothing else
+    touches the corpus. Determinism: per-dimension means round to 6 dp
+    after AVG (the kmeans-update discipline — rounding absorbs the
+    engines' partial-aggregate summation-order spread), so both mean
+    vectors are identical doubles in Spark and the oracle and the
+    cosine replays exactly; the output cosine is a micro int.
+
+    ``vec_col`` must be array<double> with nonzero-norm means (see the
+    prenorm contract note in operators/similarity.py).
+    Returns (label, n_old, n_new, cos_micro)."""
+    from .similarity import dot, norm
+    from .util import round6_binary
+
+    def mean_vec(df, mcol):
+        e = df.select(F.col(label_col).alias("label"),
+                      F.posexplode(F.col(vec_col)).alias("i", "x"))
+        m = (e.groupBy("label", "i")
+             .agg(round6_binary(F.avg("x")).alias("mx")))
+        return (m.groupBy("label")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                    lambda s: s["mx"]).alias(mcol)))
+
+    def side_count(df, ncol):
+        return (df.groupBy(F.col(label_col).alias("label"))
+                .agg(F.count(F.lit(1)).cast("long").alias(ncol)))
+
+    j = (mean_vec(old, "mo").join(mean_vec(new, "mn"), "label")
+         .join(side_count(old, "n_old"), "label")
+         .join(side_count(new, "n_new"), "label"))
+    cs = round6_binary(dot(F.col("mo"), F.col("mn"))
+                       / (norm(F.col("mo")) * norm(F.col("mn"))))
+    micro = (F.signum(cs) * F.floor(F.abs(cs) * F.lit(1e6) + F.lit(0.5))) \
+        .cast("long")
+    return j.select("label", "n_old", "n_new", micro.alias("cos_micro"))

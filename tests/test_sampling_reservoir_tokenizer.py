@@ -134,3 +134,42 @@ def test_streaming_reservoir_split_insensitive(spark, tmp_path):
                   .select("doc_id", "lang", "source", "sample_rank")
                   .collect())
     assert got == want
+
+
+def test_embedding_drift_matches_bruteforce(spark):
+    """embedding_drift (operators/evals.py): per-label mean-vector
+    cosine against a local numpy replay with the identical 6-dp
+    rounding discipline."""
+    import math
+
+    from datafusion_geo_spark.operators.evals import embedding_drift
+
+    def r6(x):
+        s = 0.0 if x == 0.0 else (1.0 if x > 0.0 else -1.0)
+        return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0
+
+    old_rows = [(i % 3, [float(i % 5), float((i * 3) % 7), 1.0])
+                for i in range(60)]
+    new_rows = [(i % 3, [float(i % 5) + 0.25, float((i * 3) % 7), 1.5])
+                for i in range(45)]
+    old = spark.createDataFrame(old_rows, "label int, v array<double>")
+    new = spark.createDataFrame(new_rows, "label int, v array<double>")
+    got = {r["label"]: r.asDict()
+           for r in embedding_drift(old, new).collect()}
+
+    for lbl in (0, 1, 2):
+        ov = [v for l, v in old_rows if l == lbl]
+        nv = [v for l, v in new_rows if l == lbl]
+        mo = [r6(sum(col) / len(ov)) for col in zip(*ov)]
+        mn = [r6(sum(col) / len(nv)) for col in zip(*nv)]
+        dot = 0.0
+        for a, b in zip(mo, mn):
+            dot = dot + a * b
+        no = math.sqrt(sum(a * a for a in mo))
+        nn = math.sqrt(sum(b * b for b in mn))
+        cs = r6(dot / (no * nn))
+        want_micro = int(math.copysign(
+            math.floor(abs(cs) * 1e6 + 0.5), cs))
+        g = got[lbl]
+        assert g["n_old"] == len(ov) and g["n_new"] == len(nv)
+        assert g["cos_micro"] == want_micro
