@@ -3271,23 +3271,18 @@ def _q_tokenizer_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 8 merges — the fertility/coverage-vs-vocab-size elbow a merge
     budget is chosen from. BPE merge lists are PREFIX-NESTED (the
     n-round tokenizer is the first n rows of the 8-round fit), so the
-    sweep costs ZERO extra training: one shared cached fit, three
-    dict-sized stats tails. Oracle reads the same nested states — the
-    training chain's intermediate r2/r4/r8 dict tables."""
+    sweep costs ZERO extra training (one shared cached fit) and ONE
+    corpus pass (operators/bpe.py tokenizer_selection_stats: the
+    (lang, word) dict is materialized once, each variant folds over
+    it). Oracle reads the same nested states — the training chain's
+    intermediate r2/r4/r8 dict tables."""
     from datafusion_geo_spark.operators.bpe import bpe_train_cached, \
-        tokenizer_stats
+        tokenizer_selection_stats
     docs = _docs(spark, sf_dir)
     triples = [(l, r, m) for _, l, r, m, _ in
                bpe_train_cached(docs, "text", rounds=8,
                                 cache_key=(sf_dir, "documents"))]
-    out = None
-    for n in (2, 4, 8):
-        t = (tokenizer_stats(docs, triples[:n])
-             .select(F.lit(n).cast("int").alias("n_merges"),
-                     "lang", "n_tokens", "fertility_micro",
-                     "coverage_micro"))
-        out = t if out is None else out.unionAll(t)
-    return out
+    return tokenizer_selection_stats(docs, triples, variants=(2, 4, 8))
 
 
 def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -196,6 +196,69 @@ def tokenizer_stats(docs: DataFrame, merges: List[Tuple[str, str, str]],
                            "(2*n_chars) AS LONG)").alias("coverage_micro")))
 
 
+def tokenizer_selection_stats(docs: DataFrame,
+                              merges: List[Tuple[str, str, str]],
+                              variants: Tuple[int, ...] = (2, 4, 8),
+                              text_col: str = "text",
+                              lang_col: str = "lang") -> DataFrame:
+    """:func:`tokenizer_stats` swept over nested merge budgets — the
+    fertility/coverage-vs-vocab-size elbow table a merge count is
+    chosen from. BPE merge lists are prefix-nested, so variant n is
+    simply ``merges[:n]`` of one shared fit.
+
+    Scale shape: the corpus-sized (lang, word) count runs ONCE and is
+    localCheckpoint-ed (dict-sized: |langs| × distinct words,
+    Zipf-bounded), and every variant's fold + join runs against that
+    materialized dict — a naive per-variant tokenizer_stats union
+    would re-pay the corpus pass |variants| times. Returns one row per
+    (n_merges, lang): (n_merges, lang, n_tokens, fertility_micro,
+    coverage_micro), the same exact-int64 half-up micros as
+    tokenizer_stats."""
+    occ = (docs.where(F.col(lang_col).isNotNull())
+           .select(F.col(lang_col).alias("lang"),
+                   F.explode(words_col(F.col(text_col))).alias("w"))
+           .where(F.col("w") != ""))
+    lw = (occ.groupBy("lang", "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+          .localCheckpoint(eager=True))
+    dw = lw.select("w").distinct()
+
+    out = None
+    for n in variants:
+        toks = F.split(F.col("w"), "")
+        for left, right, merged in merges[:n]:
+            toks = merge_fold(toks, left, right, merged)
+        wstats = (dw.select("w", toks.alias("toks"),
+                            F.length("w").cast("long").alias("wchars"))
+                  .select("w", "wchars",
+                          F.size("toks").cast("long").alias("wtoks"),
+                          F.aggregate(
+                              "toks", F.lit(0),
+                              lambda acc, t: acc + F.when(
+                                  F.length(t) >= 2, F.length(t))
+                              .otherwise(F.lit(0))).cast("long")
+                          .alias("cov")))
+        agg = (lw.join(wstats, "w")
+               .groupBy("lang")
+               .agg(F.sum("cnt").cast("long").alias("n_words"),
+                    F.sum(F.col("cnt") * F.col("wtoks")).cast("long")
+                    .alias("n_tokens"),
+                    F.sum(F.col("cnt") * F.col("cov")).cast("long")
+                    .alias("covered_chars"),
+                    F.sum(F.col("cnt") * F.col("wchars")).cast("long")
+                    .alias("n_chars"))
+               .select(F.lit(int(n)).cast("int").alias("n_merges"),
+                       "lang", "n_tokens",
+                       F.expr("CAST((2*n_tokens*1000000 + n_words) DIV "
+                              "(2*n_words) AS LONG)")
+                       .alias("fertility_micro"),
+                       F.expr("CAST((2*covered_chars*1000000 + n_chars) "
+                              "DIV (2*n_chars) AS LONG)")
+                       .alias("coverage_micro")))
+        out = agg if out is None else out.unionAll(agg)
+    return out
+
+
 def bpe_apply(df: DataFrame, text_col: str,
               merges: List[Tuple[str, str, str]],
               out_col: str = "bpe_tokens") -> DataFrame:

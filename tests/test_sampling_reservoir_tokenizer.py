@@ -173,3 +173,25 @@ def test_embedding_drift_matches_bruteforce(spark):
         g = got[lbl]
         assert g["n_old"] == len(ov) and g["n_new"] == len(nv)
         assert g["cos_micro"] == want_micro
+
+
+def test_tokenizer_selection_matches_per_variant_stats(spark):
+    """tokenizer_selection_stats must equal tokenizer_stats run per
+    merge-prefix — the one-corpus-pass sweep is a pure refactor of the
+    per-variant union."""
+    from datafusion_geo_spark.operators.bpe import tokenizer_selection_stats
+
+    docs = _docs_df(spark)
+    triples = [(r["left_tok"], r["right_tok"], r["merged"])
+               for r in bpe_train(docs, "text", rounds=4)
+               .orderBy("merge_rank").collect()]
+    got = sorted(
+        tuple(r) for r in
+        tokenizer_selection_stats(docs, triples, variants=(1, 2, 4))
+        .collect())
+    want = []
+    for n in (1, 2, 4):
+        for r in tokenizer_stats(docs, triples[:n]).collect():
+            want.append((n, r["lang"], r["n_tokens"],
+                         r["fertility_micro"], r["coverage_micro"]))
+    assert got == sorted(want)
