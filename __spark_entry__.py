@@ -3285,6 +3285,19 @@ def _q_tokenizer_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_selection_stats(docs, triples, variants=(2, 4, 8))
 
 
+def _q_kn_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (operators/text.py
+    kn_bigram_perplexity): the Chen-&-Goodman-best n-gram smoother —
+    continuation-count backoff with D = 0.75 — over the shared 90/10
+    md5 split, completing the LM-eval family next to add-1 unigram
+    (heldout_ppl) and Jelinek-Mercer (bigram_ppl). Continuation/
+    following-type counts derive from the bigram table (no extra
+    corpus pass); per-pair logprobs micro-int'ed before the sum; full
+    SQL replay."""
+    from datafusion_geo_spark.operators.text import kn_bigram_perplexity
+    return kn_bigram_perplexity(_docs(spark, sf_dir))
+
+
 def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift between corpus versions (operators/evals.py
     embedding_drift): per label, cosine of the versions' 6-dp-rounded
@@ -4441,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_reservoir": _q_streaming_reservoir,
         "tokenizer_selection": _q_tokenizer_selection,
         "embedding_drift": _q_embedding_drift,
+        "kn_bigram_ppl": _q_kn_bigram_ppl,
         # --- regression canaries (heavy, driver-green r1-r7) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "minhash_pairs": _q_minhash_pairs,
@@ -4471,10 +4485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
-        "asof_join": _q_asof_join,
         # ---------------- position 51+ below this line ----------------
         # (re-gate candidates displaced by the round-8 adds; all
         # r3/r4-green and still gated locally every run)
+        "asof_join": _q_asof_join,
         "hash_split": _q_hash_split,
         "neardup_components": _q_neardup_components,
         "chunk_docs": _q_chunk_docs,
@@ -5755,6 +5769,70 @@ def _bigram_ppl_oracle() -> str:
                        AS n_unseen_pair,
                      SUM({lp_m})::BIGINT AS lp_micro_sum
               FROM sc, tot, vs
+            )
+            SELECT n_test_docs, n_test_bigrams, n_unseen_ctx,
+                   n_unseen_pair, lp_micro_sum,
+                   {ppl_m} AS ppl_micro
+            FROM agg
+    """
+
+
+def _kn_bigram_ppl_oracle() -> str:
+    """SQL replay of text.kn_bigram_perplexity: the bigram_ppl chain
+    plus the two dict-sized distinct-neighbor counts, the identical KN
+    probability expression (same operator order, so every IEEE step
+    matches), micro-int pair logprobs, the shared exp(-mean) chain."""
+    wl = "string_split_regex(trim(lower(text)), '\\s+')"
+    micro = ("(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)")
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    pcont = ("((COALESCE(np, 0) + 1)::DOUBLE "
+             "/ (btypes + v + 1)::DOUBLE)")
+    p = ("(CASE WHEN nf IS NOT NULL THEN "
+         "greatest(COALESCE(c12, 0)::DOUBLE - 0.75, 0.0) / c1::DOUBLE "
+         f"+ 0.75 * nf::DOUBLE / c1::DOUBLE * {pcont} "
+         f"ELSE {pcont} END)")
+    lp_m = micro.format(x=f"ln({p})")
+    ppl = r6.format(x="exp(-((lp_micro_sum / 1000000.0) "
+                      "/ n_test_bigrams))")
+    ppl_m = micro.format(x=ppl)
+    return f"""
+            WITH sp AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS b
+              FROM documents
+            ), tw AS (SELECT doc_id, {wl} AS w FROM sp WHERE b < 9000),
+            ttoks AS (SELECT unnest(w) AS w FROM tw),
+            vocab AS (SELECT w, COUNT(*)::BIGINT AS cnt
+                      FROM ttoks GROUP BY w),
+            vs AS (SELECT COUNT(*)::BIGINT AS v FROM vocab),
+            tbg AS (SELECT w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+                    FROM tw, unnest(range(1, len(w))) AS t(i)),
+            bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12
+                   FROM tbg GROUP BY w1, w2),
+            nf AS (SELECT w1, COUNT(*)::BIGINT AS nf FROM bg GROUP BY w1),
+            npr AS (SELECT w2, COUNT(*)::BIGINT AS np FROM bg GROUP BY w2),
+            bt AS (SELECT COUNT(*)::BIGINT AS btypes FROM bg),
+            hw AS (SELECT doc_id, {wl} AS w FROM sp WHERE b >= 9000),
+            hbg AS (SELECT doc_id, w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+                    FROM hw, unnest(range(1, len(w))) AS t(i)),
+            sc AS (SELECT h.doc_id, bg.c12, v1.cnt AS c1, nf.nf, npr.np
+                   FROM hbg h
+                   LEFT JOIN bg ON bg.w1 = h.w1 AND bg.w2 = h.w2
+                   LEFT JOIN vocab v1 ON v1.w = h.w1
+                   LEFT JOIN nf ON nf.w1 = h.w1
+                   LEFT JOIN npr ON npr.w2 = h.w2),
+            agg AS (
+              SELECT COUNT(DISTINCT sc.doc_id)::BIGINT AS n_test_docs,
+                     COUNT(*)::BIGINT AS n_test_bigrams,
+                     SUM(CASE WHEN nf IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unseen_ctx,
+                     SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unseen_pair,
+                     SUM({lp_m})::BIGINT AS lp_micro_sum
+              FROM sc, bt, vs
             )
             SELECT n_test_docs, n_test_bigrams, n_unseen_ctx,
                    n_unseen_pair, lp_micro_sum,
@@ -8004,6 +8082,7 @@ def oracle_sql() -> dict[str, str]:
         # bigrams (w[i], w[i+1]), the same 0.75/0.25 JM mix in the same
         # op order, micro-int pair logprobs, heldout_ppl's ln/exp chain
         "bigram_ppl": _bigram_ppl_oracle(),
+        "kn_bigram_ppl": _kn_bigram_ppl_oracle(),
         "cluster_cohesion": _cluster_cohesion_oracle(),
         # PCA power-iteration replay: milli quantization, exact int64
         # Gram (::BIGINT vs HUGEINT), two unrolled integer rounds with

@@ -716,6 +716,93 @@ def bigram_heldout_perplexity(df: DataFrame, text_col: str = "text",
                       ppl_micro.alias("ppl_micro"))
 
 
+def kn_bigram_perplexity(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Held-out perplexity of an INTERPOLATED KNESER-NEY bigram LM —
+    the standard LM-eval smoothing (Kneser & Ney 1995; Chen & Goodman
+    1999 found interpolated KN the consistently best n-gram smoother),
+    completing the family next to add-1 unigram (heldout_ppl) and
+    Jelinek-Mercer bigram (bigram_ppl). KN's insight: the backoff
+    weight of a word is how many distinct CONTEXTS it follows
+    (continuation count), not its raw frequency — 'Francisco' is
+    frequent but predictable from 'San', so its continuation mass is
+    tiny.
+
+    Same deterministic 90/10 md5-bucket split. With discount D = 0.75
+    (exact in binary) and train-side counts c(w1 w2), c(w1),
+    N1+(w1·) = distinct words following w1, N1+(·w2) = distinct words
+    preceding w2, B = distinct bigram types, V = vocab size:
+
+        p_cont(w2)  = (N1+(·w2) + 1) / (B + V + 1)      (add-1 so
+                       unseen words keep a finite logprob)
+        p(w2|w1)    = max(c(w1w2) − D, 0)/c(w1)
+                      + (D·N1+(w1·)/c(w1)) · p_cont(w2)   if N1+(w1·) > 0
+                    = p_cont(w2)                           otherwise
+                      (contexts with no train bigram — unseen words and
+                       doc-final-only words — back off fully)
+
+    Per-pair logprobs round to micro ints BEFORE the sum (fold-order
+    free); perplexity follows the shared exp(-mean) literal chain. ONE
+    row out, the bigram_ppl shape: (n_test_docs, n_test_bigrams,
+    n_unseen_ctx, n_unseen_pair, lp_micro_sum, ppl_micro) — unseen_ctx
+    here counts N1+(w1·)-null contexts. Scale: the same two grouped
+    counts as bigram_ppl plus two dict-sized distinct-neighbor counts
+    DERIVED FROM the bigram table (no extra corpus pass), two one-row
+    broadcast totals."""
+    from .dedup import h64
+    from .util import round6_binary
+    b = h64(F.col(id_col).cast("string")) % F.lit(10000)
+    base = df.select(F.col(id_col),
+                     words_col(F.lower(F.col(text_col))).alias("_w"),
+                     b.alias("_b"))
+    train = base.where(F.col("_b") < 9000)
+    ttoks = train.select(F.explode(F.col("_w")).alias("w"))
+    vocab = ttoks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vs = vocab.agg(F.count(F.lit(1)).alias("v"))
+    bg = (train.select(F.explode(_bigrams_col(F.col("_w"))).alias("p"))
+          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c12")))
+    nf = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    npr = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("np"))
+    bt = bg.agg(F.count(F.lit(1)).alias("btypes"))
+    hbg = (base.where(F.col("_b") >= 9000)
+           .select(F.col(id_col),
+                   F.explode(_bigrams_col(F.col("_w"))).alias("p"))
+           .select(id_col, F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    sc = (hbg.join(bg, ["w1", "w2"], "left")
+          .join(vocab.select(F.col("w").alias("w1"),
+                             F.col("cnt").alias("c1")), "w1", "left")
+          .join(nf, "w1", "left")
+          .join(npr, "w2", "left")
+          .crossJoin(F.broadcast(bt)).crossJoin(F.broadcast(vs)))
+    p_cont = ((F.coalesce(F.col("np"), F.lit(0)) + F.lit(1)).cast("double")
+              / (F.col("btypes") + F.col("v") + F.lit(1)).cast("double"))
+    p_seen = (F.greatest(F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                         - F.lit(0.75), F.lit(0.0))
+              / F.col("c1").cast("double")
+              + F.lit(0.75) * F.col("nf").cast("double")
+              / F.col("c1").cast("double") * p_cont)
+    p = F.when(F.col("nf").isNotNull(), p_seen).otherwise(p_cont)
+    lp = F.log(p)
+    lp_micro = (F.signum(lp) * F.floor(F.abs(lp) * F.lit(1e6)
+                                       + F.lit(0.5))).cast("long")
+    agg = sc.agg(
+        F.countDistinct(id_col).alias("n_test_docs"),
+        F.count(F.lit(1)).alias("n_test_bigrams"),
+        F.sum(F.col("nf").isNull().cast("long")).alias("n_unseen_ctx"),
+        F.sum(F.col("c12").isNull().cast("long")).alias("n_unseen_pair"),
+        F.sum(lp_micro).alias("lp_micro_sum"))
+    mean = (F.col("lp_micro_sum") / F.lit(1000000.0)) \
+        / F.col("n_test_bigrams")
+    pp = round6_binary(F.exp(-mean))
+    ppl_micro = (F.signum(pp) * F.floor(F.abs(pp) * F.lit(1e6)
+                                        + F.lit(0.5))).cast("long")
+    return agg.select("n_test_docs", "n_test_bigrams", "n_unseen_ctx",
+                      "n_unseen_pair", "lp_micro_sum",
+                      ppl_micro.alias("ppl_micro"))
+
+
 # Sentence segmentation --------------------------------------------------
 
 # unit separator: the injected sentence-boundary marker. Safe for the

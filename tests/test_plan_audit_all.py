@@ -51,6 +51,7 @@ ALLOWED_BROADCAST_CROSSES = {
                              # total + train vocab size) broadcast onto
                              # the held-out token stream
     "bigram_ppl": 2,         # the same two one-row train totals
+    "kn_bigram_ppl": 2,      # one-row bigram-type + vocab totals
                              # broadcast onto the held-out bigram
                              # stream (text.bigram_heldout_perplexity)
     "mlm_masking": 1,        # one-row replacement-pool-size aggregate

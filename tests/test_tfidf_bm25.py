@@ -161,3 +161,61 @@ def test_bigram_ppl_detects_word_order_corruption(spark):
     uni_o = heldout_perplexity(ordered).collect()[0]
     uni_s = heldout_perplexity(shuffled).collect()[0]
     assert uni_o["ppl_micro"] == uni_s["ppl_micro"]  # unigram is blind
+
+
+def test_kn_bigram_ppl_matches_python_reference(spark):
+    """kn_bigram_perplexity against a pure-Python interpolated-KN
+    replay (same md5 split, same D = 0.75, same continuation add-1,
+    same micro-int logprob rounding) — pins the MATH, while the
+    entry-oracle test pins the cross-engine replay."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from datafusion_geo_spark.operators.text import kn_bigram_perplexity
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+
+    texts = ["the cat sat on the mat", "the dog sat on the log",
+             "a cat and a dog", "the mat and the log xyzzy",
+             "on and on the cat ran"]
+    rows = [(i, texts[i % len(texts)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = kn_bigram_perplexity(df).collect()[0]
+
+    train = [t.lower().split() for i, t in rows if bucket(i) < 9000]
+    test = [(i, t.lower().split()) for i, t in rows if bucket(i) >= 9000]
+    c1 = Counter(w for ws in train for w in ws)
+    c12 = Counter((a, b) for ws in train for a, b in zip(ws, ws[1:]))
+    nf = Counter(a for a, _ in c12)
+    npr = Counter(b for _, b in c12)
+    B, V = len(c12), len(c1)
+    lp_sum = 0
+    n_pairs = n_unseen_ctx = n_unseen_pair = 0
+    docs = set()
+    for i, ws in test:
+        for a, b in zip(ws, ws[1:]):
+            docs.add(i)
+            n_pairs += 1
+            pc = float(npr.get(b, 0) + 1) / float(B + V + 1)
+            if a in nf:
+                p = (max(float(c12.get((a, b), 0)) - 0.75, 0.0)
+                     / float(c1[a])
+                     + 0.75 * float(nf[a]) / float(c1[a]) * pc)
+            else:
+                n_unseen_ctx += 1
+                p = pc
+            if (a, b) not in c12:
+                n_unseen_pair += 1
+            lp = math.log(p)
+            lp_sum += int(math.copysign(
+                math.floor(abs(lp) * 1e6 + 0.5), lp))
+    assert got["n_test_docs"] == len(docs)
+    assert got["n_test_bigrams"] == n_pairs
+    assert got["n_unseen_ctx"] == n_unseen_ctx
+    assert got["n_unseen_pair"] == n_unseen_pair
+    assert got["lp_micro_sum"] == lp_sum
+    # the scrambling property carries to KN: every probability is
+    # positive (add-1 continuation), so ppl is finite
+    assert got["ppl_micro"] > 1_000_000  # ppl > 1 always
