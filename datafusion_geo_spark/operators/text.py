@@ -770,10 +770,13 @@ def kn_bigram_perplexity(df: DataFrame, text_col: str = "text",
                    F.explode(_bigrams_col(F.col("_w"))).alias("p"))
            .select(id_col, F.col("p.w1").alias("w1"),
                    F.col("p.w2").alias("w2")))
+    # the two w1-keyed dims fuse into ONE dict-sized join (c(w1) and
+    # N1+(w1·) ride together), so the held-out stream shuffles once per
+    # distinct join key: (w1,w2), w1, w2
+    ctx = (vocab.select(F.col("w").alias("w1"), F.col("cnt").alias("c1"))
+           .join(nf, "w1", "left"))
     sc = (hbg.join(bg, ["w1", "w2"], "left")
-          .join(vocab.select(F.col("w").alias("w1"),
-                             F.col("cnt").alias("c1")), "w1", "left")
-          .join(nf, "w1", "left")
+          .join(ctx, "w1", "left")
           .join(npr, "w2", "left")
           .crossJoin(F.broadcast(bt)).crossJoin(F.broadcast(vs)))
     p_cont = ((F.coalesce(F.col("np"), F.lit(0)) + F.lit(1)).cast("double")
