@@ -4348,6 +4348,8 @@ def _q_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a lone \r comes back as \n — a documented lossy edge of the
 # format, not of this pipeline (see rowio.py).
 _CSV_AUG = ',"x\ny""z end '
+#: JSONL hostile classes: quote, LF, tab, backslash inside a string
+_JSONL_AUG = ' "q\n\tz\\ end'
 
 
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4373,6 +4375,32 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "lang", "n_chars"))
     write_csv_rfc4180(src, path)
     return read_csv_rfc4180(
+        spark, path, "doc_id long, text2 string, lang string, n_chars long")
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines sink + source round-trip (sources/rowio.py): text
+    augmented with embedded quote/LF/tab/backslash writes as one
+    escaped object per line and reads back with an explicit schema.
+    Unlike CSV, NULL round-trips (dropped field on write → NULL on
+    schema'd read) — the fixture has no null texts, so every doc_id %
+    7 == 0 row's text2 is FORCED NULL to exercise that path: it must
+    come back NULL, not '' or 'null'. Oracle computes the augmented
+    rows straight from parquet: equality proves the JSON codec is
+    lossless on the hostile classes."""
+    import os
+    from datafusion_geo_spark.sources.rowio import read_jsonl, write_jsonl
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "jsonl_rt", tag)
+    src = (_docs(spark, sf_dir)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 != 0,
+                          F.concat(F.substring("text", 1, 30),
+                                   F.lit(_JSONL_AUG))).alias("text2"),
+                   "lang", "n_chars"))
+    write_jsonl(src, path)
+    return read_jsonl(
         spark, path, "doc_id long, text2 string, lang string, n_chars long")
 
 
@@ -4455,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_selection": _q_tokenizer_selection,
         "embedding_drift": _q_embedding_drift,
         "kn_bigram_ppl": _q_kn_bigram_ppl,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         # --- regression canaries (heavy, driver-green r1-r7) ---
         "grid_spatial_join": _q_grid_spatial_join,
         "minhash_pairs": _q_minhash_pairs,
@@ -4484,10 +4513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "exact_dedup": _q_exact_dedup,
         "simhash_pairs": _q_simhash_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
         # ---------------- position 51+ below this line ----------------
         # (re-gate candidates displaced by the round-8 adds; all
         # r3/r4-green and still gated locally every run)
+        "ngram_jaccard": _q_ngram_jaccard,
         "asof_join": _q_asof_join,
         "hash_split": _q_hash_split,
         "neardup_components": _q_neardup_components,
@@ -9347,6 +9376,18 @@ def oracle_sql() -> dict[str, str]:
                    lang, n_chars
             FROM documents
             WHERE text IS NOT NULL
+        """,
+        # mirrors _q_jsonl_roundtrip: the same augmentation straight
+        # from parquet; NULL text stays (|| null-propagates like concat)
+        "jsonl_roundtrip": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 <> 0 THEN
+                     substr(text, 1, 30) || ' ' || chr(34) || 'q'
+                       || chr(10) || chr(9) || 'z' || chr(92)
+                       || ' end'
+                   END AS text2,
+                   lang, n_chars
+            FROM documents
         """,
         # mirrors _q_orc_roundtrip: identity on embeddings + the same
         # order-independent micro-int vector checksum

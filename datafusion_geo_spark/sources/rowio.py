@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["write_csv_rfc4180", "read_csv_rfc4180",
-           "write_orc", "read_orc"]
+           "write_orc", "read_orc", "write_jsonl", "read_jsonl"]
 
 
 def write_csv_rfc4180(df: DataFrame, path: str,
@@ -68,3 +68,22 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write JSON Lines — the de-facto LLM-pipeline interchange format
+    (one object per line). Control characters and structural bytes in
+    strings escape per the JSON spec (\\n, \\t, \\", \\\\), so embedded
+    newlines never break the one-record-per-line contract and splits
+    stay the unit of read parallelism (no CSV-style multiLine tax).
+    NULL fields are dropped on write (Spark default) and restored as
+    NULL by a schema'd read — unlike CSV, NULL vs '' round-trips."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read JSON Lines with an EXPLICIT schema — inference would
+    re-scan the data and can drift (a column of all-null lines infers
+    string; an integer column with one overflow line infers double).
+    Missing fields (write_jsonl's dropped NULLs) come back NULL."""
+    return spark.read.schema(schema).json(path)
