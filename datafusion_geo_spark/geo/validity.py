@@ -2,12 +2,16 @@
 the reference engine never validates inputs): ST_IsClosed, ST_IsRing,
 ST_IsSimple, ST_IsValid, ST_IsValidReason.
 
-Semantics follow GEOS with one documented simplification: the
-"interior is connected" polygon rule (a shell pinched by hole chains)
-is NOT checked — detecting it needs the full topology graph, and every
-other invalidity class (ring self-intersection, crossing rings,
-holes outside shell, nested holes, short/open rings) is. Reason
-strings use the PostGIS vocabulary with a ``[x y]`` location suffix."""
+Semantics follow GEOS, including the "interior is connected" polygon
+rule: once every other ring rule holds, rings touch only at ISOLATED
+POINTS, and the interior is disconnected exactly when the ring-touch
+multigraph (nodes = shell + holes, one edge per distinct touch point
+per pair) contains a cycle — a hole chain shell→h1→…→shell, or one
+hole touching the shell twice, pinches the interior
+(:func:`_interior_disconnected`; GEOS's ConnectedInteriorTester
+specialized to the point-touch-only state the earlier checks
+guarantee). Reason strings use the PostGIS vocabulary with a
+``[x y]`` location suffix."""
 
 from __future__ import annotations
 
@@ -241,6 +245,61 @@ def _rings_overlap_segment(a: Ring, b: Ring) -> Optional[Coord]:
     return None
 
 
+def _ring_touch_points(a: Ring, b: Ring) -> List[Coord]:
+    """Isolated touch points between two rings, under the
+    point-touch-only contract the earlier validity checks enforce (no
+    proper crossings, no shared segments): two straight segments
+    cannot meet in a single point interior to BOTH without crossing,
+    so every legal touch includes a vertex of one ring lying on the
+    other ring's boundary. Deduped by EPS distance."""
+    la, lb = list(a), list(b)
+    pts: List[Coord] = []
+
+    def add(p: Coord) -> None:
+        if not any(dist(p, q) <= EPS for q in pts):
+            pts.append(p)
+
+    for v in la[:-1]:           # closing vertex repeats the first
+        if any(_on_segment(v, lb[j], lb[j + 1])
+               for j in range(len(lb) - 1)):
+            add(v)
+    for v in lb[:-1]:
+        if any(_on_segment(v, la[i], la[i + 1])
+               for i in range(len(la) - 1)):
+            add(v)
+    return pts
+
+
+def _interior_disconnected(rings: List[Ring]) -> Optional[Coord]:
+    """GEOS's ConnectedInteriorTester rule, specialized to the state
+    the preceding checks guarantee (rings touch only at isolated
+    points): the interior is disconnected iff the ring-touch
+    multigraph — nodes = shell + holes, one edge per distinct touch
+    point between a pair — contains a cycle. A hole chain
+    shell→h1→h2→shell closes a cycle; so do two distinct touches
+    between the same pair (a lens-shaped hole against the shell splits
+    the disk into two lunes meeting only at points). Union-find: the
+    first edge whose endpoints are already connected is the pinch, and
+    its touch point is the reported location."""
+    n = len(rings)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            for p in _ring_touch_points(rings[i], rings[j]):
+                ri, rj = find(i), find(j)
+                if ri == rj:
+                    return p
+                parent[ri] = rj
+    return None
+
+
 def _poly_violation(rings: List[Ring]) -> Optional[str]:
     for r in rings:
         v = _ring_violation(r)
@@ -266,6 +325,13 @@ def _poly_violation(rings: List[Ring]) -> Optional[str]:
                 return "Holes are nested" + _fmt_loc(hj[0])
             if all(point_in_polygon(p, [hj]) >= 0 for p in hi):
                 return "Holes are nested" + _fmt_loc(hi[0])
+    # LAST (ordering keeps every pre-existing reason string stable):
+    # with all point-touch preconditions now certified, run the
+    # connected-interior rule
+    if len(rings) > 1:
+        x = _interior_disconnected([list(r) for r in rings])
+        if x is not None:
+            return "Interior is disconnected" + _fmt_loc(x)
     return None
 
 

@@ -193,3 +193,45 @@ def test_ring_collinear_overlap_is_invalid():
                   "(2 2,4 2,2 3,2 2))")
     # ring touches shell at the single point (4 2)
     assert is_valid(ok)
+
+
+def test_interior_disconnected_hole_chain():
+    """The connected-interior rule (GEOS ConnectedInteriorTester,
+    specialized to point-touches): a hole chain spanning shell to
+    shell pinches the interior; sub-cycle configurations stay valid."""
+    shell = "(0 0,10 0,10 10,0 10,0 0)"
+    # chain: h1 touches left shell, h2 touches h1 and the right shell
+    pinched = W(f"POLYGON({shell},(0 5,5 4,5 6,0 5),"
+                f"(5 5,10 5,7 6,5 5))")
+    assert V.is_valid_reason(pinched).startswith(
+        "Interior is disconnected")
+    assert not V.is_valid(pinched)
+    # same chain, h2 stops short of the shell: tree, interior connected
+    open_chain = W(f"POLYGON({shell},(0 5,5 4,5 6,0 5),"
+                   f"(5 5,9 5,7 6,5 5))")
+    assert V.is_valid(open_chain)
+
+
+def test_interior_disconnected_lens_double_touch():
+    """ONE hole touching the shell at TWO distinct points splits the
+    disk into two lunes meeting only at points — disconnected; a
+    single-touch hole stays valid."""
+    shell = "(0 0,10 0,10 10,0 10,0 0)"
+    lens = W(f"POLYGON({shell},(0 5,5 4,10 5,5 6,0 5))")
+    assert V.is_valid_reason(lens).startswith("Interior is disconnected")
+    single = W(f"POLYGON({shell},(5 0,7 2,3 2,5 0))")
+    assert V.is_valid(single)
+
+
+def test_interior_connected_hole_pair_off_shell():
+    """Two holes touching each other once but never the shell form a
+    tree in the touch graph — the interior wraps around and stays
+    connected."""
+    g = W("POLYGON((0 0,10 0,10 10,0 10,0 0),"
+          "(2 5,4 4,4 6,2 5),(4 5,6 4,6 6,4 5))")
+    assert V.is_valid(g)
+    # and the reason ordering is stable: shared-segment contact is
+    # still reported as Self-intersection, not as disconnection
+    glued = W("POLYGON((0 0,10 0,10 10,0 10,0 0),"
+              "(0 5,5 4,5 6,0 5),(5 5,10 4,10 6,5 5))")
+    assert V.is_valid_reason(glued).startswith("Self-intersection")
