@@ -7803,12 +7803,9 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT DISTINCT query_id FROM bf)
             SELECT q.query_id,
                    COALESCE(s.n_common, 0)::BIGINT AS n_common,
-                   ((CASE WHEN ((1.0 - 0.9)
-                                * (COALESCE(s.wsum, 0) / 1000000.0)) < 0
-                          THEN -1 ELSE 1 END)
-                    * floor(abs((1.0 - 0.9)
-                                * (COALESCE(s.wsum, 0) / 1000000.0))
-                            * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS rbo
+                   -- exact integer 6-dp half-away scaling by (1-p)=1/10:
+                   -- never a decimal-vs-double literal across engines
+                   (((COALESCE(s.wsum, 0) + 5) // 10) / 1000000.0) AS rbo
             FROM q LEFT JOIN s USING (query_id)
         """)(__import__("datafusion_geo_spark.operators.evals",
                         fromlist=["rbo_weights_micro"])

@@ -72,7 +72,10 @@ def jvm_counters(spark):
            "heap_used_mb": None}
     try:
         mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
-        out["gc_ms"] = sum(b.getCollectionTime()
+        # getCollectionTime() is specified to return -1 when a
+        # collector does not support it — clamp so one such bean can't
+        # understate the sum and corrupt per-query gc_ms deltas
+        out["gc_ms"] = sum(max(b.getCollectionTime(), 0)
                            for b in mf.getGarbageCollectorMXBeans())
         out["uptime_ms"] = mf.getRuntimeMXBean().getUptime()
         out["heap_used_mb"] = round(
@@ -183,15 +186,13 @@ def main() -> None:
 
     bench_end = jvm_counters(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Two lines, deliberately: the driver machine-reads the LAST stdout
+    # line, and round 8 proved the full telemetry object (~3 KB) blows
+    # its tail-capture window (BENCH_r08 "parsed": null). The diagnosis
+    # payload goes on its own earlier line; the compact summary — the
+    # driver's contract — is printed last and stays well under ~1.5 KB.
     print(json.dumps({
-        "metric": "spatial_queries_total_sec",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "spread": spread,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cpus": int(CPUS),
-        "runs": RUNS,
+        "diagnostics": True,
         "runs_all": runs_all,
         "telemetry": telemetry,
         # session shape: a fresh-JVM bench shows uptime of a few tens of
@@ -205,6 +206,20 @@ def main() -> None:
             "task_ms_total": bench_end["task_ms"],
             "heap_used_mb_at_end": bench_end["heap_used_mb"],
         },
+    }))
+    print(json.dumps({
+        "metric": "spatial_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(CPUS),
+        "runs": RUNS,
+        "loadavg_max": round(max(
+            (x for t in telemetry.values()
+             for x in (t["loadavg_before"] + t["loadavg_after"])),
+            default=0.0), 2),
     }))
     spark.stop()
 

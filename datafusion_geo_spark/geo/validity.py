@@ -273,16 +273,41 @@ def _ring_touch_points(a: Ring, b: Ring) -> List[Coord]:
 def _interior_disconnected(rings: List[Ring]) -> Optional[Coord]:
     """GEOS's ConnectedInteriorTester rule, specialized to the state
     the preceding checks guarantee (rings touch only at isolated
-    points): the interior is disconnected iff the ring-touch
-    multigraph — nodes = shell + holes, one edge per distinct touch
-    point between a pair — contains a cycle. A hole chain
-    shell→h1→h2→shell closes a cycle; so do two distinct touches
-    between the same pair (a lens-shaped hole against the shell splits
-    the disk into two lunes meeting only at points). Union-find: the
-    first edge whose endpoints are already connected is the pinch, and
-    its touch point is the reported location."""
+    points): the interior is disconnected iff the BIPARTITE graph of
+    ring nodes and EPS-deduplicated touch-POINT nodes (one edge per
+    ring↔point incidence) contains a cycle. A hole chain
+    shell→P1→h1→P2→h2→P3→shell closes a cycle; so do two distinct
+    touches between the same pair (a lens-shaped hole against the
+    shell splits the disk into two lunes meeting only at points). But
+    three or more rings meeting at ONE coincident point stay a star —
+    a tree — and the interior stays connected (GEOS/JTS agree): the
+    earlier ring-pair-edge formulation wrongly counted that as a
+    cycle because it never identified coincident points across pairs.
+    Union-find: the first incidence whose ring and point are already
+    connected is the pinch, and the touch point is the reported
+    location."""
     n = len(rings)
-    parent = list(range(n))
+    pts: List[Coord] = []           # global EPS-deduped touch points
+
+    def pid(p: Coord) -> int:
+        for k, q in enumerate(pts):
+            if dist(p, q) <= EPS:
+                return k
+        pts.append(p)
+        return len(pts) - 1
+
+    incidences: List[tuple] = []    # (ring index, point id), deduped
+    seen = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            for p in _ring_touch_points(rings[i], rings[j]):
+                k = pid(p)
+                for r in (i, j):
+                    if (r, k) not in seen:
+                        seen.add((r, k))
+                        incidences.append((r, k))
+
+    parent = list(range(n + len(pts)))
 
     def find(x: int) -> int:
         while parent[x] != x:
@@ -290,13 +315,11 @@ def _interior_disconnected(rings: List[Ring]) -> Optional[Coord]:
             x = parent[x]
         return x
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            for p in _ring_touch_points(rings[i], rings[j]):
-                ri, rj = find(i), find(j)
-                if ri == rj:
-                    return p
-                parent[ri] = rj
+    for r, k in incidences:
+        rr, rk = find(r), find(n + k)
+        if rr == rk:
+            return pts[k]
+        parent[rr] = rk
     return None
 
 

@@ -112,13 +112,46 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
 _MERGE_CACHE: dict = {}
 
 
+def clear_merge_cache() -> None:
+    """Drop every memoized fit — for test fixtures that rewrite the
+    data under a reused path within one process."""
+    _MERGE_CACHE.clear()
+
+
+def _key_fingerprint(cache_key) -> tuple:
+    """Augment path-shaped key elements with (mtime_ns, size) so a
+    corpus rewritten IN PLACE within one process (e.g. a reused tmp
+    dir across test fixtures) misses the memo instead of silently
+    serving a stale fit (r8 ADVICE). For directories the newest direct
+    child is folded in (parquet rewrites touch the files, and often
+    not the dir). Non-path elements pass through unchanged."""
+    import os
+
+    def fp(el):
+        if isinstance(el, (tuple, list)):
+            return tuple(fp(x) for x in el)
+        if isinstance(el, str) and os.path.exists(el):
+            st = os.stat(el)
+            stamp = (st.st_mtime_ns, st.st_size)
+            if os.path.isdir(el):
+                kids = [os.path.join(el, f) for f in os.listdir(el)]
+                stamp += (max((os.stat(k).st_mtime_ns for k in kids),
+                              default=0),)
+            return (el, stamp)
+        return el
+    return fp(cache_key)
+
+
 def bpe_train_cached(docs: DataFrame, text_col: str = "text",
                      rounds: int = 8, cache_key=None) -> list:
     """:func:`bpe_train` collected to its merge-tuple list
     [(merge_rank, left, right, merged, pair_count)], with a
     process-level memo. ``cache_key`` must identify the corpus (e.g.
     ``(sf_dir, "documents")``) — the caller owns that contract; None
-    disables caching. The fit is deterministic, so a cache hit is
+    disables caching. Path-shaped key elements are fingerprinted with
+    their mtime/size (:func:`_key_fingerprint`), so in-place rewrites
+    of the corpus invalidate the memo; :func:`clear_merge_cache` is
+    the explicit hook. The fit is deterministic, so a cache hit is
     bit-identical to a refit."""
     def fit():
         return [(r["merge_rank"], r["left_tok"], r["right_tok"],
@@ -127,7 +160,7 @@ def bpe_train_cached(docs: DataFrame, text_col: str = "text",
                 .orderBy("merge_rank").collect()]
     if cache_key is None:
         return fit()
-    key = (cache_key, text_col, rounds)
+    key = (_key_fingerprint(cache_key), text_col, rounds)
     if key not in _MERGE_CACHE:
         _MERGE_CACHE[key] = fit()
     return _MERGE_CACHE[key]

@@ -373,9 +373,19 @@ def rbo_overlap(a: DataFrame, b: DataFrame, k: int = 10,
     re-grouped per common pair as Σ_pairs W[max(ra, rb)] with the
     precomputed micro-int table :func:`rbo_weights_micro` — per-pair
     weights are integer literals, the per-query sum is exact int64,
-    and only the final (1-p)·sum scaling is a double (identical
-    literal expression in the oracle). One equi-join on
-    (query, neighbor) + one k-row-bounded grouped sum."""
+    and the final (1-p)·sum scaling STAYS in integers: with
+    inv = 1/(1-p) an exact integer (asserted), the 6-dp half-away
+    result is rbo_micro = (wsum + inv//2) // inv, so the only double
+    op on either engine is the identical rbo_micro / 1e6 divide.
+    (Round 8 lesson: Spark's ``1.0 - 0.9`` double and DuckDB's
+    DECIMAL ``(1.0 - 0.9)`` differ by 1 ulp, tipping every
+    wsum ≡ inv/2 (mod inv) across the rounding boundary.) One
+    equi-join on (query, neighbor) + one k-row-bounded grouped sum."""
+    inv = round(1.0 / (1.0 - p))
+    if inv % 2 or abs(1.0 / (1.0 - p) - inv) > 1e-9:
+        raise ValueError(
+            f"rbo_overlap requires 1/(1-p) to be an exact even integer "
+            f"for exact micro-int scaling; got p={p}")
     W = rbo_weights_micro(k, p)
     wmap = F.map_from_arrays(
         F.array(*[F.lit(m) for m in range(1, k + 1)]),
@@ -393,8 +403,11 @@ def rbo_overlap(a: DataFrame, b: DataFrame, k: int = 10,
          .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
               F.sum("_w").cast("long").alias("_wsum")))
     q = a.select("query_id").distinct()
-    rbo = _r6((F.lit(1.0) - F.lit(p))
-              * (F.coalesce(F.col("_wsum"), F.lit(0)) / F.lit(1e6)))
+    # (wsum + inv//2) // inv in exact integers: wsum <= k * W[1] < 2^26,
+    # so the double divide under floor() is exact for every input.
+    rbo_micro = F.floor((F.coalesce(F.col("_wsum"), F.lit(0))
+                         + F.lit(inv // 2)) / F.lit(inv)).cast("long")
+    rbo = rbo_micro.cast("double") / F.lit(1e6)
     return (q.join(s, "query_id", "left")
             .select("query_id",
                     F.coalesce(F.col("n_common"), F.lit(0)).cast("long")

@@ -41,6 +41,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cos6(num: Column, den: Column) -> Column:
+    """6-dp cosine ``num/den`` with the zero-denominator case pinned to
+    -2.0 — strictly below any true cosine, so a zero-norm vector LOSES
+    every ranking deterministically instead of producing NaN, which the
+    ranking paths order inconsistently (Spark array_max ranks NaN
+    greatest; array_sort on the negated key ranks it last; DuckDB's
+    ORDER BY cs DESC ranks it first). Finite (-2.0, not -inf) so
+    downstream micro-int scaling stays in int64. Fixtures never hit the
+    guard (prenorm precondition), so oracle replays — which assume the
+    precondition — are value-identical on every fixture row."""
+    return F.when(den != 0, round6_binary(num / den)).otherwise(F.lit(-2.0))
+
+
 def prenorm(df: DataFrame, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """Normalize an embedding table to the prenormed contract
@@ -50,14 +63,15 @@ def prenorm(df: DataFrame, id_col: str = "vec_id",
     full O(dim) aggregate per row; at 100 TB you want it materialized
     with the corpus, not recomputed per probe batch).
 
-    PRECONDITION: every vector must have nonzero norm. A zero-norm row
-    makes the cosine NaN, and the three ranking paths order NaN
-    differently (Spark array_max ranks NaN greatest, _ranked_lists_inline
-    sorts it last via the negated key, DuckDB's ORDER BY cs DESC ranks
-    it first) — assignment, probe lists, and oracle replays would
-    disagree. Callers ingesting untrusted embeddings should filter
-    ``n > 0`` before entering the contract; every fixture and the
-    synthesized >cap test corpus satisfy it by construction."""
+    PRECONDITION: every vector should have nonzero norm — oracle
+    replays assume it (every fixture and the synthesized >cap test
+    corpus satisfy it by construction). The Spark-side ranking paths no
+    longer depend on it: :func:`cos6` pins the zero-denominator cosine
+    to -2.0, so a zero-norm row deterministically LOSES every ranking
+    (assignment, probe lists, top-k) instead of producing NaN, whose
+    ordering the paths disagreed on. Callers ingesting untrusted
+    embeddings should still filter ``n > 0`` if they need oracle-exact
+    parity on those rows."""
     return (df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
             .withColumn("n", norm(F.col("v"))))
 
@@ -83,8 +97,8 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
     scored = (c.crossJoin(q)
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      round6_binary(dot(F.col("qv"), F.col("cv"))
-                              / (F.col("qn") * F.col("cn"))).alias("sim")))
+                      cos6(dot(F.col("qv"), F.col("cv")),
+                           F.col("qn") * F.col("cn")).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
@@ -133,8 +147,8 @@ def ann_bucketed_topk(emb: DataFrame, n_planes: int = 6, max_query_id: int = 8,
     scored = (c.join(q, "bucket")
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      round6_binary(dot(F.col("qv"), F.col("cv"))
-                              / (F.col("qn") * F.col("cn"))).alias("sim")))
+                      cos6(dot(F.col("qv"), F.col("cv")),
+                           F.col("qn") * F.col("cn")).alias("sim")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -232,7 +246,10 @@ def kmeans_centroids(vecs: DataFrame, n_centroids: int = 8,
         members: dict = {}
         for v, n in sample:
             best = max(
-                (_r6(_dot_fold(v, c) / (n * cn)), -cid)
+                # same -2.0 zero-denominator pin as cos6 (the local
+                # Lloyd fold must rank exactly like the inlined plan)
+                (_r6(_dot_fold(v, c) / (n * cn)) if n * cn != 0
+                 else -2.0, -cid)
                 for cid, c, cn in zip(cids, cents, cns))
             members.setdefault(-best[1], []).append(v)
         new_cids, new_cents = [], []
@@ -297,8 +314,7 @@ def _assign_inline(fitted: list, v_col: Column, n_col: Column) -> Column:
     # analysis/serialization cost is per-JOB constant, not per-candidate
     best = F.array_max(F.transform(
         _cands_lit(fitted), lambda c: F.struct(
-            round6_binary(dot(v_col, c["cvec"]) / (n_col * c["cn"]))
-            .alias("cs"),
+            cos6(dot(v_col, c["cvec"]), n_col * c["cn"]).alias("cs"),
             (-c["cid"]).alias("ncid"))))
     return (-best["ncid"]).cast("int")
 
@@ -322,7 +338,7 @@ def _ranked_lists_inline(fitted: list, v_col: Column,
     values, zero shuffles."""
     return F.array_sort(F.transform(
         _cands_lit(fitted), lambda c: F.struct(
-            (-round6_binary(dot(v_col, c["cvec"]) / (n_col * c["cn"])))
+            (-cos6(dot(v_col, c["cvec"]), n_col * c["cn"]))
             .alias("ncs"),
             c["cid"].alias("cid"))))
 
@@ -384,8 +400,8 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
     # query-side scoring frame (probes filter it to max_query_id rows)
     scored = vecs.crossJoin(cents).select(
         F.col(id_col), F.col("v"), F.col("n"), "cid",
-        round6_binary(dot(F.col("v"), F.col("cvec"))
-                / (F.col("n") * F.col("cn"))).alias("cs"))
+        cos6(dot(F.col("v"), F.col("cvec")),
+             F.col("n") * F.col("cn")).alias("cs"))
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
     probes = F.broadcast(
         scored.where(F.col(id_col) < max_query_id)
@@ -411,8 +427,8 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 2,
     pairs = (c.join(q, "cid")
              .where(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id",
-                     round6_binary(dot(F.col("qv"), F.col("cv"))
-                             / (F.col("qn") * F.col("cn"))).alias("sim")))
+                     cos6(dot(F.col("qv"), F.col("cv")),
+                          F.col("qn") * F.col("cn")).alias("sim")))
     # no pair-dedup needed: each neighbor lives in exactly ONE list and
     # a query's probed lists are distinct, so (query, neighbor) is unique
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

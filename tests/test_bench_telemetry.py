@@ -28,3 +28,40 @@ def test_jvm_counters_populate(spark):
 def test_force_counts_rows(spark):
     df = spark.range(0, 123).toDF("x")
     assert bench.force(df) == 123
+
+
+def test_last_stdout_line_is_compact_summary():
+    """The driver machine-reads the LAST stdout line within a bounded
+    tail-capture window (round 8: the 3 KB single-line telemetry object
+    front-truncated there → BENCH_r08 "parsed": null). Contract: the
+    final print is a standalone compact summary under ~1.5 KB with the
+    driver-required keys; telemetry rides an earlier line."""
+    import ast
+    import json
+
+    src = open("/root/repo/bench.py").read()
+    tree = ast.parse(src)
+    main = next(n for n in ast.walk(tree)
+                if isinstance(n, ast.FunctionDef) and n.name == "main")
+    prints = [n for n in ast.walk(main)
+              if isinstance(n, ast.Call)
+              and isinstance(n.func, ast.Name) and n.func.id == "print"]
+    last = max(prints, key=lambda n: n.lineno)
+    # the last print's json.dumps argument is a dict literal — rebuild
+    # its key set and a worst-case-size rendering without running Spark
+    dumped = last.args[0]
+    assert isinstance(dumped, ast.Call) and dumped.func.attr == "dumps"
+    keys = {k.value for k in dumped.args[0].keys}
+    assert {"metric", "value", "unit", "queries", "spread",
+            "sf", "cpus", "runs"} <= keys
+    assert "telemetry" not in keys and "runs_all" not in keys \
+        and "session" not in keys
+    # worst-case size: 8 headline queries x (name + 2 floats) + scalars
+    fake = {"metric": "spatial_queries_total_sec", "value": 9999.9999,
+            "unit": "sec",
+            "queries": {f"q_{i:02d}_long_query_name": 9999.9999
+                        for i in range(8)},
+            "spread": {f"q_{i:02d}_long_query_name": [9999.9999, 9999.9999]
+                       for i in range(8)},
+            "sf": 0.1, "cpus": 32, "runs": 5, "loadavg_max": 99.99}
+    assert len(json.dumps(fake)) < 1200

@@ -80,4 +80,9 @@ def test_query_matches_oracle(spark, name):
     assert list(got.columns) == list(want.columns), \
         f"column mismatch: {list(got.columns)} vs {list(want.columns)}"
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # check_exact=True: the driver's gate is an EXACT value hash, so the
+    # replica must be at least as strict — assert_frame_equal's default
+    # rtol=1e-5 let round 8's 1e-6 rbo_eval divergence pass locally and
+    # fail the gate. Values are already 9-dp-normalized by _normalize.
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

@@ -223,6 +223,30 @@ def test_interior_disconnected_lens_double_touch():
     assert V.is_valid(single)
 
 
+def test_interior_connected_star_touches_stay_valid():
+    """Three or more rings meeting at ONE coincident point form a STAR
+    in the bipartite ring/touch-point graph — a tree, so the interior
+    stays connected (GEOS/JTS treat these as valid). The r8 ADVICE
+    counterexamples: the pre-fix pair-edge formulation reported both
+    as 'Interior is disconnected'."""
+    shell = "(0 0,10 0,10 10,0 10,0 0)"
+    # three holes sharing vertex (5,5), otherwise disjoint
+    three_holes = W(f"POLYGON({shell},(5 5,3 4,3 3,5 5),"
+                    f"(5 5,7 4,7 3,5 5),(5 5,6 7,4 7,5 5))")
+    assert V.is_valid_reason(three_holes) == "Valid Geometry"
+    # two holes plus the shell all touching at (5,0)
+    two_plus_shell = W(f"POLYGON({shell},(5 0,3 2,2 1,5 0),"
+                       f"(5 0,8 1,7 2,5 0))")
+    assert V.is_valid_reason(two_plus_shell) == "Valid Geometry"
+    # control: two dart holes meeting at TWO isolated points (5,1) and
+    # (5,5) enclose a pocket of interior between them — a genuine
+    # cycle through both point nodes, still reported as disconnected
+    pinched = W(f"POLYGON({shell},(5 1,3 3,5 5,4 3,5 1),"
+                f"(5 1,6 3,5 5,7 3,5 1))")
+    assert V.is_valid_reason(pinched).startswith(
+        "Interior is disconnected")
+
+
 def test_interior_connected_hole_pair_off_shell():
     """Two holes touching each other once but never the shell form a
     tree in the touch graph — the interior wraps around and stays
