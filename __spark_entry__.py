@@ -4094,6 +4094,120 @@ def _q_kappa_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohen_kappa(conf, "lang", "lang_pred", "n_docs")
 
 
+def _q_mcc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation of the lang_id classifier vs the
+    fixture label (operators/evals.py mcc_multiclass, Gorodkin R_K over
+    the lang_confusion matrix) — the prevalence-robust companion to
+    kappa_eval: exact int64 numerator/marginal sums, the two sqrt
+    factors taken separately so nothing leaves int64 before the IEEE
+    tail. Oracle wraps the lang_confusion SQL as a CTE (one prediction
+    definition per engine, the kappa discipline)."""
+    from datafusion_geo_spark.operators.evals import mcc_multiclass
+    conf = _q_lang_confusion(spark, sf_dir)
+    return mcc_multiclass(conf, "lang", "lang_pred", "n_docs")
+
+
+def _q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC (operators/evals.py
+    average_precision) of the auc_eval score against the same label —
+    the class-imbalance-honest companion to ROC-AUC (ROC flatters a
+    rare-positive classifier; AP does not). Same histogram shape as
+    auc_exact; per-block precisions fixed to exact-int micro ratios
+    BEFORE the weighted sum so no float accumulates across engines."""
+    from datafusion_geo_spark.operators.evals import average_precision
+    scored = _embs(spark, sf_dir).select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double")
+                * F.lit(20)).cast("long").alias("score"),
+        (F.col("label") < 5).cast("int").alias("y"))
+    return average_precision(scored, "score", "y")
+
+
+def _q_ece_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (operators/evals.py ece_from_scores)
+    of the shifted first embedding coordinate read as a confidence —
+    the one-number summary of calibration_bins' reliability table.
+    conf = e1 + 0.5 (exact binary shift keeps the fixture's [-.5, .5]
+    coordinate inside [0, 1]) micro-quantized and clamped identically
+    on both engines; per-bin gaps are the exact int64 identity
+    n_b·|acc_b − conf̄_b| = |npos_b·1e6 − Σconf_micro|."""
+    from datafusion_geo_spark.operators.evals import ece_from_scores
+    e1 = F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.5)
+    cm = F.least(F.greatest(
+        F.floor(e1 * F.lit(1e6) + F.lit(0.5)).cast("long"), F.lit(0)),
+        F.lit(1_000_000))
+    scored = _embs(spark, sf_dir).select(
+        cm.alias("conf_micro"),
+        (F.col("label") < 5).cast("int").alias("y"))
+    return ece_from_scores(scored, "conf_micro", "y", n_bins=10)
+
+
+def _q_spearman_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/evals.py spearman_overlap)
+    of trained-IVF top-10 vs brute-force top-10 per query, over their
+    common items re-ranked within the intersection — the
+    monotone-agreement eval completing the ranking family (recall =
+    set, rbo = top-weighted, ndcg = graded, rho = displacement).
+    Tie-free closed form in exact int64; signed 6-dp half-away."""
+    from datafusion_geo_spark.operators.evals import spearman_overlap
+    bf = _q_cosine_topk(spark, sf_dir)
+    ann = _q_ivf_trained_topk(spark, sf_dir)
+    return spearman_overlap(bf, ann)
+
+
+def _q_kendall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a (operators/evals.py kendall_overlap) of the same
+    ranking pair as spearman_eval — pairwise concordance, enumerated
+    by a within-query self-join bounded at k(k−1)/2 pairs; corpus-
+    scale work stays the one (query, neighbor) equi-join."""
+    from datafusion_geo_spark.operators.evals import kendall_overlap
+    bf = _q_cosine_topk(spark, sf_dir)
+    ann = _q_ivf_trained_topk(spark, sf_dir)
+    return kendall_overlap(bf, ann)
+
+
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (operators/evals.py rrf_fuse, Cormack et
+    al. 2009, k0 = 60) of the brute-force and trained-IVF top-10
+    rankings — the standard hybrid-retrieval merge, here fusing the
+    exact and approximate dense rankers. Weights are inlined micro-int
+    literals from one python table; the fused ordering is
+    (rrf desc, neighbor asc) — no float path at all."""
+    from datafusion_geo_spark.operators.evals import rrf_fuse
+    bf = _q_cosine_topk(spark, sf_dir)
+    ann = _q_ivf_trained_topk(spark, sf_dir)
+    return rrf_fuse(bf, ann, k=10, k0=60)
+
+
+def _q_kn_ppl_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language interpolated Kneser-Ney bigram perplexity
+    (operators/text.py kn_bigram_perplexity_by): one independent KN LM
+    per language over the shared 90/10 md5 split — the per-language
+    difficulty table behind tokenizer_report. Same micro-int logprob
+    sums as kn_bigram_ppl with the language key carried through every
+    dict; the one-row totals become |langs|-row broadcast dims."""
+    from datafusion_geo_spark.operators.text import kn_bigram_perplexity_by
+    return kn_bigram_perplexity_by(_docs(spark, sf_dir), "lang")
+
+
+def _q_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer-choice report (operators/bpe.py
+    tokenizer_report): per language, the smallest merge budget whose
+    coverage reaches 95% of the 8-merge reference (pure-int elbow
+    rule) with that variant's fertility/coverage, joined to the
+    language's KN perplexity — the table composing
+    tokenizer_selection + kn_ppl_by_lang into the actual decision.
+    Fit SHARED with bpe_merges/bpe_encode/tokenizer_* via the process
+    memo; oracle composes the two replay CTE chains and the same
+    integer rule."""
+    from datafusion_geo_spark.operators.bpe import bpe_train_cached, \
+        tokenizer_report
+    docs = _docs(spark, sf_dir)
+    triples = [(l, r, m) for _, l, r, m, _ in
+               bpe_train_cached(docs, "text", rounds=8,
+                                cache_key=(sf_dir, "documents"))]
+    return tokenizer_report(docs, triples, variants=(2, 4, 8))
+
+
 def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join (operators/asof_join.py asof_join_nearest):
     each event takes its user's order with the day CLOSEST to the
@@ -4448,15 +4562,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder are all driver-green in some earlier round and stay
     # gated locally by tests/test_entry_oracle.py every run.
     #
-    # ROUND 8 (this ordering, r7 verdict items 1+5): slots 1-16 = the
-    # 16 round-7 adds that have never earned a driver CORRECTNESS row;
-    # then any NEW round-8 queries; then 2 heavy green canaries; the
-    # remaining slots re-gate the OLDEST previously-green rows — all of
-    # the SURVEY §2 geometry queries last gated at r3/r4 (three rounds
-    # of kernel-adjacent refactors since) plus the heaviest r3/r4
-    # pipeline queries and the two bench-weak queries (cosine_topk,
-    # extent_by_mktsegment) so the r8 gate re-certifies their values.
-    return {
+    # ROUND 9 (r8 verdict item 4): the _FIRST50 list below pins the
+    # gate slots explicitly — the dict itself lists every query in
+    # its historical grouping and is reordered on return. Slots: the
+    # 8 NEW r9 queries; rbo_eval (re-gate after the integer-scaling
+    # fix — r8's one red row); the 3 queries displaced from r8's
+    # gate (ngram_jaccard/asof_join/hash_split); the r3-green block;
+    # the full r4-green block (incl. multimodal + streaming-extent
+    # sets); 2 heavy canaries; and the 5 eval/ANN-replay queries
+    # adjacent to this round's rbo/cos6 changes.
+    q = {
         # --- ROUND-8 GATE SLOTS 1-16: never driver-gated (added r7) ---
         "kmv_quantiles": _q_kmv_quantiles,
         "intersects_scan": _q_intersects_scan,
@@ -4696,7 +4811,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rank": _q_events_hourly_rank,
         "streaming_extent": _q_streaming_extent,
         "streaming_extent_append": _q_streaming_extent_append,
+        # --- NEW this round (round 9): ranking/classification evals,
+        #     hybrid-rank fusion, per-language LM eval, and the
+        #     end-to-end tokenizer-choice report ---
+        "mcc_eval": _q_mcc_eval,
+        "pr_auc": _q_pr_auc,
+        "ece_eval": _q_ece_eval,
+        "spearman_eval": _q_spearman_eval,
+        "kendall_eval": _q_kendall_eval,
+        "rrf_fusion": _q_rrf_fusion,
+        "kn_ppl_by_lang": _q_kn_ppl_by_lang,
+        "tokenizer_report": _q_tokenizer_report,
     }
+    out = {k: q[k] for k in _FIRST50}
+    out.update((k, v) for k, v in q.items() if k not in out)
+    return out
+
+
+#: The driver's correctness gate checks EXACTLY these 50, in order
+#: (round-9 rotation — see the comment in queries()).
+_FIRST50 = [
+    # new round-9 queries
+    "mcc_eval", "pr_auc", "ece_eval", "spearman_eval", "kendall_eval",
+    "rrf_fusion", "kn_ppl_by_lang", "tokenizer_report",
+    # round 8's one red row, re-gated after the integer-scaling fix
+    "rbo_eval",
+    # displaced from round 8's gate (r3/r4-green, locally gated since)
+    "ngram_jaccard", "asof_join", "hash_split",
+    # oldest green rows: the r3 block
+    "chunk_docs", "curation_pipeline", "geo_parquet_window",
+    "neardup_components", "range_tag_events", "streaming_first_seen",
+    "streaming_sessions",
+    # oldest green rows: the r4 block (incl. multimodal +
+    # streaming-extent sets)
+    "accessors_lines", "buffer_lines", "closest_point_lines",
+    "collect_by_segment", "covers_concave", "distance_points",
+    "events_hourly_rank", "fingerprint", "geo_pipeline",
+    "geohash_azimuth_literal", "geojson_parse", "hull_simplify_literal",
+    "lang_id", "line_interp", "line_locate_literal", "measures_lines",
+    "multimodal_decode", "multimodal_frames", "multimodal_resize",
+    "streaming_extent", "streaming_extent_append", "text_stats",
+    "tile_pyramid", "tile_stats",
+    # heavy regression canaries
+    "grid_spatial_join", "minhash_pairs",
+    # eval/ANN-replay family adjacent to this round's rbo/cos6 changes
+    "ann_recall", "minhash_eval", "pq_recall", "ivf_trained_topk",
+    "semantic_dedup",
+]
 
 
 # ---------------------------------------------------------------- oracles
@@ -5864,6 +6025,83 @@ def _kn_bigram_ppl_oracle() -> str:
               FROM sc, bt, vs
             )
             SELECT n_test_docs, n_test_bigrams, n_unseen_ctx,
+                   n_unseen_pair, lp_micro_sum,
+                   {ppl_m} AS ppl_micro
+            FROM agg
+    """
+
+
+def _kn_bigram_ppl_by_lang_oracle() -> str:
+    """SQL replay of text.kn_bigram_perplexity_by('lang'): the
+    _kn_bigram_ppl_oracle chain with the language key carried through
+    every dict CTE (vocab/bigrams/continuation counts/B/V all
+    per-lang), the identical KN probability expression and micro-int
+    logprob sums, one output row per language."""
+    wl = "string_split_regex(trim(lower(text)), '\\s+')"
+    micro = ("(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+             "CAST(floor(abs({x}) * 1000000.0 + 0.5) AS BIGINT)")
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    pcont = ("((COALESCE(np, 0) + 1)::DOUBLE "
+             "/ (btypes + v + 1)::DOUBLE)")
+    p = ("(CASE WHEN nf IS NOT NULL THEN "
+         "greatest(COALESCE(c12, 0)::DOUBLE - 0.75, 0.0) / c1::DOUBLE "
+         f"+ 0.75 * nf::DOUBLE / c1::DOUBLE * {pcont} "
+         f"ELSE {pcont} END)")
+    lp_m = micro.format(x=f"ln({p})")
+    ppl = r6.format(x="exp(-((lp_micro_sum / 1000000.0) "
+                      "/ n_test_bigrams))")
+    ppl_m = micro.format(x=ppl)
+    return f"""
+            WITH sp AS (
+              SELECT lang, doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS b
+              FROM documents WHERE lang IS NOT NULL
+            ), tw AS (SELECT lang, doc_id, {wl} AS w
+                      FROM sp WHERE b < 9000),
+            ttoks AS (SELECT lang, unnest(w) AS w FROM tw),
+            vocab AS (SELECT lang, w, COUNT(*)::BIGINT AS cnt
+                      FROM ttoks GROUP BY lang, w),
+            vs AS (SELECT lang, COUNT(*)::BIGINT AS v
+                   FROM vocab GROUP BY lang),
+            tbg AS (SELECT lang, w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+                    FROM tw, unnest(range(1, len(w))) AS t(i)),
+            bg AS (SELECT lang, w1, w2, COUNT(*)::BIGINT AS c12
+                   FROM tbg GROUP BY lang, w1, w2),
+            nf AS (SELECT lang, w1, COUNT(*)::BIGINT AS nf
+                   FROM bg GROUP BY lang, w1),
+            npr AS (SELECT lang, w2, COUNT(*)::BIGINT AS np
+                    FROM bg GROUP BY lang, w2),
+            bt AS (SELECT lang, COUNT(*)::BIGINT AS btypes
+                   FROM bg GROUP BY lang),
+            hw AS (SELECT lang, doc_id, {wl} AS w
+                   FROM sp WHERE b >= 9000),
+            hbg AS (SELECT lang, doc_id,
+                           w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+                    FROM hw, unnest(range(1, len(w))) AS t(i)),
+            sc AS (SELECT h.lang, h.doc_id, bg.c12, v1.cnt AS c1,
+                          nf.nf, npr.np, bt.btypes, vs.v
+                   FROM hbg h
+                   LEFT JOIN bg ON bg.lang = h.lang
+                     AND bg.w1 = h.w1 AND bg.w2 = h.w2
+                   LEFT JOIN vocab v1 ON v1.lang = h.lang AND v1.w = h.w1
+                   LEFT JOIN nf ON nf.lang = h.lang AND nf.w1 = h.w1
+                   LEFT JOIN npr ON npr.lang = h.lang AND npr.w2 = h.w2
+                   JOIN bt ON bt.lang = h.lang
+                   JOIN vs ON vs.lang = h.lang),
+            agg AS (
+              SELECT lang,
+                     COUNT(DISTINCT doc_id)::BIGINT AS n_test_docs,
+                     COUNT(*)::BIGINT AS n_test_bigrams,
+                     SUM(CASE WHEN nf IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unseen_ctx,
+                     SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_unseen_pair,
+                     SUM({lp_m})::BIGINT AS lp_micro_sum
+              FROM sc GROUP BY lang
+            )
+            SELECT lang, n_test_docs, n_test_bigrams, n_unseen_ctx,
                    n_unseen_pair, lp_micro_sum,
                    {ppl_m} AS ppl_micro
             FROM agg
@@ -9889,5 +10127,212 @@ def oracle_sql() -> dict[str, str]:
                           / 1000000.0 + 0.0)
                END AS kappa
         FROM t, m
+    """
+    # ---- round-9 additions: eval + tokenizer-report family ----
+    out["mcc_eval"] = f"""
+        WITH conf AS ({out["lang_confusion"]})
+        , t AS (
+          SELECT SUM(n_docs)::BIGINT AS n_total,
+                 SUM(CASE WHEN lang = lang_pred THEN n_docs
+                          ELSE 0 END)::BIGINT AS trace
+          FROM conf
+        ), r AS (SELECT lang AS lbl, SUM(n_docs)::BIGINT AS rn
+                 FROM conf GROUP BY lang),
+        c AS (SELECT lang_pred AS lbl, SUM(n_docs)::BIGINT AS cn
+              FROM conf GROUP BY lang_pred),
+        m AS (SELECT SUM(COALESCE(rn, 0) * COALESCE(cn, 0))::BIGINT
+                       AS rc_num,
+                     SUM(COALESCE(rn, 0) * COALESCE(rn, 0))::BIGINT
+                       AS rr_num,
+                     SUM(COALESCE(cn, 0) * COALESCE(cn, 0))::BIGINT
+                       AS cc_num
+              FROM r FULL JOIN c USING (lbl)),
+        v AS (SELECT n_total, trace, rc_num, rr_num, cc_num,
+                     (n_total * trace - rc_num)::DOUBLE
+                       / (sqrt((n_total * n_total - rr_num)::DOUBLE)
+                          * sqrt((n_total * n_total - cc_num)::DOUBLE))
+                       AS e
+              FROM t, m)
+        SELECT n_total, trace, rc_num, rr_num, cc_num,
+               CASE WHEN n_total * n_total > rr_num
+                         AND n_total * n_total > cc_num
+                    THEN (CASE WHEN e < 0 THEN -1
+                               WHEN e > 0 THEN 1 ELSE 0 END)
+                         * floor(abs(e) * 1000000.0 + 0.5)
+                         / 1000000.0 + 0.0
+                    ELSE NULL END AS mcc
+        FROM v
+    """
+    out["pr_auc"] = """
+        WITH s AS (
+          SELECT floor(CAST(embedding[1] AS DOUBLE) * 20)::BIGINT
+                   AS score,
+                 CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+          FROM embeddings
+        ), hist AS (
+          SELECT score, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS npos
+          FROM s GROUP BY score
+        ), cum AS (
+          SELECT n, npos,
+                 SUM(npos) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS cum_tp,
+                 SUM(n) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS cum_n
+          FROM hist
+        ), agg AS (
+          SELECT SUM(npos)::BIGINT AS n_pos,
+                 SUM(n - npos)::BIGINT AS n_neg,
+                 COUNT(*)::BIGINT AS n_scores,
+                 SUM(npos * ((2000000 * cum_tp + cum_n)
+                             // (2 * cum_n)))::BIGINT AS ap_sum_micro
+          FROM cum
+        )
+        SELECT n_pos, n_neg, n_scores, ap_sum_micro,
+               CASE WHEN n_pos > 0
+                    THEN ((2 * ap_sum_micro + n_pos) // (2 * n_pos))
+                         / 1000000.0 + 0.0
+                    ELSE NULL END AS ap
+        FROM agg
+    """
+    out["ece_eval"] = """
+        WITH s AS (
+          SELECT least(greatest(CAST(floor(
+                   (CAST(embedding[1] AS DOUBLE) + 0.5) * 1000000.0
+                   + 0.5) AS BIGINT), 0), 1000000) AS cm,
+                 CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+          FROM embeddings
+        ), bins AS (
+          SELECT least((cm * 10) // 1000000, 9) AS bin,
+                 COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS npos,
+                 SUM(cm)::BIGINT AS conf_sum
+          FROM s GROUP BY 1
+        ), agg AS (
+          SELECT SUM(n)::BIGINT AS n_total,
+                 COUNT(*)::BIGINT AS n_bins_used,
+                 SUM(abs(npos * 1000000 - conf_sum))::BIGINT
+                   AS gap_sum_micro
+          FROM bins
+        )
+        SELECT n_total, n_bins_used, gap_sum_micro,
+               ((2 * gap_sum_micro + n_total) // (2 * n_total))
+               / 1000000.0 + 0.0 AS ece
+        FROM agg
+    """
+    _rank_pair = f"""
+        bf AS (SELECT query_id, neighbor_id, rank
+               FROM ({_COSINE_TOPK_SQL})),
+        ann AS (SELECT query_id, neighbor_id, rank
+                FROM ({_ivf_trained_oracle()})),
+        c AS (SELECT bf.query_id, bf.neighbor_id,
+                     bf.rank AS ra, ann.rank AS rb
+              FROM bf JOIN ann USING (query_id, neighbor_id)),
+        q AS (SELECT DISTINCT query_id FROM bf)
+    """
+    out["spearman_eval"] = f"""
+        WITH {_rank_pair},
+        rr AS (SELECT query_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY ra)::BIGINT AS ra2,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rb)::BIGINT AS rb2
+               FROM c),
+        s AS (SELECT query_id, COUNT(*)::BIGINT AS n_common,
+                     SUM((ra2 - rb2) * (ra2 - rb2))::BIGINT AS d2_sum
+              FROM rr GROUP BY query_id)
+        SELECT q.query_id,
+               COALESCE(s.n_common, 0)::BIGINT AS n_common,
+               COALESCE(s.d2_sum, 0)::BIGINT AS d2_sum,
+               CASE WHEN s.n_common >= 2 THEN
+                 (CASE WHEN (s.n_common * (s.n_common * s.n_common - 1)
+                             - 6 * s.d2_sum) < 0 THEN -1
+                       WHEN (s.n_common * (s.n_common * s.n_common - 1)
+                             - 6 * s.d2_sum) > 0 THEN 1 ELSE 0 END)
+                 * ((2000000 * abs(s.n_common
+                                   * (s.n_common * s.n_common - 1)
+                                   - 6 * s.d2_sum)
+                     + s.n_common * (s.n_common * s.n_common - 1))
+                    // (2 * s.n_common
+                        * (s.n_common * s.n_common - 1)))
+                 / 1000000.0 + 0.0
+               ELSE NULL END AS rho
+        FROM q LEFT JOIN s USING (query_id)
+    """
+    out["kendall_eval"] = f"""
+        WITH {_rank_pair},
+        pairs AS (SELECT a.query_id,
+                         (a.ra - b.ra) * (a.rb - b.rb) AS sgn
+                  FROM c a JOIN c b
+                    ON a.query_id = b.query_id
+                   AND a.neighbor_id < b.neighbor_id),
+        s AS (SELECT query_id,
+                     SUM(CASE WHEN sgn > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_conc,
+                     SUM(CASE WHEN sgn < 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_disc
+              FROM pairs GROUP BY query_id),
+        sizes AS (SELECT query_id, COUNT(*)::BIGINT AS n_common
+                  FROM c GROUP BY query_id)
+        SELECT q.query_id,
+               COALESCE(z.n_common, 0)::BIGINT AS n_common,
+               COALESCE(s.n_conc, 0)::BIGINT AS n_concordant,
+               COALESCE(s.n_disc, 0)::BIGINT AS n_discordant,
+               CASE WHEN z.n_common >= 2 THEN
+                 (CASE WHEN (COALESCE(s.n_conc, 0)
+                             - COALESCE(s.n_disc, 0)) < 0 THEN -1
+                       WHEN (COALESCE(s.n_conc, 0)
+                             - COALESCE(s.n_disc, 0)) > 0 THEN 1
+                       ELSE 0 END)
+                 * ((2000000 * abs(2 * (COALESCE(s.n_conc, 0)
+                                        - COALESCE(s.n_disc, 0)))
+                     + z.n_common * (z.n_common - 1))
+                    // (2 * z.n_common * (z.n_common - 1)))
+                 / 1000000.0 + 0.0
+               ELSE NULL END AS tau
+        FROM q LEFT JOIN sizes z USING (query_id)
+        LEFT JOIN s USING (query_id)
+    """
+    out["rrf_fusion"] = (lambda W: f"""
+        WITH bf AS (SELECT query_id, neighbor_id, rank
+                    FROM ({_COSINE_TOPK_SQL})),
+        ann AS (SELECT query_id, neighbor_id, rank
+                FROM ({_ivf_trained_oracle()})),
+        wt(m, w) AS (VALUES {", ".join(
+            f"({m}, {w})" for m, w in enumerate(W, start=1))}),
+        fused AS (
+          SELECT query_id, neighbor_id,
+                 (COALESCE(wa.w, 0) + COALESCE(wb.w, 0))::BIGINT
+                   AS rrf_micro
+          FROM bf FULL JOIN ann USING (query_id, neighbor_id)
+          LEFT JOIN wt wa ON wa.m = bf.rank
+          LEFT JOIN wt wb ON wb.m = ann.rank),
+        ranked AS (
+          SELECT query_id, neighbor_id, rrf_micro,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_micro DESC,
+                                             neighbor_id ASC)::INT
+                   AS rank
+          FROM fused)
+        SELECT query_id, neighbor_id, rrf_micro, rank
+        FROM ranked WHERE rank <= 10
+    """)(__import__("datafusion_geo_spark.operators.evals",
+                    fromlist=["rrf_weights_micro"])
+         .rrf_weights_micro(10, 60))
+    out["kn_ppl_by_lang"] = _kn_bigram_ppl_by_lang_oracle()
+    out["tokenizer_report"] = f"""
+        WITH sel AS (SELECT * FROM ({_tokenizer_selection_oracle((2, 4, 8))})),
+        knl AS (SELECT * FROM ({_kn_bigram_ppl_by_lang_oracle()})),
+        ref AS (SELECT lang, coverage_micro AS ref_cov
+                FROM sel WHERE n_merges = 8),
+        pick AS (SELECT sel.lang, MIN(n_merges)::INT AS sel_merges
+                 FROM sel JOIN ref USING (lang)
+                 WHERE 100 * coverage_micro >= 95 * ref_cov
+                 GROUP BY sel.lang)
+        SELECT p.lang, p.sel_merges, s.n_tokens, s.fertility_micro,
+               s.coverage_micro, k.ppl_micro, k.n_test_bigrams
+        FROM pick p
+        JOIN sel s ON s.lang = p.lang AND s.n_merges = p.sel_merges
+        LEFT JOIN knl k ON k.lang = p.lang
     """
     return out

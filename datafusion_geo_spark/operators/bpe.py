@@ -292,6 +292,56 @@ def tokenizer_selection_stats(docs: DataFrame,
     return out
 
 
+def tokenizer_report(docs: DataFrame, merges: List[Tuple[str, str, str]],
+                     variants: Tuple[int, ...] = (2, 4, 8),
+                     text_col: str = "text",
+                     lang_col: str = "lang") -> DataFrame:
+    """End-to-end tokenizer-choice report — the table a merge budget
+    actually ships from, composing the selection sweep with the
+    language-difficulty eval: per language, pick the SMALLEST variant
+    whose byte coverage reaches 95% of the largest variant's (the
+    elbow rule, pure int64: 100·cov ≥ 95·ref_cov — no float
+    thresholds), and carry that variant's fertility/coverage next to
+    the language's interpolated-KN bigram perplexity
+    (text.kn_bigram_perplexity_by) so cheap-to-tokenize but
+    hard-to-model languages stand out.
+
+    Scale shape: the sweep is tokenizer_selection_stats (ONE corpus
+    pass, dict-sized variants); the elbow rule runs over its
+    |langs|×|variants|-row output (localCheckpoint'ed so the
+    three references replay the tiny table, not the folds); the KN
+    eval adds its own two grouped corpus passes; everything meets in
+    |langs|-row broadcast joins. Output one row per language:
+    (lang, sel_merges, n_tokens, fertility_micro, coverage_micro,
+    ppl_micro, n_test_bigrams)."""
+    from .text import kn_bigram_perplexity_by
+    sel = tokenizer_selection_stats(docs, merges, variants,
+                                    text_col, lang_col) \
+        .localCheckpoint(eager=True)
+    nmax = max(variants)
+    ref = (sel.where(F.col("n_merges") == nmax)
+           .select("lang", F.col("coverage_micro").alias("ref_cov")))
+    pick = (sel.join(F.broadcast(ref), "lang")
+            .where(F.lit(100) * F.col("coverage_micro")
+                   >= F.lit(95) * F.col("ref_cov"))
+            .groupBy("lang")
+            .agg(F.min("n_merges").cast("int").alias("sel_merges"))
+            # break lineage with sel so the equi-join below is not an
+            # ambiguous self-join (pick descends from sel)
+            .select(F.col("lang").alias("_plang"), "sel_merges"))
+    chosen = (sel.join(F.broadcast(pick),
+                       (sel["lang"] == pick["_plang"])
+                       & (sel["n_merges"] == pick["sel_merges"]))
+              .select(sel["lang"], pick["sel_merges"], sel["n_tokens"],
+                      sel["fertility_micro"], sel["coverage_micro"]))
+    ppl = (kn_bigram_perplexity_by(docs, lang_col, text_col, "doc_id")
+           .select(F.col(lang_col).alias("lang"), "ppl_micro",
+                   "n_test_bigrams"))
+    return (chosen.join(F.broadcast(ppl), "lang", "left")
+            .select("lang", "sel_merges", "n_tokens", "fertility_micro",
+                    "coverage_micro", "ppl_micro", "n_test_bigrams"))
+
+
 def bpe_apply(df: DataFrame, text_col: str,
               merges: List[Tuple[str, str, str]],
               out_col: str = "bpe_tokens") -> DataFrame:

@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, Window
 
 __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
            "hist_quantiles", "quantiles_from_hist", "categorical_drift",
-           "cat_drift_from_hist", "cohen_kappa", "embedding_drift"]
+           "cat_drift_from_hist", "cohen_kappa", "embedding_drift",
+           "mcc_multiclass", "average_precision", "ece_from_scores",
+           "spearman_overlap", "kendall_overlap", "rrf_fuse",
+           "rrf_weights_micro"]
 
 
 def _r6(col):
@@ -515,3 +518,285 @@ def embedding_drift(old: DataFrame, new: DataFrame,
     micro = (F.signum(cs) * F.floor(F.abs(cs) * F.lit(1e6) + F.lit(0.5))) \
         .cast("long")
     return j.select("label", "n_old", "n_new", micro.alias("cos_micro"))
+
+
+def _idiv(num, den):
+    """Exact integer division for non-negative longs (text._idiv
+    twin): (num - num % den) is exactly divisible, and the double
+    quotient of int64s < 2^53 with an integral result is exact."""
+    num = num.cast("long")
+    den = den.cast("long")
+    return ((num - num % den) / den).cast("long")
+
+
+def _sratio6(num, den):
+    """Signed exact 6-dp half-AWAY ratio of int64s: sign(num) ·
+    ((2e6·|num| + den) div (2·den)) / 1e6 with den > 0 — the signed
+    twin of text._ratio6 (whose % identity assumes a non-negative
+    numerator). Every step is integer arithmetic, so the oracle's
+    ``//`` replays it bit-for-bit; only the final micro/1e6 divide is
+    a double (identical on both engines)."""
+    num = num.cast("long")
+    den = den.cast("long")
+    micro = _idiv(F.lit(2_000_000) * F.abs(num) + den, F.lit(2) * den)
+    return (F.signum(num) * micro / F.lit(1_000_000.0) + F.lit(0.0))
+
+
+def mcc_multiclass(conf: DataFrame, true_col: str, pred_col: str,
+                   n_col: str) -> DataFrame:
+    """Multiclass Matthews correlation (Gorodkin 2004's R_K) over a
+    confusion-matrix table — the chance- AND prevalence-corrected
+    companion to :func:`cohen_kappa` (kappa only corrects for chance;
+    MCC additionally punishes majority-class collapse symmetrically).
+
+    Identity, all numerators exact int64 (matrix is |labels|² rows, so
+    every aggregate is bounded): with N = Σn, T = trace,
+    Σrc = Σ_k row_k·col_k, Σr² and Σc²,
+
+        mcc = (N·T − Σrc) / (sqrt(N² − Σr²) · sqrt(N² − Σc²))
+
+    The two sqrt factors are taken SEPARATELY (N²−Σr² stays inside
+    int64 for N up to ~3e9; their product would not), each an IEEE
+    correctly-rounded sqrt of an exact int64 — the oracle mirrors the
+    same factoring, so the double chain is identical. NULL when either
+    marginal is degenerate (one class holds everything).
+    ONE row out: (n_total, trace, rc_num, rr_num, cc_num, mcc)."""
+    n = F.col(n_col).cast("long")
+    t = conf.agg(
+        F.sum(n).cast("long").alias("n_total"),
+        F.sum(F.when(F.col(true_col) == F.col(pred_col), n)
+              .otherwise(F.lit(0))).cast("long").alias("trace"))
+    r = (conf.groupBy(F.col(true_col).alias("lbl"))
+         .agg(F.sum(n).cast("long").alias("rn")))
+    c = (conf.groupBy(F.col(pred_col).alias("lbl"))
+         .agg(F.sum(n).cast("long").alias("cn")))
+    m = (r.join(c, "lbl", "full")
+         .agg(F.sum(F.coalesce(F.col("rn"), F.lit(0))
+                    * F.coalesce(F.col("cn"), F.lit(0)))
+              .cast("long").alias("rc_num"),
+              F.sum(F.coalesce(F.col("rn"), F.lit(0))
+                    * F.coalesce(F.col("rn"), F.lit(0)))
+              .cast("long").alias("rr_num"),
+              F.sum(F.coalesce(F.col("cn"), F.lit(0))
+                    * F.coalesce(F.col("cn"), F.lit(0)))
+              .cast("long").alias("cc_num")))
+    j = t.crossJoin(F.broadcast(m))
+    nn = F.col("n_total") * F.col("n_total")
+    num = (F.col("n_total") * F.col("trace") - F.col("rc_num")) \
+        .cast("double")
+    sr = F.sqrt((nn - F.col("rr_num")).cast("double"))
+    sc_ = F.sqrt((nn - F.col("cc_num")).cast("double"))
+    mcc = F.when((nn > F.col("rr_num")) & (nn > F.col("cc_num")),
+                 _r6(num / (sr * sc_)))
+    return j.select("n_total", "trace", "rc_num", "rr_num", "cc_num",
+                    mcc.alias("mcc"))
+
+
+def average_precision(scored: DataFrame, score_col: str,
+                      label_col: str) -> DataFrame:
+    """Exact average precision (PR-AUC, step interpolation — the
+    information-retrieval AP and sklearn's average_precision_score
+    convention) of an integer-quantized score against a 0/1 label,
+    histogram-shaped like :func:`auc_exact` (its ROC companion).
+
+    Identity: sweeping thresholds over distinct scores DESCENDING,
+    each score block contributes ΔR·P = (npos_b / P) · (cumTP_b /
+    cumN_b) with the cumulatives taken at the block's inclusive end.
+    Engine-exact form: the block precision is first fixed to a micro
+    int (2e6·cumTP + cumN) div (2·cumN) — the house exact half-up
+    ratio — then ap_sum = Σ npos_b · P_micro_b is a pure int64 sum
+    (fold-order free; npos_b·1e6 ≤ P·1e6 keeps it far inside int64)
+    and ap = half-up(ap_sum / P) / 1e6. Summing the unrounded doubles
+    instead would expose cross-engine summation order.
+
+    Scale shape: ONE corpus groupBy(score) with map-side combine; the
+    cumulative window runs over distinct quantized scores only.
+    ONE row out: (n_pos, n_neg, n_scores, ap_sum_micro, ap)."""
+    hist = (scored.groupBy(score_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col(label_col).cast("long")).cast("long")
+                 .alias("npos")))
+    w = (Window.partitionBy()
+         .orderBy(F.desc(score_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        F.col("n"), F.col("npos"),
+        F.sum("npos").over(w).cast("long").alias("cum_tp"),
+        F.sum("n").over(w).cast("long").alias("cum_n"))
+    p_micro = _idiv(F.lit(2_000_000) * F.col("cum_tp") + F.col("cum_n"),
+                    F.lit(2) * F.col("cum_n"))
+    agg = cum.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("npos")).cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.sum(F.col("npos") * p_micro).cast("long").alias("ap_sum_micro"))
+    ap = F.when(F.col("n_pos") > 0,
+                _idiv(F.lit(2) * F.col("ap_sum_micro") + F.col("n_pos"),
+                      F.lit(2) * F.col("n_pos")) / F.lit(1_000_000.0)
+                + F.lit(0.0))
+    return agg.select("n_pos", "n_neg", "n_scores", "ap_sum_micro",
+                      ap.alias("ap"))
+
+
+def ece_from_scores(scored: DataFrame, conf_micro_col: str,
+                    label_col: str, n_bins: int = 10) -> DataFrame:
+    """Expected calibration error (Naeini et al. 2015) of a micro-int
+    confidence against a 0/1 label — the single-number summary of the
+    calibration_bins reliability table. Equal-width bins over [0, 1]:
+    bin = min(conf_micro·B div 1e6, B−1).
+
+    Exact-integer identity: per bin, n_b·|acc_b − conf̄_b| =
+    |npos_b·1e6 − Σconf_micro| (both sides scaled by n_b·1e6 — the
+    per-bin divides cancel), so the weighted gap sum S is one exact
+    int64 aggregate and ece = half-up(S / N) / 1e6. ONE corpus
+    groupBy(bin) with map-side combine; B rows of state.
+    ONE row out: (n_total, n_bins_used, gap_sum_micro, ece)."""
+    cm = F.col(conf_micro_col).cast("long")
+    b = F.least(_idiv(cm * F.lit(int(n_bins)), F.lit(1_000_000)),
+                F.lit(int(n_bins) - 1))
+    bins = (scored.select(b.alias("bin"), cm.alias("cm"),
+                          F.col(label_col).cast("long").alias("y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("npos"),
+                 F.sum("cm").cast("long").alias("conf_sum")))
+    gap = F.abs(F.col("npos") * F.lit(1_000_000) - F.col("conf_sum"))
+    agg = bins.agg(F.sum("n").cast("long").alias("n_total"),
+                   F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+                   F.sum(gap).cast("long").alias("gap_sum_micro"))
+    ece = (_idiv(F.lit(2) * F.col("gap_sum_micro") + F.col("n_total"),
+                 F.lit(2) * F.col("n_total")) / F.lit(1_000_000.0)
+           + F.lit(0.0))
+    return agg.select("n_total", "n_bins_used", "gap_sum_micro",
+                      ece.alias("ece"))
+
+
+def _common_ranks(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Common (query, neighbor) items of two per-query rankings with
+    both original ranks — the shared head of the rank-correlation
+    evals. One equi-join on (query_id, neighbor_id)."""
+    ra = a.select("query_id", "neighbor_id", F.col("rank").alias("_ra"))
+    rb = b.select("query_id", "neighbor_id", F.col("rank").alias("_rb"))
+    return ra.join(rb, ["query_id", "neighbor_id"])
+
+
+def spearman_overlap(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Spearman rank correlation between two per-query top-k rankings,
+    over their COMMON items re-ranked 1..n within the intersection —
+    the monotone-agreement eval next to rbo (top-weighted overlap) and
+    ndcg (graded gains). Original ranks are distinct within a list, so
+    the re-rank is tie-free and rho has the exact closed form
+
+        rho = (n(n²−1) − 6Σd²) / (n(n²−1)),   d = rank_a' − rank_b'
+
+    — an exact int64 ratio (k-bounded: n ≤ k) rounded with the signed
+    6-dp half-away house rule; NULL when n < 2. Per a-side query:
+    (query_id, n_common, d2_sum, rho). Scale: one (query, neighbor)
+    equi-join + two k-row-bounded per-query windows."""
+    c = _common_ranks(a, b)
+    wa = Window.partitionBy("query_id").orderBy("_ra")
+    wb = Window.partitionBy("query_id").orderBy("_rb")
+    rr = c.select("query_id",
+                  F.row_number().over(wa).cast("long").alias("ra2"),
+                  F.row_number().over(wb).cast("long").alias("rb2"))
+    d = F.col("ra2") - F.col("rb2")
+    s = (rr.groupBy("query_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_common"),
+              F.sum(d * d).cast("long").alias("d2_sum")))
+    q = a.select("query_id").distinct()
+    n = F.col("n_common")
+    den = n * (n * n - F.lit(1))
+    rho = F.when(n >= 2, _sratio6(den - F.lit(6) * F.col("d2_sum"), den))
+    return (q.join(s, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(n, F.lit(0)).cast("long").alias("n_common"),
+                    F.coalesce(F.col("d2_sum"), F.lit(0)).cast("long")
+                    .alias("d2_sum"),
+                    rho.alias("rho")))
+
+
+def kendall_overlap(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Kendall tau-a between two per-query top-k rankings over their
+    common items — the pairwise-agreement companion to
+    :func:`spearman_overlap` (tau counts discordant PAIRS; rho weighs
+    displacement DISTANCE). Ranks are tie-free within a list, so
+
+        tau = (C − D) / (n(n−1)/2)
+
+    with C/D the concordant/discordant pair counts — exact int64, the
+    signed 6-dp half-away rounding, NULL when n < 2. The pair
+    enumeration is a within-query self-join on neighbor_id order —
+    bounded at n(n−1)/2 ≤ k(k−1)/2 pairs per query, so the 'quadratic'
+    is a constant; the corpus-scale work remains the one
+    (query, neighbor) equi-join in :func:`_common_ranks`. The common
+    set (≤ k rows per query) is localCheckpoint'ed: three plan
+    references (pair sides + sizes) would otherwise re-run the whole
+    upstream ranking pipeline three times. Per a-side query:
+    (query_id, n_common, n_concordant, n_discordant, tau)."""
+    c = _common_ranks(a, b).localCheckpoint(eager=True)
+    l = c.select("query_id", F.col("neighbor_id").alias("ni"),
+                 F.col("_ra").alias("rai"), F.col("_rb").alias("rbi"))
+    r = c.select("query_id", F.col("neighbor_id").alias("nj"),
+                 F.col("_ra").alias("raj"), F.col("_rb").alias("rbj"))
+    pairs = (l.join(r, "query_id").where(F.col("ni") < F.col("nj")))
+    sgn = (F.col("rai") - F.col("raj")) * (F.col("rbi") - F.col("rbj"))
+    s = (pairs.groupBy("query_id")
+         .agg(F.sum((sgn > 0).cast("long")).cast("long").alias("n_conc"),
+              F.sum((sgn < 0).cast("long")).cast("long").alias("n_disc")))
+    sizes = (c.groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    q = a.select("query_id").distinct()
+    n = F.col("n_common")
+    tau = F.when(n >= 2, _sratio6(
+        F.lit(2) * (F.coalesce(F.col("n_conc"), F.lit(0))
+                    - F.coalesce(F.col("n_disc"), F.lit(0))),
+        n * (n - F.lit(1))))
+    return (q.join(sizes, "query_id", "left").join(s, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(n, F.lit(0)).cast("long").alias("n_common"),
+                    F.coalesce(F.col("n_conc"), F.lit(0)).cast("long")
+                    .alias("n_concordant"),
+                    F.coalesce(F.col("n_disc"), F.lit(0)).cast("long")
+                    .alias("n_discordant"),
+                    tau.alias("tau")))
+
+
+def rrf_weights_micro(k: int = 10, k0: int = 60) -> list:
+    """Reciprocal-rank-fusion weight table: micro(1/(k0 + r)) for
+    ranks 1..k (Cormack et al. 2009, k0 = 60 the standard damping) —
+    computed once in python and inlined as integer literals on both
+    engines, the rbo_weights_micro discipline."""
+    return [int((1_000_000 + (k0 + r) // 2) // (k0 + r))
+            for r in range(1, k + 1)]
+
+
+def rrf_fuse(a: DataFrame, b: DataFrame, k: int = 10,
+             k0: int = 60) -> DataFrame:
+    """Reciprocal rank fusion of two per-query top-k rankings — the
+    standard zero-tuning hybrid-retrieval merge (e.g. lexical BM25 +
+    dense cosine): score(q, d) = Σ_lists 1/(k0 + rank), absent lists
+    contribute 0. Weights are inlined micro-int literals, the per-pair
+    sum is exact int64, and the fused top-k re-ranks by
+    (rrf desc, neighbor asc) — fully deterministic, no float path.
+    Scale: one full-outer (query, neighbor) equi-join + one
+    k-bounded-per-query window. Output per query:
+    (query_id, neighbor_id, rrf_micro, rank) with rank ≤ k."""
+    W = rrf_weights_micro(k, k0)
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(m) for m in range(1, k + 1)]),
+        F.array(*[F.lit(w) for w in W]))
+    ra = a.select("query_id", "neighbor_id", F.col("rank").alias("_ra"))
+    rb = b.select("query_id", "neighbor_id", F.col("rank").alias("_rb"))
+    fused = (ra.join(rb, ["query_id", "neighbor_id"], "full")
+             .select("query_id", "neighbor_id",
+                     (F.coalesce(F.element_at(wmap, F.col("_ra")),
+                                 F.lit(0))
+                      + F.coalesce(F.element_at(wmap, F.col("_rb")),
+                                   F.lit(0))).cast("long")
+                     .alias("rrf_micro")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"),
+                                               F.asc("neighbor_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rrf_micro",
+                    F.col("rank").cast("int").alias("rank")))

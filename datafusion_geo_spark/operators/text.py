@@ -716,6 +716,78 @@ def bigram_heldout_perplexity(df: DataFrame, text_col: str = "text",
                       ppl_micro.alias("ppl_micro"))
 
 
+def kn_bigram_perplexity_by(df: DataFrame, group_col: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-group interpolated Kneser-Ney bigram perplexity — ONE
+    independent KN LM per value of ``group_col`` (e.g. language), the
+    grouped twin of :func:`kn_bigram_perplexity` (same 90/10 md5
+    split, same D = 0.75 smoothing, same micro-int logprob sums; see
+    that docstring for the model). Groups never share counts: every
+    dict (vocab, bigrams, continuation/following types, B, V) carries
+    the group key, so the per-group plan is the ungrouped plan with
+    the key added to every groupBy/join — the held-out stream still
+    shuffles once per distinct join key, and the one-row broadcast
+    totals become |groups|-row broadcast dims. Output one row per
+    group: (group_col, n_test_docs, n_test_bigrams, n_unseen_ctx,
+    n_unseen_pair, lp_micro_sum, ppl_micro)."""
+    from .dedup import h64
+    from .util import round6_binary
+    g = group_col
+    b = h64(F.col(id_col).cast("string")) % F.lit(10000)
+    base = (df.where(F.col(g).isNotNull())
+            .select(F.col(g), F.col(id_col),
+                    words_col(F.lower(F.col(text_col))).alias("_w"),
+                    b.alias("_b")))
+    train = base.where(F.col("_b") < 9000)
+    ttoks = train.select(g, F.explode(F.col("_w")).alias("w"))
+    vocab = ttoks.groupBy(g, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vs = vocab.groupBy(g).agg(F.count(F.lit(1)).alias("v"))
+    bg = (train.select(g, F.explode(_bigrams_col(F.col("_w"))).alias("p"))
+          .groupBy(g, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c12")))
+    nf = bg.groupBy(g, "w1").agg(F.count(F.lit(1)).alias("nf"))
+    npr = bg.groupBy(g, "w2").agg(F.count(F.lit(1)).alias("np"))
+    bt = bg.groupBy(g).agg(F.count(F.lit(1)).alias("btypes"))
+    hbg = (base.where(F.col("_b") >= 9000)
+           .select(g, F.col(id_col),
+                   F.explode(_bigrams_col(F.col("_w"))).alias("p"))
+           .select(g, id_col, F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    ctx = (vocab.select(g, F.col("w").alias("w1"), F.col("cnt").alias("c1"))
+           .join(nf, [g, "w1"], "left"))
+    sc = (hbg.join(bg, [g, "w1", "w2"], "left")
+          .join(ctx, [g, "w1"], "left")
+          .join(npr, [g, "w2"], "left")
+          .join(F.broadcast(bt), g)
+          .join(F.broadcast(vs), g))
+    p_cont = ((F.coalesce(F.col("np"), F.lit(0)) + F.lit(1)).cast("double")
+              / (F.col("btypes") + F.col("v") + F.lit(1)).cast("double"))
+    p_seen = (F.greatest(F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+                         - F.lit(0.75), F.lit(0.0))
+              / F.col("c1").cast("double")
+              + F.lit(0.75) * F.col("nf").cast("double")
+              / F.col("c1").cast("double") * p_cont)
+    p = F.when(F.col("nf").isNotNull(), p_seen).otherwise(p_cont)
+    lp = F.log(p)
+    lp_micro = (F.signum(lp) * F.floor(F.abs(lp) * F.lit(1e6)
+                                       + F.lit(0.5))).cast("long")
+    agg = sc.groupBy(g).agg(
+        F.countDistinct(id_col).alias("n_test_docs"),
+        F.count(F.lit(1)).alias("n_test_bigrams"),
+        F.sum(F.col("nf").isNull().cast("long")).alias("n_unseen_ctx"),
+        F.sum(F.col("c12").isNull().cast("long")).alias("n_unseen_pair"),
+        F.sum(lp_micro).alias("lp_micro_sum"))
+    mean = (F.col("lp_micro_sum") / F.lit(1000000.0)) \
+        / F.col("n_test_bigrams")
+    pp = round6_binary(F.exp(-mean))
+    ppl_micro = (F.signum(pp) * F.floor(F.abs(pp) * F.lit(1e6)
+                                        + F.lit(0.5))).cast("long")
+    return agg.select(g, "n_test_docs", "n_test_bigrams", "n_unseen_ctx",
+                      "n_unseen_pair", "lp_micro_sum",
+                      ppl_micro.alias("ppl_micro"))
+
+
 def kn_bigram_perplexity(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """Held-out perplexity of an INTERPOLATED KNESER-NEY bigram LM —

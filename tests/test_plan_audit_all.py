@@ -98,6 +98,18 @@ ALLOWED_BROADCAST_CROSSES = {
     "minhash_eval": 2,       # three ONE-ROW count aggregates crossed
                              # into the single metrics row (the
                              # tfidf/bm25 one-row broadcast pattern)
+    "mcc_eval": 1,           # the kappa_eval shape: one-row marginal
+                             # sums crossed onto the one-row
+                             # (N, trace) totals, both from the
+                             # bounded |langs|^2 confusion matrix
+    "spearman_eval": 1,      # ivf_trained's one bounded probe-scoring
+                             # cross (the rbo_eval composition; the bf
+                             # side's cross compiles away)
+    # (kendall_eval: the k-bounded common set is localCheckpoint'ed —
+    # the upstream crosses run eagerly inside the operator, so the
+    # returned plan is checkpoint-scan + bounded self-join: 0 crosses)
+    "rrf_fusion": 1,         # same composition (fuses bf + trained
+                             # IVF rankings)
     # (kmeans_clusters: the final Lloyd assignment is a map-only
     # inlined-literal argmin now — zero crosses)
 }
