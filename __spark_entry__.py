@@ -4208,6 +4208,55 @@ def _q_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_report(docs, triples, variants=(2, 4, 8))
 
 
+def _q_f1_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the lang_id classifier
+    (operators/evals.py f1_per_class over the lang_confusion matrix) —
+    the per-class detail behind kappa_eval/mcc_eval's single numbers.
+    All-integer identities (F1 = exact ratio 2·tp/(n_true+n_pred), no
+    harmonic-mean float); oracle wraps the lang_confusion SQL as a CTE
+    (one prediction definition per engine)."""
+    from datafusion_geo_spark.operators.evals import f1_per_class
+    conf = _q_lang_confusion(spark, sf_dir)
+    return f1_per_class(conf, "lang", "lang_pred", "n_docs")
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information
+    (operators/text.py pmi_top_bigrams, Church & Hanks 1990) over the
+    documents corpus, with the ≥5-count floor — the phrase/term-of-art
+    extractor next to tfidf_top_terms (document-salient) and
+    distinct_ngrams (coverage). N and B totals ride as full-frame
+    windows over their dict tables; PMI micro-rounds before the
+    integer-deterministic (pmi desc, w1, w2) ranking."""
+    from datafusion_geo_spark.operators.text import pmi_top_bigrams
+    return pmi_top_bigrams(_docs(spark, sf_dir), min_count=5, k=50)
+
+
+def _q_js_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between corpus versions' unigram
+    distributions (operators/evals.py js_unigram_divergence) — the
+    vocabulary-mix drift monitor next to ks_drift (values), cat_drift
+    (labels) and embedding_drift (vectors). Versions use the
+    corpus_diff convention (old = doc_id % 11 != 0, new = % 13 != 0);
+    per-word terms micro-round before the fold-order-free int64 sum."""
+    from datafusion_geo_spark.operators.evals import js_unigram_divergence
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0)
+    return js_unigram_divergence(old, new)
+
+
+def _q_streaming_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration monitor (streaming/drift.py
+    streaming_ece): the per-bin (n, npos, conf_sum) histogram as a
+    bounded-state streaming aggregate (n_bins rows, no watermark —
+    the streaming_ks story), the ECE identity as the shared batch
+    tail (ece_from_hist, ONE definition with batch). Bounded replay
+    equals batch ece_eval, so the oracle is SHARED."""
+    from datafusion_geo_spark.streaming.drift import streaming_ece
+    return streaming_ece(spark, sf_dir)
+
+
 def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST as-of join (operators/asof_join.py asof_join_nearest):
     each event takes its user's order with the day CLOSEST to the
@@ -4822,6 +4871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": _q_rrf_fusion,
         "kn_ppl_by_lang": _q_kn_ppl_by_lang,
         "tokenizer_report": _q_tokenizer_report,
+        "f1_per_class": _q_f1_per_class,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "js_unigram_drift": _q_js_unigram_drift,
+        "streaming_ece": _q_streaming_ece,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4834,6 +4887,7 @@ _FIRST50 = [
     # new round-9 queries
     "mcc_eval", "pr_auc", "ece_eval", "spearman_eval", "kendall_eval",
     "rrf_fusion", "kn_ppl_by_lang", "tokenizer_report",
+    "f1_per_class", "pmi_bigrams", "js_unigram_drift", "streaming_ece",
     # round 8's one red row, re-gated after the integer-scaling fix
     "rbo_eval",
     # displaced from round 8's gate (r3/r4-green, locally gated since)
@@ -4844,11 +4898,14 @@ _FIRST50 = [
     "streaming_sessions",
     # oldest green rows: the r4 block (incl. multimodal +
     # streaming-extent sets)
+    # (geohash_azimuth_literal / hull_simplify_literal /
+    # line_locate_literal / line_interp displaced to 51+ by the
+    # batch-2 r9 adds — literal-input queries, lowest re-gate value
+    # now that the local replica is gate-exact; they lead r10's pool)
     "accessors_lines", "buffer_lines", "closest_point_lines",
     "collect_by_segment", "covers_concave", "distance_points",
     "events_hourly_rank", "fingerprint", "geo_pipeline",
-    "geohash_azimuth_literal", "geojson_parse", "hull_simplify_literal",
-    "lang_id", "line_interp", "line_locate_literal", "measures_lines",
+    "geojson_parse", "lang_id", "measures_lines",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "streaming_extent", "streaming_extent_append", "text_stats",
     "tile_pyramid", "tile_stats",
@@ -10335,4 +10392,119 @@ def oracle_sql() -> dict[str, str]:
         JOIN sel s ON s.lang = p.lang AND s.n_merges = p.sel_merges
         LEFT JOIN knl k ON k.lang = p.lang
     """
+    out["f1_per_class"] = f"""
+        WITH conf AS ({out["lang_confusion"]})
+        , r AS (SELECT lang AS lbl, SUM(n_docs)::BIGINT AS n_true
+                FROM conf GROUP BY lang),
+        c AS (SELECT lang_pred AS lbl, SUM(n_docs)::BIGINT AS n_pred
+              FROM conf GROUP BY lang_pred),
+        d AS (SELECT lang AS lbl, SUM(n_docs)::BIGINT AS tp
+              FROM conf WHERE lang = lang_pred GROUP BY lang),
+        j AS (SELECT lbl,
+                     COALESCE(n_true, 0)::BIGINT AS n_true,
+                     COALESCE(n_pred, 0)::BIGINT AS n_pred,
+                     COALESCE(tp, 0)::BIGINT AS tp
+              FROM r FULL JOIN c USING (lbl) LEFT JOIN d USING (lbl))
+        SELECT lbl, n_true, n_pred, tp,
+               CASE WHEN n_pred > 0 THEN
+                 ((2000000 * tp + n_pred) // (2 * n_pred))
+                 / 1000000.0 + 0.0 END AS "precision",
+               CASE WHEN n_true > 0 THEN
+                 ((2000000 * tp + n_true) // (2 * n_true))
+                 / 1000000.0 + 0.0 END AS recall,
+               CASE WHEN n_true + n_pred > 0 THEN
+                 ((2000000 * (2 * tp) + (n_true + n_pred))
+                  // (2 * (n_true + n_pred))) / 1000000.0 + 0.0
+               END AS f1
+        FROM j
+    """
+    _wll = "string_split_regex(trim(lower(text)), '\\s+')"
+    out["pmi_bigrams"] = f"""
+        WITH toks AS (
+          SELECT w FROM (SELECT unnest({_wll}) AS w FROM documents)
+          WHERE w <> ''
+        ), uni AS (
+          SELECT w, COUNT(*)::BIGINT AS c FROM toks GROUP BY w
+        ), uni2 AS (
+          SELECT w, c, SUM(c) OVER ()::BIGINT AS n_tok FROM uni
+        ), tw AS (SELECT {_wll} AS w FROM documents),
+        tbg AS (SELECT w[i::INT] AS w1, w[(i + 1)::INT] AS w2
+                FROM tw, unnest(range(1, len(w))) AS t(i)),
+        bg AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM tbg
+               WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+        bg2 AS (SELECT w1, w2, c12,
+                       SUM(c12) OVER ()::BIGINT AS n_bg FROM bg),
+        j AS (SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+                     u1.n_tok, b.n_bg
+              FROM (SELECT * FROM bg2 WHERE c12 >= 5) b
+              JOIN uni2 u1 ON u1.w = b.w1
+              JOIN uni2 u2 ON u2.w = b.w2),
+        p AS (SELECT w1, w2, c12, c1, c2,
+                     (CASE WHEN ln((c12 * n_tok)::DOUBLE
+                                   / (c1 * c2)::DOUBLE
+                                   * (n_tok::DOUBLE / n_bg::DOUBLE)) < 0
+                           THEN -1 ELSE 1 END)
+                     * CAST(floor(abs(ln((c12 * n_tok)::DOUBLE
+                                         / (c1 * c2)::DOUBLE
+                                         * (n_tok::DOUBLE
+                                            / n_bg::DOUBLE)))
+                                  * 1000000.0 + 0.5) AS BIGINT)
+                       AS pmi_micro
+              FROM j)
+        SELECT w1, w2, c12, c1, c2, pmi_micro
+        FROM p ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 50
+    """
+    _p_frac = "(cp::DOUBLE / np::DOUBLE)"
+    _q_frac = "(cq::DOUBLE / nq::DOUBLE)"
+    _m_frac = f"(({_p_frac} + {_q_frac}) / 2.0)"
+    _ta = (f"(CASE WHEN ({_p_frac} * ln({_p_frac} / {_m_frac})) < 0 "
+           f"THEN -1 ELSE 1 END) * CAST(floor(abs({_p_frac} "
+           f"* ln({_p_frac} / {_m_frac})) * 1000000.0 + 0.5) AS BIGINT)")
+    _tb = (f"(CASE WHEN ({_q_frac} * ln({_q_frac} / {_m_frac})) < 0 "
+           f"THEN -1 ELSE 1 END) * CAST(floor(abs({_q_frac} "
+           f"* ln({_q_frac} / {_m_frac})) * 1000000.0 + 0.5) AS BIGINT)")
+    out["js_unigram_drift"] = f"""
+        WITH ca AS (
+          SELECT w, COUNT(*)::BIGINT AS cp FROM (
+            SELECT unnest({_wll}) AS w FROM documents
+            WHERE doc_id % 11 <> 0)
+          WHERE w <> '' GROUP BY w
+        ), cb AS (
+          SELECT w, COUNT(*)::BIGINT AS cq FROM (
+            SELECT unnest({_wll}) AS w FROM documents
+            WHERE doc_id % 13 <> 0)
+          WHERE w <> '' GROUP BY w
+        ), u AS (
+          SELECT w, COALESCE(cp, 0)::BIGINT AS cp,
+                 COALESCE(cq, 0)::BIGINT AS cq
+          FROM ca FULL JOIN cb USING (w)
+        ), u2 AS (
+          SELECT w, cp, cq, SUM(cp) OVER ()::BIGINT AS np,
+                 SUM(cq) OVER ()::BIGINT AS nq
+          FROM u
+        ), t AS (
+          SELECT CASE WHEN cp > 0 THEN {_ta} ELSE 0 END AS ta,
+                 CASE WHEN cq > 0 THEN {_tb} ELSE 0 END AS tb,
+                 np, nq
+          FROM u2
+        ), agg AS (
+          SELECT COUNT(*)::BIGINT AS n_vocab_union,
+                 MAX(np)::BIGINT AS n_old_tokens,
+                 MAX(nq)::BIGINT AS n_new_tokens,
+                 SUM(ta)::BIGINT AS jsa_micro_sum,
+                 SUM(tb)::BIGINT AS jsb_micro_sum
+          FROM t
+        )
+        SELECT n_vocab_union, n_old_tokens, n_new_tokens,
+               jsa_micro_sum, jsb_micro_sum,
+               (CASE WHEN (jsa_micro_sum + jsb_micro_sum) < 0 THEN -1
+                     WHEN (jsa_micro_sum + jsb_micro_sum) > 0 THEN 1
+                     ELSE 0 END)
+               * ((abs(jsa_micro_sum + jsb_micro_sum) + 1) // 2)
+               / 1000000.0 + 0.0 AS js
+        FROM agg
+    """
+    # streaming twin: bounded replay == batch, oracle SHARED (the
+    # streaming_kmv / streaming_cat_drift convention)
+    out["streaming_ece"] = out["ece_eval"]
     return out

@@ -26,8 +26,9 @@ __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
            "hist_quantiles", "quantiles_from_hist", "categorical_drift",
            "cat_drift_from_hist", "cohen_kappa", "embedding_drift",
            "mcc_multiclass", "average_precision", "ece_from_scores",
-           "spearman_overlap", "kendall_overlap", "rrf_fuse",
-           "rrf_weights_micro"]
+           "ece_from_hist", "ece_bin_col", "spearman_overlap",
+           "kendall_overlap", "rrf_fuse", "rrf_weights_micro",
+           "f1_per_class", "js_unigram_divergence"]
 
 
 def _r6(col):
@@ -638,28 +639,43 @@ def average_precision(scored: DataFrame, score_col: str,
                       ap.alias("ap"))
 
 
+def ece_bin_col(conf_micro_col: str, n_bins: int = 10):
+    """Equal-width calibration bin over [0, 1] for a micro-int
+    confidence: min(conf_micro·B div 1e6, B−1) — exported so the
+    streaming twin bins identically."""
+    cm = F.col(conf_micro_col).cast("long")
+    return F.least(_idiv(cm * F.lit(int(n_bins)), F.lit(1_000_000)),
+                   F.lit(int(n_bins) - 1))
+
+
 def ece_from_scores(scored: DataFrame, conf_micro_col: str,
                     label_col: str, n_bins: int = 10) -> DataFrame:
     """Expected calibration error (Naeini et al. 2015) of a micro-int
     confidence against a 0/1 label — the single-number summary of the
-    calibration_bins reliability table. Equal-width bins over [0, 1]:
-    bin = min(conf_micro·B div 1e6, B−1).
-
-    Exact-integer identity: per bin, n_b·|acc_b − conf̄_b| =
-    |npos_b·1e6 − Σconf_micro| (both sides scaled by n_b·1e6 — the
-    per-bin divides cancel), so the weighted gap sum S is one exact
-    int64 aggregate and ece = half-up(S / N) / 1e6. ONE corpus
-    groupBy(bin) with map-side combine; B rows of state.
-    ONE row out: (n_total, n_bins_used, gap_sum_micro, ece)."""
+    calibration_bins reliability table. Equal-width bins over [0, 1]
+    (:func:`ece_bin_col`); the tail over the bin histogram is the
+    shared :func:`ece_from_hist` (ONE definition with the streaming
+    monitor). ONE corpus groupBy(bin) with map-side combine; B rows of
+    state. ONE row out: (n_total, n_bins_used, gap_sum_micro, ece)."""
     cm = F.col(conf_micro_col).cast("long")
-    b = F.least(_idiv(cm * F.lit(int(n_bins)), F.lit(1_000_000)),
-                F.lit(int(n_bins) - 1))
-    bins = (scored.select(b.alias("bin"), cm.alias("cm"),
+    bins = (scored.select(ece_bin_col(conf_micro_col, n_bins)
+                          .alias("bin"), cm.alias("cm"),
                           F.col(label_col).cast("long").alias("y"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("y").cast("long").alias("npos"),
                  F.sum("cm").cast("long").alias("conf_sum")))
+    return ece_from_hist(bins)
+
+
+def ece_from_hist(bins: DataFrame) -> DataFrame:
+    """The ECE tail from a (bin, n, npos, conf_sum) histogram — shared
+    by the batch operator and the streaming monitor (the
+    cat_drift_from_hist discipline). Exact-integer identity: per bin,
+    n_b·|acc_b − conf̄_b| = |npos_b·1e6 − Σconf_micro| (both sides
+    scaled by n_b·1e6 — the per-bin divides cancel), so the weighted
+    gap sum S is one exact int64 aggregate and
+    ece = half-up(S / N) / 1e6."""
     gap = F.abs(F.col("npos") * F.lit(1_000_000) - F.col("conf_sum"))
     agg = bins.agg(F.sum("n").cast("long").alias("n_total"),
                    F.count(F.lit(1)).cast("long").alias("n_bins_used"),
@@ -669,6 +685,104 @@ def ece_from_scores(scored: DataFrame, conf_micro_col: str,
            + F.lit(0.0))
     return agg.select("n_total", "n_bins_used", "gap_sum_micro",
                       ece.alias("ece"))
+
+
+def f1_per_class(conf: DataFrame, true_col: str, pred_col: str,
+                 n_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 from a confusion-matrix table
+    — the per-class detail behind the kappa/MCC single numbers (a
+    classifier can post a strong kappa while one minority class is
+    silently unservable). All-integer identities over the bounded
+    |labels|² matrix: tp = diagonal count, n_pred / n_true = marginal
+    sums, and F1's harmonic mean reduces to the single exact ratio
+    2·tp / (n_true + n_pred) — no float intermediate at all; each
+    ratio rounds with the house exact 6-dp rule, NULL on an empty
+    denominator. One row per class in EITHER margin:
+    (lbl, n_true, n_pred, tp, precision, recall, f1)."""
+    n = F.col(n_col).cast("long")
+    r = (conf.groupBy(F.col(true_col).alias("lbl"))
+         .agg(F.sum(n).cast("long").alias("n_true")))
+    c = (conf.groupBy(F.col(pred_col).alias("lbl"))
+         .agg(F.sum(n).cast("long").alias("n_pred")))
+    d = (conf.where(F.col(true_col) == F.col(pred_col))
+         .groupBy(F.col(true_col).alias("lbl"))
+         .agg(F.sum(n).cast("long").alias("tp")))
+    j = (r.join(c, "lbl", "full").join(d, "lbl", "left")
+         .select("lbl",
+                 F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+                 F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+                 F.coalesce(F.col("tp"), F.lit(0)).alias("tp")))
+    prec = F.when(F.col("n_pred") > 0,
+                  _sratio6(F.col("tp"), F.col("n_pred")))
+    rec = F.when(F.col("n_true") > 0,
+                 _sratio6(F.col("tp"), F.col("n_true")))
+    f1 = F.when(F.col("n_true") + F.col("n_pred") > 0,
+                _sratio6(F.lit(2) * F.col("tp"),
+                         F.col("n_true") + F.col("n_pred")))
+    return j.select("lbl", "n_true", "n_pred", "tp",
+                    prec.alias("precision"), rec.alias("recall"),
+                    f1.alias("f1"))
+
+
+def js_unigram_divergence(old_docs: DataFrame, new_docs: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Jensen-Shannon divergence between two corpus versions' unigram
+    word distributions — the symmetric, bounded ([0, ln 2]) drift
+    measure for 'did the vocabulary mix shift between dataset
+    versions', next to the value-space monitors (ks_drift/cat_drift)
+    and the embedding-space one (embedding_drift).
+
+    JS(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with m = (p+q)/2. Shape:
+    one (word) count per side, a full-outer dict-sized join, and the
+    side totals ride as FULL-FRAME windows over that dict (the
+    ks_from_hist discipline — no crossJoin, no second corpus pass).
+    Engine parity: p, q, m are the identical double chains of exact
+    int64 counts on both engines; each word's two terms round to
+    micro ints BEFORE the sum (fold-order free), and the final halving
+    is integer half-away. ONE row out: (n_vocab_union, n_old_tokens,
+    n_new_tokens, jsa_micro_sum, jsb_micro_sum, js)."""
+    from .text import words_col
+
+    def counts(df, cname):
+        return (df.select(F.explode(
+            words_col(F.lower(F.col(text_col)))).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias(cname)))
+
+    ca = counts(old_docs, "cp")
+    cb = counts(new_docs, "cq")
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    u = (ca.join(cb, "w", "full")
+         .select(F.col("w"),
+                 F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+                 F.coalesce(F.col("cq"), F.lit(0)).alias("cq"))
+         .withColumn("np", F.sum("cp").over(wt).cast("long"))
+         .withColumn("nq", F.sum("cq").over(wt).cast("long")))
+    p = F.col("cp").cast("double") / F.col("np").cast("double")
+    q = F.col("cq").cast("double") / F.col("nq").cast("double")
+    m = (p + q) / F.lit(2.0)
+
+    def micro(col):
+        return (F.signum(col)
+                * F.floor(F.abs(col) * F.lit(1e6) + F.lit(0.5))) \
+            .cast("long")
+
+    ta = F.when(F.col("cp") > 0, micro(p * F.log(p / m))) \
+        .otherwise(F.lit(0))
+    tb = F.when(F.col("cq") > 0, micro(q * F.log(q / m))) \
+        .otherwise(F.lit(0))
+    agg = u.agg(F.count(F.lit(1)).cast("long").alias("n_vocab_union"),
+                F.max("np").cast("long").alias("n_old_tokens"),
+                F.max("nq").cast("long").alias("n_new_tokens"),
+                F.sum(ta).cast("long").alias("jsa_micro_sum"),
+                F.sum(tb).cast("long").alias("jsb_micro_sum"))
+    s = (F.col("jsa_micro_sum") + F.col("jsb_micro_sum")).cast("long")
+    js_micro = F.signum(s) * _idiv(F.abs(s) + F.lit(1), F.lit(2))
+    js = js_micro / F.lit(1_000_000.0) + F.lit(0.0)
+    return agg.select("n_vocab_union", "n_old_tokens", "n_new_tokens",
+                      "jsa_micro_sum", "jsb_micro_sum", js.alias("js"))
 
 
 def _common_ranks(a: DataFrame, b: DataFrame) -> DataFrame:

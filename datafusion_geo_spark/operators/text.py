@@ -716,6 +716,57 @@ def bigram_heldout_perplexity(df: DataFrame, text_col: str = "text",
                       ppl_micro.alias("ppl_micro"))
 
 
+def pmi_top_bigrams(df: DataFrame, text_col: str = "text",
+                    min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-k adjacent-word pairs by pointwise mutual information — the
+    classic collocation extractor (Church & Hanks 1990): PMI =
+    ln(p(w1w2) / (p(w1)·p(w2))) with p(w1w2) = c12/B over bigram
+    tokens and p(w) = c/N over unigram tokens, floored at
+    ``min_count`` co-occurrences so rare-pair noise (PMI's known
+    pathology) never reaches the ranking.
+
+    Shape: one (word) count and one (w1, w2) count over the corpus
+    (the bigram_ppl passes), two dict-sized equi-joins to attach c1/c2,
+    and the N / B totals ride as FULL-FRAME windows over their own
+    dict tables BEFORE the join (no crossJoin, no re-scan). Engine
+    parity: the PMI double chain is the identical expression of exact
+    int64 counts — ln((c12·N / (c1·c2)) · (N/B)) with c12·N and c1·c2
+    exact int64 (envelope: N ≤ ~3e9 like the repo's other count
+    products) — micro-rounded BEFORE the (pmi desc, w1, w2) ranking,
+    so ordering is integer-deterministic. Output ≤ k rows:
+    (w1, w2, c12, c1, c2, pmi_micro)."""
+    from pyspark.sql import Window
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    toks = (df.select(F.explode(
+        words_col(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w") != ""))
+    uni = (toks.groupBy("w")
+           .agg(F.count(F.lit(1)).cast("long").alias("c"))
+           .withColumn("n_tok", F.sum("c").over(wt).cast("long")))
+    bg = (df.select(F.explode(_bigrams_col(
+        words_col(F.lower(F.col(text_col))))).alias("p"))
+        .where((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .withColumn("n_bg", F.sum("c12").over(wt).cast("long"))
+        .where(F.col("c12") >= min_count))
+    j = (bg.join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("c1"), "n_tok"), "w1")
+         .join(uni.select(F.col("w").alias("w2"),
+                          F.col("c").alias("c2")), "w2"))
+    pmi = F.log((F.col("c12") * F.col("n_tok")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+                * (F.col("n_tok").cast("double")
+                   / F.col("n_bg").cast("double")))
+    pm = (F.signum(pmi) * F.floor(F.abs(pmi) * F.lit(1e6) + F.lit(0.5))) \
+        .cast("long")
+    return (j.select("w1", "w2", "c12", "c1", "c2", pm.alias("pmi_micro"))
+            .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+            .limit(k))
+
+
 def kn_bigram_perplexity_by(df: DataFrame, group_col: str,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:

@@ -84,3 +84,33 @@ def streaming_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("nb_i")))
     final_hist = run_bounded_complete(hist, "stream_catd_")
     return cat_drift_from_hist(final_hist)
+
+
+def streaming_ece(spark: SparkSession, sf_dir: str,
+                  n_bins: int = 10) -> DataFrame:
+    """Streaming calibration monitor: expected calibration error over
+    the embeddings stream. The streaming aggregate is the per-bin
+    (n, npos, conf_sum) histogram — state rows = n_bins, no watermark,
+    no TTL (the streaming_ks story) — and the ECE identity runs as the
+    shared batch tail (operators/evals.py ece_from_hist, ONE
+    definition with the batch ece_from_scores). Confidence/label
+    derivation mirrors the batch ece_eval query (e1 + 0.5 micro-
+    quantized and clamped), so the bounded availableNow replay equals
+    batch and the oracle is SHARED with ece_eval."""
+    from ..operators.evals import ece_bin_col, ece_from_hist
+    from ..sources.fixtures import load_embeddings_stream
+    e1 = F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.5)
+    cm = F.least(F.greatest(
+        F.floor(e1 * F.lit(1e6) + F.lit(0.5)).cast("long"), F.lit(0)),
+        F.lit(1_000_000))
+    scored = (load_embeddings_stream(spark, sf_dir)
+              .select(cm.alias("conf_micro"),
+                      (F.col("label") < 5).cast("long").alias("y")))
+    bins = (scored.select(ece_bin_col("conf_micro", n_bins).alias("bin"),
+                          F.col("conf_micro").alias("cm"), "y")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("y").cast("long").alias("npos"),
+                 F.sum("cm").cast("long").alias("conf_sum")))
+    final_bins = run_bounded_complete(bins, "stream_ece_")
+    return ece_from_hist(final_bins)

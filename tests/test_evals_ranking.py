@@ -131,3 +131,66 @@ def test_kn_by_lang_equals_per_subset_run(spark):
         for c in ("n_test_docs", "n_test_bigrams", "n_unseen_ctx",
                   "n_unseen_pair", "lp_micro_sum", "ppl_micro"):
             assert g[c] == solo[c], (lang, c, g[c], solo[c])
+
+
+def test_f1_per_class_hand_matrix(spark):
+    # true en: 8 predicted en, 2 predicted fr; true fr: 1 en, 9 fr
+    conf = spark.createDataFrame(
+        [("en", "en", 8), ("en", "fr", 2), ("fr", "en", 1), ("fr", "fr", 9)],
+        "t string, p string, n int")
+    from datafusion_geo_spark.operators.evals import f1_per_class
+    out = {r["lbl"]: r for r in f1_per_class(conf, "t", "p", "n").collect()}
+    en = out["en"]
+    assert (en["n_true"], en["n_pred"], en["tp"]) == (10, 9, 8)
+    assert abs(en["precision"] - 8 / 9) < 1.1e-6
+    assert abs(en["recall"] - 0.8) < 1.1e-6
+    assert abs(en["f1"] - 16 / 19) < 1.1e-6
+    # a class present only in predictions: recall NULL, precision 0
+    conf2 = spark.createDataFrame(
+        [("en", "en", 5), ("en", "de", 5)], "t string, p string, n int")
+    out2 = {r["lbl"]: r for r in
+            f1_per_class(conf2, "t", "p", "n").collect()}
+    assert out2["de"]["n_true"] == 0 and out2["de"]["recall"] is None
+    assert out2["de"]["precision"] == 0.0 and out2["de"]["f1"] == 0.0
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    import math
+    docs_a = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma alpha")],
+        "doc_id long, text string")
+    from datafusion_geo_spark.operators.evals import js_unigram_divergence
+    same = js_unigram_divergence(docs_a, docs_a).collect()[0]
+    assert same["js"] == 0.0 and same["n_vocab_union"] == 3
+    docs_b = spark.createDataFrame(
+        [(3, "delta epsilon"), (4, "zeta delta")],
+        "doc_id long, text string")
+    dis = js_unigram_divergence(docs_a, docs_b).collect()[0]
+    assert abs(dis["js"] - math.log(2)) < 2e-6  # disjoint supports
+    assert dis["n_old_tokens"] == 5 and dis["n_new_tokens"] == 4
+
+
+def test_pmi_top_bigrams_collocation(spark):
+    import math
+    # "san francisco" always adjacent; filler words independent
+    rows = [(i, "san francisco " + " ".join(
+        f"w{(i + j) % 4}" for j in range(6))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from datafusion_geo_spark.operators.text import pmi_top_bigrams
+    out = pmi_top_bigrams(docs, min_count=5, k=5).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    # exact expectation: c12=20, c1=c2=20, N=160 tokens, B=140 bigrams
+    want = math.log((20 * 160) / (20 * 20) * (160 / 140))
+    assert abs(top["pmi_micro"] / 1e6 - want) < 2e-6
+    # ranking is integer-deterministic: sorted by (pmi desc, w1, w2)
+    keys = [(-r["pmi_micro"], r["w1"], r["w2"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_streaming_ece_equals_batch(spark):
+    import __spark_entry__ as entrymod
+    sf = "/root/testdata/sf0.001"
+    batch = entrymod.queries()["ece_eval"](spark, sf).collect()
+    stream = entrymod.queries()["streaming_ece"](spark, sf).collect()
+    assert [tuple(r) for r in batch] == [tuple(r) for r in stream]
