@@ -132,3 +132,71 @@ def test_skew_audit_gini_matches_brute_force(spark, key_sizes):
     s = sorted(sizes)
     rank = -(-99 * len(s) // 100)
     assert out.p99_size == s[rank - 1]
+
+
+def _brute_ap(pairs):
+    """sklearn-convention AP over distinct-score blocks descending, as
+    the repo computes it: block precision fixed to micro int first."""
+    from collections import defaultdict
+    blocks = defaultdict(lambda: [0, 0])     # score -> [n, npos]
+    for s, y in pairs:
+        blocks[s][0] += 1
+        blocks[s][1] += y
+    cum_tp = cum_n = 0
+    ap_sum = 0
+    for s in sorted(blocks, reverse=True):
+        n, npos = blocks[s]
+        cum_tp += npos
+        cum_n += n
+        p_micro = (2_000_000 * cum_tp + cum_n) // (2 * cum_n)
+        ap_sum += npos * p_micro
+    p_total = sum(v[1] for v in blocks.values())
+    return ap_sum, p_total
+
+
+@given(st.lists(st.tuples(st.integers(-4, 4), st.integers(0, 1)),
+                min_size=1, max_size=40))
+@settings(max_examples=20, deadline=None)
+def test_average_precision_matches_block_sweep(spark, pairs):
+    from datafusion_geo_spark.operators.evals import average_precision
+    ap_sum, p = _brute_ap(pairs)
+    df = spark.createDataFrame(pairs, "score long, y int")
+    out = average_precision(df, "score", "y").collect()[0]
+    assert out.ap_sum_micro == ap_sum and out.n_pos == p
+    if p == 0:
+        assert out.ap is None
+    else:
+        assert out.ap == ((2 * ap_sum + p) // (2 * p)) / 1e6
+        # AP is a mean of precisions: stays in [0, 1] (+rounding slack)
+        assert 0.0 <= out.ap <= 1.0
+
+
+def _perm_lists(perm):
+    """Two rankings over the same n neighbors: identity vs perm."""
+    n = len(perm)
+    a = [(1, j, j + 1) for j in range(n)]
+    b = [(1, j, perm[j] + 1) for j in range(n)]
+    return a, b
+
+
+@given(st.permutations(list(range(5))))
+@settings(max_examples=20, deadline=None)
+def test_spearman_kendall_match_direct_formulas(spark, perm):
+    from datafusion_geo_spark.operators.evals import (kendall_overlap,
+                                                      spearman_overlap)
+    a_rows, b_rows = _perm_lists(list(perm))
+    a = spark.createDataFrame(a_rows, "query_id long, neighbor_id long, rank int")
+    b = spark.createDataFrame(b_rows, "query_id long, neighbor_id long, rank int")
+    n = len(perm)
+    d2 = sum((j - perm[j]) ** 2 for j in range(n))
+    rho_num = n * (n * n - 1) - 6 * d2
+    rho_den = n * (n * n - 1)
+    srow = spearman_overlap(a, b).collect()[0]
+    assert srow.d2_sum == d2
+    assert srow.rho == _r6(rho_num / rho_den)
+    conc = sum(1 for i in range(n) for j in range(i + 1, n)
+               if perm[i] < perm[j])
+    disc = n * (n - 1) // 2 - conc
+    krow = kendall_overlap(a, b).collect()[0]
+    assert (krow.n_concordant, krow.n_discordant) == (conc, disc)
+    assert krow.tau == _r6((conc - disc) / (n * (n - 1) / 2))
