@@ -762,11 +762,24 @@ def _split_polygon_faces(g: Geometry,
 
 
 def _canon_start(ring: List[Coord]) -> List[Coord]:
-    """Rotate a closed ring to start at its lexicographic min vertex —
-    deterministic output layout for oracle comparison."""
+    """Rotate a closed ring to its lexicographically smallest rotation
+    among the min-vertex occurrences — deterministic output layout for
+    oracle comparison, and a pure function of the CYCLIC sequence.
+    (Taking the FIRST occurrence of the min vertex is not
+    rotation-invariant when that vertex repeats — impossible in a
+    valid ring, but degenerate zero-area rings and closed lines hit it
+    and normalize() lost idempotence there: hypothesis counterexample
+    LINESTRING(-1 1,-1 0,0 0,-1 0,-1 1).)"""
     cs = ring[:-1]
-    k = min(range(len(cs)), key=lambda i: cs[i])
-    cs = cs[k:] + cs[:k]
+    m = min(cs, key=tuple)
+    best = None
+    for i, c in enumerate(cs):
+        if tuple(c) == tuple(m):
+            cand = cs[i:] + cs[:i]
+            key = [tuple(x) for x in cand]
+            if best is None or key < best[0]:
+                best = (key, cand)
+    cs = best[1]
     cs.append(cs[0])
     return cs
 

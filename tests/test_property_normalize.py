@@ -98,3 +98,22 @@ def test_geometric_median_no_worse_than_any_input_point(pts):
     cx = sum(float(x) for x, _ in pts) / len(pts)
     cy = sum(float(y) for _, y in pts) / len(pts)
     assert sumd(m.parts) <= sumd((cx, cy)) + 1e-6
+
+
+def test_normalize_idempotent_on_closed_line_with_repeated_vertex():
+    """Regression (hypothesis find, r9): a CLOSED line revisiting its
+    lexicographic-min vertex mid-path — first-occurrence rotation was
+    not rotation-invariant, so normalize(normalize(g)) differed from
+    normalize(g). _canon_start now picks the smallest rotation among
+    min-vertex occurrences (pure function of the cyclic sequence)."""
+    g = Geometry("LineString",
+                 [(-1.0, 1.0), (-1.0, 0.0), (0.0, 0.0),
+                  (-1.0, 0.0), (-1.0, 1.0)])
+    n1 = edit.normalize(g)
+    n2 = edit.normalize(n1)
+    assert to_wkt(n1) == to_wkt(n2)
+    # and the zero-area degenerate RING takes the same pure path
+    ring = Geometry("Polygon",
+                    [[(0.0, 0.0), (2.0, 0.0), (1.0, 0.0), (0.0, 0.0)]])
+    r1 = edit.normalize(ring)
+    assert to_wkt(edit.normalize(r1)) == to_wkt(r1)
