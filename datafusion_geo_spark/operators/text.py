@@ -741,9 +741,14 @@ def pmi_top_bigrams(df: DataFrame, text_col: str = "text",
     toks = (df.select(F.explode(
         words_col(F.lower(F.col(text_col)))).alias("w"))
         .where(F.col("w") != ""))
+    # localCheckpoint the Zipf-bounded (word, count) dict: it is joined
+    # TWICE below (c1 and c2), and each plan reference would otherwise
+    # re-run its corpus scan — checkpointed, the corpus is touched once
+    # per counting pass (unigrams + bigrams), never per join side
     uni = (toks.groupBy("w")
            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-           .withColumn("n_tok", F.sum("c").over(wt).cast("long")))
+           .withColumn("n_tok", F.sum("c").over(wt).cast("long"))
+           .localCheckpoint(eager=True))
     bg = (df.select(F.explode(_bigrams_col(
         words_col(F.lower(F.col(text_col))))).alias("p"))
         .where((F.col("p.w1") != "") & (F.col("p.w2") != ""))
