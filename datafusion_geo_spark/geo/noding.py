@@ -160,14 +160,22 @@ def make_valid(g: Geometry) -> Geometry:
     elif arrangement.typ == "MultiPolygon":
         faces = list(arrangement.parts)
     ring_segs = [(r[i], r[i + 1]) for r in rings for i in range(len(r) - 1)]
-    kept: List[List[List[Coord]]] = []
-    for face in faces:
-        m = _interior_point(face, ring_segs)
-        if m is None:
-            continue            # sliver thinner than the probe — drop
-        crossings = sum(1 for r in rings if point_in_ring(m, r) == 1)
-        if crossings % 2 == 1:
-            kept.append(face)
+
+    def classify(cand_faces):
+        """Keep the faces whose interior has ODD crossing parity
+        against the original rings (the linework-method rule)."""
+        out = []
+        for face in cand_faces:
+            m = _interior_point(face, ring_segs)
+            if m is None:
+                continue        # sliver thinner than the probe — drop
+            crossings = sum(1 for r in rings if point_in_ring(m, r) == 1)
+            if crossings % 2 == 1:
+                out.append(face)
+        return out
+
+    kept = classify(faces)
+    kept = _dissolve_and_unpinch(kept, classify, polygonize)
     kept = [[r for r in (_drop_spikes(r) for r in face) if r is not None]
             for face in kept]
     kept = [face for face in kept if face]
@@ -176,6 +184,94 @@ def make_valid(g: Geometry) -> Geometry:
     if len(kept) == 1:
         return Geometry("Polygon", kept[0], g.srid)
     return Geometry("MultiPolygon", kept, g.srid)
+
+
+def _split_pinched(ring: Sequence[Coord]) -> List[List[Coord]]:
+    """Split a closed ring that revisits a vertex into simple
+    sub-rings at the repeated vertex (recursively) — the PostGIS
+    make_valid semantics for a point-pinched interior: the lobes
+    become separate rings that touch at the point, which IS valid for
+    MultiPolygon members. Takes a CLOSED ring; returns OPEN vertex
+    lists (no closing duplicate — the caller re-closes). Sub-cycles
+    that collapse below a triangle are dropped."""
+    r = list(ring[:-1])
+    seen: Dict[tuple, int] = {}
+    for i, c in enumerate(r):
+        k = _node_key(c)
+        if k in seen:
+            j = seen[k]
+            out: List[List[Coord]] = []
+            for part in (r[j:i], r[:j] + r[i:]):
+                if len(part) >= 3:
+                    out.extend(_split_pinched(part + [part[0]]))
+            return out
+        seen[k] = i
+    return [r] if len(r) >= 3 else []
+
+
+def _dissolve_and_unpinch(kept, classify, polygonize):
+    """Sanitize the kept faces into a VALID (multi)polygon decomposition
+    (r9 fuzz finding: ~3.5% of random invalid inputs produced invalid
+    make_valid output before this).
+
+    Two repairs, applied only when needed so well-behaved inputs keep
+    their byte-identical decomposition:
+
+    * DISSOLVE — two kept faces can share a boundary SEGMENT (adjacent
+      odd-parity faces of the arrangement); MultiPolygon members may
+      only touch at points. Interior segments appear an EVEN number of
+      times across all kept rings — drop them, re-polygonize the
+      surviving boundary, and re-classify by the same parity rule
+      (parity is a property of the region, not of its decomposition).
+    * UNPINCH — a traced face ring can revisit a vertex (point-pinched
+      interior); split it into simple lobes touching at the point and
+      reassemble shells/holes by sign + containment (the polygonize
+      tail rule: holes to the smallest strictly-containing shell)."""
+    from collections import Counter
+    from .algos import _canon_start
+    from .overlay import _mid
+
+    def seg_key(a, b):
+        ka, kb = _node_key(a), _node_key(b)
+        return (min(ka, kb), max(ka, kb))
+
+    all_segs = Counter(seg_key(r[i], r[i + 1])
+                       for face in kept for r in face
+                       for i in range(len(r) - 1))
+    if any(v > 1 for v in all_segs.values()):
+        boundary = [Geometry("LineString", [r[i], r[i + 1]])
+                    for face in kept for r in face
+                    for i in range(len(r) - 1)
+                    if all_segs[seg_key(r[i], r[i + 1])] % 2 == 1]
+        arr = polygonize(boundary)
+        faces2: List[List[List[Coord]]] = []
+        if arr.typ == "Polygon" and not arr.is_empty():
+            faces2 = [arr.parts]
+        elif arr.typ == "MultiPolygon":
+            faces2 = list(arr.parts)
+        kept = classify(faces2)
+
+    if not any(len({_node_key(c) for c in r[:-1]}) != len(r) - 1
+               for face in kept for r in face):
+        return kept
+    subrings: List[List[Coord]] = []
+    for face in kept:
+        for r in face:
+            for sub in _split_pinched(r):
+                if abs(ring_area2(sub + [sub[0]])) > 0.0:
+                    subrings.append(sub + [sub[0]])
+    shells = sorted(((abs(ring_area2(r)), _canon_start(r))
+                     for r in subrings if ring_area2(r) > 0),
+                    key=lambda s: s[0])
+    holes = [_canon_start(r) for r in subrings if ring_area2(r) < 0]
+    out = [[r] for _, r in shells]
+    for h in holes:
+        for k, (_, shell) in enumerate(shells):
+            if any(point_in_ring(_mid(h[i], h[i + 1]), shell) == 1
+                   for i in range(len(h) - 1)):
+                out[k].append(h)
+                break
+    return out
 
 
 def _drop_spikes(ring: Sequence[Coord]) -> Optional[List[Coord]]:
