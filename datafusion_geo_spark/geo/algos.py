@@ -737,6 +737,11 @@ def _split_polygon_faces(g: Geometry,
             ring[-1] = ring[0]
             rings_out.append(ring)
 
+    # NOTE: no _unpinch_closed here, deliberately — a blade ending
+    # inside a hole cuts the annulus OPEN into one C-shaped face whose
+    # boundary walks the blade corridor twice (the documented ST_Split
+    # ring-merge semantics, tests/test_split_general.py); splitting
+    # that walk at revisited vertices would undo the merge
     shells = sorted(
         ((abs(ring_area2(r)), _canon_start(r)) for r in rings_out
          if ring_area2(r) > EPS), key=lambda s: s[0])
@@ -759,6 +764,36 @@ def _split_polygon_faces(g: Geometry,
             if assigned:
                 break
     return faces
+
+
+def _split_pinched(ring: List[Coord]) -> List[List[Coord]]:
+    """Split a closed ring that revisits a vertex into simple sub-rings
+    at the repeated vertex (recursively) — the GEOS semantics for a
+    point-pinched region: the lobes become separate rings touching at
+    the point, which IS valid where a self-touching ring is not.
+    Takes a CLOSED ring; returns OPEN vertex lists (the caller
+    re-closes). Sub-cycles below a triangle are dropped. Shared by
+    make_valid, polygonize, overlay and polygon-split face assembly
+    (r9 fuzz finding: all four could emit pinched rings)."""
+    r = list(ring[:-1])
+    seen = {}
+    for i, c in enumerate(r):
+        k = _node_key(c)
+        if k in seen:
+            j = seen[k]
+            out: List[List[Coord]] = []
+            for part in (r[j:i], r[:j] + r[i:]):
+                if len(part) >= 3:
+                    out.extend(_split_pinched(part + [part[0]]))
+            return out
+        seen[k] = i
+    return [r] if len(r) >= 3 else []
+
+
+def _unpinch_closed(rings):
+    """Apply :func:`_split_pinched` to a list of CLOSED rings, returning
+    closed simple rings — identity for already-simple input."""
+    return [sub + [sub[0]] for r in rings for sub in _split_pinched(r)]
 
 
 def _canon_start(ring: List[Coord]) -> List[Coord]:

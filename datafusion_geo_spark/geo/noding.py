@@ -13,16 +13,19 @@ operators on top.
 boundary rings, polygonize the resulting arrangement, and keep the
 faces whose interior has ODD even-odd parity against the original ring
 multiset (a bowtie becomes two triangles; a valid polygon round-trips).
-Deviation, documented: faces are emitted as separate polygons even when
-they share an edge (only reachable through degenerate double-traced
-chords); PostGIS would dissolve them.
+Kept faces are then sanitized into a VALID decomposition
+(_dissolve_and_unpinch): faces sharing boundary segments dissolve into
+one region, and point-pinched rings split into lobes touching at the
+point — matching PostGIS, which never emits edge-adjacent members or
+self-touching rings (r9 fuzz finding; see tests/test_makevalid.py).
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from .algos import _node_key, _on_segment, point_in_ring, segment_crossing
+from .algos import (_node_key, _on_segment, _split_pinched,
+                    point_in_ring, segment_crossing)
 from .geom import Coord, Geometry, ring_area2
 
 __all__ = ["node_paths", "node_geometry", "make_valid"]
@@ -184,29 +187,6 @@ def make_valid(g: Geometry) -> Geometry:
     if len(kept) == 1:
         return Geometry("Polygon", kept[0], g.srid)
     return Geometry("MultiPolygon", kept, g.srid)
-
-
-def _split_pinched(ring: Sequence[Coord]) -> List[List[Coord]]:
-    """Split a closed ring that revisits a vertex into simple
-    sub-rings at the repeated vertex (recursively) — the PostGIS
-    make_valid semantics for a point-pinched interior: the lobes
-    become separate rings that touch at the point, which IS valid for
-    MultiPolygon members. Takes a CLOSED ring; returns OPEN vertex
-    lists (no closing duplicate — the caller re-closes). Sub-cycles
-    that collapse below a triangle are dropped."""
-    r = list(ring[:-1])
-    seen: Dict[tuple, int] = {}
-    for i, c in enumerate(r):
-        k = _node_key(c)
-        if k in seen:
-            j = seen[k]
-            out: List[List[Coord]] = []
-            for part in (r[j:i], r[:j] + r[i:]):
-                if len(part) >= 3:
-                    out.extend(_split_pinched(part + [part[0]]))
-            return out
-        seen[k] = i
-    return [r] if len(r) >= 3 else []
 
 
 def _dissolve_and_unpinch(kept, classify, polygonize):

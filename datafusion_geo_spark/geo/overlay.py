@@ -45,6 +45,7 @@ import math
 from typing import List, Optional, Sequence, Tuple
 
 from .algos import (EPS, _canon_start, _cut_segment, _node_key, _on_segment,
+                    _unpinch_closed,
                     point_in_polygon, point_in_ring, segment_crossing)
 from .geom import Coord, Geometry, dist, ring_area2
 
@@ -196,6 +197,10 @@ def _trace_faces(edges: List[Tuple[Coord, Coord]]) -> List[RingList]:
         if ok and len(ring) >= 4:
             ring[-1] = ring[0]
             rings_out.append(ring)
+    # point-pinched result regions (e.g. subtracting a triangle whose
+    # apex sits ON the other boundary) must come out as lobes touching
+    # at the point, not one self-touching ring (r9 fuzz finding)
+    rings_out = _unpinch_closed(rings_out)
     shells = sorted(
         ((abs(ring_area2(r)), _canon_start(r)) for r in rings_out
          if ring_area2(r) > EPS), key=lambda s: s[0])

@@ -21,7 +21,8 @@ from __future__ import annotations
 import math
 from typing import List, Sequence, Tuple
 
-from .algos import EPS, _canon_start, _node_key, point_in_ring
+from .algos import (EPS, _canon_start, _node_key, _unpinch_closed,
+                    point_in_ring)
 from .geom import Coord, Geometry, ring_area2
 from .overlay import _line_members, _mid
 
@@ -101,6 +102,10 @@ def polygonize(geoms: Sequence[Geometry]) -> Geometry:
         if closed and len(ring) >= 4:
             ring[-1] = ring[0]
             cycles.append(ring)
+    # a traced cycle can revisit a node (figure-eight linework): emit
+    # the lobes as separate simple rings touching at the point — the
+    # GEOS polygonizer's maximal-edge-ring behavior (r9 fuzz finding)
+    cycles = _unpinch_closed(cycles)
     shells = sorted(((abs(ring_area2(r)), _canon_start(r)) for r in cycles
                      if ring_area2(r) > EPS), key=lambda s: s[0])
     holes = [_canon_start(r) for r in cycles if ring_area2(r) < -EPS]

@@ -233,3 +233,68 @@ def test_null_and_empty(spark):
     assert rows[2]["i"] is None and rows[2]["u"] is None
     assert rows[3]["i"] == "POLYGON EMPTY"     # empty operand -> empty
     assert rows[3]["u"] == A                   # union with empty -> a
+
+
+def test_difference_pinched_at_shared_vertex_is_valid():
+    """Regression (r9 fuzz): subtracting a triangle whose apex sits ON
+    the other polygon's boundary leaves a region pinched at that point.
+    The overlay tracer walked it as ONE self-touching ring (invalid);
+    faces are now unpinched into lobes touching at the point."""
+    from datafusion_geo_spark.geo.overlay import difference, symdifference
+    from datafusion_geo_spark.geo.validity import is_valid, is_valid_reason
+    from datafusion_geo_spark.geo.algos import area
+    a = from_wkt("POLYGON((-3 -4,2 -5,-5 3,-3 -4))")
+    b = from_wkt("POLYGON((2 -5,-1 -2,-2 -2,2 -5))")
+    d = difference(a, b)
+    assert is_valid(d), is_valid_reason(d)
+    assert abs(area(d) - (area(a) - 1.5)) < 1e-9  # the overlap triangle
+    s = symdifference(a, b)
+    assert is_valid(s), is_valid_reason(s)
+
+
+def test_setops_fuzz_valid_and_area_identities():
+    """r9 fuzz pinned: random valid boxes/triangles through all four
+    set operations — outputs must be valid and the inclusion-exclusion
+    area identities must hold."""
+    import random
+
+    from datafusion_geo_spark.geo.algos import area
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.overlay import (difference, intersection,
+                                                  symdifference, union)
+    from datafusion_geo_spark.geo.validity import is_valid
+
+    def rand_poly(rng):
+        if rng.random() < 0.5:
+            x, y = rng.randint(-5, 3), rng.randint(-5, 3)
+            w, h = rng.randint(1, 4), rng.randint(1, 4)
+            ring = [(x, y), (x + w, y), (x + w, y + h), (x, y + h), (x, y)]
+        else:
+            while True:
+                pts = [(rng.randint(-5, 5), rng.randint(-5, 5))
+                       for _ in range(3)]
+                (x1, y1), (x2, y2), (x3, y3) = pts
+                a2 = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+                if a2 != 0:
+                    if a2 < 0:
+                        pts = pts[::-1]
+                    break
+            ring = pts + [pts[0]]
+        return Geometry("Polygon",
+                        [[(float(px), float(py)) for px, py in ring]])
+
+    rng = random.Random(20260815)
+    for _ in range(200):
+        a, b = rand_poly(rng), rand_poly(rng)
+        u, i = union(a, b), intersection(a, b)
+        d, s = difference(a, b), symdifference(a, b)
+        ai, bi = area(a), area(b)
+        aint = (0.0 if i is None or i.typ not in ("Polygon", "MultiPolygon")
+                else area(i))
+        assert abs(area(u) - (ai + bi - aint)) < 1e-6
+        assert abs(area(d) - (ai - aint)) < 1e-6
+        assert abs(area(s) - (ai + bi - 2 * aint)) < 1e-6
+        for g in (u, d, s):
+            assert g.is_empty() or is_valid(g)
+        if i is not None and i.typ in ("Polygon", "MultiPolygon"):
+            assert i.is_empty() or is_valid(i)
