@@ -28,7 +28,8 @@ __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
            "mcc_multiclass", "average_precision", "ece_from_scores",
            "ece_from_hist", "ece_bin_col", "spearman_overlap",
            "kendall_overlap", "rrf_fuse", "rrf_weights_micro",
-           "f1_per_class", "js_unigram_divergence"]
+           "f1_per_class", "js_unigram_divergence", "adjusted_rand",
+           "krippendorff_alpha", "bleu_corpus"]
 
 
 def _r6(col):
@@ -914,3 +915,198 @@ def rrf_fuse(a: DataFrame, b: DataFrame, k: int = 10,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rrf_micro",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def adjusted_rand(conf: DataFrame, a_col: str, b_col: str,
+                  n_col: str) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) of two partitions of
+    the same items, from their contingency table — the
+    permutation-INVARIANT agreement companion to :func:`cohen_kappa` /
+    :func:`mcc_multiclass` (those require the two label sets to be
+    aligned by name; ARI only asks whether the two partitions group
+    the same items together, so it also evaluates clusterings whose
+    labels carry no meaning).
+
+    Pair-counting identity, every sum exact int64 (c·(c−1) is always
+    even so the /2 is exact integer division):
+
+        ARI = (Σij C(nij,2) − E) / (½·(Σa + Σb) − E),
+          E = Σa·Σb / C(n,2)
+
+    with Σa/Σb the row/column marginal pair sums. Only the final
+    double chain (identical expression of exact int64s on both
+    engines) leaves integers; NULL when the denominator is 0 (both
+    partitions put everything in one group — ARI undefined). ONE row
+    out: (n_total, sum_ab_pairs, sum_a_pairs, sum_b_pairs, ari).
+    Scale: the contingency table is |A|·|B| rows, so every aggregate
+    here is dict-sized regardless of corpus size."""
+    n = F.col(n_col).cast("long")
+
+    def pairs2(c):
+        c = c.cast("long")
+        return ((c * (c - F.lit(1)) - (c * (c - F.lit(1))) % F.lit(2))
+                / F.lit(2)).cast("long")
+
+    t = conf.agg(F.sum(pairs2(n)).cast("long").alias("sum_ab_pairs"),
+                 F.sum(n).cast("long").alias("n_total"))
+    sa = (conf.groupBy(a_col).agg(F.sum(n).alias("_an"))
+          .agg(F.sum(pairs2(F.col("_an"))).cast("long")
+               .alias("sum_a_pairs")))
+    sb = (conf.groupBy(b_col).agg(F.sum(n).alias("_bn"))
+          .agg(F.sum(pairs2(F.col("_bn"))).cast("long")
+               .alias("sum_b_pairs")))
+    j = t.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    n2 = pairs2(F.col("n_total")).cast("double")
+    e = (F.col("sum_a_pairs").cast("double")
+         * F.col("sum_b_pairs").cast("double") / n2)
+    den = ((F.col("sum_a_pairs") + F.col("sum_b_pairs")).cast("double")
+           / F.lit(2.0) - e)
+    ari = F.when(den != F.lit(0.0),
+                 _r6((F.col("sum_ab_pairs").cast("double") - e) / den))
+    return j.select("n_total", "sum_ab_pairs", "sum_a_pairs",
+                    "sum_b_pairs", ari.alias("ari"))
+
+
+def krippendorff_alpha(units: DataFrame, label_cols: list,
+                       unit_col: str = "doc_id") -> DataFrame:
+    """Krippendorff's alpha (nominal data, no missing ratings) over a
+    WIDE ratings table — one row per unit, one column per rater. The
+    reliability metric that generalizes :func:`cohen_kappa` beyond two
+    raters and corrects for chance using the observed label prevalence
+    (Krippendorff 2004 §11).
+
+    With every unit rated by all m raters, the coincidence-matrix
+    identity collapses to exact integers: the matrix marginal of label
+    c is its raw rating count n_c, n = m·U, and
+
+        alpha = 1 − (n−1) · 2·Σ_u mism_u / ((m−1) · (n² − Σ_c n_c²))
+
+    where mism_u = #{i<j : rating_i ≠ rating_j} per unit (a map-side
+    expression over the m columns — no unit-level shuffle at all).
+    Only the final divide is a double; NULL when every rating is one
+    label (zero expected disagreement). ONE row out:
+    (n_units, n_ratings, o_mis2, nn_mis, alpha). Scale: one map pass
+    + one |labels|-sized grouped count + two one-row aggregates."""
+    m = len(label_cols)
+    if m < 2:
+        raise ValueError("krippendorff_alpha: need >= 2 rater columns")
+    mism = None
+    for i in range(m):
+        for j in range(i + 1, m):
+            t = (F.col(label_cols[i]) != F.col(label_cols[j])).cast("long")
+            mism = t if mism is None else mism + t
+    per = units.select(F.lit(1).alias("_one"), mism.alias("_mism"),
+                       F.array(*[F.col(c) for c in label_cols])
+                       .alias("_r"))
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_units"),
+                  (F.sum("_mism") * F.lit(2)).cast("long")
+                  .alias("o_mis2"))
+    marg = (per.select(F.explode("_r").alias("_lbl"))
+            .groupBy("_lbl").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("_nc"))
+            .agg(F.sum("_nc").cast("long").alias("n_ratings"),
+                 F.sum(F.col("_nc") * F.col("_nc")).cast("long")
+                 .alias("_sq")))
+    j = tot.crossJoin(F.broadcast(marg))
+    nn_mis = (F.col("n_ratings") * F.col("n_ratings") - F.col("_sq")) \
+        .cast("long")
+    num = ((F.col("n_ratings") - F.lit(1)) * F.col("o_mis2")) \
+        .cast("double")
+    den = (F.lit(m - 1) * nn_mis).cast("double")
+    alpha = F.when(nn_mis > F.lit(0),
+                   _r6(F.lit(1.0) - num / den))
+    return j.select("n_units", "n_ratings", "o_mis2",
+                    nn_mis.alias("nn_mis"), alpha.alias("alpha"))
+
+
+def bleu_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
+                id_col: str = "doc_id", max_n: int = 4) -> DataFrame:
+    """Corpus BLEU (Papineni et al. 2002) of a candidate text column
+    against a single reference column: clipped n-gram precisions for
+    n = 1..max_n, geometric mean, brevity penalty — the standard
+    n-gram-overlap score a pipeline uses to quantify how far a
+    transformation (decontamination rewrite, PII scrub, OCR cleanup)
+    drifted from its source.
+
+    Exactness discipline: matched/total counts per n are exact int64
+    (per-doc clipped counts = Σ min(cand_count, ref_count) over an
+    inner (doc, n, gram) equi-join — a gram absent from either side
+    clips to 0 and inner-join drops it). The float tail is ONE fixed
+    expression of those ints — p_n = m_n/t_n exact-int divides,
+    ln/exp under the repo's libm-parity contract (heldout_ppl
+    convention), brevity penalty exp(1 − r/c) when c < r — rounded
+    6-dp half-away at the very end. Zero matches at any order → BLEU
+    NULL (undefined without smoothing; the caller picks a smoothing
+    if its corpus can hit it — the fixture cannot).
+
+    Scale: ONE explode per side builds all n orders at once
+    (flattened (n, gram) structs), one (doc, n, gram) grouped count
+    each, one equi-join on the gram key, then everything is ≤ max_n
+    rows. Output ONE row: (m1, t1, .., m{max_n}, t{max_n}, c_len,
+    r_len, bleu)."""
+    from .text import ngram_array, words_col
+
+    w = pairs.select(
+        F.col(id_col).alias("_id"),
+        words_col(F.col(cand_col)).alias("_cw"),
+        words_col(F.col(ref_col)).alias("_rw"))
+
+    def tag(n):
+        # factory so the HOF lambda has exactly ONE parameter — a
+        # second (even defaulted) parameter makes Spark pass the
+        # ELEMENT INDEX into it (the lang_id marker_score trap)
+        def one(g):
+            return F.struct(F.lit(n).alias("n"), g.alias("g"))
+        return one
+
+    def gram_structs(col):
+        return F.flatten(F.array(*[
+            F.transform(ngram_array(F.col(col), n), tag(n))
+            for n in range(1, max_n + 1)]))
+
+    def side_counts(col, cname):
+        return (w.select("_id", F.explode(gram_structs(col)).alias("_t"))
+                .groupBy("_id", F.col("_t.n").alias("n"),
+                         F.col("_t.g").alias("g"))
+                .agg(F.count(F.lit(1)).cast("long").alias(cname)))
+
+    cc = side_counts("_cw", "_cc")
+    rc = side_counts("_rw", "_rc")
+    matched = (cc.join(rc, ["_id", "n", "g"])
+               .groupBy("n")
+               .agg(F.sum(F.least(F.col("_cc"), F.col("_rc")))
+                    .cast("long").alias("_m")))
+    totals = (w.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("n"),
+                 F.greatest(F.size("_cw") - F.lit(n - 1), F.lit(0))
+                 .cast("long").alias("_t"))
+        for n in range(1, max_n + 1)])).alias("_s"))
+        .groupBy(F.col("_s.n").alias("n"))
+        .agg(F.sum("_s._t").cast("long").alias("_t")))
+    lens = w.agg(F.sum(F.size("_cw")).cast("long").alias("c_len"),
+                 F.sum(F.size("_rw")).cast("long").alias("r_len"))
+    # totals always has all max_n orders (the explode emits every n
+    # for every doc, zero-length included); matched can miss an order
+    # entirely — left join + coalesce keeps the honest m=0 count
+    mt = totals.join(matched, "n", "left") \
+        .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0)))
+    one = mt.agg(*[agg for n in range(1, max_n + 1) for agg in (
+        F.sum(F.when(F.col("n") == n, F.col("_m"))).cast("long")
+        .alias(f"m{n}"),
+        F.sum(F.when(F.col("n") == n, F.col("_t"))).cast("long")
+        .alias(f"t{n}"))])
+    j = one.crossJoin(F.broadcast(lens))
+    logsum = None
+    ok = None
+    for n in range(1, max_n + 1):
+        pos = (F.col(f"m{n}") > F.lit(0)) & (F.col(f"t{n}") > F.lit(0))
+        ok = pos if ok is None else (ok & pos)
+        term = F.log(F.col(f"m{n}").cast("double")
+                     / F.col(f"t{n}").cast("double"))
+        logsum = term if logsum is None else logsum + term
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)) \
+        .otherwise(F.exp(F.lit(1.0) - F.col("r_len").cast("double")
+                         / F.col("c_len").cast("double")))
+    bleu = F.when(ok, _r6(bp * F.exp(logsum / F.lit(float(max_n)))))
+    cols = [c for n in range(1, max_n + 1) for c in (f"m{n}", f"t{n}")]
+    return j.select(*cols, "c_len", "r_len", bleu.alias("bleu"))

@@ -125,6 +125,34 @@ def text_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def _lang_scores(w: Column) -> dict:
+    """Per-language marker-hit counts of a word array — the scoring
+    core shared by :func:`lang_id` and :func:`lang_pred_col`."""
+    def marker_score(markers):
+        # factory so the HOF lambda has exactly one parameter (Spark
+        # introspects the signature) and binds ``markers`` per call
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    return {lang: marker_score(markers) for lang, markers in LANG_MARKERS}
+
+
+def _lang_pred(scores: dict) -> Column:
+    """First language (declared order) reaching the max score."""
+    mx = F.greatest(*scores.values())
+    pred = F.when(scores[LANG_MARKERS[0][0]] == mx, LANG_MARKERS[0][0])
+    for lang, _ in LANG_MARKERS[1:]:
+        pred = pred.when(scores[lang] == mx, lang)
+    return pred
+
+
+def lang_pred_col(text: Column) -> Column:
+    """The lang_id prediction as a plain COLUMN expression — for plans
+    that classify more than one text variant in a single map pass
+    (e.g. the krippendorff_alpha rater grid) instead of running
+    :func:`lang_id` per variant and self-joining on the id."""
+    return _lang_pred(_lang_scores(words_col(text)))
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", keep_cols: tuple = ()) -> DataFrame:
     """Marker-word language-ID heuristic: score per language = count of
@@ -133,18 +161,8 @@ def lang_id(df: DataFrame, text_col: str = "text",
     a downstream eval that needs them (e.g. the confusion matrix's
     truth label) then runs on THIS one map-side pass instead of
     re-scanning and self-joining on the id."""
-    w = words_col(F.col(text_col))
-
-    def marker_score(markers):
-        # factory so the HOF lambda has exactly one parameter (Spark
-        # introspects the signature) and binds ``markers`` per call
-        return F.size(F.filter(w, lambda x: x.isin(*markers)))
-
-    scores = {lang: marker_score(markers) for lang, markers in LANG_MARKERS}
-    mx = F.greatest(*scores.values())
-    pred = F.when(scores[LANG_MARKERS[0][0]] == mx, LANG_MARKERS[0][0])
-    for lang, _ in LANG_MARKERS[1:]:
-        pred = pred.when(scores[lang] == mx, lang)
+    scores = _lang_scores(words_col(F.col(text_col)))
+    pred = _lang_pred(scores)
     return df.select(
         id_col, *keep_cols,
         *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_MARKERS],
@@ -1096,3 +1114,48 @@ def zipf_fit(df: DataFrame, group_col: str = "source",
     return s.select(F.col("grp").alias(group_col),
                     F.col("n").cast("int").alias("n_points"),
                     slope.alias("slope"), intercept.alias("intercept"))
+
+
+def novel_ngram_rate(df: DataFrame, n: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     group_col: str = "lang") -> DataFrame:
+    """Per-group rate of eval-split n-grams NEVER seen in the train
+    split — the memorization/novelty audit next to decontaminate's
+    document-level check: a near-zero novelty rate means the held-out
+    set is recombinations of training text (leakage or a saturated
+    domain); a high rate means genuine distribution shift.
+
+    Split is the repo's deterministic md5 coin (bigram_ppl convention:
+    h64(doc_id) % 10000, < 9000 → train). Both sides reduce to their
+    DISTINCT (group, gram) sets first — the counts compare gram
+    VOCABULARIES, not token frequencies — then one left-anti equi-join
+    on (group, gram) marks the novel ones. All counts exact int64;
+    the rate is the house exact 6-dp ratio. Output per group:
+    (group, n_eval_grams, n_novel_grams, novel_ratio).
+
+    Scale: two grouped DISTINCTs over the gram stream (partial
+    aggregation absorbs the heavy duplication map-side) and one
+    anti-join keyed by the gram — no corpus-sized collect anywhere;
+    skewed grams are exact-duplicate keys and collapse in the partial
+    aggregate before the shuffle."""
+    from .dedup import h64
+    b = h64(F.col(id_col).cast("string")) % F.lit(10000)
+    base = df.select(F.col(group_col).alias("grp"),
+                     ngram_array(words_col(F.col(text_col)), n)
+                     .alias("_g"),
+                     (b < F.lit(9000)).alias("_train"))
+    grams = base.select("grp", "_train", F.explode("_g").alias("g"))
+    train = grams.where(F.col("_train")).select("grp", "g").distinct()
+    ev = grams.where(~F.col("_train")).select("grp", "g").distinct()
+    novel = ev.join(train, ["grp", "g"], "left_anti")
+    tot = ev.groupBy("grp").agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_eval_grams"))
+    nov = novel.groupBy("grp").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("n_novel_grams"))
+    out = (tot.join(nov, "grp", "left")
+           .select(F.col("grp").alias(group_col), "n_eval_grams",
+                   F.coalesce(F.col("n_novel_grams"), F.lit(0))
+                   .alias("n_novel_grams")))
+    return out.withColumn(
+        "novel_ratio",
+        _ratio6(F.col("n_novel_grams"), F.col("n_eval_grams")))
