@@ -4603,6 +4603,82 @@ def _q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(docs, "text", "doc_id")
 
 
+def _q_ari_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index (operators/evals.py adjusted_rand, Hubert &
+    Arabie 1985) of the lang_id partition vs the fixture label over
+    the lang_confusion contingency table — the permutation-invariant
+    agreement companion to kappa_eval/mcc_eval (label names don't have
+    to align, so the same operator scores unlabeled clusterings).
+    Pair-counting sums exact int64; one fixed double chain at the end.
+    Oracle wraps the lang_confusion SQL as a CTE."""
+    from datafusion_geo_spark.operators.evals import adjusted_rand
+    conf = _q_lang_confusion(spark, sf_dir)
+    return adjusted_rand(conf, "lang", "lang_pred", "n_docs")
+
+
+def _q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal alpha (operators/evals.py
+    krippendorff_alpha) over a 3-rater grid built in ONE map pass —
+    rater 1 the fixture label, rater 2 the lang_id prediction, rater 3
+    the same classifier on the drop-first-word perturbation (the dedup
+    corpus transformation): the multi-rater chance-corrected
+    reliability metric kappa_eval cannot express. Per-unit mismatch
+    pairs are map-side expressions (no unit-level shuffle); marginals
+    one |labels|-sized grouped count; exact int64 identity, one final
+    double divide."""
+    from datafusion_geo_spark.operators.evals import krippendorff_alpha
+    from datafusion_geo_spark.operators.text import lang_pred_col
+    pert = F.expr("substring(text, instr(text, ' ') + 1)")
+    units = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("r_truth"),
+        lang_pred_col(F.col("text")).alias("r_full"),
+        lang_pred_col(pert).alias("r_pert"))
+    return krippendorff_alpha(units, ["r_truth", "r_full", "r_pert"])
+
+
+def _q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-4 (operators/evals.py bleu_corpus, Papineni et al.
+    2002) of the drop-first-word perturbation against the original
+    text — quantifying how far the dedup-corpus transformation drifts
+    from its source, the overlap eval any rewrite stage (PII scrub,
+    OCR cleanup, decontamination edit) is judged by. Clipped
+    matched/total counts exact int64 from one (doc, n, gram)
+    equi-join; ln/exp tail under the repo's libm-parity contract."""
+    from datafusion_geo_spark.operators.evals import bleu_corpus
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("cand"),
+        F.col("text").alias("ref"))
+    return bleu_corpus(pairs, "cand", "ref")
+
+
+def _q_novel_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language novel-trigram rate of the md5-coin eval split vs
+    train (operators/text.py novel_ngram_rate) — the
+    memorization/novelty audit: near-zero means the held-out set is
+    recombinations of training text. Two grouped DISTINCTs + one
+    anti-join on the gram key; counts exact int64, rate the house
+    exact 6-dp ratio."""
+    from datafusion_geo_spark.operators.text import novel_ngram_rate
+    return novel_ngram_rate(_docs(spark, sf_dir))
+
+
+def _q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (operators/edit_join.py,
+    FastSS deletion-neighborhood blocking) over document titles (first
+    3 words): all distinct-title pairs within Levenshtein distance 2 —
+    the record-linkage / short-field fuzzy-match operator. Distinct →
+    bounded variant explode → hash equi-join → built-in JVM
+    levenshtein verify; zero Python, no cross product anywhere."""
+    from datafusion_geo_spark.operators.edit_join import \
+        edit_distance_join
+    from datafusion_geo_spark.operators.text import words_col
+    titles = _docs(spark, sf_dir).select(
+        F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 3))
+        .alias("title"))
+    return edit_distance_join(titles, "title", k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
     # FIRST 50 entries per round. Rotation policy (r6 verdict item 1):
@@ -4875,6 +4951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "js_unigram_drift": _q_js_unigram_drift,
         "streaming_ece": _q_streaming_ece,
+        # --- NEW round 9 batch 3: overlap/agreement evals, novelty
+        #     audit, and the edit-distance similarity join ---
+        "bleu_eval": _q_bleu_eval,
+        "ari_eval": _q_ari_eval,
+        "krippendorff_alpha": _q_krippendorff_alpha,
+        "novel_ngrams": _q_novel_ngrams,
+        "edit_join": _q_edit_join,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4896,19 +4979,28 @@ _FIRST50 = [
     "chunk_docs", "curation_pipeline", "geo_parquet_window",
     "neardup_components", "range_tag_events", "streaming_first_seen",
     "streaming_sessions",
+    # new round-9 batch-3 queries (never gated)
+    "bleu_eval", "ari_eval", "krippendorff_alpha", "novel_ngrams",
+    "edit_join",
+    # re-gates for kernels CHANGED by the r9 geometry fuzz campaign
+    # (make_valid dissolve + overlay/polygonize unpinch, commits
+    # 473c74f/534b6a4) — changed code outranks stale-green re-gates
+    "makevalid_literal", "makevalid_bowties", "polygonize_literal",
+    "polygonize_regions",
     # oldest green rows: the r4 block (incl. multimodal +
     # streaming-extent sets)
     # (geohash_azimuth_literal / hull_simplify_literal /
     # line_locate_literal / line_interp displaced to 51+ by the
-    # batch-2 r9 adds — literal-input queries, lowest re-gate value
-    # now that the local replica is gate-exact; they lead r10's pool)
-    "accessors_lines", "buffer_lines", "closest_point_lines",
-    "collect_by_segment", "covers_concave", "distance_points",
+    # batch-2 r9 adds; accessors_lines / buffer_lines /
+    # closest_point_lines / collect_by_segment / covers_concave /
+    # distance_points / measures_lines / tile_pyramid / tile_stats
+    # displaced by batch 3 + the fuzz-campaign re-gates — stable
+    # unchanged kernels, locally gate-exact every run; they lead
+    # r10's re-gate pool)
     "events_hourly_rank", "fingerprint", "geo_pipeline",
-    "geojson_parse", "lang_id", "measures_lines",
+    "geojson_parse", "lang_id",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "streaming_extent", "streaming_extent_append", "text_stats",
-    "tile_pyramid", "tile_stats",
     # heavy regression canaries
     "grid_spatial_join", "minhash_pairs",
     # eval/ANN-replay family adjacent to this round's rbo/cos6 changes
@@ -5913,6 +6005,23 @@ def _lines_wkt_sql() -> str:
 def _stop_list() -> str:
     from datafusion_geo_spark.operators.text import STOPWORDS
     return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _lang_pred_sql(wcol: str) -> str:
+    """lang_id's prediction as ONE SQL expression over a words-list
+    column — the parameterized twin of :func:`_lang_oracle` for
+    oracles that classify more than one text variant per row (the
+    krippendorff_alpha rater grid). Same marker table, same GREATEST /
+    first-match-in-declared-order tie-break."""
+    from datafusion_geo_spark.operators.text import LANG_MARKERS
+    scores = {
+        lang: "len(list_filter({w}, x -> x IN ({m})))".format(
+            w=wcol, m=", ".join(f"'{x}'" for x in markers))
+        for lang, markers in LANG_MARKERS}
+    mx = "GREATEST({})".format(", ".join(scores.values()))
+    return ("CASE " + " ".join(
+        f"WHEN {scores[lang]} = {mx} THEN '{lang}'"
+        for lang, _ in LANG_MARKERS) + " END")
 
 
 def _lang_oracle() -> str:
@@ -10507,4 +10616,170 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin: bounded replay == batch, oracle SHARED (the
     # streaming_kmv / streaming_cat_drift convention)
     out["streaming_ece"] = out["ece_eval"]
+
+    # ---- round-9 batch 3: overlap/agreement evals, novelty audit,
+    #      edit-distance join ----
+    _sgn_r6 = ("(CASE WHEN ({x}) < 0 THEN -1 WHEN ({x}) > 0 THEN 1 "
+               "ELSE 0 END) * floor(abs({x}) * 1000000.0 + 0.5) "
+               "/ 1000000.0 + 0.0")
+    out["ari_eval"] = f"""
+        WITH conf AS ({out["lang_confusion"]})
+        , t AS (
+          SELECT SUM(n_docs * (n_docs - 1) // 2)::BIGINT AS sum_ab_pairs,
+                 SUM(n_docs)::BIGINT AS n_total
+          FROM conf
+        ), a AS (
+          SELECT SUM(an * (an - 1) // 2)::BIGINT AS sum_a_pairs FROM (
+            SELECT SUM(n_docs)::BIGINT AS an FROM conf GROUP BY lang)
+        ), b AS (
+          SELECT SUM(bn * (bn - 1) // 2)::BIGINT AS sum_b_pairs FROM (
+            SELECT SUM(n_docs)::BIGINT AS bn FROM conf
+            GROUP BY lang_pred)
+        ), v AS (
+          SELECT n_total, sum_ab_pairs, sum_a_pairs, sum_b_pairs,
+                 sum_a_pairs::DOUBLE * sum_b_pairs::DOUBLE
+                   / ((n_total * (n_total - 1) // 2)::DOUBLE) AS e,
+                 (sum_a_pairs + sum_b_pairs)::DOUBLE / 2.0 AS h
+          FROM t, a, b
+        )
+        SELECT n_total, sum_ab_pairs, sum_a_pairs, sum_b_pairs,
+               CASE WHEN (h - e) <> 0 THEN
+                 {_sgn_r6.format(x="(sum_ab_pairs::DOUBLE - e) / (h - e)")}
+               ELSE NULL END AS ari
+        FROM v
+    """
+    _pert_words = ("string_split_regex(trim(substr(text, "
+                   "instr(text, ' ') + 1)), '\\s+')")
+    out["krippendorff_alpha"] = f"""
+        WITH r AS (
+          SELECT doc_id, lang AS r_truth,
+                 {_lang_pred_sql("wf")} AS r_full,
+                 {_lang_pred_sql("wp")} AS r_pert
+          FROM (SELECT doc_id, lang, {_WORDS} AS wf,
+                       {_pert_words} AS wp
+                FROM documents)
+        ), tot AS (
+          SELECT COUNT(*)::BIGINT AS n_units,
+                 (2 * SUM((r_truth <> r_full)::INT
+                          + (r_truth <> r_pert)::INT
+                          + (r_full <> r_pert)::INT))::BIGINT AS o_mis2
+          FROM r
+        ), marg AS (
+          SELECT SUM(c)::BIGINT AS n_ratings,
+                 SUM(c * c)::BIGINT AS sq
+          FROM (SELECT COUNT(*)::BIGINT AS c FROM (
+                  SELECT unnest([r_truth, r_full, r_pert]) AS lbl
+                  FROM r) GROUP BY lbl)
+        ), v AS (
+          SELECT n_units, n_ratings, o_mis2,
+                 (n_ratings * n_ratings - sq)::BIGINT AS nn_mis
+          FROM tot, marg
+        )
+        SELECT n_units, n_ratings, o_mis2, nn_mis,
+               CASE WHEN nn_mis > 0 THEN
+                 {_sgn_r6.format(
+                     x="1.0 - ((n_ratings - 1) * o_mis2)::DOUBLE "
+                       "/ (2 * nn_mis)::DOUBLE")}
+               ELSE NULL END AS alpha
+        FROM v
+    """
+    out["bleu_eval"] = f"""
+        WITH p AS (
+          SELECT doc_id, {_pert_words} AS cw, {_WORDS} AS rw
+          FROM documents
+        ), ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        cg AS (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, len(cw) - n + 2),
+                   i -> array_to_string(list_slice(cw, i, i + n - 1),
+                                        ' '))) AS g
+          FROM p, ns WHERE len(cw) >= n
+        ), rg AS (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, len(rw) - n + 2),
+                   i -> array_to_string(list_slice(rw, i, i + n - 1),
+                                        ' '))) AS g
+          FROM p, ns WHERE len(rw) >= n
+        ), cc AS (SELECT doc_id, n, g, COUNT(*)::BIGINT AS c
+                  FROM cg GROUP BY doc_id, n, g),
+        rc AS (SELECT doc_id, n, g, COUNT(*)::BIGINT AS c
+               FROM rg GROUP BY doc_id, n, g),
+        mt AS (SELECT cc.n AS n, SUM(LEAST(cc.c, rc.c))::BIGINT AS m
+               FROM cc JOIN rc USING (doc_id, n, g) GROUP BY cc.n),
+        tt AS (SELECT n, SUM(GREATEST(len(cw) - n + 1, 0))::BIGINT AS t
+               FROM p, ns GROUP BY n),
+        lens AS (SELECT SUM(len(cw))::BIGINT AS c_len,
+                        SUM(len(rw))::BIGINT AS r_len FROM p),
+        one AS (
+          SELECT
+            SUM(CASE WHEN n = 1 THEN COALESCE(m, 0) END)::BIGINT AS m1,
+            SUM(CASE WHEN n = 1 THEN t END)::BIGINT AS t1,
+            SUM(CASE WHEN n = 2 THEN COALESCE(m, 0) END)::BIGINT AS m2,
+            SUM(CASE WHEN n = 2 THEN t END)::BIGINT AS t2,
+            SUM(CASE WHEN n = 3 THEN COALESCE(m, 0) END)::BIGINT AS m3,
+            SUM(CASE WHEN n = 3 THEN t END)::BIGINT AS t3,
+            SUM(CASE WHEN n = 4 THEN COALESCE(m, 0) END)::BIGINT AS m4,
+            SUM(CASE WHEN n = 4 THEN t END)::BIGINT AS t4
+          FROM tt LEFT JOIN mt USING (n)
+        ), v AS (
+          SELECT *,
+                 CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0
+                      THEN (CASE WHEN c_len >= r_len THEN 1.0
+                                 ELSE exp(1.0 - r_len::DOUBLE
+                                          / c_len::DOUBLE) END)
+                           * exp((ln(m1::DOUBLE / t1::DOUBLE)
+                                  + ln(m2::DOUBLE / t2::DOUBLE)
+                                  + ln(m3::DOUBLE / t3::DOUBLE)
+                                  + ln(m4::DOUBLE / t4::DOUBLE))
+                                 / 4.0)
+                      ELSE NULL END AS bl
+          FROM one, lens
+        )
+        SELECT m1, t1, m2, t2, m3, t3, m4, t4, c_len, r_len,
+               CASE WHEN bl IS NOT NULL
+                    THEN {_sgn_r6.format(x="bl")}
+                    ELSE NULL END AS bleu
+        FROM v
+    """
+    out["novel_ngrams"] = f"""
+        WITH base AS (
+          SELECT lang AS grp,
+                 ({_H64.format(arg="CAST(doc_id AS VARCHAR)")}) % 10000
+                   < 9000 AS tr,
+                 {_WORDS} AS w
+          FROM documents
+        ), grams AS (
+          SELECT grp, tr,
+                 unnest(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(list_slice(w, i, i + 2),
+                                        ' '))) AS g
+          FROM base WHERE len(w) >= 3
+        ), tr_g AS (SELECT DISTINCT grp, g FROM grams WHERE tr),
+        ev_g AS (SELECT DISTINCT grp, g FROM grams WHERE NOT tr),
+        tot AS (SELECT grp, COUNT(*)::BIGINT AS n_eval_grams
+                FROM ev_g GROUP BY grp),
+        nov AS (SELECT grp, COUNT(*)::BIGINT AS n_novel
+                FROM ev_g e
+                WHERE NOT EXISTS (SELECT 1 FROM tr_g t
+                                  WHERE t.grp = e.grp AND t.g = e.g)
+                GROUP BY grp)
+        SELECT t.grp AS lang, t.n_eval_grams,
+               COALESCE(nov.n_novel, 0)::BIGINT AS n_novel_grams,
+               ((2000000 * COALESCE(nov.n_novel, 0) + t.n_eval_grams)
+                // (2 * t.n_eval_grams)) / 1000000.0 AS novel_ratio
+        FROM tot t LEFT JOIN nov USING (grp)
+    """
+    out["edit_join"] = f"""
+        WITH t AS (
+          SELECT DISTINCT array_to_string(list_slice({_WORDS}, 1, 3),
+                                          ' ') AS s
+          FROM documents WHERE trim(text) <> ''
+        )
+        SELECT a.s AS a, b.s AS b,
+               levenshtein(a.s, b.s)::BIGINT AS dist
+        FROM t a, t b
+        WHERE a.s < b.s
+          AND abs(length(a.s) - length(b.s)) <= 2
+          AND levenshtein(a.s, b.s) <= 2
+    """
     return out

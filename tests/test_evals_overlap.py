@@ -1,0 +1,229 @@
+"""Unit tests for the round-9 batch-3 overlap/agreement operators:
+corpus BLEU, Adjusted Rand, Krippendorff's alpha, the novel-n-gram
+rate, and the edit-distance similarity join (deletion-neighborhood
+blocking vs a brute-force built-in-levenshtein cross)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from datafusion_geo_spark.operators.edit_join import (deletion_variants,
+                                                      edit_distance_join)
+from datafusion_geo_spark.operators.evals import (adjusted_rand,
+                                                  bleu_corpus,
+                                                  krippendorff_alpha)
+from datafusion_geo_spark.operators.text import novel_ngram_rate
+
+
+# ------------------------------------------------------------- BLEU
+
+def test_bleu_identity_is_one(spark):
+    p = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e"), (2, "x y z w q r", "x y z w q r")],
+        ["doc_id", "cand", "ref"])
+    r = bleu_corpus(p, "cand", "ref").collect()[0]
+    assert r.bleu == 1.0
+    assert (r.m1, r.t1) == (r.m1, r.m1)  # perfect clip
+    assert r.c_len == r.r_len == 11
+
+
+def test_bleu_hand_value(spark):
+    # doc1 identical (6 words, 'the' twice); doc2 a 3-word subsequence
+    p = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "the cat sat on the mat"),
+         (2, "cat sat mat", "the cat sat on the mat")],
+        ["doc_id", "cand", "ref"])
+    r = bleu_corpus(p, "cand", "ref").collect()[0]
+    assert (r.m1, r.t1, r.m2, r.t2, r.m3, r.t3, r.m4, r.t4) == \
+        (9, 9, 6, 7, 4, 5, 3, 3)
+    logsum = sum(math.log(m / t)
+                 for m, t in [(9, 9), (6, 7), (4, 5), (3, 3)])
+    want = math.exp(1 - 12 / 9) * math.exp(logsum / 4)
+    assert r.bleu == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_bleu_null_on_zero_match_order_with_honest_counts(spark):
+    p = spark.createDataFrame([(1, "a b", "c d")],
+                              ["doc_id", "cand", "ref"])
+    r = bleu_corpus(p, "cand", "ref").collect()[0]
+    assert r.bleu is None
+    assert (r.m1, r.t1, r.m2, r.t2, r.m3, r.t3, r.m4, r.t4) == \
+        (0, 2, 0, 1, 0, 0, 0, 0)
+
+
+def test_bleu_brevity_penalty_direction(spark):
+    # same clipped precisions, shorter candidate -> lower BLEU
+    long_pair = [(1, "a b c d e f", "a b c d e f")]
+    short_pair = [(1, "a b c d", "a b c d e f")]
+    b_long = bleu_corpus(spark.createDataFrame(
+        long_pair, ["doc_id", "cand", "ref"]), "cand", "ref") \
+        .collect()[0].bleu
+    b_short = bleu_corpus(spark.createDataFrame(
+        short_pair, ["doc_id", "cand", "ref"]), "cand", "ref") \
+        .collect()[0].bleu
+    assert b_long == 1.0
+    assert b_short < 1.0  # p_n all 1 but bp = exp(1 - 6/4) < 1
+    assert b_short == pytest.approx(round(math.exp(1 - 6 / 4), 6),
+                                    abs=1e-9)
+
+
+# ---------------------------------------------------- Adjusted Rand
+
+def test_ari_identical_partitions(spark):
+    conf = spark.createDataFrame([("x", "p", 7), ("y", "q", 5)],
+                                 ["a", "b", "n"])
+    r = adjusted_rand(conf, "a", "b", "n").collect()[0]
+    assert r.ari == 1.0
+
+
+def test_ari_label_permutation_invariant(spark):
+    # same grouping, swapped label names on one side -> still 1.0
+    conf = spark.createDataFrame([("x", "q", 7), ("y", "p", 5)],
+                                 ["a", "b", "n"])
+    assert adjusted_rand(conf, "a", "b", "n").collect()[0].ari == 1.0
+
+
+def test_ari_hand_value(spark):
+    conf = spark.createDataFrame(
+        [("x", "p", 10), ("x", "q", 2), ("y", "q", 8), ("y", "p", 1)],
+        ["a", "b", "n"])
+    r = adjusted_rand(conf, "a", "b", "n").collect()[0]
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    sij = c2(10) + c2(2) + c2(8) + c2(1)
+    sa, sb, n2 = c2(12) + c2(9), c2(11) + c2(10), c2(21)
+    e = sa * sb / n2
+    want = (sij - e) / ((sa + sb) / 2 - e)
+    assert (r.n_total, r.sum_ab_pairs, r.sum_a_pairs, r.sum_b_pairs) \
+        == (21, sij, sa, sb)
+    assert r.ari == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_ari_null_when_degenerate(spark):
+    # both sides one group: denominator 0 -> NULL
+    conf = spark.createDataFrame([("x", "p", 9)], ["a", "b", "n"])
+    assert adjusted_rand(conf, "a", "b", "n").collect()[0].ari is None
+
+
+# ---------------------------------------------- Krippendorff alpha
+
+def test_alpha_perfect_agreement(spark):
+    u = spark.createDataFrame([(1, "a", "a", "a"), (2, "b", "b", "b")],
+                              ["doc_id", "r1", "r2", "r3"])
+    r = krippendorff_alpha(u, ["r1", "r2", "r3"]).collect()[0]
+    assert r.alpha == 1.0 and r.o_mis2 == 0
+
+
+def test_alpha_hand_value(spark):
+    u = spark.createDataFrame(
+        [(1, "a", "a", "a"), (2, "a", "a", "b"), (3, "b", "b", "b"),
+         (4, "a", "b", "b"), (5, "b", "b", "a")],
+        ["doc_id", "r1", "r2", "r3"])
+    r = krippendorff_alpha(u, ["r1", "r2", "r3"]).collect()[0]
+    n, na = 15, 7
+    om2 = 2 * (0 + 2 + 0 + 2 + 2)
+    nn = n * n - (na * na + (n - na) * (n - na))
+    want = 1 - (n - 1) * om2 / (2 * nn)
+    assert (r.n_units, r.n_ratings, r.o_mis2, r.nn_mis) == \
+        (5, n, om2, nn)
+    assert r.alpha == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_alpha_null_on_single_label(spark):
+    u = spark.createDataFrame([(1, "a", "a", "a")],
+                              ["doc_id", "r1", "r2", "r3"])
+    assert krippendorff_alpha(u, ["r1", "r2", "r3"]) \
+        .collect()[0].alpha is None
+
+
+def test_alpha_two_raters_matches_direct_formula(spark):
+    # m=2 sanity: alpha = 1 - (n-1)*2*mism / (1 * (n^2 - sum nc^2))
+    u = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "b"), (3, "b", "b"), (4, "b", "a")],
+        ["doc_id", "r1", "r2"])
+    r = krippendorff_alpha(u, ["r1", "r2"]).collect()[0]
+    n, na = 8, 4
+    om2, nn = 2 * 2, n * n - 2 * na * na
+    want = 1 - (n - 1) * om2 / nn
+    assert r.alpha == pytest.approx(round(want, 6), abs=1e-9)
+
+
+# ------------------------------------------------- novel n-grams
+
+def test_novel_ngram_rate_hand_corpus(spark):
+    # doc_ids chosen so the md5 coin puts 1 in train, 3 in eval for
+    # this fixed split (verified below against the same h64 coin)
+    from datafusion_geo_spark.operators.dedup import h64
+    rows = [(i, "w%d x y z" % (i % 2), "en") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    coin = df.select("doc_id", (h64(F.col("doc_id").cast("string"))
+                                % F.lit(10000) < 9000).alias("tr")) \
+        .collect()
+    train_ids = {r.doc_id for r in coin if r.tr}
+    eval_ids = {r.doc_id for r in coin if not r.tr}
+    if not eval_ids or not train_ids:
+        pytest.skip("degenerate coin for this tiny fixture")
+
+    def grams(i):
+        w = ("w%d x y z" % (i % 2)).split()
+        return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+    tr = set().union(*[grams(i) for i in train_ids])
+    ev = set().union(*[grams(i) for i in eval_ids])
+    want_novel = len(ev - tr)
+    r = novel_ngram_rate(df).collect()
+    assert len(r) == 1 and r[0].lang == "en"
+    assert r[0].n_eval_grams == len(ev)
+    assert r[0].n_novel_grams == want_novel
+
+
+# ------------------------------------------------- edit join
+
+def test_deletion_variants_cover_distance_k(spark):
+    # every string at deletion distance <= 2 is in the neighborhood
+    df = spark.createDataFrame([("abcde",)], ["s"])
+    got = set(df.select(F.explode(deletion_variants(F.col("s"), 2))
+                        .alias("v")).toPandas()["v"])
+    s = "abcde"
+    want = {s}
+    d1 = {s[:i] + s[i + 1:] for i in range(len(s))}
+    want |= d1
+    for t in d1:
+        want |= {t[:i] + t[i + 1:] for i in range(len(t))}
+    assert got == want
+
+
+def test_edit_join_matches_bruteforce_cross(spark):
+    import random
+    rng = random.Random(42)
+    strs = list({"".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+                 for _ in range(60)} - {""})
+    df = spark.createDataFrame([(s,) for s in strs], ["t"])
+    for k in (1, 2):
+        got = {(r.a, r.b, r.dist)
+               for r in edit_distance_join(df, "t", k=k).collect()}
+        a = df.select(F.col("t").alias("a"))
+        b = df.select(F.col("t").alias("b"))
+        brute = {(r.a, r.b, r.dist) for r in
+                 a.crossJoin(b)
+                 .where(F.col("a") < F.col("b"))
+                 .withColumn("dist", F.levenshtein("a", "b")
+                             .cast("long"))
+                 .where(F.col("dist") <= k).collect()}
+        assert got == brute, (k, got ^ brute)
+
+
+def test_edit_join_drops_null_and_blank(spark):
+    df = spark.createDataFrame([("ab",), ("abc",), (None,), ("  ",)],
+                               ["t"])
+    got = edit_distance_join(df, "t", k=1).collect()
+    assert [(r.a, r.b, r.dist) for r in got] == [("ab", "abc", 1)]
+
+
+def test_edit_join_rejects_bad_k(spark):
+    df = spark.createDataFrame([("ab",)], ["t"])
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "t", k=3)

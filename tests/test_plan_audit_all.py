@@ -112,6 +112,17 @@ ALLOWED_BROADCAST_CROSSES = {
                              # IVF rankings)
     # (kmeans_clusters: the final Lloyd assignment is a map-only
     # inlined-literal argmin now — zero crosses)
+    "ari_eval": 2,           # the mcc_eval shape one step wider: the
+                             # one-row (n, Σij-pairs) totals crossed
+                             # with the one-row row- and column-
+                             # marginal pair sums, all three from the
+                             # bounded |langs|^2 confusion matrix
+    "krippendorff_alpha": 1,  # one-row (units, mismatch) totals
+                             # crossed onto the one-row |labels|-sized
+                             # marginal aggregate
+    "bleu_eval": 1,          # one-row per-order matched/total sums
+                             # (≤ max_n rows upstream) crossed onto
+                             # the one-row corpus-length totals
 }
 
 
