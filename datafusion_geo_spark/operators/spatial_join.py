@@ -239,19 +239,35 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
         # boolean matrix in one shot — AQE skew splitting does not apply
         # inside a cogroup, so the block loop is the memory bound
         # (~MATRIX_BLOCK_CELLS bytes per intermediate, not na*nb).
+        # Everything runs as BOOL matrices: the canonical-cell test is
+        # rewritten through the exact identity floor(max(a,b)/cell) =
+        # max(floor(a/cell), floor(b/cell)) (division by a positive
+        # cell and floor are both monotone, so the rewrite is
+        # bit-exact), and max(fa, fb) == c further decomposes into
+        # outer ANDs of 1-D predicates — (fa==c & fb<=c) | (fb==c &
+        # fa<=c) — so the float64 maximum/floor MATRICES the naive
+        # spelling allocates (8× a bool temp each) never exist.
+        fxa = np.floor(ax0 / cell)
+        fya = np.floor(ay0 / cell)
+        fxb = np.floor(bx0 / cell)
+        fyb = np.floor(by0 / cell)
+        axe, axle = fxa == cx, fxa <= cx
+        bxe, bxle = fxb == cx, fxb <= cx
+        aye, ayle = fya == cy, fya <= cy
+        bye, byle = fyb == cy, fyb <= cy
         ia_parts, ib_parts = [], []
         step_a = max(1, MATRIX_BLOCK_CELLS // max(nb, 1))
         for a0 in range(0, na, step_a):
             a1 = min(a0 + step_a, na)
-            ov = ((ax0[a0:a1, None] <= bx1[None, :])
-                  & (bx0[None, :] <= ax1[a0:a1, None])
-                  & (ay0[a0:a1, None] <= by1[None, :])
-                  & (by0[None, :] <= ay1[a0:a1, None]))
-            canon = ((np.floor(np.maximum(ax0[a0:a1, None], bx0[None, :])
-                               / cell) == cx)
-                     & (np.floor(np.maximum(ay0[a0:a1, None], by0[None, :])
-                                 / cell) == cy))
-            pa, pb = np.nonzero(ov & canon)
+            ov = (ax0[a0:a1, None] <= bx1[None, :])
+            ov &= (bx0[None, :] <= ax1[a0:a1, None])
+            ov &= (ay0[a0:a1, None] <= by1[None, :])
+            ov &= (by0[None, :] <= ay1[a0:a1, None])
+            ov &= ((axe[a0:a1, None] & bxle[None, :])
+                   | (axle[a0:a1, None] & bxe[None, :]))
+            ov &= ((aye[a0:a1, None] & byle[None, :])
+                   | (ayle[a0:a1, None] & bye[None, :]))
+            pa, pb = np.nonzero(ov)
             ia_parts.append(pa + a0)
             ib_parts.append(pb)
         ia = np.concatenate(ia_parts) if ia_parts else np.empty(0, dtype=int)
