@@ -4679,6 +4679,42 @@ def _q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(titles, "title", k=2)
 
 
+def _q_wer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word error rate (operators/evals.py word_error_rate) of
+    a substitute-and-delete perturbation — 'data'→'info' everywhere
+    plus the drop-first-word edit — against the original text: the
+    ASR/transcription-style sequence eval completing the overlap
+    family (BLEU = n-gram precision, chrF = char F-score, WER = true
+    sequence edit distance). Each pair's distinct words encode to
+    single ASCII chars, so the word-sequence Levenshtein IS the
+    built-in JVM ``levenshtein`` — map-only, zero Python."""
+    from datafusion_geo_spark.operators.evals import word_error_rate
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("ref"),
+        F.regexp_replace(F.col("text"), r"\bdata\b", "info")
+        .alias("_t2"))
+    pairs = d.select(
+        "doc_id", "ref",
+        F.expr("substring(_t2, instr(_t2, ' ') + 1)").alias("cand"))
+    return word_error_rate(pairs, "cand", "ref")
+
+
+def _q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF2 (operators/evals.py chrf_corpus, Popović 2015) of
+    the drop-first-word perturbation against the original text — the
+    character-level companion to bleu_eval, robust where tokenization
+    differs. Character-n-gram (n = 1..6) clipped counts exact int64
+    from one (doc, n, gram) equi-join over whitespace-stripped text;
+    the macro-averaged P/R and the F_beta combine (β² = 4, exact in
+    binary) are one fixed double expression of those ints."""
+    from datafusion_geo_spark.operators.evals import chrf_corpus
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("cand"),
+        F.col("text").alias("ref"))
+    return chrf_corpus(pairs, "cand", "ref")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
     # FIRST 50 entries per round. Rotation policy (r6 verdict item 1):
@@ -4958,6 +4994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": _q_krippendorff_alpha,
         "novel_ngrams": _q_novel_ngrams,
         "edit_join": _q_edit_join,
+        "wer_eval": _q_wer_eval,
+        "chrf_eval": _q_chrf_eval,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -4979,9 +5017,9 @@ _FIRST50 = [
     "chunk_docs", "curation_pipeline", "geo_parquet_window",
     "neardup_components", "range_tag_events", "streaming_first_seen",
     "streaming_sessions",
-    # new round-9 batch-3 queries (never gated)
+    # new round-9 batch-3/4 queries (never gated)
     "bleu_eval", "ari_eval", "krippendorff_alpha", "novel_ngrams",
-    "edit_join",
+    "edit_join", "wer_eval", "chrf_eval",
     # re-gates for kernels CHANGED by the r9 geometry fuzz campaign
     # (make_valid dissolve + overlay/polygonize unpinch, commits
     # 473c74f/534b6a4) — changed code outranks stale-green re-gates
@@ -4994,10 +5032,11 @@ _FIRST50 = [
     # batch-2 r9 adds; accessors_lines / buffer_lines /
     # closest_point_lines / collect_by_segment / covers_concave /
     # distance_points / measures_lines / tile_pyramid / tile_stats
-    # displaced by batch 3 + the fuzz-campaign re-gates — stable
+    # displaced by batch 3 + the fuzz-campaign re-gates, and
+    # events_hourly_rank / fingerprint displaced by batch 4 — stable
     # unchanged kernels, locally gate-exact every run; they lead
     # r10's re-gate pool)
-    "events_hourly_rank", "fingerprint", "geo_pipeline",
+    "geo_pipeline",
     "geojson_parse", "lang_id",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "streaming_extent", "streaming_extent_append", "text_stats",
@@ -10768,6 +10807,104 @@ def oracle_sql() -> dict[str, str]:
                ((2000000 * COALESCE(nov.n_novel, 0) + t.n_eval_grams)
                 // (2 * t.n_eval_grams)) / 1000000.0 AS novel_ratio
         FROM tot t LEFT JOIN nov USING (grp)
+    """
+    out["wer_eval"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 string_split_regex(trim(substr(t2, instr(t2, ' ') + 1)),
+                                    '\\s+') AS cw,
+                 {_WORDS} AS rw
+          FROM (SELECT doc_id, text,
+                       regexp_replace(text, '\\bdata\\b', 'info', 'g')
+                         AS t2
+                FROM documents)
+        ), e AS (
+          SELECT cw, rw,
+                 list_distinct(list_concat(rw, cw)) AS vocab
+          FROM p
+        ), d AS (
+          SELECT len(vocab) <= 79 AS ok,
+                 CASE WHEN len(vocab) <= 79 THEN levenshtein(
+                   array_to_string(list_transform(cw,
+                     x -> chr(47 + list_position(vocab, x))), ''),
+                   array_to_string(list_transform(rw,
+                     x -> chr(47 + list_position(vocab, x))), ''))
+                 END::BIGINT AS dist,
+                 CASE WHEN len(vocab) <= 79 THEN len(rw)
+                 END::BIGINT AS nr
+          FROM e
+        ), agg AS (
+          SELECT COUNT(*)::BIGINT AS n_docs,
+                 SUM((NOT ok)::INT)::BIGINT AS n_skipped,
+                 SUM(COALESCE(dist, 0))::BIGINT AS sum_edits,
+                 SUM(COALESCE(nr, 0))::BIGINT AS sum_ref_words
+          FROM d
+        )
+        SELECT n_docs, n_skipped, sum_edits, sum_ref_words,
+               CASE WHEN sum_ref_words > 0 THEN
+                 ((2000000 * sum_edits + sum_ref_words)
+                  // (2 * sum_ref_words)) / 1000000.0
+               ELSE NULL END AS wer
+        FROM agg
+    """
+    _chrf_p = " + ".join(
+        f"(m{n}::DOUBLE / tc{n}::DOUBLE)" for n in range(1, 7))
+    _chrf_r = " + ".join(
+        f"(m{n}::DOUBLE / tr{n}::DOUBLE)" for n in range(1, 7))
+    _chrf_pos = " AND ".join(
+        f"tc{n} > 0 AND tr{n} > 0" for n in range(1, 7))
+    out["chrf_eval"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 regexp_replace(substr(text, instr(text, ' ') + 1),
+                                '\\s+', '', 'g') AS c,
+                 regexp_replace(text, '\\s+', '', 'g') AS r
+          FROM documents
+        ), ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        cg AS (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, len(c) - n + 2),
+                   i -> substr(c, i, n))) AS g
+          FROM p, ns WHERE len(c) >= n
+        ), rg AS (
+          SELECT doc_id, n,
+                 unnest(list_transform(range(1, len(r) - n + 2),
+                   i -> substr(r, i, n))) AS g
+          FROM p, ns WHERE len(r) >= n
+        ), cc AS (SELECT doc_id, n, g, COUNT(*)::BIGINT AS c
+                  FROM cg GROUP BY doc_id, n, g),
+        rc AS (SELECT doc_id, n, g, COUNT(*)::BIGINT AS c
+               FROM rg GROUP BY doc_id, n, g),
+        mt AS (SELECT cc.n AS n, SUM(LEAST(cc.c, rc.c))::BIGINT AS m
+               FROM cc JOIN rc USING (doc_id, n, g) GROUP BY cc.n),
+        tt AS (SELECT n,
+                      SUM(GREATEST(len(c) - n + 1, 0))::BIGINT AS tc,
+                      SUM(GREATEST(len(r) - n + 1, 0))::BIGINT AS tr
+               FROM p, ns GROUP BY n),
+        one AS (
+          SELECT
+            {", ".join(
+                f"SUM(CASE WHEN n = {n} THEN COALESCE(m, 0) END)"
+                f"::BIGINT AS m{n}, "
+                f"SUM(CASE WHEN n = {n} THEN tc END)::BIGINT AS tc{n}, "
+                f"SUM(CASE WHEN n = {n} THEN tr END)::BIGINT AS tr{n}"
+                for n in range(1, 7))}
+          FROM tt LEFT JOIN mt USING (n)
+        ), v AS (
+          SELECT *,
+                 CASE WHEN {_chrf_pos}
+                      THEN ({_chrf_p}) / 6.0 END AS pavg,
+                 CASE WHEN {_chrf_pos}
+                      THEN ({_chrf_r}) / 6.0 END AS ravg
+          FROM one
+        )
+        SELECT {", ".join(f"m{n}, tc{n}, tr{n}" for n in range(1, 7))},
+               CASE WHEN pavg IS NOT NULL
+                         AND (4.0 * pavg + ravg) > 0
+                    THEN {_sgn_r6.format(
+                        x="(5.0 * pavg * ravg) / (4.0 * pavg + ravg)")}
+                    ELSE NULL END AS chrf
+        FROM v
     """
     out["edit_join"] = f"""
         WITH t AS (

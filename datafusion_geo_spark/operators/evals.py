@@ -1110,3 +1110,151 @@ def bleu_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
     bleu = F.when(ok, _r6(bp * F.exp(logsum / F.lit(float(max_n)))))
     cols = [c for n in range(1, max_n + 1) for c in (f"m{n}", f"t{n}")]
     return j.select(*cols, "c_len", "r_len", bleu.alias("bleu"))
+
+
+def word_error_rate(pairs: DataFrame, cand_col: str, ref_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus word error rate — Σ word-level edit distances / Σ
+    reference lengths, the ASR/transcription eval — computed entirely
+    in JVM builtins: each pair's distinct words map to single ASCII
+    characters (array_position into the pair's own vocab), so the
+    word-SEQUENCE Levenshtein distance IS the built-in character
+    ``levenshtein`` of the two encoded strings. No Python, no DP UDF.
+
+    The encoding covers pairs with ≤ 79 distinct words (ASCII 48..126
+    — printable, no control/quote ambiguity); wider pairs are counted
+    in ``n_skipped`` and excluded from the sums rather than silently
+    mis-scored (chunk long docs first — a WER eval on a 10k-word blob
+    isn't meaningful anyway). All sums exact int64; the rate is the
+    house exact 6-dp ratio. ONE row out: (n_docs, n_skipped,
+    sum_edits, sum_ref_words, wer). Scale: map-only per pair + one
+    one-row aggregate."""
+    from .text import _ratio6, words_col
+
+    cw = words_col(F.col(cand_col))
+    rw = words_col(F.col(ref_col))
+    vocab = F.array_distinct(F.concat(rw, cw))
+
+    def enc(w):
+        return F.concat_ws(
+            "", F.transform(w, lambda x: F.char(F.lit(47)
+                                                + F.array_position(vocab,
+                                                                   x))))
+
+    okc = F.size(vocab) <= F.lit(79)
+    per = pairs.select(
+        okc.alias("_ok"),
+        F.when(okc, F.levenshtein(enc(cw), enc(rw)).cast("long"))
+        .alias("_d"),
+        F.when(okc, F.size(rw).cast("long")).alias("_nr"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("_ok")).cast("long")).cast("long")
+        .alias("n_skipped"),
+        F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("long")
+        .alias("sum_edits"),
+        F.sum(F.coalesce(F.col("_nr"), F.lit(0))).cast("long")
+        .alias("sum_ref_words"))
+    wer = F.when(F.col("sum_ref_words") > 0,
+                 _ratio6(F.col("sum_edits"), F.col("sum_ref_words")))
+    return agg.select("n_docs", "n_skipped", "sum_edits",
+                      "sum_ref_words", wer.alias("wer"))
+
+
+def chrf_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
+                id_col: str = "doc_id", max_n: int = 6,
+                beta: float = 2.0) -> DataFrame:
+    """Corpus chrF (Popović 2015) of a candidate text column against a
+    reference: character-n-gram precision/recall for n = 1..max_n over
+    whitespace-stripped text, macro-averaged, combined with the
+    F_beta harmonic mean (β = 2 — the published chrF2 default, recall
+    twice as important). The character-level companion to
+    :func:`bleu_corpus` — robust where tokenization differs.
+
+    Same exactness discipline as BLEU: clipped matched counts and both
+    sides' totals are exact int64 from one (doc, n, gram) equi-join;
+    the float tail (per-n ratios, two /max_n averages, the F_beta
+    combine — β² = 4 exact in binary) is one fixed expression of those
+    ints, 6-dp rounded at the end. NULL when any order has zero
+    candidate or reference grams corpus-wide. ONE row out: per-n
+    (m{n}, tc{n}, tr{n}) plus chrf."""
+    s_cand = F.regexp_replace(F.col(cand_col), r"\s+", "")
+    s_ref = F.regexp_replace(F.col(ref_col), r"\s+", "")
+    w = pairs.select(F.col(id_col).alias("_id"),
+                     s_cand.alias("_c"), s_ref.alias("_r"))
+
+    def mk(n, col):
+        # factory returning a ONE-parameter lambda (the HOF
+        # introspection rule — a second parameter would receive the
+        # element index, the bleu_corpus trap)
+        def one(i):
+            return F.struct(F.lit(n).alias("n"),
+                            F.substring(col, i, F.lit(n)).alias("g"))
+        return one
+
+    def gram_structs(col):
+        # per order n: positions 1..len-n+1, each a substring gram.
+        # The too-short case must yield an EMPTY array explicitly —
+        # sequence(1, len-n+1) with len < n would generate a
+        # DESCENDING [1, 0, ...] run (Spark sequence semantics), not
+        # an empty one.
+        parts = []
+        for n in range(1, max_n + 1):
+            seq = F.when(
+                F.length(col) >= F.lit(n),
+                F.sequence(F.lit(1), F.length(col) - F.lit(n - 1))) \
+                .otherwise(F.array().cast("array<int>"))
+            parts.append(F.transform(seq, mk(n, col)))
+        return F.flatten(F.array(*parts))
+
+    def side_counts(col, cname):
+        return (w.select("_id", F.explode(gram_structs(F.col(col)))
+                         .alias("_t"))
+                .groupBy("_id", F.col("_t.n").alias("n"),
+                         F.col("_t.g").alias("g"))
+                .agg(F.count(F.lit(1)).cast("long").alias(cname)))
+
+    cc = side_counts("_c", "_cc")
+    rc = side_counts("_r", "_rc")
+    matched = (cc.join(rc, ["_id", "n", "g"])
+               .groupBy("n")
+               .agg(F.sum(F.least(F.col("_cc"), F.col("_rc")))
+                    .cast("long").alias("_m")))
+    totals = (w.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("n"),
+                 F.greatest(F.length("_c") - F.lit(n - 1), F.lit(0))
+                 .cast("long").alias("_tc"),
+                 F.greatest(F.length("_r") - F.lit(n - 1), F.lit(0))
+                 .cast("long").alias("_tr"))
+        for n in range(1, max_n + 1)])).alias("_s"))
+        .groupBy(F.col("_s.n").alias("n"))
+        .agg(F.sum("_s._tc").cast("long").alias("_tc"),
+             F.sum("_s._tr").cast("long").alias("_tr")))
+    mt = totals.join(matched, "n", "left") \
+        .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0)))
+    one = mt.agg(*[agg for n in range(1, max_n + 1) for agg in (
+        F.sum(F.when(F.col("n") == n, F.col("_m"))).cast("long")
+        .alias(f"m{n}"),
+        F.sum(F.when(F.col("n") == n, F.col("_tc"))).cast("long")
+        .alias(f"tc{n}"),
+        F.sum(F.when(F.col("n") == n, F.col("_tr"))).cast("long")
+        .alias(f"tr{n}"))])
+    ok = None
+    psum, rsum = None, None
+    for n in range(1, max_n + 1):
+        pos = (F.col(f"tc{n}") > F.lit(0)) & (F.col(f"tr{n}") > F.lit(0))
+        ok = pos if ok is None else (ok & pos)
+        p = F.col(f"m{n}").cast("double") / F.col(f"tc{n}").cast("double")
+        r = F.col(f"m{n}").cast("double") / F.col(f"tr{n}").cast("double")
+        psum = p if psum is None else psum + p
+        rsum = r if rsum is None else rsum + r
+    pavg = psum / F.lit(float(max_n))
+    ravg = rsum / F.lit(float(max_n))
+    b2 = float(beta) * float(beta)
+    chrf = F.when(
+        ok & ((F.lit(b2) * pavg + ravg) > F.lit(0.0)),
+        _r6((F.lit(1.0 + b2) * pavg * ravg)
+            / (F.lit(b2) * pavg + ravg)))
+    cols = [c for n in range(1, max_n + 1)
+            for c in (f"m{n}", f"tc{n}", f"tr{n}")]
+    return one.select(*cols, chrf.alias("chrf"))

@@ -227,3 +227,90 @@ def test_edit_join_rejects_bad_k(spark):
     df = spark.createDataFrame([("ab",)], ["t"])
     with pytest.raises(ValueError):
         edit_distance_join(df, "t", k=3)
+
+
+# ------------------------------------------------- WER
+
+def test_wer_hand_values(spark):
+    from datafusion_geo_spark.operators.evals import word_error_rate
+    p = spark.createDataFrame(
+        [(1, "the cat sat", "the cat sat"),       # 0 edits / 3
+         (2, "cat sat mat", "the cat sat mat"),   # 1 deletion / 4
+         (3, "a b c", "a x c")],                  # 1 substitution / 3
+        ["doc_id", "cand", "ref"])
+    r = word_error_rate(p, "cand", "ref").collect()[0]
+    assert (r.n_docs, r.n_skipped, r.sum_edits, r.sum_ref_words) == \
+        (3, 0, 2, 10)
+    assert r.wer == 0.2
+
+
+def test_wer_reordering_counts_real_edits(spark):
+    # swap is 2 edits, not 0 — the DP runs for real, nothing analytic
+    from datafusion_geo_spark.operators.evals import word_error_rate
+    p = spark.createDataFrame([(1, "b a", "a b")],
+                              ["doc_id", "cand", "ref"])
+    assert word_error_rate(p, "cand", "ref").collect()[0] \
+        .sum_edits == 2
+
+
+def test_wer_repeated_words_encode_consistently(spark):
+    # duplicated words map to ONE code — 'a a b' vs 'a b b' is 1 sub
+    from datafusion_geo_spark.operators.evals import word_error_rate
+    p = spark.createDataFrame([(1, "a a b", "a b b")],
+                              ["doc_id", "cand", "ref"])
+    assert word_error_rate(p, "cand", "ref").collect()[0] \
+        .sum_edits == 1
+
+
+def test_wer_skips_wide_vocab_pairs(spark):
+    from datafusion_geo_spark.operators.evals import word_error_rate
+    wide = " ".join(f"w{i}" for i in range(90))
+    p = spark.createDataFrame(
+        [(1, wide, wide), (2, "a b", "a b")],
+        ["doc_id", "cand", "ref"])
+    r = word_error_rate(p, "cand", "ref").collect()[0]
+    assert (r.n_docs, r.n_skipped) == (2, 1)
+    assert r.sum_ref_words == 2   # skipped pair excluded from sums
+
+
+# ------------------------------------------------- chrF
+
+def test_chrf_identity_is_one(spark):
+    from datafusion_geo_spark.operators.evals import chrf_corpus
+    p = spark.createDataFrame([(1, "abcdefgh", "abcdefgh")],
+                              ["doc_id", "cand", "ref"])
+    assert chrf_corpus(p, "cand", "ref").collect()[0].chrf == 1.0
+
+
+def test_chrf_matches_python_reference(spark):
+    import collections
+
+    from datafusion_geo_spark.operators.evals import chrf_corpus
+
+    def ref_chrf(c, r, maxn=6, b2=4.0):
+        P, R = [], []
+        for n in range(1, maxn + 1):
+            cg = collections.Counter(c[i:i + n]
+                                     for i in range(len(c) - n + 1))
+            rg = collections.Counter(r[i:i + n]
+                                     for i in range(len(r) - n + 1))
+            m = sum(min(cg[g], rg[g]) for g in cg)
+            P.append(m / max(len(c) - n + 1, 0))
+            R.append(m / max(len(r) - n + 1, 0))
+        Pa, Ra = sum(P) / maxn, sum(R) / maxn
+        return (1 + b2) * Pa * Ra / (b2 * Pa + Ra)
+
+    # whitespace stripped before gramming: 'ab cdefgh' == 'abcdefgh'
+    p = spark.createDataFrame([(1, "ab cdefgh", "abx defgh")],
+                              ["doc_id", "cand", "ref"])
+    got = chrf_corpus(p, "cand", "ref").collect()[0].chrf
+    assert got == pytest.approx(
+        round(ref_chrf("abcdefgh", "abxdefgh"), 6), abs=1e-9)
+
+
+def test_chrf_null_when_text_shorter_than_max_order(spark):
+    from datafusion_geo_spark.operators.evals import chrf_corpus
+    p = spark.createDataFrame([(1, "abc", "abd")],
+                              ["doc_id", "cand", "ref"])
+    r = chrf_corpus(p, "cand", "ref").collect()[0]
+    assert r.chrf is None and r.tc6 == 0 and r.m1 == 2
