@@ -107,3 +107,167 @@ def test_buffer_output_is_valid_fuzz():
             continue
         if b.typ in ("Polygon", "MultiPolygon"):
             assert is_valid(b), (to_wkt(g), d, is_valid_reason(b))
+
+
+# --- round-9 session-2 extension: the kernels the first campaign did
+# not cover (simplify DP/VW, line_merge, chaikin, the spherical ops) —
+# same fixed-seed style: fuzz ran wide once, the seeds stay pinned.
+
+def _pt_polyline_dist(p, cs):
+    from datafusion_geo_spark.geo.algos import _pt_seg_dist
+    return min(_pt_seg_dist(p, cs[i], cs[i + 1])
+               for i in range(len(cs) - 1))
+
+
+def _rand_float_line(rng, lo=2, hi=12):
+    n = rng.randint(lo, hi)
+    pts = []
+    x, y = rng.uniform(-10, 10), rng.uniform(-10, 10)
+    for _ in range(n):
+        x += rng.uniform(-3, 3)
+        y += rng.uniform(-3, 3)
+        pts.append((round(x, 3), round(y, 3)))
+    out = [pts[0]]
+    for c in pts[1:]:
+        if c != out[-1]:
+            out.append(c)
+    if len(out) < 2:
+        out.append((out[0][0] + 1.0, out[0][1]))
+    return Geometry("LineString", out)
+
+
+def test_simplify_dp_invariants_fuzz():
+    """Douglas-Peucker: endpoints kept, output a subsequence of the
+    input, every input vertex within tol of the simplified line, and
+    vertex count monotone non-increasing in tol."""
+    from datafusion_geo_spark.geo.algos import simplify
+    rng = random.Random(901)
+    for _ in range(400):
+        g = _rand_float_line(rng)
+        tols = sorted(rng.uniform(0.01, 4.0) for _ in range(2))
+        prev_len = None
+        for tol in tols:
+            s = simplify(g, tol)
+            cs, orig = s.parts, g.parts
+            assert cs[0] == orig[0] and cs[-1] == orig[-1], (g, tol)
+            it = iter(orig)
+            assert all(c in it for c in cs), \
+                f"not a subsequence: {orig} -> {cs}"
+            for p in orig:
+                d = _pt_polyline_dist(p, cs) if len(cs) > 1 else 0.0
+                assert d <= tol + 1e-9, (p, d, tol, orig, cs)
+        lo = len(simplify(g, tols[0]).parts)
+        hi = len(simplify(g, tols[1]).parts)
+        assert hi <= lo, (g.parts, tols, lo, hi)
+
+
+def test_simplify_vw_invariants_fuzz():
+    """Visvalingam-Whyatt: endpoints kept, subsequence, count monotone
+    non-increasing in tolerance, and on rings never below a triangle."""
+    from datafusion_geo_spark.geo.edit import simplify_vw
+    rng = random.Random(902)
+    for _ in range(400):
+        g = _rand_float_line(rng)
+        t1, t2 = sorted(rng.uniform(0.001, 5.0) for _ in range(2))
+        s1, s2 = simplify_vw(g, t1), simplify_vw(g, t2)
+        for s in (s1, s2):
+            assert s.parts[0] == g.parts[0] and s.parts[-1] == g.parts[-1]
+            it = iter(g.parts)
+            assert all(c in it for c in s.parts)
+        assert len(s2.parts) <= len(s1.parts)
+    for _ in range(200):
+        p = _rand_valid_poly(rng)
+        s = simplify_vw(p, rng.uniform(0.001, 50.0))
+        if s.parts:  # shell survived: must still be a closed ring >= 4
+            assert len(s.parts[0]) >= 4
+            assert s.parts[0][0] == s.parts[0][-1]
+
+
+def _seg_multiset(geom):
+    segs = []
+    parts = [geom.parts] if geom.typ == "LineString" else geom.parts
+    for cs in parts:
+        for i in range(len(cs) - 1):
+            a, b = cs[i], cs[i + 1]
+            segs.append((a, b) if a <= b else (b, a))
+    return sorted(segs)
+
+
+def test_line_merge_preserves_linework_fuzz():
+    """line_merge: the undirected segment multiset is exactly
+    preserved, and merging is idempotent on its own output."""
+    from datafusion_geo_spark.geo.edit import line_merge
+    rng = random.Random(903)
+    for _ in range(400):
+        nseg = rng.randint(1, 10)
+        segs = []
+        for _ in range(nseg):
+            while True:
+                a = (float(rng.randint(-3, 3)), float(rng.randint(-3, 3)))
+                b = (float(rng.randint(-3, 3)), float(rng.randint(-3, 3)))
+                if a != b:
+                    break
+            segs.append([a, b])
+        g = Geometry("MultiLineString", segs)
+        m = line_merge(g)
+        assert _seg_multiset(m) == _seg_multiset(g), (segs, m.parts)
+        m2 = line_merge(m if m.typ == "MultiLineString"
+                        else Geometry("MultiLineString", [m.parts]))
+        assert _seg_multiset(m2) == _seg_multiset(m)
+
+
+def test_chaikin_invariants_fuzz():
+    """Chaikin corner cutting on open lines: endpoints preserved,
+    polyline length non-increasing, output inside the input bbox."""
+    import math
+
+    from datafusion_geo_spark.geo.edit import chaikin_smoothing
+
+    def plen(cs):
+        return sum(math.dist(cs[i], cs[i + 1])
+                   for i in range(len(cs) - 1))
+
+    rng = random.Random(904)
+    for _ in range(300):
+        g = _rand_float_line(rng, lo=3, hi=10)
+        for it in (1, 3):
+            s = chaikin_smoothing(g, it)
+            assert s.parts[0] == g.parts[0] and s.parts[-1] == g.parts[-1]
+            assert plen(s.parts) <= plen(g.parts) + 1e-9
+            xs = [c[0] for c in g.parts]
+            ys = [c[1] for c in g.parts]
+            for (x, y) in s.parts:
+                assert min(xs) - 1e-9 <= x <= max(xs) + 1e-9
+                assert min(ys) - 1e-9 <= y <= max(ys) + 1e-9
+
+
+def test_sphere_identities_fuzz():
+    """Spherical kernels: haversine symmetry is EXACT (commutative
+    float ops only), d(a,a) = 0, the triangle inequality holds to
+    float slack, and project/measure round-trips: the projected point
+    lies at the requested distance with the requested initial
+    bearing."""
+    import math
+
+    from datafusion_geo_spark.geo.proj import (haversine_m,
+                                               sphere_azimuth,
+                                               sphere_project)
+    rng = random.Random(905)
+    for _ in range(500):
+        a = (rng.uniform(-179, 179), rng.uniform(-80, 80))
+        b = (rng.uniform(-179, 179), rng.uniform(-80, 80))
+        c = (rng.uniform(-179, 179), rng.uniform(-80, 80))
+        dab = haversine_m(*a, *b)
+        assert dab == haversine_m(*b, *a)
+        assert haversine_m(*a, *a) == 0.0
+        assert dab <= haversine_m(*a, *c) + haversine_m(*c, *b) + 1e-6
+    for _ in range(300):
+        p = (rng.uniform(-179, 179), rng.uniform(-75, 75))
+        d = rng.uniform(1000.0, 1_000_000.0)
+        az = rng.uniform(0.0, 2.0 * math.pi)
+        q = sphere_project(*p, d, az)
+        assert abs(haversine_m(*p, *q) - d) <= 1e-6 * d, (p, d, az, q)
+        az2 = sphere_azimuth(*p, *q)
+        diff = abs(az2 - az) % (2.0 * math.pi)
+        diff = min(diff, 2.0 * math.pi - diff)
+        assert diff <= 1e-6, (p, d, az, az2)
