@@ -4715,6 +4715,36 @@ def _q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chrf_corpus(pairs, "cand", "ref")
 
 
+def _q_fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution composition: edit-distance pairs over document
+    titles (operators/edit_join.py, lev ≤ 2) → distributed min-label
+    components (operators/dedup.py connected_components — the
+    neardup_components machinery on a STRING key) → per-cluster title
+    and document counts, multi-title clusters only: the fuzzy-dedup
+    review table a curator works from. Oracle replays the brute
+    levenshtein pairs and the same components as a recursive CTE."""
+    from datafusion_geo_spark.operators.dedup import connected_components
+    from datafusion_geo_spark.operators.edit_join import \
+        edit_distance_join
+    from datafusion_geo_spark.operators.text import words_col
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words_col(F.col("text")), 1, 3))
+        .alias("title")).where(F.trim(F.col("title")) != "")
+    pairs = edit_distance_join(docs, "title", k=2)
+    comps = connected_components(pairs, "a", "b") \
+        .select(F.col("doc_id").alias("_t"),
+                F.col("component"))
+    labeled = (docs.join(comps, docs.title == F.col("_t"), "left")
+               .select("doc_id", "title",
+                       F.coalesce("component", "title")
+                       .alias("component")))
+    return (labeled.groupBy("component")
+            .agg(F.countDistinct("title").cast("long").alias("n_titles"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .where(F.col("n_titles") > 1))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
     # FIRST 50 entries per round. Rotation policy (r6 verdict item 1):
@@ -4996,6 +5026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": _q_edit_join,
         "wer_eval": _q_wer_eval,
         "chrf_eval": _q_chrf_eval,
+        "fuzzy_title_dedup": _q_fuzzy_title_dedup,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5019,7 +5050,7 @@ _FIRST50 = [
     "streaming_sessions",
     # new round-9 batch-3/4 queries (never gated)
     "bleu_eval", "ari_eval", "krippendorff_alpha", "novel_ngrams",
-    "edit_join", "wer_eval", "chrf_eval",
+    "edit_join", "wer_eval", "chrf_eval", "fuzzy_title_dedup",
     # re-gates for kernels CHANGED by the r9 geometry fuzz campaign
     # (make_valid dissolve + overlay/polygonize unpinch, commits
     # 473c74f/534b6a4) — changed code outranks stale-green re-gates
@@ -5032,12 +5063,11 @@ _FIRST50 = [
     # batch-2 r9 adds; accessors_lines / buffer_lines /
     # closest_point_lines / collect_by_segment / covers_concave /
     # distance_points / measures_lines / tile_pyramid / tile_stats
-    # displaced by batch 3 + the fuzz-campaign re-gates, and
-    # events_hourly_rank / fingerprint displaced by batch 4 — stable
-    # unchanged kernels, locally gate-exact every run; they lead
-    # r10's re-gate pool)
-    "geo_pipeline",
-    "geojson_parse", "lang_id",
+    # displaced by batch 3 + the fuzz-campaign re-gates;
+    # events_hourly_rank / fingerprint by batch 4; geojson_parse by
+    # fuzzy_title_dedup — stable unchanged kernels, locally
+    # gate-exact every run; they lead r10's re-gate pool)
+    "geo_pipeline", "lang_id",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "streaming_extent", "streaming_extent_append", "text_stats",
     # heavy regression canaries
@@ -10918,5 +10948,41 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.s < b.s
           AND abs(length(a.s) - length(b.s)) <= 2
           AND levenshtein(a.s, b.s) <= 2
+    """
+    out["fuzzy_title_dedup"] = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 array_to_string(list_slice({_WORDS}, 1, 3), ' ')
+                   AS title
+          FROM documents WHERE trim(text) <> ''
+        ), dt AS (SELECT DISTINCT title FROM t),
+        pairs AS (
+          SELECT a.title AS ta, b.title AS tb
+          FROM dt a, dt b
+          WHERE a.title < b.title
+            AND abs(length(a.title) - length(b.title)) <= 2
+            AND levenshtein(a.title, b.title) <= 2
+        ),
+        edges AS (SELECT ta AS src, tb AS dst FROM pairs
+                  UNION ALL
+                  SELECT tb AS src, ta AS dst FROM pairs),
+        verts AS (SELECT DISTINCT src AS v FROM edges),
+        reach AS (
+          SELECT v, v AS label FROM verts
+          UNION
+          SELECT e.dst AS v, r.label
+          FROM reach r JOIN edges e ON e.src = r.v
+        ),
+        comp AS (SELECT v AS title, MIN(label) AS component
+                 FROM reach GROUP BY v),
+        lab AS (
+          SELECT t.doc_id, t.title,
+                 COALESCE(c.component, t.title) AS component
+          FROM t LEFT JOIN comp c ON c.title = t.title
+        )
+        SELECT component, COUNT(DISTINCT title)::BIGINT AS n_titles,
+               COUNT(*)::BIGINT AS n_docs
+        FROM lab GROUP BY component
+        HAVING COUNT(DISTINCT title) > 1
     """
     return out

@@ -314,3 +314,23 @@ def test_chrf_null_when_text_shorter_than_max_order(spark):
                               ["doc_id", "cand", "ref"])
     r = chrf_corpus(p, "cand", "ref").collect()[0]
     assert r.chrf is None and r.tc6 == 0 and r.m1 == 2
+
+
+# -------------------------------------- fuzzy dedup composition
+
+def test_edit_join_components_chain_merges(spark):
+    """Titles chained by distance-2 links collapse into ONE component
+    under min-label propagation even when the endpoints are farther
+    than 2 apart (single-linkage semantics)."""
+    from datafusion_geo_spark.operators.dedup import connected_components
+    from datafusion_geo_spark.operators.edit_join import edit_distance_join
+    df = spark.createDataFrame(
+        [("red plate",), ("red plates",), ("red platess",),
+         ("small widget",)], ["t"])
+    pairs = edit_distance_join(df, "t", k=2)
+    comps = {r.doc_id: r.component
+             for r in connected_components(pairs, "a", "b").collect()}
+    # chain: red plate -1- red plates -1- red platess (ends are 2 apart)
+    assert comps["red plate"] == comps["red plates"] == \
+        comps["red platess"] == "red plate"
+    assert "small widget" not in comps  # no pair -> not in the graph
