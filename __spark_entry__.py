@@ -4745,6 +4745,20 @@ def _q_fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_titles") > 1))
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture planner (operators/sampling.py
+    temperature_mix_weights, τ = 2): per language, sampling weight ∝
+    √n_tokens — the low-resource up-weighting rule a multilingual
+    pretraining budget is split by (mT5 §3.1), the planner companion
+    to domain_mix's fixed-weight applier. The sqrt of an exact int64
+    is one correctly-rounded IEEE op, milli-rounded BEFORE the integer
+    normalization sum; the weight is the house exact 6-dp ratio with
+    the total as a full-frame window over the |langs| dict table."""
+    from datafusion_geo_spark.operators.sampling import \
+        temperature_mix_weights
+    return temperature_mix_weights(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
     # FIRST 50 entries per round. Rotation policy (r6 verdict item 1):
@@ -5027,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wer_eval": _q_wer_eval,
         "chrf_eval": _q_chrf_eval,
         "fuzzy_title_dedup": _q_fuzzy_title_dedup,
+        "temperature_mix": _q_temperature_mix,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5051,6 +5066,7 @@ _FIRST50 = [
     # new round-9 batch-3/4 queries (never gated)
     "bleu_eval", "ari_eval", "krippendorff_alpha", "novel_ngrams",
     "edit_join", "wer_eval", "chrf_eval", "fuzzy_title_dedup",
+    "temperature_mix",
     # re-gates for kernels CHANGED by the r9 geometry fuzz campaign
     # (make_valid dissolve + overlay/polygonize unpinch, commits
     # 473c74f/534b6a4) — changed code outranks stale-green re-gates
@@ -5064,10 +5080,11 @@ _FIRST50 = [
     # closest_point_lines / collect_by_segment / covers_concave /
     # distance_points / measures_lines / tile_pyramid / tile_stats
     # displaced by batch 3 + the fuzz-campaign re-gates;
-    # events_hourly_rank / fingerprint by batch 4; geojson_parse by
-    # fuzzy_title_dedup — stable unchanged kernels, locally
-    # gate-exact every run; they lead r10's re-gate pool)
-    "geo_pipeline", "lang_id",
+    # events_hourly_rank / fingerprint by batch 4; geojson_parse /
+    # geo_pipeline by fuzzy_title_dedup + temperature_mix — stable
+    # unchanged kernels, locally gate-exact every run; they lead
+    # r10's re-gate pool)
+    "lang_id",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
     "streaming_extent", "streaming_extent_append", "text_stats",
     # heavy regression canaries
@@ -10948,6 +10965,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.s < b.s
           AND abs(length(a.s) - length(b.s)) <= 2
           AND levenshtein(a.s, b.s) <= 2
+    """
+    out["temperature_mix"] = f"""
+        WITH per AS (
+          SELECT lang AS grp, COUNT(*)::BIGINT AS n_docs,
+                 SUM(len({_WORDS}))::BIGINT AS n_tokens
+          FROM documents GROUP BY lang
+        ), sz AS (
+          SELECT grp, n_docs, n_tokens,
+                 CAST(floor(sqrt(n_tokens::DOUBLE) * 1000.0 + 0.5)
+                      AS BIGINT) AS size_milli
+          FROM per
+        ), w AS (
+          SELECT *, SUM(size_milli) OVER ()::BIGINT AS tot FROM sz
+        )
+        SELECT grp AS lang, n_docs, n_tokens, size_milli,
+               ((2000000 * size_milli + tot) // (2 * tot)) / 1000000.0
+                 AS weight
+        FROM w
     """
     out["fuzzy_title_dedup"] = f"""
         WITH RECURSIVE t AS (

@@ -368,3 +368,52 @@ def curriculum_order(df: DataFrame, text_col: str = "text",
                     (F.lit(n_buckets - 1) - n_at_or_below).cast("int")
                     .alias("bucket"),
                     seeded_h64(seed, 0, F.col(id_col)).alias("sort_key")))
+
+
+def temperature_mix_weights(df: DataFrame, group_col: str = "lang",
+                            text_col: str = "text",
+                            tau: int = 2) -> DataFrame:
+    """Temperature-scaled domain-mixture weights (the multilingual-
+    pretraining sampling rule, mT5 §3.1 / UniMax lineage): sampling
+    weight per domain ∝ n_tokens^(1/τ) — τ = 1 reproduces proportional
+    sampling, τ = 2 (the default here) up-weights low-resource domains
+    by sampling ∝ √n_tokens. The PLANNER companion to the fixed-weight
+    applier (weighted_sample / domain_mix): this computes the weights
+    a budget is then split by.
+
+    Only τ ∈ {1, 2} is supported — τ = 2's sqrt of an exact int64 is
+    one correctly-rounded IEEE op (the mcc_multiclass discipline),
+    whereas a general pow() has no cross-engine parity guarantee. The
+    scaled size is milli-rounded to int64 BEFORE normalization, so the
+    denominator is an exact integer sum (fold-order free) and the
+    weight is the house exact 6-dp ratio — no float sum ever crosses
+    engines. Output per domain: (group, n_docs, n_tokens, size_milli,
+    weight); weights sum to 1 ± the 6-dp rounding of each term.
+
+    Scale: one map pass + one |domains|-sized grouped sum; the total
+    rides as a full-frame window over the dict table (no crossJoin,
+    no re-scan)."""
+    from pyspark.sql import Window
+
+    from .text import _ratio6, words_col
+    if tau not in (1, 2):
+        raise ValueError(
+            f"temperature_mix_weights: tau must be 1 or 2, got {tau}")
+    per = (df.select(F.col(group_col).alias("grp"),
+                     F.size(words_col(F.col(text_col))).cast("long")
+                     .alias("_n"))
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("_n").cast("long").alias("n_tokens")))
+    if tau == 1:
+        sz = F.col("n_tokens") * F.lit(1000)
+    else:
+        sz = F.floor(F.sqrt(F.col("n_tokens").cast("double"))
+                     * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    per = per.withColumn("size_milli", sz)
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    tot = F.sum("size_milli").over(wt)
+    return per.select(F.col("grp").alias(group_col), "n_docs",
+                      "n_tokens", "size_milli",
+                      _ratio6(F.col("size_milli"), tot).alias("weight"))

@@ -334,3 +334,32 @@ def test_edit_join_components_chain_merges(spark):
     assert comps["red plate"] == comps["red plates"] == \
         comps["red platess"] == "red plate"
     assert "small widget" not in comps  # no pair -> not in the graph
+
+
+# ---------------------------------------- temperature mixing
+
+def test_temperature_mix_tau2_upweights_small_domains(spark):
+    from datafusion_geo_spark.operators.sampling import \
+        temperature_mix_weights
+    rows = ([(i, "w " * 100, "big") for i in range(16)]
+            + [(100 + i, "w " * 100, "small") for i in range(1)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    w = {r.lang: r for r in temperature_mix_weights(df).collect()}
+    # proportional share of small = 1/17; sqrt share = 1/5
+    assert w["small"].n_tokens * 16 == w["big"].n_tokens
+    assert w["small"].weight == 0.2 and w["big"].weight == 0.8
+    # tau=1 reproduces proportional sampling
+    w1 = {r.lang: r.weight
+          for r in temperature_mix_weights(df, tau=1).collect()}
+    assert abs(w1["small"] - 1 / 17) < 1e-6
+
+
+def test_temperature_mix_rejects_bad_tau(spark):
+    import pytest as _pt
+
+    from datafusion_geo_spark.operators.sampling import \
+        temperature_mix_weights
+    df = spark.createDataFrame([(1, "a", "en")],
+                               ["doc_id", "text", "lang"])
+    with _pt.raises(ValueError):
+        temperature_mix_weights(df, tau=3)
