@@ -4704,7 +4704,8 @@ def _q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop-first-word perturbation against the original text — the
     character-level companion to bleu_eval, robust where tokenization
     differs. Character-n-gram (n = 1..6) clipped counts exact int64
-    from one (doc, n, gram) equi-join over whitespace-stripped text;
+    from one side-tagged (doc, n, gram) grouped aggregate over
+    whitespace-stripped text (no gram equi-join);
     the macro-averaged P/R and the F_beta combine (β² = 4, exact in
     binary) are one fixed double expression of those ints."""
     from datafusion_geo_spark.operators.evals import chrf_corpus

@@ -1029,19 +1029,23 @@ def bleu_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
     drifted from its source.
 
     Exactness discipline: matched/total counts per n are exact int64
-    (per-doc clipped counts = Σ min(cand_count, ref_count) over an
-    inner (doc, n, gram) equi-join — a gram absent from either side
-    clips to 0 and inner-join drops it). The float tail is ONE fixed
-    expression of those ints — p_n = m_n/t_n exact-int divides,
-    ln/exp under the repo's libm-parity contract (heldout_ppl
-    convention), brevity penalty exp(1 − r/c) when c < r — rounded
-    6-dp half-away at the very end. Zero matches at any order → BLEU
-    NULL (undefined without smoothing; the caller picks a smoothing
-    if its corpus can hit it — the fixture cannot).
+    (per-doc clipped counts = Σ min(cand_count, ref_count), both
+    counts from ONE grouped aggregate over side-tagged grams — a gram
+    absent from either side has count 0 there and clips to 0 in
+    place). The float tail is ONE fixed expression of those ints —
+    p_n = m_n/t_n exact-int divides, ln/exp under the repo's
+    libm-parity contract (heldout_ppl convention), brevity penalty
+    exp(1 − r/c) when c < r — rounded 6-dp half-away at the very end.
+    Zero matches at any order → BLEU NULL (undefined without
+    smoothing; the caller picks a smoothing if its corpus can hit it —
+    the fixture cannot).
 
-    Scale: ONE explode per side builds all n orders at once
-    (flattened (n, gram) structs), one (doc, n, gram) grouped count
-    each, one equi-join on the gram key, then everything is ≤ max_n
+    Scale: the corpus is touched exactly TWICE — one explode emits
+    every (n, gram, side) for all orders and BOTH sides at once, so
+    candidate and reference counts land in the same (doc, n, gram)
+    aggregate row and the clip is a local min (no gram equi-join at
+    all); the second pass is the per-order length totals (which also
+    carry c_len/r_len — t1 IS Σ len). Everything after is ≤ max_n
     rows. Output ONE row: (m1, t1, .., m{max_n}, t{max_n}, c_len,
     r_len, bleu)."""
     from .text import ngram_array, words_col
@@ -1051,51 +1055,53 @@ def bleu_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
         words_col(F.col(cand_col)).alias("_cw"),
         words_col(F.col(ref_col)).alias("_rw"))
 
-    def tag(n):
+    def tag(n, side):
         # factory so the HOF lambda has exactly ONE parameter — a
         # second (even defaulted) parameter makes Spark pass the
         # ELEMENT INDEX into it (the lang_id marker_score trap)
         def one(g):
-            return F.struct(F.lit(n).alias("n"), g.alias("g"))
+            return F.struct(F.lit(n).alias("n"), g.alias("g"),
+                            F.lit(side).alias("s"))
         return one
 
-    def gram_structs(col):
-        return F.flatten(F.array(*[
-            F.transform(ngram_array(F.col(col), n), tag(n))
+    grams = F.concat(*[
+        F.flatten(F.array(*[
+            F.transform(ngram_array(F.col(col), n), tag(n, side))
             for n in range(1, max_n + 1)]))
-
-    def side_counts(col, cname):
-        return (w.select("_id", F.explode(gram_structs(col)).alias("_t"))
-                .groupBy("_id", F.col("_t.n").alias("n"),
-                         F.col("_t.g").alias("g"))
-                .agg(F.count(F.lit(1)).cast("long").alias(cname)))
-
-    cc = side_counts("_cw", "_cc")
-    rc = side_counts("_rw", "_rc")
-    matched = (cc.join(rc, ["_id", "n", "g"])
-               .groupBy("n")
+        for side, col in ((0, "_cw"), (1, "_rw"))])
+    counts = (w.select("_id", F.explode(grams).alias("_t"))
+              .groupBy("_id", F.col("_t.n").alias("n"),
+                       F.col("_t.g").alias("g"))
+              .agg(F.sum((F.col("_t.s") == 0).cast("long")).alias("_cc"),
+                   F.sum((F.col("_t.s") == 1).cast("long")).alias("_rc")))
+    matched = (counts.groupBy("n")
                .agg(F.sum(F.least(F.col("_cc"), F.col("_rc")))
                     .cast("long").alias("_m")))
     totals = (w.select(F.explode(F.array(*[
         F.struct(F.lit(n).alias("n"),
                  F.greatest(F.size("_cw") - F.lit(n - 1), F.lit(0))
-                 .cast("long").alias("_t"))
+                 .cast("long").alias("_t"),
+                 F.greatest(F.size("_rw") - F.lit(n - 1), F.lit(0))
+                 .cast("long").alias("_tr"))
         for n in range(1, max_n + 1)])).alias("_s"))
         .groupBy(F.col("_s.n").alias("n"))
-        .agg(F.sum("_s._t").cast("long").alias("_t")))
-    lens = w.agg(F.sum(F.size("_cw")).cast("long").alias("c_len"),
-                 F.sum(F.size("_rw")).cast("long").alias("r_len"))
+        .agg(F.sum("_s._t").cast("long").alias("_t"),
+             F.sum("_s._tr").cast("long").alias("_tr")))
     # totals always has all max_n orders (the explode emits every n
     # for every doc, zero-length included); matched can miss an order
     # entirely — left join + coalesce keeps the honest m=0 count
     mt = totals.join(matched, "n", "left") \
         .withColumn("_m", F.coalesce(F.col("_m"), F.lit(0)))
-    one = mt.agg(*[agg for n in range(1, max_n + 1) for agg in (
+    j = mt.agg(*([agg for n in range(1, max_n + 1) for agg in (
         F.sum(F.when(F.col("n") == n, F.col("_m"))).cast("long")
         .alias(f"m{n}"),
         F.sum(F.when(F.col("n") == n, F.col("_t"))).cast("long")
-        .alias(f"t{n}"))])
-    j = one.crossJoin(F.broadcast(lens))
+        .alias(f"t{n}"))]
+        # the unigram totals ARE the corpus lengths (t1 = Σ max(len,0))
+        + [F.sum(F.when(F.col("n") == 1, F.col("_t"))).cast("long")
+           .alias("c_len"),
+           F.sum(F.when(F.col("n") == 1, F.col("_tr"))).cast("long")
+           .alias("r_len")]))
     logsum = None
     ok = None
     for n in range(1, max_n + 1):
@@ -1172,7 +1178,8 @@ def chrf_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
     :func:`bleu_corpus` — robust where tokenization differs.
 
     Same exactness discipline as BLEU: clipped matched counts and both
-    sides' totals are exact int64 from one (doc, n, gram) equi-join;
+    sides' totals are exact int64 from one side-tagged (doc, n, gram)
+    grouped aggregate (clip = local min, no gram equi-join);
     the float tail (per-n ratios, two /max_n averages, the F_beta
     combine — β² = 4 exact in binary) is one fixed expression of those
     ints, 6-dp rounded at the end. NULL when any order has zero
@@ -1183,16 +1190,17 @@ def chrf_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
     w = pairs.select(F.col(id_col).alias("_id"),
                      s_cand.alias("_c"), s_ref.alias("_r"))
 
-    def mk(n, col):
+    def mk(n, col, side):
         # factory returning a ONE-parameter lambda (the HOF
         # introspection rule — a second parameter would receive the
         # element index, the bleu_corpus trap)
         def one(i):
             return F.struct(F.lit(n).alias("n"),
-                            F.substring(col, i, F.lit(n)).alias("g"))
+                            F.substring(col, i, F.lit(n)).alias("g"),
+                            F.lit(side).alias("s"))
         return one
 
-    def gram_structs(col):
+    def gram_structs(col, side):
         # per order n: positions 1..len-n+1, each a substring gram.
         # The too-short case must yield an EMPTY array explicitly —
         # sequence(1, len-n+1) with len < n would generate a
@@ -1204,20 +1212,21 @@ def chrf_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
                 F.length(col) >= F.lit(n),
                 F.sequence(F.lit(1), F.length(col) - F.lit(n - 1))) \
                 .otherwise(F.array().cast("array<int>"))
-            parts.append(F.transform(seq, mk(n, col)))
+            parts.append(F.transform(seq, mk(n, col, side)))
         return F.flatten(F.array(*parts))
 
-    def side_counts(col, cname):
-        return (w.select("_id", F.explode(gram_structs(F.col(col)))
-                         .alias("_t"))
-                .groupBy("_id", F.col("_t.n").alias("n"),
-                         F.col("_t.g").alias("g"))
-                .agg(F.count(F.lit(1)).cast("long").alias(cname)))
-
-    cc = side_counts("_c", "_cc")
-    rc = side_counts("_r", "_rc")
-    matched = (cc.join(rc, ["_id", "n", "g"])
-               .groupBy("n")
+    # ONE side-tagged explode: both sides' counts land in the same
+    # (doc, n, gram) aggregate row and the clip is a local min — no
+    # gram equi-join, corpus touched twice total (grams + totals),
+    # the bleu_corpus plan shape
+    grams = F.concat(gram_structs(F.col("_c"), 0),
+                     gram_structs(F.col("_r"), 1))
+    counts = (w.select("_id", F.explode(grams).alias("_t"))
+              .groupBy("_id", F.col("_t.n").alias("n"),
+                       F.col("_t.g").alias("g"))
+              .agg(F.sum((F.col("_t.s") == 0).cast("long")).alias("_cc"),
+                   F.sum((F.col("_t.s") == 1).cast("long")).alias("_rc")))
+    matched = (counts.groupBy("n")
                .agg(F.sum(F.least(F.col("_cc"), F.col("_rc")))
                     .cast("long").alias("_m")))
     totals = (w.select(F.explode(F.array(*[

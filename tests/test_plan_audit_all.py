@@ -120,9 +120,8 @@ ALLOWED_BROADCAST_CROSSES = {
     "krippendorff_alpha": 1,  # one-row (units, mismatch) totals
                              # crossed onto the one-row |labels|-sized
                              # marginal aggregate
-    "bleu_eval": 1,          # one-row per-order matched/total sums
-                             # (≤ max_n rows upstream) crossed onto
-                             # the one-row corpus-length totals
+    # (bleu_eval: lengths ride in the per-order totals now — t1 IS
+    # Σ len — so the lens cross is gone: 0 crosses)
 }
 
 
