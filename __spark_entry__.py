@@ -4234,16 +4234,19 @@ def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_js_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between corpus versions' unigram
-    distributions (operators/evals.py js_unigram_divergence) — the
-    vocabulary-mix drift monitor next to ks_drift (values), cat_drift
-    (labels) and embedding_drift (vectors). Versions use the
-    corpus_diff convention (old = doc_id % 11 != 0, new = % 13 != 0);
-    per-word terms micro-round before the fold-order-free int64 sum."""
-    from datafusion_geo_spark.operators.evals import js_unigram_divergence
-    docs = _docs(spark, sf_dir)
-    old = docs.where(F.col("doc_id") % 11 != 0)
-    new = docs.where(F.col("doc_id") % 13 != 0)
-    return js_unigram_divergence(old, new)
+    distributions (operators/evals.py js_unigram_divergence_flagged) —
+    the vocabulary-mix drift monitor next to ks_drift (values),
+    cat_drift (labels) and embedding_drift (vectors). Versions use the
+    corpus_diff convention (old = doc_id % 11 != 0, new = % 13 != 0) —
+    overlapping subsets of ONE frame, so the words explode ONCE with
+    both membership flags and cp/cq land in the same aggregate row (no
+    second corpus pass, no full-outer join); per-word terms
+    micro-round before the fold-order-free int64 sum."""
+    from datafusion_geo_spark.operators.evals import \
+        js_unigram_divergence_flagged
+    return js_unigram_divergence_flagged(
+        _docs(spark, sf_dir),
+        F.col("doc_id") % 11 != 0, F.col("doc_id") % 13 != 0)
 
 
 def _q_streaming_ece(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,7 +29,7 @@ __all__ = ["auc_exact", "ks_stat", "ks_from_hist", "pearson_corr",
            "ece_from_hist", "ece_bin_col", "spearman_overlap",
            "kendall_overlap", "rrf_fuse", "rrf_weights_micro",
            "f1_per_class", "js_unigram_divergence", "adjusted_rand",
-           "krippendorff_alpha", "bleu_corpus"]
+           "krippendorff_alpha", "bleu_corpus", "js_unigram_divergence_flagged", "word_error_rate", "chrf_corpus"]
 
 
 def _r6(col):
@@ -753,13 +753,40 @@ def js_unigram_divergence(old_docs: DataFrame, new_docs: DataFrame,
 
     ca = counts(old_docs, "cp")
     cb = counts(new_docs, "cq")
-    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-                                          Window.unboundedFollowing)
     u = (ca.join(cb, "w", "full")
          .select(F.col("w"),
                  F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
-                 F.coalesce(F.col("cq"), F.lit(0)).alias("cq"))
-         .withColumn("np", F.sum("cp").over(wt).cast("long"))
+                 F.coalesce(F.col("cq"), F.lit(0)).alias("cq")))
+    return _js_tail(u)
+
+
+def js_unigram_divergence_flagged(docs: DataFrame, old_cond, new_cond,
+                                  text_col: str = "text") -> DataFrame:
+    """:func:`js_unigram_divergence` when both corpus versions are
+    SUBSETS OF ONE FRAME (the corpus_diff convention — the subsets
+    overlap): the words explode ONCE carrying both membership flags,
+    so per-word cp/cq land in the same grouped-aggregate row — no
+    second corpus pass, no full-outer join. Identical integers →
+    identical output; the oracle is shared."""
+    from .text import words_col
+    base = (docs.where(old_cond | new_cond)
+            .select(old_cond.alias("_o"), new_cond.alias("_n"),
+                    F.explode(words_col(F.lower(F.col(text_col))))
+                    .alias("w"))
+            .where(F.col("w") != ""))
+    u = (base.groupBy("w")
+         .agg(F.sum(F.col("_o").cast("long")).cast("long").alias("cp"),
+              F.sum(F.col("_n").cast("long")).cast("long").alias("cq")))
+    return _js_tail(u)
+
+
+def _js_tail(u: DataFrame) -> DataFrame:
+    """Shared JS math over a (w, cp, cq) word-count frame: side totals
+    as full-frame windows, per-word micro terms, integer half-away
+    halving (see :func:`js_unigram_divergence`)."""
+    wt = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing)
+    u = (u.withColumn("np", F.sum("cp").over(wt).cast("long"))
          .withColumn("nq", F.sum("cq").over(wt).cast("long")))
     p = F.col("cp").cast("double") / F.col("np").cast("double")
     q = F.col("cq").cast("double") / F.col("nq").cast("double")
