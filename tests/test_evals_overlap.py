@@ -363,3 +363,23 @@ def test_temperature_mix_rejects_bad_tau(spark):
                                ["doc_id", "text", "lang"])
     with _pt.raises(ValueError):
         temperature_mix_weights(df, tau=3)
+
+
+# ------------------------------------- js drift one-pass variant
+
+def test_js_flagged_equals_two_frame_operator(spark):
+    """The one-pass flagged variant must produce the IDENTICAL row as
+    the two-frame join operator on overlapping subsets."""
+    from datafusion_geo_spark.operators.evals import (
+        js_unigram_divergence, js_unigram_divergence_flagged)
+    rows = [(i, ["alpha beta", "beta gamma delta", "alpha alpha zeta",
+                 "gamma beta"][i % 4]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = df.where(F.col("doc_id") % 3 != 0)
+    new = df.where(F.col("doc_id") % 5 != 0)
+    a = js_unigram_divergence(old, new).collect()[0]
+    b = js_unigram_divergence_flagged(
+        df, F.col("doc_id") % 3 != 0, F.col("doc_id") % 5 != 0) \
+        .collect()[0]
+    assert a.asDict() == b.asDict()
+    assert a.js is not None and a.n_vocab_union > 0
