@@ -55,15 +55,29 @@ class _Reader:
         ncoord = 2 + (1 if has_z else 0) + (1 if has_m else 0)
         typ = GEOM_TYPES[code]
 
+        def checked(n: int, unit: int) -> int:
+            # a declared count claiming more elements than the REMAINING
+            # bytes can possibly hold is malformed — reject BEFORE
+            # allocating anything n-sized (hypothesis: a 13-byte blob
+            # declaring a ~4-billion-point LineString made the naive
+            # decoder build a multi-GB struct format string; every
+            # element of any WKB container occupies >= ``unit`` bytes,
+            # so this bound admits every well-formed buffer)
+            if n * unit > len(buf) - self.pos:
+                raise ValueError(
+                    f"invalid WKB: declared count {n} exceeds buffer")
+            return n
+
         def coords(n: int) -> List[Coord]:
+            checked(n, 8 * ncoord)
             vals = struct.unpack_from(fmt + "d" * (n * ncoord), buf, self.pos)
             self.pos += 8 * n * ncoord
             return [(vals[i * ncoord], vals[i * ncoord + 1]) for i in range(n)]
 
-        def u32() -> int:
+        def u32(unit: int = 1) -> int:
             (v,) = struct.unpack_from(fmt + "I", buf, self.pos)
             self.pos += 4
-            return v
+            return checked(v, unit)
 
         if typ == "Point":
             (c,) = coords(1)
@@ -73,22 +87,26 @@ class _Reader:
         if typ == "LineString":
             return Geometry("LineString", coords(u32()), srid)
         if typ == "Polygon":
-            return Geometry("Polygon", [coords(u32()) for _ in range(u32())], srid)
+            # each ring carries at least its own 4-byte count
+            return Geometry("Polygon",
+                            [coords(u32()) for _ in range(u32(4))], srid)
         if typ == "MultiPoint":
             pts = []
-            for _ in range(u32()):
+            for _ in range(u32(5)):  # each member: 5-byte header minimum
                 sub = self.geometry()
                 pts.append(sub.parts)
             return Geometry("MultiPoint", [p for p in pts if p is not None], srid)
         if typ == "MultiLineString":
             return Geometry("MultiLineString",
-                            [self.geometry().parts for _ in range(u32())], srid)
+                            [self.geometry().parts for _ in range(u32(5))],
+                            srid)
         if typ == "MultiPolygon":
             return Geometry("MultiPolygon",
-                            [self.geometry().parts for _ in range(u32())], srid)
+                            [self.geometry().parts for _ in range(u32(5))],
+                            srid)
         # GeometryCollection
         return Geometry("GeometryCollection",
-                        [self.geometry() for _ in range(u32())], srid)
+                        [self.geometry() for _ in range(u32(5))], srid)
 
 
 def from_wkb(buf: bytes) -> Geometry:

@@ -279,3 +279,31 @@ def test_envelope_covers_geometry(g):
         assert algos.covers(env, Geometry("Point", v)) or \
             algos.distance(env, Geometry("Point", v)) <= 1e-9 * (
                 1.0 + abs(v[0]) + abs(v[1]))
+
+
+def test_wkb_count_bomb_rejected_fast():
+    """A tiny buffer declaring a ~4-billion-element count must be
+    rejected by the bounds check BEFORE any count-sized allocation
+    (hypothesis found a 13-byte LineString blob that made the decoder
+    build a multi-GB struct format string). Every container count is
+    covered: coords, polygon rings, multi-part members, collections."""
+    import struct
+    import time
+
+    from datafusion_geo_spark.geo.wkb import from_wkb
+    bombs = [
+        struct.pack("<BI", 1, 2) + struct.pack("<I", 0xFFFFFFF0),
+        struct.pack("<BI", 1, 3) + struct.pack("<I", 0xFFFFFFF0) + b"\0" * 60,
+        struct.pack("<BI", 1, 3) + struct.pack("<II", 1, 0xFFFFFFF0),
+        struct.pack("<BI", 1, 4) + struct.pack("<I", 0xFFFFFFF0),
+        struct.pack("<BI", 1, 5) + struct.pack("<I", 0xFFFFFFF0),
+        struct.pack("<BI", 1, 6) + struct.pack("<I", 0xFFFFFFF0),
+        struct.pack("<BI", 1, 7) + struct.pack("<I", 0xFFFFFFF0),
+        # big-endian variant of the original finding
+        struct.pack(">BI", 0, 2) + struct.pack(">I", 0xFFFFFFF0),
+    ]
+    for b in bombs:
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            from_wkb(b)
+        assert time.time() - t0 < 0.1, b.hex()
