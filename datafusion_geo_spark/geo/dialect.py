@@ -99,6 +99,12 @@ def to_mysql(g: Geometry) -> bytes:
 # ------------------------------------------------------------- SpatiaLite
 
 def _sl_coords(buf: bytes, pos: int, fmt: str, n: int) -> Tuple[List[Coord], int]:
+    if 16 * n > len(buf) - pos:
+        # bounds-check BEFORE building the n-sized format string — the
+        # wkb.py count-bomb fix (a tiny blob declaring a ~4-billion
+        # point count must not allocate gigabytes to fail)
+        raise ValueError(
+            f"invalid SpatiaLite blob: declared count {n} exceeds buffer")
     vals = struct.unpack_from(fmt + "d" * (2 * n), buf, pos)
     return [(vals[2 * i], vals[2 * i + 1]) for i in range(n)], pos + 16 * n
 
@@ -132,6 +138,9 @@ def _sl_body(buf: bytes, pos: int, fmt: str, code: int) -> Tuple[Geometry, int]:
         return Geometry("Polygon", rings), pos
     # multi / collection: n × (0x69 marker, class int32, body)
     n = u32()
+    if 5 * n > len(buf) - pos:  # each member: marker + class minimum
+        raise ValueError(
+            f"invalid SpatiaLite blob: declared count {n} exceeds buffer")
     subs = []
     for _ in range(n):
         if buf[pos] != _SL_ENTITY:

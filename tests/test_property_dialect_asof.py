@@ -174,3 +174,55 @@ def test_asof_matches_pandas_merge_asof(spark, case):
     got_map = {int(r["lid"]): (None if r["v"] is None else int(r["v"]))
                for r in got.collect()}
     assert got_map == want_map
+
+
+def test_spatialite_count_bomb_rejected_fast():
+    """A framed SpatiaLite blob declaring a ~4-billion point/member
+    count must fail the bounds check before any count-sized allocation
+    (the wkb.py count-bomb class)."""
+    import struct
+    import time
+
+    import pytest
+
+    from datafusion_geo_spark.geo.dialect import from_spatialite
+
+    def frame(body: bytes) -> bytes:
+        # 0x00 start, endian 1, srid, 4×f8 MBR, 0x7C, body..., 0xFE end
+        return (b"\x00\x01" + struct.pack("<i", 4326)
+                + struct.pack("<dddd", 0, 0, 1, 1) + b"\x7c"
+                + body + b"\xfe")
+
+    bombs = [
+        frame(struct.pack("<II", 2, 0xFFFFFFF0)),          # linestring pts
+        frame(struct.pack("<III", 3, 1, 0xFFFFFFF0)),      # ring pts
+        frame(struct.pack("<II", 3, 0xFFFFFFF0)),          # ring count
+        frame(struct.pack("<II", 7, 0xFFFFFFF0)),          # members
+    ]
+    for b in bombs:
+        t0 = time.time()
+        with pytest.raises(ValueError):
+            from_spatialite(b)
+        assert time.time() - t0 < 0.1, b.hex()
+
+
+def test_spatialite_decoder_never_crashes_on_junk():
+    """Random bytes inside valid framing either decode or raise
+    ValueError — no other exception escapes."""
+    import random
+    import struct
+
+    from datafusion_geo_spark.geo.dialect import from_spatialite
+    from datafusion_geo_spark.geo.geom import Geometry
+    rng = random.Random(11)
+    for _ in range(20000):
+        n = rng.randint(0, 40)
+        body = bytes(rng.randrange(256) for _ in range(n))
+        blob = (b"\x00\x01" + struct.pack("<i", 4326)
+                + struct.pack("<dddd", 0, 0, 1, 1) + b"\x7c"
+                + body + b"\xfe")
+        try:
+            g = from_spatialite(blob)
+            assert isinstance(g, Geometry)
+        except ValueError:
+            pass
