@@ -4763,6 +4763,17 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix_weights(_docs(spark, sf_dir))
 
 
+def _q_streaming_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rewrite-drift monitor (streaming/drift.py
+    streaming_wer): corpus WER of the wer_eval perturbation maintained
+    as a ONE-row global streaming aggregate (4 commutative int64 sums
+    — state = 1 row, no watermark); the per-row encode + levenshtein
+    projection and the exact 6-dp tail are SHARED with batch wer_eval,
+    so the bounded replay equals batch and the oracle is SHARED."""
+    from datafusion_geo_spark.streaming.drift import streaming_wer
+    return streaming_wer(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
     # FIRST 50 entries per round. Rotation policy (r6 verdict item 1):
@@ -5046,6 +5057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrf_eval": _q_chrf_eval,
         "fuzzy_title_dedup": _q_fuzzy_title_dedup,
         "temperature_mix": _q_temperature_mix,
+        "streaming_wer": _q_streaming_wer,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5070,7 +5082,7 @@ _FIRST50 = [
     # new round-9 batch-3/4 queries (never gated)
     "bleu_eval", "ari_eval", "krippendorff_alpha", "novel_ngrams",
     "edit_join", "wer_eval", "chrf_eval", "fuzzy_title_dedup",
-    "temperature_mix",
+    "temperature_mix", "streaming_wer",
     # re-gates for kernels CHANGED by the r9 geometry fuzz campaign
     # (make_valid dissolve + overlay/polygonize unpinch, commits
     # 473c74f/534b6a4) — changed code outranks stale-green re-gates
@@ -5085,12 +5097,12 @@ _FIRST50 = [
     # distance_points / measures_lines / tile_pyramid / tile_stats
     # displaced by batch 3 + the fuzz-campaign re-gates;
     # events_hourly_rank / fingerprint by batch 4; geojson_parse /
-    # geo_pipeline by fuzzy_title_dedup + temperature_mix — stable
-    # unchanged kernels, locally gate-exact every run; they lead
-    # r10's re-gate pool)
+    # geo_pipeline / text_stats by fuzzy_title_dedup +
+    # temperature_mix + streaming_wer — stable unchanged kernels,
+    # locally gate-exact every run; they lead r10's re-gate pool)
     "lang_id",
     "multimodal_decode", "multimodal_frames", "multimodal_resize",
-    "streaming_extent", "streaming_extent_append", "text_stats",
+    "streaming_extent", "streaming_extent_append",
     # heavy regression canaries
     "grid_spatial_join", "minhash_pairs",
     # eval/ANN-replay family adjacent to this round's rbo/cos6 changes
@@ -10988,6 +11000,9 @@ def oracle_sql() -> dict[str, str]:
                  AS weight
         FROM w
     """
+    # streaming twin: bounded replay == batch (commutative int64
+    # sums, one-row state), oracle SHARED with wer_eval
+    out["streaming_wer"] = out["wer_eval"]
     out["fuzzy_title_dedup"] = f"""
         WITH RECURSIVE t AS (
           SELECT doc_id,

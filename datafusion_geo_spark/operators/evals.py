@@ -1162,8 +1162,15 @@ def word_error_rate(pairs: DataFrame, cand_col: str, ref_col: str,
     house exact 6-dp ratio. ONE row out: (n_docs, n_skipped,
     sum_edits, sum_ref_words, wer). Scale: map-only per pair + one
     one-row aggregate."""
-    from .text import _ratio6, words_col
+    per = pairs.select(*wer_row_cols(cand_col, ref_col))
+    return wer_from_rows(per)
 
+
+def wer_row_cols(cand_col: str, ref_col: str) -> list:
+    """The per-pair WER map columns (_ok, _d, _nr) — factored so the
+    streaming twin (streaming/drift.py streaming_wer) runs the SAME
+    encode/levenshtein projection on a stream."""
+    from .text import words_col
     cw = words_col(F.col(cand_col))
     rw = words_col(F.col(ref_col))
     vocab = F.array_distinct(F.concat(rw, cw))
@@ -1175,23 +1182,40 @@ def word_error_rate(pairs: DataFrame, cand_col: str, ref_col: str,
                                                                    x))))
 
     okc = F.size(vocab) <= F.lit(79)
-    per = pairs.select(
-        okc.alias("_ok"),
-        F.when(okc, F.levenshtein(enc(cw), enc(rw)).cast("long"))
-        .alias("_d"),
-        F.when(okc, F.size(rw).cast("long")).alias("_nr"))
-    agg = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum((~F.col("_ok")).cast("long")).cast("long")
-        .alias("n_skipped"),
-        F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("long")
-        .alias("sum_edits"),
-        F.sum(F.coalesce(F.col("_nr"), F.lit(0))).cast("long")
-        .alias("sum_ref_words"))
+    return [okc.alias("_ok"),
+            F.when(okc, F.levenshtein(enc(cw), enc(rw)).cast("long"))
+            .alias("_d"),
+            F.when(okc, F.size(rw).cast("long")).alias("_nr")]
+
+
+def wer_aggs() -> list:
+    """The 4 int64 WER partial aggregates over :func:`wer_row_cols`
+    rows — commutative sums/counts, so any batch split produces the
+    same totals (the streaming-twin contract)."""
+    return [F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((~F.col("_ok")).cast("long")).cast("long")
+            .alias("n_skipped"),
+            F.sum(F.coalesce(F.col("_d"), F.lit(0))).cast("long")
+            .alias("sum_edits"),
+            F.sum(F.coalesce(F.col("_nr"), F.lit(0))).cast("long")
+            .alias("sum_ref_words")]
+
+
+def wer_from_rows(per: DataFrame) -> DataFrame:
+    """Aggregate :func:`wer_row_cols` rows to the ONE-row WER result —
+    the shared batch tail."""
+    return wer_finalize(per.agg(*wer_aggs()))
+
+
+def wer_finalize(totals: DataFrame) -> DataFrame:
+    """The exact 6-dp rate over a (n_docs, n_skipped, sum_edits,
+    sum_ref_words) totals frame — shared by batch and the streaming
+    twin's bounded-replay output."""
+    from .text import _ratio6
     wer = F.when(F.col("sum_ref_words") > 0,
                  _ratio6(F.col("sum_edits"), F.col("sum_ref_words")))
-    return agg.select("n_docs", "n_skipped", "sum_edits",
-                      "sum_ref_words", wer.alias("wer"))
+    return totals.select("n_docs", "n_skipped", "sum_edits",
+                         "sum_ref_words", wer.alias("wer"))
 
 
 def chrf_corpus(pairs: DataFrame, cand_col: str, ref_col: str,

@@ -114,3 +114,28 @@ def streaming_ece(spark: SparkSession, sf_dir: str,
                  F.sum("cm").cast("long").alias("conf_sum")))
     final_bins = run_bounded_complete(bins, "stream_ece_")
     return ece_from_hist(final_bins)
+
+
+def streaming_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rewrite-drift monitor: corpus word error rate of the
+    substitute-and-delete perturbation over the documents stream. The
+    streaming aggregate is the global 4-long totals row
+    (operators/evals.py wer_aggs — commutative int64 sums, state = ONE
+    row, no watermark, the streaming_ks story); the per-row
+    encode + built-in levenshtein projection and the exact 6-dp tail
+    are SHARED with batch wer_eval (wer_row_cols / wer_finalize), so
+    the bounded availableNow replay equals batch and the oracle is
+    SHARED with wer_eval."""
+    from ..operators.evals import wer_aggs, wer_finalize, wer_row_cols
+    from ..sources.fixtures import load_documents_stream
+    from .runner import run_bounded_complete
+    d = (load_documents_stream(spark, sf_dir)
+         .select(F.col("text").alias("ref"),
+                 F.regexp_replace(F.col("text"), r"\bdata\b", "info")
+                 .alias("_t2")))
+    pairs = d.select(
+        "ref", F.expr("substring(_t2, instr(_t2, ' ') + 1)")
+        .alias("cand"))
+    per = pairs.select(*wer_row_cols("cand", "ref"))
+    totals = per.groupBy().agg(*wer_aggs())
+    return wer_finalize(run_bounded_complete(totals, "stream_wer_"))

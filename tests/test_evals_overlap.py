@@ -383,3 +383,15 @@ def test_js_flagged_equals_two_frame_operator(spark):
         .collect()[0]
     assert a.asDict() == b.asDict()
     assert a.js is not None and a.n_vocab_union > 0
+
+
+def test_streaming_wer_equals_batch(spark):
+    """Bounded streaming replay must equal the batch wer_eval row —
+    commutative int64 sums make it batch-split insensitive."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    sf = "/root/testdata/sf0.001"
+    a = entrymod.queries()["wer_eval"](spark, sf).collect()
+    b = entrymod.queries()["streaming_wer"](spark, sf).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
