@@ -69,17 +69,11 @@ def _ccw(a: Coord, b: Coord, c: Coord) -> float:
     return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
 
 
-def delaunay_triangles(g: Geometry) -> List[Tri]:
-    """Bowyer-Watson over the distinct vertices of ``g``. Triangles are
-    returned CCW with a canonical vertex rotation, sorted, so output
-    order is deterministic."""
-    pts = _sites(g)
-    if len(pts) < 3:
-        return []
+def _bowyer_watson(pts: List[Coord], mult: float) -> List[Tri]:
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
     cx, cy = (min(xs) + max(xs)) / 2.0, (min(ys) + max(ys)) / 2.0
-    span = max(max(xs) - min(xs), max(ys) - min(ys), 1.0) * 64.0
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1.0) * mult
     s1 = (cx - span, cy - span)
     s2 = (cx + span, cy - span)
     s3 = (cx, cy + span)
@@ -99,7 +93,60 @@ def delaunay_triangles(g: Geometry) -> List[Tri]:
                 if abs(_ccw(*t)) > 1e-12:
                     tris.append(t)
     supers = {s1, s2, s3}
-    out = [t for t in tris if not (set(t) & supers)]
+    return [t for t in tris if not (set(t) & supers)]
+
+
+def _hull_area2(pts: List[Coord]) -> float:
+    """Doubled convex-hull area by monotone chain (local: avoids an
+    algos import cycle)."""
+    ps = sorted(set(pts))
+    if len(ps) < 3:
+        return 0.0
+
+    def chain(seq):
+        out: List[Coord] = []
+        for p in seq:
+            while len(out) >= 2 and _ccw(out[-2], out[-1], p) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = chain(ps)
+    upper = chain(reversed(ps))
+    ring = lower[:-1] + upper[:-1]
+    a2 = 0.0
+    for i in range(len(ring)):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % len(ring)]
+        a2 += x1 * y2 - x2 * y1
+    return abs(a2)
+
+
+def delaunay_triangles(g: Geometry) -> List[Tri]:
+    """Bowyer-Watson over the distinct vertices of ``g``. Triangles are
+    returned CCW with a canonical vertex rotation, sorted, so output
+    order is deterministic.
+
+    Super-triangle distance is chosen ADAPTIVELY: a near-degenerate
+    hull sliver has an enormous circumcircle, and if it reaches the
+    super vertices the sliver never forms and the triangulation is
+    left with a dented hull (invariant fuzz: a 16-point set lost a
+    0.5-area boundary sliver at the old fixed 64× distance). The
+    triangulation is accepted when its area matches the convex hull's;
+    otherwise the super distance grows 64× and the insertion reruns —
+    terminating because a finite site set's true Delaunay triangles
+    all have finite circumradii, and a sliver thin enough to defeat
+    the largest multiplier contributes (sub-tolerance) zero area."""
+    pts = _sites(g)
+    if len(pts) < 3:
+        return []
+    hull2 = _hull_area2(pts)
+    out: List[Tri] = []
+    for mult in (64.0, 4096.0, 262144.0, 16777216.0):
+        out = _bowyer_watson(pts, mult)
+        tri2 = sum(abs(_ccw(*t)) for t in out)
+        if abs(tri2 - hull2) <= 1e-9 * max(hull2, 1.0):
+            break
 
     def canon(t: Tri) -> Tri:
         i = min(range(3), key=lambda k: t[k])
@@ -217,7 +264,12 @@ def concave_hull(g: Geometry, ratio: float = 0.3) -> Geometry:
     lens = [dist(a, b) for t in tris
             for a, b in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0]))]
     lmin, lmax = min(lens), max(lens)
-    thresh = lmin + ratio * (lmax - lmin)
+    # ratio = 1 must yield EXACTLY lmax: the lmin + 1·(lmax − lmin)
+    # float chain can land a couple of ulps BELOW lmax, peeling the
+    # longest boundary edge and denting the promised convex hull
+    # (found by the invariant fuzz: 6-point set where the chain gave
+    # ...504 vs lmax ...506)
+    thresh = lmax if ratio >= 1.0 else lmin + ratio * (lmax - lmin)
 
     changed = True
     while changed:

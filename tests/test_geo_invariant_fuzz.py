@@ -271,3 +271,148 @@ def test_sphere_identities_fuzz():
         diff = abs(az2 - az) % (2.0 * math.pi)
         diff = min(diff, 2.0 * math.pi - diff)
         assert diff <= 1e-6, (p, d, az, az2)
+
+
+# --- round-9 session-2 extension, batch 2: voronoi / concave hull /
+# max-inscribed-circle / generate_points / snap_to_grid invariants.
+
+def _poly_boundary_dist(p, poly):
+    from datafusion_geo_spark.geo.algos import _pt_seg_dist
+    best = float("inf")
+    for ring in poly.parts:
+        for i in range(len(ring) - 1):
+            best = min(best, _pt_seg_dist(p, ring[i], ring[i + 1]))
+    return best
+
+
+def test_voronoi_invariants_fuzz():
+    """Voronoi cells: each site inside its own cell, cells tile the
+    envelope (areas sum to the box), and any probe point's containing
+    cell belongs to (one of) its nearest sites."""
+    from datafusion_geo_spark.geo.algos import area
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.triangulate import voronoi_cells
+
+    def inside(p, ring):
+        # all half-plane style: point-in-convex-polygon via cross signs
+        n = len(ring)
+        sign = 0
+        for i in range(n):
+            a, b = ring[i], ring[(i + 1) % n]
+            cr = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0])
+            if abs(cr) < 1e-9:
+                continue
+            s = 1 if cr > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+        return True
+
+    rng = random.Random(906)
+    for _ in range(200):
+        k = rng.randint(2, 8)
+        pts = list({(float(rng.randint(-9, 9)), float(rng.randint(-9, 9)))
+                    for _ in range(k)})
+        if len(pts) < 2:
+            continue
+        g = Geometry("MultiPoint", pts)
+        cells = voronoi_cells(g)
+        assert len(cells) == len(pts)
+        total = 0.0
+        for site, ring in cells:
+            assert inside(site, ring), (site, ring)
+            closed = list(ring) + [ring[0]]
+            total += area(Geometry("Polygon", [closed]))
+        xs = [p[0] for p in pts]; ys = [p[1] for p in pts]
+        mx = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+        box = (2 * mx + (max(xs) - min(xs))) * (2 * mx + (max(ys) - min(ys)))
+        assert abs(total - box) <= 1e-6 * box, (pts, total, box)
+        # nearest-site property at probe points
+        for _ in range(10):
+            p = (rng.uniform(min(xs), max(xs)), rng.uniform(min(ys), max(ys)))
+            d2 = [( (p[0]-s[0])**2 + (p[1]-s[1])**2, s) for s in pts]
+            dmin = min(d2)[0]
+            holders = [site for site, ring in cells if inside(p, ring)]
+            assert holders, (p, pts)
+            for h in holders:
+                dh = (p[0]-h[0])**2 + (p[1]-h[1])**2
+                assert dh <= dmin + 1e-6, (p, h, dmin, pts)
+
+
+def test_concave_hull_invariants_fuzz():
+    """Concave hull: covers every input point; area never exceeds the
+    convex hull; ratio = 1 reproduces the convex hull's area."""
+    from datafusion_geo_spark.geo.algos import area, convex_hull, covers
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.triangulate import concave_hull
+    rng = random.Random(907)
+    for _ in range(150):
+        k = rng.randint(4, 14)
+        pts = list({(float(rng.randint(-9, 9)), float(rng.randint(-9, 9)))
+                    for _ in range(k)})
+        if len(pts) < 4:
+            continue
+        g = Geometry("MultiPoint", pts)
+        ch = convex_hull(g)
+        if ch.typ != "Polygon" or not ch.parts:
+            continue  # collinear input
+        for ratio in (0.0, 0.3, 1.0):
+            h = concave_hull(g, ratio)
+            if not h.parts:
+                continue
+            assert area(h) <= area(ch) + 1e-9
+            for p in pts:
+                assert covers(h, Geometry("Point", p)), (ratio, p, pts)
+        assert abs(area(concave_hull(g, 1.0)) - area(ch)) <= 1e-9
+
+
+def test_max_inscribed_circle_invariants_fuzz():
+    """MIC: center inside the polygon, radius equals the center's
+    boundary distance (within tol), radius positive for real boxes."""
+    from datafusion_geo_spark.geo.algos import covers
+    from datafusion_geo_spark.geo.bounding import max_inscribed_circle
+    from datafusion_geo_spark.geo.geom import Geometry
+    rng = random.Random(908)
+    for _ in range(200):
+        p = _rand_valid_poly(rng)
+        out = max_inscribed_circle(p)
+        assert out is not None
+        center, radius = out
+        assert covers(p, Geometry("Point", center)), (p.parts, center)
+        bd = _poly_boundary_dist(center, p)
+        tol = max(p.bounds()[2] - p.bounds()[0],
+                  p.bounds()[3] - p.bounds()[1]) / 1000.0
+        assert radius > 0.0
+        assert abs(radius - bd) <= tol + 1e-9, (center, radius, bd)
+
+
+def test_generate_points_inside_and_deterministic_fuzz():
+    from datafusion_geo_spark.geo.algos import covers
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.triangulate import generate_points
+    rng = random.Random(909)
+    for _ in range(100):
+        p = _rand_valid_poly(rng)
+        a = generate_points(p, 12, seed=5)
+        b = generate_points(p, 12, seed=5)
+        assert a.parts == b.parts
+        assert len(a.parts) == 12
+        for c in a.parts:
+            assert covers(p, Geometry("Point", c)), (p.parts, c)
+
+
+def test_snap_to_grid_invariants_fuzz():
+    """Every output ordinate is an exact multiple of the grid size
+    (dyadic sizes so the multiple test is float-exact)."""
+    from datafusion_geo_spark.geo.edit import snap_to_grid
+    rng = random.Random(910)
+    for _ in range(200):
+        g = _rand_float_line(rng)
+        size = rng.choice([0.25, 0.5, 1.0, 2.0])
+        s = snap_to_grid(g, size)
+        if not s.parts:
+            continue
+        for (x, y) in s.parts:
+            assert x == round(x / size) * size, (x, size)
+            assert y == round(y / size) * size, (y, size)
