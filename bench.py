@@ -91,6 +91,23 @@ def jvm_counters(spark):
     return out
 
 
+def steal_ticks():
+    """Cumulative hypervisor STEAL ticks from /proc/stat (field 8 of
+    the aggregate cpu line) — the one contention signal loadavg cannot
+    see: on a virtualized host, CPU taken by OTHER guests shows up
+    only here. Session-2 evidence: two 14 s bench attempts between
+    9.5 s ones carried +41k steal ticks (~0.7 cores continuously
+    stolen) at guest loadavg ~0. None when unreadable — telemetry
+    never fails the bench."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 \
+            else None
+    except Exception:
+        return None
+
+
 def bench_queries(spark):
     """name -> zero-arg callable returning a DataFrame."""
     import pyspark.sql.functions as F
@@ -157,12 +174,14 @@ def main() -> None:
         force(make())
         load0 = os.getloadavg()
         ctr0 = jvm_counters(spark)
+        st0 = steal_ticks()
         runs = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             force(make())
             runs.append(time.perf_counter() - t0)
         ctr1 = jvm_counters(spark)
+        st1 = steal_ticks()
         load1 = os.getloadavg()
         timings[name] = round(statistics.median(runs), 4)
         # min..max over the timed runs: sub-second queries on a shared
@@ -182,6 +201,8 @@ def main() -> None:
                         if None not in (ctr0["task_ms"], ctr1["task_ms"])
                         else None),
             "heap_used_mb": ctr1["heap_used_mb"],
+            "steal_ticks": (st1 - st0
+                            if None not in (st0, st1) else None),
         }
 
     bench_end = jvm_counters(spark)
@@ -220,6 +241,13 @@ def main() -> None:
             (x for t in telemetry.values()
              for x in (t["loadavg_before"] + t["loadavg_after"])),
             default=0.0), 2),
+        # hypervisor steal over all timed windows: the contention
+        # signal guest loadavg cannot see (None when /proc/stat steal
+        # is unreadable) — one integer, so the compact line stays
+        # under the driver's tail-capture budget
+        "steal_ticks": (sum(t["steal_ticks"] for t in telemetry.values())
+                        if all(t["steal_ticks"] is not None
+                               for t in telemetry.values()) else None),
     }))
     spark.stop()
 

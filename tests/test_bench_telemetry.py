@@ -65,3 +65,15 @@ def test_last_stdout_line_is_compact_summary():
                        for i in range(8)},
             "sf": 0.1, "cpus": 32, "runs": 5, "loadavg_max": 99.99}
     assert len(json.dumps(fake)) < 1200
+
+
+def test_steal_ticks_readable_and_monotone():
+    """/proc/stat steal must read as a non-negative cumulative int on
+    this platform (or None on exotic kernels — never an exception)."""
+    s1 = bench.steal_ticks()
+    s2 = bench.steal_ticks()
+    if s1 is None:
+        assert s2 is None
+        return
+    assert isinstance(s1, int) and s1 >= 0
+    assert s2 >= s1
