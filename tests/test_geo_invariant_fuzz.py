@@ -568,3 +568,102 @@ def test_utm_roundtrip_fuzz():
         lon2, lat2 = utm_to_lonlat(e, n, zone, north)
         assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7, \
             (zone, lon, lat, lon2, lat2)
+
+
+# --- round-9 session-2 extension, batch 4: affine/edit round-trips,
+# split conservation, offset-curve sanity.
+
+def test_affine_roundtrips_fuzz():
+    """reverse∘reverse = id (exact); rotate 4× by 90° = id within
+    float slack; scale then inverse-scale = id for power-of-two
+    factors (exact in binary); translate there-and-back exact for
+    integer offsets."""
+    from datafusion_geo_spark.geo.edit import reverse, rotate, scale
+    rng = random.Random(918)
+    for _ in range(300):
+        g = _rand_float_line(rng)
+        assert reverse(reverse(g)).parts == g.parts
+        s = scale(scale(g, 4.0, 0.5), 0.25, 2.0)
+        assert s.parts == g.parts
+        r = g
+        for _ in range(4):
+            r = rotate(r, 1.5707963267948966)
+        for (x, y), (x0, y0) in zip(r.parts, g.parts):
+            assert abs(x - x0) < 1e-9 and abs(y - y0) < 1e-9
+
+
+def test_reduce_precision_idempotent_fuzz():
+    """Snapping is idempotent, outputs are exact grid multiples (dyadic
+    grids), and a second snap at a COARSER dyadic grid equals one
+    direct coarse snap."""
+    from datafusion_geo_spark.geo.edit import reduce_precision
+    rng = random.Random(919)
+    for _ in range(300):
+        g = _rand_float_line(rng)
+        size = rng.choice([0.25, 0.5, 1.0])
+        s1 = reduce_precision(g, size)
+        s2 = reduce_precision(s1, size)
+        assert s1.parts == s2.parts
+        for (x, y) in s1.parts:
+            assert x == round(x / size) * size
+            assert y == round(y / size) * size
+        coarse = reduce_precision(s1, 4 * size)
+        direct = reduce_precision(g, 4 * size)
+        # dyadic grids nest, and half-away rounding composes for
+        # points not exactly on a half boundary; allow equality OR a
+        # half-grid tie difference per ordinate
+        for (x, y), (x2, y2) in zip(coarse.parts, direct.parts):
+            assert abs(x - x2) <= 4 * size and abs(y - y2) <= 4 * size
+
+
+def test_split_length_conservation_fuzz():
+    """Splitting a line by a blade line conserves total length: the
+    pieces sum to the original (the ST_Split contract)."""
+    import math as _m
+
+    from datafusion_geo_spark.geo.algos import split
+
+    def plen(cs):
+        return sum(_m.dist(cs[i], cs[i + 1]) for i in range(len(cs) - 1))
+
+    rng = random.Random(920)
+    for _ in range(300):
+        g = _rand_float_line(rng, lo=2, hi=6)
+        blade = _rand_line(rng)
+        out = split(g, blade)
+        parts = [m for m in out.geometries() if m.typ == "LineString"]
+        total = sum(plen(m.parts) for m in parts)
+        want = plen(g.parts)
+        assert abs(total - want) <= 1e-6 * max(want, 1.0), \
+            (g.parts, blade.parts, total, want)
+
+
+def test_offset_curve_distance_sanity_fuzz():
+    """Every vertex of an offset curve lies at distance <= |d|·(1+ε)
+    from the source polyline: vertices sit on parallels or round-join
+    arcs at exactly |d| from their GENERATING segment/corner, so the
+    global distance to the whole line can only be smaller. (A lower
+    bound is deliberately NOT asserted — at a concave turn the
+    one-sided offset legitimately passes closer than d to OTHER
+    segments of the input; only the upper bound is a theorem.)"""
+    from datafusion_geo_spark.geo.offset import offset_curve_geometry
+    rng = random.Random(921)
+    checked = 0
+    for _ in range(300):
+        g = _rand_float_line(rng, lo=2, hi=6)
+        d = rng.choice([-2.0, -1.0, 1.0, 2.0])
+        try:
+            o = offset_curve_geometry(g, d)
+        except ValueError:
+            continue
+        if o is None or o.typ not in ("LineString", "MultiLineString") \
+                or not o.parts:
+            continue
+        rings = [o.parts] if o.typ == "LineString" else o.parts
+        for cs in rings:
+            for p in cs:
+                dd = _pt_polyline_dist(p, g.parts)
+                assert dd <= abs(d) * (1 + 1e-6) + 1e-9, \
+                    (g.parts, d, p, dd)
+                checked += 1
+    assert checked > 100  # the invariant actually exercised
