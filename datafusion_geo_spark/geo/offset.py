@@ -622,6 +622,27 @@ def _line_line_x(p0: Coord, p1: Coord, q0: Coord,
     return (p0[0] + t * d1[0], p0[1] + t * d1[1])
 
 
+def _seg_seg_trim(p0: Coord, p1: Coord, q0: Coord,
+                  q1: Coord) -> Optional[Coord]:
+    """Intersection of SEGMENTS p0p1 and q0q1 (params in [0, 1] with
+    slack); None when parallel or when the crossing lies outside
+    either segment. The inward-join trim is only geometrically valid
+    in that case — the infinite-line crossing of two nearly-parallel
+    offset lines (a hairpin turn) shoots arbitrarily far away (the
+    miter explosion; invariant fuzz found emitted vertices 12× the
+    offset distance from the input)."""
+    d1 = (p1[0] - p0[0], p1[1] - p0[1])
+    d2 = (q1[0] - q0[0], q1[1] - q0[1])
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(den) < 1e-12:
+        return None
+    t = ((q0[0] - p0[0]) * d2[1] - (q0[1] - p0[1]) * d2[0]) / den
+    s = ((q0[0] - p0[0]) * d1[1] - (q0[1] - p0[1]) * d1[0]) / den
+    if -1e-9 <= t <= 1.0 + 1e-9 and -1e-9 <= s <= 1.0 + 1e-9:
+        return (p0[0] + t * d1[0], p0[1] + t * d1[1])
+    return None
+
+
 def offset_polyline(coords: Sequence[Coord], d: float,
                     quadsegs: int = 8) -> Optional[List[Coord]]:
     """One-sided offset of an open polyline (PostGIS ST_OffsetCurve
@@ -665,9 +686,18 @@ def offset_polyline(coords: Sequence[Coord], d: float,
             out.extend(arc[:-1])
             out.append(off(cs[i], n1))
         else:
-            x = _line_line_x(off(cs[i - 1], n0), off(cs[i], n0),
-                             off(cs[i], n1), off(cs[i + 1], n1))
-            out.append(x if x is not None else off(cs[i], n0))
+            # trim at the offset-segment crossing when one exists
+            # (its perpendicular feet then lie ON the source segments,
+            # so the vertex is at exactly w from the input); a hairpin
+            # whose offset segments don't cross gets a BEVEL — both
+            # offset corner points — never an unbounded miter spike
+            x = _seg_seg_trim(off(cs[i - 1], n0), off(cs[i], n0),
+                              off(cs[i], n1), off(cs[i + 1], n1))
+            if x is not None:
+                out.append(x)
+            else:
+                out.append(off(cs[i], n0))
+                out.append(off(cs[i], n1))
     out.append(off(cs[-1], normals[-1]))
     out = _dedupe(out)
     if not left:
