@@ -101,3 +101,28 @@ def test_frame_and_scalar_forms_agree(spark):
         "id", hilbert_key(F.col("x"), F.col("y"),
                           (0.0, 0.0, 16.0, 16.0), 4).alias("h")).collect()}
     assert a == b
+
+
+def test_hilbert_bijective_and_unit_adjacent(spark):
+    """The defining Hilbert properties, exhaustively at 3 orders: keys
+    are a bijection onto 0..n²-1, and consecutive keys map to
+    GRID-ADJACENT cells (Manhattan distance exactly 1 — the locality
+    guarantee the layout exists for; Z-order deliberately fails
+    this)."""
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.operators.layout import hilbert_key
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        cells = [(float(i), float(j)) for i in range(n) for j in range(n)]
+        df = spark.createDataFrame(cells, ["x", "y"])
+        out = df.select(
+            "x", "y",
+            hilbert_key(F.col("x") + F.lit(0.5), F.col("y") + F.lit(0.5),
+                        (0.0, 0.0, float(n), float(n)), bits)
+            .alias("d")).collect()
+        assert {r.d for r in out} == set(range(n * n))
+        bykey = sorted(out, key=lambda r: r.d)
+        for a, b in zip(bykey, bykey[1:]):
+            assert abs(a.x - b.x) + abs(a.y - b.y) == 1, \
+                (bits, a.d, (a.x, a.y), (b.x, b.y))
