@@ -173,7 +173,9 @@ def from_spatialite(buf: bytes) -> Geometry:
     try:
         (code,) = struct.unpack_from(fmt + "I", buf, 39)
         g, _ = _sl_body(buf, 43, fmt, code & 0xFF)
-    except (struct.error, IndexError) as e:
+    except (struct.error, IndexError, RecursionError) as e:
+        # RecursionError: a deep nested-collection bomb fails the ROW,
+        # not the task (the wkb.py convention)
         raise ValueError(f"invalid SpatiaLite blob: {e}") from e
     if srid > 0:
         g = g.with_srid(srid)

@@ -111,6 +111,14 @@ def from_geojson(s: str) -> Geometry:
         obj = json.loads(s)
     except json.JSONDecodeError as e:
         raise ValueError(f"invalid GeoJSON: {e}") from None
-    g = _geometry(obj)
+    except RecursionError:
+        # json.loads itself recurses per nesting level — a deep
+        # nesting bomb must fail the row, not the task
+        raise ValueError("invalid GeoJSON: nesting too deep") from None
+    try:
+        g = _geometry(obj)
+    except RecursionError:
+        # nested-GeometryCollection bomb: fail the row, not the task
+        raise ValueError("invalid GeoJSON: nesting too deep") from None
     srid = _crs_srid(obj) if isinstance(obj, dict) else None
     return g.with_srid(srid) if srid is not None else g

@@ -114,10 +114,13 @@ def from_wkb(buf: bytes) -> Geometry:
         raise ValueError("invalid WKB: too short")
     try:
         return _Reader(bytes(buf)).geometry()
-    except (struct.error, IndexError, MemoryError, OverflowError) as e:
+    except (struct.error, IndexError, MemoryError, OverflowError,
+            RecursionError) as e:
         # truncated/garbage buffers surface as ValueError like every
         # other malformed-input path (hypothesis: a 5-byte EWKB header
-        # claiming an SRID crashed struct.unpack_from)
+        # claiming an SRID crashed struct.unpack_from; RecursionError:
+        # a thousands-deep nested-collection bomb must fail the ROW,
+        # not the task)
         raise ValueError(f"invalid WKB: {e}") from e
 
 

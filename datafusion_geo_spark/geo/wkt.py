@@ -162,7 +162,13 @@ def from_wkt(s: str) -> Geometry:
         srid = int(m.group(1))
         s = s[m.end():]
     p = _Parser(s)
-    g = p.geometry()
+    try:
+        g = p.geometry()
+    except RecursionError:
+        # a thousands-deep GEOMETRYCOLLECTION nesting bomb must fail
+        # the ROW (ValueError, the kernel's clean per-row path), not
+        # blow the task's stack
+        raise ValueError("invalid WKT: nesting too deep") from None
     if p.peek() is not None:
         raise ValueError(f"trailing content in WKT at {p.pos}: {s[p.pos:]!r}")
     return g.with_srid(srid)

@@ -307,3 +307,40 @@ def test_wkb_count_bomb_rejected_fast():
         with pytest.raises(ValueError):
             from_wkb(b)
         assert time.time() - t0 < 0.1, b.hex()
+
+
+def test_nesting_bombs_raise_valueerror():
+    """Thousands-deep nested-collection bombs in every recursive
+    parser must surface as ValueError (the kernels' clean per-row
+    failure), never RecursionError (which would kill the whole task's
+    batch)."""
+    import json
+    import struct
+
+    from datafusion_geo_spark.geo.dialect import from_spatialite
+    from datafusion_geo_spark.geo.geojson import from_geojson
+    from datafusion_geo_spark.geo.wkb import from_wkb
+
+    depth = 5000
+    wkb = b"".join(struct.pack("<BII", 1, 7, 1) for _ in range(depth)) \
+        + struct.pack("<BIdd", 1, 1, 1.0, 2.0)
+    with pytest.raises(ValueError):
+        from_wkb(wkb)
+
+    wkt = "GEOMETRYCOLLECTION(" * depth + "POINT(1 2)" + ")" * depth
+    with pytest.raises(ValueError):
+        from_wkt(wkt)
+
+    gj = s = '{"type":"GeometryCollection","geometries":[' * depth \
+        + '{"type":"Point","coordinates":[1,2]}' + "]}" * depth
+    with pytest.raises(ValueError):
+        from_geojson(gj)
+
+    sl_body = struct.pack("<II", 7, 1) \
+        + (b"\x69" + struct.pack("<II", 7, 1)) * depth \
+        + b"\x69" + struct.pack("<I", 1) + struct.pack("<dd", 1.0, 2.0)
+    blob = (b"\x00\x01" + struct.pack("<i", 4326)
+            + struct.pack("<dddd", 0, 0, 1, 1) + b"\x7c" + sl_body
+            + b"\xfe")
+    with pytest.raises(ValueError):
+        from_spatialite(blob)
