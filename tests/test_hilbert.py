@@ -126,3 +126,21 @@ def test_hilbert_bijective_and_unit_adjacent(spark):
         for a, b in zip(bykey, bykey[1:]):
             assert abs(a.x - b.x) + abs(a.y - b.y) == 1, \
                 (bits, a.d, (a.x, a.y), (b.x, b.y))
+
+
+def test_morton_bijective_exhaustive(spark):
+    """Z-order keys are a bijection onto 0..n²-1 at 3 orders (Morton
+    deliberately has no unit-adjacency guarantee — that's Hilbert's
+    selling point — but key collisions would corrupt file layout)."""
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.operators.layout import morton_key
+    for bits in (2, 3, 4):
+        n = 1 << bits
+        cells = [(float(i), float(j)) for i in range(n) for j in range(n)]
+        df = spark.createDataFrame(cells, ["x", "y"])
+        out = df.select(
+            morton_key(F.col("x") + F.lit(0.5), F.col("y") + F.lit(0.5),
+                       (0.0, 0.0, float(n), float(n)), bits)
+            .alias("d")).collect()
+        assert {r.d for r in out} == set(range(n * n))
