@@ -667,3 +667,69 @@ def test_offset_curve_distance_sanity_fuzz():
                     (g.parts, d, p, dd)
                 checked += 1
     assert checked > 100  # the invariant actually exercised
+
+
+# --- round-9 session-2 extension, batch 5: shared paths.
+
+def test_shared_paths_pieces_lie_on_both_inputs_fuzz():
+    """Every vertex of every shared-path piece lies on BOTH input
+    linestrings (distance 0 to each), and the pieces' total length
+    never exceeds A's length (pieces are sub-arcs of A counted with
+    A's traversal multiplicity — an input doubling back over the same
+    shared segment legitimately contributes it twice, so no bound
+    against B holds)."""
+    import math as _m
+
+    def plen(parts):
+        return sum(_m.dist(cs[i], cs[i + 1])
+                   for cs in parts for i in range(len(cs) - 1))
+
+    from datafusion_geo_spark.geo.overlay import shared_paths
+
+    def grid_line(rng):
+        # integer grid lines so collinear overlaps actually occur
+        pts = [(float(rng.randint(-3, 3)), float(rng.randint(-3, 3)))
+               for _ in range(rng.randint(2, 4))]
+        out = [pts[0]]
+        for c in pts[1:]:
+            if c != out[-1]:
+                out.append(c)
+        if len(out) < 2:
+            out.append((out[0][0] + 1.0, out[0][1]))
+        return Geometry("LineString", out)
+
+    def overlapping_pair(rng):
+        a = grid_line(rng)
+        r = rng.random()
+        if r < 0.35:
+            return a, grid_line(rng)
+        # bias towards genuine collinear overlap: reverse, extend, or
+        # ride along a's linework shifted to a sub-span
+        cs = list(a.parts)
+        if r < 0.6:
+            return a, Geometry("LineString", cs[::-1])
+        if r < 0.8 and len(cs) >= 3:
+            return a, Geometry("LineString", cs[1:])
+        mid = [( (cs[0][0] + cs[1][0]) / 2.0,
+                 (cs[0][1] + cs[1][1]) / 2.0 )]
+        return a, Geometry("LineString", mid + cs[1:])
+
+    rng = random.Random(922)
+    hits = 0
+    for _ in range(500):
+        a, b = overlapping_pair(rng)
+        out = shared_paths(a, b)
+        assert out is not None and out.typ == "GeometryCollection"
+        same, opp = out.parts
+        total = 0.0
+        for ml in (same, opp):
+            for cs in ml.parts:
+                for p in cs:
+                    assert _pt_polyline_dist(p, a.parts) <= 1e-9, \
+                        (a.parts, b.parts, p)
+                    assert _pt_polyline_dist(p, b.parts) <= 1e-9, \
+                        (a.parts, b.parts, p)
+                total += plen([cs])
+                hits += 1
+        assert total <= plen([a.parts]) + 1e-9, (a.parts, b.parts, total)
+    assert hits > 50  # overlaps actually exercised
