@@ -70,3 +70,39 @@ def test_origin_point_in_origin_cell(spark):
     c = df.select(hex_cell(F.col("x"), F.col("y"), 5.0).alias("c")) \
         .collect()[0]["c"]
     assert (c["q"], c["r"]) == (0, 0)
+
+
+def test_hex_cell_assigns_nearest_center_fuzz(spark):
+    """The defining hex-binning property: every point maps to the cell
+    whose CENTER is nearest (ties aside) — checked against a brute
+    scan of the 5x5 neighborhood of candidate centers."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.operators.hexbin import SQRT3, hex_cell
+
+    rng = random.Random(923)
+    size = 2.0
+    pts = [(rng.uniform(-20, 20), rng.uniform(-20, 20))
+           for _ in range(400)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = df.select("x", "y",
+                    hex_cell(F.col("x"), F.col("y"), size).alias("c")) \
+        .collect()
+
+    def center(q, r):
+        return (size * SQRT3 * (q + r / 2.0), size * 1.5 * r)
+
+    for row in got:
+        q0, r0 = row.c.q, row.c.r
+        cx, cy = center(q0, r0)
+        d0 = math.hypot(row.x - cx, row.y - cy)
+        for dq in range(-2, 3):
+            for dr in range(-2, 3):
+                ox, oy = center(q0 + dq, r0 + dr)
+                d = math.hypot(row.x - ox, row.y - oy)
+                # strict better-neighbor would mean a wrong assignment
+                assert d >= d0 - 1e-9, \
+                    ((row.x, row.y), (q0, r0), (q0 + dq, r0 + dr), d0, d)
