@@ -733,3 +733,50 @@ def test_shared_paths_pieces_lie_on_both_inputs_fuzz():
                 hits += 1
         assert total <= plen([a.parts]) + 1e-9, (a.parts, b.parts, total)
     assert hits > 50  # overlaps actually exercised
+
+
+# --- round-9 session-2 extension, batch 6: cross-kernel consistency.
+
+def test_relate_matrix_consistent_with_direct_predicates_fuzz():
+    """The DE-9IM matrix and the direct predicate kernels must agree:
+    intersects ⟺ any of II/IB/BI/BB non-F; covers(a,b) ⟺ no part of
+    b's interior or boundary falls in a's exterior (matrix cols with
+    'a-exterior' rows F)."""
+    from datafusion_geo_spark.geo.algos import covers, intersects
+    rng = random.Random(924)
+    for _ in range(400):
+        a, b = _rand_geom(rng), _rand_geom(rng)
+        m = relate(a, b)
+        if m is None:
+            continue
+        m_int = any(m[i] != "F" for i in (0, 1, 3, 4))
+        assert m_int == intersects(a, b), (to_wkt(a), to_wkt(b), m)
+        # covers: DE-9IM "b has nothing in a's exterior" = positions
+        # 6 (EI) and 7 (EB) both F, plus they intersect at all
+        m_cov = m[6] == "F" and m[7] == "F" and m_int
+        assert m_cov == covers(a, b), (to_wkt(a), to_wkt(b), m)
+
+
+def test_sphere_area_additive_along_diagonal_fuzz():
+    """The JPL edge-sum spherical area is additive: splitting a
+    quadrilateral ring along a diagonal, the piece areas sum to the
+    whole (shared-edge terms cancel in opposite traversal)."""
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.proj import sphere_area_m2
+    rng = random.Random(925)
+    for _ in range(300):
+        lon = rng.uniform(-170, 170)
+        lat = rng.uniform(-70, 70)
+        w = rng.uniform(0.1, 3.0)
+        h = rng.uniform(0.1, 3.0)
+        A = (lon, lat)
+        B = (lon + w, lat)
+        C = (lon + w, lat + h)
+        D = (lon, lat + h)
+        quad = Geometry("Polygon", [[A, B, C, D, A]])
+        t1 = Geometry("Polygon", [[A, B, C, A]])
+        t2 = Geometry("Polygon", [[A, C, D, A]])
+        aq = sphere_area_m2(quad)
+        at = sphere_area_m2(t1) + sphere_area_m2(t2)
+        assert aq > 0
+        assert abs(aq - at) <= 1e-6 * aq, (A, C, aq, at)
