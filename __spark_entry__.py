@@ -10753,31 +10753,39 @@ def oracle_sql() -> dict[str, str]:
     _pert_words = ("string_split_regex(trim(substr(text, "
                    "instr(text, ' ') + 1)), '\\s+')")
     out["krippendorff_alpha"] = f"""
-        WITH r AS (
+        WITH r0 AS (
           SELECT doc_id, lang AS r_truth,
                  {_lang_pred_sql("wf")} AS r_full,
                  {_lang_pred_sql("wp")} AS r_pert
           FROM (SELECT doc_id, lang, {_WORDS} AS wf,
                        {_pert_words} AS wp
                 FROM documents)
+        ), r AS (
+          SELECT * FROM r0
+          WHERE r_truth IS NOT NULL AND r_full IS NOT NULL
+            AND r_pert IS NOT NULL
         ), tot AS (
           SELECT COUNT(*)::BIGINT AS n_units,
-                 (2 * SUM((r_truth <> r_full)::INT
+                 COALESCE((2 * SUM((r_truth <> r_full)::INT
                           + (r_truth <> r_pert)::INT
-                          + (r_full <> r_pert)::INT))::BIGINT AS o_mis2
+                          + (r_full <> r_pert)::INT))::BIGINT,
+                          0) AS o_mis2
           FROM r
+        ), sk AS (
+          SELECT COUNT(*)::BIGINT AS n_skipped FROM r0
+          WHERE r_truth IS NULL OR r_full IS NULL OR r_pert IS NULL
         ), marg AS (
-          SELECT SUM(c)::BIGINT AS n_ratings,
-                 SUM(c * c)::BIGINT AS sq
+          SELECT COALESCE(SUM(c), 0)::BIGINT AS n_ratings,
+                 COALESCE(SUM(c * c), 0)::BIGINT AS sq
           FROM (SELECT COUNT(*)::BIGINT AS c FROM (
                   SELECT unnest([r_truth, r_full, r_pert]) AS lbl
                   FROM r) GROUP BY lbl)
         ), v AS (
-          SELECT n_units, n_ratings, o_mis2,
+          SELECT n_units, n_skipped, n_ratings, o_mis2,
                  (n_ratings * n_ratings - sq)::BIGINT AS nn_mis
-          FROM tot, marg
+          FROM tot, sk, marg
         )
-        SELECT n_units, n_ratings, o_mis2, nn_mis,
+        SELECT n_units, n_skipped, n_ratings, o_mis2, nn_mis,
                CASE WHEN nn_mis > 0 THEN
                  {_sgn_r6.format(
                      x="1.0 - ((n_ratings - 1) * o_mis2)::DOUBLE "

@@ -142,10 +142,18 @@ def delaunay_triangles(g: Geometry) -> List[Tri]:
         return []
     hull2 = _hull_area2(pts)
     out: List[Tri] = []
+    best_gap = float("inf")
     for mult in (64.0, 4096.0, 262144.0, 16777216.0):
-        out = _bowyer_watson(pts, mult)
-        tri2 = sum(abs(_ccw(*t)) for t in out)
-        if abs(tri2 - hull2) <= 1e-9 * max(hull2, 1.0):
+        att = _bowyer_watson(pts, mult)
+        tri2 = sum(abs(_ccw(*t)) for t in att)
+        gap = abs(tri2 - hull2)
+        # keep the attempt CLOSEST to the hull area, not the last
+        # one: a 16777216x super-span degrades circumcircle precision,
+        # so when no multiplier meets tolerance an earlier, better-
+        # conditioned attempt is the one to return
+        if gap < best_gap:
+            best_gap, out = gap, att
+        if gap <= 1e-9 * max(hull2, 1.0):
             break
 
     def canon(t: Tri) -> Tri:

@@ -32,11 +32,16 @@ __all__ = ["edit_distance_join", "deletion_variants"]
 
 def _del1(s: Column) -> Column:
     """All single-character deletions of ``s`` (array<string>; empty
-    for the empty string)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(s)),
-        lambda i: F.concat(F.substring(s, F.lit(1), i - F.lit(1)),
-                           F.substr(s, i + F.lit(1))))
+    for the empty string). The zero-length case needs an explicit
+    guard: ``sequence(1, 0)`` yields a DESCENDING [1, 0] in Spark,
+    not an empty array, which would emit two '' variants."""
+    return F.when(
+        F.length(s) >= F.lit(1),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(F.substring(s, F.lit(1), i - F.lit(1)),
+                               F.substr(s, i + F.lit(1))))
+    ).otherwise(F.expr("array()").cast("array<string>"))
 
 
 def deletion_variants(s: Column, k: int) -> Column:

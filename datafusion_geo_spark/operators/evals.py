@@ -960,19 +960,25 @@ def adjusted_rand(conf: DataFrame, a_col: str, b_col: str,
         ARI = (Σij C(nij,2) − E) / (½·(Σa + Σb) − E),
           E = Σa·Σb / C(n,2)
 
-    with Σa/Σb the row/column marginal pair sums. Only the final
-    double chain (identical expression of exact int64s on both
-    engines) leaves integers; NULL when the denominator is 0 (both
-    partitions put everything in one group — ARI undefined). ONE row
-    out: (n_total, sum_ab_pairs, sum_a_pairs, sum_b_pairs, ari).
+    with Σa/Σb the row/column marginal pair sums — halved via _idiv,
+    so every pair count is exact for ALL counts in the operator's
+    domain n·(n−1) ≤ 2^63 (n_total up to ~3.0e9 items; beyond that
+    C(n,2) itself overflows int64 and ANSI mode raises rather than
+    silently wrapping). Only the final double chain (identical
+    expression of exact int64s on both engines) leaves integers; NULL
+    when the denominator is 0 (both partitions put everything in one
+    group — ARI undefined). ONE row out:
+    (n_total, sum_ab_pairs, sum_a_pairs, sum_b_pairs, ari).
     Scale: the contingency table is |A|·|B| rows, so every aggregate
     here is dict-sized regardless of corpus size."""
     n = F.col(n_col).cast("long")
 
     def pairs2(c):
+        # c*(c-1) is even and non-negative, so shiftright(·, 1) IS
+        # the exact /2 for the whole int64 domain — a double '/2'
+        # (and _idiv, whose quotient is a double) round past 2^53.
         c = c.cast("long")
-        return ((c * (c - F.lit(1)) - (c * (c - F.lit(1))) % F.lit(2))
-                / F.lit(2)).cast("long")
+        return F.shiftright(c * (c - F.lit(1)), 1)
 
     t = conf.agg(F.sum(pairs2(n)).cast("long").alias("sum_ab_pairs"),
                  F.sum(n).cast("long").alias("n_total"))
@@ -1011,29 +1017,45 @@ def krippendorff_alpha(units: DataFrame, label_cols: list,
     where mism_u = #{i<j : rating_i ≠ rating_j} per unit (a map-side
     expression over the m columns — no unit-level shuffle at all).
     Only the final divide is a double; NULL when every rating is one
-    label (zero expected disagreement). ONE row out:
-    (n_units, n_ratings, o_mis2, nn_mis, alpha). Scale: one map pass
-    + one |labels|-sized grouped count + two one-row aggregates."""
+    label (zero expected disagreement). Units with a NULL rating in
+    ANY rater column are EXCLUDED from both the mismatch sum and the
+    marginals (the complete-data identity above does not hold for
+    them) and counted in the explicit n_skipped column — the WER
+    n_skipped discipline, replacing a silent inconsistent total. ONE
+    row out: (n_units, n_skipped, n_ratings, o_mis2, nn_mis, alpha).
+    Scale: one map pass + one |labels|-sized grouped count + two
+    one-row aggregates."""
     m = len(label_cols)
     if m < 2:
         raise ValueError("krippendorff_alpha: need >= 2 rater columns")
     mism = None
+    anynull = None
     for i in range(m):
+        isn = F.col(label_cols[i]).isNull()
+        anynull = isn if anynull is None else (anynull | isn)
         for j in range(i + 1, m):
             t = (F.col(label_cols[i]) != F.col(label_cols[j])).cast("long")
             mism = t if mism is None else mism + t
-    per = units.select(F.lit(1).alias("_one"), mism.alias("_mism"),
+    per = units.select(anynull.alias("_skip"), mism.alias("_mism"),
                        F.array(*[F.col(c) for c in label_cols])
                        .alias("_r"))
-    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_units"),
-                  (F.sum("_mism") * F.lit(2)).cast("long")
-                  .alias("o_mis2"))
-    marg = (per.select(F.explode("_r").alias("_lbl"))
+    tot = per.agg(F.sum((~F.col("_skip")).cast("long")).cast("long")
+                  .alias("n_units"),
+                  F.sum(F.col("_skip").cast("long")).cast("long")
+                  .alias("n_skipped"),
+                  F.coalesce(
+                      (F.sum(F.when(~F.col("_skip"), F.col("_mism")))
+                       * F.lit(2)).cast("long"),
+                      F.lit(0).cast("long")).alias("o_mis2"))
+    marg = (per.where(~F.col("_skip"))
+            .select(F.explode("_r").alias("_lbl"))
             .groupBy("_lbl").agg(F.count(F.lit(1)).cast("long")
                                  .alias("_nc"))
-            .agg(F.sum("_nc").cast("long").alias("n_ratings"),
-                 F.sum(F.col("_nc") * F.col("_nc")).cast("long")
-                 .alias("_sq")))
+            .agg(F.coalesce(F.sum("_nc").cast("long"),
+                            F.lit(0).cast("long")).alias("n_ratings"),
+                 F.coalesce(F.sum(F.col("_nc") * F.col("_nc"))
+                            .cast("long"),
+                            F.lit(0).cast("long")).alias("_sq")))
     j = tot.crossJoin(F.broadcast(marg))
     nn_mis = (F.col("n_ratings") * F.col("n_ratings") - F.col("_sq")) \
         .cast("long")
@@ -1042,7 +1064,7 @@ def krippendorff_alpha(units: DataFrame, label_cols: list,
     den = (F.lit(m - 1) * nn_mis).cast("double")
     alpha = F.when(nn_mis > F.lit(0),
                    _r6(F.lit(1.0) - num / den))
-    return j.select("n_units", "n_ratings", "o_mis2",
+    return j.select("n_units", "n_skipped", "n_ratings", "o_mis2",
                     nn_mis.alias("nn_mis"), alpha.alias("alpha"))
 
 
