@@ -1237,9 +1237,12 @@ def dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
 
 def transform_srid(s: pd.Series, to_srid: pd.Series,
                    from_srid: Optional[pd.Series] = None) -> pd.Series:
-    """ST_Transform for the closed-form pairs (geo/proj.py): 4326<->3857
-    and 4326<->UTM 326xx/327xx (Krüger series); PostGIS semantics —
-    source SRID from the EWKB header unless from_srid is given.
+    """ST_Transform for the closed-form CRSs (geo/proj.py): 4326<->3857,
+    4326<->UTM 326xx/327xx (Krüger series), and every proj.CRS_REGISTRY
+    code (LCC 2SP / Albers / generic TM, optional Helmert datum shift),
+    with projected->projected routed through the 4326 hub; PostGIS
+    semantics — source SRID from the EWKB header unless from_srid is
+    given.
     Vectorized numpy fast path for uniform plain-WKB point batches on
     the 4326->3857 pair with an explicit constant from_srid; object
     fallback with decode+result memoization otherwise (UTM pairs take

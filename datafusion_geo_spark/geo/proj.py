@@ -113,11 +113,14 @@ def utm_to_lonlat(e: float, nn: float, zone: int, north: bool) -> tuple:
 
 def transform_geometry(g: Geometry, to_srid: int,
                        from_srid: int = None) -> Geometry:
-    """PostGIS-style ST_Transform for the closed-form pairs this engine
-    carries: 4326 <-> 3857 (spherical web mercator) and 4326 <-> UTM
-    (EPSG:326xx/327xx, Krüger series). ``from_srid`` falls back to the
-    geometry's own SRID; missing both is an error (PostGIS: 'cannot
-    transform geometry with unknown SRID')."""
+    """PostGIS-style ST_Transform: 4326 <-> 3857 (spherical web
+    mercator), 4326 <-> UTM (EPSG:326xx/327xx, Krüger series), and any
+    CRS in CRS_REGISTRY (Lambert Conformal Conic / Albers / generic
+    Transverse Mercator with optional Helmert datum shift — state
+    plane, Lambert-93, CONUS Albers, NAD83 UTM, OSGB). Projected ->
+    projected composes through the 4326 hub. ``from_srid`` falls back
+    to the geometry's own SRID; missing both is an error (PostGIS:
+    'cannot transform geometry with unknown SRID')."""
     src = from_srid if from_srid is not None else g.srid
     if src is None:
         raise ValueError("ST_Transform: source SRID unknown "
@@ -140,10 +143,43 @@ def transform_geometry(g: Geometry, to_srid: int,
         def f(e, nn):
             return utm_to_lonlat(e, nn, zone, north)
     else:
-        raise ValueError(
-            f"ST_Transform: unsupported SRID pair {src} -> {dst} "
-            f"(supported: {SRID_LONLAT} <-> {SRID_MERCATOR}, "
-            f"{SRID_LONLAT} <-> UTM 326xx/327xx)")
+        # registry CRSs route through the 4326 hub: src -> lon/lat
+        # via inverse (identity when src IS 4326), then lon/lat ->
+        # dst via forward — so any registered pair composes, e.g.
+        # 2263 -> 3857 or 27700 -> 5070
+        inv = fwd = None
+        if src == SRID_LONLAT:
+            inv = None
+        elif src in CRS_REGISTRY:
+            inv = CRS_REGISTRY[src].inverse
+        elif utm_zone(src) is not None:
+            zi, ni = utm_zone(src)
+            inv = (lambda e, nn, _z=zi, _n=ni:
+                   utm_to_lonlat(e, nn, _z, _n))
+        if dst == SRID_LONLAT:
+            fwd = None
+        elif dst in CRS_REGISTRY:
+            fwd = CRS_REGISTRY[dst].forward
+        elif dst == SRID_MERCATOR:
+            fwd = lonlat_to_mercator
+        elif utm_zone(dst) is not None:
+            zo, no = utm_zone(dst)
+            fwd = (lambda lon, lat, _z=zo, _n=no:
+                   lonlat_to_utm(lon, lat, _z, _n))
+        if src == SRID_MERCATOR:
+            inv = mercator_to_lonlat
+        ok_src = (src == SRID_LONLAT or inv is not None)
+        ok_dst = (dst == SRID_LONLAT or fwd is not None)
+        if not (ok_src and ok_dst):
+            raise ValueError(
+                f"ST_Transform: unsupported SRID pair {src} -> {dst} "
+                f"(supported: {SRID_LONLAT} <-> {SRID_MERCATOR}, "
+                f"{SRID_LONLAT} <-> UTM 326xx/327xx, and the "
+                f"registered CRSs {sorted(CRS_REGISTRY)})")
+
+        def f(cx, cy):
+            lon, lat = inv(cx, cy) if inv is not None else (cx, cy)
+            return fwd(lon, lat) if fwd is not None else (lon, lat)
     return g.map_coords(lambda c: f(c[0], c[1])).with_srid(dst)
 
 
@@ -272,3 +308,375 @@ def sphere_perimeter_m(g: Geometry) -> float:
             for ring in part.parts:
                 total = total + _sphere_path_m(ring)
     return total
+
+
+# ===================================================================
+# Generic projected CRS support (round 10; beyond-reference — the
+# reference has no ST_Transform at all). Closed-form Snyder (1987,
+# USGS PP 1395) formulas for the three projection families that carry
+# virtually all regional analytics CRSs:
+#
+#   - Lambert Conformal Conic 2SP  (EPSG method 9802: US state plane
+#     LCC zones, France Lambert-93, ...)
+#   - Albers Equal Area            (EPSG method 9822: EPSG:5070 CONUS
+#     Albers, the standard US land-analytics CRS)
+#   - Transverse Mercator          (EPSG method 9807 with arbitrary
+#     central meridian / scale / origin / ellipsoid: state plane TM
+#     zones, national grids, non-WGS84 UTM)
+#
+# plus the 7-parameter Helmert (position-vector) datum shift for CRSs
+# whose geographic datum is NOT WGS84-equivalent (OSGB36). NAD83 and
+# ETRS89 are treated as WGS84-identical (null transform) — the
+# sub-meter plate-fixed offset is the universal analytics convention.
+#
+# Every derived projection constant is precomputed once (Python
+# floats) and exposed as attributes so the SQL oracle can embed the
+# IDENTICAL doubles via repr(); per-point math uses only
+# sin/cos/tan/atan/atan2/asin/ln/exp/pow/sqrt, all available in
+# DuckDB, so oracles replay the chain term-for-term (libm-ulp
+# divergence only, far below the cm comparison rounding).
+
+_QUARTER_PI = PI_4
+
+
+class Ellipsoid:
+    """Reference ellipsoid with every derived constant the projection
+    formulas need, including Krüger series coefficients to n⁴ (one
+    order above the UTM module constants; ~1e-12 rad — the generic
+    path is used for non-WGS84 ellipsoids where no precomputed
+    literals exist)."""
+
+    def __init__(self, name: str, a: float, inv_f: float):
+        self.name = name
+        self.a = a
+        self.f = 1.0 / inv_f
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = math.sqrt(self.e2)
+        self.ep2 = self.e2 / (1.0 - self.e2)
+        self.b = a * (1.0 - self.f)
+        n = self.f / (2.0 - self.f)
+        self.n = n
+        # rectifying radius  A = a/(1+n) · (1 + n²/4 + n⁴/64)
+        self.A = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
+        self.alpha = (
+            n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0
+            + 41.0 * n ** 4 / 180.0,
+            13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0
+            + 557.0 * n ** 4 / 1440.0,
+            61.0 * n ** 3 / 240.0 - 103.0 * n ** 4 / 140.0,
+            49561.0 * n ** 4 / 161280.0)
+        self.beta = (
+            n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0
+            - n ** 4 / 360.0,
+            n ** 2 / 48.0 + n ** 3 / 15.0 - 437.0 * n ** 4 / 1440.0,
+            17.0 * n ** 3 / 480.0 - 37.0 * n ** 4 / 840.0,
+            4397.0 * n ** 4 / 161280.0)
+        self.delta = (
+            2.0 * n - 2.0 * n ** 2 / 3.0 - 2.0 * n ** 3
+            + 116.0 * n ** 4 / 45.0,
+            7.0 * n ** 2 / 3.0 - 8.0 * n ** 3 / 5.0
+            - 227.0 * n ** 4 / 45.0,
+            56.0 * n ** 3 / 15.0 - 136.0 * n ** 4 / 35.0,
+            4279.0 * n ** 4 / 630.0)
+        # conformal-latitude χ -> φ series (Snyder 3-5), for LCC/
+        # mercator-family inverses
+        e2 = self.e2
+        self.chi = (
+            e2 / 2.0 + 5.0 * e2 ** 2 / 24.0 + e2 ** 3 / 12.0
+            + 13.0 * e2 ** 4 / 360.0,
+            7.0 * e2 ** 2 / 48.0 + 29.0 * e2 ** 3 / 240.0
+            + 811.0 * e2 ** 4 / 11520.0,
+            7.0 * e2 ** 3 / 120.0 + 81.0 * e2 ** 4 / 1120.0,
+            4279.0 * e2 ** 4 / 161280.0)
+        # authalic-latitude β -> φ series (Snyder 3-18), for Albers
+        self.auth = (
+            e2 / 3.0 + 31.0 * e2 ** 2 / 180.0 + 517.0 * e2 ** 3 / 5040.0,
+            23.0 * e2 ** 2 / 360.0 + 251.0 * e2 ** 3 / 3780.0,
+            761.0 * e2 ** 3 / 45360.0)
+
+    # Snyder 14-15 / 15-9: m(φ) = cosφ / sqrt(1 − e² sin²φ)
+    def m(self, phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - self.e2 * s * s)
+
+    # Snyder 15-9a: conformal t(φ)
+    def t(self, phi: float) -> float:
+        s = math.sin(phi)
+        return (math.tan(_QUARTER_PI - 0.5 * phi)
+                / ((1.0 - self.e * s) / (1.0 + self.e * s))
+                ** (self.e * 0.5))
+
+    # Snyder 3-12: authalic q(φ)
+    def q(self, phi: float) -> float:
+        s = math.sin(phi)
+        return (1.0 - self.e2) * (
+            s / (1.0 - self.e2 * s * s)
+            - (1.0 / (2.0 * self.e))
+            * math.log((1.0 - self.e * s) / (1.0 + self.e * s)))
+
+    def chi_to_phi(self, chi: float) -> float:
+        c1, c2, c3, c4 = self.chi
+        return (chi + c1 * math.sin(2.0 * chi)
+                + c2 * math.sin(4.0 * chi)
+                + c3 * math.sin(6.0 * chi)
+                + c4 * math.sin(8.0 * chi))
+
+    def beta_to_phi(self, beta: float) -> float:
+        a1, a2, a3 = self.auth
+        return (beta + a1 * math.sin(2.0 * beta)
+                + a2 * math.sin(4.0 * beta)
+                + a3 * math.sin(6.0 * beta))
+
+
+WGS84 = Ellipsoid("WGS84", 6378137.0, 298.257223563)
+GRS80 = Ellipsoid("GRS80", 6378137.0, 298.257222101)
+AIRY1830 = Ellipsoid("Airy 1830", 6377563.396, 299.3249646)
+
+#: US survey foot in meters (exact ratio 1200/3937)
+FT_US = 1200.0 / 3937.0
+
+
+class Helmert:
+    """7-parameter position-vector datum shift WGS84 -> target datum
+    (EPSG method 9606 small-angle form; rotations arcsec, scale ppm).
+    The reverse direction negates the parameters — the standard
+    first-order inverse (error O(rot²) ~ 1e-11 relative, micrometers;
+    OS Guide to coordinate systems §6). Heights are taken as 0 —
+    planar engine."""
+
+    ARCSEC = math.pi / 648000.0
+
+    def __init__(self, tx, ty, tz, rx_as, ry_as, rz_as, s_ppm):
+        self.p = (tx, ty, tz, rx_as * self.ARCSEC, ry_as * self.ARCSEC,
+                  rz_as * self.ARCSEC, s_ppm * 1e-6)
+
+    @staticmethod
+    def _geodetic_to_ecef(lon, lat, ell: Ellipsoid):
+        s, c = math.sin(lat), math.cos(lat)
+        nu = ell.a / math.sqrt(1.0 - ell.e2 * s * s)
+        return (nu * c * math.cos(lon), nu * c * math.sin(lon),
+                nu * (1.0 - ell.e2) * s)
+
+    @staticmethod
+    def _ecef_to_geodetic(x, y, z, ell: Ellipsoid):
+        """Bowring's closed one-step formula (sub-mm for earth-surface
+        points, h≈0)."""
+        p = math.sqrt(x * x + y * y)
+        th = math.atan2(z * ell.a, p * ell.b)
+        st, ct = math.sin(th), math.cos(th)
+        lat = math.atan2(z + ell.ep2 * ell.b * st * st * st,
+                         p - ell.e2 * ell.a * ct * ct * ct)
+        return (math.atan2(y, x), lat)
+
+    def _apply(self, x, y, z, sign: float):
+        tx, ty, tz, rx, ry, rz, ds = (sign * v for v in self.p)
+        k = 1.0 + ds
+        return (tx + k * (x - rz * y + ry * z),
+                ty + k * (rz * x + y - rx * z),
+                tz + k * (-ry * x + rx * y + z))
+
+    def from_wgs84(self, lon, lat, ell: Ellipsoid):
+        """WGS84 geographic (radians) -> target-datum geographic on
+        ``ell`` (radians)."""
+        x, y, z = self._geodetic_to_ecef(lon, lat, WGS84)
+        return self._ecef_to_geodetic(*self._apply(x, y, z, 1.0), ell)
+
+    def to_wgs84(self, lon, lat, ell: Ellipsoid):
+        x, y, z = self._geodetic_to_ecef(lon, lat, ell)
+        return self._ecef_to_geodetic(*self._apply(x, y, z, -1.0), WGS84)
+
+
+class LCC2SP:
+    """Lambert Conformal Conic, 2 standard parallels (EPSG 9802;
+    Snyder §15). Angles in degrees, output in native CRS units
+    (``unit_m`` meters per unit; FE/FN already in native units)."""
+
+    def __init__(self, ell: Ellipsoid, lat1, lat2, lat0, lon0,
+                 fe, fn, unit_m=1.0, datum: Helmert = None):
+        self.ell, self.unit_m, self.datum = ell, unit_m, datum
+        self.lon0 = lon0 * DEG2RAD
+        p1, p2, p0 = (v * DEG2RAD for v in (lat1, lat2, lat0))
+        m1, m2 = ell.m(p1), ell.m(p2)
+        t1, t2, t0 = ell.t(p1), ell.t(p2), ell.t(p0)
+        self.n = ((math.log(m1) - math.log(m2))
+                  / (math.log(t1) - math.log(t2)))
+        # RF = a·F in NATIVE units: ρ = RF · t^n
+        self.RF = (ell.a / unit_m) * (m1 / (self.n * t1 ** self.n))
+        self.rho0 = self.RF * t0 ** self.n
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon: float, lat: float):
+        if self.datum is not None:
+            lam, phi = self.datum.from_wgs84(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam, phi = lon * DEG2RAD, lat * DEG2RAD
+        rho = self.RF * self.ell.t(phi) ** self.n
+        th = self.n * (lam - self.lon0)
+        return (self.fe + rho * math.sin(th),
+                self.fn + self.rho0 - rho * math.cos(th))
+
+    def inverse(self, x: float, y: float):
+        dx, dy = x - self.fe, self.rho0 - (y - self.fn)
+        rho = math.copysign(math.sqrt(dx * dx + dy * dy), self.n)
+        tp = (rho / self.RF) ** (1.0 / self.n)
+        chi = 2.0 * (_QUARTER_PI - math.atan(tp))
+        phi = self.ell.chi_to_phi(chi)
+        lam = math.atan2(dx, dy) / self.n + self.lon0
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84(lam, phi, self.ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+
+class AlbersEA:
+    """Albers Equal Area conic, 2 standard parallels (EPSG 9822;
+    Snyder §14)."""
+
+    def __init__(self, ell: Ellipsoid, lat1, lat2, lat0, lon0,
+                 fe, fn, unit_m=1.0, datum: Helmert = None):
+        self.ell, self.unit_m, self.datum = ell, unit_m, datum
+        self.lon0 = lon0 * DEG2RAD
+        p1, p2, p0 = (v * DEG2RAD for v in (lat1, lat2, lat0))
+        m1, m2 = ell.m(p1), ell.m(p2)
+        q1, q2, q0 = ell.q(p1), ell.q(p2), ell.q(p0)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.AU = ell.a / unit_m
+        self.rho0 = self.AU * math.sqrt(self.C - self.n * q0) / self.n
+        self.qp = ell.q(0.5 * math.pi)
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon: float, lat: float):
+        if self.datum is not None:
+            lam, phi = self.datum.from_wgs84(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam, phi = lon * DEG2RAD, lat * DEG2RAD
+        rho = (self.AU
+               * math.sqrt(self.C - self.n * self.ell.q(phi)) / self.n)
+        th = self.n * (lam - self.lon0)
+        return (self.fe + rho * math.sin(th),
+                self.fn + self.rho0 - rho * math.cos(th))
+
+    def inverse(self, x: float, y: float):
+        dx, dy = x - self.fe, self.rho0 - (y - self.fn)
+        rho = math.sqrt(dx * dx + dy * dy)
+        qv = (self.C - (rho * self.n / self.AU) ** 2) / self.n
+        sb = qv / self.qp
+        if sb > 1.0:
+            sb = 1.0
+        elif sb < -1.0:
+            sb = -1.0
+        # series seed (~1e-7 rad) + Snyder 3-16 Newton refinement to
+        # full double precision (4 fixed iterations, deterministic)
+        phi = self.ell.beta_to_phi(math.asin(sb))
+        e2, e = self.ell.e2, self.ell.e
+        for _ in range(4):
+            s = math.sin(phi)
+            d = 1.0 - e2 * s * s
+            phi = phi + (d * d / (2.0 * math.cos(phi))) * (
+                qv / (1.0 - e2) - s / d
+                + (1.0 / (2.0 * e))
+                * math.log((1.0 - e * s) / (1.0 + e * s)))
+        # Snyder 14-11 note: with n < 0 the signs of x, (ρ0−y) flip
+        sgn = 1.0 if self.n >= 0.0 else -1.0
+        th = math.atan2(sgn * dx, sgn * dy)
+        lam = th / self.n + self.lon0
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84(lam, phi, self.ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+
+class TMGeneric:
+    """Transverse Mercator with arbitrary origin / scale / ellipsoid
+    (EPSG 9807) — the Krüger α/β series of the UTM path, generalized:
+    coefficients to n⁴ from the ellipsoid, latitude-of-origin handled
+    by subtracting the precomputed rectifying northing of lat0."""
+
+    def __init__(self, ell: Ellipsoid, lat0, lon0, k0,
+                 fe, fn, unit_m=1.0, datum: Helmert = None):
+        self.ell, self.unit_m, self.datum = ell, unit_m, datum
+        self.lon0 = lon0 * DEG2RAD
+        self.k0 = k0
+        self.KA = k0 * ell.A / unit_m
+        self.fe = fe
+        # ξ at (lat0, lon0): η' = 0, ξ' = conformal latitude of lat0
+        p0 = lat0 * DEG2RAD
+        if p0 != 0.0:
+            s0 = math.sin(p0)
+            t0 = math.sinh(math.atanh(s0) - ell.e * math.atanh(ell.e * s0))
+            xip0 = math.atan(t0)
+            xi0 = xip0
+            for j, aj in enumerate(ell.alpha, start=1):
+                xi0 = xi0 + aj * math.sin(2 * j * xip0)
+            self.fn = fn - self.KA * xi0
+        else:
+            self.fn = fn
+
+    def forward(self, lon: float, lat: float):
+        if self.datum is not None:
+            lam_a, phi = self.datum.from_wgs84(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam_a, phi = lon * DEG2RAD, lat * DEG2RAD
+        ell = self.ell
+        s = math.sin(phi)
+        t = math.sinh(math.atanh(s) - ell.e * math.atanh(ell.e * s))
+        lam = lam_a - self.lon0
+        xip = math.atan2(t, math.cos(lam))
+        etap = math.atanh(math.sin(lam) / math.sqrt(1.0 + t * t))
+        xi, eta = xip, etap
+        for j, aj in enumerate(ell.alpha, start=1):
+            xi = xi + aj * math.sin(2 * j * xip) * math.cosh(2 * j * etap)
+            eta = eta + aj * math.cos(2 * j * xip) * math.sinh(2 * j * etap)
+        return (self.fe + self.KA * eta, self.fn + self.KA * xi)
+
+    def inverse(self, x: float, y: float):
+        ell = self.ell
+        xi = (y - self.fn) / self.KA
+        eta = (x - self.fe) / self.KA
+        xip, etap = xi, eta
+        for j, bj in enumerate(ell.beta, start=1):
+            xip = xip - bj * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+            etap = etap - bj * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+        chi = math.asin(math.sin(xip) / math.cosh(etap))
+        phi = chi
+        for j, dj in enumerate(ell.delta, start=1):
+            phi = phi + dj * math.sin(2 * j * chi)
+        lam = self.lon0 + math.atan2(math.sinh(etap), math.cos(xip))
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84(lam, phi, ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+
+#: WGS84 -> OSGB36 (EPSG:1314 reversed): the standard single-Helmert
+#: approximation of the National Grid datum (±~5 m vs OSTN15 — the
+#: documented accuracy of ANY 7-parameter OSGB shift).
+_OSGB36 = Helmert(-446.448, 125.157, -542.060,
+                  -0.1502, -0.2470, -0.8421, 20.4894)
+
+#: EPSG code -> projection instance. NAD83/ETRS89 geographic datums
+#: are WGS84-identical here (null transform, sub-meter — the
+#: analytics convention); OSGB36 carries the Helmert shift.
+CRS_REGISTRY = {
+    # NAD83 / New York Long Island (US survey foot) — LCC 2SP
+    2263: LCC2SP(GRS80, lat1=41.03333333333333, lat2=40.66666666666666,
+                 lat0=40.16666666666666, lon0=-74.0,
+                 fe=984250.0, fn=0.0, unit_m=FT_US),
+    # NAD83 / New York Long Island (meters)
+    32118: LCC2SP(GRS80, lat1=41.03333333333333, lat2=40.66666666666666,
+                  lat0=40.16666666666666, lon0=-74.0,
+                  fe=300000.0, fn=0.0),
+    # RGF93 / Lambert-93 (France national CRS)
+    2154: LCC2SP(GRS80, lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+                 fe=700000.0, fn=6600000.0),
+    # NAD83 / Conus Albers (the standard US land-analytics CRS)
+    5070: AlbersEA(GRS80, lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                   fe=0.0, fn=0.0),
+    # NAD83 / UTM zone 17N (generic-TM path on GRS80)
+    26917: TMGeneric(GRS80, lat0=0.0, lon0=-81.0, k0=0.9996,
+                     fe=500000.0, fn=0.0),
+    # OSGB36 / British National Grid (Airy 1830 + Helmert datum)
+    27700: TMGeneric(AIRY1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                     fe=400000.0, fn=-100000.0, datum=_OSGB36),
+}

@@ -1,0 +1,217 @@
+"""Generic projected-CRS layer (geo/proj.py round-10 extension):
+Lambert Conformal Conic 2SP, Albers Equal Area, generic Transverse
+Mercator, Helmert datum shift, EPSG registry, and 4326-hub routing
+through transform_geometry / the st_transform kernel.
+
+External anchors are published constants: the Ordnance Survey worked
+example (A Guide to Coordinate Systems in Great Britain, Annexe C),
+the EPSG origin definitions (projecting the origin must yield exactly
+(FE, FN)), and the defining property of each family (standard-parallel
+scale = 1 for conformal conics, area preservation for Albers).
+"""
+
+import math
+import random
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from datafusion_geo_spark.geo.geom import Geometry
+from datafusion_geo_spark.geo import proj
+from datafusion_geo_spark.geo.proj import (AIRY1830, CRS_REGISTRY, FT_US,
+                                           GRS80, WGS84, AlbersEA, Helmert,
+                                           LCC2SP, TMGeneric,
+                                           transform_geometry)
+
+BOXES = {
+    2263: (-74.7, -72.7, 40.2, 41.2),
+    32118: (-74.7, -72.7, 40.2, 41.2),
+    2154: (-4.5, 8.0, 42.0, 51.0),
+    5070: (-124.0, -67.0, 25.0, 49.0),
+    26917: (-84.0, -78.0, 25.0, 48.0),
+    27700: (-7.5, 1.8, 50.0, 60.8),
+}
+
+
+# ------------------------------------------------- published anchors
+
+def test_osgb_worked_example_sub_mm():
+    # OS Guide Annexe C: OSGB36 geographic -> National Grid
+    tm = TMGeneric(AIRY1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                   fe=400000.0, fn=-100000.0)
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = tm.forward(lon, lat)
+    assert e == pytest.approx(651409.903, abs=5e-4)
+    assert n == pytest.approx(313177.270, abs=5e-4)
+
+
+def test_origin_maps_to_false_origin():
+    # EPSG definition: the projection origin projects to (FE, FN)
+    for code, (lon0, lat0, fe, fn) in {
+        2263: (-74.0, 40.16666666666666, 984250.0, 0.0),
+        32118: (-74.0, 40.16666666666666, 300000.0, 0.0),
+        2154: (3.0, 46.5, 700000.0, 6600000.0),
+        5070: (-96.0, 23.0, 0.0, 0.0),
+        26917: (-81.0, 0.0, 500000.0, 0.0),
+    }.items():
+        x, y = CRS_REGISTRY[code].forward(lon0, lat0)
+        assert x == pytest.approx(fe, abs=1e-6), code
+        assert y == pytest.approx(fn, abs=1e-6), code
+
+
+def test_ny_ftus_vs_meter_variants_consistent():
+    # EPSG:2263 is EPSG:32118 re-expressed in US survey feet
+    lon, lat = -73.9857, 40.7484
+    xf, yf = CRS_REGISTRY[2263].forward(lon, lat)
+    xm, ym = CRS_REGISTRY[32118].forward(lon, lat)
+    assert xf * FT_US == pytest.approx(xm, abs=1e-6)
+    assert yf * FT_US == pytest.approx(ym, abs=1e-6)
+
+
+def test_utm17_grs80_close_to_wgs84_utm():
+    # GRS80 and WGS84 flattenings differ in the 10th digit: the same
+    # TM point must agree to ~0.1 mm, and NOT exactly (different
+    # ellipsoid constants actually flow through)
+    a = CRS_REGISTRY[26917].forward(-80.5, 40.0)
+    b = proj.lonlat_to_utm(-80.5, 40.0, 17, True)
+    assert abs(a[0] - b[0]) < 1e-3 and abs(a[1] - b[1]) < 1e-3
+    assert (a[0], a[1]) != (b[0], b[1])
+
+
+# ------------------------------------------------ family invariants
+
+def test_roundtrip_accuracy_all_registry():
+    rng = random.Random(7)
+    for code, (lo1, lo2, la1, la2) in BOXES.items():
+        crs = CRS_REGISTRY[code]
+        tol = 1e-7 if code == 27700 else 1e-9  # Helmert reverse is
+        # the standard negated-parameter first-order inverse
+        for _ in range(200):
+            lon = rng.uniform(lo1, lo2)
+            lat = rng.uniform(la1, la2)
+            x, y = crs.forward(lon, lat)
+            lon2, lat2 = crs.inverse(x, y)
+            assert abs(lon2 - lon) < tol and abs(lat2 - lat) < tol, code
+
+
+def test_lcc_scale_one_on_standard_parallel():
+    # conformal conic defining property: scale factor 1 along both
+    # standard parallels — projected arc length along the parallel
+    # equals the ellipsoidal parallel arc a·m(φ)·dλ
+    crs = CRS_REGISTRY[2154]
+    for lat in (49.0, 44.0):
+        phi = lat * proj.DEG2RAD
+        dlam = 0.01 * proj.DEG2RAD
+        x1, y1 = crs.forward(3.0, lat)
+        x2, y2 = crs.forward(3.01, lat)
+        chord = math.hypot(x2 - x1, y2 - y1)
+        arc = GRS80.a * GRS80.m(phi) * dlam
+        assert chord == pytest.approx(arc, rel=1e-8)
+
+
+def test_albers_preserves_area():
+    # equal-area defining property: a 1°x1° quad's projected planar
+    # area equals its ellipsoidal (authalic) area  R_q²·dλ·(sinβ2−sinβ1)
+    crs = CRS_REGISTRY[5070]
+    lon, lat = -100.0, 40.0
+    ring = [(lon, lat), (lon + 1, lat), (lon + 1, lat + 1),
+            (lon, lat + 1), (lon, lat)]
+    pts = [crs.forward(a, b) for a, b in ring]
+    planar = 0.0
+    for i in range(4):
+        (x1, y1), (x2, y2) = pts[i], pts[i + 1]
+        planar += x1 * y2 - x2 * y1
+    planar = abs(planar) / 2.0
+    # straight-edge approximation of the curved graticule: refine the
+    # edges so the polygonal area converges to the true image area
+    fine = []
+    steps = 64
+    for i in range(4):
+        (a1, b1), (a2, b2) = ring[i], ring[i + 1]
+        for s in range(steps):
+            t = s / steps
+            fine.append(crs.forward(a1 + t * (a2 - a1),
+                                    b1 + t * (b2 - b1)))
+    fine.append(fine[0])
+    planar = 0.0
+    for i in range(len(fine) - 1):
+        (x1, y1), (x2, y2) = fine[i], fine[i + 1]
+        planar += x1 * y2 - x2 * y1
+    planar = abs(planar) / 2.0
+    q1, q2 = GRS80.q(lat * proj.DEG2RAD), GRS80.q((lat + 1) * proj.DEG2RAD)
+    authalic = (GRS80.a ** 2 / 2.0) * (1.0 * proj.DEG2RAD) * (q2 - q1)
+    assert planar == pytest.approx(authalic, rel=1e-6)
+
+
+def test_tm_lat0_offset_is_rectifying_northing():
+    # lat0 handling: projecting (lon0, lat0) must give (FE, FN)
+    tm = TMGeneric(AIRY1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                   fe=400000.0, fn=-100000.0)
+    x, y = tm.forward(-2.0, 49.0)
+    assert x == pytest.approx(400000.0, abs=1e-6)
+    assert y == pytest.approx(-100000.0, abs=1e-6)
+
+
+def test_helmert_osgb_shift_magnitude():
+    # WGS84 (49N 2W) vs OSGB36 true origin: the National Grid datum
+    # shift is famously ~100 m horizontally
+    x, y = CRS_REGISTRY[27700].forward(-2.0, 49.0)
+    d = math.hypot(x - 400000.0, y + 100000.0)
+    assert 80.0 < d < 180.0
+
+
+def test_helmert_roundtrip_and_ecef():
+    h = proj._OSGB36
+    lon, lat = -0.1276 * proj.DEG2RAD, 51.5072 * proj.DEG2RAD
+    lam, phi = h.from_wgs84(lon, lat, AIRY1830)
+    lon2, lat2 = h.to_wgs84(lam, phi, AIRY1830)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+    # ECEF of the equator/prime-meridian point is (a, 0, 0)
+    x, y, z = Helmert._geodetic_to_ecef(0.0, 0.0, WGS84)
+    assert (x, y, z) == (WGS84.a, 0.0, 0.0)
+
+
+# ------------------------------------------------------ hub routing
+
+def test_transform_geometry_hub_routing():
+    g = Geometry("Point", (-73.9857, 40.7484), 4326)
+    sp = transform_geometry(g, 2263)
+    assert sp.srid == 2263
+    back = transform_geometry(sp, 4326)
+    assert back.parts[0] == pytest.approx(-73.9857, abs=1e-8)
+    assert back.parts[1] == pytest.approx(40.7484, abs=1e-8)
+    # projected -> projected composes through the 4326 hub
+    merc = transform_geometry(sp, 3857)
+    want = proj.lonlat_to_mercator(-73.9857, 40.7484)
+    assert merc.parts[0] == pytest.approx(want[0], abs=1e-4)
+    assert merc.parts[1] == pytest.approx(want[1], abs=1e-4)
+    assert merc.srid == 3857
+    # legacy UTM codes participate in the hub too
+    u = transform_geometry(sp, 32618)
+    w = proj.lonlat_to_utm(-73.9857, 40.7484, 18, True)
+    assert u.parts[0] == pytest.approx(w[0], abs=1e-4)
+
+
+def test_transform_geometry_unknown_pair_still_raises():
+    g = Geometry("Point", (0.0, 0.0), 4326)
+    with pytest.raises(ValueError, match="unsupported SRID pair"):
+        transform_geometry(g, 99999)
+
+
+def test_st_transform_kernel_registry_srid(spark):
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    df = spark.createDataFrame([(-73.9857, 40.7484)], ["lon", "lat"])
+    r = df.select(
+        st_x(st_transform(st_point(F.col("lon"), F.col("lat")), 2263,
+                          from_srid=4326)).alias("x"),
+        st_y(st_transform(st_point(F.col("lon"), F.col("lat")), 2263,
+                          from_srid=4326)).alias("y"),
+        st_srid(st_transform(st_point(F.col("lon"), F.col("lat")), 2263,
+                             from_srid=4326)).alias("srid")).collect()[0]
+    want = CRS_REGISTRY[2263].forward(-73.9857, 40.7484)
+    assert r.x == pytest.approx(want[0], abs=1e-6)
+    assert r.y == pytest.approx(want[1], abs=1e-6)
+    assert r.srid == 2263
