@@ -687,6 +687,131 @@ def _q_transform_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_srid(F.col("_t")).alias("srid"))
 
 
+def _q_stateplane_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform EPSG:4326 -> EPSG:2263 (NAD83 / New York Long
+    Island, US survey foot — Lambert Conformal Conic 2SP on GRS80,
+    geo/proj.py LCC2SP; round-10 generic-CRS layer, r9 verdict gap 1)
+    over synthetic customer points inside the zone (lon -74.6..-73.04,
+    lat 40.25..41.09). Output easting/northing in ftUS at cm-scale
+    rounding (_rb2: the oracle replays the identical Snyder chain with
+    the same repr'd projection constants; only libm ulps differ)."""
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    lon = F.lit(-74.6) + (F.col("c_custkey") % 40) / F.lit(25.0)
+    lat = F.lit(40.25) + (F.col("c_nationkey") % 25) * F.lit(0.035)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(lon, lat))
+    t = st_transform(g, 2263, from_srid=4326)
+    df = cu.withColumn("_t", t)
+    return df.select(
+        "c_custkey",
+        _rb2(st_x(F.col("_t"))).alias("easting_ft"),
+        _rb2(st_y(F.col("_t"))).alias("northing_ft"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
+def _q_lambert93_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 -> EPSG:2154 (RGF93 / Lambert-93) -> back to 4326:
+    the SECOND transform reads the source SRID from the EWKB header
+    stamped by the first (PostGIS semantics, no from_srid), so this
+    oracles the LCC INVERSE (chi-series, geo/proj.py) and the SRID
+    plumbing in one query. The oracle is the analytic input replay —
+    forward∘inverse is identity to ~1e-11°, five orders below the
+    6-dp comparison rounding."""
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    lon = F.lit(-4.0) + (F.col("c_custkey") % 60) / F.lit(5.0)
+    lat = F.lit(42.2) + (F.col("c_nationkey") % 25) * F.lit(0.34)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(lon, lat))
+    rt = st_transform(st_transform(g, 2154, from_srid=4326), 4326)
+    df = cu.withColumn("_t", rt)
+    return df.select(
+        "c_custkey",
+        _rb6(st_x(F.col("_t"))).alias("lon_rt"),
+        _rb6(st_y(F.col("_t"))).alias("lat_rt"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
+def _q_albers_conus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform EPSG:4326 -> EPSG:5070 (NAD83 / Conus Albers —
+    equal-area conic on GRS80, geo/proj.py AlbersEA) over synthetic
+    customer points across the CONUS box (lon -123..-68, lat
+    25.5..47.1). The standard US land-analytics CRS; oracle replays
+    the Snyder q/ρ/θ chain with identical repr'd constants, compared
+    at cm rounding."""
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    lon = F.lit(-123.0) + (F.col("c_custkey") % 56).cast("double")
+    lat = F.lit(25.5) + (F.col("c_nationkey") % 25) * F.lit(0.9)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(lon, lat))
+    t = st_transform(g, 5070, from_srid=4326)
+    df = cu.withColumn("_t", t)
+    return df.select(
+        "c_custkey",
+        _rb2(st_x(F.col("_t"))).alias("x"),
+        _rb2(st_y(F.col("_t"))).alias("y"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
+def _q_osgb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform EPSG:4326 -> EPSG:27700 (OSGB36 / British National
+    Grid): the full non-WGS84-datum path — WGS84 geodetic -> ECEF ->
+    7-parameter Helmert (position vector) -> Bowring inverse on Airy
+    1830 -> Krüger TM with k0=0.9996012717 and the rectifying
+    latitude-of-origin northing offset (geo/proj.py TMGeneric +
+    Helmert). Points span Great Britain (lon -6.8..1.1, lat
+    50.2..60.28). Oracle replays every stage with the identical
+    repr'd constants (hyperbolics expanded via exp/ln), cm rounding."""
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    lon = F.lit(-6.8) + (F.col("c_custkey") % 80) / F.lit(10.0)
+    lat = F.lit(50.2) + (F.col("c_nationkey") % 25) * F.lit(0.42)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(lon, lat))
+    t = st_transform(g, 27700, from_srid=4326)
+    df = cu.withColumn("_t", t)
+    return df.select(
+        "c_custkey",
+        _rb2(st_x(F.col("_t"))).alias("easting"),
+        _rb2(st_y(F.col("_t"))).alias("northing"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
+def _q_crs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected -> projected composition through the 4326 hub:
+    4326 -> EPSG:2263 (state-plane LCC, ftUS) -> EPSG:3857, the second
+    hop reading its source SRID from the EWKB header. The oracle is
+    the DIRECT web-mercator formula on the inputs — the state-plane
+    round trip inside the chain perturbs by ~1e-5 m, three orders
+    below the cm comparison rounding — so this query pins hub routing,
+    unit handling, and header stamping end-to-end."""
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    lon = F.lit(-74.6) + (F.col("c_custkey") % 40) / F.lit(25.0)
+    lat = F.lit(40.25) + (F.col("c_nationkey") % 25) * F.lit(0.035)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(lon, lat))
+    t = st_transform(st_transform(g, 2263, from_srid=4326), 3857)
+    df = cu.withColumn("_t", t)
+    return df.select(
+        "c_custkey",
+        _rb2(st_x(F.col("_t"))).alias("mx"),
+        _rb2(st_y(F.col("_t"))).alias("my"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
 def _q_setops_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Intersection/ST_Union/ST_Difference over fixture box pairs
     covering every overlap topology (partial overlap, containment,
@@ -4782,15 +4907,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # remainder are all driver-green in some earlier round and stay
     # gated locally by tests/test_entry_oracle.py every run.
     #
-    # ROUND 9 (r8 verdict item 4): the _FIRST50 list below pins the
-    # gate slots explicitly — the dict itself lists every query in
-    # its historical grouping and is reordered on return. Slots: the
-    # 8 NEW r9 queries; rbo_eval (re-gate after the integer-scaling
-    # fix — r8's one red row); the 3 queries displaced from r8's
-    # gate (ngram_jaccard/asof_join/hash_split); the r3-green block;
-    # the full r4-green block (incl. multimodal + streaming-extent
-    # sets); 2 heavy canaries; and the 5 eval/ANN-replay queries
-    # adjacent to this round's rbo/cos6 changes.
+    # ROUND 10: the _FIRST50 list below pins the gate slots
+    # explicitly — the dict itself lists every query in its
+    # historical grouping and is reordered on return. Rotation
+    # policy (unchanged): never-gated new queries > queries whose
+    # kernels changed since their last driver-green row > oldest
+    # green rows; 2 heavy canaries every round. This round: the 5
+    # new generic-CRS queries; 5 re-gates for the ADVICE-fix kernels
+    # (evals/edit_join/triangulate); the full r4-stale block (18,
+    # VERDICT r9 gap 3); and the alphabetically-first 20 of the r5
+    # block.
     q = {
         # --- ROUND-8 GATE SLOTS 1-16: never driver-gated (added r7) ---
         "kmv_quantiles": _q_kmv_quantiles,
@@ -4984,6 +5110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_points": _q_transform_points,
         "sphere_area": _q_sphere_area,
         "transform_utm": _q_transform_utm,
+        "stateplane_lcc": _q_stateplane_lcc,
+        "lambert93_roundtrip": _q_lambert93_roundtrip,
+        "albers_conus": _q_albers_conus,
+        "osgb_grid": _q_osgb_grid,
+        "crs_pipeline": _q_crs_pipeline,
         "setops_boxes": _q_setops_boxes,
         "relate_boxes": _q_relate_boxes,
         "relate_matrix": _q_relate_matrix,
@@ -5067,47 +5198,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: The driver's correctness gate checks EXACTLY these 50, in order
 #: (round-9 rotation — see the comment in queries()).
 _FIRST50 = [
-    # new round-9 queries
-    "mcc_eval", "pr_auc", "ece_eval", "spearman_eval", "kendall_eval",
-    "rrf_fusion", "kn_ppl_by_lang", "tokenizer_report",
-    "f1_per_class", "pmi_bigrams", "js_unigram_drift", "streaming_ece",
-    # round 8's one red row, re-gated after the integer-scaling fix
-    "rbo_eval",
-    # displaced from round 8's gate (r3/r4-green, locally gated since)
-    "ngram_jaccard", "asof_join", "hash_split",
-    # oldest green rows: the r3 block
-    "chunk_docs", "curation_pipeline", "geo_parquet_window",
-    "neardup_components", "range_tag_events", "streaming_first_seen",
-    "streaming_sessions",
-    # new round-9 batch-3/4 queries (never gated)
-    "bleu_eval", "ari_eval", "krippendorff_alpha", "novel_ngrams",
-    "edit_join", "wer_eval", "chrf_eval", "fuzzy_title_dedup",
-    "temperature_mix", "streaming_wer",
-    # re-gates for kernels CHANGED by the r9 geometry fuzz campaign
-    # (make_valid dissolve + overlay/polygonize unpinch, commits
-    # 473c74f/534b6a4) — changed code outranks stale-green re-gates
-    "makevalid_literal", "makevalid_bowties", "polygonize_literal",
-    "polygonize_regions",
-    # oldest green rows: the r4 block (incl. multimodal +
-    # streaming-extent sets)
-    # (geohash_azimuth_literal / hull_simplify_literal /
-    # line_locate_literal / line_interp displaced to 51+ by the
-    # batch-2 r9 adds; accessors_lines / buffer_lines /
-    # closest_point_lines / collect_by_segment / covers_concave /
-    # distance_points / measures_lines / tile_pyramid / tile_stats
-    # displaced by batch 3 + the fuzz-campaign re-gates;
-    # events_hourly_rank / fingerprint by batch 4; geojson_parse /
-    # geo_pipeline / text_stats by fuzzy_title_dedup +
-    # temperature_mix + streaming_wer — stable unchanged kernels,
-    # locally gate-exact every run; they lead r10's re-gate pool)
-    "lang_id",
-    "multimodal_decode", "multimodal_frames", "multimodal_resize",
-    "streaming_extent", "streaming_extent_append",
-    # heavy regression canaries
+    # ---- ROUND-10 GATE (see the rotation policy in queries()) ----
+    # new round-10 queries: the generic-CRS layer (never gated)
+    "stateplane_lcc", "lambert93_roundtrip", "albers_conus",
+    "osgb_grid", "crs_pipeline",
+    # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
+    # (adjusted_rand shiftright halving, krippendorff n_skipped),
+    # edit_join.py (_del1 empty-string guard), triangulate.py
+    # (min-gap super-triangle attempt) — changed code outranks
+    # stale-green re-gates
+    "ari_eval", "krippendorff_alpha", "edit_join", "fuzzy_title_dedup",
+    "triangulate_literal",
+    # the full r4-stale block (VERDICT r9 gap 3: last driver-gated in
+    # r4; rotated back in as the oldest rows)
+    "accessors_lines", "buffer_lines", "closest_point_lines",
+    "collect_by_segment", "covers_concave", "distance_points",
+    "events_hourly_rank", "fingerprint", "geo_pipeline",
+    "geohash_azimuth_literal", "geojson_parse", "hull_simplify_literal",
+    "line_interp", "line_locate_literal", "measures_lines",
+    "text_stats", "tile_pyramid", "tile_stats",
+    # heavy regression canaries (every round)
     "grid_spatial_join", "minhash_pairs",
-    # eval/ANN-replay family adjacent to this round's rbo/cos6 changes
-    "ann_recall", "minhash_eval", "pq_recall", "ivf_trained_topk",
-    "semantic_dedup",
+    # oldest green rows: first 20 of the r5 block alphabetically
+    # (the remaining 23 r5 queries — pii_mask, passage_pq etc. — lead
+    # r11's re-gate pool, all locally gate-exact every run)
+    "asof_forward", "bm25_search", "bounding_forms", "cluster_within",
+    "dataset_stats", "dbscan_clusters", "decontaminate",
+    "distance_sphere", "domain_mix", "funnel_conversion",
+    "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
+    "hourly_rollup", "incremental_dedup", "interval_overlap",
+    "kmeans_clusters", "knn_join", "knn_join_jvm", "negative_buffer",
 ]
 
 
@@ -5365,6 +5485,213 @@ def _transform_utm_oracle() -> str:
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE 32631 END AS srid
         FROM c5
+    """
+
+
+def _rb2_sql(x: str) -> str:
+    """DuckDB twin of _rb2 (sign * floor(|x|*100 + 0.5) / 100)."""
+    return (f"((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+            f"floor(abs({x}) * 100.0 + 0.5) / 100.0 + 0.0)")
+
+
+def _rb6_sql(x: str) -> str:
+    """DuckDB twin of _rb6 (sign * floor(|x|*1e6 + 0.5) / 1e6)."""
+    return (f"((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+            f"floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+
+
+_NYC_LONLAT = ("-74.6::DOUBLE + (c_custkey % 40) / 25.0::DOUBLE",
+               "40.25::DOUBLE + (c_nationkey % 25) * 0.035::DOUBLE")
+
+
+def _lcc_forward_sql(crs, lon: str, lat: str, fe_alias: str,
+                     fn_alias: str, srid: int) -> str:
+    """Snyder LCC-2SP forward as a DuckDB CTE chain, term-for-term the
+    Python geo/proj.py LCC2SP.forward with the IDENTICAL repr'd
+    projection constants — only libm ulps differ, far below the cm
+    comparison rounding."""
+    from datafusion_geo_spark.geo.proj import DEG2RAD, PI_4
+    ell = crs.ell
+    D = f"{DEG2RAD!r}::DOUBLE"
+    QP = f"{PI_4!r}::DOUBLE"
+    E = f"{ell.e!r}::DOUBLE"
+    EH = f"{ell.e * 0.5!r}::DOUBLE"
+    N = f"{crs.n!r}::DOUBLE"
+    RF = f"{crs.RF!r}::DOUBLE"
+    return f"""
+        WITH p AS (SELECT c_custkey, {lon} AS lon, {lat} AS lat
+                   FROM customer),
+        c1 AS (SELECT c_custkey, lon * {D} AS lam, lat * {D} AS phi,
+                      sin(lat * {D}) AS s
+               FROM p),
+        c2 AS (SELECT c_custkey,
+                      {RF} * pow(tan({QP} - 0.5::DOUBLE * phi)
+                        / pow((1.0::DOUBLE - {E} * s)
+                              / (1.0::DOUBLE + {E} * s), {EH}), {N}) AS rho,
+                      {N} * (lam - {crs.lon0!r}::DOUBLE) AS th
+               FROM c1)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(f"{crs.fe!r}::DOUBLE + rho * sin(th)")}
+               END AS {fe_alias},
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(
+                        f"{crs.fn!r}::DOUBLE + {crs.rho0!r}::DOUBLE"
+                        f" - rho * cos(th)")}
+               END AS {fn_alias},
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {srid} END AS srid
+        FROM c2
+    """
+
+
+def _albers_conus_oracle() -> str:
+    """DuckDB twin of _q_albers_conus: Snyder 14-3/14-4 (authalic q),
+    14-12 rho, same repr'd constants as geo/proj.py AlbersEA."""
+    from datafusion_geo_spark.geo.proj import CRS_REGISTRY, DEG2RAD
+    crs = CRS_REGISTRY[5070]
+    ell = crs.ell
+    D = f"{DEG2RAD!r}::DOUBLE"
+    E = f"{ell.e!r}::DOUBLE"
+    E2 = f"{ell.e2!r}::DOUBLE"
+    K1 = f"{1.0 - ell.e2!r}::DOUBLE"
+    K2 = f"{1.0 / (2.0 * ell.e)!r}::DOUBLE"
+    N = f"{crs.n!r}::DOUBLE"
+    AU = f"{crs.AU!r}::DOUBLE"
+    C = f"{crs.C!r}::DOUBLE"
+    return f"""
+        WITH p AS (SELECT c_custkey,
+                          -123.0::DOUBLE + (c_custkey % 56) AS lon,
+                          25.5::DOUBLE + (c_nationkey % 25)
+                            * 0.9::DOUBLE AS lat
+                   FROM customer),
+        c1 AS (SELECT c_custkey, lon * {D} AS lam,
+                      sin(lat * {D}) AS s
+               FROM p),
+        c2 AS (SELECT c_custkey, lam,
+                      {K1} * (s / (1.0::DOUBLE - {E2} * s * s)
+                              - {K2} * ln((1.0::DOUBLE - {E} * s)
+                                          / (1.0::DOUBLE + {E} * s))) AS q
+               FROM c1),
+        c3 AS (SELECT c_custkey,
+                      {AU} * sqrt({C} - {N} * q) / {N} AS rho,
+                      {N} * (lam - {crs.lon0!r}::DOUBLE) AS th
+               FROM c2)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(f"{crs.fe!r}::DOUBLE + rho * sin(th)")}
+               END AS x,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(
+                        f"{crs.fn!r}::DOUBLE + {crs.rho0!r}::DOUBLE"
+                        f" - rho * cos(th)")}
+               END AS y,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 5070 END AS srid
+        FROM c3
+    """
+
+
+def _osgb_grid_oracle() -> str:
+    """DuckDB twin of _q_osgb_grid — the full datum-shifted chain:
+    WGS84 geodetic -> ECEF -> 7-param Helmert (position vector) ->
+    Bowring inverse on Airy 1830 -> Krüger TM (alpha to n^4).
+    Hyperbolics expanded via exp/ln, atanh via 0.5*ln((1+x)/(1-x));
+    every projection/datum constant is the repr of the same Python
+    double (geo/proj.py TMGeneric + Helmert)."""
+    from datafusion_geo_spark.geo.proj import (AIRY1830, CRS_REGISTRY,
+                                               DEG2RAD, WGS84, _OSGB36)
+    crs = CRS_REGISTRY[27700]
+    D = f"{DEG2RAD!r}::DOUBLE"
+    AW = f"{WGS84.a!r}::DOUBLE"
+    E2W = f"{WGS84.e2!r}::DOUBLE"
+    K1W = f"{1.0 - WGS84.e2!r}::DOUBLE"
+    tx, ty, tz, rx, ry, rz, ds = _OSGB36.p
+    K = f"{1.0 + ds!r}::DOUBLE"
+    AA = f"{AIRY1830.a!r}::DOUBLE"
+    BA = f"{AIRY1830.b!r}::DOUBLE"
+    E2A = f"{AIRY1830.e2!r}::DOUBLE"
+    EP2A = f"{AIRY1830.ep2!r}::DOUBLE"
+    EA = f"{AIRY1830.e!r}::DOUBLE"
+    KA = f"{crs.KA!r}::DOUBLE"
+    a1, a2, a3, a4 = (f"{c!r}::DOUBLE" for c in AIRY1830.alpha)
+
+    def atanh(x):
+        return (f"(0.5::DOUBLE * ln((1.0::DOUBLE + {x}) "
+                f"/ (1.0::DOUBLE - {x})))")
+
+    xi_terms = " + ".join(
+        f"{a} * sin({2 * j} * xip) * ((exp({2 * j} * etap) "
+        f"+ exp(-({2 * j} * etap))) * 0.5::DOUBLE)"
+        for j, a in ((1, a1), (2, a2), (3, a3), (4, a4)))
+    eta_terms = " + ".join(
+        f"{a} * cos({2 * j} * xip) * ((exp({2 * j} * etap) "
+        f"- exp(-({2 * j} * etap))) * 0.5::DOUBLE)"
+        for j, a in ((1, a1), (2, a2), (3, a3), (4, a4)))
+    return f"""
+        WITH p AS (SELECT c_custkey,
+                          (-6.8::DOUBLE + (c_custkey % 80)
+                             / 10.0::DOUBLE) * {D} AS lam,
+                          (50.2::DOUBLE + (c_nationkey % 25)
+                             * 0.42::DOUBLE) * {D} AS phi
+                   FROM customer),
+        e1 AS (SELECT c_custkey, lam, sin(phi) AS s, cos(phi) AS c
+               FROM p),
+        e2 AS (SELECT c_custkey, lam, s, c,
+                      {AW} / sqrt(1.0::DOUBLE - {E2W} * s * s) AS nu
+               FROM e1),
+        e3 AS (SELECT c_custkey,
+                      nu * c * cos(lam) AS gx,
+                      nu * c * sin(lam) AS gy,
+                      nu * {K1W} * s AS gz
+               FROM e2),
+        h AS (SELECT c_custkey,
+                     ({tx!r}::DOUBLE) + {K} * (gx - ({rz!r}::DOUBLE) * gy
+                        + ({ry!r}::DOUBLE) * gz) AS hx,
+                     ({ty!r}::DOUBLE) + {K} * (({rz!r}::DOUBLE) * gx + gy
+                        - ({rx!r}::DOUBLE) * gz) AS hy,
+                     ({tz!r}::DOUBLE) + {K} * (-({ry!r}::DOUBLE) * gx
+                        + ({rx!r}::DOUBLE) * gy + gz) AS hz
+              FROM e3),
+        b1 AS (SELECT c_custkey, hx, hy, hz,
+                      sqrt(hx * hx + hy * hy) AS pp
+               FROM h),
+        b2 AS (SELECT c_custkey, hx, hy, hz, pp,
+                      sin(atan2(hz * {AA}, pp * {BA})) AS st,
+                      cos(atan2(hz * {AA}, pp * {BA})) AS ct
+               FROM b1),
+        b3 AS (SELECT c_custkey,
+                      atan2(hz + {EP2A} * {BA} * st * st * st,
+                            pp - {E2A} * {AA} * ct * ct * ct) AS phi2,
+                      atan2(hy, hx) AS lon2
+               FROM b2),
+        t1 AS (SELECT c_custkey, lon2 - {crs.lon0!r}::DOUBLE AS lam2,
+                      sin(phi2) AS s2
+               FROM b3),
+        t2 AS (SELECT c_custkey, lam2,
+                      {atanh('s2')} - {EA} * {atanh(f'{EA} * s2')} AS qq
+               FROM t1),
+        t3 AS (SELECT c_custkey, lam2,
+                      (exp(qq) - exp(-qq)) * 0.5::DOUBLE AS tt
+               FROM t2),
+        t4 AS (SELECT c_custkey, atan2(tt, cos(lam2)) AS xip,
+                      {atanh('sin(lam2) / sqrt(1.0::DOUBLE + tt * tt)')}
+                        AS etap
+               FROM t3),
+        t5 AS (SELECT c_custkey,
+                      xip + {xi_terms} AS xi,
+                      etap + {eta_terms} AS eta
+               FROM t4)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(f"{crs.fe!r}::DOUBLE + {KA} * eta")}
+               END AS easting,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(f"{crs.fn!r}::DOUBLE + {KA} * xi")}
+               END AS northing,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 27700 END AS srid
+        FROM t5
     """
 
 
@@ -11046,5 +11373,50 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*)::BIGINT AS n_docs
         FROM lab GROUP BY component
         HAVING COUNT(DISTINCT title) > 1
+    """
+    # --- round-10 generic-CRS queries (geo/proj.py registry) ---
+    from datafusion_geo_spark.geo.proj import CRS_REGISTRY as _CRS
+    out["stateplane_lcc"] = _lcc_forward_sql(
+        _CRS[2263], _NYC_LONLAT[0], _NYC_LONLAT[1],
+        "easting_ft", "northing_ft", 2263)
+    # forward∘inverse is identity to ~1e-11° (5 orders under the 6-dp
+    # rounding), so the oracle is the analytic input replay
+    out["lambert93_roundtrip"] = f"""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb6_sql(
+                        "-4.0::DOUBLE + (c_custkey % 60) / 5.0::DOUBLE")}
+               END AS lon_rt,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb6_sql(
+                        "42.2::DOUBLE + (c_nationkey % 25)"
+                        " * 0.34::DOUBLE")}
+               END AS lat_rt,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 4326 END AS srid
+        FROM customer
+    """
+    out["albers_conus"] = _albers_conus_oracle()
+    out["osgb_grid"] = _osgb_grid_oracle()
+    # the 2263 round trip inside the chain perturbs by ~1e-5 m, three
+    # orders below the cm rounding: the oracle is the DIRECT mercator
+    out["crs_pipeline"] = f"""
+        WITH m AS (
+          SELECT c_custkey,
+                 6378137.0::DOUBLE * (({_NYC_LONLAT[0]})
+                    * 0.017453292519943295::DOUBLE) AS x,
+                 6378137.0::DOUBLE * ln(tan(0.7853981633974483::DOUBLE
+                    + (({_NYC_LONLAT[1]})
+                       * 0.017453292519943295::DOUBLE) * 0.5::DOUBLE))
+                   AS y
+          FROM customer)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql('x')} END AS mx,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql('y')} END AS my,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 3857 END AS srid
+        FROM m
     """
     return out

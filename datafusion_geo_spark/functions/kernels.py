@@ -1270,6 +1270,31 @@ def transform_srid(s: pd.Series, to_srid: pd.Series,
                         proj.PI_4 + (pb.y * proj.DEG2RAD) * 0.5))
                 return _obj_series(vector.encode_points(
                     x, y, valid=pb.valid, srid=int(t0)))
+        if const_pair:
+            # registry-CRS batch fast paths (numpy twins of the
+            # scalar Snyder chains, geo/proj.py *_np): 4326 -> CRS
+            # forward and CRS -> 4326 inverse over uniform point
+            # batches — the map-only 100 TB shape for state plane /
+            # Albers / national-grid reprojection
+            f0i, t0i = int(f0), int(t0)
+            crs_f = (proj.CRS_REGISTRY.get(t0i)
+                     if f0i == proj.SRID_LONLAT else None)
+            crs_i = (proj.CRS_REGISTRY.get(f0i)
+                     if t0i == proj.SRID_LONLAT else None)
+            if crs_f is not None or crs_i is not None:
+                pb = vector.decode_points(vals)
+                ok = pb is not None and (
+                    crs_i is not None
+                    or np.all((np.abs(pb.y[pb.valid]) < 90.0)
+                              | np.isnan(pb.y[pb.valid])))
+                if ok:
+                    with np.errstate(all="ignore"):
+                        if crs_f is not None:
+                            x, y = crs_f.forward_np(pb.x, pb.y)
+                        else:
+                            x, y = crs_i.inverse_np(pb.x, pb.y)
+                    return _obj_series(vector.encode_points(
+                        x, y, valid=pb.valid, srid=t0i))
     cache = _DecodeCache()
     out = []
     memo: dict = {}

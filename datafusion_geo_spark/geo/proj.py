@@ -481,6 +481,35 @@ class Helmert:
         x, y, z = self._geodetic_to_ecef(lon, lat, WGS84)
         return self._ecef_to_geodetic(*self._apply(x, y, z, 1.0), ell)
 
+    def _shift_np(self, lon, lat, src: Ellipsoid, dst: Ellipsoid,
+                  sign: float):
+        """Vectorized datum shift (numpy arrays, radians): geodetic on
+        ``src`` -> ECEF -> Helmert(sign) -> geodetic on ``dst`` —
+        the same op sequence as the scalar methods."""
+        import numpy as np
+        s, c = np.sin(lat), np.cos(lat)
+        nu = src.a / np.sqrt(1.0 - src.e2 * s * s)
+        x = nu * c * np.cos(lon)
+        y = nu * c * np.sin(lon)
+        z = nu * (1.0 - src.e2) * s
+        tx, ty, tz, rx, ry, rz, ds = (sign * v for v in self.p)
+        k = 1.0 + ds
+        x2 = tx + k * (x - rz * y + ry * z)
+        y2 = ty + k * (rz * x + y - rx * z)
+        z2 = tz + k * (-ry * x + rx * y + z)
+        p = np.sqrt(x2 * x2 + y2 * y2)
+        th = np.arctan2(z2 * dst.a, p * dst.b)
+        st, ct = np.sin(th), np.cos(th)
+        lat2 = np.arctan2(z2 + dst.ep2 * dst.b * st * st * st,
+                          p - dst.e2 * dst.a * ct * ct * ct)
+        return np.arctan2(y2, x2), lat2
+
+    def from_wgs84_np(self, lon, lat, ell: Ellipsoid):
+        return self._shift_np(lon, lat, WGS84, ell, 1.0)
+
+    def to_wgs84_np(self, lon, lat, ell: Ellipsoid):
+        return self._shift_np(lon, lat, ell, WGS84, -1.0)
+
     def to_wgs84(self, lon, lat, ell: Ellipsoid):
         x, y, z = self._geodetic_to_ecef(lon, lat, ell)
         return self._ecef_to_geodetic(*self._apply(x, y, z, -1.0), WGS84)
@@ -525,6 +554,39 @@ class LCC2SP:
         lam = math.atan2(dx, dy) / self.n + self.lon0
         if self.datum is not None:
             lam, phi = self.datum.to_wgs84(lam, phi, self.ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+    # vectorized twins (numpy arrays of degrees / native units) — the
+    # batch fast path the Spark kernel uses for uniform point columns;
+    # same operation order as the scalar methods (libm-ulp parity)
+    def forward_np(self, lon, lat):
+        import numpy as np
+        if self.datum is not None:
+            lam, phi = self.datum.from_wgs84_np(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam, phi = lon * DEG2RAD, lat * DEG2RAD
+        e = self.ell.e
+        s = np.sin(phi)
+        t = (np.tan(_QUARTER_PI - 0.5 * phi)
+             / ((1.0 - e * s) / (1.0 + e * s)) ** (e * 0.5))
+        rho = self.RF * t ** self.n
+        th = self.n * (lam - self.lon0)
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse_np(self, x, y):
+        import numpy as np
+        dx, dy = x - self.fe, self.rho0 - (y - self.fn)
+        rho = np.copysign(np.sqrt(dx * dx + dy * dy), self.n)
+        tp = (rho / self.RF) ** (1.0 / self.n)
+        chi = 2.0 * (_QUARTER_PI - np.arctan(tp))
+        c1, c2, c3, c4 = self.ell.chi
+        phi = (chi + c1 * np.sin(2.0 * chi) + c2 * np.sin(4.0 * chi)
+               + c3 * np.sin(6.0 * chi) + c4 * np.sin(8.0 * chi))
+        lam = np.arctan2(dx, dy) / self.n + self.lon0
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84_np(lam, phi, self.ell)
         return (lam * RAD2DEG, phi * RAD2DEG)
 
 
@@ -584,6 +646,48 @@ class AlbersEA:
         lam = th / self.n + self.lon0
         if self.datum is not None:
             lam, phi = self.datum.to_wgs84(lam, phi, self.ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+    def forward_np(self, lon, lat):
+        import numpy as np
+        if self.datum is not None:
+            lam, phi = self.datum.from_wgs84_np(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam, phi = lon * DEG2RAD, lat * DEG2RAD
+        e, e2 = self.ell.e, self.ell.e2
+        s = np.sin(phi)
+        q = (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                          - (1.0 / (2.0 * e))
+                          * np.log((1.0 - e * s) / (1.0 + e * s)))
+        rho = self.AU * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lam - self.lon0)
+        return (self.fe + rho * np.sin(th),
+                self.fn + self.rho0 - rho * np.cos(th))
+
+    def inverse_np(self, x, y):
+        import numpy as np
+        dx, dy = x - self.fe, self.rho0 - (y - self.fn)
+        rho = np.sqrt(dx * dx + dy * dy)
+        qv = (self.C - (rho * self.n / self.AU) ** 2) / self.n
+        sb = np.clip(qv / self.qp, -1.0, 1.0)
+        b = np.arcsin(sb)
+        a1, a2, a3 = self.ell.auth
+        phi = (b + a1 * np.sin(2.0 * b) + a2 * np.sin(4.0 * b)
+               + a3 * np.sin(6.0 * b))
+        e2, e = self.ell.e2, self.ell.e
+        for _ in range(4):
+            s = np.sin(phi)
+            d = 1.0 - e2 * s * s
+            phi = phi + (d * d / (2.0 * np.cos(phi))) * (
+                qv / (1.0 - e2) - s / d
+                + (1.0 / (2.0 * e))
+                * np.log((1.0 - e * s) / (1.0 + e * s)))
+        sgn = 1.0 if self.n >= 0.0 else -1.0
+        th = np.arctan2(sgn * dx, sgn * dy)
+        lam = th / self.n + self.lon0
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84_np(lam, phi, self.ell)
         return (lam * RAD2DEG, phi * RAD2DEG)
 
 
@@ -646,6 +750,43 @@ class TMGeneric:
         lam = self.lon0 + math.atan2(math.sinh(etap), math.cos(xip))
         if self.datum is not None:
             lam, phi = self.datum.to_wgs84(lam, phi, ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+    def forward_np(self, lon, lat):
+        import numpy as np
+        if self.datum is not None:
+            lam_a, phi = self.datum.from_wgs84_np(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam_a, phi = lon * DEG2RAD, lat * DEG2RAD
+        ell = self.ell
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - ell.e * np.arctanh(ell.e * s))
+        lam = lam_a - self.lon0
+        xip = np.arctan2(t, np.cos(lam))
+        etap = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+        xi, eta = xip, etap
+        for j, aj in enumerate(ell.alpha, start=1):
+            xi = xi + aj * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
+            eta = eta + aj * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
+        return (self.fe + self.KA * eta, self.fn + self.KA * xi)
+
+    def inverse_np(self, x, y):
+        import numpy as np
+        ell = self.ell
+        xi = (y - self.fn) / self.KA
+        eta = (x - self.fe) / self.KA
+        xip, etap = xi, eta
+        for j, bj in enumerate(ell.beta, start=1):
+            xip = xip - bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            etap = etap - bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(xip) / np.cosh(etap))
+        phi = chi
+        for j, dj in enumerate(ell.delta, start=1):
+            phi = phi + dj * np.sin(2 * j * chi)
+        lam = self.lon0 + np.arctan2(np.sinh(etap), np.cos(xip))
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84_np(lam, phi, ell)
         return (lam * RAD2DEG, phi * RAD2DEG)
 
 

@@ -1,0 +1,101 @@
+"""Standard-GeoParquet sink (sources/geoio.py write_geoparquet_std):
+the ``geo`` footer key lands in EVERY data file (the spec's interop
+contract — GDAL/geopandas discover the geometry column from it), the
+geometry is ISO WKB (no EWKB SRID header), and the dataset reads back
+through plain spark.read.parquet byte-identically.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from datafusion_geo_spark.functions import (st_astext, st_point,
+                                            st_setsrid, st_srid)
+from datafusion_geo_spark.sources.geoio import (geoparquet_metadata,
+                                                write_geoparquet_std)
+
+
+def _pts(spark, n=200, srid=4326):
+    df = spark.range(n).select(
+        F.col("id"),
+        st_setsrid(st_point((F.col("id") % 36).cast("double"),
+                            (F.col("id") % 17).cast("double")), srid)
+        .alias("geom"))
+    return df
+
+
+def test_geo_key_in_every_file(spark, tmp_path):
+    out = str(tmp_path / "gp")
+    geo = write_geoparquet_std(_pts(spark).repartition(4), out)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) >= 2  # several partitions -> several files
+    for f in files:
+        md = pq.read_schema(f).metadata
+        assert b"geo" in md, f
+        assert json.loads(md[b"geo"]) == geo
+
+
+def test_geo_metadata_content(spark, tmp_path):
+    out = str(tmp_path / "gp")
+    geo = write_geoparquet_std(_pts(spark), out)
+    assert geo["version"] == "1.1.0"
+    assert geo["primary_column"] == "geom"
+    col = geo["columns"]["geom"]
+    assert col["encoding"] == "WKB"
+    assert col["geometry_types"] == ["Point"]
+    assert col["bbox"] == [0.0, 0.0, 35.0, 16.0]
+    assert "crs" not in col  # spec default OGC:CRS84
+    assert geoparquet_metadata(out) == geo
+
+
+def test_crs_projjson_passthrough(spark, tmp_path):
+    out = str(tmp_path / "gp")
+    crs = {"type": "GeographicCRS", "id": {"authority": "EPSG",
+                                           "code": 4326}}
+    geo = write_geoparquet_std(_pts(spark), out, crs_projjson=crs)
+    assert geo["columns"]["geom"]["crs"] == crs
+    assert geoparquet_metadata(out)["columns"]["geom"]["crs"] == crs
+
+
+def test_iso_wkb_no_ewkb_header_and_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "gp")
+    src = _pts(spark, srid=4326)
+    write_geoparquet_std(src, out)
+    back = spark.read.parquet(out)
+    # SRID stripped: ISO WKB, 21-byte points, no EWKB srid (engine
+    # reports unset SRID as NULL)
+    r = back.select(F.length("geom").alias("n"),
+                    st_srid(F.col("geom")).alias("srid")).distinct() \
+        .collect()
+    assert [(x.n, x.srid) for x in r] == [(21, None)]
+    # values round-trip (compare WKT of the two sides by id)
+    a = {r.id: r.wkt for r in
+         src.select("id", st_astext(F.col("geom")).alias("wkt"))
+         .collect()}
+    b = {r.id: r.wkt for r in
+         back.select("id", st_astext(F.col("geom")).alias("wkt"))
+         .collect()}
+    assert a == b
+
+
+def test_empty_dataframe_writes_metadata_only(spark, tmp_path):
+    out = str(tmp_path / "gp")
+    geo = write_geoparquet_std(_pts(spark).where(F.lit(False)), out)
+    assert geo["columns"]["geom"]["geometry_types"] == []
+    assert "bbox" not in geo["columns"]["geom"]
+    assert geoparquet_metadata(out) == geo
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_overwrite_and_error_modes(spark, tmp_path):
+    out = str(tmp_path / "gp")
+    write_geoparquet_std(_pts(spark, 50), out)
+    write_geoparquet_std(_pts(spark, 20), out)  # overwrite default
+    assert spark.read.parquet(out).count() == 20
+    with pytest.raises(ValueError, match="path exists"):
+        write_geoparquet_std(_pts(spark, 10), out, mode="error")

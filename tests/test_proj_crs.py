@@ -215,3 +215,41 @@ def test_st_transform_kernel_registry_srid(spark):
     assert r.x == pytest.approx(want[0], abs=1e-6)
     assert r.y == pytest.approx(want[1], abs=1e-6)
     assert r.srid == 2263
+
+
+# --------------------------------------- numpy twins (batch path)
+
+def test_np_twins_match_scalar():
+    import numpy as np
+    rng = np.random.default_rng(3)
+    for code, (lo1, lo2, la1, la2) in BOXES.items():
+        crs = CRS_REGISTRY[code]
+        lon = rng.uniform(lo1, lo2, 200)
+        lat = rng.uniform(la1, la2, 200)
+        xv, yv = crs.forward_np(lon, lat)
+        for i in (0, 57, 199):
+            xs, ys = crs.forward(lon[i], lat[i])
+            assert abs(xv[i] - xs) < 1e-6 and abs(yv[i] - ys) < 1e-6, code
+        lo_v, la_v = crs.inverse_np(xv, yv)
+        for i in (0, 57, 199):
+            lo_s, la_s = crs.inverse(xv[i], yv[i])
+            assert abs(lo_v[i] - lo_s) < 1e-10, code
+            assert abs(la_v[i] - la_s) < 1e-10, code
+
+
+def test_kernel_batch_inverse_fast_path(spark):
+    # CRS -> 4326 with constant from_srid takes the numpy inverse path
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    want = CRS_REGISTRY[5070].forward(-100.0, 40.0)
+    df = spark.createDataFrame([want], ["x", "y"])
+    r = df.select(
+        st_x(st_transform(st_point(F.col("x"), F.col("y")), 4326,
+                          from_srid=5070)).alias("lon"),
+        st_y(st_transform(st_point(F.col("x"), F.col("y")), 4326,
+                          from_srid=5070)).alias("lat"),
+        st_srid(st_transform(st_point(F.col("x"), F.col("y")), 4326,
+                             from_srid=5070)).alias("srid")).collect()[0]
+    assert r.lon == pytest.approx(-100.0, abs=1e-9)
+    assert r.lat == pytest.approx(40.0, abs=1e-9)
+    assert r.srid == 4326
