@@ -2949,6 +2949,35 @@ def _q_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_cohesion(vecs, _fitted_centroids(vecs, sf_dir))
 
 
+def _q_mauve_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAUVE (operators/similarity.py mauve_eval, Pillutla et al.
+    2021): divergence-frontier AUC between P = even-vec_id embeddings
+    and Q = odd-vec_id embeddings with a deterministic drift (+0.75 on
+    dimension 1 of the raw 64-dim vector before renormalization) — the
+    quality+diversity distribution eval a generation pipeline monitors
+    where one-directional KL sees only one failure mode. Quantizer =
+    the session's SHARED k-means fit (ivf_trained/semantic_dedup memo,
+    zero extra fit jobs); cluster histograms exact int64; per-(cluster,
+    λ) KL terms micro-rounded then summed; the doubled 1e12-scaled AUC
+    is an exact int64 trapezoid sum (the only doubles are the ln/exp
+    libm-parity chain and the final divide). Oracle replays the fit
+    (_kmeans_ctes) and the identical frontier arithmetic."""
+    from datafusion_geo_spark.operators.similarity import (mauve_eval,
+                                                           prenorm)
+    from datafusion_geo_spark.sources.fixtures import (_spread,
+                                                       embeddings_normed,
+                                                       load_table)
+    vecs = embeddings_normed(spark, sf_dir)
+    p = vecs.where(F.col("vec_id") % 2 == 0)
+    raw = _spread(load_table(spark, sf_dir, "embeddings")) \
+        .where(F.col("vec_id") % 2 == 1)
+    v64 = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = F.concat(F.array(F.element_at(v64, 1) + F.lit(0.75)),
+                    F.slice(v64, 2, 63))
+    q = prenorm(raw.withColumn("embedding", pert))
+    return mauve_eval(p, q, _fitted_centroids(vecs, sf_dir))
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 by inner product: subspace L2
     Lloyd codebooks (all subspaces trained in shared jobs), m=8 int
@@ -5088,6 +5117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_curation": _q_streaming_curation,
         "knn_join_jvm": _q_knn_join_jvm,
         "ivf_trained_topk": _q_ivf_trained_topk,
+        "mauve_eval": _q_mauve_eval,
         "semantic_dedup": _q_semantic_dedup,
         "ann_recall": _q_ann_recall,
         "asof_forward": _q_asof_forward,
@@ -5201,7 +5231,7 @@ _FIRST50 = [
     # ---- ROUND-10 GATE (see the rotation policy in queries()) ----
     # new round-10 queries: the generic-CRS layer (never gated)
     "stateplane_lcc", "lambert93_roundtrip", "albers_conus",
-    "osgb_grid", "crs_pipeline",
+    "osgb_grid", "crs_pipeline", "mauve_eval",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
     # (adjusted_rand shiftright halving, krippendorff n_skipped),
     # edit_join.py (_del1 empty-string guard), triangulate.py
@@ -5227,7 +5257,8 @@ _FIRST50 = [
     "distance_sphere", "domain_mix", "funnel_conversion",
     "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
     "hourly_rollup", "incremental_dedup", "interval_overlap",
-    "kmeans_clusters", "knn_join", "knn_join_jvm", "negative_buffer",
+    "kmeans_clusters", "knn_join", "knn_join_jvm",
+    # (negative_buffer displaced to 51+ by mauve_eval; leads r11's pool)
 ]
 
 
@@ -5485,6 +5516,82 @@ def _transform_utm_oracle() -> str:
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE 32631 END AS srid
         FROM c5
+    """
+
+
+def _mauve_oracle(n_centroids: int = 8, iters: int = 2,
+                  dim: int = 64, grid: int = 20,
+                  c: float = 5.0) -> str:
+    """DuckDB twin of _q_mauve_eval: shared k-means replay
+    (_kmeans_ctes), the same even/odd split + dim-1 drift, argmax-
+    cosine assignment (6-dp rounded, ties to lowest cid), exact int64
+    histograms, per-(cluster, λ) micro-rounded KL terms, micro-int
+    curve points with (1,0)/(0,1) anchors, and the exact int64
+    doubled-scaled trapezoid AUC."""
+    r6 = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5) / 1000000.0 + 0.0)")
+    sm = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+          "floor(abs({x}) * 1000000.0 + 0.5))::BIGINT")
+    cs = r6.format(x="list_cosine_similarity(u.v, c.cvec)")
+    p = "(np::DOUBLE / n_p::DOUBLE)"
+    q = "(nq::DOUBLE / n_q::DOUBLE)"
+    r = f"((j / {float(grid)!r}) * {p} + (1.0 - j / {float(grid)!r}) * {q})"
+    ctes = _kmeans_ctes(n_centroids, iters, dim)
+    return "WITH " + ",".join(ctes) + f""",
+        u AS (SELECT 0 AS side, vec_id, v FROM vecs
+              WHERE vec_id % 2 = 0
+              UNION ALL
+              SELECT 1 AS side, vec_id,
+                     list_concat([v[1] + 0.75::DOUBLE], v[2:]) AS v
+              FROM vecs WHERE vec_id % 2 = 1),
+        sc AS (SELECT u.side, u.vec_id, c.cid, {cs} AS cs
+               FROM u, c{iters} c),
+        asg AS (SELECT side, cid FROM (
+                  SELECT side, vec_id, cid,
+                         ROW_NUMBER() OVER (PARTITION BY side, vec_id
+                            ORDER BY cs DESC, cid) AS rn
+                  FROM sc) WHERE rn = 1),
+        hist AS (SELECT cid,
+                        SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT
+                          AS np,
+                        SUM(side)::BIGINT AS nq
+                 FROM asg GROUP BY cid),
+        hist2 AS (SELECT cid, np, nq,
+                         SUM(np) OVER ()::BIGINT AS n_p,
+                         SUM(nq) OVER ()::BIGINT AS n_q,
+                         COUNT(*) OVER ()::BIGINT AS k_clusters
+                  FROM hist),
+        hj AS (SELECT h.*, g.j FROM hist2 h,
+                    generate_series(1, {grid - 1}) AS g(j)),
+        t AS (SELECT j, n_p, n_q, k_clusters,
+                     CASE WHEN np > 0
+                          THEN {sm.format(x=f"{p} * ln({p} / {r})")}
+                          ELSE 0 END AS tp,
+                     CASE WHEN nq > 0
+                          THEN {sm.format(x=f"{q} * ln({q} / {r})")}
+                          ELSE 0 END AS tq
+              FROM hj),
+        kl AS (SELECT j, n_p, n_q, k_clusters,
+                      SUM(tp)::BIGINT AS klp, SUM(tq)::BIGINT AS klq
+               FROM t GROUP BY j, n_p, n_q, k_clusters),
+        pts AS (SELECT j, n_p, n_q, k_clusters,
+                       floor(exp(-{c!r} * klq / 1000000.0)
+                             * 1000000.0 + 0.5)::BIGINT AS xm,
+                       floor(exp(-{c!r} * klp / 1000000.0)
+                             * 1000000.0 + 0.5)::BIGINT AS ym
+                FROM kl),
+        segs AS (SELECT n_p, n_q, k_clusters,
+                        (CASE WHEN lead(xm) OVER w IS NULL
+                              THEN xm * (ym + 1000000)
+                              ELSE (xm - lead(xm) OVER w)
+                                   * (ym + lead(ym) OVER w) END
+                         + CASE WHEN j = 1 THEN (1000000 - xm) * ym
+                                ELSE 0 END) AS s
+                 FROM pts WINDOW w AS (ORDER BY j))
+        SELECT n_p, n_q, k_clusters,
+               SUM(s)::BIGINT AS area2_scaled,
+               {r6.format(x="SUM(s)::BIGINT / 2000000000000.0")} AS mauve
+        FROM segs GROUP BY n_p, n_q, k_clusters
     """
 
 
@@ -11396,6 +11503,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 4326 END AS srid
         FROM customer
     """
+    out["mauve_eval"] = _mauve_oracle()
     out["albers_conus"] = _albers_conus_oracle()
     out["osgb_grid"] = _osgb_grid_oracle()
     # the 2263 round trip inside the chain perturbs by ~1e-5 m, three

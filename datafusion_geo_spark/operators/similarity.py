@@ -1139,3 +1139,103 @@ def cluster_cohesion(vecs: DataFrame, centroids: list,
                     "second_micro_sum",
                     (F.col("own_micro_sum") - F.col("second_micro_sum"))
                     .cast("long").alias("sep_micro_sum")))
+
+
+def mauve_eval(p_vecs: DataFrame, q_vecs: DataFrame, fitted: list,
+               c: float = 5.0, grid: int = 20) -> DataFrame:
+    """MAUVE (Pillutla et al. 2021, NeurIPS '21 outstanding paper)
+    between two embedding samples P and Q — the open-ended-generation
+    eval that measures BOTH quality (Q concentrated where P is) and
+    diversity (Q covers all of P) as the area under a divergence
+    frontier, where single-direction KL sees only one failure mode.
+
+    Procedure over a shared k-means quantization (engine variant,
+    documented: the quantizer is the session's shared corpus fit
+    (``fitted`` — the ivf_trained/semantic_dedup memo) rather than a
+    joint P∪Q refit per comparison; same bins for both sides, zero
+    extra fit jobs):
+
+      1. every vector -> argmax-cosine cluster (map-only inlined
+         literals, :func:`_assign_inline`);
+      2. cluster histograms — exact int64 counts per side;
+      3. for λ = j/grid, j = 1..grid−1:  R_λ = λP + (1−λ)Q, then
+         KL(P‖R_λ) and KL(Q‖R_λ) with per-(cluster, λ) terms
+         micro-rounded BEFORE the sum (fold-order free, the cat_drift
+         discipline);
+      4. curve points (x, y) = (e^{−c·KL(Q‖R)}, e^{−c·KL(P‖R)}) as
+         micro-ints, anchored at (1, 0) and (0, 1) (the λ→0/1
+         infinite-divergence limits);
+      5. MAUVE = area under the curve: the doubled, 1e12-scaled AUC
+         is an EXACT int64 sum of trapezoid micro-products — the only
+         doubles anywhere are the ln/exp libm-parity chain, and the
+         final single divide.
+
+    ONE row out: (n_p, n_q, k_clusters, area2_scaled, mauve).
+    Scale: after the map-only assignment everything is dict-sized
+    (k ≤ grid·k rows); the corpus is touched exactly once."""
+    if grid < 2:
+        raise ValueError("mauve_eval: grid must be >= 2")
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("j")
+
+    both = (p_vecs.select(F.lit(0).alias("side"), "v", "n")
+            .unionByName(q_vecs.select(F.lit(1).alias("side"), "v", "n")))
+    asg = both.select(
+        "side", _assign_inline(fitted, F.col("v"), F.col("n")).alias("cid"))
+    hist = (asg.groupBy("cid")
+            .agg(F.sum(F.when(F.col("side") == 0, F.lit(1))
+                       .otherwise(F.lit(0))).cast("long").alias("np"),
+                 F.sum("side").cast("long").alias("nq")))
+    hist = (hist
+            .withColumn("n_p", F.sum("np").over(w_all).cast("long"))
+            .withColumn("n_q", F.sum("nq").over(w_all).cast("long"))
+            .withColumn("k_clusters",
+                        F.count(F.lit(1)).over(w_all).cast("long")))
+    hj = hist.withColumn(
+        "j", F.explode(F.array(*[F.lit(int(j))
+                                 for j in range(1, grid)])))
+    lam = F.col("j") / F.lit(float(grid))
+    p = F.col("np") / F.col("n_p")
+    q = F.col("nq") / F.col("n_q")
+    r = lam * p + (F.lit(1.0) - lam) * q
+
+    def smicro(x):
+        return (F.signum(x)
+                * F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5))).cast("long")
+
+    term_p = F.when(F.col("np") > 0,
+                    smicro(p * F.log(p / r))).otherwise(F.lit(0))
+    term_q = F.when(F.col("nq") > 0,
+                    smicro(q * F.log(q / r))).otherwise(F.lit(0))
+    kl = (hj.select("j", "n_p", "n_q", "k_clusters",
+                    term_p.alias("tp"), term_q.alias("tq"))
+          .groupBy("j", "n_p", "n_q", "k_clusters")
+          .agg(F.sum("tp").cast("long").alias("kl_p_micro"),
+               F.sum("tq").cast("long").alias("kl_q_micro")))
+    x = F.exp(F.lit(-c) * F.col("kl_q_micro") / F.lit(1000000.0))
+    y = F.exp(F.lit(-c) * F.col("kl_p_micro") / F.lit(1000000.0))
+    pts = kl.select(
+        "j", "n_p", "n_q", "k_clusters",
+        F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        .alias("xm"),
+        F.floor(y * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        .alias("ym"))
+    lx = F.lead("xm").over(w_ord)
+    ly = F.lead("ym").over(w_ord)
+    M = F.lit(1000000).cast("long")
+    seg = (F.when(lx.isNull(),  # last interior point -> (0, 1) anchor
+                  F.col("xm") * (F.col("ym") + M))
+           .otherwise((F.col("xm") - lx) * (F.col("ym") + ly))
+           # first interior point also closes the (1, 0) anchor edge
+           + F.when(F.col("j") == 1,
+                    (M - F.col("xm")) * F.col("ym"))
+           .otherwise(F.lit(0)))
+    out = (pts.select("n_p", "n_q", "k_clusters", seg.alias("s"))
+           .groupBy("n_p", "n_q", "k_clusters")
+           .agg(F.sum("s").cast("long").alias("area2_scaled")))
+    mv = F.col("area2_scaled") / F.lit(2000000000000.0)
+    return out.select(
+        "n_p", "n_q", "k_clusters", "area2_scaled",
+        # exact int in, one final 6-dp-rounded divide out
+        (F.signum(mv) * F.floor(F.abs(mv) * F.lit(1e6) + F.lit(0.5))
+         / F.lit(1e6) + F.lit(0.0)).alias("mauve"))
