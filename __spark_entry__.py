@@ -2043,6 +2043,27 @@ def _q_distance_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dist_m"))
 
 
+def _q_distance_spheroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DistanceSpheroid (geo/proj.py vincenty_m: Vincenty inverse
+    on WGS84, deterministic 8 fixed iterations — the geography
+    ST_Distance default, up to ~0.5% off the sphere) from every
+    customer point to its (+0.5°, +0.5°) neighbor — short geodesics,
+    far from the antipodal non-convergence region. The oracle unrolls
+    the identical eight λ iterations in SQL (sin/cos/atan2/sqrt all
+    native in DuckDB — no exp/ln expansion needed, so the engines
+    agree bit-for-bit before the shared 6-dp binary rounding, the
+    distance_sphere property)."""
+    from datafusion_geo_spark.functions import st_distancespheroid, st_point
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    cu = points_customer(spark, sf_dir)
+    return cu.select(
+        "c_custkey",
+        _rb6(st_distancespheroid(
+            F.col("geom"),
+            st_point(F.col("x") + F.lit(0.5), F.col("y") + F.lit(0.5))))
+        .alias("dist_m"))
+
+
 def _q_sphere_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic path length per nation: customers as ordered waypoints,
     consecutive-pair haversine distances summed as exact integer
@@ -5159,6 +5180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_shuffle": _q_seeded_shuffle,
         "incremental_dedup": _q_incremental_dedup,
         "distance_sphere": _q_distance_sphere,
+        "distance_spheroid": _q_distance_spheroid,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_conversion": _q_funnel_conversion,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -5231,7 +5253,7 @@ _FIRST50 = [
     # ---- ROUND-10 GATE (see the rotation policy in queries()) ----
     # new round-10 queries: the generic-CRS layer (never gated)
     "stateplane_lcc", "lambert93_roundtrip", "albers_conus",
-    "osgb_grid", "crs_pipeline", "mauve_eval",
+    "osgb_grid", "crs_pipeline", "mauve_eval", "distance_spheroid",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
     # (adjusted_rand shiftright halving, krippendorff n_skipped),
     # edit_join.py (_del1 empty-string guard), triangulate.py
@@ -5257,8 +5279,9 @@ _FIRST50 = [
     "distance_sphere", "domain_mix", "funnel_conversion",
     "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
     "hourly_rollup", "incremental_dedup", "interval_overlap",
-    "kmeans_clusters", "knn_join", "knn_join_jvm",
-    # (negative_buffer displaced to 51+ by mauve_eval; leads r11's pool)
+    "kmeans_clusters", "knn_join",
+    # (negative_buffer / knn_join_jvm displaced to 51+ by mauve_eval +
+    # distance_spheroid; they lead r11's pool)
 ]
 
 
@@ -5516,6 +5539,99 @@ def _transform_utm_oracle() -> str:
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE 32631 END AS srid
         FROM c5
+    """
+
+
+def _vincenty_oracle(iters: int = 8) -> str:
+    """DuckDB twin of _q_distance_spheroid: the Vincenty inverse
+    (geo/proj.py vincenty_m, WGS84) with the λ iteration unrolled
+    ``iters`` times as stacked CTEs — every stage the same expression,
+    operand order, and repr'd ellipsoid constants as the Python
+    kernel; all functions (sin/cos/tan/atan/atan2/sqrt) native libm on
+    both engines, so the doubles match bit-for-bit before the shared
+    6-dp binary rounding."""
+    from datafusion_geo_spark.geo.proj import DEG2RAD, WGS84
+    D = f"({DEG2RAD!r}::DOUBLE)"
+    FV = f"({WGS84.f!r}::DOUBLE)"
+    AV = f"({WGS84.a!r}::DOUBLE)"
+    BV = f"({WGS84.b!r}::DOUBLE)"
+    ctes = [f"""
+        p AS (SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN NULL
+                          ELSE (c_custkey % 360 - 180)::DOUBLE END AS x,
+                     (c_nationkey * 3)::DOUBLE - 37.5 AS y
+              FROM customer)""", f"""
+        q0 AS (SELECT c_custkey, x,
+                      atan((1.0 - {FV}) * tan(y * {D})) AS ru1,
+                      atan((1.0 - {FV}) * tan((y + 0.5) * {D})) AS ru2,
+                      ((x + 0.5) - x) * {D} AS bl
+               FROM p)""", f"""
+        q1 AS (SELECT c_custkey, x, bl,
+                      sin(ru1) AS su1, cos(ru1) AS cu1,
+                      sin(ru2) AS su2, cos(ru2) AS cu2,
+                      bl AS lam
+               FROM q0)"""]
+    prev = "q1"
+    for k in range(1, iters + 1):
+        last = (k == iters)
+        ctes.append(f"""
+        i{k}a AS (SELECT *, sin(lam) AS sl, cos(lam) AS cl
+                  FROM {prev})""")
+        ctes.append(f"""
+        i{k}b AS (SELECT *,
+                         sqrt((cu2 * sl) * (cu2 * sl)
+                              + (cu1 * su2 - su1 * cu2 * cl)
+                                * (cu1 * su2 - su1 * cu2 * cl)) AS ssig,
+                         su1 * su2 + cu1 * cu2 * cl AS csig
+                  FROM i{k}a)""")
+        ctes.append(f"""
+        i{k}c AS (SELECT *, atan2(ssig, csig) AS sig,
+                         cu1 * cu2 * sl / ssig AS sina
+                  FROM i{k}b)""")
+        ctes.append(f"""
+        i{k}d AS (SELECT *, 1.0 - sina * sina AS cos2a FROM i{k}c)""")
+        ctes.append(f"""
+        i{k}e AS (SELECT *,
+                         CASE WHEN cos2a <> 0.0
+                              THEN csig - 2.0 * su1 * su2 / cos2a
+                              ELSE 0.0 END AS c2sm,
+                         ({FV} / 16.0) * cos2a
+                           * (4.0 + {FV} * (4.0 - 3.0 * cos2a)) AS cc
+                  FROM i{k}d)""")
+        if not last:
+            ctes.append(f"""
+        i{k}f AS (SELECT c_custkey, x, bl, su1, cu1, su2, cu2,
+                         bl + (1.0 - cc) * {FV} * sina
+                            * (sig + cc * ssig * (c2sm + cc * csig
+                               * (-1.0 + 2.0 * c2sm * c2sm))) AS lam
+                  FROM i{k}e)""")
+            prev = f"i{k}f"
+    ctes.append(f"""
+        g1 AS (SELECT *,
+                      (cos2a * ({AV} * {AV} - {BV} * {BV}))
+                        / ({BV} * {BV}) AS usq
+               FROM i{iters}e)""")
+    ctes.append("""
+        g2 AS (SELECT *,
+                      1.0 + usq / 16384.0 * (4096.0 + usq
+                         * (-768.0 + usq * (320.0 - 175.0 * usq))) AS aa,
+                      usq / 1024.0 * (256.0 + usq
+                         * (-128.0 + usq * (74.0 - 47.0 * usq))) AS bb
+               FROM g1)""")
+    ctes.append("""
+        g3 AS (SELECT *,
+                      bb * ssig * (c2sm + bb / 4.0
+                         * (csig * (-1.0 + 2.0 * c2sm * c2sm)
+                            - bb / 6.0 * c2sm
+                              * (-3.0 + 4.0 * ssig * ssig)
+                              * (-3.0 + 4.0 * c2sm * c2sm))) AS dsig
+               FROM g2)""")
+    return "WITH" + ",".join(ctes) + f"""
+        SELECT c_custkey,
+               CASE WHEN x IS NULL THEN NULL ELSE
+                 {_rb6_sql(f"{BV} * aa * (sig - dsig)")}
+               END AS dist_m
+        FROM g3
     """
 
 
@@ -11503,6 +11619,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 4326 END AS srid
         FROM customer
     """
+    out["distance_spheroid"] = _vincenty_oracle()
     out["mauve_eval"] = _mauve_oracle()
     out["albers_conus"] = _albers_conus_oracle()
     out["osgb_grid"] = _osgb_grid_oracle()

@@ -351,6 +351,7 @@ _interior_ring_n = _u2(kernels.st_interior_ring_n, BinaryType())
 _num_interior_rings = _u1(kernels.st_num_interior_rings, IntegerType())
 _bounding_diagonal = _u1(kernels.st_bounding_diagonal, BinaryType())
 _distance_sphere = _u2(kernels.st_distance_sphere, DoubleType())
+_distance_spheroid = _u2(kernels.st_distance_spheroid, DoubleType())
 _area_sphere = _u1(kernels.st_area_sphere, DoubleType())
 _length_sphere = _u1(kernels.st_length_sphere, DoubleType())
 _perimeter_sphere = _u1(kernels.st_perimeter_sphere, DoubleType())
@@ -622,6 +623,15 @@ def st_distancesphere(a: GeomLike, b: GeomLike) -> Column:
     DOUBLE columns, inline the same formula with pyspark.sql.functions
     trig — this kernel is the geometry-typed convenience."""
     return _distance_sphere(_geom(a), _geom(b))
+
+
+def st_distancespheroid(a: GeomLike, b: GeomLike) -> Column:
+    """PostGIS ST_DistanceSpheroid (WGS84): ellipsoidal geodesic
+    meters between POINT lon/lat geometries — Vincenty inverse with a
+    deterministic fixed iteration count (geo/proj.py vincenty_m), the
+    geography-ST_Distance-default twin of st_distancesphere (which
+    underestimates by up to ~0.5% on the sphere)."""
+    return _distance_spheroid(_geom(a), _geom(b))
 
 
 def st_areasphere(g: GeomLike) -> Column:
@@ -1317,6 +1327,7 @@ _SQL_UDFS = {
     "ST_Relate": _relate,
     "ST_RelateMatch": _relate_match,
     "ST_DistanceSphere": _distance_sphere,
+    "ST_DistanceSpheroid": _distance_spheroid,
     "ST_AreaSphere": _area_sphere,
     "ST_LengthSphere": _length_sphere,
     "ST_PerimeterSphere": _perimeter_sphere,
@@ -1442,7 +1453,8 @@ __all__ = [
     "st_delaunaytriangles", "st_voronoipolygons", "st_concavehull",
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
-    "st_distancesphere", "st_tileenvelope", "st_normalize",
+    "st_distancesphere", "st_distancespheroid",
+    "st_tileenvelope", "st_normalize",
     "st_areasphere", "st_lengthsphere", "st_perimetersphere",
     "st_azimuthsphere", "st_projectsphere", "st_geometricmedian", "st_buildarea", "st_maxdistance", "st_longestline",
     "st_isempty", "st_dimension", "st_exteriorring", "st_interiorringn",

@@ -1766,6 +1766,30 @@ def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
     return _obj_series(out)
 
 
+def st_distance_spheroid(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_DistanceSpheroid over POINT geometries (geo/proj.py
+    vincenty_m: Vincenty inverse, WGS84, deterministic 8 fixed
+    iterations). Beyond-reference; the ellipsoidal twin of
+    st_distance_sphere."""
+    from ..geo import proj as proj_mod
+    cache = _DecodeCache()
+    al, bl = a.tolist(), b.tolist()
+    out = []
+    for i in range(len(al)):
+        va, vb = al[i], bl[i]
+        if va is None or vb is None:
+            out.append(None)
+            continue
+        ga, gb = cache.geom(bytes(va)), cache.geom(bytes(vb))
+        if ga.typ != "Point" or gb.typ != "Point" \
+                or ga.parts is None or gb.parts is None:
+            out.append(None)
+            continue
+        out.append(proj_mod.vincenty_m(ga.parts[0], ga.parts[1],
+                                       gb.parts[0], gb.parts[1]))
+    return _obj_series(out)
+
+
 def _sphere_measure_kernel(fn_name):
     """Factory for the geography measure twins (area / length /
     perimeter on the R_SPHERE sphere, geo/proj.py)."""

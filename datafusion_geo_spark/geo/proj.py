@@ -821,3 +821,57 @@ CRS_REGISTRY = {
     27700: TMGeneric(AIRY1830, lat0=49.0, lon0=-2.0, k0=0.9996012717,
                      fe=400000.0, fn=-100000.0, datum=_OSGB36),
 }
+
+
+def vincenty_m(lon1: float, lat1: float, lon2: float, lat2: float,
+               ell: Ellipsoid = None, iters: int = 8) -> float:
+    """Ellipsoidal geodesic distance in meters (Vincenty 1975 inverse,
+    WGS84 default) — the spheroid twin of :func:`haversine_m`
+    (PostGIS ST_DistanceSpheroid / geography ST_Distance default;
+    the sphere underestimates by up to ~0.5%).
+
+    DETERMINISTIC fixed iteration count (no convergence test): the
+    standard λ iteration, unrolled ``iters`` times, so a SQL oracle
+    replays the chain term-for-term. 8 rounds converge to sub-mm for
+    all but nearly-antipodal pairs; for those the fixed-round value is
+    still a well-defined deterministic number (documented limit — the
+    classical Vincenty inverse itself fails to converge there).
+    Coincident points return exactly 0.0."""
+    if ell is None:
+        ell = WGS84
+    f, a, b = ell.f, ell.a, ell.b
+    ru1 = math.atan((1.0 - f) * math.tan(lat1 * DEG2RAD))
+    ru2 = math.atan((1.0 - f) * math.tan(lat2 * DEG2RAD))
+    su1, cu1 = math.sin(ru1), math.cos(ru1)
+    su2, cu2 = math.sin(ru2), math.cos(ru2)
+    big_l = (lon2 - lon1) * DEG2RAD
+    lam = big_l
+    sig = ssig = 0.0
+    csig = cos2a = c2sm = 1.0
+    for _ in range(iters):
+        sl, cl = math.sin(lam), math.cos(lam)
+        t1 = cu2 * sl
+        t2 = cu1 * su2 - su1 * cu2 * cl
+        ssig = math.sqrt(t1 * t1 + t2 * t2)
+        csig = su1 * su2 + cu1 * cu2 * cl
+        sig = math.atan2(ssig, csig)
+        if ssig == 0.0:
+            return 0.0  # coincident points
+        sina = cu1 * cu2 * sl / ssig
+        cos2a = 1.0 - sina * sina
+        # both points on the equator: cos²α = 0, the c2σm term drops
+        c2sm = (csig - 2.0 * su1 * su2 / cos2a) if cos2a != 0.0 else 0.0
+        cc = f / 16.0 * cos2a * (4.0 + f * (4.0 - 3.0 * cos2a))
+        lam = big_l + (1.0 - cc) * f * sina * (
+            sig + cc * ssig * (c2sm + cc * csig
+                               * (-1.0 + 2.0 * c2sm * c2sm)))
+    usq = cos2a * (a * a - b * b) / (b * b)
+    aa = 1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0 + usq
+                                * (320.0 - 175.0 * usq)))
+    bb = usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+                         * (74.0 - 47.0 * usq)))
+    dsig = bb * ssig * (c2sm + bb / 4.0 * (
+        csig * (-1.0 + 2.0 * c2sm * c2sm)
+        - bb / 6.0 * c2sm * (-3.0 + 4.0 * ssig * ssig)
+        * (-3.0 + 4.0 * c2sm * c2sm)))
+    return b * aa * (sig - dsig)

@@ -253,3 +253,53 @@ def test_kernel_batch_inverse_fast_path(spark):
     assert r.lon == pytest.approx(-100.0, abs=1e-9)
     assert r.lat == pytest.approx(40.0, abs=1e-9)
     assert r.srid == 4326
+
+
+# ---------------------------------------- Vincenty spheroid distance
+
+def test_vincenty_published_example():
+    # Geoscience Australia worked example (Flinders Peak -> Buninyong,
+    # GRS80): s = 54972.271 m
+    from datafusion_geo_spark.geo.proj import vincenty_m
+    lat1 = -(37 + 57 / 60 + 3.72030 / 3600)
+    lon1 = 144 + 25 / 60 + 29.52440 / 3600
+    lat2 = -(37 + 39 / 60 + 10.15610 / 3600)
+    lon2 = 143 + 55 / 60 + 35.38390 / 3600
+    assert vincenty_m(lon1, lat1, lon2, lat2, GRS80) == pytest.approx(
+        54972.271, abs=1e-3)
+
+
+def test_vincenty_equator_arc_exact():
+    # along the equator the geodesic is the equator: s = a * dlam
+    from datafusion_geo_spark.geo.proj import vincenty_m
+    want = WGS84.a * math.pi / 180.0
+    assert vincenty_m(0.0, 0.0, 1.0, 0.0) == pytest.approx(want, abs=1e-6)
+
+
+def test_vincenty_vs_sphere_within_flattening():
+    from datafusion_geo_spark.geo.proj import haversine_m, vincenty_m
+    for lon1, lat1, lon2, lat2 in [(10, 11, 12, 13), (-70, 40, -73, 45),
+                                   (0, -60, 5, -55), (100, 5, 103, -2)]:
+        dv = vincenty_m(lon1, lat1, lon2, lat2)
+        dh = haversine_m(lon1, lat1, lon2, lat2)
+        assert abs(dv - dh) / dv < 0.006  # flattening is ~1/298
+
+
+def test_vincenty_coincident_and_meridian():
+    from datafusion_geo_spark.geo.proj import vincenty_m
+    assert vincenty_m(5.0, 5.0, 5.0, 5.0) == 0.0
+    # one degree of meridian arc at the equator (WGS84): 110574.4 m
+    assert vincenty_m(0.0, 0.0, 0.0, 1.0) == pytest.approx(110574.4,
+                                                           abs=0.1)
+
+
+def test_st_distancespheroid_kernel(spark):
+    from datafusion_geo_spark.functions import (st_distancespheroid,
+                                                st_point)
+    from datafusion_geo_spark.geo.proj import vincenty_m
+    df = spark.createDataFrame([(10.0, 11.0, 12.0, 13.0)],
+                               ["x1", "y1", "x2", "y2"])
+    r = df.select(st_distancespheroid(
+        st_point(F.col("x1"), F.col("y1")),
+        st_point(F.col("x2"), F.col("y2"))).alias("d")).collect()[0]
+    assert r.d == vincenty_m(10.0, 11.0, 12.0, 13.0)
