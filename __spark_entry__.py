@@ -3393,6 +3393,45 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size(flat).alias("n_tokens"))
 
 
+_UNIGRAM_PARAMS = dict(rounds=2, seed_multi_cap=128, vocab_multi_cap=64)
+
+
+def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py — the
+    SentencePiece algorithm family, Kudo 2018; the second major
+    subword trainer next to bpe_merges): substring seed vocabulary
+    (all 1..4-grams of the Zipf-bounded word dict, top-128 multi-char
+    + every char), then 2 deterministic hard-EM rounds — integer
+    micro-logprob Viterbi re-segmentation (a pure JVM F.aggregate
+    fold; exact int64 score sums, longest-piece tie rule),
+    frequency-weighted recount, top-64 multi-char prune, +1 char
+    floor, rescore. Output: the final scored vocabulary
+    (piece, cnt, score_micro). Oracle replays the identical chain with
+    recursive-CTE DPs carrying the same best-score lists."""
+    from datafusion_geo_spark.operators.unigram import unigram_vocab_frame
+    return unigram_vocab_frame(_docs(spark, sf_dir),
+                               cache_key=(sf_dir, "documents"),
+                               **_UNIGRAM_PARAMS)
+
+
+def _q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the trained unigram-LM tokenizer
+    (operators/unigram.py unigram_encode_stats): every DISTINCT dict
+    word Viterbi-segmented once with the final vocabulary (model
+    SHARED with unigram_vocab via the process memo), token counts
+    joined back onto the corpus words (broadcast — the dict is
+    Zipf-small), exact int64 word/token/char totals and the exact
+    6-dp scaled-integer fertility. The unigram twin of the BPE
+    tokenizer_fertility report."""
+    from datafusion_geo_spark.operators.unigram import (
+        unigram_encode_stats, unigram_train)
+    docs = _docs(spark, sf_dir)
+    fitted = unigram_train(docs, cache_key=(sf_dir, "documents"),
+                           **_UNIGRAM_PARAMS)
+    return unigram_encode_stats(docs, fitted,
+                                cache_key=(sf_dir, "documents"))
+
+
 def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-quality selection table (operators/bpe.py
     tokenizer_stats): per language, fertility (BPE tokens per word) and
@@ -4988,6 +5027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (round 8): tokenizer-quality eval + the
         #     uniform sampling pair completing the family ---
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "unigram_vocab": _q_unigram_vocab,
+        "unigram_fertility": _q_unigram_fertility,
         "reservoir_sample": _q_reservoir_sample,
         "bernoulli_sample": _q_bernoulli_sample,
         "streaming_reservoir": _q_streaming_reservoir,
@@ -5254,6 +5295,7 @@ _FIRST50 = [
     # new round-10 queries: the generic-CRS layer (never gated)
     "stateplane_lcc", "lambert93_roundtrip", "albers_conus",
     "osgb_grid", "crs_pipeline", "mauve_eval", "distance_spheroid",
+    "unigram_vocab", "unigram_fertility",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
     # (adjusted_rand shiftright halving, krippendorff n_skipped),
     # edit_join.py (_del1 empty-string guard), triangulate.py
@@ -5279,9 +5321,9 @@ _FIRST50 = [
     "distance_sphere", "domain_mix", "funnel_conversion",
     "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
     "hourly_rollup", "incremental_dedup", "interval_overlap",
-    "kmeans_clusters", "knn_join",
-    # (negative_buffer / knn_join_jvm displaced to 51+ by mauve_eval +
-    # distance_spheroid; they lead r11's pool)
+    # (negative_buffer / knn_join_jvm / kmeans_clusters / knn_join
+    # displaced to 51+ by mauve_eval + distance_spheroid +
+    # unigram_vocab + unigram_fertility; they lead r11's pool)
 ]
 
 
@@ -5540,6 +5582,146 @@ def _transform_utm_oracle() -> str:
                     ELSE 32631 END AS srid
         FROM c5
     """
+
+
+def _unigram_ctes(rounds: int = 2, seed_multi_cap: int = 128,
+                  vocab_multi_cap: int = 64) -> tuple:
+    """Shared DuckDB twin of operators/unigram.py: the substring seed,
+    then ``rounds`` hard-EM rounds, each one a recursive-CTE Viterbi
+    DP carrying the same int64 best-score list (exact integer sums —
+    segmentation is bit-deterministic), the same longest-piece walk
+    tie rule (list_max over the matching backsteps), the same
+    frequency-weighted recount / top-N prune / +1 char floor /
+    micro-ln rescore. Returns (ctes_list, final_vocab_cte_name);
+    callers must prefix the query with WITH RECURSIVE."""
+    NEG = "(-1000000000000)"
+    smicro = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+              "floor(abs({x}) * 1000000.0 + 0.5))::BIGINT")
+    lnx = "ln(cnt::DOUBLE / tot::DOUBLE)"
+    score_sel = ("SELECT piece, cnt, "
+                 + smicro.format(x=lnx)
+                 + " AS score_micro FROM (SELECT piece, cnt, "
+                 "SUM(cnt) OVER ()::BIGINT AS tot FROM {src})")
+    ctes = [f"""
+        u_dict AS MATERIALIZED (SELECT w, COUNT(*)::BIGINT AS n FROM (
+                     SELECT unnest({_WORDS}) AS w FROM documents)
+                   WHERE w <> '' AND len(w) <= 24 GROUP BY w)""", f"""
+        u_seed AS MATERIALIZED (SELECT piece, SUM(n)::BIGINT AS cnt FROM (
+                     SELECT unnest(flatten(list_transform(
+                              range(1, len(w) + 1),
+                              i -> list_transform(
+                                range(1, least(4, len(w) - i + 1) + 1),
+                                k -> substr(w, i, k))))) AS piece, n
+                     FROM u_dict)
+                   GROUP BY piece)""", f"""
+        u_s0 AS MATERIALIZED (SELECT piece, cnt FROM u_seed WHERE len(piece) = 1
+                 UNION ALL
+                 SELECT piece, cnt FROM (
+                   SELECT piece, cnt,
+                          ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)
+                            AS rk
+                   FROM u_seed WHERE len(piece) > 1)
+                 WHERE rk <= {seed_multi_cap})""",
+        "u_v0 AS MATERIALIZED (" + score_sel.format(src="u_s0") + ")"]
+
+    def dp(r: int, vocab: str):
+        """Viterbi (rec + walk) CTEs for round tag r over ``vocab``.
+        Piece scores come from four hash LEFT JOINs per step (guarded
+        by pos+1 >= k in the ON clause) — a MAP literal would be O(|V|)
+        per lookup in DuckDB and dominated the replay."""
+        rec_joins = "\n".join(
+            f"          LEFT JOIN {vocab} v{k} ON r.pos + 1 >= {k} "
+            f"AND v{k}.piece = substr(r.w, r.pos + 2 - {k}, {k})"
+            for k in range(1, 5))
+        cands = ", ".join(
+            f"CASE WHEN r.pos + 1 >= {k} THEN "
+            f"r.bests[r.pos + 2 - {k}] "
+            f"+ COALESCE(v{k}.score_micro, {NEG}) "
+            f"ELSE {NEG} END" for k in range(1, 5))
+        walk_joins = "\n".join(
+            f"            LEFT JOIN {vocab} v{k} ON wk.pos >= {k} "
+            f"AND v{k}.piece = substr(wk.w, wk.pos - {k} + 1, {k})"
+            for k in range(2, 5))
+        # longest matching backstep first — the Spark when-chain
+        kstar = " ".join(
+            f"WHEN pos >= {k} AND bests[pos - {k} + 1] + s{k} "
+            f"= bests[pos + 1] THEN {k}"
+            for k in (4, 3, 2))
+        return [f"""
+        u_rec{r}(w, n, pos, bests) AS (
+          SELECT w, n, 0, [CAST(0 AS BIGINT)] FROM u_dict
+          UNION ALL
+          SELECT r.w, r.n, r.pos + 1,
+                 list_append(r.bests, GREATEST({cands}))
+          FROM u_rec{r} r
+{rec_joins}
+          WHERE r.pos < len(r.w))""", f"""
+        u_fb{r} AS MATERIALIZED (SELECT w, n, bests FROM u_rec{r}
+                    WHERE pos = len(w))""", f"""
+        u_walk{r}(w, n, pos, parts) AS (
+          SELECT w, n, len(w), CAST([] AS VARCHAR[]) FROM u_fb{r}
+          UNION ALL
+          SELECT w, n, pos - kstar,
+                 list_append(parts, substr(w, pos - kstar + 1, kstar))
+          FROM (
+            SELECT t.*, CASE {kstar} ELSE 1 END AS kstar FROM (
+              SELECT wk.w, wk.n, wk.pos, wk.parts, fb.bests,
+                     {", ".join(
+                         f"COALESCE(v{k}.score_micro, {NEG}) AS s{k}"
+                         for k in range(2, 5))}
+              FROM u_walk{r} wk JOIN u_fb{r} fb USING (w)
+{walk_joins}
+              WHERE wk.pos > 0) t) s)"""]
+
+    prev = "u_v0"
+    for r in range(1, rounds + 1):
+        ctes += dp(r, prev)
+        ctes += [f"""
+        u_pc{r} AS MATERIALIZED (SELECT piece, SUM(n)::BIGINT AS vc FROM (
+                      SELECT unnest(parts) AS piece, n
+                      FROM u_walk{r} WHERE pos = 0)
+                    GROUP BY piece)""", f"""
+        u_kc{r} AS MATERIALIZED (SELECT c.piece,
+                           (COALESCE(p.vc, 0) + 1)::BIGINT AS cnt
+                    FROM (SELECT piece FROM {prev}
+                          WHERE len(piece) = 1) c
+                    LEFT JOIN u_pc{r} p USING (piece))""", f"""
+        u_km{r} AS MATERIALIZED (SELECT piece, vc AS cnt FROM (
+                      SELECT piece, vc,
+                             ROW_NUMBER() OVER (ORDER BY vc DESC,
+                                                piece) AS rk
+                      FROM u_pc{r} WHERE len(piece) > 1)
+                    WHERE rk <= {vocab_multi_cap})""",
+            f"u_v{r} AS MATERIALIZED (" + score_sel.format(
+                src=f"(SELECT * FROM u_kc{r} "
+                    f"UNION ALL SELECT * FROM u_km{r})") + ")"]
+        prev = f"u_v{r}"
+    # one more DP with the FINAL vocab, for encode-side oracles
+    ctes += dp(rounds + 1, prev)
+    return ctes, prev
+
+
+def _unigram_oracles(rounds: int = 2, seed_multi_cap: int = 128,
+                     vocab_multi_cap: int = 64) -> dict:
+    ctes, final = _unigram_ctes(rounds, seed_multi_cap, vocab_multi_cap)
+    body = "WITH RECURSIVE " + ",".join(ctes)
+    vocab_sql = (body
+                 + f" SELECT piece, cnt, score_micro FROM {final}")
+    fert_sql = body + f""",
+        u_wt AS MATERIALIZED (SELECT w, len(parts)::BIGINT AS wtoks,
+                        len(w)::BIGINT AS wchars
+                 FROM u_walk{rounds + 1} WHERE pos = 0),
+        u_cw AS (SELECT lang, w FROM (
+                   SELECT lang, unnest({_WORDS}) AS w FROM documents)
+                 WHERE w <> '' AND len(w) <= 24)
+        SELECT lang, COUNT(*)::BIGINT AS n_words,
+               SUM(wtoks)::BIGINT AS n_tokens,
+               SUM(wchars)::BIGINT AS n_chars,
+               (((2000000 * SUM(wtoks) + COUNT(*))
+                 // (2 * COUNT(*)))::BIGINT / 1000000.0) AS fertility
+        FROM u_cw JOIN u_wt USING (w) GROUP BY lang
+    """
+    return {"unigram_vocab": vocab_sql, "unigram_fertility": fert_sql}
 
 
 def _vincenty_oracle(iters: int = 8) -> str:
@@ -11619,6 +11801,7 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 4326 END AS srid
         FROM customer
     """
+    out.update(_unigram_oracles())
     out["distance_spheroid"] = _vincenty_oracle()
     out["mauve_eval"] = _mauve_oracle()
     out["albers_conus"] = _albers_conus_oracle()
