@@ -3393,6 +3393,22 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size(flat).alias("n_tokens"))
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py dsir_select, Xie et
+    al. 2023): top-50 documents by hashed-ngram importance weight
+    toward the English subset as the target domain — the principled
+    domain-matching selector next to the heuristic (gopher_quality)
+    and geometric (semantic_dedup) filters. Per-bucket Laplace
+    log-ratios collapse to ONE ln of an exact-int64 rational
+    (micro-rounded); document log-weights are exact int64 sums over a
+    broadcast 64-row table; the Gumbel-top-k race uses the exact
+    dyadic u = (h+1)/2^32 (the wrs_topn clock discipline), so the
+    oracle replays the selection bit-for-bit."""
+    from datafusion_geo_spark.operators.sampling import dsir_select
+    return dsir_select(_docs(spark, sf_dir),
+                       F.col("lang") == F.lit("en"), k=50)
+
+
 _UNIGRAM_PARAMS = dict(rounds=2, seed_multi_cap=128, vocab_multi_cap=64)
 
 
@@ -5027,6 +5043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (round 8): tokenizer-quality eval + the
         #     uniform sampling pair completing the family ---
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "dsir_select": _q_dsir_select,
         "unigram_vocab": _q_unigram_vocab,
         "unigram_fertility": _q_unigram_fertility,
         "reservoir_sample": _q_reservoir_sample,
@@ -5296,6 +5313,7 @@ _FIRST50 = [
     "stateplane_lcc", "lambert93_roundtrip", "albers_conus",
     "osgb_grid", "crs_pipeline", "mauve_eval", "distance_spheroid",
     "unigram_vocab", "unigram_fertility",
+    "dsir_select",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
     # (adjusted_rand shiftright halving, krippendorff n_skipped),
     # edit_join.py (_del1 empty-string guard), triangulate.py
@@ -5320,7 +5338,8 @@ _FIRST50 = [
     "dataset_stats", "dbscan_clusters", "decontaminate",
     "distance_sphere", "domain_mix", "funnel_conversion",
     "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
-    "hourly_rollup", "incremental_dedup", "interval_overlap",
+    "hourly_rollup", "incremental_dedup",
+    # (interval_overlap displaced to 51+ by dsir_select)
     # (negative_buffer / knn_join_jvm / kmeans_clusters / knn_join
     # displaced to 51+ by mauve_eval + distance_spheroid +
     # unigram_vocab + unigram_fertility; they lead r11's pool)
@@ -11800,6 +11819,49 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE 4326 END AS srid
         FROM customer
+    """
+    _SM = ("((CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * "
+           "floor(abs({x}) * 1000000.0 + 0.5))::BIGINT")
+    _BG = ("list_transform(range(1, len(w)), "
+           "i -> w[i] || ' ' || w[i + 1])")
+    out["dsir_select"] = f"""
+        WITH dw AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+        dg AS (SELECT doc_id, lang, unnest(list_concat(w, {_BG})) AS gram
+               FROM dw),
+        gb AS (SELECT doc_id, lang,
+                      ({_H64.format(arg="gram")}) % 64 AS bucket
+               FROM dg WHERE gram <> ''),
+        hist AS (SELECT bucket,
+                        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                          AS ct,
+                        COUNT(*)::BIGINT AS cs
+                 FROM gb GROUP BY bucket),
+        hist2 AS (SELECT bucket, ct, cs,
+                         SUM(ct) OVER ()::BIGINT AS tt,
+                         SUM(cs) OVER ()::BIGINT AS ts
+                  FROM hist),
+        lrt AS (SELECT bucket,
+                       {_SM.format(x="ln(((ct + 1) * (ts + 64))::DOUBLE"
+                                     " / ((tt + 64) * (cs + 1))::DOUBLE)")}
+                         AS lr_micro
+                FROM hist2),
+        logw AS (SELECT gb.doc_id,
+                        SUM(lrt.lr_micro)::BIGINT AS logw_micro
+                 FROM gb JOIN lrt USING (bucket) GROUP BY gb.doc_id),
+        scored AS (SELECT d.doc_id,
+                          COALESCE(l.logw_micro, 0)::BIGINT AS logw_micro
+                   FROM (SELECT DISTINCT doc_id FROM documents) d
+                   LEFT JOIN logw l USING (doc_id)),
+        keyed AS (SELECT doc_id, logw_micro,
+                         (logw_micro + {_SM.format(
+                             x="-ln(-ln((('0x' || substr(md5('dsir0|' ||"
+                               " doc_id::VARCHAR), 1, 8))::BIGINT + 1)"
+                               " / 4294967296.0))")})::BIGINT AS key_micro
+                  FROM scored)
+        SELECT doc_id, logw_micro, key_micro,
+               ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id)::INT
+                 AS rank
+        FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 50
     """
     out.update(_unigram_oracles())
     out["distance_spheroid"] = _vincenty_oracle()

@@ -417,3 +417,95 @@ def temperature_mix_weights(df: DataFrame, group_col: str = "lang",
     return per.select(F.col("grp").alias(group_col), "n_docs",
                       "n_tokens", "size_milli",
                       _ratio6(F.col("size_milli"), tot).alias("weight"))
+
+
+def dsir_select(docs: DataFrame, target: Column, k: int = 50,
+                n_buckets: int = 64, id_col: str = "doc_id",
+                text_col: str = "text",
+                seed_tag: str = "dsir") -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): pick the corpus documents whose hashed-n-gram profile looks
+    most like a TARGET subset, by importance weight
+    p_target(features)/p_source(features) under a bag-of-hashed-ngrams
+    model, then Gumbel-top-k resampling. The principled "give me
+    pretraining data shaped like my domain" selector next to the
+    heuristic quality filters (gopher_quality) and the geometric ones
+    (semantic_dedup).
+
+    Exact-int discipline end to end:
+      * features = word unigrams + bigrams hashed into ``n_buckets``
+        buckets (h64 % B — the shared md5 convention);
+      * per-bucket counts for target (rows where ``target``) and
+        source (ALL rows) are exact int64; the Laplace-smoothed
+        log-ratio collapses to ONE ln of an exact-int64 rational,
+        micro-rounded:  lr[b] = smicro(ln( ((ct+1)·(ts+B)) /
+        ((tt+B)·(cs+1)) ))  — libm-parity contract;
+      * a document's log-weight is the exact int64 SUM of its grams'
+        lr micro-ints (join against the broadcast B-row table);
+      * Gumbel key: u = (seeded_h64(id)+1)/2^32 (exact dyadic
+        double), g = smicro(-ln(-ln(u))), key = logw + g — exact
+        int64, so the top-k race replays bit-for-bit;
+      * top-k via orderBy(key desc, id).limit(k) — TakeOrdered, no
+        global window.
+
+    Scale: two corpus passes (bucket histogram, per-doc weights), a
+    B-row broadcast, a distributed top-k. Output: (id, logw_micro,
+    key_micro, rank)."""
+    from pyspark.sql import Window
+
+    from .dedup import h64
+    from .sketch import seeded_h64
+    from .text import ngram_array, words_col
+
+    if k < 1 or n_buckets < 2:
+        raise ValueError("dsir_select: need k >= 1, n_buckets >= 2")
+    B = int(n_buckets)
+    w = words_col(F.col(text_col))
+    grams = F.concat(w, ngram_array(w, 2))
+    base = docs.select(F.col(id_col).alias("_id"),
+                       target.alias("_t"), grams.alias("_g"))
+    g = (base.select("_t", F.explode("_g").alias("gram"))
+         .where(F.col("gram") != "")
+         .select("_t", F.pmod(h64(F.col("gram")), F.lit(B))
+                 .alias("bucket")))
+    hist = (g.groupBy("bucket")
+            .agg(F.sum(F.col("_t").cast("long")).cast("long")
+                 .alias("ct"),
+                 F.count(F.lit(1)).cast("long").alias("cs")))
+    wall = Window.partitionBy()
+    hist = (hist
+            .withColumn("tt", F.sum("ct").over(wall).cast("long"))
+            .withColumn("ts", F.sum("cs").over(wall).cast("long")))
+    num = ((F.col("ct") + F.lit(1)) * (F.col("ts") + F.lit(B)))
+    den = ((F.col("tt") + F.lit(B)) * (F.col("cs") + F.lit(1)))
+    lr = F.log(num.cast("double") / den.cast("double"))
+    lr_micro = (F.signum(lr) * F.floor(F.abs(lr) * F.lit(1e6)
+                                       + F.lit(0.5))).cast("long")
+    lrt = hist.select("bucket", lr_micro.alias("lr_micro"))
+
+    dg = (base.select("_id", F.explode("_g").alias("gram"))
+          .where(F.col("gram") != "")
+          .select("_id", F.pmod(h64(F.col("gram")), F.lit(B))
+                  .alias("bucket")))
+    logw = (dg.join(F.broadcast(lrt), "bucket")
+            .groupBy("_id")
+            .agg(F.sum("lr_micro").cast("long").alias("logw_micro")))
+    scored = (base.select("_id").distinct()
+              .join(logw, "_id", "left")
+              .withColumn("logw_micro",
+                          F.coalesce(F.col("logw_micro"),
+                                     F.lit(0).cast("long"))))
+    u = (seeded_h64(seed_tag, 0, F.col("_id")) + F.lit(1)) \
+        .cast("double") / F.lit(4294967296.0)
+    gum = -F.log(-F.log(u))
+    gum_micro = (F.signum(gum) * F.floor(F.abs(gum) * F.lit(1e6)
+                                         + F.lit(0.5))).cast("long")
+    keyed = scored.withColumn(
+        "key_micro", (F.col("logw_micro") + gum_micro).cast("long"))
+    top = (keyed.orderBy(F.desc("key_micro"), F.asc("_id")).limit(k)
+           .withColumn("rank", F.row_number().over(
+               Window.partitionBy().orderBy(F.desc("key_micro"),
+                                            F.asc("_id")))
+               .cast("int")))
+    return top.select(F.col("_id").alias(id_col), "logw_micro",
+                      "key_micro", "rank")
