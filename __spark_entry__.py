@@ -787,6 +787,32 @@ def _q_osgb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_srid(F.col("_t")).alias("srid"))
 
 
+def _q_laea_europe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform EPSG:4326 -> EPSG:3035 (ETRS89-extended / LAEA
+    Europe — Lambert Azimuthal Equal Area on the authalic sphere,
+    geo/proj.py LAEA; the EU-wide statistics CRS and the third
+    projection family in the registry after the conformal conic and
+    the equal-area conic). Synthetic customer points across Europe
+    (lon -9.5..30.5, lat 35.4..69); oracle replays the Snyder §24
+    chain (authalic q -> β -> B/D) with identical repr'd constants,
+    cm rounding."""
+    from datafusion_geo_spark.functions import (st_point, st_srid,
+                                                st_transform, st_x, st_y)
+    from datafusion_geo_spark.sources.fixtures import _spread, load_table
+    cu = _spread(load_table(spark, sf_dir, "customer")
+                 .select("c_custkey", "c_nationkey"))
+    lon = F.lit(-9.5) + (F.col("c_custkey") % 41).cast("double")
+    lat = F.lit(35.4) + (F.col("c_nationkey") % 25) * F.lit(1.4)
+    g = F.when(F.col("c_custkey") % 7 != 0, st_point(lon, lat))
+    t = st_transform(g, 3035, from_srid=4326)
+    df = cu.withColumn("_t", t)
+    return df.select(
+        "c_custkey",
+        _rb2(st_x(F.col("_t"))).alias("x"),
+        _rb2(st_y(F.col("_t"))).alias("y"),
+        st_srid(F.col("_t")).alias("srid"))
+
+
 def _q_crs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected -> projected composition through the 4326 hub:
     4326 -> EPSG:2263 (state-plane LCC, ftUS) -> EPSG:3857, the second
@@ -5223,6 +5249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lambert93_roundtrip": _q_lambert93_roundtrip,
         "albers_conus": _q_albers_conus,
         "osgb_grid": _q_osgb_grid,
+        "laea_europe": _q_laea_europe,
         "crs_pipeline": _q_crs_pipeline,
         "setops_boxes": _q_setops_boxes,
         "relate_boxes": _q_relate_boxes,
@@ -5313,7 +5340,7 @@ _FIRST50 = [
     "stateplane_lcc", "lambert93_roundtrip", "albers_conus",
     "osgb_grid", "crs_pipeline", "mauve_eval", "distance_spheroid",
     "unigram_vocab", "unigram_fertility",
-    "dsir_select",
+    "dsir_select", "laea_europe",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
     # (adjusted_rand shiftright halving, krippendorff n_skipped),
     # edit_join.py (_del1 empty-string guard), triangulate.py
@@ -5338,8 +5365,9 @@ _FIRST50 = [
     "dataset_stats", "dbscan_clusters", "decontaminate",
     "distance_sphere", "domain_mix", "funnel_conversion",
     "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
-    "hourly_rollup", "incremental_dedup",
-    # (interval_overlap displaced to 51+ by dsir_select)
+    "hourly_rollup",
+    # (interval_overlap / incremental_dedup displaced to 51+ by
+    # dsir_select + laea_europe)
     # (negative_buffer / knn_join_jvm / kmeans_clusters / knn_join
     # displaced to 51+ by mauve_eval + distance_spheroid +
     # unigram_vocab + unigram_fertility; they lead r11's pool)
@@ -6013,6 +6041,63 @@ def _albers_conus_oracle() -> str:
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE 5070 END AS srid
         FROM c3
+    """
+
+
+def _laea_europe_oracle() -> str:
+    """DuckDB twin of _q_laea_europe: Snyder §24 oblique LAEA via the
+    authalic sphere — q (Snyder 3-12), β = asin(q/qp), the B/D chain —
+    with every projection constant the repr of the same Python double
+    (geo/proj.py LAEA), compared at cm rounding."""
+    from datafusion_geo_spark.geo.proj import CRS_REGISTRY, DEG2RAD
+    crs = CRS_REGISTRY[3035]
+    ell = crs.ell
+    D = f"{DEG2RAD!r}::DOUBLE"
+    E = f"{ell.e!r}::DOUBLE"
+    E2 = f"{ell.e2!r}::DOUBLE"
+    K1 = f"{1.0 - ell.e2!r}::DOUBLE"
+    K2 = f"{1.0 / (2.0 * ell.e)!r}::DOUBLE"
+    QP = f"({crs.qp!r}::DOUBLE)"
+    RQ = f"({crs.Rq!r}::DOUBLE)"
+    SB1 = f"({crs.sb1!r}::DOUBLE)"
+    CB1 = f"({crs.cb1!r}::DOUBLE)"
+    DD = f"({crs.D!r}::DOUBLE)"
+    LON0 = f"({crs.lon0!r}::DOUBLE)"
+    return f"""
+        WITH p AS (SELECT c_custkey,
+                          -9.5::DOUBLE + (c_custkey % 41) AS lon,
+                          35.4::DOUBLE + (c_nationkey % 25)
+                            * 1.4::DOUBLE AS lat
+                   FROM customer),
+        c1 AS (SELECT c_custkey, lon * {D} - {LON0} AS dl,
+                      sin(lat * {D}) AS s
+               FROM p),
+        c2 AS (SELECT c_custkey, dl,
+                      asin(({K1} * (s / (1.0::DOUBLE - {E2} * s * s)
+                              - {K2} * ln((1.0::DOUBLE - {E} * s)
+                                          / (1.0::DOUBLE + {E} * s))))
+                           / {QP}) AS b
+               FROM c1),
+        c3 AS (SELECT c_custkey, dl, sin(b) AS sb, cos(b) AS cb
+               FROM c2),
+        c4 AS (SELECT c_custkey, dl, sb, cb,
+                      {RQ} * sqrt(2.0::DOUBLE
+                        / (1.0::DOUBLE + {SB1} * sb
+                           + {CB1} * cb * cos(dl))) AS bb
+               FROM c3)
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(
+                        f"{crs.fe!r}::DOUBLE + bb * {DD} * cb * sin(dl)")}
+               END AS x,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE {_rb2_sql(
+                        f"{crs.fn!r}::DOUBLE + (bb / {DD})"
+                        f" * ({CB1} * sb - {SB1} * cb * cos(dl))")}
+               END AS y,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 3035 END AS srid
+        FROM c4
     """
 
 
@@ -11867,6 +11952,7 @@ def oracle_sql() -> dict[str, str]:
     out["distance_spheroid"] = _vincenty_oracle()
     out["mauve_eval"] = _mauve_oracle()
     out["albers_conus"] = _albers_conus_oracle()
+    out["laea_europe"] = _laea_europe_oracle()
     out["osgb_grid"] = _osgb_grid_oracle()
     # the 2263 round trip inside the chain perturbs by ~1e-5 m, three
     # orders below the cm rounding: the oracle is the DIRECT mercator

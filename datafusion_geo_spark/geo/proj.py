@@ -875,3 +875,128 @@ def vincenty_m(lon1: float, lat1: float, lon2: float, lat2: float,
         - bb / 6.0 * c2sm * (-3.0 + 4.0 * ssig * ssig)
         * (-3.0 + 4.0 * c2sm * c2sm)))
     return b * aa * (sig - dsig)
+
+
+class LAEA:
+    """Lambert Azimuthal Equal Area, oblique ellipsoidal aspect via
+    the authalic sphere (EPSG method 9820; Snyder §24) — the EU-wide
+    statistics projection (EPSG:3035 ETRS89-extended / LAEA Europe)."""
+
+    def __init__(self, ell: Ellipsoid, lat0, lon0, fe, fn,
+                 unit_m=1.0, datum: Helmert = None):
+        self.ell, self.unit_m, self.datum = ell, unit_m, datum
+        self.lon0 = lon0 * DEG2RAD
+        self.qp = ell.q(0.5 * math.pi)
+        self.Rq = (ell.a / unit_m) * math.sqrt(self.qp / 2.0)
+        p0 = lat0 * DEG2RAD
+        self.beta1 = math.asin(ell.q(p0) / self.qp)
+        self.sb1 = math.sin(self.beta1)
+        self.cb1 = math.cos(self.beta1)
+        self.D = (ell.a / unit_m) * ell.m(p0) / (self.Rq * self.cb1)
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon: float, lat: float):
+        if self.datum is not None:
+            lam, phi = self.datum.from_wgs84(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam, phi = lon * DEG2RAD, lat * DEG2RAD
+        b = math.asin(self.ell.q(phi) / self.qp)
+        sb, cb = math.sin(b), math.cos(b)
+        dl = lam - self.lon0
+        bb = self.Rq * math.sqrt(
+            2.0 / (1.0 + self.sb1 * sb + self.cb1 * cb * math.cos(dl)))
+        return (self.fe + bb * self.D * cb * math.sin(dl),
+                self.fn + (bb / self.D)
+                * (self.cb1 * sb - self.sb1 * cb * math.cos(dl)))
+
+    def inverse(self, x: float, y: float):
+        xp, yp = x - self.fe, y - self.fn
+        rho = math.hypot(xp / self.D, self.D * yp)
+        if rho == 0.0:
+            # projection center: q = qp·sinβ1, λ = λ0; φ still goes
+            # through the shared series+Newton path below
+            qv, lam = self.qp * self.sb1, self.lon0
+        else:
+            ce = 2.0 * math.asin(rho / (2.0 * self.Rq))
+            qv = self.qp * (math.cos(ce) * self.sb1
+                            + self.D * yp * math.sin(ce)
+                            * self.cb1 / rho)
+            lam = self.lon0 + math.atan2(
+                xp * math.sin(ce),
+                self.D * rho * self.cb1 * math.cos(ce)
+                - self.D * self.D * yp * self.sb1 * math.sin(ce))
+        sb = qv / self.qp
+        if sb > 1.0:
+            sb = 1.0
+        elif sb < -1.0:
+            sb = -1.0
+        phi = self.ell.beta_to_phi(math.asin(sb))
+        e2, e = self.ell.e2, self.ell.e
+        for _ in range(4):  # Snyder 3-16 Newton (Albers discipline)
+            s = math.sin(phi)
+            d = 1.0 - e2 * s * s
+            phi = phi + (d * d / (2.0 * math.cos(phi))) * (
+                qv / (1.0 - e2) - s / d
+                + (1.0 / (2.0 * e))
+                * math.log((1.0 - e * s) / (1.0 + e * s)))
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84(lam, phi, self.ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+    def forward_np(self, lon, lat):
+        import numpy as np
+        if self.datum is not None:
+            lam, phi = self.datum.from_wgs84_np(
+                lon * DEG2RAD, lat * DEG2RAD, self.ell)
+        else:
+            lam, phi = lon * DEG2RAD, lat * DEG2RAD
+        e, e2 = self.ell.e, self.ell.e2
+        s = np.sin(phi)
+        q = (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                          - (1.0 / (2.0 * e))
+                          * np.log((1.0 - e * s) / (1.0 + e * s)))
+        b = np.arcsin(q / self.qp)
+        sb, cb = np.sin(b), np.cos(b)
+        dl = lam - self.lon0
+        bb = self.Rq * np.sqrt(
+            2.0 / (1.0 + self.sb1 * sb + self.cb1 * cb * np.cos(dl)))
+        return (self.fe + bb * self.D * cb * np.sin(dl),
+                self.fn + (bb / self.D)
+                * (self.cb1 * sb - self.sb1 * cb * np.cos(dl)))
+
+    def inverse_np(self, x, y):
+        import numpy as np
+        xp, yp = x - self.fe, y - self.fn
+        rho = np.hypot(xp / self.D, self.D * yp)
+        ce = 2.0 * np.arcsin(rho / (2.0 * self.Rq))
+        with np.errstate(all="ignore"):
+            qv = self.qp * (np.cos(ce) * self.sb1
+                            + self.D * yp * np.sin(ce) * self.cb1 / rho)
+        qv = np.where(rho == 0.0, self.qp * self.sb1, qv)
+        sb = np.clip(qv / self.qp, -1.0, 1.0)
+        bta = np.arcsin(sb)
+        a1, a2, a3 = self.ell.auth
+        phi = (bta + a1 * np.sin(2.0 * bta) + a2 * np.sin(4.0 * bta)
+               + a3 * np.sin(6.0 * bta))
+        e2, e = self.ell.e2, self.ell.e
+        for _ in range(4):
+            s = np.sin(phi)
+            d = 1.0 - e2 * s * s
+            phi = phi + (d * d / (2.0 * np.cos(phi))) * (
+                qv / (1.0 - e2) - s / d
+                + (1.0 / (2.0 * e))
+                * np.log((1.0 - e * s) / (1.0 + e * s)))
+        lam = self.lon0 + np.arctan2(
+            xp * np.sin(ce),
+            self.D * rho * self.cb1 * np.cos(ce)
+            - self.D * self.D * yp * self.sb1 * np.sin(ce))
+        lam = np.where(rho == 0.0, self.lon0, lam)
+        if self.datum is not None:
+            lam, phi = self.datum.to_wgs84_np(lam, phi, self.ell)
+        return (lam * RAD2DEG, phi * RAD2DEG)
+
+
+#: ETRS89-extended / LAEA Europe — the EU statistics CRS
+CRS_REGISTRY[3035] = LAEA(GRS80, lat0=52.0, lon0=10.0,
+                          fe=4321000.0, fn=3210000.0)

@@ -31,6 +31,7 @@ BOXES = {
     5070: (-124.0, -67.0, 25.0, 49.0),
     26917: (-84.0, -78.0, 25.0, 48.0),
     27700: (-7.5, 1.8, 50.0, 60.8),
+    3035: (-10.0, 30.0, 35.0, 70.0),
 }
 
 
@@ -55,6 +56,7 @@ def test_origin_maps_to_false_origin():
         2154: (3.0, 46.5, 700000.0, 6600000.0),
         5070: (-96.0, 23.0, 0.0, 0.0),
         26917: (-81.0, 0.0, 500000.0, 0.0),
+        3035: (10.0, 52.0, 4321000.0, 3210000.0),
     }.items():
         x, y = CRS_REGISTRY[code].forward(lon0, lat0)
         assert x == pytest.approx(fe, abs=1e-6), code
@@ -143,6 +145,35 @@ def test_albers_preserves_area():
     q1, q2 = GRS80.q(lat * proj.DEG2RAD), GRS80.q((lat + 1) * proj.DEG2RAD)
     authalic = (GRS80.a ** 2 / 2.0) * (1.0 * proj.DEG2RAD) * (q2 - q1)
     assert planar == pytest.approx(authalic, rel=1e-6)
+
+
+def test_laea_preserves_area():
+    # the second equal-area family: same refined-graticule invariant
+    crs = CRS_REGISTRY[3035]
+    lon, lat = 15.0, 50.0
+    ring = [(lon, lat), (lon + 1, lat), (lon + 1, lat + 1),
+            (lon, lat + 1), (lon, lat)]
+    fine = []
+    for i in range(4):
+        (a1, b1), (a2, b2) = ring[i], ring[i + 1]
+        for s in range(64):
+            t = s / 64
+            fine.append(crs.forward(a1 + t * (a2 - a1),
+                                    b1 + t * (b2 - b1)))
+    fine.append(fine[0])
+    planar = abs(sum(x1 * y2 - x2 * y1
+                     for (x1, y1), (x2, y2)
+                     in zip(fine, fine[1:]))) / 2.0
+    q1, q2 = GRS80.q(lat * proj.DEG2RAD), GRS80.q((lat + 1) * proj.DEG2RAD)
+    authalic = (GRS80.a ** 2 / 2.0) * (1.0 * proj.DEG2RAD) * (q2 - q1)
+    assert planar == pytest.approx(authalic, rel=1e-6)
+
+
+def test_laea_center_inverse_exact():
+    # rho = 0 branch: the projection center inverts to (lon0, lat0)
+    lo, la = CRS_REGISTRY[3035].inverse(4321000.0, 3210000.0)
+    assert lo == pytest.approx(10.0, abs=1e-12)
+    assert la == pytest.approx(52.0, abs=1e-9)
 
 
 def test_tm_lat0_offset_is_rectifying_northing():
