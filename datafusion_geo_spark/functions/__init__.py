@@ -361,6 +361,7 @@ _build_area = _u1(kernels.st_build_area, BinaryType())
 _geometric_median = _u1(kernels.st_geometric_median, BinaryType())
 _azimuth_sphere = _u2(kernels.st_azimuth_sphere, DoubleType())
 _project_sphere = _u3(kernels.st_project_sphere, BinaryType())
+_project_spheroid = _u3(kernels.st_project_spheroid, BinaryType())
 _tile_envelope = _u3(kernels.st_tile_envelope, BinaryType())
 _normalize = _u1(kernels.st_normalize, BinaryType())
 _offset_curve = _u_variadic(kernels.st_offset_curve, BinaryType(),
@@ -564,6 +565,16 @@ def st_projectsphere(g: GeomLike, distance_m, azimuth) -> Column:
     great circle at the given initial bearing (mean-radius sphere)."""
     return _project_sphere(_geom(g), _numcol(distance_m),
                            _numcol(azimuth))
+
+
+def st_projectspheroid(g: GeomLike, distance_m, azimuth) -> Column:
+    """Spheroid ST_Project (geography default): destination point
+    dist meters along the WGS84 geodesic at the given initial bearing
+    — Vincenty direct problem, deterministic fixed iterations
+    (geo/proj.py vincenty_direct); the ellipsoidal twin of
+    st_projectsphere."""
+    return _project_spheroid(_geom(g), _numcol(distance_m),
+                             _numcol(azimuth))
 
 
 def st_isempty(g: GeomLike) -> Column:
@@ -1337,6 +1348,7 @@ _SQL_UDFS = {
     "ST_GeometricMedian": _geometric_median,
     "ST_AzimuthSphere": _azimuth_sphere,
     "ST_ProjectSphere": _project_sphere,
+    "ST_ProjectSpheroid": _project_spheroid,
     "ST_IsEmpty": _is_empty,
     "ST_Dimension": _dimension,
     "ST_ExteriorRing": _exterior_ring,
@@ -1453,7 +1465,7 @@ __all__ = [
     "st_delaunaytriangles", "st_voronoipolygons", "st_concavehull",
     "st_generatepoints", "st_maxinscribedcenter", "st_maxinscribedradius",
     "st_snap", "st_offsetcurve", "st_sharedpaths", "st_clipbybox2d",
-    "st_distancesphere", "st_distancespheroid",
+    "st_distancesphere", "st_distancespheroid", "st_projectspheroid",
     "st_tileenvelope", "st_normalize",
     "st_areasphere", "st_lengthsphere", "st_perimetersphere",
     "st_azimuthsphere", "st_projectsphere", "st_geometricmedian", "st_buildarea", "st_maxdistance", "st_longestline",

@@ -1940,6 +1940,29 @@ def st_project_sphere(s: pd.Series, d: pd.Series,
     return _obj_series(out)
 
 
+def st_project_spheroid(s: pd.Series, d: pd.Series,
+                        az: pd.Series) -> pd.Series:
+    """Spheroid ST_Project twin (geo/proj.py vincenty_direct: Vincenty
+    direct problem on WGS84, deterministic fixed iterations)."""
+    from ..geo import proj as proj_mod
+    cache = _DecodeCache()
+    sl, dl, azl = s.tolist(), d.tolist(), az.tolist()
+    out = []
+    for i in range(len(sl)):
+        v, dd, aa = sl[i], _num(dl[i]), _num(azl[i])
+        if v is None or dd is None or aa is None:
+            out.append(None)
+            continue
+        g = cache.geom(bytes(v))
+        if g.typ != "Point" or g.parts is None:
+            out.append(None)
+            continue
+        lon2, lat2 = proj_mod.vincenty_direct(g.parts[0], g.parts[1],
+                                              float(dd), float(aa))
+        out.append(to_wkb(Geometry("Point", (lon2, lat2), g.srid)))
+    return _obj_series(out)
+
+
 # ST_GeometricMedian (geo/metrics.py Weiszfeld; fixed rounds) — r5
 st_geometric_median = _unary_geom(metrics_mod.geometric_median)
 

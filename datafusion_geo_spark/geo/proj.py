@@ -1000,3 +1000,55 @@ class LAEA:
 #: ETRS89-extended / LAEA Europe — the EU statistics CRS
 CRS_REGISTRY[3035] = LAEA(GRS80, lat0=52.0, lon0=10.0,
                           fe=4321000.0, fn=3210000.0)
+
+
+def vincenty_direct(lon: float, lat: float, dist_m: float,
+                    azimuth: float, ell: Ellipsoid = None,
+                    iters: int = 8) -> tuple:
+    """Direct geodesic problem (Vincenty 1975): the destination point
+    ``dist_m`` meters along the geodesic with initial bearing
+    ``azimuth`` (radians clockwise from north) — the WGS84-spheroid
+    twin of :func:`sphere_project` (geography ST_Project). Fixed
+    ``iters`` σ-iterations (deterministic, same contract as
+    :func:`vincenty_m`). Returns (lon, lat) degrees."""
+    if ell is None:
+        ell = WGS84
+    f, a, b = ell.f, ell.a, ell.b
+    ru1 = math.atan((1.0 - f) * math.tan(lat * DEG2RAD))
+    su1, cu1 = math.sin(ru1), math.cos(ru1)
+    sa1, ca1 = math.sin(azimuth), math.cos(azimuth)
+    sig1 = math.atan2(math.tan(ru1), ca1)
+    sina = cu1 * sa1
+    cos2a = 1.0 - sina * sina
+    usq = cos2a * (a * a - b * b) / (b * b)
+    aa = 1.0 + usq / 16384.0 * (4096.0 + usq * (-768.0 + usq
+                                * (320.0 - 175.0 * usq)))
+    bb = usq / 1024.0 * (256.0 + usq * (-128.0 + usq
+                         * (74.0 - 47.0 * usq)))
+    sig0 = dist_m / (b * aa)
+    sig = sig0
+    c2sm = 1.0
+    for _ in range(iters):
+        c2sm = math.cos(2.0 * sig1 + sig)
+        ssig, csig = math.sin(sig), math.cos(sig)
+        dsig = bb * ssig * (c2sm + bb / 4.0 * (
+            csig * (-1.0 + 2.0 * c2sm * c2sm)
+            - bb / 6.0 * c2sm * (-3.0 + 4.0 * ssig * ssig)
+            * (-3.0 + 4.0 * c2sm * c2sm)))
+        sig = sig0 + dsig
+    ssig, csig = math.sin(sig), math.cos(sig)
+    phi2 = math.atan2(
+        su1 * csig + cu1 * ssig * ca1,
+        (1.0 - f) * math.sqrt(
+            sina * sina + (su1 * ssig - cu1 * csig * ca1) ** 2))
+    lam = math.atan2(ssig * sa1, cu1 * csig - su1 * ssig * ca1)
+    cc = f / 16.0 * cos2a * (4.0 + f * (4.0 - 3.0 * cos2a))
+    big_l = lam - (1.0 - cc) * f * sina * (
+        sig + cc * ssig * (c2sm + cc * csig
+                           * (-1.0 + 2.0 * c2sm * c2sm)))
+    lon2 = lon + big_l * RAD2DEG
+    if lon2 > 180.0:
+        lon2 -= 360.0
+    elif lon2 < -180.0:
+        lon2 += 360.0
+    return (lon2, phi2 * RAD2DEG)
