@@ -5030,6 +5030,22 @@ def _q_streaming_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_wer(spark, sf_dir)
 
 
+def _q_streaming_unigram_fertility(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Streaming tokenizer-fertility monitor (streaming/drift.py
+    streaming_unigram_fertility): the per-language unigram-LM
+    fertility report as a bounded streaming aggregate (state = |langs|
+    rows of 3 commutative int64 sums, no watermark). Model = the
+    OFFLINE unigram_train fit (shared process memo with unigram_vocab
+    — fit batch, monitor the stream); the per-document Viterbi token
+    counts and the exact 6-dp tail are SHARED with batch
+    unigram_fertility, so the bounded availableNow replay equals batch
+    and the oracle is SHARED."""
+    from datafusion_geo_spark.streaming.drift import \
+        streaming_unigram_fertility
+    return streaming_unigram_fertility(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks exactly the
     # FIRST 50 entries per round. Rotation policy (r6 verdict item 1):
@@ -5326,6 +5342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_title_dedup": _q_fuzzy_title_dedup,
         "temperature_mix": _q_temperature_mix,
         "streaming_wer": _q_streaming_wer,
+        "streaming_unigram_fertility": _q_streaming_unigram_fertility,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5340,7 +5357,7 @@ _FIRST50 = [
     "stateplane_lcc", "lambert93_roundtrip", "albers_conus",
     "osgb_grid", "crs_pipeline", "mauve_eval", "distance_spheroid",
     "unigram_vocab", "unigram_fertility",
-    "dsir_select", "laea_europe",
+    "dsir_select", "laea_europe", "streaming_unigram_fertility",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
     # (adjusted_rand shiftright halving, krippendorff n_skipped),
     # edit_join.py (_del1 empty-string guard), triangulate.py
@@ -5365,9 +5382,9 @@ _FIRST50 = [
     "dataset_stats", "dbscan_clusters", "decontaminate",
     "distance_sphere", "domain_mix", "funnel_conversion",
     "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
-    "hourly_rollup",
-    # (interval_overlap / incremental_dedup displaced to 51+ by
-    # dsir_select + laea_europe)
+    # (interval_overlap / incremental_dedup / hourly_rollup displaced
+    # to 51+ by dsir_select + laea_europe +
+    # streaming_unigram_fertility)
     # (negative_buffer / knn_join_jvm / kmeans_clusters / knn_join
     # displaced to 51+ by mauve_eval + distance_spheroid +
     # unigram_vocab + unigram_fertility; they lead r11's pool)
@@ -11949,6 +11966,8 @@ def oracle_sql() -> dict[str, str]:
         FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 50
     """
     out.update(_unigram_oracles())
+    # bounded streaming replay == batch (shared row cols + tail)
+    out["streaming_unigram_fertility"] = out["unigram_fertility"]
     out["distance_spheroid"] = _vincenty_oracle()
     out["mauve_eval"] = _mauve_oracle()
     out["albers_conus"] = _albers_conus_oracle()

@@ -139,3 +139,33 @@ def streaming_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = pairs.select(*wer_row_cols("cand", "ref"))
     totals = per.groupBy().agg(*wer_aggs())
     return wer_finalize(run_bounded_complete(totals, "stream_wer_"))
+
+
+def streaming_unigram_fertility(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming tokenizer-fertility monitor: the per-language
+    unigram-LM fertility report maintained as a bounded streaming
+    aggregate (state = |langs| rows of 3 commutative int64 sums, no
+    watermark — the streaming_wer story). The model is the OFFLINE
+    fit (operators/unigram.py unigram_train, shared process memo with
+    unigram_vocab — fit batch, monitor the stream); the per-document
+    Viterbi token counts (fertility_row_cols) and the exact 6-dp tail
+    (fertility_finalize) are SHARED with the batch report, so the
+    bounded availableNow replay equals batch unigram_fertility and
+    the oracle is SHARED."""
+    from ..operators.unigram import (fertility_finalize,
+                                     fertility_row_cols, unigram_train)
+    from ..sources.fixtures import load_documents_stream, load_table
+    from .runner import run_bounded_complete
+    batch = load_table(spark, sf_dir, "documents")
+    fitted = unigram_train(batch, rounds=2, seed_multi_cap=128,
+                           vocab_multi_cap=64,
+                           cache_key=(sf_dir, "documents"))
+    s = (load_documents_stream(spark, sf_dir)
+         .select(F.col("lang"), *fertility_row_cols(fitted)))
+    totals = (s.groupBy("lang")
+              .agg(F.sum("_nw").cast("long").alias("n_words"),
+                   F.sum("_nt").cast("long").alias("n_tokens"),
+                   F.sum("_nc").cast("long").alias("n_chars")))
+    return fertility_finalize(
+        run_bounded_complete(totals, "stream_ufert_"))
