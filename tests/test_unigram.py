@@ -160,3 +160,18 @@ def test_encode_stats_invariants(spark):
     for x in r.values():
         assert x.n_words <= x.n_tokens <= x.n_chars
         assert x.fertility == round(x.n_tokens / x.n_words, 6)
+
+
+def test_streaming_fertility_equals_batch(spark):
+    # the bounded availableNow replay must reproduce the batch report
+    # row-for-row (shared row cols + shared 6-dp tail)
+    import os
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                        "/root/testdata/sf0.001")
+    import __spark_entry__ as entrymod
+    b = {tuple(r) for r in
+         entrymod.queries()["unigram_fertility"](spark, sf).collect()}
+    s = {tuple(r) for r in
+         entrymod.queries()["streaming_unigram_fertility"](spark, sf)
+         .collect()}
+    assert b == s and len(b) > 0
