@@ -1295,6 +1295,25 @@ def transform_srid(s: pd.Series, to_srid: pd.Series,
                             x, y = crs_i.inverse_np(pb.x, pb.y)
                     return _obj_series(vector.encode_points(
                         x, y, valid=pb.valid, srid=t0i))
+                # uniform plain-WKB LINESTRING batches (trajectories):
+                # the *_np twins are elementwise, so the (n, k) vertex
+                # matrices flow straight through
+                lb = vector.decode_uniform_lines(vals)
+                if lb is not None:
+                    lx = lb.coords[:, :, 0]
+                    ly = lb.coords[:, :, 1]
+                    ok = (crs_i is not None
+                          or np.all((np.abs(ly[lb.valid]) < 90.0)
+                                    | np.isnan(ly[lb.valid])))
+                    if ok:
+                        with np.errstate(all="ignore"):
+                            if crs_f is not None:
+                                x, y = crs_f.forward_np(lx, ly)
+                            else:
+                                x, y = crs_i.inverse_np(lx, ly)
+                        return _obj_series(vector.encode_uniform_lines(
+                            np.stack([x, y], axis=-1),
+                            valid=lb.valid, srid=t0i))
     cache = _DecodeCache()
     out = []
     memo: dict = {}

@@ -153,17 +153,32 @@ def encode_points(x: np.ndarray, y: np.ndarray,
 
 
 def encode_uniform_lines(coords: np.ndarray,
-                         valid: Optional[np.ndarray] = None) -> List[Optional[bytes]]:
-    """Vectorized plain-WKB linestring encoder for (n, k, 2) coords."""
+                         valid: Optional[np.ndarray] = None,
+                         srid: Optional[int] = None) -> List[Optional[bytes]]:
+    """Vectorized linestring encoder for (n, k, 2) coords: plain WKB,
+    or EWKB with one batch-wide SRID (the transform output shape)."""
     n, k = coords.shape[0], coords.shape[1]
-    L = 9 + 16 * k
-    raw = np.empty((n, L), dtype=np.uint8)
-    raw[:, 0] = 1
-    hdr = np.empty((n, 2), dtype="<u4")
-    hdr[:, 0] = 2
-    hdr[:, 1] = k
-    raw[:, 1:9] = hdr.view(np.uint8).reshape(n, 8)
-    raw[:, 9:] = coords.astype("<f8").reshape(n, k * 2).view(np.uint8)
+    if srid is None:
+        L = 9 + 16 * k
+        raw = np.empty((n, L), dtype=np.uint8)
+        raw[:, 0] = 1
+        hdr = np.empty((n, 2), dtype="<u4")
+        hdr[:, 0] = 2
+        hdr[:, 1] = k
+        raw[:, 1:9] = hdr.view(np.uint8).reshape(n, 8)
+        raw[:, 9:] = coords.astype("<f8").reshape(n, k * 2) \
+            .view(np.uint8)
+    else:
+        L = 13 + 16 * k
+        raw = np.empty((n, L), dtype=np.uint8)
+        raw[:, 0] = 1
+        hdr = np.empty((n, 3), dtype="<u4")
+        hdr[:, 0] = 2 | _SRID_FLAG
+        hdr[:, 1] = int(srid)
+        hdr[:, 2] = k
+        raw[:, 1:13] = hdr.view(np.uint8).reshape(n, 12)
+        raw[:, 13:] = coords.astype("<f8").reshape(n, k * 2) \
+            .view(np.uint8)
     buf = raw.tobytes()
     mv = memoryview(buf)
     if valid is None:

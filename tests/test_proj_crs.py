@@ -334,3 +334,33 @@ def test_st_distancespheroid_kernel(spark):
         st_point(F.col("x1"), F.col("y1")),
         st_point(F.col("x2"), F.col("y2"))).alias("d")).collect()[0]
     assert r.d == vincenty_m(10.0, 11.0, 12.0, 13.0)
+
+
+def test_line_batch_transform_fast_path(spark):
+    # uniform LINESTRING batches take the vectorized registry path and
+    # agree with the per-row scalar chain, SRID stamped
+    from datafusion_geo_spark.functions import (st_astext, st_srid,
+                                                st_transform)
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.proj import transform_geometry
+    from datafusion_geo_spark.geo.wkb import to_wkb
+
+    lines = [Geometry("LineString",
+                      ((-74.3 + 0.01 * i, 40.5), (-74.0, 40.8 + 0.001 * i)))
+             for i in range(40)]
+    df = spark.createDataFrame([(i, to_wkb(g)) for i, g in enumerate(lines)],
+                               "i long, geom binary")
+    t = st_transform(F.col("geom"), 2263, from_srid=4326)
+    rows = df.select("i", st_astext(t).alias("wkt"),
+                     st_srid(t).alias("srid")).collect()
+    assert all(r.srid == 2263 for r in rows)
+    import re as _re
+    for r in rows:
+        want = transform_geometry(lines[r.i], 2263, from_srid=4326)
+        got = [float(v) for v in _re.findall(r"-?\d+\.?\d*(?:[eE]-?\d+)?",
+                                             r.wkt)]
+        flat = [c for pt in want.parts for c in pt]
+        assert len(got) == len(flat) == 4
+        for a, b in zip(got, flat):
+            # vectorized numpy pow vs scalar libm pow: ulp-level only
+            assert a == pytest.approx(b, abs=1e-6)
