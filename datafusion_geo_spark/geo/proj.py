@@ -27,6 +27,10 @@ PI_4 = 0.7853981633974483        # repr(math.pi / 4)
 
 SRID_LONLAT = 4326
 SRID_MERCATOR = 3857
+#: geographic CRSs treated as WGS84-identical (null transform —
+#: plate-fixed offsets are sub-meter, the analytics convention the
+#: projected registry entries already rely on)
+GEOGRAPHIC_ALIASES = frozenset({4269, 4258})
 
 
 def lonlat_to_mercator(lon: float, lat: float) -> tuple:
@@ -128,6 +132,19 @@ def transform_geometry(g: Geometry, to_srid: int,
     src, dst = int(src), int(to_srid)
     if src == dst:
         return g.with_srid(dst)
+    # geographic datum aliases: NAD83 (4269) and ETRS89 (4258) are
+    # WGS84-identical here (the registry's null-transform convention),
+    # so their lon/lat coordinates route exactly like 4326 — but the
+    # OUTPUT keeps the requested SRID stamp
+    src_g = SRID_LONLAT if src in GEOGRAPHIC_ALIASES else src
+    dst_g = SRID_LONLAT if dst in GEOGRAPHIC_ALIASES else dst
+    if src_g == dst_g:
+        return g.with_srid(dst)
+    src = src_g
+    if dst_g != dst:
+        return transform_geometry(g, dst_g, from_srid=src) \
+            .with_srid(dst)
+    dst = dst_g
     if (src, dst) == (SRID_LONLAT, SRID_MERCATOR):
         f = lonlat_to_mercator
     elif (src, dst) == (SRID_MERCATOR, SRID_LONLAT):

@@ -374,3 +374,29 @@ def geoparquet_metadata(path: str) -> Optional[dict]:
         return None
     return None
 
+
+
+def read_geoparquet_std(spark: SparkSession, path: str,
+                        set_srid: bool = True) -> DataFrame:
+    """Read a standard-GeoParquet dataset with ``geo``-footer
+    auto-discovery: plain spark.read.parquet, plus — when the primary
+    column's PROJJSON ``crs`` carries an EPSG id and ``set_srid`` —
+    the geometry column re-stamped with that SRID (EWKB), restoring
+    what the spec's ISO-WKB value encoding intentionally strips.
+    Datasets without the footer key read back unchanged, so this is a
+    drop-in for spark.read.parquet on any parquet directory."""
+    df = spark.read.parquet(path)
+    geo = geoparquet_metadata(path)
+    if not geo or not set_srid:
+        return df
+    col = geo.get("primary_column")
+    crs = (geo.get("columns", {}).get(col, {}) or {}).get("crs")
+    code = None
+    if isinstance(crs, dict):
+        ident = crs.get("id") or {}
+        if ident.get("authority") == "EPSG":
+            code = ident.get("code")
+    if col in df.columns and code:
+        from ..functions import st_setsrid
+        df = df.withColumn(col, st_setsrid(F.col(col), int(code)))
+    return df

@@ -99,3 +99,29 @@ def test_overwrite_and_error_modes(spark, tmp_path):
     assert spark.read.parquet(out).count() == 20
     with pytest.raises(ValueError, match="path exists"):
         write_geoparquet_std(_pts(spark, 10), out, mode="error")
+
+
+def test_read_side_auto_discovers_epsg(spark, tmp_path):
+    from datafusion_geo_spark.sources.geoio import read_geoparquet_std
+    out = str(tmp_path / "gp")
+    crs = {"type": "GeographicCRS",
+           "id": {"authority": "EPSG", "code": 4326}}
+    write_geoparquet_std(_pts(spark, 20), out, crs_projjson=crs)
+    back = read_geoparquet_std(spark, out)
+    srids = {r.s for r in
+             back.select(st_srid(F.col("geom")).alias("s")).collect()}
+    assert srids == {4326}
+    # no-metadata directory reads back unchanged
+    plain = str(tmp_path / "plain")
+    _pts(spark, 5).write.parquet(plain)
+    assert read_geoparquet_std(spark, plain).count() == 5
+
+
+def test_read_side_no_crs_stays_unstamped(spark, tmp_path):
+    from datafusion_geo_spark.sources.geoio import read_geoparquet_std
+    out = str(tmp_path / "gp")
+    write_geoparquet_std(_pts(spark, 10), out)  # default CRS84: no id
+    back = read_geoparquet_std(spark, out)
+    srids = {r.s for r in
+             back.select(st_srid(F.col("geom")).alias("s")).collect()}
+    assert srids == {None}

@@ -364,3 +364,19 @@ def test_line_batch_transform_fast_path(spark):
         for a, b in zip(got, flat):
             # vectorized numpy pow vs scalar libm pow: ulp-level only
             assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_geographic_aliases_route_like_wgs84():
+    # NAD83 (4269) / ETRS89 (4258) geographic: null transform, SRID
+    # stamp preserved on output
+    g = Geometry("Point", (-73.9857, 40.7484), 4269)
+    t = transform_geometry(g, 2263)
+    assert t.parts == CRS_REGISTRY[2263].forward(-73.9857, 40.7484)
+    assert t.srid == 2263
+    back = transform_geometry(t, 4269)
+    assert back.srid == 4269
+    assert back.parts[0] == pytest.approx(-73.9857, abs=1e-8)
+    ident = transform_geometry(Geometry("Point", (1.0, 2.0), 4258), 4326)
+    assert ident.parts == (1.0, 2.0) and ident.srid == 4326
+    ident2 = transform_geometry(Geometry("Point", (1.0, 2.0), 4326), 4269)
+    assert ident2.parts == (1.0, 2.0) and ident2.srid == 4269
