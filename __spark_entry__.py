@@ -3494,6 +3494,31 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_stats(docs, triples)
 
 
+def _q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-trainer tokenizer selection table: per language, the
+    8-merge BPE fertility/coverage (tokenizer_fertility) next to the
+    2-round unigram-LM fertility (unigram_fertility) and their exact
+    micro-int difference — the side-by-side a tokenizer choice is
+    actually made from, with BOTH trainers' fits shared through the
+    process memos (zero extra training jobs). Note the denominators
+    differ by design: the unigram dict caps words at 24 chars (its
+    documented training filter) while BPE counts all words — the
+    comparison column is fertility, not word totals. Oracle: the two
+    full replay chains joined as derived tables."""
+    b = _q_tokenizer_fertility(spark, sf_dir).select(
+        "lang",
+        F.col("fertility_micro").alias("bpe_fertility_micro"),
+        F.col("coverage_micro").alias("bpe_coverage_micro"))
+    u = _q_unigram_fertility(spark, sf_dir).select("lang", "fertility")
+    j = b.join(u, "lang")
+    uni_fm = F.floor(F.col("fertility") * F.lit(1e6) + F.lit(0.5)) \
+        .cast("long")
+    return j.select(
+        "lang", "bpe_fertility_micro", "bpe_coverage_micro",
+        uni_fm.alias("uni_fertility_micro"),
+        (F.col("bpe_fertility_micro") - uni_fm).alias("delta_micro"))
+
+
 def _q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size uniform corpus sample (operators/sampling.py
     reservoir_sample): the 64 documents with the smallest
@@ -5343,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": _q_temperature_mix,
         "streaming_wer": _q_streaming_wer,
         "streaming_unigram_fertility": _q_streaming_unigram_fertility,
+        "tokenizer_compare": _q_tokenizer_compare,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5358,6 +5384,7 @@ _FIRST50 = [
     "osgb_grid", "crs_pipeline", "mauve_eval", "distance_spheroid",
     "unigram_vocab", "unigram_fertility",
     "dsir_select", "laea_europe", "streaming_unigram_fertility",
+    "tokenizer_compare",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes: evals.py
     # (adjusted_rand shiftright halving, krippendorff n_skipped),
     # edit_join.py (_del1 empty-string guard), triangulate.py
@@ -5381,7 +5408,8 @@ _FIRST50 = [
     "asof_forward", "bm25_search", "bounding_forms", "cluster_within",
     "dataset_stats", "dbscan_clusters", "decontaminate",
     "distance_sphere", "domain_mix", "funnel_conversion",
-    "geojsonl_roundtrip", "gopher_quality", "hexbin_customers",
+    "geojsonl_roundtrip", "gopher_quality",
+    # (hexbin_customers displaced to 51+ by tokenizer_compare)
     # (interval_overlap / incremental_dedup / hourly_rollup displaced
     # to 51+ by dsir_select + laea_europe +
     # streaming_unigram_fertility)
@@ -11968,6 +11996,18 @@ def oracle_sql() -> dict[str, str]:
     out.update(_unigram_oracles())
     # bounded streaming replay == batch (shared row cols + tail)
     out["streaming_unigram_fertility"] = out["unigram_fertility"]
+    out["tokenizer_compare"] = f"""
+        SELECT b.lang,
+               b.fertility_micro AS bpe_fertility_micro,
+               b.coverage_micro AS bpe_coverage_micro,
+               CAST(floor(u.fertility * 1000000.0 + 0.5) AS BIGINT)
+                 AS uni_fertility_micro,
+               b.fertility_micro
+                 - CAST(floor(u.fertility * 1000000.0 + 0.5) AS BIGINT)
+                 AS delta_micro
+        FROM ({out["tokenizer_fertility"]}) b
+        JOIN ({out["unigram_fertility"]}) u USING (lang)
+    """
     out["distance_spheroid"] = _vincenty_oracle()
     out["mauve_eval"] = _mauve_oracle()
     out["albers_conus"] = _albers_conus_oracle()
