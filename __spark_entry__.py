@@ -5402,9 +5402,12 @@ _FIRST50 = [
     "text_stats", "tile_pyramid", "tile_stats",
     # heavy regression canaries (every round)
     "grid_spatial_join", "minhash_pairs",
-    # oldest green rows: first 20 of the r5 block alphabetically
-    # (the remaining 23 r5 queries — pii_mask, passage_pq etc. — lead
-    # r11's re-gate pool, all locally gate-exact every run)
+    # oldest green rows: the alphabetically-first r5 queries in the
+    # 12 slots left after the round's 13 new queries (the remaining
+    # r5 block — hexbin_customers, hourly_rollup, incremental_dedup,
+    # interval_overlap, kmeans_clusters, knn_join(+_jvm),
+    # negative_buffer, pii_mask, ... — leads r11's re-gate pool, all
+    # locally gate-exact every run)
     "asof_forward", "bm25_search", "bounding_forms", "cluster_within",
     "dataset_stats", "dbscan_clusters", "decontaminate",
     "distance_sphere", "domain_mix", "funnel_conversion",
