@@ -11989,7 +11989,7 @@ def oracle_sql() -> dict[str, str]:
                          (logw_micro + {_SM.format(
                              x="-ln(-ln((('0x' || substr(md5('dsir0|' ||"
                                " doc_id::VARCHAR), 1, 8))::BIGINT + 1)"
-                               " / 4294967296.0))")})::BIGINT AS key_micro
+                               " / 4294967297.0))")})::BIGINT AS key_micro
                   FROM scored)
         SELECT doc_id, logw_micro, key_micro,
                ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id)::INT

@@ -547,7 +547,11 @@ def split(g: Geometry, blade: Geometry) -> Geometry:
                         if x is not None:
                             cuts.append(x)
         else:
-            raise NotImplementedError(f"split LineString by {blade.typ}")
+            raise ValueError(
+                f"split: LineString by {blade.typ} blade is unsupported"
+                " by PostGIS ST_Split semantics (supported blades:"
+                " Point, MultiPoint, (Multi)LineString,"
+                " (Multi)Polygon boundary)")
         pieces = _split_line(g.parts, cuts)
         return Geometry("GeometryCollection",
                         [Geometry("LineString", piece) for piece in pieces], g.srid)
@@ -561,7 +565,11 @@ def split(g: Geometry, blade: Geometry) -> Geometry:
         return Geometry("GeometryCollection",
                         [Geometry("Polygon", rings, g.srid) for rings in pieces],
                         g.srid)
-    raise NotImplementedError(f"split {g.typ} by {blade.typ}")
+    raise ValueError(
+        f"split: {g.typ} by {blade.typ} is unsupported by PostGIS"
+        " ST_Split semantics (supported: LineString by Point/"
+        "MultiPoint/(Multi)LineString/(Multi)Polygon;"
+        " (Multi)Polygon by (Multi)LineString/(Multi)Polygon)")
 
 
 def _split_line(coords: List[Coord], cuts: List[Coord]) -> List[List[Coord]]:

@@ -641,22 +641,35 @@ class AlbersEA:
         dx, dy = x - self.fe, self.rho0 - (y - self.fn)
         rho = math.sqrt(dx * dx + dy * dy)
         qv = (self.C - (rho * self.n / self.AU) ** 2) / self.n
+        # |q| <= qp by construction of the authalic latitude: clamp
+        # qv itself (not just sinβ) so a point at/beyond the pole
+        # radius feeds the Newton loop a representable residual —
+        # the step divides by cos(φ)~1e-16 at the pole and an
+        # unclamped qv excess would kick φ far off the series seed
+        if qv > self.qp:
+            qv = self.qp
+        elif qv < -self.qp:
+            qv = -self.qp
         sb = qv / self.qp
-        if sb > 1.0:
-            sb = 1.0
-        elif sb < -1.0:
-            sb = -1.0
-        # series seed (~1e-7 rad) + Snyder 3-16 Newton refinement to
-        # full double precision (4 fixed iterations, deterministic)
-        phi = self.ell.beta_to_phi(math.asin(sb))
-        e2, e = self.ell.e2, self.ell.e
-        for _ in range(4):
-            s = math.sin(phi)
-            d = 1.0 - e2 * s * s
-            phi = phi + (d * d / (2.0 * math.cos(phi))) * (
-                qv / (1.0 - e2) - s / d
-                + (1.0 / (2.0 * e))
-                * math.log((1.0 - e * s) / (1.0 + e * s)))
+        if sb >= 1.0:
+            # at the pole the authalic and geodetic latitudes agree
+            # exactly; Newton there divides a libm-ULP residual by
+            # cos(φ)~1e-16 — skip it
+            phi = 0.5 * math.pi
+        elif sb <= -1.0:
+            phi = -0.5 * math.pi
+        else:
+            # series seed (~1e-7 rad) + Snyder 3-16 Newton refinement
+            # to full double precision (4 fixed iters, deterministic)
+            phi = self.ell.beta_to_phi(math.asin(sb))
+            e2, e = self.ell.e2, self.ell.e
+            for _ in range(4):
+                s = math.sin(phi)
+                d = 1.0 - e2 * s * s
+                phi = phi + (d * d / (2.0 * math.cos(phi))) * (
+                    qv / (1.0 - e2) - s / d
+                    + (1.0 / (2.0 * e))
+                    * math.log((1.0 - e * s) / (1.0 + e * s)))
         # Snyder 14-11 note: with n < 0 the signs of x, (ρ0−y) flip
         sgn = 1.0 if self.n >= 0.0 else -1.0
         th = math.atan2(sgn * dx, sgn * dy)
@@ -687,7 +700,10 @@ class AlbersEA:
         dx, dy = x - self.fe, self.rho0 - (y - self.fn)
         rho = np.sqrt(dx * dx + dy * dy)
         qv = (self.C - (rho * self.n / self.AU) ** 2) / self.n
+        # pole clamp on qv itself — see the scalar inverse
+        qv = np.clip(qv, -self.qp, self.qp)
         sb = np.clip(qv / self.qp, -1.0, 1.0)
+        pole = np.abs(sb) >= 1.0
         b = np.arcsin(sb)
         a1, a2, a3 = self.ell.auth
         phi = (b + a1 * np.sin(2.0 * b) + a2 * np.sin(4.0 * b)
@@ -700,6 +716,9 @@ class AlbersEA:
                 qv / (1.0 - e2) - s / d
                 + (1.0 / (2.0 * e))
                 * np.log((1.0 - e * s) / (1.0 + e * s)))
+        # pole lanes: authalic == geodetic exactly, skip the Newton
+        # garbage (its ULP residual / cos(φ) kick)
+        phi = np.where(pole, np.copysign(0.5 * np.pi, sb), phi)
         sgn = 1.0 if self.n >= 0.0 else -1.0
         th = np.arctan2(sgn * dx, sgn * dy)
         lam = th / self.n + self.lon0
@@ -943,20 +962,27 @@ class LAEA:
                 xp * math.sin(ce),
                 self.D * rho * self.cb1 * math.cos(ce)
                 - self.D * self.D * yp * self.sb1 * math.sin(ce))
+        # pole clamp on qv itself (Albers discipline): keeps the
+        # Newton residual representable where cos(φ) ~ 1e-16
+        if qv > self.qp:
+            qv = self.qp
+        elif qv < -self.qp:
+            qv = -self.qp
         sb = qv / self.qp
-        if sb > 1.0:
-            sb = 1.0
-        elif sb < -1.0:
-            sb = -1.0
-        phi = self.ell.beta_to_phi(math.asin(sb))
-        e2, e = self.ell.e2, self.ell.e
-        for _ in range(4):  # Snyder 3-16 Newton (Albers discipline)
-            s = math.sin(phi)
-            d = 1.0 - e2 * s * s
-            phi = phi + (d * d / (2.0 * math.cos(phi))) * (
-                qv / (1.0 - e2) - s / d
-                + (1.0 / (2.0 * e))
-                * math.log((1.0 - e * s) / (1.0 + e * s)))
+        if sb >= 1.0:  # pole: authalic == geodetic, skip Newton
+            phi = 0.5 * math.pi
+        elif sb <= -1.0:
+            phi = -0.5 * math.pi
+        else:
+            phi = self.ell.beta_to_phi(math.asin(sb))
+            e2, e = self.ell.e2, self.ell.e
+            for _ in range(4):  # Snyder 3-16 Newton (Albers
+                s = math.sin(phi)  # discipline)
+                d = 1.0 - e2 * s * s
+                phi = phi + (d * d / (2.0 * math.cos(phi))) * (
+                    qv / (1.0 - e2) - s / d
+                    + (1.0 / (2.0 * e))
+                    * math.log((1.0 - e * s) / (1.0 + e * s)))
         if self.datum is not None:
             lam, phi = self.datum.to_wgs84(lam, phi, self.ell)
         return (lam * RAD2DEG, phi * RAD2DEG)
@@ -991,7 +1017,10 @@ class LAEA:
             qv = self.qp * (np.cos(ce) * self.sb1
                             + self.D * yp * np.sin(ce) * self.cb1 / rho)
         qv = np.where(rho == 0.0, self.qp * self.sb1, qv)
+        # pole clamp on qv itself — see the scalar inverse
+        qv = np.clip(qv, -self.qp, self.qp)
         sb = np.clip(qv / self.qp, -1.0, 1.0)
+        pole = np.abs(sb) >= 1.0
         bta = np.arcsin(sb)
         a1, a2, a3 = self.ell.auth
         phi = (bta + a1 * np.sin(2.0 * bta) + a2 * np.sin(4.0 * bta)
@@ -1004,6 +1033,7 @@ class LAEA:
                 qv / (1.0 - e2) - s / d
                 + (1.0 / (2.0 * e))
                 * np.log((1.0 - e * s) / (1.0 + e * s)))
+        phi = np.where(pole, np.copysign(0.5 * np.pi, sb), phi)
         lam = self.lon0 + np.arctan2(
             xp * np.sin(ce),
             self.D * rho * self.cb1 * np.cos(ce)

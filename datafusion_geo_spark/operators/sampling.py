@@ -442,9 +442,11 @@ def dsir_select(docs: DataFrame, target: Column, k: int = 50,
         ((tt+B)·(cs+1)) ))  — libm-parity contract;
       * a document's log-weight is the exact int64 SUM of its grams'
         lr micro-ints (join against the broadcast B-row table);
-      * Gumbel key: u = (seeded_h64(id)+1)/2^32 (exact dyadic
-        double), g = smicro(-ln(-ln(u))), key = logw + g — exact
-        int64, so the top-k race replays bit-for-bit;
+      * Gumbel key: u = (seeded_h64(id)+1)/(2^32+1), strictly inside
+        (0,1) so -ln(-ln(u)) is always finite (u=1 would be NULL in
+        Spark / -inf in DuckDB); same IEEE division in both engines,
+        g = smicro(-ln(-ln(u))), key = logw + g — exact int64, so
+        the top-k race replays bit-for-bit;
       * top-k via orderBy(key desc, id).limit(k) — TakeOrdered, no
         global window.
 
@@ -468,8 +470,12 @@ def dsir_select(docs: DataFrame, target: Column, k: int = 50,
          .where(F.col("gram") != "")
          .select("_t", F.pmod(h64(F.col("gram")), F.lit(B))
                  .alias("bucket")))
+    # NULL-target rows count as not-target (0), matching the oracle's
+    # CASE WHEN ... ELSE 0: a bucket whose every row has NULL target
+    # must yield ct=0, not a NULL that nulls its lr_micro downstream.
     hist = (g.groupBy("bucket")
-            .agg(F.sum(F.col("_t").cast("long")).cast("long")
+            .agg(F.sum(F.when(F.col("_t"), F.lit(1))
+                       .otherwise(F.lit(0))).cast("long")
                  .alias("ct"),
                  F.count(F.lit(1)).cast("long").alias("cs")))
     wall = Window.partitionBy()
@@ -495,8 +501,11 @@ def dsir_select(docs: DataFrame, target: Column, k: int = 50,
               .withColumn("logw_micro",
                           F.coalesce(F.col("logw_micro"),
                                      F.lit(0).cast("long"))))
+    # strictly interior u in (0, 1): divide by 2^32 + 1 so hash
+    # 2^32-1 maps to u < 1 (u = 1 would make -ln(-ln(u)) NULL in
+    # Spark and -inf in DuckDB, silently dropping the doc)
     u = (seeded_h64(seed_tag, 0, F.col("_id")) + F.lit(1)) \
-        .cast("double") / F.lit(4294967296.0)
+        .cast("double") / F.lit(4294967297.0)
     gum = -F.log(-F.log(u))
     gum_micro = (F.signum(gum) * F.floor(F.abs(gum) * F.lit(1e6)
                                          + F.lit(0.5))).cast("long")

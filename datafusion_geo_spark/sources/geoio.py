@@ -265,6 +265,16 @@ def write_geoparquet_std(df: DataFrame, path: str,
     an object store would swap the open() for fsspec — the task
     structure is unchanged).
 
+    Commit protocol (r10 ADVICE): each task writes
+    ``part-<partitionId>.parquet.<attemptId>.tmp`` and atomically
+    renames to the deterministic ``part-<partitionId>.parquet`` only
+    after its writer closes — a retried attempt OVERWRITES its
+    predecessor instead of adding an orphan duplicate, a failed task
+    leaves only ``*.tmp`` debris the reader's ``*.parquet`` glob
+    ignores, and concurrent speculative attempts race to rename
+    byte-identical files (partitions are deterministic), so read-back
+    row counts are exact in every case.
+
     ``crs_projjson`` is embedded verbatim under ``columns.<geom>.crs``
     (omit for the spec default OGC:CRS84 = WGS84 lon/lat). Returns the
     ``geo`` metadata dict that was written.
@@ -272,7 +282,6 @@ def write_geoparquet_std(df: DataFrame, path: str,
     import json
     import os
     import shutil
-    import uuid
 
     from ..functions import st_geometrytype, st_setsrid
 
@@ -310,22 +319,26 @@ def write_geoparquet_std(df: DataFrame, path: str,
     def _write(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        att = tc.taskAttemptId() if tc is not None else 0
+        final = os.path.join(path, f"part-{pid:05d}.parquet")
+        tmp = f"{final}.{att}.tmp"
         writer = None
-        fname = None
         n = 0
         for batch in batches:
             if writer is None:
                 schema = batch.schema.with_metadata(
                     {**(batch.schema.metadata or {}), b"geo": geo_bytes})
-                fname = os.path.join(
-                    path, f"part-{uuid.uuid4().hex}.parquet")
-                writer = pq.ParquetWriter(fname, schema)
+                writer = pq.ParquetWriter(tmp, schema)
             writer.write_batch(batch)
             n += batch.num_rows
         if writer is not None:
             writer.close()
+            os.replace(tmp, final)  # atomic per-task commit
             yield pa.RecordBatch.from_pydict(
-                {"file": pa.array([os.path.basename(fname)]),
+                {"file": pa.array([os.path.basename(final)]),
                  "rows": pa.array([n], type=pa.int64())})
 
     written = iso.mapInArrow(_write, "file string, rows long").collect()
@@ -335,7 +348,7 @@ def write_geoparquet_std(df: DataFrame, path: str,
         empty = spark_schema_to_arrow(iso)
         pq.write_table(
             empty.replace_schema_metadata({b"geo": geo_bytes}),
-            os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+            os.path.join(path, "part-00000.parquet"))
     return geo
 
 

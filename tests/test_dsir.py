@@ -60,6 +60,38 @@ def test_empty_text_scores_zero_not_dropped(spark):
     assert out[2] == 0
 
 
+def test_null_target_counts_as_not_target(spark):
+    # ADVICE r10: a bucket whose every row has a NULL target must get
+    # ct=0 (matching the oracle's CASE...ELSE 0), not a NULL sum that
+    # nulls lr_micro and drops the bucket from every doc's log-weight.
+    docs = _docs(spark, [(1, "aa aa aa"), (2, "bb bb bb"),
+                         (3, "aa aa aa")])
+    # target is NULL for every row: all buckets have ct=0, so every
+    # lr_micro = ln((1*(ts+B)) / ((B)*(cs+1))) is still defined and
+    # every doc keeps a finite (non-NULL) log-weight
+    tgt = F.when(F.col("doc_id") < 0, True).otherwise(F.lit(None)
+                                                      .cast("boolean"))
+    out = {r.doc_id: r.logw_micro
+           for r in dsir_select(docs, tgt, k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(v is not None for v in out.values())
+    # the buggy NULL-sum path coalesced every doc to exactly 0; the
+    # fixed path yields real (negative) smoothed log-ratios
+    assert any(v != 0 for v in out.values())
+    assert out[1] == out[3]
+
+
+def test_gumbel_u_strictly_interior():
+    # ADVICE r10: u = (h+1)/(2^32+1) stays in (0,1) even at the hash
+    # extremes, so -ln(-ln(u)) is always finite
+    import math
+    for h in (0, 1, 2**32 - 2, 2**32 - 1):
+        u = (h + 1) / 4294967297.0
+        assert 0.0 < u < 1.0
+        g = -math.log(-math.log(u))
+        assert math.isfinite(g)
+
+
 def test_validation(spark):
     docs = _docs(spark, [(1, "a")])
     with pytest.raises(ValueError):

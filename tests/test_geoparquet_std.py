@@ -29,6 +29,26 @@ def _pts(spark, n=200, srid=4326):
     return df
 
 
+def test_commit_protocol_deterministic_names(spark, tmp_path):
+    # r10 ADVICE: part files are named by partitionId (tmp + atomic
+    # rename), so a retried/speculative attempt overwrites its
+    # predecessor instead of leaving an orphan duplicate, and no
+    # .tmp debris survives a successful job
+    out = str(tmp_path / "gp")
+    write_geoparquet_std(_pts(spark).repartition(4), out)
+    names = sorted(os.path.basename(f)
+                   for f in glob.glob(os.path.join(out, "*")))
+    assert names == [f"part-{i:05d}.parquet" for i in range(4)]
+    # re-running the same write (fresh overwrite) yields the SAME
+    # file set — the retry-idempotency contract in miniature
+    write_geoparquet_std(_pts(spark).repartition(4), out)
+    names2 = sorted(os.path.basename(f)
+                    for f in glob.glob(os.path.join(out, "*")))
+    assert names2 == names
+    got = spark.read.parquet(out).count()
+    assert got == 200
+
+
 def test_geo_key_in_every_file(spark, tmp_path):
     out = str(tmp_path / "gp")
     geo = write_geoparquet_std(_pts(spark).repartition(4), out)

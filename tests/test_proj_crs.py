@@ -324,6 +324,60 @@ def test_vincenty_coincident_and_meridian():
                                                            abs=0.1)
 
 
+def test_vincenty_near_antipodal_contract():
+    # Deterministic-divergence contract (documented at
+    # geo/proj.py vincenty_m docstring): near-antipodal pairs return
+    # the fixed-8-round λ-iteration value, NOT the converged geodesic
+    # (the classical Vincenty inverse fails to converge there, and
+    # PostGIS's converged number differs). Pin the exact doubles so
+    # any change to the iteration count / order is a loud regression.
+    from datafusion_geo_spark.geo.proj import vincenty_m
+    cases = {
+        (0.0, 0.0, 179.9, 0.0): 19914725.340013977,
+        (0.0, 0.0, 179.9, 0.1): 19915618.74863518,
+        (10.0, 45.0, -169.95, -44.9): 19959087.737041734,
+        (0.0, 30.0, 179.9, -29.9): 19939264.869036093,
+    }
+    for args, want in cases.items():
+        assert vincenty_m(*args) == want
+    # GRS80 flavor of the equatorial case, same contract
+    assert vincenty_m(0.0, 0.0, 179.9, 0.0, GRS80) == 19914725.33935975
+
+
+def test_albers_inverse_pole_clamp():
+    # ADVICE r10: clamp qv itself to [-qp, qp] before the Newton loop
+    # so points at/beyond the pole radius stay bounded (the step
+    # divides by cos(φ)~1e-16 at the pole)
+    import numpy as np
+    alb = CRS_REGISTRY[5070]
+    xp, yp = alb.forward(-96.0, 90.0)
+    lon, lat = alb.inverse(xp, yp)
+    assert lat == 90.0 and abs(lon - (-96.0)) < 1e-9
+    # beyond the pole radius (toward the cone apex): φ pins to the
+    # pole instead of being kicked off by the unbounded residual
+    apex_y = alb.fn + alb.rho0
+    for y in ((yp + apex_y) / 2.0, apex_y - 1000.0):
+        lon2, lat2 = alb.inverse(alb.fe, y)
+        assert lat2 == 90.0 and math.isfinite(lon2)
+    # numpy batch path agrees
+    lons, lats = alb.inverse_np(np.array([xp, alb.fe]),
+                                np.array([yp, apex_y - 1000.0]))
+    assert lats[0] == 90.0 and lats[1] == 90.0
+
+
+def test_laea_inverse_pole_clamp():
+    import numpy as np
+    laea = CRS_REGISTRY[3035]
+    xl, yl = laea.forward(10.0, 90.0)
+    lon, lat = laea.inverse(xl, yl)
+    assert lat == 90.0 and lon == 10.0
+    # past the pole along the central meridian: still finite, ~pole
+    lon2, lat2 = laea.inverse(xl, yl + 5000.0)
+    assert math.isfinite(lat2) and lat2 > 89.9
+    lons, lats = laea.inverse_np(np.array([xl]), np.array([yl]))
+    assert lats[0] == 90.0
+
+
 def test_st_distancespheroid_kernel(spark):
     from datafusion_geo_spark.functions import (st_distancespheroid,
                                                 st_point)
