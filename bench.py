@@ -26,6 +26,15 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+# Steal-aware retry (r10 verdict item 1): a per-query timed window
+# whose hypervisor steal exceeds this many ticks (100 Hz × all cores;
+# 800 ≈ 8 stolen core-seconds) is re-run — up to MAX_ATTEMPTS total —
+# and the attempt with the LEAST steal is kept. r9/r10 evidence: clean
+# whole-bench sweeps carry 0.2–7k total ticks across 8 windows while
+# polluted ones carry 39k concentrated in 2–3 windows, so a per-window
+# threshold of 800 separates them. 0 disables.
+STEAL_RETRY_TICKS = int(os.environ.get("SPARK_GRAFT_STEAL_RETRY", "800"))
+MAX_ATTEMPTS = 3
 
 
 def build_spark():
@@ -108,6 +117,24 @@ def steal_ticks():
         return None
 
 
+def retry_needed(win_steal, n_attempts: int) -> bool:
+    """Re-run a timed window? Only when steal is measurable, the
+    threshold is enabled, the window tripped it, and the attempt
+    budget (MAX_ATTEMPTS) is not exhausted."""
+    return (win_steal is not None and STEAL_RETRY_TICKS > 0
+            and win_steal > STEAL_RETRY_TICKS
+            and n_attempts < MAX_ATTEMPTS)
+
+
+def cleanest(attempts):
+    """The attempt to publish: least hypervisor steal, ties broken by
+    fastest median (None steal sorts as 0 — nothing to rank on)."""
+    return min(attempts,
+               key=lambda a: (a["steal_ticks"]
+                              if a["steal_ticks"] is not None else 0,
+                              a["median"]))
+
+
 def bench_queries(spark):
     """name -> zero-arg callable returning a DataFrame."""
     import pyspark.sql.functions as F
@@ -165,6 +192,7 @@ def main() -> None:
     runs_all = {}
     telemetry = {}
     bench_start = jvm_counters(spark)
+    retried = 0
     for name, make in queries.items():
         # two warmups: codegen/python-worker spin-up on the first, AQE
         # plan stabilization on the second; GC between queries so one
@@ -172,18 +200,51 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         force(make())
         force(make())
-        load0 = os.getloadavg()
-        ctr0 = jvm_counters(spark)
-        st0 = steal_ticks()
-        runs = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            force(make())
-            runs.append(time.perf_counter() - t0)
-        ctr1 = jvm_counters(spark)
-        st1 = steal_ticks()
-        load1 = os.getloadavg()
-        timings[name] = round(statistics.median(runs), 4)
+        # Steal-aware attempts (r10 verdict item 1: two consecutive
+        # rounds shipped contention-polluted headlines that needed
+        # manual adjudication). Each attempt is a full timed window of
+        # RUNS runs with its own counter deltas; when the window's
+        # hypervisor steal exceeds STEAL_RETRY_TICKS the window is
+        # re-run (≤ MAX_ATTEMPTS), and the LEAST-stolen attempt is
+        # what lands in the compact line — every attempt is reported
+        # on the telemetry line so nothing is hidden.
+        attempts = []
+        while True:
+            load0 = os.getloadavg()
+            ctr0 = jvm_counters(spark)
+            st0 = steal_ticks()
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                force(make())
+                runs.append(time.perf_counter() - t0)
+            ctr1 = jvm_counters(spark)
+            st1 = steal_ticks()
+            load1 = os.getloadavg()
+            win_steal = st1 - st0 if None not in (st0, st1) else None
+            attempts.append({
+                "runs": [round(r, 4) for r in runs],
+                "median": round(statistics.median(runs), 4),
+                "steal_ticks": win_steal,
+                "loadavg_before": [round(x, 2) for x in load0],
+                "loadavg_after": [round(x, 2) for x in load1],
+                "gc_ms": (ctr1["gc_ms"] - ctr0["gc_ms"]
+                          if None not in (ctr0["gc_ms"], ctr1["gc_ms"])
+                          else None),
+                "task_ms": (ctr1["task_ms"] - ctr0["task_ms"]
+                            if None not in (ctr0["task_ms"],
+                                            ctr1["task_ms"]) else None),
+                "heap_used_mb": ctr1["heap_used_mb"],
+            })
+            if not retry_needed(win_steal, len(attempts)):
+                break
+        if len(attempts) > 1:
+            retried += 1
+        # cleanest attempt = least steal (tie: fastest median); all
+        # attempts stay on the diagnostics line
+        best = cleanest(attempts)
+        runs = best["runs"]
+        timings[name] = best["median"]
         # min..max over the timed runs: sub-second queries on a shared
         # box can swing ±3× run-to-run, so a single number without its
         # spread reads as a regression when it is noise (BASELINE.md §4)
@@ -191,18 +252,17 @@ def main() -> None:
         # r7 verdict item 2: an out-of-band number must arrive with its
         # own diagnosis — all timed runs (not just median/spread), host
         # load around the timed window, and GC/task-time deltas over it
-        runs_all[name] = [round(r, 4) for r in runs]
+        runs_all[name] = runs
         telemetry[name] = {
-            "loadavg_before": [round(x, 2) for x in load0],
-            "loadavg_after": [round(x, 2) for x in load1],
-            "gc_ms": (ctr1["gc_ms"] - ctr0["gc_ms"]
-                      if None not in (ctr0["gc_ms"], ctr1["gc_ms"]) else None),
-            "task_ms": (ctr1["task_ms"] - ctr0["task_ms"]
-                        if None not in (ctr0["task_ms"], ctr1["task_ms"])
-                        else None),
-            "heap_used_mb": ctr1["heap_used_mb"],
-            "steal_ticks": (st1 - st0
-                            if None not in (st0, st1) else None),
+            "loadavg_before": best["loadavg_before"],
+            "loadavg_after": best["loadavg_after"],
+            "gc_ms": best["gc_ms"],
+            "task_ms": best["task_ms"],
+            "heap_used_mb": best["heap_used_mb"],
+            "steal_ticks": best["steal_ticks"],
+            "attempts": [{"median": a["median"],
+                          "steal_ticks": a["steal_ticks"]}
+                         for a in attempts],
         }
 
     bench_end = jvm_counters(spark)
@@ -248,6 +308,10 @@ def main() -> None:
         "steal_ticks": (sum(t["steal_ticks"] for t in telemetry.values())
                         if all(t["steal_ticks"] is not None
                                for t in telemetry.values()) else None),
+        # windows that tripped the steal-retry and were re-run (their
+        # kept number is the least-stolen of ≤3 attempts; every
+        # attempt is on the diagnostics line)
+        "steal_retries": retried,
     }))
     spark.stop()
 

@@ -67,6 +67,28 @@ def test_last_stdout_line_is_compact_summary():
     assert len(json.dumps(fake)) < 1200
 
 
+def test_steal_retry_policy():
+    """r10 verdict item 1: a timed window whose hypervisor steal
+    exceeds the threshold is re-run (bounded at MAX_ATTEMPTS) and the
+    least-stolen attempt is published."""
+    thr = bench.STEAL_RETRY_TICKS
+    assert thr > 0 and bench.MAX_ATTEMPTS >= 2
+    # trips only on measurable steal above threshold with budget left
+    assert bench.retry_needed(thr + 1, 1)
+    assert not bench.retry_needed(thr, 1)          # at threshold: keep
+    assert not bench.retry_needed(None, 1)         # unmeasurable: keep
+    assert not bench.retry_needed(thr + 1, bench.MAX_ATTEMPTS)  # budget
+    # cleanest = least steal, tie-broken by fastest median
+    a = {"median": 5.0, "steal_ticks": 9000}
+    b = {"median": 9.0, "steal_ticks": 12}
+    c = {"median": 8.0, "steal_ticks": 12}
+    assert bench.cleanest([a, b, c]) is c
+    assert bench.cleanest([a]) is a
+    # None steal ranks as 0 (nothing to rank on) and never raises
+    d = {"median": 1.0, "steal_ticks": None}
+    assert bench.cleanest([a, d]) is d
+
+
 def test_steal_ticks_readable_and_monotone():
     """/proc/stat steal must read as a non-negative cumulative int on
     this platform (or None on exotic kernels — never an exception)."""
