@@ -1049,6 +1049,177 @@ CRS_REGISTRY[3035] = LAEA(GRS80, lat0=52.0, lon0=10.0,
                           fe=4321000.0, fn=3210000.0)
 
 
+# ------------------------------------------------------------ PROJJSON
+
+#: Published EPSG identification for every CRS_REGISTRY code (names,
+#: base geographic CRS, conversion method, parameters — all public
+#: EPSG registry data), used to EMIT PROJJSON into the GeoParquet
+#: sink's ``geo`` footer. The numeric parameters intentionally repeat
+#: the CRS_REGISTRY constructor values; test_proj_crs pins the two in
+#: agreement so they cannot drift apart.
+_GRS80_DATUM = ("North American Datum 1983", "GRS 1980",
+                6378137.0, 298.257222101)
+CRS_META = {
+    2263: {"name": "NAD83 / New York Long Island (ftUS)",
+           "base": (4269, "NAD83", _GRS80_DATUM),
+           "method": (9802, "Lambert Conic Conformal (2SP)"),
+           "params": [
+               (8821, "Latitude of false origin", 40.16666666666666),
+               (8822, "Longitude of false origin", -74.0),
+               (8823, "Latitude of 1st standard parallel",
+                41.03333333333333),
+               (8824, "Latitude of 2nd standard parallel",
+                40.66666666666666),
+               (8826, "Easting at false origin", 984250.0),
+               (8827, "Northing at false origin", 0.0)],
+           "unit": ("US survey foot", FT_US)},
+    32118: {"name": "NAD83 / New York Long Island",
+            "base": (4269, "NAD83", _GRS80_DATUM),
+            "method": (9802, "Lambert Conic Conformal (2SP)"),
+            "params": [
+                (8821, "Latitude of false origin", 40.16666666666666),
+                (8822, "Longitude of false origin", -74.0),
+                (8823, "Latitude of 1st standard parallel",
+                 41.03333333333333),
+                (8824, "Latitude of 2nd standard parallel",
+                 40.66666666666666),
+                (8826, "Easting at false origin", 300000.0),
+                (8827, "Northing at false origin", 0.0)],
+            "unit": ("metre", 1.0)},
+    2154: {"name": "RGF93 v1 / Lambert-93",
+           "base": (4171, "RGF93 v1",
+                    ("Reseau Geodesique Francais 1993 v1", "GRS 1980",
+                     6378137.0, 298.257222101)),
+           "method": (9802, "Lambert Conic Conformal (2SP)"),
+           "params": [
+               (8821, "Latitude of false origin", 46.5),
+               (8822, "Longitude of false origin", 3.0),
+               (8823, "Latitude of 1st standard parallel", 49.0),
+               (8824, "Latitude of 2nd standard parallel", 44.0),
+               (8826, "Easting at false origin", 700000.0),
+               (8827, "Northing at false origin", 6600000.0)],
+           "unit": ("metre", 1.0)},
+    5070: {"name": "NAD83 / Conus Albers",
+           "base": (4269, "NAD83", _GRS80_DATUM),
+           "method": (9822, "Albers Equal Area"),
+           "params": [
+               (8821, "Latitude of false origin", 23.0),
+               (8822, "Longitude of false origin", -96.0),
+               (8823, "Latitude of 1st standard parallel", 29.5),
+               (8824, "Latitude of 2nd standard parallel", 45.5),
+               (8826, "Easting at false origin", 0.0),
+               (8827, "Northing at false origin", 0.0)],
+           "unit": ("metre", 1.0)},
+    26917: {"name": "NAD83 / UTM zone 17N",
+            "base": (4269, "NAD83", _GRS80_DATUM),
+            "method": (9807, "Transverse Mercator"),
+            "params": [
+                (8801, "Latitude of natural origin", 0.0),
+                (8802, "Longitude of natural origin", -81.0),
+                (8805, "Scale factor at natural origin", 0.9996),
+                (8806, "False easting", 500000.0),
+                (8807, "False northing", 0.0)],
+            "unit": ("metre", 1.0)},
+    27700: {"name": "OSGB36 / British National Grid",
+            "base": (4277, "OSGB36",
+                     ("Ordnance Survey of Great Britain 1936",
+                      "Airy 1830", 6377563.396, 299.3249646)),
+            "method": (9807, "Transverse Mercator"),
+            "params": [
+                (8801, "Latitude of natural origin", 49.0),
+                (8802, "Longitude of natural origin", -2.0),
+                (8805, "Scale factor at natural origin", 0.9996012717),
+                (8806, "False easting", 400000.0),
+                (8807, "False northing", -100000.0)],
+            "unit": ("metre", 1.0)},
+    3035: {"name": "ETRS89-extended / LAEA Europe",
+           "base": (4258, "ETRS89",
+                    ("European Terrestrial Reference System 1989",
+                     "GRS 1980", 6378137.0, 298.257222101)),
+           "method": (9820, "Lambert Azimuthal Equal Area"),
+           "params": [
+               (8801, "Latitude of natural origin", 52.0),
+               (8802, "Longitude of natural origin", 10.0),
+               (8806, "False easting", 4321000.0),
+               (8807, "False northing", 3210000.0)],
+           "unit": ("metre", 1.0)},
+}
+
+#: Geographic CRSs emittable as PROJJSON (lon/lat data written with an
+#: explicit non-default stamp; 4326 itself is the spec default and the
+#: sink omits ``crs`` for it).
+_GEOGRAPHIC_META = {
+    4326: ("WGS 84", ("World Geodetic System 1984", "WGS 84",
+                      6378137.0, 298.257223563)),
+    4269: ("NAD83", _GRS80_DATUM),
+    4258: ("ETRS89", ("European Terrestrial Reference System 1989",
+                      "GRS 1980", 6378137.0, 298.257222101)),
+}
+
+
+def _geographic_crs(code: int, name: str, datum) -> dict:
+    dname, ename, a, invf = datum
+    return {
+        "type": "GeographicCRS", "name": name,
+        "datum": {"type": "GeodeticReferenceFrame", "name": dname,
+                  "ellipsoid": {"name": ename, "semi_major_axis": a,
+                                "inverse_flattening": invf}},
+        "coordinate_system": {
+            "subtype": "ellipsoidal",
+            "axis": [{"name": "Geodetic latitude", "abbreviation": "Lat",
+                      "direction": "north", "unit": "degree"},
+                     {"name": "Geodetic longitude", "abbreviation": "Lon",
+                      "direction": "east", "unit": "degree"}]},
+        "id": {"authority": "EPSG", "code": code},
+    }
+
+
+def projjson(code: int) -> dict:
+    """PROJJSON document for a registered EPSG code — the GeoParquet
+    ``columns.<geom>.crs`` payload (spec: CRS as PROJJSON, default
+    OGC:CRS84 when absent). Supports every CRS_REGISTRY code plus the
+    geographic bases; unknown codes raise a ValueError naming the
+    supported set (same contract as ST_Transform)."""
+    code = int(code)
+    if code in _GEOGRAPHIC_META:
+        name, datum = _GEOGRAPHIC_META[code]
+        return _geographic_crs(code, name, datum)
+    m = CRS_META.get(code)
+    if m is None:
+        raise ValueError(
+            f"projjson: EPSG:{code} is not a registered CRS "
+            f"(supported: {sorted(CRS_META)} projected, "
+            f"{sorted(_GEOGRAPHIC_META)} geographic)")
+    bcode, bname, bdatum = m["base"]
+    uname, ufactor = m["unit"]
+    unit = ("metre" if uname == "metre" else
+            {"type": "LinearUnit", "name": uname,
+             "conversion_factor": ufactor})
+    return {
+        "type": "ProjectedCRS", "name": m["name"],
+        "base_crs": _geographic_crs(bcode, bname, bdatum),
+        "conversion": {
+            "name": m["name"].split("/ ")[-1],
+            "method": {"name": m["method"][1],
+                       "id": {"authority": "EPSG",
+                              "code": m["method"][0]}},
+            "parameters": [
+                {"name": pname, "value": val,
+                 "unit": ("degree" if pcode in
+                          (8801, 8802, 8821, 8822, 8823, 8824)
+                          else "unity" if pcode == 8805 else unit),
+                 "id": {"authority": "EPSG", "code": pcode}}
+                for pcode, pname, val in m["params"]]},
+        "coordinate_system": {
+            "subtype": "Cartesian",
+            "axis": [{"name": "Easting", "abbreviation": "E",
+                      "direction": "east", "unit": unit},
+                     {"name": "Northing", "abbreviation": "N",
+                      "direction": "north", "unit": unit}]},
+        "id": {"authority": "EPSG", "code": code},
+    }
+
+
 def vincenty_direct(lon: float, lat: float, dist_m: float,
                     azimuth: float, ell: Ellipsoid = None,
                     iters: int = 8) -> tuple:

@@ -258,9 +258,13 @@ def write_geoparquet_std(df: DataFrame, path: str,
     not per-value), the ``geo`` JSON is built from ONE column-pruned
     aggregate (distinct geometry types + dataset bbox, both native
     min/max — no second pass through Python), and the files are
-    written by pyarrow ParquetWriters INSIDE ``mapInArrow`` tasks —
-    one writer per partition, Arrow batches stream through without a
-    driver collect, the exact DataSource-V2 writer shape. Paths are
+    written by pyarrow INSIDE ``mapInArrow`` tasks — one file per
+    partition, no driver collect, the exact DataSource-V2 writer
+    shape. Each task buffers its partition's Arrow batches to stamp
+    the file's OWN bbox into its footer (parquet footers are written
+    last but fixed at writer-open in pyarrow 16, so a one-partition
+    buffer — bounded by spark.sql.files.maxPartitionBytes upstream —
+    is the cost of per-file pruning metadata). Paths are
     task-local writes to a shared filesystem (local/NFS/fuse mounts;
     an object store would swap the open() for fsspec — the task
     structure is unchanged).
@@ -276,14 +280,20 @@ def write_geoparquet_std(df: DataFrame, path: str,
     row counts are exact in every case.
 
     ``crs_projjson`` is embedded verbatim under ``columns.<geom>.crs``
-    (omit for the spec default OGC:CRS84 = WGS84 lon/lat). Returns the
+    (omit for the spec default OGC:CRS84 = WGS84 lon/lat). When it is
+    omitted and every geometry carries the SAME registered non-4326
+    SRID (r10 verdict item 3), the PROJJSON is emitted automatically
+    from the engine's CRS registry (``geo.proj.projjson``) — the SRID
+    column of the same one-pass stats aggregate decides, so auto-CRS
+    costs no extra scan. Data with mixed or unregistered SRIDs writes
+    no ``crs`` (spec default), unchanged from before. Returns the
     ``geo`` metadata dict that was written.
     """
     import json
     import os
     import shutil
 
-    from ..functions import st_geometrytype, st_setsrid
+    from ..functions import st_geometrytype, st_setsrid, st_srid
 
     if mode == "overwrite" and os.path.isdir(path):
         shutil.rmtree(path)
@@ -293,13 +303,20 @@ def write_geoparquet_std(df: DataFrame, path: str,
 
     iso = df.withColumn(geom_col, st_setsrid(F.col(geom_col), 0))
     b = box2d(F.col(geom_col))
-    stats = (iso.select(st_geometrytype(F.col(geom_col)).alias("_t"),
-                        b["xmin"].alias("_x0"), b["ymin"].alias("_y0"),
-                        b["xmax"].alias("_x1"), b["ymax"].alias("_y1"))
+    stats = (df.select(st_geometrytype(F.col(geom_col)).alias("_t"),
+                       st_srid(F.col(geom_col)).alias("_s"),
+                       b["xmin"].alias("_x0"), b["ymin"].alias("_y0"),
+                       b["xmax"].alias("_x1"), b["ymax"].alias("_y1"))
              .agg(F.sort_array(F.collect_set("_t")).alias("types"),
+                  F.sort_array(F.collect_set("_s")).alias("srids"),
                   F.min("_x0").alias("x0"), F.min("_y0").alias("y0"),
                   F.max("_x1").alias("x1"), F.max("_y1").alias("y1"))
              .first())
+    if crs_projjson is None:
+        from ..geo.proj import CRS_META, projjson
+        srids = [s for s in (stats["srids"] or []) if s]
+        if len(srids) == 1 and srids[0] != 4326 and srids[0] in CRS_META:
+            crs_projjson = projjson(srids[0])
     col_meta = {
         "encoding": "WKB",
         # engine type names are PostGIS-style ST_Point -> spec Point
@@ -316,8 +333,23 @@ def write_geoparquet_std(df: DataFrame, path: str,
            "columns": {geom_col: col_meta}}
     geo_bytes = json.dumps(geo, sort_keys=True).encode("utf-8")
 
+    # Per-FILE bbox (r10 verdict item 4): each task rewrites its own
+    # ``geo`` key with the bbox of the geometries IN THAT FILE (the
+    # spec's reading — file metadata describes the file), computed
+    # from hidden Box2D helper columns that are aggregated and
+    # dropped inside the task. This is what makes the read side's
+    # footer-bbox file pruning effective; the returned dict (and the
+    # zero-row file) keep the dataset-level bbox.
+    _HX = ["__gp_x0", "__gp_y0", "__gp_x1", "__gp_y1"]
+    bx = box2d(F.col(geom_col))
+    withbb = (iso.withColumn(_HX[0], bx["xmin"])
+              .withColumn(_HX[1], bx["ymin"])
+              .withColumn(_HX[2], bx["xmax"])
+              .withColumn(_HX[3], bx["ymax"]))
+
     def _write(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
         tc = TaskContext.get()
@@ -325,23 +357,39 @@ def write_geoparquet_std(df: DataFrame, path: str,
         att = tc.taskAttemptId() if tc is not None else 0
         final = os.path.join(path, f"part-{pid:05d}.parquet")
         tmp = f"{final}.{att}.tmp"
-        writer = None
+        chunks = []
         n = 0
+        fb = [None, None, None, None]  # file bbox accumulators
         for batch in batches:
-            if writer is None:
-                schema = batch.schema.with_metadata(
-                    {**(batch.schema.metadata or {}), b"geo": geo_bytes})
-                writer = pq.ParquetWriter(tmp, schema)
-            writer.write_batch(batch)
+            for j, (cname, agg) in enumerate(zip(
+                    _HX, (pc.min, pc.min, pc.max, pc.max))):
+                v = agg(batch.column(cname)).as_py()
+                if v is not None:
+                    fb[j] = v if fb[j] is None else \
+                        (min if j < 2 else max)(fb[j], v)
+            keep = [i for i, f_ in enumerate(batch.schema)
+                    if f_.name not in _HX]
+            chunks.append(batch.select(keep))
             n += batch.num_rows
-        if writer is not None:
-            writer.close()
+        if chunks:
+            fgeo = json.loads(geo_bytes.decode("utf-8"))
+            fcol = fgeo["columns"][geom_col]
+            if fb[0] is not None:
+                fcol["bbox"] = fb
+            else:
+                fcol.pop("bbox", None)  # all-NULL-geometry file
+            fbytes = json.dumps(fgeo, sort_keys=True).encode("utf-8")
+            table = pa.Table.from_batches(chunks)
+            table = table.replace_schema_metadata(
+                {**(chunks[0].schema.metadata or {}), b"geo": fbytes})
+            pq.write_table(table, tmp)
             os.replace(tmp, final)  # atomic per-task commit
             yield pa.RecordBatch.from_pydict(
                 {"file": pa.array([os.path.basename(final)]),
                  "rows": pa.array([n], type=pa.int64())})
 
-    written = iso.mapInArrow(_write, "file string, rows long").collect()
+    written = withbb.mapInArrow(_write, "file string, rows long") \
+        .collect()
     if not written:  # empty input: still emit one all-metadata file
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -390,16 +438,51 @@ def geoparquet_metadata(path: str) -> Optional[dict]:
 
 
 def read_geoparquet_std(spark: SparkSession, path: str,
-                        set_srid: bool = True) -> DataFrame:
+                        set_srid: bool = True,
+                        bbox: Optional[Tuple[float, float, float,
+                                             float]] = None) -> DataFrame:
     """Read a standard-GeoParquet dataset with ``geo``-footer
     auto-discovery: plain spark.read.parquet, plus — when the primary
     column's PROJJSON ``crs`` carries an EPSG id and ``set_srid`` —
     the geometry column re-stamped with that SRID (EWKB), restoring
     what the spec's ISO-WKB value encoding intentionally strips.
     Datasets without the footer key read back unchanged, so this is a
-    drop-in for spark.read.parquet on any parquet directory."""
-    df = spark.read.parquet(path)
+    drop-in for spark.read.parquet on any parquet directory.
+
+    With ``bbox=(xmin, ymin, xmax, ymax)`` (r10 verdict item 4), files
+    whose footer ``geo`` bbox does not intersect the window are
+    PRUNED from the scan — the sink stamps each file's own bbox, so
+    this is the footer-metadata twin of the covering-layout reader's
+    partition pruning (``read_geo_parquet``). Footer reads are
+    metadata-only (no data pages); files without a footer bbox are
+    conservatively kept. The result still contains every row of the
+    surviving files — apply the exact spatial predicate on top, same
+    as any stats-pruned scan."""
+    import glob as _glob
+    import json
+
+    import pyarrow.parquet as pq
+
     geo = geoparquet_metadata(path)
+    if bbox is not None and geo:
+        qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
+        pcol = geo.get("primary_column")
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        kept = []
+        for f in files:
+            md = pq.read_schema(f).metadata or {}
+            fgeo = (json.loads(md[b"geo"].decode("utf-8"))
+                    if b"geo" in md else {})
+            fb = (fgeo.get("columns", {}).get(pcol, {}) or {}) \
+                .get("bbox")
+            if fb is None or not (fb[2] < qx0 or fb[0] > qx1
+                                  or fb[3] < qy0 or fb[1] > qy1):
+                kept.append(f)
+        if not kept:  # nothing intersects: empty frame, same schema
+            return spark.read.parquet(path).where(F.lit(False))
+        df = spark.read.parquet(*kept)
+    else:
+        df = spark.read.parquet(path)
     if not geo or not set_srid:
         return df
     col = geo.get("primary_column")

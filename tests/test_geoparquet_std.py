@@ -54,10 +54,57 @@ def test_geo_key_in_every_file(spark, tmp_path):
     geo = write_geoparquet_std(_pts(spark).repartition(4), out)
     files = sorted(glob.glob(os.path.join(out, "*.parquet")))
     assert len(files) >= 2  # several partitions -> several files
+    ds_bbox = geo["columns"]["geom"]["bbox"]
     for f in files:
         md = pq.read_schema(f).metadata
         assert b"geo" in md, f
-        assert json.loads(md[b"geo"]) == geo
+        fgeo = json.loads(md[b"geo"])
+        # the file's geo key matches the dataset's except bbox, which
+        # is the FILE's own bbox (within the dataset bbox) — the
+        # footer-pruning contract
+        fb = fgeo["columns"]["geom"].pop("bbox")
+        ref = {k: v for k, v in geo["columns"]["geom"].items()
+               if k != "bbox"}
+        assert fgeo["columns"]["geom"] == ref
+        assert (fb[0] >= ds_bbox[0] and fb[1] >= ds_bbox[1]
+                and fb[2] <= ds_bbox[2] and fb[3] <= ds_bbox[3])
+    # the union of file bboxes reconstructs the dataset bbox exactly
+    fbs = [json.loads(pq.read_schema(f).metadata[b"geo"])
+           ["columns"]["geom"]["bbox"] for f in files]
+    assert [min(b[0] for b in fbs), min(b[1] for b in fbs),
+            max(b[2] for b in fbs), max(b[3] for b in fbs)] == ds_bbox
+
+
+def test_bbox_file_pruning(spark, tmp_path):
+    # r10 verdict item 4, pinned by a files-read assertion: a window
+    # that misses a file's footer bbox never opens that file
+    from datafusion_geo_spark.sources.geoio import read_geoparquet_std
+    out = str(tmp_path / "gp")
+    # two range-partitioned files: x in [0, 35] and x in [1000, 1035]
+    far = _pts(spark).withColumn(
+        "geom", st_point(F.col("id").cast("double") % 36 + 1000.0,
+                         (F.col("id") % 17).cast("double")))
+    from datafusion_geo_spark.functions import st_x
+    both = (_pts(spark).union(far)
+            .repartitionByRange(2, st_x(F.col("geom"))))
+    write_geoparquet_std(both, out)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 2
+    # window over the low cluster only
+    got = read_geoparquet_std(spark, out, bbox=(0.0, 0.0, 50.0, 20.0))
+    assert got.count() == 200
+    opened = {os.path.basename(r.f) for r in got.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert len(opened) == 1  # ONE file read, the other pruned
+    # window over the far cluster
+    got2 = read_geoparquet_std(spark, out,
+                               bbox=(1000.0, 0.0, 1100.0, 20.0))
+    assert got2.count() == 200
+    # window missing everything: empty result, schema intact
+    got3 = read_geoparquet_std(spark, out,
+                               bbox=(500.0, 0.0, 600.0, 20.0))
+    assert got3.count() == 0
+    assert got3.columns == got.columns
 
 
 def test_geo_metadata_content(spark, tmp_path):
@@ -80,6 +127,36 @@ def test_crs_projjson_passthrough(spark, tmp_path):
     geo = write_geoparquet_std(_pts(spark), out, crs_projjson=crs)
     assert geo["columns"]["geom"]["crs"] == crs
     assert geoparquet_metadata(out)["columns"]["geom"]["crs"] == crs
+
+
+def test_auto_projjson_from_registry_roundtrip(spark, tmp_path):
+    # r10 verdict item 3: data uniformly stamped with a registered
+    # SRID gets its PROJJSON emitted automatically from CRS_META, and
+    # the read side re-stamps the SRID from the footer — a full
+    # write/read CRS round-trip with no caller-supplied PROJJSON
+    from datafusion_geo_spark.sources.geoio import read_geoparquet_std
+    out = str(tmp_path / "gp")
+    geo = write_geoparquet_std(_pts(spark, srid=2263), out)
+    crs = geo["columns"]["geom"]["crs"]
+    assert crs["id"] == {"authority": "EPSG", "code": 2263}
+    assert crs["name"] == "NAD83 / New York Long Island (ftUS)"
+    assert crs["conversion"]["method"]["id"]["code"] == 9802
+    back = read_geoparquet_std(spark, out)
+    got = back.select(st_srid(F.col("geom")).alias("s")).distinct() \
+        .collect()
+    assert [r.s for r in got] == [2263]
+
+
+def test_auto_projjson_skips_default_and_mixed(spark, tmp_path):
+    # 4326 stays on the spec default (no crs key); mixed SRIDs write
+    # no crs either (can't be represented by one PROJJSON)
+    out1 = str(tmp_path / "gp4326")
+    geo = write_geoparquet_std(_pts(spark, srid=4326), out1)
+    assert "crs" not in geo["columns"]["geom"]
+    out2 = str(tmp_path / "gpmix")
+    mixed = _pts(spark, 50, srid=2263).union(_pts(spark, 50, srid=3035))
+    geo2 = write_geoparquet_std(mixed, out2)
+    assert "crs" not in geo2["columns"]["geom"]
 
 
 def test_iso_wkb_no_ewkb_header_and_roundtrip(spark, tmp_path):

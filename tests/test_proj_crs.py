@@ -286,6 +286,61 @@ def test_kernel_batch_inverse_fast_path(spark):
     assert r.srid == 4326
 
 
+# ------------------------------------------------- PROJJSON emission
+
+def test_projjson_covers_registry_and_agrees():
+    """CRS_META (the PROJJSON source) and CRS_REGISTRY (the transform
+    engine) repeat the same published EPSG numbers — pin them together
+    so they cannot drift: every registry code has meta, and the meta's
+    origin/FE/FN/unit equal the live instance's attributes."""
+    from datafusion_geo_spark.geo.proj import (CRS_META, DEG2RAD,
+                                               projjson)
+    assert set(CRS_META) == set(CRS_REGISTRY)
+    for code, meta in CRS_META.items():
+        inst = CRS_REGISTRY[code]
+        params = {p[0]: p[2] for p in meta["params"]}
+        lon0 = params.get(8822, params.get(8802))
+        fe = params.get(8826, params.get(8806))
+        fn = params.get(8827, params.get(8807))
+        assert inst.lon0 == lon0 * DEG2RAD, code
+        assert inst.fe == fe, code
+        if meta["method"][0] != 9807:
+            # TMGeneric folds lat0's rectifying northing into .fn;
+            # the conics/LAEA store the raw false northing
+            assert inst.fn == fn, code
+        assert inst.unit_m == meta["unit"][1], code
+        # projecting the declared origin lands exactly on (FE, FN) —
+        # pins the latitude params too. 27700's Helmert datum shifts
+        # the WGS84 origin, so its meta params are pinned through a
+        # datum-free twin built FROM the meta instead.
+        lat0 = params.get(8821, params.get(8801))
+        probe = inst
+        if code == 27700:
+            probe = TMGeneric(AIRY1830, lat0=lat0, lon0=lon0,
+                              k0=params[8805], fe=fe, fn=fn)
+        e, n = probe.forward(lon0, lat0)
+        assert e == pytest.approx(fe, abs=1e-6), code
+        assert n == pytest.approx(fn, abs=1e-6), code
+
+
+def test_projjson_shape_and_ids():
+    from datafusion_geo_spark.geo.proj import projjson
+    doc = projjson(2263)
+    assert doc["type"] == "ProjectedCRS"
+    assert doc["id"] == {"authority": "EPSG", "code": 2263}
+    assert doc["base_crs"]["id"]["code"] == 4269
+    assert doc["conversion"]["method"]["id"]["code"] == 9802
+    # ftUS axis unit carries the exact conversion factor
+    unit = doc["coordinate_system"]["axis"][0]["unit"]
+    assert unit["conversion_factor"] == FT_US
+    # geographic flavor
+    g = projjson(4326)
+    assert g["type"] == "GeographicCRS" and g["id"]["code"] == 4326
+    # unknown code: clean ValueError naming the supported set
+    with pytest.raises(ValueError, match="not a registered CRS"):
+        projjson(99999)
+
+
 # ---------------------------------------- Vincenty spheroid distance
 
 def test_vincenty_published_example():
