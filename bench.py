@@ -265,6 +265,21 @@ def main() -> None:
                          for a in attempts],
         }
 
+    # rotation-debt dashboard (r10 verdict item 8): once per round —
+    # the driver runs bench.py per round — append the gate-staleness
+    # histogram to PROGRESS.jsonl and echo it on a telemetry line.
+    # Telemetry never fails the bench.
+    try:
+        import __spark_entry__ as entrymod
+        rep = entrymod.rotation_report()
+        rep["ts"] = time.time()
+        print(json.dumps(rep))
+        with open(os.path.join(os.path.dirname(os.path.abspath(
+                __file__)), "PROGRESS.jsonl"), "a") as fh:
+            fh.write(json.dumps(rep) + "\n")
+    except Exception:
+        pass
+
     bench_end = jvm_counters(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Two lines, deliberately: the driver machine-reads the LAST stdout

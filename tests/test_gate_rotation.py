@@ -23,3 +23,43 @@ def test_every_query_has_an_oracle_and_vice_versa():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert q == o, (sorted(q - o), sorted(o - q))
+
+
+def test_rotation_report_shape(tmp_path):
+    """rotation_report (r10 verdict item 8) over a synthetic
+    CORRECTNESS history: latest-round union, histogram, never-gated
+    detection, and the gate-coverage count."""
+    import json
+    names = list(entrymod.queries())
+    a, b, c = names[0], names[1], names[2]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({a: {}, b: {}}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({b: {}}))
+    rep = entrymod.rotation_report(str(tmp_path))
+    assert rep["kind"] == "rotation_report"
+    assert rep["declared"] == len(names)
+    assert rep["histogram"] == {"1": 1, "2": 1}
+    assert rep["oldest_round"] == 1
+    assert rep["oldest_queries"] == [a]
+    assert c in rep["never_gated"]
+    assert len(rep["never_gated"]) == len(names) - 2
+    # a, b, c are all in _FIRST50 (gate prefix == first names): a is
+    # oldest, b is not, c is never-gated -> both a and c count
+    assert rep["gate_oldest_or_new_slots"] == 49  # all but b
+
+
+def test_rotation_report_live_history():
+    """Against the real repo history: every declared query is either
+    driver-checked in some round or a THIS-round addition, and the
+    current gate re-gates the whole oldest block plus the new ones."""
+    rep = entrymod.rotation_report()
+    assert rep["declared"] == len(list(entrymod.queries()))
+    checked = sum(rep["histogram"].values())
+    assert checked + len(rep["never_gated"]) == rep["declared"]
+    # round-11 gate contract: the full oldest block and every
+    # never-gated query hold gate slots
+    gate = set(entrymod._FIRST50)
+    for n in rep["never_gated"]:
+        assert n in gate, n
+    for n in rep["oldest_queries"]:
+        assert n in gate, n
