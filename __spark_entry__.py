@@ -3519,6 +3519,38 @@ def _q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bpe_fertility_micro") - uni_fm).alias("delta_micro"))
 
 
+def _q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-GeoParquet sink+source round trip (sources/geoio.py
+    write_geoparquet_std / read_geoparquet_std, r11): write the
+    customer points STAMPED EPSG:32118 with a 1.1 covering bbox
+    column, read back through footer auto-discovery, and emit
+    (c_custkey, wkt_out, srid). What the gate pins: ISO-WKB value
+    round-trip (wkt bit-equal), the SRID carried ONLY by metadata —
+    stripped to ISO WKB on write, PROJJSON auto-emitted from the CRS
+    registry (the stamp is a tag round-trip, no reprojection), re-
+    stamped from the footer on read — and the covering column riding
+    along without disturbing the data columns. Oracle replays the
+    fixture arithmetic (x = key%360-180 integral -> bare int in WKT;
+    y = nation*3-37.5 always .5 -> one decimal)."""
+    import os
+    from datafusion_geo_spark.functions import (st_astext, st_setsrid,
+                                                st_srid)
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    from datafusion_geo_spark.sources.geoio import (read_geoparquet_std,
+                                                    write_geoparquet_std)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "geoparquet_std", tag)
+    src = (points_customer(spark, sf_dir)
+           .select("c_custkey",
+                   st_setsrid(F.col("geom"), 32118).alias("geom")))
+    write_geoparquet_std(src, path, covering=True)
+    back = read_geoparquet_std(spark, path)
+    return back.select("c_custkey",
+                       st_astext(F.col("geom")).alias("wkt_out"),
+                       st_srid(F.col("geom")).alias("srid"))
+
+
 def _q_sp_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-tokenizer round trip, BPE (operators/sp_export.py, r10
     verdict item 6): export the 8-merge fit as merges.txt (the GPT-2 /
@@ -5423,9 +5455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_wer": _q_streaming_wer,
         "streaming_unigram_fertility": _q_streaming_unigram_fertility,
         "tokenizer_compare": _q_tokenizer_compare,
-        # --- NEW round 11: shipped-tokenizer artifact round trips ---
+        # --- NEW round 11: shipped-tokenizer artifact round trips,
+        #     standard-GeoParquet sink round trip ---
         "sp_bpe_roundtrip": _q_sp_bpe_roundtrip,
         "sp_unigram_roundtrip": _q_sp_unigram_roundtrip,
+        "geoparquet_roundtrip": _q_geoparquet_roundtrip,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5436,8 +5470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: (round-11 rotation — see the rotation policy in queries()).
 _FIRST50 = [
     # ---- ROUND-11 GATE ----
-    # new round-11 queries (never gated): tokenizer artifact exports
-    "sp_bpe_roundtrip", "sp_unigram_roundtrip",
+    # new round-11 queries (never gated): tokenizer artifact exports,
+    # standard-GeoParquet sink round trip
+    "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5465,7 +5500,9 @@ _FIRST50 = [
     "accessors2_literal", "audio_frames", "batch_sessions",
     "bloom_new_docs", "bpe_merges", "buildarea_literal",
     "count_min_topk", "dedup_keep_one", "edit_utils_literal",
-    "embed_quantize", "geom_edit_points", "geometric_median",
+    "embed_quantize", "geom_edit_points",
+    # (geometric_median displaced to 51+ by geoparquet_roundtrip; it
+    # leads r12's r6-block pool)
 ]
 
 
@@ -12051,6 +12088,18 @@ def oracle_sql() -> dict[str, str]:
     # replay chain — any export/parse loss shows up as a hash mismatch
     out["sp_bpe_roundtrip"] = out["tokenizer_fertility"]
     out["sp_unigram_roundtrip"] = out["unigram_fertility"]
+    # sink round trip: values replay from the fixture arithmetic; the
+    # SRID exists only as footer PROJJSON between write and read
+    out["geoparquet_roundtrip"] = """
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 'POINT(' || (c_custkey % 360 - 180)::VARCHAR
+                         || ' ' || (c_nationkey * 3 - 37.5)::VARCHAR
+                         || ')' END AS wkt_out,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 32118 END AS srid
+        FROM customer
+    """
     out["tokenizer_compare"] = f"""
         SELECT b.lang,
                b.fertility_micro AS bpe_fertility_micro,

@@ -244,7 +244,8 @@ GEOPARQUET_VERSION = "1.1.0"
 def write_geoparquet_std(df: DataFrame, path: str,
                          geom_col: str = "geom",
                          mode: str = "overwrite",
-                         crs_projjson: Optional[dict] = None) -> dict:
+                         crs_projjson: Optional[dict] = None,
+                         covering: bool = False) -> dict:
     """Standard GeoParquet sink (r9 verdict gap 2): every data file
     carries the spec's ``geo`` key in its parquet footer metadata, so
     external readers (GDAL >= 3.5, geopandas.read_parquet) auto-
@@ -288,6 +289,15 @@ def write_geoparquet_std(df: DataFrame, path: str,
     costs no extra scan. Data with mixed or unregistered SRIDs writes
     no ``crs`` (spec default), unchanged from before. Returns the
     ``geo`` metadata dict that was written.
+
+    ``covering=True`` additionally persists a ``bbox`` struct column
+    (xmin/ymin/xmax/ymax doubles) and declares it under
+    ``columns.<geom>.covering.bbox`` — the GeoParquet 1.1 "covering"
+    mechanism. This is the ROW-GROUP-scale pruning path: parquet
+    min/max statistics on the struct children let any reader (and
+    ``read_geoparquet_std``'s bbox filter) skip row groups, the layer
+    below the per-FILE footer-bbox pruning, and the layer a 100 TB
+    scan actually lives on.
     """
     import json
     import os
@@ -323,6 +333,10 @@ def write_geoparquet_std(df: DataFrame, path: str,
         "geometry_types": [t[3:] if t.startswith("ST_") else t
                            for t in (stats["types"] or [])],
     }
+    if covering:
+        col_meta["covering"] = {"bbox": {
+            "xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
+            "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"]}}
     if stats["x0"] is not None:
         col_meta["bbox"] = [stats["x0"], stats["y0"],
                             stats["x1"], stats["y1"]]
@@ -342,7 +356,12 @@ def write_geoparquet_std(df: DataFrame, path: str,
     # zero-row file) keep the dataset-level bbox.
     _HX = ["__gp_x0", "__gp_y0", "__gp_x1", "__gp_y1"]
     bx = box2d(F.col(geom_col))
-    withbb = (iso.withColumn(_HX[0], bx["xmin"])
+    withbb = iso
+    if covering:  # persisted covering column, spec field names
+        withbb = withbb.withColumn("bbox", F.struct(
+            bx["xmin"].alias("xmin"), bx["ymin"].alias("ymin"),
+            bx["xmax"].alias("xmax"), bx["ymax"].alias("ymax")))
+    withbb = (withbb.withColumn(_HX[0], bx["xmin"])
               .withColumn(_HX[1], bx["ymin"])
               .withColumn(_HX[2], bx["xmax"])
               .withColumn(_HX[3], bx["ymax"]))
@@ -455,9 +474,13 @@ def read_geoparquet_std(spark: SparkSession, path: str,
     this is the footer-metadata twin of the covering-layout reader's
     partition pruning (``read_geo_parquet``). Footer reads are
     metadata-only (no data pages); files without a footer bbox are
-    conservatively kept. The result still contains every row of the
-    surviving files — apply the exact spatial predicate on top, same
-    as any stats-pruned scan."""
+    conservatively kept. When the dataset declares a 1.1 ``covering``
+    bbox column, the window additionally becomes a row-level range
+    filter on it — pushed to parquet column statistics for row-group
+    skipping (NULL-geometry rows are dropped by it, like any bbox
+    candidate filter). Without a covering, the result contains every
+    row of the surviving files — apply the exact spatial predicate on
+    top, same as any stats-pruned scan."""
     import glob as _glob
     import json
 
@@ -483,6 +506,16 @@ def read_geoparquet_std(spark: SparkSession, path: str,
         df = spark.read.parquet(*kept)
     else:
         df = spark.read.parquet(path)
+    if bbox is not None and geo:
+        cov = ((geo.get("columns", {})
+                .get(geo.get("primary_column"), {}) or {})
+               .get("covering", {}) or {}).get("bbox")
+        if cov:
+            qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
+            cx0, cy0 = ".".join(cov["xmin"]), ".".join(cov["ymin"])
+            cx1, cy1 = ".".join(cov["xmax"]), ".".join(cov["ymax"])
+            df = df.where((F.col(cx0) <= qx1) & (F.col(cx1) >= qx0)
+                          & (F.col(cy0) <= qy1) & (F.col(cy1) >= qy0))
     if not geo or not set_srid:
         return df
     col = geo.get("primary_column")

@@ -159,6 +159,32 @@ def test_auto_projjson_skips_default_and_mixed(spark, tmp_path):
     assert "crs" not in geo2["columns"]["geom"]
 
 
+def test_covering_bbox_column_and_pushdown(spark, tmp_path):
+    # GeoParquet 1.1 covering: a persisted bbox struct declared in the
+    # footer; the read-side bbox window becomes a row-level range
+    # filter PUSHED to the parquet scan (row-group stats skipping —
+    # the scale layer below per-file footer pruning)
+    from datafusion_geo_spark.sources.geoio import read_geoparquet_std
+    out = str(tmp_path / "gp")
+    geo = write_geoparquet_std(_pts(spark), out, covering=True)
+    cov = geo["columns"]["geom"]["covering"]["bbox"]
+    assert cov == {"xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
+                   "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"]}
+    back = spark.read.parquet(out)
+    assert "bbox" in back.columns
+    row = back.where(F.col("id") == 3).select("bbox").collect()[0].bbox
+    assert (row.xmin, row.ymin, row.xmax, row.ymax) == \
+        (3.0, 3.0, 3.0, 3.0)
+    # windowed read: only intersecting rows survive, and the range
+    # predicate reaches the scan (PushedFilters on the struct fields)
+    got = read_geoparquet_std(spark, out, bbox=(0.0, 0.0, 9.5, 9.5))
+    ids = {r.id for r in got.select("id").collect()}
+    assert ids == {i for i in range(200)
+                   if i % 36 <= 9 and i % 17 <= 9}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bbox.xmin" in plan, plan[:2000]
+
+
 def test_iso_wkb_no_ewkb_header_and_roundtrip(spark, tmp_path):
     out = str(tmp_path / "gp")
     src = _pts(spark, srid=4326)
