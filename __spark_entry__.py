@@ -2720,6 +2720,18 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bucketed_topk(_embs(spark, sf_dir))
 
 
+def _q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval (operators/similarity.py
+    binary_quantize + hamming_topk, r11): 1-bit sign quantization (32
+    dims per int64 word) and top-10 by exact integer Hamming distance
+    — the 32x-compressed first stage of a retrieve-then-rerank funnel,
+    completing the quantization family (int8 embed_quantize, PQ/ADC,
+    and now binary). All-integer distances, so the oracle replays the
+    pack + bit_count(xor) ranking bit-for-bit."""
+    from datafusion_geo_spark.operators.similarity import hamming_topk
+    return hamming_topk(_embs(spark, sf_dir))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + mapInPandas batch
     feature extraction. Decode is environment-adaptive (PIL when
@@ -5460,6 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_bpe_roundtrip": _q_sp_bpe_roundtrip,
         "sp_unigram_roundtrip": _q_sp_unigram_roundtrip,
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
+        "hamming_topk": _q_hamming_topk,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5471,8 +5484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FIRST50 = [
     # ---- ROUND-11 GATE ----
     # new round-11 queries (never gated): tokenizer artifact exports,
-    # standard-GeoParquet sink round trip
+    # standard-GeoParquet sink round trip, binary-embedding retrieval
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
+    "hamming_topk",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5500,9 +5514,9 @@ _FIRST50 = [
     "accessors2_literal", "audio_frames", "batch_sessions",
     "bloom_new_docs", "bpe_merges", "buildarea_literal",
     "count_min_topk", "dedup_keep_one", "edit_utils_literal",
-    "embed_quantize", "geom_edit_points",
-    # (geometric_median displaced to 51+ by geoparquet_roundtrip; it
-    # leads r12's r6-block pool)
+    "embed_quantize",
+    # (geometric_median / geom_edit_points displaced to 51+ by
+    # geoparquet_roundtrip + hamming_topk; they lead r12's pool)
 ]
 
 
@@ -12088,6 +12102,36 @@ def oracle_sql() -> dict[str, str]:
     # replay chain — any export/parse loss shows up as a hash mismatch
     out["sp_bpe_roundtrip"] = out["tokenizer_fertility"]
     out["sp_unigram_roundtrip"] = out["unigram_fertility"]
+    # binary embeddings: the pack (bit j of word w = dim[32w+j] > 0,
+    # 2^j exact for j <= 31) and the bit_count(xor) distance are all
+    # integer — full replay. dim = 64 (the fixture embedding), so the
+    # dim range is a constant (DuckDB laterals can't take column args)
+    out["hamming_topk"] = """
+        WITH vecs AS (SELECT vec_id,
+                             list_transform(embedding, x -> x::DOUBLE)
+                               AS v
+                      FROM embeddings),
+        words AS (
+          SELECT vec_id, (j // 32) AS w,
+                 SUM(CASE WHEN v[j + 1] > 0
+                          THEN (1::BIGINT << (j % 32))
+                          ELSE 0::BIGINT END)::BIGINT AS word
+          FROM vecs, unnest(range(0, 64)) AS t(j)
+          GROUP BY vec_id, (j // 32)
+        ),
+        d AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(bit_count(xor(q.word, c.word)))::BIGINT AS hamming
+          FROM words q JOIN words c ON q.w = c.w
+          WHERE q.vec_id < 8 AND c.vec_id != q.vec_id
+          GROUP BY q.vec_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, hamming, rank::INT AS rank FROM (
+          SELECT query_id, neighbor_id, hamming,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) AS rank
+          FROM d) WHERE rank <= 10
+    """
     # sink round trip: values replay from the fixture arithmetic; the
     # SRID exists only as footer PROJJSON between write and read
     out["geoparquet_roundtrip"] = """

@@ -726,6 +726,81 @@ def quantization_report(emb: DataFrame, id_col: str = "vec_id",
         err.alias("err_nano"))
 
 
+# Binary (1-bit) quantization + Hamming retrieval ------------------------
+
+#: dims packed per int64 word — 32, not 64: bit 63 would flip a word
+#: negative, and DuckDB's left shift refuses 1 << 63, so half-packing
+#: keeps BOTH engines' replay total. Hamming math is unchanged; the
+#: code is still 32x smaller than float32.
+BIN_WORD_BITS = 32
+
+
+def binary_quantize(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """1-bit sign quantization (binary embeddings): bit j of word w is
+    set iff x[w*32 + j] > 0 — the extreme compression point of the
+    quantization family (int8 = :func:`quantize_embeddings`, PQ below),
+    used for Hamming-distance retrieval and rerank funnels. Pure JVM
+    higher-order builtins, zero Python: each word is a zip_with of the
+    dim slice against bit positions (2^j exact for j <= 31) folded by
+    an int64 sum — distinct powers, so the fold can never overflow.
+    Returns (id_col, b array<long> of ceil(d/32) words, n_dims int)."""
+    v = as_double(F.col(vec_col))
+    nw = F.ceil(F.size(v) / F.lit(BIN_WORD_BITS)).cast("int")
+
+    def word(w):
+        sl = F.slice(v, w * F.lit(BIN_WORD_BITS) + F.lit(1),
+                     F.lit(BIN_WORD_BITS))
+        # zip_with pads the short last slice with NULL dims -> bit 0
+        bits = F.zip_with(
+            sl, F.sequence(F.lit(0), F.lit(BIN_WORD_BITS - 1)),
+            lambda x, j: F.when(x > 0, F.pow(F.lit(2.0), j)
+                                .cast("long"))
+                          .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(bits, F.lit(0).cast("long"),
+                           lambda a, b: a + b)
+
+    return emb.select(
+        F.col(id_col),
+        F.transform(F.sequence(F.lit(0), nw - F.lit(1)), word)
+        .alias("b"),
+        F.size(v).cast("int").alias("n_dims"))
+
+
+def hamming_topk(emb: DataFrame, k: int = 10, max_query_id: int = 8,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Binary-embedding top-k by Hamming distance: quantize once,
+    broadcast the query codes, distance = int64 sum of
+    bit_count(xor(word, word)) over the packed words — integer-exact,
+    so the ranking replays bit-for-bit in any engine (no float
+    anywhere). The 100 TB shape: the corpus scan streams array<long>
+    codes at 1/32 the float32 bytes, distances are a handful of JVM
+    bit ops per candidate, and the only shuffle is the per-query top-k
+    window — the standard first stage of a binary-retrieve /
+    float-rerank funnel. Ties break by neighbor id; self-matches
+    excluded. Returns (query_id, neighbor_id, hamming long, rank)."""
+    bq = binary_quantize(emb, id_col, vec_col)
+    q = F.broadcast(bq.where(F.col(id_col) < max_query_id)
+                    .select(F.col(id_col).alias("query_id"),
+                            F.col("b").alias("qb")))
+    c = bq.select(F.col(id_col).alias("neighbor_id"),
+                  F.col("b").alias("cb"))
+    dist = F.aggregate(
+        F.zip_with(F.col("qb"), F.col("cb"),
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))
+                   .cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (c.crossJoin(q)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", dist.alias("hamming")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))
+
+
 # Product quantization (ADC search) -------------------------------------
 
 def _subvectors(v: Column, m: int, d: int) -> Column:
