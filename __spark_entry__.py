@@ -2732,6 +2732,17 @@ def _q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(_embs(spark, sf_dir))
 
 
+def _q_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank funnel (operators/similarity.py
+    binary_rerank_topk, r11): Hamming shortlist of 50 over the 1-bit
+    codes, exact-cosine rerank to top-10 — the production shape where
+    the corpus pass touches only packed integers and float math runs
+    on Q x 50 fetched rows. Oracle composes the hamming replay CTE
+    with the cosine rerank (same micro rounding as cosine_topk)."""
+    from datafusion_geo_spark.operators.similarity import binary_rerank_topk
+    return binary_rerank_topk(_embs(spark, sf_dir))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + mapInPandas batch
     feature extraction. Decode is environment-adaptive (PIL when
@@ -5473,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_unigram_roundtrip": _q_sp_unigram_roundtrip,
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "hamming_topk": _q_hamming_topk,
+        "binary_rerank": _q_binary_rerank,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5486,7 +5498,7 @@ _FIRST50 = [
     # new round-11 queries (never gated): tokenizer artifact exports,
     # standard-GeoParquet sink round trip, binary-embedding retrieval
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
-    "hamming_topk",
+    "hamming_topk", "binary_rerank",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5514,9 +5526,9 @@ _FIRST50 = [
     "accessors2_literal", "audio_frames", "batch_sessions",
     "bloom_new_docs", "bpe_merges", "buildarea_literal",
     "count_min_topk", "dedup_keep_one", "edit_utils_literal",
-    "embed_quantize",
-    # (geometric_median / geom_edit_points displaced to 51+ by
-    # geoparquet_roundtrip + hamming_topk; they lead r12's pool)
+    # (geometric_median / geom_edit_points / embed_quantize displaced
+    # to 51+ by geoparquet_roundtrip + hamming_topk + binary_rerank;
+    # they lead r12's r6-block pool)
 ]
 
 
@@ -12131,6 +12143,51 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY hamming, neighbor_id) AS rank
           FROM d) WHERE rank <= 10
+    """
+    # funnel: the hamming replay shortlists 50, exact cosine reranks
+    # (same micro rounding as cosine_topk's oracle)
+    out["binary_rerank"] = """
+        WITH vecs AS (SELECT vec_id,
+                             list_transform(embedding, x -> x::DOUBLE)
+                               AS v
+                      FROM embeddings),
+        words AS (
+          SELECT vec_id, (j // 32) AS w,
+                 SUM(CASE WHEN v[j + 1] > 0
+                          THEN (1::BIGINT << (j % 32))
+                          ELSE 0::BIGINT END)::BIGINT AS word
+          FROM vecs, unnest(range(0, 64)) AS t(j)
+          GROUP BY vec_id, (j // 32)
+        ),
+        d AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(bit_count(xor(q.word, c.word)))::BIGINT AS hamming
+          FROM words q JOIN words c ON q.w = c.w
+          WHERE q.vec_id < 8 AND c.vec_id != q.vec_id
+          GROUP BY q.vec_id, c.vec_id
+        ),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming, neighbor_id) AS hrank
+            FROM d) WHERE hrank <= 50
+        ),
+        rr AS (
+          SELECT s.query_id, s.neighbor_id,
+                 ((CASE WHEN (list_cosine_similarity(q.v, c.v)) < 0
+                        THEN -1 ELSE 1 END)
+                  * floor(abs(list_cosine_similarity(q.v, c.v))
+                          * 1000000.0 + 0.5) / 1000000.0 + 0.0) AS sim
+          FROM short s
+          JOIN vecs q ON s.query_id = q.vec_id
+          JOIN vecs c ON s.neighbor_id = c.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM rr) WHERE rank <= 10
     """
     # sink round trip: values replay from the fixture arithmetic; the
     # SRID exists only as footer PROJJSON between write and read

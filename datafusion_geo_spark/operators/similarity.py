@@ -801,6 +801,40 @@ def hamming_topk(emb: DataFrame, k: int = 10, max_query_id: int = 8,
             .where(F.col("rank") <= k))
 
 
+def binary_rerank_topk(emb: DataFrame, k: int = 10,
+                       shortlist: int = 50, max_query_id: int = 8,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The retrieve-then-rerank funnel end-to-end: a Hamming shortlist
+    (:func:`hamming_topk`, ``shortlist`` candidates per query) is
+    reranked by EXACT cosine to the final top-``k``. The 100 TB
+    shape this exists for: the corpus-wide pass touches only the
+    1-bit codes (1/32 the bytes, integer ops), and the float vectors
+    are fetched — by id join — for just Q x shortlist rows, so the
+    expensive exact math never sees the corpus. Returns
+    (query_id, neighbor_id, sim, rank) like :func:`cosine_topk`."""
+    cand = hamming_topk(emb, k=shortlist, max_query_id=max_query_id,
+                        id_col=id_col, vec_col=vec_col) \
+        .select("query_id", "neighbor_id")
+    vecs = prenorm(emb, id_col, vec_col)
+    q = vecs.select(F.col(id_col).alias("query_id"),
+                    F.col("v").alias("qv"), F.col("n").alias("qn"))
+    c = vecs.select(F.col(id_col).alias("neighbor_id"),
+                    F.col("v").alias("cv"), F.col("n").alias("cn"))
+    # the shortlist is Q x shortlist rows — broadcast it into the
+    # corpus-side id join, then attach the (broadcast-sized) queries
+    scored = (c.join(F.broadcast(cand), "neighbor_id")
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "neighbor_id",
+                      cos6(dot(F.col("qv"), F.col("cv")),
+                           F.col("qn") * F.col("cn")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))
+
+
 # Product quantization (ADC search) -------------------------------------
 
 def _subvectors(v: Column, m: int, d: int) -> Column:
