@@ -2732,6 +2732,31 @@ def _q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(_embs(spark, sf_dir))
 
 
+def _q_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-retrieval quality eval (r11): per-query recall of the
+    Hamming top-10 (hamming_topk) against the brute-force cosine
+    ground truth (cosine_topk) — the number that decides whether the
+    32x-compressed first stage needs a bigger shortlist. Same
+    semi-join + exact 6-dp integer-ratio identity as ann_recall /
+    pq_recall, so the three retrieval tiers (IVF, PQ, binary) publish
+    comparable reports."""
+    from datafusion_geo_spark.operators.text import _ratio6
+    bf = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = _q_hamming_topk(spark, sf_dir).select("query_id",
+                                                "neighbor_id")
+    hits = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    n_true = bf.groupBy("query_id").agg(F.count(F.lit(1))
+                                        .alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1))
+                                         .alias("n_hit"))
+    joined = (n_true.join(n_hit, "query_id", "left")
+              .withColumn("n_hit", F.coalesce(F.col("n_hit"),
+                                              F.lit(0))))
+    return joined.select(
+        "query_id", "n_true", "n_hit",
+        _ratio6(F.col("n_hit"), F.col("n_true")).alias("recall"))
+
+
 def _q_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieve-then-rerank funnel (operators/similarity.py
     binary_rerank_topk, r11): Hamming shortlist of 50 over the 1-bit
@@ -5485,6 +5510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "hamming_topk": _q_hamming_topk,
         "binary_rerank": _q_binary_rerank,
+        "hamming_recall": _q_hamming_recall,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5498,7 +5524,7 @@ _FIRST50 = [
     # new round-11 queries (never gated): tokenizer artifact exports,
     # standard-GeoParquet sink round trip, binary-embedding retrieval
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
-    "hamming_topk", "binary_rerank",
+    "hamming_topk", "binary_rerank", "hamming_recall",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5525,10 +5551,11 @@ _FIRST50 = [
     # r12's re-gate pool)
     "accessors2_literal", "audio_frames", "batch_sessions",
     "bloom_new_docs", "bpe_merges", "buildarea_literal",
-    "count_min_topk", "dedup_keep_one", "edit_utils_literal",
-    # (geometric_median / geom_edit_points / embed_quantize displaced
-    # to 51+ by geoparquet_roundtrip + hamming_topk + binary_rerank;
-    # they lead r12's r6-block pool)
+    "count_min_topk", "dedup_keep_one",
+    # (geometric_median / geom_edit_points / embed_quantize /
+    # edit_utils_literal displaced to 51+ by geoparquet_roundtrip +
+    # hamming_topk + binary_rerank + hamming_recall; they lead r12's
+    # r6-block pool)
 ]
 
 
@@ -12118,11 +12145,10 @@ def oracle_sql() -> dict[str, str]:
     # 2^j exact for j <= 31) and the bit_count(xor) distance are all
     # integer — full replay. dim = 64 (the fixture embedding), so the
     # dim range is a constant (DuckDB laterals can't take column args)
-    out["hamming_topk"] = """
-        WITH vecs AS (SELECT vec_id,
-                             list_transform(embedding, x -> x::DOUBLE)
-                               AS v
-                      FROM embeddings),
+    _HAMMING_CTE = """
+        vecs AS (SELECT vec_id,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
         words AS (
           SELECT vec_id, (j // 32) AS w,
                  SUM(CASE WHEN v[j + 1] > 0
@@ -12137,35 +12163,39 @@ def oracle_sql() -> dict[str, str]:
           FROM words q JOIN words c ON q.w = c.w
           WHERE q.vec_id < 8 AND c.vec_id != q.vec_id
           GROUP BY q.vec_id, c.vec_id
-        )
+        )"""
+    out["hamming_topk"] = f"""
+        WITH {_HAMMING_CTE}
         SELECT query_id, neighbor_id, hamming, rank::INT AS rank FROM (
           SELECT query_id, neighbor_id, hamming,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY hamming, neighbor_id) AS rank
           FROM d) WHERE rank <= 10
     """
+    # binary recall vs the brute-force cosine ground truth (the
+    # ann_recall identity: exact half-up 6-dp integer ratio)
+    out["hamming_recall"] = f"""
+        WITH {_HAMMING_CTE},
+        ann AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS hrank
+                  FROM d) WHERE hrank <= 10),
+        bf AS (SELECT query_id, neighbor_id
+               FROM ({_COSINE_TOPK_SQL})),
+        hits AS (SELECT bf.query_id FROM bf
+                 JOIN ann USING (query_id, neighbor_id)),
+        t AS (SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1),
+        h AS (SELECT query_id, COUNT(*) AS n_hit FROM hits GROUP BY 1)
+        SELECT t.query_id, t.n_true, COALESCE(h.n_hit, 0) AS n_hit,
+               ((2000000*COALESCE(h.n_hit, 0) + t.n_true)
+                // (2*t.n_true)) / 1000000.0 AS recall
+        FROM t LEFT JOIN h ON t.query_id = h.query_id
+    """
     # funnel: the hamming replay shortlists 50, exact cosine reranks
     # (same micro rounding as cosine_topk's oracle)
-    out["binary_rerank"] = """
-        WITH vecs AS (SELECT vec_id,
-                             list_transform(embedding, x -> x::DOUBLE)
-                               AS v
-                      FROM embeddings),
-        words AS (
-          SELECT vec_id, (j // 32) AS w,
-                 SUM(CASE WHEN v[j + 1] > 0
-                          THEN (1::BIGINT << (j % 32))
-                          ELSE 0::BIGINT END)::BIGINT AS word
-          FROM vecs, unnest(range(0, 64)) AS t(j)
-          GROUP BY vec_id, (j // 32)
-        ),
-        d AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(bit_count(xor(q.word, c.word)))::BIGINT AS hamming
-          FROM words q JOIN words c ON q.w = c.w
-          WHERE q.vec_id < 8 AND c.vec_id != q.vec_id
-          GROUP BY q.vec_id, c.vec_id
-        ),
+    out["binary_rerank"] = f"""
+        WITH {_HAMMING_CTE},
         short AS (
           SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
