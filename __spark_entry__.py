@@ -2732,6 +2732,18 @@ def _q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(_embs(spark, sf_dir))
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/text.py
+    chunk_documents, r11): 32-token windows advancing by 24 (8-token
+    overlap) — the RAG-indexing / long-document preprocessing step.
+    Map-only tokenize + guarded-sequence explode + slice; the corpus
+    never shuffles. Oracle replays the window arithmetic with a
+    list_transform/unnest in the projection (DuckDB laterals cannot
+    take column args)."""
+    from datafusion_geo_spark.operators.text import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
 def _q_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-retrieval quality eval (r11): per-query recall of the
     Hamming top-10 (hamming_topk) against the brute-force cosine
@@ -5511,6 +5523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_topk": _q_hamming_topk,
         "binary_rerank": _q_binary_rerank,
         "hamming_recall": _q_hamming_recall,
+        "doc_chunks": _q_doc_chunks,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5524,7 +5537,7 @@ _FIRST50 = [
     # new round-11 queries (never gated): tokenizer artifact exports,
     # standard-GeoParquet sink round trip, binary-embedding retrieval
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
-    "hamming_topk", "binary_rerank", "hamming_recall",
+    "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5551,11 +5564,11 @@ _FIRST50 = [
     # r12's re-gate pool)
     "accessors2_literal", "audio_frames", "batch_sessions",
     "bloom_new_docs", "bpe_merges", "buildarea_literal",
-    "count_min_topk", "dedup_keep_one",
+    "count_min_topk",
     # (geometric_median / geom_edit_points / embed_quantize /
-    # edit_utils_literal displaced to 51+ by geoparquet_roundtrip +
-    # hamming_topk + binary_rerank + hamming_recall; they lead r12's
-    # r6-block pool)
+    # edit_utils_literal / dedup_keep_one displaced to 51+ by
+    # geoparquet_roundtrip + hamming_topk + binary_rerank +
+    # hamming_recall + doc_chunks; they lead r12's r6-block pool)
 ]
 
 
@@ -12191,6 +12204,29 @@ def oracle_sql() -> dict[str, str]:
                ((2000000*COALESCE(h.n_hit, 0) + t.n_true)
                 // (2*t.n_true)) / 1000000.0 AS recall
         FROM t LEFT JOIN h ON t.query_id = h.query_id
+    """
+    # sliding-window chunking: size 32 / stride 24, replayed entirely
+    # in the projection (unnest of a list_transform struct list —
+    # DuckDB laterals cannot take column args)
+    out["doc_chunks"] = f"""
+        WITH dw AS (SELECT doc_id,
+                           list_filter({_WORDS}, x -> x <> '') AS w
+                    FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0,
+                     CASE WHEN len(w) = 0 THEN 0
+                          WHEN len(w) <= 32 THEN 1
+                          ELSE ((len(w) - 32 + 24 - 1) // 24) + 1 END),
+                   i -> struct_pack(
+                     cid := i,
+                     toks := w[(i*24 + 1):least(i*24 + 32, len(w))])))
+                   AS c
+          FROM dw)
+        SELECT doc_id, c.cid::INT AS chunk_id,
+               len(c.toks)::BIGINT AS n_tokens,
+               array_to_string(c.toks, ' ') AS chunk_text
+        FROM ch
     """
     # funnel: the hamming replay shortlists 50, exact cosine reranks
     # (same micro rounding as cosine_topk's oracle)

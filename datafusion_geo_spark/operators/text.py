@@ -1159,3 +1159,41 @@ def novel_ngram_rate(df: DataFrame, n: int = 3, text_col: str = "text",
     return out.withColumn(
         "novel_ratio",
         _ratio6(F.col("n_novel_grams"), F.col("n_eval_grams")))
+
+
+# ------------------------------------------------- document chunking
+
+def chunk_documents(docs: DataFrame, size: int = 64, stride: int = 48,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking — the context-window
+    preprocessing step of RAG indexing and long-document pretraining:
+    whitespace tokens in windows of ``size`` advancing by ``stride``
+    (overlap = size - stride), the last window truncated, documents
+    shorter than one window emitting exactly one chunk, empty
+    documents none. MAP-ONLY: tokenize, compute the chunk count
+    arithmetically, explode a guarded sequence (F.sequence(1, 0)
+    yields DESCENDING [1, 0], not empty — the repo's sequence trap),
+    and slice — the corpus never shuffles, so this runs at ingest
+    bandwidth at any scale. Chunk ids are 0-based and deterministic.
+
+    Returns (id_col, chunk_id int, n_tokens long, chunk_text string).
+    """
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError("chunk_documents: need size >= 1 and "
+                         "1 <= stride <= size")
+    w = F.filter(words_col(F.col(text_col)), lambda x: x != "")
+    n = F.size(w)
+    nc = (F.when(n == 0, F.lit(0))
+          .when(n <= size, F.lit(1))
+          .otherwise(F.floor((n - F.lit(size) + F.lit(stride) - 1)
+                             / F.lit(stride)).cast("int") + F.lit(1)))
+    ids = F.when(nc >= 1, F.sequence(F.lit(0), nc - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    base = docs.select(F.col(id_col), w.alias("_w"),
+                       F.explode(ids).alias("chunk_id"))
+    chunk = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, size)
+    return base.select(
+        F.col(id_col), F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
