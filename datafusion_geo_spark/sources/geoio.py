@@ -442,7 +442,12 @@ def _arrow_type(dt):
 def geoparquet_metadata(path: str) -> Optional[dict]:
     """Read back the ``geo`` footer key of a GeoParquet dataset (from
     the first data file — the spec requires every file to carry it).
-    None when the dataset has no GeoParquet metadata."""
+    None when the dataset has no GeoParquet metadata. NOTE: ``bbox``
+    in the result is the FIRST FILE's bbox (file metadata describes
+    the file); the dataset-invariant keys (primary_column, encoding,
+    geometry_types, crs, covering) are what dataset-level callers
+    should consume. For the dataset extent, aggregate the per-file
+    bboxes (as ``read_geoparquet_std``'s pruning does)."""
     import glob
     import json
 
