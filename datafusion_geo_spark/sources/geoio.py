@@ -405,10 +405,15 @@ def write_geoparquet_std(df: DataFrame, path: str,
             os.replace(tmp, final)  # atomic per-task commit
             yield pa.RecordBatch.from_pydict(
                 {"file": pa.array([os.path.basename(final)]),
-                 "rows": pa.array([n], type=pa.int64())})
+                 "rows": pa.array([n], type=pa.int64()),
+                 "xmin": pa.array([fb[0]], type=pa.float64()),
+                 "ymin": pa.array([fb[1]], type=pa.float64()),
+                 "xmax": pa.array([fb[2]], type=pa.float64()),
+                 "ymax": pa.array([fb[3]], type=pa.float64())})
 
-    written = withbb.mapInArrow(_write, "file string, rows long") \
-        .collect()
+    written = withbb.mapInArrow(
+        _write, "file string, rows long, xmin double, ymin double, "
+                "xmax double, ymax double").collect()
     if not written:  # empty input: still emit one all-metadata file
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -416,6 +421,26 @@ def write_geoparquet_std(df: DataFrame, path: str,
         pq.write_table(
             empty.replace_schema_metadata({b"geo": geo_bytes}),
             os.path.join(path, "part-00000.parquet"))
+    # Dataset manifest sidecar (underscore-prefixed → invisible to
+    # parquet dataset readers): per-file rows + bbox collected from
+    # the task reports, so a windowed read prunes from ONE small JSON
+    # instead of N footer reads — the catalog-scale path for datasets
+    # with many files (the footer loop stays as the fallback for
+    # datasets written by other tools). Dict-keyed by file name: a
+    # speculative duplicate success reports the same name twice with
+    # identical content, so last-wins is exact.
+    manifest = {
+        "geo": geo,
+        "files": ({r["file"]: {
+            "rows": int(r["rows"]),
+            "bbox": ([r["xmin"], r["ymin"], r["xmax"], r["ymax"]]
+                     if r["xmin"] is not None else None)}
+            for r in written} if written
+            else {"part-00000.parquet": {"rows": 0, "bbox": None}})}
+    mtmp = os.path.join(path, "_geo_manifest.json.tmp")
+    with open(mtmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(mtmp, os.path.join(path, "_geo_manifest.json"))
     return geo
 
 
@@ -477,9 +502,12 @@ def read_geoparquet_std(spark: SparkSession, path: str,
     whose footer ``geo`` bbox does not intersect the window are
     PRUNED from the scan — the sink stamps each file's own bbox, so
     this is the footer-metadata twin of the covering-layout reader's
-    partition pruning (``read_geo_parquet``). Footer reads are
-    metadata-only (no data pages); files without a footer bbox are
-    conservatively kept. When the dataset declares a 1.1 ``covering``
+    partition pruning (``read_geo_parquet``). When the sink's
+    ``_geo_manifest.json`` sidecar is present the per-file bboxes come
+    from that ONE file (the catalog-scale path — no per-file footer
+    reads at 100k files); otherwise footer reads are metadata-only
+    (no data pages). Files without a bbox anywhere are conservatively
+    kept. When the dataset declares a 1.1 ``covering``
     bbox column, the window additionally becomes a row-level range
     filter on it — pushed to parquet column statistics for row-group
     skipping (NULL-geometry rows are dropped by it, like any bbox
@@ -496,13 +524,28 @@ def read_geoparquet_std(spark: SparkSession, path: str,
         qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
         pcol = geo.get("primary_column")
         files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-        kept = []
-        for f in files:
+        mpath = os.path.join(path, "_geo_manifest.json")
+        mfiles = None
+        if os.path.exists(mpath):
+            try:  # sidecar from this engine's sink: ONE metadata read
+                with open(mpath, encoding="utf-8") as fh:
+                    mfiles = json.load(fh).get("files")
+            except Exception:
+                mfiles = None  # corrupt sidecar → footer fallback
+
+        def _file_bbox(f):
+            name = os.path.basename(f)
+            if mfiles is not None and name in mfiles:
+                return mfiles[name].get("bbox")
             md = pq.read_schema(f).metadata or {}
             fgeo = (json.loads(md[b"geo"].decode("utf-8"))
                     if b"geo" in md else {})
-            fb = (fgeo.get("columns", {}).get(pcol, {}) or {}) \
+            return (fgeo.get("columns", {}).get(pcol, {}) or {}) \
                 .get("bbox")
+
+        kept = []
+        for f in files:
+            fb = _file_bbox(f)
             if fb is None or not (fb[2] < qx0 or fb[0] > qx1
                                   or fb[3] < qy0 or fb[1] > qy1):
                 kept.append(f)

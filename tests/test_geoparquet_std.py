@@ -38,7 +38,8 @@ def test_commit_protocol_deterministic_names(spark, tmp_path):
     write_geoparquet_std(_pts(spark).repartition(4), out)
     names = sorted(os.path.basename(f)
                    for f in glob.glob(os.path.join(out, "*")))
-    assert names == [f"part-{i:05d}.parquet" for i in range(4)]
+    assert names == ["_geo_manifest.json"] + \
+        [f"part-{i:05d}.parquet" for i in range(4)]
     # re-running the same write (fresh overwrite) yields the SAME
     # file set — the retry-idempotency contract in miniature
     write_geoparquet_std(_pts(spark).repartition(4), out)
@@ -193,6 +194,65 @@ def test_covering_bbox_column_and_pushdown(spark, tmp_path):
                    if i % 36 <= 9 and i % 17 <= 9}
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "bbox.xmin" in plan, plan[:2000]
+
+
+def test_manifest_sidecar_matches_footers(spark, tmp_path):
+    # the sink writes _geo_manifest.json (per-file rows + bbox from
+    # the task reports) so windowed reads prune from ONE metadata file
+    out = str(tmp_path / "gp")
+    write_geoparquet_std(_pts(spark).repartition(4), out)
+    man = json.load(open(os.path.join(out, "_geo_manifest.json")))
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert sorted(man["files"]) == [os.path.basename(f) for f in files]
+    assert sum(e["rows"] for e in man["files"].values()) == 200
+    for f in files:
+        fgeo = json.loads(pq.read_schema(f).metadata[b"geo"])
+        assert man["files"][os.path.basename(f)]["bbox"] == \
+            fgeo["columns"]["geom"]["bbox"]
+    assert man["geo"]["primary_column"] == "geom"
+
+
+def test_manifest_is_the_pruning_source(spark, tmp_path):
+    # strip the geo key from every footer: the footer path would then
+    # conservatively keep ALL files, so observing pruning proves the
+    # manifest is what's consulted; corrupting the manifest must fall
+    # back to footers (conservative keep, correct rows)
+    from datafusion_geo_spark.sources.geoio import read_geoparquet_std
+    from datafusion_geo_spark.functions import st_x
+    out = str(tmp_path / "gp")
+    far = _pts(spark).withColumn(
+        "geom", st_point(F.col("id").cast("double") % 36 + 1000.0,
+                         (F.col("id") % 17).cast("double")))
+    both = (_pts(spark).union(far)
+            .repartitionByRange(2, st_x(F.col("geom"))))
+    write_geoparquet_std(both, out)
+    geo_bytes = None
+    for f in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+        t = pq.read_table(f)
+        geo_bytes = t.schema.metadata[b"geo"]
+        pq.write_table(t.replace_schema_metadata({}), f)
+    # footers are now bbox-less; put a BBOX-FREE geo key back on ONE
+    # file so geoparquet_metadata still discovers the dataset without
+    # reintroducing any footer bbox
+    nobb = json.loads(geo_bytes)
+    nobb["columns"]["geom"].pop("bbox", None)
+    f0 = sorted(glob.glob(os.path.join(out, "*.parquet")))[0]
+    t0 = pq.read_table(f0)
+    pq.write_table(t0.replace_schema_metadata(
+        {b"geo": json.dumps(nobb).encode()}), f0)
+    got = read_geoparquet_std(spark, out, bbox=(0.0, 0.0, 50.0, 20.0))
+    assert got.count() == 200
+    opened = {r.f for r in got.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert len(opened) == 1  # pruned via the manifest
+    # corrupt the sidecar: falls back to footers, which are bbox-less
+    # -> conservative keep of both files, rows still correct
+    with open(os.path.join(out, "_geo_manifest.json"), "w") as fh:
+        fh.write("{not json")
+    got2 = read_geoparquet_std(spark, out, bbox=(0.0, 0.0, 50.0, 20.0))
+    opened2 = {r.f for r in got2.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    assert len(opened2) == 2
 
 
 def test_iso_wkb_no_ewkb_header_and_roundtrip(spark, tmp_path):
