@@ -2744,6 +2744,47 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language router (operators/nbayes.py,
+    r11): train on the documents table by lang (counting-only fit —
+    three grouped aggregates ARE the model, no iterations, no driver
+    solve), resubstitution-predict every doc, and report the L x L
+    confusion table (label, pred_label, n_docs). Scores are exact
+    int64 (every ln() micro-int'ed before the sum — the evals.py
+    discipline), argmax tie-breaks score desc then label asc, so the
+    routing replays bit-for-bit. The synthetic fixture shares one
+    vocabulary across langs, so the table measures the DETERMINISM of
+    near-tie routing, not separability — exactly the regime where a
+    float argmax would drift between engines."""
+    from datafusion_geo_spark.operators.nbayes import nb_confusion
+    return nb_confusion(_docs(spark, sf_dir))
+
+
+def _q_hamming_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming-radius near-dup join (operators/similarity.py
+    hamming_join, r11): the corpus is the embeddings table plus a
+    sign-perturbed copy of every vector (dims 1..vec_id%8 flipped,
+    id + 1e6 — planted near-dup codes at hamming <= 8, the binary twin
+    of the dedup corpus' perturbed copies), and the operator returns
+    ALL pairs within radius 8 via pigeonhole banding (9 uneven bands
+    over 64 dims; at least one band is bit-identical for any pair
+    inside the radius, so the banded equi-join misses nothing and the
+    exact distance filter keeps no false positive). EXACT semantics →
+    the oracle is the brute-force all-pairs definition itself, not an
+    algorithm replay."""
+    from datafusion_geo_spark.operators.similarity import (as_double,
+                                                           hamming_join)
+    emb = _embs(spark, sf_dir)
+    v = as_double(F.col("embedding"))
+    flipped = F.zip_with(
+        v, F.sequence(F.lit(1), F.lit(64)),
+        lambda x, j: F.when(j <= F.col("vec_id") % 8, -x).otherwise(x))
+    base = emb.select("vec_id", v.alias("embedding"))
+    pert = emb.select((F.col("vec_id") + F.lit(1000000))
+                      .alias("vec_id"), flipped.alias("embedding"))
+    return hamming_join(base.unionByName(pert), radius=8)
+
+
 def _q_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-retrieval quality eval (r11): per-query recall of the
     Hamming top-10 (hamming_topk) against the brute-force cosine
@@ -5524,6 +5565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_rerank": _q_binary_rerank,
         "hamming_recall": _q_hamming_recall,
         "doc_chunks": _q_doc_chunks,
+        "hamming_dedup_pairs": _q_hamming_dedup_pairs,
+        "nb_confusion": _q_nb_confusion,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5538,6 +5581,7 @@ _FIRST50 = [
     # standard-GeoParquet sink round trip, binary-embedding retrieval
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
+    "hamming_dedup_pairs", "nb_confusion",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5563,12 +5607,13 @@ _FIRST50 = [
     # line_merge_literal, longest_line_literal, map_match, ... — leads
     # r12's re-gate pool)
     "accessors2_literal", "audio_frames", "batch_sessions",
-    "bloom_new_docs", "bpe_merges", "buildarea_literal",
-    "count_min_topk",
-    # (geometric_median / geom_edit_points / embed_quantize /
-    # edit_utils_literal / dedup_keep_one displaced to 51+ by
-    # geoparquet_roundtrip + hamming_topk + binary_rerank +
-    # hamming_recall + doc_chunks; they lead r12's r6-block pool)
+    "bloom_new_docs", "bpe_merges",
+    # (buildarea_literal / count_min_topk / geometric_median /
+    # geom_edit_points / embed_quantize / edit_utils_literal /
+    # dedup_keep_one displaced to 51+ by geoparquet_roundtrip +
+    # hamming_topk + binary_rerank + hamming_recall + doc_chunks +
+    # hamming_dedup_pairs + nb_confusion; they lead r12's r6-block
+    # pool)
 ]
 
 
@@ -12254,6 +12299,93 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id) AS rank
           FROM rr) WHERE rank <= 10
+    """
+    # Naive Bayes confusion: full replay — the model is three count
+    # CTEs, scores are exact int64 of micro-int'ed ln() factors, and
+    # the argmax tie-break (score desc, label asc) is pinned. The
+    # zero-count sparse trick (only c > 0 cells join) mirrors the
+    # operator, so both engines sum the identical term set.
+    out["nb_confusion"] = f"""
+        WITH tok AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 unnest(list_filter({_WORDS}, x -> x <> '')) AS w
+          FROM documents
+        ),
+        ds AS (
+          SELECT doc_id, lang,
+                 len(list_filter({_WORDS}, x -> x <> ''))::BIGINT AS t
+          FROM documents
+        ),
+        cls AS (SELECT lang AS l, COUNT(*)::BIGINT AS nd
+                FROM documents GROUP BY 1),
+        ctok AS (SELECT lang AS l, COUNT(*)::BIGINT AS nt
+                 FROM tok GROUP BY 1),
+        vsz AS (SELECT COUNT(DISTINCT w)::BIGINT AS v FROM tok),
+        dtot AS (SELECT COUNT(*)::BIGINT AS d FROM documents),
+        clsf AS (
+          SELECT c.l,
+                 {_SM.format(x="ln(c.nd::DOUBLE / dtot.d::DOUBLE)")}
+                   AS prior_micro,
+                 {_SM.format(
+                     x="ln((COALESCE(ct.nt, 0) + vsz.v)::DOUBLE)")}
+                   AS lnden_micro
+          FROM cls c LEFT JOIN ctok ct ON ct.l = c.l, vsz, dtot
+        ),
+        model AS (SELECT lang AS l, w, COUNT(*)::BIGINT AS c
+                  FROM tok GROUP BY 1, 2),
+        dw AS (SELECT doc_id, w, COUNT(*)::BIGINT AS n
+               FROM tok GROUP BY 1, 2),
+        t3 AS (SELECT dw.doc_id, m.l,
+                      SUM(dw.n * {_SM.format(
+                          x="ln((m.c + 1)::DOUBLE)")})::BIGINT AS s3
+               FROM dw JOIN model m USING (w) GROUP BY 1, 2),
+        sc AS (SELECT ds.doc_id, ds.lang, cf.l,
+                      cf.prior_micro - ds.t * cf.lnden_micro
+                        + COALESCE(t3.s3, 0) AS score
+               FROM ds CROSS JOIN clsf cf
+               LEFT JOIN t3 ON t3.doc_id = ds.doc_id AND t3.l = cf.l),
+        pred AS (SELECT doc_id, lang, l,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, l) AS rn
+                 FROM sc)
+        SELECT lang AS label, l AS pred_label,
+               COUNT(*)::BIGINT AS n_docs
+        FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """
+    # exact Hamming-radius join: the operator's pigeonhole banding is
+    # provably complete and exactly filtered, so the oracle is the
+    # brute-force ALL-PAIRS definition itself (no algorithm replay).
+    # Corpus = embeddings + a sign-perturbed copy (dims 1..vec_id%8
+    # negated, id + 1e6; 1e6 % 8 == 0 so the alias ambiguity in the
+    # lambda is harmless — written qualified anyway).
+    out["hamming_dedup_pairs"] = """
+        WITH corpus AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT embeddings.vec_id + 1000000 AS vec_id,
+                 list_transform(range(1, 65),
+                   j -> CASE WHEN j <= embeddings.vec_id % 8
+                             THEN -(embedding[j]::DOUBLE)
+                             ELSE embedding[j]::DOUBLE END) AS v
+          FROM embeddings
+        ),
+        words AS (
+          SELECT vec_id, (j // 32) AS w,
+                 SUM(CASE WHEN v[j + 1] > 0
+                          THEN (1::BIGINT << (j % 32))
+                          ELSE 0::BIGINT END)::BIGINT AS word
+          FROM corpus, unnest(range(0, 64)) AS t(j)
+          GROUP BY vec_id, (j // 32)
+        ),
+        d AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 SUM(bit_count(xor(a.word, b.word)))::BIGINT AS hamming
+          FROM words a JOIN words b
+            ON a.w = b.w AND a.vec_id < b.vec_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id, hamming FROM d WHERE hamming <= 8
     """
     # sink round trip: values replay from the fixture arithmetic; the
     # SRID exists only as footer PROJJSON between write and read

@@ -801,6 +801,91 @@ def hamming_topk(emb: DataFrame, k: int = 10, max_query_id: int = 8,
             .where(F.col("rank") <= k))
 
 
+def hamming_join(emb: DataFrame, radius: int = 3, bands: int = None,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """EXACT Hamming-radius self-join over the 1-bit codes — all pairs
+    with hamming(a, b) <= radius — via pigeonhole banding (multi-index
+    hashing): the sign bits split into ``bands`` disjoint dim groups
+    (bands = radius + 1 by default); a pair within the radius differs
+    in <= radius bits total, so AT LEAST ONE band is bit-identical —
+    candidates come from an equi-join on (band_idx, band_code) and the
+    exact distance filter keeps no false positives, misses nothing.
+    The binary-code twin of the MinHash band join: bucketed, no
+    all-pairs crossing anywhere, and — unlike LSH — the result is
+    exact, so the oracle is the brute-force definition itself.
+
+    Scale: explode = bands rows per vector; bucket sizes follow the
+    band-code distribution (skewed all-zero codes behave like hot
+    shingles — cap or salt if a corpus is degenerate). Returns
+    (a_id, b_id, hamming) with a_id < b_id, deduped across bands."""
+    if radius < 0:
+        raise ValueError("hamming_join: radius must be >= 0")
+    nb = bands if bands is not None else radius + 1
+    if nb < radius + 1:
+        raise ValueError("hamming_join: bands must be >= radius + 1 "
+                         "(pigeonhole completeness)")
+    v = as_double(F.col(vec_col))
+    # uniform-dim contract (every embedding fixture/pipeline frame):
+    # one-row probe, not a corpus aggregate
+    row = emb.select(F.size(v).alias("d")).first()
+    d = int(row["d"]) if row and row["d"] is not None else 0
+    if nb > max(d, 1):
+        raise ValueError(
+            f"hamming_join: {nb} bands over {d} dims leaves empty "
+            "bands (a universal bucket) — radius too large for the "
+            "code length")
+    # EVEN integer partition of the dims: band i covers
+    # [i*d//nb, (i+1)*d//nb). A ceil-width scheme would leave the
+    # last band(s) EMPTY when nb doesn't divide d — every vector
+    # would share the empty band's code 0, a universal bucket that
+    # degenerates the join to all-pairs.
+    edges = [(i * d) // nb for i in range(nb + 1)]
+    widest = max(edges[i + 1] - edges[i] for i in range(nb))
+    if widest > 62:
+        raise ValueError(
+            f"hamming_join: {widest} dims in one band overflows the "
+            f"int64 band code — raise bands (>= {-(-d // 62)})")
+
+    def band(i):
+        s0, ln = edges[i], edges[i + 1] - edges[i]
+        sl = F.slice(v, s0 + 1, ln)
+        bits = F.zip_with(
+            sl, F.sequence(F.lit(0), F.lit(ln - 1)),
+            lambda x, j: F.when(x > 0, F.pow(F.lit(2.0), j)
+                                .cast("long"))
+                          .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(bits, F.lit(0).cast("long"),
+                           lambda a, b: a + b)
+    coded = emb.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"), band(i).alias("code"))
+            for i in range(nb)])).alias("_b"))\
+        .select("_id", "_b.band_idx", "_b.code")
+    cand = (coded.alias("a")
+            .join(coded.alias("b"), ["band_idx", "code"])
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("a_id"),
+                    F.col("b._id").alias("b_id"))
+            .distinct())
+    codes = binary_quantize(emb, id_col, vec_col) \
+        .select(F.col(id_col), F.col("b"))
+    dist = F.aggregate(
+        F.zip_with(F.col("ab"), F.col("bb"),
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b))
+                   .cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    out = (cand
+           .join(codes.select(F.col(id_col).alias("a_id"),
+                              F.col("b").alias("ab")), "a_id")
+           .join(codes.select(F.col(id_col).alias("b_id"),
+                              F.col("b").alias("bb")), "b_id")
+           .select("a_id", "b_id", dist.alias("hamming"))
+           .where(F.col("hamming") <= radius))
+    return out
+
+
 def binary_rerank_topk(emb: DataFrame, k: int = 10,
                        shortlist: int = 50, max_query_id: int = 8,
                        id_col: str = "vec_id",

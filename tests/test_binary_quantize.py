@@ -60,3 +60,74 @@ def test_hamming_tie_breaks_by_neighbor_id(spark):
     got = [(r.neighbor_id, r.hamming) for r in
            sorted(out, key=lambda r: r.rank)]
     assert got == [(4, 1), (5, 1)]  # equal distance -> id ascending
+
+
+# ---------------------------------------------------------------- join
+
+def _brute_pairs(rows, radius):
+    sign = {i: [x > 0 for x in v] for i, v in rows}
+    ids = sorted(sign)
+    out = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = sum(a != b for a, b in zip(sign[i], sign[j]))
+                if d <= radius:
+                    out.add((i, j, d))
+    return out
+
+
+def test_hamming_join_matches_brute_force(spark):
+    from datafusion_geo_spark.operators.similarity import hamming_join
+    import random
+    rng = random.Random(11)
+    base = [[rng.choice((-1.0, 1.0)) for _ in range(16)]
+            for _ in range(12)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dups: flip i%4 leading dims of each vector
+    for i, v in enumerate(base):
+        w = list(v)
+        for j in range(i % 4):
+            w[j] = -w[j]
+        rows.append((i + 100, w))
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in hamming_join(_emb(spark, rows), radius=3).collect()}
+    assert got == _brute_pairs(rows, 3)
+    # every planted pair with <= 3 flips is present
+    for i in range(12):
+        if i % 4 <= 3:
+            assert any(a == i and b == i + 100 for a, b, _ in got)
+
+
+def test_hamming_join_radius_zero_is_exact_dup(spark):
+    from datafusion_geo_spark.operators.similarity import hamming_join
+    rows = [(1, [1.0, -1.0, 1.0]), (2, [1.0, -1.0, 1.0]),
+            (3, [2.0, -5.0, 0.5]),  # same SIGNS as 1/2 -> dup code
+            (4, [-1.0, 1.0, 1.0])]
+    got = {(r.a_id, r.b_id, r.hamming)
+           for r in hamming_join(_emb(spark, rows), radius=0).collect()}
+    assert got == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
+
+
+def test_hamming_join_uneven_bands(spark):
+    from datafusion_geo_spark.operators.similarity import hamming_join
+    # d=10, radius=2 -> 3 bands of widths 3/3/4 (floor-even split);
+    # a pair at EXACTLY the radius must still be found
+    a = [1.0] * 10
+    b = list(a)
+    b[0], b[9] = -1.0, -1.0  # one flip in band 0, one in band 2
+    rows = [(1, a), (2, b)]
+    got = hamming_join(_emb(spark, rows), radius=2).collect()
+    assert [(r.a_id, r.b_id, r.hamming) for r in got] == [(1, 2, 2)]
+
+
+def test_hamming_join_validations(spark):
+    from datafusion_geo_spark.operators.similarity import hamming_join
+    import pytest
+    df = _emb(spark, [(1, [1.0, -1.0, 1.0, -1.0])])
+    with pytest.raises(ValueError, match="radius"):
+        hamming_join(df, radius=-1)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_join(df, radius=3, bands=2)
+    with pytest.raises(ValueError, match="empty"):
+        hamming_join(df, radius=7)  # 8 bands over 4 dims

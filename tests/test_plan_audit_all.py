@@ -63,6 +63,10 @@ ALLOWED_BROADCAST_CROSSES = {
                              # family: the two sides aggregate
                              # DIFFERENT data; same-source totals ride
                              # as full-frame windows instead)
+    "nb_confusion": 2,       # bounded-dimension crosses of the NB fit:
+                             # the one-row vocab-size scalar onto the
+                             # L-row class table, and that L-row class
+                             # table onto the per-doc stats (L = #langs)
     "tfidf_top_terms": 1,    # one-row corpus-size aggregate broadcast
     # (semantic_dedup / knn_join / knn_join_jvm: assignment and probing
     # are map-only inlined-literal expressions now — zero crosses)
