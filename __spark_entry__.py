@@ -2744,6 +2744,30 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def _q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ROUGE-L (operators/evals.py rouge_l_corpus, r11) of the
+    wer_eval perturbation — 'data'→'info' everywhere plus the
+    drop-first-word edit — against the original text: the LCS-based
+    summarization eval completing the overlap family (BLEU n-gram
+    precision, chrF char F, WER edit distance, ROUGE-L in-order
+    non-contiguous recall). LCS is a nested JVM integer DP
+    (lcs_len_col — the unigram-Viterbi fold machinery), both sides
+    truncated to the 32-token eval window; micro-averaged P/R and the
+    F1 collapse 2S/(H+M) are exact 6-dp integer ratios. Oracle
+    replays the DP as a recursive CTE using the prefix-max row form
+    (new[j] = running max of max(old[j], old[j-1]+eq) — no intra-row
+    sequencing needed)."""
+    from datafusion_geo_spark.operators.evals import rouge_l_corpus
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("ref"),
+        F.regexp_replace(F.col("text"), r"\bdata\b", "info")
+        .alias("_t2"))
+    pairs = d.select(
+        "doc_id", "ref",
+        F.expr("substring(_t2, instr(_t2, ' ') + 1)").alias("cand"))
+    return rouge_l_corpus(pairs, "cand", "ref")
+
+
 def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language router (operators/nbayes.py,
     r11): train on the documents table by lang (counting-only fit —
@@ -5567,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "hamming_dedup_pairs": _q_hamming_dedup_pairs,
         "nb_confusion": _q_nb_confusion,
+        "rouge_eval": _q_rouge_eval,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5581,7 +5606,7 @@ _FIRST50 = [
     # standard-GeoParquet sink round trip, binary-embedding retrieval
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
-    "hamming_dedup_pairs", "nb_confusion",
+    "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5607,13 +5632,13 @@ _FIRST50 = [
     # line_merge_literal, longest_line_literal, map_match, ... — leads
     # r12's re-gate pool)
     "accessors2_literal", "audio_frames", "batch_sessions",
-    "bloom_new_docs", "bpe_merges",
-    # (buildarea_literal / count_min_topk / geometric_median /
-    # geom_edit_points / embed_quantize / edit_utils_literal /
-    # dedup_keep_one displaced to 51+ by geoparquet_roundtrip +
-    # hamming_topk + binary_rerank + hamming_recall + doc_chunks +
-    # hamming_dedup_pairs + nb_confusion; they lead r12's r6-block
-    # pool)
+    "bloom_new_docs",
+    # (bpe_merges / buildarea_literal / count_min_topk /
+    # geometric_median / geom_edit_points / embed_quantize /
+    # edit_utils_literal / dedup_keep_one displaced to 51+ by
+    # geoparquet_roundtrip + hamming_topk + binary_rerank +
+    # hamming_recall + doc_chunks + hamming_dedup_pairs +
+    # nb_confusion + rouge_eval; they lead r12's r6-block pool)
 ]
 
 
@@ -12299,6 +12324,64 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id) AS rank
           FROM rr) WHERE rank <= 10
+    """
+    # ROUGE-L: integer LCS DP replayed as a recursive CTE in the
+    # prefix-max row form (new[j] = running max over k<=j of
+    # max(old[k+1], old[k]+eq_k) — equivalent to the classic
+    # recurrence, but each row is a pure list expression with no
+    # intra-row sequencing). Pure-int DP + exact 6-dp ratios.
+    out["rouge_eval"] = f"""
+        WITH RECURSIVE base AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                     trim(substr(t2, instr(t2, ' ') + 1)), '\\s+'),
+                   x -> x <> '')[1:32] AS c,
+                 list_filter({_WORDS}, x -> x <> '')[1:32] AS r
+          FROM (SELECT doc_id, text,
+                       regexp_replace(text, '\\bdata\\b', 'info', 'g')
+                         AS t2
+                FROM documents)
+        ),
+        dp AS (
+          SELECT doc_id, 0 AS i, c, r,
+                 list_transform(range(0, len(r) + 1),
+                                x -> 0::BIGINT) AS dr
+          FROM base WHERE len(c) >= 1 AND len(r) >= 1
+          UNION ALL
+          SELECT doc_id, i + 1, c, r,
+                 list_prepend(0::BIGINT,
+                   list_transform(range(1, len(r) + 1), j ->
+                     list_max(list_transform(range(1, j + 1), k ->
+                       greatest(dr[k + 1], dr[k] +
+                         CASE WHEN c[i + 1] = r[k] THEN 1::BIGINT
+                              ELSE 0::BIGINT END)))))
+          FROM dp WHERE i < len(c)
+        ),
+        lcs AS (
+          SELECT b.doc_id, len(b.c)::BIGINT AS nc,
+                 len(b.r)::BIGINT AS nr,
+                 COALESCE(d.l, 0::BIGINT) AS l
+          FROM base b LEFT JOIN (
+            SELECT doc_id, dr[len(r) + 1] AS l
+            FROM dp WHERE i = len(c)) d USING (doc_id)
+        ),
+        tot AS (SELECT COUNT(*)::BIGINT AS n_pairs,
+                       SUM(l)::BIGINT AS lcs_sum,
+                       SUM(nc)::BIGINT AS cand_words,
+                       SUM(nr)::BIGINT AS ref_words
+                FROM lcs)
+        SELECT n_pairs, lcs_sum, cand_words, ref_words,
+               CASE WHEN cand_words > 0 THEN
+                 ((2000000 * lcs_sum + cand_words)
+                  // (2 * cand_words)) / 1000000.0 END AS rouge_p,
+               CASE WHEN ref_words > 0 THEN
+                 ((2000000 * lcs_sum + ref_words)
+                  // (2 * ref_words)) / 1000000.0 END AS rouge_r,
+               CASE WHEN cand_words + ref_words > 0 THEN
+                 ((2000000 * 2 * lcs_sum + cand_words + ref_words)
+                  // (2 * (cand_words + ref_words))) / 1000000.0
+               END AS rouge_f
+        FROM tot
     """
     # Naive Bayes confusion: full replay — the model is three count
     # CTEs, scores are exact int64 of micro-int'ed ln() factors, and

@@ -1340,3 +1340,83 @@ def chrf_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
     cols = [c for n in range(1, max_n + 1)
             for c in (f"m{n}", f"tc{n}", f"tr{n}")]
     return one.select(*cols, chrf.alias("chrf"))
+
+
+def lcs_len_col(cand_arr: Column, ref_arr: Column) -> Column:
+    """Longest-common-subsequence length of two token arrays as a pure
+    JVM integer DP — the nested higher-order fold (the unigram-Viterbi
+    machinery): the outer ``aggregate`` walks candidate tokens carrying
+    the DP row (array<int>, length m+1); the inner ``aggregate`` walks
+    the reference positions rebuilding the row left-to-right, because
+    new[j] needs new[j-1] (classic LCS recurrence
+    new[j] = eq ? old[j-1]+1 : max(old[j], new[j-1])). All-integer —
+    the value replays bit-for-bit in any engine. Cost O(n·m²) per pair
+    (array append copies) — callers bound both sides (see
+    :func:`rouge_l_corpus`'s eval window). Empty either side → 0,
+    expressed explicitly (the sequence(1,0)-descends trap)."""
+    n, m = F.size(cand_arr), F.size(ref_arr)
+    refz = F.zip_with(
+        ref_arr, F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda w, j: F.struct(w.alias("w"), j.alias("j")))
+    row0 = F.transform(F.sequence(F.lit(0), F.greatest(m, F.lit(1))),
+                       lambda _: F.lit(0))
+    fold = F.aggregate(
+        cand_arr, row0,
+        lambda old, h: F.aggregate(
+            refz, F.array(F.lit(0)),
+            lambda acc, z: F.concat(acc, F.array(
+                F.when(h == z["w"],
+                       F.element_at(old, z["j"]) + F.lit(1))
+                .otherwise(F.greatest(
+                    F.element_at(old, z["j"] + F.lit(1)),
+                    F.element_at(acc, F.lit(-1))))))))
+    return F.when((n >= 1) & (m >= 1),
+                  F.element_at(fold, m + F.lit(1))) \
+        .otherwise(F.lit(0)).cast("long")
+
+
+def rouge_l_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
+                  id_col: str = "doc_id",
+                  max_words: int = 32) -> DataFrame:
+    """Corpus ROUGE-L (Lin 2004) of a candidate text column against a
+    reference — the LCS-based summarization eval completing the
+    overlap family (BLEU = n-gram precision, chrF = char F-score,
+    WER = edit distance, ROUGE-L = in-order recall without requiring
+    contiguity). Micro-averaged over the corpus: with S = Σ lcs,
+    H = Σ candidate tokens, M = Σ reference tokens,
+    P = S/H, R = S/M, and the F1 harmonic mean collapses to
+    2S/(H+M) — so all three are exact 6-dp integer ratios (house
+    ``_ratio6``), no float accumulation anywhere.
+
+    Both sides are truncated to the first ``max_words`` whitespace
+    tokens (the documented evaluation window, also what bounds the
+    O(n·m²) per-pair DP of :func:`lcs_len_col`). Map-only per pair +
+    one global aggregate: the corpus never shuffles rows. ONE row out:
+    (n_pairs, lcs_sum, cand_words, ref_words, rouge_p, rouge_r,
+    rouge_f); ratios NULL on a zero denominator."""
+    from .text import _ratio6, words_col
+
+    def toks(c):
+        return F.slice(F.filter(words_col(c), lambda x: x != ""),
+                       1, max_words)
+
+    per = pairs.select(
+        F.col(id_col),
+        toks(F.col(cand_col)).alias("_c"),
+        toks(F.col(ref_col)).alias("_r"))
+    per = per.select(
+        lcs_len_col(F.col("_c"), F.col("_r")).alias("_l"),
+        F.size("_c").cast("long").alias("_nc"),
+        F.size("_r").cast("long").alias("_nr"))
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_l").cast("long").alias("lcs_sum"),
+        F.sum("_nc").cast("long").alias("cand_words"),
+        F.sum("_nr").cast("long").alias("ref_words"))
+    S, H, M = F.col("lcs_sum"), F.col("cand_words"), F.col("ref_words")
+    return tot.select(
+        "n_pairs", "lcs_sum", "cand_words", "ref_words",
+        F.when(H > 0, _ratio6(S, H)).alias("rouge_p"),
+        F.when(M > 0, _ratio6(S, M)).alias("rouge_r"),
+        F.when(H + M > 0, _ratio6(F.lit(2) * S, H + M))
+        .alias("rouge_f"))
