@@ -3676,6 +3676,38 @@ def _q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        st_srid(F.col("geom")).alias("srid"))
 
 
+def _q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESRI-Shapefile sink+source round trip (sources/shapefile.py
+    write_shapefile / read_shapefile, r11): the customer points plus a
+    dBASE-typed attribute row (c_custkey N18,0 / y N24,6 /
+    c_mktsegment C64) written as one part trio per partition and read
+    back through .shx-index splits. What the gate pins: the .shp
+    Point/Null-shape value round trip (wkt bit-equal — coordinates
+    pass through IEEE doubles untouched), the dBASE NUMERIC text
+    round trip (integers exact; the double column is y = n*3-37.5,
+    always .5, exact at the sink's fixed 6-decimal contract), and the
+    C-field pass-through. NULL geometries (custkey%7==0) become Null
+    shape records and must come back as NULL, not be dropped. Oracle
+    replays the fixture arithmetic (x integral -> bare int in WKT; y
+    always .5 -> one decimal)."""
+    import os
+    from datafusion_geo_spark.functions import st_astext
+    from datafusion_geo_spark.sources.fixtures import points_customer
+    from datafusion_geo_spark.sources.shapefile import (read_shapefile,
+                                                        write_shapefile)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".cache", "shapefile", tag)
+    src = points_customer(spark, sf_dir).select(
+        "c_custkey", F.col("y").alias("yval"),
+        F.col("c_mktsegment").alias("mktseg"),  # dBASE 10-byte names
+        "geom")
+    write_shapefile(src, path)
+    back = read_shapefile(spark, path)
+    return back.select("c_custkey", "yval", "mktseg",
+                       st_astext(F.col("geom")).alias("wkt_out"))
+
+
 def _q_sp_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipped-tokenizer round trip, BPE (operators/sp_export.py, r10
     verdict item 6): export the 8-merge fit as merges.txt (the GPT-2 /
@@ -5592,6 +5624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_dedup_pairs": _q_hamming_dedup_pairs,
         "nb_confusion": _q_nb_confusion,
         "rouge_eval": _q_rouge_eval,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5607,6 +5640,7 @@ _FIRST50 = [
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
+    "shapefile_roundtrip",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5632,13 +5666,13 @@ _FIRST50 = [
     # line_merge_literal, longest_line_literal, map_match, ... — leads
     # r12's re-gate pool)
     "accessors2_literal", "audio_frames", "batch_sessions",
-    "bloom_new_docs",
-    # (bpe_merges / buildarea_literal / count_min_topk /
-    # geometric_median / geom_edit_points / embed_quantize /
-    # edit_utils_literal / dedup_keep_one displaced to 51+ by
-    # geoparquet_roundtrip + hamming_topk + binary_rerank +
+    # (bloom_new_docs / bpe_merges / buildarea_literal /
+    # count_min_topk / geometric_median / geom_edit_points /
+    # embed_quantize / edit_utils_literal / dedup_keep_one displaced
+    # to 51+ by geoparquet_roundtrip + hamming_topk + binary_rerank +
     # hamming_recall + doc_chunks + hamming_dedup_pairs +
-    # nb_confusion + rouge_eval; they lead r12's r6-block pool)
+    # nb_confusion + rouge_eval + shapefile_roundtrip; they lead
+    # r12's r6-block pool)
 ]
 
 
@@ -12480,6 +12514,19 @@ def oracle_sql() -> dict[str, str]:
                          || ')' END AS wkt_out,
                CASE WHEN c_custkey % 7 = 0 THEN NULL
                     ELSE 32118 END AS srid
+        FROM customer
+    """
+    # shapefile trio round trip: same fixture arithmetic; yval rides
+    # the dBASE NUMERIC text lane (always .5 -> exact at the sink's
+    # 6-decimal contract), geometry the .shp IEEE-double lane
+    out["shapefile_roundtrip"] = """
+        SELECT c_custkey,
+               (c_nationkey * 3 - 37.5)::DOUBLE AS yval,
+               c_mktsegment AS mktseg,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE 'POINT(' || (c_custkey % 360 - 180)::VARCHAR
+                         || ' ' || (c_nationkey * 3 - 37.5)::VARCHAR
+                         || ')' END AS wkt_out
         FROM customer
     """
     out["tokenizer_compare"] = f"""
