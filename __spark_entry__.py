@@ -2768,6 +2768,21 @@ def _q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_corpus(pairs, "cand", "ref")
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase search (operators/text.py
+    phrase_search, r11): documents where 'table scan' occurs as
+    CONSECUTIVE whitespace tokens, per-doc overlapping match counts,
+    top-20 by (n_matches desc, doc_id). The match is positional
+    arithmetic on on-demand postings — array_intersect of the shifted
+    per-word position arrays from ONE posexplode + ONE grouped
+    aggregate — so tokens never match inside longer words and any
+    whitespace run separates tokens identically (the two ways a
+    LIKE-scan lies). Oracle is the INDEPENDENT sliding-window
+    formulation (list_filter over start positions), not a replay."""
+    from datafusion_geo_spark.operators.text import phrase_search
+    return phrase_search(_docs(spark, sf_dir), "table scan", k=20)
+
+
 def _q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language router (operators/nbayes.py,
     r11): train on the documents table by lang (counting-only fit —
@@ -5625,6 +5640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": _q_nb_confusion,
         "rouge_eval": _q_rouge_eval,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "phrase_search": _q_phrase_search,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5640,7 +5656,7 @@ _FIRST50 = [
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
-    "shapefile_roundtrip",
+    "shapefile_roundtrip", "phrase_search",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5665,14 +5681,15 @@ _FIRST50 = [
     # graph_stats, hilbert_keys, hll_registers, line_edit_literal,
     # line_merge_literal, longest_line_literal, map_match, ... — leads
     # r12's re-gate pool)
-    "accessors2_literal", "audio_frames", "batch_sessions",
-    # (bloom_new_docs / bpe_merges / buildarea_literal /
-    # count_min_topk / geometric_median / geom_edit_points /
-    # embed_quantize / edit_utils_literal / dedup_keep_one displaced
-    # to 51+ by geoparquet_roundtrip + hamming_topk + binary_rerank +
-    # hamming_recall + doc_chunks + hamming_dedup_pairs +
-    # nb_confusion + rouge_eval + shapefile_roundtrip; they lead
-    # r12's r6-block pool)
+    "accessors2_literal", "audio_frames",
+    # (batch_sessions / bloom_new_docs / bpe_merges /
+    # buildarea_literal / count_min_topk / geometric_median /
+    # geom_edit_points / embed_quantize / edit_utils_literal /
+    # dedup_keep_one displaced to 51+ by geoparquet_roundtrip +
+    # hamming_topk + binary_rerank + hamming_recall + doc_chunks +
+    # hamming_dedup_pairs + nb_confusion + rouge_eval +
+    # shapefile_roundtrip + phrase_search; they lead r12's r6-block
+    # pool)
 ]
 
 
@@ -12416,6 +12433,19 @@ def oracle_sql() -> dict[str, str]:
                   // (2 * (cand_words + ref_words))) / 1000000.0
                END AS rouge_f
         FROM tot
+    """
+    # phrase search: INDEPENDENT sliding-window formulation — start
+    # positions i where every phrase token matches w[i + j] — against
+    # the engine's shifted-postings intersection
+    out["phrase_search"] = f"""
+        WITH dw AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+        m AS (SELECT doc_id,
+                     len(list_filter(range(1, len(w)), i ->
+                         w[i] = 'table' AND w[i + 1] = 'scan'))::BIGINT
+                       AS n_matches
+              FROM dw)
+        SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        ORDER BY n_matches DESC, doc_id LIMIT 20
     """
     # Naive Bayes confusion: full replay — the model is three count
     # CTEs, scores are exact int64 of micro-int'ed ln() factors, and

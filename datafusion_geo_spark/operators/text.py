@@ -1197,3 +1197,63 @@ def chunk_documents(docs: DataFrame, size: int = 64, stride: int = 48,
         F.col(id_col), F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"))
+
+
+def phrase_positions(docs: DataFrame, phrase_words, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document sorted position arrays for each word of a phrase:
+    (id, p0..p{k-1}) where p_i lists the 0-based token positions of
+    phrase word i. ONE posexplode + ONE grouped aggregate whatever the
+    phrase length — the positional-postings shape of an inverted
+    index, built on demand for the phrase's words only (the full
+    corpus index is never materialized). Positions refer to the
+    engine's whitespace token stream (words_col)."""
+    if not phrase_words:
+        raise ValueError("phrase_positions: empty phrase")
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("_p", "_w"))
+    aggs = [F.sort_array(F.collect_list(
+        F.when(F.col("_w") == w, F.col("_p")))).alias(f"p{i}")
+        for i, w in enumerate(phrase_words)]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def phrase_search(docs: DataFrame, phrase: str, k: int = 20,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact multi-word phrase search: documents where the phrase's
+    tokens occur CONSECUTIVELY in the whitespace token stream, with
+    per-doc match counts, top-``k`` by (n_matches desc, id asc) via
+    orderBy+limit (TakeOrdered — no global single-task window).
+
+    The match is pure positional arithmetic on the per-word postings
+    of :func:`phrase_positions`: a phrase starting at position p needs
+    word i at p + i, so the match-start set is the intersection of the
+    shifted position arrays — ``array_intersect(p0, p1 - 1, p2 - 2,
+    ...)``, all JVM built-ins. No substring matching is involved, so
+    tokens never match inside longer words and any whitespace run
+    separates tokens identically (the two ways a LIKE-based scan
+    lies). One shuffle total; the phrase words' postings are the only
+    state, so a 100 TB corpus pays one tokenize pass + one grouped
+    aggregate bounded by occurrences of those k words."""
+    pw = [w for w in phrase.split() if w]
+    pos = phrase_positions(docs, pw, text_col, id_col)
+    m = F.col("p0")
+    for i in range(1, len(pw)):
+        m = F.array_intersect(
+            m, F.transform(F.col(f"p{i}"), _shift_by(-i)))
+    out = pos.select(F.col(id_col),
+                     F.size(m).cast("long").alias("n_matches"))
+    return (out.where(F.col("n_matches") > 0)
+            .orderBy(F.col("n_matches").desc(), F.col(id_col))
+            .limit(k))
+
+
+def _shift_by(d: int):
+    """Factory returning a ONE-parameter lambda (the HOF introspection
+    rule — a second parameter, even defaulted, would receive the
+    element index)."""
+    def one(x):
+        return x + F.lit(d)
+    return one
