@@ -2768,6 +2768,21 @@ def _q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_corpus(pairs, "cand", "ref")
 
 
+def _q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + gap fill (operators/timeseries.py
+    resample_locf, r11): per user, 6-hour slots spanning each user's
+    own [first, last] event, per-slot observation counts, and the
+    value carried forward across gaps (LOCF) — the sensor/metrics
+    "resample + pad" step between event logs and anything windowed.
+    Slot assignment is exact integer div on epoch micros; per-slot
+    last is max(struct(us, event_id, value)) (total deterministic
+    order); the carry is one per-key running window. Values pass
+    through untouched, so the frame is bit-exact in any engine."""
+    from datafusion_geo_spark.operators.timeseries import resample_locf
+    from datafusion_geo_spark.sources.fixtures import load_events
+    return resample_locf(load_events(spark, sf_dir), step_minutes=360)
+
+
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact positional phrase search (operators/text.py
     phrase_search, r11): documents where 'table scan' occurs as
@@ -5641,6 +5656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_eval": _q_rouge_eval,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
         "phrase_search": _q_phrase_search,
+        "resample_locf": _q_resample_locf,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5656,7 +5672,7 @@ _FIRST50 = [
     "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
-    "shapefile_roundtrip", "phrase_search",
+    "shapefile_roundtrip", "phrase_search", "resample_locf",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5681,15 +5697,15 @@ _FIRST50 = [
     # graph_stats, hilbert_keys, hll_registers, line_edit_literal,
     # line_merge_literal, longest_line_literal, map_match, ... — leads
     # r12's re-gate pool)
-    "accessors2_literal", "audio_frames",
-    # (batch_sessions / bloom_new_docs / bpe_merges /
+    "accessors2_literal",
+    # (audio_frames / batch_sessions / bloom_new_docs / bpe_merges /
     # buildarea_literal / count_min_topk / geometric_median /
     # geom_edit_points / embed_quantize / edit_utils_literal /
     # dedup_keep_one displaced to 51+ by geoparquet_roundtrip +
     # hamming_topk + binary_rerank + hamming_recall + doc_chunks +
     # hamming_dedup_pairs + nb_confusion + rouge_eval +
-    # shapefile_roundtrip + phrase_search; they lead r12's r6-block
-    # pool)
+    # shapefile_roundtrip + phrase_search + resample_locf; they lead
+    # r12's r6-block pool)
 ]
 
 
@@ -12433,6 +12449,32 @@ def oracle_sql() -> dict[str, str]:
                   // (2 * (cand_words + ref_words))) / 1000000.0
                END AS rouge_f
         FROM tot
+    """
+    # resample + LOCF: full integer replay — slot = epoch-us floor
+    # div, per-slot last = struct max (ts, id, value), carry =
+    # IGNORE NULLS running window; values pass through untouched
+    out["resample_locf"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+                   FROM events WHERE ts IS NOT NULL),
+        ps AS (SELECT user_id, us // 21600000000 AS slot,
+                      COUNT(*)::BIGINT AS n_obs,
+                      (max(struct_pack(u := us, i := event_id,
+                                       v := value))).v AS lv
+               FROM e GROUP BY 1, 2),
+        sp AS (SELECT user_id, MIN(slot) AS s0, MAX(slot) AS s1
+               FROM ps GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(s0, s1 + 1)) AS slot
+                 FROM sp),
+        j AS (SELECT g.user_id, g.slot, ps.n_obs, ps.lv
+              FROM grid g LEFT JOIN ps USING (user_id, slot))
+        SELECT user_id, make_timestamp(slot * 21600000000) AS slot_ts,
+               COALESCE(n_obs, 0)::BIGINT AS n_obs,
+               last_value(lv IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value,
+               (n_obs IS NULL) AS filled
+        FROM j
     """
     # phrase search: INDEPENDENT sliding-window formulation — start
     # positions i where every phrase token matches w[i + j] — against
