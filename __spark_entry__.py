@@ -2768,6 +2768,29 @@ def _q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_corpus(pairs, "cand", "ref")
 
 
+def _q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration by PAV (operators/evals.py
+    isotonic_calibrate, r11) of the ece_eval confidence fixture —
+    first embedding coordinate + 0.5, MILLI-quantized and clamped to
+    [0, 1000] (bounded buckets, the quantized-score contract), label
+    y = label < 5. The calibrator the reliability-table family was
+    missing: mlfit shape (one exact-int histogram aggregate + bounded
+    driver fold), and the PAV fold itself is integer-exact — the only
+    comparison is pos_a*n_b > pos_b*n_a — so the block structure
+    replays bit-for-bit; the oracle replays it as a recursive-CTE
+    state machine (one push or one merge per step) and the single
+    float is the house 6-dp ratio at the end."""
+    from datafusion_geo_spark.operators.evals import isotonic_calibrate
+    e1 = F.element_at(F.col("embedding"), 1).cast("double") + F.lit(0.5)
+    cm = F.least(F.greatest(
+        F.floor(e1 * F.lit(1e3) + F.lit(0.5)).cast("long"), F.lit(0)),
+        F.lit(1000))
+    scored = _embs(spark, sf_dir).select(
+        cm.alias("conf_milli"),
+        (F.col("label") < 5).cast("int").alias("y"))
+    return isotonic_calibrate(scored, "conf_milli", "y")
+
+
 def _q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid resample + gap fill (operators/timeseries.py
     resample_locf, r11): per user, 6-hour slots spanning each user's
@@ -5657,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_roundtrip": _q_shapefile_roundtrip,
         "phrase_search": _q_phrase_search,
         "resample_locf": _q_resample_locf,
+        "isotonic_fit": _q_isotonic_fit,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5673,6 +5697,7 @@ _FIRST50 = [
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
     "shapefile_roundtrip", "phrase_search", "resample_locf",
+    "isotonic_fit",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
@@ -5697,14 +5722,11 @@ _FIRST50 = [
     # graph_stats, hilbert_keys, hll_registers, line_edit_literal,
     # line_merge_literal, longest_line_literal, map_match, ... — leads
     # r12's re-gate pool)
-    "accessors2_literal",
-    # (audio_frames / batch_sessions / bloom_new_docs / bpe_merges /
-    # buildarea_literal / count_min_topk / geometric_median /
-    # geom_edit_points / embed_quantize / edit_utils_literal /
-    # dedup_keep_one displaced to 51+ by geoparquet_roundtrip +
-    # hamming_topk + binary_rerank + hamming_recall + doc_chunks +
-    # hamming_dedup_pairs + nb_confusion + rouge_eval +
-    # shapefile_roundtrip + phrase_search + resample_locf; they lead
+    # (accessors2_literal / audio_frames / batch_sessions /
+    # bloom_new_docs / bpe_merges / buildarea_literal /
+    # count_min_topk / geometric_median / geom_edit_points /
+    # embed_quantize / edit_utils_literal / dedup_keep_one displaced
+    # to 51+ by the 14 never-gated round-11 queries above; they lead
     # r12's r6-block pool)
 ]
 
@@ -12449,6 +12471,65 @@ def oracle_sql() -> dict[str, str]:
                   // (2 * (cand_words + ref_words))) / 1000000.0
                END AS rouge_f
         FROM tot
+    """
+    # isotonic/PAV: recursive-CTE state machine — each step is ONE
+    # action (merge the top two stack blocks on the integer-exact
+    # violation test, else consume the next bucket); buckets map back
+    # to blocks via cumulative bucket counts. Exact ints throughout,
+    # house 6-dp ratio at the end.
+    out["isotonic_fit"] = """
+        WITH RECURSIVE buckets AS MATERIALIZED (
+          SELECT score, COUNT(*)::BIGINT AS n,
+                 SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END)::BIGINT
+                   AS p,
+                 ROW_NUMBER() OVER (ORDER BY score) AS i
+          FROM (SELECT least(greatest(CAST(floor(
+                    (embedding[1]::DOUBLE + 0.5) * 1000.0 + 0.5)
+                    AS BIGINT), 0), 1000) AS score, label
+                FROM embeddings)
+          GROUP BY score
+        ),
+        pav AS (
+          SELECT 0 AS step, 1::BIGINT AS nxt,
+                 CAST([] AS STRUCT(n BIGINT, p BIGINT, c BIGINT)[])
+                   AS stk
+          UNION ALL
+          SELECT step + 1,
+                 CASE WHEN s.mg THEN s.nxt ELSE s.nxt + 1 END,
+                 CASE WHEN s.mg THEN
+                   list_append(s.stk[1:len(s.stk) - 2], struct_pack(
+                     n := s.stk[len(s.stk) - 1].n + s.stk[len(s.stk)].n,
+                     p := s.stk[len(s.stk) - 1].p + s.stk[len(s.stk)].p,
+                     c := s.stk[len(s.stk) - 1].c
+                          + s.stk[len(s.stk)].c))
+                 ELSE list_append(s.stk,
+                   struct_pack(n := b.n, p := b.p, c := 1::BIGINT))
+                 END
+          FROM (SELECT step, nxt, stk,
+                       (len(stk) >= 2 AND
+                        stk[len(stk) - 1].p * stk[len(stk)].n
+                          > stk[len(stk)].p * stk[len(stk) - 1].n)
+                         AS mg
+                FROM pav) s
+          LEFT JOIN buckets b ON b.i = s.nxt AND NOT s.mg
+          WHERE s.mg OR b.i IS NOT NULL
+        ),
+        fin AS (SELECT stk FROM pav ORDER BY step DESC LIMIT 1),
+        bl AS (SELECT unnest(range(1, len(stk) + 1)) AS bi, stk
+               FROM fin),
+        blocks AS (
+          SELECT stk[bi].n AS bn, stk[bi].p AS bp, stk[bi].c AS bc,
+                 SUM(stk[bi].c) OVER (ORDER BY bi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ccum
+          FROM bl
+        )
+        SELECT bu.score, bu.n, bu.p AS n_pos, blocks.bn AS blk_n,
+               blocks.bp AS blk_pos,
+               ((2000000 * blocks.bp + blocks.bn)
+                // (2 * blocks.bn)) / 1000000.0 AS cal
+        FROM buckets bu JOIN blocks
+          ON bu.i > blocks.ccum - blocks.bc AND bu.i <= blocks.ccum
     """
     # resample + LOCF: full integer replay — slot = epoch-us floor
     # div, per-slot last = struct max (ts, id, value), carry =

@@ -1420,3 +1420,63 @@ def rouge_l_corpus(pairs: DataFrame, cand_col: str, ref_col: str,
         F.when(M > 0, _ratio6(S, M)).alias("rouge_r"),
         F.when(H + M > 0, _ratio6(F.lit(2) * S, H + M))
         .alias("rouge_f"))
+
+
+def isotonic_calibrate(scored: DataFrame, score_col: str,
+                       label_col: str,
+                       max_buckets: int = 100_000) -> DataFrame:
+    """Isotonic calibration by pool-adjacent-violators (PAV) — the
+    classic nonparametric calibrator (Zadrozny & Elkan 2002), fitting
+    the best monotone map from an integer-quantized score to an
+    empirical probability. The mlfit contract shape: ONE corpus
+    aggregate (per-score n / n_pos histogram, exact int64) feeds a
+    bounded driver-side fold over the dict-sized histogram, and the
+    fold itself is EXACT — the only arithmetic PAV needs is the
+    violation test rate(a) > rate(b), done by integer
+    cross-multiplication (pos_a·n_b > pos_b·n_a), so the block
+    structure replays bit-for-bit in any engine; the single float is
+    the house exact 6-dp ratio at the very end. Equal-rate neighbors
+    are NOT merged (their calibrated values are equal either way, so
+    the output is invariant — but the convention is pinned for the
+    replay).
+
+    Returns one row per distinct score: (score, n, n_pos, blk_n,
+    blk_pos, cal) with cal monotone nondecreasing in score. Raises if
+    the score column has more than ``max_buckets`` distinct values —
+    quantize first (the auc_exact / ece_from_scores contract)."""
+    from .text import _ratio6
+
+    hist = (scored.groupBy(F.col(score_col).alias("score"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.col(label_col).cast("long")).cast("long")
+                 .alias("n_pos"))
+            .orderBy("score"))
+    rows = hist.collect()
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"isotonic_calibrate: {len(rows)} distinct scores exceeds "
+            f"max_buckets={max_buckets} — quantize the score first")
+    # PAV: each stack block is [n, pos, n_buckets]; merge while the
+    # previous block's rate exceeds the top's (strict, integer-exact)
+    stk: list = []
+    for r in rows:
+        stk.append([r["n"], r["n_pos"], 1])
+        while len(stk) >= 2 and stk[-2][1] * stk[-1][0] \
+                > stk[-1][1] * stk[-2][0]:
+            b = stk.pop()
+            stk[-1][0] += b[0]
+            stk[-1][1] += b[1]
+            stk[-1][2] += b[2]
+    out = []
+    i = 0
+    for bn, bp, cnt in stk:
+        for _ in range(cnt):
+            r = rows[i]
+            out.append((r["score"], r["n"], r["n_pos"], bn, bp))
+            i += 1
+    res = scored.sparkSession.createDataFrame(
+        out, "score long, n long, n_pos long, blk_n long, "
+             "blk_pos long")
+    return res.select(
+        "score", "n", "n_pos", "blk_n", "blk_pos",
+        _ratio6(F.col("blk_pos"), F.col("blk_n")).alias("cal"))
