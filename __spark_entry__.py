@@ -2768,6 +2768,28 @@ def _q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_corpus(pairs, "cand", "ref")
 
 
+def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (operators/profile.py corr_matrix,
+    r11) over four small-integer lineitem measures — quantity,
+    linenumber, discount and tax in whole percent (floor(x*100+0.5):
+    the 2-dp fixture decimals land exactly) — the EDA profile staple.
+    ONE partial+final aggregate of the 15 exact int64 moments is the
+    only corpus touch; the closed form per pair runs on the one-row
+    result (variance products cast to double before multiplying, the
+    pearson_corr discipline) and explodes to the 6 upper-triangle
+    rows. Oracle: same moments, same closed form."""
+    from datafusion_geo_spark.operators.profile import corr_matrix
+    from datafusion_geo_spark.sources.fixtures import load_table
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_linenumber").cast("long").alias("lineno"),
+        F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("disc_pct"),
+        F.floor(F.col("l_tax") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("tax_pct"))
+    return corr_matrix(li, ["qty", "lineno", "disc_pct", "tax_pct"])
+
+
 def _q_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration by PAV (operators/evals.py
     isotonic_calibrate, r11) of the ece_eval confidence fixture —
@@ -5681,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "resample_locf": _q_resample_locf,
         "isotonic_fit": _q_isotonic_fit,
+        "corr_matrix": _q_corr_matrix,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5697,13 +5720,14 @@ _FIRST50 = [
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
     "shapefile_roundtrip", "phrase_search", "resample_locf",
-    "isotonic_fit",
+    "isotonic_fit", "corr_matrix",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
     # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
-    # are in-range, re-gated anyway per changed-kernel priority),
-    # geo/algos.py split (error-path rewording)
-    "dsir_select", "albers_conus", "laea_europe", "split_literal",
+    # are in-range, re-gated anyway per changed-kernel priority).
+    # (split_literal's change was error-MESSAGE rewording only — its
+    # slot went to corr_matrix; it leads r12's changed-kernel pool)
+    "dsir_select", "albers_conus", "laea_europe",
     # the full r5-stale block (oldest gate evidence, 5 rounds old —
     # VERDICT r10 item 2), alphabetical
     "hexbin_customers", "hourly_rollup", "incremental_dedup",
@@ -12471,6 +12495,43 @@ def oracle_sql() -> dict[str, str]:
                   // (2 * (cand_words + ref_words))) / 1000000.0
                END AS rouge_f
         FROM tot
+    """
+    # correlation matrix: same exact-int moments, same closed form
+    # (variance product in doubles, sqrt, one 6-dp round at the end)
+    _CM_COLS = [("qty", "CAST(l_quantity AS BIGINT)"),
+                ("lineno", "CAST(l_linenumber AS BIGINT)"),
+                ("disc_pct",
+                 "CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)"),
+                ("tax_pct",
+                 "CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)")]
+    _cm_sel = ", ".join(f"{e} AS {n}" for n, e in _CM_COLS)
+    _cm_aggs = ["COUNT(*)::BIGINT AS n"]
+    _cm_aggs += [f"SUM({n})::BIGINT AS s{i}"
+                 for i, (n, _) in enumerate(_CM_COLS)]
+    _cm_aggs += [f"SUM({a} * {b})::BIGINT AS s{i}_{j}"
+                 for i, (a, _) in enumerate(_CM_COLS)
+                 for j, (b, _) in enumerate(_CM_COLS) if j >= i]
+    _cm_rows = []
+    for i, (a, _) in enumerate(_CM_COLS):
+        for j, (b, _) in enumerate(_CM_COLS):
+            if j <= i:
+                continue
+            cov = f"(n * s{i}_{j} - s{i} * s{j})"
+            vx = f"(n * s{i}_{i} - s{i} * s{i})"
+            vy = f"(n * s{j}_{j} - s{j} * s{j})"
+            r = (f"({cov}::DOUBLE / sqrt({vx}::DOUBLE * {vy}::DOUBLE))")
+            _cm_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows, "
+                f"{cov}::BIGINT AS cov_num, {vx}::BIGINT AS varx_num, "
+                f"{vy}::BIGINT AS vary_num, "
+                f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+                f"(CASE WHEN ({r}) < 0 THEN -1 ELSE 1 END) * "
+                f"floor(abs({r}) * 1000000.0 + 0.5) / 1000000.0 + 0.0 "
+                f"END AS corr FROM m")
+    out["corr_matrix"] = f"""
+        WITH q AS (SELECT {_cm_sel} FROM lineitem),
+        m AS MATERIALIZED (SELECT {", ".join(_cm_aggs)} FROM q)
+        {" UNION ALL ".join(_cm_rows)}
     """
     # isotonic/PAV: recursive-CTE state machine — each step is ONE
     # action (merge the top two stack blocks on the integer-exact

@@ -113,3 +113,51 @@ def skew_audit(df: DataFrame, key_col: str) -> DataFrame:
                     + F.lit(0.5)) / F.lit(1e6) + F.lit(0.0))
     return agg.select("n_keys", "n_rows", "max_size", "p99_size", "r2",
                       g6.alias("gini"))
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation MATRIX over k integer-quantized columns —
+    the EDA staple, generalizing :func:`..evals.pearson_corr` from one
+    pair to all of them with the identical exactness contract and
+    STILL one corpus pass: a single partial+final aggregate of the
+    k + k(k+1)/2 + 1 exact int64 moments (map-side combined — a
+    handful of longs per task crosses the wire), then the closed form
+    per pair on the one-row result, exploded to the upper triangle.
+
+    Same overflow envelope as pearson_corr / the mlfit Gram note:
+    n·S_xy must fit int64 — with |x| <= ~4e5 that holds to ~1e7 rows;
+    quantize coarser for more. One row per unordered pair (i < j in
+    ``cols`` order): (col_x, col_y, n_rows, cov_num, varx_num,
+    vary_num, corr 6-dp); corr is NULL for a zero-variance column."""
+    from .evals import _r6
+
+    k = len(cols)
+    if k < 2:
+        raise ValueError("corr_matrix: need at least 2 columns")
+    xs = [F.col(c).cast("long") for c in cols]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(xs[i]).alias(f"s{i}") for i in range(k)]
+    aggs += [F.sum(xs[i] * xs[j]).alias(f"s{i}_{j}")
+             for i in range(k) for j in range(i, k)]
+    one = df.agg(*aggs)
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            cov = (F.col("n") * F.col(f"s{i}_{j}")
+                   - F.col(f"s{i}") * F.col(f"s{j}"))
+            vx = (F.col("n") * F.col(f"s{i}_{i}")
+                  - F.col(f"s{i}") * F.col(f"s{i}"))
+            vy = (F.col("n") * F.col(f"s{j}_{j}")
+                  - F.col(f"s{j}") * F.col(f"s{j}"))
+            r = (cov.cast("double")
+                 / F.sqrt(vx.cast("double") * vy.cast("double")))
+            pairs.append(F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                cov.cast("long").alias("cov_num"),
+                vx.cast("long").alias("varx_num"),
+                vy.cast("long").alias("vary_num"),
+                F.when((vx > 0) & (vy > 0), _r6(r)).alias("corr")))
+    return (one.select(F.explode(F.array(*pairs)).alias("_p"))
+            .select("_p.*"))
