@@ -2768,6 +2768,27 @@ def _q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_corpus(pairs, "cand", "ref")
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit (operators/profile.py mad_outliers, r11):
+    per event_type, median / median-absolute-deviation of the event
+    value in cents and the count beyond 3·MAD — the data-cleaning
+    gate that survives the outliers it hunts (mean/std break exactly
+    when needed). Two grouped-count histogram passes; median and MAD
+    via the hist_quantiles integer rank test (100·cum >= 50·n — no
+    division); the outlier count is summed from the SECOND histogram
+    itself (no third corpus pass); with integer cents and integer k
+    the entire pipeline is exact int64 — the only float is the final
+    6-dp rate. Oracle replays both histograms and the rank tests."""
+    from datafusion_geo_spark.operators.profile import mad_outliers
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"))
+    return mad_outliers(cents, "cents", ("event_type",))
+
+
 def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation matrix (operators/profile.py corr_matrix,
     r11) over four small-integer lineitem measures — quantity,
@@ -5704,6 +5725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": _q_resample_locf,
         "isotonic_fit": _q_isotonic_fit,
         "corr_matrix": _q_corr_matrix,
+        "mad_outliers": _q_mad_outliers,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5720,14 +5742,16 @@ _FIRST50 = [
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
     "shapefile_roundtrip", "phrase_search", "resample_locf",
-    "isotonic_fit", "corr_matrix",
+    "isotonic_fit", "corr_matrix", "mad_outliers",
     # re-gates for kernels CHANGED by the r10 ADVICE fixes:
     # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
-    # geo/proj.py Albers/LAEA inverse (pole clamp — the gated points
-    # are in-range, re-gated anyway per changed-kernel priority).
-    # (split_literal's change was error-MESSAGE rewording only — its
-    # slot went to corr_matrix; it leads r12's changed-kernel pool)
-    "dsir_select", "albers_conus", "laea_europe",
+    # geo/proj.py conic inverse pole clamp — albers_conus re-gated as
+    # the conic representative (the gated points are in-range).
+    # (split_literal's change was error-MESSAGE rewording only and
+    # laea_europe shares albers' clamp path + was r10-green — their
+    # slots went to corr_matrix/mad_outliers; both lead r12's
+    # changed-kernel pool)
+    "dsir_select", "albers_conus",
     # the full r5-stale block (oldest gate evidence, 5 rounds old —
     # VERDICT r10 item 2), alphabetical
     "hexbin_customers", "hourly_rollup", "incremental_dedup",
@@ -12495,6 +12519,51 @@ def oracle_sql() -> dict[str, str]:
                   // (2 * (cand_words + ref_words))) / 1000000.0
                END AS rouge_f
         FROM tot
+    """
+    # MAD outliers: two histogram replays + the integer rank test
+    # (100*cum >= 50*n), outlier count summed from the second
+    # histogram, house half-away 6-dp rate
+    out["mad_outliers"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS v
+                   FROM events WHERE value IS NOT NULL),
+        h1 AS (SELECT event_type, v, COUNT(*)::BIGINT AS cnt
+               FROM e GROUP BY 1, 2),
+        r1 AS (SELECT event_type, v, cnt,
+                      SUM(cnt) OVER (PARTITION BY event_type
+                        ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+                      SUM(cnt) OVER (PARTITION BY event_type) AS nt
+               FROM h1),
+        med AS (SELECT event_type,
+                       MIN(CASE WHEN 100 * cum >= 50 * nt THEN v END)
+                         AS med
+                FROM r1 GROUP BY 1),
+        d AS (SELECT e.event_type, abs(e.v - med.med) AS dev
+              FROM e JOIN med USING (event_type)),
+        h2 AS (SELECT event_type, dev, COUNT(*)::BIGINT AS cnt
+               FROM d GROUP BY 1, 2),
+        r2 AS (SELECT event_type, dev, cnt,
+                      SUM(cnt) OVER (PARTITION BY event_type
+                        ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+                      SUM(cnt) OVER (PARTITION BY event_type) AS nt
+               FROM h2),
+        mad AS (SELECT event_type, MAX(nt)::BIGINT AS n,
+                       MIN(CASE WHEN 100 * cum >= 50 * nt THEN dev
+                           END) AS mad
+                FROM r2 GROUP BY 1),
+        outs AS (SELECT h2.event_type,
+                        SUM(CASE WHEN h2.dev > 3 * mad.mad
+                                 THEN h2.cnt ELSE 0 END)::BIGINT
+                          AS n_outliers
+                 FROM h2 JOIN mad USING (event_type) GROUP BY 1)
+        SELECT m.event_type, m.n, med.med, m.mad, o.n_outliers,
+               ((2000000 * o.n_outliers + m.n) // (2 * m.n))
+                 / 1000000.0 AS outlier_rate
+        FROM mad m JOIN med USING (event_type)
+        JOIN outs o ON o.event_type = m.event_type
     """
     # correlation matrix: same exact-int moments, same closed form
     # (variance product in doubles, sqrt, one 6-dp round at the end)
