@@ -2768,6 +2768,25 @@ def _q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rouge_l_corpus(pairs, "cand", "ref")
 
 
+def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (operators/profile.py
+    benford_audit, r11) of l_extendedprice in cents — the forensic
+    data-quality screen (fabricated / truncated / unit-mangled
+    numerics fail it — and so does TPC-H's bounded uniform price
+    grid, loudly: the audit EXPECTS a huge chi2 here, which is
+    exactly what makes it a pinnable fixture). Leading digit via the integer's decimal string (exact
+    in every engine, no log10 edges); nine exact int64 counts from
+    ONE aggregate; chi-square against the embedded 6-dp micro
+    constants of log10(1+1/d) as nine explicit fixed-order terms —
+    one fixed double expression, rounded once."""
+    from datafusion_geo_spark.operators.profile import benford_audit
+    from datafusion_geo_spark.sources.fixtures import load_table
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"))
+    return benford_audit(li, "cents")
+
+
 def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier audit (operators/profile.py mad_outliers, r11):
     per event_type, median / median-absolute-deviation of the event
@@ -5726,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_fit": _q_isotonic_fit,
         "corr_matrix": _q_corr_matrix,
         "mad_outliers": _q_mad_outliers,
+        "benford_audit": _q_benford_audit,
     }
     out = {k: q[k] for k in _FIRST50}
     out.update((k, v) for k, v in q.items() if k not in out)
@@ -5742,16 +5762,16 @@ _FIRST50 = [
     "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
     "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
     "shapefile_roundtrip", "phrase_search", "resample_locf",
-    "isotonic_fit", "corr_matrix", "mad_outliers",
-    # re-gates for kernels CHANGED by the r10 ADVICE fixes:
-    # sampling.py dsir_select (NULL-target buckets, interior Gumbel u),
-    # geo/proj.py conic inverse pole clamp — albers_conus re-gated as
-    # the conic representative (the gated points are in-range).
-    # (split_literal's change was error-MESSAGE rewording only and
-    # laea_europe shares albers' clamp path + was r10-green — their
-    # slots went to corr_matrix/mad_outliers; both lead r12's
-    # changed-kernel pool)
-    "dsir_select", "albers_conus",
+    "isotonic_fit", "corr_matrix", "mad_outliers", "benford_audit",
+    # re-gate for kernels CHANGED by the r10 ADVICE fixes:
+    # sampling.py dsir_select (NULL-target buckets, interior Gumbel u
+    # — real behavior changes, stays). The other three r10-fix
+    # regates rotated out to never-gated r11 queries (top policy
+    # priority): split_literal (error-MESSAGE rewording only),
+    # albers_conus / laea_europe (pole clamp is OFF the gated
+    # in-range points and pinned by tests/test_proj_crs.py +
+    # property fuzz); all three lead r12's changed-kernel pool.
+    "dsir_select",
     # the full r5-stale block (oldest gate evidence, 5 rounds old —
     # VERDICT r10 item 2), alphabetical
     "hexbin_customers", "hourly_rollup", "incremental_dedup",
@@ -12519,6 +12539,43 @@ def oracle_sql() -> dict[str, str]:
                   // (2 * (cand_words + ref_words))) / 1000000.0
                END AS rouge_f
         FROM tot
+    """
+    # Benford: exact digit counts from the integer's decimal string;
+    # chi2 as nine explicit fixed-order terms with the same embedded
+    # micro constants (int::DOUBLE / int::DOUBLE — never a bare
+    # DECIMAL literal)
+    _BEN = (301030, 176091, 124939, 96910, 79181,
+            66947, 57992, 51153, 45757)
+    _ben_terms = " + ".join(
+        f"(((o{d}::DOUBLE - (n0::DOUBLE * ({_BEN[d-1]}::DOUBLE"
+        f" / 1000000::DOUBLE)))"
+        f" * (o{d}::DOUBLE - (n0::DOUBLE * ({_BEN[d-1]}::DOUBLE"
+        f" / 1000000::DOUBLE))))"
+        f" / (n0::DOUBLE * ({_BEN[d-1]}::DOUBLE / 1000000::DOUBLE)))"
+        for d in range(1, 10))
+    out["benford_audit"] = f"""
+        WITH v AS (SELECT CASE WHEN CAST(floor(l_extendedprice * 100.0
+                                       + 0.5) AS BIGINT) > 0
+                               THEN CAST(floor(l_extendedprice * 100.0
+                                        + 0.5) AS BIGINT) END AS pv
+                   FROM lineitem),
+        a AS (SELECT COUNT(*)::BIGINT AS n_rows,
+                     SUM(CASE WHEN pv IS NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_excluded,
+                     {", ".join(
+                         f"SUM(CASE WHEN substr(pv::VARCHAR, 1, 1)"
+                         f" = '{d}' THEN 1 ELSE 0 END)::BIGINT AS o{d}"
+                         for d in range(1, 10))}
+              FROM v),
+        b AS (SELECT *, (n_rows - n_excluded)::BIGINT AS n0 FROM a)
+        SELECT n0 AS n, n_excluded,
+               {", ".join(f"o{d}" for d in range(1, 10))},
+               CASE WHEN n0 > 0 THEN
+                 (CASE WHEN ({_ben_terms}) < 0 THEN -1 ELSE 1 END)
+                 * floor(abs({_ben_terms}) * 1000000.0 + 0.5)
+                 / 1000000.0 + 0.0
+               END AS chi2
+        FROM b
     """
     # MAD outliers: two histogram replays + the integer rank test
     # (100*cum >= 50*n), outlier count summed from the second

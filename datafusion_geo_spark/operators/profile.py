@@ -230,3 +230,47 @@ def mad_outliers(df: DataFrame, value_col: str,
         F.col("_mad").alias("mad"),
         out_n.alias("n_outliers"),
         _ratio6(out_n, F.col("n")).alias("outlier_rate"))
+
+
+#: 6-dp micro constants of the Benford first-digit law
+#: log10(1 + 1/d) — universal constants, embedded identically in the
+#: operator and every oracle (half-up at the 6th decimal)
+BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181,
+                 66947, 57992, 51153, 45757)
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive INTEGER column —
+    the forensic data-quality screen (fabricated, truncated, or
+    unit-mangled numeric columns fail it). The leading digit comes
+    from the integer's decimal string (substr(cast(v as string),1,1)
+    — integer-to-string is exact and identical in every engine; no
+    log10 edge cases), so the nine observed counts are exact int64
+    from ONE grouped aggregate. chi-square against the law uses the
+    embedded micro constants: chi2 = sum_d (O_d - n*p_d)^2 / (n*p_d)
+    written as nine EXPLICIT terms in fixed digit order — a single
+    fixed double expression of exact ints (the house contract), 6-dp
+    rounded once. Non-positive / NULL values are excluded and
+    reported. ONE row out: (n, n_excluded, o1..o9, chi2)."""
+    from .evals import _r6
+
+    v = F.col(value_col).cast("long")
+    pos = F.when(v > 0, v)
+    digit = F.substring(pos.cast("string"), 1, 1).cast("int")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(pos.isNull(), 1).otherwise(0)).cast("long")
+            .alias("n_excluded")]
+    aggs += [F.sum(F.when(digit == d, 1).otherwise(0)).cast("long")
+             .alias(f"o{d}") for d in range(1, 10)]
+    one = df.agg(*aggs)
+    n = (F.col("n_rows") - F.col("n_excluded")).cast("long")
+    chi = None
+    for d in range(1, 10):
+        e = n.cast("double") * F.lit(BENFORD_MICRO[d - 1] / 1e6)
+        t = ((F.col(f"o{d}").cast("double") - e)
+             * (F.col(f"o{d}").cast("double") - e)) / e
+        chi = t if chi is None else chi + t
+    return one.select(
+        n.alias("n"), "n_excluded",
+        *[F.col(f"o{d}") for d in range(1, 10)],
+        F.when(n > 0, _r6(chi)).alias("chi2"))
