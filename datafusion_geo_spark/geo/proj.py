@@ -1270,3 +1270,85 @@ def vincenty_direct(lon: float, lat: float, dist_m: float,
     elif lon2 < -180.0:
         lon2 += 360.0
     return (lon2, phi2 * RAD2DEG)
+
+
+#: ESRI canonical GEOGCS names per base EPSG code (.prj WKT1 uses
+#: ESRI's underscored vocabulary, not the EPSG display names)
+_ESRI_GCS = {
+    4326: "GCS_WGS_1984", 4269: "GCS_North_American_1983",
+    4258: "GCS_ETRS_1989", 4171: "GCS_RGF_1993",
+    4277: "GCS_OSGB_1936",
+}
+_ESRI_METHOD = {
+    9802: "Lambert_Conformal_Conic", 9807: "Transverse_Mercator",
+    9820: "Lambert_Azimuthal_Equal_Area", 9822: "Albers",
+}
+_ESRI_PARAM = {
+    8801: "Latitude_Of_Origin", 8802: "Central_Meridian",
+    8805: "Scale_Factor", 8806: "False_Easting",
+    8807: "False_Northing", 8821: "Latitude_Of_Origin",
+    8822: "Central_Meridian", 8823: "Standard_Parallel_1",
+    8824: "Standard_Parallel_2", 8826: "False_Easting",
+    8827: "False_Northing",
+}
+#: canonical ESRI parameter emission order
+_ESRI_ORDER = ("False_Easting", "False_Northing", "Central_Meridian",
+               "Standard_Parallel_1", "Standard_Parallel_2",
+               "Scale_Factor", "Latitude_Of_Origin")
+
+
+def _esri_geogcs(code: int, datum) -> str:
+    _, ename, a, invf = datum
+    gcs = _ESRI_GCS.get(code, f"GCS_EPSG_{code}")
+    d = "D_" + gcs[4:]
+    e = ename.replace(" ", "_")
+    return (f'GEOGCS["{gcs}",DATUM["{d}",SPHEROID["{e}",{a!r},'
+            f'{invf!r}]],PRIMEM["Greenwich",0.0],'
+            f'UNIT["Degree",0.0174532925199433]]')
+
+
+def esri_wkt(code: int) -> str:
+    """ESRI WKT1 (.prj sidecar text) for a registered EPSG code — the
+    third emission of the same registry entry (numpy kernel, PROJJSON,
+    now .prj), so a shapefile written by the engine opens in GDAL/
+    ArcGIS with its CRS attached. Geographic codes emit the bare
+    GEOGCS; projected codes a PROJCS with ESRI's method/parameter
+    vocabulary. Unknown codes raise the registry's standard
+    ValueError (via :func:`projjson`'s contract)."""
+    code = int(code)
+    if code in _GEOGRAPHIC_META:
+        _, datum = _GEOGRAPHIC_META[code]
+        return _esri_geogcs(code, datum)
+    m = CRS_META.get(code)
+    if m is None:
+        raise ValueError(
+            f"esri_wkt: EPSG:{code} is not a registered CRS "
+            f"(supported: {sorted(CRS_META)} projected, "
+            f"{sorted(_GEOGRAPHIC_META)} geographic)")
+    bcode, _, bdatum = m["base"]
+    params = {}
+    for pcode, _, val in m["params"]:
+        params[_ESRI_PARAM[pcode]] = val
+    body = ",".join(
+        f'PARAMETER["{n}",{params[n]!r}]'
+        for n in _ESRI_ORDER if n in params)
+    uname, ufactor = m["unit"]
+    un = ("Meter" if uname == "metre"
+          else uname.replace(" ", "_").title())
+    name = m["name"].replace(" / ", "_").replace(" ", "_")
+    return (f'PROJCS["{name}",{_esri_geogcs(bcode, bdatum)},'
+            f'PROJECTION["{_ESRI_METHOD[m["method"][0]]}"],'
+            f'{body},UNIT["{un}",{ufactor!r}]]')
+
+
+def srid_for_esri_wkt(wkt: str):
+    """Inverse lookup for .prj discovery: the registered EPSG code
+    whose :func:`esri_wkt` emission equals ``wkt`` modulo whitespace,
+    or None. Exact-match only — the engine stamps what it can prove,
+    and foreign .prj text that matches the canonical emission of a
+    registered code is the same proof."""
+    norm = "".join(wkt.split())
+    for code in list(_GEOGRAPHIC_META) + list(CRS_META):
+        if "".join(esri_wkt(code).split()) == norm:
+            return code
+    return None

@@ -287,8 +287,8 @@ def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom",
     attr_names = [n for n, _, _, _ in fields]
     field_of = {n: (t, w, d) for n, t, w, d in fields}
 
-    def _write_one(rows, out_base: str) -> int:
-        recs, classes = [], set()
+    def _write_one(rows, out_base: str):
+        recs, classes, srids = [], set(), set()
         attrs = []
         for r in rows:
             wkb = r[geom_col]
@@ -296,6 +296,7 @@ def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom",
             cls, content = _shape_records(g)
             if cls is not None:
                 classes.add(cls)
+                srids.add(g.srid or 0)
             recs.append(content)
             attrs.append(tuple(r[n] for n in attr_names))
         if len(classes) > 1:
@@ -345,7 +346,7 @@ def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom",
         # commit: .shp LAST — a trio is live once its .shp exists
         for ext in ("dbf", "shx", "shp"):
             os.replace(tmp[ext], f"{out_base}.{ext}")
-        return len(recs)
+        return len(recs), sorted(srids)
 
     def _task(it):
         from pyspark import TaskContext
@@ -353,12 +354,34 @@ def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom",
         pid = tc.partitionId() if tc is not None else 0
         rows = list(it)
         if rows:
-            n = _write_one(rows, os.path.join(path, f"part-{pid:05d}"))
-            yield (os.path.basename(path), pid, n)
+            n, srids = _write_one(
+                rows, os.path.join(path, f"part-{pid:05d}"))
+            yield (pid, n, srids)
 
     written = df.rdd.mapPartitions(_task).collect()
     if not written:  # empty input: one empty trio carries the schema
         _write_one([], os.path.join(path, "part-00000"))
+        return
+    # .prj sidecars (driver-side, after commit): when every non-null
+    # geometry carries the SAME registered non-zero SRID — the
+    # write_geoparquet_std auto-CRS rule, detected from the per-task
+    # reports at no extra pass — emit the registry's ESRI WKT next to
+    # each part trio so GDAL/ArcGIS open the dataset with its CRS.
+    # Mixed / zero / unregistered SRIDs write no .prj (the format's
+    # no-CRS default), unchanged behavior.
+    all_srids = {s for _, _, srids in written for s in srids}
+    if len(all_srids) == 1:
+        srid = all_srids.pop()
+        if srid:
+            from ..geo.proj import CRS_META, _GEOGRAPHIC_META, esri_wkt
+            if srid in CRS_META or srid in _GEOGRAPHIC_META:
+                wkt = esri_wkt(srid)
+                for pid, _, _ in written:
+                    prj = os.path.join(path, f"part-{pid:05d}.prj")
+                    with open(prj + ".tmp", "w",
+                              encoding="ascii") as fh:
+                        fh.write(wkt)
+                    os.replace(prj + ".tmp", prj)
 
 
 # --------------------------------------------------------------- source
@@ -428,7 +451,23 @@ def read_shapefile(spark: SparkSession, path: str,
     sdf = (spark.createDataFrame(splits, "shp string, start long, "
                                          "n long")
            .repartition(max(len(splits), 1)))
-    return sdf.mapInPandas(_read, out_schema)
+    out = sdf.mapInPandas(_read, out_schema)
+    # .prj discovery: when the first trio carries a .prj whose text is
+    # the canonical ESRI-WKT emission of a registered EPSG code
+    # (exact match modulo whitespace — the engine stamps what it can
+    # prove), re-stamp the geometry column with that SRID, restoring
+    # what the coordinate-only .shp lane intentionally drops. The
+    # geoparquet footer-discovery contract, .prj edition.
+    prj = shps[0][:-4] + ".prj"
+    if os.path.exists(prj):
+        from ..geo.proj import srid_for_esri_wkt
+        with open(prj, encoding="ascii", errors="replace") as fh:
+            code = srid_for_esri_wkt(fh.read())
+        if code:
+            from ..functions import st_setsrid
+            out = out.withColumn(geom_col,
+                                 st_setsrid(F.col(geom_col), code))
+    return out
 
 
 def _read_range(shp: str, start: int, n: int, fields, geom_col, pd):

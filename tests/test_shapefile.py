@@ -129,3 +129,31 @@ def test_validation_errors(spark, tmp_path):
     with pytest.raises(Exception, match="path exists"):
         write_shapefile(_frame(spark, [(1, 0.0, "a", "POINT(0 0)")]),
                         path, mode="error")
+
+
+def test_prj_srid_roundtrip(spark, tmp_path):
+    from datafusion_geo_spark.functions import st_setsrid, st_srid
+    from datafusion_geo_spark.geo.proj import esri_wkt
+    path = os.path.join(str(tmp_path), "crs")
+    df = _frame(spark, [(1, 0.0, "a", "POINT(300000 60000)"),
+                        (2, 0.0, "b", None)]) \
+        .withColumn("geom", st_setsrid(F.col("geom"), 32118))
+    write_shapefile(df, path)
+    prjs = [f for f in sorted(os.listdir(path)) if f.endswith(".prj")]
+    assert prjs, "no .prj written for a single registered SRID"
+    assert open(os.path.join(path, prjs[0])).read() == esri_wkt(32118)
+    back = read_shapefile(spark, path).select(
+        "fid", st_srid(F.col("geom")).alias("srid")).collect()
+    got = {r.fid: r.srid for r in back}
+    assert got[1] == 32118
+    assert got[2] is None  # NULL geometry stays NULL
+
+
+def test_prj_absent_for_mixed_or_zero_srid(spark, tmp_path):
+    p1 = os.path.join(str(tmp_path), "nosrid")
+    write_shapefile(_frame(spark, [(1, 0.0, "a", "POINT(0 0)")]), p1)
+    assert not [f for f in os.listdir(p1) if f.endswith(".prj")]
+    from datafusion_geo_spark.functions import st_srid
+    r = read_shapefile(spark, p1).select(
+        st_srid(F.col("geom")).alias("s")).collect()[0]
+    assert r.s is None  # no-.prj WKB has no EWKB header (srid.rs)
