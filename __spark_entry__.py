@@ -5794,8 +5794,10 @@ _FIRST50 = [
     # bloom_new_docs / bpe_merges / buildarea_literal /
     # count_min_topk / geometric_median / geom_edit_points /
     # embed_quantize / edit_utils_literal / dedup_keep_one displaced
-    # to 51+ by the 14 never-gated round-11 queries above; they lead
-    # r12's r6-block pool)
+    # to 51+ by the never-gated round-11 queries above; they lead
+    # r12's r6-block pool. streaming_benford (streaming/drift.py,
+    # equality-pinned by tests/test_benford.py) registers as a query
+    # in r12 — this round's gate is full.)
 ]
 
 

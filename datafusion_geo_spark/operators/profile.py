@@ -251,18 +251,41 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     written as nine EXPLICIT terms in fixed digit order — a single
     fixed double expression of exact ints (the house contract), 6-dp
     rounded once. Non-positive / NULL values are excluded and
-    reported. ONE row out: (n, n_excluded, o1..o9, chi2)."""
-    from .evals import _r6
+    reported. ONE row out: (n, n_excluded, o1..o9, chi2).
 
+    Factored as row-cols / aggs / finalize (the wer_eval pattern) so
+    the streaming twin (streaming/drift.py streaming_benford) shares
+    every expression with batch — the 11 sums are commutative int64,
+    state = ONE row, monitorable unbounded with no watermark."""
+    return benford_finalize(
+        df.select(*benford_row_cols(value_col)).agg(*benford_aggs()))
+
+
+def benford_row_cols(value_col: str):
+    """Per-row projection shared by batch and streaming: the positive
+    value and its leading decimal digit (NULL when excluded)."""
     v = F.col(value_col).cast("long")
     pos = F.when(v > 0, v)
-    digit = F.substring(pos.cast("string"), 1, 1).cast("int")
+    return [pos.alias("_pv"),
+            F.substring(pos.cast("string"), 1, 1).cast("int")
+            .alias("_d1")]
+
+
+def benford_aggs():
+    """The 11 commutative int64 sums — the entire (streaming) state."""
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(pos.isNull(), 1).otherwise(0)).cast("long")
-            .alias("n_excluded")]
-    aggs += [F.sum(F.when(digit == d, 1).otherwise(0)).cast("long")
-             .alias(f"o{d}") for d in range(1, 10)]
-    one = df.agg(*aggs)
+            F.sum(F.when(F.col("_pv").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_excluded")]
+    aggs += [F.sum(F.when(F.col("_d1") == d, 1).otherwise(0))
+             .cast("long").alias(f"o{d}") for d in range(1, 10)]
+    return aggs
+
+
+def benford_finalize(totals: DataFrame) -> DataFrame:
+    """The fixed-order nine-term chi-square tail over a totals row —
+    shared by batch and the streaming twin's bounded replay."""
+    from .evals import _r6
+
     n = (F.col("n_rows") - F.col("n_excluded")).cast("long")
     chi = None
     for d in range(1, 10):
@@ -270,7 +293,7 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         t = ((F.col(f"o{d}").cast("double") - e)
              * (F.col(f"o{d}").cast("double") - e)) / e
         chi = t if chi is None else chi + t
-    return one.select(
+    return totals.select(
         n.alias("n"), "n_excluded",
         *[F.col(f"o{d}") for d in range(1, 10)],
         F.when(n > 0, _r6(chi)).alias("chi2"))

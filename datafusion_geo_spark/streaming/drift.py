@@ -169,3 +169,28 @@ def streaming_unigram_fertility(spark: SparkSession,
                    F.sum("_nc").cast("long").alias("n_chars")))
     return fertility_finalize(
         run_bounded_complete(totals, "stream_ufert_"))
+
+
+def streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford first-digit monitor: the forensic numeric-
+    quality screen (operators/profile.py benford_audit) maintained
+    over the events stream's value-in-cents — the ingest-side alarm
+    for a broken unit conversion or a fabricated feed. State = the
+    ONE row of 11 commutative int64 sums (no watermark, the
+    streaming_wer story); the per-row digit projection
+    (benford_row_cols) and the fixed-order chi-square tail
+    (benford_finalize) are SHARED with batch, so the bounded
+    availableNow replay equals the batch audit of the same frame."""
+    from ..operators.profile import (benford_aggs, benford_finalize,
+                                     benford_row_cols)
+    from ..sources.fixtures import load_events_stream
+    from .runner import run_bounded_complete
+    ev = load_events_stream(spark, sf_dir).where(
+        F.col("value").isNotNull())
+    cents = ev.select(
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"))
+    per = cents.select(*benford_row_cols("cents"))
+    totals = per.groupBy().agg(*benford_aggs())
+    return benford_finalize(
+        run_bounded_complete(totals, "stream_benford_"))

@@ -37,3 +37,21 @@ def test_benford_like_data_scores_low(spark):
     c_u = benford_audit(spark.createDataFrame(uni, "v long"),
                         "v").collect()[0].chi2
     assert c_p < c_u  # closer to the law than uniform
+
+
+def test_streaming_equals_batch(spark):
+    """The bounded availableNow replay of streaming_benford must equal
+    the batch audit of the same frame (shared row-cols + tail).
+    Queries()-gating deferred to r12 (the r11 gate is full — see the
+    _FIRST50 comment); this equality test is the interim pin."""
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.sources.fixtures import load_events
+    from datafusion_geo_spark.streaming.drift import streaming_benford
+    sf = "/root/testdata/sf0.001"
+    got = streaming_benford(spark, sf).collect()[0]
+    ev = load_events(spark, sf).where(F.col("value").isNotNull())
+    cents = ev.select(F.floor(F.col("value") * F.lit(100.0)
+                              + F.lit(0.5)).cast("long").alias("c"))
+    want = benford_audit(cents, "c").collect()[0]
+    assert got == want
