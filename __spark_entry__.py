@@ -5795,9 +5795,11 @@ _FIRST50 = [
     # count_min_topk / geometric_median / geom_edit_points /
     # embed_quantize / edit_utils_literal / dedup_keep_one displaced
     # to 51+ by the never-gated round-11 queries above; they lead
-    # r12's r6-block pool. streaming_benford (streaming/drift.py,
-    # equality-pinned by tests/test_benford.py) registers as a query
-    # in r12 — this round's gate is full.)
+    # r12's r6-block pool. Two late-r11 operators register as queries
+    # in r12 — this round's gate is full: streaming_benford
+    # (streaming/drift.py, equality-pinned by tests/test_benford.py)
+    # and Fellegi-Sunter linkage (operators/linkage.py,
+    # tests/test_linkage.py).)
 ]
 
 
