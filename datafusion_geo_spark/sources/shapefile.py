@@ -179,6 +179,8 @@ def _shape_records(geom: Optional[Geometry]):
         lines = ([geom.parts] if t == "LineString"
                  else [list(l) for l in geom.parts])
         lines = [l for l in lines if l]
+        if not lines:  # all parts empty -> Null shape
+            return None, struct.pack("<i", 0)
         return "line", _poly_content(3, lines)
     rings = []
     polys = ([geom.parts] if t == "Polygon"
@@ -194,6 +196,8 @@ def _shape_records(geom: Optional[Geometry]):
             if cw != want_cw:
                 r = r[::-1]
             rings.append(r)
+    if not rings:  # all rings empty -> Null shape
+        return None, struct.pack("<i", 0)
     return "area", _poly_content(5, rings)
 
 

@@ -157,3 +157,20 @@ def test_prj_absent_for_mixed_or_zero_srid(spark, tmp_path):
     r = read_shapefile(spark, p1).select(
         st_srid(F.col("geom")).alias("s")).collect()[0]
     assert r.s is None  # no-.prj WKB has no EWKB header (srid.rs)
+
+
+def test_empty_parts_become_null_shape(spark, tmp_path):
+    # POLYGON EMPTY / LINESTRING EMPTY-ish inputs must not crash the
+    # writer: they encode as Null shape records and read back NULL
+    path = os.path.join(str(tmp_path), "nullish")
+    rows = [(1, 0.0, "a", "POLYGON EMPTY"),
+            (2, 0.0, "b", "POINT(1 1)")]
+    write_shapefile(_frame(spark, rows).coalesce(1), path)
+    got = _roundtrip_read(spark, path)
+    assert got[1] is None and got[2] == "POINT(1 1)"
+
+
+def _roundtrip_read(spark, path):
+    back = read_shapefile(spark, path)
+    return {r.fid: r.wkt_out for r in back.select(
+        "fid", st_astext(F.col("geom")).alias("wkt_out")).collect()}
