@@ -329,7 +329,14 @@ def write_shapefile(df: DataFrame, path: str, geom_col: str = "geom",
                       max(bb[2], fb[2]), max(bb[3], fb[3])]
         shp_len = 100 + sum(8 + len(c) for c in recs)
         shx_len = 100 + 8 * len(recs)
-        tmp = {ext: f"{out_base}.{ext}.tmp" for ext in
+        # attempt-unique tmp names (the write_geoparquet_std commit
+        # protocol): a speculative duplicate attempt writes its own
+        # tmp files and the atomic renames race benignly — last
+        # attempt wins with identical content
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        att = tc.taskAttemptId() if tc is not None else 0
+        tmp = {ext: f"{out_base}.{ext}.{att}.tmp" for ext in
                ("dbf", "shx", "shp")}
         with open(tmp["dbf"], "wb") as fh:
             fh.write(_dbf_header(fields, len(recs)))
