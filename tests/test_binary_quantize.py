@@ -131,3 +131,32 @@ def test_hamming_join_validations(spark):
         hamming_join(df, radius=3, bands=2)
     with pytest.raises(ValueError, match="empty"):
         hamming_join(df, radius=7)  # 8 bands over 4 dims
+
+
+def test_hamming_join_exactness_fuzz(spark):
+    """Property: for random sign corpora, dims, and radius, the
+    banded join equals the brute-force radius join exactly (the
+    operator's completeness + no-false-positive claim)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_geo_spark.operators.similarity import hamming_join
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def run(data):
+        d = data.draw(st.integers(4, 20), label="dims")
+        radius = data.draw(st.integers(0, max(0, d - 2)),
+                           label="radius")
+        n = data.draw(st.integers(2, 10), label="rows")
+        rows = []
+        for i in range(n):
+            v = [data.draw(st.sampled_from((-1.0, 0.0, 1.0)))
+                 for _ in range(d)]
+            rows.append((i, v))
+        got = {(r.a_id, r.b_id, r.hamming)
+               for r in hamming_join(_emb(spark, rows),
+                                     radius=radius).collect()}
+        assert got == _brute_pairs(rows, radius)
+
+    run()
