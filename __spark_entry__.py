@@ -5798,8 +5798,10 @@ _FIRST50 = [
     # r12's r6-block pool. Two late-r11 operators register as queries
     # in r12 — this round's gate is full: streaming_benford
     # (streaming/drift.py, equality-pinned by tests/test_benford.py)
-    # and Fellegi-Sunter linkage (operators/linkage.py,
-    # tests/test_linkage.py).)
+    # Fellegi-Sunter linkage (operators/linkage.py,
+    # tests/test_linkage.py), per-key OLS trend (operators/
+    # timeseries.py trend_by_key), and McNemar's paired test
+    # (operators/evals.py mcnemar_test) — all unit-pinned.)
 ]
 
 

@@ -1480,3 +1480,37 @@ def isotonic_calibrate(scored: DataFrame, score_col: str,
     return res.select(
         "score", "n", "n_pos", "blk_n", "blk_pos",
         _ratio6(F.col("blk_pos"), F.col("blk_n")).alias("cal"))
+
+
+def mcnemar_test(df: DataFrame, label_col: str, pred_a_col: str,
+                 pred_b_col: str) -> DataFrame:
+    """McNemar's paired test for comparing two classifiers on the
+    SAME examples — the statistically sound way to claim "model B
+    beats model A" from one eval set (paired discordance, not two
+    independent accuracies). Counts the discordant cells b (A right,
+    B wrong) and c (A wrong, B right) in one exact-int aggregate; the
+    continuity-corrected statistic (|b−c|−1)²/(b+c) is an exact
+    integer numerator over an exact integer denominator — emitted as
+    (chi2_num, chi2_den) plus the house 6-dp double; NULL when
+    b+c = 0 (no discordance, nothing to test). Also reports both
+    accuracies' raw numerators for context. ONE row out."""
+    from .text import _ratio6
+
+    ok_a = (F.col(pred_a_col) == F.col(label_col)).cast("int")
+    ok_b = (F.col(pred_b_col) == F.col(label_col)).cast("int")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(ok_a).cast("long").alias("n_correct_a"),
+        F.sum(ok_b).cast("long").alias("n_correct_b"),
+        F.sum(((ok_a == 1) & (ok_b == 0)).cast("long")).cast("long")
+        .alias("b_discordant"),
+        F.sum(((ok_a == 0) & (ok_b == 1)).cast("long")).cast("long")
+        .alias("c_discordant"))
+    b, c = F.col("b_discordant"), F.col("c_discordant")
+    d = F.abs(b - c) - F.lit(1)
+    num = F.when(d > 0, d * d).otherwise(F.lit(0)).cast("long")
+    den = (b + c).cast("long")
+    return agg.select(
+        "n", "n_correct_a", "n_correct_b", "b_discordant",
+        "c_discordant", num.alias("chi2_num"), den.alias("chi2_den"),
+        F.when(den > 0, _ratio6(num, den)).alias("chi2"))

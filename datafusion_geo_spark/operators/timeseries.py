@@ -77,3 +77,37 @@ def resample_locf(events: DataFrame, step_minutes: int = 60,
         F.last(F.col("_last.v"), ignorenulls=True).over(w)
         .alias(value_col),
         F.col("n_obs").isNull().alias("filled"))
+
+
+def trend_by_key(df: DataFrame, key_col: str, x_col: str,
+                 y_col: str) -> DataFrame:
+    """Per-key OLS trend of an integer-quantized series — the
+    monitoring question ("is this metric drifting, per user /
+    tenant / domain?") asked directly of event logs or of
+    :func:`resample_locf` output. One grouped partial+final aggregate
+    of the five exact int64 moments per key (n, Sx, Sy, Sxy, Sxx) is
+    the only corpus pass; the slope is the closed form
+    (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) with EXACT integer numerator and
+    denominator carried in the output (slope_num/slope_den) plus the
+    house 6-dp double. Same overflow envelope as pearson_corr:
+    n·Sxy must fit int64 — quantize x (e.g. slot index, epoch hours)
+    and y (cents) accordingly.
+
+    Returns one row per key: (key, n, slope_num, slope_den, slope);
+    slope NULL for a single-point or zero-x-variance key."""
+    from .evals import _r6
+
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = (df.groupBy(F.col(key_col))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return g.select(
+        F.col(key_col), "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den > 0, _r6(num.cast("double") / den.cast("double")))
+        .alias("slope"))
