@@ -5800,8 +5800,10 @@ _FIRST50 = [
     # (streaming/drift.py, equality-pinned by tests/test_benford.py)
     # Fellegi-Sunter linkage (operators/linkage.py,
     # tests/test_linkage.py), per-key OLS trend (operators/
-    # timeseries.py trend_by_key), and McNemar's paired test
-    # (operators/evals.py mcnemar_test) — all unit-pinned.)
+    # timeseries.py trend_by_key), McNemar's paired test
+    # (operators/evals.py mcnemar_test), and degree-oriented exact
+    # triangle counting (operators/graph.py triangle_count) — all
+    # unit-pinned.)
 ]
 
 
