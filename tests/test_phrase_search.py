@@ -45,3 +45,37 @@ def test_phrase_topk_order(spark):
 def test_phrase_empty_raises(spark):
     with pytest.raises(ValueError, match="empty phrase"):
         phrase_search(_docs(spark, [(1, "x")]), "   ").collect()
+
+
+def test_phrase_search_fuzz(spark):
+    """Property: positional-intersection counts equal the sliding-
+    window definition for random corpora and random phrases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    VOCAB = ["aa", "bb", "cc", "dd"]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def run(data):
+        docs = []
+        for i in range(data.draw(st.integers(1, 6), label="docs")):
+            toks = data.draw(st.lists(st.sampled_from(VOCAB),
+                                      min_size=0, max_size=12),
+                             label=f"doc{i}")
+            docs.append((i, " ".join(toks)))
+        pw = data.draw(st.lists(st.sampled_from(VOCAB), min_size=1,
+                                max_size=3), label="phrase")
+        got = {r.doc_id: r.n_matches
+               for r in phrase_search(_docs(spark, docs),
+                                      " ".join(pw), k=100).collect()}
+        want = {}
+        for i, text in docs:
+            toks = [t for t in text.split() if t]
+            n = sum(1 for s in range(len(toks) - len(pw) + 1)
+                    if toks[s:s + len(pw)] == pw)
+            if n:
+                want[i] = n
+        assert got == want
+
+    run()

@@ -71,3 +71,54 @@ def test_null_ts_dropped_and_validation(spark):
     assert len(out) == 1 and out[0].value == 2.0
     with pytest.raises(ValueError, match="step_minutes"):
         resample_locf(_ev(spark, rows), step_minutes=0)
+
+
+def test_resample_locf_fuzz(spark):
+    """Property: grid bounds, per-slot last, and LOCF carry equal a
+    direct Python reference for random event sets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(1, 15), label="n")
+        rows, ref = [], []
+        for i in range(n):
+            key = data.draw(st.integers(0, 2), label=f"k{i}")
+            minute = data.draw(st.integers(0, 20), label=f"m{i}")
+            sec = data.draw(st.integers(0, 59), label=f"s{i}")
+            val = data.draw(st.one_of(
+                st.none(), st.integers(-5, 5)), label=f"v{i}")
+            v = float(val) if val is not None else None
+            rows.append((i, _t(minute, sec), key, v))
+            ref.append((i, minute, sec, key, v))
+        got = {(r.user_id, r.slot_ts.minute):
+               (r.n_obs, r.value, r.filled)
+               for r in resample_locf(_ev(spark, rows),
+                                      step_minutes=1).collect()}
+        want = {}
+        for key in {k for _, _, _, k, _ in ref}:
+            obs = [(m, s, i, v) for i, m, s, k, v in ref if k == key]
+            lo = min(m for m, _, _, _ in obs)
+            hi = max(m for m, _, _, _ in obs)
+            carry = None
+            for slot in range(lo, hi + 1):
+                # the operator's per-slot winner is max(ts, id)
+                here = sorted((s, i, v) for m, s, i, v in obs
+                              if m == slot)
+                if here:
+                    last = here[-1][2]
+                    # a NULL-valued winner carries nothing: the
+                    # previous non-NULL keeps flowing
+                    if last is not None:
+                        carry = last
+                    lastv = carry if last is None else last
+                else:
+                    lastv = carry
+                want[(key, slot)] = (len(here),
+                                     lastv if here else carry,
+                                     not here)
+        assert got == want
+
+    run()
