@@ -5802,7 +5802,10 @@ _FIRST50 = [
     # tests/test_linkage.py), per-key OLS trend (operators/
     # timeseries.py trend_by_key), McNemar's paired test
     # (operators/evals.py mcnemar_test), and degree-oriented exact
-    # triangle counting (operators/graph.py triangle_count) — all
+    # triangle counting (operators/graph.py triangle_count — needs
+    # ALLOWED_BROADCAST_CROSSES = 3: the one-row vertex/edge/wedge
+    # summary frames crossed into the single output row, the
+    # hll_setops pattern; the others pre-audit clean) — all
     # unit-pinned.)
 ]
 
