@@ -5805,8 +5805,9 @@ _FIRST50 = [
     # triangle counting (operators/graph.py triangle_count — needs
     # ALLOWED_BROADCAST_CROSSES = 3: the one-row vertex/edge/wedge
     # summary frames crossed into the single output row, the
-    # hll_setops pattern; the others pre-audit clean) — all
-    # unit-pinned.)
+    # hll_setops pattern; the others pre-audit clean), and the
+    # declarative data-contract audit (operators/profile.py
+    # expectations_check) — all unit-pinned.)
 ]
 
 

@@ -297,3 +297,42 @@ def benford_finalize(totals: DataFrame) -> DataFrame:
         n.alias("n"), "n_excluded",
         *[F.col(f"o{d}") for d in range(1, 10)],
         F.when(n > 0, _r6(chi)).alias("chi2"))
+
+
+def expectations_check(df: DataFrame, rules) -> DataFrame:
+    """Declarative data-contract audit — the Great-Expectations-style
+    gate a pipeline runs before promoting a table: each rule is
+    (name, predicate Column) where the predicate is TRUE for rows
+    SATISFYING the expectation (NULL counts as a violation — an
+    unknown is not a pass), and the report is one row per rule:
+    (rule, n_rows, n_violations, pass_rate 6-dp, passed boolean).
+
+    ONE partial+final aggregate whatever the rule count — every rule
+    is a conditional sum in the same corpus pass (the corr_matrix
+    shape), exploded to the per-rule report from the one-row result.
+    Row-count-free rules (uniqueness, referential integrity) need
+    their own grouped pass — compose with exact_dedup / join audits;
+    this operator is the per-ROW contract lane."""
+    from .text import _ratio6
+
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("expectations_check: duplicate rule names")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for i, (_, pred) in enumerate(rules):
+        # coalesce: an EMPTY frame has zero violations, not NULL ones
+        aggs.append(F.coalesce(
+            F.sum(F.when(pred, 0).otherwise(1)),
+            F.lit(0)).cast("long").alias(f"v{i}"))
+    one = df.agg(*aggs)
+    rows = [F.struct(
+        F.lit(n).alias("rule"),
+        F.col("n_rows").alias("n_rows"),
+        F.col(f"v{i}").alias("n_violations"),
+        F.when(F.col("n_rows") > 0,
+               _ratio6(F.col("n_rows") - F.col(f"v{i}"),
+                       F.col("n_rows"))).alias("pass_rate"),
+        (F.col(f"v{i}") == 0).alias("passed"))
+        for i, n in enumerate(names)]
+    return (one.select(F.explode(F.array(*rows)).alias("_r"))
+            .select("_r.*"))
