@@ -75,3 +75,31 @@ def test_bucket_cap(spark):
     with pytest.raises(ValueError, match="max_buckets"):
         isotonic_calibrate(_scored(spark, rows), "score", "y",
                            max_buckets=5)
+
+
+def test_pav_minimax_fuzz(spark):
+    """Property: the PAV block rates equal the exact-rational minimax
+    definition for random histograms (including all-0/all-1 runs and
+    long tie plateaus)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.data())
+    def run(data):
+        nb = data.draw(st.integers(1, 9), label="buckets")
+        rows = []
+        buckets = []
+        for s in range(nb):
+            n = data.draw(st.integers(1, 4), label=f"n{s}")
+            p = data.draw(st.integers(0, n), label=f"p{s}")
+            buckets.append((n, p))
+            rows += [(s, 1)] * p + [(s, 0)] * (n - p)
+        got = sorted(isotonic_calibrate(_scored(spark, rows),
+                                        "score", "y").collect(),
+                     key=lambda r: r.score)
+        want = _minimax(buckets)
+        for r, w in zip(got, want):
+            assert Fraction(r.blk_pos, r.blk_n) == w, (buckets, r, w)
+
+    run()
