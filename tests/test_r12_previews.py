@@ -1,0 +1,243 @@
+"""r12 query previews: the six operators deferred past the full r11
+gate, each already compared against a DuckDB oracle EXACTLY the way
+the driver gate will (same normalize, check_exact) — so r12's
+registration is wiring, not development. Fixtures and SQL here are
+the blueprints for the r12 ``queries()``/``oracle_sql()`` entries.
+"""
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("customer", "events", "lineitem")
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{SF}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _check(got_df, sql):
+    got = got_df.toPandas()
+    want = _duck(sql)
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if str(df[c].dtype) == "float64":
+                df[c] = df[c].round(9)
+        return df.sort_values(sorted(df.columns)) \
+                 .reset_index(drop=True)
+    g, w = norm(got), norm(want)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_preview_trend_by_key(spark):
+    from datafusion_geo_spark.operators.timeseries import trend_by_key
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .where(F.col("value").isNotNull())
+          .select("user_id",
+                  F.expr("unix_micros(ts) div 3600000000")
+                  .alias("hr"),
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    _check(trend_by_key(ev, "user_id", "hr", "cents"), """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS x,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS y
+                   FROM events WHERE value IS NOT NULL),
+        g AS (SELECT user_id, COUNT(*)::BIGINT AS n,
+                     SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                     SUM(x * y)::BIGINT AS sxy,
+                     SUM(x * x)::BIGINT AS sxx
+              FROM e GROUP BY 1)
+        SELECT user_id, n,
+               (n * sxy - sx * sy)::BIGINT AS slope_num,
+               (n * sxx - sx * sx)::BIGINT AS slope_den,
+               CASE WHEN (n * sxx - sx * sx) > 0 THEN
+                 (CASE WHEN ((n * sxy - sx * sy)::DOUBLE
+                             / (n * sxx - sx * sx)::DOUBLE) < 0
+                       THEN -1 ELSE 1 END)
+                 * floor(abs((n * sxy - sx * sy)::DOUBLE
+                             / (n * sxx - sx * sx)::DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 + 0.0
+               END AS slope
+        FROM g
+    """)
+
+
+def test_preview_mcnemar(spark):
+    from datafusion_geo_spark.operators.evals import mcnemar_test
+    from datafusion_geo_spark.sources.fixtures import load_events
+    # two cheap "models" of the label value>100: A = event_type-based,
+    # B = user-parity-based — deterministic fixture columns
+    ev = (load_events(spark, SF)
+          .where(F.col("value").isNotNull())
+          .select((F.col("value") > 100).cast("int").alias("y"),
+                  F.col("event_type").isin("purchase", "signup")
+                  .cast("int").alias("pa"),
+                  (F.col("user_id") % 2 == 0).cast("int").alias("pb")))
+    _check(mcnemar_test(ev, "y", "pa", "pb"), """
+        WITH e AS (SELECT (value > 100)::INT AS y,
+                          (event_type IN ('purchase', 'signup'))::INT
+                            AS pa,
+                          (user_id % 2 = 0)::INT AS pb
+                   FROM events WHERE value IS NOT NULL),
+        a AS (SELECT COUNT(*)::BIGINT AS n,
+                     SUM((pa = y)::INT)::BIGINT AS n_correct_a,
+                     SUM((pb = y)::INT)::BIGINT AS n_correct_b,
+                     SUM((pa = y AND pb != y)::INT)::BIGINT
+                       AS b_discordant,
+                     SUM((pa != y AND pb = y)::INT)::BIGINT
+                       AS c_discordant
+              FROM e)
+        SELECT n, n_correct_a, n_correct_b, b_discordant,
+               c_discordant,
+               (CASE WHEN abs(b_discordant - c_discordant) - 1 > 0
+                     THEN (abs(b_discordant - c_discordant) - 1)
+                          * (abs(b_discordant - c_discordant) - 1)
+                     ELSE 0 END)::BIGINT AS chi2_num,
+               (b_discordant + c_discordant)::BIGINT AS chi2_den,
+               CASE WHEN b_discordant + c_discordant > 0 THEN
+                 ((2000000 * (CASE WHEN abs(b_discordant
+                                            - c_discordant) - 1 > 0
+                     THEN (abs(b_discordant - c_discordant) - 1)
+                          * (abs(b_discordant - c_discordant) - 1)
+                     ELSE 0 END)
+                   + (b_discordant + c_discordant))
+                  // (2 * (b_discordant + c_discordant)))
+                 / 1000000.0
+               END AS chi2
+        FROM a
+    """)
+
+
+def test_preview_triangle_count(spark):
+    from datafusion_geo_spark.operators.graph import triangle_count
+    from datafusion_geo_spark.sources.fixtures import load_table
+    # deterministic modular graph over customers: u -> (3u+1) mod V,
+    # u -> (7u+2) mod V
+    cust = load_table(spark, SF, "customer")
+    edges = (cust.select(F.col("c_custkey").alias("id_a"),
+                         ((F.col("c_custkey") * 3 + 1) % 150)
+                         .alias("id_b"))
+             .unionByName(
+                 cust.select(F.col("c_custkey").alias("id_a"),
+                             ((F.col("c_custkey") * 7 + 2) % 150)
+                             .alias("id_b"))))
+    _check(triangle_count(edges), """
+        WITH raw AS (
+          SELECT c_custkey AS a, (c_custkey * 3 + 1) % 150 AS b
+          FROM customer
+          UNION ALL
+          SELECT c_custkey AS a, (c_custkey * 7 + 2) % 150 AS b
+          FROM customer
+        ),
+        e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM raw WHERE a != b),
+        tri AS (
+          SELECT COUNT(*)::BIGINT AS n_triangles
+          FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        deg AS (SELECT x, COUNT(*)::BIGINT AS d FROM (
+                  SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+                GROUP BY 1),
+        ek AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+               FROM e JOIN deg du ON du.x = e.u
+               JOIN deg dv ON dv.x = e.v),
+        orient AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v
+                          END AS src,
+                          CASE WHEN (du, u) < (dv, v) THEN (dv, v)
+                               ELSE (du, u) END AS dk
+                   FROM ek),
+        wedg AS (SELECT COUNT(*)::BIGINT AS n_wedges
+                 FROM orient a JOIN orient b
+                   ON b.src = a.src AND a.dk < b.dk)
+        SELECT (SELECT COUNT(*)::BIGINT FROM deg) AS n_vertices,
+               (SELECT COUNT(*)::BIGINT FROM e) AS n_edges,
+               wedg.n_wedges, tri.n_triangles
+        FROM wedg, tri
+    """)
+
+
+def test_preview_fs_linkage(spark):
+    from datafusion_geo_spark.operators.linkage import (
+        fs_score_histogram)
+    from datafusion_geo_spark.sources.fixtures import load_table
+    cust = (load_table(spark, SF, "customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment",
+                    F.floor(F.col("c_acctbal") / F.lit(1000.0))
+                    .cast("long").alias("bal_k"),
+                    (F.col("c_custkey") % 10).alias("dig")))
+    fields = ["c_mktsegment", "bal_k", "dig"]
+    got = fs_score_histogram(cust, "c_nationkey", fields,
+                             "c_custkey")
+    # oracle: replay u estimation + the SAME driver-side micro weights
+    # (python floats are IEEE doubles — compute literals here exactly
+    # as linkage.fs_field_weights does)
+    from datafusion_geo_spark.operators.linkage import fs_field_weights
+    w = {r["field"]: (r["w_agree_micro"], r["w_dis_micro"])
+         for r in fs_field_weights(cust, fields).collect()}
+    terms = " + ".join(
+        f"(CASE WHEN a.{f} IS NOT DISTINCT FROM b.{f} "
+        f"AND a.{f} IS NOT NULL THEN {w[f][0]} "
+        f"ELSE {w[f][1]} END)"
+        for f in fields)
+    _check(got, f"""
+        WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+                          CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+                            AS bal_k,
+                          c_custkey % 10 AS dig
+                   FROM customer)
+        SELECT ({terms})::BIGINT AS score_micro,
+               COUNT(*)::BIGINT AS n_pairs
+        FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+                         AND a.c_custkey < b.c_custkey
+        GROUP BY 1
+    """)
+
+
+def test_preview_expectations(spark):
+    from datafusion_geo_spark.operators.profile import (
+        expectations_check)
+    from datafusion_geo_spark.sources.fixtures import load_table
+    li = load_table(spark, SF, "lineitem")
+    rules = [
+        ("qty_range", (F.col("l_quantity") >= 1)
+         & (F.col("l_quantity") <= 50)),
+        ("price_pos", F.col("l_extendedprice") > 0),
+        ("flag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        ("ship_after_2023",
+         F.col("l_shipdate") >= F.lit("2024-01-01").cast("date")),
+    ]
+    got = expectations_check(li, rules)
+    _check(got, """
+        WITH a AS (SELECT COUNT(*)::BIGINT AS n,
+          SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                   THEN 0 ELSE 1 END)::BIGINT AS v0,
+          SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+            ::BIGINT AS v1,
+          SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                   THEN 0 ELSE 1 END)::BIGINT AS v2,
+          SUM(CASE WHEN l_shipdate >= DATE '2024-01-01'
+                   THEN 0 ELSE 1 END)::BIGINT AS v3
+          FROM lineitem)
+        SELECT r.rule, a.n AS n_rows, r.v AS n_violations,
+               CASE WHEN a.n > 0 THEN
+                 ((2000000 * (a.n - r.v) + a.n) // (2 * a.n))
+                 / 1000000.0 END AS pass_rate,
+               (r.v = 0) AS passed
+        FROM a, (
+          SELECT 'qty_range' AS rule, v0 AS v FROM a
+          UNION ALL SELECT 'price_pos', v1 FROM a
+          UNION ALL SELECT 'flag_domain', v2 FROM a
+          UNION ALL SELECT 'ship_after_2023', v3 FROM a) r
+    """)
