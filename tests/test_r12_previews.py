@@ -241,3 +241,43 @@ def test_preview_expectations(spark):
           UNION ALL SELECT 'flag_domain', v2 FROM a
           UNION ALL SELECT 'ship_after_2023', v3 FROM a) r
     """)
+
+
+def test_preview_plans_scale_clean(spark):
+    """The deferred operators' physical plans carry no scale smell
+    beyond triangle_count's three vouched one-row summary crosses
+    (the hll_setops pattern) — pinned now so a regression surfaces
+    before r12 wires them into the audited gate."""
+    from datafusion_geo_spark.operators.evals import mcnemar_test
+    from datafusion_geo_spark.operators.graph import triangle_count
+    from datafusion_geo_spark.operators.linkage import (
+        fs_score_histogram)
+    from datafusion_geo_spark.operators.profile import (
+        expectations_check)
+    from datafusion_geo_spark.operators.timeseries import trend_by_key
+    from datafusion_geo_spark.plans.audit import assert_scalable
+    from datafusion_geo_spark.sources.fixtures import (load_events,
+                                                       load_table)
+    ev = (load_events(spark, SF).where(F.col("value").isNotNull())
+          .select("user_id", "event_type", "event_id",
+                  (F.col("value") > 100).cast("int").alias("y"),
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    cust = load_table(spark, SF, "customer")
+    assert_scalable(trend_by_key(
+        ev.withColumn("hr", F.col("event_id") % 24),
+        "user_id", "hr", "cents"))
+    assert_scalable(mcnemar_test(
+        ev.withColumn("pa", (F.col("event_id") % 2).cast("int"))
+          .withColumn("pb", (F.col("user_id") % 2).cast("int")),
+        "y", "pa", "pb"))
+    assert_scalable(expectations_check(
+        cust, [("bal", F.col("c_acctbal") > -1000)]))
+    assert_scalable(fs_score_histogram(
+        cust.withColumn("dig", F.col("c_custkey") % 10),
+        "c_nationkey", ["c_mktsegment", "dig"], "c_custkey"))
+    assert_scalable(triangle_count(
+        cust.select(F.col("c_custkey").alias("id_a"),
+                    ((F.col("c_custkey") * 3 + 1) % 150)
+                    .alias("id_b"))),
+        allow_broadcast_cross=3)
