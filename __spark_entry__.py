@@ -5805,9 +5805,12 @@ _FIRST50 = [
     # triangle counting (operators/graph.py triangle_count — needs
     # ALLOWED_BROADCAST_CROSSES = 3: the one-row vertex/edge/wedge
     # summary frames crossed into the single output row, the
-    # hll_setops pattern; the others pre-audit clean), and the
+    # hll_setops pattern; the others pre-audit clean), the
     # declarative data-contract audit (operators/profile.py
-    # expectations_check) — all unit-pinned.)
+    # expectations_check), and the deterministic Poisson-bootstrap
+    # mean CI (operators/evals.py bootstrap_mean_ci) — all
+    # unit-pinned, with oracle-grade previews in
+    # tests/test_r12_previews.py.)
 ]
 
 

@@ -1514,3 +1514,83 @@ def mcnemar_test(df: DataFrame, label_col: str, pred_a_col: str,
         "n", "n_correct_a", "n_correct_b", "b_discordant",
         "c_discordant", num.alias("chi2_num"), den.alias("chi2_den"),
         F.when(den > 0, _ratio6(num, den)).alias("chi2"))
+
+
+#: Poisson(1) CDF at k = 0..8, 6-dp micro (half-up) — universal
+#: constants embedded identically in the operator and every oracle;
+#: the residual tail mass (1e-6) maps to weight 9
+POISSON1_CDF_MICRO = (367879, 735759, 919699, 981012, 996340,
+                      999406, 999917, 999990, 999999)
+
+
+def _poisson1_weight(u_micro: Column) -> Column:
+    """Deterministic Poisson(1) draw from a micro-uniform in
+    [0, 1e6): the smallest k whose CDF micro exceeds u. Pure integer
+    comparisons against embedded constants — identical in any
+    engine."""
+    w = F.lit(9)
+    for k in range(len(POISSON1_CDF_MICRO) - 1, -1, -1):
+        w = F.when(u_micro < F.lit(POISSON1_CDF_MICRO[k]),
+                   F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def bootstrap_mean_ci(df: DataFrame, value_col: str,
+                      id_col: str, n_boot: int = 200,
+                      seed: str = "boot0",
+                      lo_pct: int = 5, hi_pct: int = 95) -> DataFrame:
+    """Deterministic Poisson bootstrap CI for the mean of an
+    integer-quantized column — the statistically honest error bar an
+    eval report needs, in the only shape that works at 100 TB: the
+    classic Poisson-bootstrap trick (each replica resamples every row
+    independently with a Poisson(1) weight, avoiding any global
+    resample pass), all B replicas accumulated in ONE partial+final
+    aggregate of 2B exact int64 sums.
+
+    Determinism contract: the weight for (row, replica) comes from
+    the house md5 32-bit hash (dedup.h64 — DuckDB-replayable as
+    ('0x'||substr(md5(..),1,8))::BIGINT) mapped through the embedded
+    Poisson(1) CDF micro table — integer comparisons only, so every
+    engine draws the same resample. Replica means are micro-ints (the house half-away
+    scaled ratio); the interval is the ``hist_quantiles`` rank test
+    over the B means (smallest mean whose rank reaches the
+    percentile). ONE row out: (n_rows, mean, ci_lo, ci_hi) — mean and
+    bounds as exact 6-dp doubles; NULL bounds when every replica is
+    empty (tiny frames can draw all-zero weights)."""
+    x = F.col(value_col).cast("long")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(x).alias("sx")]
+    for b in range(n_boot):
+        from .dedup import h64
+        h = h64(F.concat(F.lit(f"{seed}|{b}|"),
+                         F.col(id_col).cast("string")))
+        u = F.pmod(h, F.lit(1_000_000)).cast("long")
+        w = _poisson1_weight(u)
+        aggs += [F.sum(w * x).alias(f"bx{b}"),
+                 F.sum(w).alias(f"bn{b}")]
+    one = df.agg(*aggs)
+    means = F.array(*[
+        F.when(F.col(f"bn{b}") > 0,
+               (F.signum(F.col(f"bx{b}"))
+                * _idiv(F.lit(2_000_000) * F.abs(F.col(f"bx{b}"))
+                        + F.col(f"bn{b}"),
+                        F.lit(2) * F.col(f"bn{b}"))).cast("long"))
+        for b in range(n_boot)])
+    good = F.filter(means, lambda m: m.isNotNull())
+    srt = F.array_sort(good)
+    nb = F.size(srt)
+
+    def pick(pct):
+        # smallest mean whose 1-based rank r satisfies
+        # 100*r >= pct*nb — the hist_quantiles rank test over the
+        # sorted replica means
+        idx = _idiv(F.lit(int(pct)) * nb + F.lit(99), F.lit(100))
+        return F.when(nb > 0, F.element_at(
+            srt, F.greatest(idx, F.lit(1)).cast("int"))
+            / F.lit(1_000_000.0))
+
+    return one.select(
+        "n_rows",
+        F.when(F.col("n_rows") > 0,
+               _sratio6(F.col("sx"), F.col("n_rows"))).alias("mean"),
+        pick(lo_pct).alias("ci_lo"), pick(hi_pct).alias("ci_hi"))

@@ -281,3 +281,50 @@ def test_preview_plans_scale_clean(spark):
                     ((F.col("c_custkey") * 3 + 1) % 150)
                     .alias("id_b"))),
         allow_broadcast_cross=3)
+
+
+def test_preview_bootstrap_ci(spark):
+    from datafusion_geo_spark.operators.evals import (
+        POISSON1_CDF_MICRO, bootstrap_mean_ci)
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF).where(F.col("value").isNotNull())
+          .select("event_id",
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    got = bootstrap_mean_ci(ev, "cents", "event_id", n_boot=40)
+    wexpr = "CASE " + " ".join(
+        f"WHEN u < {c} THEN {k}"
+        for k, c in enumerate(POISSON1_CDF_MICRO)) + " ELSE 9 END"
+    reps = " UNION ALL ".join(f"""
+        SELECT {b} AS b, SUM(w * cents)::BIGINT AS bx,
+               SUM(w)::BIGINT AS bn
+        FROM (SELECT cents, ({wexpr})::BIGINT AS w FROM (
+          SELECT cents,
+                 (('0x' || substr(md5('boot0|{b}|' ||
+                    event_id::VARCHAR), 1, 8))::BIGINT % 1000000) AS u
+          FROM e))""" for b in range(40))
+    _check(got, f"""
+        WITH e AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL),
+        reps AS ({reps}),
+        m AS (SELECT b,
+                     ((2000000 * bx + bn) // (2 * bn))::BIGINT AS mm
+              FROM reps WHERE bn > 0),
+        r AS (SELECT mm,
+                     ROW_NUMBER() OVER (ORDER BY mm) AS rk,
+                     COUNT(*) OVER () AS nb
+              FROM m),
+        t AS (SELECT COUNT(*)::BIGINT AS n_rows,
+                     SUM(cents)::BIGINT AS sx FROM e)
+        SELECT t.n_rows,
+               CASE WHEN t.n_rows > 0 THEN
+                 ((2000000 * t.sx + t.n_rows) // (2 * t.n_rows))
+                 / 1000000.0 END AS mean,
+               (SELECT MIN(CASE WHEN 100 * rk >= 5 * nb THEN mm END)
+                FROM r) / 1000000.0 AS ci_lo,
+               (SELECT MIN(CASE WHEN 100 * rk >= 95 * nb THEN mm END)
+                FROM r) / 1000000.0 AS ci_hi
+        FROM t
+    """)
