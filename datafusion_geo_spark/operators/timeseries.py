@@ -111,3 +111,108 @@ def trend_by_key(df: DataFrame, key_col: str, x_col: str,
         den.cast("long").alias("slope_den"),
         F.when(den > 0, _r6(num.cast("double") / den.cast("double")))
         .alias("slope"))
+
+
+def cusum_changepoint(df: DataFrame, key_col: str, x_col: str,
+                      y_col: str) -> DataFrame:
+    """Per-key CUSUM changepoint detection over an integer-quantized
+    series — "where did this metric's level shift, per tenant /
+    domain / sensor?". The mean-centred cumulative sum
+    S_k − k·(T/n) peaks at a level shift; its integer-exact form
+    d_k = |n·S_k − k·T| needs no division, so the whole scan is
+    int64 window arithmetic.
+
+    Shape / 100-TB adjudication:
+    - observations are pre-aggregated per (key, x) — sum of y — so
+      the order along x is total and deterministic;
+    - ONE running window per key (cumulative sum + row number),
+      partitioned by the key hash — no global single-task window;
+    - the peak is a plain grouped max over a struct with a
+      deterministic tie order (largest d, then SMALLEST x), a
+      partial+final aggregate.
+
+    Overflow envelope (trend_by_key's contract): n·S_k must fit
+    int64 — quantize y (cents) so per-key |sum| · n_slots < 2^63.
+
+    Returns one row per key with ≥ 2 distinct x: (key, n_slots,
+    total_y, cp_x, cusum_num, cusum_den, cusum) where cusum_num =
+    max_{1≤k<n} |n·S_k − k·T|, cusum_den = n, and cusum is the house
+    6-dp double of their ratio (= max |S_k − k·mean|); cp_x is the
+    last x of the left segment at the peak."""
+    from .evals import _sratio6
+
+    per_x = (df.groupBy(F.col(key_col).alias("key"),
+                        F.col(x_col).cast("long").alias("x"))
+             .agg(F.sum(F.col(y_col).cast("long")).alias("sy")))
+    wk = Window.partitionBy("key")
+    w = (wk.orderBy("x")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    scan = per_x.select(
+        "key", "x", "sy",
+        F.sum("sy").over(w).alias("s_k"),
+        F.row_number().over(wk.orderBy("x")).alias("k"),
+        F.sum("sy").over(wk).alias("t"),
+        F.count(F.lit(1)).over(wk).alias("n"))
+    d = (F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("t"))
+         .cast("long"))
+    cand = (scan.where(F.col("k") < F.col("n"))
+            .select("key", "n", "t",
+                    F.struct(d.alias("d"), (-F.col("x")).alias("nx"))
+                    .alias("_pk")))
+    best = (cand.groupBy("key")
+            .agg(F.max("_pk").alias("_b"), F.first("n").alias("n"),
+                 F.first("t").alias("t")))
+    return best.select(
+        F.col("key").alias(key_col),
+        F.col("n").alias("n_slots"),
+        F.col("t").alias("total_y"),
+        (-F.col("_b.nx")).alias("cp_x"),
+        F.col("_b.d").alias("cusum_num"),
+        F.col("n").alias("cusum_den"),
+        _sratio6(F.col("_b.d"), F.col("n")).alias("cusum"))
+
+
+def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
+                     period: int, step_minutes: int = 60) -> DataFrame:
+    """Seasonal decomposition profile of an integer-quantized metric:
+    the per-slot-in-period mean and its deviation from the overall
+    mean (the seasonal index) — "what does a normal hour-of-day /
+    day-of-week look like?", the baseline every anomaly monitor
+    subtracts first.
+
+    Slot assignment is resample_locf's exact integer form
+    (``unix_micros div step``, then ``% period``); the profile is ONE
+    grouped aggregate over ≤ ``period`` cells crossed with a one-row
+    totals frame (a vouched broadcast cross, the hll_setops pattern).
+    The seasonal index is the exact rational
+    (sum_pos·N − S·n_pos) / (n_pos·N) — mean_pos − mean_overall with
+    integer numerator/denominator — finished by the house 6-dp
+    divide. Overflow envelope: sum_pos·N must fit int64 (cents at
+    ≤ 2^53 corpus sum is fine).
+
+    Returns one row per occupied slot position: (pos, n, sum_y,
+    mean, seasonal_idx). NULL timestamps / values are excluded."""
+    from .evals import _sratio6
+
+    if period <= 0 or step_minutes <= 0:
+        raise ValueError(
+            "seasonal_profile: period and step_minutes must be > 0")
+    step = step_minutes * MICROS_PER_MINUTE
+    obs = (df.where(F.col(ts_col).isNotNull()
+                    & F.col(value_col).isNotNull())
+           .select(F.expr(f"(unix_micros({ts_col}) div {step}) "
+                          f"% {period}").alias("pos"),
+                   F.col(value_col).cast("long").alias("y")))
+    cells = (obs.groupBy("pos")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("y").alias("sum_y")))
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("_nn"),
+                  F.sum("y").alias("_ss"))
+    j = cells.crossJoin(F.broadcast(tot))
+    idx_num = (F.col("sum_y") * F.col("_nn")
+               - F.col("_ss") * F.col("n"))
+    return j.select(
+        "pos", "n", "sum_y",
+        _sratio6(F.col("sum_y"), F.col("n")).alias("mean"),
+        _sratio6(idx_num, F.col("n") * F.col("_nn"))
+        .alias("seasonal_idx"))
