@@ -184,19 +184,26 @@ def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
     (``unix_micros div step``, then ``% period``); the profile is ONE
     grouped aggregate over ≤ ``period`` cells crossed with a one-row
     totals frame (a vouched broadcast cross, the hll_setops pattern).
-    The seasonal index is the exact rational
-    (sum_pos·N − S·n_pos) / (n_pos·N) — mean_pos − mean_overall with
-    integer numerator/denominator — finished by the house 6-dp
-    divide. Overflow envelope: sum_pos·N must fit int64 (cents at
-    ≤ 2^53 corpus sum is fine).
+    Both means are the house signed 6-dp micro ratio, and the
+    seasonal index is their EXACT micro-int difference
+    (micro(sum_pos/n_pos) − micro(S/N)) / 1e6 — a difference of two
+    already-rounded quantities, so the only overflow requirement is
+    2e6·|sum| fitting int64 (|Σ cents| < 4.6e12 — NOT the
+    sum_pos·N cross product, whose envelope dies at corpus scale).
 
     Returns one row per occupied slot position: (pos, n, sum_y,
     mean, seasonal_idx). NULL timestamps / values are excluded."""
-    from .evals import _sratio6
+    from .evals import _idiv
 
     if period <= 0 or step_minutes <= 0:
         raise ValueError(
             "seasonal_profile: period and step_minutes must be > 0")
+
+    def smicro(num, den):
+        return (F.signum(num).cast("long")
+                * _idiv(F.lit(2_000_000) * F.abs(num) + den,
+                        F.lit(2) * den)).cast("long")
+
     step = step_minutes * MICROS_PER_MINUTE
     obs = (df.where(F.col(ts_col).isNotNull()
                     & F.col(value_col).isNotNull())
@@ -209,10 +216,10 @@ def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
     tot = obs.agg(F.count(F.lit(1)).cast("long").alias("_nn"),
                   F.sum("y").alias("_ss"))
     j = cells.crossJoin(F.broadcast(tot))
-    idx_num = (F.col("sum_y") * F.col("_nn")
-               - F.col("_ss") * F.col("n"))
+    m_pos = smicro(F.col("sum_y"), F.col("n"))
+    m_all = smicro(F.col("_ss"), F.col("_nn"))
     return j.select(
         "pos", "n", "sum_y",
-        _sratio6(F.col("sum_y"), F.col("n")).alias("mean"),
-        _sratio6(idx_num, F.col("n") * F.col("_nn"))
+        (m_pos / F.lit(1_000_000.0) + F.lit(0.0)).alias("mean"),
+        ((m_pos - m_all) / F.lit(1_000_000.0) + F.lit(0.0))
         .alias("seasonal_idx"))

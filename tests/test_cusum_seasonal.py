@@ -102,9 +102,15 @@ def test_cusum_fuzz(spark):
     run()
 
 
+def _smicro(num, den):
+    sign = -1 if num < 0 else (0 if num == 0 else 1)
+    return sign * ((2_000_000 * abs(num) + den) // (2 * den))
+
+
 def _seasonal_ref(rows, period, step_minutes):
     """rows: (ts, y) with ts datetime; returns {pos: (n, sum, mean,
-    idx)}."""
+    idx)}. idx = exact micro-mean difference (the operator's
+    documented definition)."""
     step = step_minutes * 60_000_000
     epoch = datetime(1970, 1, 1)
     obs = [((int((ts - epoch).total_seconds() * 1_000_000) // step)
@@ -114,12 +120,13 @@ def _seasonal_ref(rows, period, step_minutes):
         return {}
     big_n = len(obs)
     big_s = sum(y for _, y in obs)
+    m_all = _smicro(big_s, big_n)
     out = {}
     for pos in {p for p, _ in obs}:
         ys = [y for p, y in obs if p == pos]
         n, s = len(ys), sum(ys)
-        out[pos] = (n, s, _sratio6(s, n),
-                    _sratio6(s * big_n - big_s * n, n * big_n))
+        m_pos = _smicro(s, n)
+        out[pos] = (n, s, m_pos / 1e6, (m_pos - m_all) / 1e6)
     return out
 
 
