@@ -5807,10 +5807,14 @@ _FIRST50 = [
     # summary frames crossed into the single output row, the
     # hll_setops pattern; the others pre-audit clean), the
     # declarative data-contract audit (operators/profile.py
-    # expectations_check), and the deterministic Poisson-bootstrap
-    # mean CI (operators/evals.py bootstrap_mean_ci) — all
-    # unit-pinned, with oracle-grade previews in
-    # tests/test_r12_previews.py.)
+    # expectations_check), the deterministic Poisson-bootstrap
+    # mean CI (operators/evals.py bootstrap_mean_ci), per-key CUSUM
+    # changepoint detection (operators/timeseries.py
+    # cusum_changepoint), and the seasonal-index profile
+    # (operators/timeseries.py seasonal_profile — needs
+    # ALLOWED_BROADCAST_CROSSES = 1: the one-row totals frame
+    # crossed into the ≤period cells) — all unit-pinned, with
+    # oracle-grade previews in tests/test_r12_previews.py.)
 ]
 
 

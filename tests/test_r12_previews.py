@@ -73,6 +73,82 @@ def test_preview_trend_by_key(spark):
     """)
 
 
+def test_preview_cusum_changepoint(spark):
+    from datafusion_geo_spark.operators.timeseries import (
+        cusum_changepoint)
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("user_id",
+                  F.expr("unix_micros(ts) div 3600000000")
+                  .alias("hr"),
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    _check(cusum_changepoint(ev, "user_id", "hr", "cents"), """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS x,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL),
+        px AS (SELECT user_id, x, SUM(y)::BIGINT AS sy
+               FROM e GROUP BY 1, 2),
+        scan AS (SELECT user_id, x,
+                   SUM(sy) OVER (PARTITION BY user_id
+                                 ORDER BY x)::BIGINT AS s_k,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY x)::BIGINT AS k,
+                   SUM(sy) OVER (PARTITION BY user_id)::BIGINT AS t,
+                   COUNT(*) OVER (PARTITION BY user_id)::BIGINT AS n
+                 FROM px),
+        cand AS (SELECT user_id, n, t, x,
+                        abs(n * s_k - k * t)::BIGINT AS d
+                 FROM scan WHERE k < n),
+        mx AS (SELECT user_id, max(d) AS md FROM cand GROUP BY 1),
+        best AS (SELECT c.user_id, c.n, c.t, mx.md,
+                        min(c.x) AS cp_x
+                 FROM cand c
+                 JOIN mx ON mx.user_id = c.user_id AND c.d = mx.md
+                 GROUP BY 1, 2, 3, 4)
+        SELECT user_id, n AS n_slots, t AS total_y, cp_x,
+               md AS cusum_num, n AS cusum_den,
+               ((2000000 * md + n) // (2 * n)) / 1000000.0 AS cusum
+        FROM best
+    """)
+
+
+def test_preview_seasonal_profile(spark):
+    from datafusion_geo_spark.operators.timeseries import (
+        seasonal_profile)
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .select("ts",
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    _check(seasonal_profile(ev, "ts", "cents", period=24), """
+        WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS pos,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS y
+                   FROM events
+                   WHERE ts IS NOT NULL AND value IS NOT NULL),
+        c AS (SELECT pos, COUNT(*)::BIGINT AS n,
+                     SUM(y)::BIGINT AS sum_y
+              FROM e GROUP BY 1),
+        t AS (SELECT COUNT(*)::BIGINT AS nn, SUM(y)::BIGINT AS ss
+              FROM e),
+        m AS (SELECT pos, n, sum_y,
+                (CASE WHEN sum_y < 0 THEN -1 WHEN sum_y = 0 THEN 0
+                      ELSE 1 END)
+                  * ((2000000 * abs(sum_y) + n) // (2 * n)) AS mp,
+                (CASE WHEN ss < 0 THEN -1 WHEN ss = 0 THEN 0
+                      ELSE 1 END)
+                  * ((2000000 * abs(ss) + nn) // (2 * nn)) AS ma
+              FROM c, t)
+        SELECT pos, n, sum_y, mp / 1000000.0 AS mean,
+               (mp - ma) / 1000000.0 AS seasonal_idx
+        FROM m
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -281,6 +357,14 @@ def test_preview_plans_scale_clean(spark):
                     ((F.col("c_custkey") * 3 + 1) % 150)
                     .alias("id_b"))),
         allow_broadcast_cross=3)
+    from datafusion_geo_spark.operators.timeseries import (
+        cusum_changepoint, seasonal_profile)
+    assert_scalable(cusum_changepoint(
+        ev.withColumn("hr", F.col("event_id") % 24),
+        "user_id", "hr", "cents"))
+    assert_scalable(seasonal_profile(
+        load_events(spark, SF), "ts", "value", period=24),
+        allow_broadcast_cross=1)
 
 
 def test_preview_bootstrap_ci(spark):
