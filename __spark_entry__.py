@@ -5813,8 +5813,12 @@ _FIRST50 = [
     # cusum_changepoint), and the seasonal-index profile
     # (operators/timeseries.py seasonal_profile — needs
     # ALLOWED_BROADCAST_CROSSES = 1: the one-row totals frame
-    # crossed into the ≤period cells) — all unit-pinned, with
-    # oracle-grade previews in tests/test_r12_previews.py.)
+    # crossed into the ≤period cells), and the chi-square
+    # independence audit (operators/profile.py chi2_independence +
+    # _stat — needs ALLOWED_BROADCAST_CROSSES = 2: the
+    # category-bounded marginal grid cross + the one-row grand
+    # total) — all unit-pinned, with oracle-grade previews in
+    # tests/test_r12_previews.py.)
 ]
 
 

@@ -336,3 +336,78 @@ def expectations_check(df: DataFrame, rules) -> DataFrame:
         for i, n in enumerate(names)]
     return (one.select(F.explode(F.array(*rows)).alias("_r"))
             .select("_r.*"))
+
+
+def chi2_independence(df: DataFrame, col_a: str,
+                      col_b: str) -> DataFrame:
+    """Chi-square independence audit of two categorical columns —
+    "did this join / filter / rewrite entangle domain and label?",
+    the contingency screen run next to :func:`corr_matrix` for
+    non-numeric columns.
+
+    ONE grouped aggregate builds the occupied contingency cells;
+    the FULL R×C grid (chi-square needs the empty cells too — a
+    structural zero contributes its whole expectation) is the cross
+    of the two category-bounded marginal frames, left-joined back
+    onto the cells. Each cell's contribution
+    (O·N − R·C)² / (N·R·C) is a single fixed double expression of
+    exact int64 counts, micro-rounded PER CELL before any sum (the
+    benford_audit recipe), so the statistic is an exact int64 sum of
+    per-cell micros. Overflow envelope: O·N and R·C must fit int64 —
+    at larger corpora, pre-aggregate to category counts first (the
+    cell frame, not the row count, is what this operator scans
+    after its first aggregate). Rows with a NULL in either column
+    are excluded.
+
+    Plan note: two vouched broadcast crosses — the marginal-grid
+    cross (bounded by |A|·|B| categories) and the one-row grand
+    total (the hll_setops pattern).
+
+    Returns one row per grid cell: (val_a, val_b, observed, row_tot,
+    col_tot, expected, term_micro); ``expected`` is the house 6-dp
+    double of R·C/N, ``term_micro`` the cell's micro-int chi-square
+    contribution. Feed to :func:`chi2_independence_stat` for the
+    one-row statistic."""
+    from .evals import _r6
+
+    obs = (df.where(F.col(col_a).isNotNull()
+                    & F.col(col_b).isNotNull())
+           .select(F.col(col_a).cast("string").alias("val_a"),
+                   F.col(col_b).cast("string").alias("val_b")))
+    cells = (obs.groupBy("val_a", "val_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("_o")))
+    rt = (cells.groupBy("val_a")
+          .agg(F.sum("_o").alias("row_tot")))
+    ct = (cells.groupBy("val_b")
+          .agg(F.sum("_o").alias("col_tot")))
+    tot = cells.agg(F.sum("_o").alias("_n"))
+    grid = rt.crossJoin(F.broadcast(ct))
+    j = (grid.join(cells, ["val_a", "val_b"], "left")
+         .crossJoin(F.broadcast(tot)))
+    o = F.coalesce(F.col("_o"), F.lit(0).cast("long"))
+    r, c, n = F.col("row_tot"), F.col("col_tot"), F.col("_n")
+    diff = (o * n - r * c).cast("double")
+    den = (n.cast("double") * r.cast("double") * c.cast("double"))
+    term = diff * diff / den
+    return j.select(
+        "val_a", "val_b", o.alias("observed"), "row_tot", "col_tot",
+        _r6(r.cast("double") * c.cast("double") / n.cast("double"))
+        .alias("expected"),
+        F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("term_micro"))
+
+
+def chi2_independence_stat(df: DataFrame, col_a: str,
+                           col_b: str) -> DataFrame:
+    """One-row tail over :func:`chi2_independence`'s cells: (n,
+    n_cells, dof, chi2) with dof = (|A|−1)·(|B|−1) and chi2 the
+    exact int64 sum of the per-cell micros, divided once."""
+    cells = chi2_independence(df, col_a, col_b)
+    return cells.agg(
+        F.sum("observed").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        ((F.count_distinct(F.col("val_a")) - 1)
+         * (F.count_distinct(F.col("val_b")) - 1)).cast("long")
+        .alias("dof"),
+        (F.sum("term_micro").cast("long") / F.lit(1_000_000.0)
+         + F.lit(0.0)).alias("chi2"))

@@ -149,6 +149,58 @@ def test_preview_seasonal_profile(spark):
     """)
 
 
+def test_preview_chi2_independence(spark):
+    from datafusion_geo_spark.operators.profile import (
+        chi2_independence, chi2_independence_stat)
+    from datafusion_geo_spark.sources.fixtures import load_table
+    cust = load_table(spark, SF, "customer")
+    oracle_cells = """
+        WITH obs AS (SELECT c_mktsegment::VARCHAR AS val_a,
+                            c_nationkey::VARCHAR AS val_b
+                     FROM customer
+                     WHERE c_mktsegment IS NOT NULL
+                       AND c_nationkey IS NOT NULL),
+        cells AS (SELECT val_a, val_b, COUNT(*)::BIGINT AS o
+                  FROM obs GROUP BY 1, 2),
+        rt AS (SELECT val_a, SUM(o)::BIGINT AS row_tot
+               FROM cells GROUP BY 1),
+        ct AS (SELECT val_b, SUM(o)::BIGINT AS col_tot
+               FROM cells GROUP BY 1),
+        t AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+        grid AS (SELECT rt.val_a, ct.val_b, rt.row_tot, ct.col_tot
+                 FROM rt, ct)
+        SELECT g.val_a, g.val_b,
+               COALESCE(c.o, 0)::BIGINT AS observed,
+               g.row_tot, g.col_tot,
+               floor((g.row_tot::DOUBLE * g.col_tot::DOUBLE
+                      / t.n::DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 + 0.0 AS expected,
+               CAST(floor(
+                 ((COALESCE(c.o, 0) * t.n
+                   - g.row_tot * g.col_tot)::DOUBLE
+                  * (COALESCE(c.o, 0) * t.n
+                     - g.row_tot * g.col_tot)::DOUBLE
+                  / (t.n::DOUBLE * g.row_tot::DOUBLE
+                     * g.col_tot::DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS term_micro
+        FROM grid g
+        LEFT JOIN cells c
+          ON c.val_a = g.val_a AND c.val_b = g.val_b, t
+    """
+    _check(chi2_independence(cust, "c_mktsegment", "c_nationkey"),
+           oracle_cells)
+    _check(chi2_independence_stat(cust, "c_mktsegment",
+                                  "c_nationkey"), f"""
+        WITH cells2 AS ({oracle_cells})
+        SELECT SUM(observed)::BIGINT AS n,
+               COUNT(*)::BIGINT AS n_cells,
+               ((COUNT(DISTINCT val_a) - 1)
+                * (COUNT(DISTINCT val_b) - 1))::BIGINT AS dof,
+               SUM(term_micro)::BIGINT / 1000000.0 + 0.0 AS chi2
+        FROM cells2
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -365,6 +417,11 @@ def test_preview_plans_scale_clean(spark):
     assert_scalable(seasonal_profile(
         load_events(spark, SF), "ts", "value", period=24),
         allow_broadcast_cross=1)
+    from datafusion_geo_spark.operators.profile import (
+        chi2_independence_stat)
+    assert_scalable(chi2_independence_stat(
+        cust, "c_mktsegment", "c_nationkey"),
+        allow_broadcast_cross=2)
 
 
 def test_preview_bootstrap_ci(spark):
