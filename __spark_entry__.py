@@ -5817,7 +5817,9 @@ _FIRST50 = [
     # independence audit (operators/profile.py chi2_independence +
     # _stat — needs ALLOWED_BROADCAST_CROSSES = 2: the
     # category-bounded marginal grid cross + the one-row grand
-    # total) — all unit-pinned, with oracle-grade previews in
+    # total), and phonetic (simplified-Soundex) linkage blocking
+    # (operators/linkage.py phonetic_code_col / phonetic_blocks) —
+    # all unit-pinned, with oracle-grade previews in
     # tests/test_r12_previews.py.)
 ]
 

@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ("customer", "events", "lineitem")
+TABLES = ("customer", "events", "lineitem", "part")
 
 
 def _duck(sql):
@@ -198,6 +198,39 @@ def test_preview_chi2_independence(spark):
                 * (COUNT(DISTINCT val_b) - 1))::BIGINT AS dof,
                SUM(term_micro)::BIGINT / 1000000.0 + 0.0 AS chi2
         FROM cells2
+    """)
+
+
+def test_preview_phonetic_blocks(spark):
+    from datafusion_geo_spark.operators.linkage import (
+        phonetic_blocks)
+    from datafusion_geo_spark.sources.fixtures import load_table
+    part = load_table(spark, SF, "part")
+    _check(phonetic_blocks(part, "p_name", "p_partkey"), """
+        WITH w AS (SELECT p_name AS nm, p_partkey AS id,
+                          upper(regexp_extract(p_name, '[A-Za-z]+'))
+                            AS w
+                   FROM part),
+        m AS (SELECT nm, id, w,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                  translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            '01230120022455012623010202'),
+                  '11+', '1', 'g'), '22+', '2', 'g'),
+                  '33+', '3', 'g'), '44+', '4', 'g'),
+                  '55+', '5', 'g'), '66+', '6', 'g') AS mc
+              FROM w WHERE length(w) > 0),
+        b AS (SELECT substr(w, 1, 1)
+                       || rpad(substr(replace(substr(mc, 2),
+                                              '0', ''), 1, 3),
+                               3, '0') AS code,
+                     nm, id
+              FROM m)
+        SELECT code, COUNT(*)::BIGINT AS n,
+               COUNT(DISTINCT nm)::BIGINT AS n_distinct_names,
+               ((COUNT(*)::BIGINT * (COUNT(*)::BIGINT - 1)) // 2)
+                 ::BIGINT AS n_pairs
+        FROM b GROUP BY 1
     """)
 
 
@@ -422,6 +455,10 @@ def test_preview_plans_scale_clean(spark):
     assert_scalable(chi2_independence_stat(
         cust, "c_mktsegment", "c_nationkey"),
         allow_broadcast_cross=2)
+    from datafusion_geo_spark.operators.linkage import (
+        phonetic_blocks)
+    assert_scalable(phonetic_blocks(
+        load_table(spark, SF, "part"), "p_name", "p_partkey"))
 
 
 def test_preview_bootstrap_ci(spark):
