@@ -1594,3 +1594,56 @@ def bootstrap_mean_ci(df: DataFrame, value_col: str,
         F.when(F.col("n_rows") > 0,
                _sratio6(F.col("sx"), F.col("n_rows"))).alias("mean"),
         pick(lo_pct).alias("ci_lo"), pick(hi_pct).alias("ci_hi"))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Tie-aware Spearman rank correlation of two INTEGER-quantized
+    columns in histogram form — no global ranking window over the
+    corpus, the auc_exact recipe. The corpus pass is ONE grouped
+    count of the joint (x, y) histogram; each axis's tied-average
+    rank comes from a cumulative window over that axis's
+    DISTINCT-VALUE frame (distinct-sized, not corpus-sized); the
+    correlation is Pearson over centered even integer ranks
+    u = 2·cum_before + cnt − n (twice the average rank minus (n+1) —
+    integer, and Σ c·u = 0 by construction), so
+    rho = Σc·u·v / sqrt(Σc·u² · Σc·v²) needs no mean subtraction.
+
+    All three sums are exact int64; the sqrt's argument is the
+    double product of two int64s (the pearson_corr precedent), and
+    the divide + 6-dp round is the house fixed expression. Overflow
+    envelope: |u| ≤ n so Σc·u² ≤ n³ — exact to ~2·10⁶ rows per
+    call; quantize or sample beyond. NULLs in either column are
+    excluded. ONE row out: (n_rows, suv_num, suu_num, svv_num,
+    rho)."""
+    cells = (df.where(F.col(x_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+             .groupBy(F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    hx = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    hy = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    wx = (Window.partitionBy().orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wy = (Window.partitionBy().orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    hx = hx.withColumn("cumx", F.coalesce(F.sum("cx").over(wx),
+                                          F.lit(0)).cast("long"))
+    hy = hy.withColumn("cumy", F.coalesce(F.sum("cy").over(wy),
+                                          F.lit(0)).cast("long"))
+    tot = cells.agg(F.sum("c").alias("_n"))
+    j = (cells.join(hx, "x").join(hy, "y")
+         .crossJoin(F.broadcast(tot)))
+    u = F.lit(2) * F.col("cumx") + F.col("cx") - F.col("_n")
+    v = F.lit(2) * F.col("cumy") + F.col("cy") - F.col("_n")
+    agg = j.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.col("c") * u * v).cast("long").alias("suv_num"),
+        F.sum(F.col("c") * u * u).cast("long").alias("suu_num"),
+        F.sum(F.col("c") * v * v).cast("long").alias("svv_num"))
+    rho = (F.col("suv_num").cast("double")
+           / F.sqrt(F.col("suu_num").cast("double")
+                    * F.col("svv_num").cast("double")))
+    return agg.select(
+        "n_rows", "suv_num", "suu_num", "svv_num",
+        F.when((F.col("suu_num") > 0) & (F.col("svv_num") > 0),
+               _r6(rho)).alias("rho"))

@@ -234,6 +234,59 @@ def test_preview_phonetic_blocks(spark):
     """)
 
 
+def test_preview_spearman(spark):
+    from datafusion_geo_spark.operators.evals import spearman_corr
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents"),
+                  F.expr("unix_micros(ts) div 3600000000")
+                  .alias("hr")))
+    _check(spearman_corr(ev, "cents", "hr"), """
+        WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS x,
+                          epoch_us(ts) // 3600000000 AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL),
+        cells AS (SELECT x, y, COUNT(*)::BIGINT AS c
+                  FROM e GROUP BY 1, 2),
+        hx AS (SELECT x, SUM(c)::BIGINT AS cx FROM cells GROUP BY 1),
+        hy AS (SELECT y, SUM(c)::BIGINT AS cy FROM cells GROUP BY 1),
+        hx2 AS (SELECT x, cx,
+                  COALESCE(SUM(cx) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0)::BIGINT AS cumx
+                FROM hx),
+        hy2 AS (SELECT y, cy,
+                  COALESCE(SUM(cy) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0)::BIGINT AS cumy
+                FROM hy),
+        t AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+        j AS (SELECT c.c,
+                     (2 * hx2.cumx + hx2.cx - t.n) AS u,
+                     (2 * hy2.cumy + hy2.cy - t.n) AS v
+              FROM cells c
+              JOIN hx2 ON hx2.x = c.x
+              JOIN hy2 ON hy2.y = c.y, t),
+        a AS (SELECT SUM(c)::BIGINT AS n_rows,
+                     SUM(c * u * v)::BIGINT AS suv_num,
+                     SUM(c * u * u)::BIGINT AS suu_num,
+                     SUM(c * v * v)::BIGINT AS svv_num
+              FROM j)
+        SELECT n_rows, suv_num, suu_num, svv_num,
+               CASE WHEN suu_num > 0 AND svv_num > 0 THEN
+                 (CASE WHEN suv_num < 0 THEN -1 ELSE 1 END)
+                 * floor(abs(suv_num::DOUBLE
+                             / sqrt(suu_num::DOUBLE
+                                    * svv_num::DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 + 0.0
+               END AS rho
+        FROM a
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -459,6 +512,10 @@ def test_preview_plans_scale_clean(spark):
         phonetic_blocks)
     assert_scalable(phonetic_blocks(
         load_table(spark, SF, "part"), "p_name", "p_partkey"))
+    from datafusion_geo_spark.operators.evals import spearman_corr
+    assert_scalable(spearman_corr(
+        ev.withColumn("hr", F.col("event_id") % 24),
+        "cents", "hr"), allow_broadcast_cross=1)
 
 
 def test_preview_bootstrap_ci(spark):
