@@ -5817,9 +5817,13 @@ _FIRST50 = [
     # independence audit (operators/profile.py chi2_independence +
     # _stat — needs ALLOWED_BROADCAST_CROSSES = 2: the
     # category-bounded marginal grid cross + the one-row grand
-    # total), and phonetic (simplified-Soundex) linkage blocking
-    # (operators/linkage.py phonetic_code_col / phonetic_blocks) —
-    # all unit-pinned, with oracle-grade previews in
+    # total), phonetic (simplified-Soundex) linkage blocking
+    # (operators/linkage.py phonetic_code_col / phonetic_blocks),
+    # tie-aware Spearman rank correlation (operators/evals.py
+    # spearman_corr — needs ALLOWED_BROADCAST_CROSSES = 1: the
+    # one-row total crossed into the joint-histogram cells), and
+    # the histogram decision-stump fit (operators/mlfit.py
+    # stump_fit) — all unit-pinned, with oracle-grade previews in
     # tests/test_r12_previews.py.)
 ]
 

@@ -287,6 +287,68 @@ def test_preview_spearman(spark):
     """)
 
 
+def test_preview_stump_fit(spark):
+    from datafusion_geo_spark.operators.mlfit import stump_fit
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.expr("(unix_micros(ts) div 3600000000) % 24")
+                  .alias("hr"),
+                  (F.col("user_id") % 10).alias("udig"),
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    _check(stump_fit(ev, ["hr", "udig"], "cents"), """
+        WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hr,
+                          user_id % 10 AS udig,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS y
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL),
+        m AS (SELECT 'hr' AS feature, hr AS v, y FROM e
+              WHERE hr IS NOT NULL AND y IS NOT NULL
+              UNION ALL
+              SELECT 'udig', udig, y FROM e
+              WHERE udig IS NOT NULL AND y IS NOT NULL),
+        hist AS (SELECT feature, v, COUNT(*)::BIGINT AS n,
+                        SUM(y)::BIGINT AS s
+                 FROM m GROUP BY 1, 2),
+        scan AS (SELECT feature, v,
+                   SUM(n) OVER (PARTITION BY feature ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)::BIGINT AS nl,
+                   SUM(s) OVER (PARTITION BY feature ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)::BIGINT AS sl,
+                   SUM(n) OVER (PARTITION BY feature)::BIGINT AS nt,
+                   SUM(s) OVER (PARTITION BY feature)::BIGINT AS st
+                 FROM hist),
+        cand AS (SELECT feature, v, nl, sl, nt, st,
+                   (sl::DOUBLE * sl::DOUBLE / nl::DOUBLE
+                    + (st - sl)::DOUBLE * (st - sl)::DOUBLE
+                      / (nt - nl)::DOUBLE) AS sc
+                 FROM scan WHERE nl < nt),
+        mxs AS (SELECT feature, max(sc) AS msc
+                FROM cand GROUP BY 1),
+        best AS (SELECT c.feature, min(c.v) AS threshold
+                 FROM cand c
+                 JOIN mxs ON mxs.feature = c.feature
+                         AND c.sc = mxs.msc
+                 GROUP BY 1),
+        fin AS (SELECT c.* FROM cand c
+                JOIN best b ON b.feature = c.feature
+                           AND b.threshold = c.v)
+        SELECT feature, v AS threshold, nl AS n_left,
+               sl AS sum_left, (nt - nl)::BIGINT AS n_right,
+               (st - sl)::BIGINT AS sum_right,
+               (CASE WHEN (sc - st::DOUBLE * st::DOUBLE
+                           / nt::DOUBLE) < 0 THEN -1 ELSE 1 END)
+               * floor(abs(sc - st::DOUBLE * st::DOUBLE
+                           / nt::DOUBLE) * 1000000.0 + 0.5)
+                 / 1000000.0 + 0.0 AS gain
+        FROM fin
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -516,6 +578,11 @@ def test_preview_plans_scale_clean(spark):
     assert_scalable(spearman_corr(
         ev.withColumn("hr", F.col("event_id") % 24),
         "cents", "hr"), allow_broadcast_cross=1)
+    from datafusion_geo_spark.operators.mlfit import stump_fit
+    assert_scalable(stump_fit(
+        ev.withColumn("hr", F.col("event_id") % 24)
+          .withColumn("udig", F.col("user_id") % 10),
+        ["hr", "udig"], "cents"))
 
 
 def test_preview_bootstrap_ci(spark):
