@@ -400,14 +400,29 @@ def chi2_independence(df: DataFrame, col_a: str,
 def chi2_independence_stat(df: DataFrame, col_a: str,
                            col_b: str) -> DataFrame:
     """One-row tail over :func:`chi2_independence`'s cells: (n,
-    n_cells, dof, chi2) with dof = (|A|−1)·(|B|−1) and chi2 the
-    exact int64 sum of the per-cell micros, divided once."""
+    n_cells, dof, chi2, cramers_v) with dof = (|A|−1)·(|B|−1), chi2
+    the exact int64 sum of the per-cell micros divided once, and
+    Cramér's V = sqrt(chi2 / (n·min(|A|−1, |B|−1))) — the [0, 1]
+    effect size that makes chi-squares comparable across column
+    pairs — as one fixed double expression of the same ints, 6-dp
+    rounded. V is NULL for a degenerate (single-category) axis."""
+    from .evals import _r6
+
     cells = chi2_independence(df, col_a, col_b)
-    return cells.agg(
+    agg = cells.agg(
         F.sum("observed").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        ((F.count_distinct(F.col("val_a")) - 1)
-         * (F.count_distinct(F.col("val_b")) - 1)).cast("long")
-        .alias("dof"),
-        (F.sum("term_micro").cast("long") / F.lit(1_000_000.0)
-         + F.lit(0.0)).alias("chi2"))
+        (F.count_distinct(F.col("val_a")) - 1).cast("long")
+        .alias("_ra"),
+        (F.count_distinct(F.col("val_b")) - 1).cast("long")
+        .alias("_cb"),
+        F.sum("term_micro").cast("long").alias("_chi2_micro"))
+    chi2 = (F.col("_chi2_micro") / F.lit(1_000_000.0) + F.lit(0.0))
+    mind = F.least(F.col("_ra"), F.col("_cb"))
+    v = F.sqrt(chi2 / (F.col("n").cast("double")
+                       * mind.cast("double")))
+    return agg.select(
+        "n", "n_cells",
+        (F.col("_ra") * F.col("_cb")).cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.when(mind > 0, _r6(v)).alias("cramers_v"))

@@ -53,16 +53,17 @@ def test_chi2_null_excluded_and_stat(spark):
     stat = chi2_independence_stat(_df(spark, rows), "a", "b") \
         .collect()[0]
     assert (stat.n, stat.n_cells, stat.dof) == (4, 4, 1)
-    # perfectly independent 1:1:1:1 table -> chi2 exactly 0
-    assert stat.chi2 == 0.0
+    # perfectly independent 1:1:1:1 table -> chi2 (and V) exactly 0
+    assert stat.chi2 == 0.0 and stat.cramers_v == 0.0
 
 
 def test_chi2_perfect_association(spark):
     rows = [("x", 0)] * 25 + [("y", 1)] * 25
     stat = chi2_independence_stat(_df(spark, rows), "a", "b") \
         .collect()[0]
-    # 2x2 with perfect association: chi2 == n; grid has 2 empty cells
+    # 2x2 with perfect association: chi2 == n, V == 1; 2 empty cells
     assert stat.chi2 == 50.0 and stat.dof == 1 and stat.n_cells == 4
+    assert stat.cramers_v == 1.0
 
 
 def test_chi2_fuzz(spark):

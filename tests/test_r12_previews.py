@@ -191,13 +191,21 @@ def test_preview_chi2_independence(spark):
            oracle_cells)
     _check(chi2_independence_stat(cust, "c_mktsegment",
                                   "c_nationkey"), f"""
-        WITH cells2 AS ({oracle_cells})
-        SELECT SUM(observed)::BIGINT AS n,
-               COUNT(*)::BIGINT AS n_cells,
-               ((COUNT(DISTINCT val_a) - 1)
-                * (COUNT(DISTINCT val_b) - 1))::BIGINT AS dof,
-               SUM(term_micro)::BIGINT / 1000000.0 + 0.0 AS chi2
-        FROM cells2
+        WITH cells2 AS ({oracle_cells}),
+        a AS (SELECT SUM(observed)::BIGINT AS n,
+                     COUNT(*)::BIGINT AS n_cells,
+                     (COUNT(DISTINCT val_a) - 1)::BIGINT AS ra,
+                     (COUNT(DISTINCT val_b) - 1)::BIGINT AS cb,
+                     SUM(term_micro)::BIGINT AS cm
+              FROM cells2)
+        SELECT n, n_cells, (ra * cb)::BIGINT AS dof,
+               cm / 1000000.0 + 0.0 AS chi2,
+               CASE WHEN least(ra, cb) > 0 THEN
+                 floor(sqrt((cm / 1000000.0 + 0.0)
+                            / (n::DOUBLE * least(ra, cb)::DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0 + 0.0
+               END AS cramers_v
+        FROM a
     """)
 
 
