@@ -1647,3 +1647,70 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         "n_rows", "suv_num", "suu_num", "svv_num",
         F.when((F.col("suu_num") > 0) & (F.col("svv_num") > 0),
                _r6(rho)).alias("rho"))
+
+
+def ttest_welch(df: DataFrame, value_col: str, group_col: str,
+                side_a: str, side_b: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test of an
+    integer-quantized metric between two groups — the A/B answer to
+    ks_stat's distributional question ("did the mean shift, and by
+    how many standard errors?").
+
+    ONE conditional aggregate carries the six exact int64 moments
+    (n, Σy, Σy² per side — map-side combined, a single corpus pass);
+    the t statistic and the Welch–Satterthwaite degrees of freedom
+    are single fixed double expressions of those ints (the
+    pearson_corr discipline), each 6-dp rounded once. The exact
+    variance rationals are carried in the output (var_num = n·Σy²
+    − (Σy)², var_den = n·(n−1)) so replays are bit-for-bit.
+    Overflow envelope: n·Σy² must fit int64 — the pearson_corr
+    quantization note applies.
+
+    ONE row out: (n_a, n_b, mean_a, mean_b, var_num_a, var_num_b,
+    t_stat, df); t/df are NULL when either side has < 2 rows or
+    both variances are 0. Rows with NULL value are excluded; rows
+    outside the two sides are ignored."""
+    y = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    src = df.where(y.isNotNull() & g.isin(side_a, side_b))
+
+    def side(tag, lbl):
+        cond = g == F.lit(lbl)
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"n_{tag}"),
+            F.sum(F.when(cond, y).otherwise(0)).cast("long")
+            .alias(f"s_{tag}"),
+            F.sum(F.when(cond, y * y).otherwise(0)).cast("long")
+            .alias(f"ss_{tag}")]
+
+    agg = src.agg(*(side("a", side_a) + side("b", side_b)))
+
+    def tail(tag):
+        n = F.col(f"n_{tag}")
+        s = F.col(f"s_{tag}")
+        ss = F.col(f"ss_{tag}")
+        vnum = (n * ss - s * s).cast("long")
+        vden = (n * (n - 1)).cast("long")
+        return n, s, vnum, vden
+
+    na, sa, vna, vda = tail("a")
+    nb, sb, vnb, vdb = tail("b")
+    va = vna.cast("double") / vda.cast("double")
+    vb = vnb.cast("double") / vdb.cast("double")
+    sea = va / na.cast("double")
+    seb = vb / nb.cast("double")
+    se2 = sea + seb
+    t = ((sa.cast("double") / na.cast("double")
+          - sb.cast("double") / nb.cast("double")) / F.sqrt(se2))
+    dof = (se2 * se2
+           / (sea * sea / (na - 1).cast("double")
+              + seb * seb / (nb - 1).cast("double")))
+    ok = (na > 1) & (nb > 1) & ((vna > 0) | (vnb > 0))
+    return agg.select(
+        na.alias("n_a"), nb.alias("n_b"),
+        F.when(na > 0, _sratio6(sa, na)).alias("mean_a"),
+        F.when(nb > 0, _sratio6(sb, nb)).alias("mean_b"),
+        vna.alias("var_num_a"), vnb.alias("var_num_b"),
+        F.when(ok, _r6(t)).alias("t_stat"),
+        F.when(ok, _r6(dof)).alias("df"))

@@ -357,6 +357,78 @@ def test_preview_stump_fit(spark):
     """)
 
 
+def test_preview_ttest_welch(spark):
+    from datafusion_geo_spark.operators.evals import ttest_welch
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .select("event_type",
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    _check(ttest_welch(ev, "cents", "event_type", "purchase",
+                       "view"), """
+        WITH e AS (SELECT event_type AS g,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS y
+                   FROM events
+                   WHERE value IS NOT NULL
+                     AND event_type IN ('purchase', 'view')),
+        a AS (SELECT
+                SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0
+                    END)::BIGINT AS na,
+                SUM(CASE WHEN g = 'purchase' THEN y ELSE 0
+                    END)::BIGINT AS sa,
+                SUM(CASE WHEN g = 'purchase' THEN y * y ELSE 0
+                    END)::BIGINT AS ssa,
+                SUM(CASE WHEN g = 'view' THEN 1 ELSE 0
+                    END)::BIGINT AS nb,
+                SUM(CASE WHEN g = 'view' THEN y ELSE 0
+                    END)::BIGINT AS sb,
+                SUM(CASE WHEN g = 'view' THEN y * y ELSE 0
+                    END)::BIGINT AS ssb
+              FROM e),
+        v AS (SELECT na, nb, sa, sb,
+                     (na * ssa - sa * sa)::BIGINT AS vna,
+                     (nb * ssb - sb * sb)::BIGINT AS vnb,
+                     (na * ssa - sa * sa)::DOUBLE
+                       / (na * (na - 1))::DOUBLE / na::DOUBLE
+                       AS sea,
+                     (nb * ssb - sb * sb)::DOUBLE
+                       / (nb * (nb - 1))::DOUBLE / nb::DOUBLE
+                       AS seb
+              FROM a)
+        SELECT na AS n_a, nb AS n_b,
+               CASE WHEN na > 0 THEN
+                 (CASE WHEN sa < 0 THEN -1 WHEN sa = 0 THEN 0
+                       ELSE 1 END)
+                 * ((2000000 * abs(sa) + na) // (2 * na))
+                 / 1000000.0 + 0.0 END AS mean_a,
+               CASE WHEN nb > 0 THEN
+                 (CASE WHEN sb < 0 THEN -1 WHEN sb = 0 THEN 0
+                       ELSE 1 END)
+                 * ((2000000 * abs(sb) + nb) // (2 * nb))
+                 / 1000000.0 + 0.0 END AS mean_b,
+               vna AS var_num_a, vnb AS var_num_b,
+               CASE WHEN na > 1 AND nb > 1
+                     AND (vna > 0 OR vnb > 0) THEN
+                 (CASE WHEN (sa::DOUBLE / na::DOUBLE
+                             - sb::DOUBLE / nb::DOUBLE) < 0
+                       THEN -1 ELSE 1 END)
+                 * floor(abs((sa::DOUBLE / na::DOUBLE
+                              - sb::DOUBLE / nb::DOUBLE)
+                             / sqrt(sea + seb))
+                         * 1000000.0 + 0.5) / 1000000.0 + 0.0
+               END AS t_stat,
+               CASE WHEN na > 1 AND nb > 1
+                     AND (vna > 0 OR vnb > 0) THEN
+                 floor(((sea + seb) * (sea + seb)
+                        / (sea * sea / (na - 1)::DOUBLE
+                           + seb * seb / (nb - 1)::DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0 + 0.0
+               END AS df
+        FROM v
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -591,6 +663,9 @@ def test_preview_plans_scale_clean(spark):
         ev.withColumn("hr", F.col("event_id") % 24)
           .withColumn("udig", F.col("user_id") % 10),
         ["hr", "udig"], "cents"))
+    from datafusion_geo_spark.operators.evals import ttest_welch
+    assert_scalable(ttest_welch(
+        ev, "cents", "event_type", "purchase", "view"))
 
 
 def test_preview_bootstrap_ci(spark):
