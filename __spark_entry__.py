@@ -5823,9 +5823,10 @@ _FIRST50 = [
     # spearman_corr — needs ALLOWED_BROADCAST_CROSSES = 1: the
     # one-row total crossed into the joint-histogram cells), and
     # the histogram decision-stump fit (operators/mlfit.py
-    # stump_fit), and Welch's t-test (operators/evals.py
-    # ttest_welch; Cramér's V rides on chi2_independence_stat) —
-    # all unit-pinned, with oracle-grade previews in
+    # stump_fit), Welch's t-test (operators/evals.py ttest_welch;
+    # Cramér's V rides on chi2_independence_stat), and
+    # bounded-round k-core peeling (operators/graph.py kcore_peel)
+    # — all unit-pinned, with oracle-grade previews in
     # tests/test_r12_previews.py.)
 ]
 

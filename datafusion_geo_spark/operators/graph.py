@@ -164,3 +164,53 @@ def triangle_count(pairs: DataFrame, id_a: str = "id_a",
     return (n_v.crossJoin(F.broadcast(n_e))
             .crossJoin(F.broadcast(n_w))
             .crossJoin(F.broadcast(n_tri)))
+
+
+def kcore_peel(pairs: DataFrame, k: int, rounds: int = 3,
+               id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Bounded-round k-core peeling of an undirected pair list — the
+    degeneracy screen for similarity graphs ("which documents sit in
+    a densely inter-duplicated cluster, not just touch one?"): each
+    round drops every vertex whose current degree is < k, together
+    with its edges, and keeps the rest.
+
+    Fixed ``rounds`` rather than a convergence test — the
+    pagerank_int philosophy: the result is a pure function of
+    (edge set, k, rounds) with NO driver-side per-round count
+    actions, and an oracle replays the identical unrolled chain.
+    The true k-core is the fixpoint; r rounds reach it whenever the
+    peel cascade is shorter than r (typical for similarity graphs —
+    re-run with more rounds when the output still moves; a vertex
+    set that survives one extra round unchanged IS the k-core).
+
+    Scale shape per round: one endpoint-melt degree aggregate + two
+    semi-joins of the edge list against the surviving vertex set —
+    the Pregel cost, same as one PageRank iteration. Self-loops and
+    duplicate pairs are dropped first.
+
+    Returns the surviving vertices: (id, deg) with deg the vertex's
+    degree in the peeled graph (NOT its original degree); empty when
+    everything peels."""
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_peel: k and rounds must be >= 1")
+    e = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+
+    def degrees(edges):
+        return (edges.select(F.col("u").alias("x"))
+                .unionByName(edges.select(F.col("v").alias("x")))
+                .groupBy("x")
+                .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+
+    for _ in range(rounds):
+        alive = degrees(e).where(F.col("deg") >= k).select("x")
+        e = (e.join(alive.withColumnRenamed("x", "u"), "u",
+                    "left_semi")
+             .join(alive.withColumnRenamed("x", "v"), "v",
+                   "left_semi"))
+    out = degrees(e).select(F.col("x").alias("id"), "deg")
+    # cut the rounds-deep unrolled lineage before handing back
+    return out.localCheckpoint(eager=True)

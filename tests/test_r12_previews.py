@@ -524,6 +524,46 @@ def test_preview_triangle_count(spark):
     """)
 
 
+def test_preview_kcore_peel(spark):
+    from datafusion_geo_spark.operators.graph import kcore_peel
+    from datafusion_geo_spark.sources.fixtures import load_table
+    cust = load_table(spark, SF, "customer")
+    edges = (cust.select(F.col("c_custkey").alias("id_a"),
+                         ((F.col("c_custkey") * 3 + 1) % 150)
+                         .alias("id_b"))
+             .unionByName(
+                 cust.select(F.col("c_custkey").alias("id_a"),
+                             ((F.col("c_custkey") * 7 + 2) % 150)
+                             .alias("id_b"))))
+    peel = """
+        SELECT u, v FROM e{i} WHERE
+          u IN (SELECT x FROM (SELECT u AS x FROM e{i}
+                               UNION ALL SELECT v FROM e{i})
+                GROUP BY x HAVING COUNT(*) >= 3)
+          AND
+          v IN (SELECT x FROM (SELECT u AS x FROM e{i}
+                               UNION ALL SELECT v FROM e{i})
+                GROUP BY x HAVING COUNT(*) >= 3)
+    """
+    _check(kcore_peel(edges, k=3, rounds=2), f"""
+        WITH raw AS (
+          SELECT c_custkey AS a, (c_custkey * 3 + 1) % 150 AS b
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, (c_custkey * 7 + 2) % 150
+          FROM customer
+        ),
+        e0 AS (SELECT DISTINCT least(a, b) AS u,
+                               greatest(a, b) AS v
+               FROM raw WHERE a != b),
+        e1 AS ({peel.format(i=0)}),
+        e2 AS ({peel.format(i=1)})
+        SELECT x AS id, COUNT(*)::BIGINT AS deg
+        FROM (SELECT u AS x FROM e2 UNION ALL SELECT v FROM e2)
+        GROUP BY 1
+    """)
+
+
 def test_preview_fs_linkage(spark):
     from datafusion_geo_spark.operators.linkage import (
         fs_score_histogram)
