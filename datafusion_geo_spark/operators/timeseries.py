@@ -192,29 +192,56 @@ def seasonal_profile(df: DataFrame, ts_col: str, value_col: str,
     sum_pos·N cross product, whose envelope dies at corpus scale).
 
     Returns one row per occupied slot position: (pos, n, sum_y,
-    mean, seasonal_idx). NULL timestamps / values are excluded."""
-    from .evals import _idiv
+    mean, seasonal_idx). NULL timestamps / values are excluded.
 
+    Factored as row-cols / aggs / finalize (the benford_audit
+    pattern) so the streaming twin (streaming/drift.py
+    streaming_seasonal) shares every expression with batch: the
+    per-pos (n, Σy) cells ARE the streaming state — bounded by
+    ``period``, not the stream — and the grand totals are derived
+    from the cells, so the corpus is scanned exactly once."""
     if period <= 0 or step_minutes <= 0:
         raise ValueError(
             "seasonal_profile: period and step_minutes must be > 0")
+    obs = (df.where(F.col(ts_col).isNotNull()
+                    & F.col(value_col).isNotNull())
+           .select(*seasonal_row_cols(ts_col, value_col, period,
+                                      step_minutes)))
+    return seasonal_finalize(
+        obs.groupBy("pos").agg(*seasonal_aggs()))
+
+
+def seasonal_row_cols(ts_col: str, value_col: str, period: int,
+                      step_minutes: int = 60):
+    """Per-row projection shared by batch and streaming: the slot
+    position on the period axis and the long value."""
+    step = step_minutes * MICROS_PER_MINUTE
+    return [F.expr(f"(unix_micros({ts_col}) div {step}) "
+                   f"% {period}").alias("pos"),
+            F.col(value_col).cast("long").alias("_y")]
+
+
+def seasonal_aggs():
+    """The two commutative int64 sums per cell — the entire
+    (streaming) state, ≤ ``period`` rows."""
+    return [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_y").alias("sum_y")]
+
+
+def seasonal_finalize(cells: DataFrame) -> DataFrame:
+    """The micro-mean tail over a (pos, n, sum_y) cells frame —
+    shared by batch and the streaming twin's bounded replay. Grand
+    totals come from the cells themselves (one tiny aggregate +
+    a vouched one-row broadcast cross)."""
+    from .evals import _idiv
 
     def smicro(num, den):
         return (F.signum(num).cast("long")
                 * _idiv(F.lit(2_000_000) * F.abs(num) + den,
                         F.lit(2) * den)).cast("long")
 
-    step = step_minutes * MICROS_PER_MINUTE
-    obs = (df.where(F.col(ts_col).isNotNull()
-                    & F.col(value_col).isNotNull())
-           .select(F.expr(f"(unix_micros({ts_col}) div {step}) "
-                          f"% {period}").alias("pos"),
-                   F.col(value_col).cast("long").alias("y")))
-    cells = (obs.groupBy("pos")
-             .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                  F.sum("y").alias("sum_y")))
-    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("_nn"),
-                  F.sum("y").alias("_ss"))
+    tot = cells.agg(F.sum("n").cast("long").alias("_nn"),
+                    F.sum("sum_y").cast("long").alias("_ss"))
     j = cells.crossJoin(F.broadcast(tot))
     m_pos = smicro(F.col("sum_y"), F.col("n"))
     m_all = smicro(F.col("_ss"), F.col("_nn"))

@@ -194,3 +194,29 @@ def streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per.groupBy().agg(*benford_aggs())
     return benford_finalize(
         run_bounded_complete(totals, "stream_benford_"))
+
+
+def streaming_seasonal(spark: SparkSession, sf_dir: str,
+                       period: int = 24) -> DataFrame:
+    """Streaming seasonal-baseline monitor: the hour-of-day profile
+    (operators/timeseries.py seasonal_profile) maintained over the
+    events stream's value-in-cents — the live "what does a normal
+    hour look like" table an anomaly alert subtracts from. State =
+    the ≤ ``period`` (pos, n, Σy) cells (bounded by the period
+    grid, NOT the stream — no watermark needed, the streaming_ks
+    state story); the row projection (seasonal_row_cols) and the
+    micro-mean tail (seasonal_finalize) are SHARED with batch, so
+    the bounded availableNow replay equals the batch profile of the
+    same frame."""
+    from ..operators.timeseries import (seasonal_aggs,
+                                        seasonal_finalize,
+                                        seasonal_row_cols)
+    ev = (load_events_stream(spark, sf_dir)
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull()))
+    cents = ev.select(
+        "ts", F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long").alias("cents"))
+    rows = cents.select(*seasonal_row_cols("ts", "cents", period))
+    cells = rows.groupBy("pos").agg(*seasonal_aggs())
+    return seasonal_finalize(
+        run_bounded_complete(cells, "stream_seasonal_"))

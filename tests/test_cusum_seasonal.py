@@ -180,3 +180,26 @@ def test_seasonal_fuzz(spark):
         assert got == _seasonal_ref(trows, period, step)
 
     run()
+
+
+def test_streaming_seasonal_equals_batch(spark):
+    """The bounded availableNow replay of streaming_seasonal must
+    equal the batch profile of the same frame (shared row-cols +
+    tail). Queries()-gating deferred to r12 (the r11 gate is full —
+    see the _FIRST50 comment); this equality test is the interim
+    pin."""
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.sources.fixtures import load_events
+    from datafusion_geo_spark.streaming.drift import (
+        streaming_seasonal)
+    sf = "/root/testdata/sf0.001"
+    got = sorted(streaming_seasonal(spark, sf).collect())
+    ev = (load_events(spark, sf)
+          .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select("ts", F.floor(F.col("value") * F.lit(100.0)
+                                + F.lit(0.5)).cast("long")
+                  .alias("cents")))
+    want = sorted(seasonal_profile(ev, "ts", "cents",
+                                   period=24).collect())
+    assert got == want
