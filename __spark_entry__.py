@@ -5824,10 +5824,12 @@ _FIRST50 = [
     # one-row total crossed into the joint-histogram cells), and
     # the histogram decision-stump fit (operators/mlfit.py
     # stump_fit), Welch's t-test (operators/evals.py ttest_welch;
-    # Cramér's V rides on chi2_independence_stat), and
-    # bounded-round k-core peeling (operators/graph.py kcore_peel)
-    # — all unit-pinned, with oracle-grade previews in
-    # tests/test_r12_previews.py.)
+    # Cramér's V rides on chi2_independence_stat), bounded-round
+    # k-core peeling (operators/graph.py kcore_peel), CUPED
+    # variance-reduced A/B (operators/evals.py cuped_ttest), and
+    # the streaming seasonal twin (streaming/drift.py
+    # streaming_seasonal, equality-pinned) — all unit-pinned, with
+    # oracle-grade previews in tests/test_r12_previews.py.)
 ]
 
 

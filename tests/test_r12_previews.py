@@ -429,6 +429,111 @@ def test_preview_ttest_welch(spark):
     """)
 
 
+def test_preview_cuped_ttest(spark):
+    from datafusion_geo_spark.operators.evals import cuped_ttest
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .where(F.col("ts").isNotNull())
+          .select("event_type",
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents"),
+                  F.expr("(unix_micros(ts) div 3600000000) % 24")
+                  .alias("hr24")))
+    r6 = ("(CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) "
+          "* floor(abs({v}) * 1000000.0 + 0.5) / 1000000.0 + 0.0")
+    _check(cuped_ttest(ev, "cents", "hr24", "event_type",
+                       "purchase", "view"), f"""
+        WITH e AS (SELECT event_type AS g,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS y,
+                          (epoch_us(ts) // 3600000000) % 24 AS x
+                   FROM events
+                   WHERE value IS NOT NULL AND ts IS NOT NULL
+                     AND event_type IN ('purchase', 'view')),
+        a AS (SELECT
+          SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+            AS na,
+          SUM(CASE WHEN g = 'purchase' THEN y ELSE 0 END)::BIGINT
+            AS sya,
+          SUM(CASE WHEN g = 'purchase' THEN x ELSE 0 END)::BIGINT
+            AS sxa,
+          SUM(CASE WHEN g = 'purchase' THEN x * y ELSE 0
+              END)::BIGINT AS sxya,
+          SUM(CASE WHEN g = 'purchase' THEN x * x ELSE 0
+              END)::BIGINT AS sxxa,
+          SUM(CASE WHEN g = 'purchase' THEN y * y ELSE 0
+              END)::BIGINT AS syya,
+          SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END)::BIGINT
+            AS nb,
+          SUM(CASE WHEN g = 'view' THEN y ELSE 0 END)::BIGINT
+            AS syb,
+          SUM(CASE WHEN g = 'view' THEN x ELSE 0 END)::BIGINT
+            AS sxb,
+          SUM(CASE WHEN g = 'view' THEN x * y ELSE 0 END)::BIGINT
+            AS sxyb,
+          SUM(CASE WHEN g = 'view' THEN x * x ELSE 0 END)::BIGINT
+            AS sxxb,
+          SUM(CASE WHEN g = 'view' THEN y * y ELSE 0 END)::BIGINT
+            AS syyb
+          FROM e),
+        d AS (SELECT *, (na + nb)::DOUBLE AS n,
+                     (sya + syb)::DOUBLE AS sy,
+                     (sxa + sxb)::DOUBLE AS sx,
+                     (sxya + sxyb)::DOUBLE AS sxy,
+                     (sxxa + sxxb)::DOUBLE AS sxx,
+                     (syya + syyb)::DOUBLE AS syy
+              FROM a),
+        f AS (SELECT *, n * sxy - sx * sy AS cov_n,
+                     n * sxx - sx * sx AS varx_n,
+                     n * syy - sy * sy AS vary_n
+              FROM d),
+        g2 AS (SELECT *, cov_n / varx_n AS theta,
+                      sx / n AS xbar
+               FROM f),
+        j AS (SELECT *,
+            (sya::DOUBLE / na::DOUBLE)
+              - theta * ((sxa::DOUBLE / na::DOUBLE) - xbar) AS ma,
+            (syb::DOUBLE / nb::DOUBLE)
+              - theta * ((sxb::DOUBLE / nb::DOUBLE) - xbar) AS mb,
+            (na::DOUBLE * syya::DOUBLE - sya::DOUBLE * sya::DOUBLE)
+              / (na::DOUBLE * (na::DOUBLE - 1))
+              + theta * theta
+                * ((na::DOUBLE * sxxa::DOUBLE
+                    - sxa::DOUBLE * sxa::DOUBLE)
+                   / (na::DOUBLE * (na::DOUBLE - 1)))
+              - (2)::DOUBLE * theta
+                * ((na::DOUBLE * sxya::DOUBLE
+                    - sxa::DOUBLE * sya::DOUBLE)
+                   / (na::DOUBLE * (na::DOUBLE - 1))) AS va,
+            (nb::DOUBLE * syyb::DOUBLE - syb::DOUBLE * syb::DOUBLE)
+              / (nb::DOUBLE * (nb::DOUBLE - 1))
+              + theta * theta
+                * ((nb::DOUBLE * sxxb::DOUBLE
+                    - sxb::DOUBLE * sxb::DOUBLE)
+                   / (nb::DOUBLE * (nb::DOUBLE - 1)))
+              - (2)::DOUBLE * theta
+                * ((nb::DOUBLE * sxyb::DOUBLE
+                    - sxb::DOUBLE * syb::DOUBLE)
+                   / (nb::DOUBLE * (nb::DOUBLE - 1))) AS vb
+            FROM g2),
+        k AS (SELECT *,
+                     (ma - mb) / sqrt(va / na::DOUBLE
+                                      + vb / nb::DOUBLE) AS t,
+                     (1)::DOUBLE
+                       - (vary_n + theta * theta * varx_n
+                          - (2)::DOUBLE * theta * cov_n)
+                         / vary_n AS vr
+              FROM j)
+        SELECT na AS n_a, nb AS n_b,
+               {r6.format(v='theta')} AS theta,
+               {r6.format(v='ma')} AS mean_adj_a,
+               {r6.format(v='mb')} AS mean_adj_b,
+               {r6.format(v='t')} AS t_cuped,
+               {r6.format(v='vr')} AS var_reduction
+        FROM k
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -706,6 +811,10 @@ def test_preview_plans_scale_clean(spark):
     from datafusion_geo_spark.operators.evals import ttest_welch
     assert_scalable(ttest_welch(
         ev, "cents", "event_type", "purchase", "view"))
+    from datafusion_geo_spark.operators.evals import cuped_ttest
+    assert_scalable(cuped_ttest(
+        ev.withColumn("hr24", F.col("event_id") % 24),
+        "cents", "hr24", "event_type", "purchase", "view"))
 
 
 def test_preview_bootstrap_ci(spark):
