@@ -5826,8 +5826,11 @@ _FIRST50 = [
     # stump_fit), Welch's t-test (operators/evals.py ttest_welch;
     # Cramér's V rides on chi2_independence_stat), bounded-round
     # k-core peeling (operators/graph.py kcore_peel), CUPED
-    # variance-reduced A/B (operators/evals.py cuped_ttest), and
-    # the streaming seasonal twin (streaming/drift.py
+    # variance-reduced A/B (operators/evals.py cuped_ttest), the
+    # Kaplan-Meier survival estimator (operators/evals.py
+    # kaplan_meier — needs ALLOWED_BROADCAST_CROSSES = 1: the
+    # one-row total crossed into the distinct-time frame), and the
+    # streaming seasonal twin (streaming/drift.py
     # streaming_seasonal, equality-pinned) — all unit-pinned, with
     # oracle-grade previews in tests/test_r12_previews.py.)
 ]

@@ -1822,3 +1822,67 @@ def cuped_ttest(df: DataFrame, value_col: str, covariate_col: str,
         F.when(ok, _r6(mb)).alias("mean_adj_b"),
         F.when(ok & (se2 > 0), _r6(t)).alias("t_cuped"),
         F.when(ok, _r6(vr)).alias("var_reduction"))
+
+
+def kaplan_meier(df: DataFrame, duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Kaplan-Meier survival estimator in histogram form — the
+    retention/churn curve with right-censoring done correctly
+    ("of users alive at day t, what fraction survive past it?"),
+    where naive retention over-counts users who simply haven't been
+    observed long enough.
+
+    The corpus pass is ONE grouped count of the (duration, event)
+    histogram. The risk set at each distinct time is N minus the
+    cumulative removals BEFORE it (a window over the distinct-time
+    frame — the auc_exact shape, never the corpus); the product
+    Π (n_t − d_t)/n_t is folded as an exact int64 cumulative sum of
+    per-time 6-dp micro-ints of ln((n−d)/n) (the fs/nbayes ln
+    discipline; ln and the closing exp are libm-calls with
+    cross-engine parity, the heldout_ppl contract). A time where
+    EVERY remaining subject fails (d == n) sends the curve exactly
+    to 0 from that time on (flagged through the cumulative max, not
+    through ln(0)).
+
+    Returns one row per distinct duration: (t, n_risk, d_events,
+    n_censored, survival) with ``survival`` = S(t) just after t,
+    6-dp rounded. event_col is 1 = event (death/churn), 0 =
+    right-censored; NULL duration or event rows are excluded."""
+    dur = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+    hist = (df.where(dur.isNotNull() & ev.isNotNull())
+            .groupBy(dur.alias("t"))
+            .agg(F.sum(F.when(ev == 1, 1).otherwise(0))
+                 .cast("long").alias("d"),
+                 F.sum(F.when(ev == 1, 0).otherwise(1))
+                 .cast("long").alias("c")))
+    tot = hist.agg(F.sum(F.col("d") + F.col("c")).cast("long")
+                   .alias("_n"))
+    w_before = (Window.partitionBy().orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    w_upto = (Window.partitionBy().orderBy("t")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
+    j = (hist.crossJoin(F.broadcast(tot))
+         .withColumn("n_risk",
+                     (F.col("_n") - F.coalesce(
+                         F.sum(F.col("d") + F.col("c"))
+                         .over(w_before), F.lit(0))).cast("long")))
+    ratio = ((F.col("n_risk") - F.col("d")).cast("double")
+             / F.col("n_risk").cast("double"))
+    lnm = F.when(
+        F.col("d") == 0, F.lit(0).cast("long")).otherwise(
+        F.when(F.col("d") < F.col("n_risk"),
+               (F.signum(F.log(ratio))
+                * F.floor(F.abs(F.log(ratio)) * F.lit(1e6)
+                          + F.lit(0.5))).cast("long")))
+    j = j.withColumn("_lnm", lnm)
+    cum = F.sum("_lnm").over(w_upto)
+    dead = F.max((F.col("d") == F.col("n_risk")).cast("int")) \
+        .over(w_upto)
+    return j.select(
+        "t", "n_risk", F.col("d").alias("d_events"),
+        F.col("c").alias("n_censored"),
+        F.when(dead == 1, F.lit(0.0)).otherwise(
+            _r6(F.exp(cum.cast("double") / F.lit(1_000_000.0))))
+        .alias("survival"))

@@ -534,6 +534,58 @@ def test_preview_cuped_ttest(spark):
     """)
 
 
+def test_preview_kaplan_meier(spark):
+    from datafusion_geo_spark.operators.evals import kaplan_meier
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .where(F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select(((F.col("event_id") % 30) + 1).alias("t"),
+                  (F.col("value") > 100).cast("int").alias("e")))
+    _check(kaplan_meier(ev, "t", "e"), """
+        WITH e AS (SELECT (event_id % 30) + 1 AS t,
+                          (value > 100)::INT AS ev
+                   FROM events
+                   WHERE value IS NOT NULL
+                     AND event_id IS NOT NULL),
+        h AS (SELECT t,
+                SUM(CASE WHEN ev = 1 THEN 1 ELSE 0 END)::BIGINT AS d,
+                SUM(CASE WHEN ev = 1 THEN 0 ELSE 1 END)::BIGINT AS c
+              FROM e GROUP BY 1),
+        tt AS (SELECT SUM(d + c)::BIGINT AS n FROM h),
+        r AS (SELECT t, d, c,
+                (tt.n - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS n_risk
+              FROM h, tt),
+        l AS (SELECT *, CASE WHEN d = 0 THEN 0
+                WHEN d < n_risk THEN
+                  (CASE WHEN ln((n_risk - d)::DOUBLE
+                               / n_risk::DOUBLE) < 0 THEN -1
+                        WHEN ln((n_risk - d)::DOUBLE
+                                / n_risk::DOUBLE) = 0 THEN 0
+                        ELSE 1 END)
+                  * CAST(floor(abs(ln((n_risk - d)::DOUBLE
+                                      / n_risk::DOUBLE))
+                               * 1000000.0 + 0.5) AS BIGINT)
+                END AS lnm
+              FROM r),
+        f AS (SELECT *,
+                SUM(lnm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cum,
+                MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS dead
+              FROM l)
+        SELECT t, n_risk, d AS d_events, c AS n_censored,
+               CASE WHEN dead = 1 THEN (0)::DOUBLE ELSE
+                 floor(abs(exp(cum::DOUBLE / 1000000.0))
+                       * 1000000.0 + 0.5) / 1000000.0 + 0.0
+               END AS survival
+        FROM f
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -815,6 +867,11 @@ def test_preview_plans_scale_clean(spark):
     assert_scalable(cuped_ttest(
         ev.withColumn("hr24", F.col("event_id") % 24),
         "cents", "hr24", "event_type", "purchase", "view"))
+    from datafusion_geo_spark.operators.evals import kaplan_meier
+    assert_scalable(kaplan_meier(
+        ev.withColumn("t", (F.col("event_id") % 30) + 1)
+          .withColumn("e", (F.col("cents") > 10000).cast("int")),
+        "t", "e"), allow_broadcast_cross=1)
 
 
 def test_preview_bootstrap_ci(spark):
