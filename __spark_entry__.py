@@ -5827,9 +5827,10 @@ _FIRST50 = [
     # Cramér's V rides on chi2_independence_stat), bounded-round
     # k-core peeling (operators/graph.py kcore_peel), CUPED
     # variance-reduced A/B (operators/evals.py cuped_ttest), the
-    # Kaplan-Meier survival estimator (operators/evals.py
-    # kaplan_meier — needs ALLOWED_BROADCAST_CROSSES = 1: the
-    # one-row total crossed into the distinct-time frame), and the
+    # Kaplan-Meier survival estimator and its log-rank companion
+    # (operators/evals.py kaplan_meier, logrank_test — each needs
+    # ALLOWED_BROADCAST_CROSSES = 1: the one-row totals crossed
+    # into the distinct-time frame), and the
     # streaming seasonal twin (streaming/drift.py
     # streaming_seasonal, equality-pinned) — all unit-pinned, with
     # oracle-grade previews in tests/test_r12_previews.py.)

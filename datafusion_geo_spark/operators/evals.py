@@ -1886,3 +1886,87 @@ def kaplan_meier(df: DataFrame, duration_col: str,
         F.when(dead == 1, F.lit(0.0)).otherwise(
             _r6(F.exp(cum.cast("double") / F.lit(1_000_000.0))))
         .alias("survival"))
+
+
+def logrank_test(df: DataFrame, duration_col: str, event_col: str,
+                 group_col: str, side_a: str,
+                 side_b: str) -> DataFrame:
+    """Two-sample log-rank test — "are these two Kaplan-Meier curves
+    the same?", the standard significance companion to
+    :func:`kaplan_meier` (retention A vs B under right-censoring,
+    where a t-test on raw durations is biased by the censoring).
+
+    ONE grouped count builds the per-time (deaths, censored) pairs
+    for each side; risk sets come from two cumulative windows over
+    the DISTINCT-TIME frame (the kaplan_meier shape). At each time
+    the observed-minus-expected deaths in A, (d_a·n − d·n_a)/n, and
+    the hypergeometric variance d·(n_a/n)·(n_b/n)·(n−d)/(n−1) are
+    fixed double expressions micro-rounded PER TIME before the exact
+    int64 sums (the benford_audit recipe); the chi-square
+    (Σ OE)²/Σ V (1 dof) is one final fixed expression. Times where
+    the risk set is a single subject contribute zero variance by the
+    guard (not by 0/0).
+
+    ONE row out: (n_a, n_b, d_a, d_b, oe_micro, v_micro, chi2);
+    chi2 NULL when Σ V is 0 (no comparable event times). NULL
+    duration/event rows and rows outside the two sides are
+    excluded."""
+    dur = F.col(duration_col).cast("long")
+    ev = F.col(event_col).cast("int")
+    g = F.col(group_col)
+    src = df.where(dur.isNotNull() & ev.isNotNull()
+                   & g.isin(side_a, side_b))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    hist = (src.groupBy(dur.alias("t"))
+            .agg(cnt((g == side_a) & (ev == 1)).alias("da"),
+                 cnt((g == side_a) & (ev == 0)).alias("ca"),
+                 cnt((g == side_b) & (ev == 1)).alias("db"),
+                 cnt((g == side_b) & (ev == 0)).alias("cb")))
+    tot = hist.agg(F.sum(F.col("da") + F.col("ca")).cast("long")
+                   .alias("_na"),
+                   F.sum(F.col("db") + F.col("cb")).cast("long")
+                   .alias("_nb"))
+    wb = (Window.partitionBy().orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    j = (hist.crossJoin(F.broadcast(tot))
+         .withColumn("ra", (F.col("_na") - F.coalesce(
+             F.sum(F.col("da") + F.col("ca")).over(wb),
+             F.lit(0))).cast("long"))
+         .withColumn("rb", (F.col("_nb") - F.coalesce(
+             F.sum(F.col("db") + F.col("cb")).over(wb),
+             F.lit(0))).cast("long")))
+    n = (F.col("ra") + F.col("rb"))
+    d = (F.col("da") + F.col("db"))
+    oe = ((F.col("da") * n - d * F.col("ra")).cast("double")
+          / n.cast("double"))
+    v = (d.cast("double") * (F.col("ra").cast("double")
+                             / n.cast("double"))
+         * (F.col("rb").cast("double") / n.cast("double"))
+         * ((n - d).cast("double") / (n - 1).cast("double")))
+
+    def micro(col):
+        return (F.signum(col)
+                * F.floor(F.abs(col) * F.lit(1e6) + F.lit(0.5))) \
+            .cast("long")
+
+    j = j.select(
+        "da", "db",
+        micro(oe).alias("_oem"),
+        F.when(n > 1, micro(v)).otherwise(F.lit(0).cast("long"))
+        .alias("_vm"),
+        F.col("_na").alias("_na"), F.col("_nb").alias("_nb"))
+    agg = j.agg(F.first("_na").alias("n_a"),
+                F.first("_nb").alias("n_b"),
+                F.sum("da").cast("long").alias("d_a"),
+                F.sum("db").cast("long").alias("d_b"),
+                F.sum("_oem").cast("long").alias("oe_micro"),
+                F.sum("_vm").cast("long").alias("v_micro"))
+    ooe = F.col("oe_micro").cast("double") / F.lit(1_000_000.0)
+    vv = F.col("v_micro").cast("double") / F.lit(1_000_000.0)
+    return agg.select(
+        "n_a", "n_b", "d_a", "d_b", "oe_micro", "v_micro",
+        F.when(F.col("v_micro") > 0, _r6(ooe * ooe / vv))
+        .alias("chi2"))

@@ -586,6 +586,77 @@ def test_preview_kaplan_meier(spark):
     """)
 
 
+def test_preview_logrank(spark):
+    from datafusion_geo_spark.operators.evals import logrank_test
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .where(F.col("value").isNotNull()
+                 & F.col("event_id").isNotNull())
+          .select("event_type",
+                  ((F.col("event_id") % 30) + 1).alias("t"),
+                  (F.col("value") > 100).cast("int").alias("e")))
+    oe = ("(da * (ra + rb) - (da + db) * ra)::DOUBLE "
+          "/ (ra + rb)::DOUBLE")
+    _check(logrank_test(ev, "t", "e", "event_type", "purchase",
+                        "view"), f"""
+        WITH e AS (SELECT event_type AS g,
+                          (event_id % 30) + 1 AS t,
+                          (value > 100)::INT AS ev
+                   FROM events
+                   WHERE value IS NOT NULL AND event_id IS NOT NULL
+                     AND event_type IN ('purchase', 'view')),
+        h AS (SELECT t,
+                SUM(CASE WHEN g = 'purchase' AND ev = 1 THEN 1
+                    ELSE 0 END)::BIGINT AS da,
+                SUM(CASE WHEN g = 'purchase' AND ev = 0 THEN 1
+                    ELSE 0 END)::BIGINT AS ca,
+                SUM(CASE WHEN g = 'view' AND ev = 1 THEN 1
+                    ELSE 0 END)::BIGINT AS db,
+                SUM(CASE WHEN g = 'view' AND ev = 0 THEN 1
+                    ELSE 0 END)::BIGINT AS cb
+              FROM e GROUP BY 1),
+        tt AS (SELECT SUM(da + ca)::BIGINT AS na,
+                      SUM(db + cb)::BIGINT AS nb FROM h),
+        r AS (SELECT h.*, tt.na, tt.nb,
+                (tt.na - COALESCE(SUM(da + ca) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS ra,
+                (tt.nb - COALESCE(SUM(db + cb) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0))::BIGINT AS rb
+              FROM h, tt),
+        m AS (SELECT na, nb, da, db,
+                (CASE WHEN ({oe}) < 0 THEN -1
+                      WHEN ({oe}) = 0 THEN 0 ELSE 1 END)
+                * CAST(floor(abs({oe}) * 1000000.0 + 0.5)
+                       AS BIGINT) AS oem,
+                CASE WHEN ra + rb > 1 THEN
+                  CAST(floor(abs((da + db)::DOUBLE
+                    * (ra::DOUBLE / (ra + rb)::DOUBLE)
+                    * (rb::DOUBLE / (ra + rb)::DOUBLE)
+                    * (((ra + rb) - (da + db))::DOUBLE
+                       / ((ra + rb) - 1)::DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS vm
+              FROM r),
+        a2 AS (SELECT MIN(na)::BIGINT AS n_a,
+                      MIN(nb)::BIGINT AS n_b,
+                      SUM(da)::BIGINT AS d_a,
+                      SUM(db)::BIGINT AS d_b,
+                      SUM(oem)::BIGINT AS oe_micro,
+                      SUM(vm)::BIGINT AS v_micro
+               FROM m)
+        SELECT n_a, n_b, d_a, d_b, oe_micro, v_micro,
+               CASE WHEN v_micro > 0 THEN
+                 floor(abs((oe_micro::DOUBLE / 1000000.0)
+                           * (oe_micro::DOUBLE / 1000000.0)
+                           / (v_micro::DOUBLE / 1000000.0))
+                       * 1000000.0 + 0.5) / 1000000.0 + 0.0
+               END AS chi2
+        FROM a2
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -872,6 +943,12 @@ def test_preview_plans_scale_clean(spark):
         ev.withColumn("t", (F.col("event_id") % 30) + 1)
           .withColumn("e", (F.col("cents") > 10000).cast("int")),
         "t", "e"), allow_broadcast_cross=1)
+    from datafusion_geo_spark.operators.evals import logrank_test
+    assert_scalable(logrank_test(
+        ev.withColumn("t", (F.col("event_id") % 30) + 1)
+          .withColumn("e", (F.col("cents") > 10000).cast("int")),
+        "t", "e", "event_type", "purchase", "view"),
+        allow_broadcast_cross=1)
 
 
 def test_preview_bootstrap_ci(spark):
