@@ -5,12 +5,18 @@ registration is wiring, not development. Fixtures and SQL here are
 the blueprints for the r12 ``queries()``/``oracle_sql()`` entries.
 """
 
+import os
+
 import duckdb
 import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
-SF = "/root/testdata/sf0.001"
+# sf0.001 by default; the driver-scale prepass overrides with
+# SPARK_GRAFT_PREVIEW_SF_DIR=/root/testdata/sf0.01 (the same
+# insurance run the r11 gate block got before registration)
+SF = os.environ.get("SPARK_GRAFT_PREVIEW_SF_DIR",
+                    "/root/testdata/sf0.001")
 TABLES = ("customer", "events", "lineitem", "part")
 
 
