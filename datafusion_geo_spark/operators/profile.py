@@ -376,6 +376,13 @@ def chi2_independence(df: DataFrame, col_a: str,
                    F.col(col_b).cast("string").alias("val_b")))
     cells = (obs.groupBy("val_a", "val_b")
              .agg(F.count(F.lit(1)).cast("long").alias("_o")))
+    # the cell frame feeds FOUR branches (row totals, column totals,
+    # grand total, and the grid's left-join probe); AQE reuses the
+    # exchange for the aggregates but re-scans the corpus for the
+    # broadcast probe — eagerly checkpointing the category-bounded
+    # cells (the pagerank_int lineage cut) pins the corpus to ONE
+    # scan regardless
+    cells = cells.localCheckpoint(eager=True)
     rt = (cells.groupBy("val_a")
           .agg(F.sum("_o").alias("row_tot")))
     ct = (cells.groupBy("val_b")
