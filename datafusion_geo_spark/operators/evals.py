@@ -1845,9 +1845,11 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     through ln(0)).
 
     Returns one row per distinct duration: (t, n_risk, d_events,
-    n_censored, survival) with ``survival`` = S(t) just after t,
-    6-dp rounded. event_col is 1 = event (death/churn), 0 =
-    right-censored; NULL duration or event rows are excluded."""
+    n_censored, survival, cum_hazard) with ``survival`` = S(t) just
+    after t, 6-dp rounded, and ``cum_hazard`` the Nelson-Aalen
+    estimate Σ d/n (micro-summed the same way). event_col is 1 =
+    event (death/churn), 0 = right-censored; NULL duration or event
+    rows are excluded."""
     dur = F.col(duration_col).cast("long")
     ev = F.col(event_col).cast("int")
     hist = (df.where(dur.isNotNull() & ev.isNotNull())
@@ -1876,8 +1878,17 @@ def kaplan_meier(df: DataFrame, duration_col: str,
                (F.signum(F.log(ratio))
                 * F.floor(F.abs(F.log(ratio)) * F.lit(1e6)
                           + F.lit(0.5))).cast("long")))
-    j = j.withColumn("_lnm", lnm)
+    # Nelson-Aalen cumulative hazard rides along: H(t) = Σ d/n over
+    # event times ≤ t, each increment micro-rounded before the exact
+    # int64 running sum (total at a time where everyone fails is a
+    # plain d/n = 1 increment — no ln edge case here)
+    ham = (F.signum(F.col("d"))
+           * F.floor(F.col("d").cast("double")
+                     / F.col("n_risk").cast("double") * F.lit(1e6)
+                     + F.lit(0.5))).cast("long")
+    j = j.withColumn("_lnm", lnm).withColumn("_ham", ham)
     cum = F.sum("_lnm").over(w_upto)
+    cum_h = F.sum("_ham").over(w_upto)
     dead = F.max((F.col("d") == F.col("n_risk")).cast("int")) \
         .over(w_upto)
     return j.select(
@@ -1885,7 +1896,9 @@ def kaplan_meier(df: DataFrame, duration_col: str,
         F.col("c").alias("n_censored"),
         F.when(dead == 1, F.lit(0.0)).otherwise(
             _r6(F.exp(cum.cast("double") / F.lit(1_000_000.0))))
-        .alias("survival"))
+        .alias("survival"),
+        (cum_h.cast("double") / F.lit(1_000_000.0) + F.lit(0.0))
+        .alias("cum_hazard"))
 
 
 def logrank_test(df: DataFrame, duration_col: str, event_col: str,

@@ -23,6 +23,7 @@ def _ref(rows):
     n = len(rows)
     removed = 0
     cum = 0
+    cum_h = 0
     dead = False
     out = {}
     for t in sorted(hist):
@@ -35,14 +36,17 @@ def _ref(rows):
             sign = -1 if ln < 0 else (0 if ln == 0 else 1)
             cum += sign * int(math.floor(abs(ln) * 1e6 + 0.5))
         surv = 0.0 if dead else _r6(math.exp(cum / 1e6))
-        out[t] = (n_risk, d, c, surv)
+        cum_h += int(math.floor(d / n_risk * 1e6 + 0.5)) if d > 0 \
+            else 0
+        out[t] = (n_risk, d, c, surv, cum_h / 1e6)
         removed += d + c
     return out
 
 
 def _run(spark, rows):
     df = spark.createDataFrame(rows, "t long, e int")
-    return {r.t: (r.n_risk, r.d_events, r.n_censored, r.survival)
+    return {r.t: (r.n_risk, r.d_events, r.n_censored, r.survival,
+                  r.cum_hazard)
             for r in kaplan_meier(df, "t", "e").collect()}
 
 

@@ -579,6 +579,11 @@ def test_preview_kaplan_meier(spark):
         f AS (SELECT *,
                 SUM(lnm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
                   PRECEDING AND CURRENT ROW) AS cum,
+                SUM(CASE WHEN d > 0 THEN
+                      CAST(floor(d::DOUBLE / n_risk::DOUBLE
+                                 * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) OVER (ORDER BY t ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS cumh,
                 MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
                   PRECEDING AND CURRENT ROW) AS dead
@@ -587,7 +592,8 @@ def test_preview_kaplan_meier(spark):
                CASE WHEN dead = 1 THEN (0)::DOUBLE ELSE
                  floor(abs(exp(cum::DOUBLE / 1000000.0))
                        * 1000000.0 + 0.5) / 1000000.0 + 0.0
-               END AS survival
+               END AS survival,
+               cumh::DOUBLE / 1000000.0 + 0.0 AS cum_hazard
         FROM f
     """)
 
