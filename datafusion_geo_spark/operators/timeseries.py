@@ -134,15 +134,18 @@ def cusum_changepoint(df: DataFrame, key_col: str, x_col: str,
     Overflow envelope (trend_by_key's contract): n·S_k must fit
     int64 — quantize y (cents) so per-key |sum| · n_slots < 2^63.
 
-    Returns one row per key with ≥ 2 distinct x: (key, n_slots,
+    Rows with a NULL x or y are excluded. Returns one row per key
+    with ≥ 2 distinct x: (key, n_slots,
     total_y, cp_x, cusum_num, cusum_den, cusum) where cusum_num =
     max_{1≤k<n} |n·S_k − k·T|, cusum_den = n, and cusum is the house
     6-dp double of their ratio (= max |S_k − k·mean|); cp_x is the
     last x of the left segment at the peak."""
     from .evals import _sratio6
 
-    per_x = (df.groupBy(F.col(key_col).alias("key"),
-                        F.col(x_col).cast("long").alias("x"))
+    per_x = (df.where(F.col(x_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+             .groupBy(F.col(key_col).alias("key"),
+                      F.col(x_col).cast("long").alias("x"))
              .agg(F.sum(F.col(y_col).cast("long")).alias("sy")))
     wk = Window.partitionBy("key")
     w = (wk.orderBy("x")

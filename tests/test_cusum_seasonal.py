@@ -203,3 +203,15 @@ def test_streaming_seasonal_equals_batch(spark):
     want = sorted(seasonal_profile(ev, "ts", "cents",
                                    period=24).collect())
     assert got == want
+
+
+def test_cusum_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, None, 9), (1, 1, None), (1, 2, 7)],
+        "key long, x long, y long")
+    got = cusum_changepoint(df, "key", "x", "y").collect()
+    ref = _cusum_ref([(1, 0, 5), (1, 2, 7)])
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_slots, r.total_y, r.cp_x, r.cusum_num,
+            r.cusum_den, r.cusum) == ref[1]
