@@ -5830,7 +5830,8 @@ _FIRST50 = [
     # Kaplan-Meier survival estimator and its log-rank companion
     # (operators/evals.py kaplan_meier, logrank_test — each needs
     # ALLOWED_BROADCAST_CROSSES = 1: the one-row totals crossed
-    # into the distinct-time frame), and the
+    # into the distinct-time frame), per-group Wilson proportion
+    # intervals (operators/evals.py wilson_ci), and the
     # streaming seasonal twin (streaming/drift.py
     # streaming_seasonal, equality-pinned) — all unit-pinned, with
     # oracle-grade previews in tests/test_r12_previews.py.)

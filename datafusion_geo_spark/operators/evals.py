@@ -1983,3 +1983,44 @@ def logrank_test(df: DataFrame, duration_col: str, event_col: str,
         "n_a", "n_b", "d_a", "d_b", "oe_micro", "v_micro",
         F.when(F.col("v_micro") > 0, _r6(ooe * ooe / vv))
         .alias("chi2"))
+
+
+def wilson_ci(df: DataFrame, flag_col: str,
+              group_cols: tuple = ()) -> DataFrame:
+    """Wilson score 95% confidence interval for a 0/1 proportion,
+    optionally per group — the honest way to report a filter's
+    pass-rate per domain/shard ("34% ± what?"); unlike the normal
+    approximation it never leaves [0, 1] and behaves at k = 0 / n.
+
+    ONE grouped conditional aggregate (n, k); the interval
+    center (p̂ + z²/2n) / (1 + z²/n) ± z·sqrt(p̂(1−p̂)/n + z²/4n²)
+    / (1 + z²/n) is a fixed double expression of the two ints with
+    z = 1.96 embedded as the exact double literal (196/100 — never
+    a bare decimal in the oracle, the house constant rule), each
+    bound 6-dp rounded once. NULL flags are excluded.
+
+    One row per group: (group..., n, k, p, ci_lo, ci_hi); NULL
+    bounds for empty groups (n = 0 can only appear in the global
+    no-rows case)."""
+    gc = list(group_cols)
+    flag = F.col(flag_col).cast("int")
+    src = df.where(flag.isNotNull())
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum(flag).cast("long"),
+                       F.lit(0).cast("long")).alias("k")]
+    agg = src.groupBy(*gc).agg(*aggs) if gc else src.agg(*aggs)
+    z = F.lit(196.0) / F.lit(100.0)
+    # CSE-hoist-safe n (the cuped_ttest ANSI lesson): the global
+    # no-rows row has n = 0 and p is shared across three outputs
+    n = F.when(F.col("n") > 0, F.col("n").cast("double"))
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = (p + z * z / (F.lit(2.0) * n)) / denom
+    half = (z * F.sqrt(p * (F.lit(1.0) - p) / n
+                       + z * z / (F.lit(4.0) * n * n)) / denom)
+    ok = F.col("n") > 0
+    return agg.select(
+        *gc, "n", "k",
+        F.when(ok, _r6(p)).alias("p"),
+        F.when(ok, _r6(center - half)).alias("ci_lo"),
+        F.when(ok, _r6(center + half)).alias("ci_hi"))

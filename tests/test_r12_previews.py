@@ -669,6 +669,42 @@ def test_preview_logrank(spark):
     """)
 
 
+def test_preview_wilson_ci(spark):
+    from datafusion_geo_spark.operators.evals import wilson_ci
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .select("event_type",
+                  (F.col("value") > 100).cast("int").alias("f")))
+    r6 = ("(CASE WHEN ({v}) < 0 THEN -1 ELSE 1 END) "
+          "* floor(abs({v}) * 1000000.0 + 0.5) / 1000000.0 + 0.0")
+    _check(wilson_ci(ev, "f", ("event_type",)), f"""
+        WITH e AS (SELECT event_type, (value > 100)::INT AS f
+                   FROM events WHERE value IS NOT NULL),
+        a AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+                     COALESCE(SUM(f), 0)::BIGINT AS k
+              FROM e GROUP BY 1),
+        b AS (SELECT event_type, n, k,
+                     (196)::DOUBLE / (100)::DOUBLE AS z,
+                     k::DOUBLE / n::DOUBLE AS p
+              FROM a),
+        c AS (SELECT *,
+                     (1)::DOUBLE + z * z / n::DOUBLE AS denom
+              FROM b),
+        d AS (SELECT *,
+                (p + z * z / ((2)::DOUBLE * n::DOUBLE)) / denom
+                  AS center,
+                z * sqrt(p * ((1)::DOUBLE - p) / n::DOUBLE
+                         + z * z / ((4)::DOUBLE * n::DOUBLE
+                                    * n::DOUBLE)) / denom AS half
+              FROM c)
+        SELECT event_type, n, k,
+               {r6.format(v='p')} AS p,
+               {r6.format(v='center - half')} AS ci_lo,
+               {r6.format(v='center + half')} AS ci_hi
+        FROM d
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -961,6 +997,10 @@ def test_preview_plans_scale_clean(spark):
           .withColumn("e", (F.col("cents") > 10000).cast("int")),
         "t", "e", "event_type", "purchase", "view"),
         allow_broadcast_cross=1)
+    from datafusion_geo_spark.operators.evals import wilson_ci
+    assert_scalable(wilson_ci(
+        ev.withColumn("f", (F.col("cents") > 10000).cast("int")),
+        "f", ("event_type",)))
 
 
 def test_preview_bootstrap_ci(spark):
