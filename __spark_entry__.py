@@ -5831,7 +5831,8 @@ _FIRST50 = [
     # (operators/evals.py kaplan_meier, logrank_test — each needs
     # ALLOWED_BROADCAST_CROSSES = 1: the one-row totals crossed
     # into the distinct-time frame), per-group Wilson proportion
-    # intervals (operators/evals.py wilson_ci), and the
+    # intervals (operators/evals.py wilson_ci), OHLC bars
+    # (operators/timeseries.py ohlc_bars), and the
     # streaming seasonal twin (streaming/drift.py
     # streaming_seasonal, equality-pinned) — all unit-pinned, with
     # oracle-grade previews in tests/test_r12_previews.py.)

@@ -253,3 +253,49 @@ def seasonal_finalize(cells: DataFrame) -> DataFrame:
         (m_pos / F.lit(1_000_000.0) + F.lit(0.0)).alias("mean"),
         ((m_pos - m_all) / F.lit(1_000_000.0) + F.lit(0.0))
         .alias("seasonal_idx"))
+
+
+def ohlc_bars(events: DataFrame, step_minutes: int = 60,
+              key_col: str = "user_id", ts_col: str = "ts",
+              value_col: str = "value",
+              id_col: str = "event_id") -> DataFrame:
+    """OHLC bars: per key and fixed-width window, the opening /
+    highest / lowest / closing observation — the standard
+    downsampling of a metric stream for dashboards and models
+    (candlesticks for sensors).
+
+    ONE grouped aggregate per (key, slot): open and close are
+    min/max over a (timestamp, id, value) struct — resample_locf's
+    total deterministic tie order, a plain partial+final aggregate
+    with no window anywhere; high/low/count/sum are plain extrema
+    and int64 sums of the integer-quantized value. Slot assignment
+    is the exact ``unix_micros div step`` form.
+
+    Returns (key, slot_ts, open, high, low, close, n_obs, sum_y);
+    rows with NULL timestamp or value are excluded."""
+    if step_minutes <= 0:
+        raise ValueError("ohlc_bars: step_minutes must be > 0")
+    step = step_minutes * MICROS_PER_MINUTE
+    us = F.unix_micros(F.col(ts_col))
+    y = F.col(value_col).cast("long")
+    obs = (events.where(F.col(ts_col).isNotNull() & y.isNotNull())
+           .select(F.col(key_col).alias("key"),
+                   F.expr(f"unix_micros({ts_col}) div {step}")
+                   .alias("slot"),
+                   y.alias("y"),
+                   F.struct(us.alias("us"),
+                            F.col(id_col).alias("id"),
+                            y.alias("v")).alias("_o")))
+    g = (obs.groupBy("key", "slot")
+         .agg(F.min("_o").alias("_first"),
+              F.max("_o").alias("_last"),
+              F.max("y").alias("high"),
+              F.min("y").alias("low"),
+              F.count(F.lit(1)).cast("long").alias("n_obs"),
+              F.sum("y").alias("sum_y")))
+    return g.select(
+        F.col("key").alias(key_col),
+        F.timestamp_micros(F.col("slot") * F.lit(step))
+        .alias("slot_ts"),
+        F.col("_first.v").alias("open"), "high", "low",
+        F.col("_last.v").alias("close"), "n_obs", "sum_y")

@@ -705,6 +705,41 @@ def test_preview_wilson_ci(spark):
     """)
 
 
+def test_preview_ohlc_bars(spark):
+    from datafusion_geo_spark.operators.timeseries import ohlc_bars
+    from datafusion_geo_spark.sources.fixtures import load_events
+    ev = (load_events(spark, SF)
+          .select("user_id", "event_id", "ts",
+                  F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+                  .cast("long").alias("cents")))
+    _check(ohlc_bars(ev, step_minutes=60, value_col="cents"), """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                          epoch_us(ts) // 3600000000 AS slot,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            AS y
+                   FROM events
+                   WHERE ts IS NOT NULL AND value IS NOT NULL),
+        r AS (SELECT *,
+                ROW_NUMBER() OVER (PARTITION BY user_id, slot
+                                   ORDER BY us, event_id) AS rn_a,
+                ROW_NUMBER() OVER (PARTITION BY user_id, slot
+                                   ORDER BY us DESC, event_id DESC)
+                  AS rn_d
+              FROM e),
+        g AS (SELECT user_id, slot,
+                MAX(CASE WHEN rn_a = 1 THEN y END)::BIGINT AS open,
+                MAX(y)::BIGINT AS high, MIN(y)::BIGINT AS low,
+                MAX(CASE WHEN rn_d = 1 THEN y END)::BIGINT
+                  AS close,
+                COUNT(*)::BIGINT AS n_obs, SUM(y)::BIGINT AS sum_y
+              FROM r GROUP BY 1, 2)
+        SELECT user_id, make_timestamp(slot * 3600000000)
+                 AS slot_ts,
+               open, high, low, close, n_obs, sum_y
+        FROM g
+    """)
+
+
 def test_preview_mcnemar(spark):
     from datafusion_geo_spark.operators.evals import mcnemar_test
     from datafusion_geo_spark.sources.fixtures import load_events
@@ -1001,6 +1036,12 @@ def test_preview_plans_scale_clean(spark):
     assert_scalable(wilson_ci(
         ev.withColumn("f", (F.col("cents") > 10000).cast("int")),
         "f", ("event_type",)))
+    from datafusion_geo_spark.operators.timeseries import ohlc_bars
+    assert_scalable(ohlc_bars(
+        load_events(spark, SF)
+        .withColumn("cents", F.floor(F.col("value") * F.lit(100.0)
+                                     + F.lit(0.5)).cast("long")),
+        step_minutes=60, value_col="cents"))
 
 
 def test_preview_bootstrap_ci(spark):
