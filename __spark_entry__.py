@@ -130,10 +130,19 @@ def _q_extent_by_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``group by name order by name`` test
     (/root/reference/src/function/extent.rs:205). Lowered to native
     partial/final min-max HashAggregate (SURVEY.md §2.1 #19)."""
-    from datafusion_geo_spark.functions import box2d, st_extent_agg
+    from datafusion_geo_spark.functions import st_extent_agg
     from datafusion_geo_spark.sources.fixtures import points_customer
-    df = points_customer(spark, sf_dir)
-    ext = (df.withColumn("bbox", box2d(F.col("geom")))
+    # with_bbox (r11): the fused st_point_with_bbox fixture already
+    # carries Box2D columns from the SAME single Python crossing that
+    # built the geometry (identical values to box2d(geom) — a point's
+    # bbox is its coordinate pair; parity-pinned in
+    # tests/test_geo_core.py::test_point_with_bbox_matches_box2d), so
+    # the separate Box2D ArrowEvalPython stage disappears — one Python
+    # crossing instead of two (guide §4.1).
+    df = points_customer(spark, sf_dir, with_bbox=True)
+    bbox = F.struct(F.col("xmin"), F.col("ymin"),
+                    F.col("xmax"), F.col("ymax"))
+    ext = (df.withColumn("bbox", bbox)
              .groupBy("c_mktsegment")
              .agg(st_extent_agg(F.col("bbox")).alias("extent")))
     return ext.select(
@@ -4270,7 +4279,8 @@ def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product): slope +1 order-lines × slope −1 part-lines; pairs
     aggregate by intercept offset m−k ∈ {−1,0,1,2}."""
     import pyspark.sql.functions as FF
-    from datafusion_geo_spark.operators.spatial_join import cogrouped_grid_join
+    from datafusion_geo_spark.operators.spatial_join import \
+        cogrouped_grid_join_grouped
     from datafusion_geo_spark.sources.fixtures import lines_orders, lines_part
     # with_bbox: fused construct-geometry+bbox in one Python crossing, so
     # ensure_bbox inside the join skips its own Box2D pass on both sides
@@ -4278,17 +4288,26 @@ def _q_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "k", "geom", "xmin", "ymin", "xmax", "ymax")
     b = lines_part(spark, sf_dir, with_bbox=True) \
         .select("p_partkey", "m", "geom", "xmin", "ymin", "xmax", "ymax")
-    # cogroup strategy: cell members cross into Python once and pairs
-    # come back with only the narrow columns the aggregation needs —
-    # ~2× less transfer than the equi-join + exact-filter plan (which
-    # ships both WKB geometries for every one of the 24M candidates)
-    pairs = cogrouped_grid_join(a, b, cell=8.0,
-                                a_cols=["o_orderkey", "k"],
-                                b_cols=["p_partkey", "m"])
-    return (pairs.groupBy((FF.col("m") - FF.col("k")).alias("m_minus_k"))
-            .agg(FF.count("*").alias("n_pairs"),
-                 FF.countDistinct("o_orderkey").alias("n_orders"),
-                 FF.countDistinct("p_partkey").alias("n_parts"))
+    # cogroup strategy fused with per-cell partial aggregation (r11,
+    # guide §2.3/§8): the aggregation needs only per-group pair counts
+    # + distinct keys, so each cell emits those instead of its pair
+    # list — the Python→JVM transfer drops from the 12M true pairs to
+    # ~1.5M (group, key) stat rows and the multi-countDistinct Expand
+    # shrinks 8×. Equivalence: canonical-cell dedup already counts
+    # every true pair exactly once globally, so SUM of per-cell counts
+    # ≡ COUNT(*) over pairs, and COUNT(DISTINCT key) over the emitted
+    # per-cell distinct keys ≡ over the pair list (set union). Gated
+    # against the unchanged oracle + pinned to the pair-list operator
+    # by tests/test_scale_plans.py::test_grid_grouped_matches_pairs.
+    stats = cogrouped_grid_join_grouped(
+        a, b, cell=8.0, a_key="o_orderkey", b_key="p_partkey",
+        a_cols=["o_orderkey", "k"], b_cols=["p_partkey", "m"],
+        group_of=lambda la, rb, ia, ib: (rb["m"].to_numpy()[ib]
+                                         - la["k"].to_numpy()[ia]))
+    return (stats.groupBy(FF.col("grp").alias("m_minus_k"))
+            .agg(FF.sum("n_pairs").alias("n_pairs"),
+                 FF.countDistinct("a_id").alias("n_orders"),
+                 FF.countDistinct("b_id").alias("n_parts"))
             .orderBy("m_minus_k"))
 
 

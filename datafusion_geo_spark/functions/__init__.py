@@ -1267,6 +1267,23 @@ def st_geom_with_bbox_from_text(wkt: Union[Column, str]) -> Column:
     return _geom_bbox_from_text(c)
 
 
+def _u2_df(kernel, rtype):
+    def f(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        return kernel(a, b)
+    return pandas_udf(f, rtype)
+
+
+_point_bbox_from_xy = _u2_df(kernels.point_bbox_from_xy, GEOM_BBOX_TYPE)
+
+
+def st_point_with_bbox(x, y) -> Column:
+    """Fused ST_Point + Box2D (r11): struct{geom,xmin,ymin,xmax,ymax}
+    in ONE Python crossing — the POINT analogue of
+    st_geom_with_bbox_from_text, for ingest paths that derive point
+    geometry from coordinate columns."""
+    return _point_bbox_from_xy(_num(x, "double"), _num(y, "double"))
+
+
 _wkt_roundtrip = _u1(kernels.wkt_roundtrip, StringType())
 
 
@@ -1453,6 +1470,7 @@ __all__ = [
     "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",
     "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints", "st_area",
     "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",
+    "st_point_with_bbox",
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",

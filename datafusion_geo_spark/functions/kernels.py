@@ -142,14 +142,20 @@ def geom_from_text(s: pd.Series, srid: Optional[pd.Series] = None) -> pd.Series:
     return _obj_series(out)
 
 
-def _fast_points_from_text(s: pd.Series) -> Optional[pd.Series]:
-    """All-'POINT(x y)' batches parse at C speed: strip the keyword with
-    vectorized str ops, join the batch into one buffer, float-parse with
-    numpy. Anything fancier (SRID, EMPTY, extra spaces) → full parser."""
+_POINTS_ALLNULL = object()  # sentinel: batch parsed, every row NULL
+
+
+def _parse_points_fast(s: pd.Series):
+    """Shared C-speed parse of an all-'POINT(x y)' batch: strip the
+    keyword with vectorized str ops, join the batch into one buffer,
+    float-parse with numpy. Returns (xs_body, ys_body, isnull) with
+    the body arrays aligned to the non-null rows, ``_POINTS_ALLNULL``
+    for an all-null batch, or None when any row needs the full parser
+    (SRID, EMPTY, extra spaces, wrong arity, non-finite text)."""
     isnull = s.isna().to_numpy()
     body = s.dropna()
     if len(body) == 0:
-        return _obj_series([None] * len(s))
+        return _POINTS_ALLNULL
     ok = (body.str.startswith("POINT(") & body.str.endswith(")")).all()
     if not ok:
         return None
@@ -164,11 +170,22 @@ def _fast_points_from_text(s: pd.Series) -> Optional[pd.Series]:
     vals = np.fromstring(joined, dtype=float, sep=" ")
     if len(vals) != 2 * len(body):  # malformed → full parser
         return None
-    xs = np.empty(len(s)); ys = np.empty(len(s))
-    xs[~isnull] = vals[0::2]
-    ys[~isnull] = vals[1::2]
     if np.isnan(vals).any():
         return None
+    return vals[0::2], vals[1::2], isnull
+
+
+def _fast_points_from_text(s: pd.Series) -> Optional[pd.Series]:
+    """All-'POINT(x y)' batches encoded to WKB at C speed."""
+    parsed = _parse_points_fast(s)
+    if parsed is _POINTS_ALLNULL:
+        return _obj_series([None] * len(s))
+    if parsed is None:
+        return None
+    bx, by, isnull = parsed
+    xs = np.empty(len(s)); ys = np.empty(len(s))
+    xs[~isnull] = bx
+    ys[~isnull] = by
     return _obj_series(vector.encode_points(xs, ys, valid=~isnull))
 
 
@@ -588,12 +605,46 @@ def geom_bbox_from_text(s: pd.Series) -> pd.DataFrame:
     return bb
 
 
+def point_bbox_from_xy(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    """Fused point constructor: (x, y) -> (geom WKB, xmin, ymin, xmax,
+    ymax) in ONE Python crossing — the POINT analogue of
+    geom_bbox_from_text (a point's bbox IS its coordinate pair, so the
+    bbox "recompute" is a column copy; box2d(st_point(x,y)) would be a
+    SECOND chained ArrowEvalPython stage round-tripping the WKB).
+    Null semantics match st_point then box2d: a NULL/NaN coordinate
+    nulls geometry and bbox alike."""
+    xs = pd.to_numeric(x, errors="coerce").to_numpy(float)
+    ys = pd.to_numeric(y, errors="coerce").to_numpy(float)
+    valid = ~(np.isnan(xs) | np.isnan(ys))
+    return pd.DataFrame({
+        "geom": vector.encode_points(xs, ys, valid=valid),
+        "xmin": _nullable(xs, valid), "ymin": _nullable(ys, valid),
+        "xmax": _nullable(xs, valid), "ymax": _nullable(ys, valid)})
+
+
 def wkt_roundtrip(s: pd.Series) -> pd.Series:
     """Fused ST_AsText(ST_GeomFromText(x)) — canonical-form WKT in ONE
     Python crossing. The plan-level alternative is two chained-dependent
     pandas UDFs (construct then serialize) = two ArrowEvalPython stages
     round-tripping the intermediate WKB through the JVM; fusing keeps the
-    intermediate in-process (same rationale as geom_bbox_from_text)."""
+    intermediate in-process (same rationale as geom_bbox_from_text).
+
+    r11: an all-'POINT(x y)' batch additionally skips the WKB
+    encode/decode hop entirely — the shared C-speed parse yields the
+    coordinate arrays and the canonical string forms directly from
+    them with the SAME ``_fmt`` the serializer uses (byte-identical
+    output; parity-fuzzed in tests/test_geo_core.py). The fast parse
+    rejects NaN/EMPTY/SRID, so the 'POINT EMPTY' branch of
+    _points_to_wkt is unreachable here by construction."""
+    parsed = _parse_points_fast(s)
+    if parsed is _POINTS_ALLNULL:
+        return _obj_series([None] * len(s))
+    if parsed is not None:
+        bx, by, isnull = parsed
+        out = np.empty(len(s), dtype=object)
+        out[~isnull] = [f"POINT({_fmt(x)} {_fmt(y)})"
+                        for x, y in zip(bx, by)]
+        return _obj_series(out)
     return as_text(geom_from_text(s))
 
 

@@ -163,6 +163,108 @@ def grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
     return j
 
 
+def _cell_true_pairs(key, la, rb, cell: float):
+    """Shared kernel of the cogrouped strategies: index arrays
+    (ia, ib) of the TRUE intersecting pairs among one cell's members
+    whose canonical cell is ``key`` (bbox-overlap candidates in
+    bounded bool-matrix blocks, exact refinement on survivors). See
+    ``cogrouped_grid_join`` for the algorithmic notes; the block loop
+    bounds memory at ~MATRIX_BLOCK_CELLS bool bytes per intermediate."""
+    import numpy as np
+
+    from ..geo import algos, vector
+    from ..geo.wkb import from_wkb
+
+    na, nb = len(la), len(rb)
+    e = np.empty(0, dtype=int)
+    if na == 0 or nb == 0:
+        return e, e
+    cx, cy = key
+    ax0 = la["xmin"].to_numpy(float); ay0 = la["ymin"].to_numpy(float)
+    ax1 = la["xmax"].to_numpy(float); ay1 = la["ymax"].to_numpy(float)
+    bx0 = rb["xmin"].to_numpy(float); by0 = rb["ymin"].to_numpy(float)
+    bx1 = rb["xmax"].to_numpy(float); by1 = rb["ymax"].to_numpy(float)
+    # canonical-cell test decomposed into 1-D predicates via the exact
+    # identity floor(max(a,b)/cell) = max(floor(a/cell), floor(b/cell))
+    fxa = np.floor(ax0 / cell)
+    fya = np.floor(ay0 / cell)
+    fxb = np.floor(bx0 / cell)
+    fyb = np.floor(by0 / cell)
+    axe, axle = fxa == cx, fxa <= cx
+    bxe, bxle = fxb == cx, fxb <= cx
+    aye, ayle = fya == cy, fya <= cy
+    bye, byle = fyb == cy, fyb <= cy
+    ia_parts, ib_parts = [], []
+    step_a = max(1, MATRIX_BLOCK_CELLS // max(nb, 1))
+    for a0 in range(0, na, step_a):
+        a1 = min(a0 + step_a, na)
+        ov = (ax0[a0:a1, None] <= bx1[None, :])
+        ov &= (bx0[None, :] <= ax1[a0:a1, None])
+        ov &= (ay0[a0:a1, None] <= by1[None, :])
+        ov &= (by0[None, :] <= ay1[a0:a1, None])
+        ov &= ((axe[a0:a1, None] & bxle[None, :])
+               | (axle[a0:a1, None] & bxe[None, :]))
+        ov &= ((aye[a0:a1, None] & byle[None, :])
+               | (ayle[a0:a1, None] & bye[None, :]))
+        pa, pb = np.nonzero(ov)
+        ia_parts.append(pa + a0)
+        ib_parts.append(pb)
+    ia = np.concatenate(ia_parts) if ia_parts else e
+    ib = np.concatenate(ib_parts) if ib_parts else e
+    if len(ia) == 0:
+        return e, e
+    # exact refinement on surviving candidates
+    ga = la["_geom"].tolist()
+    gb = rb["_geom"].tolist()
+    la_b = vector.decode_uniform_lines(ga)
+    rb_b = vector.decode_uniform_lines(gb)
+    if la_b is not None and rb_b is not None:
+        ca, cb = la_b.coords, rb_b.coords
+        keep = np.zeros(len(ia), dtype=bool)
+        for i in range(la_b.k - 1):
+            for j in range(rb_b.k - 1):
+                keep |= vector._segments_intersect_arr(
+                    ca[ia, i, 0], ca[ia, i, 1], ca[ia, i + 1, 0], ca[ia, i + 1, 1],
+                    cb[ib, j, 0], cb[ib, j, 1], cb[ib, j + 1, 0], cb[ib, j + 1, 1])
+        keep &= la_b.valid[ia] & rb_b.valid[ib]
+    else:  # mixed geometry: object path with per-pair memo
+        memo = {}
+        keep = np.zeros(len(ia), dtype=bool)
+        for t in range(len(ia)):
+            wa, wb = ga[ia[t]], gb[ib[t]]
+            if wa is None or wb is None:
+                continue
+            k2 = (bytes(wa), bytes(wb))
+            r = memo.get(k2)
+            if r is None:
+                r = memo[k2] = algos.intersects(from_wkb(k2[0]),
+                                                from_wkb(k2[1]))
+            keep[t] = r
+    return ia[keep], ib[keep]
+
+
+def _explode_to_cells(df, geom_col, keep, cell: float):
+    """One side's rows replicated into covering cells with the narrow
+    ``keep`` columns + bbox + geometry — shared by the cogrouped
+    strategies."""
+    return (ensure_bbox(df, geom_col)
+            .withColumn("_cell", F.explode(_cells("", cell)))
+            .select(F.col("_cell.cx").alias("cx"),
+                    F.col("_cell.cy").alias("cy"),
+                    F.col(geom_col).alias("_geom"),
+                    *[F.col(c) for c in keep],
+                    *[F.col(c) for c in BBOX_COLS if c not in keep]))
+
+
+def _cogroup_partitions(a: DataFrame, num_partitions: Optional[int]) -> int:
+    """Explicit cogroup shuffle width (see the REPARTITION_BY_NUM note
+    in cogrouped_grid_join)."""
+    if num_partitions is not None:
+        return num_partitions
+    return int(
+        a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
                         geom_a: str = "geom", geom_b: str = "geom",
                         a_cols: Optional[list] = None,
@@ -183,23 +285,10 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
     refinement via the uniform-line batch kernel with an object-path
     fallback.
     """
-    import numpy as np
     import pandas as pd
-
-    from ..geo import algos, vector
-    from ..geo.wkb import from_wkb
 
     a_cols = list(a_cols or [c for c in a.columns if c != geom_a])
     b_cols = list(b_cols or [c for c in b.columns if c != geom_b])
-
-    def explode_side(df, geom_col, keep):
-        return (ensure_bbox(df, geom_col)
-                .withColumn("_cell", F.explode(_cells("", cell)))
-                .select(F.col("_cell.cx").alias("cx"),
-                        F.col("_cell.cy").alias("cy"),
-                        F.col(geom_col).alias("_geom"),
-                        *[F.col(c) for c in keep],
-                        *[F.col(c) for c in BBOX_COLS if c not in keep]))
 
     # Pin the cogroup's shuffle width with an explicitly-NUMBERED
     # repartition on the cell keys. AQE's bytes-based coalescing sees
@@ -209,11 +298,11 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
     # partition). A REPARTITION_BY_NUM shuffle is exempt from AQE
     # coalescing, and EnsureRequirements reuses it for the cogroup
     # (same hash partitioning on cx,cy → no second exchange).
-    if num_partitions is None:
-        num_partitions = int(
-            a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    ea = explode_side(a, geom_a, a_cols).repartition(num_partitions, "cx", "cy")
-    eb = explode_side(b, geom_b, b_cols).repartition(num_partitions, "cx", "cy")
+    num_partitions = _cogroup_partitions(a, num_partitions)
+    ea = _explode_to_cells(a, geom_a, a_cols, cell) \
+        .repartition(num_partitions, "cx", "cy")
+    eb = _explode_to_cells(b, geom_b, b_cols, cell) \
+        .repartition(num_partitions, "cx", "cy")
 
     out_fields = ", ".join(
         [f"{c} {t}" for c, t in
@@ -224,84 +313,12 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
             if f.name in b_cols]])
 
     def find_pairs(key, la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({c: [] for c in a_cols + b_cols})
-        na, nb = len(la), len(rb)
-        if na == 0 or nb == 0:
-            return empty
-        cx, cy = key
-        ax0 = la["xmin"].to_numpy(float); ay0 = la["ymin"].to_numpy(float)
-        ax1 = la["xmax"].to_numpy(float); ay1 = la["ymax"].to_numpy(float)
-        bx0 = rb["xmin"].to_numpy(float); by0 = rb["ymin"].to_numpy(float)
-        bx1 = rb["xmax"].to_numpy(float); by1 = rb["ymax"].to_numpy(float)
-        # outer bbox overlap + canonical cell (dedup across shared cells),
-        # evaluated in fixed-size ROW BLOCKS: a dense cell (skewed data or
-        # a mis-chosen cell size) would otherwise allocate an na×nb
-        # boolean matrix in one shot — AQE skew splitting does not apply
-        # inside a cogroup, so the block loop is the memory bound
-        # (~MATRIX_BLOCK_CELLS bytes per intermediate, not na*nb).
-        # Everything runs as BOOL matrices: the canonical-cell test is
-        # rewritten through the exact identity floor(max(a,b)/cell) =
-        # max(floor(a/cell), floor(b/cell)) (division by a positive
-        # cell and floor are both monotone, so the rewrite is
-        # bit-exact), and max(fa, fb) == c further decomposes into
-        # outer ANDs of 1-D predicates — (fa==c & fb<=c) | (fb==c &
-        # fa<=c) — so the float64 maximum/floor MATRICES the naive
-        # spelling allocates (8× a bool temp each) never exist.
-        fxa = np.floor(ax0 / cell)
-        fya = np.floor(ay0 / cell)
-        fxb = np.floor(bx0 / cell)
-        fyb = np.floor(by0 / cell)
-        axe, axle = fxa == cx, fxa <= cx
-        bxe, bxle = fxb == cx, fxb <= cx
-        aye, ayle = fya == cy, fya <= cy
-        bye, byle = fyb == cy, fyb <= cy
-        ia_parts, ib_parts = [], []
-        step_a = max(1, MATRIX_BLOCK_CELLS // max(nb, 1))
-        for a0 in range(0, na, step_a):
-            a1 = min(a0 + step_a, na)
-            ov = (ax0[a0:a1, None] <= bx1[None, :])
-            ov &= (bx0[None, :] <= ax1[a0:a1, None])
-            ov &= (ay0[a0:a1, None] <= by1[None, :])
-            ov &= (by0[None, :] <= ay1[a0:a1, None])
-            ov &= ((axe[a0:a1, None] & bxle[None, :])
-                   | (axle[a0:a1, None] & bxe[None, :]))
-            ov &= ((aye[a0:a1, None] & byle[None, :])
-                   | (ayle[a0:a1, None] & bye[None, :]))
-            pa, pb = np.nonzero(ov)
-            ia_parts.append(pa + a0)
-            ib_parts.append(pb)
-        ia = np.concatenate(ia_parts) if ia_parts else np.empty(0, dtype=int)
-        ib = np.concatenate(ib_parts) if ib_parts else np.empty(0, dtype=int)
+        # outer bbox overlap + canonical cell (dedup across shared
+        # cells) + exact refinement — the shared kernel; see
+        # _cell_true_pairs for the bounded-block / bool-matrix notes
+        ia, ib = _cell_true_pairs(key, la, rb, cell)
         if len(ia) == 0:
-            return empty
-        # exact refinement on surviving candidates
-        ga = la["_geom"].tolist()
-        gb = rb["_geom"].tolist()
-        la_b = vector.decode_uniform_lines(ga)
-        rb_b = vector.decode_uniform_lines(gb)
-        if la_b is not None and rb_b is not None:
-            ca, cb = la_b.coords, rb_b.coords
-            keep = np.zeros(len(ia), dtype=bool)
-            for i in range(la_b.k - 1):
-                for j in range(rb_b.k - 1):
-                    keep |= vector._segments_intersect_arr(
-                        ca[ia, i, 0], ca[ia, i, 1], ca[ia, i + 1, 0], ca[ia, i + 1, 1],
-                        cb[ib, j, 0], cb[ib, j, 1], cb[ib, j + 1, 0], cb[ib, j + 1, 1])
-            keep &= la_b.valid[ia] & rb_b.valid[ib]
-        else:  # mixed geometry: object path with per-pair memo
-            memo = {}
-            keep = np.zeros(len(ia), dtype=bool)
-            for t in range(len(ia)):
-                wa, wb = ga[ia[t]], gb[ib[t]]
-                if wa is None or wb is None:
-                    continue
-                k2 = (bytes(wa), bytes(wb))
-                r = memo.get(k2)
-                if r is None:
-                    r = memo[k2] = algos.intersects(from_wkb(k2[0]),
-                                                    from_wkb(k2[1]))
-                keep[t] = r
-        ia, ib = ia[keep], ib[keep]
+            return pd.DataFrame({c: [] for c in a_cols + b_cols})
         out = {c: la[c].to_numpy()[ia] for c in a_cols}
         out.update({c: rb[c].to_numpy()[ib] for c in b_cols})
         return pd.DataFrame(out)
@@ -309,6 +326,86 @@ def cogrouped_grid_join(a: DataFrame, b: DataFrame, cell: float = 8.0,
     return (ea.groupBy("cx", "cy")
             .cogroup(eb.groupBy("cx", "cy"))
             .applyInPandas(find_pairs, out_fields))
+
+
+def cogrouped_grid_join_grouped(a: DataFrame, b: DataFrame,
+                                group_of, a_key: str, b_key: str,
+                                cell: float = 8.0,
+                                geom_a: str = "geom", geom_b: str = "geom",
+                                a_cols: Optional[list] = None,
+                                b_cols: Optional[list] = None,
+                                num_partitions: Optional[int] = None
+                                ) -> DataFrame:
+    """``cogrouped_grid_join`` FUSED with per-cell partial aggregation
+    (guide §2.3 "aggregate before you shuffle" / §8 "shuffle
+    lightweight proxies"): for pair-GROUP statistics the caller does
+    not need the pair list — only, per group, the pair count and the
+    distinct participating keys. Emitting those per cell shrinks the
+    Python→JVM transfer and the downstream shuffle from O(true pairs)
+    to O(groups + distinct keys per cell): on the bench's
+    grid_spatial_join (24M candidates → 12M true pairs) the cogroup
+    output drops ~8× and the multi-countDistinct Expand shrinks with
+    it.
+
+    ``group_of(la, rb, ia, ib)`` maps matched index arrays to an int64
+    group id per pair (numpy, vectorized). Output rows per cell and
+    group g: one (g, NULL, NULL, n_pairs) count row, one
+    (g, a_id, NULL, 0) row per distinct participating ``a_key``, and
+    one (g, NULL, b_id, 0) row per distinct ``b_key``. Exact global
+    recovery (cross-cell dedup happens in the JVM aggregate):
+
+    * pairs per group  = SUM(n_pairs)         (canonical-cell dedup
+      already makes every true pair count once globally);
+    * distinct a per group = COUNT(DISTINCT a_id)  (NULLs ignored);
+    * distinct b per group = COUNT(DISTINCT b_id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_cols = list(a_cols or [a_key])
+    b_cols = list(b_cols or [b_key])
+    num_partitions = _cogroup_partitions(a, num_partitions)
+    ea = _explode_to_cells(a, geom_a, a_cols, cell) \
+        .repartition(num_partitions, "cx", "cy")
+    eb = _explode_to_cells(b, geom_b, b_cols, cell) \
+        .repartition(num_partitions, "cx", "cy")
+
+    def cell_stats(key, la: pd.DataFrame, rb: pd.DataFrame) -> pd.DataFrame:
+        ia, ib = _cell_true_pairs(key, la, rb, cell)
+        if len(ia) == 0:
+            z = np.empty(0, dtype=np.int64)
+            zm = np.empty(0, dtype=bool)
+            return pd.DataFrame({
+                "grp": z, "a_id": pd.arrays.IntegerArray(z, zm),
+                "b_id": pd.arrays.IntegerArray(z, zm),
+                "n_pairs": z})
+        grp = np.asarray(group_of(la, rb, ia, ib), dtype=np.int64)
+        aid = la[a_key].to_numpy()[ia].astype(np.int64)
+        bid = rb[b_key].to_numpy()[ib].astype(np.int64)
+        ug, cnt = np.unique(grp, return_counts=True)
+        ga = np.unique(np.stack([grp, aid], axis=1), axis=0)
+        gb = np.unique(np.stack([grp, bid], axis=1), axis=0)
+        nu, na_, nb_ = len(ug), len(ga), len(gb)
+        grp_out = np.concatenate([ug, ga[:, 0], gb[:, 0]])
+        a_vals = np.concatenate([np.zeros(nu, np.int64), ga[:, 1],
+                                 np.zeros(nb_, np.int64)])
+        a_mask = np.concatenate([np.ones(nu, bool), np.zeros(na_, bool),
+                                 np.ones(nb_, bool)])
+        b_vals = np.concatenate([np.zeros(nu + na_, np.int64), gb[:, 1]])
+        b_mask = np.concatenate([np.ones(nu + na_, bool),
+                                 np.zeros(nb_, bool)])
+        pairs_out = np.concatenate([cnt.astype(np.int64),
+                                    np.zeros(na_ + nb_, np.int64)])
+        return pd.DataFrame({
+            "grp": grp_out,
+            "a_id": pd.arrays.IntegerArray(a_vals, a_mask),
+            "b_id": pd.arrays.IntegerArray(b_vals, b_mask),
+            "n_pairs": pairs_out})
+
+    return (ea.groupBy("cx", "cy")
+            .cogroup(eb.groupBy("cx", "cy"))
+            .applyInPandas(cell_stats,
+                           "grp long, a_id long, b_id long, n_pairs long"))
 
 
 def dwithin_join(a: DataFrame, b: DataFrame, d: float,

@@ -204,15 +204,21 @@ def _points_lineitem(spark, sf_dir, with_nulls):
 
 
 def points_customer(spark: SparkSession, sf_dir: str,
-                    with_nulls: bool = True) -> DataFrame:
+                    with_nulls: bool = True,
+                    with_bbox: bool = False) -> DataFrame:
     """Points (c_custkey%360-180, c_nationkey*3-37.5) with group key
     c_mktsegment — the grouped-extent fixture mirroring the reference's
-    aggregate test groups (/root/reference/src/function/extent.rs:172-205)."""
-    return _memo(("points_customer", sf_dir, with_nulls),
-                 lambda: _points_customer(spark, sf_dir, with_nulls))
+    aggregate test groups (/root/reference/src/function/extent.rs:172-205).
+    ``with_bbox`` (r11) attaches xmin..ymax via the fused
+    st_point_with_bbox kernel — ONE Python crossing instead of the
+    chained st_point → Box2D pair (the lines_orders with_bbox
+    pattern), identical values (a point's bbox is its coordinates)."""
+    return _memo(("points_customer", sf_dir, with_nulls, with_bbox),
+                 lambda: _points_customer(spark, sf_dir, with_nulls,
+                                          with_bbox))
 
 
-def _points_customer(spark, sf_dir, with_nulls):
+def _points_customer(spark, sf_dir, with_nulls, with_bbox=False):
     c = load_table(spark, sf_dir, "customer")
     df = c.select(
         "c_custkey", "c_mktsegment",
@@ -220,9 +226,19 @@ def _points_customer(spark, sf_dir, with_nulls):
         (F.col("c_nationkey") * 3 - 37.5).cast("double").alias("y"),
     )
     df = _spread(df)
+    keep = F.col("c_custkey") % 7 != 0
+    if with_bbox:
+        from ..functions import st_point_with_bbox
+        gb = st_point_with_bbox(F.col("x"), F.col("y"))
+        if with_nulls:
+            gb = _null_unless(keep, gb)
+        df = df.withColumn("_gb", gb)
+        return df.select("c_custkey", "c_mktsegment", "x", "y",
+                         "_gb.geom", "_gb.xmin", "_gb.ymin",
+                         "_gb.xmax", "_gb.ymax")
     geom = st_point(F.col("x"), F.col("y"))
     if with_nulls:
-        geom = _null_unless(F.col("c_custkey") % 7 != 0, geom)
+        geom = _null_unless(keep, geom)
     return df.withColumn("geom", geom)
 
 

@@ -225,3 +225,53 @@ def test_mixed_multi_intersects():
     poly = from_wkt("POLYGON((15 15,25 15,25 25,15 25,15 15))")
     assert algos.intersects(mp, poly)
     assert algos.intersects(poly, mp)
+
+
+def test_wkt_roundtrip_point_fastpath_parity():
+    """r11: the direct parse→format fast path of kernels.wkt_roundtrip
+    (skips the WKB encode/decode hop) must be byte-identical to the
+    chained as_text(geom_from_text(·)) on point batches — including
+    NULLs, negatives, non-integral coords — and must fall back (same
+    output) on batches it cannot take (EMPTY, SRID, mixed types)."""
+    import pandas as pd
+
+    from datafusion_geo_spark.functions import kernels
+
+    fast_batches = [
+        pd.Series(["POINT(1 2)", "POINT(-3 4.5)", None,
+                   "POINT(0.125 -7e2)", "POINT(999999 -0.5)"]),
+        pd.Series([None, None], dtype=object),
+        pd.Series(["POINT(10 11)"] * 50),
+    ]
+    slow_batches = [
+        pd.Series(["POINT(1 2)", "POINT EMPTY"]),
+        pd.Series(["POINT(1 2)", "LINESTRING(0 0,1 1)"]),
+        pd.Series(["POINT(1 2 3)"]),
+        pd.Series(["SRID=4326;POINT(1 2)", "POINT(1 2)"]),
+    ]
+    for s in fast_batches + slow_batches:
+        got = kernels.wkt_roundtrip(s).tolist()
+        want = kernels.as_text(kernels.geom_from_text(s)).tolist()
+        assert got == want, (s.tolist(), got, want)
+
+
+def test_point_with_bbox_matches_box2d(spark):
+    """r11: the fused st_point_with_bbox fixture path must reproduce
+    box2d(st_point(x, y)) exactly — geometry bytes, bbox values, and
+    null gating included."""
+    import pyspark.sql.functions as F
+
+    from datafusion_geo_spark.functions import box2d, st_point, \
+        st_point_with_bbox
+    rows = [(1, 1.0, 2.0), (2, -3.5, 4.25), (3, None, 5.0),
+            (4, 6.0, None), (5, 0.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    fused = df.select("id", st_point_with_bbox("x", "y").alias("gb")) \
+        .select("id", "gb.geom", "gb.xmin", "gb.ymin", "gb.xmax",
+                "gb.ymax")
+    chained = df.select("id", st_point("x", "y").alias("geom")) \
+        .withColumn("bb", box2d(F.col("geom"))) \
+        .select("id", "geom", "bb.xmin", "bb.ymin", "bb.xmax", "bb.ymax")
+    got = {r["id"]: r.asDict() for r in fused.collect()}
+    want = {r["id"]: r.asDict() for r in chained.collect()}
+    assert got == want

@@ -77,3 +77,49 @@ def test_rouge_zero_denominator_null(spark):
         .collect()[0]
     assert out.rouge_p is None and out.rouge_r is None \
         and out.rouge_f is None
+
+
+def test_lcs_bit_parallel_parity(spark):
+    """r11 optimization: the Allison-Dix bit-parallel path (max_ref
+    given, <= 52) must agree with the row-fold path and the Python
+    reference on fuzz pairs, including empties and the max_ref
+    boundary lengths."""
+    import random
+    rng = random.Random(11)
+    vocab = list("abcdef")
+    rows = []
+    for i in range(60):
+        c = " ".join(rng.choices(vocab, k=rng.randint(0, 52)))
+        r = " ".join(rng.choices(vocab, k=rng.randint(0, 52)))
+        rows.append((i, c, r))
+    rows.append((100, "", ""))
+    rows.append((101, "a b c", ""))
+    rows.append((102, "", "a b c"))
+    rows.append((103, " ".join(vocab * 8)[:1000],
+                 " ".join(reversed(vocab * 8))[:1000]))
+    df = _pairs(spark, rows).select(
+        "doc_id",
+        lcs_len_col(F.split(F.col("cand"), " "),
+                    F.split(F.col("ref"), " "),
+                    max_ref=52).alias("bits"),
+        lcs_len_col(F.split(F.col("cand"), " "),
+                    F.split(F.col("ref"), " ")).alias("fold"))
+    for row in df.collect():
+        assert row.bits == row.fold, (row.doc_id, row.bits, row.fold)
+
+
+def test_lcs_bit_parallel_null_arrays(spark):
+    """NULL token arrays (e.g. a NULL text column upstream) must take
+    the same value through both paths (the when() guard routes NULL
+    sizes to the otherwise(0) arm identically), not crash."""
+    df = spark.createDataFrame(
+        [(1, None, "a b"), (2, "a b", None)],
+        "doc_id long, cand string, ref string").select(
+        "doc_id",
+        lcs_len_col(F.split(F.col("cand"), " "),
+                    F.split(F.col("ref"), " "),
+                    max_ref=52).alias("bits"),
+        lcs_len_col(F.split(F.col("cand"), " "),
+                    F.split(F.col("ref"), " ")).alias("fold"))
+    for row in df.collect():
+        assert row.bits == row.fold, row

@@ -358,3 +358,51 @@ def test_scd2_windows_partition_by_key(spark):
     plan = plan_of(entrymod.queries()["scd2_history"](spark, SF_DIR))
     w = plan[plan.index("Window"):].split("\n")[0]
     assert "user_id" in w
+
+
+def test_grid_grouped_matches_pairs(spark):
+    """r11 optimization pin: the per-cell partial-aggregation variant
+    (cogrouped_grid_join_grouped) must reproduce the pair-list
+    operator + JVM groupBy EXACTLY — same groups, same pair counts,
+    same distinct-key counts."""
+    import pyspark.sql.functions as F
+    from datafusion_geo_spark.operators.spatial_join import (
+        cogrouped_grid_join, cogrouped_grid_join_grouped)
+    from datafusion_geo_spark.sources.fixtures import lines_orders, lines_part
+    a = lines_orders(spark, SF_DIR, with_nulls=False, with_bbox=True) \
+        .select("o_orderkey", "k", "geom", "xmin", "ymin", "xmax", "ymax")
+    b = lines_part(spark, SF_DIR, with_bbox=True) \
+        .select("p_partkey", "m", "geom", "xmin", "ymin", "xmax", "ymax")
+    pairs = cogrouped_grid_join(a, b, cell=8.0,
+                                a_cols=["o_orderkey", "k"],
+                                b_cols=["p_partkey", "m"])
+    want = {r["m_minus_k"]: (r["n_pairs"], r["n_orders"], r["n_parts"])
+            for r in (pairs.groupBy((F.col("m") - F.col("k"))
+                                    .alias("m_minus_k"))
+                      .agg(F.count("*").alias("n_pairs"),
+                           F.countDistinct("o_orderkey").alias("n_orders"),
+                           F.countDistinct("p_partkey").alias("n_parts"))
+                      .collect())}
+    stats = cogrouped_grid_join_grouped(
+        a, b, cell=8.0, a_key="o_orderkey", b_key="p_partkey",
+        a_cols=["o_orderkey", "k"], b_cols=["p_partkey", "m"],
+        group_of=lambda la, rb, ia, ib: (rb["m"].to_numpy()[ib]
+                                         - la["k"].to_numpy()[ia]))
+    got = {r["grp"]: (r["n_pairs"], r["n_orders"], r["n_parts"])
+           for r in (stats.groupBy("grp")
+                     .agg(F.sum("n_pairs").alias("n_pairs"),
+                          F.countDistinct("a_id").alias("n_orders"),
+                          F.countDistinct("b_id").alias("n_parts"))
+                     .collect())}
+    assert want and got == want
+
+
+def test_grid_grouped_keeps_pinned_repartition(spark):
+    """The grouped variant inherits the REPARTITION_BY_NUM pin (AQE
+    must not collapse the quadratic Python stage to one task)."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["grid_spatial_join"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("REPARTITION_BY_NUM") >= 2
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
