@@ -120,7 +120,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
                       shingle_n: int = 3) -> DataFrame:
     """MinHash signatures: explode shingles → shared hash → per-doc min
     under ``num_hashes`` affine permutations. Map-side partial min makes
-    the shuffle carry only (doc_id, num_hashes longs)."""
+    the shuffle carry only (doc_id, num_hashes longs).
+
+    r11 note: a map-only form (array_min over transform'd shingle-hash
+    arrays, zero shuffle) was tried and MEASURED SLOWER (sig 1.38 s →
+    1.7 s at sf0.1): higher-order array functions evaluate interpreted
+    per element, while the explode+groupBy pipeline runs entirely in
+    WholeStageCodegen — the exchange it saves carries only
+    (doc_id, 16 longs) and is not the cost. Kept the codegen shape."""
     sh = df.select(F.col(id_col),
                    F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
     h = sh.select(id_col, h64(F.col("s")).alias("h"))
@@ -144,46 +151,51 @@ def lsh_pairs(sig: DataFrame, id_col: str = "doc_id",
     band key; no cross product anywhere). est_sim = fraction of equal
     signature components; filtered at ``min_sim``.
 
-    Scale notes: the signature frame is persisted (MEMORY_AND_DISK) —
-    it is read by both sides of the band join plus the two est_sim
-    join-backs, and without materialization Spark re-runs the whole
-    shingle-explode+agg pipeline for each (measured 10 recomputations /
-    20 parquet scans at sf0.1). Band keys come from ONE explode of a
-    literal (band, bkey) struct array rather than a ``bands``-way union,
-    so the banded relation is a single narrow pass over the cached sig.
-    Buckets larger than ``max_bucket`` are dropped (see _cap_buckets) so
-    one hot band key cannot make a single task quadratic."""
-    sig = sig.persist()
+    Scale notes (r11 shape, guide §2.3/§2.4): the banded relation
+    CARRIES the signature columns, so est_sim is computed inline on
+    the joined pair — the two est_sim join-backs of the r10 shape (and
+    their exchanges) are gone, and the pair dedup is one distinct over
+    (id_a, id_b, est_sim), which is exactly (id_a, id_b) since est_sim
+    is functionally dependent on the pair. The banded frame is
+    persisted (MEMORY_AND_DISK) — it is read by the hot-bucket
+    aggregation plus both sides of the band join; signatures are
+    computed ONCE into it (with the map-only minhash_signature the
+    upstream is a pure projection, but the md5 shingle hashing is
+    still worth not re-running 3x). Band keys come from ONE explode of
+    a literal (band, bkey) struct array rather than a ``bands``-way
+    union. Buckets larger than ``max_bucket`` are dropped (see
+    _cap_buckets) so one hot band key cannot make a single task
+    quadratic."""
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws("_", *[F.col(f"mh{b * rows + r}")
                                for r in range(rows)]).alias("bkey"))
         for b in range(bands)])
-    banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+    banded = (sig.select(F.col(id_col), F.explode(band_structs).alias("bb"),
+                         *[F.col(f"mh{i}") for i in range(num_hashes)])
               .select(id_col, F.col("bb.band").alias("band"),
-                      F.col("bb.bkey").alias("bkey")))
+                      F.col("bb.bkey").alias("bkey"),
+                      *[F.col(f"mh{i}") for i in range(num_hashes)])
+              .persist())
     banded = _cap_buckets(banded, ("band", "bkey"), max_bucket, log_dropped)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (left.join(right, ["band", "bkey"])
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct())
-    la = sig.select(F.col(id_col).alias("id_a"),
-                    *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
-    lb = sig.select(F.col(id_col).alias("id_b"),
-                    *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
+    left = banded.select(
+        "band", "bkey", F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
+    right = banded.select(
+        "band", "bkey", F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
     est = None
     for i in range(num_hashes):
         term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         est = term if est is None else est + term
-    out = (cand.join(la, "id_a").join(lb, "id_b")
-           .select("id_a", "id_b",
-                   round6_binary(est.cast("double") / num_hashes).alias("est_sim"))
-           .where(F.col("est_sim") >= min_sim))
-    return out
+    return (left.join(right, ["band", "bkey"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    round6_binary(est.cast("double") / num_hashes)
+                    .alias("est_sim"))
+            .where(F.col("est_sim") >= min_sim)
+            .distinct())
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
