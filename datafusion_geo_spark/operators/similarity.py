@@ -746,6 +746,17 @@ def binary_quantize(emb: DataFrame, id_col: str = "vec_id",
     an int64 sum — distinct powers, so the fold can never overflow.
     Returns (id_col, b array<long> of ceil(d/32) words, n_dims int)."""
     v = as_double(F.col(vec_col))
+    return emb.select(
+        F.col(id_col),
+        _packed_words(v).alias("b"),
+        F.size(v).cast("int").alias("n_dims"))
+
+
+def _packed_words(v: Column) -> Column:
+    """The packed sign-bit words of :func:`binary_quantize` as a bare
+    column expression (array<long> of ceil(d/32) words) — shared with
+    :func:`hamming_join`, which carries the words through its band
+    explode so the distance is computable inline on the joined pair."""
     nw = F.ceil(F.size(v) / F.lit(BIN_WORD_BITS)).cast("int")
 
     def word(w):
@@ -760,11 +771,7 @@ def binary_quantize(emb: DataFrame, id_col: str = "vec_id",
         return F.aggregate(bits, F.lit(0).cast("long"),
                            lambda a, b: a + b)
 
-    return emb.select(
-        F.col(id_col),
-        F.transform(F.sequence(F.lit(0), nw - F.lit(1)), word)
-        .alias("b"),
-        F.size(v).cast("int").alias("n_dims"))
+    return F.transform(F.sequence(F.lit(0), nw - F.lit(1)), word)
 
 
 def hamming_topk(emb: DataFrame, k: int = 10, max_query_id: int = 8,
@@ -857,33 +864,34 @@ def hamming_join(emb: DataFrame, radius: int = 3, bands: int = None,
                           .otherwise(F.lit(0).cast("long")))
         return F.aggregate(bits, F.lit(0).cast("long"),
                            lambda a, b: a + b)
+    # r11 shape (guide §2.3/§2.4, the lsh_pairs restructure): the
+    # banded relation CARRIES the packed code words, so the exact
+    # distance is computed inline on the joined pair — the two
+    # code join-backs of the previous shape (and their exchanges) are
+    # gone, and the pair dedup is one distinct over
+    # (a_id, b_id, hamming), which is exactly (a_id, b_id) since the
+    # distance is functionally dependent on the pair.
     coded = emb.select(
         F.col(id_col).alias("_id"),
+        _packed_words(v).alias("_pw"),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band_idx"), band(i).alias("code"))
             for i in range(nb)])).alias("_b"))\
-        .select("_id", "_b.band_idx", "_b.code")
-    cand = (coded.alias("a")
-            .join(coded.alias("b"), ["band_idx", "code"])
-            .where(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("a_id"),
-                    F.col("b._id").alias("b_id"))
-            .distinct())
-    codes = binary_quantize(emb, id_col, vec_col) \
-        .select(F.col(id_col), F.col("b"))
+        .select("_id", "_pw", "_b.band_idx", "_b.code")
     dist = F.aggregate(
         F.zip_with(F.col("ab"), F.col("bb"),
                    lambda a, b: F.bit_count(a.bitwiseXOR(b))
                    .cast("long")),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    out = (cand
-           .join(codes.select(F.col(id_col).alias("a_id"),
-                              F.col("b").alias("ab")), "a_id")
-           .join(codes.select(F.col(id_col).alias("b_id"),
-                              F.col("b").alias("bb")), "b_id")
-           .select("a_id", "b_id", dist.alias("hamming"))
-           .where(F.col("hamming") <= radius))
-    return out
+    left = coded.select("band_idx", "code", F.col("_id").alias("a_id"),
+                        F.col("_pw").alias("ab"))
+    right = coded.select("band_idx", "code", F.col("_id").alias("b_id"),
+                         F.col("_pw").alias("bb"))
+    return (left.join(right, ["band_idx", "code"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", dist.alias("hamming"))
+            .where(F.col("hamming") <= radius)
+            .distinct())
 
 
 def binary_rerank_topk(emb: DataFrame, k: int = 10,
