@@ -27,26 +27,37 @@ def test_streaming_rollup_rerun_idempotent(spark, tmp_path):
 
 def test_streaming_rollup_update_replaces_only_its_key(spark, tmp_path):
     """A later cumulative update for one (hour, event_type) key must
-    replace exactly that directory, leaving sibling keys' totals
-    untouched — the foreachBatch contract."""
+    supersede exactly that key, leaving sibling keys' totals untouched
+    — the changelog latest-per-key contract (r11 log-structured
+    shape). Also pins retry idempotency: re-writing a batch id
+    replaces its _bid directory instead of double-appending."""
+    from datafusion_geo_spark.streaming.rollup import read_stream_rollup
     p = str(tmp_path / "roll2")
     cols = "hour long, event_type string, n_events long, sum_cents long, " \
            "min_value double, max_value double"
 
-    def upsert(batch):
-        (batch.repartition("hour", "event_type")
+    def upsert(rows, bid):
+        (spark.createDataFrame(rows, cols)
+         .withColumn("_bid", F.lit(bid).cast("long"))
+         .coalesce(1)
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("hour", "event_type").parquet(p))
+         .partitionBy("_bid").parquet(p))
 
-    upsert(spark.createDataFrame(
-        [(1, "click", 5, 500, 1.0, 9.0), (1, "view", 2, 200, 2.0, 3.0)],
-        cols))
-    # cumulative update for (1, click) only
-    upsert(spark.createDataFrame([(1, "click", 8, 800, 0.5, 9.0)], cols))
+    upsert([(1, "click", 5, 500, 1.0, 9.0),
+            (1, "view", 2, 200, 2.0, 3.0)], 0)
+    # cumulative update for (1, click) only, in a later batch
+    upsert([(1, "click", 8, 800, 0.5, 9.0)], 1)
     got = {(r["hour"], r["event_type"]): r["n_events"]
-           for r in spark.read.parquet(p).collect()}
+           for r in read_stream_rollup(spark, p).collect()}
     assert got == {(1, "click"): 8, (1, "view"): 2}
+    # retried batch 1 replaces itself (same totals land, no dup rows)
+    upsert([(1, "click", 8, 800, 0.5, 9.0)], 1)
+    again = {(r["hour"], r["event_type"]): r["n_events"]
+             for r in read_stream_rollup(spark, p).collect()}
+    assert again == got
+    import glob
+    assert len(glob.glob(f"{p}/_bid=1/*.parquet")) == 1
 
 
 def test_streaming_rollup_drops_null_ts(spark, tmp_path):
