@@ -270,6 +270,38 @@ def unigram_train(docs: DataFrame, text_col: str = "text",
     return fitted
 
 
+#: process-level memo of the (eagerly localCheckpoint-ed) word-token
+#: tables — the DP over the dict is seconds of work and the table is
+#: dict-sized; a stream-static join would otherwise re-run the DP for
+#: every micro-batch (streaming/drift.py streaming_unigram_fertility)
+_TOKTAB_CACHE: dict = {}
+
+
+def word_token_table(docs: DataFrame,
+                     fitted: List[Tuple[str, int, int]],
+                     text_col: str = "text",
+                     cache_key=None) -> DataFrame:
+    """(w, wtoks, wchars) for every dict word: the Viterbi DP run ONCE
+    per DISTINCT word (the dict is Zipf-small next to the corpus).
+    With a ``cache_key`` the frame is eagerly localCheckpoint-ed and
+    memoized, so consumers that re-evaluate their plan (streaming
+    micro-batches, repeated reports) reuse the computed table instead
+    of re-running the DP."""
+    smap = _score_map(fitted)
+    w = F.col("w")
+    dic = _dict_cached(docs, text_col, cache_key)
+    toks = dic.select(
+        "w", F.size(viterbi_pieces(w, viterbi_bests(w, smap), smap))
+        .cast("long").alias("wtoks"),
+        F.length("w").cast("long").alias("wchars"))
+    if cache_key is None:
+        return toks
+    k = (cache_key, text_col, tuple(fitted))
+    if k not in _TOKTAB_CACHE:
+        _TOKTAB_CACHE[k] = toks.localCheckpoint(eager=True)
+    return _TOKTAB_CACHE[k]
+
+
 def unigram_encode_stats(docs: DataFrame,
                          fitted: List[Tuple[str, int, int]],
                          group_col: str = "lang",
@@ -278,16 +310,10 @@ def unigram_encode_stats(docs: DataFrame,
     """Tokenize every dict word with the fitted vocab and report, per
     ``group_col``: exact word/token/char totals and the 6-dp fertility
     (tokens per word). The per-word token count is joined back onto
-    the corpus words (the dict is Zipf-small next to the corpus), so
-    the expensive DP runs once per DISTINCT word."""
+    the corpus words via :func:`word_token_table`, so the expensive DP
+    runs once per DISTINCT word."""
     from .text import _ratio6
-    smap = _score_map(fitted)
-    w = F.col("w")
-    dic = _dict_cached(docs, text_col, cache_key)
-    toks = dic.select(
-        "w", F.size(viterbi_pieces(w, viterbi_bests(w, smap), smap))
-        .cast("long").alias("wtoks"),
-        F.length("w").cast("long").alias("wchars"))
+    toks = word_token_table(docs, fitted, text_col, cache_key)
     corpus = (docs.select(F.col(group_col).alias("grp"),
                           F.explode(words_col(F.col(text_col)))
                           .alias("w"))

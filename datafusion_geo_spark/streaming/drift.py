@@ -148,25 +148,41 @@ def streaming_unigram_fertility(spark: SparkSession,
     aggregate (state = |langs| rows of 3 commutative int64 sums, no
     watermark — the streaming_wer story). The model is the OFFLINE
     fit (operators/unigram.py unigram_train, shared process memo with
-    unigram_vocab — fit batch, monitor the stream); the per-document
-    Viterbi token counts (fertility_row_cols) and the exact 6-dp tail
-    (fertility_finalize) are SHARED with the batch report, so the
-    bounded availableNow replay equals batch unigram_fertility and
-    the oracle is SHARED."""
-    from ..operators.unigram import (fertility_finalize,
-                                     fertility_row_cols, unigram_train)
+    unigram_vocab — fit batch, monitor the stream); the per-word
+    Viterbi token counts (word_token_table, stream-static broadcast
+    join) and the exact 6-dp tail (fertility_finalize) are SHARED
+    with the batch report, so the bounded availableNow replay equals
+    batch unigram_fertility and the oracle is SHARED."""
+    from ..operators.text import words_col
+    from ..operators.unigram import (MAX_WORD, fertility_finalize,
+                                     unigram_train, word_token_table)
     from ..sources.fixtures import load_documents_stream, load_table
     from .runner import run_bounded_complete
     batch = load_table(spark, sf_dir, "documents")
     fitted = unigram_train(batch, rounds=2, seed_multi_cap=128,
                            vocab_multi_cap=64,
                            cache_key=(sf_dir, "documents"))
+    # r11 (guide §1.2 "the distributed algorithm"): the DP runs once
+    # per DISTINCT word in the checkpointed word-token table (same
+    # frame the batch report joins), and the stream side is a
+    # stateless stream-static broadcast join — the previous shape
+    # re-ran the Viterbi fold inline per word OCCURRENCE per document
+    # and measured 95.6 s at sf0.1 vs the batch report's 1.1 s.
+    # Summing the per-word values over occurrences equals the
+    # per-document fold exactly (the DP is deterministic per word);
+    # the dict covers every stream word by construction (same corpus,
+    # same length filter). State stays |langs| rows of 3 int64 sums.
+    toks = word_token_table(batch, fitted,
+                            cache_key=(sf_dir, "documents"))
     s = (load_documents_stream(spark, sf_dir)
-         .select(F.col("lang"), *fertility_row_cols(fitted)))
+         .select(F.col("lang"),
+                 F.explode(words_col(F.col("text"))).alias("w"))
+         .where((F.col("w") != "") & (F.length("w") <= MAX_WORD))
+         .join(F.broadcast(toks), "w"))
     totals = (s.groupBy("lang")
-              .agg(F.sum("_nw").cast("long").alias("n_words"),
-                   F.sum("_nt").cast("long").alias("n_tokens"),
-                   F.sum("_nc").cast("long").alias("n_chars")))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                   F.sum("wtoks").cast("long").alias("n_tokens"),
+                   F.sum("wchars").cast("long").alias("n_chars")))
     return fertility_finalize(
         run_bounded_complete(totals, "stream_ufert_"))
 
