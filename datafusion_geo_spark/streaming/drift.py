@@ -127,9 +127,15 @@ def streaming_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded availableNow replay equals batch and the oracle is
     SHARED with wer_eval."""
     from ..operators.evals import wer_aggs, wer_finalize, wer_row_cols
-    from ..sources.fixtures import load_documents_stream
+    from ..sources.fixtures import _spread_stream, load_documents_stream
     from .runner import run_bounded_complete
-    d = (load_documents_stream(spark, sf_dir)
+    # r11 (guide §2.1 / §1.2): spread the one-file stream source across
+    # the cores BEFORE the per-pair encode+levenshtein projection — the
+    # file-stream source yields one partition per input file, so the
+    # heavy row map otherwise runs serially (17.6 s vs 1.2 s for the
+    # identical batch projection). Only `text` crosses the exchange.
+    d = (_spread_stream(load_documents_stream(spark, sf_dir)
+                        .select("text"))
          .select(F.col("text").alias("ref"),
                  F.regexp_replace(F.col("text"), r"\bdata\b", "info")
                  .alias("_t2")))
