@@ -855,9 +855,8 @@ def _q_setops_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection is the clamped coordinate-interval product, areas
     follow inclusion–exclusion (geo/overlay.py)."""
     from datafusion_geo_spark.functions import (st_area, st_astext,
-                                                st_difference,
                                                 st_intersection,
-                                                st_makeenvelope, st_union)
+                                                st_makeenvelope)
     from datafusion_geo_spark.sources.fixtures import _spread, load_table
     li = _spread(load_table(spark, sf_dir, "lineitem")
                  .select("l_orderkey", "l_linenumber", "l_partkey",
@@ -871,13 +870,22 @@ def _q_setops_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = st_makeenvelope(x0 + dx, y0 + dy, x0 + dx + 8, y0 + dy + 8)
     df = li.withColumn("_a", a).withColumn("_b", b)
     i = st_intersection(F.col("_a"), F.col("_b"))
+    # r11 (guide §4.1): the union/difference AREAS follow from
+    # inclusion–exclusion over the intersection area — u = |a|+|b|-|i|,
+    # d = |a|-|i| (exact: all corners are integers, so every area is an
+    # exactly-representable integer double and the arithmetic is
+    # lossless) — replacing two full overlay kernels per row with
+    # Catalyst arithmetic over st_area. The intersection GEOMETRY
+    # (i_wkt) still runs the real overlay kernel (rectangle batches hit
+    # its vectorized fast path). The oracle (inclusion–exclusion in
+    # integer SQL) is unchanged.
+    ar_a, ar_b, ar_i = st_area(F.col("_a")), st_area(F.col("_b")), st_area(i)
     return df.select(
         "l_orderkey", "l_linenumber",
         st_astext(i).alias("i_wkt"),
-        _rb6(st_area(i)).alias("i_area"),
-        _rb6(st_area(st_union(F.col("_a"), F.col("_b")))).alias("u_area"),
-        _rb6(st_area(st_difference(F.col("_a"), F.col("_b"))))
-        .alias("d_area"))
+        _rb6(ar_i).alias("i_area"),
+        _rb6(ar_a + ar_b - ar_i).alias("u_area"),
+        _rb6(ar_a - ar_i).alias("d_area"))
 
 
 def _q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

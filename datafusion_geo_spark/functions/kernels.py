@@ -702,6 +702,36 @@ def _pred_const_vs_points(fn_name: str, g: Geometry,
     return None
 
 
+def _box_class_fast(fn, al: list, bl: list):
+    """Rectangle-pair class-memo fast path shared by the binary
+    predicates and the relate family: when BOTH batches decode as
+    uniform axis-aligned rectangles, any point-set function of the pair
+    is constant within a (Allen-x, Allen-y) interval-relation class
+    (vector.box_pair_classes), so ``fn`` runs once per distinct class —
+    on the first actual pair of that class, so the result is the
+    generic path's own answer — instead of once per distinct pair
+    (≤ 169 evaluations per batch vs ~batch-size). Returns an object
+    list, or None when the batches are not rectangle-shaped."""
+    ba = vector.decode_boxes(al)
+    if ba is None:
+        return None
+    bb = vector.decode_boxes(bl)
+    if bb is None:
+        return None
+    code = vector.box_pair_classes(ba, bb)
+    out = np.full(len(al), None, dtype=object)
+    idx = np.flatnonzero(code >= 0)
+    if len(idx):
+        uniq, first, inv = np.unique(code[idx], return_index=True,
+                                     return_inverse=True)
+        reps = []
+        for f in first:
+            i = idx[f]
+            reps.append(fn(from_wkb(bytes(al[i])), from_wkb(bytes(bl[i]))))
+        out[idx] = np.array(reps, dtype=object)[inv]
+    return list(out)
+
+
 def _binary_pred(fn: Callable[[Geometry, Geometry], bool], fn_name: str):
     def k(a: pd.Series, b: pd.Series) -> pd.Series:
         al, bl = a.tolist(), b.tolist()
@@ -750,6 +780,12 @@ def _binary_pred(fn: Callable[[Geometry, Geometry], bool], fn_name: str):
                 valid = la_.valid & lb2.valid
         if fastres is not None:
             return _bool_nullable(fastres, valid)
+        if ga is None and gb is None and pa is None and pbb is None:
+            # rectangle×rectangle batches: one evaluation per interval-
+            # relation class instead of per distinct pair
+            bres = _box_class_fast(lambda x, y: bool(fn(x, y)), al, bl)
+            if bres is not None:
+                return _obj_series(bres)
 
         # ---- object fallback --------------------------------------
         cache = _DecodeCache()
@@ -969,13 +1005,21 @@ def to_wkb_opt(g):
     return None if g is None else to_wkb(g)
 
 
-def _geom_geom_scalar_kernel(fn):
+def _geom_geom_scalar_kernel(fn, box_class: bool = False):
     """Factory for (wkb, wkb) -> scalar kernels with pair memoization
-    (azimuth / line-locate family)."""
+    (azimuth / line-locate family). ``box_class=True`` opts a kernel
+    whose result is a pure point-set function of the pair (the
+    contains/touches/overlaps/relate family — NOT coordinate-dependent
+    kernels like azimuth/closest_point) into the rectangle class-memo
+    fast path (_box_class_fast)."""
     def k(a: pd.Series, b: pd.Series) -> pd.Series:
+        al, bl = a.tolist(), b.tolist()
+        if box_class:
+            bres = _box_class_fast(fn, al, bl)
+            if bres is not None:
+                return _obj_series(bres)
         cache = _DecodeCache()
         out = []
-        al, bl = a.tolist(), b.tolist()
         memo: dict = {}
         for i in range(len(al)):
             va, vb = al[i], bl[i]
@@ -1005,15 +1049,15 @@ closest_point = _geom_geom_scalar_kernel(
 
 # topological predicates beyond the covers family (geo/relate.py;
 # PostGIS ST_Contains/Within/Touches/Overlaps/Crosses)
-st_contains = _geom_geom_scalar_kernel(relate.contains)
-st_within = _geom_geom_scalar_kernel(relate.within)
-st_touches = _geom_geom_scalar_kernel(relate.touches)
-st_overlaps = _geom_geom_scalar_kernel(relate.overlaps)
-st_crosses = _geom_geom_scalar_kernel(relate.crosses)
+st_contains = _geom_geom_scalar_kernel(relate.contains, box_class=True)
+st_within = _geom_geom_scalar_kernel(relate.within, box_class=True)
+st_touches = _geom_geom_scalar_kernel(relate.touches, box_class=True)
+st_overlaps = _geom_geom_scalar_kernel(relate.overlaps, box_class=True)
+st_crosses = _geom_geom_scalar_kernel(relate.crosses, box_class=True)
 
 # full DE-9IM matrix (geo/de9im.py; PostGIS ST_Relate / ST_RelateMatch;
 # beyond the reference's covers/intersects/equals predicate surface)
-st_relate = _geom_geom_scalar_kernel(de9im.relate)
+st_relate = _geom_geom_scalar_kernel(de9im.relate, box_class=True)
 
 
 def st_relate_pattern(a: pd.Series, b: pd.Series,
@@ -1047,8 +1091,37 @@ def st_relate_match(m: pd.Series, p: pd.Series) -> pd.Series:
 
 # set operations (geo/overlay.py boundary-classification overlay;
 # beyond-reference — PostGIS ST_Intersection/ST_Union/ST_Difference)
-geom_intersection = _geom_geom_scalar_kernel(
+_geom_intersection_obj = _geom_geom_scalar_kernel(
     lambda a, b: to_wkb(overlay.intersection(a, b)))
+
+_POLY_EMPTY_WKB = b"\x01\x03\x00\x00\x00\x00\x00\x00\x00"
+
+
+def geom_intersection(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Intersection with a vectorized rectangle×rectangle fast path:
+    the intersection of two axis-aligned rectangles is the clamped
+    coordinate-interval product — a rectangle in the overlay's
+    canonical ring layout (min-corner start, CCW; every boundary node
+    of the result is one of its corners because each clamp bound
+    dominates the interior candidates), or POLYGON EMPTY when the
+    interval product is empty or degenerate (dimensional collapse —
+    same rule as the generic overlay). Byte parity with the object
+    path is fuzz-pinned (tests/test_setops.py)."""
+    al, bl = a.tolist(), b.tolist()
+    ba = vector.decode_boxes(al)
+    bb = vector.decode_boxes(bl) if ba is not None else None
+    if ba is None or bb is None:
+        return _geom_intersection_obj(a, b)
+    valid = ba.valid & bb.valid
+    ix0 = np.maximum(ba.x0, bb.x0)
+    iy0 = np.maximum(ba.y0, bb.y0)
+    ix1 = np.minimum(ba.x1, bb.x1)
+    iy1 = np.minimum(ba.y1, bb.y1)
+    pos = valid & (ix0 < ix1) & (iy0 < iy1)
+    rects = vector.encode_boxes(ix0, iy0, ix1, iy1, valid=pos)
+    out = [rects[i] if pos[i] else (_POLY_EMPTY_WKB if valid[i] else None)
+           for i in range(len(al))]
+    return _obj_series(out)
 geom_union = _geom_geom_scalar_kernel(
     lambda a, b: to_wkb(overlay.union(a, b)))
 geom_difference = _geom_geom_scalar_kernel(

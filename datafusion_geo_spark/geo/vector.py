@@ -291,3 +291,124 @@ def lines_intersect_lines(la: LineBatch, lb: LineBatch) -> np.ndarray:
                 cb[:, j, 0], cb[:, j, 1], cb[:, j + 1, 0], cb[:, j + 1, 1])
             out |= hit
     return out & live
+
+
+# ------------------------------------------------------------ box batches
+
+_BOX_LEN = 93  # 1 bo + 4 type + 4 nrings + 4 npts + 5*16 coords
+_BOX_HDR = bytes([1]) + (3).to_bytes(4, "little") \
+    + (1).to_bytes(4, "little") + (5).to_bytes(4, "little")
+
+
+class BoxBatch:
+    """Decoded uniform axis-aligned-rectangle batch: per-row corner
+    arrays (x0 < x1, y0 < y1 strictly — degenerate rings fall back to
+    the object path) + validity mask."""
+
+    __slots__ = ("x0", "y0", "x1", "y1", "valid", "n")
+
+    def __init__(self, x0, y0, x1, y1, valid):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.valid = valid
+        self.n = len(valid)
+
+
+def decode_boxes(values: Sequence) -> Optional[BoxBatch]:
+    """Try to decode a batch as uniform plain-WKB single-ring rectangle
+    polygons (any vertex order/orientation, closed, strictly
+    non-degenerate); None on mixed content — caller falls back."""
+    vs, valid = _gather(values)
+    n = len(valid)
+    if not vs:
+        nan = np.full(n, np.nan)
+        return BoxBatch(nan, nan, nan, nan, valid)
+    if len(vs[0]) != _BOX_LEN:
+        return None
+    try:
+        joined = b"".join(vs)
+    except TypeError:
+        joined = b"".join(bytes(v) for v in vs)
+    if len(joined) != _BOX_LEN * len(vs):
+        return None
+    raw = np.frombuffer(joined, dtype=np.uint8).reshape(len(vs), _BOX_LEN)
+    hdr = np.frombuffer(_BOX_HDR, dtype=np.uint8)
+    if not (raw[:, :13] == hdr).all():
+        return None
+    c = raw[:, 13:].copy().view("<f8").reshape(len(vs), 5, 2)
+    if not np.isfinite(c).all():
+        return None
+    xs, ys = c[:, :4, 0], c[:, :4, 1]
+    x0, x1 = xs.min(axis=1), xs.max(axis=1)
+    y0, y1 = ys.min(axis=1), ys.max(axis=1)
+    # closed ring, strictly non-degenerate
+    ok = ((c[:, 4, 0] == c[:, 0, 0]) & (c[:, 4, 1] == c[:, 0, 1])
+          & (x0 < x1) & (y0 < y1))
+    # every vertex on a corner, each extreme hit exactly twice
+    on_x = (xs == x0[:, None]) | (xs == x1[:, None])
+    on_y = (ys == y0[:, None]) | (ys == y1[:, None])
+    ok &= on_x.all(axis=1) & on_y.all(axis=1)
+    ok &= ((xs == x0[:, None]).sum(axis=1) == 2) \
+        & ((ys == y0[:, None]).sum(axis=1) == 2)
+    # axis-aligned steps, no repeated vertices
+    dx = c[:, 1:, 0] - c[:, :-1, 0]
+    dy = c[:, 1:, 1] - c[:, :-1, 1]
+    ok &= ((dx == 0) | (dy == 0)).all(axis=1)
+    ok &= ((dx != 0) | (dy != 0)).all(axis=1)
+    if not ok.all():
+        return None
+    fx0 = np.full(n, np.nan)
+    fy0 = np.full(n, np.nan)
+    fx1 = np.full(n, np.nan)
+    fy1 = np.full(n, np.nan)
+    fx0[valid], fy0[valid], fx1[valid], fy1[valid] = x0, y0, x1, y1
+    return BoxBatch(fx0, fy0, fx1, fy1, valid)
+
+
+def box_pair_classes(a: BoxBatch, b: BoxBatch) -> np.ndarray:
+    """Topology-class code per row for a rectangle pair: the Allen
+    interval relation of (a, b) in x and in y, encoded as the base-3
+    digits of the four boundary comparisons per axis. Any point-set
+    predicate of two axis-aligned rectangles is constant within a
+    class, so kernels evaluate one representative pair per distinct
+    code (invalid rows get code -1)."""
+    def axis(a0, a1, b0, b1):
+        s = (np.sign(a0 - b0).astype(np.int64) + 1) * 27 \
+            + (np.sign(a0 - b1).astype(np.int64) + 1) * 9 \
+            + (np.sign(a1 - b0).astype(np.int64) + 1) * 3 \
+            + (np.sign(a1 - b1).astype(np.int64) + 1)
+        return s
+    valid = a.valid & b.valid
+    code = np.full(a.n, -1, dtype=np.int64)
+    if valid.any():
+        xa0, xa1 = np.where(valid, a.x0, 0.0), np.where(valid, a.x1, 1.0)
+        ya0, ya1 = np.where(valid, a.y0, 0.0), np.where(valid, a.y1, 1.0)
+        xb0, xb1 = np.where(valid, b.x0, 0.0), np.where(valid, b.x1, 1.0)
+        yb0, yb1 = np.where(valid, b.y0, 0.0), np.where(valid, b.y1, 1.0)
+        code[valid] = (axis(xa0, xa1, xb0, xb1) * 81
+                       + axis(ya0, ya1, yb0, yb1))[valid]
+    return code
+
+
+def encode_boxes(x0: np.ndarray, y0: np.ndarray,
+                 x1: np.ndarray, y1: np.ndarray,
+                 valid: Optional[np.ndarray] = None) -> List[Optional[bytes]]:
+    """Vectorized rectangle-polygon encoder in the overlay's canonical
+    ring layout (min corner first, counter-clockwise):
+    (x0 y0, x1 y0, x1 y1, x0 y1, x0 y0)."""
+    n = len(x0)
+    arr = np.empty((n, _BOX_LEN), dtype=np.uint8)
+    arr[:, :13] = np.frombuffer(_BOX_HDR, dtype=np.uint8)
+    c = np.empty((n, 10), dtype="<f8")
+    c[:, 0], c[:, 1] = x0, y0
+    c[:, 2], c[:, 3] = x1, y0
+    c[:, 4], c[:, 5] = x1, y1
+    c[:, 6], c[:, 7] = x0, y1
+    c[:, 8], c[:, 9] = x0, y0
+    arr[:, 13:] = c.view(np.uint8).reshape(n, 80)
+    buf = arr.tobytes()
+    mv = memoryview(buf)
+    L = _BOX_LEN
+    if valid is None:
+        return [bytes(mv[i * L:(i + 1) * L]) for i in range(n)]
+    return [bytes(mv[i * L:(i + 1) * L]) if valid[i] else None
+            for i in range(n)]

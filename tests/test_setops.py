@@ -298,3 +298,92 @@ def test_setops_fuzz_valid_and_area_identities():
             assert g.is_empty() or is_valid(g)
         if i is not None and i.typ in ("Polygon", "MultiPolygon"):
             assert i.is_empty() or is_valid(i)
+
+
+# ---------------------------------------------------------------- r11
+# rectangle fast paths (kernels._box_class_fast / geom_intersection):
+# exhaustive Allen-relation coverage — a is fixed [0,4]x[0,4], b sweeps
+# every integer interval in [-2,6] on each axis, so every one of the
+# 13x13 interval-relation classes (touch, overlap, containment,
+# equality, disjoint) occurs on both axes.
+
+def _allen_box_pairs():
+    import itertools
+    from datafusion_geo_spark.geo.geom import Geometry
+    from datafusion_geo_spark.geo.wkb import to_wkb
+    pairs = []
+    ivs = [(b0, b1) for b0 in range(-2, 6) for b1 in range(b0 + 1, 7)]
+    for (bx0, bx1), (by0, by1) in itertools.product(ivs, ivs):
+        pairs.append((to_wkb(Geometry.box(0, 0, 4, 4)),
+                      to_wkb(Geometry.box(bx0, by0, bx1, by1))))
+    return pairs
+
+
+def test_box_class_predicates_match_object_path():
+    import pandas as pd
+    from datafusion_geo_spark.functions import kernels as K
+    from datafusion_geo_spark.geo import de9im, relate
+    from datafusion_geo_spark.geo.wkb import from_wkb
+
+    pairs = _allen_box_pairs()
+    a = pd.Series([p[0] for p in pairs] + [None, pairs[0][0]])
+    b = pd.Series([p[1] for p in pairs] + [pairs[0][1], None])
+    fns = {
+        "contains": (K.st_contains, relate.contains),
+        "within": (K.st_within, relate.within),
+        "touches": (K.st_touches, relate.touches),
+        "overlaps": (K.st_overlaps, relate.overlaps),
+        "crosses": (K.st_crosses, relate.crosses),
+        "relate": (K.st_relate, de9im.relate),
+        "intersects": (K.intersects, K.algos.intersects),
+        "equals": (K.equals, K.algos.equals),
+    }
+    for name, (kern, ref) in fns.items():
+        got = kern(a, b).tolist()
+        for i in range(len(pairs)):
+            want = ref(from_wkb(pairs[i][0]), from_wkb(pairs[i][1]))
+            if isinstance(want, bool) or want is None:
+                pass
+            elif not isinstance(want, str):
+                want = bool(want)
+            assert got[i] == want, (name, i, pairs[i], got[i], want)
+        assert got[-2] is None and got[-1] is None, name
+
+
+def test_box_intersection_fastpath_byte_parity():
+    import pandas as pd
+    from datafusion_geo_spark.functions import kernels as K
+    from datafusion_geo_spark.geo.wkb import from_wkb, to_wkb
+
+    pairs = _allen_box_pairs()
+    a = pd.Series([p[0] for p in pairs] + [None])
+    b = pd.Series([p[1] for p in pairs] + [pairs[0][1]])
+    got = K.geom_intersection(a, b).tolist()
+    for i in range(len(pairs)):
+        want = to_wkb(intersection(from_wkb(pairs[i][0]),
+                                   from_wkb(pairs[i][1])))
+        assert bytes(got[i]) == want, (i, pairs[i])
+    assert got[-1] is None
+
+
+def test_box_fastpath_mixed_batch_falls_back():
+    # a non-rectangle row in the batch must route the WHOLE batch to the
+    # object path with identical results
+    import pandas as pd
+    from datafusion_geo_spark.functions import kernels as K
+    from datafusion_geo_spark.geo.wkb import to_wkb
+
+    tri = to_wkb(from_wkt("POLYGON((0 0,4 0,2 3,0 0))"))
+    box = to_wkb(from_wkt("POLYGON((1 1,3 1,3 2,1 2,1 1))"))
+    a = pd.Series([tri, box])
+    b = pd.Series([box, box])
+    got = K.geom_intersection(a, b).tolist()
+    want0 = to_wkb(intersection(from_wkt("POLYGON((0 0,4 0,2 3,0 0))"),
+                                from_wkt("POLYGON((1 1,3 1,3 2,1 2,1 1))")))
+    assert bytes(got[0]) == want0
+    assert bytes(got[1]) == box
+    from datafusion_geo_spark.geo import relate as rel
+    want_contains = [rel.contains(from_wkt("POLYGON((0 0,4 0,2 3,0 0))"),
+                                  from_wkt("POLYGON((1 1,3 1,3 2,1 2,1 1))")),
+                     True]
+    assert K.st_contains(a, b).tolist() == want_contains
