@@ -349,7 +349,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                F.least(F.col("label"),
                                        F.coalesce(F.col("nmin"),
                                                   F.col("label")))
-                               .alias("label")))
+                               .alias("label"),
+                               F.col("label").alias("_prev")))
             # pointer jumping: also adopt the label OF my label (it is in
             # my component by induction), shortcutting chains so rounds
             # scale with log(diameter) instead of diameter — one extra
@@ -357,16 +358,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             # lattice-blob fixture (33 s -> 22 s single-linkage)
             hop = stepped.select(F.col("v").alias("v3"),
                                  F.col("label").alias("label3"))
+            # carry the PREVIOUS label through the round so convergence
+            # is a filter+count over the checkpointed rows — the r10
+            # shape re-joined old and new labels on v every round, one
+            # extra shuffle join per iteration (guide §2.4)
             new_labels = (stepped.join(hop,
                                        stepped.label == hop.v3, "left")
                           .select(F.col("v"),
                                   F.least(F.col("label"),
                                           F.coalesce(F.col("label3"),
                                                      F.col("label")))
-                                  .alias("label"))).localCheckpoint()
-            changed = (labels.alias("o").join(new_labels.alias("n"), "v")
-                       .where(F.col("o.label") != F.col("n.label")).count())
-            labels = new_labels
+                                  .alias("label"),
+                                  F.col("_prev"))).localCheckpoint()
+            changed = new_labels.where(
+                F.col("label") != F.col("_prev")).count()
+            labels = new_labels.drop("_prev")
             if changed == 0:
                 return labels.select(F.col("v").alias("doc_id"),
                                      F.col("label").alias("component"))
@@ -697,49 +703,89 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     s - ceil(t*s) + 1 RAREST shingles as join keys (any pair with
     J >= t = num/den must share one of them), so candidate volume is
     governed by rare-token selectivity instead of all shared tokens.
-    Verification is exact: intersection via a (pair x token) equi-join,
-    threshold test in integer cross-multiplication.
+    Verification is exact: intersection of the two docs' distinct
+    shingle ARRAYS (``array_intersect`` on the joined candidate row —
+    set semantics, identical to counting shared tokens), threshold
+    test in integer cross-multiplication.
 
     Scale shape: two shuffles on token (global df, prefix self-join) and
-    one on the candidate pair key; tokens with df > ``max_token_df``
-    never enter the prefix (the stop-word guard — same hot-bucket
-    rationale as _cap_buckets, and replayed verbatim by the oracle)."""
+    two id-keyed joins attaching the shingle arrays to the candidate
+    pairs; tokens with df > ``max_token_df`` never enter the prefix
+    (the stop-word guard — same hot-bucket rationale as _cap_buckets,
+    and replayed verbatim by the oracle).
+
+    r11 (guide §2.3 "aggregate before you shuffle" in reverse — stop
+    re-exploding): verification used to be a (pair x token) equi-join —
+    at sf0.1 that shuffled |cand| x ~52 tokens = 83M narrow rows twice
+    and spent 8 s in the pair groupBy; attaching each side's shingle
+    array once and intersecting in the JVM moves |cand| + 2x|docs| rows
+    instead (16.1 s -> see OPTIMIZATION_r11.md). A size filter drops
+    candidates that cannot reach the threshold (J >= t forces
+    den*min(sz) >= num*max(sz)) before the array joins — provably
+    output-preserving: it removes only pairs verification rejects."""
     from pyspark.sql import Window
     from .text import _idiv
 
-    toks = (df.select(F.col(id_col).alias("_id"),
-                      F.explode(F.array_distinct(
-                          word_shingles(F.col(text_col),
-                                        shingle_n))).alias("tok")))
-    sz = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    arr = F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+    # persisted: consumed three times (token explode + both sides of
+    # the verification join) — re-shingling the corpus per consumer
+    # costs a full text pass each (same discipline as lsh_pairs'
+    # banded persist; evicted LRU, size = one array row per doc)
+    arrs = df.select(F.col(id_col).alias("_id"), arr.alias("_arr"),
+                     F.size(arr).cast("long").alias("sz")).persist()
+    toks = arrs.select("_id", "sz", F.explode("_arr").alias("tok"))
     dft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
     if max_token_df is not None:
         dft = dft.where(F.col("dft") <= max_token_df)
-    ranked = (toks.join(dft, "tok").join(sz, "_id")
+    ranked = (toks.join(dft, "tok")
               .withColumn("r", F.row_number().over(
                   Window.partitionBy("_id").orderBy("dft", "tok"))))
     # prefix length = sz - ceil(t*sz) + 1, all int64
     need = _idiv(F.col("sz") * F.lit(threshold_num)
                  + F.lit(threshold_den - 1), F.lit(threshold_den))
     prefix = ranked.where(F.col("r") <= F.col("sz") - need + F.lit(1)) \
-                   .select("_id", "tok")
+                   .select("_id", "tok", "sz", "r")
+    # PPJoin positional filter (provably output-preserving): a shared
+    # prefix token at positions (ra, rb) of the two docs' identically-
+    # ordered token lists bounds the intersection by
+    #   min(ra, rb) - 1   shared tokens strictly before it
+    # + 1                 the token itself
+    # + min(sa-ra, sb-rb) shared tokens strictly after it,
+    # and J >= num/den forces |A∩B| >= alpha = ceil(num*(sa+sb) /
+    # (num+den)); a pair every shared prefix token of which bounds
+    # below alpha CANNOT pass verification, so dropping it here only
+    # removes pairs the final threshold test rejects. (The capped
+    # tokens all rank after every kept token — dft > cap is maximal in
+    # the ASC order — so r IS the token's true position and the bound
+    # stays valid with the stop-word guard on.)
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    ra, rb = F.col("a.r"), F.col("b.r")
+    alpha = _idiv(F.lit(threshold_num) * (sa + sb)
+                  + F.lit(threshold_num + threshold_den - 1),
+                  F.lit(threshold_num + threshold_den))
+    ubound = (F.least(ra, rb)
+              + F.least(sa - ra, sb - rb))
     cand = (prefix.alias("a").join(prefix.alias("b"), "tok")
-            .where(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"))
-            .distinct())
-    inter = (cand
-             .join(toks.select(F.col("_id").alias("id_a"),
-                               "tok"), "id_a")
-             .join(toks.select(F.col("_id").alias("id_b"),
-                               "tok"), ["id_b", "tok"])
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    out = (inter
-           .join(sz.select(F.col("_id").alias("id_a"),
-                           F.col("sz").alias("size_a")), "id_a")
-           .join(sz.select(F.col("_id").alias("id_b"),
-                           F.col("sz").alias("size_b")), "id_b")
+            .where((F.col("a._id") < F.col("b._id"))
+                   # size filter: J >= num/den needs the smaller set to
+                   # be at least t of the larger — cheap, exact prune
+                   & (F.least(sa, sb) * F.lit(threshold_den)
+                      >= F.greatest(sa, sb) * F.lit(threshold_num)))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+            .agg(F.min(ubound - alpha).alias("_slack"))
+            .where(F.col("_slack") >= 0)
+            .select("id_a", "id_b"))
+    out = (cand
+           .join(arrs.select(F.col("_id").alias("id_a"),
+                             F.col("_arr").alias("_aa"),
+                             F.col("sz").alias("size_a")), "id_a")
+           .join(arrs.select(F.col("_id").alias("id_b"),
+                             F.col("_arr").alias("_ab"),
+                             F.col("sz").alias("size_b")), "id_b")
+           .withColumn("inter",
+                       F.size(F.array_intersect("_aa", "_ab"))
+                       .cast("long"))
            .withColumn("union_sz",
                        F.col("size_a") + F.col("size_b") - F.col("inter")))
     return (out.where(F.col("inter") * F.lit(threshold_den)

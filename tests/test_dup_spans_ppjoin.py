@@ -167,3 +167,31 @@ def test_dup_spans_matches_brute_force(spark, doc_words):
            for r in dup_span_stats(df, n=n).collect()}
     want = _brute_spans(docs, n)
     assert got == want
+
+
+def test_ppjoin_r11_filters_lossless_fuzz(spark):
+    """r11 added a size filter and the PPJoin positional filter to
+    candidate generation plus array_intersect verification — all three
+    must be output-preserving. Fuzz random corpora (shared vocabulary,
+    duplicated and near-duplicated docs, varying lengths incl. sub-
+    3-gram) against the brute-force reference at several thresholds."""
+    import random
+    rng = random.Random(411)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(4):
+        docs = []
+        for d in range(40):
+            ln = rng.choice([2, 5, 8, 12, 20])
+            docs.append((d, " ".join(rng.choice(vocab)
+                                     for _ in range(ln))))
+        # exact + near copies so true pairs exist
+        docs.append((100, docs[0][1]))
+        docs.append((101, docs[1][1] + " extra tail words here"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for num, den in ((1, 2), (2, 3), (1, 3)):
+            got = {(r["id_a"], r["id_b"]): r["inter"]
+                   for r in jaccard_prefix_pairs(
+                       df, threshold_num=num, threshold_den=den,
+                       max_token_df=None).collect()}
+            assert got == _jacc_brute(docs, thr=num / den), \
+                (trial, num, den)
