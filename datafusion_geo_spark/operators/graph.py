@@ -40,29 +40,31 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
              .distinct().persist())
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = deg.select("src", F.lit(SCALE).cast("long").alias("rank_int"))
+    # deg rides INSIDE the ranks frame (r11, guide §2.4): the r10 loop
+    # re-joined deg onto the edge⋈rank row every round AND ran a
+    # separate left-join fallback — two extra shuffle joins per
+    # iteration. Per-vertex shares are now computed map-side on ranks,
+    # and the deg⋈sums left join both re-attaches deg and restores
+    # vertices that received nothing (teleport floor: coalesce(s, 0)).
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    ranks = deg.select("src", "deg",
+                       F.lit(SCALE).cast("long").alias("rank_int"))
     for _ in range(iters):
-        contrib = (edges.join(ranks, "src").join(deg, "src")
-                   .select(F.col("dst"),
-                           F.expr("rank_int div deg").alias("c")))
-        ranks = (contrib.groupBy("dst")
-                 .agg(F.sum("c").alias("s"))
-                 .select(F.col("dst").alias("src"),
+        share = ranks.select("src", F.expr("rank_int div deg").alias("c"))
+        sums = (edges.join(share, "src")
+                .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (deg.join(sums, deg.src == sums.dst, "left")
+                 .select(deg.src.alias("src"), "deg",
                          (F.lit(teleport)
-                          + F.expr(f"({damping_pct} * s) div 100"))
+                          + F.expr(f"({damping_pct} * coalesce(s, 0L))"
+                                   f" div 100"))
                          .cast("long").alias("rank_int")))
-        # vertices that received nothing this round fall back to the
-        # teleport floor (cannot happen on an undirected graph where
-        # every vertex has degree >= 1, kept for safety)
-        ranks = deg.select("src").join(ranks, "src", "left") \
-            .select("src", F.coalesce(F.col("rank_int"),
-                                      F.lit(teleport)).alias("rank_int"))
     # eager checkpoint cuts the iters-deep unrolled lineage AND lets the
     # edges cache be released now instead of leaking across calls
     out = (ranks.select(F.col("src").alias("id"), "rank_int")
            .localCheckpoint(eager=True))
     edges.unpersist()
+    deg.unpersist()
     return out
 
 
