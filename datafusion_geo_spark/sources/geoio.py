@@ -125,19 +125,51 @@ def write_geo_parquet(df: DataFrame, path: str, cell: float = 8.0,
             morton_key((F.col("xmin") + F.col("xmax")) / 2,
                        (F.col("ymin") + F.col("ymax")) / 2,
                        cell=cell / 16))
+    # extent metadata rides the write job itself as observed metrics
+    # (r11, guide §1.2 "don't compute things twice"): the old shape
+    # re-read every written file for a 2-double aggregate — a second
+    # full scan whose per-file open cost grows with the cell count.
+    from pyspark.sql import Observation
+    obs = Observation("geo_extent")
+    clustered = clustered.observe(
+        obs, F.max(F.col("xmax") - F.col("xmin")).alias("w"),
+        F.max(F.col("ymax") - F.col("ymin")).alias("h"))
     (clustered.write.mode(mode)
      .option("maxRecordsPerFile", 5_000_000)
      .partitionBy("cell_x", "cell_y").parquet(path))
-    # extent metadata from the WRITTEN files: a column-pruned native scan
-    # of 2 doubles, not a second pass through the bbox pandas UDF
-    spark = df.sparkSession
-    ext = (spark.read.parquet(path)
-           .agg(F.max(F.col("xmax") - F.col("xmin")).alias("w"),
-                F.max(F.col("ymax") - F.col("ymin")).alias("h")).first())
-    meta = spark.createDataFrame(
-        [(float(cell), float(ext["w"] or 0.0), float(ext["h"] or 0.0))],
-        "cell double, max_w double, max_h double")
-    meta.coalesce(1).write.mode("overwrite").parquet(path + "/_geo_meta")
+    ext = obs.get
+    # one 1-row sidecar file: written driver-side with pyarrow — a
+    # spark job (createDataFrame + coalesce(1) write) for one row cost
+    # ~0.5 s of scheduler/commit overhead per sink call
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    max_w, max_h = float(ext["w"] or 0.0), float(ext["h"] or 0.0)
+    old = _read_geo_meta(path)
+    if mode == "append" and old is not None:
+        # appended batches widen, never shrink, the recorded extent
+        max_w = max(max_w, float(old["max_w"]))
+        max_h = max(max_h, float(old["max_h"]))
+    os.makedirs(path + "/_geo_meta", exist_ok=True)
+    pq.write_table(
+        pa.table({"cell": pa.array([float(cell)], pa.float64()),
+                  "max_w": pa.array([max_w], pa.float64()),
+                  "max_h": pa.array([max_h], pa.float64())}),
+        os.path.join(path, "_geo_meta", "meta.parquet"))
+
+
+def _read_geo_meta(path: str) -> Optional[dict]:
+    """Driver-side read of the 1-row ``_geo_meta`` sidecar (any parquet
+    file in the dir — spark-written legacy part files included). A
+    spark.read job for one row cost ~0.5 s per windowed read."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    files = sorted(_glob.glob(os.path.join(path, "_geo_meta", "*.parquet")))
+    for f in files:
+        t = pq.read_table(f)
+        if t.num_rows:
+            return {c: t.column(c)[0].as_py() for c in t.column_names}
+    return None
 
 
 def read_geo_parquet(spark: SparkSession, path: str,
@@ -161,7 +193,7 @@ def read_geo_parquet(spark: SparkSession, path: str,
     import math
     slop_x, slop_y = 1, 1
     try:
-        meta = spark.read.parquet(path + "/_geo_meta").first()
+        meta = _read_geo_meta(path)
         mcell = float(meta["cell"])
         # centroid of a geometry with half-extent hw can sit up to
         # ceil(hw/cell) cells away from any cell its bbox overlaps
