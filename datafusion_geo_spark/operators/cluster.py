@@ -96,17 +96,25 @@ def dbscan_points(df: DataFrame, eps: float, min_pts: int,
         raise ValueError(f"dbscan_points: min_pts must be >= 1, got {min_pts}")
     ids = df.select(F.col(id_col).alias("_pid")).persist()
     pairs = eps_neighbor_pairs(df, eps, id_col, x_col, y_col).persist()
+    # eager materialization (lazy-persist race, see dedup.py
+    # jaccard_prefix_pairs): the core aggregate, both core_edges joins
+    # and the border path all scan ``pairs`` as parallel stages of the
+    # first components action — a lazy persist re-runs the eps cell
+    # join once per stage
+    pairs.count()
     try:
         core = (pairs.groupBy("ia").agg(F.count("*").alias("_deg"))
                 .where(F.col("_deg") >= min_pts)
                 .select(F.col("ia").alias("_core_id"))).persist()
+        core.count()
         core_edges = (pairs
                       .join(core.withColumnRenamed("_core_id", "ia"), "ia")
                       .join(core.withColumnRenamed("_core_id", "ib"), "ib"))
         # components gives every core vertex a label (self-pairs ensure
         # isolated-but-dense vertices, e.g. min_pts duplicates at one
         # coordinate, still appear as their own edge).
-        comp = connected_components(core_edges, "ia", "ib", max_iter=64)
+        comp = connected_components(core_edges, "ia", "ib", max_iter=64,
+                                    symmetric=True)
         core_lab = comp.select(F.col("doc_id").alias(id_col),
                                F.lit(True).alias("is_core"),
                                F.col("component").alias("cluster"))
@@ -147,7 +155,8 @@ def cluster_within_points(df: DataFrame, d: float, id_col: str = "id",
     Returns (id_col, cluster) with cluster = min reachable point id,
     the same deterministic labeling as :func:`dbscan_points`."""
     pairs = eps_neighbor_pairs(df, d, id_col, x_col, y_col)
-    comp = connected_components(pairs, "ia", "ib", max_iter=64)
+    comp = connected_components(pairs, "ia", "ib", max_iter=64,
+                                symmetric=True)
     return comp.select(F.col("doc_id").alias(id_col),
                        F.col("component").alias("cluster"))
 

