@@ -35,11 +35,15 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     if not (0 <= damping_pct <= 100):
         raise ValueError("damping_pct must be in [0, 100]")
     teleport = (100 - damping_pct) * SCALE // 100
+    # cached pre-partitioned by src (r11, guide §2.4 — the CC
+    # discipline): every iteration's edges⋈share join and the degree
+    # aggregate reuse the cached partitioning, so the edge relation is
+    # shuffled once per CALL instead of once per iteration
     edges = (pairs.select(F.col(id_a).alias("src"),
                           F.col(id_b).alias("dst"))
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst")))
-             .distinct().persist())
+             .distinct().repartition("src").persist())
     # deg rides INSIDE the ranks frame (r11, guide §2.4): the r10 loop
     # re-joined deg onto the edge⋈rank row every round AND ran a
     # separate left-join fallback — two extra shuffle joins per

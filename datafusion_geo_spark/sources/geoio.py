@@ -343,50 +343,40 @@ def write_geoparquet_std(df: DataFrame, path: str,
         raise ValueError(f"write_geoparquet_std: path exists: {path}")
     os.makedirs(path, exist_ok=True)
 
-    iso = df.withColumn(geom_col, st_setsrid(F.col(geom_col), 0))
-    b = box2d(F.col(geom_col))
-    stats = (df.select(st_geometrytype(F.col(geom_col)).alias("_t"),
-                       st_srid(F.col(geom_col)).alias("_s"),
-                       b["xmin"].alias("_x0"), b["ymin"].alias("_y0"),
-                       b["xmax"].alias("_x1"), b["ymax"].alias("_y1"))
-             .agg(F.sort_array(F.collect_set("_t")).alias("types"),
-                  F.sort_array(F.collect_set("_s")).alias("srids"),
-                  F.min("_x0").alias("x0"), F.min("_y0").alias("y0"),
-                  F.max("_x1").alias("x1"), F.max("_y1").alias("y1"))
-             .first())
-    if crs_projjson is None:
-        from ..geo.proj import CRS_META, projjson
-        srids = [s for s in (stats["srids"] or []) if s]
-        if len(srids) == 1 and srids[0] != 4326 and srids[0] in CRS_META:
-            crs_projjson = projjson(srids[0])
-    col_meta = {
-        "encoding": "WKB",
-        # engine type names are PostGIS-style ST_Point -> spec Point
-        "geometry_types": [t[3:] if t.startswith("ST_") else t
-                           for t in (stats["types"] or [])],
-    }
+    # ONE corpus pass (r11, guide §1.2 "don't skip ahead of the
+    # algorithm"): the r10 shape ran a separate stats aggregate
+    # (geometry types + SRID set + dataset bbox, each through the
+    # Python kernels) BEFORE the write job — a second full pass that
+    # cost ~1.4 s of the 4.5 s sink at sf0.1. The stats now ride the
+    # write job itself as hidden helper columns (fused into the same
+    # ArrowEvalPython crossing as the ISO re-encode), are aggregated
+    # per task, and come back on the task report rows; the
+    # dataset-level ``geo`` is assembled driver-side from the reports.
+    # Per-file footers carry the FILE's own geometry_types/bbox (the
+    # spec's file-describes-itself reading) and, when ``crs_projjson``
+    # is not given, a registry PROJJSON iff the FILE's SRIDs are one
+    # registered non-4326 code; dataset-level readers take the
+    # manifest ``geo`` (geoparquet_metadata prefers it), so a
+    # mixed-SRID dataset still reads back crs-less exactly as before.
+    # SRID must be read BEFORE the ISO re-encode strips it; the helper
+    # column fuses into the same Python crossing as the strip itself
+    iso = (df.withColumn("__gp_s", st_srid(F.col(geom_col)))
+           .withColumn(geom_col, st_setsrid(F.col(geom_col), 0)))
+    explicit_crs = crs_projjson
+    col_meta = {"encoding": "WKB", "geometry_types": []}
     if covering:
         col_meta["covering"] = {"bbox": {
             "xmin": ["bbox", "xmin"], "ymin": ["bbox", "ymin"],
             "xmax": ["bbox", "xmax"], "ymax": ["bbox", "ymax"]}}
-    if stats["x0"] is not None:
-        col_meta["bbox"] = [stats["x0"], stats["y0"],
-                            stats["x1"], stats["y1"]]
-    if crs_projjson is not None:
-        col_meta["crs"] = crs_projjson
+    if explicit_crs is not None:
+        col_meta["crs"] = explicit_crs
     geo = {"version": GEOPARQUET_VERSION,
            "primary_column": geom_col,
            "columns": {geom_col: col_meta}}
     geo_bytes = json.dumps(geo, sort_keys=True).encode("utf-8")
 
-    # Per-FILE bbox (r10 verdict item 4): each task rewrites its own
-    # ``geo`` key with the bbox of the geometries IN THAT FILE (the
-    # spec's reading — file metadata describes the file), computed
-    # from hidden Box2D helper columns that are aggregated and
-    # dropped inside the task. This is what makes the read side's
-    # footer-bbox file pruning effective; the returned dict (and the
-    # zero-row file) keep the dataset-level bbox.
-    _HX = ["__gp_x0", "__gp_y0", "__gp_x1", "__gp_y1"]
+    _HX = ["__gp_x0", "__gp_y0", "__gp_x1", "__gp_y1",
+           "__gp_t", "__gp_s"]
     bx = box2d(F.col(geom_col))
     withbb = iso
     if covering:  # persisted covering column, spec field names
@@ -396,7 +386,9 @@ def write_geoparquet_std(df: DataFrame, path: str,
     withbb = (withbb.withColumn(_HX[0], bx["xmin"])
               .withColumn(_HX[1], bx["ymin"])
               .withColumn(_HX[2], bx["xmax"])
-              .withColumn(_HX[3], bx["ymax"]))
+              .withColumn(_HX[3], bx["ymax"])
+              .withColumn(_HX[4], st_geometrytype(F.col(geom_col))))
+    # _HX[5] == "__gp_s", already added before the ISO strip above
 
     def _write(batches):
         import pyarrow as pa
@@ -411,13 +403,20 @@ def write_geoparquet_std(df: DataFrame, path: str,
         chunks = []
         n = 0
         fb = [None, None, None, None]  # file bbox accumulators
+        ftypes: set = set()            # file geometry-type names
+        fsrids: set = set()            # file SRID set (non-null)
         for batch in batches:
-            for j, (cname, agg) in enumerate(zip(
-                    _HX, (pc.min, pc.min, pc.max, pc.max))):
-                v = agg(batch.column(cname)).as_py()
+            for j, agg in enumerate((pc.min, pc.min, pc.max, pc.max)):
+                v = agg(batch.column(_HX[j])).as_py()
                 if v is not None:
                     fb[j] = v if fb[j] is None else \
                         (min if j < 2 else max)(fb[j], v)
+            ftypes.update(
+                t for t in pc.unique(batch.column(_HX[4])).to_pylist()
+                if t is not None)
+            fsrids.update(
+                s for s in pc.unique(batch.column(_HX[5])).to_pylist()
+                if s is not None and s != 0)
             keep = [i for i, f_ in enumerate(batch.schema)
                     if f_.name not in _HX]
             chunks.append(batch.select(keep))
@@ -425,10 +424,19 @@ def write_geoparquet_std(df: DataFrame, path: str,
         if chunks:
             fgeo = json.loads(geo_bytes.decode("utf-8"))
             fcol = fgeo["columns"][geom_col]
+            # engine names are PostGIS-style ST_Point -> spec Point
+            fcol["geometry_types"] = sorted(
+                t[3:] if t.startswith("ST_") else t for t in ftypes)
             if fb[0] is not None:
                 fcol["bbox"] = fb
             else:
                 fcol.pop("bbox", None)  # all-NULL-geometry file
+            if explicit_crs is None:
+                from datafusion_geo_spark.geo.proj import (CRS_META,
+                                                           projjson)
+                fs = sorted(fsrids)
+                if len(fs) == 1 and fs[0] != 4326 and fs[0] in CRS_META:
+                    fcol["crs"] = projjson(fs[0])
             fbytes = json.dumps(fgeo, sort_keys=True).encode("utf-8")
             table = pa.Table.from_batches(chunks)
             table = table.replace_schema_metadata(
@@ -441,15 +449,41 @@ def write_geoparquet_std(df: DataFrame, path: str,
                  "xmin": pa.array([fb[0]], type=pa.float64()),
                  "ymin": pa.array([fb[1]], type=pa.float64()),
                  "xmax": pa.array([fb[2]], type=pa.float64()),
-                 "ymax": pa.array([fb[3]], type=pa.float64())})
+                 "ymax": pa.array([fb[3]], type=pa.float64()),
+                 "types": pa.array([sorted(ftypes)],
+                                   type=pa.list_(pa.string())),
+                 "srids": pa.array([sorted(fsrids)],
+                                   type=pa.list_(pa.int64()))})
 
     written = withbb.mapInArrow(
         _write, "file string, rows long, xmin double, ymin double, "
-                "xmax double, ymax double").collect()
+                "xmax double, ymax double, types array<string>, "
+                "srids array<long>").collect()
+    # dataset-level geo: the union of the per-task stats (the same
+    # values the r10 pre-pass aggregated, now for free)
+    all_types = sorted({t for r in written for t in (r["types"] or [])})
+    all_srids = sorted({s for r in written for s in (r["srids"] or [])})
+    col_meta["geometry_types"] = [t[3:] if t.startswith("ST_") else t
+                                  for t in all_types]
+    xs = [r for r in written if r["xmin"] is not None]
+    if xs:
+        col_meta["bbox"] = [min(r["xmin"] for r in xs),
+                            min(r["ymin"] for r in xs),
+                            max(r["xmax"] for r in xs),
+                            max(r["ymax"] for r in xs)]
+    if explicit_crs is None:
+        from ..geo.proj import CRS_META, projjson
+        if (len(all_srids) == 1 and all_srids[0] != 4326
+                and all_srids[0] in CRS_META):
+            col_meta["crs"] = projjson(all_srids[0])
+    geo = {"version": GEOPARQUET_VERSION,
+           "primary_column": geom_col,
+           "columns": {geom_col: col_meta}}
+    geo_bytes = json.dumps(geo, sort_keys=True).encode("utf-8")
     if not written:  # empty input: still emit one all-metadata file
         import pyarrow as pa
         import pyarrow.parquet as pq
-        empty = spark_schema_to_arrow(iso)
+        empty = spark_schema_to_arrow(iso.drop("__gp_s"))
         pq.write_table(
             empty.replace_schema_metadata({b"geo": geo_bytes}),
             os.path.join(path, "part-00000.parquet"))
@@ -497,18 +531,31 @@ def _arrow_type(dt):
 
 
 def geoparquet_metadata(path: str) -> Optional[dict]:
-    """Read back the ``geo`` footer key of a GeoParquet dataset (from
-    the first data file — the spec requires every file to carry it).
-    None when the dataset has no GeoParquet metadata. NOTE: ``bbox``
-    in the result is the FIRST FILE's bbox (file metadata describes
-    the file); the dataset-invariant keys (primary_column, encoding,
-    geometry_types, crs, covering) are what dataset-level callers
-    should consume. For the dataset extent, aggregate the per-file
-    bboxes (as ``read_geoparquet_std``'s pruning does)."""
+    """Read back the DATASET-level ``geo`` metadata of a GeoParquet
+    dataset. Preferred source (r11): the sink's ``_geo_manifest.json``
+    sidecar, whose ``geo`` key is assembled from every task's stats —
+    since the r11 single-pass sink, per-FILE footers carry the file's
+    OWN geometry_types/bbox (and a crs only when that file's SRIDs
+    allow one), so the manifest is the authoritative dataset view.
+    Fallback for datasets written by other tools: the first data
+    file's footer (the spec requires every file to carry the key).
+    None when the dataset has no GeoParquet metadata anywhere. NOTE:
+    on the footer-fallback path ``bbox`` is that FILE's bbox; for the
+    dataset extent, aggregate the per-file bboxes (as
+    ``read_geoparquet_std``'s pruning does)."""
     import glob
     import json
 
     import pyarrow.parquet as pq
+    mpath = os.path.join(path, "_geo_manifest.json")
+    if os.path.exists(mpath):
+        try:
+            with open(mpath, encoding="utf-8") as fh:
+                mgeo = json.load(fh).get("geo")
+            if mgeo is not None:
+                return mgeo
+        except Exception:
+            pass  # corrupt sidecar → footer fallback
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
         md = pq.read_schema(f).metadata or {}
         if b"geo" in md:
