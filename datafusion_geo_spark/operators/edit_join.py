@@ -79,14 +79,23 @@ def edit_distance_join(df: DataFrame, col: str, k: int = 2) -> DataFrame:
     built-in ``levenshtein`` verify, entirely inside codegen. The
     length filter |len(a) − len(b)| ≤ k prunes candidates before the
     pair dedup shuffle."""
-    from .dedup import h64
     s = (df.select(F.col(col).cast("string").alias("s"))
          .where(F.col("s").isNotNull() & (F.trim(F.col("s")) != ""))
          .distinct())
+    # the variant key is INTERNAL: any hash gives the identical output
+    # (a collision only adds a candidate the exact levenshtein filter
+    # removes; same-string variants always collide-by-design), so use
+    # the codegen'd xxhash64 instead of md5-hex→conv (r11, guide §4.1)
     ex = (s.select("s", F.length("s").alias("_len"),
                    F.explode(deletion_variants(F.col("s"), k))
                    .alias("_v"))
-          .select("s", "_len", h64(F.col("_v")).alias("_vh")))
+          .select("s", "_len", F.xxhash64(F.col("_v")).alias("_vh"))
+          .persist())
+    # eager: both sides of the variant self-join scan ``ex`` as
+    # parallel stages of one action (lazy-persist race — see
+    # dedup.jaccard_prefix_pairs); a lazy persist re-runs the variant
+    # explode + hash per side
+    ex.count()
     a = ex.select(F.col("s").alias("a"), F.col("_len").alias("_la"),
                   "_vh")
     b = ex.select(F.col("s").alias("b"), F.col("_len").alias("_lb"),
