@@ -1065,10 +1065,13 @@ def pq_search(vecs: DataFrame, m: int = 8, ksub: int = 16,
     raw floats, the entire point of PQ. Per-entry contributions round
     to integer micro units before the sum, making scores fold-order
     independent. Returns (query_id, neighbor_id, score_micro, rank)."""
-    dim = len(vecs.select("v").first()["v"])
-    d = dim // m
     cb = pq_train_cached(vecs, m, ksub, iters, id_col,
                          cache_key=cache_key)
+    # subspace width from the fitted codebook — the r10 shape probed
+    # the corpus with a one-row first() just to learn the dimension,
+    # an extra Spark job per call (pq_train already derives and
+    # validates dim % m == 0 from its own training sample)
+    d = len(cb[0][2])
     codes = pq_encode(vecs, cb, m, d, id_col)
     spark = vecs.sparkSession
     cdf = spark.createDataFrame(cb, "s int, cid int, cvec array<double>")
