@@ -22,10 +22,13 @@ composition of existing scale-safe pieces:
 At 100 TB the dominant cost is the pair join, whose per-cell work is
 quadratic in cell population. DBSCAN's own parameters bound that: a use
 case with eps chosen so that millions of points share one eps-cell has
-degenerate clustering anyway (everything is one cluster). For heavy
-duplicate-coordinate skew, pre-aggregate identical (x, y) into weighted
-points before calling this (multiplicity only matters through the
-neighbor COUNT, which becomes a SUM of weights).
+degenerate clustering anyway (everything is one cluster).
+Duplicate-coordinate skew is handled INSIDE the operators (r11):
+identical (x, y) points are contracted to one weighted coordinate
+group before the pair join (multiplicity only matters through the
+neighbor COUNT, which becomes a SUM of weights), members inherit
+their group's outcome, and the per-cell pair work becomes quadratic
+in DISTINCT coordinates per cell.
 
 No reference counterpart: /root/reference/src has no clustering kernel;
 semantics follow PostGIS ST_ClusterDBSCAN (minpoints as the core
@@ -33,6 +36,8 @@ threshold, border adoption, NULL for noise).
 """
 
 from __future__ import annotations
+
+from typing import Optional, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -44,7 +49,8 @@ __all__ = ["cluster_within_points", "dbscan_points",
 
 
 def eps_neighbor_pairs(df: DataFrame, eps: float, id_col: str = "id",
-                       x_col: str = "x", y_col: str = "y") -> DataFrame:
+                       x_col: str = "x", y_col: str = "y",
+                       carry: Optional[Sequence[str]] = None) -> DataFrame:
     """All ordered pairs (ia, ib) with euclidean distance <= eps,
     INCLUDING the self-pair (ia == ib, distance 0) — the raw
     eps-neighborhood relation N_eps.
@@ -54,12 +60,19 @@ def eps_neighbor_pairs(df: DataFrame, eps: float, id_col: str = "id",
     (which must lie in adjacent cells) is generated exactly once — no
     distinct() pass. Everything is JVM-side integer/double arithmetic;
     one shuffle on the compact (cx, cy) key.
+
+    ``carry`` lists extra input columns carried through on the *ib*
+    side as ``ib<name>`` (e.g. a weight column ``_w`` → ``ib_w``) —
+    the weighted-degree hook for the coordinate-group contraction in
+    :func:`dbscan_points`.
     """
     if eps <= 0:
         raise ValueError(f"eps_neighbor_pairs: eps must be > 0, got {eps}")
+    carry = list(carry or [])
     pts = df.select(F.col(id_col).alias("_pid"),
                     F.col(x_col).cast("double").alias("_px"),
-                    F.col(y_col).cast("double").alias("_py"))
+                    F.col(y_col).cast("double").alias("_py"),
+                    *[F.col(c) for c in carry])
     cx = F.floor(F.col("_px") / eps)
     cy = F.floor(F.col("_py") / eps)
     three = F.array(F.lit(-1), F.lit(0), F.lit(1))
@@ -72,12 +85,13 @@ def eps_neighbor_pairs(df: DataFrame, eps: float, id_col: str = "id",
                     (F.col("_cy0") + F.col("_dy")).alias("_cy")))
     right = pts.select(F.col("_pid").alias("ib"),
                        F.col("_px").alias("_bx"), F.col("_py").alias("_by"),
-                       cx.alias("_cx"), cy.alias("_cy"))
+                       cx.alias("_cx"), cy.alias("_cy"),
+                       *[F.col(c).alias(f"ib{c}") for c in carry])
     dx = F.col("_ax") - F.col("_bx")
     dy = F.col("_ay") - F.col("_by")
     return (left.join(right, ["_cx", "_cy"])
             .where(dx * dx + dy * dy <= F.lit(float(eps) * float(eps)))
-            .select("ia", "ib"))
+            .select("ia", "ib", *[f"ib{c}" for c in carry]))
 
 
 def dbscan_points(df: DataFrame, eps: float, min_pts: int,
@@ -95,39 +109,69 @@ def dbscan_points(df: DataFrame, eps: float, min_pts: int,
     if min_pts < 1:
         raise ValueError(f"dbscan_points: min_pts must be >= 1, got {min_pts}")
     ids = df.select(F.col(id_col).alias("_pid")).persist()
-    pairs = eps_neighbor_pairs(df, eps, id_col, x_col, y_col).persist()
+    pts = df.select(F.col(id_col).alias("_pid"),
+                    F.col(x_col).cast("double").alias("_px"),
+                    F.col(y_col).cast("double").alias("_py"))
+    # COORDINATE-GROUP CONTRACTION (r11 — the duplicate-coordinate
+    # pre-aggregation the module docstring prescribes, now built in):
+    # points sharing an exact (x, y) have identical eps-neighborhoods,
+    # identical core status, and are mutually within eps (distance 0),
+    # so the whole algorithm runs on DISTINCT coordinates carrying a
+    # weight, and members inherit their group's outcome. Exactness:
+    #   deg(point) = Σ weights of coordinate groups within eps
+    #                (incl. its own — the self-pair), so is_core is a
+    #                group property;
+    #   the core point graph and the core GROUP graph have the same
+    #   components (same-coordinate core points are mutually linked),
+    #   and each group's min member id IS the group id, so min
+    #   reachable point id = min reachable group id;
+    #   a border point's core neighbors = members of its core
+    #   neighbor groups.
+    # At scale this is the duplicate-skew kill: per-cell pair work is
+    # quadratic in DISTINCT coordinates per cell, not points (the
+    # bench lattice has ~8 points per position → 64× fewer pair rows).
+    grp = (pts.groupBy("_px", "_py")
+           .agg(F.min("_pid").alias("_gid"),
+                F.count(F.lit(1)).alias("_w"))).persist()
     # eager materialization (lazy-persist race, see dedup.py
-    # jaccard_prefix_pairs): the core aggregate, both core_edges joins
-    # and the border path all scan ``pairs`` as parallel stages of the
-    # first components action — a lazy persist re-runs the eps cell
-    # join once per stage
+    # jaccard_prefix_pairs): the pair join's two sides and the member
+    # join all scan ``grp`` as parallel stages
+    grp.count()
+    gpts = grp.select(F.col("_gid").alias("id"), F.col("_px").alias("x"),
+                      F.col("_py").alias("y"), F.col("_w"))
+    pairs = (eps_neighbor_pairs(gpts, eps, carry=["_w"])).persist()
     pairs.count()
+    mem = pts.join(grp, ["_px", "_py"]).select("_pid", "_gid")
     try:
-        core = (pairs.groupBy("ia").agg(F.count("*").alias("_deg"))
+        core = (pairs.groupBy("ia").agg(F.sum("ib_w").alias("_deg"))
                 .where(F.col("_deg") >= min_pts)
                 .select(F.col("ia").alias("_core_id"))).persist()
         core.count()
-        core_edges = (pairs
+        core_edges = (pairs.select("ia", "ib")
                       .join(core.withColumnRenamed("_core_id", "ia"), "ia")
                       .join(core.withColumnRenamed("_core_id", "ib"), "ib"))
-        # components gives every core vertex a label (self-pairs ensure
-        # isolated-but-dense vertices, e.g. min_pts duplicates at one
+        # components gives every core group a label (self-pairs ensure
+        # isolated-but-dense groups, e.g. min_pts duplicates at one
         # coordinate, still appear as their own edge).
         comp = connected_components(core_edges, "ia", "ib", max_iter=64,
                                     symmetric=True)
-        core_lab = comp.select(F.col("doc_id").alias(id_col),
-                               F.lit(True).alias("is_core"),
-                               F.col("component").alias("cluster"))
-        # border: non-core points adopting min cluster over core nbrs
-        border = (pairs
-                  .join(core.withColumnRenamed("_core_id", "ib"), "ib")
-                  .join(core.withColumnRenamed("_core_id", "ia"), "ia",
-                        "left_anti")
-                  .join(comp.select(F.col("doc_id").alias("ib"),
-                                    F.col("component")), "ib")
-                  .groupBy("ia")
-                  .agg(F.min("component").alias("cluster"))
-                  .select(F.col("ia").alias(id_col),
+        core_lab = (mem.join(comp.select(F.col("doc_id").alias("_gid"),
+                                         F.col("component")), "_gid")
+                    .select(F.col("_pid").alias(id_col),
+                            F.lit(True).alias("is_core"),
+                            F.col("component").alias("cluster")))
+        # border: members of non-core groups adopting the min cluster
+        # over their core neighbor groups
+        bgrp = (pairs.select("ia", "ib")
+                .join(core.withColumnRenamed("_core_id", "ib"), "ib")
+                .join(core.withColumnRenamed("_core_id", "ia"), "ia",
+                      "left_anti")
+                .join(comp.select(F.col("doc_id").alias("ib"),
+                                  F.col("component")), "ib")
+                .groupBy("ia")
+                .agg(F.min("component").alias("cluster")))
+        border = (mem.join(bgrp.withColumnRenamed("ia", "_gid"), "_gid")
+                  .select(F.col("_pid").alias(id_col),
                           F.lit(False).alias("is_core"), "cluster"))
         labeled = core_lab.unionByName(border)
         noise = (ids.join(labeled.select(F.col(id_col).alias("_pid")),
@@ -140,6 +184,7 @@ def dbscan_points(df: DataFrame, eps: float, min_pts: int,
         return out.localCheckpoint()
     finally:
         pairs.unpersist()
+        grp.unpersist()
         ids.unpersist()
         try:
             core.unpersist()
@@ -153,12 +198,29 @@ def cluster_within_points(df: DataFrame, d: float, id_col: str = "id",
     points within distance ``d`` — exactly DBSCAN with min_pts=1
     (every point is core, so there are no borders and no noise).
     Returns (id_col, cluster) with cluster = min reachable point id,
-    the same deterministic labeling as :func:`dbscan_points`."""
-    pairs = eps_neighbor_pairs(df, d, id_col, x_col, y_col)
+    the same deterministic labeling as :func:`dbscan_points` — and the
+    same coordinate-group contraction: components run over DISTINCT
+    coordinates, members inherit their group's label (exact: same-
+    coordinate points are mutually within d, and each group's min
+    member id is the group id)."""
+    pts = df.select(F.col(id_col).alias("_pid"),
+                    F.col(x_col).cast("double").alias("_px"),
+                    F.col(y_col).cast("double").alias("_py"))
+    grp = (pts.groupBy("_px", "_py")
+           .agg(F.min("_pid").alias("_gid"))).persist()
+    grp.count()
+    gpts = grp.select(F.col("_gid").alias("id"), F.col("_px").alias("x"),
+                      F.col("_py").alias("y"))
+    pairs = eps_neighbor_pairs(gpts, d)
     comp = connected_components(pairs, "ia", "ib", max_iter=64,
                                 symmetric=True)
-    return comp.select(F.col("doc_id").alias(id_col),
-                       F.col("component").alias("cluster"))
+    out = (pts.join(grp, ["_px", "_py"])
+           .join(comp.select(F.col("doc_id").alias("_gid"),
+                             F.col("component")), "_gid")
+           .select(F.col("_pid").alias(id_col),
+                   F.col("component").alias("cluster"))).localCheckpoint()
+    grp.unpersist()
+    return out
 
 
 def kmeans_points(df: DataFrame, k: int = 4, iters: int = 2,

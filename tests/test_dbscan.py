@@ -115,3 +115,25 @@ def test_cluster_within_is_minpts1(spark):
            for r in cluster_within_points(df, 1.6).collect()}
     want = {i: c for i, (_, c) in _brute_dbscan(pts, 1.6, 1).items()}
     assert got == want == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_duplicate_coordinate_contraction_parity(spark):
+    """r11 coordinate-group contraction: heavy duplicate coordinates
+    (several points per exact (x, y)) must produce the identical
+    per-point result as brute-force DBSCAN on the point multiset —
+    duplicates share core status and cluster, and multiplicity counts
+    toward min_pts through the group weight."""
+    import random
+    rng = random.Random(411)
+    pts, nid = {}, 0
+    coords = [(float(ix), float(iy)) for ix in range(4) for iy in range(3)]
+    coords += [(100.0, 100.0), (200.0, -50.0)]      # isolated duplicates
+    for (x, y) in coords:
+        for _ in range(rng.randint(1, 5)):          # 1..5 copies each
+            pts[nid] = (x, y)
+            nid += 1
+    _run(spark, pts, eps=1.5, min_pts=4)
+    # min_pts reachable ONLY through multiplicity: a lone coordinate
+    # with weight 4 is its own core cluster
+    _run(spark, {0: (0.0, 0.0), 1: (0.0, 0.0), 2: (0.0, 0.0),
+                 3: (0.0, 0.0), 4: (9.0, 9.0)}, eps=1.0, min_pts=4)
