@@ -7,6 +7,11 @@ Two timed evaluations per query: the first ("cold") includes plan
 analysis + Python-worker spin-up for that query's kernels; the second
 ("warm") is the steady-state number. Jobs are labelled (guide §1.5).
 
+r12: ``SWEEP_REPS=N`` (default 1) times N warm evaluations and keeps
+the MEDIAN as "warm" (all reps in "reps") — the r11 checklist carried
+phantom regressions from single-run neighbor noise (queries timed right
+after a heavy one inherit its GC/worker churn; VERDICT r11 item 9).
+
 Output: one JSON line per query on stdout + a summary file
 (tools/sweep_<tag>.json) sorted slowest-first. Usage:
 
@@ -16,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -25,6 +31,7 @@ sys.path.insert(0, HERE)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 TAG = os.environ.get("SWEEP_TAG", "before")
+REPS = max(1, int(os.environ.get("SWEEP_REPS", "1")))
 
 
 def build_spark():
@@ -71,10 +78,16 @@ def main():
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             t1 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            t2 = time.perf_counter()
+            reps = []
+            for _ in range(REPS):
+                r0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop") \
+                    .mode("overwrite").save()
+                reps.append(round(time.perf_counter() - r0, 3))
             row["cold"] = round(t1 - t0, 3)
-            row["warm"] = round(t2 - t1, 3)
+            row["warm"] = round(statistics.median(reps), 3)
+            if REPS > 1:
+                row["reps"] = reps
             row["steal"] = steal_ticks() - st0
         except Exception as e:  # noqa: BLE001 — record and continue
             row["err"] = f"{type(e).__name__}: {e}"[:300]
