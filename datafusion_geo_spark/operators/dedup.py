@@ -375,7 +375,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # .checkpoint() instead.)
         labels = (edges.select(F.col("src").alias("v"))
                   .distinct()
-                  .withColumn("label", F.col("v"))).localCheckpoint()
+                  .withColumn("label", F.col("v"))).localCheckpoint(eager=True)
         if labels.count() == 0:
             # empty graph: nothing to label (and a zero-task action
             # would never deliver the observe metric below)
@@ -406,7 +406,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                           .observe(obs, F.sum(
                               F.when(F.col("label") != F.col("_prev"), 1)
                               .otherwise(0)).alias("chg"))
-                          ).localCheckpoint()
+                          # eager=True explicitly: obs.get below blocks
+                          # until an action delivers the metric — THIS
+                          # checkpoint is that action (ADVICE r11)
+                          ).localCheckpoint(eager=True)
             changed = obs.get["chg"] or 0
             labels = new_labels.drop("_prev")
             if changed == 0:

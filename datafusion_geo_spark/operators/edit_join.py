@@ -104,6 +104,13 @@ def edit_distance_join(df: DataFrame, col: str, k: int = 2) -> DataFrame:
             .where((F.col("a") < F.col("b"))
                    & (F.abs(F.col("_la") - F.col("_lb")) <= F.lit(k)))
             .select("a", "b").distinct())
-    return (cand.withColumn("dist", F.levenshtein("a", "b")
-                            .cast("long"))
-            .where(F.col("dist") <= F.lit(k)))
+    out = (cand.withColumn("dist", F.levenshtein("a", "b")
+                           .cast("long"))
+           .where(F.col("dist") <= F.lit(k)))
+    # materialize the (small) verified pair set so ``ex`` can be
+    # unpersisted HERE instead of leaking a cached relation per call
+    # (ADVICE r11); eager=True pins the materializing action
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        ex.unpersist()

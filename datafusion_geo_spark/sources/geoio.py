@@ -435,6 +435,16 @@ def write_geoparquet_std(df: DataFrame, path: str,
                 from datafusion_geo_spark.geo.proj import (CRS_META,
                                                            projjson)
                 fs = sorted(fsrids)
+                # Per-file crs: stamped only when THIS file's SRIDs are
+                # one registered non-4326 code. In a mixed-SRID dataset
+                # different files can therefore carry DIVERGENT crs
+                # footers (each true of its own file, per spec: file
+                # metadata describes the file); the DATASET-level
+                # decision lives in the manifest, which this engine's
+                # reader prefers. External readers that unify footer
+                # schemas across files should read the manifest or
+                # treat footer crs as per-file (ADVICE r11, documented
+                # divergence).
                 if len(fs) == 1 and fs[0] != 4326 and fs[0] in CRS_META:
                     fcol["crs"] = projjson(fs[0])
             fbytes = json.dumps(fgeo, sort_keys=True).encode("utf-8")
@@ -542,7 +552,14 @@ def geoparquet_metadata(path: str) -> Optional[dict]:
     None when the dataset has no GeoParquet metadata anywhere. NOTE:
     on the footer-fallback path ``bbox`` is that FILE's bbox; for the
     dataset extent, aggregate the per-file bboxes (as
-    ``read_geoparquet_std``'s pruning does)."""
+    ``read_geoparquet_std``'s pruning does).
+
+    Staleness guard (ADVICE r11): the manifest is trusted only while
+    its file-name set matches the directory's actual ``*.parquet``
+    listing — files added or removed by other tools otherwise let a
+    stale sidecar silently shadow the real footers. (A same-name
+    in-place rewrite is undetectable from names alone and remains the
+    documented limitation of any sidecar catalog.)"""
     import glob
     import json
 
@@ -551,9 +568,14 @@ def geoparquet_metadata(path: str) -> Optional[dict]:
     if os.path.exists(mpath):
         try:
             with open(mpath, encoding="utf-8") as fh:
-                mgeo = json.load(fh).get("geo")
-            if mgeo is not None:
+                m = json.load(fh)
+            mgeo = m.get("geo")
+            names = set(m.get("files") or {})
+            actual = {os.path.basename(f) for f in
+                      glob.glob(os.path.join(path, "*.parquet"))}
+            if mgeo is not None and names == actual:
                 return mgeo
+            # name-set mismatch: sidecar is stale → footer fallback
         except Exception:
             pass  # corrupt sidecar → footer fallback
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
@@ -609,6 +631,12 @@ def read_geoparquet_std(spark: SparkSession, path: str,
             try:  # sidecar from this engine's sink: ONE metadata read
                 with open(mpath, encoding="utf-8") as fh:
                     mfiles = json.load(fh).get("files")
+                # staleness guard (ADVICE r11): same name-set check as
+                # geoparquet_metadata — a listing that drifted from the
+                # sidecar means other tools touched the dataset
+                if mfiles is not None and set(mfiles) != \
+                        {os.path.basename(f) for f in files}:
+                    mfiles = None
             except Exception:
                 mfiles = None  # corrupt sidecar → footer fallback
 
