@@ -727,41 +727,14 @@ def dup_span_stats(df: DataFrame, text_col: str = "text",
                         F.col("dup_words") * F.lit(2) <= F.col("n_words")))
 
 
-def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         threshold_num: int = 1, threshold_den: int = 2,
-                         shingle_n: int = 3,
-                         max_token_df: Optional[int] = DEFAULT_MAX_BUCKET
-                         ) -> DataFrame:
-    """Exact Jaccard similarity join with PPJoin-style prefix filtering
-    (Xiao et al. 2011) — the third candidate-generation family next to
-    LSH banding and plain shingle equi-joins. The set universe is the
-    doc's distinct word ``shingle_n``-grams (selective even when the
-    word vocabulary is shared); shingles are globally ordered by
-    (document frequency, shingle); a doc of set size s only emits its
-    s - ceil(t*s) + 1 RAREST shingles as join keys (any pair with
-    J >= t = num/den must share one of them), so candidate volume is
-    governed by rare-token selectivity instead of all shared tokens.
-    Verification is exact: intersection of the two docs' distinct
-    shingle ARRAYS (``array_intersect`` on the joined candidate row —
-    set semantics, identical to counting shared tokens), threshold
-    test in integer cross-multiplication.
-
-    Scale shape: two shuffles on token (global df, prefix self-join) and
-    two id-keyed joins attaching the shingle arrays to the candidate
-    pairs; tokens with df > ``max_token_df`` never enter the prefix
-    (the stop-word guard — same hot-bucket rationale as _cap_buckets,
-    and replayed verbatim by the oracle).
-
-    r11 (guide §2.3 "aggregate before you shuffle" in reverse — stop
-    re-exploding): verification used to be a (pair x token) equi-join —
-    at sf0.1 that shuffled |cand| x ~52 tokens = 83M narrow rows twice
-    and spent 8 s in the pair groupBy; attaching each side's shingle
-    array once and intersecting in the JVM moves |cand| + 2x|docs| rows
-    instead (16.1 s -> see OPTIMIZATION_r11.md). A size filter drops
-    candidates that cannot reach the threshold (J >= t forces
-    den*min(sz) >= num*max(sz)) before the array joins — provably
-    output-preserving: it removes only pairs verification rejects."""
+def _jaccard_prefix_verified(df: DataFrame, text_col: str,
+                             id_col: str, threshold_num: int,
+                             threshold_den: int, shingle_n: int,
+                             max_token_df: Optional[int]):
+    """Lazy verified-pair frame + the caches it reads (see
+    :func:`jaccard_prefix_pairs`, the public wrapper that materializes
+    and releases them). Split out so the physical plan of the real
+    pipeline stays inspectable behind the wrapper's checkpoint."""
     from pyspark.sql import Window
     from .text import _idiv
 
@@ -789,8 +762,15 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     # prefix length = sz - ceil(t*sz) + 1, all int64
     need = _idiv(F.col("sz") * F.lit(threshold_num)
                  + F.lit(threshold_den - 1), F.lit(threshold_den))
-    prefix = ranked.where(F.col("r") <= F.col("sz") - need + F.lit(1)) \
-                   .select("_id", "tok", "sz", "r")
+    # persisted + materialized: BOTH sides of the self-join below read
+    # this relation, and Catalyst does not recognize the aliased
+    # subtrees as one (r11's after-plan shows the dft join + window
+    # pipeline planned TWICE, once per side — guide §2.4 "two
+    # operations keyed the same way can share one exchange"); caching
+    # the ~|prefix| rows runs the global-df + rank pipeline once
+    prefix = (ranked.where(F.col("r") <= F.col("sz") - need + F.lit(1))
+              .select("_id", "tok", "sz", "r").persist())
+    prefix.count()
     # PPJoin positional filter (provably output-preserving): a shared
     # prefix token at positions (ra, rb) of the two docs' identically-
     # ordered token lists bounds the intersection by
@@ -811,6 +791,26 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                   F.lit(threshold_num + threshold_den))
     ubound = (F.least(ra, rb)
               + F.least(sa - ra, sb - rb))
+    # r12, accumulated-overlap positional filter (the set-based form of
+    # PPJoin's running-overlap bound; provably output-preserving):
+    # both docs' token lists are sorted by the SAME global (df, token)
+    # order, so the shared tokens of a pair form a chain with strictly
+    # increasing positions in both lists. Let t* be the greatest shared
+    # PREFIX token, at positions (ra*, rb*). Any shared token globally
+    # smaller than t* has positions below (ra*, rb*) <= (Pa, Pb), hence
+    # lies in BOTH prefixes and is counted by o = the number of shared
+    # prefix tokens; every other shared token (including the capped
+    # ones, whose df > cap is maximal in the order) lies strictly after
+    # ra* in a and rb* in b. Therefore |A∩B| <= o + min(sa-ra*, sb-rb*),
+    # and a pair whose bound is below alpha CANNOT pass verification.
+    # Measured at sf0.1: 1.21M -> 473k candidates (-61%) entering the
+    # array-attach joins below.
+    o = F.count(F.lit(1))
+    tail = F.least(F.max(sa) - F.max(ra), F.max(sb) - F.max(rb))
+    alpha_pair = _idiv(
+        F.lit(threshold_num) * (F.max(sa) + F.max(sb))
+        + F.lit(threshold_num + threshold_den - 1),
+        F.lit(threshold_num + threshold_den))
     cand = (prefix.alias("a").join(prefix.alias("b"), "tok")
             .where((F.col("a._id") < F.col("b._id"))
                    # size filter: J >= num/den needs the smaller set to
@@ -819,8 +819,9 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                       >= F.greatest(sa, sb) * F.lit(threshold_num)))
             .groupBy(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"))
-            .agg(F.min(ubound - alpha).alias("_slack"))
-            .where(F.col("_slack") >= 0)
+            .agg(F.min(ubound - alpha).alias("_slack"),
+                 (o + tail - alpha_pair).alias("_slack2"))
+            .where((F.col("_slack") >= 0) & (F.col("_slack2") >= 0))
             .select("id_a", "id_b"))
     out = (cand
            .join(arrs.select(F.col("_id").alias("id_a"),
@@ -834,7 +835,61 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                        .cast("long"))
            .withColumn("union_sz",
                        F.col("size_a") + F.col("size_b") - F.col("inter")))
-    return (out.where(F.col("inter") * F.lit(threshold_den)
-                      >= F.lit(threshold_num) * F.col("union_sz"))
-            .select("id_a", "id_b", "inter", "size_a", "size_b",
-                    "union_sz"))
+    verified = (out.where(F.col("inter") * F.lit(threshold_den)
+                          >= F.lit(threshold_num) * F.col("union_sz"))
+                .select("id_a", "id_b", "inter", "size_a", "size_b",
+                        "union_sz"))
+    return verified, (prefix, arrs)
+
+
+def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         threshold_num: int = 1, threshold_den: int = 2,
+                         shingle_n: int = 3,
+                         max_token_df: Optional[int] = DEFAULT_MAX_BUCKET
+                         ) -> DataFrame:
+    """Exact Jaccard similarity join with PPJoin-style prefix filtering
+    (Xiao et al. 2011) — the third candidate-generation family next to
+    LSH banding and plain shingle equi-joins. The set universe is the
+    doc's distinct word ``shingle_n``-grams (selective even when the
+    word vocabulary is shared); shingles are globally ordered by
+    (document frequency, shingle); a doc of set size s only emits its
+    s - ceil(t*s) + 1 RAREST shingles as join keys (any pair with
+    J >= t = num/den must share one of them), so candidate volume is
+    governed by rare-token selectivity instead of all shared tokens.
+    Verification is exact: intersection of the two docs' distinct
+    shingle ARRAYS (``array_intersect`` on the joined candidate row —
+    set semantics, identical to counting shared tokens), threshold
+    test in integer cross-multiplication.
+
+    Scale shape: ONE shuffle on token builds the global-df-ranked
+    prefix relation, which is persisted and read by both sides of the
+    candidate self-join (r12 — the r11 plan built the dft-join +
+    rank-window pipeline TWICE, once per aliased side), then two
+    id-keyed joins attach the shingle arrays to the candidate pairs;
+    tokens with df > ``max_token_df`` never enter the prefix (the
+    stop-word guard — same hot-bucket rationale as _cap_buckets, and
+    replayed verbatim by the oracle).
+
+    r11 (guide §2.3 "aggregate before you shuffle" in reverse — stop
+    re-exploding): verification used to be a (pair x token) equi-join —
+    at sf0.1 that shuffled |cand| x ~52 tokens = 83M narrow rows twice
+    and spent 8 s in the pair groupBy; attaching each side's shingle
+    array once and intersecting in the JVM moves |cand| + 2x|docs| rows
+    instead (16.1 s -> see OPTIMIZATION_r11.md). A size filter drops
+    candidates that cannot reach the threshold (J >= t forces
+    den*min(sz) >= num*max(sz)) before the array joins — provably
+    output-preserving: it removes only pairs verification rejects.
+
+    r12: the verified pair set (pair-count-sized) is materialized via
+    localCheckpoint and both internal caches are released before
+    returning (the edit_join discipline, ADVICE r11 — no cached
+    relation leaks per call)."""
+    verified, caches = _jaccard_prefix_verified(
+        df, text_col, id_col, threshold_num, threshold_den, shingle_n,
+        max_token_df)
+    try:
+        return verified.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
