@@ -5787,47 +5787,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: The driver's correctness gate checks EXACTLY these 50, in order
 #: (round-11 rotation — see the rotation policy in queries()).
 _FIRST50 = [
-    # ---- ROUND-11 GATE ----
-    # new round-11 queries (never gated): tokenizer artifact exports,
-    # standard-GeoParquet sink round trip, binary-embedding retrieval
-    "sp_bpe_roundtrip", "sp_unigram_roundtrip", "geoparquet_roundtrip",
-    "hamming_topk", "binary_rerank", "hamming_recall", "doc_chunks",
-    "hamming_dedup_pairs", "nb_confusion", "rouge_eval",
-    "shapefile_roundtrip", "phrase_search", "resample_locf",
-    "isotonic_fit", "corr_matrix", "mad_outliers", "benford_audit",
-    # re-gate for kernels CHANGED by the r10 ADVICE fixes:
-    # sampling.py dsir_select (NULL-target buckets, interior Gumbel u
-    # — real behavior changes, stays). The other three r10-fix
-    # regates rotated out to never-gated r11 queries (top policy
-    # priority): split_literal (error-MESSAGE rewording only),
-    # albers_conus / laea_europe (pole clamp is OFF the gated
-    # in-range points and pinned by tests/test_proj_crs.py +
-    # property fuzz); all three lead r12's changed-kernel pool.
-    "dsir_select",
-    # the full r5-stale block (oldest gate evidence, 5 rounds old —
-    # VERDICT r10 item 2), alphabetical
-    "hexbin_customers", "hourly_rollup", "incremental_dedup",
-    "interval_overlap", "kmeans_clusters", "knn_join", "knn_join_jvm",
-    "negative_buffer", "passage_dedup", "pii_mask", "pq_topk",
-    "relate_boxes", "relate_matrix", "repetition_filter",
-    "retention_cohorts", "seeded_shuffle", "setops_boxes",
-    "spatial_knn_join", "sphere_area", "stratified_sample",
-    "streaming_curation", "streaming_join", "streaming_rollup",
-    "tfidf_top_terms", "trajectories", "transform_points",
-    "transform_utm", "union_agg_regions", "vocab_topk", "zorder_keys",
+    # ---- ROUND-12 GATE ----
+    # the FULL r6-stale block (oldest gate evidence — every remaining
+    # query whose latest driver-green row is round 6), alphabetical:
+    # 40 names, machine-checked by the rotation contract
+    # (tests/test_gate_rotation.py::test_rotation_report_live_history)
+    "accessors2_literal", "audio_frames", "batch_sessions",
+    "bloom_new_docs", "bpe_merges", "buildarea_literal",
+    "count_min_topk", "dedup_keep_one", "edit_utils_literal",
+    "embed_quantize", "geom_edit_points", "geometric_median",
+    "graph_stats", "hilbert_keys", "hll_registers",
+    "line_edit_literal", "line_merge_literal", "longest_line_literal",
+    "map_match", "mic_snap_literal", "offset_clip_literal",
+    "pack_sequences", "pagerank_neardup", "quality_filter",
+    "random_projection", "relate_literal", "session_window_agg",
+    "setops_literal", "shortline_project", "smoothing_literal",
+    "sphere_nav", "sphere_paths", "streaming_enrich",
+    "streaming_geofence", "streaming_hexbin", "streaming_hll",
+    "streaming_map_match", "subdivide_boxes", "tile_normalize_literal",
+    "unigram_logprob",
     # heavy regression canaries (every round)
     "grid_spatial_join", "minhash_pairs",
-    # oldest green rows after the r5 block: the alphabetically-first
-    # r6 queries in the 12 remaining slots (the rest of the r6 block —
-    # graph_stats, hilbert_keys, hll_registers, line_edit_literal,
-    # line_merge_literal, longest_line_literal, map_match, ... — leads
-    # r12's re-gate pool)
-    # (accessors2_literal / audio_frames / batch_sessions /
-    # bloom_new_docs / bpe_merges / buildarea_literal /
-    # count_min_topk / geometric_median / geom_edit_points /
-    # embed_quantize / edit_utils_literal / dedup_keep_one displaced
-    # to 51+ by the never-gated round-11 queries above; they lead
-    # r12's r6-block pool. Two late-r11 operators register as queries
+    # re-gates for kernels CHANGED by this optimization round
+    # (jaccard prefix persist + accumulated-overlap filter; rollup
+    # changelog compaction plumbing; edit_join cache release; CC /
+    # streaming / PQ items as they land) — the changed-kernel slot of
+    # the rotation policy
+    "jaccard_prefix", "dup_spans", "hourly_rollup", "streaming_rollup",
+    "edit_join", "fuzzy_title_dedup", "dbscan_clusters", "pq_recall",
+    # (the r7 block — asof_forward, bm25_search, buffer_lines, ... —
+    # becomes the oldest evidence after this round and leads any
+    # future gate's pool. Two late-r11 operators register as queries
     # in r12 — this round's gate is full: streaming_benford
     # (streaming/drift.py, equality-pinned by tests/test_benford.py)
     # Fellegi-Sunter linkage (operators/linkage.py,
