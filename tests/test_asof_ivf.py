@@ -334,6 +334,7 @@ def test_knn_gemm_small_lists_no_crash(spark):
     assert a == b and len(b) > 0
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_on_clustered_data(spark):
     """IVFADC end-to-end sanity on data with real cluster structure:
     coarse lists + residual PQ codes must still put most of each

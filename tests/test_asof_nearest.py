@@ -5,6 +5,7 @@ rows at all."""
 from hypothesis import given, settings, strategies as st
 
 from datafusion_geo_spark.operators.asof_join import asof_join_nearest
+import pytest
 
 
 def _brute(left_rows, right_rows):
@@ -48,6 +49,7 @@ def test_nearest_hand_cases(spark):
     assert out[4] == (None, None)
 
 
+@pytest.mark.slow
 @given(st.lists(st.tuples(st.sampled_from("ab"), st.integers(0, 20)),
                 min_size=1, max_size=12),
        st.lists(st.tuples(st.sampled_from("ab"), st.integers(0, 20)),

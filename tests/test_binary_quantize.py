@@ -4,6 +4,7 @@ packing (32 dims per int64 word), integer Hamming distances, and
 deterministic ranking.
 """
 
+import pytest
 import pyspark.sql.functions as F
 
 from datafusion_geo_spark.operators.similarity import (binary_quantize,
@@ -133,6 +134,7 @@ def test_hamming_join_validations(spark):
         hamming_join(df, radius=7)  # 8 bands over 4 dims
 
 
+@pytest.mark.slow
 def test_hamming_join_exactness_fuzz(spark):
     """Property: for random sign corpora, dims, and radius, the
     banded join equals the brute-force radius join exactly (the

@@ -1,6 +1,8 @@
 """bootstrap_mean_ci (operators/evals.py): deterministic Poisson
 weights, exact replica means, rank-test interval."""
 
+import pytest
+
 from datafusion_geo_spark.operators.evals import (POISSON1_CDF_MICRO,
                                                   bootstrap_mean_ci)
 
@@ -14,6 +16,7 @@ def test_cdf_constants_pinned():
     assert tuple(want) == POISSON1_CDF_MICRO
 
 
+@pytest.mark.slow
 def test_interval_brackets_mean_and_is_deterministic(spark):
     rows = [(i, 50 + (i * 17 % 21) - 10) for i in range(400)]
     df = spark.createDataFrame(rows, "id long, v long")
@@ -30,6 +33,7 @@ def test_interval_brackets_mean_and_is_deterministic(spark):
     assert (c.ci_lo, c.ci_hi) != (a.ci_lo, a.ci_hi)
 
 
+@pytest.mark.slow
 def test_negative_values_and_empty(spark):
     rows = [(i, -100) for i in range(50)]
     df = spark.createDataFrame(rows, "id long, v long")

@@ -2,6 +2,8 @@
 (operators/profile.py): hand contingency cases + fuzz against a
 direct Python reference."""
 
+import pytest
+
 import math
 
 from datafusion_geo_spark.operators.profile import (
@@ -66,6 +68,7 @@ def test_chi2_perfect_association(spark):
     assert stat.cramers_v == 1.0
 
 
+@pytest.mark.slow
 def test_chi2_fuzz(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st

@@ -4,6 +4,7 @@ direct Python reference mirroring the fixed double expressions."""
 import math
 
 from datafusion_geo_spark.operators.evals import cuped_ttest
+import pytest
 
 
 def _r6(x):
@@ -82,6 +83,7 @@ def test_degenerate_covariate(spark):
     assert got[2] is None        # var(x) == 0 -> no theta
 
 
+@pytest.mark.slow
 def test_cuped_fuzz(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st

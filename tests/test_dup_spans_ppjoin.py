@@ -128,6 +128,7 @@ def test_ppjoin_hot_shingle_cap_drops_stopword_keys(spark):
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st
+import pytest
 
 
 def _brute_spans(docs, n):
@@ -154,6 +155,7 @@ def _brute_spans(docs, n):
     return out
 
 
+@pytest.mark.slow
 @given(st.lists(
     st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=18),
     min_size=1, max_size=8))
@@ -169,6 +171,7 @@ def test_dup_spans_matches_brute_force(spark, doc_words):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ppjoin_r11_filters_lossless_fuzz(spark):
     """r11 added a size filter and the PPJoin positional filter to
     candidate generation plus array_intersect verification — all three

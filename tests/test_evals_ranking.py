@@ -3,6 +3,8 @@ precision, ECE, Spearman/Kendall rank correlation, and RRF fusion —
 hand-computed expectations on small inputs plus the degenerate edges
 the oracles never exercise."""
 
+import pytest
+
 import math
 import sys
 
@@ -112,6 +114,7 @@ def test_rrf_fusion_hand_example(spark):
     assert out[10]["rank"] == 2 and out[12]["rank"] == 3
 
 
+@pytest.mark.slow
 def test_kn_by_lang_equals_per_subset_run(spark):
     from datafusion_geo_spark.operators.text import (
         kn_bigram_perplexity, kn_bigram_perplexity_by)

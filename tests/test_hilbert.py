@@ -1,6 +1,8 @@
 """Hilbert-curve layout keys: reference-walk equality, SQL-twin
 equality, NULL handling, and the locality advantage over Morton."""
 
+import pytest
+
 import duckdb
 import pyspark.sql.functions as F
 
@@ -25,6 +27,7 @@ def _xy2d(order, x, y):
     return d
 
 
+@pytest.mark.slow
 def test_matches_reference_walk(spark):
     bits = 4
     rows = [(float(x), float(y)) for x in range(16) for y in range(16)]
@@ -53,6 +56,7 @@ def test_sql_twin_matches(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_null_and_clamp(spark):
     df = spark.createDataFrame(
         [(1, 5.0, 5.0), (2, None, 5.0), (3, -99.0, 999.0)],
@@ -64,6 +68,7 @@ def test_null_and_clamp(spark):
     assert got[3] is not None  # clamped, not corrupted
 
 
+@pytest.mark.slow
 def test_consecutive_keys_are_adjacent_cells(spark):
     # the Hilbert guarantee Morton lacks: walking keys in order never
     # long-jumps — every consecutive key pair is grid-adjacent, so

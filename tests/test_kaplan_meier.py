@@ -4,6 +4,7 @@ direct Python reference of the micro-ln folded product."""
 import math
 
 from datafusion_geo_spark.operators.evals import kaplan_meier
+import pytest
 
 
 def _r6(x):
@@ -74,6 +75,7 @@ def test_censor_only_stays_flat(spark):
     assert all(v[3] == 1.0 for v in got.values())
 
 
+@pytest.mark.slow
 def test_km_fuzz(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st

@@ -4,6 +4,7 @@ direct Python reference of the per-time micro-rounded O-E/V sums."""
 import math
 
 from datafusion_geo_spark.operators.evals import logrank_test
+import pytest
 
 
 def _r6(x):
@@ -77,6 +78,7 @@ def test_censoring_and_singleton_risk(spark):
     assert got == _ref(rows_a, rows_b)
 
 
+@pytest.mark.slow
 def test_logrank_fuzz(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st

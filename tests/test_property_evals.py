@@ -9,6 +9,7 @@ from fractions import Fraction
 from hypothesis import assume, given, settings, strategies as st
 
 from datafusion_geo_spark.operators.evals import auc_exact, ks_stat
+import pytest
 
 
 def _r6(x: float) -> float:
@@ -24,6 +25,7 @@ def _brute_auc(pairs):
     return num2, 2 * len(pos) * len(neg), len(pos), len(neg)
 
 
+@pytest.mark.slow
 @given(st.lists(st.tuples(st.integers(-4, 4), st.integers(0, 1)),
                 min_size=2, max_size=40))
 @settings(max_examples=20, deadline=None)
@@ -49,6 +51,7 @@ def _brute_ks(vals_a, vals_b):
     return best
 
 
+@pytest.mark.slow
 @given(st.lists(st.integers(-4, 4), min_size=1, max_size=25),
        st.lists(st.integers(-4, 4), min_size=1, max_size=25))
 @settings(max_examples=20, deadline=None)
@@ -73,6 +76,7 @@ def _brute_corr(xs, ys):
     return cov, vx, vy
 
 
+@pytest.mark.slow
 @given(st.lists(st.tuples(st.integers(-1000, 1000),
                           st.integers(-1000, 1000)),
                 min_size=2, max_size=30))
@@ -112,6 +116,7 @@ def _brute_gini(sizes):
     return r2, (r2 - (n + 1) * t) / (n * t)
 
 
+@pytest.mark.slow
 @given(st.lists(st.integers(0, 25), min_size=1, max_size=60))
 @settings(max_examples=15, deadline=None)
 def test_skew_audit_gini_matches_brute_force(spark, key_sizes):
@@ -154,6 +159,7 @@ def _brute_ap(pairs):
     return ap_sum, p_total
 
 
+@pytest.mark.slow
 @given(st.lists(st.tuples(st.integers(-4, 4), st.integers(0, 1)),
                 min_size=1, max_size=40))
 @settings(max_examples=20, deadline=None)
@@ -179,6 +185,7 @@ def _perm_lists(perm):
     return a, b
 
 
+@pytest.mark.slow
 @given(st.permutations(list(range(5))))
 @settings(max_examples=20, deadline=None)
 def test_spearman_kendall_match_direct_formulas(spark, perm):

@@ -10,6 +10,7 @@ from hypothesis import given, settings, strategies as st
 
 from datafusion_geo_spark.operators.normalize import normalize_text
 from datafusion_geo_spark.operators.text import split_sentences
+import pytest
 
 _SENT_ALPHABET = "ab .!?"
 
@@ -25,6 +26,7 @@ def _ref_split(text):
     return out
 
 
+@pytest.mark.slow
 @given(st.text(alphabet=_SENT_ALPHABET, min_size=1, max_size=60))
 @settings(max_examples=25, deadline=None)
 def test_split_sentences_matches_reference(spark, text):
@@ -38,6 +40,7 @@ def test_split_sentences_matches_reference(spark, text):
 _NORM_ALPHABET = "aA zZ\t\n\u00e9e\u0301\u00dc\u0308 ."
 
 
+@pytest.mark.slow
 @given(st.text(alphabet=_NORM_ALPHABET, min_size=0, max_size=40))
 @settings(max_examples=25, deadline=None)
 def test_normalize_text_invariants(spark, text):

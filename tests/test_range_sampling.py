@@ -168,6 +168,7 @@ def test_hash_bucket_no_python_udf(spark):
         .count() == 0
 
 
+@pytest.mark.slow
 def test_connected_components_fuzz_vs_union_find(spark):
     """r11 pointer-edge CC rewrite: parity with a brute-force
     union-find on random graphs, incl. the symmetric=True fast path

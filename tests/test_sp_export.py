@@ -84,6 +84,7 @@ def test_bpe_export_encodes_identically(spark, tmp_path):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+@pytest.mark.slow
 def test_unigram_export_encodes_identically(spark, tmp_path):
     from datafusion_geo_spark.operators.unigram import (
         unigram_encode_stats, unigram_train)

@@ -5,6 +5,7 @@ import math
 from collections import Counter
 
 from datafusion_geo_spark.operators.evals import spearman_corr
+import pytest
 
 
 def _r6(x):
@@ -63,6 +64,7 @@ def test_zero_variance_is_null(spark):
     assert got[4] is None and got[2] == 0
 
 
+@pytest.mark.slow
 def test_spearman_fuzz(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st

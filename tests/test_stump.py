@@ -4,6 +4,7 @@ direct Python reference of histogram split finding."""
 import math
 
 from datafusion_geo_spark.operators.mlfit import stump_fit
+import pytest
 
 
 def _r6(x):
@@ -78,6 +79,7 @@ def test_tie_breaks_smallest_threshold(spark):
     assert got == ref
 
 
+@pytest.mark.slow
 def test_stump_fuzz(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st

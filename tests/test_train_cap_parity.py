@@ -95,6 +95,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     "ivfpq_topk",         # coarse _kmeans_ctes + residual rtrain chain
     "semantic_dedup",     # _kmeans_ctes train_vecs_sql (tvecs) path
 ])
+@pytest.mark.slow
 def test_fit_query_matches_oracle_past_cap(spark, big_dir, name):
     got = _normalize(QUERIES[name](spark, big_dir).toPandas())
     want = _normalize(_duck(ORACLES[name], big_dir))

@@ -109,6 +109,7 @@ def test_round_floors_chars_and_prunes_multi(spark):
     assert sum(1 for p in v1 if len(p) > 1) <= 2
 
 
+@pytest.mark.slow
 def test_train_deterministic_and_cached(spark):
     docs = spark.createDataFrame(
         [(1, "banana bandana banana"), (2, "ban dan ana")],
