@@ -1487,6 +1487,9 @@ def _q_streaming_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count(F.lit(1)).alias("n")).collect()):
             acc[r["o_orderkey"]] = acc.get(r["o_orderkey"], 0) + r["n"]
 
+    # r12 measured and left alone: stateless foreachBatch — resizing
+    # partitions would serialize the batch-side argmin groupBy, and
+    # dropping the no-data batch measured parity (4.6 s either way)
     q = (j.select("event_id", "_d2", "o_orderkey")
          .writeStream.foreachBatch(_batch)
          .trigger(availableNow=True).start())
@@ -1573,11 +1576,9 @@ def _q_streaming_hexbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (ev.select(cell.alias("_c"))
            .groupBy(F.col("_c.q").alias("q"), F.col("_c.r").alias("r"))
            .agg(F.count(F.lit(1)).alias("n")))
-    name = "stream_hexbin_" + _uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    from datafusion_geo_spark.streaming.runner import run_bounded_complete
+    return run_bounded_complete(agg, "stream_hexbin_",
+                                source_paths=(f"{sf_dir}/events.parquet",))
 
 
 def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,7 +46,9 @@ def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy(F.md5(F.col("text")).alias("text_md5"))
            .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("c"),
                 F.count(F.lit(1)).alias("n_copies")))
-    return run_bounded_complete(agg, "stream_curate_").select(
+    return run_bounded_complete(agg, "stream_curate_",
+                                source_paths=(
+                                    f"{sf_dir}/documents.parquet",)).select(
         "text_md5",
         F.col("c.doc_id").alias("canonical_id"),
         F.col("c.lang").alias("lang"),

@@ -51,7 +51,9 @@ def streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("first"),
                 F.count(F.lit(1)).alias("n_events")))
     from .runner import run_bounded_complete
-    return run_bounded_complete(agg, "stream_firstseen_").select(
+    return run_bounded_complete(agg, "stream_firstseen_",
+                                source_paths=(
+                                    f"{sf_dir}/events.parquet",)).select(
         "user_id", "event_type",
         F.col("first.ts_us").alias("first_ts_us"),
         F.col("first.event_id").alias("first_event_id"),

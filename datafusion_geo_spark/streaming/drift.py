@@ -41,7 +41,9 @@ def streaming_ks(spark: SparkSession, sf_dir: str,
                         .otherwise(0)).cast("long").alias("na_i"),
                  F.sum(F.when(F.col("event_type") == side_b, 1)
                         .otherwise(0)).cast("long").alias("nb_i")))
-    final_hist = run_bounded_complete(hist, "stream_ks_")
+    final_hist = run_bounded_complete(hist, "stream_ks_",
+                                      source_paths=(
+                                          f"{sf_dir}/events.parquet",))
     return ks_from_hist(final_hist, "vq")
 
 
@@ -61,7 +63,9 @@ def streaming_quantiles(spark: SparkSession, sf_dir: str,
                    .alias("vq")))
     hist = ev.groupBy("vq").agg(F.count(F.lit(1)).cast("long")
                                 .alias("cnt"))
-    final_hist = run_bounded_complete(hist, "stream_quant_")
+    final_hist = run_bounded_complete(hist, "stream_quant_",
+                                      source_paths=(
+                                          f"{sf_dir}/events.parquet",))
     return quantiles_from_hist(final_hist, "vq", percents)
 
 
@@ -82,7 +86,9 @@ def streaming_cat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("side")).cast("long").alias("na_i"),
                  F.sum(F.lit(1) - F.col("side")).cast("long")
                  .alias("nb_i")))
-    final_hist = run_bounded_complete(hist, "stream_catd_")
+    final_hist = run_bounded_complete(hist, "stream_catd_",
+                                      source_paths=(
+                                          f"{sf_dir}/events.parquet",))
     return cat_drift_from_hist(final_hist)
 
 
@@ -112,7 +118,9 @@ def streaming_ece(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("y").cast("long").alias("npos"),
                  F.sum("cm").cast("long").alias("conf_sum")))
-    final_bins = run_bounded_complete(bins, "stream_ece_")
+    final_bins = run_bounded_complete(bins, "stream_ece_",
+                                      source_paths=(
+                                          f"{sf_dir}/embeddings.parquet",))
     return ece_from_hist(final_bins)
 
 
@@ -144,7 +152,9 @@ def streaming_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cand"))
     per = pairs.select(*wer_row_cols("cand", "ref"))
     totals = per.groupBy().agg(*wer_aggs())
-    return wer_finalize(run_bounded_complete(totals, "stream_wer_"))
+    src = (f"{sf_dir}/documents.parquet",)
+    return wer_finalize(run_bounded_complete(totals, "stream_wer_",
+                                             source_paths=src))
 
 
 def streaming_unigram_fertility(spark: SparkSession,
@@ -190,7 +200,8 @@ def streaming_unigram_fertility(spark: SparkSession,
                    F.sum("wtoks").cast("long").alias("n_tokens"),
                    F.sum("wchars").cast("long").alias("n_chars")))
     return fertility_finalize(
-        run_bounded_complete(totals, "stream_ufert_"))
+        run_bounded_complete(totals, "stream_ufert_",
+                             source_paths=(f"{sf_dir}/documents.parquet",)))
 
 
 def streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +226,8 @@ def streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = cents.select(*benford_row_cols("cents"))
     totals = per.groupBy().agg(*benford_aggs())
     return benford_finalize(
-        run_bounded_complete(totals, "stream_benford_"))
+        run_bounded_complete(totals, "stream_benford_",
+                             source_paths=(f"{sf_dir}/events.parquet",)))
 
 
 def streaming_seasonal(spark: SparkSession, sf_dir: str,
@@ -241,4 +253,5 @@ def streaming_seasonal(spark: SparkSession, sf_dir: str,
     rows = cents.select(*seasonal_row_cols("ts", "cents", period))
     cells = rows.groupBy("pos").agg(*seasonal_aggs())
     return seasonal_finalize(
-        run_bounded_complete(cells, "stream_seasonal_"))
+        run_bounded_complete(cells, "stream_seasonal_",
+                             source_paths=(f"{sf_dir}/events.parquet",)))

@@ -43,8 +43,6 @@ def streaming_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (no countDistinct: exact distinct aggregation is unsupported on
     # streams — production reach metrics use approx/HLL sketches, which
     # the DuckDB oracle could not replay)
-    name = "stream_enrich_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    from .runner import run_bounded_complete
+    return run_bounded_complete(agg, "stream_enrich_",
+                                source_paths=(f"{sf_dir}/events.parquet",))

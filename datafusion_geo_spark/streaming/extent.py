@@ -70,9 +70,17 @@ def streaming_extent(spark: SparkSession, sf_dir: str,
                 F.max("x").alias("xmax"), F.max("y").alias("ymax"),
                 F.count("*").alias("n_events")))
     name = "stream_extent_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination()
+    # r12: state partitions from source volume (always sound); the
+    # no-data batch is dropped ONLY in complete mode — APPEND mode
+    # needs it, it is the batch whose watermark advance flushes the
+    # final windows to the sink (runner.replay_confs)
+    from .runner import replay_confs
+    with replay_confs(spark,
+                      source_paths=(f"{sf_dir}/events.parquet",),
+                      drop_no_data=(output_mode == "complete")):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type",
         "xmin", "ymin", "xmax", "ymax", "n_events")

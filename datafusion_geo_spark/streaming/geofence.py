@@ -73,8 +73,6 @@ def streaming_geofence_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_hits"),
                 F.sum(F.round(F.col("value") * 100).cast("long"))
                 .alias("sum_cents")))
-    name = "stream_geofence_" + uuid.uuid4().hex[:8]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    from .runner import run_bounded_complete
+    return run_bounded_complete(agg, "stream_geofence_",
+                                source_paths=(f"{sf_dir}/events.parquet",))

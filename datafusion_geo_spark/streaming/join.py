@@ -52,9 +52,20 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str,
                    F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
                    F.unix_micros(F.col("view_ts")).alias("view_ts_us"))
     name = "stream_attr_" + uuid.uuid4().hex[:8]
-    q = (out.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # r12 (guide §2 scale-adaptive partitioning): the stream-stream
+    # join keeps FOUR state stores per shuffle partition; size the
+    # partition count from the source volume instead of inheriting the
+    # core-count default (5.8 -> ~1.7 s at sf0.1). Dropping the no-data
+    # batch is sound here: the INNER join emits pairs the moment they
+    # match inside a data batch — the trailing watermark-advance batch
+    # only evicts state, it never adds sink rows.
+    from .runner import replay_confs
+    with replay_confs(spark,
+                      source_paths=(f"{sf_dir}/events.parquet",),
+                      drop_no_data=True):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     # PINNED ASSUMPTION (advisor-flagged r4): equality with the batch
     # oracle relies on the whole fixture replaying in ONE micro-batch —
     # with multiple batches and out-of-order files, rows older than the

@@ -94,11 +94,20 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str,
          .parquet(path))
 
     chk = os.path.join(path + ".chk", uuid.uuid4().hex[:8])
-    q = (agg.writeStream.outputMode("update")
-         .foreachBatch(upsert)
-         .option("checkpointLocation", chk)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    # r12: state partitions sized from the source volume (the windowed
+    # aggregate's store count otherwise follows the session's core
+    # count); no-data drop is sound in update mode — emission happens
+    # when a key's aggregate CHANGES, i.e. on data, and the trailing
+    # watermark-advance batch only evicts state
+    from .runner import replay_confs
+    with replay_confs(spark,
+                      source_paths=(f"{sf_dir}/events.parquet",),
+                      drop_no_data=True):
+        q = (agg.writeStream.outputMode("update")
+             .foreachBatch(upsert)
+             .option("checkpointLocation", chk)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return read_stream_rollup(spark, path)
 
 

@@ -41,7 +41,8 @@ def streaming_ridge_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("yhat_micro").alias("yhat_micro_sum"),
         F.sum(F.col("y") * F.lit(1_000_000) - F.col("yhat_micro"))
         .alias("resid_micro_sum")))
-    return run_bounded_complete(agg, "stream_ridge_")
+    return run_bounded_complete(agg, "stream_ridge_",
+                                source_paths=(f"{sf_dir}/documents.parquet",))
 
 
 def streaming_pca(spark: SparkSession, sf_dir: str, iters: int = 2,
@@ -64,6 +65,8 @@ def streaming_pca(spark: SparkSession, sf_dir: str, iters: int = 2,
     parts = stream.mapInPandas(gram_parts_fn("embedding", quant),
                                "i int, j int, g long")
     gram = parts.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))
-    rows = run_bounded_complete(gram, "stream_pca_").collect()
+    rows = run_bounded_complete(gram, "stream_pca_",
+                                source_paths=(
+                                    f"{sf_dir}/embeddings.parquet",)).collect()
     return spark.createDataFrame(power_rounds(rows, iters, quant),
                                  "pos int, v_milli long")

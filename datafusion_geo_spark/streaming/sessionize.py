@@ -125,6 +125,12 @@ def streaming_sessions(spark: SparkSession, sf_dir: str,
         outputMode="append",
         timeoutConf="NoTimeout"))
     name = "stream_sessions_" + uuid.uuid4().hex[:8]
+    # r12 MEASURED AND LEFT ALONE (guide §1.1): neither replay conf
+    # helps an applyInPandasWithState operator — resizing partitions to
+    # the source volume serializes the per-group pandas work (1.5 ->
+    # 5.7 s), and dropping the trailing no-data batch measured ~0.3 s
+    # SLOWER (1.84 -> 2.1 s, reproducible; the idle batch is cheaper
+    # than whatever termination path replaces it).
     q = (sessions.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()

@@ -36,7 +36,8 @@ def streaming_hll(spark: SparkSession, sf_dir: str, b: int = 8) -> DataFrame:
           .where(F.col("user_id").isNotNull())
           .select(F.col("user_id").cast("string").alias("key")))
     agg = hll_registers(ev, "key", b=b)
-    return run_bounded_complete(agg, "stream_hll_")
+    return run_bounded_complete(agg, "stream_hll_",
+                                source_paths=(f"{sf_dir}/events.parquet",))
 
 
 def streaming_cms(spark: SparkSession, sf_dir: str,
@@ -54,7 +55,8 @@ def streaming_cms(spark: SparkSession, sf_dir: str,
           .where(F.col("user_id").isNotNull())
           .select(F.col("user_id").cast("string").alias("tok")))
     agg = count_min_sketch(ev, "tok", depth=depth, width=width)
-    return run_bounded_complete(agg, "stream_cms_")
+    return run_bounded_complete(agg, "stream_cms_",
+                                source_paths=(f"{sf_dir}/events.parquet",))
 
 
 def kmv_state_step(prev, batch: list, k: int):
@@ -168,6 +170,8 @@ def streaming_kmv(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
         outputMode="append", timeoutConf="NoTimeout")
     import uuid
     name = "stream_kmv_" + uuid.uuid4().hex[:8]
+    # r12 measured and left alone: the replay confs that help the JVM
+    # stateful paths HURT applyInPandasWithState (see sessionize.py)
     q = (sk.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
@@ -253,6 +257,7 @@ def streaming_reservoir(spark: SparkSession, sf_dir: str, k: int = 64,
         outputMode="append", timeoutConf="NoTimeout")
     import uuid
     name = "stream_rsv_" + uuid.uuid4().hex[:8]
+    # r12 measured and left alone (see the kmv sketch above)
     q = (sk.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
