@@ -2951,9 +2951,12 @@ def _q_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_recall, so the three retrieval tiers (IVF, PQ, binary) publish
     comparable reports."""
     from datafusion_geo_spark.operators.text import _ratio6
-    bf = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ann = _q_hamming_topk(spark, sf_dir).select("query_id",
-                                                "neighbor_id")
+    # r12: same arm materialization as ann_recall (bf referenced twice)
+    bf = (_q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+          .localCheckpoint(eager=True))
+    ann = (_q_hamming_topk(spark, sf_dir).select("query_id",
+                                                 "neighbor_id")
+           .localCheckpoint(eager=True))
     hits = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
     n_true = bf.groupBy("query_id").agg(F.count(F.lit(1))
                                         .alias("n_true"))
@@ -3457,9 +3460,14 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle (which replays both sides from their own SQL) hashes
     identically."""
     from datafusion_geo_spark.operators.text import _ratio6
-    bf = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # r12: materialize both top-k arms once — the brute-force arm is
+    # referenced twice below (hits + n_true), and a lazy frame re-runs
+    # its whole pipeline per reference (the jaccard/lsh persist
+    # discipline; these are k x queries ~ 80-row frames)
+    bf = (_q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+          .localCheckpoint(eager=True))
     ann = (_q_ivf_trained_topk(spark, sf_dir)
-           .select("query_id", "neighbor_id"))
+           .select("query_id", "neighbor_id").localCheckpoint(eager=True))
     hits = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
     n_true = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
     n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
@@ -3477,8 +3485,11 @@ def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny aggregates, same scaled-integer recall rounding, oracle
     composes both sides' own SQL replays."""
     from datafusion_geo_spark.operators.text import _ratio6
-    bf = _q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ann = _q_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # r12: same arm materialization as ann_recall (bf referenced twice)
+    bf = (_q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+          .localCheckpoint(eager=True))
+    ann = (_q_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+           .localCheckpoint(eager=True))
     hits = bf.join(ann, ["query_id", "neighbor_id"], "left_semi")
     n_true = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
     n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))

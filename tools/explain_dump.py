@@ -34,7 +34,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qmap = entrymod.queries()
 
-    outdir = os.path.join(HERE, "plans", "r11")
+    outdir = os.path.join(HERE, "plans", os.environ.get("PLANS_DIR", "r12"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qmap[name](spark, SF_DIR)
