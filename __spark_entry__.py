@@ -981,23 +981,31 @@ def _q_subdivide_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is pure arithmetic (4/100.0 per surviving row, aggregated
     per orderkey — the fixture repeats l_linenumber=1 within an order).
     %7 rows pass a NULL geometry through the whole chain (explode
-    drops them)."""
-    from datafusion_geo_spark.functions import (st_area, st_makeenvelope,
-                                                st_npoints, st_segmentize,
-                                                st_subdivide)
+    drops them).
+
+    r12: the five staged kernels (makeenvelope -> segmentize ->
+    subdivide -> area + npoints) are fused into ONE crossing
+    (st_box_subdivide_stats — same kernels in the same order, no WKB
+    round-trips between them, byte parity pinned by
+    tests/test_subdivide.py); the %7 NULL lane nulls the corner inputs,
+    which the staged chain propagated identically."""
+    from datafusion_geo_spark.functions import st_box_subdivide_stats
     from datafusion_geo_spark.sources.fixtures import _spread, load_table
     li = _spread(load_table(spark, sf_dir, "lineitem")
                  .where(F.col("l_linenumber") == 1)
                  .select("l_orderkey", "l_partkey"))
-    x0 = (F.col("l_orderkey") % 500).cast("double")
+    x0 = F.when(F.col("l_orderkey") % 7 != 0,
+                (F.col("l_orderkey") % 500).cast("double"))
     y0 = (F.col("l_partkey") % 500).cast("double")
-    g = F.when(F.col("l_orderkey") % 7 != 0,
-               st_segmentize(st_makeenvelope(x0, y0, x0 + 10, y0 + 10),
-                             1.0))
-    ex = (li.withColumn("_p", F.explode(st_subdivide(g, 20)))
+    pc = st_box_subdivide_stats(x0, y0, x0 + 10, y0 + 10,
+                                F.lit(1.0), F.lit(20))
+    ex = (li.withColumn("_pc", pc)
+          .withColumn("_z", F.explode(F.arrays_zip(
+              F.col("_pc.areas").alias("_a"),
+              F.col("_pc.npts").alias("_n"))))
           .select("l_orderkey",
-                  st_area(F.col("_p")).alias("_a"),
-                  st_npoints(F.col("_p")).alias("_n")))
+                  F.col("_z._a").alias("_a"),
+                  F.col("_z._n").alias("_n")))
     return (ex.groupBy("l_orderkey")
             .agg(F.count("*").alias("n_pieces"),
                  F.sum("_a").alias("area_sum"),

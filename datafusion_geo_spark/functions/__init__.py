@@ -1273,6 +1273,13 @@ def _u2_df(kernel, rtype):
     return pandas_udf(f, rtype)
 
 
+def _u6_df(kernel, rtype):
+    def f(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series,
+          e: pd.Series, g: pd.Series) -> pd.DataFrame:
+        return kernel(a, b, c, d, e, g)
+    return pandas_udf(f, rtype)
+
+
 _point_bbox_from_xy = _u2_df(kernels.point_bbox_from_xy, GEOM_BBOX_TYPE)
 
 
@@ -1282,6 +1289,25 @@ def st_point_with_bbox(x, y) -> Column:
     st_geom_with_bbox_from_text, for ingest paths that derive point
     geometry from coordinate columns."""
     return _point_bbox_from_xy(_num(x, "double"), _num(y, "double"))
+
+
+_BOX_PIECES_TYPE = StructType([
+    StructField("areas", ArrayType(DoubleType())),
+    StructField("npts", ArrayType(IntegerType()))])
+_box_subdivide_stats = _u6_df(kernels.box_subdivide_stats,
+                              _BOX_PIECES_TYPE)
+
+
+def st_box_subdivide_stats(xmin, ymin, xmax, ymax, seg, maxv) -> Column:
+    """Fused ST_MakeEnvelope -> ST_Segmentize -> ST_Subdivide ->
+    per-piece (ST_Area, ST_NPoints) in ONE Python crossing (r12):
+    struct{areas: array<double>, npts: array<int>} aligned per piece.
+    Byte-identical to the five-stage spelling (same kernels, same
+    order, no WKB hops between them); NULL in == NULL out."""
+    return _box_subdivide_stats(
+        _num(xmin, "double"), _num(ymin, "double"),
+        _num(xmax, "double"), _num(ymax, "double"),
+        _num(seg, "double"), _num(maxv, "int"))
 
 
 _wkt_roundtrip = _u1(kernels.wkt_roundtrip, StringType())
@@ -1470,7 +1496,7 @@ __all__ = [
     "st_translate", "st_buffer", "st_boundary", "st_split", "st_srid",
     "st_asmvtgeom", "st_asmvtgeom_box", "st_point", "st_npoints", "st_area",
     "st_extent", "st_extent_agg", "st_geom_with_bbox_from_text",
-    "st_point_with_bbox",
+    "st_point_with_bbox", "st_box_subdivide_stats",
     "st_wkt_canonical",
     "st_length", "st_perimeter", "st_centroid", "st_convexhull",
     "st_simplify", "st_distance", "st_dwithin", "st_collect_points_agg",

@@ -622,6 +622,42 @@ def point_bbox_from_xy(x: pd.Series, y: pd.Series) -> pd.DataFrame:
         "xmax": _nullable(xs, valid), "ymax": _nullable(ys, valid)})
 
 
+def box_subdivide_stats(xmin: pd.Series, ymin: pd.Series,
+                        xmax: pd.Series, ymax: pd.Series,
+                        seg: pd.Series, maxv: pd.Series) -> pd.DataFrame:
+    """Fused measure pipeline: ST_MakeEnvelope -> ST_Segmentize ->
+    ST_Subdivide -> per-piece (ST_Area, ST_NPoints), in ONE Python
+    crossing. The plan-level spelling is FIVE chained-dependent
+    ArrowEvalPython stages, each round-tripping every intermediate
+    polygon through WKB and the JVM (a 41-vertex segmentized envelope
+    is ~670 WKB bytes x 2 codec passes per hop); fusing keeps the
+    in-process ``Geometry`` alive across the whole chain and ships
+    back only the per-piece scalars. Exactly the same kernels run in
+    the same order (``Geometry.box`` / ``edit.segmentize`` /
+    ``subdivide.subdivide`` / ``algos.area`` / vertex count), so every
+    emitted value is byte-identical to the staged spelling — pinned by
+    tests/test_subdivide.py. A NULL corner (or NULL seg/maxv) nulls the
+    row, matching the staged chain's NULL propagation."""
+    out_a: list = []
+    out_n: list = []
+    for i in range(len(xmin)):
+        a, b = _num(xmin.iat[i]), _num(ymin.iat[i])
+        c, d = _num(xmax.iat[i]), _num(ymax.iat[i])
+        sg, mv = _num(seg.iat[i]), _num(maxv.iat[i])
+        if None in (a, b, c, d, sg, mv):
+            out_a.append(None)
+            out_n.append(None)
+            continue
+        g = edit.segmentize(
+            Geometry.box(float(a), float(b), float(c), float(d)),
+            float(sg))
+        pieces = subdivide_mod.subdivide(g, int(mv))
+        out_a.append([algos.area(p) for p in pieces])
+        out_n.append([len(p.vertices()) for p in pieces])
+    return pd.DataFrame({"areas": _obj_series(out_a),
+                         "npts": _obj_series(out_n)})
+
+
 def wkt_roundtrip(s: pd.Series) -> pd.Series:
     """Fused ST_AsText(ST_GeomFromText(x)) — canonical-form WKT in ONE
     Python crossing. The plan-level alternative is two chained-dependent

@@ -100,3 +100,43 @@ def test_convex_fast_path_matches_overlay():
             af = sum(area(p) for p in fast)
             as_ = sum(area(p) for p in slow)
             assert abs(af - as_) < 1e-9 * max(1.0, abs(as_)), (n, max_v)
+
+
+def test_fused_box_subdivide_stats_parity():
+    """r12 fused kernel == the five staged kernels, byte for byte,
+    including the NULL lane (the subdivide_boxes entry rewiring)."""
+    import pandas as pd
+
+    from datafusion_geo_spark.functions import kernels as K
+
+    xs = [0.0, 37.0, None, 499.0, 123.0, 250.0]
+    ys = [0.0, 121.0, 5.0, 3.0, None, 499.0]
+    n = len(xs)
+    xmin = pd.Series(xs, dtype=object)
+    ymin = pd.Series(ys, dtype=object)
+    xmax = pd.Series([None if v is None else v + 10 for v in xs],
+                     dtype=object)
+    ymax = pd.Series([None if v is None else v + 10 for v in ys],
+                     dtype=object)
+    seg = pd.Series([1.0] * n)
+    maxv = pd.Series([20] * n)
+
+    fused = K.box_subdivide_stats(xmin, ymin, xmax, ymax, seg, maxv)
+
+    env = K.make_envelope(xmin, ymin, xmax, ymax)
+    segd = pd.Series([None if v is None else
+                      K.to_wkb(K.edit.segmentize(K.from_wkb(bytes(v)),
+                                                 1.0))
+                      for v in env.tolist()], dtype=object)
+    for i in range(n):
+        if segd.iat[i] is None:
+            assert fused["areas"].iat[i] is None
+            assert fused["npts"].iat[i] is None
+            continue
+        pieces = K.st_subdivide(pd.Series([segd.iat[i]]),
+                                pd.Series([20])).iat[0]
+        a_staged = K.area(pd.Series(list(pieces), dtype=object)).tolist()
+        n_staged = K.npoints(pd.Series(list(pieces),
+                                       dtype=object)).tolist()
+        assert fused["areas"].iat[i] == a_staged, i
+        assert fused["npts"].iat[i] == n_staged, i
