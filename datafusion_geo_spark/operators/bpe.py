@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .text import words_col
+from .util import memo_get
 
 SEP = "\x1f"
 
@@ -161,9 +162,7 @@ def bpe_train_cached(docs: DataFrame, text_col: str = "text",
     if cache_key is None:
         return fit()
     key = (_key_fingerprint(cache_key), text_col, rounds)
-    if key not in _MERGE_CACHE:
-        _MERGE_CACHE[key] = fit()
-    return _MERGE_CACHE[key]
+    return memo_get(_MERGE_CACHE, key, fit)
 
 
 def tokenizer_stats(docs: DataFrame, merges: List[Tuple[str, str, str]],

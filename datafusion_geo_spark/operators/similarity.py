@@ -20,7 +20,7 @@ from typing import Optional
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .util import round6_binary
+from .util import memo_get, round6_binary
 
 
 def as_double(v: Column) -> Column:
@@ -282,10 +282,9 @@ def kmeans_centroids_cached(vecs: DataFrame, n_centroids: int = 8,
     if cache_key is None:
         return kmeans_centroids(vecs, n_centroids, iters, id_col)
     key = (cache_key, n_centroids, iters, id_col)
-    if key not in _CENTROID_CACHE:
-        _CENTROID_CACHE[key] = kmeans_centroids(
-            vecs, n_centroids, iters, id_col)
-    return _CENTROID_CACHE[key]
+    return memo_get(_CENTROID_CACHE, key,
+                    lambda: kmeans_centroids(vecs, n_centroids, iters,
+                                             id_col))
 
 
 def _centroid_frame(vecs: DataFrame, fitted: list):
@@ -1049,9 +1048,8 @@ def pq_train_cached(vecs: DataFrame, m: int = 8, ksub: int = 16,
     if cache_key is None:
         return pq_train(vecs, m, ksub, iters, id_col)
     key = (cache_key, m, ksub, iters, id_col)
-    if key not in _PQ_CACHE:
-        _PQ_CACHE[key] = pq_train(vecs, m, ksub, iters, id_col)
-    return _PQ_CACHE[key]
+    return memo_get(_PQ_CACHE, key,
+                    lambda: pq_train(vecs, m, ksub, iters, id_col))
 
 
 def pq_search(vecs: DataFrame, m: int = 8, ksub: int = 16,

@@ -45,6 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from .text import words_col
+from .util import memo_get
 
 #: training-dict word-length cap (longer words are URLs/hashes)
 MAX_WORD = 24
@@ -79,10 +80,9 @@ def _dict_cached(docs: DataFrame, text_col: str, cache_key):
     if cache_key is None:
         return word_dict(docs, text_col)
     k = (cache_key, text_col)
-    if k not in _DICT_CACHE:
-        _DICT_CACHE[k] = word_dict(docs, text_col) \
-            .localCheckpoint(eager=True)
-    return _DICT_CACHE[k]
+    return memo_get(_DICT_CACHE, k,
+                    lambda: word_dict(docs, text_col)
+                    .localCheckpoint(eager=True))
 
 
 def _substrings(w: Column) -> Column:
@@ -260,14 +260,15 @@ def unigram_train(docs: DataFrame, text_col: str = "text",
     if rounds < 0:
         raise ValueError("unigram_train: rounds must be >= 0")
     key = (cache_key, text_col, rounds, seed_multi_cap, vocab_multi_cap)
-    if cache_key is not None and key in _UNIGRAM_CACHE:
-        return _UNIGRAM_CACHE[key]
-    fitted = _collect_fitted(unigram_vocab_frame(
-        docs, text_col, rounds, seed_multi_cap, vocab_multi_cap,
-        cache_key=cache_key))
-    if cache_key is not None:
-        _UNIGRAM_CACHE[key] = fitted
-    return fitted
+
+    def fit():
+        return _collect_fitted(unigram_vocab_frame(
+            docs, text_col, rounds, seed_multi_cap, vocab_multi_cap,
+            cache_key=cache_key))
+
+    if cache_key is None:
+        return fit()
+    return memo_get(_UNIGRAM_CACHE, key, fit)
 
 
 #: process-level memo of the (eagerly localCheckpoint-ed) word-token
@@ -297,9 +298,8 @@ def word_token_table(docs: DataFrame,
     if cache_key is None:
         return toks
     k = (cache_key, text_col, tuple(fitted))
-    if k not in _TOKTAB_CACHE:
-        _TOKTAB_CACHE[k] = toks.localCheckpoint(eager=True)
-    return _TOKTAB_CACHE[k]
+    return memo_get(_TOKTAB_CACHE, k,
+                    lambda: toks.localCheckpoint(eager=True))
 
 
 def unigram_encode_stats(docs: DataFrame,

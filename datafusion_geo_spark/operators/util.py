@@ -36,6 +36,31 @@ def round6_binary(col: Column) -> Column:
     return round_binary(col, 6)
 
 
+#: default bound for the process-level fit/table memos below — far
+#: above anything one session legitimately fits (a handful of corpora x
+#: a handful of hyper-parameter keys), yet it caps driver memory over a
+#: 100 TB-session lifetime (r11 verdict: the memos were unbounded).
+MEMO_CAP = 64
+
+
+def memo_get(cache: dict, key, make, cap: int = MEMO_CAP):
+    """Bounded process-level memo with LRU eviction. The memoized fits
+    are deterministic (hit == refit bit-for-bit, the r4-verdict
+    contract), so eviction only ever costs a refit, never changes a
+    value. Python dicts iterate in insertion order; a hit re-inserts
+    its key so ``next(iter(cache))`` is always the least recently USED
+    entry."""
+    if key in cache:
+        val = cache.pop(key)
+        cache[key] = val
+        return val
+    val = make()
+    cache[key] = val
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
+    return val
+
+
 def fresh_name(base: str, taken) -> str:
     """An internal column name guaranteed not to shadow a user column:
     prepend underscores until it collides with nothing in ``taken``.
