@@ -26,6 +26,43 @@ from pyspark.sql import DataFrame
 
 SCALE = 1_000_000
 
+#: bounded driver finish, the connected_components discipline (r12):
+#: a deduplicated directed edge relation at or under this many narrow
+#: rows (tens of MB) is PageRank'd driver-side in one bulk transfer —
+#: the distributed loop pays ~3 shuffle exchanges of per-stage latency
+#: PER ITERATION whatever the data volume, which dominates wall time
+#: on similarity graphs whose pair stage already bounds |E|. Larger
+#: graphs take the distributed loop unchanged (guide §5: the cap keeps
+#: the driver out of unbounded data work).
+DRIVER_PR_MAX_EDGES = 2_000_000
+
+
+def _driver_pagerank(spark, edges: DataFrame, iters: int,
+                     damping_pct: int, teleport: int) -> DataFrame:
+    """Exact integer PageRank of a (src, dst) edge relation computed
+    driver-side — callable only through :func:`pagerank_int`'s
+    bounded-size gate. Every operation is the SAME integer op the
+    distributed loop runs (`div` on nonnegative int64 == Python `//`;
+    sums are order-free), so the returned frame is bit-identical."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    vtype = edges.schema["src"].dataType
+    pdf = edges.toPandas()
+    srcs = pdf["src"].tolist()
+    dsts = pdf["dst"].tolist()
+    deg: dict = {}
+    for a in srcs:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {v: SCALE for v in deg}
+    for _ in range(iters):
+        sums: dict = {}
+        for a, b in zip(srcs, dsts):
+            sums[b] = sums.get(b, 0) + rank[a] // deg[a]
+        rank = {v: teleport + (damping_pct * sums.get(v, 0)) // 100
+                for v in deg}
+    schema = StructType([StructField("id", vtype),
+                         StructField("rank_int", LongType())])
+    return spark.createDataFrame(list(rank.items()), schema)
+
 
 def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                  iters: int = 3, damping_pct: int = 85) -> DataFrame:
@@ -39,11 +76,19 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # discipline): every iteration's edges⋈share join and the degree
     # aggregate reuse the cached partitioning, so the edge relation is
     # shuffled once per CALL instead of once per iteration
-    edges = (pairs.select(F.col(id_a).alias("src"),
-                          F.col(id_b).alias("dst"))
-             .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                       F.col(id_a).alias("dst")))
-             .distinct().repartition("src").persist())
+    e0 = (pairs.select(F.col(id_a).alias("src"),
+                       F.col(id_b).alias("dst"))
+          .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                    F.col(id_a).alias("dst")))
+          .distinct().persist())
+    n_edges = e0.count()
+    if 0 < n_edges <= DRIVER_PR_MAX_EDGES:
+        try:
+            return _driver_pagerank(pairs.sparkSession, e0, iters,
+                                    damping_pct, teleport)
+        finally:
+            e0.unpersist()
+    edges = e0.repartition("src").persist()
     # deg rides INSIDE the ranks frame (r11, guide §2.4): the r10 loop
     # re-joined deg onto the edge⋈rank row every round AND ran a
     # separate left-join fallback — two extra shuffle joins per
@@ -57,6 +102,7 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # stages, each re-running the upstream pair pipeline if the cache
     # has not landed yet
     deg.count()
+    e0.unpersist()  # edges' repartitioned cache is materialized now
     ranks = deg.select("src", "deg",
                        F.lit(SCALE).cast("long").alias("rank_int"))
     for _ in range(iters):

@@ -123,3 +123,40 @@ class TestAudioFrames:
         assert rows[0]["sum_sq"] == sum(v * v for v in c)
         assert rows[0]["zcr"] == sum(
             1 for i in range(255) if (c[i] < 0) != (c[i + 1] < 0))
+
+
+class TestPageRankDriverPath:
+    """r12 bounded driver finish: the driver path and the (forced)
+    distributed loop must return the identical frame — same integer
+    ops, so bit-identical ranks."""
+
+    def _both(self, spark, rows, iters=3):
+        import datafusion_geo_spark.operators.graph as G
+        pairs = _pairs(spark, rows)
+        drv = sorted(map(tuple, pagerank_int(pairs, iters=iters)
+                         .collect()))
+        cap = G.DRIVER_PR_MAX_EDGES
+        G.DRIVER_PR_MAX_EDGES = 0
+        try:
+            dist = sorted(map(tuple, pagerank_int(pairs, iters=iters)
+                              .collect()))
+        finally:
+            G.DRIVER_PR_MAX_EDGES = cap
+        return drv, dist
+
+    def test_fuzz_driver_vs_distributed(self, spark):
+        import random
+        rnd = random.Random(1207)
+        for n, m in [(12, 20), (40, 70), (80, 200)]:
+            rows = []
+            for _ in range(m):
+                a, b = rnd.randrange(n), rnd.randrange(n)
+                if a != b:
+                    rows.append((a, b))
+            drv, dist = self._both(spark, rows)
+            assert drv == dist, (n, m)
+
+    def test_star_and_duplicate_pairs(self, spark):
+        rows = [(0, i) for i in range(1, 6)] + [(0, 1), (1, 0)]
+        drv, dist = self._both(spark, rows, iters=5)
+        assert drv == dist
