@@ -560,9 +560,17 @@ def knn_point_join(left: DataFrame, right: DataFrame, k: int,
                      .where((F.col("_n") == k)
                             & (F.col("_kth") <= F.lit(r * r)))
                      .select("_lk"))
+        # r12: materialize this round's k-row-per-key result NOW, while
+        # ``remaining``/``rb`` are still cached. The former lazy persist
+        # was only forced by the final union's checkpoint — after the
+        # loop had already unpersisted every earlier round's
+        # ``remaining``, so each round's probe-join chain re-ran from
+        # the source scan (the lazy-persist lifetime bug; measured as
+        # the bulk of this operator's wall time at sf0.1).
         resolved.append(
             top.join(safe_keys, "_lk", "left_semi")
-               .select("la", "_lk", F.col("_rk"), "_d2", "rn").persist())
+               .select("la", "_lk", F.col("_rk"), "_d2", "rn")
+               .localCheckpoint(eager=True))
         nxt = remaining.join(safe_keys, "_lk", "left_anti").persist()
         n_left = nxt.count()
         remaining.unpersist()
