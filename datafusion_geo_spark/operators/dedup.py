@@ -775,34 +775,62 @@ def minhash_eval(corpus: DataFrame, threshold: float = 0.5,
 def dup_span_stats(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 8) -> DataFrame:
     """Duplicate-span audit, the word-level form of exact-substring dedup
-    (Lee et al. 2022): hash every word n-gram corpus-wide, mark the
-    occurrences whose n-gram appears anywhere else (any doc, or again in
-    the same doc), merge each doc's marked [pos, pos+n) windows into
-    maximal spans with a gaps-and-islands window, and report per doc how
-    many words sit inside duplicated spans. ``keep`` applies the usual
-    <50%-duplicated retention rule — all in exact integer arithmetic.
+    (Lee et al. 2022): mark every word n-gram occurrence whose n-gram
+    appears anywhere else (any doc, or again in the same doc), merge
+    each doc's marked [pos, pos+n) windows into maximal spans with a
+    gaps-and-islands window, and report per doc how many words sit
+    inside duplicated spans. ``keep`` applies the usual <50%-duplicated
+    retention rule — all in exact integer arithmetic.
 
-    Scale shape: one shuffle on the n-gram hash for the global occurrence
-    count (partial+final agg), one hash equi-join back, then a window
-    PARTITIONED BY doc_id — millions of independent keys, so the sort
-    parallelism grows with the corpus (unlike a low-cardinality window).
-    No all-pairs stage anywhere: the classic suffix-array pass is
-    re-expressed as a bucketed group-by, which is the form that survives
-    100 TB."""
+    Scale shape (r12): occurrence marking is ONE count-over-window
+    partitioned by the exact gram — the corpus moves through a single
+    exchange, where the r11 md5-group-then-join-back shape computed the
+    exploded relation twice and exchanged it twice (and a hash key is
+    avoidable risk: 64-bit keys collide from ~10^10 grams). The islands
+    window stays PARTITIONED BY doc_id — millions of independent keys,
+    so sort parallelism grows with the corpus. No all-pairs stage
+    anywhere: the classic suffix-array pass is re-expressed as windowed
+    grouping, which is the form that survives 100 TB."""
+    out, base = _dup_span_stats_lazy(df, text_col, id_col, n)
+    # per-doc rows only; materializing releases the corpus cache
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
+def _dup_span_stats_lazy(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 8):
+    """Lazy per-doc stats frame + the corpus cache it reads (see
+    :func:`dup_span_stats`, the public wrapper that materializes and
+    releases it). Split out so the physical plan of the real pipeline
+    stays inspectable behind the wrapper's checkpoint
+    (tests/test_scale_plans.py)."""
     from pyspark.sql import Window
 
     from .text import ngram_array
 
     w = df.select(F.col(id_col).alias("doc_id"),
                   words_col(F.col(text_col)).alias("w"))
+    # persisted: consumed twice (the occurrence pass + the final
+    # per-doc join) — re-tokenizing the corpus per consumer otherwise
+    # (the jaccard_prefix persist discipline; released below)
     base = w.select("doc_id",
                     F.size("w").cast("long").alias("n_words"),
-                    ngram_array(F.col("w"), n).alias("gs"))
+                    ngram_array(F.col("w"), n).alias("gs")).persist()
+    base.count()
     grams = base.select("doc_id", F.posexplode("gs").alias("pos", "g"))
-    hashed = grams.select("doc_id", "pos", F.md5(F.col("g")).alias("gh"))
-    occ = (hashed.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
-           .where(F.col("n_occ") > 1))
-    dup = hashed.join(occ.select("gh"), "gh").select("doc_id", "pos")
+    # r12: corpus-wide occurrence marking as ONE window over the exact
+    # gram (count > 1 over partition g) instead of md5-hash -> grouped
+    # count -> equi-join back. The old shape computed the exploded+
+    # hashed relation TWICE (once under the aggregate, once as the join
+    # probe side) and moved it through two exchanges; the window moves
+    # it once and never hashes (grouping on the gram itself is exact at
+    # ANY corpus size, where a 64-bit hash would collide at ~10^10
+    # grams — and md5 cost dominated the old scan). Same marked set:
+    # count-over-partition > 1 == join against the >1-occurrence keys.
+    wocc = Window.partitionBy("g")
+    dup = (grams.withColumn("_nocc", F.count(F.lit(1)).over(wocc))
+           .where(F.col("_nocc") > 1).select("doc_id", "pos"))
     win = (Window.partitionBy("doc_id").orderBy("pos")
            .rowsBetween(Window.unboundedPreceding, -1))
     spans = (dup
@@ -820,18 +848,19 @@ def dup_span_stats(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("n_dup_ngrams"),
         F.sum("new_span").alias("n_spans"),
         F.sum("contrib").alias("dup_words"))
-    return (base.select("doc_id", "n_words",
-                        F.size("gs").cast("long").alias("n_ngrams"))
-            .join(per, "doc_id", "left")
-            .select(F.col("doc_id").alias(id_col), "n_words", "n_ngrams",
-                    F.coalesce("n_dup_ngrams", F.lit(0)).cast("long")
-                    .alias("n_dup_ngrams"),
-                    F.coalesce("n_spans", F.lit(0)).cast("long")
-                    .alias("n_spans"),
-                    F.coalesce("dup_words", F.lit(0)).cast("long")
-                    .alias("dup_words"))
-            .withColumn("keep",
-                        F.col("dup_words") * F.lit(2) <= F.col("n_words")))
+    out = (base.select("doc_id", "n_words",
+                       F.size("gs").cast("long").alias("n_ngrams"))
+           .join(per, "doc_id", "left")
+           .select(F.col("doc_id").alias(id_col), "n_words", "n_ngrams",
+                   F.coalesce("n_dup_ngrams", F.lit(0)).cast("long")
+                   .alias("n_dup_ngrams"),
+                   F.coalesce("n_spans", F.lit(0)).cast("long")
+                   .alias("n_spans"),
+                   F.coalesce("dup_words", F.lit(0)).cast("long")
+                   .alias("dup_words"))
+           .withColumn("keep",
+                       F.col("dup_words") * F.lit(2) <= F.col("n_words")))
+    return out, base
 
 
 def _jaccard_prefix_verified(df: DataFrame, text_col: str,

@@ -259,14 +259,25 @@ def test_hll_registers_partial_final_max(spark):
 def test_dup_spans_window_partitions_by_doc(spark):
     """The duplicate-span islands window must partition by doc_id
     (parallelism grows with the corpus) — never a low-cardinality or
-    global window — and the occurrence count must be partial+final."""
-    from datafusion_geo_spark.operators.dedup import dup_span_stats
+    global window — and the occurrence marking must be the one-pass
+    count-over-gram window (r12): a single exchange moves the exploded
+    corpus once, no hash key, no join-back."""
+    from datafusion_geo_spark.operators.dedup import _dup_span_stats_lazy
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .select("doc_id", "text")
-    plan = plan_of(dup_span_stats(docs))
-    assert "partitionspec=[doc_id" in plan.lower().replace(" ", "") \
-        or "PartitionSpec: [doc_id" in plan or "[doc_id#" in plan
-    assert "partial_count" in plan.lower()
+    out, base = _dup_span_stats_lazy(docs)
+    try:
+        plan = plan_of(out)
+    finally:
+        base.unpersist()
+    flat = plan.lower().replace(" ", "")
+    # islands window keyed by doc_id
+    assert "windowspecdefinition(doc_id#" in flat
+    # occurrence window keyed by the exact gram column
+    assert "windowspecdefinition(g#" in flat
+    # the gram relation is never hashed and never joined back
+    assert "md5" not in flat
+    assert "sortmergejoin" not in flat.replace("sortmergejoin(doc_id", "")
 
 
 def test_mlm_pool_is_take_ordered_not_global_window(spark):
