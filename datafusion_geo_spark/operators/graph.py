@@ -124,6 +124,35 @@ def pagerank_int(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return out
 
 
+def _driver_graph_stats(spark, e: DataFrame) -> DataFrame:
+    """Exact (n_vertices, n_edges, max_degree, n_triangles) of an
+    ORIENTED (a < b, deduplicated) edge relation, computed driver-side
+    — callable only through :func:`graph_stats`'s bounded-size gate.
+    Triangles: each a<b<c triangle is counted once at its (a, b) edge
+    as |adj(a) ∩ adj(b)| over greater-neighbor sets — the identical
+    enumeration the distributed wedge join runs."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    pdf = e.toPandas()
+    aa = pdf["a"].tolist()
+    bb = pdf["b"].tolist()
+    deg: dict = {}
+    adj: dict = {}
+    for a, b in zip(aa, bb):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        adj.setdefault(a, set()).add(b)
+    tris = 0
+    empty: set = set()
+    for a, b in zip(aa, bb):
+        tris += len(adj[a] & adj.get(b, empty))
+    schema = StructType([StructField("n_vertices", LongType(), False),
+                         StructField("n_edges", LongType(), False),
+                         StructField("max_degree", LongType(), True),
+                         StructField("n_triangles", LongType(), False)])
+    return spark.createDataFrame(
+        [(len(deg), len(aa), max(deg.values()), tris)], schema)
+
+
 def graph_stats(pairs: DataFrame, id_a: str = "id_a",
                 id_b: str = "id_b") -> DataFrame:
     """One-row structural profile of an undirected pair graph:
@@ -138,7 +167,19 @@ def graph_stats(pairs: DataFrame, id_a: str = "id_a",
          .distinct().persist())
     # eager: six subtrees of the one-row action scan ``e`` as parallel
     # stages (lazy-persist race — see dedup.py jaccard_prefix_pairs)
-    e.count()
+    n_edges = e.count()
+    # r12 bounded driver finish (the connected_components/pagerank_int
+    # discipline): at or under the edge cap, the four exact-integer
+    # stats come from one bulk transfer — the distributed form pays a
+    # degree aggregate, a wedge self-join, a closing-edge join and
+    # three one-row aggregates of per-job latency on graphs whose pair
+    # stage already bounds |E|. Set intersection over greater-neighbor
+    # adjacency is the same a<b<c enumeration the two-join form runs.
+    if 0 < n_edges <= DRIVER_PR_MAX_EDGES:
+        try:
+            return _driver_graph_stats(pairs.sparkSession, e)
+        finally:
+            e.unpersist()
     verts = (e.select(F.col("a").alias("v"))
              .unionByName(e.select(F.col("b").alias("v"))))
     deg = verts.groupBy("v").agg(F.count("*").alias("deg"))

@@ -160,3 +160,38 @@ class TestPageRankDriverPath:
         rows = [(0, i) for i in range(1, 6)] + [(0, 1), (1, 0)]
         drv, dist = self._both(spark, rows, iters=5)
         assert drv == dist
+
+
+class TestGraphStatsDriverPath:
+    """r12 bounded driver finish for graph_stats — identical frame to
+    the forced distributed wedge-join form."""
+
+    def _both(self, spark, rows):
+        import datafusion_geo_spark.operators.graph as G
+        pairs = _pairs(spark, rows)
+        drv = graph_stats(pairs).collect()[0]
+        cap = G.DRIVER_PR_MAX_EDGES
+        G.DRIVER_PR_MAX_EDGES = 0
+        try:
+            dist = graph_stats(pairs).collect()[0]
+        finally:
+            G.DRIVER_PR_MAX_EDGES = cap
+        return tuple(drv), tuple(dist)
+
+    def test_fuzz_driver_vs_distributed(self, spark):
+        import random
+        rnd = random.Random(812)
+        for n, m in [(8, 14), (25, 60), (50, 160)]:
+            rows = []
+            for _ in range(m):
+                a, b = rnd.randrange(n), rnd.randrange(n)
+                rows.append((a, b))  # self-loops + dups exercised
+            drv, dist = self._both(spark, rows)
+            assert drv == dist, (n, m)
+
+    def test_k4_schema_and_values(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        out = graph_stats(_pairs(spark, k4))
+        assert [f.name for f in out.schema.fields] == [
+            "n_vertices", "n_edges", "max_degree", "n_triangles"]
+        assert tuple(out.collect()[0]) == (4, 6, 3, 4)
