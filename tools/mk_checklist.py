@@ -20,8 +20,10 @@ def load(tag):
 
 
 def main():
-    before = load("before")
-    late = load("late")
+    import sys
+    args = sys.argv[1:]
+    before = load(args[0] if args else "before")
+    late = load(args[1] if len(args) > 1 else "late")
     names = sorted(set(before) | set(late))
     rows = []
     for n in names:
