@@ -37,8 +37,10 @@ ALLOWED_BROADCAST_CROSSES = {
                              # is now map-only (_assign_inline), no
                              # assignment crosses survive
     "ivf_trained_topk": 1,   # same plan shape, trained centroids
-    "ann_recall": 1,         # inherits ivf_trained_topk's (bf side's
-                             # cross compiles away, as in cosine_topk)
+    # (ann_recall: inherited ivf_trained_topk's probe-scoring cross
+    # until r12 — the arm frames are now eagerly checkpointed
+    # (b0f0ae2), so the audited plan starts from the materialized
+    # ~80-row arms and no cross survives)
     "rbo_eval": 1,           # same composition: ivf_trained's one
                              # bounded probe-scoring cross
     "ndcg_eval": 1,          # same composition as rbo_eval
